@@ -1,0 +1,95 @@
+"""Relational operator helpers.
+
+Most of the reference's relational surface (projection, filter, join,
+aggregation — SURVEY.md §2.2-2.4) maps 1:1 onto the DataFrame API and
+needs no wrapper.  This module covers the constructs with non-obvious
+Spark spellings:
+
+- ``key_search_agg``: the Confluent lookup table function
+  (flink_statements.tf:124-131) surfaced with its array-of-matches
+  return shape;
+- ``unnest``: CROSS JOIN UNNEST with positional column aliasing (O15);
+- ``tumble``/``hop``/``session``: windowing TVFs exposing Flink's
+  window_start/window_end/window_time columns (O21; window_time =
+  window_end − 1 ms, SURVEY.md §2.12.5).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def key_search_agg(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    result_col: str = "search_results",
+) -> DataFrame:
+    """KEY_SEARCH_AGG(dim, DESCRIPTOR(key), stream.key): for each stream
+    row, all matching dimension rows as one ARRAY<ROW> column
+    (reference flink_statements.tf:124-130).
+
+    Implemented as: pre-aggregate the dimension to one array per key
+    (tiny — dimension-sized), then broadcast-join.  Rows with no match
+    get an empty array; a following :func:`unnest` reproduces the
+    reference's inner-join drop-on-miss semantics.  The idiomatic engine
+    path is a plain broadcast join (plans/health_pipeline.enriched_events);
+    this form exists for SQL-surface parity.
+    """
+    packed = dim.groupBy(key).agg(
+        F.collect_list(F.struct(*[c for c in dim.columns])).alias(result_col)
+    )
+    joined = stream.join(F.broadcast(packed), on=key, how="left")
+    return joined.withColumn(
+        result_col,
+        F.coalesce(F.col(result_col), F.array().cast(joined.schema[result_col].dataType)),
+    )
+
+
+def unnest(
+    df: DataFrame,
+    array_col: str,
+    aliases: Sequence[str] | None = None,
+    keep: Sequence[str] | None = None,
+    outer: bool = False,
+) -> DataFrame:
+    """CROSS JOIN UNNEST(arr) AS t(c1, c2, ...) — array-of-struct to
+    rows with positional field renaming (O15).  ``outer=False`` drops
+    rows with empty arrays (the reference's behavior)."""
+    explode = F.explode_outer if outer else F.explode
+    kept = [F.col(c) for c in (keep if keep is not None else [c for c in df.columns if c != array_col])]
+    ex = df.select(*kept, explode(array_col).alias("__e"))
+    elem_fields = [f.name for f in ex.schema["__e"].dataType.fields]
+    names = list(aliases) if aliases else elem_fields
+    return ex.select(
+        *[c for c in kept],
+        *[F.col(f"__e.{f}").alias(n) for f, n in zip(elem_fields, names)],
+    )
+
+
+def _with_window_cols(df: DataFrame) -> DataFrame:
+    return (
+        df.withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .withColumn("window_time", F.col("w.end") - F.expr("INTERVAL 1 MILLISECOND"))
+        .drop("w")
+    )
+
+
+def tumble(df: DataFrame, ts_col: str, size: str) -> DataFrame:
+    """TUMBLE(TABLE t, DESCRIPTOR(ts), size) → adds window_start /
+    window_end / window_time (flink_statements.tf:180-182)."""
+    return _with_window_cols(df.withColumn("w", F.window(ts_col, size)))
+
+
+def hop(df: DataFrame, ts_col: str, size: str, slide: str) -> DataFrame:
+    """HOP (sliding) windowing TVF — not used by the reference but part
+    of the platform surface (SURVEY.md §2.6)."""
+    return _with_window_cols(df.withColumn("w", F.window(ts_col, size, slide)))
+
+
+def session(df: DataFrame, ts_col: str, gap: str) -> DataFrame:
+    """SESSION windowing TVF (gap-based)."""
+    return _with_window_cols(df.withColumn("w", F.session_window(ts_col, gap)))
