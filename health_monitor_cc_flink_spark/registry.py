@@ -1,0 +1,698 @@
+"""Query registry: every implemented operator as a (Spark query, DuckDB
+oracle SQL) pair over the driver testdata tables.
+
+This file is the engine's coverage ledger for SURVEY.md §2 plus the
+training-data-pipeline extensions (dedup / similarity / text /
+multimodal).  The driver runs each Spark query and its oracle SQL
+side-by-side at sf0.01 and hash-compares row counts, schemas and values
+(order-insensitive, columns sorted by name) — so both sides must agree
+on names AND exact values.  House rules that make exact agreement
+possible:
+
+1. **Time values cross the boundary as integers.**  `events.ts` is
+   parquet TIMESTAMP(NANOS); Spark reads int64 nanos (nanosAsLong),
+   DuckDB truncates to µs on read.  The shared exact unit is
+   microseconds: Spark ``ts_ns div 1000`` ≡ DuckDB ``epoch_us(ts)``.
+   No raw timestamp column is ever projected.
+2. **No double summation.**  Sums are computed in DECIMAL (exact in
+   both engines) and cast to DOUBLE once at the end; averages are
+   rounded to 4 decimals.  Row-level double expressions (same IEEE ops,
+   same operand order) are bit-identical and need no rounding.
+3. **Total order before every LIMIT** (unique tiebreak column).
+4. Final schemas stick to string / bigint-int / double / boolean.
+
+Scale notes are inline per query: what shuffles, what broadcasts, what
+gets pushed down.  `bench=True` marks the headline queries bench.py runs
+at sf0.1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from .sources.testdata import load_table
+
+US_PER_MIN = 60_000_000
+US_PER_SEC = 1_000_000
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over the pre-registered views; None → rows-only check
+    bench: bool = False
+    doc: str = ""
+
+
+_REGISTRY: list[QuerySpec] = []
+
+
+def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
+    def deco(fn):
+        _REGISTRY.append(QuerySpec(name, fn, oracle, bench, doc))
+        return fn
+
+    return deco
+
+
+def all_queries() -> list[QuerySpec]:
+    from . import registry_pipeline_ops  # noqa: F401  (registers data-pipeline ops)
+
+    return list(_REGISTRY)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _ts_us(col: str = "ts_ns") -> Column:
+    return F.expr(f"{col} div 1000")
+
+
+# =============================================================================
+# TPC-H-style relational queries (bench headliners)
+# =============================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    doc="TPC-H Q1 pricing summary: scan-heavy hash agg; predicate pushed to parquet, partial agg map-side.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_unshipped_revenue_topk",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           epoch_ms(o_orderdate) AS orderdate_ms
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+    doc="TPC-H Q3 shape: selective dim filter → join → agg → total-order top-k. "
+    "customer/orders sides are broadcast-eligible after filters; AQE picks BHJ.",
+)
+def q3_unshipped_revenue_topk(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    bench=True,
+    doc="TPC-H Q5 shape: 6-way join; region/nation/supplier broadcast, fact side "
+    "never shuffled until the final small agg.",
+)
+def q5_nation_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q6_revenue_delta",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    bench=True,
+    doc="TPC-H Q6: pure scan+filter+global agg — measures pushdown + codegen throughput.",
+)
+def q6_revenue_delta(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# =============================================================================
+# Operator inventory: projections / filters (SURVEY §2.2, O7-O12)
+# =============================================================================
+
+
+@query(
+    "o7_project_rename",
+    """
+    SELECT l_orderkey AS okey, l_linenumber AS line_no,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+    doc="O7 projection+rename; row-level double arithmetic is bit-identical across engines.",
+)
+def o7_project_rename(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line_no"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@query(
+    "o9_select_star",
+    "SELECT * FROM region",
+    doc="O9 bare wildcard pass-through.",
+)
+def o9_select_star(spark, sf_dir):
+    return _t(spark, sf_dir, "region").select("*")
+
+
+@query(
+    "o10_json_field_access",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="O10 analog: semi-structured field access over the JSON props column.",
+)
+def o10_json_field_access(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+@query(
+    "o11_filter_eq",
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+    doc="O11 equality filter (S5 analog: predicate on a categorical column).",
+)
+def o11_filter_eq(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "o12_filter_threshold",
+    "SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events WHERE value < 40",
+    doc="O12 numeric threshold filter (S6's forecast_value < 40 analog).",
+)
+def o12_filter_threshold(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") < 40)
+        .select("event_id", "user_id", "value", _ts_us().alias("ts_us"))
+    )
+
+
+# =============================================================================
+# Joins (SURVEY §2.3, O13-O15)
+# =============================================================================
+
+
+@query(
+    "o13_broadcast_enrich",
+    """
+    SELECT e.event_id, e.user_id, c.c_name AS name, e.value, epoch_us(e.ts) AS ts_us
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    bench=True,
+    doc="O13 stream-static enrichment as explicit broadcast hash join (S3 analog): "
+    "dimension ships to every task, fact side never shuffles.",
+)
+def o13_broadcast_enrich(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner").select(
+        "event_id", "user_id", F.col("c_name").alias("name"), "value", _ts_us().alias("ts_us")
+    )
+
+
+@query(
+    "o13b_lookup_miss_drops",
+    """
+    SELECT e.event_id, e.user_id, s.s_name AS supplier_name
+    FROM events e JOIN supplier s ON e.user_id = s.s_suppkey
+    """,
+    doc="O13 drop-on-miss semantics (SURVEY §2.12.3): user_id 10-14 have no "
+    "matching s_suppkey and silently disappear (inner join).",
+)
+def o13b_lookup_miss_drops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    supp = _t(spark, sf_dir, "supplier")
+    return ev.join(F.broadcast(supp), ev.user_id == supp.s_suppkey, "inner").select(
+        "event_id", "user_id", F.col("s_name").alias("supplier_name")
+    )
+
+
+@query(
+    "o14_key_search_agg_unnest",
+    """
+    SELECT e.event_id, e.user_id, n.n_name AS nation_name
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n_nationkey
+    """,
+    doc="O13/O14/O15 composed: KEY_SEARCH_AGG + CROSS JOIN UNNEST surface "
+    "(array-of-matches lookup then flatten) — net semantics = chained inner joins.",
+)
+def o14_key_search_agg_unnest(spark, sf_dir):
+    from .operators.relational import key_search_agg, unnest
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        F.col("c_custkey").alias("user_id"), F.col("n_name")
+    )
+    packed = key_search_agg(ev, dim, "user_id")
+    return unnest(
+        packed, "search_results", aliases=["uid2", "nation_name"], keep=["event_id", "user_id"]
+    ).select("event_id", "user_id", "nation_name")
+
+
+@query(
+    "o15_unnest_ordinality",
+    """
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+    """,
+    doc="O15 UNNEST with positional aliasing: array<float> → (pos, val) rows.",
+)
+def o15_unnest_ordinality(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
+
+
+# =============================================================================
+# Aggregations & windowing TVFs (SURVEY §2.4/§2.6, O16-O17, O21)
+# =============================================================================
+
+
+@query(
+    "o16_tumble_minute_avg",
+    f"""
+    SELECT epoch_us(ts) // {US_PER_MIN} * 60 AS window_start_s,
+           user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+    doc="O16/O21: tumbling-window hash aggregation via F.window (1 min). "
+    "Window assignment = flooring, so the integer-epoch oracle is exact.",
+)
+def o16_tumble_minute_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "avg_value", "n"
+        )
+    )
+
+
+@query(
+    "s4_windowed_observed",
+    f"""
+    SELECT user_id,
+           epoch_us(ts) // {US_PER_SEC} AS window_start_s,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS observed_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="S4's windowed_vitals CTE on the stand-in stream: 1 s tumble, per-key AVG "
+    "(reference flink_statements.tf:174-183 with user_id↔patient_id, value↔heart_rate).",
+)
+def s4_windowed_observed(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 second").alias("w"), "user_id")
+        .agg((F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("observed_value"))
+        .select(F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "observed_value")
+        .select("user_id", "window_start_s", "observed_value")
+    )
+
+
+@query(
+    "o17_agg_functions",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="O17 aggregate-function battery incl. distinct aggregate (beyond reference surface).",
+)
+def o17_agg_functions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "o21_hop_sliding",
+    """
+    SELECT s.window_start_s, e.user_id, count(*) AS n
+    FROM events e
+    CROSS JOIN LATERAL (
+        SELECT epoch_us(e.ts) // 300000000 * 300 - v.off AS window_start_s
+        FROM (VALUES (0), (300)) v(off)
+    ) s
+    WHERE epoch_us(e.ts) // 1000000 >= s.window_start_s
+      AND epoch_us(e.ts) // 1000000 < s.window_start_s + 600
+    GROUP BY 1, 2
+    """,
+    doc="O21 HOP: 10-min windows sliding 5 min; each row lands in 2 windows. "
+    "Oracle enumerates the candidate starts per row.",
+)
+def o21_hop_sliding(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "n")
+    )
+
+
+@query(
+    "o21b_session_window",
+    """
+    WITH d AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+                    OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), s AS (
+        SELECT user_id, ts_us,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM d
+    )
+    SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="O21 SESSION: 30-min-gap session windows via F.session_window; oracle is the "
+    "classic gaps-and-islands rewrite on µs epochs.",
+)
+def o21b_session_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("session_start_us"), "user_id", "n")
+        .select("user_id", "session_start_us", "n")
+    )
+
+
+# =============================================================================
+# OVER-window frames (SURVEY §2.5, O18) & sort/limit/set ops (§2.11)
+# =============================================================================
+
+
+@query(
+    "o18_cumulative_frame",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(*) OVER w AS n_so_far,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (count(*) OVER w) AS avg_so_far
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="O18: the ML functions' cumulative per-key event-time frame "
+    "(PARTITION BY key ORDER BY ts RANGE UNBOUNDED PRECEDING) as a plain OVER agg. "
+    "RANGE (not ROWS) keeps ties deterministic.",
+)
+def o18_cumulative_frame(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        (F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("avg_so_far"),
+    )
+
+
+@query(
+    "o18b_rank_lag",
+    """
+    SELECT event_id, user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+           lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_value
+    FROM events
+    """,
+    doc="Ranking + analytic OVER functions (beyond reference surface; SURVEY §2.5 note). "
+    "Unique (ts, event_id) ordering keeps row_number deterministic.",
+)
+def o18b_rank_lag(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+@query(
+    "o22_sort_limit_topk",
+    """
+    SELECT event_id, user_id, value FROM events
+    ORDER BY value DESC, event_id LIMIT 50
+    """,
+    doc="Top-k with total order (value ties broken by unique event_id); Spark plans TakeOrderedAndProject.",
+)
+def o22_sort_limit_topk(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(50)
+    )
+
+
+@query(
+    "setop_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    doc="EXCEPT (distinct): customers with no orders.",
+)
+def setop_except(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ords = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.exceptAll(ords.distinct()).distinct()
+
+
+@query(
+    "setop_intersect",
+    """
+    SELECT DISTINCT user_id AS key FROM events
+    INTERSECT
+    SELECT s_suppkey AS key FROM supplier
+    """,
+    doc="INTERSECT: stream keys that are also supplier keys.",
+)
+def setop_intersect(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key")).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("key"))
+    return ev.intersect(supp)
+
+
+@query(
+    "setop_union_all",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+    doc="UNION ALL bag semantics.",
+)
+def setop_union_all(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return cust.unionAll(supp)
+
+
+# =============================================================================
+# CTE pipeline composition (SURVEY §2.8, O26/O27)
+# =============================================================================
+
+
+@query(
+    "o26_cte_pipeline_shape",
+    f"""
+    WITH windowed AS (
+        SELECT user_id,
+               epoch_us(ts) // {US_PER_MIN} * 60 AS window_start_s,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS observed_value
+        FROM events GROUP BY 1, 2
+    ), cleaned AS (
+        SELECT * FROM windowed WHERE observed_value <= 180
+    )
+    SELECT user_id, window_start_s, observed_value,
+           CAST(sum(CAST(observed_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / (count(*) OVER w) AS running_avg
+    FROM cleaned
+    WINDOW w AS (PARTITION BY user_id ORDER BY window_start_s
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="O26/O27: the S4→S5→S6 pipeline shape as one CTE chain — windowed smoothing, "
+    "cleaning filter, cumulative per-key analytic on the cleaned series.",
+)
+def o26_cte_pipeline_shape(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    windowed = (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg((F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("observed_value"))
+        .select(F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "observed_value")
+    )
+    cleaned = windowed.filter(F.col("observed_value") <= 180)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("window_start_s")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cleaned.select(
+        "user_id",
+        "window_start_s",
+        "observed_value",
+        (F.sum(F.col("observed_value").cast("decimal(18,6)")).over(w).cast("double")
+         / F.count(F.lit(1)).over(w)).alias("running_avg"),
+    )

@@ -31,7 +31,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
     )
 
 
