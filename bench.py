@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, no write cost).
+A tiny warmup query amortizes JVM/codegen startup out of the numbers.
+Set BENCH_ALL=1 to time every registry query instead of the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from health_monitor_cc_flink_spark.registry import all_queries  # noqa: E402
+from health_monitor_cc_flink_spark.session import build_session  # noqa: E402
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = [s for s in all_queries() if (s.bench or os.environ.get("BENCH_ALL"))]
+
+    # warmup: touch the fact table + codegen paths once
+    force(specs[0].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for spec in specs:
+        t0 = time.perf_counter()
+        force(spec.fn(spark, sf_dir))
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+
+    # the reference workload itself: 4-stage health pipeline incl. both
+    # ML operators on a 20-minute simulated stream (2400 windows/patient)
+    from health_monitor_cc_flink_spark.fixtures import health_events_df
+    from health_monitor_cc_flink_spark.plans.health_pipeline import run_pipeline
+    from health_monitor_cc_flink_spark.sources.memory import patients_df
+
+    t0 = time.perf_counter()
+    events = health_events_df(spark, n_ticks=2400, interval_s=0.5, seed=42)
+    stages = run_pipeline(events, patients_df(spark))
+    force(stages["enriched_events"])
+    force(stages["heartbeat_alerts"])
+    timings["health_pipeline_e2e"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Vector math uses built-in higher-order functions (`zip_with` +
+`aggregate`) — JVM-side, sequential left-to-right accumulation, which
+keeps the arithmetic deterministic.  The brute-force path is the
+correctness baseline; the IVF path (coarse partition pruning) is the
+scale path: at 100 TB you bucket vectors by a coarse quantizer, store
+bucket id as a partition/cluster column, and probe only the closest
+buckets — turning a full scan into a partition-pruned one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (double accumulator)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    Plans as scan → narrow projection → TakeOrderedAndProject: no
+    shuffle of vectors, only k rows reach the driver.  The unique id
+    tiebreak makes the result set deterministic.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF-style ANN: treat ``bucket_col`` as the coarse quantizer cell
+    (here the pre-assigned cluster label; in production the argmin
+    centroid id).  Probe the ``n_probe`` cells whose centroid is closest
+    to the query, searching only those cells.
+
+    Centroids are computed per-dimension with posexplode + avg — a tiny
+    aggregate (n_cells × dim rows).  The probed scan is
+    partition-prunable when the table is written partitioned/bucketed by
+    the cell id — the point of IVF at scale.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cent = (
+        emb.select(bucket_col, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(bucket_col, "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy(bucket_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(bucket_col, F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+    probed = (
+        cent.select(bucket_col, cosine(F.col("centroid"), q).alias("ccos"))
+        .orderBy(F.desc("ccos"))
+        .limit(n_probe)
+    )
+    cand = emb.join(F.broadcast(probed.select(bucket_col)), on=bucket_col)
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    The block join (here the cluster label; at scale an LSH bucket or
+    coarse-quantizer cell) bounds the pairwise explosion to within-block
+    pairs — the standard trick that makes O(n²) similarity feasible.
+    Output: (vec_a, vec_b, cos_sim) for pairs ≥ threshold.
+    """
+    a = emb.select(
+        F.col(block_col), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(block_col), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, on=block_col)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for corpus curation: token counting, quality
+scoring, language identification, fingerprinting.
+
+Everything is built-in-function column math (codegen'd, no UDFs) and
+integer/exact arithmetic wherever a threshold or equality is involved,
+so results are deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: whitespace tokenization — single-space split, matching the corpus format
+def _tokens(col: str) -> Column:
+    return F.split(F.col(col), " ")
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: small multilingual stopword markers for the lang-id heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": (),  # no latin markers; fallback bucket
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens): whitespace tokens + BPE-ish
+    regex pre-tokens per document."""
+    return df.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + score.
+
+    All components are exact (integer counts, single double divisions),
+    mirroring the usual Gopher/C4-style length & symbol heuristics:
+    - n_chars, n_tokens
+    - avg_token_len  = non-space chars / tokens
+    - punct_ratio    = punctuation chars / chars
+    - stopword_ratio = stopword tokens / tokens
+    - quality_score  = stopword_ratio − punct_ratio + min(n_tokens, 256)/512
+    """
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    non_space = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[.!?,;:]", "")
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    avg_token_len = non_space.cast("double") / n_tokens
+    punct_ratio = punct.cast("double") / n_chars
+    stopword_ratio = stop_hits.cast("double") / n_tokens
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        (
+            stopword_ratio
+            - punct_ratio
+            + F.least(n_tokens, F.lit(256)).cast("double") / F.lit(512.0)
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-stopword language guess with a fixed tie-break order
+    (en > es > de > fr > zh).  Returns (id, lang_guess, marker counts).
+    A real deployment swaps in a fastText-style model via pandas UDF;
+    the operator contract (schema, determinism) is what matters here.
+    """
+    toks = _tokens(text_col)
+
+    def hits(lang: str) -> Column:
+        markers = LANG_MARKERS[lang]
+        if not markers:
+            return F.lit(0)
+        return F.size(F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in markers])))
+
+    c_en, c_es, c_de, c_fr = hits("en"), hits("es"), hits("de"), hits("fr")
+    guess = (
+        F.when((c_en >= c_es) & (c_en >= c_de) & (c_en >= c_fr) & (c_en > 0), "en")
+        .when((c_es >= c_de) & (c_es >= c_fr) & (c_es > 0), "es")
+        .when((c_de >= c_fr) & (c_de > 0), "de")
+        .when(c_fr > 0, "fr")
+        .otherwise("und")
+    )
+    return df.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        c_en.alias("c_en"),
+        c_es.alias("c_es"),
+        c_de.alias("c_de"),
+        c_fr.alias("c_fr"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 over the normalized text (lowercase,
+    collapsed whitespace) — the exact-dedup key for noisy corpora."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))).alias("fingerprint"),
+    )

@@ -1,3 +1,370 @@
-"""Training-data-pipeline operators (dedup / similarity / text /
-multimodal) registered as oracle-checked queries.  See operators/ for
-the implementations; filled in incrementally."""
+"""Training-data-pipeline operators as oracle-checked registry queries:
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + IVF), text analysis
+(token counts / quality / lang-id / fingerprint) and multimodal binary
+plumbing — all over the driver's `documents` / `embeddings` tables.
+
+The same exactness rules as registry.py apply; additionally every
+near-dup/IR output is integer-first (match counts, set sizes) so the
+hash gate never rides on float summation order.  The only float outputs
+are cosine similarities (double math on both sides, rounded to 4
+decimals, with huge threshold margins — planted dups sit at cos≈1.0 vs
+a 0.41 background max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as X
+from .registry import _t, query
+
+# DuckDB shingle CTE shared by the MinHash / Jaccard oracles: 3-word
+# shingles via lead() windows, distinct per doc.
+_DUCK_SHINGLES = """
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh0 AS (
+        SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+_DUCK_SIG = _DUCK_SHINGLES + """
+    , sig AS (
+        SELECT doc_id, j, min(md5(shingle || '#' || j)) AS mh
+        FROM sh CROSS JOIN range(16) t(j)
+        GROUP BY doc_id, j
+    )
+"""
+
+
+# =============================================================================
+# Deduplication
+# =============================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup: hash-groupBy on the raw text, keep min doc_id. One shuffle.",
+)
+def dedup_exact(spark, sf_dir):
+    return D.dedup_exact(_t(spark, sf_dir, "documents"), ["text"], "doc_id").select(
+        "keeper", "n_copies"
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    """
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Normalized-fingerprint dedup: md5 over lowercased whitespace-collapsed text.",
+)
+def dedup_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.md5(D.normalized_text("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_minhash_bands",
+    "WITH " + _DUCK_SIG + """
+    SELECT doc_id, j // 4 AS band, string_agg(mh, '|' ORDER BY j) AS band_key
+    FROM sig GROUP BY doc_id, j // 4
+    """,
+    bench=True,
+    doc="MinHash signatures + LSH band keys (16 hashes, 4 rows/band) — the full "
+    "shingle→md5-minhash→band construction, verified value-exact per doc.",
+)
+def dedup_minhash_bands(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(D.shingles(docs, "doc_id", "text", 3), "doc_id", 16)
+    return D.lsh_bands(sig, "doc_id", 4)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    "WITH " + _DUCK_SIG + """
+    , band AS (
+        SELECT doc_id, j // 4 AS band, string_agg(mh, '|' ORDER BY j) AS band_key
+        FROM sig GROUP BY doc_id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS n_match
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sa.j = sb.j
+    GROUP BY 1, 2
+    """,
+    doc="MinHash-LSH candidate pairs + signature agreement count "
+    "(n_match/16 ≈ Jaccard; integer output keeps the gate exact).",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    "WITH " + _DUCK_SHINGLES + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = common.doc_a
+    JOIN sizes sb ON sb.doc_id = common.doc_b
+    """,
+    doc="Exact n-gram Jaccard via inverted-index join; integer (n_common, n_a, n_b) "
+    "output → consumer computes jaccard exactly.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_common=2
+    )
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) AS h
+        FROM tok
+    ), bits AS (
+        SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+        FROM h CROSS JOIN range(16) t(b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id, sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="16-bit SimHash per doc (sign-aggregated token-hash bits; all-integer math). "
+    "Near-dups = small hamming distance; width is a config, 16 keeps the oracle tractable.",
+)
+def dedup_simhash(spark, sf_dir):
+    return D.simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+    """,
+    doc="Embedding-cosine near-dup pairs, blocked by cluster label (bounds the O(n²) "
+    "to within-block). Planted dups sit at cos≈1.0 vs 0.41 background — threshold is margin-safe.",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    pairs = S.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, block_col="label"
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# =============================================================================
+# Similarity search
+# =============================================================================
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(v) for v in row[0]]
+
+
+@query(
+    "ann_brute_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY list_dot_product(embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+    LIMIT 10
+    """,
+    bench=True,
+    doc="Brute-force cosine top-10 for a stored query vector: scan → narrow "
+    "projection → TakeOrderedAndProject (no vector shuffle, k rows to driver).",
+)
+def ann_brute_topk(spark, sf_dir):
+    topk = S.brute_force_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
+    return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "ann_ivf_topk",
+    None,  # centroid averages are float-order-sensitive → rows-only check
+    doc="IVF-style ANN: probe the nearest coarse cell (label = quantizer cell), "
+    "search only that cell — the partition-pruned scale path.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    topk = S.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_probe=2
+    )
+    return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# =============================================================================
+# Text analysis
+# =============================================================================
+
+
+@query(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    bench=True,
+    doc="Token counting: whitespace tokens + BPE-ish regex pre-tokens (codegen'd, no UDF).",
+)
+def text_token_count(spark, sf_dir):
+    return X.token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','and','of','to','in','is','on','for','with'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','and','of','to','in','is','on','for','with'))) AS DOUBLE)
+               / len(string_split(text, ' '))
+             - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+               / length(text)
+             + CAST(least(len(string_split(text, ' ')), 256) AS DOUBLE) / 512.0 AS quality_score
+    FROM documents
+    """,
+    doc="Gopher/C4-style quality heuristics: integer counts + single exact divisions.",
+)
+def text_quality_score(spark, sf_dir):
+    return X.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_lang_id",
+    """
+    WITH c AS (
+        SELECT doc_id,
+            len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','is'))) AS c_en,
+            len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y'))) AS c_es,
+            len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist'))) AS c_de,
+            len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','les','des'))) AS c_fr
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+                WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+                WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+                WHEN c_fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_guess,
+           c_en, c_es, c_de, c_fr
+    FROM c
+    """,
+    doc="Marker-stopword language ID with fixed tie-break (deterministic heuristic; "
+    "the operator contract a fastText pandas-UDF would slot into).",
+)
+def text_lang_id(spark, sf_dir):
+    return X.lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="Normalized md5 document fingerprint.",
+)
+def text_fingerprint(spark, sf_dir):
+    return X.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# =============================================================================
+# Multimodal binary plumbing
+# =============================================================================
+
+
+@query(
+    "mm_binary_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+           md5(text) AS content_hash,
+           (['jpeg','png','webp'])[octet_length(encode(text)) % 3 + 1] AS fake_format
+    FROM documents
+    """,
+    doc="Opaque binary payload + typed metadata (size/hash/format) — the multimodal "
+    "column convention, decode-free column math.",
+)
+def mm_binary_metadata(spark, sf_dir):
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.binary_metadata(docs, "doc_id")
+
+
+@query(
+    "mm_feature_extract",
+    None,  # mapInPandas path; deterministic but UDF-side → rows-only check
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads; decode is "
+    "stubbed (no media libs here), batch plumbing + schema are real (operators/multimodal.py).",
+)
+def mm_feature_extract(spark, sf_dir):
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    feats = M.fake_feature_extract(docs, "doc_id")
+    return feats.select(
+        "doc_id",
+        "size_bytes",
+        "content_hash",
+        F.size("features").alias("n_features"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

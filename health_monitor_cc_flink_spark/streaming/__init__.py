@@ -1,0 +1,7 @@
+from .watermark import with_default_watermark  # noqa: F401
+from .pipeline import (  # noqa: F401
+    streaming_windowed_vitals,
+    streaming_enriched_events,
+    run_streaming_pipeline,
+)
+from .stateful import streaming_detect_anomalies, streaming_forecast  # noqa: F401

@@ -1,0 +1,220 @@
+"""Stateful streaming variants of the ML time-series operators
+(SURVEY.md O31): per-key model state across micro-batches via
+``applyInPandasWithState``.
+
+State per key = a bounded ring buffer of the most recent
+``max_history`` (ts, value) points.  The literal reference frame is
+UNBOUNDED PRECEDING; an unbounded buffer is a state-size trap at scale
+(SURVEY.md §7.3), so the buffer is capped — ≥ min_training_size and
+large enough that AR(1) coefficients are statistically indistinguishable
+from the full-history fit.  The deviation is documented engine behavior.
+
+Ordering: rows are scored in event-time order *within* the
+concatenation of (buffered history, this batch).  Cross-batch
+out-of-order data beyond the buffer horizon is scored against the
+available history (micro-batch approximation; the batch operator is the
+semantics reference).
+"""
+
+from __future__ import annotations
+
+from statistics import NormalDist
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.timeseries import expanding_ar1
+
+MAX_HISTORY_DEFAULT = 512
+
+
+def _zcrit(confidence_percentage: float) -> float:
+    return NormalDist().inv_cdf(0.5 + confidence_percentage / 200.0)
+
+
+def streaming_detect_anomalies(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    min_training_size: int = 30,
+    confidence_percentage: float = 95.0,
+    max_history: int = MAX_HISTORY_DEFAULT,
+) -> DataFrame:
+    """Streaming ML_DETECT_ANOMALIES: emits one row per input row with
+    flat report fields (is_anomaly, expected_value, lower_bound,
+    upper_bound).  Requires a watermark on ``ts_col`` upstream."""
+    z = _zcrit(confidence_percentage)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_timestamp", T.TimestampType()),
+            T.StructField("observed_value", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+            T.StructField("expected_value", T.DoubleType()),
+            T.StructField("lower_bound", T.DoubleType()),
+            T.StructField("upper_bound", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def score(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (k,) = key
+        if state.exists:
+            hist_ts, hist_vals = state.get
+            hist_ts = list(hist_ts)
+            hist_vals = list(hist_vals)
+        else:
+            hist_ts, hist_vals = [], []
+        n_hist = len(hist_vals)
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, value_col], kind="mergesort")
+        new_ts = (batch[ts_col].astype("int64") // 1000).tolist()  # ns → µs
+        new_vals = batch[value_col].astype(float).tolist()
+
+        y = np.array(hist_vals + new_vals, dtype=np.float64)
+        fits = expanding_ar1(y)
+        n = len(y)
+        prev = np.maximum(np.arange(n) - 1, 0)
+        a, b, s = fits["a"][prev], fits["b"][prev], fits["sigma"][prev]
+        y_prev = np.concatenate([[y[0] if n else 0.0], y[:-1]])
+        expected = a + b * y_prev
+        lower, upper = expected - z * s, expected + z * s
+        trained = np.arange(n) >= min_training_size
+        finite = np.isfinite(s)
+        is_anom = trained & finite & ((y < lower) | (y > upper))
+
+        sl = slice(n_hist, n)  # only this batch's rows are emitted
+        out = pd.DataFrame(
+            {
+                "key": k,
+                "event_timestamp": batch[ts_col].values,
+                "observed_value": new_vals,
+                "is_anomaly": is_anom[sl],
+                "expected_value": [v if np.isfinite(v) else None for v in expected[sl]],
+                "lower_bound": [v if np.isfinite(v) else None for v in lower[sl]],
+                "upper_bound": [v if np.isfinite(v) else None for v in upper[sl]],
+            }
+        )
+
+        all_ts = hist_ts + new_ts
+        all_vals = hist_vals + new_vals
+        state.update((all_ts[-max_history:], all_vals[-max_history:]))
+        yield out
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        score,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_forecast(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    horizon: int = 1,
+    confidence_percentage: float = 95.0,
+    min_training_size: int = 2,
+    max_history: int = MAX_HISTORY_DEFAULT,
+) -> DataFrame:
+    """Streaming ML_FORECAST: per input row, forecast the next `horizon`
+    steps from the state buffer + batch prefix (flat output: one row per
+    (input row, horizon step))."""
+    z = _zcrit(confidence_percentage)
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event_timestamp", T.TimestampType()),
+            T.StructField("current_value", T.DoubleType()),
+            T.StructField("forecast_timestamp", T.TimestampType()),
+            T.StructField("forecast_value", T.DoubleType()),
+            T.StructField("lower_bound", T.DoubleType()),
+            T.StructField("upper_bound", T.DoubleType()),
+            T.StructField("rmse", T.DoubleType()),
+            T.StructField("aic", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def forecast(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        (k,) = key
+        if state.exists:
+            hist_ts, hist_vals = state.get
+            hist_ts, hist_vals = list(hist_ts), list(hist_vals)
+        else:
+            hist_ts, hist_vals = [], []
+        n_hist = len(hist_vals)
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, value_col], kind="mergesort")
+        new_ts = (batch[ts_col].astype("int64") // 1000).tolist()
+        new_vals = batch[value_col].astype(float).tolist()
+
+        y = np.array(hist_vals + new_vals, dtype=np.float64)
+        ts_all = hist_ts + new_ts
+        fits = expanding_ar1(y)
+        step_us = ts_all[-1] - ts_all[-2] if len(ts_all) >= 2 else 1_000_000
+        if step_us <= 0:
+            step_us = 1_000_000
+
+        rows = []
+        for i in range(n_hist, len(y)):
+            if i + 1 < min_training_size or not np.isfinite(fits["sigma"][i]):
+                continue
+            a, b, s = fits["a"][i], fits["b"][i], fits["sigma"][i]
+            yhat, var_acc = y[i], 0.0
+            for h in range(1, horizon + 1):
+                yhat = a + b * yhat
+                var_acc += float(b) ** (2 * (h - 1))
+                band = z * s * math.sqrt(var_acc)
+                rows.append(
+                    {
+                        "key": k,
+                        "event_timestamp": pd.Timestamp(ts_all[i] * 1000),
+                        "current_value": float(y[i]),
+                        "forecast_timestamp": pd.Timestamp((ts_all[i] + h * step_us) * 1000),
+                        "forecast_value": float(yhat),
+                        "lower_bound": float(yhat - band),
+                        "upper_bound": float(yhat + band),
+                        "rmse": float(fits["rmse"][i]),
+                        "aic": float(fits["aic"][i]),
+                    }
+                )
+        state.update(((ts_all)[-max_history:], (hist_vals + new_vals)[-max_history:]))
+        yield pd.DataFrame(
+            rows,
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        forecast,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,87 @@
+"""Streaming equivalence tests (SURVEY.md §5.2.4): each stage run via
+Structured Streaming with a file source + availableNow trigger must
+match the batch plan (modulo watermark-dropped late rows), and the
+end-to-end streaming pipeline must reproduce the golden bradycardia
+signal."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.fixtures import health_events_df
+from health_monitor_cc_flink_spark.plans.health_pipeline import windowed_vitals
+from health_monitor_cc_flink_spark.schemas import HEALTH_EVENT_SCHEMA
+from health_monitor_cc_flink_spark.sources.memory import patients_df
+from health_monitor_cc_flink_spark.streaming import (
+    run_streaming_pipeline,
+    streaming_windowed_vitals,
+)
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    health_events_df(spark, n_ticks=480, interval_s=0.5, seed=42).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_streaming_window_agg_equals_batch(spark, events_path, tmp_path):
+    """Streaming append-mode emits exactly the windows the final
+    watermark closed (watermark = max event time − delay at stream end);
+    on those windows results must equal batch bit-for-bit."""
+    batch_events = spark.read.parquet(events_path)
+    cutoff = batch_events.agg(
+        (F.max("event_time") - F.expr("INTERVAL 10 SECONDS")).alias("c")
+    ).first().c
+    expected = (
+        windowed_vitals(batch_events).filter(F.col("event_timestamp") < F.lit(cutoff)).collect()
+    )
+
+    stream = spark.readStream.schema(HEALTH_EVENT_SCHEMA).parquet(events_path)
+    out = str(tmp_path / "wv")
+    (
+        streaming_windowed_vitals(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out).collect()
+    assert len(got) == len(expected)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_streaming_pipeline_golden_bradycardia(spark, events_path, tmp_path):
+    paths = run_streaming_pipeline(
+        spark,
+        events_path,
+        HEALTH_EVENT_SCHEMA,
+        patients_df(spark),
+        out_dir=str(tmp_path / "pipe"),
+    )
+    assert set(paths) == {
+        "enriched_events",
+        "windowed_vitals",
+        "enriched_events_flagged",
+        "filtered_enriched_events",
+        "heartbeat_alerts",
+    }
+    # dead-end enrichment branch materialized with joined dimension cols
+    enriched = spark.read.parquet(paths["enriched_events"])
+    assert {"name", "age"} <= set(enriched.columns)
+    assert enriched.count() == 4800
+
+    # cleaning stage drops every anomalous row
+    filtered = spark.read.parquet(paths["filtered_enriched_events"])
+    assert filtered.filter(F.col("is_anomaly")).count() == 0
+
+    alerts = spark.read.parquet(paths["heartbeat_alerts"])
+    alert_patients = {r.patient_id for r in alerts.select("patient_id").distinct().collect()}
+    assert alert_patients == {1}
+    assert alerts.filter(F.col("forecast_value") >= 40).count() == 0
