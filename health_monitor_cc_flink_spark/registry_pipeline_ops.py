@@ -94,8 +94,8 @@ def dedup_fingerprint(spark, sf_dir):
 )
 def dedup_minhash_bands(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(D.shingles(docs, "doc_id", "text", 3), "doc_id", 16)
-    return D.lsh_bands(sig, "doc_id", 4)
+    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
+    return D.lsh_bands_from_arrays(sigs, "doc_id", 4)
 
 
 @query(
@@ -367,4 +367,56 @@ def mm_feature_extract(spark, sf_dir):
         "content_hash",
         F.size("features").alias("n_features"),
         F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+# =============================================================================
+# The reference workload itself (S3..S6 on the seeded simulator fixture) —
+# deterministic, so the driver's rows-only checks are stable across rounds.
+# =============================================================================
+
+
+@query(
+    "health_enriched_events",
+    None,  # fixture data is engine-side; not visible to the DuckDB oracle
+    doc="Reference S3: broadcast lookup-enrichment of the simulated nested event "
+    "stream against the canonical 10-row patients dimension (drop-on-miss).",
+)
+def health_enriched_events(spark, sf_dir):
+    from .fixtures import health_events_df
+    from .plans.health_pipeline import enriched_events
+    from .sources.memory import patients_df
+
+    events = health_events_df(spark, n_ticks=240, interval_s=0.5, seed=42,
+                              unknown_patient_rows=5)
+    out = enriched_events(events, patients_df(spark))
+    return out.select(
+        "event_id",
+        "patient_id",
+        "name",
+        "age",
+        F.col("vitals.heart_rate").alias("heart_rate"),
+        F.col("device_metadata.sensor_status").alias("sensor_status"),
+    )
+
+
+@query(
+    "health_heartbeat_alerts",
+    None,
+    doc="Reference S4→S6 end-to-end: tumbling smoothing, anomaly cleaning, AR(1) "
+    "forecast, explode + <40 bpm threshold on the seeded bradycardia fixture — "
+    "alerts only for patient 1 by design.",
+)
+def health_heartbeat_alerts(spark, sf_dir):
+    from .fixtures import health_events_df
+    from .plans.health_pipeline import run_pipeline
+    from .sources.memory import patients_df
+
+    events = health_events_df(spark, n_ticks=480, interval_s=0.5, seed=42)
+    stages = run_pipeline(events, patients_df(spark))
+    return stages["heartbeat_alerts"].select(
+        "patient_id",
+        F.unix_micros("event_timestamp").alias("event_ts_us"),
+        F.round("current_value", 4).alias("current_value"),
+        F.round("forecast_value", 4).alias("forecast_value"),
     )
