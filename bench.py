@@ -37,8 +37,13 @@ def main() -> None:
 
     specs = [s for s in all_queries() if (s.bench or os.environ.get("BENCH_ALL"))]
 
-    # warmup: touch the fact table + codegen paths once
+    # warmup: touch the fact table + codegen paths + Python/Arrow workers
+    # once so timings reflect steady state, not interpreter spin-up
     force(specs[0].fn(spark, sf_dir))
+    warm = spark.range(1000).selectExpr("id % 8 AS k", "rand(42) AS v")
+    warm.groupBy("k").applyInPandas(
+        lambda pdf: pdf.head(1), schema="k long, v double"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for spec in specs:

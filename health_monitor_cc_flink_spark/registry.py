@@ -949,3 +949,189 @@ def streaming_tumble_minute(spark, sf_dir):
         .awaitTermination()
     )
     return spark.table(name)
+
+
+# =============================================================================
+# Additional analytic surface: pivot, ranking, arg-extremes, medians,
+# date battery, TPC-H Q18 shape, and the SQL text surface
+# =============================================================================
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="PIVOT with explicit value list (deterministic columns); oracle = conditional aggregation.",
+)
+def pivot_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    cols = ["click", "error", "purchase", "signup", "view"]
+    return out.select(
+        "user_id", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cols]
+    )
+
+
+@query(
+    "ranking_battery",
+    """
+    SELECT event_id, user_id,
+           dense_rank()   OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           ntile(4)       OVER w AS quartile,
+           lead(value)    OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+    doc="Ranking/analytic OVER battery (dense_rank, percent_rank, ntile, lead) with a "
+    "total order per key.",
+)
+def ranking_battery(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "agg_arg_extremes",
+    """
+    SELECT user_id,
+           max_by(event_id, value ORDER BY value, event_id) AS max_value_event,
+           min_by(event_id, value ORDER BY value, event_id) AS min_value_event,
+           max(value) AS max_value, min(value) AS min_value
+    FROM events GROUP BY user_id
+    """,
+    doc="arg-max/arg-min aggregates (max_by/min_by); value ties broken deterministically.",
+)
+def agg_arg_extremes(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # deterministic under value ties: take extreme over (value, event_id) pairs
+    return ev.groupBy("user_id").agg(
+        F.max(F.struct("value", "event_id"))["event_id"].alias("max_value_event"),
+        F.min(F.struct("value", "event_id"))["event_id"].alias("min_value_event"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+@query(
+    "agg_median",
+    """
+    SELECT event_type, median(value) AS med
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact median (interpolated percentile on sorted doubles — order-insensitive, "
+    "so engine-exact unlike running float sums).",
+)
+def agg_median(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+
+
+@query(
+    "date_function_battery",
+    """
+    SELECT o_orderkey,
+           quarter(o_orderdate) AS q,
+           dayofyear(o_orderdate) AS doy,
+           dayofweek(o_orderdate) AS dow_sun0,
+           last_day(o_orderdate)::DATE::VARCHAR AS month_end,
+           date_trunc('month', o_orderdate)::DATE::VARCHAR AS month_start,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+    doc="Date/time battery; dow normalized to Sunday=0 on both engines, dates "
+    "projected as ISO strings (no timestamp-type hashing).",
+)
+def date_function_battery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("q"),
+        F.dayofyear(d).alias("doy"),
+        (F.dayofweek(d) - 1).alias("dow_sun0"),  # Spark: 1=Sunday → 0=Sunday
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).alias("days_since_95"),
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    """
+    SELECT o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) >= 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    bench=True,
+    doc="TPC-H Q18 shape: big join → agg → HAVING (decimal-exact threshold) → top-k. "
+    "The HAVING prunes before the order-by; AQE right-sizes the join shuffle.",
+)
+def q18_large_volume_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") >= 150)
+        .select(
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "sql_surface_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="The engine's SQL text surface: the query is executed via spark.sql over "
+    "catalog-registered views (O26/O27 SQL path), not the DataFrame builder.",
+)
+def sql_surface_q1(spark, sf_dir):
+    from .sources.testdata import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
