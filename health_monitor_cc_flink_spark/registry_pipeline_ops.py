@@ -14,7 +14,7 @@ a 0.41 background max).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from .operators import dedup as D
 from .operators import multimodal as M
@@ -419,4 +419,91 @@ def health_heartbeat_alerts(spark, sf_dir):
         F.unix_micros("event_timestamp").alias("event_ts_us"),
         F.round("current_value", 4).alias("current_value"),
         F.round("forecast_value", 4).alias("forecast_value"),
+    )
+
+
+# =============================================================================
+# Corpus sampling / scrubbing / stats (training-pipeline staples)
+# =============================================================================
+
+
+@query(
+    "sample_hash_10pct",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 26
+    """,
+    doc="Deterministic ~10% hash sample (md5(doc_id) first byte < 26/256): reproducible "
+    "across engines/runs/partitionings — the only sane sampling for data lineage; "
+    "rand()-based sampling is neither stable nor oracle-checkable.",
+)
+def sample_hash_10pct(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    return docs.filter(bucket < 26).select("doc_id", "n_chars")
+
+
+@query(
+    "sample_stratified_per_lang",
+    """
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= 20
+    """,
+    doc="Stratified sampling: top-N per class by hash order (deterministic shuffle) — "
+    "balanced class draws without a global sort.",
+)
+def sample_stratified_per_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "text_redact_numbers",
+    """
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_redactions
+    FROM documents
+    """,
+    doc="Regex scrubbing (PII-shaped redaction): rewrite + audit count in one pass.",
+)
+def text_redact_numbers(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_redactions"),
+    )
+
+
+@query(
+    "corpus_vocab_topk",
+    """
+    SELECT w, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY freq DESC, w
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary stats: term + document frequency, top-50 (total-ordered). "
+    "The classic first step of tokenizer/vocab construction.",
+)
+def corpus_vocab_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(50)
     )

@@ -1,0 +1,119 @@
+"""Scale-path capability tests: bucketed co-located joins (no shuffle),
+RocksDB state store for streaming state, and a real JDBC dimension read
+(embedded Derby — the S2 path with an actual database behind it)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke_dir, tmp_path):
+    """Pre-bucketing both sides on the join key removes the Exchange
+    entirely — the co-located join strategy for repeated big-big joins
+    at scale (SURVEY.md 'Partitioning & shuffle')."""
+    warehouse = str(tmp_path / "wh")  # explicit per-table paths; metastore entries dropped below
+    orders = spark.read.parquet(f"{sf_smoke_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_smoke_dir}/lineitem.parquet")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(warehouse, "orders_b"))
+        .saveAsTable("orders_b")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(warehouse, "lineitem_b"))
+        .saveAsTable("lineitem_b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+        # and it still computes the right thing
+        n = joined.count()
+        plain = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_streaming_with_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB streaming config: RocksDB state store provider keeps
+    per-key state off-heap/on-disk instead of in executor memory."""
+    from health_monitor_cc_flink_spark.fixtures import health_events_df
+    from health_monitor_cc_flink_spark.schemas import HEALTH_EVENT_SCHEMA
+    from health_monitor_cc_flink_spark.streaming import streaming_windowed_vitals
+
+    events_path = str(tmp_path / "ev")
+    health_events_df(spark, n_ticks=120, interval_s=0.5, seed=7).write.parquet(events_path)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(HEALTH_EVENT_SCHEMA).parquet(events_path)
+        out = str(tmp_path / "out")
+        (
+            streaming_windowed_vitals(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        got = spark.read.parquet(out)
+        assert got.count() > 0
+        assert set(got.columns) == {"patient_id", "event_timestamp", "observed_value"}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_jdbc_dimension_roundtrip(spark, tmp_path):
+    """S2 with a real database: write the canonical patients dimension
+    into embedded Derby over JDBC, read it back through the engine
+    catalog's connection registry, and run the enrichment join."""
+    from health_monitor_cc_flink_spark.catalog import EngineCatalog
+    from health_monitor_cc_flink_spark.fixtures import health_events_df
+    from health_monitor_cc_flink_spark.plans.health_pipeline import enriched_events
+    from health_monitor_cc_flink_spark.schemas import PATIENTS_ROWS, PATIENTS_SCHEMA
+
+    url = f"jdbc:derby:{tmp_path}/patients_db;create=true"
+    dim = spark.createDataFrame(PATIENTS_ROWS, PATIENTS_SCHEMA)
+    (
+        dim.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "patients")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("overwrite")
+        .save()
+    )
+
+    cat = EngineCatalog(spark)
+    cat.create_connection(
+        "pg_like", "jdbc", url=url, driver="org.apache.derby.jdbc.EmbeddedDriver"
+    )
+    patients = cat.create_external_table("patients_jdbc", "pg_like", "patients")
+    assert patients.count() == 10
+
+    events = health_events_df(spark, n_ticks=20, interval_s=0.5, seed=9)
+    out = enriched_events(events, patients)
+    assert out.count() == 200
+    assert out.filter(F.col("patient_id") == 1).select("name").first().name == "John Doe"
