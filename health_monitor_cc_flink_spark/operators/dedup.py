@@ -295,3 +295,55 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return common.join(na, on="doc_a").join(nb, on="doc_b")
+
+
+# -- near-dup clustering -------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: each node's label converges to the smallest
+    node id in its component (the canonical dedup-cluster keeper).
+
+    Converges in O(component diameter) rounds — near-dup clusters are
+    shallow, so a handful of joins; lineage is truncated with
+    localCheckpoint each round so plans don't snowball.  Returns
+    (node, cluster_id) for every node appearing in an edge.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.groupBy("src").agg(
+        F.least(F.col("src"), F.min("dst")).alias("lbl")
+    ).select(F.col("src").alias("node"), "lbl")
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))

@@ -1,0 +1,35 @@
+"""Skew mitigation for hot-key joins.
+
+AQE's skew-join splitting (on by default in the engine session) handles
+sort-merge skew at runtime; ``salted_join`` is the explicit variant for
+the cases AQE can't fix — e.g. a hot key joined against a non-broadcastable
+dimension, or deterministic partitioning requirements.
+
+Mechanics: the fact side gets a uniform random salt in [0, n_salts); the
+dimension side is replicated n_salts times with every salt value; the
+join key becomes (key, salt), splitting each hot key's rows across
+n_salts tasks.  Join semantics (inner/left) are preserved exactly —
+each fact row still meets each matching dim row exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Join ``fact`` to ``dim`` on ``on`` with an n-way salt split of
+    every key.  ``dim`` is replicated n_salts× (keep it far smaller than
+    the fact side; for tiny dims prefer a plain broadcast join)."""
+    salted_fact = fact.withColumn("_salt", (F.rand(seed) * n_salts).cast("int"))
+    salts = fact.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+    salted_dim = dim.crossJoin(salts)
+    out = salted_fact.join(salted_dim, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

@@ -507,3 +507,36 @@ def corpus_vocab_topk(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("w"))
         .limit(50)
     )
+
+
+@query(
+    "dedup_clusters",
+    "WITH RECURSIVE " + _DUCK_SIG + """
+    , band AS (
+        SELECT doc_id, j // 4 AS band, string_agg(mh, '|' ORDER BY j) AS band_key
+        FROM sig GROUP BY doc_id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
+    ), lab(node, lbl) AS (
+        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
+        UNION
+        SELECT s.a AS node, l.lbl
+        FROM sym s JOIN lab l ON s.b = l.node
+        WHERE l.lbl < s.a
+    )
+    SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
+    """,
+    doc="Near-dup clustering: connected components over the MinHash-LSH candidate "
+    "graph via iterative min-label propagation (Spark) vs recursive CTE (oracle) — "
+    "both fixpoints are the per-component min id, so results match exactly. "
+    "The cluster id is the canonical keeper for group-level dedup.",
+)
+def dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
+    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
+    return D.connected_components(pairs)

@@ -1,0 +1,60 @@
+"""transformWithStateInPandas anomaly path: must agree with the batch
+operator on the same data (single availableNow pass)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.fixtures import health_events_df
+from health_monitor_cc_flink_spark.plans.health_pipeline import windowed_vitals
+
+
+@pytest.fixture(scope="module")
+def smoothed_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tws") / "wv")
+    events = health_events_df(spark, n_ticks=240, interval_s=0.5, seed=42)
+    windowed_vitals(events).write.parquet(path)
+    return path
+
+
+def test_tws_matches_batch_anomalies(spark, smoothed_path, tmp_path):
+    try:
+        import google.protobuf  # noqa: F401  TWS state protocol needs protobuf
+        from health_monitor_cc_flink_spark.streaming.tws import tws_detect_anomalies
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf, not present in this env; "
+            "applyInPandasWithState path (tests/test_streaming.py) covers stateful ML"
+        )
+
+    from health_monitor_cc_flink_spark.functions.timeseries import ml_detect_anomalies
+
+    batch = spark.read.parquet(smoothed_path)
+    expected = {
+        (r.patient_id, int(r.event_timestamp.timestamp() * 1_000_000)): r.report.is_anomaly
+        for r in ml_detect_anomalies(
+            batch, "observed_value", "event_timestamp", ["patient_id"], min_training_size=30
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(smoothed_path)
+    out = str(tmp_path / "out")
+    (
+        tws_detect_anomalies(
+            stream.withWatermark("event_timestamp", "10 seconds"),
+            value_col="observed_value",
+            ts_col="event_timestamp",
+            key_col="patient_id",
+            min_training_size=30,
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert expected[(r.key, r.event_ts_us)] == r.is_anomaly
