@@ -1,0 +1,52 @@
+"""The SQL-text pipeline (S3..S6 as spark.sql statements + ML table
+functions) must agree with the DataFrame pipeline on the golden
+bradycardia fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.fixtures import health_events_df
+from health_monitor_cc_flink_spark.plans.health_pipeline import run_pipeline
+from health_monitor_cc_flink_spark.plans.health_pipeline_sql import run_pipeline_sql
+from health_monitor_cc_flink_spark.sources.memory import patients_df
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return health_events_df(spark, n_ticks=480, interval_s=0.5, seed=42).cache()
+
+
+def test_sql_pipeline_matches_dataframe_pipeline(spark, events):
+    patients = patients_df(spark)
+    df_stages = run_pipeline(events, patients)
+    sql_stages = run_pipeline_sql(spark, events, patients)
+
+    # S3: identical row multiset on the projected columns
+    cols = ["event_id", "patient_id", "name", "age"]
+    a = sorted(map(tuple, df_stages["enriched_events"].select(cols).collect()))
+    b = sorted(map(tuple, sql_stages["enriched_events"].select(cols).collect()))
+    assert a == b
+
+    # S4/S5: same anomaly verdicts per (patient, window)
+    df_flags = {
+        (r.patient_id, r.event_timestamp): r.report.is_anomaly
+        for r in df_stages["enriched_events_flagged"].collect()
+    }
+    sql_flags = {
+        (r.patient_id, r.event_timestamp): r.is_anomaly
+        for r in sql_stages["enriched_events_flagged"].collect()
+    }
+    assert df_flags == sql_flags
+
+    # S6: same alert set (patient, window, forecast rounded)
+    def alert_set(df, val_col="forecast_value"):
+        return {
+            (r.patient_id, r.event_timestamp, round(r[val_col], 9))
+            for r in df.collect()
+        }
+
+    assert alert_set(sql_stages["heartbeat_alerts"]) == alert_set(
+        df_stages["heartbeat_alerts"]
+    )
+    pats = {r.patient_id for r in sql_stages["heartbeat_alerts"].collect()}
+    assert pats == {1}
