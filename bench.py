@@ -68,6 +68,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_events = 2400 * 10  # pipeline fixture rows
     print(
         json.dumps(
             {
@@ -76,6 +77,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # reference load envelope comparison (BASELINE.md: the
+                # original pipeline was sized for 50 events/s sustained)
+                "health_pipeline_events_per_sec": round(
+                    n_events / timings["health_pipeline_e2e"], 1
+                ),
             }
         )
     )

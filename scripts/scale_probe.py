@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Scale-linearity probe: replicate the sf0.1 tables N× (fresh keys per
+replica so join/group cardinalities scale too) and measure headline
+queries at 1× and N×.  A plan that holds at 100 TB should show ≈linear
+wall-clock growth here (same shuffle structure, no driver-side
+bottleneck, no quadratic blow-up).
+
+Usage: python scripts/scale_probe.py [N]      (default 8)
+Writes replicated parquet under /tmp/scale_probe_sfX and prints one JSON
+line per scale with per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.registry import all_queries
+from health_monitor_cc_flink_spark.session import build_session
+
+BASE = "/root/testdata/sf0.1"
+PROBE_QUERIES = (
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "o16_tumble_minute_avg",
+    "o13_broadcast_enrich",
+    "dedup_minhash_bands",
+)
+
+# key columns to offset per replica so cardinalities scale with data size
+KEY_OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def replicate(spark, n: int, out_dir: str) -> None:
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    from health_monitor_cc_flink_spark.schemas import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        if t in KEY_OFFSETS:
+            parts = []
+            for i in range(n):
+                rep = df
+                for kc in KEY_OFFSETS[t]:
+                    rep = rep.withColumn(kc, F.col(kc) + F.lit(i * 100_000_000))
+                # shift event text slightly so dedup structures scale too
+                if t == "documents":
+                    rep = rep.withColumn(
+                        "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+                    )
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def run(spark, sf_dir: str, label: str) -> None:
+    specs = {s.name: s for s in all_queries()}
+    timings = {}
+    for name in PROBE_QUERIES:
+        df = specs[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"scale": label, "queries": timings}), flush=True)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = build_session(app_name="scale-probe", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS','32')}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup
+    run(spark, BASE, "warmup-1x")
+    run(spark, BASE, "1x")
+    out_dir = f"/tmp/scale_probe_{n}x"
+    replicate(spark, n, out_dir)
+    run(spark, out_dir, f"{n}x")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
