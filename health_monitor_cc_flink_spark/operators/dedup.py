@@ -76,27 +76,40 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     )
 
 
+# Universal-hash family over a single 32-bit md5-prefix base hash:
+# h_j(x) = (A_j·h32(x) + B_j) mod P.  One md5 per shingle instead of one
+# per (shingle, seed) — 16× less hash CPU, the dominant cost at corpus
+# scale.  Constants are deterministic and shared with the DuckDB oracle
+# (registry_pipeline_ops builds the same expressions from these values).
+MINHASH_PRIME = 4_294_967_291  # largest prime < 2^32
+def minhash_coefficients(n_hashes: int) -> list[tuple[int, int]]:
+    # A_j odd, < 2^20 so A·h32 + B stays < 2^52 (exact in int64/BIGINT
+    # arithmetic in both engines); Knuth-style multiplicative spread.
+    return [
+        (((j * 2_654_435_761 + 1_013_904_223) % (1 << 20)) | 1, (j * 40_503 + 7) % MINHASH_PRIME)
+        for j in range(n_hashes)
+    ]
+
+
 def minhash_signature_arrays(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 16
 ) -> DataFrame:
-    """Per-doc MinHash signature as one array column — entirely map-side.
+    """Per-doc MinHash signature as one array<bigint> column.
 
-    Hash family: md5(shingle + '#' + j) — lexicographic min over the hex
-    digest is a uniform min-hash.  The nested higher-order expression
-    (per seed: min over shingles) runs inside whole-stage codegen with
-    ZERO shuffles: at 100 TB this is a narrow scan→project, the best
-    possible shape.  Returns (id, sig: array<string>[n_hashes]).
+    Base hash: first 8 hex chars of md5(shingle) as a 32-bit int; per-seed
+    hashes via the universal family above, aggregated with one
+    partially-aggregated min-groupBy (the shuffle carries only
+    n_docs × n_hashes minima).  All plain codegen'd column math — no
+    higher-order lambdas (those drop to interpreted eval).
     """
     sh = shingles(df, id_col, text_col, k)
-    # one md5 per (shingle, seed) as 16 plain codegen'd columns (higher-
-    # order lambdas would fall back to interpreted eval), then a single
-    # partially-aggregated min-groupBy: the shuffle carries only
-    # n_docs × n_hashes minima.
+    coeffs = minhash_coefficients(n_hashes)
+    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
     hashed = sh.select(
         id_col,
         *[
-            F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}"))).alias(f"m{j}")
-            for j in range(n_hashes)
+            ((F.lit(a) * h32 + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{j}")
+            for j, (a, b) in enumerate(coeffs)
         ],
     )
     agg = hashed.groupBy(id_col).agg(
@@ -104,43 +117,6 @@ def minhash_signature_arrays(
     )
     return agg.select(
         id_col, F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("sig")
-    )
-
-
-def minhash_signatures(
-    sh: DataFrame, id_col: str, n_hashes: int = 16
-) -> DataFrame:
-    """MinHash signature rows (id, j, mh) for j in [0, n_hashes) from an
-    exploded shingle table.  Used where the row form is needed (signature
-    agreement counts); prefer :func:`minhash_signature_arrays` for the
-    signature/band computation itself (map-side, no shuffle).
-    """
-    spark = sh.sparkSession
-    seeds = spark.range(n_hashes).select(F.col("id").alias("j"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            id_col,
-            "j",
-            F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("j").cast("string"))).alias("h"),
-        )
-        .groupBy(id_col, "j")
-        .agg(F.min("h").alias("mh"))
-    )
-
-
-def lsh_bands(sig: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:
-    """Band table (id, band, band_key): band_key concatenates the band's
-    minhashes in seed order."""
-    banded = sig.withColumn("band", F.expr(f"j div {rows_per_band}"))
-    return (
-        banded.groupBy(id_col, "band")
-        .agg(F.sort_array(F.collect_list(F.struct("j", "mh"))).alias("ms"))
-        .select(
-            id_col,
-            "band",
-            F.concat_ws("|", F.expr("transform(ms, x -> x.mh)")).alias("band_key"),
-        )
     )
 
 

@@ -1135,3 +1135,54 @@ def sql_surface_q1(spark, sf_dir):
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "array_function_battery",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           string_split(text, ' ')[-1] AS last_token,
+           list_sort(string_split(text, ' '))[1] AS min_token,
+           list_contains(string_split(text, ' '), 'the') AS has_the,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), '_') AS head3
+    FROM documents
+    """,
+    doc="Array/higher-order function battery over token arrays (size, index, "
+    "negative index, sort, contains, slice+join) — all deterministic string ops.",
+)
+def array_function_battery(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.element_at(F.array_sort(toks), 1).alias("min_token"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.concat_ws("_", F.slice(toks, 1, 3)).alias("head3"),
+    )
+
+
+@query(
+    "scalar_subquery_filter",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE value > (SELECT max(value) FROM events) - 50
+    """,
+    doc="Scalar subquery in a predicate (exact: max is order-insensitive).",
+)
+def scalar_subquery_filter(spark, sf_dir):
+    from .sources.testdata import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, user_id, value
+        FROM events
+        WHERE value > (SELECT max(value) FROM events) - 50
+        """
+    )

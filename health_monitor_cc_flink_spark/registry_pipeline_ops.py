@@ -36,11 +36,22 @@ _DUCK_SHINGLES = """
     ), sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
 """
 
-_DUCK_SIG = _DUCK_SHINGLES + """
+# Universal-hash MinHash family — constants shared with the Spark
+# operator (operators.dedup.minhash_coefficients) so both engines
+# compute identical signatures from one md5 per shingle.
+_H32 = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+_COEF_VALUES = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(D.minhash_coefficients(16))
+)
+_DUCK_SIG = _DUCK_SHINGLES + f"""
+    , hv AS (SELECT doc_id, {_H32} AS h32 FROM sh)
     , sig AS (
-        SELECT doc_id, j, min(md5(shingle || '#' || j)) AS mh
-        FROM sh CROSS JOIN range(16) t(j)
-        GROUP BY doc_id, j
+        SELECT doc_id, c.j, min((c.a * h32 + c.b) % {D.MINHASH_PRIME}) AS mh
+        FROM hv CROSS JOIN (VALUES {_COEF_VALUES}) c(j, a, b)
+        GROUP BY doc_id, c.j
     )
 """
 
@@ -85,7 +96,7 @@ def dedup_fingerprint(spark, sf_dir):
 @query(
     "dedup_minhash_bands",
     "WITH " + _DUCK_SIG + """
-    SELECT doc_id, j // 4 AS band, string_agg(mh, '|' ORDER BY j) AS band_key
+    SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
     FROM sig GROUP BY doc_id, j // 4
     """,
     bench=True,
@@ -102,7 +113,7 @@ def dedup_minhash_bands(spark, sf_dir):
     "dedup_minhash_lsh_pairs",
     "WITH " + _DUCK_SIG + """
     , band AS (
-        SELECT doc_id, j // 4 AS band, string_agg(mh, '|' ORDER BY j) AS band_key
+        SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
         FROM sig GROUP BY doc_id, j // 4
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -513,7 +524,7 @@ def corpus_vocab_topk(spark, sf_dir):
     "dedup_clusters",
     "WITH RECURSIVE " + _DUCK_SIG + """
     , band AS (
-        SELECT doc_id, j // 4 AS band, string_agg(mh, '|' ORDER BY j) AS band_key
+        SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
         FROM sig GROUP BY doc_id, j // 4
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -540,3 +551,27 @@ def dedup_clusters(spark, sf_dir):
     sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
     pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
     return D.connected_components(pairs)
+
+
+@query(
+    "agg_sketch_profile",
+    None,  # sketch estimates are algorithm-defined; accuracy pinned in tests/test_sketches.py
+    doc="Mergeable-sketch pre-aggregation (DataSketches HLL distinct + GK quantiles): "
+    "the materialize-then-merge pattern 100 TB rollups run on; deterministic per "
+    "engine, bounds asserted against exact answers in tests.",
+)
+def agg_sketch_profile(spark, sf_dir):
+    from .operators.sketches import approx_profile, distinct_sketches, estimate
+
+    ev = _t(spark, sf_dir, "events")
+    hll = estimate(distinct_sketches(ev, ["event_type"], "user_id"))
+    prof = approx_profile(ev, "event_type", "value")
+    return hll.join(prof, "event_type").select(
+        "event_type",
+        "n_rows",
+        "distinct_estimate",
+        "approx_distinct",
+        F.element_at("quantiles", 1).alias("p50"),
+        F.element_at("quantiles", 2).alias("p95"),
+        F.element_at("quantiles", 3).alias("p99"),
+    )
