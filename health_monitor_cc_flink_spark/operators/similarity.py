@@ -131,3 +131,50 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans_ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a learned coarse quantizer (pyspark.ml KMeans).
+
+    Build side: fit KMeans(n_cells) on the vectors, assign every vector
+    its cell id (at scale: write the table partitioned by cell).
+    Probe side: rank cells by centroid cosine to the query, scan only the
+    top ``n_probe`` cells.  Deterministic for a fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = emb.sparkSession
+    feat = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "cell")
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    probed = (
+        centroids.select("cell", cosine(F.col("centroid"), q).alias("ccos"))
+        .orderBy(F.desc("ccos"))
+        .limit(n_probe)
+    )
+    cand = assigned.join(F.broadcast(probed.select("cell")), on="cell")
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

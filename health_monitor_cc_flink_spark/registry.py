@@ -1186,3 +1186,58 @@ def scalar_subquery_filter(spark, sf_dir):
         WHERE value > (SELECT max(value) FROM events) - 50
         """
     )
+
+
+@query(
+    "streaming_enrich_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name AS name, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Streaming stream-static broadcast enrichment (O13/O32) under the oracle "
+    "gate: file-stream events join static customer dim, availableNow into a "
+    "memory sink — stateless, so every input row must appear exactly once.",
+)
+def streaming_enrich_join(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import load_table
+
+    src = (
+        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    joined = src.join(F.broadcast(cust), src.user_id == cust.c_custkey, "inner").select(
+        "event_id", "user_id", F.col("c_name").alias("name"), "value"
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+@query(
+    "o8_qualified_wildcard",
+    """
+    SELECT d.*, length(d.text) AS text_len
+    FROM documents d JOIN region r ON d.doc_id % 5 = r.r_regionkey
+    """,
+    doc="O8 qualified wildcard expansion (SELECT v.* preserving all columns of the "
+    "aliased relation) composed with a join.",
+)
+def o8_qualified_wildcard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").alias("d")
+    r = _t(spark, sf_dir, "region").alias("r")
+    return (
+        d.join(F.broadcast(r), F.col("d.doc_id") % 5 == F.col("r.r_regionkey"))
+        .select("d.*", F.length("d.text").alias("text_len"))
+    )

@@ -575,3 +575,50 @@ def agg_sketch_profile(spark, sf_dir):
         F.element_at("quantiles", 2).alias("p95"),
         F.element_at("quantiles", 3).alias("p99"),
     )
+
+
+@query(
+    "text_hashing_embedding",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1)) % 16 AS dim
+        FROM tok
+    )
+    SELECT doc_id, dim, count(*) AS tf
+    FROM hashed GROUP BY doc_id, dim
+    """,
+    doc="Hashing-trick text featurization (the text→vector bridge of the pipeline): "
+    "token → md5-derived dim bucket → term-frequency; emitted as sparse (doc, dim, tf) "
+    "rows so the gate stays integer-exact.  Dense assembly = groupBy(doc).pivot(dim).",
+)
+def text_hashing_embedding(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dim = (
+        F.conv(F.substring(F.md5("w"), 1, 3), 16, 10).cast("int") % 16
+    ).alias("dim")
+    return toks.select("doc_id", dim).groupBy("doc_id", "dim").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+@query(
+    "ann_ivf_kmeans",
+    None,  # float centroid math → rows-only; recall pinned in tests/test_ann.py
+    doc="IVF with a real learned quantizer: pyspark.ml KMeans (fixed seed) builds the "
+    "coarse cells over the embedding column, the query probes the nearest cells only. "
+    "At scale the cell id becomes the table's partition column → partition-pruned ANN.",
+)
+def ann_ivf_kmeans(spark, sf_dir):
+    from .operators.similarity import kmeans_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return kmeans_ivf_topk(emb, qv, k=10, n_cells=8, n_probe=2, seed=42).select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    )

@@ -1,0 +1,40 @@
+"""ANN quality: IVF probes must recover most of the brute-force top-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    kmeans_ivf_topk,
+)
+from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke_dir):
+    return load_table(spark, sf_smoke_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qv(emb):
+    return [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+
+
+def test_brute_force_topk_self_is_first(emb, qv):
+    rows = brute_force_topk(emb, qv, k=10).collect()
+    assert rows[0].vec_id == 0 and rows[0].cos_sim == pytest.approx(1.0, abs=1e-9)
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+@pytest.mark.parametrize("variant", ["label", "kmeans"])
+def test_ivf_recall_vs_brute_force(emb, qv, variant):
+    exact = {r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()}
+    if variant == "label":
+        approx = {r.vec_id for r in ivf_topk(emb, qv, k=10, n_probe=3).collect()}
+    else:
+        approx = {r.vec_id for r in kmeans_ivf_topk(emb, qv, k=10, n_cells=8, n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"{variant} IVF recall {recall} too low"
+    assert 0 in approx  # the query vector itself must be found
