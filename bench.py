@@ -37,8 +37,13 @@ def main() -> None:
 
     specs = [s for s in all_queries() if (s.bench or os.environ.get("BENCH_ALL"))]
 
-    # warmup: touch the fact table + codegen paths + Python/Arrow workers
-    # once so timings reflect steady state, not interpreter spin-up
+    # warmup: touch every table + codegen paths + Python/Arrow workers
+    # once so timings reflect steady state, not first-touch costs
+    from health_monitor_cc_flink_spark.schemas import TESTDATA_TABLES
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
     force(specs[0].fn(spark, sf_dir))
     warm = spark.range(1000).selectExpr("id % 8 AS k", "rand(42) AS v")
     warm.groupBy("k").applyInPandas(

@@ -1241,3 +1241,50 @@ def o8_qualified_wildcard(spark, sf_dir):
         d.join(F.broadcast(r), F.col("d.doc_id") % 5 == F.col("r.r_regionkey"))
         .select("d.*", F.length("d.text").alias("text_len"))
     )
+
+
+@query(
+    "null_semantics_battery",
+    """
+    SELECT e.event_id,
+           s.s_name IS NULL AS missed,
+           coalesce(s.s_name, 'UNKNOWN') AS name_or_default,
+           nullif(e.event_type, 'error') AS type_or_null,
+           e.user_id IS NOT DISTINCT FROM s.s_suppkey AS nullsafe_eq
+    FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+    """,
+    doc="NULL semantics battery over an outer join: IS NULL, COALESCE, NULLIF, "
+    "null-safe equality (<=> / IS NOT DISTINCT FROM).",
+)
+def null_semantics_battery(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    supp = _t(spark, sf_dir, "supplier")
+    j = ev.join(F.broadcast(supp), ev.user_id == supp.s_suppkey, "left")
+    return j.select(
+        "event_id",
+        F.col("s_name").isNull().alias("missed"),
+        F.coalesce("s_name", F.lit("UNKNOWN")).alias("name_or_default"),
+        F.nullif("event_type", F.lit("error")).alias("type_or_null"),
+        F.col("user_id").eqNullSafe(F.col("s_suppkey")).alias("nullsafe_eq"),
+    )
+
+
+@query(
+    "union_by_name",
+    """
+    SELECT custkey, acctbal FROM (
+        SELECT c_custkey AS custkey, c_acctbal AS acctbal FROM customer
+        UNION ALL
+        SELECT s_suppkey AS custkey, s_acctbal AS acctbal FROM supplier
+    )
+    """,
+    doc="unionByName (schema-aligned union across differently-ordered relations).",
+)
+def union_by_name(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("acctbal"), F.col("s_suppkey").alias("custkey")
+    )
+    return cust.unionByName(supp)
