@@ -622,3 +622,48 @@ def ann_ivf_kmeans(spark, sf_dir):
     return kmeans_ivf_topk(emb, qv, k=10, n_cells=8, n_probe=2, seed=42).select(
         "vec_id", F.round("cos_sim", 4).alias("cos_sim")
     )
+
+
+@query(
+    "streaming_stateful_anomalies",
+    None,  # stateful pandas path (applyInPandasWithState) → rows-only check
+    doc="Stateful streaming ML under the driver gate: file-stream over the events "
+    "table → watermark → applyInPandasWithState anomaly scoring per user_id with a "
+    "capped history buffer (O31). availableNow drains the source; output is "
+    "deterministic (single micro-batch, in-batch event-time ordering).",
+)
+def streaming_stateful_anomalies(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .streaming.stateful import streaming_detect_anomalies
+
+    src = (
+        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    flagged = streaming_detect_anomalies(
+        ev.withWatermark("ts", "10 minutes"),
+        value_col="value",
+        ts_col="ts",
+        key_col="user_id",
+        min_training_size=30,
+    )
+    name = "stream_anom_" + uuid.uuid4().hex[:8]
+    (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.table(name)
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.unix_micros("event_timestamp").alias("ts_us"),
+        "observed_value",
+        "is_anomaly",
+    )

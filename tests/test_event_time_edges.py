@@ -1,0 +1,95 @@
+"""Event-time edge cases from SURVEY.md §5.2: exact window-boundary
+assignment, window_time convention, and watermark late-data drops with
+crafted late events."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.operators.relational import tumble
+from health_monitor_cc_flink_spark.plans.health_pipeline import windowed_vitals
+from health_monitor_cc_flink_spark.streaming import streaming_windowed_vitals
+
+BASE = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def test_window_boundary_row_goes_to_new_window(spark):
+    """A row exactly at a window boundary belongs to the window that
+    STARTS there (windows are start-inclusive, end-exclusive)."""
+    rows = [
+        (1, BASE + datetime.timedelta(seconds=0, microseconds=999_999), 10.0),
+        (1, BASE + datetime.timedelta(seconds=1), 20.0),  # exactly on boundary
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {
+        r.window_start: r.n
+        for r in tumble(df, "ts", "1 second")
+        .groupBy(F.col("window_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out[BASE] == 1
+    assert out[BASE + datetime.timedelta(seconds=1)] == 1
+
+
+def test_window_time_is_end_minus_1ms(spark):
+    """Flink's window_time convention (SURVEY.md §2.12.5)."""
+    df = spark.createDataFrame([(1, BASE, 10.0)], "k int, ts timestamp, v double")
+    r = tumble(df, "ts", "1 second").first()
+    assert r.window_end == BASE + datetime.timedelta(seconds=1)
+    assert r.window_time == BASE + datetime.timedelta(seconds=1) - datetime.timedelta(milliseconds=1)
+
+
+def test_streaming_drops_late_events_beyond_watermark(spark, tmp_path):
+    """Two micro-batches: batch 2 contains a row older than the watermark
+    established by batch 1 — it must be dropped; a late-but-within-delay
+    row must survive."""
+    from health_monitor_cc_flink_spark.schemas import HEALTH_EVENT_SCHEMA
+
+    def ev(pid, sec, hr):
+        return (
+            BASE + datetime.timedelta(seconds=sec),
+            f"e{pid}-{sec}",
+            pid,
+            ("wearable_v4", 50, "stable"),
+            (hr, 96, (120, 80), 36.5),
+        )
+
+    path = str(tmp_path / "events")
+    # batch 1: advance event time to t+100 s
+    spark.createDataFrame([ev(1, s, 70) for s in range(0, 101, 10)], HEALTH_EVENT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(HEALTH_EVENT_SCHEMA).parquet(path)
+        (
+            streaming_windowed_vitals(stream, window="1 second", watermark_delay="10 seconds")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    # batch 2: one hopelessly-late row into the already-emitted t+10 s
+    # window (watermark is ~t+90 s) and one fresh row advancing the clock
+    spark.createDataFrame(
+        [ev(1, 10.5, 200), ev(1, 120, 70)], HEALTH_EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(path)
+    run_once()
+
+    got = spark.read.parquet(out)
+    late_window_start = BASE + datetime.timedelta(seconds=10)
+    late = got.filter(
+        F.col("event_timestamp")
+        == late_window_start + datetime.timedelta(seconds=1) - datetime.timedelta(milliseconds=1)
+    ).collect()
+    # the t+5s window was emitted in run 1 with hr=70 only; the late
+    # hr=200 reading must NOT have produced a second/updated row
+    assert len(late) == 1 and late[0].observed_value == 70.0
