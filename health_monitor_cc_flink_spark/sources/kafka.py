@@ -26,15 +26,16 @@ from pyspark.sql.types import StructType
 def avro_schema_json(schema: StructType, name: str = "Event") -> str:
     """Render a StructType as an Avro record schema JSON (value schema)."""
 
-    def field_type(dt):
+    def field_type(dt, path=name):
         from pyspark.sql import types as T
 
         if isinstance(dt, T.StructType):
             return {
                 "type": "record",
-                "name": f"{name}_{id(dt)}",
+                "name": path,
                 "fields": [
-                    {"name": f.name, "type": field_type(f.dataType)} for f in dt.fields
+                    {"name": f.name, "type": field_type(f.dataType, f"{path}_{f.name}")}
+                    for f in dt.fields
                 ],
             }
         mapping = {
@@ -57,7 +58,8 @@ def avro_schema_json(schema: StructType, name: str = "Event") -> str:
             "type": "record",
             "name": name,
             "fields": [
-                {"name": f.name, "type": field_type(f.dataType)} for f in schema.fields
+                {"name": f.name, "type": field_type(f.dataType, f"{name}_{f.name}")}
+                for f in schema.fields
             ],
         }
     )

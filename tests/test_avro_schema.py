@@ -1,0 +1,37 @@
+"""Avro schema rendering for the Kafka source (O1/O5): nested records,
+deterministic names, full type mapping — pure-Python check (the wire
+path needs a broker + spark-avro, gated at runtime)."""
+
+import json
+
+from health_monitor_cc_flink_spark.schemas import HEALTH_EVENT_SCHEMA
+from health_monitor_cc_flink_spark.sources.kafka import avro_schema_json
+
+
+def test_health_event_avro_schema_shape():
+    s = json.loads(avro_schema_json(HEALTH_EVENT_SCHEMA, name="Event"))
+    assert s["type"] == "record" and s["name"] == "Event"
+    fields = {f["name"]: f["type"] for f in s["fields"]}
+    assert fields["event_id"] == "string"
+    assert fields["patient_id"] == "int"
+    assert fields["event_time"] == {"type": "long", "logicalType": "timestamp-micros"}
+    vitals = fields["vitals"]
+    assert vitals["type"] == "record"
+    vf = {f["name"]: f["type"] for f in vitals["fields"]}
+    assert vf["heart_rate"] == "int"
+    assert vf["body_temperature_c"] == "float"
+    bp = vf["blood_pressure"]
+    assert bp["type"] == "record"
+    assert {f["name"] for f in bp["fields"]} == {"systolic", "diastolic"}
+
+
+def test_avro_schema_is_deterministic():
+    a = avro_schema_json(HEALTH_EVENT_SCHEMA)
+    b = avro_schema_json(HEALTH_EVENT_SCHEMA)
+    assert a == b
+    # record names unique (Avro requires it within a schema)
+    names = [
+        seg.split('"')[0]
+        for seg in a.split('"name": "')[1:]
+    ]
+    assert len(names) == len(set(names))
