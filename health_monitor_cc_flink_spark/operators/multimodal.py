@@ -101,3 +101,79 @@ def fake_feature_extract(df: DataFrame, id_col: str = "doc_id", payload_col: str
             )
 
     return src.mapInPandas(extract, schema=MM_FEATURE_SCHEMA)
+
+
+MM_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset_ms", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def fake_resize(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+                target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Image-resize stand-in: real decode+resize needs PIL (see
+    decode_image); the deterministic fake derives source dims from the
+    payload hash and emits the resize plan (src/dst dims, scale factor)
+    through the same Arrow batch path a real resize would use."""
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col))
+    th, tw = target
+
+    def resize(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            digests = [hashlib.md5(bytes(p)).digest() for p in pdf[payload_col]]
+            src_w = [256 + d[0] for d in digests]
+            src_h = [256 + d[1] for d in digests]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_width": src_w,
+                    "src_height": src_h,
+                    "dst_width": tw,
+                    "dst_height": th,
+                    "scale": [min(tw / w, th / h) for w, h in zip(src_w, src_h)],
+                }
+            )
+
+    schema = (
+        "doc_id long, src_width int, src_height int, "
+        "dst_width int, dst_height int, scale double"
+    )
+    return src.mapInPandas(resize, schema=schema)
+
+
+def fake_frame_sample(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+                      n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling stand-in: emits ``n_frames`` rows per input
+    row (the 1→N batch shape of real frame extraction), with
+    deterministic offsets/hashes derived from the payload digest.  A real
+    decoder slots into the same mapInPandas signature."""
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col))
+
+    def sample(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset_ms": [], "frame_hash": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                d = hashlib.md5(bytes(p)).digest()
+                duration_ms = 1000 + int.from_bytes(d[:2], "big")  # fake duration
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset_ms"].append(duration_ms * i // n_frames)
+                    out["frame_hash"].append(
+                        hashlib.md5(d + bytes([i])).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(sample, schema=MM_FRAME_SCHEMA)

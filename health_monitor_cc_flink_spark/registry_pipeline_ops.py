@@ -667,3 +667,14 @@ def streaming_stateful_anomalies(spark, sf_dir):
         "observed_value",
         "is_anomaly",
     )
+
+
+@query(
+    "mm_frame_sample",
+    None,  # mapInPandas 1→N path → rows-only check (deterministic fakes)
+    doc="Multimodal frame sampling: mapInPandas emitting n_frames rows per binary "
+    "payload (the 1→N shape of real video decode; decoder stubbed, batch path real).",
+)
+def mm_frame_sample(spark, sf_dir):
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.fake_frame_sample(docs, n_frames=4)
