@@ -1439,3 +1439,41 @@ def q19_disjunctive_predicates(spark, sf_dir):
         .alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey AS pk,
+               0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n
+    FROM lineitem JOIN pa ON l_partkey = pa.pk
+    WHERE l_quantity < pa.threshold
+    """,
+    doc="TPC-H Q17 shape: per-group average as a correlated threshold, rewritten as "
+    "aggregate + self-join (the scalable decorrelated form). The threshold is a "
+    "bit-identical double on both engines (decimal-sum/count, same IEEE ops), so "
+    "the comparison is exact.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)))
+        ).alias("threshold")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
