@@ -1477,3 +1477,36 @@ def q17_small_quantity_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    WITH thr AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: global-average scalar threshold (exact decimal-avg double, "
+    "bit-identical in both engines) + NOT EXISTS anti join + group agg.",
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return no_orders.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+    )
