@@ -1510,3 +1510,56 @@ def q22_global_sales_opportunity(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
     )
+
+
+@query(
+    "streaming_hop_10m5m",
+    """
+    WITH cand AS (
+        SELECT epoch_us(ts) // 300000000 * 300 - v.off AS window_start_s,
+               user_id, epoch_us(ts) // 1000000 AS ts_s
+        FROM events CROSS JOIN (VALUES (0), (300)) v(off)
+    ), w AS (
+        SELECT window_start_s, user_id, count(*) AS n
+        FROM cand
+        WHERE ts_s >= window_start_s AND ts_s < window_start_s + 600
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events
+    )
+    SELECT window_start_s, user_id, n
+    FROM w, m
+    WHERE (window_start_s + 600) * 1000 <= wm_ms
+    """,
+    doc="Streaming HOP (10 min / 5 min sliding) under the oracle gate: availableNow "
+    "file-stream, 10-min watermark, append emission = windows closed by the final "
+    "watermark; oracle enumerates candidate starts per row and applies the same "
+    "ms cutoff calibrated for the tumble case.",
+)
+def streaming_hop_10m5m(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    src = (
+        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "n")
+    )
+    name = "stream_hop_" + uuid.uuid4().hex[:8]
+    (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)

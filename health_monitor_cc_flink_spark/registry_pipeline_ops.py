@@ -678,3 +678,82 @@ def streaming_stateful_anomalies(spark, sf_dir):
 def mm_frame_sample(spark, sf_dir):
     docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
     return M.fake_frame_sample(docs, n_frames=4)
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) AS h
+        FROM tok
+    ), bits AS (
+        SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+        FROM h CROSS JOIN range(16) t(b)
+        GROUP BY doc_id, b
+    ), sh AS (
+        SELECT doc_id, sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    doc="SimHash near-dup pairs: hamming distance ≤ 2 over the 16-bit sketches "
+    "(bit_count(xor) — all-integer, engine-exact).  Brute pairwise here; at scale "
+    "the standard rotate-and-band index bounds candidates first.",
+)
+def dedup_simhash_hamming_pairs(spark, sf_dir):
+    sh = D.simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.expr("sa ^ sb")))
+        .filter(F.col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "fuzzy_join_levenshtein",
+    "WITH " + _DUCK_SIG + """
+    , band AS (
+        SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
+        FROM sig GROUP BY doc_id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS edit_distance
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) <= 40
+    """,
+    doc="Fuzzy join: LSH candidates verified by edit distance on text prefixes — "
+    "the blocked similarity-join pattern (LSH bounds candidates, exact integer "
+    "levenshtein verifies). Engine-exact DP result in both engines.",
+)
+def fuzzy_join_levenshtein(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
+    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("edit_distance", F.levenshtein("ta", "tb"))
+        .filter(F.col("edit_distance") <= 40)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
