@@ -757,3 +757,76 @@ def fuzzy_join_levenshtein(spark, sf_dir):
         .filter(F.col("edit_distance") <= 40)
         .select("doc_a", "doc_b", "edit_distance")
     )
+
+
+@query(
+    "text_tfidf_components",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+    ), df AS (
+        SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.w AS term, tf.tf, df.df, n.n_docs
+    FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    WHERE tf.tf >= 3
+    """,
+    doc="TF-IDF components (term freq, doc freq, corpus size) as integers — the "
+    "exact inputs to idf = ln(N/df); consumer applies the transcendental (keeps "
+    "the gate off libm's last-ulp differences).",
+)
+def text_tfidf_components(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    return (
+        tf.join(df_, "w")
+        .filter(F.col("tf") >= 3)
+        .select("doc_id", F.col("w").alias("term"), "tf", "df", F.lit(n_docs).alias("n_docs"))
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    WITH r AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, value, rn FROM r WHERE rn <= 3
+    """,
+    doc="Top-k per group via ranked window (the scalable per-key top-k — no global sort).",
+)
+def topk_per_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+@query(
+    "histogram_value_buckets",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           min(value) AS lo, max(value) AS hi
+    FROM events GROUP BY 1
+    """,
+    doc="Fixed-width histogram via integer bucketing (floor of identical double "
+    "division — engine-exact; the shape behind approx distribution dashboards).",
+)
+def histogram_value_buckets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 25.0).cast("bigint"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )

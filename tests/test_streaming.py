@@ -85,3 +85,59 @@ def test_streaming_pipeline_golden_bradycardia(spark, events_path, tmp_path):
     alert_patients = {r.patient_id for r in alerts.select("patient_id").distinct().collect()}
     assert alert_patients == {1}
     assert alerts.filter(F.col("forecast_value") >= 40).count() == 0
+
+
+def test_stream_static_dim_refresh_via_foreachbatch(spark, tmp_path):
+    """O32 freshness: with foreachBatch re-reading the dimension from
+    disk, a dimension update between micro-batches is visible to later
+    batches (the stream-static refresh pattern)."""
+    import datetime
+
+    from health_monitor_cc_flink_spark.schemas import PATIENTS_SCHEMA
+
+    base = datetime.datetime(2026, 6, 1)
+    src = str(tmp_path / "src")
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([(1, "Old Name", 40)], PATIENTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    ev_schema = "patient_id int, event_time timestamp"
+
+    def feed(sec):
+        spark.createDataFrame(
+            [(1, base + datetime.timedelta(seconds=sec))], ev_schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+
+        def enrich(batch_df, batch_id):
+            dim = spark.read.parquet(dim_path)  # re-read → always current
+            batch_df.join(dim, "patient_id").write.mode("append").parquet(out)
+
+        (
+            stream.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    feed(0)
+    run_once()
+    # update the dimension, then stream more rows
+    spark.createDataFrame([(1, "New Name", 41)], PATIENTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+    feed(10)
+    run_once()
+
+    names = {r.event_time: r.name for r in spark.read.parquet(out).collect()}
+    assert names[base] == "Old Name"
+    assert names[base + datetime.timedelta(seconds=10)] == "New Name"
