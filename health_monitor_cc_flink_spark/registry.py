@@ -1563,3 +1563,63 @@ def streaming_hop_10m5m(spark, sf_dir):
         .awaitTermination()
     )
     return spark.table(name)
+
+
+@query(
+    "streaming_session_30m",
+    """
+    WITH d AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    ), s AS (
+        SELECT user_id, ts_us,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+    ), sess AS (
+        SELECT user_id, min(ts_us) AS session_start_us,
+               max(ts_us) + 1800000000 AS session_end_us, count(*) AS n
+        FROM s GROUP BY user_id, sid
+    ), m AS (SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events)
+    SELECT user_id, session_start_us, session_end_us, n
+    FROM sess, m
+    WHERE session_end_us // 1000 <= wm_ms
+    """,
+    doc="Streaming SESSION windows (30-min gap) under the oracle gate: session = "
+    "[first event, last event + gap); append emission = sessions whose end the "
+    "final watermark passed. Oracle: gaps-and-islands + the calibrated ms cutoff. "
+    "Third real streaming run hash-verified against batch SQL.",
+)
+def streaming_session_30m(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    src = (
+        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n",
+        )
+    )
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
