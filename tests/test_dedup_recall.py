@@ -1,0 +1,89 @@
+"""Planted-duplicate recall: the near-dup operators must actually FIND
+duplicates, not just compute deterministically.  A synthetic corpus with
+known mutated copies pins recall/precision behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+
+# ~40 tokens per doc: a one-token mutation keeps shingle-Jaccard ≈ 0.85,
+# where 16-hash/4-row LSH banding has ≳95% candidate probability —
+# matching the operator's design point (high-similarity near-dups).
+def _fill(tag: str) -> str:
+    # distinct per-doc filler so base docs share no shingles with each other
+    return " ".join(f"{tag}{i}" for i in range(28))
+
+
+BASE_DOCS = [
+    f"the quick brown fox jumps over the lazy dog near the quiet river bank today {_fill('ax')}",
+    f"spark executes declarative query plans with catalyst optimizer and tungsten engine runtime {_fill('bx')}",
+    f"large scale training data pipelines require careful deduplication and quality filtering stages {_fill('cx')}",
+    f"streaming window aggregation with watermarks handles late arriving events in append mode {_fill('dx')}",
+    f"minhash signatures approximate jaccard similarity between shingled documents very efficiently {_fill('ex')}",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    doc_id = 0
+    for i, text in enumerate(BASE_DOCS):
+        rows.append((doc_id, text)); doc_id += 1
+        # near-dup: one token changed
+        toks = text.split(" ")
+        toks[3] = "MUTATED"
+        rows.append((doc_id, " ".join(toks))); doc_id += 1
+    # unrelated filler
+    for j in range(20):
+        rows.append((doc_id, f"completely unrelated filler document number {j} with random extra words alpha beta gamma delta")); doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_minhash_lsh_finds_planted_pairs(corpus):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text").collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(len(BASE_DOCS))}
+    found = planted & pairs
+    assert len(found) >= 4, f"LSH recall too low: found {found}"
+    # precision: no pair between unrelated base docs
+    cross_base = {(a, b) for a in (0, 2, 4, 6, 8) for b in (0, 2, 4, 6, 8) if a < b}
+    assert not (pairs & cross_base)
+
+
+def test_ngram_jaccard_ranks_planted_pairs_highest(corpus):
+    rows = ngram_jaccard_pairs(corpus, "doc_id", "text", min_common=2).collect()
+    jac = {
+        (r.doc_a, r.doc_b): r.n_common / (r.n_a + r.n_b - r.n_common) for r in rows
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(len(BASE_DOCS))}
+    for p in planted:
+        assert p in jac and jac[p] > 0.7, f"planted pair {p} missing/weak: {jac.get(p)}"
+    others = [v for k, v in jac.items() if k not in planted]
+    assert all(v < min(jac[p] for p in planted) for v in others)
+
+
+def test_simhash_close_for_planted_pairs(corpus):
+    sh = {r.doc_id: r.simhash for r in simhash16(corpus, "doc_id", "text").collect()}
+    for i in range(len(BASE_DOCS)):
+        a, b = sh[2 * i], sh[2 * i + 1]
+        assert bin(a ^ b).count("1") <= 6  # one-token mutation ⇒ few flipped bits
+
+
+def test_clusters_group_planted_duplicates(spark, corpus):
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text").select("doc_a", "doc_b")
+    clusters = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    grouped = sum(
+        1
+        for i in range(len(BASE_DOCS))
+        if clusters.get(2 * i) is not None
+        and clusters.get(2 * i) == clusters.get(2 * i + 1)
+    )
+    assert grouped >= 4

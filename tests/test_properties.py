@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis) for the pure-python kernels."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from health_monitor_cc_flink_spark.functions.sql_udtf import _OnlineAR1
+from health_monitor_cc_flink_spark.functions.timeseries import expanding_ar1
+
+series = st.lists(
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False),
+    min_size=4,
+    max_size=120,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(series)
+def test_expanding_ar1_matches_naive_ols_everywhere(vals):
+    y = np.array(vals, dtype=np.float64)
+    fits = expanding_ar1(y)
+    m = len(y)
+    x, z = y[: m - 1], y[1:m]
+    denom = (m - 1) * float(np.sum(x * x)) - float(np.sum(x)) ** 2
+    if abs(denom) < 1e-6 * max(1.0, float(np.sum(x * x))):
+        return  # degenerate regression (constant/near-constant x): guarded path
+    b = ((m - 1) * float(np.sum(x * z)) - float(np.sum(x)) * float(np.sum(z))) / denom
+    a = (float(np.sum(z)) - b * float(np.sum(x))) / (m - 1)
+    scale = max(1.0, abs(a), abs(b))
+    assert abs(fits["b"][m - 1] - b) <= 1e-6 * scale
+    assert abs(fits["a"][m - 1] - a) <= 1e-6 * scale
+
+
+@settings(max_examples=200, deadline=None)
+@given(series)
+def test_online_ar1_agrees_with_vectorized(vals):
+    y = np.array(vals, dtype=np.float64)
+    fits = expanding_ar1(y)
+    model = _OnlineAR1()
+    for i, v in enumerate(y):
+        model.update(float(v))
+        fit = model.fit()
+        if i >= 2 and fit is not None and math.isfinite(fits["sigma"][i]) and math.isfinite(fit[2]):
+            # skip ill-conditioned prefixes (near-zero regressor variance):
+            # both implementations are correct there but fp paths diverge
+            x = y[:i]
+            denom = i * float(np.sum(x * x)) - float(np.sum(x)) ** 2
+            if abs(denom) < 1e-6 * max(1.0, float(np.sum(x * x))):
+                continue
+            a, b, sigma, rmse, aic = fit
+            scale = max(1.0, abs(fits["a"][i]), abs(fits["b"][i]))
+            assert abs(a - fits["a"][i]) <= 1e-6 * scale
+            assert abs(b - fits["b"][i]) <= 1e-6 * scale
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=0, max_value=200, allow_nan=False), min_size=5, max_size=60))
+def test_sigma_nonnegative_and_rmse_defined(vals):
+    fits = expanding_ar1(np.array(vals, dtype=np.float64))
+    n = len(vals)
+    assert all(s >= 0 or math.isinf(s) for s in fits["sigma"])
+    for i in range(3, n):
+        assert math.isnan(fits["rmse"][i]) or fits["rmse"][i] >= 0
