@@ -63,3 +63,24 @@ def test_sigma_nonnegative_and_rmse_defined(vals):
     assert all(s >= 0 or math.isinf(s) for s in fits["sigma"])
     for i in range(3, n):
         assert math.isnan(fits["rmse"][i]) or fits["rmse"][i] >= 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_forecast_beats_persistence_on_ar1_series(seed):
+    """Model skill: on a true AR(1) process the one-step expanding-fit
+    prediction must beat naive persistence (y_hat = y_prev) in MSE over
+    the post-warm-up segment."""
+    rng = np.random.default_rng(seed)
+    n, phi, c = 120, 0.7, 20.0
+    y = np.empty(n)
+    y[0] = c / (1 - phi)
+    for t in range(1, n):
+        y[t] = c + phi * y[t - 1] + rng.normal(0, 1.0)
+    fits = expanding_ar1(y)
+    prev = np.arange(1, n) - 1
+    pred = fits["a"][prev] + fits["b"][prev] * y[:-1]
+    seg = slice(30, n - 1)
+    mse_model = float(np.mean((y[1:][seg] - pred[seg]) ** 2))
+    mse_persist = float(np.mean((y[1:][seg] - y[:-1][seg]) ** 2))
+    assert mse_model < mse_persist * 1.05  # at worst marginally close, usually much better
