@@ -71,9 +71,41 @@ def main() -> None:
     timings["health_pipeline_e2e"] = round(time.perf_counter() - t0, 3)
     events.unpersist()
 
+    # streaming throughput: drain the sf events table through the
+    # watermarked tumbling aggregation (availableNow) — the structured-
+    # streaming path's sustained rate vs the reference's 50 events/s
+    import uuid
+
+    from health_monitor_cc_flink_spark.schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from pyspark.sql import functions as SF
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    src = (
+        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(SF.window("ts", "1 minute"), "user_id")
+        .agg(SF.avg("value"))
+    )
+    qname = "bench_stream_" + uuid.uuid4().hex[:8]
+    t0 = time.perf_counter()
+    (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    stream_sec = round(time.perf_counter() - t0, 3)
+    timings["streaming_tumble_drain"] = stream_sec
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_events = 2400 * 10  # pipeline fixture rows
     print(
         json.dumps(
             {
@@ -85,8 +117,9 @@ def main() -> None:
                 # reference load envelope comparison (BASELINE.md: the
                 # original pipeline was sized for 50 events/s sustained)
                 "health_pipeline_events_per_sec": round(
-                    n_events / timings["health_pipeline_e2e"], 1
+                    2400 * 10 / timings["health_pipeline_e2e"], 1
                 ),
+                "streaming_events_per_sec": round(n_events / stream_sec, 1),
             }
         )
     )

@@ -117,3 +117,20 @@ def test_jdbc_dimension_roundtrip(spark, tmp_path):
     out = enriched_events(events, patients)
     assert out.count() == 200
     assert out.filter(F.col("patient_id") == 1).select("name").first().name == "John Doe"
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_smoke_dir, tmp_path):
+    """Hive-partitioned layout + predicate on the partition column must
+    show up as PartitionFilters in the scan (files for other partitions
+    never read) — the layout strategy for 100 TB event tables."""
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    out = str(tmp_path / "ev_part")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "purchase" in plan
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert df.count() == n_purchase
