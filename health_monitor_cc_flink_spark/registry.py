@@ -1623,3 +1623,90 @@ def streaming_session_30m(spark, sf_dir):
         .awaitTermination()
     )
     return spark.table(name)
+
+
+@query(
+    "latest_per_key",
+    """
+    SELECT user_id, max(epoch_us(ts)) AS last_ts_us,
+           max_by(event_type, epoch_us(ts) ORDER BY epoch_us(ts), event_id) AS last_event_type,
+           max_by(value, epoch_us(ts) ORDER BY epoch_us(ts), event_id) AS last_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Latest-record-per-key (SCD-1 compaction / upsert materialization): one "
+    "hash agg, arg-max by (ts, id) tiebreak — no window sort needed.",
+)
+def latest_per_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    picked = F.max(F.struct("ts_us", "event_id", "event_type", "value"))
+    return ev.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_ts_us"),
+        picked["event_type"].alias("last_event_type"),
+        picked["value"].alias("last_value"),
+    )
+
+
+@query(
+    "funnel_signup_to_purchase",
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup_us,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, first_signup_us, first_purchase_us,
+           first_signup_us IS NOT NULL
+             AND first_purchase_us IS NOT NULL
+             AND first_purchase_us > first_signup_us AS converted
+    FROM f
+    """,
+    doc="Funnel step analysis (signup → later purchase): conditional-min firsts per "
+    "key + ordering predicate — single hash agg, integer-exact.",
+)
+def funnel_signup_to_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("first_signup_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("first_purchase_us"),
+    )
+    return f.select(
+        "user_id",
+        "first_signup_us",
+        "first_purchase_us",
+        (
+            F.col("first_signup_us").isNotNull()
+            & F.col("first_purchase_us").isNotNull()
+            & (F.col("first_purchase_us") > F.col("first_signup_us"))
+        ).alias("converted"),
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(epoch_us(ts)) // 604800000000 AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               epoch_us(e.ts) // 604800000000 - f.cohort_week AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    doc="Cohort retention matrix: first-activity week per key, distinct active "
+    "(cohort, offset) cells — all integer epoch-week math.",
+)
+def cohort_weekly_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("wk", F.expr("(ts_ns div 1000) div 604800000000"))
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
