@@ -830,3 +830,44 @@ def histogram_value_buckets(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
     )
+
+
+@query(
+    "dq_profile_events",
+    """
+    WITH base AS (SELECT count(*) AS n,
+                         sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls,
+                         count(DISTINCT user_id) AS user_distinct,
+                         CAST(min(value) AS DOUBLE) AS value_min,
+                         CAST(max(value) AS DOUBLE) AS value_max,
+                         count(DISTINCT event_type) AS type_distinct
+                  FROM events)
+    SELECT 'row_count' AS metric, CAST(n AS DOUBLE) AS value FROM base
+    UNION ALL SELECT 'props_nulls', CAST(props_nulls AS DOUBLE) FROM base
+    UNION ALL SELECT 'user_distinct', CAST(user_distinct AS DOUBLE) FROM base
+    UNION ALL SELECT 'value_min', value_min FROM base
+    UNION ALL SELECT 'value_max', value_max FROM base
+    UNION ALL SELECT 'type_distinct', CAST(type_distinct AS DOUBLE) FROM base
+    """,
+    doc="Data-quality profile of the stream table (one-pass metrics: counts, nulls, "
+    "distincts, ranges) — the ingest-gate pattern; generic operator in operators/quality.py.",
+)
+def dq_profile_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("props").isNull().cast("long")).alias("props_nulls"),
+        F.countDistinct("user_id").alias("user_distinct"),
+        F.min("value").cast("double").alias("value_min"),
+        F.max("value").cast("double").alias("value_max"),
+        F.countDistinct("event_type").alias("type_distinct"),
+    ).first()
+    rows = [
+        ("row_count", float(base.n)),
+        ("props_nulls", float(base.props_nulls)),
+        ("user_distinct", float(base.user_distinct)),
+        ("value_min", base.value_min),
+        ("value_max", base.value_max),
+        ("type_distinct", float(base.type_distinct)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
