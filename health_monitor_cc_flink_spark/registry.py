@@ -1710,3 +1710,53 @@ def cohort_weekly_retention(spark, sf_dir):
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+@query(
+    "upsert_merge_simulation",
+    """
+    WITH ranked AS (
+        SELECT o_custkey AS custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ), updates AS (
+        SELECT custkey, o_totalprice AS latest_order_total FROM ranked WHERE rn = 1
+    )
+    SELECT coalesce(c.c_custkey, u.custkey) AS custkey,
+           c.c_name AS name,
+           c.c_acctbal AS acctbal,
+           u.latest_order_total,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN u.custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.custkey
+    """,
+    doc="MERGE INTO semantics without a v2 table: full-outer join + coalesce with "
+    "per-row action tagging (insert/update/keep) — the upsert pattern for plain "
+    "parquet lakes; arg-max picks each key's latest update deterministically.",
+)
+def upsert_merge_simulation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    picked = F.max(
+        F.struct(
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    updates = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        picked["o_totalprice"].alias("latest_order_total")
+    )
+    j = cust.join(updates, cust.c_custkey == updates.custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        "latest_order_total",
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
