@@ -1760,3 +1760,28 @@ def upsert_merge_simulation(spark, sf_dir):
         .otherwise("update")
         .alias("merge_action"),
     )
+
+
+@query(
+    "o15b_unnest_outer",
+    """
+    SELECT e.vec_id, u.val
+    FROM (SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 0 THEN []::FLOAT[]
+                      ELSE list_slice(embedding, 1, 3) END AS arr
+          FROM embeddings) e
+    LEFT JOIN LATERAL (SELECT CAST(unnest(e.arr) AS DOUBLE) AS val) u ON true
+    """,
+    doc="O15 outer-unnest: empty arrays survive as a NULL row (explode_outer) — "
+    "the retain-parent variant of CROSS JOIN UNNEST.",
+)
+def o15b_unnest_outer(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    arr = F.when(F.col("vec_id") % 7 == 0, F.array().cast("array<float>")).otherwise(
+        F.slice("embedding", 1, 3)
+    )
+    return (
+        emb.select("vec_id", arr.alias("arr"))
+        .select("vec_id", F.explode_outer("arr").alias("valf"))
+        .select("vec_id", F.col("valf").cast("double").alias("val"))
+    )
