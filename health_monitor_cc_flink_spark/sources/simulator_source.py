@@ -14,9 +14,13 @@ derived seed (seed + patient_id) so partition generation is
 order-independent and deterministic.
 
 Streaming: offsets are tick indices; each micro-batch materializes ticks
-[start, end) for every patient — `availableNow` drains the configured
-range, a `processingTime` trigger replays it incrementally (the test/CI
-stand-in for the live Kafka feed).
+[start, end) for every patient in parallel (partition per patient).
+`availableNow` drains the whole range in ONE data batch (the Python
+DataSource API has no admission control, so Spark cannot chunk it) —
+fine for stateless sinks, but append-mode stateful operators only emit
+in batches AFTER the watermark advances, so for windowed/stateful
+consumers pace the replay with ``ticks_per_batch`` under a
+``processingTime`` trigger (see tests/test_simulator_source.py).
 """
 
 from __future__ import annotations
@@ -27,8 +31,8 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 from ..schemas import HEALTH_EVENT_SCHEMA
@@ -95,39 +99,50 @@ class HealthSimulatorBatchReader(DataSourceReader):
         )
 
 
-class HealthSimulatorStreamReader(SimpleDataSourceStreamReader):
-    """Offset = next tick index; each batch emits ticks [start, end)."""
+class _TickRangePartition(InputPartition):
+    def __init__(self, pid: int, lo: int, hi: int):
+        self.pid, self.lo, self.hi = pid, lo, hi
+
+
+class HealthSimulatorStreamReader(DataSourceStreamReader):
+    """Full stream reader: offset = next tick index; ``latestOffset``
+    advances by ``ticks_per_batch`` per trigger (so availableNow drains
+    in several micro-batches and the final no-data batch flushes
+    watermark-closed windows); each batch's rows are generated in
+    parallel, one partition per patient."""
 
     def __init__(self, options):
         self.n_ticks, self.interval_s, self.seed, self.n_patients, self.fault = _opts(options)
-        self.ticks_per_batch = int(options.get("ticks_per_batch", "60"))
+        # None → the whole replay range is "available" immediately
+        # (correct availableNow semantics); an explicit ticks_per_batch
+        # paces a live-replay demo under a processingTime trigger.
+        tpb = options.get("ticks_per_batch")
+        self.ticks_per_batch = int(tpb) if tpb is not None else None
+        self._latest = 0
 
     def initialOffset(self):
         return {"tick": 0}
 
-    def read(self, start: dict):
-        lo = start["tick"]
-        hi = min(lo + self.ticks_per_batch, self.n_ticks)
-        rows = []
-        for pid in range(1, self.n_patients + 1):
-            rows.extend(
-                _gen_patient_rows(
-                    pid, self.n_ticks, self.interval_s, self.seed, self.fault,
-                    tick_from=lo, tick_to=hi,
-                )
-            )
-        return iter(rows), {"tick": hi}
+    def latestOffset(self):
+        if self.ticks_per_batch is None:
+            return {"tick": self.n_ticks}
+        self._latest = min(self._latest + self.ticks_per_batch, self.n_ticks)
+        return {"tick": self._latest}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        rows = []
-        for pid in range(1, self.n_patients + 1):
-            rows.extend(
-                _gen_patient_rows(
-                    pid, self.n_ticks, self.interval_s, self.seed, self.fault,
-                    tick_from=start["tick"], tick_to=end["tick"],
-                )
-            )
-        return iter(rows)
+    def partitions(self, start: dict, end: dict):
+        return [
+            _TickRangePartition(pid, start["tick"], end["tick"])
+            for pid in range(1, self.n_patients + 1)
+        ]
+
+    def read(self, partition: _TickRangePartition) -> Iterator[tuple]:
+        yield from _gen_patient_rows(
+            partition.pid, self.n_ticks, self.interval_s, self.seed, self.fault,
+            tick_from=partition.lo, tick_to=partition.hi,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class HealthSimulatorDataSource(DataSource):
@@ -141,7 +156,7 @@ class HealthSimulatorDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return HealthSimulatorBatchReader(self.options)
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+    def streamReader(self, schema) -> DataSourceStreamReader:
         return HealthSimulatorStreamReader(self.options)
 
 

@@ -58,7 +58,7 @@ def streaming_windowed_vitals(
 
 def run_streaming_pipeline(
     spark: SparkSession,
-    events_path: str,
+    events_path: str | None,
     schema,
     patients: DataFrame,
     out_dir: str | None = None,
@@ -66,6 +66,7 @@ def run_streaming_pipeline(
     min_training_size: int = 30,
     threshold: float = ALERT_THRESHOLD,
     available_now: bool = True,
+    events_stream: DataFrame | None = None,
 ) -> dict[str, str]:
     """Run the 4-stage pipeline as chained streaming queries with
     per-stage parquet sinks (faithful topology: each stage's output is a
@@ -93,7 +94,11 @@ def run_streaming_pipeline(
         paths[name] = path
         return path
 
-    events = read_events_file_stream(spark, events_path, schema)
+    events = (
+        events_stream
+        if events_stream is not None
+        else read_events_file_stream(spark, events_path, schema)
+    )
 
     # stage 1: enrichment (dead-end branch, reference §2.12.1)
     sink(streaming_enriched_events(events, patients), "enriched_events")

@@ -83,3 +83,60 @@ def test_source_feeds_the_pipeline(spark):
     stages = run_pipeline(events, patients_df(spark))
     pats = {r.patient_id for r in stages["heartbeat_alerts"].select("patient_id").distinct().collect()}
     assert pats == {1}
+
+
+def test_native_stream_windowed_agg_equals_batch(spark, tmp_path):
+    """Paced multi-batch streaming from the native source through the
+    watermarked 1 s tumble must equal the batch plan on watermark-closed
+    windows.  (Python stream readers get a single data batch under
+    availableNow — no admission control in the Python DataSource API —
+    so append-mode stateful output requires paced processingTime
+    batches; ticks_per_batch provides the pacing.)"""
+    import datetime
+    import time
+
+    from health_monitor_cc_flink_spark.plans.health_pipeline import windowed_vitals
+    from health_monitor_cc_flink_spark.streaming import streaming_windowed_vitals
+
+    batch_events = spark.read.format("health_simulator").option("n_ticks", "480").load()
+    cutoff = batch_events.agg(
+        (F.max("event_time") - F.expr("INTERVAL 10 SECONDS")).alias("c")
+    ).first().c
+    expected = sorted(
+        map(
+            tuple,
+            windowed_vitals(batch_events)
+            .filter(F.col("event_timestamp") < F.lit(cutoff))
+            .collect(),
+        )
+    )
+
+    stream = (
+        spark.readStream.format("health_simulator")
+        .option("n_ticks", "480")
+        .option("ticks_per_batch", "120")
+        .load()
+    )
+    out = str(tmp_path / "wv")
+    q = (
+        streaming_windowed_vitals(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= len(expected):
+                    break
+            except Exception:
+                pass
+            time.sleep(2)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == expected
