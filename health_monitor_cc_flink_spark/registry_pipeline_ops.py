@@ -871,3 +871,29 @@ def dq_profile_events(spark, sf_dir):
         ("type_distinct", float(base.type_distinct)),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+@query(
+    "simulator_source_batch",
+    None,  # engine-side generator (not visible to DuckDB); deterministic rows-only
+    doc="The reference's event generator as a native Spark Python DataSource "
+    "(batch read, one generation partition per patient). Deterministic per "
+    "(seed, n_ticks); streaming variant paced by tick offsets.",
+)
+def simulator_source_batch(spark, sf_dir):
+    from .sources.simulator_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("health_simulator")
+        .option("n_ticks", "240")
+        .option("n_patients", "10")
+        .load()
+    )
+    return df.select(
+        "event_id",
+        "patient_id",
+        F.unix_micros("event_time").alias("ts_us"),
+        F.col("vitals.heart_rate").alias("heart_rate"),
+        F.col("device_metadata.sensor_status").alias("sensor_status"),
+    )
