@@ -13,4 +13,4 @@ from .relational import (  # noqa: F401
     hop,
     session,
 )
-from . import dedup, multimodal, similarity, sketches, skew, text  # noqa: F401
+from . import dedup, multimodal, quality, similarity, sketches, skew, text  # noqa: F401
