@@ -1785,3 +1785,116 @@ def o15b_unnest_outer(spark, sf_dir):
         .select("vec_id", F.explode_outer("arr").alias("valf"))
         .select("vec_id", F.col("valf").cast("double").alias("val"))
     )
+
+
+@query(
+    "q15_top_supplier_shape",
+    """
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: revenue view + scalar-subquery max filter (pick the top "
+    "supplier(s) without a global sort). Decimal-exact revenue → exact equality.",
+)
+def q15_top_supplier_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q11_share_threshold_shape",
+    """
+    WITH nat_rev AS (
+        SELECT n_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, rev FROM nat_rev
+    WHERE rev > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders) * 0.04
+    """,
+    doc="TPC-H Q11 shape: group value vs a fraction of the global total (scalar "
+    "subquery threshold); both sides decimal-exact, one identical double multiply.",
+)
+def q11_share_threshold_shape(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nat_rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev"))
+    )
+    total = orders.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") * F.lit(0.04)).alias("thr")
+    )
+    return (
+        nat_rev.crossJoin(F.broadcast(total))
+        .filter(F.col("rev") > F.col("thr"))
+        .select("n_name", "rev")
+    )
+
+
+@query(
+    "window_frame_battery",
+    """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value)  OVER w AS last_v,
+           nth_value(value, 2) OVER w AS second_v,
+           min(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min_last3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Window frame battery: first/last/nth over full-partition frames + a bounded "
+    "ROWS frame (3-row rolling min); deterministic total order per key.",
+)
+def window_frame_battery(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    last3 = (
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(full).alias("first_v"),
+        F.last("value").over(full).alias("last_v"),
+        F.nth_value("value", 2).over(full).alias("second_v"),
+        F.min("value").over(last3).alias("min_last3"),
+    )
