@@ -1898,3 +1898,119 @@ def window_frame_battery(spark, sf_dir):
         F.nth_value("value", 2).over(full).alias("second_v"),
         F.min("value").over(last3).alias("min_last3"),
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+    """,
+    doc="STREAM-STREAM interval join under the oracle gate: two watermarked "
+    "streams of the same source joined on key + 1 h event-time bound (click → "
+    "later purchase); inner-join matches emit as they arrive, so the availableNow "
+    "run must equal the batch interval join exactly.",
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    def src():
+        s = (
+            spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    name = "stream_ss_join_" + uuid.uuid4().hex[:8]
+    (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+@query(
+    "unpivot_stack",
+    """
+    SELECT o_orderkey, metric, value FROM (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS totalprice,
+               CAST(o_custkey AS DOUBLE) AS custkey_num
+        FROM orders
+    ) UNPIVOT (value FOR metric IN (totalprice, custkey_num))
+    """,
+    doc="UNPIVOT / stack: wide-to-long reshaping (the inverse of pivot).",
+)
+def unpivot_stack(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_num"),
+    )
+    return o.unpivot("o_orderkey", ["totalprice", "custkey_num"], "metric", "value")
+
+
+@query(
+    "safe_arithmetic",
+    """
+    SELECT o_orderkey,
+           o_totalprice / nullif(o_custkey % 5, 0) AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+    FROM orders
+    """,
+    doc="Error-safe arithmetic: divide-by-zero → NULL (nullif guard), TRY_CAST "
+    "on unparseable strings → NULL instead of job failure.",
+)
+def safe_arithmetic(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_totalprice / nullif(o_custkey % 5, 0)").alias("safe_div"),
+        F.expr("TRY_CAST(o_orderpriority AS INT)").alias("bad_cast"),
+        F.expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+    )
