@@ -2014,3 +2014,404 @@ def safe_arithmetic(spark, sf_dir):
         F.expr("TRY_CAST(o_orderpriority AS INT)").alias("bad_cast"),
         F.expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
     )
+
+
+# =============================================================================
+# TPC-H shape completion: Q2/Q7/Q8/Q9/Q12/Q13/Q16/Q20/Q21 (adapted to the
+# driver schema — no partsupp table, so supplier-part facts derive from
+# lineitem; no shipmode/commitdate, so lateness = shipdate vs orderdate+90d).
+# Reference parity: the reference has no relational surface beyond SURVEY §2,
+# these extend the engine to the full classic decision-support matrix.
+# =============================================================================
+
+
+@query(
+    "q7_volume_shipping_shape",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair trade volume by year. Both "
+    "nation sides broadcast; the pair predicate prunes before the fact agg.",
+)
+def q7_volume_shipping_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share_shape",
+    """
+    WITH vol AS (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's market share inside a region-filtered "
+    "product market — conditional decimal sums, one double division per group.",
+)
+def q8_market_share_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    sup = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    return base.groupBy("o_year").agg((num / F.sum("volume").cast("double")).alias("mkt_share"))
+
+
+@query(
+    "q9_product_profit_shape",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS profit_proxy
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape: product-line profit by supplier nation and order year "
+    "(no partsupp cost column in this schema, so profit proxy = discounted "
+    "revenue). Part filter prunes the fact scan before the wide joins.",
+)
+def q9_product_profit_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("volume").cast("double").alias("profit_proxy"))
+    )
+
+
+@query(
+    "q12_priority_counts_shape",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape: priority-class conditional counts per line status "
+    "(no shipmode column; linestatus stands in). All-integer, date-sliced.",
+)
+def q12_priority_counts_shape(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13: customer order-count distribution — outer join with a "
+    "join-condition filter, then a second aggregation over the first's result. "
+    "All-integer; the double groupBy is the classic two-phase shuffle shape.",
+)
+def q13_customer_distribution(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q16_supplier_cnt_shape",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#15' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier counts per part class with a "
+    "NOT-IN supplier blacklist (anti join). partsupp derives from lineitem.",
+)
+def q16_supplier_cnt_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_part_promotion_shape",
+    """
+    WITH blue_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
+    shipped AS (
+        SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem JOIN blue_parts ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2
+    ),
+    part_tot AS (SELECT l_partkey AS pk, sum(qty) AS tot FROM shipped GROUP BY 1)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped JOIN part_tot ON l_partkey = pk
+                 JOIN supplier ON s_suppkey = l_suppkey
+    WHERE CAST(qty AS DOUBLE) > 0.3 * CAST(tot AS DOUBLE)
+    """,
+    doc="TPC-H Q20 shape: suppliers dominating a product segment — nested IN "
+    "subqueries decorrelated into agg + self-join on the per-part total. "
+    "Decimal-exact sums, single double compare.",
+)
+def q20_part_promotion_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    blue = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%")).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(blue), li.l_partkey == blue.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    part_tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("qty").alias("tot"))
+    return (
+        shipped.join(part_tot, shipped.l_partkey == part_tot.pk)
+        .filter(F.col("qty").cast("double") > F.lit(0.3) * F.col("tot").cast("double"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@query(
+    "q21_waiting_orders_shape",
+    """
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape: the sole-late-supplier-in-a-multi-supplier-order "
+    "pattern — EXISTS as left-semi, NOT EXISTS as left-anti, both equi-keyed "
+    "on the order with a non-equi supplier guard (lateness = shipdate > "
+    "orderdate + 90d; no commit/receipt dates in this schema).",
+)
+def q21_waiting_orders_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    l1 = (
+        late.join(
+            l2, (late.l_orderkey == l2.o2) & (late.l_suppkey != l2.s2), "left_semi"
+        ).join(l3, (F.col("l_orderkey") == l3.o3) & (F.col("l_suppkey") != l3.s3), "left_anti")
+    )
+    return (
+        l1.join(sup, l1.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q2_min_cost_supplier_shape",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice) AS ps_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    costed AS (
+        SELECT p_partkey, s_name, s_acctbal, n_name, ps_cost
+        FROM part JOIN ps ON p_partkey = ps_partkey
+                  JOIN eu ON ps_suppkey = s_suppkey
+        WHERE p_size = 15 AND p_type = 'STANDARD'
+    ),
+    mins AS (SELECT p_partkey AS mk, min(ps_cost) AS mc FROM costed GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_cost
+    FROM costed JOIN mins ON p_partkey = mk AND ps_cost = mc
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: min-cost supplier per part within a region — the "
+    "correlated-min subquery decorrelated into a per-part min + join-back on "
+    "(part, cost). Pseudo supply cost = min lineitem price per (part, "
+    "supplier) since this schema has no partsupp. min(double) is "
+    "order-insensitive, so the gate stays exact.",
+)
+def q2_min_cost_supplier_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min("l_extendedprice").alias("ps_cost"))
+    eu = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costed = (
+        part.join(ps, part.p_partkey == ps.ps_partkey)
+        .join(F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey)
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "ps_cost")
+    )
+    mins = costed.groupBy(F.col("p_partkey").alias("mk")).agg(F.min("ps_cost").alias("mc"))
+    return (
+        costed.join(
+            mins, (costed.p_partkey == mins.mk) & (costed.ps_cost == mins.mc)
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
