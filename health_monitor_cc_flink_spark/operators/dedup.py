@@ -323,3 +323,50 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document over distinct tokens, emitted as two
+    32-bit halves ``(simhash_hi, simhash_lo)``.
+
+    Token hash = first 16 hex chars of md5, parsed as two 32-bit words
+    (a single 64-bit parse can overflow signed BIGINT for values ≥ 2^63;
+    the halves stay exact in both engines).  Bit b of the sketch is the
+    sign of Σ_tokens (2·bit_b(h) − 1); hamming distance downstream is
+    ``bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)``.  All-integer →
+    oracle-exact.  Same dataflow as :func:`simhash16`: one shuffle per
+    doc/bit aggregation, map-side partials on both.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    )
+    h = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h_hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("bigint").alias("h_lo"),
+    )
+    spark = df.sparkSession
+    bits = spark.range(64).select(F.col("id").cast("int").alias("b"))
+    contrib = h.crossJoin(F.broadcast(bits)).select(
+        id_col,
+        "b",
+        F.expr(
+            "2 * (CASE WHEN b < 32 THEN shiftright(h_lo, b) & 1 "
+            "ELSE shiftright(h_hi, b - 32) & 1 END) - 1"
+        ).alias("c"),
+    )
+    return (
+        contrib.groupBy(id_col, "b")
+        .agg(F.sum("c").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "sum(CASE WHEN s > 0 AND b >= 32 THEN shiftleft(CAST(1 AS BIGINT), b - 32) ELSE 0 END)"
+            ).alias("simhash_hi"),
+            F.expr(
+                "sum(CASE WHEN s > 0 AND b < 32 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END)"
+            ).alias("simhash_lo"),
+        )
+    )

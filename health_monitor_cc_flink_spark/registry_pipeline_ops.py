@@ -897,3 +897,78 @@ def simulator_source_batch(spark, sf_dir):
         F.col("vitals.heart_rate").alias("heart_rate"),
         F.col("device_metadata.sensor_status").alias("sensor_status"),
     )
+
+
+# DuckDB CTE mirroring operators.dedup.simhash64 (two 32-bit halves).
+_DUCK_SIMHASH64 = """
+    tok64 AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h64 AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT AS h_hi,
+               ('0x' || substr(md5(w), 9, 8))::BIGINT AS h_lo
+        FROM tok64
+    ), bits64 AS (
+        SELECT doc_id, b,
+               sum(2 * (CASE WHEN b < 32 THEN (h_lo >> b) & 1
+                             ELSE (h_hi >> (b - 32)) & 1 END) - 1) AS s
+        FROM h64 CROSS JOIN range(64) t(b)
+        GROUP BY doc_id, b
+    ), sh64 AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 AND b >= 32 THEN 1::BIGINT << (b - 32) ELSE 0 END) AS simhash_hi,
+               sum(CASE WHEN s > 0 AND b < 32  THEN 1::BIGINT << b        ELSE 0 END) AS simhash_lo
+        FROM bits64 GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_simhash64",
+    "WITH " + _DUCK_SIMHASH64 + "SELECT doc_id, simhash_hi, simhash_lo FROM sh64",
+    doc="64-bit SimHash per doc as two 32-bit halves (overflow-safe in signed "
+    "bigints; all-integer sign-aggregated token-hash bits) — the production-width "
+    "variant of dedup_simhash.",
+)
+def dedup_simhash64(spark, sf_dir):
+    return D.simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_simhash64_hamming_pairs",
+    "WITH "
+    + _DUCK_SIMHASH64
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash_hi, b.simhash_hi))
+         + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS hamming
+    FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+        + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
+    """,
+    doc="64-bit SimHash near-dup pairs at hamming ≤ 3 (the corpus pool shares "
+    "vocabulary, so sketches correlate — the tight radius keeps candidates ~1% "
+    "of pairs). Brute pairwise here; at scale the rotate-and-band index bounds "
+    "candidates first.",
+)
+def dedup_simhash64_hamming_pairs(spark, sf_dir):
+    sh = D.simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("bigint"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
