@@ -178,3 +178,70 @@ def kmeans_ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build a *persisted* IVF index: fit the coarse quantizer, assign
+    every vector its cell, and write the table ``partitionBy("cell")``
+    so the probe scan gets **physical partition pruning** (the scan
+    plans `PartitionFilters: [cell IN (...)]` and never opens the other
+    cells' files).  Centroids land next to the data at
+    ``<path>_centroids``.
+
+    This is the at-scale layout `kmeans_ivf_topk` only simulates: at
+    100 TB the pruned scan is the difference between reading n_probe/
+    n_cells of the table and reading all of it.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "cell")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: rank cells by centroid cosine on the
+    driver (n_cells rows — tiny), then scan only those cells.  The cell
+    list is resolved *before* planning, so the parquet source prunes
+    partitions statically — check ``.explain`` for ``PartitionFilters``.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    centroids = spark.read.parquet(path.rstrip("/") + "_centroids")
+    probed = (
+        centroids.select("cell", cosine(F.col("centroid"), q).alias("ccos"))
+        .orderBy(F.desc("ccos"), F.asc("cell"))
+        .limit(n_probe)
+        .collect()
+    )
+    cells = [int(r["cell"]) for r in probed]
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return (
+        scan.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -972,3 +972,28 @@ def dedup_simhash64_hamming_pairs(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@query(
+    "ann_ivf_persisted_topk",
+    None,
+    doc="Persisted IVF: index written partitionBy(cell), probe is a statically "
+    "partition-pruned parquet scan (PartitionFilters: [cell IN ...]; the executed "
+    "scan opens n_probe/n_cells of the files — asserted in tests/test_ann.py). "
+    "The physical layout the at-scale ANN path runs on.",
+)
+def ann_ivf_persisted_topk(spark, sf_dir):
+    import os
+
+    from .operators.similarity import build_ivf_index, probe_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"ivf_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    build_ivf_index(emb, path, n_cells=8, seed=42)
+    topk = probe_ivf_index(spark, path, qv, k=10, n_probe=2)
+    return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))

@@ -38,3 +38,38 @@ def test_ivf_recall_vs_brute_force(emb, qv, variant):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"{variant} IVF recall {recall} too low"
     assert 0 in approx  # the query vector itself must be found
+
+
+def test_persisted_ivf_prunes_partitions(spark, emb, qv, tmp_path_factory):
+    """The persisted index must (a) physically prune: the probe scan reads
+    only n_probe of n_cells partition directories, visible as a cell
+    PartitionFilter in the plan; (b) stay correct: probing ALL cells
+    must reproduce the brute-force top-k exactly."""
+    from health_monitor_cc_flink_spark.operators.similarity import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    build_ivf_index(emb, path, n_cells=8, seed=42)
+
+    topk = probe_ivf_index(spark, path, qv, k=10, n_probe=2)
+    assert 0 in {r.vec_id for r in topk.collect()}  # query vec in its own cell
+    plan = topk._jdf.queryExecution().executedPlan()
+    assert "PartitionFilters: [cell" in plan.toString()
+    # physical pruning: the executed scan opened only the probed cells' files
+    n_total = len(spark.read.parquet(path).inputFiles())
+    leaves = plan.collectLeaves()
+    num_files = [
+        int(leaves.apply(i).metrics().apply("numFiles").value())
+        for i in range(leaves.size())
+        if "parquet" in leaves.apply(i).nodeName().lower()
+    ]
+    assert num_files and max(num_files) < n_total, (num_files, n_total)
+
+    # probing every cell == exact brute force
+    from health_monitor_cc_flink_spark.operators.similarity import brute_force_topk
+
+    full = probe_ivf_index(spark, path, qv, k=10, n_probe=8).collect()
+    exact = brute_force_topk(emb, qv, k=10).collect()
+    assert [r.vec_id for r in full] == [r.vec_id for r in exact]
