@@ -43,3 +43,26 @@ def write_compacted(
         out = df.repartition(n_parts)
     out.write.mode(mode).parquet(path)
     return n_parts
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    Bucketing is the shuffle-elimination layout for repeated large-scale
+    joins/aggregations: two tables bucketed by the same key into the
+    same bucket count sort-merge-join with NO Exchange on either side —
+    at 100 TB that converts the dominant cost of every fact-fact join
+    into a one-time write-side investment.  Requires ``saveAsTable``
+    (bucket metadata lives in the session catalog).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
