@@ -2415,3 +2415,103 @@ def q2_min_cost_supplier_shape(spark, sf_dir):
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+@query(
+    "join_salted_skew",
+    """
+    SELECT e.user_id, c.c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.user_id, c.c_mktsegment
+    """,
+    doc="Skew-mitigated (salted) join under the oracle gate: the fact side is "
+    "split across 8 random salts, the dim replicated 8x, so one hot key spreads "
+    "over 8 tasks instead of stalling one. The salt is dropped before the agg, "
+    "so the result must equal the plain join exactly (operators/skew.py).",
+)
+def join_salted_skew(spark, sf_dir):
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        ev.select(F.col("user_id").alias("c_custkey"), "value"), cust, on="c_custkey", n_salts=8
+    )
+    return (
+        joined.groupBy(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "streaming_dedup_distinct",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming deduplication under the oracle gate: dropDuplicates over a "
+    "file-stream (state = seen keys, exact dedup across micro-batches), "
+    "availableNow into a memory sink — must equal batch SELECT DISTINCT. The "
+    "projection is exactly the dedup key, so first-seen ties cannot leak "
+    "nondeterminism.",
+)
+def streaming_dedup_distinct(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    src = (
+        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = src.select("user_id", "event_type").dropDuplicates()
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+@query(
+    "streaming_complete_mode_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Complete-output-mode streaming aggregation under the oracle gate: "
+    "unwatermarked global counts per event type; each trigger rewrites the full "
+    "result, so after availableNow drains the source the sink holds exactly the "
+    "batch answer.",
+)
+def streaming_complete_mode_agg(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    src = (
+        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    name = "stream_complete_" + uuid.uuid4().hex[:8]
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
