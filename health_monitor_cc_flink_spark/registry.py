@@ -2515,3 +2515,110 @@ def streaming_complete_mode_agg(spark, sf_dir):
         .awaitTermination()
     )
     return spark.table(name)
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT event_type, user_id % 3 AS ubucket,
+           GROUPING(event_type, user_id % 3) AS gid, count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, user_id % 3), (event_type), ())
+    """,
+    doc="GROUPING SETS with grouping_id disambiguation (the general form behind "
+    "rollup/cube): subtotal rows carry NULL keys + the standard bitmask, "
+    "identical in both engines.",
+)
+def agg_grouping_sets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 3).alias("ubucket")
+    )
+    view = "events_gs_tmp"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT event_type, ubucket, grouping_id() AS gid, count(*) AS n
+        FROM {view}
+        GROUP BY GROUPING SETS ((event_type, ubucket), (event_type), ())
+        """
+    )
+
+
+def _roundtrip_base(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id", _ts_us().alias("ts_us"), "user_id", "event_type", "value"
+    )
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+"""
+
+
+def _warehouse_path(sf_dir, name):
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="JSON source/sink round-trip: events written as JSON lines and read back "
+    "with an explicit schema must reproduce every row bit-exactly (doubles "
+    "serialize with round-trip precision). The multi-format source surface "
+    "beyond parquet.",
+)
+def source_json_roundtrip(spark, sf_dir):
+    path = _warehouse_path(sf_dir, "events_json")
+    _roundtrip_base(spark, sf_dir).write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "event_id bigint, ts_us bigint, user_id bigint, event_type string, value double"
+    ).json(path)
+
+
+@query(
+    "source_csv_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="CSV source/sink round-trip with explicit schema (header on, default "
+    "quoting) — same bit-exact contract as the JSON path.",
+)
+def source_csv_roundtrip(spark, sf_dir):
+    path = _warehouse_path(sf_dir, "events_csv")
+    _roundtrip_base(spark, sf_dir).write.mode("overwrite").option("header", "true").csv(path)
+    return (
+        spark.read.schema(
+            "event_id bigint, ts_us bigint, user_id bigint, event_type string, value double"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+@query(
+    "health_pipeline_sql_alerts",
+    None,
+    doc="The S3→S6 reference pipeline on the pure-SQL surface: Python UDTFs with "
+    "TABLE(...) PARTITION BY ... ORDER BY ... arguments stand in for the OVER-"
+    "window ML aggregates (ml_detect_anomalies / ml_forecast as table functions); "
+    "output is bit-identical to the DataFrame path (pinned in "
+    "tests/test_sql_pipeline.py).",
+)
+def health_pipeline_sql_alerts(spark, sf_dir):
+    from .fixtures import health_events_df
+    from .plans.health_pipeline_sql import run_pipeline_sql
+    from .sources.memory import patients_df
+
+    events = health_events_df(spark, n_ticks=480, interval_s=0.5, seed=42)
+    stages = run_pipeline_sql(spark, events, patients_df(spark))
+    return stages["heartbeat_alerts"].select(
+        "patient_id",
+        F.unix_micros("event_timestamp").alias("event_ts_us"),
+        F.round("current_value", 4).alias("current_value"),
+        F.round("forecast_value", 4).alias("forecast_value"),
+    )
