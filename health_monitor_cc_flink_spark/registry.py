@@ -2622,3 +2622,78 @@ def health_pipeline_sql_alerts(spark, sf_dir):
         F.round("current_value", 4).alias("current_value"),
         F.round("forecast_value", 4).alias("forecast_value"),
     )
+
+
+@query(
+    "cdc_apply_changelog",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, value AS latest_value, ts_us AS updated_at_us
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="Changelog materialization (stream/table duality, SURVEY §1.3): events "
+    "as a CDC stream per key — last writer wins, and a trailing delete "
+    "('error' here) removes the key from the snapshot. One window shuffle on "
+    "the key; at scale this is the compaction query behind every upsert table.",
+)
+def cdc_apply_changelog(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("value").alias("latest_value"),
+            F.col("ts_us").alias("updated_at_us"),
+        )
+    )
+
+
+@query(
+    "join_range_binned",
+    """
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+    """,
+    doc="Pure range join (no equi key: any two events within 60 s) made scalable "
+    "by time-binning: each left row replicates to its bin ±1, the join becomes "
+    "an equi-join on the bin, and the exact predicate filters after — O(n) "
+    "candidates instead of the O(n²) theta join the naive plan (BNLJ) would run.",
+)
+def join_range_binned(spark, sf_dir):
+    bin_us = 60_000_000
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    a = ev.select(
+        F.col("event_id").alias("eid_a"),
+        F.col("ts_us").alias("ts_a"),
+        F.explode(
+            F.array(
+                F.expr(f"ts_us div {bin_us}") - 1,
+                F.expr(f"ts_us div {bin_us}"),
+                F.expr(f"ts_us div {bin_us}") + 1,
+            )
+        ).alias("bin"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("eid_b"),
+        F.col("ts_us").alias("ts_b"),
+        F.expr(f"ts_us div {bin_us}").alias("bin_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.bin == b.bin_b)
+            & (a.eid_a < b.eid_b)
+            & (F.abs(a.ts_a - b.ts_b) <= bin_us),
+        )
+        .select("eid_a", "eid_b", (F.col("ts_b") - F.col("ts_a")).alias("gap_us"))
+    )
