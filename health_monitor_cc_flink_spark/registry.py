@@ -2050,11 +2050,18 @@ def q7_volume_shipping_shape(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    # the pair disjunction implies BOTH nations are in {N1, N2}; Catalyst
+    # cannot derive that from the OR, so pre-filter the dims explicitly —
+    # the supplier/customer joins then drop ~92% of rows before the facts.
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     )
     vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(18,4)")

@@ -87,3 +87,41 @@ def test_clusters_group_planted_duplicates(spark, corpus):
         and clusters.get(2 * i) == clusters.get(2 * i + 1)
     )
     assert grouped >= 4
+
+
+@pytest.mark.parametrize("n_hashes,rows_per_band", [(8, 4), (16, 4), (32, 4), (32, 8)])
+def test_minhash_config_sweep(corpus, n_hashes, rows_per_band):
+    """Recall/estimate behavior across permutation counts and band widths
+    (the tuning knobs of the LSH S-curve): every config must keep finding
+    the planted one-token mutations, the Jaccard estimate n_match/n_hashes
+    must sit in a sane band for them, and wider bands (higher rows_per_band)
+    must not ADD candidates (banding only gets stricter)."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_match
+        for r in minhash_lsh_pairs(
+            corpus, "doc_id", "text", n_hashes=n_hashes, rows_per_band=rows_per_band
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(len(BASE_DOCS))}
+    found = planted & set(pairs)
+    floor = 3 if rows_per_band == 8 else 4
+    assert len(found) >= floor, f"{n_hashes}x{rows_per_band}: found only {found}"
+    for p in found:
+        est = pairs[p] / n_hashes
+        assert est >= 0.5, f"planted pair {p} estimate {est} too low"
+    cross_base = {(a, b) for a in (0, 2, 4, 6, 8) for b in (0, 2, 4, 6, 8) if a < b}
+    assert not (set(pairs) & cross_base)
+
+
+def test_minhash_more_bands_superset_of_stricter(corpus):
+    """rows_per_band=8 candidates must be a subset of rows_per_band=4's
+    (every 8-row band agreement contains two 4-row band agreements)."""
+    loose = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text", n_hashes=32, rows_per_band=4).collect()
+    }
+    strict = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text", n_hashes=32, rows_per_band=8).collect()
+    }
+    assert strict <= loose
