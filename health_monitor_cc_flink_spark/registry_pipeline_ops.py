@@ -946,25 +946,46 @@ def dedup_simhash64(spark, sf_dir):
     WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
         + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
     """,
-    doc="64-bit SimHash near-dup pairs at hamming ≤ 3 (the corpus pool shares "
-    "vocabulary, so sketches correlate — the tight radius keeps candidates ~1% "
-    "of pairs). Brute pairwise here; at scale the rotate-and-band index bounds "
-    "candidates first.",
+    doc="64-bit SimHash near-dup pairs at hamming ≤ 3 via the rotate-and-band "
+    "index: 4 16-bit words per sketch, pigeonhole guarantees a ≤3-bit pair "
+    "agrees on ≥1 word, so candidates come from an equi-join on (word, value) "
+    "— no O(n²) theta join anywhere in the plan.",
 )
 def dedup_simhash64_hamming_pairs(spark, sf_dir):
-    sh = D.simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    # Rotate-and-band candidate generation (the at-scale algorithm, not the
+    # O(n²) theta join): split the 64-bit sketch into 4 16-bit words; by
+    # pigeonhole, hamming ≤ 3 ⇒ at least one word matches exactly, so an
+    # equi-self-join on (word_idx, word_value) finds every qualifying pair.
+    # Exact hamming verifies after; distinct() collapses multi-word hits.
+    sh = D.simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id",
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("w"), F.expr("simhash_lo & 65535").alias("v")),
+                F.struct(F.lit(1).alias("w"), F.expr("shiftright(simhash_lo, 16) & 65535").alias("v")),
+                F.struct(F.lit(2).alias("w"), F.expr("simhash_hi & 65535").alias("v")),
+                F.struct(F.lit(3).alias("w"), F.expr("shiftright(simhash_hi, 16) & 65535").alias("v")),
+            )
+        ).alias("band"),
+    )
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash_hi").alias("hi_a"),
         F.col("simhash_lo").alias("lo_a"),
+        "band",
     )
     b = sh.select(
         F.col("doc_id").alias("doc_b"),
         F.col("simhash_hi").alias("hi_b"),
         F.col("simhash_lo").alias("lo_b"),
+        F.col("band").alias("band_b"),
     )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, (a.band == b.band_b) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "hi_a", "hi_b", "lo_a", "lo_b")
+        .distinct()
         .withColumn(
             "hamming",
             F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("bigint"),
