@@ -2704,3 +2704,20 @@ def join_range_binned(spark, sf_dir):
         )
         .select("eid_a", "eid_b", (F.col("ts_b") - F.col("ts_a")).alias("gap_us"))
     )
+
+
+@query(
+    "agg_approx_battery",
+    None,
+    doc="Native approximate aggregates (approx_count_distinct HLL++, "
+    "approx_percentile GK) — the single-pass mergeable forms used instead of "
+    "exact distinct/percentile at 100 TB. Deterministic per engine; error "
+    "bounds vs exact answers asserted in tests/test_sketches.py.",
+)
+def agg_approx_battery(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        F.count(F.lit(1)).alias("n"),
+    )

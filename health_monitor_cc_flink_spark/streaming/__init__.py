@@ -5,3 +5,4 @@ from .pipeline import (  # noqa: F401
     run_streaming_pipeline,
 )
 from .stateful import streaming_detect_anomalies, streaming_forecast  # noqa: F401
+from .sinks import idempotent_parquet_sink  # noqa: F401

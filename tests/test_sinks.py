@@ -1,0 +1,53 @@
+"""Idempotent foreachBatch sink: replaying an epoch must not duplicate
+output (the exactly-once-output half of O33); distinct epochs append."""
+
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.streaming import idempotent_parquet_sink
+from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+
+def test_replayed_epoch_is_idempotent(spark, sf_smoke_dir, tmp_path):
+    path = str(tmp_path / "out")
+    sink = idempotent_parquet_sink(path)
+    batch = load_table(spark, sf_smoke_dir, "events").select("event_id", "user_id").limit(100)
+
+    sink(batch, 0)
+    n_once = spark.read.parquet(path).count()
+    sink(batch, 0)  # replay of the same epoch (failure/retry)
+    n_replay = spark.read.parquet(path).count()
+    assert n_once == n_replay == 100
+
+    sink(batch, 1)  # a genuinely new epoch appends its own partition
+    assert spark.read.parquet(path).count() == 200
+    assert {r.batch_id for r in spark.read.parquet(path).select("batch_id").distinct().collect()} == {0, 1}
+
+
+def test_sink_under_real_stream(spark, sf_smoke_dir, tmp_path):
+    """End-to-end: file-stream drained availableNow through the sink; a
+    second run with the SAME checkpoint must not re-emit (no new rows)."""
+    from health_monitor_cc_flink_spark.schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        src = (
+            spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_smoke_dir)
+        )
+        (
+            src.select("event_id", "user_id")
+            .writeStream.foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    n1 = spark.read.parquet(out).count()
+    run()  # restart from checkpoint: source exhausted, nothing re-emitted
+    n2 = spark.read.parquet(out).count()
+    expected = load_table(spark, sf_smoke_dir, "events").count()
+    assert n1 == n2 == expected
