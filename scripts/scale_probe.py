@@ -32,6 +32,9 @@ PROBE_QUERIES = (
     "o16_tumble_minute_avg",
     "o13_broadcast_enrich",
     "dedup_minhash_bands",
+    "q9_product_profit_shape",
+    "q13_customer_distribution",
+    "join_range_binned",
 )
 
 # key columns to offset per replica so cardinalities scale with data size
@@ -58,6 +61,12 @@ def replicate(spark, n: int, out_dir: str) -> None:
                 rep = df
                 for kc in KEY_OFFSETS[t]:
                     rep = rep.withColumn(kc, F.col(kc) + F.lit(i * 100_000_000))
+                # shift event time per replica so time-window/range-join
+                # cardinalities scale linearly instead of quadratically
+                if t == "events":
+                    rep = rep.withColumn(
+                        "ts", F.col("ts") + F.lit(i * 31 * 86_400 * 10**9)
+                    )
                 # shift event text slightly so dedup structures scale too
                 if t == "documents":
                     rep = rep.withColumn(
