@@ -12,5 +12,6 @@ from .relational import (  # noqa: F401
     tumble,
     hop,
     session,
+    cumulate,
 )
 from . import dedup, multimodal, quality, similarity, sketches, skew, text  # noqa: F401

@@ -93,3 +93,34 @@ def hop(df: DataFrame, ts_col: str, size: str, slide: str) -> DataFrame:
 def session(df: DataFrame, ts_col: str, gap: str) -> DataFrame:
     """SESSION windowing TVF (gap-based)."""
     return _with_window_cols(df.withColumn("w", F.session_window(ts_col, gap)))
+
+
+def cumulate(df: DataFrame, ts_col: str, step_s: int, size_s: int) -> DataFrame:
+    """CUMULATE windowing TVF (Flink's fourth TVF; no Spark native
+    equivalent): base windows of ``size_s`` seconds aligned to the epoch,
+    each emitting expanding sub-windows ending at start + k*step.  A row
+    belongs to every sub-window of its base window whose end lies after
+    the row's timestamp — composed as an explode of the (size/step)
+    candidate ends plus a filter, all codegen'd column math.
+
+    Adds window_start / window_end / window_time like :func:`tumble`.
+    """
+    if size_s % step_s != 0:
+        raise ValueError("size must be a multiple of step")
+    n = size_s // step_s
+    sec = F.expr(f"unix_micros({ts_col}) div 1000000")  # integer div: exact
+    start = F.timestamp_seconds(sec - sec % size_s)
+    ends = F.array(
+        *[
+            F.col("__cum_start") + F.expr(f"INTERVAL {k * step_s} SECOND")
+            for k in range(1, n + 1)
+        ]
+    )
+    out = (
+        df.withColumn("__cum_start", start)
+        .withColumn("window_end", F.explode(ends))
+        .filter(F.col(ts_col) < F.col("window_end"))
+        .withColumnRenamed("__cum_start", "window_start")
+        .withColumn("window_time", F.col("window_end") - F.expr("INTERVAL 1 MILLISECOND"))
+    )
+    return out

@@ -2721,3 +2721,46 @@ def agg_approx_battery(spark, sf_dir):
         F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "o21c_cumulate_window",
+    """
+    WITH base AS (
+        SELECT user_id, value, epoch_us(ts) AS ts_us,
+               (epoch_us(ts) // 1000000) - (epoch_us(ts) // 1000000) % 1200 AS start_s
+        FROM events
+    )
+    SELECT user_id,
+           start_s * 1000000 AS window_start_us,
+           (start_s + k.k * 300) * 1000000 AS window_end_us,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM base CROSS JOIN (SELECT unnest(range(1, 5)) AS k) k
+    WHERE ts_us < (start_s + k.k * 300) * 1000000
+    GROUP BY 1, 2, 3
+    """,
+    doc="CUMULATE windowing TVF (Flink's fourth TVF, SURVEY §2.6; no Spark "
+    "native form): 20-min base windows emitting expanding 5-min sub-windows — "
+    "composed as an explode of the 4 candidate ends + filter, then the usual "
+    "hash agg. Completes the TUMBLE/HOP/SESSION/CUMULATE matrix.",
+)
+def o21c_cumulate_window(spark, sf_dir):
+    from .operators.relational import cumulate
+
+    ev = _t(spark, sf_dir, "events")
+    cw = cumulate(ev, "ts", step_s=300, size_s=1200)
+    return (
+        cw.groupBy("user_id", "window_start", "window_end")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("window_start").alias("window_start_us"),
+            F.unix_micros("window_end").alias("window_end_us"),
+            "n",
+            "sum_value",
+        )
+    )
