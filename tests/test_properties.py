@@ -83,4 +83,31 @@ def test_forecast_beats_persistence_on_ar1_series(seed):
     seg = slice(30, n - 1)
     mse_model = float(np.mean((y[1:][seg] - pred[seg]) ** 2))
     mse_persist = float(np.mean((y[1:][seg] - y[:-1][seg]) ** 2))
-    assert mse_model < mse_persist * 1.05  # at worst marginally close, usually much better
+    # per-draw: the 90-point scoring segment is noisy enough that persistence
+    # can edge out the true model by a few % on unlucky draws (observed at
+    # seed=7237: ratio 1.055) — allow 15% here; the on-average strict win is
+    # asserted deterministically in test_forecast_average_skill below.
+    assert mse_model < mse_persist * 1.15
+
+
+def test_forecast_average_skill():
+    """Across many AR(1) draws the expanding fit must beat persistence
+    on average (strict), not just per-draw within tolerance."""
+    ratios = []
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        n, phi, c = 120, 0.7, 20.0
+        y = np.empty(n)
+        y[0] = c / (1 - phi)
+        for t in range(1, n):
+            y[t] = c + phi * y[t - 1] + rng.normal(0, 1.0)
+        fits = expanding_ar1(y)
+        prev = np.arange(1, n) - 1
+        pred = fits["a"][prev] + fits["b"][prev] * y[:-1]
+        seg = slice(30, n - 1)
+        mse_model = float(np.mean((y[1:][seg] - pred[seg]) ** 2))
+        mse_persist = float(np.mean((y[1:][seg] - y[:-1][seg]) ** 2))
+        ratios.append(mse_model / mse_persist)
+    # theory for phi=0.7, sigma=1: persistence MSE ≈ sigma² + (1-phi)²·Var(y)
+    # ≈ 1.18, model MSE ≈ sigma² + estimation error → ratio ≈ 0.85-0.9
+    assert float(np.mean(ratios)) < 0.95, np.mean(ratios)
