@@ -44,3 +44,61 @@ def test_salted_left_join_preserves_misses(spark, dim):
     rows = {r.k: r.label for r in out.collect()}
     assert len(rows) == 10
     assert rows[304] is None and rows[295] == "d295"
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE's runtime skew-join handling must kick in on a hot key: with
+    thresholds lowered to test scale the executed SortMergeJoin is marked
+    skew=true (the hot partition split across tasks), and the result is
+    exact. Complements the manual salted_join path."""
+    from pyspark.sql import functions as F
+
+    n_hot, n_cold = 500_000, 1_000
+    # md5 payloads so shuffle compression doesn't shrink the hot partition
+    # below the skew threshold
+    left = (
+        spark.range(n_hot).select(F.lit(0).alias("k"), F.md5(F.col("id").cast("string")).alias("payload"))
+        .union(
+            spark.range(n_cold).select(
+                (F.col("id") % 50 + 1).alias("k"), F.md5(F.col("id").cast("string")).alias("payload")
+            )
+        )
+    )
+    right = spark.range(51).select(F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("rv"))
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # NOTE: no groupBy on the join key downstream — a required hash
+        # distribution on k would forbid AQE from splitting the skewed
+        # partition (splitting breaks co-partitioning).
+        joined = (
+            spark.read.parquet(lp)
+            .join(spark.read.parquet(rp), on="k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("k") == 0, 1).otherwise(0)).alias("n_hot"),
+            )
+        )
+        row = joined.collect()[0]
+        assert row.n_hot == n_hot and row.n == n_hot + n_cold
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
