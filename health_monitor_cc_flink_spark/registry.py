@@ -2227,6 +2227,7 @@ def q12_priority_counts_shape(spark, sf_dir):
     )
     SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY c_count
     """,
+    bench=True,
     doc="TPC-H Q13: customer order-count distribution — outer join with a "
     "join-condition filter, then a second aggregation over the first's result. "
     "All-integer; the double groupBy is the classic two-phase shuffle shape.",
@@ -2332,6 +2333,7 @@ def q20_part_promotion_shape(spark, sf_dir):
     ORDER BY numwait DESC, s_name
     LIMIT 20
     """,
+    bench=True,
     doc="TPC-H Q21 shape: the sole-late-supplier-in-a-multi-supplier-order "
     "pattern — EXISTS as left-semi, NOT EXISTS as left-anti, both equi-keyed "
     "on the order with a non-equi supplier guard (lateness = shipdate > "
