@@ -2766,3 +2766,37 @@ def o21c_cumulate_window(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "udaf_pandas_sumproduct",
+    """
+    SELECT event_type,
+           sum(user_id * (event_id % 97)) AS sp,
+           CAST(sum(user_id * (event_id % 97)) AS DOUBLE)
+             / CAST(sum(event_id % 97) AS DOUBLE) AS wm
+    FROM events GROUP BY event_type
+    """,
+    doc="Vectorized pandas UDAF on the SQL surface (SURVEY §2.10): an "
+    "Arrow-batched grouped aggregate registered via spark.udf.register and "
+    "invoked from spark.sql text. All-int64 math → exact regardless of "
+    "accumulation order, so the hash gate applies to the UDAF path itself.",
+)
+def udaf_pandas_sumproduct(spark, sf_dir):
+    from .functions.scalar import register_pandas_aggregates
+
+    register_pandas_aggregates(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", (F.col("event_id") % 97).alias("w")
+    )
+    ev.createOrReplaceTempView("events_udaf_tmp")
+    # NOTE: grouped-agg pandas UDFs cannot mix with built-in aggregates in
+    # one GROUP BY (INVALID_PANDAS_UDF_PLACEMENT) — both outputs here are
+    # pandas UDAFs. int64 sums exact; the double division is bit-identical.
+    return spark.sql(
+        """
+        SELECT event_type, sumproduct(user_id, w) AS sp,
+               weighted_mean(user_id, w) AS wm
+        FROM events_udaf_tmp GROUP BY event_type
+        """
+    )
