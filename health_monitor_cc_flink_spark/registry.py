@@ -2800,3 +2800,71 @@ def udaf_pandas_sumproduct(spark, sf_dir):
         FROM events_udaf_tmp GROUP BY event_type
         """
     )
+
+
+@query(
+    "streaming_cumulate_5m20m",
+    """
+    WITH cand AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               (epoch_us(ts) // 1000000) - (epoch_us(ts) // 1000000) % 1200 AS start_s,
+               k.k AS k
+        FROM events CROSS JOIN (SELECT unnest(range(1, 5)) AS k) k
+    ), w AS (
+        SELECT start_s, start_s + k * 300 AS end_s, user_id, count(*) AS n
+        FROM cand
+        WHERE ts_us < (start_s + k * 300) * 1000000
+        GROUP BY 1, 2, 3
+    ), m AS (SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events)
+    SELECT start_s AS window_start_s, end_s AS window_end_s, user_id, n
+    FROM w, m
+    WHERE (start_s + 1200) * 1000 <= wm_ms
+    """,
+    doc="Streaming CUMULATE (5-min step, 20-min size) under the oracle gate: "
+    "sub-window k = a tumbling base-window agg over rows pre-filtered to "
+    "offset < k*step (Spark forbids slide > duration, so the direct "
+    "hop-family encoding is unavailable); 4 such branches union in ONE "
+    "availableNow query (parallel stateful operators). Append emission is "
+    "therefore keyed to the BASE window close — all of a base window's "
+    "sub-windows emit when the watermark passes its end, which the oracle "
+    "cutoff reproduces ((start+size) <= final watermark).",
+)
+def streaming_cumulate_5m20m(spark, sf_dir):
+    import uuid
+    from functools import reduce
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    src = (
+        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    wm = ev.withWatermark("ts", "10 minutes")
+    branches = []
+    for k in range(1, 5):
+        # filter AFTER the watermark node: each branch's watermark must
+        # track the GLOBAL max event time, not the filtered subset's
+        sub = wm.filter(F.expr("unix_micros(ts) div 1000000") % 1200 < 300 * k)
+        branches.append(
+            sub.groupBy(F.window("ts", "1200 seconds").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp("w.start").alias("window_start_s"),
+                (F.unix_timestamp("w.start") + F.lit(300 * k)).alias("window_end_s"),
+                "user_id",
+                "n",
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), branches)
+    name = "stream_cumulate_" + uuid.uuid4().hex[:8]
+    (
+        u.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
