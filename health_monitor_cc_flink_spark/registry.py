@@ -2868,3 +2868,95 @@ def streaming_cumulate_5m20m(spark, sf_dir):
         .awaitTermination()
     )
     return spark.table(name)
+
+
+@query(
+    "streaming_ss_left_outer_join",
+    """
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT least(
+            (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+        ) - 600000000 AS wm_us
+    ), matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id, p.pts - c.cts AS gap_us
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.pts > c.cts AND p.pts - c.cts <= 3600000000
+    )
+    SELECT click_id, purchase_id, user_id, gap_us FROM matched
+    UNION ALL
+    SELECT c.click_id, NULL, c.user_id, NULL
+    FROM c, m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id
+                          AND p.pts > c.cts AND p.pts - c.cts <= 3600000000
+    )
+    AND c.cts + 3600000000 < wm_us
+    """,
+    doc="STREAM-STREAM LEFT OUTER interval join under the oracle gate: matches "
+    "emit as they arrive; a click with no purchase emits null-padded ONLY once "
+    "the (min-of-sources) watermark passes its whole match window — the oracle "
+    "reproduces that state-expiry cutoff (cts + bound < min(max_c, max_p) − "
+    "delay, calibrated at both SFs).",
+)
+def streaming_ss_left_outer_join(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    def src():
+        s = (
+            spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    name = "stream_ss_lo_" + uuid.uuid4().hex[:8]
+    (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
