@@ -2960,3 +2960,23 @@ def streaming_ss_left_outer_join(spark, sf_dir):
         .awaitTermination()
     )
     return spark.table(name)
+
+
+@query(
+    "agg_string_collect",
+    """
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS types_sorted,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    doc="Ordered collect aggregation: per-key sorted concatenation "
+    "(collect_list is unordered in Spark — array_sort makes it deterministic, "
+    "matching DuckDB's ORDER BY inside the aggregate).",
+)
+def agg_string_collect(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias("types_sorted"),
+        F.count(F.lit(1)).alias("n"),
+    )

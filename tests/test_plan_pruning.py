@@ -1,0 +1,43 @@
+"""Plan-quality gates: nested-field schema pruning and scan-level column
+pruning must reach the parquet reader (ReadSchema), and predicates must
+reach PushedFilters — the non-negotiables for 100 TB scans."""
+
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.fixtures import health_events_df
+from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+
+def _scan_line(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return next(l for l in plan.splitlines() if "FileScan parquet" in l or "Scan parquet" in l)
+
+
+def test_nested_schema_pruning(spark, tmp_path):
+    """Selecting one leaf of the nested vitals struct must read ONLY that
+    leaf: ReadSchema shows vitals<heart_rate> without the sibling fields."""
+    path = str(tmp_path / "nested")
+    health_events_df(spark, n_ticks=40, interval_s=0.5, seed=1).write.parquet(path)
+    df = spark.read.parquet(path).select(
+        "patient_id", F.col("vitals.heart_rate").alias("hr")
+    )
+    df.collect()
+    scan = _scan_line(df)
+    assert "heart_rate" in scan
+    assert "blood_oxygen" not in scan and "blood_pressure" not in scan, scan
+
+
+def test_column_pruning_and_pushdown(spark, sf_smoke_dir):
+    """A 2-column projection with a filter over the 16-column lineitem
+    table must scan only those columns and push the predicate down."""
+    li = load_table(spark, sf_smoke_dir, "lineitem")
+    df = li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    df.collect()
+    scan = _scan_line(df)
+    assert "ReadSchema" in scan
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_quantity" not in read_schema
+    assert "PushedFilters: [" in scan and "l_shipdate" in scan.split("PushedFilters:")[1].split("ReadSchema")[0]
