@@ -6,3 +6,4 @@ from .pipeline import (  # noqa: F401
 )
 from .stateful import streaming_detect_anomalies, streaming_forecast  # noqa: F401
 from .sinks import idempotent_parquet_sink  # noqa: F401
+from .materialize import maintain_table, upsert_snapshot  # noqa: F401
