@@ -2980,3 +2980,244 @@ def agg_string_collect(spark, sf_dir):
         F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias("types_sorted"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "join_anti_null_aware",
+    """
+    SELECT c_custkey, c_name
+    FROM (SELECT nullif(c_custkey % 1000, 7) AS k, c_custkey, c_name FROM customer)
+    WHERE k NOT IN (SELECT o_custkey % 1000 FROM orders WHERE o_totalprice > 450000)
+    """,
+    doc="Null-aware anti join (NOT IN with a nullable probe): three-valued "
+    "logic drops NULL probes AND matches — Spark plans the dedicated "
+    "null-aware anti join instead of a naive per-row subquery.",
+)
+def join_anti_null_aware(spark, sf_dir):
+    from .sources.testdata import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM (SELECT nullif(c_custkey % 1000, 7) AS k, c_custkey, c_name FROM customer)
+        WHERE k NOT IN (SELECT o_custkey % 1000 FROM orders WHERE o_totalprice > 450000)
+        """
+    )
+
+
+@query(
+    "window_range_value_frame",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           sum(CAST(floor(value * 1000) AS BIGINT)) OVER w AS roll_1h_milli,
+           count(*) OVER w AS roll_1h_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-by-value window frame: per-key rolling 1-hour sum/count ordered "
+    "by event time (the streaming sliding-aggregate shape as a batch OVER "
+    "frame). Integer milli-units keep the running sum order-insensitive; "
+    "timestamp peers share a frame in both engines.",
+)
+def window_range_value_frame(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(_ts_us().cast("long"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    v = F.floor(F.col("value") * 1000)
+    return ev.select(
+        "user_id",
+        _ts_us().alias("ts_us"),
+        F.sum(v).over(w).alias("roll_1h_milli"),
+        F.count(F.lit(1)).over(w).alias("roll_1h_n"),
+    )
+
+
+@query(
+    "stats_regression_components",
+    """
+    WITH e AS (
+        SELECT event_type, user_id AS y, CAST(floor(value * 1000) AS BIGINT) AS x
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           sum(x) AS sum_x,
+           sum(y) AS sum_y,
+           sum(x * x) AS sum_xx,
+           sum(x * y) AS sum_xy
+    FROM e GROUP BY event_type
+    """,
+    doc="Exact regression/correlation sufficient statistics (n, Σx, Σy, Σx², "
+    "Σxy) in integer milli-units — one distributed pass, mergeable map-side "
+    "partials; the consumer derives slope/intercept/r locally. The exact-math "
+    "alternative to order-sensitive double corr()/covar() at 100 TB.",
+)
+def stats_regression_components(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 1000)
+    y = F.col("user_id")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sum_x"),
+        F.sum(y).alias("sum_y"),
+        F.sum(x * x).alias("sum_xx"),
+        F.sum(x * y).alias("sum_xy"),
+    )
+
+
+@query(
+    "quantile_per_group",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS q25,
+           quantile_cont(value, 0.5) AS q50,
+           quantile_cont(value, 0.75) AS q75,
+           quantile_cont(value, 0.99) AS q99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated quantiles per group (the distribution-profile "
+    "battery): sort-based, order-insensitive, so engine-exact on doubles — "
+    "extends agg_median to a full per-group profile. At 100 TB the same "
+    "surface swaps to approx_percentile (agg_approx_battery).",
+)
+def quantile_per_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.99D))")
+    return ev.groupBy("event_type").agg(pct.alias("p")).select(
+        "event_type",
+        F.col("p")[0].alias("q25"),
+        F.col("p")[1].alias("q50"),
+        F.col("p")[2].alias("q75"),
+        F.col("p")[3].alias("q99"),
+    )
+
+
+@query(
+    "cep_click_then_purchase",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+    ), s AS (
+        SELECT *,
+            last_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS)
+                OVER w AS last_click,
+            last_value(CASE WHEN event_type = 'error' THEN t END IGNORE NULLS)
+                OVER w AS last_err
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_id, t AS purchase_t,
+           last_click, t - last_click AS gap_us
+    FROM s
+    WHERE event_type = 'purchase'
+      AND last_click IS NOT NULL
+      AND last_click >= t - 1800000000
+      AND (last_err IS NULL OR last_err < last_click)
+    """,
+    doc="Sequential pattern detection (Flink-CEP analog): click FOLLOWED BY "
+    "purchase within 30 min with no error between — one shuffle + one per-key "
+    "sort via running last_value(...ignore nulls) carries, no self-joins, so "
+    "it scales linearly in events per key.",
+)
+def cep_click_then_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t = _ts_us()
+    e = ev.select("user_id", "event_id", "event_type", t.alias("t"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lc = F.last(F.when(F.col("event_type") == "click", F.col("t")), ignorenulls=True).over(w)
+    le = F.last(F.when(F.col("event_type") == "error", F.col("t")), ignorenulls=True).over(w)
+    return (
+        e.withColumn("last_click", lc)
+        .withColumn("last_err", le)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+            & (F.col("last_click") >= F.col("t") - 1_800_000_000)
+            & (F.col("last_err").isNull() | (F.col("last_err") < F.col("last_click")))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("t").alias("purchase_t"),
+            "last_click",
+            (F.col("t") - F.col("last_click")).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "gapfill_hour_forward_fill",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CAST(floor(value * 1000) AS BIGINT) AS v
+        FROM events
+    ), ranked AS (
+        SELECT user_id, t - t % 3600000000 AS hour_us, v,
+               row_number() OVER (PARTITION BY user_id, t - t % 3600000000
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM e
+    ), obs AS (
+        SELECT user_id, hour_us, v FROM ranked WHERE rn = 1
+    ), spans AS (
+        SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1
+        FROM obs GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        FROM spans
+    )
+    SELECT g.user_id, g.hour_us // 1000000 AS hour_s,
+           last_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM grid g LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.hour_us = o.hour_us
+    """,
+    doc="Time-series gap filling: per-key hourly grid (sequence+explode — no "
+    "driver loop) + last-observation-carried-forward via a running "
+    "last(ignorenulls). Last observation per hour is arg-max by (t, event_id) "
+    "— a single hash agg in Spark (max_by), no pre-sort. The resample/fill "
+    "primitive every monitoring rollup needs.",
+)
+def gapfill_hour_forward_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hour = 3_600_000_000
+    e = ev.select(
+        "user_id",
+        "event_id",
+        _ts_us().alias("t"),
+        F.floor(F.col("value") * 1000).alias("v"),
+    ).withColumn("hour_us", F.col("t") - F.col("t") % hour)
+    obs = e.groupBy("user_id", "hour_us").agg(
+        F.max_by("v", F.struct("t", "event_id")).alias("v")
+    )
+    spans = obs.groupBy("user_id").agg(
+        F.min("hour_us").alias("h0"), F.max("hour_us").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.lit(hour).cast("long"))).alias("hour_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour_us"], "left")
+        .select(
+            "user_id",
+            (F.col("hour_us") / 1_000_000).cast("long").alias("hour_s"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )
