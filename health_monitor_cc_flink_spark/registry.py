@@ -3221,3 +3221,148 @@ def gapfill_hour_forward_fill(spark, sf_dir):
             F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="ORC source/sink round-trip with explicit schema — the third columnar "
+    "format of the source surface (parquet/JSON/CSV/ORC), same bit-exact "
+    "contract as the JSON path.",
+)
+def source_orc_roundtrip(spark, sf_dir):
+    path = _warehouse_path(sf_dir, "events_orc")
+    _roundtrip_base(spark, sf_dir).write.mode("overwrite").orc(path)
+    return spark.read.schema(
+        "event_id bigint, ts_us bigint, user_id bigint, event_type string, value double"
+    ).orc(path)
+
+
+@query(
+    "source_partitioned_pruning",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, value, event_type
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="Hive-partitioned write + statically partition-pruned read: events laid "
+    "out partitionBy(event_type), the predicate resolves to PartitionFilters so "
+    "the scan opens only the one matching directory (asserted in "
+    "tests/test_plan_pruning.py) — the layout that turns a 100 TB full scan "
+    "into a single-partition read.",
+)
+def source_partitioned_pruning(spark, sf_dir):
+    path = _warehouse_path(sf_dir, "events_by_type")
+    _roundtrip_base(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    df = spark.read.schema(
+        "event_id bigint, ts_us bigint, user_id bigint, value double, event_type string"
+    ).parquet(path)
+    return df.filter(F.col("event_type") == "purchase")
+
+
+@query(
+    "map_function_battery",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN n END) AS n_click,
+           sum(CASE WHEN event_type = 'error' THEN n END) AS n_error,
+           count(*) AS n_types,
+           bool_or(event_type = 'view') AS has_view
+    FROM counts GROUP BY user_id
+    """,
+    doc="MapType surface: per-key event-type histogram as a map column "
+    "(map_from_entries over a sorted collect), consumed via element_at / size "
+    "/ map_contains_key — missing keys surface as NULL (map semantics), which "
+    "the conditional-aggregation oracle mirrors.",
+)
+def map_function_battery(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.element_at("m", "click").alias("n_click"),
+        F.element_at("m", "error").alias("n_error"),
+        F.size("m").cast("long").alias("n_types"),
+        F.map_contains_key("m", "view").alias("has_view"),
+    )
+
+
+@query(
+    "regexp_battery",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{5,})', 1) AS first_long_word,
+           len(regexp_extract_all(text, 'the', 0)) AS n_the,
+           regexp_matches(text, 'join .* merge') AS join_then_merge,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_no_vowels
+    FROM documents
+    """,
+    doc="Regex function battery over documents.text (extract / extract-all "
+    "count / rlike / global replace) — patterns restricted to the "
+    "Java-regex ∩ RE2 common subset so both engines agree byte-for-byte.",
+)
+def regexp_battery(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]{5,})", 1).alias("first_long_word"),
+        F.size(F.expr("regexp_extract_all(text, 'the', 0)")).cast("long").alias("n_the"),
+        F.col("text").rlike("join .* merge").alias("join_then_merge"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("len_no_vowels"),
+    )
+
+
+@query(
+    "json_function_battery",
+    """
+    WITH j AS (
+        SELECT event_id,
+               printf('{"a": %d, "b": {"c": "%s"}, "arr": [%d, %d]}',
+                      user_id, event_type, event_id % 10, user_id % 10) AS payload,
+               props
+        FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract(payload, '$.a') AS BIGINT) AS a,
+           json_extract_string(payload, '$.b.c') AS c,
+           CAST(json_extract(payload, '$.arr[1]') AS BIGINT) AS arr1,
+           json_array_length(payload, '$.arr') AS arr_len,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM j
+    """,
+    doc="JSON function battery: construct → path-extract (nested field, array "
+    "index, array length) → typed cast, plus the props column from the events "
+    "table (get_json_object / from_json on the Spark side; o10's semi-"
+    "structured access generalized).",
+)
+def json_function_battery(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    payload = F.format_string(
+        '{"a": %d, "b": {"c": "%s"}, "arr": [%d, %d]}',
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("event_id") % 10,
+        F.col("user_id") % 10,
+    )
+    j = ev.select("event_id", payload.alias("payload"), "props")
+    parsed = F.from_json(
+        F.col("payload"), "a bigint, b struct<c: string>, arr array<bigint>"
+    )
+    return j.select(
+        "event_id",
+        parsed["a"].alias("a"),
+        F.get_json_object("payload", "$.b.c").alias("c"),
+        parsed["arr"][1].alias("arr1"),
+        F.size(parsed["arr"]).cast("long").alias("arr_len"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )

@@ -41,3 +41,18 @@ def test_column_pruning_and_pushdown(spark, sf_smoke_dir):
     assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
     assert "l_comment" not in read_schema and "l_quantity" not in read_schema
     assert "PushedFilters: [" in scan and "l_shipdate" in scan.split("PushedFilters:")[1].split("ReadSchema")[0]
+
+
+def test_hive_partition_pruning(spark, sf_smoke_dir):
+    """source_partitioned_pruning's scan must resolve the event_type
+    predicate as a PartitionFilter (directory pruning), not a data filter:
+    the executed scan reads 1 of the 5 type partitions."""
+    from health_monitor_cc_flink_spark.registry import all_queries
+
+    spec = next(s for s in all_queries() if s.name == "source_partitioned_pruning")
+    df = spec.fn(spark, sf_smoke_dir)
+    df.collect()
+    scan = _scan_line(df)
+    assert "PartitionFilters" in scan, scan
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_type" in pf, scan
