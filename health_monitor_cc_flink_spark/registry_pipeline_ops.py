@@ -121,7 +121,7 @@ def dedup_minhash_bands(spark, sf_dir):
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS n_match
+           CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
     FROM cand c
     JOIN sig sa ON sa.doc_id = c.doc_a
     JOIN sig sb ON sb.doc_id = c.doc_b AND sa.j = sb.j
@@ -174,7 +174,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         FROM h CROSS JOIN range(16) t(b)
         GROUP BY doc_id, b
     )
-    SELECT doc_id, sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS simhash
+    SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
     doc="16-bit SimHash per doc (sign-aggregated token-hash bits; all-integer math). "
@@ -697,7 +697,7 @@ def mm_frame_sample(spark, sf_dir):
         FROM h CROSS JOIN range(16) t(b)
         GROUP BY doc_id, b
     ), sh AS (
-        SELECT doc_id, sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS simhash
+        SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -916,8 +916,8 @@ _DUCK_SIMHASH64 = """
         GROUP BY doc_id, b
     ), sh64 AS (
         SELECT doc_id,
-               sum(CASE WHEN s > 0 AND b >= 32 THEN 1::BIGINT << (b - 32) ELSE 0 END) AS simhash_hi,
-               sum(CASE WHEN s > 0 AND b < 32  THEN 1::BIGINT << b        ELSE 0 END) AS simhash_lo
+               CAST(sum(CASE WHEN s > 0 AND b >= 32 THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS simhash_hi,
+               CAST(sum(CASE WHEN s > 0 AND b < 32  THEN 1::BIGINT << b        ELSE 0 END) AS BIGINT) AS simhash_lo
         FROM bits64 GROUP BY doc_id
     )
 """

@@ -22,18 +22,23 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    """Normalize to a canonical comparable value, PRESERVING the
+    int-vs-float distinction: the driver's hash formats 123 and 123.0
+    differently, so a Spark BIGINT column against a DuckDB DOUBLE oracle
+    column must FAIL here even when the values are numerically equal
+    (round-1 lesson: scalar_function_battery / pivot_event_counts)."""
     if v is None:
         return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("b", bool(v))
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return float(v)
+        return ("f", float(v))
     if hasattr(v, "item"):  # numpy scalar
         return _norm(v.item())
-    if isinstance(v, bool):
-        return bool(v)
     if isinstance(v, int):
-        return int(v)
+        return ("i", int(v))
     return v
 
 
@@ -65,15 +70,19 @@ def compare_frames(spark_df, duck_rel, name=""):
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
         if a != b:
             # distinguish exact-mismatch from approx-equality for diagnosis
-            approx = all(
-                (x == y)
-                or (
-                    isinstance(x, float)
-                    and isinstance(y, float)
-                    and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+            def _close(x, y):
+                if x == y:
+                    return True
+                # unwrap ("f", v) / ("i", v) tags for the diagnostic only
+                xv = x[1] if isinstance(x, tuple) and len(x) == 2 else x
+                yv = y[1] if isinstance(y, tuple) and len(y) == 2 else y
+                return (
+                    isinstance(xv, (int, float))
+                    and isinstance(yv, (int, float))
+                    and math.isclose(xv, yv, rel_tol=1e-9, abs_tol=1e-9)
                 )
-                for x, y in zip(a, b)
-            )
+
+            approx = all(_close(x, y) for x, y in zip(a, b))
             kind = "APPROX-ONLY" if approx else "VALUE"
             return False, f"{name}: {kind} mismatch at sorted row {i}:\n  spark={a}\n  duck ={b}"
     return True, f"{name}: ok ({len(s_rows)} rows)"
