@@ -218,9 +218,14 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     h = toks.select(
         id_col, F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int").alias("h")
     )
-    spark = df.sparkSession
-    bits = spark.range(16).select(F.col("id").cast("int").alias("b"))
-    contrib = h.crossJoin(F.broadcast(bits)).select(
+    # bit positions via explode(sequence) — stays inside whole-stage codegen;
+    # a broadcast crossJoin of a 16-row range would plan as a
+    # BroadcastNestedLoopJoin and break the no-BNLJ plan gate
+    contrib = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        F.col("h"),
+    ).select(
         id_col,
         "b",
         F.expr("2 * (shiftright(h, b) & 1) - 1").alias("c"),
@@ -347,9 +352,14 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h_hi"),
         F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("bigint").alias("h_lo"),
     )
-    spark = df.sparkSession
-    bits = spark.range(64).select(F.col("id").cast("int").alias("b"))
-    contrib = h.crossJoin(F.broadcast(bits)).select(
+    # explode(sequence) instead of a broadcast crossJoin over range(64):
+    # no BNLJ in the plan, bit fan-out stays in whole-stage codegen
+    contrib = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        "h_hi",
+        "h_lo",
+    ).select(
         id_col,
         "b",
         F.expr(

@@ -706,16 +706,30 @@ def mm_frame_sample(spark, sf_dir):
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """,
     doc="SimHash near-dup pairs: hamming distance ≤ 2 over the 16-bit sketches "
-    "(bit_count(xor) — all-integer, engine-exact).  Brute pairwise here; at scale "
-    "the standard rotate-and-band index bounds candidates first.",
+    "(bit_count(xor) — all-integer, engine-exact).  Candidates come from the "
+    "rotate-and-band index (3 words of 6/5/5 bits; pigeonhole: ≤2 differing "
+    "bits ⇒ ≥1 word identical ⇒ equi-join on (word_idx, word_value) finds "
+    "every qualifying pair) — no crossJoin / CartesianProduct in the plan, "
+    "same construction as the 64-bit variant below.",
 )
 def dedup_simhash_hamming_pairs(spark, sf_dir):
-    sh = D.simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    sh = D.simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("w"), F.expr("simhash & 63").alias("v")),
+                F.struct(F.lit(1).alias("w"), F.expr("shiftright(simhash, 6) & 31").alias("v")),
+                F.struct(F.lit(2).alias("w"), F.expr("shiftright(simhash, 11) & 31").alias("v")),
+            )
+        ).alias("band"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), F.col("band").alias("band_b"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(b, (a.band == b.band_b) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.expr("sa ^ sb")))
         .filter(F.col("hamming") <= 2)
         .select("doc_a", "doc_b", "hamming")

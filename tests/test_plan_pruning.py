@@ -55,4 +55,26 @@ def test_hive_partition_pruning(spark, sf_smoke_dir):
     scan = _scan_line(df)
     assert "PartitionFilters" in scan, scan
     pf = scan.split("PartitionFilters:")[1].split("]")[0]
-    assert "event_type" in pf, scan
+    # the literal value must be in the rendered filter (an empty
+    # PartitionFilters: [] would otherwise pass a bare substring check)
+    assert "event_type" in pf and "purchase" in pf, scan
+    # runtime proof of directory pruning: the files actually opened by the
+    # scan are all from the one matching partition directory
+    files = [
+        r[0]
+        for r in df.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all("event_type=purchase" in f for f in files), files
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_smoke_dir):
+    """Both SimHash hamming-pair queries must generate candidates via the
+    rotate-and-band equi-join: no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere in the optimized plan (the O(n²) shape that kills 100 TB runs)."""
+    from health_monitor_cc_flink_spark.registry import all_queries
+
+    for name in ("dedup_simhash_hamming_pairs", "dedup_simhash64_hamming_pairs"):
+        spec = next(s for s in all_queries() if s.name == name)
+        plan = spec.fn(spark, sf_smoke_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
