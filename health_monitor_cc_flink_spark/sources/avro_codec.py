@@ -1,0 +1,152 @@
+"""Minimal Avro *binary* codec for the event-schema subset, plus the
+Confluent Schema-Registry wire framing (O1/O5; reference schema.tf:4-151,
+health_simulator.py:154-192).
+
+Why this exists: the production decode path is spark-avro's `from_avro`
+(JVM, vectorized).  In environments without the spark-avro module — like
+this sandbox — the engine still needs to (a) produce REAL Avro-framed
+bytes for fixtures and (b) decode them through the same DataFrame
+plumbing, so the Confluent wire-format strip and the schema rendering
+are exercised end-to-end rather than rotting behind an import gate.
+
+The codec implements the public Avro 1.x binary encoding spec
+(https://avro.apache.org/docs/current/specification/) for the types
+`sources.kafka.avro_schema_json` emits: record, string, int, long,
+float, double, boolean, and the timestamp-micros logical type (a long).
+No unions, arrays, maps, enums or defaults — the reference schema
+(schema.tf) uses none.  Conformance is pinned by a test that decodes
+these bytes with the Java Avro library on Spark's classpath
+(tests/test_kafka_wire.py).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import json
+import struct
+
+# ---------------------------------------------------------------------------
+# primitive encoders (Avro binary spec)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_long(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return _unzigzag(acc)
+
+
+# ---------------------------------------------------------------------------
+# schema-driven record codec
+# ---------------------------------------------------------------------------
+
+
+def _is_ts_micros(sch) -> bool:
+    return (
+        isinstance(sch, dict)
+        and sch.get("type") == "long"
+        and sch.get("logicalType") == "timestamp-micros"
+    )
+
+
+def _encode(sch, value, buf: io.BytesIO) -> None:
+    if isinstance(sch, dict) and sch.get("type") == "record":
+        for f in sch["fields"]:
+            _encode(f["type"], value[f["name"]], buf)
+    elif _is_ts_micros(sch):
+        if isinstance(value, _dt.datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=_dt.timezone.utc)
+            value = int(value.timestamp() * 1_000_000)
+        write_long(buf, int(value))
+    elif sch == "string":
+        raw = value.encode("utf-8")
+        write_long(buf, len(raw))
+        buf.write(raw)
+    elif sch in ("int", "long"):
+        write_long(buf, int(value))
+    elif sch == "float":
+        buf.write(struct.pack("<f", float(value)))
+    elif sch == "double":
+        buf.write(struct.pack("<d", float(value)))
+    elif sch == "boolean":
+        buf.write(b"\x01" if value else b"\x00")
+    else:
+        raise TypeError(f"unsupported Avro schema node: {sch!r}")
+
+
+def _decode(sch, buf: io.BytesIO):
+    if isinstance(sch, dict) and sch.get("type") == "record":
+        return {f["name"]: _decode(f["type"], buf) for f in sch["fields"]}
+    if _is_ts_micros(sch):
+        return read_long(buf)  # µs since epoch; caller casts
+    if sch == "string":
+        n = read_long(buf)
+        return buf.read(n).decode("utf-8")
+    if sch in ("int", "long"):
+        return read_long(buf)
+    if sch == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if sch == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if sch == "boolean":
+        return buf.read(1) == b"\x01"
+    raise TypeError(f"unsupported Avro schema node: {sch!r}")
+
+
+def encode_record(schema_json: str, record: dict) -> bytes:
+    """Encode one record as Avro binary (no framing)."""
+    buf = io.BytesIO()
+    _encode(json.loads(schema_json), record, buf)
+    return buf.getvalue()
+
+
+def decode_record(schema_json: str, payload: bytes) -> dict:
+    """Decode one Avro-binary record (no framing)."""
+    return _decode(json.loads(schema_json), io.BytesIO(payload))
+
+
+# ---------------------------------------------------------------------------
+# Confluent Schema-Registry wire format (magic 0x00 + 4-byte BE schema id)
+# ---------------------------------------------------------------------------
+
+MAGIC = b"\x00"
+
+
+def confluent_frame(payload: bytes, schema_id: int) -> bytes:
+    """Wrap an Avro-binary payload in the Confluent SR wire format that
+    the reference's AvroSerializer produces (health_simulator.py:154-192)."""
+    return MAGIC + struct.pack(">I", schema_id) + payload
+
+
+def strip_confluent_frame(framed: bytes) -> tuple[int, bytes]:
+    """Return (schema_id, payload); raises on bad magic."""
+    if framed[:1] != MAGIC:
+        raise ValueError(f"bad Confluent wire-format magic: {framed[:1]!r}")
+    return struct.unpack(">I", framed[1:5])[0], framed[5:]

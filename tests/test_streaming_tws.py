@@ -38,6 +38,28 @@ def test_tws_matches_batch_anomalies(spark, smoothed_path, tmp_path):
 
     stream = spark.readStream.schema(batch.schema).parquet(smoothed_path)
     out = str(tmp_path / "out")
+    # TWS keeps each state variable in its own column family — only the
+    # RocksDB provider supports that (and it's the at-scale choice anyway)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _run_tws(spark, stream, tmp_path, out, tws_detect_anomalies)
+    finally:
+        if prev_provider:
+            spark.conf.set(provider_key, prev_provider)
+        else:
+            spark.conf.unset(provider_key)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert expected[(r.key, r.event_ts_us)] == r.is_anomaly
+
+
+def _run_tws(spark, stream, tmp_path, out, tws_detect_anomalies):
     (
         tws_detect_anomalies(
             stream.withWatermark("event_timestamp", "10 seconds"),
@@ -54,7 +76,3 @@ def test_tws_matches_batch_anomalies(spark, smoothed_path, tmp_path):
         .start()
         .awaitTermination()
     )
-    got = spark.read.parquet(out).collect()
-    assert len(got) == len(expected)
-    for r in got:
-        assert expected[(r.key, r.event_ts_us)] == r.is_anomaly
