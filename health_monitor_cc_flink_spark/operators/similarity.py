@@ -245,3 +245,64 @@ def probe_ivf_index(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector (SimHash for cosine
+    space): bit j = sign(⟨v, h_j⟩) where hyperplane h_j has deterministic
+    ±1 components derived from md5(j_i) hex-digit parity — the same
+    construction an oracle can re-derive with SQL md5.
+
+    Scale design: vectors are quantized to integer milli-units
+    (floor(vᵢ·1000)), so every dot product is exact int64 math —
+    order-insensitive and engine-portable.  The whole signature is ONE
+    whole-stage-codegen expression (nested `aggregate` over
+    `sequence`): no shuffle, no join, no UDF; n_bits×dim ≈ 1k fused
+    multiply-adds per row.  Vectors sharing a bucket are cosine-ANN
+    candidates; at 100 TB the bucket id becomes a partition column (same
+    layout as the persisted IVF index).
+    """
+    import hashlib
+
+    signs = [
+        [
+            1 if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+    s_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v}L" for v in row) + ")" for row in signs
+        )
+        + ")"
+    )
+    bucket = f"""
+      aggregate(sequence(0, {n_bits - 1}), CAST(0 AS BIGINT), (acc, j) ->
+        acc + IF(
+          aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), (a, i) ->
+            a + CAST(floor(CAST(element_at({vec_col}, i + 1) AS DOUBLE) * 1000) AS BIGINT)
+                * element_at(element_at({s_lit}, j + 1), i + 1)
+          ) > 0,
+          shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
+    """
+    return df.select(F.col(id_col), F.expr(bucket).alias(f"bucket{n_bits}"))
+
+
+def norm2_milli(df: DataFrame, id_col: str, vec_col: str, dim: int = 64) -> DataFrame:
+    """Exact squared L2 norm in integer milli-units (Σ floor(vᵢ·1000)²):
+    a single codegen'd expression, no shuffle; the order-insensitive
+    integer analog of `norm` for oracle-exact pipelines."""
+    expr = f"""
+      aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), (a, i) ->
+        a + CAST(floor(CAST(element_at({vec_col}, i + 1) AS DOUBLE) * 1000) AS BIGINT)
+          * CAST(floor(CAST(element_at({vec_col}, i + 1) AS DOUBLE) * 1000) AS BIGINT))
+    """
+    return df.select(F.col(id_col), F.expr(expr).alias("norm2_milli"))

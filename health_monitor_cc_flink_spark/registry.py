@@ -822,20 +822,42 @@ def join_asof_prev_purchase(spark, sf_dir):
      AND epoch_us(a.ts) < epoch_us(b.ts)
      AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
     """,
-    doc="Interval (range) self-join: same-key event pairs within 1 h. Equi-join on the "
-    "key bounds the quadratic blow-up to within-key windows; AQE handles key skew.",
+    doc="Interval (range) self-join: same-key event pairs within 1 h. Join key is "
+    "(user_id, hour_bin) with the right side duplicated into its own and the "
+    "NEXT bin, so every qualifying pair shares a key and candidates are "
+    "bounded by per-bin density — linear in output, never quadratic in a "
+    "key's total history (scale_probe showed the bare user_id equi-join "
+    "going 17× on 10× data; this plan is ~linear).",
 )
 def join_interval_pairs(spark, sf_dir):
+    tol = 3_600_000_000
     ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
-    a = ev.select(F.col("event_id").alias("eid_a"), "user_id", F.col("ts_us").alias("ts_a"))
-    b = ev.select(F.col("event_id").alias("eid_b"), F.col("user_id").alias("uid_b"), F.col("ts_us").alias("ts_b"))
+    # left row at bin k matches right rows in (ts_a, ts_a+1h], which live in
+    # bins k and k+1 — duplicate the LEFT side to (k, k+1)? No: duplicate the
+    # left probe into the right's bins: a@k joins b@{k, k+1}; emitting a into
+    # both bins keeps the big right side un-duplicated.
+    a = ev.select(
+        F.col("event_id").alias("eid_a"), "user_id", F.col("ts_us").alias("ts_a")
+    ).select(
+        "eid_a",
+        "user_id",
+        "ts_a",
+        F.explode(
+            F.array(
+                (F.col("ts_a") / tol).cast("long"),
+                (F.col("ts_a") / tol).cast("long") + 1,
+            )
+        ).alias("bin"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("eid_b"),
+        F.col("user_id").alias("uid_b"),
+        F.col("ts_us").alias("ts_b"),
+        (_ts_us() / tol).cast("long").alias("bin_b"),
+    )
     return (
-        a.join(
-            b,
-            (a.user_id == b.uid_b)
-            & (a.ts_a < b.ts_b)
-            & (b.ts_b - a.ts_a <= 3_600_000_000),
-        )
+        a.join(b, (a.user_id == b.uid_b) & (a.bin == b.bin_b))
+        .filter((F.col("ts_a") < F.col("ts_b")) & (F.col("ts_b") - F.col("ts_a") <= tol))
         .select("eid_a", "eid_b", "user_id", (F.col("ts_b") - F.col("ts_a")).alias("gap_us"))
     )
 
@@ -3251,6 +3273,211 @@ def gapfill_hour_forward_fill(spark, sf_dir):
             (F.col("hour_us") / 1_000_000).cast("long").alias("hour_s"),
             F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
+    )
+
+
+@query(
+    "join_asof_forward_tolerance",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tp FROM events
+        WHERE event_type = 'purchase'
+    ), x AS (
+        SELECT user_id, epoch_us(ts) AS te FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.tp AS t_purchase_us,
+           min(x.te) AS t_error_us,
+           min(x.te) - p.tp AS delta_us
+    FROM p JOIN x
+      ON x.user_id = p.user_id AND x.te > p.tp AND x.te <= p.tp + 3600000000
+    GROUP BY 1, 2, 3
+    """,
+    doc="Forward as-of join with tolerance: for each purchase, the FIRST error "
+    "event of the same user within the following hour (the mirror of the "
+    "backward as-of at join_asof_prev_purchase). Scale path: both sides "
+    "bucketed into 1 h bins, error side duplicated to its bin and the "
+    "preceding bin, equi-join on (user, bin) bounds candidates to the "
+    "tolerance window — no range theta-join; min() collapses to the first "
+    "match. All-integer µs output.",
+)
+def join_asof_forward_tolerance(spark, sf_dir):
+    tol = 3_600_000_000
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", _ts_us().alias("tp")
+    ).withColumn("bin", (F.col("tp") / tol).cast("long"))
+    x = ev.filter(F.col("event_type") == "error").select(
+        "user_id", _ts_us().alias("te")
+    )
+    # duplicate the right side into its own bin and the previous one so a
+    # purchase's (tp, tp+tol] window is fully covered by one equi-join key
+    xb = x.select(
+        "user_id", "te", F.explode(
+            F.array((F.col("te") / tol).cast("long"), (F.col("te") / tol).cast("long") - 1)
+        ).alias("bin")
+    )
+    return (
+        p.join(xb, ["user_id", "bin"])
+        .filter((F.col("te") > F.col("tp")) & (F.col("te") <= F.col("tp") + tol))
+        .groupBy("event_id", "user_id", "tp")
+        .agg(F.min("te").alias("t_error_us"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("tp").alias("t_purchase_us"),
+            "t_error_us",
+            (F.col("t_error_us") - F.col("tp")).alias("delta_us"),
+        )
+    )
+
+
+@query(
+    "gapfill_linear_interpolation",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CAST(floor(value * 1000) AS BIGINT) AS v
+        FROM events
+    ), ranked AS (
+        SELECT user_id, t - t % 3600000000 AS hour_us, v,
+               row_number() OVER (PARTITION BY user_id, t - t % 3600000000
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM e
+    ), obs AS (
+        SELECT user_id, hour_us, v FROM ranked WHERE rn = 1
+    ), spans AS (
+        SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1
+        FROM obs GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+        FROM spans
+    ), ctx AS (
+        SELECT g.user_id, g.hour_us, o.v,
+               last_value(o.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN o.v IS NOT NULL THEN g.hour_us END IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               first_value(o.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour_us
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN o.v IS NOT NULL THEN g.hour_us END IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour_us
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM grid g LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.hour_us = o.hour_us
+    )
+    SELECT user_id, hour_us // 1000000 AS hour_s,
+           CASE WHEN hour_us = ph THEN pv
+                ELSE pv + CAST(floor((nv - pv) * (hour_us - ph) * 1.0 / (nh - ph)) AS BIGINT)
+           END AS v_interp
+    FROM ctx
+    """,
+    doc="Time-series gap filling by LINEAR interpolation (the companion to the "
+    "forward-fill variant): per-key hourly grid, prev/next observation via "
+    "directional ignore-nulls window frames, interpolated value in exact "
+    "integer milli-units (floor of the rational interpolant — both engines "
+    "compute the same double quotient of exact ints, well inside 2^53).",
+)
+def gapfill_linear_interpolation(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hour = 3_600_000_000
+    e = ev.select(
+        "user_id",
+        "event_id",
+        _ts_us().alias("t"),
+        F.floor(F.col("value") * 1000).alias("v"),
+    ).withColumn("hour_us", F.col("t") - F.col("t") % hour)
+    obs = e.groupBy("user_id", "hour_us").agg(
+        F.max_by("v", F.struct("t", "event_id")).alias("v")
+    )
+    spans = obs.groupBy("user_id").agg(
+        F.min("hour_us").alias("h0"), F.max("hour_us").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.lit(hour).cast("long"))).alias("hour_us"),
+    )
+    back = (
+        Window.partitionBy("user_id").orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id").orderBy("hour_us")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked = F.when(F.col("v").isNotNull(), F.col("hour_us"))
+    ctx = (
+        grid.join(obs, ["user_id", "hour_us"], "left")
+        .select(
+            "user_id",
+            "hour_us",
+            F.last("v", ignorenulls=True).over(back).alias("pv"),
+            F.last(marked, ignorenulls=True).over(back).alias("ph"),
+            F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+            F.first(marked, ignorenulls=True).over(fwd).alias("nh"),
+        )
+    )
+    interp = F.when(F.col("hour_us") == F.col("ph"), F.col("pv")).otherwise(
+        F.col("pv")
+        + F.floor(
+            (F.col("nv") - F.col("pv")) * (F.col("hour_us") - F.col("ph")) * F.lit(1.0)
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return ctx.select(
+        "user_id",
+        (F.col("hour_us") / 1_000_000).cast("long").alias("hour_s"),
+        interp.alias("v_interp"),
+    )
+
+
+@query(
+    "time_weighted_avg",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CAST(floor(value * 1000) AS BIGINT) AS v
+        FROM events
+    ), seg AS (
+        SELECT user_id, v,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+        FROM e
+    )
+    SELECT user_id,
+           CAST(sum(CAST(v * dur AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(sum(CAST(dur AS DECIMAL(38,0))) AS DOUBLE) AS twa_milli,
+           count(*) AS n_segments
+    FROM seg WHERE dur IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average per key: each observation weighted by its "
+    "holding duration until the next one (lead() with (t, event_id) total "
+    "order; the last open-ended observation is excluded). Both the "
+    "value×duration products and the duration total accumulate in "
+    "DECIMAL(38,0) — exact and order-insensitive — with ONE double division "
+    "at the end; the irregular-sampling mean every sensor rollup needs.",
+)
+def time_weighted_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seg = (
+        ev.select(
+            "user_id",
+            "event_id",
+            _ts_us().alias("t"),
+            F.floor(F.col("value") * 1000).alias("v"),
+        )
+        .withColumn("dur", F.lead("t").over(w) - F.col("t"))
+        .filter(F.col("dur").isNotNull())
+    )
+    return seg.groupBy("user_id").agg(
+        (
+            F.sum((F.col("v") * F.col("dur")).cast("decimal(38,0)")).cast("double")
+            / F.sum(F.col("dur").cast("decimal(38,0)")).cast("double")
+        ).alias("twa_milli"),
+        F.count(F.lit(1)).alias("n_segments"),
     )
 
 

@@ -1032,3 +1032,67 @@ def ann_ivf_persisted_topk(spark, sf_dir):
     build_ivf_index(emb, path, n_cells=8, seed=42)
     topk = probe_ivf_index(spark, path, qv, k=10, n_probe=2)
     return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "ann_lsh_hyperplane_buckets",
+    """
+    WITH sgn AS (
+        SELECT j.j AS j, i.i AS i,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(16) j(j), range(64) i(i)
+    ), pos AS (
+        SELECT vec_id, i.i AS i,
+               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
+        FROM embeddings, range(64) i(i)
+    ), dots AS (
+        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
+        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket16
+    FROM dots GROUP BY vec_id
+    """,
+    doc="Random-hyperplane LSH bucketing for cosine ANN (16-bit signature, "
+    "md5-derived deterministic hyperplanes, exact integer milli-unit dot "
+    "products). Spark computes the whole signature as one codegen'd "
+    "expression — no shuffle/join/UDF; the oracle re-derives the identical "
+    "hyperplanes from SQL md5. The LSH-bucketed companion to the IVF index: "
+    "bucket id becomes the partition column at scale.",
+)
+def ann_lsh_hyperplane_buckets(spark, sf_dir):
+    return S.hyperplane_lsh_bucket(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_bits=16, dim=64
+    )
+
+
+@query(
+    "embedding_norm_topk",
+    """
+    WITH pos AS (
+        SELECT vec_id, CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
+        FROM embeddings, range(64) i(i)
+    ), n AS (
+        SELECT vec_id, CAST(sum(vm * vm) AS BIGINT) AS norm2_milli
+        FROM pos GROUP BY vec_id
+    )
+    SELECT e.vec_id, e.label, n.norm2_milli
+    FROM n JOIN embeddings e USING (vec_id)
+    ORDER BY n.norm2_milli DESC, e.vec_id
+    LIMIT 20
+    """,
+    doc="Top-k vectors by exact squared L2 norm (integer milli-units, "
+    "order-insensitive): magnitude screening/outlier surfacing over the "
+    "embedding table; one codegen'd expression + TakeOrderedAndProject, "
+    "total order via (norm2, vec_id) tiebreak.",
+)
+def embedding_norm_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norms = S.norm2_milli(emb, "vec_id", "embedding")
+    return (
+        norms.join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "norm2_milli")
+        .orderBy(F.desc("norm2_milli"), "vec_id")
+        .limit(20)
+    )

@@ -35,12 +35,23 @@ PROBE_QUERIES = (
     "q9_product_profit_shape",
     "q13_customer_distribution",
     "join_range_binned",
+    # flagged superlinearity risks: interval-join bin fan-out and
+    # label-propagation iteration count must both stay ~linear
+    "join_interval_pairs",
+    "dedup_clusters",
 )
 
-# key columns to offset per replica so cardinalities scale with data size
+# key columns to offset per replica so cardinalities scale with data size.
+# Foreign keys shift in lockstep with the referenced primary keys so join
+# fan-outs stay constant per key — otherwise every customer/supplier gains
+# N× the rows and the probe measures induced skew instead of scale.
+# (nation/region stay 1×: true fixed-cardinality dimensions.)
 KEY_OFFSETS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
     "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
@@ -85,8 +96,10 @@ def run(spark, sf_dir: str, label: str) -> None:
     specs = {s.name: s for s in all_queries()}
     timings = {}
     for name in PROBE_QUERIES:
-        df = specs[name].fn(spark, sf_dir)
+        # time fn() too: iterative operators (dedup_clusters) do their work
+        # eagerly inside the builder via localCheckpoint
         t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 2)
     print(json.dumps({"scale": label, "queries": timings}), flush=True)
