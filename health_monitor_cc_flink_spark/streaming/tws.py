@@ -8,10 +8,14 @@ the per-key ring buffer in a ValueState of (ts_us array, value array).
 `streaming/stateful.py` remains the default (stable API); this module is
 the forward path and is exercised by tests/test_streaming_tws.py.
 
-ENVIRONMENT GATE: the TWS state-server protocol requires
-``google.protobuf`` at runtime (pyspark's StateMessage_pb2).  This
-container has no protobuf, so the module imports lazily and the test
-skips; on a standard cluster install it runs as-is.
+ENVIRONMENT NOTES: the TWS state-server protocol requires
+``google.protobuf`` at runtime (pyspark's StateMessage_pb2) and a state
+store provider with column-family support (RocksDB).  In this sandbox
+protobuf is bootstrapped from the Google Cloud SDK's vendored runtime
+(tests/conftest.py:_bootstrap_protobuf) and the test sets the RocksDB
+provider, so tests/test_streaming_tws.py executes this path for real —
+asserting exact agreement with the batch `ml_detect_anomalies`.  On a
+standard cluster install (protobuf via pip) it runs as-is.
 """
 
 from __future__ import annotations

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Merge a round's CORRECTNESS_r{N}.json into DRIVER_GREEN.json.
+
+Run at the START of each round for the newest CORRECTNESS file so the
+registry's rotation (registry.all_queries) pushes still-unchecked
+queries into the driver's 50-query window:
+
+    python scripts/update_driver_green.py CORRECTNESS_r02.json r02
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GREEN_PATH = os.path.join(ROOT, "DRIVER_GREEN.json")
+
+
+def main() -> None:
+    correctness_path, round_tag = sys.argv[1], sys.argv[2]
+    with open(os.path.join(ROOT, correctness_path)) as f:
+        results = json.load(f)
+    try:
+        with open(GREEN_PATH) as f:
+            hist = json.load(f)
+    except OSError:
+        hist = {"green": {}, "checked": {}}
+
+    n_new_green = n_new_checked = 0
+    for name, res in results.items():
+        if name not in hist["checked"]:
+            hist["checked"][name] = round_tag
+            n_new_checked += 1
+        if (
+            res.get("rows_match")
+            and res.get("schema_match")
+            and res.get("hash_match")
+            and name not in hist["green"]
+        ):
+            hist["green"][name] = round_tag
+            n_new_green += 1
+
+    hist["_doc"] = (
+        "Driver-gate history: 'checked' = query appeared in a CORRECTNESS_r{N} "
+        "window; 'green' = rows+schema+hash all true at least once. "
+        "registry.all_queries() orders red-then-never-checked-then-green so the "
+        "driver's 50-query window rotates."
+    )
+    with open(GREEN_PATH, "w") as f:
+        json.dump(hist, f, indent=1, sort_keys=True)
+    print(
+        f"{round_tag}: +{n_new_checked} checked, +{n_new_green} green "
+        f"(totals: {len(hist['checked'])} checked, {len(hist['green'])} green)"
+    )
+
+
+if __name__ == "__main__":
+    main()
