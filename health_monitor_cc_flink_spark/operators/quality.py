@@ -17,33 +17,46 @@ NUMERIC_TYPES = (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.Decimal
 
 def profile(df: DataFrame) -> DataFrame:
     """Long-form profile: (column, metric, value) with value split into
-    numeric/string channels so types stay clean."""
-    aggs = [F.count(F.lit(1)).alias("__row_count")]
+    numeric/string channels so types stay clean.
+
+    Fully in-plan: the single wide aggregation row is unpivoted with
+    ``stack`` instead of collect()+createDataFrame, so the profile
+    composes into larger plans (and streams through foreachBatch)
+    without a driver round-trip."""
+    aggs = [F.count(F.lit(1)).cast("double").alias("__row_count")]
+    pairs: list[tuple[str, str]] = [("*", "__row_count")]
     for f in df.schema.fields:
         c = f.name
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
-        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("double").alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).cast("double").alias(f"{c}__distinct"))
+        pairs += [(c, f"{c}__nulls"), (c, f"{c}__distinct")]
         if isinstance(f.dataType, NUMERIC_TYPES):
             aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
             aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            pairs += [(c, f"{c}__min"), (c, f"{c}__max")]
         elif isinstance(f.dataType, T.StringType):
             aggs.append(F.min(F.length(c)).cast("double").alias(f"{c}__min_len"))
             aggs.append(F.max(F.length(c)).cast("double").alias(f"{c}__max_len"))
+            pairs += [(c, f"{c}__min_len"), (c, f"{c}__max_len")]
     row = df.agg(*aggs)
 
-    spark = df.sparkSession
-    wide = row.collect()[0].asDict()
-    n = wide.pop("__row_count")
-    out_rows = []
-    for k, v in wide.items():
-        col_name, metric = k.rsplit("__", 1)
-        out_rows.append((col_name, metric, float(v) if v is not None else None))
-        if metric == "nulls":
-            out_rows.append(
-                (col_name, "null_frac", (float(v) / n) if n else None)
-            )
-    out_rows.append(("*", "row_count", float(n)))
-    return spark.createDataFrame(out_rows, "column string, metric string, value double")
+    def lit_sql(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    stack_args = ", ".join(
+        f"{lit_sql(col)}, {lit_sql('row_count' if a == '__row_count' else a.rsplit('__', 1)[1])}, `{a}`"
+        for col, a in pairs
+    )
+    long = row.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (column, metric, value)"),
+        F.col("__row_count").alias("__n"),
+    )
+    null_frac = long.filter(F.col("metric") == "nulls").select(
+        "column",
+        F.lit("null_frac").alias("metric"),
+        F.when(F.col("__n") > 0, F.col("value") / F.col("__n")).alias("value"),
+    )
+    return long.select("column", "metric", "value").unionByName(null_frac)
 
 
 def check_constraints(

@@ -296,13 +296,23 @@ def hyperplane_lsh_bucket(
     return df.select(F.col(id_col), F.expr(bucket).alias(f"bucket{n_bits}"))
 
 
-def norm2_milli(df: DataFrame, id_col: str, vec_col: str, dim: int = 64) -> DataFrame:
+def norm2_milli(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Exact squared L2 norm in integer milli-units (Σ floor(vᵢ·1000)²):
     a single codegen'd expression, no shuffle; the order-insensitive
-    integer analog of `norm` for oracle-exact pipelines."""
+    integer analog of `norm` for oracle-exact pipelines.  ``carry_cols``
+    ride along from the same scan — never re-join what one projection
+    can carry."""
     expr = f"""
       aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), (a, i) ->
         a + CAST(floor(CAST(element_at({vec_col}, i + 1) AS DOUBLE) * 1000) AS BIGINT)
           * CAST(floor(CAST(element_at({vec_col}, i + 1) AS DOUBLE) * 1000) AS BIGINT))
     """
-    return df.select(F.col(id_col), F.expr(expr).alias("norm2_milli"))
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], F.expr(expr).alias("norm2_milli")
+    )

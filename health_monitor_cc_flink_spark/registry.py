@@ -3016,6 +3016,108 @@ def streaming_ss_left_outer_join(spark, sf_dir):
 
 
 @query(
+    "streaming_ss_full_outer_join",
+    """
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT least(
+            (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+        ) - 600000000 AS wm_us
+    ), matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id, p.pts - c.cts AS gap_us
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.pts > c.cts AND p.pts - c.cts <= 3600000000
+    )
+    SELECT click_id, purchase_id, user_id, gap_us FROM matched
+    UNION ALL
+    SELECT c.click_id, NULL, c.user_id, NULL
+    FROM c, m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id
+                          AND p.pts > c.cts AND p.pts - c.cts <= 3600000000
+    )
+    AND c.cts + 3600000000 < wm_us
+    UNION ALL
+    SELECT NULL, p.purchase_id, p.user_id, NULL
+    FROM p, m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM c WHERE c.user_id = p.user_id
+                          AND p.pts > c.cts AND p.pts - c.cts <= 3600000000
+    )
+    AND p.pts < wm_us
+    """,
+    doc="STREAM-STREAM FULL OUTER interval join under the oracle gate — the "
+    "remaining member of the stream-stream matrix. Null-padded emission is "
+    "per-side state expiry: a click expires when the watermark passes its "
+    "whole match window (cts + 1 h < wm), a purchase when the watermark "
+    "passes its own event time (matching clicks have cts < pts, so pts < wm "
+    "ends its candidacy); the oracle reproduces both cutoffs from the "
+    "min-of-sources final watermark.",
+)
+def streaming_ss_full_outer_join(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    def src():
+        s = (
+            spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    name = "stream_ss_fo_" + uuid.uuid4().hex[:8]
+    (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+@query(
     "agg_string_collect",
     """
     SELECT user_id,

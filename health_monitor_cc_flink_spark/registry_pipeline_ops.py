@@ -1089,10 +1089,9 @@ def ann_lsh_hyperplane_buckets(spark, sf_dir):
 )
 def embedding_norm_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    norms = S.norm2_milli(emb, "vec_id", "embedding")
+    norms = S.norm2_milli(emb, "vec_id", "embedding", carry_cols=("label",))
     return (
-        norms.join(emb.select("vec_id", "label"), "vec_id")
-        .select("vec_id", "label", "norm2_milli")
+        norms.select("vec_id", "label", "norm2_milli")
         .orderBy(F.desc("norm2_milli"), "vec_id")
         .limit(20)
     )
