@@ -42,8 +42,12 @@ def normalized_text(col: str = "text") -> F.Column:
 # -- MinHash + LSH -------------------------------------------------------------
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle) rows.
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """k-word shingles per document: (id, shingle) rows — distinct by
+    default (set-semantics for Jaccard/MinHash); ``distinct=False``
+    keeps multiplicities (bag semantics, e.g. repetition profiling).
 
     Tokenization is a plain single-space split (deterministic, engine-
     portable); shingle = k consecutive tokens joined by spaces.
@@ -64,7 +68,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     )
     win = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("w", i).over(win) for i in range(1, k)]
-    return (
+    out = (
         toks.select(
             id_col,
             F.concat_ws(" ", F.col("w"), *leads).alias("shingle"),
@@ -72,8 +76,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
         )
         .filter(F.col("_last").isNotNull())
         .drop("_last")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # Universal-hash family over a single 32-bit md5-prefix base hash:

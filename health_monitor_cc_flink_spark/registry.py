@@ -2629,6 +2629,36 @@ def _warehouse_path(sf_dir, name):
 
 
 @query(
+    "source_schema_evolution_merge",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, value,
+           CASE WHEN event_id % 2 = 1 THEN length(event_type) END AS type_len
+    FROM events
+    """,
+    doc="Schema evolution across parquet batches: an old batch (4 columns) and "
+    "a new batch carrying an added column are read together with "
+    "mergeSchema=true; old rows surface NULL for the new column — the "
+    "add-a-column migration every long-lived ingest dataset goes through. "
+    "Oracle reproduces the per-batch column presence from the row split.",
+)
+def source_schema_evolution_merge(spark, sf_dir):
+    path = _warehouse_path(sf_dir, "events_evolved")
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", _ts_us().alias("ts_us"), "user_id", "value",
+        F.length("event_type").alias("type_len"),
+    )
+    old = base.filter(F.col("event_id") % 2 == 0).drop("type_len")
+    new = base.filter(F.col("event_id") % 2 == 1)
+    old.write.mode("overwrite").parquet(path + "/batch=0")
+    new.write.mode("overwrite").parquet(path + "/batch=1")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("event_id", "ts_us", "user_id", "value", "type_len")
+    )
+
+
+@query(
     "source_json_roundtrip",
     _ROUNDTRIP_ORACLE,
     doc="JSON source/sink round-trip: events written as JSON lines and read back "

@@ -1095,3 +1095,161 @@ def embedding_norm_topk(spark, sf_dir):
         .orderBy(F.desc("norm2_milli"), "vec_id")
         .limit(20)
     )
+
+
+@query(
+    "pack_sequences_token_budget",
+    """
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 1024
+               AS BIGINT) AS bin_id
+    FROM t
+    """,
+    doc="Sequence packing for LLM training: assign docs (in deterministic "
+    "doc_id order) to fixed token-budget bins via running-sum prefix "
+    "packing (bin = (cumsum-1) div 1024). Spark side computes the global "
+    "prefix sum the SCALABLE way — two-phase: per-range partial sums, "
+    "tiny running offset over range totals (broadcast), within-range "
+    "cumsum + offset — no single-partition global window; identical "
+    "result to the oracle's flat window cumsum. All-integer.",
+)
+def pack_sequences_token_budget(spark, sf_dir):
+    budget = 1024
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    # two-phase distributed prefix sum: range buckets of doc_id
+    bucketed = docs.withColumn("rng", (F.col("doc_id") / 1000).cast("long"))
+    totals = bucketed.groupBy("rng").agg(F.sum("n_tokens").alias("rng_total"))
+    w_off = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "rng", F.coalesce(F.sum("rng_total").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = (
+        Window.partitionBy("rng")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "rng")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                (F.col("offset") + F.sum("n_tokens").over(w_in) - 1)
+                / budget
+            ).cast("long").alias("bin_id"),
+        )
+    )
+
+
+@query(
+    "decontaminate_split_overlap",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+               (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 2
+                   AS is_eval
+        FROM documents
+    )
+    SELECT e.doc_id AS eval_doc, CAST(count(t.doc_id) AS BIGINT) AS n_train_dupes
+    FROM fp e JOIN fp t ON e.fp = t.fp AND t.is_eval = FALSE
+    WHERE e.is_eval
+    GROUP BY e.doc_id
+    """,
+    doc="Train/eval contamination check: deterministic ~12.5% eval split "
+    "(md5(doc_id) first-hex-digit < 2), normalized-fingerprint equi-join "
+    "back against the train split, one overlap row per contaminated eval "
+    "doc. The dedup-across-splits step every training corpus needs; "
+    "fingerprint equi-join keeps it one shuffle, no pairwise scan.",
+)
+def decontaminate_split_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(D.normalized_text("text")).alias("fp"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+            .cast("int")
+            < 2
+        ).alias("is_eval"),
+    )
+    ev = fp.filter(F.col("is_eval")).select(F.col("doc_id").alias("eval_doc"), "fp")
+    tr = fp.filter(~F.col("is_eval")).select(F.col("doc_id").alias("train_doc"), "fp")
+    return (
+        ev.join(tr, "fp")
+        .groupBy("eval_doc")
+        .agg(F.count("train_doc").alias("n_train_dupes"))
+    )
+
+
+@query(
+    "corpus_filter_funnel",
+    """
+    WITH m AS (
+        SELECT len(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+        FROM documents
+    )
+    SELECT count(*) AS s0_total,
+           CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS s1_min_chars,
+           CAST(sum(CASE WHEN n_chars >= 100 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS s2_min_tokens,
+           CAST(sum(CASE WHEN n_chars >= 100 AND n_tokens >= 20
+                          AND n_alpha * 2 >= n_chars THEN 1 ELSE 0 END) AS BIGINT) AS s3_alpha_ratio
+    FROM m
+    """,
+    doc="Quality-filter funnel: document survival counts through a cascade "
+    "(min length → min tokens → alphabetic ratio ≥ 0.5) in ONE conditional-"
+    "aggregation pass — integer char/token counts, ratio test in cross-"
+    "multiplied integer form so no float ever enters the gate.",
+)
+def corpus_filter_funnel(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("n_alpha"),
+    )
+    c1 = F.col("n_chars") >= 100
+    c2 = c1 & (F.col("n_tokens") >= 20)
+    c3 = c2 & (F.col("n_alpha") * 2 >= F.col("n_chars"))
+    return m.agg(
+        F.count(F.lit(1)).alias("s0_total"),
+        F.sum(c1.cast("long")).alias("s1_min_chars"),
+        F.sum(c2.cast("long")).alias("s2_min_tokens"),
+        F.sum(c3.cast("long")).alias("s3_alpha_ratio"),
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    "WITH " + _DUCK_SHINGLES.replace("sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)",
+                                     "shx AS (SELECT doc_id, shingle FROM sh0)") + """
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_shingles,
+           count(*) AS n_distinct,
+           CAST(max(cnt) AS BIGINT) AS max_freq
+    FROM (
+        SELECT doc_id, shingle, count(*) AS cnt
+        FROM shx GROUP BY doc_id, shingle
+    ) GROUP BY doc_id
+    """,
+    doc="Repetition detection per document: total vs distinct 3-gram shingles "
+    "and the most-repeated shingle's frequency (max_freq/n_shingles = "
+    "repetition ratio; n_distinct/n_shingles = diversity). The boilerplate/"
+    "spam screen for corpus curation — integer outputs, two hash aggs.",
+)
+def text_repetition_ratio(spark, sf_dir):
+    sh = D.shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", 3, distinct=False)
+    per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_shingles"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("cnt").cast("long").alias("max_freq"),
+    )
