@@ -165,14 +165,16 @@ def fake_frame_sample(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_offset_ms": [], "frame_hash": []}
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
-                d = hashlib.md5(bytes(p)).digest()
-                duration_ms = 1000 + int.from_bytes(d[:2], "big")  # fake duration
+                # hex-string hash chain (not raw digest bytes) so an SQL
+                # oracle can re-derive every value: md5(hex || '_' || i)
+                hx = hashlib.md5(bytes(p)).hexdigest()
+                duration_ms = 1000 + int(hx[:4], 16)  # fake duration
                 for i in range(n_frames):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
                     out["frame_offset_ms"].append(duration_ms * i // n_frames)
                     out["frame_hash"].append(
-                        hashlib.md5(d + bytes([i])).hexdigest()[:16]
+                        hashlib.md5(f"{hx}_{i}".encode()).hexdigest()[:16]
                     )
             yield pd.DataFrame(out)
 

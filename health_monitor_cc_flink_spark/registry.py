@@ -2629,6 +2629,60 @@ def _warehouse_path(sf_dir, name):
 
 
 @query(
+    "sessionize_gaps_islands",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+    ), marked AS (
+        SELECT user_id, event_id, t,
+               CASE WHEN t - lag(t) OVER w > 1800000000 OR lag(t) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), sess AS (
+        SELECT user_id, event_id, t,
+               CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           min(t) AS session_start_us,
+           max(t) AS session_end_us,
+           max(t) - min(t) AS duration_us
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc="Batch sessionization via gaps-and-islands: 30-min inactivity gap "
+    "starts a new session; session number = running sum of start flags "
+    "(one shuffle on user_id, window + agg reuse the same partitioning). "
+    "The batch mirror of the SESSION window TVF (o21b / streaming_session_"
+    "30m), with per-session stats — all-integer µs.",
+)
+def sessionize_gaps_islands(spark, sf_dir):
+    gap = 1_800_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ts_us().alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            (F.col("t") - F.lag("t").over(w) > gap) | F.lag("t").over(w).isNull(), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("session_start_us"),
+        F.max("t").alias("session_end_us"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    )
+
+
+@query(
     "source_schema_evolution_merge",
     """
     SELECT event_id, epoch_us(ts) AS ts_us, user_id, value,

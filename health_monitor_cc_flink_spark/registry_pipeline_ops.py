@@ -365,9 +365,19 @@ def mm_binary_metadata(spark, sf_dir):
 
 @query(
     "mm_feature_extract",
-    None,  # mapInPandas path; deterministic but UDF-side → rows-only check
-    doc="Arrow-batched mapInPandas feature extraction over binary payloads; decode is "
-    "stubbed (no media libs here), batch plumbing + schema are real (operators/multimodal.py).",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+           md5(text) AS content_hash,
+           8 AS n_features,
+           CAST(('0x' || substr(md5(text), 1, 2))::INT AS BIGINT) AS f0_byte
+    FROM documents
+    """,
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads, "
+    "UNDER THE HASH GATE: decode is stubbed (no media libs here) but the "
+    "deterministic features are digest-derived, so the oracle re-computes "
+    "byte 0 exactly — the mapInPandas batch path itself is value-verified, "
+    "not just row-counted.",
 )
 def mm_feature_extract(spark, sf_dir):
     docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
@@ -377,7 +387,7 @@ def mm_feature_extract(spark, sf_dir):
         "size_bytes",
         "content_hash",
         F.size("features").alias("n_features"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 1) * 255).cast("long").alias("f0_byte"),
     )
 
 
@@ -671,9 +681,21 @@ def streaming_stateful_anomalies(spark, sf_dir):
 
 @query(
     "mm_frame_sample",
-    None,  # mapInPandas 1→N path → rows-only check (deterministic fakes)
-    doc="Multimodal frame sampling: mapInPandas emitting n_frames rows per binary "
-    "payload (the 1→N shape of real video decode; decoder stubbed, batch path real).",
+    """
+    WITH d AS (
+        SELECT doc_id, md5(text) AS h,
+               1000 + ('0x' || substr(md5(text), 1, 4))::INT AS duration_ms
+        FROM documents
+    )
+    SELECT doc_id, i.i AS frame_idx,
+           CAST(duration_ms * i.i // 4 AS BIGINT) AS frame_offset_ms,
+           substr(md5(h || '_' || i.i), 1, 16) AS frame_hash
+    FROM d, range(4) i(i)
+    """,
+    doc="Multimodal frame sampling UNDER THE HASH GATE: mapInPandas emits "
+    "n_frames rows per binary payload (the 1→N shape of real video decode; "
+    "decoder stubbed) with digest-derived offsets/hashes the oracle "
+    "re-computes exactly — value-verifies the 1→N Arrow batch path.",
 )
 def mm_frame_sample(spark, sf_dir):
     docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))

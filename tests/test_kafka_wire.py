@@ -155,3 +155,70 @@ def test_wire_format_stream_to_windowed_vitals(spark, tmp_path):
     wm = max(r.event_time for r in rows) - dt.timedelta(seconds=10)
     expected_closed = {k for k, r in batch.items() if k[1] < wm}
     assert set(got) >= expected_closed
+
+
+# ---------------------------------------------------------------------------
+# property-based codec fuzzing (pure Python — no SparkSession needed)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    import json
+    import math
+    import struct as _struct
+
+    _FUZZ_SCHEMA = json.dumps(
+        {
+            "type": "record",
+            "name": "Fuzz",
+            "fields": [
+                {"name": "s", "type": "string"},
+                {"name": "i", "type": "int"},
+                {"name": "l", "type": "long"},
+                {"name": "f", "type": "float"},
+                {"name": "d", "type": "double"},
+                {"name": "b", "type": "boolean"},
+                {
+                    "name": "nested",
+                    "type": {
+                        "type": "record",
+                        "name": "Inner",
+                        "fields": [
+                            {"name": "x", "type": "long"},
+                            {"name": "y", "type": "string"},
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+
+    @given(
+        s=st.text(max_size=200),
+        i=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        l=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        f=st.floats(width=32, allow_nan=False),
+        d=st.floats(allow_nan=False),
+        b=st.booleans(),
+        x=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        y=st.text(max_size=50),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_codec_roundtrip_property(s, i, l, f, d, b, x, y):
+        """encode→decode is the identity for every value in the type
+        domain, including extreme zigzag varints (±2^63) and float32
+        denormals; NaN excluded (NaN != NaN breaks equality, not codec)."""
+        rec = {"s": s, "i": i, "l": l, "f": f, "d": d, "b": b, "nested": {"x": x, "y": y}}
+        out = decode_record(_FUZZ_SCHEMA, encode_record(_FUZZ_SCHEMA, rec))
+        # float32 round-trips through its 4-byte representation
+        expect_f = _struct.unpack("<f", _struct.pack("<f", f))[0]
+        assert out["s"] == s and out["i"] == i and out["l"] == l
+        assert out["b"] == b and out["nested"] == {"x": x, "y": y}
+        assert out["d"] == d or (math.isinf(d) and out["d"] == d)
+        assert out["f"] == expect_f
