@@ -2629,6 +2629,35 @@ def _warehouse_path(sf_dir, name):
 
 
 @query(
+    "agg_bitmap_distinct_exact",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM events GROUP BY event_type
+    """,
+    doc="EXACT distinct counting via bitmaps (bitmap_bucket_number / "
+    "bitmap_construct_agg / bitmap_count): per-bucket bitmaps are small, "
+    "mergeable partial aggregates — the scale path for exact COUNT(DISTINCT) "
+    "over a bounded-int key domain, where the naive expand-distinct shuffle "
+    "moves every (group, key) pair and HLL only approximates. Oracle = plain "
+    "COUNT(DISTINCT).",
+)
+def agg_bitmap_distinct_exact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"))
+    )
+
+
+@query(
     "sessionize_gaps_islands",
     """
     WITH e AS (

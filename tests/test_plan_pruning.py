@@ -78,3 +78,40 @@ def test_simhash_pairs_no_cartesian(spark, sf_smoke_dir):
         plan = spec.fn(spark, sf_smoke_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_no_cartesian_sweep(spark, sf_smoke_dir):
+    """Registry-wide plan gate: NO batch relational query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
+    genuinely scalar/tiny side is broadcast (documented allowlist).
+    Catches the next accidental all-pairs join at registration time."""
+    from health_monitor_cc_flink_spark.registry import all_queries
+
+    # excluded: streaming_* run a full drain inside fn(); source_* write
+    # fixture files; health_*/simulator build their own fixture data;
+    # dedup_clusters iterates eagerly; udaf registers session state.
+    skip_prefixes = ("streaming_", "source_", "health_", "simulator_", "cdc_")
+    skip_names = {"dedup_clusters", "sql_surface_q1", "ann_ivf_persisted_topk"}
+    # BNLJ-of-tiny allowlist: scalar thresholds / constant dimension rows
+    bnlj_ok = {
+        "q17_small_quantity_revenue",   # scalar avg threshold broadcast
+        "q22_global_sales_opportunity", # scalar avg + tiny cntrycode dim
+        "scalar_subquery_filter",       # scalar subquery literal
+        "o22_sort_limit_topk",
+        "join_salted_skew",             # salt-explode broadcast
+        "q11_share_threshold_shape",    # scalar share threshold
+        "q15_top_supplier_shape",       # scalar max revenue
+    }
+    checked = 0
+    for spec in all_queries():
+        if spec.name in skip_names or spec.name.startswith(skip_prefixes):
+            continue
+        df = spec.fn(spark, sf_smoke_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{spec.name} plans a CartesianProduct"
+        if spec.name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{spec.name} plans a BroadcastNestedLoopJoin outside the allowlist"
+            )
+        checked += 1
+    assert checked > 100, f"sweep only covered {checked} queries"
