@@ -1275,3 +1275,231 @@ def text_repetition_ratio(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
         F.max("cnt").cast("long").alias("max_freq"),
     )
+
+
+@query(
+    "corpus_span_dedup_global",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), s AS (
+        SELECT doc_id, i,
+               array_to_string(words[(i*10+1):(i*10+10)], ' ') AS span
+        FROM w, unnest(generate_series(0,
+                 CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS t(i)
+    ), uniq AS (
+        SELECT span FROM s GROUP BY span HAVING count(*) = 1
+    )
+    SELECT doc_id, count(*) AS n_spans_kept,
+           string_agg(span, ' ' ORDER BY i) AS text_clean
+    FROM s JOIN uniq USING (span)
+    GROUP BY doc_id
+    """,
+    doc="C4-style global span-level dedup (the corpus has no newlines, so the "
+    "'line' unit is a 10-word span): segment every document into positional "
+    "spans, count each span's occurrences across the WHOLE corpus in one "
+    "hash agg, drop spans that appear anywhere else, and reassemble the "
+    "surviving text in original order via sort_array(collect_list(struct)). "
+    "Scale shape: one groupBy(span) shuffle + one span-key join + one "
+    "groupBy(doc) — no pairwise comparison anywhere; boilerplate removal "
+    "for a 100 TB corpus at the cost of three shuffles on bounded keys.",
+)
+def corpus_span_dedup_global(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("words"))
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (F.ceil(F.size("words") / F.lit(10.0)) - 1).cast("int"),
+            )
+        ).alias("i"),
+        "words",
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(F.slice("words", F.col("i") * 10 + 1, 10), " ").alias("span"),
+    )
+    uniq = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == 1)
+        .select("span")
+    )
+    kept = spans.join(uniq, "span")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+
+
+@query(
+    "corpus_chunk_overlap",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), g AS (
+        SELECT doc_id, words,
+               unnest(generate_series(0,
+                   CASE WHEN n <= 40 THEN 0
+                        ELSE CAST(ceil((n - 40) / 30.0) AS BIGINT) END)) AS cid
+        FROM w
+    )
+    SELECT doc_id, cid AS chunk_id,
+           CAST(len(words[(cid*30+1):(cid*30+40)]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(words[(cid*30+1):(cid*30+40)], ' ')) AS chunk_md5
+    FROM g
+    """,
+    doc="Context-window chunking with overlap (window=40 tokens, stride=30, "
+    "i.e. 10-token overlap): each document becomes ceil((n-W)/S)+1 chunks, "
+    "generated IN-PLAN from an exploded index sequence + array slice — the "
+    "1-to-N row expansion is pure narrow work (no shuffle at all), which is "
+    "exactly how a 100 TB pretokenization pass should chunk. Chunk content "
+    "is verified by md5 so the oracle pins values, not just counts.",
+)
+def corpus_chunk_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_last = F.when(F.col("n") <= 40, F.lit(0)).otherwise(
+        F.ceil((F.col("n") - 40) / F.lit(30.0)).cast("int")
+    )
+    chunk = F.slice("words", F.col("chunk_id") * 30 + 1, 40)
+    return (
+        base.select(
+            "doc_id",
+            "words",
+            F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "corpus_mix_resample",
+    """
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT
+          < (CAST(substr(source, 4) AS INT) % 4 + 1) * 64
+    GROUP BY source
+    """,
+    doc="Domain-mixture resampling: downsample each source to a target weight "
+    "(here rate = (src_idx % 4 + 1)/4, i.e. 25/50/75/100%) with a "
+    "DETERMINISTIC per-document hash gate — md5(doc_id) first byte vs a "
+    "per-source threshold — so the mixture is reproducible across runs, "
+    "engines and partitionings (rand()-based mixing is neither). The gate "
+    "is a narrow filter evaluated at the scan (no shuffle to sample 100 TB); "
+    "only the per-source audit aggregation shuffles, on a 20-key column.",
+)
+def corpus_mix_resample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    byte = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    thresh = (F.substring("source", 4, 8).cast("int") % 4 + 1) * 64
+    return (
+        docs.filter(byte < thresh)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+    )
+
+
+@query(
+    "text_winnowing_fingerprints",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), k AS (
+        SELECT doc_id, i AS pos, len(words) AS n,
+               ('0x' || substr(md5(array_to_string(words[(i+1):(i+4)], ' ')), 1, 8))::BIGINT
+                   AS kh
+        FROM w, unnest(generate_series(0, len(words) - 4)) AS t(i)
+        WHERE len(words) >= 8
+    ), c AS (
+        SELECT doc_id, pos, n, kh * 1024 + (1023 - pos) AS comb
+        FROM k
+    ), m AS (
+        SELECT doc_id, pos, n,
+               min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+        FROM c
+    ), fp AS (
+        SELECT DISTINCT doc_id, sel FROM m WHERE pos <= n - 8
+    )
+    SELECT doc_id, count(*) AS n_fingerprints,
+           CAST(sum(sel) AS BIGINT) AS fp_sum
+    FROM fp GROUP BY doc_id
+    """,
+    doc="MOSS-style winnowing fingerprint selection (k=4-word grams, window "
+    "w=5): hash every k-gram, then for each window of 5 consecutive k-grams "
+    "select its minimum hash with the standard rightmost-on-ties rule — "
+    "encoded arithmetically as kh*1024 + (1023 - pos) so one plain min() "
+    "frame implements the argmin + tie-break with no struct ordering. The "
+    "frame is BOUNDED ([current, +4]) so it is O(n*w) streaming work per "
+    "partition, unlike an unbounded-following frame; the distinct selected "
+    "set is the document's winnowing sketch (guaranteed match detection for "
+    "any shared run of >= w+k-1 = 8 tokens).",
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= 8)
+    kg = base.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), (F.col("n") - 4).cast("int"))).alias("pos"),
+        "words",
+    ).select(
+        "doc_id",
+        "n",
+        "pos",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("words", F.col("pos") + 1, 4), " ")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 1024
+            + (F.lit(1023) - F.col("pos"))
+        ).alias("comb"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
+    sel = (
+        kg.withColumn("sel", F.min("comb").over(win))
+        .filter(F.col("pos") <= F.col("n") - 8)
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum("sel").cast("long").alias("fp_sum"),
+    )
