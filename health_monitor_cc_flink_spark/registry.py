@@ -3844,3 +3844,50 @@ def json_function_battery(spark, sf_dir):
         F.size(parsed["arr"]).cast("long").alias("arr_len"),
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps "
+    "per-key state only until the watermark passes it — the ONLY dedup that "
+    "survives an infinite stream (plain dropDuplicates state grows without "
+    "bound; reference O30's append windows face the same trade). availableNow "
+    "over one file is a single micro-batch, so the in-watermark guarantee "
+    "covers the whole input and the sink must equal exact batch dedup; the "
+    "post-sink per-type rollup makes the check independent of which "
+    "duplicate's timestamp survived.",
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    import uuid
+
+    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+
+    src = (
+        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dd = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    name = "stream_ddww_" + uuid.uuid4().hex[:8]
+    (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
