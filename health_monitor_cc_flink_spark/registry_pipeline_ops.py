@@ -1503,3 +1503,130 @@ def text_winnowing_fingerprints(spark, sf_dir):
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.sum("sel").cast("long").alias("fp_sum"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem_orders' AS rel, count(*) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_part', count(*)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_partkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_supplier', count(*)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_suppkey IS NULL
+    UNION ALL
+    SELECT 'orders_customer', count(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+    doc="Referential-integrity audit across the star schema: orphan-FK counts "
+    "for every relationship, each as a LEFT ANTI join (no row widening, the "
+    "probe side never multiplies) aggregated to a single count. At 100 TB "
+    "each check is one shuffle on the FK — or free if fact and dim are "
+    "bucketed on the key — and the dimension sides (part/supplier/customer) "
+    "broadcast below the AQE threshold. Zero counts are the PASS state and "
+    "are value-verified like any other result.",
+)
+def dq_referential_integrity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+
+    def orphans(rel, fact, dim, fk, pk):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(rel).alias("rel"), "n_orphans")
+        )
+
+    return (
+        orphans("lineitem_orders", li, orders, "l_orderkey", "o_orderkey")
+        .unionByName(orphans("lineitem_part", li, part, "l_partkey", "p_partkey"))
+        .unionByName(orphans("lineitem_supplier", li, supp, "l_suppkey", "s_suppkey"))
+        .unionByName(orphans("orders_customer", orders, cust, "o_custkey", "c_custkey"))
+    )
+
+
+@query(
+    "embedding_centroid_per_label",
+    """
+    WITH e AS (
+        SELECT label, i - 1 AS dim, embedding[i] AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS centroid
+    FROM e GROUP BY label, dim
+    """,
+    doc="Per-class centroid of an embedding column (mean pooling — the "
+    "building block for class prototypes, IVF coarse quantizers and "
+    "embedding-drift monitoring): posexplode to (label, dim, value), one "
+    "partial-aggregating shuffle on (label, dim). Floats are summed as "
+    "DECIMAL(28,10) so the aggregation is associative-EXACT — a plain "
+    "double sum is partition-order-dependent and would not be "
+    "reproducible across engines or between runs at scale; the single "
+    "double division happens once per group at the end.",
+)
+def embedding_centroid_per_label(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        e.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+    )
+
+
+@query(
+    "sample_weighted_topk",
+    """
+    WITH p AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    AS DOUBLE) / n_chars AS priority
+        FROM documents
+    ), r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY priority, doc_id) AS rk
+        FROM p
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10
+    """,
+    doc="Deterministic weighted sampling without replacement: priority = "
+    "hash(doc_id)/weight (weight = n_chars, so longer documents are "
+    "proportionally likelier), take the 10 lowest priorities per language. "
+    "The hash is the randomness source, so the draw is reproducible across "
+    "engines/runs/partitionings, and the double division is a single IEEE "
+    "op on exact integers — bit-identical everywhere, ties broken by "
+    "doc_id. Scale shape: one window shuffle on lang; for billions of rows "
+    "per stratum, swap row_number for a per-partition top-k + merge "
+    "(the topk_per_group pattern) to avoid sorting whole partitions.",
+)
+def sample_weighted_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    p = docs.select(
+        "doc_id",
+        "lang",
+        (u.cast("double") / F.col("n_chars")).alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        p.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "lang", "rk")
+    )
