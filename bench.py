@@ -76,16 +76,11 @@ def main() -> None:
     # streaming path's sustained rate vs the reference's 50 events/s
     import uuid
 
-    from health_monitor_cc_flink_spark.schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from health_monitor_cc_flink_spark.sources.testdata import events_stream
     from pyspark.sql import functions as SF
 
     n_events = load_table(spark, sf_dir, "events").count()
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
-    )
+    src = events_stream(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "10 minutes")
         .groupBy(SF.window("ts", "1 minute"), "user_id")

@@ -973,14 +973,9 @@ def distinct_pairs(spark, sf_dir):
 def streaming_tumble_minute(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
 
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
@@ -1254,14 +1249,10 @@ def scalar_subquery_filter(spark, sf_dir):
 def streaming_enrich_join(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
     from .sources.testdata import load_table
 
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
     joined = src.join(F.broadcast(cust), src.user_id == cust.c_custkey, "inner").select(
         "event_id", "user_id", F.col("c_name").alias("name"), "value"
@@ -1592,14 +1583,9 @@ def q22_global_sales_opportunity(spark, sf_dir):
 def streaming_hop_10m5m(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
 
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id")
@@ -1647,14 +1633,9 @@ def streaming_hop_10m5m(spark, sf_dir):
 def streaming_session_30m(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
 
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -1972,15 +1953,10 @@ def window_frame_battery(spark, sf_dir):
 def streaming_stream_stream_join(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
 
     def src():
-        s = (
-            spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return events_stream(spark, sf_dir)
 
     clicks = (
         src()
@@ -2521,13 +2497,9 @@ def join_salted_skew(spark, sf_dir):
 def streaming_dedup_distinct(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
 
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = events_stream(spark, sf_dir)
     deduped = src.select("user_id", "event_type").dropDuplicates()
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
     (
@@ -2556,13 +2528,9 @@ def streaming_dedup_distinct(spark, sf_dir):
 def streaming_complete_mode_agg(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
 
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = events_stream(spark, sf_dir)
     agg = src.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
@@ -2999,14 +2967,9 @@ def streaming_cumulate_5m20m(spark, sf_dir):
     import uuid
     from functools import reduce
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
 
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir)
     wm = ev.withWatermark("ts", "10 minutes")
     branches = []
     for k in range(1, 5):
@@ -3074,15 +3037,10 @@ def streaming_cumulate_5m20m(spark, sf_dir):
 def streaming_ss_left_outer_join(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
 
     def src():
-        s = (
-            spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return events_stream(spark, sf_dir)
 
     clicks = (
         src()
@@ -3176,15 +3134,10 @@ def streaming_ss_left_outer_join(spark, sf_dir):
 def streaming_ss_full_outer_join(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
 
     def src():
-        s = (
-            spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return events_stream(spark, sf_dir)
 
     clicks = (
         src()
@@ -3864,14 +3817,9 @@ def json_function_battery(spark, sf_dir):
 def streaming_dedup_within_watermark(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
 
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir)
     dd = (
         ev.select("user_id", "event_type", "ts")
         .withWatermark("ts", "10 minutes")

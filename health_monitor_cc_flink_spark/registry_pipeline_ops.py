@@ -645,15 +645,10 @@ def ann_ivf_kmeans(spark, sf_dir):
 def streaming_stateful_anomalies(spark, sf_dir):
     import uuid
 
-    from .schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from .sources.testdata import events_stream
     from .streaming.stateful import streaming_detect_anomalies
 
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir)
     flagged = streaming_detect_anomalies(
         ev.withWatermark("ts", "10 minutes"),
         value_col="value",

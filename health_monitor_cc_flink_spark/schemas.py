@@ -101,8 +101,12 @@ FORECAST_ROW_SCHEMA = T.StructType(
 )
 
 # --- driver testdata schemas (FIXTURES.md §B) --------------------------------
-# Declared explicitly so scans never rely on inference; `events.ts` is
-# int64 nanos under spark.sql.legacy.parquet.nanosAsLong=true.
+# LEGACY events encoding: `ts` as int64 epoch-nanos (parquet
+# TIMESTAMP(NANOS) under spark.sql.legacy.parquet.nanosAsLong=true).
+# Newer driver testdata ships `ts` as timestamp[us]; production readers
+# must go through sources.testdata (normalize_events / events_stream),
+# which probes the footer and adapts.  This schema remains only for
+# tests that write their own nanos-encoded fixtures.
 
 TESTDATA_EVENTS_RAW_SCHEMA = T.StructType(
     [

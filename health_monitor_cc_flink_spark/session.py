@@ -13,11 +13,13 @@ Design notes (100 TB north star, tested on local[32]):
 - **UTC session timezone**: all event-time semantics are
   timezone-independent, and results stay comparable to naive-timestamp
   oracles (DuckDB) bit-for-bit.
-- **nanosAsLong**: the driver testdata stores `events.ts` as parquet
-  TIMESTAMP(NANOS), which Spark does not map to TimestampType; we read
-  it as int64 nanos and normalize in sources.testdata (lossless for
-  derived epoch math; windowing floors compose, so bucket assignment is
-  identical to flooring the raw nanos).
+- **nanosAsLong**: some driver-testdata generations store `events.ts`
+  as parquet TIMESTAMP(NANOS), which Spark does not map to
+  TimestampType; with this conf it reads as int64 nanos.  Newer
+  generations use timestamp[us].  sources.testdata probes the footer
+  and normalizes either encoding to (ts_ns int64, ts timestamp);
+  windowing floors compose, so bucket assignment is identical either
+  way.  The conf is harmless when the column is already µs.
 """
 
 from __future__ import annotations

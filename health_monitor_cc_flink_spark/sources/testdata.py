@@ -1,18 +1,27 @@
 """Readers for the driver-provided parquet testdata (TESTDATA.md).
 
-The only non-trivial table is ``events``: its ``ts`` column is parquet
-TIMESTAMP(NANOS), which Spark's vectorized reader rejects.  With
-``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as int64 epoch
-nanos; :func:`load_events` keeps that exact integer as ``ts_ns`` (used
-whenever an oracle-exact value is needed) and adds a µs-truncated proper
-``ts`` TimestampType column for event-time operators.  Truncation is
-safe for windowing because floors compose: flooring nanos to µs and then
-to any window size equals flooring nanos directly.
+The only non-trivial table is ``events``: its ``ts`` column has shipped
+in two physical encodings across driver generations, and we adapt to
+both by probing the parquet footer (a driver-only metadata read):
+
+- parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it unless
+  ``spark.sql.legacy.parquet.nanosAsLong=true``, under which it arrives
+  as int64 epoch nanos.
+- parquet timestamp[us] (isAdjustedToUTC=false): arrives as
+  TIMESTAMP_NTZ.
+
+Either way :func:`load_events` exposes the same canonical frame:
+``ts_ns`` int64 epoch-nanos (the oracle-exact integer unit — house rule
+1 in registry.py: Spark ``ts_ns div 1000`` ≡ DuckDB ``epoch_us(ts)``)
+plus a proper ``ts`` TimestampType column for event-time operators.
+NTZ wall-clock is interpreted as UTC, matching DuckDB's ``epoch_us`` on
+naive timestamps (session timezone is pinned to UTC in session.py).
+µs truncation of nanos is safe for windowing because floors compose.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..schemas import TESTDATA_TABLES
 from ..session import ensure_runtime_confs
@@ -26,13 +35,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def normalize_events(raw: DataFrame) -> DataFrame:
+    """Canonicalize an events frame to (event_id, ts_ns, user_id,
+    event_type, value, props, ts) regardless of the source encoding of
+    ``ts`` (int64 epoch-nanos or timestamp[us]/NTZ)."""
+    ts_dt = raw.schema["ts"].dataType
+    if isinstance(ts_dt, T.LongType):
+        return (
+            raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+    ts = F.col("ts").cast("timestamp")  # NTZ→LTZ under UTC session tz
+    cols = [
+        (F.unix_micros(ts) * F.lit(1000)).alias("ts_ns") if c == "ts" else F.col(c)
+        for c in raw.columns
+    ]
+    cols.append(ts.alias("ts"))
+    return raw.select(*cols)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    return normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The on-disk events schema (footer probe; needed because streaming
+    reads require an explicit schema and must match the physical type)."""
+    ensure_runtime_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events source with ``ts`` normalized to TimestampType.
+
+    Columns: (event_id, ts, user_id, event_type, value, props) — same
+    positions as on disk, ``ts`` usable for watermarks/windows.  Adapts
+    to both physical encodings of ``ts`` like :func:`normalize_events`.
+    """
+    schema = events_raw_schema(spark, sf_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -7,17 +7,13 @@ import shutil
 from pyspark.sql import functions as F
 
 from health_monitor_cc_flink_spark.schemas import TESTDATA_EVENTS_RAW_SCHEMA
-from health_monitor_cc_flink_spark.sources.testdata import load_table
+from health_monitor_cc_flink_spark.sources.testdata import events_stream, load_table
 from health_monitor_cc_flink_spark.streaming.materialize import maintain_table
 
 
 def test_snapshot_equals_batch_aggregate(spark, sf_smoke_dir, tmp_path):
     snap, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
-    src = (
-        spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_smoke_dir)
-    )
+    src = events_stream(spark, sf_smoke_dir)
     agg = src.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),

@@ -26,16 +26,12 @@ def test_replayed_epoch_is_idempotent(spark, sf_smoke_dir, tmp_path):
 def test_sink_under_real_stream(spark, sf_smoke_dir, tmp_path):
     """End-to-end: file-stream drained availableNow through the sink; a
     second run with the SAME checkpoint must not re-emit (no new rows)."""
-    from health_monitor_cc_flink_spark.schemas import TESTDATA_EVENTS_RAW_SCHEMA
+    from health_monitor_cc_flink_spark.sources.testdata import events_stream
 
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
     def run():
-        src = (
-            spark.readStream.schema(TESTDATA_EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_smoke_dir)
-        )
+        src = events_stream(spark, sf_smoke_dir)
         (
             src.select("event_id", "user_id")
             .writeStream.foreachBatch(idempotent_parquet_sink(out))
