@@ -1553,33 +1553,37 @@ def dq_referential_integrity(spark, sf_dir):
     "embedding_centroid_per_label",
     """
     WITH e AS (
-        SELECT label, i - 1 AS dim, embedding[i] AS v
+        SELECT label, i - 1 AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000000.0) AS BIGINT) AS vs
         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
     )
     SELECT label, CAST(dim AS BIGINT) AS dim,
-           CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS centroid
+           CAST(sum(vs) AS DOUBLE) / 10000000000.0 / count(*) AS centroid
     FROM e GROUP BY label, dim
     """,
     doc="Per-class centroid of an embedding column (mean pooling — the "
     "building block for class prototypes, IVF coarse quantizers and "
     "embedding-drift monitoring): posexplode to (label, dim, value), one "
-    "partial-aggregating shuffle on (label, dim). Floats are summed as "
-    "DECIMAL(28,10) so the aggregation is associative-EXACT — a plain "
-    "double sum is partition-order-dependent and would not be "
-    "reproducible across engines or between runs at scale; the single "
-    "double division happens once per group at the end.",
+    "partial-aggregating shuffle on (label, dim). Each float is "
+    "floor-scaled to an int64 of 1e-10 units BEFORE summing, so the "
+    "aggregation is associative-EXACT and engine-exact — a plain double "
+    "sum is partition-order-dependent, and decimal casts of doubles land "
+    "on rounding-mode ties (HALF_UP vs banker's) that differ across "
+    "engines; floor of the identical IEEE product never does.  The "
+    "divisions happen once per group at the end, in a fixed order.",
 )
 def embedding_centroid_per_label(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-    return (
-        e.groupBy("label", F.col("dim").cast("long").alias("dim"))
-        .agg(
-            (
-                F.sum(F.col("v").cast("double").cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("centroid")
-        )
+    e = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * F.lit(10000000000.0)).alias("vs"),
+    )
+    return e.groupBy("label", "dim").agg(
+        (F.sum("vs").cast("double") / F.lit(10000000000.0) / F.count(F.lit(1))).alias("centroid")
     )
 
 
@@ -1624,4 +1628,185 @@ def sample_weighted_topk(spark, sf_dir):
         p.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 10)
         .select("doc_id", "lang", "rk")
+    )
+
+
+# =============================================================================
+# Graph analytics over derived co-occurrence graphs (suppliers that serve
+# the same order).  Both ops are ALL-INTEGER so the hash gate is exact,
+# and both avoid any driver-side loop over data: the iteration count is a
+# small constant, so the loop unrolls into a fixed DAG of joins.
+# =============================================================================
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH el AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), e AS (
+        SELECT a.l_suppkey AS a, b.l_suppkey AS b
+        FROM el a JOIN el b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ), tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT v AS suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY v
+    """,
+    doc="Distributed triangle counting on the supplier co-service graph "
+    "(edge = two suppliers fill ≥3 common orders).  Canonical a<b edge "
+    "orientation makes each triangle appear exactly once as a<b<c: one "
+    "equi-join builds wedges, a second closes them — never an all-pairs "
+    "product.  Per-vertex counts come from exploding each triangle to its "
+    "3 corners (integer-exact).  Scale shape: edge derivation is one "
+    "self-join bounded by per-order supplier fan-out (~O(orders x k^2), k "
+    "= suppliers per order); at 100 TB the standard refinement is "
+    "degree-orientation (order endpoints by (degree, id)) which bounds "
+    "wedge fan-out by graph arboricity, plus AQE skew-split on hub "
+    "vertices — the join topology stays exactly the same.",
+)
+def graph_triangle_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    el = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = el.alias("a"), el.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+        .select("a", "b")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("suppkey"))
+    return corners.groupBy("suppkey").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "graph_pagerank_intscaled",
+    """
+    WITH el AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), e AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM el a JOIN el b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2
+    ), deg AS (
+        SELECT src, count(*) AS outd FROM e GROUP BY src
+    ), n AS (
+        SELECT count(*) AS n_v FROM deg
+    ), p0 AS (
+        SELECT src AS v, 1000000000000 // n.n_v AS p FROM deg, n
+    ), p1 AS (
+        SELECT e.dst AS v,
+               (150000000000 // n.n_v) + (85 * sum(p0.p // deg.outd)) // 100 AS p
+        FROM e JOIN p0 ON e.src = p0.v JOIN deg ON e.src = deg.src CROSS JOIN n
+        GROUP BY e.dst, n.n_v
+    ), p2 AS (
+        SELECT e.dst AS v,
+               (150000000000 // n.n_v) + (85 * sum(p1.p // deg.outd)) // 100 AS p
+        FROM e JOIN p1 ON e.src = p1.v JOIN deg ON e.src = deg.src CROSS JOIN n
+        GROUP BY e.dst, n.n_v
+    ), p3 AS (
+        SELECT e.dst AS v,
+               (150000000000 // n.n_v) + (85 * sum(p2.p // deg.outd)) // 100 AS p
+        FROM e JOIN p2 ON e.src = p2.v JOIN deg ON e.src = deg.src CROSS JOIN n
+        GROUP BY e.dst, n.n_v
+    )
+    SELECT v AS suppkey, CAST(p AS BIGINT) AS pagerank_ppt
+    FROM p3
+    """,
+    doc="PageRank (3 unrolled iterations, damping 0.85) on the directed "
+    "supplier co-service graph, in INTEGER-SCALED arithmetic: probability "
+    "mass carried as bigint units of 1e-12, every division an integer "
+    "floor-div — so the result is bit-identical across engines, runs and "
+    "partitionings (a double-summed PageRank is none of those).  The "
+    "iteration is a constant-depth unrolled DAG: each step is one "
+    "shuffle-join of the rank vector against the edge list plus a hash "
+    "agg on dst — exactly the join topology Pregel-style engines run; at "
+    "1000 executors the rank vector co-partitions with the edge list on "
+    "src (bucketing) so only the agg shuffles.  The co-occurrence graph "
+    "is symmetric, so there are no dangling vertices by construction.",
+)
+def graph_pagerank_intscaled(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    el = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = el.alias("a"), el.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    n_v = deg.count()  # vertex count: scalar bound for the teleport term
+    base = F.lit(150000000000 // n_v).cast("long")
+    p = deg.select(F.col("src").alias("v"), F.lit(1000000000000 // n_v).cast("long").alias("p"))
+    for _ in range(3):
+        contrib = (
+            e.join(p, e.src == p.v)
+            .join(deg, "src")
+            .select("dst", F.expr("p div outd").alias("c"))
+        )
+        p = (
+            contrib.groupBy("dst")
+            .agg((base + F.expr("(85 * sum(c)) div 100")).alias("p"))
+            .select(F.col("dst").alias("v"), "p")
+        )
+    return p.select(F.col("v").alias("suppkey"), F.col("p").alias("pagerank_ppt"))
+
+
+@query(
+    "text_commonness_score",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), cf AS (
+        SELECT w, count(*) AS cf FROM tok GROUP BY w
+    )
+    SELECT tok.doc_id,
+           CAST(sum(cf.cf) AS BIGINT) AS sum_cf,
+           CAST(count(*) AS BIGINT) AS n_tok
+    FROM tok JOIN cf ON tok.w = cf.w
+    GROUP BY tok.doc_id
+    """,
+    doc="Corpus-frequency commonness profile per document: total corpus "
+    "frequency of each token occurrence plus token count — the exact "
+    "integer inputs to boilerplate/gibberish scoring (high mean frequency "
+    "= templated text, low = OCR noise; consumer applies the log).  Two "
+    "hash aggs + one join; the term-frequency table is Zipf-small "
+    "relative to the corpus, so at scale it broadcasts and the score "
+    "costs one scan + one shuffle on doc_id.",
+)
+def text_commonness_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        tok.join(F.broadcast(cf), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("cf").alias("sum_cf"), F.count(F.lit(1)).alias("n_tok"))
     )
