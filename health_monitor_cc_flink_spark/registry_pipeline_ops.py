@@ -1639,17 +1639,66 @@ def sample_weighted_topk(spark, sf_dir):
 # =============================================================================
 
 
+# Shared construction: the supplier co-service k-NN graph.  The RAW
+# co-occurrence graph (any two suppliers sharing an order) densifies
+# toward a complete graph as orders grow — triangle counting on it is
+# Θ(V³) no matter the engine.  Real graph-analytics pipelines sparsify
+# first; we keep each supplier's top-10 partners by shared-order count
+# (ties broken by partner id), which bounds every degree by a constant,
+# makes downstream wedge fan-out O(V·k²), and is the standard
+# co-occurrence→k-NN-graph construction from recsys/graph-ML.
+_DUCK_KNN_GRAPH = """
+    el AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), pair AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS n_common
+        FROM el a JOIN el b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2
+    ), knn AS (
+        SELECT src, dst FROM pair
+        QUALIFY row_number() OVER (PARTITION BY src
+                                   ORDER BY n_common DESC, dst) <= 10
+    )
+"""
+
+
+def _knn_graph_directed(spark, sf_dir, k: int = 10):
+    """Directed supplier k-NN co-service graph: (src, dst), out-degree ≤ k."""
+    li = _t(spark, sf_dir, "lineitem")
+    el = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = el.alias("a"), el.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_common"), F.asc("dst"))
+    knn = (
+        pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst")
+    )
+    # The edge list is V·k rows (tiny) but its derivation scans the whole
+    # fact table; every downstream self-join branch / iteration would
+    # re-execute that subtree.  Materialize it once, eagerly — lazy cache
+    # still races when several self-join branches hit it in one job.  The
+    # same move as persisting the sparsified graph before analytics at
+    # 100 TB.
+    knn = knn.cache()
+    knn.count()
+    return knn
+
+
 @query(
     "graph_triangle_count",
-    """
-    WITH el AS (
-        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-    ), e AS (
-        SELECT a.l_suppkey AS a, b.l_suppkey AS b
-        FROM el a JOIN el b
-          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        GROUP BY 1, 2
-        HAVING count(*) >= 3
+    f"""
+    WITH {_DUCK_KNN_GRAPH}, e AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn
     ), tri AS (
         SELECT e1.a, e1.b, e2.b AS c
         FROM e e1
@@ -1664,32 +1713,25 @@ def sample_weighted_topk(spark, sf_dir):
     )
     GROUP BY v
     """,
-    doc="Distributed triangle counting on the supplier co-service graph "
-    "(edge = two suppliers fill ≥3 common orders).  Canonical a<b edge "
-    "orientation makes each triangle appear exactly once as a<b<c: one "
-    "equi-join builds wedges, a second closes them — never an all-pairs "
-    "product.  Per-vertex counts come from exploding each triangle to its "
-    "3 corners (integer-exact).  Scale shape: edge derivation is one "
-    "self-join bounded by per-order supplier fan-out (~O(orders x k^2), k "
-    "= suppliers per order); at 100 TB the standard refinement is "
-    "degree-orientation (order endpoints by (degree, id)) which bounds "
-    "wedge fan-out by graph arboricity, plus AQE skew-split on hub "
-    "vertices — the join topology stays exactly the same.",
+    doc="Distributed triangle counting on the supplier co-service k-NN "
+    "graph (top-10 partners per supplier by shared orders — constant "
+    "degree bound, see _DUCK_KNN_GRAPH note; the raw co-occurrence graph "
+    "densifies to Θ(V³) triangles and is a scale trap).  Canonical a<b "
+    "edge orientation makes each triangle appear exactly once as a<b<c: "
+    "one equi-join builds wedges (fan-out ≤ degree² = 400 per vertex), a "
+    "second closes them — never an all-pairs product.  Per-vertex counts "
+    "come from exploding each triangle to its 3 corners (integer-exact). "
+    "At 100 TB the further refinement is degree-orientation (order "
+    "endpoints by (degree, id), bounding wedges by arboricity) plus AQE "
+    "skew-split on hubs — the join topology stays exactly the same.",
+    bench=True,
 )
 def graph_triangle_count(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    el = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = el.alias("a"), el.alias("b")
+    knn = _knn_graph_directed(spark, sf_dir)
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= 3)
-        .select("a", "b")
+        knn.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -1701,80 +1743,71 @@ def graph_triangle_count(spark, sf_dir):
     return corners.groupBy("suppkey").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+_DUCK_PR_STEP = """
+    , {next} AS (
+        SELECT d.src AS v,
+               (150000000000 // n.n_v) + (85 * COALESCE(s.m, 0)) // 100 AS p
+        FROM deg d CROSS JOIN n
+        LEFT JOIN (
+            SELECT e.dst, sum({prev}.p // deg.outd) AS m
+            FROM knn e JOIN {prev} ON e.src = {prev}.v
+                       JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) s ON s.dst = d.src
+    )
+"""
+
+
 @query(
     "graph_pagerank_intscaled",
-    """
-    WITH el AS (
-        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-    ), e AS (
-        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
-        FROM el a JOIN el b
-          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
-        GROUP BY 1, 2
-    ), deg AS (
-        SELECT src, count(*) AS outd FROM e GROUP BY src
+    f"""
+    WITH {_DUCK_KNN_GRAPH}, deg AS (
+        SELECT src, count(*) AS outd FROM knn GROUP BY src
     ), n AS (
         SELECT count(*) AS n_v FROM deg
     ), p0 AS (
         SELECT src AS v, 1000000000000 // n.n_v AS p FROM deg, n
-    ), p1 AS (
-        SELECT e.dst AS v,
-               (150000000000 // n.n_v) + (85 * sum(p0.p // deg.outd)) // 100 AS p
-        FROM e JOIN p0 ON e.src = p0.v JOIN deg ON e.src = deg.src CROSS JOIN n
-        GROUP BY e.dst, n.n_v
-    ), p2 AS (
-        SELECT e.dst AS v,
-               (150000000000 // n.n_v) + (85 * sum(p1.p // deg.outd)) // 100 AS p
-        FROM e JOIN p1 ON e.src = p1.v JOIN deg ON e.src = deg.src CROSS JOIN n
-        GROUP BY e.dst, n.n_v
-    ), p3 AS (
-        SELECT e.dst AS v,
-               (150000000000 // n.n_v) + (85 * sum(p2.p // deg.outd)) // 100 AS p
-        FROM e JOIN p2 ON e.src = p2.v JOIN deg ON e.src = deg.src CROSS JOIN n
-        GROUP BY e.dst, n.n_v
     )
+    {_DUCK_PR_STEP.format(prev="p0", next="p1")}
+    {_DUCK_PR_STEP.format(prev="p1", next="p2")}
+    {_DUCK_PR_STEP.format(prev="p2", next="p3")}
     SELECT v AS suppkey, CAST(p AS BIGINT) AS pagerank_ppt
     FROM p3
     """,
     doc="PageRank (3 unrolled iterations, damping 0.85) on the directed "
-    "supplier co-service graph, in INTEGER-SCALED arithmetic: probability "
-    "mass carried as bigint units of 1e-12, every division an integer "
-    "floor-div — so the result is bit-identical across engines, runs and "
-    "partitionings (a double-summed PageRank is none of those).  The "
-    "iteration is a constant-depth unrolled DAG: each step is one "
+    "supplier co-service k-NN graph (top-10 partners per supplier — "
+    "constant out-degree, so each iteration is linear in V), in "
+    "INTEGER-SCALED arithmetic: probability mass carried as bigint units "
+    "of 1e-12, every division an integer floor-div — bit-identical across "
+    "engines, runs and partitionings (a double-summed PageRank is none "
+    "of those).  The rank vector is maintained over the FULL vertex set "
+    "(left join + coalesce), so zero-in-degree vertices keep their "
+    "teleport mass.  Constant-depth unrolled DAG: each step is one "
     "shuffle-join of the rank vector against the edge list plus a hash "
-    "agg on dst — exactly the join topology Pregel-style engines run; at "
-    "1000 executors the rank vector co-partitions with the edge list on "
-    "src (bucketing) so only the agg shuffles.  The co-occurrence graph "
-    "is symmetric, so there are no dangling vertices by construction.",
+    "agg on dst — the Pregel join topology; at 1000 executors the rank "
+    "vector co-partitions with the edge list on src (bucketing) so only "
+    "the agg shuffles.",
 )
 def graph_pagerank_intscaled(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    el = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = el.alias("a"), el.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
-        .distinct()
-    )
+    e = _knn_graph_directed(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
-    n_v = deg.count()  # vertex count: scalar bound for the teleport term
+    vertices = deg.select(F.col("src").alias("v"))
+    n_v = vertices.count()  # vertex count: scalar for the teleport term
     base = F.lit(150000000000 // n_v).cast("long")
-    p = deg.select(F.col("src").alias("v"), F.lit(1000000000000 // n_v).cast("long").alias("p"))
+    p = vertices.select("v", F.lit(1000000000000 // n_v).cast("long").alias("p"))
     for _ in range(3):
         contrib = (
             e.join(p, e.src == p.v)
             .join(deg, "src")
             .select("dst", F.expr("p div outd").alias("c"))
         )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
         p = (
-            contrib.groupBy("dst")
-            .agg((base + F.expr("(85 * sum(c)) div 100")).alias("p"))
-            .select(F.col("dst").alias("v"), "p")
+            vertices.join(insum, vertices.v == insum.dst, "left")
+            .select(
+                "v",
+                (base + F.expr("(85 * coalesce(m, 0)) div 100")).alias("p"),
+            )
         )
     return p.select(F.col("v").alias("suppkey"), F.col("p").alias("pagerank_ppt"))
 

@@ -39,6 +39,12 @@ PROBE_QUERIES = (
     # label-propagation iteration count must both stay ~linear
     "join_interval_pairs",
     "dedup_clusters",
+    # graph ops: wedge fan-out (triangles) and the per-iteration
+    # join+agg (pagerank) must stay linear when replicas add disjoint
+    # subgraphs (keys offset per replica → N independent components)
+    "graph_triangle_count",
+    "graph_pagerank_intscaled",
+    "text_commonness_score",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
