@@ -1843,3 +1843,124 @@ def text_commonness_score(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("cf").alias("sum_cf"), F.count(F.lit(1)).alias("n_tok"))
     )
+
+
+# =============================================================================
+# Scale-layout primitives: runtime-filter semi-join and space-filling-
+# curve clustering keys.
+# =============================================================================
+
+
+@query(
+    "join_bloom_semi_prefilter",
+    """
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    )
+    GROUP BY l.l_returnflag
+    """,
+    doc="Semi-join accelerated by an explicit Bloom runtime filter: the "
+    "selective dim keys build a 64 Kib bloom (3 × xxhash64, bit_or "
+    "aggregation over 1024 longs — a mergeable, broadcastable artifact), "
+    "the fact side tests the bits in codegen'd column math BEFORE the "
+    "shuffle, and an exact left-semi join removes false positives.  The "
+    "final semantics are exactly IN (oracle), the bloom only prunes — "
+    "this is the hand-rolled version of Spark's runtime bloom filter "
+    "(spark.sql.optimizer.runtime.bloomFilter), shown explicitly because "
+    "at 100 TB pre-shuffle pruning of the fact side is the difference "
+    "between shuffling 100 TB and shuffling the 1% that can match. "
+    "Driver round-trip is 1024 longs (the filter itself, like any "
+    "broadcast build side), never data.",
+)
+def join_bloom_semi_prefilter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+
+    M_BITS = 1 << 16  # 64 Kib bloom → 1024 longs
+    N_WORDS = M_BITS // 64
+    SEEDS = (1, 2, 3)
+
+    def positions(key):
+        return [F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(M_BITS)) for seed in SEEDS]
+
+    bits = dim.select(F.explode(F.array(*positions(F.col("o_orderkey")))).alias("h")).select(
+        F.expr("h div 64").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias("b"),
+    )
+    words = {r["w"]: r["m"] for r in bits.groupBy("w").agg(F.expr("bit_or(b)").alias("m")).collect()}
+    bloom = F.array(*[F.lit(int(words.get(w, 0))).cast("long") for w in range(N_WORDS)])
+
+    pruned = li.withColumn("_bloom", bloom)
+    for i, h in enumerate(positions(F.col("l_orderkey"))):
+        pruned = pruned.withColumn(f"_h{i}", h).filter(
+            F.expr(
+                f"(shiftrightunsigned(element_at(_bloom, CAST(_h{i} div 64 AS INT) + 1),"
+                f" CAST(_h{i} % 64 AS INT)) & 1) = 1"
+            )
+        )
+    pruned = pruned.drop("_bloom", *[f"_h{i}" for i in range(len(SEEDS))])
+    exact = pruned.join(F.broadcast(dim), pruned.l_orderkey == dim.o_orderkey, "left_semi")
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "layout_zorder_key",
+    """
+    WITH b AS (
+        SELECT event_id,
+               user_id % 1024 AS x,
+               CAST(floor(value / 0.2) AS BIGINT) % 1024 AS y
+        FROM events
+    )
+    SELECT event_id, x, y,
+           CAST((
+  (((x >>  0) & 1) <<  0) | (((y >>  0) & 1) <<  1) |
+  (((x >>  1) & 1) <<  2) | (((y >>  1) & 1) <<  3) |
+  (((x >>  2) & 1) <<  4) | (((y >>  2) & 1) <<  5) |
+  (((x >>  3) & 1) <<  6) | (((y >>  3) & 1) <<  7) |
+  (((x >>  4) & 1) <<  8) | (((y >>  4) & 1) <<  9) |
+  (((x >>  5) & 1) << 10) | (((y >>  5) & 1) << 11) |
+  (((x >>  6) & 1) << 12) | (((y >>  6) & 1) << 13) |
+  (((x >>  7) & 1) << 14) | (((y >>  7) & 1) << 15) |
+  (((x >>  8) & 1) << 16) | (((y >>  8) & 1) << 17) |
+  (((x >>  9) & 1) << 18) | (((y >>  9) & 1) << 19)
+           ) AS BIGINT) AS zkey
+    FROM b
+    """,
+    doc="Z-order (Morton) clustering key over two dimensions — the "
+    "space-filling-curve layout primitive behind multi-dimensional "
+    "data-skipping (Delta OPTIMIZE ZORDER, Iceberg sort orders): "
+    "interleave 10 bits of each dimension with pure integer bit math "
+    "(codegen'd, engine-exact).  Writing the table sorted by zkey "
+    "co-locates rows close in BOTH dimensions into the same row-groups, "
+    "so min/max statistics prune 2-D range predicates that a "
+    "single-column sort cannot — at 100 TB this turns (user range × "
+    "value range) scans from full-table into a few row-groups.  The "
+    "key computation is the whole operator; writing sorted output is "
+    "write_bucketed/partitioned composition already covered by the "
+    "source_* queries.",
+)
+def layout_zorder_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("x"),
+        F.pmod(F.floor(F.col("value") / 0.2).cast("bigint"), F.lit(1024)).alias("y"),
+    )
+    z = None
+    for i in range(10):
+        xb = F.shiftleft(F.shiftrightunsigned(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftrightunsigned(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = xb.bitwiseOR(yb) if z is None else z.bitwiseOR(xb).bitwiseOR(yb)
+    return b.select("event_id", "x", "y", z.cast("bigint").alias("zkey"))

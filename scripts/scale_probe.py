@@ -80,10 +80,14 @@ def replicate(spark, n: int, out_dir: str) -> None:
                     rep = rep.withColumn(kc, F.col(kc) + F.lit(i * 100_000_000))
                 # shift event time per replica so time-window/range-join
                 # cardinalities scale linearly instead of quadratically
+                # (ts has shipped as both int64-nanos and timestamp[us];
+                # shift in the column's own unit)
                 if t == "events":
-                    rep = rep.withColumn(
-                        "ts", F.col("ts") + F.lit(i * 31 * 86_400 * 10**9)
-                    )
+                    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+                        shift = F.col("ts") + F.lit(i * 31 * 86_400 * 10**9)
+                    else:
+                        shift = F.timestamp_add("DAY", F.lit(i * 31), F.col("ts"))
+                    rep = rep.withColumn("ts", shift)
                 # shift event text slightly so dedup structures scale too
                 if t == "documents":
                     rep = rep.withColumn(
