@@ -105,6 +105,9 @@ def replicate(spark, n: int, out_dir: str) -> None:
 def run(spark, sf_dir: str, label: str) -> None:
     specs = {s.name: s for s in all_queries()}
     timings = {}
+    # drop caches left by operators that materialize build artifacts
+    # (k-NN edge lists) so every scale point measures a cold build
+    spark.catalog.clearCache()
     for name in PROBE_QUERIES:
         # time fn() too: iterative operators (dedup_clusters) do their work
         # eagerly inside the builder via localCheckpoint
