@@ -1851,6 +1851,38 @@ def text_commonness_score(spark, sf_dir):
 # =============================================================================
 
 
+def _bloom_prune(fact, fact_key, dim, dim_key, m_bits=1 << 16, seeds=(1, 2, 3)):
+    """Bloom-prefilter ``fact`` to rows whose key MIGHT be in dim's keys.
+
+    The bloom lives as a ≤(m_bits/64)-row (word → mask) relation built
+    with a bit_or aggregation and broadcast like any build side — fully
+    distributed, no driver round-trip, and no giant array literal (a
+    1024-element array expression would be re-evaluated per ROW, not
+    constant-folded).  Sound by construction: every true match survives.
+    """
+
+    def positions(key):
+        return [F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m_bits)) for s in seeds]
+
+    bits = dim.select(F.explode(F.array(*positions(F.col(dim_key)))).alias("h")).select(
+        F.expr("h div 64").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias("b"),
+    )
+    wordmap = bits.groupBy("w").agg(F.expr("bit_or(b)").alias("m"))
+
+    pruned = fact
+    for i, h in enumerate(positions(F.col(fact_key))):
+        wm = wordmap.select(F.col("w").alias(f"_w{i}"), F.col("m").alias(f"_m{i}"))
+        pruned = (
+            pruned.withColumn(f"_h{i}", h)
+            .withColumn(f"_w{i}", F.expr(f"_h{i} div 64"))
+            .join(F.broadcast(wm), f"_w{i}", "inner")  # absent word ⇒ no bits ⇒ prune
+            .filter(F.expr(f"(shiftrightunsigned(_m{i}, CAST(_h{i} % 64 AS INT)) & 1) = 1"))
+        )
+    return pruned.drop(*[c for i in range(len(seeds)) for c in (f"_h{i}", f"_w{i}", f"_m{i}")])
+
+
+
 @query(
     "join_bloom_semi_prefilter",
     """
@@ -1874,8 +1906,8 @@ def text_commonness_score(spark, sf_dir):
     "(spark.sql.optimizer.runtime.bloomFilter), shown explicitly because "
     "at 100 TB pre-shuffle pruning of the fact side is the difference "
     "between shuffling 100 TB and shuffling the 1% that can match. "
-    "Driver round-trip is 1024 longs (the filter itself, like any "
-    "broadcast build side), never data.",
+    "The bloom lives as a ≤1024-row (word → mask) relation broadcast "
+    "like any build side — fully distributed, no driver round-trip.",
 )
 def join_bloom_semi_prefilter(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -1884,29 +1916,7 @@ def join_bloom_semi_prefilter(spark, sf_dir):
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
     ).select("o_orderkey")
 
-    M_BITS = 1 << 16  # 64 Kib bloom → 1024 longs
-    N_WORDS = M_BITS // 64
-    SEEDS = (1, 2, 3)
-
-    def positions(key):
-        return [F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(M_BITS)) for seed in SEEDS]
-
-    bits = dim.select(F.explode(F.array(*positions(F.col("o_orderkey")))).alias("h")).select(
-        F.expr("h div 64").alias("w"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias("b"),
-    )
-    words = {r["w"]: r["m"] for r in bits.groupBy("w").agg(F.expr("bit_or(b)").alias("m")).collect()}
-    bloom = F.array(*[F.lit(int(words.get(w, 0))).cast("long") for w in range(N_WORDS)])
-
-    pruned = li.withColumn("_bloom", bloom)
-    for i, h in enumerate(positions(F.col("l_orderkey"))):
-        pruned = pruned.withColumn(f"_h{i}", h).filter(
-            F.expr(
-                f"(shiftrightunsigned(element_at(_bloom, CAST(_h{i} div 64 AS INT) + 1),"
-                f" CAST(_h{i} % 64 AS INT)) & 1) = 1"
-            )
-        )
-    pruned = pruned.drop("_bloom", *[f"_h{i}" for i in range(len(SEEDS))])
+    pruned = _bloom_prune(li, "l_orderkey", dim, "o_orderkey")
     exact = pruned.join(F.broadcast(dim), pruned.l_orderkey == dim.o_orderkey, "left_semi")
     return exact.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

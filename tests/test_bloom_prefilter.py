@@ -4,6 +4,7 @@ semantics and (b) genuinely prune the fact side BEFORE the join — the
 
 from pyspark.sql import functions as F
 
+from health_monitor_cc_flink_spark.registry_pipeline_ops import _bloom_prune
 from health_monitor_cc_flink_spark.sources.testdata import load_table
 
 
@@ -14,10 +15,6 @@ def _dim(orders):
 
 
 def test_bloom_prunes_fact_side(spark, sf_smoke_dir):
-    from health_monitor_cc_flink_spark.registry_pipeline_ops import (  # noqa: F401
-        join_bloom_semi_prefilter,
-    )
-
     li = load_table(spark, sf_smoke_dir, "lineitem")
     orders = load_table(spark, sf_smoke_dir, "orders")
     dim = _dim(orders)
@@ -25,26 +22,10 @@ def test_bloom_prunes_fact_side(spark, sf_smoke_dir):
     n_fact = li.count()
     n_true = li.join(F.broadcast(dim), li.l_orderkey == dim.o_orderkey, "left_semi").count()
 
-    # Rebuild just the pruned (pre-exact-join) stage the operator uses.
-    M_BITS = 1 << 16
-    pos = [F.pmod(F.xxhash64("o_orderkey", F.lit(s)), F.lit(M_BITS)) for s in (1, 2, 3)]
-    bits = dim.select(F.explode(F.array(*pos)).alias("h")).select(
-        F.expr("h div 64").alias("w"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias("b"),
-    )
-    words = {r["w"]: r["m"] for r in bits.groupBy("w").agg(F.expr("bit_or(b)").alias("m")).collect()}
-    bloom = F.array(*[F.lit(int(words.get(w, 0))).cast("long") for w in range(M_BITS // 64)])
-    pruned = li.withColumn("_bloom", bloom)
-    for i, h in enumerate(
-        [F.pmod(F.xxhash64("l_orderkey", F.lit(s)), F.lit(M_BITS)) for s in (1, 2, 3)]
-    ):
-        pruned = pruned.withColumn(f"_h{i}", h).filter(
-            F.expr(
-                f"(shiftrightunsigned(element_at(_bloom, CAST(_h{i} div 64 AS INT) + 1),"
-                f" CAST(_h{i} % 64 AS INT)) & 1) = 1"
-            )
-        )
+    pruned = _bloom_prune(li, "l_orderkey", dim, "o_orderkey")
     n_pruned = pruned.count()
+    # the helper must not leak its scratch columns
+    assert pruned.columns == li.columns
 
     # sound: every true match survives the bloom
     assert n_pruned >= n_true
