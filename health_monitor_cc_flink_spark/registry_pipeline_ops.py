@@ -1974,3 +1974,70 @@ def layout_zorder_key(spark, sf_dir):
         yb = F.shiftleft(F.shiftrightunsigned(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
         z = xb.bitwiseOR(yb) if z is None else z.bitwiseOR(xb).bitwiseOR(yb)
     return b.select("event_id", "x", "y", z.cast("bigint").alias("zkey"))
+
+
+@query(
+    "text_redact_pii",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 3 <> 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                         '@example.com or +1-555-' ||
+                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(
+                 regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    doc="PII detection + redaction battery (emails, NANP-style phone "
+    "numbers): counts per document and an md5 fingerprint of the "
+    "redacted text, value-verified — the compliance scrub every "
+    "training-corpus pipeline runs before anything else.  Deterministic "
+    "synthetic PII is appended per doc_id (the corpus itself is clean "
+    "lorem text) so presence/absence/multiplicity all get exercised; "
+    "patterns stay in the Java-regex ∩ RE2 common subset so both "
+    "engines agree byte-for-byte.  Pure codegen'd string ops — one scan, "
+    "zero shuffles, trivially data-parallel at any scale.",
+)
+def text_redact_pii(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    phone = "\\+1-555-[0-9]{4}"
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" cc admin"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", t.alias("t"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email)).cast("bigint").alias("n_email"),
+        F.regexp_count("t", F.lit(phone)).cast("bigint").alias("n_phone"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("t", email, "<EMAIL>"), phone, "<PHONE>"
+            )
+        ).alias("redacted_md5"),
+    )
