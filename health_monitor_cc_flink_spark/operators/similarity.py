@@ -316,3 +316,133 @@ def norm2_milli(
     return df.select(
         F.col(id_col), *[F.col(c) for c in carry_cols], F.expr(expr).alias("norm2_milli")
     )
+
+
+# --- Product quantization (the memory-compression half of IVF-PQ) -----------
+#
+# At 100 TB of float32 embeddings, even the IVF-pruned cells are too big
+# to scan as raw vectors; PQ stores each vector as M uint8 codes (here
+# 8 bytes vs 256 bytes for 64 float32s) and scores candidates with a
+# per-query lookup table (ADC) — no decompression, no vector shuffle.
+# Training touches only a bounded deterministic sample (a model-build
+# step, like the IVF coarse quantizer); encoding and scoring are
+# embarrassingly parallel mapInPandas passes over Arrow batches.
+
+
+def pq_train_codebook(
+    emb,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_train: int = 2048,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train per-subspace centroids with seeded Lloyd iterations on the
+    deterministic sample of the ``n_train`` lowest ids (bounded driver
+    round-trip — the quantizer is a model artifact, not data).  Vectors
+    are L2-normalized first so ADC's L2 ordering matches cosine.
+    Returns an (M, n_centroids, D/M) float64 ndarray."""
+    import numpy as np
+
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(n_train).collect()
+    )
+    x = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n, d = x.shape
+    assert d % m == 0, (d, m)
+    sub = d // m
+    rng = np.random.RandomState(42)
+    codebook = np.empty((m, n_centroids, sub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cent = xs[rng.choice(n, size=n_centroids, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_centroids):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        codebook[j] = cent
+    return codebook
+
+
+def pq_encode(emb, codebook, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Encode vectors to M uint8 codes (stored as array<int>): one
+    Arrow-batched mapInPandas pass, codebook shipped in the closure
+    (M·K·D/M floats — trivially broadcastable)."""
+    import numpy as np
+
+    m, k, sub = codebook.shape
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array([list(map(float, v)) for v in pdf[vec_col]], dtype=np.float64)
+            if len(x) == 0:
+                continue
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xs[:, None, :] - codebook[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "codes": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<long>"
+    )
+
+
+def pq_adc_topk(
+    emb,
+    query_vec,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """PQ ANN: train → encode → ADC top-``rerank`` → exact cosine
+    re-rank to top-``k``.  The ADC pass gathers per-subspace distances
+    from a query-specific LUT (M×K doubles in the closure) — compressed
+    codes only, never raw vectors; the exact re-rank touches just the
+    ``rerank`` candidate vectors (semi-join on id)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    codebook = pq_train_codebook(emb, m=m, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb, codebook, id_col=id_col, vec_col=vec_col)
+
+    q = np.array([float(v) for v in query_vec], dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    sub = q.shape[0] // m
+    lut = np.empty((m, n_centroids), dtype=np.float64)
+    for j in range(m):
+        lut[j] = (((codebook[j] - q[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1))
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.stack(pdf["codes"].values).astype(np.int64)
+            dist = lut[np.arange(m)[None, :], c].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "adc_dist": dist})
+
+    scored = codes.mapInPandas(adc, schema=f"{id_col} long, adc_dist double")
+    cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    exact = (
+        emb.join(F.broadcast(cand), id_col, "left_semi")
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+    return exact

@@ -2041,3 +2041,23 @@ def text_redact_pii(spark, sf_dir):
             )
         ).alias("redacted_md5"),
     )
+
+
+@query(
+    "ann_pq_topk",
+    None,  # float ADC distances + sampled-kmeans codebook → rows-only; recall pinned in tests/test_ann.py
+    doc="Product-quantization ANN (the memory-compression half of IVF-PQ): "
+    "seeded per-subspace Lloyd training on a bounded deterministic sample, "
+    "one mapInPandas pass encoding each vector to 8 uint8 codes (8 bytes "
+    "vs 256 — the representation that lets a 100 TB embedding corpus fit "
+    "hot storage), ADC scoring against a query-specific M×K lookup table "
+    "over codes only (no raw-vector scan or shuffle), exact cosine "
+    "re-rank of the top-100 candidates (semi-join on id; a constant "
+    "regardless of corpus size).  Recall@10 vs the brute-force oracle "
+    "is pinned in tests/test_ann.py.",
+)
+def ann_pq_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(emb, _query_vec(spark, sf_dir), k=10).select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    )

@@ -73,3 +73,24 @@ def test_persisted_ivf_prunes_partitions(spark, emb, qv, tmp_path_factory):
     full = probe_ivf_index(spark, path, qv, k=10, n_probe=8).collect()
     exact = brute_force_topk(emb, qv, k=10).collect()
     assert [r.vec_id for r in full] == [r.vec_id for r in exact]
+
+
+def test_pq_topk_recall_vs_brute(spark, sf_smoke_dir):
+    """PQ ADC + exact re-rank must recover (nearly) the brute-force
+    top-10 — deterministic: seeded training sample, seeded init, fixed
+    iteration count, id tiebreaks everywhere."""
+    from health_monitor_cc_flink_spark.operators import similarity as S
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+    brute = {r.vec_id for r in S.brute_force_topk(emb, q, k=10).collect()}
+    pq = {r.vec_id for r in S.pq_adc_topk(emb, q, k=10).collect()}
+    assert len(pq) == 10
+    assert len(brute & pq) >= 8, (brute, pq)
+
+    # run-to-run determinism of the whole pipeline
+    pq2 = {r.vec_id for r in S.pq_adc_topk(emb, q, k=10).collect()}
+    assert pq == pq2
