@@ -2061,3 +2061,115 @@ def ann_pq_topk(spark, sf_dir):
     return S.pq_adc_topk(emb, _query_vec(spark, sf_dir), k=10).select(
         "vec_id", F.round("cos_sim", 4).alias("cos_sim")
     )
+
+
+# =============================================================================
+# Supervised-dataset construction: window featurization, deterministic
+# splits, class balancing — the last mile before a training job.
+# =============================================================================
+
+
+@query(
+    "feature_supervised_windows",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, value,
+               lag(value, 1) OVER w AS f1,
+               lag(value, 2) OVER w AS f2,
+               lag(value, 3) OVER w AS f3,
+               lead(value, 1) OVER w AS label
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, event_id, f1, f2, f3, value AS f0, label
+    FROM o
+    WHERE f3 IS NOT NULL AND label IS NOT NULL
+    """,
+    doc="Supervised window featurization: per key in event-time order, "
+    "the last 4 observations become the feature row and the next one the "
+    "label — the lag-matrix construction behind every autoregressive "
+    "training set.  Values pass through untouched (row-level moves, no "
+    "arithmetic), so the gate is exact despite doubles.  One shuffle on "
+    "the key, then a single sorted window pass computes all lags and the "
+    "lead — at 100 TB this is the minimum data motion any engine needs "
+    "for ordered per-key features.",
+)
+def feature_supervised_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts_ns div 1000"), "event_id")
+    out = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("f1"),
+        F.lag("value", 2).over(w).alias("f2"),
+        F.lag("value", 3).over(w).alias("f3"),
+        F.lead("value", 1).over(w).alias("label"),
+    )
+    return out.filter(F.col("f3").isNotNull() & F.col("label").isNotNull()).select(
+        "user_id", "event_id", "f1", "f2", "f3", F.col("value").alias("f0"), "label"
+    )
+
+
+@query(
+    "split_train_val_test",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 10 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by content-free "
+    "key hash (md5 first byte mod 10) — reproducible across engines, "
+    "runs, partitionings and retries, and stable under corpus growth "
+    "(a document never migrates between splits when others are added). "
+    "Pure map work: no shuffle at any scale; rand()-based splits are "
+    "neither stable nor lineage-auditable.",
+)
+def split_train_val_test(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") % 10
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "class_balance_weights",
+    """
+    WITH c AS (
+        SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ), t AS (
+        SELECT count(*) AS total, (SELECT count(*) FROM c) AS n_classes FROM embeddings
+    )
+    SELECT c.label, CAST(c.n AS BIGINT) AS n,
+           CAST((t.total * 1000000) // (t.n_classes * c.n) AS BIGINT) AS weight_ppm
+    FROM c, t
+    """,
+    doc="Inverse-frequency class weights in integer parts-per-million "
+    "(weight = total / (n_classes x n_class), the sklearn 'balanced' "
+    "formula) — the rebalancing constant every skewed-label training job "
+    "feeds its loss.  Integer floor-div keeps the gate exact; one tiny "
+    "agg + a scalar cross join, nothing at data scale.",
+)
+def class_balance_weights(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    total = emb.count()
+    n_classes = c.count()
+    return c.select(
+        "label",
+        "n",
+        F.expr(f"CAST(({total} * 1000000) div ({n_classes} * n) AS BIGINT)").alias("weight_ppm"),
+    )
