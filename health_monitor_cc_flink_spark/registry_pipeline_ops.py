@@ -2171,5 +2171,7 @@ def class_balance_weights(spark, sf_dir):
     return c.select(
         "label",
         "n",
-        F.expr(f"CAST(({total} * 1000000) div ({n_classes} * n) AS BIGINT)").alias("weight_ppm"),
+        F.expr(f"CAST(({total}L * 1000000L) div ({n_classes}L * n) AS BIGINT)").alias(
+            "weight_ppm"
+        ),
     )
