@@ -2175,3 +2175,79 @@ def class_balance_weights(spark, sf_dir):
             "weight_ppm"
         ),
     )
+
+
+@query(
+    "feature_quantile_binning",
+    """
+    SELECT event_id, event_type, value,
+           CAST(ntile(10) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS BIGINT) AS bin
+    FROM events
+    """,
+    doc="Equi-depth (decile) feature binning per category: rank-based "
+    "ntile with a unique tiebreak, so bin edges adapt to the empirical "
+    "distribution — the discretization behind gradient-boosting "
+    "histograms and monotone feature encodings.  Integer output keeps "
+    "the gate exact.  Scale note: exact ntile sorts within each "
+    "category partition; at 100 TB you swap in approx_percentile "
+    "cut-points (computed with the mergeable GK sketch this repo ships "
+    "in agg_approx_battery) and bin by comparison — the exact form here "
+    "is the correctness reference for that swap.",
+)
+def feature_quantile_binning(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(10).over(w).cast("bigint").alias("bin"),
+    )
+
+
+@query(
+    "feature_target_encoding",
+    """
+    WITH s AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 10000.0) AS BIGINT) AS vs,
+               sum(CAST(floor(value * 10000.0) AS BIGINT))
+                   OVER (PARTITION BY event_type) AS grp_sum,
+               count(*) OVER (PARTITION BY event_type) AS grp_n
+        FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(CASE WHEN grp_n > 1
+                     THEN (grp_sum - vs) // (grp_n - 1)
+                     ELSE NULL END AS BIGINT) AS loo_mean_scaled,
+           CAST(grp_n AS BIGINT) AS grp_n
+    FROM s
+    """,
+    doc="Leave-one-out target encoding per category in integer-scaled "
+    "arithmetic: each row gets the mean of every OTHER row's target "
+    "(floor-scaled to 1e-4 units; subtraction + one floor-div, so the "
+    "encoding is exact, order-independent and leakage-free — plain mean "
+    "target encoding leaks the row's own label).  One window shuffle on "
+    "the category key; at high-cardinality categories this is the same "
+    "partial-agg + broadcast-back shape as any grouped statistic.",
+)
+def feature_target_encoding(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    vs = F.floor(F.col("value") * 10000.0).cast("bigint")
+    w = Window.partitionBy("event_type")
+    s = ev.select(
+        "event_id",
+        "event_type",
+        vs.alias("vs"),
+        F.sum(vs).over(w).alias("grp_sum"),
+        F.count(F.lit(1)).over(w).alias("grp_n"),
+    )
+    return s.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("grp_n") > 1, F.expr("(grp_sum - vs) div (grp_n - 1)")
+        ).alias("loo_mean_scaled"),
+        F.col("grp_n").cast("bigint").alias("grp_n"),
+    )
