@@ -2251,3 +2251,139 @@ def feature_target_encoding(spark, sf_dir):
         ).alias("loo_mean_scaled"),
         F.col("grp_n").cast("bigint").alias("grp_n"),
     )
+
+
+@query(
+    "ts_cusum_drift",
+    """
+    WITH s AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 10000.0) AS BIGINT) AS vs,
+               epoch_us(ts) AS t_us
+        FROM events
+    ), m AS (
+        SELECT user_id, event_id, t_us, vs,
+               CAST(sum(vs) OVER (PARTITION BY user_id) AS BIGINT)
+                   // count(*) OVER (PARTITION BY user_id) AS mu
+        FROM s
+    ), p AS (
+        SELECT user_id, event_id, t_us,
+               CAST(sum(vs - mu - 500000) OVER w AS BIGINT) AS pref
+        FROM m
+        WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), c AS (
+        SELECT user_id, event_id,
+               pref - least(CAST(0 AS BIGINT),
+                            CAST(min(pref) OVER w2 AS BIGINT)) AS cusum
+        FROM p
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, CAST(cusum AS BIGINT) AS cusum_scaled,
+           cusum > 1500000 AS drifted
+    FROM c
+    """,
+    doc="CUSUM upward-drift detection per key, exactly, WITHOUT recursion: "
+    "the clamped recursion S_t = max(0, S_{t-1} + y_t) equals "
+    "P_t − min(0, min_{j≤t} P_j) where P is the running sum of excess "
+    "y = value − per-key-mean − slack — two ordered window passes over "
+    "floor-scaled integers (1e-4 units; slack 50.0, alarm 150.0), both "
+    "O(n) and shuffle-once-on-key.  The sequential-state operator every "
+    "monitoring stack wants, expressed as a closed-form windowed plan "
+    "both engines agree on bit-for-bit.",
+)
+def ts_cusum_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    vs = F.floor(F.col("value") * 10000.0).cast("bigint")
+    m = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("t_us"),
+        vs.alias("vs"),
+    ).withColumn("mu", F.expr("sum(vs) over (partition by user_id) div count(*) over (partition by user_id)"))
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = m.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        F.sum(F.col("vs") - F.col("mu") - F.lit(500000)).over(wo).cast("bigint").alias("pref"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = p.select(
+        "user_id",
+        "event_id",
+        (
+            F.col("pref")
+            - F.least(F.lit(0).cast("bigint"), F.min("pref").over(wp).cast("bigint"))
+        ).alias("cusum"),
+    )
+    return c.select(
+        "user_id",
+        "event_id",
+        F.col("cusum").cast("bigint").alias("cusum_scaled"),
+        (F.col("cusum") > 1500000).alias("drifted"),
+    )
+
+
+@query(
+    "graph_bfs_hops",
+    f"""
+    WITH {_DUCK_KNN_GRAPH}, seed AS (
+        SELECT min(src) AS s FROM knn
+    ), d1 AS (
+        SELECT DISTINCT e.dst AS v FROM knn e, seed WHERE e.src = seed.s
+    ), d2 AS (
+        SELECT DISTINCT e.dst AS v
+        FROM knn e JOIN d1 ON e.src = d1.v, seed
+        WHERE e.dst <> seed.s AND e.dst NOT IN (SELECT v FROM d1)
+    ), d3 AS (
+        SELECT DISTINCT e.dst AS v
+        FROM knn e JOIN d2 ON e.src = d2.v, seed
+        WHERE e.dst <> seed.s
+          AND e.dst NOT IN (SELECT v FROM d1)
+          AND e.dst NOT IN (SELECT v FROM d2)
+    )
+    SELECT s AS suppkey, CAST(0 AS BIGINT) AS hop FROM seed
+    UNION ALL SELECT v, 1 FROM d1
+    UNION ALL SELECT v, 2 FROM d2
+    UNION ALL SELECT v, 3 FROM d3
+    """,
+    doc="Bounded breadth-first search (3 hops) from the lowest-id vertex "
+    "of the directed supplier k-NN graph: frontier-expansion joins with "
+    "anti-join de-duplication against all previous levels — the Pregel "
+    "traversal pattern as a constant-depth DAG (hop count is a small "
+    "constant, so the loop unrolls; no driver-side iteration over data). "
+    "Each level costs one equi-join frontier×edges (fan-out ≤ k) plus "
+    "anti-joins against the visited set; at 100 TB the visited set "
+    "stays partitioned on vertex id and every step reuses that "
+    "partitioning.  All-integer output.",
+)
+def graph_bfs_hops(spark, sf_dir):
+    e = _knn_graph_directed(spark, sf_dir)
+    seed = e.agg(F.min("src").alias("s")).first()["s"]
+    d0 = e.sparkSession.createDataFrame([(seed,)], "v long")
+    levels = [d0]
+    for _ in range(3):
+        frontier = levels[-1]
+        nxt = (
+            e.join(frontier, e.src == frontier.v)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        for seen in levels:
+            nxt = nxt.join(seen, "v", "left_anti")
+        levels.append(nxt)
+    out = None
+    for hop, lvl in enumerate(levels):
+        part = lvl.select(F.col("v").alias("suppkey"), F.lit(hop).cast("bigint").alias("hop"))
+        out = part if out is None else out.unionAll(part)
+    return out
