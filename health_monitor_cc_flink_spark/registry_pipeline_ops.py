@@ -2387,3 +2387,61 @@ def graph_bfs_hops(spark, sf_dir):
         part = lvl.select(F.col("v").alias("suppkey"), F.lit(hop).cast("bigint").alias("hop"))
         out = part if out is None else out.unionAll(part)
     return out
+
+
+@query(
+    "graph_link_prediction_common_neighbors",
+    f"""
+    WITH {_DUCK_KNN_GRAPH}, e AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn
+    ), und AS (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ), deg AS (
+        SELECT u, count(*) AS d FROM und GROUP BY u
+    ), wedge AS (
+        SELECT x.u AS a, y.v AS c, count(*) AS n_common
+        FROM und x JOIN und y ON x.v = y.u
+        WHERE x.u < y.v
+        GROUP BY x.u, y.v
+    )
+    SELECT w.a, w.c, CAST(w.n_common AS BIGINT) AS n_common,
+           CAST(da.d AS BIGINT) AS deg_a, CAST(dc.d AS BIGINT) AS deg_c
+    FROM wedge w
+    JOIN deg da ON da.u = w.a
+    JOIN deg dc ON dc.u = w.c
+    LEFT JOIN e ON e.a = w.a AND e.b = w.c
+    WHERE e.a IS NULL AND w.n_common >= 3
+    """,
+    doc="Link prediction by common neighbors on the undirected supplier "
+    "k-NN graph: for every non-adjacent pair with ≥3 shared neighbors, "
+    "the integer triple (n_common, deg_a, deg_c) — the exact inputs to "
+    "Jaccard / Adamic-Adar scoring (consumer applies the division/log). "
+    "One wedge self-join bounded by degree² per vertex (the k-NN "
+    "sparsification keeps that constant), an anti-join removes existing "
+    "edges — the candidate-generation shape recsys link prediction runs "
+    "at billions of edges, never an all-pairs product.",
+)
+def graph_link_prediction_common_neighbors(spark, sf_dir):
+    knn = _knn_graph_directed(spark, sf_dir)
+    e = knn.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")).distinct()
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x, y = und.alias("x"), und.alias("y")
+    wedge = (
+        x.join(y, F.col("x.v") == F.col("y.u"))
+        .filter(F.col("x.u") < F.col("y.v"))
+        .groupBy(F.col("x.u").alias("a"), F.col("y.v").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a"))
+    dc = deg.select(F.col("u").alias("c"), F.col("d").alias("deg_c"))
+    out = (
+        wedge.join(e, (wedge.a == e.a) & (wedge.c == e.b), "left_anti")
+        .join(da, "a")
+        .join(dc, "c")
+        .select("a", "c", "n_common", "deg_a", "deg_c")
+    )
+    return out
