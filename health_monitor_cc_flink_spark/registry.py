@@ -2852,10 +2852,23 @@ def join_range_binned(spark, sf_dir):
 )
 def agg_approx_battery(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # Scalar projections: array-typed output columns crash the driver's
+        # pandas-based canonicalizer (sort_values on ndarray cells), so the
+        # GK-sketch percentile pair is projected to two double columns.
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("_pcts", 1).alias("value_p50"),
+            F.element_at("_pcts", 2).alias("value_p95"),
+            "n",
+        )
     )
 
 

@@ -84,7 +84,15 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
     """Registry-wide plan gate: NO batch relational query may plan a
     CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
     genuinely scalar/tiny side is broadcast (documented allowlist).
-    Catches the next accidental all-pairs join at registration time."""
+    Catches the next accidental all-pairs join at registration time.
+
+    Also gates output schemas: no top-level ArrayType/MapType columns —
+    the driver's pandas canonicalizer factorizes every column to sort rows,
+    and ndarray cells are unhashable (the exact crash that made
+    agg_approx_battery round 4's only red row). Array-valued results must
+    be exploded or projected to scalar columns before registration."""
+    import pyspark.sql.types as T
+
     from health_monitor_cc_flink_spark.registry import all_queries
 
     # excluded: streaming_* run a full drain inside fn(); source_* write
@@ -107,6 +115,15 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         if spec.name in skip_names or spec.name.startswith(skip_prefixes):
             continue
         df = spec.fn(spark, sf_smoke_dir)
+        boxed = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType))
+        ]
+        assert not boxed, (
+            f"{spec.name} outputs top-level array/map columns {boxed} — "
+            "the driver canonicalizer cannot sort/hash these"
+        )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{spec.name} plans a CartesianProduct"
         if spec.name not in bnlj_ok:
