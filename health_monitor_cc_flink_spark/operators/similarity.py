@@ -426,6 +426,26 @@ def pq_adc_topk(
     for j in range(m):
         lut[j] = (((codebook[j] - q[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1))
 
+    scored = _pq_adc_scores(codes, lut, id_col=id_col)
+    cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    exact = (
+        emb.join(F.broadcast(cand), id_col, "left_semi")
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+    return exact
+
+
+def _pq_adc_scores(codes, lut, id_col: str = "vec_id"):
+    """ADC scoring over a PQ codes table: per-row gather-and-sum from the
+    query-specific (M, K) LUT shipped in the closure — codes only, never
+    raw vectors."""
+    import numpy as np
+
+    m = lut.shape[0]
+
     def adc(batches):
         import pandas as pd
 
@@ -436,13 +456,82 @@ def pq_adc_topk(
             dist = lut[np.arange(m)[None, :], c].sum(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col].values, "adc_dist": dist})
 
-    scored = codes.mapInPandas(adc, schema=f"{id_col} long, adc_dist double")
+    return codes.mapInPandas(adc, schema=f"{id_col} long, adc_dist double")
+
+
+def pq_build_index(
+    emb: DataFrame,
+    path: str,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_train: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build a *persisted* PQ index: train the codebook once (bounded
+    deterministic sample), encode the whole corpus once, and write both
+    artifacts — the codes table at ``path`` and the codebook at
+    ``<path>_codebook``.  The train-once / encode-once split the one-shot
+    ``pq_adc_topk`` demo lacks: at 100 TB the corpus encode is the
+    expensive pass, and every subsequent query is an ADC scan over 8-byte
+    codes plus a constant-size re-rank — the same artifact discipline as
+    ``build_ivf_index`` / ``probe_ivf_index``.
+    """
+    codebook = pq_train_codebook(
+        emb, m=m, n_centroids=n_centroids, n_train=n_train,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(emb, codebook, id_col=id_col, vec_col=vec_col)
+    codes.write.mode("overwrite").parquet(path)
+    mm, kk, _sub = codebook.shape
+    emb.sparkSession.createDataFrame(
+        [
+            (j, c, [float(x) for x in codebook[j][c]])
+            for j in range(mm)
+            for c in range(kk)
+        ],
+        "j int, c int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebook")
+
+
+def pq_probe_index(
+    spark,
+    path: str,
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted PQ index: rebuild the (M, K) LUT from the stored
+    codebook (M·K rows — a bounded model artifact, like the IVF centroid
+    read), ADC-score the codes table, then exact-cosine re-rank the
+    top-``rerank`` candidates against the raw vectors (broadcast semi-join
+    on id — a constant number of rows regardless of corpus size)."""
+    import numpy as np
+
+    rows = spark.read.parquet(path.rstrip("/") + "_codebook").collect()
+    m = max(r["j"] for r in rows) + 1
+    n_centroids = max(r["c"] for r in rows) + 1
+    sub = len(rows[0]["centroid"])
+    codebook = np.empty((m, n_centroids, sub), dtype=np.float64)
+    for r in rows:
+        codebook[r["j"]][r["c"]] = [float(x) for x in r["centroid"]]
+
+    q = np.array([float(v) for v in query_vec], dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    lut = np.empty((m, n_centroids), dtype=np.float64)
+    for j in range(m):
+        lut[j] = ((codebook[j] - q[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+
+    codes = spark.read.parquet(path)
+    scored = _pq_adc_scores(codes, lut, id_col=id_col)
     cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
-    exact = (
+    return (
         emb.join(F.broadcast(cand), id_col, "left_semi")
         .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
-    return exact

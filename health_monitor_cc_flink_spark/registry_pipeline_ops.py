@@ -1558,7 +1558,8 @@ def dq_referential_integrity(spark, sf_dir):
         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
     )
     SELECT label, CAST(dim AS BIGINT) AS dim,
-           CAST(sum(vs) AS DOUBLE) / 10000000000.0 / count(*) AS centroid
+           CAST(sum(CAST(vs AS DECIMAL(38,0))) AS DOUBLE)
+               / 10000000000.0 / count(*) AS centroid
     FROM e GROUP BY label, dim
     """,
     doc="Per-class centroid of an embedding column (mean pooling — the "
@@ -1570,6 +1571,9 @@ def dq_referential_integrity(spark, sf_dir):
     "sum is partition-order-dependent, and decimal casts of doubles land "
     "on rounding-mode ties (HALF_UP vs banker's) that differ across "
     "engines; floor of the identical IEEE product never does.  The "
+    "int64 units are summed as DECIMAL(38,0) so the accumulator cannot "
+    "wrap even at ~1e28 rows per class (a bare bigint sum overflows past "
+    "~9.2e8 unit-norm rows — incompatible with the 100 TB framing).  The "
     "divisions happen once per group at the end, in a fixed order.",
 )
 def embedding_centroid_per_label(spark, sf_dir):
@@ -1583,7 +1587,11 @@ def embedding_centroid_per_label(spark, sf_dir):
         F.floor(F.col("v").cast("double") * F.lit(10000000000.0)).alias("vs"),
     )
     return e.groupBy("label", "dim").agg(
-        (F.sum("vs").cast("double") / F.lit(10000000000.0) / F.count(F.lit(1))).alias("centroid")
+        (
+            F.sum(F.col("vs").cast("decimal(38,0)")).cast("double")
+            / F.lit(10000000000.0)
+            / F.count(F.lit(1))
+        ).alias("centroid")
     )
 
 
@@ -1663,8 +1671,33 @@ _DUCK_KNN_GRAPH = """
 """
 
 
+# Memoized materialized edge lists, keyed by (session, sf_dir, k).  Four
+# registry queries share the same graph; without memoization each builder
+# call re-triggered the eager count() (Spark's CacheManager dedupes the
+# storage, but the job + lookup still ran per call) and the cache entries
+# lived until someone called clearCache.  WeakKeyDictionary on the session
+# lets a closed session's entries drop out.
+import weakref
+
+_KNN_GRAPH_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def clear_knn_graph_cache(spark=None):
+    """Unpersist memoized k-NN edge lists — all sessions, or one session's."""
+    sessions = [spark] if spark is not None else list(_KNN_GRAPH_CACHE.keys())
+    for s in sessions:
+        for df in _KNN_GRAPH_CACHE.pop(s, {}).values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+
 def _knn_graph_directed(spark, sf_dir, k: int = 10):
     """Directed supplier k-NN co-service graph: (src, dst), out-degree ≤ k."""
+    cached = _KNN_GRAPH_CACHE.setdefault(spark, {}).get((sf_dir, k))
+    if cached is not None:
+        return cached
     li = _t(spark, sf_dir, "lineitem")
     el = li.select("l_orderkey", "l_suppkey").distinct()
     a, b = el.alias("a"), el.alias("b")
@@ -1691,6 +1724,7 @@ def _knn_graph_directed(spark, sf_dir, k: int = 10):
     # 100 TB.
     knn = knn.cache()
     knn.count()
+    _KNN_GRAPH_CACHE[spark][(sf_dir, k)] = knn
     return knn
 
 
@@ -1966,7 +2000,10 @@ def layout_zorder_key(spark, sf_dir):
     b = ev.select(
         "event_id",
         (F.col("user_id") % 1024).alias("x"),
-        F.pmod(F.floor(F.col("value") / 0.2).cast("bigint"), F.lit(1024)).alias("y"),
+        # `%` (dividend-sign semantics, same as DuckDB's) — not pmod, so the
+        # two sides of the oracle gate agree even if a future generation
+        # ships negative values (pmod maps to [0,1024), % keeps the sign).
+        (F.floor(F.col("value") / 0.2).cast("bigint") % 1024).alias("y"),
     )
     z = None
     for i in range(10):
@@ -2061,6 +2098,34 @@ def ann_pq_topk(spark, sf_dir):
     return S.pq_adc_topk(emb, _query_vec(spark, sf_dir), k=10).select(
         "vec_id", F.round("cos_sim", 4).alias("cos_sim")
     )
+
+
+@query(
+    "ann_pq_persisted_topk",
+    None,  # float ADC distances → rows-only; probe≡one-shot equivalence pinned in tests/test_ann.py
+    doc="Persisted PQ index: codebook trained once and written to "
+    "<path>_codebook, the corpus encoded once to an 8-byte-codes table at "
+    "<path>; each probe rebuilds the M×K LUT from the stored codebook and "
+    "ADC-scans codes only — the train-once/encode-once artifact split "
+    "that makes PQ the 100 TB memory-compression path (the one-shot "
+    "ann_pq_topk retrains per query; this is the production layout, "
+    "mirroring ann_ivf_persisted_topk).",
+)
+def ann_pq_persisted_topk(spark, sf_dir):
+    import os
+
+    from .operators.similarity import pq_build_index, pq_probe_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"pq_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    pq_build_index(emb, path, m=8, n_centroids=16)
+    topk = pq_probe_index(spark, path, emb, qv, k=10, rerank=100)
+    return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
 # =============================================================================

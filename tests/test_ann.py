@@ -94,3 +94,31 @@ def test_pq_topk_recall_vs_brute(spark, sf_smoke_dir):
     # run-to-run determinism of the whole pipeline
     pq2 = {r.vec_id for r in S.pq_adc_topk(emb, q, k=10).collect()}
     assert pq == pq2
+
+
+def test_pq_persisted_index_probe_matches_oneshot(spark, emb, qv, tmp_path_factory):
+    """The persisted PQ index (train-once codebook + encode-once codes
+    table) probed from disk must reproduce the one-shot pq_adc_topk
+    result exactly — same seeded codebook, same ADC, same re-rank — and
+    the written artifacts must have the expected shapes (M·K codebook
+    rows, one codes row per vector, M codes each)."""
+    from health_monitor_cc_flink_spark.operators import similarity as S
+
+    path = str(tmp_path_factory.mktemp("pq") / "index")
+    S.pq_build_index(emb, path, m=8, n_centroids=16)
+
+    cb = spark.read.parquet(path + "_codebook")
+    assert cb.count() == 8 * 16
+    codes = spark.read.parquet(path)
+    assert codes.count() == emb.count()
+    assert codes.select(F.size("codes")).distinct().collect()[0][0] == 8
+
+    probed = S.pq_probe_index(spark, path, emb, qv, k=10, rerank=100).collect()
+    oneshot = S.pq_adc_topk(emb, qv, k=10, rerank=100).collect()
+    assert [(r.vec_id, round(r.cos_sim, 9)) for r in probed] == [
+        (r.vec_id, round(r.cos_sim, 9)) for r in oneshot
+    ]
+
+    # probing again without rebuilding: pure reads, same answer
+    again = S.pq_probe_index(spark, path, emb, qv, k=10, rerank=100).collect()
+    assert [r.vec_id for r in again] == [r.vec_id for r in probed]

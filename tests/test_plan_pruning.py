@@ -99,7 +99,12 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
     # fixture files; health_*/simulator build their own fixture data;
     # dedup_clusters iterates eagerly; udaf registers session state.
     skip_prefixes = ("streaming_", "source_", "health_", "simulator_", "cdc_")
-    skip_names = {"dedup_clusters", "sql_surface_q1", "ann_ivf_persisted_topk"}
+    skip_names = {
+        "dedup_clusters",
+        "sql_surface_q1",
+        "ann_ivf_persisted_topk",
+        "ann_pq_persisted_topk",
+    }
     # BNLJ-of-tiny allowlist: scalar thresholds / constant dimension rows
     bnlj_ok = {
         "q17_small_quantity_revenue",   # scalar avg threshold broadcast
