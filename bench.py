@@ -44,7 +44,14 @@ def main() -> None:
 
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
-    force(specs[0].fn(spark, sf_dir))
+    # full warmup pass: run EVERY timed query once untimed so the measured
+    # pass is uniform steady state (codegen compiled, Arrow workers up,
+    # model-artifact caches built).  Timing one arbitrary query cold and
+    # the rest warm — the old behavior, where the registry's rotation
+    # order picked the lucky one — made round-over-round numbers
+    # incomparable.
+    for spec in specs:
+        force(spec.fn(spark, sf_dir))
     warm = spark.range(1000).selectExpr("id % 8 AS k", "rand(42) AS v")
     warm.groupBy("k").applyInPandas(
         lambda pdf: pdf.head(1), schema="k long, v double"
@@ -64,6 +71,10 @@ def main() -> None:
 
     events = health_events_df(spark, n_ticks=2400, interval_s=0.5, seed=42).cache()
     events.count()  # materialize fixture outside the timed window
+    for _ in range(1):  # warmup: compile the ML window/codegen stages
+        w = run_pipeline(events, patients_df(spark))
+        force(w["enriched_events"])
+        force(w["heartbeat_alerts"])
     t0 = time.perf_counter()
     stages = run_pipeline(events, patients_df(spark))
     force(stages["enriched_events"])

@@ -163,9 +163,11 @@ class MLForecast:
         a, b, sigma, rmse, aic = fit
         step = self.step or datetime.timedelta(seconds=1)
         yhat, var_acc = y, 0.0
+        b2, pw = b * b, 1.0  # product chain, not pow (ulp parity with batch)
         for h in range(1, horizon + 1):
             yhat = a + b * yhat
-            var_acc += b ** (2 * (h - 1))
+            var_acc += pw
+            pw = pw * b2
             band = z * sigma * math.sqrt(var_acc)
             yield (
                 row["patient_id"],

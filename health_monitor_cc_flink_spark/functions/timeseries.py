@@ -34,10 +34,13 @@ from statistics import NormalDist
 from typing import Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["ml_detect_anomalies", "ml_forecast", "expanding_ar1"]
+
+_INF = float("inf")
+_NAN = float("nan")
 
 #: number of estimated parameters (intercept, slope) for AIC/df purposes
 _N_PARAMS = 2
@@ -118,6 +121,100 @@ def _sorted_group(pdf, ts_col: str, value_col: str):
     return pdf, y
 
 
+def _ar1_fit_native(df: DataFrame, value_col: str, ts_col: str, key_cols: Sequence[str]):
+    """Expanding AR(1) fit as NATIVE window aggregates — the same running
+    sums `expanding_ar1` keeps in NumPy (Σy, Σy², Σy·y_lag), expressed as
+    ``SUM ... OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)`` so the whole fit stays in whole-stage codegen: one
+    shuffle on the key (the minimum the OVER frame implies), streaming
+    frame evaluation, and — unlike the applyInPandas form — **no
+    whole-history-per-key pandas materialization**, so a single hot key's
+    years of history never have to fit one executor's memory.
+
+    Every arithmetic expression mirrors the NumPy kernel op-for-op (same
+    association order), so results are bit-identical to `expanding_ar1`
+    (asserted in tests/test_timeseries.py).
+
+    Returns (df + fit columns ``_y _rn _k _a_fit _b_fit _sigma_fit
+    _rmse_fit _aic_fit``, row window spec).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(ts_col, value_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    y = F.col(value_col).cast("double")
+    df = df.withColumns(
+        {
+            "_y": y,
+            "_rn": F.row_number().over(w),
+            "_lagprod": y * F.lag(y).over(w),
+        }
+    )
+    df = df.withColumns(
+        {
+            "_s1": F.sum("_y").over(wcum),
+            "_s2": F.sum(F.col("_y") * F.col("_y")).over(wcum),
+            "_c": F.coalesce(F.sum("_lagprod").over(wcum), F.lit(0.0)),
+            "_y0": F.first("_y").over(wcum),
+        }
+    )
+    k = F.col("_rn").cast("double") - 1.0
+    sum_x = F.col("_s1") - F.col("_y")
+    sum_z = F.col("_s1") - F.col("_y0")
+    sum_x2 = F.col("_s2") - F.col("_y") * F.col("_y")
+    sum_z2 = F.col("_s2") - F.col("_y0") * F.col("_y0")
+    df = df.withColumns(
+        {
+            "_k": k,
+            "_sum_x": sum_x,
+            "_sum_z": sum_z,
+            "_sum_x2": sum_x2,
+            "_sum_z2": sum_z2,
+            "_denom": k * sum_x2 - sum_x * sum_x,
+        }
+    )
+    b = F.when(
+        F.abs(F.col("_denom")) > 1e-12,
+        (F.col("_k") * F.col("_c") - F.col("_sum_x") * F.col("_sum_z")) / F.col("_denom"),
+    ).otherwise(0.0)
+    df = df.withColumn("_b", b)
+    a = F.when(
+        F.col("_k") > 0,
+        (F.col("_sum_z") - F.col("_b") * F.col("_sum_x")) / F.col("_k"),
+    ).otherwise(0.0)
+    df = df.withColumn("_a", a)
+    # SSE in the same association order as the NumPy kernel
+    sse = (
+        F.col("_sum_z2")
+        + F.col("_k") * F.col("_a") * F.col("_a")
+        + F.col("_b") * F.col("_b") * F.col("_sum_x2")
+        - 2.0 * F.col("_a") * F.col("_sum_z")
+        - 2.0 * F.col("_b") * F.col("_c")
+        + 2.0 * F.col("_a") * F.col("_b") * F.col("_sum_x")
+    )
+    df = df.withColumn("_sse", F.greatest(sse, F.lit(0.0)))
+    valid = F.col("_k") >= 2
+    sig = F.sqrt(F.col("_sse") / F.greatest(F.col("_k") - _N_PARAMS, F.lit(1.0)))
+    df = df.withColumns(
+        {
+            "_a_fit": F.when(valid, F.col("_a"))
+            .when(F.col("_k") == 1, F.col("_y0"))
+            .otherwise(0.0),
+            "_b_fit": F.when(valid, F.col("_b")).otherwise(0.0),
+            "_sigma_fit": F.when(valid, F.greatest(sig, F.lit(1e-9))).otherwise(
+                F.lit(_INF)
+            ),
+            "_rmse_fit": F.when(valid, F.sqrt(F.col("_sse") / F.col("_k"))).otherwise(
+                F.lit(_NAN)
+            ),
+            "_aic_fit": F.when(
+                valid & (F.col("_sse") > 0),
+                F.col("_k") * F.log(F.col("_sse") / F.col("_k")) + 2.0 * (_N_PARAMS + 1),
+            ).otherwise(F.lit(_NAN)),
+        }
+    )
+    return df, w
+
+
 def ml_detect_anomalies(
     df: DataFrame,
     value_col: str,
@@ -126,6 +223,7 @@ def ml_detect_anomalies(
     min_training_size: int = 30,
     confidence_percentage: float = 95.0,
     output_col: str = "report",
+    implementation: str = "native",
 ) -> DataFrame:
     """ML_DETECT_ANOMALIES over the cumulative per-key frame.
 
@@ -134,6 +232,13 @@ def ml_detect_anomalies(
     the model fit on rows 1..i-1 of its key (ordered by ``ts_col``); the
     first ``min_training_size`` rows of a key are never flagged
     (warm-up, reference `minTrainingSize` at flink_statements.tf:195).
+
+    ``implementation="native"`` (default) runs the fit as pure window
+    aggregates — no Python, no per-key history materialization (the
+    applyInPandas form needs a key's FULL history in one pandas frame —
+    a straggler/memory trap for long-lived keys at 100 TB).
+    ``implementation="pandas"`` keeps the NumPy kernel; both paths are
+    bit-identical (tests/test_timeseries.py).
     """
     z = _zcrit(confidence_percentage)
     out_schema = T.StructType(
@@ -152,6 +257,42 @@ def ml_detect_anomalies(
             )
         ]
     )
+    if implementation == "native":
+        fitted, w = _ar1_fit_native(df, value_col, ts_col, key_cols)
+        fitted = fitted.withColumns(
+            {
+                "_p_a": F.coalesce(F.lag("_a_fit").over(w), F.col("_a_fit")),
+                "_p_b": F.coalesce(F.lag("_b_fit").over(w), F.col("_b_fit")),
+                "_p_s": F.coalesce(F.lag("_sigma_fit").over(w), F.col("_sigma_fit")),
+                "_y_prev": F.coalesce(F.lag("_y").over(w), F.col("_y")),
+            }
+        )
+        expected = F.col("_p_a") + F.col("_p_b") * F.col("_y_prev")
+        fitted = fitted.withColumns(
+            {
+                "_expected": expected,
+                "_lower": expected - z * F.col("_p_s"),
+                "_upper": expected + z * F.col("_p_s"),
+                "_finite": F.col("_p_s") < F.lit(_INF),
+                "_trained": (F.col("_rn") - 1) >= min_training_size,
+            }
+        )
+        is_anom = F.coalesce(
+            F.col("_trained")
+            & F.col("_finite")
+            & ((F.col("_y") < F.col("_lower")) | (F.col("_y") > F.col("_upper"))),
+            F.lit(False),
+        )
+        report = F.struct(
+            is_anom.alias("is_anomaly"),
+            F.when(F.col("_finite"), F.col("_expected")).alias("expected_value"),
+            F.when(F.col("_finite"), F.col("_lower")).alias("lower_bound"),
+            F.when(F.col("_finite"), F.col("_upper")).alias("upper_bound"),
+        )
+        # nullability is tighter than the pandas path (the struct is provably
+        # non-null here); names/types are identical and every consumer
+        # projects scalar fields, so the visible schema is unchanged
+        return fitted.select(*df.columns, report.alias(output_col))
 
     def score(pdf):
         import pandas as pd
@@ -193,6 +334,7 @@ def ml_forecast(
     confidence_percentage: float = 95.0,
     min_training_size: int = 2,
     output_col: str = "forecast_values",
+    implementation: str = "native",
 ) -> DataFrame:
     """ML_FORECAST over the cumulative per-key frame.
 
@@ -207,6 +349,11 @@ def ml_forecast(
     Multi-step intervals widen with the AR(1) variance recursion
     Var_h = σ²·Σ_{j<h} b^{2j} (no parameter-uncertainty inflation;
     engine-defined, SURVEY.md §7.4.3).
+
+    ``implementation="native"`` (default) unrolls the constant ``horizon``
+    into codegen'd column expressions over the window-aggregate AR(1)
+    fit — no Python, no per-key pandas materialization; ``"pandas"``
+    keeps the NumPy kernel.  Bit-identical (tests/test_timeseries.py).
     """
     z = _zcrit(confidence_percentage)
     elem = T.StructType(
@@ -220,6 +367,54 @@ def ml_forecast(
         ]
     )
     out_schema = T.StructType(df.schema.fields + [T.StructField(output_col, T.ArrayType(elem))])
+    if implementation == "native":
+        fitted, w = _ar1_fit_native(df, value_col, ts_col, key_cols)
+        wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        # per-key forecast step = the key's LAST observed inter-arrival gap
+        # (the pandas kernel's steps.iloc[-1]); ≤0 or missing → 1 s
+        step_raw = F.last(
+            F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w),
+            ignorenulls=True,
+        ).over(wall)
+        fitted = fitted.withColumn(
+            "_step_us",
+            F.when(step_raw.isNull() | (step_raw <= 0), F.lit(1_000_000)).otherwise(
+                step_raw
+            ),
+        )
+        a, b, s = F.col("_a_fit"), F.col("_b_fit"), F.col("_sigma_fit")
+        rmse_out = F.when(~F.isnan(F.col("_rmse_fit")), F.col("_rmse_fit"))
+        aic_out = F.when(~F.isnan(F.col("_aic_fit")), F.col("_aic_fit"))
+        elems = []
+        yhat = F.col("_y")
+        var_acc = F.lit(0.0)
+        # b^{2(h-1)} by explicit product chain, NOT pow(): multiplication is
+        # IEEE-exact on both JVM and C, while Math.pow may be off by 1 ulp
+        # vs libm pow — the product chain keeps both paths bit-identical
+        b2 = b * b
+        pw = F.lit(1.0)
+        for h in range(1, horizon + 1):
+            yhat = a + b * yhat
+            var_acc = var_acc + pw
+            pw = pw * b2
+            band = z * s * F.sqrt(var_acc)
+            elems.append(
+                F.struct(
+                    F.timestamp_micros(
+                        F.unix_micros(F.col(ts_col)) + h * F.col("_step_us")
+                    ).alias("forecast_timestamp"),
+                    yhat.alias("forecast_value"),
+                    (yhat - band).alias("lower_bound"),
+                    (yhat + band).alias("upper_bound"),
+                    rmse_out.alias("rmse"),
+                    aic_out.alias("aic"),
+                )
+            )
+        arr = F.array(*elems)
+        ok = (F.col("_rn") >= min_training_size) & (s < F.lit(_INF))
+        out = F.when(ok, arr).otherwise(F.slice(arr, 1, 0))
+        # nullability is tighter than the pandas path; names/types identical
+        return fitted.select(*df.columns, out.alias(output_col))
 
     def forecast(pdf):
         import pandas as pd
@@ -242,10 +437,12 @@ def ml_forecast(
             rm, ai = float(fits["rmse"][i]), float(fits["aic"][i])
             yhat = y[i]
             var_acc = 0.0
+            b2, pw = float(b) * float(b), 1.0  # product chain, not pow (ulp parity with native)
             out = []
             for h in range(1, horizon + 1):
                 yhat = a + b * yhat
-                var_acc += float(b) ** (2 * (h - 1))
+                var_acc += pw
+                pw = pw * b2
                 band = z * s * math.sqrt(var_acc)
                 out.append(
                     {

@@ -188,9 +188,11 @@ def streaming_forecast(
                 continue
             a, b, s = fits["a"][i], fits["b"][i], fits["sigma"][i]
             yhat, var_acc = y[i], 0.0
+            b2, pw = float(b) * float(b), 1.0  # product chain, not pow (ulp parity with batch)
             for h in range(1, horizon + 1):
                 yhat = a + b * yhat
-                var_acc += float(b) ** (2 * (h - 1))
+                var_acc += pw
+                pw = pw * b2
                 band = z * s * math.sqrt(var_acc)
                 rows.append(
                     {

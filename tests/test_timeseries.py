@@ -99,6 +99,98 @@ def test_anomaly_flags_outlier_after_warmup(spark):
     assert flagged <= 4  # the outlier (+ maybe its immediate successor)
 
 
+def _braday_fixture(spark):
+    """The bradycardia acceptance shape: per-patient windowed vitals with
+    patient 1's fault glide — the series the reference pipeline alerts on."""
+    from health_monitor_cc_flink_spark.fixtures import health_events_df
+    from health_monitor_cc_flink_spark.plans.health_pipeline import windowed_vitals
+
+    events = health_events_df(spark, n_ticks=480, interval_s=0.5, seed=42)
+    return windowed_vitals(events)
+
+
+@pytest.mark.parametrize("fn", ["detect", "forecast"])
+def test_native_matches_pandas_bitwise(spark, fn):
+    """The native window-aggregate AR(1) path must be BIT-IDENTICAL to the
+    applyInPandas NumPy kernel on the bradycardia fixture — every struct
+    field of every row, exact float equality (the native expressions
+    mirror the kernel's running sums op-for-op)."""
+    wv = _braday_fixture(spark).cache()
+
+    if fn == "detect":
+        kw = dict(min_training_size=30, confidence_percentage=95.0)
+        nat = ml_detect_anomalies(
+            wv, "observed_value", "event_timestamp", ["patient_id"],
+            implementation="native", **kw,
+        )
+        pan = ml_detect_anomalies(
+            wv, "observed_value", "event_timestamp", ["patient_id"],
+            implementation="pandas", **kw,
+        )
+    else:
+        kw = dict(horizon=3, confidence_percentage=95.0, min_training_size=2)
+        nat = ml_forecast(
+            wv, "observed_value", "event_timestamp", ["patient_id"],
+            implementation="native", **kw,
+        )
+        pan = ml_forecast(
+            wv, "observed_value", "event_timestamp", ["patient_id"],
+            implementation="pandas", **kw,
+        )
+
+    key = lambda r: (r.patient_id, r.event_timestamp)
+    nrows = sorted(nat.collect(), key=key)
+    prows = sorted(pan.collect(), key=key)
+    assert len(nrows) == len(prows) and len(nrows) > 1000
+    # same names/types; nullability may be tighter on the native path (the
+    # struct is provably non-null there) — it never survives the scalar
+    # projections every downstream consumer applies
+    assert nat.schema.simpleString() == pan.schema.simpleString()
+
+    def strip_aic(d):
+        if "forecast_values" in d:
+            return {
+                **d,
+                "forecast_values": [
+                    {k: v for k, v in f.items() if k != "aic"}
+                    for f in d["forecast_values"]
+                ],
+            }
+        return d
+
+    for a, b in zip(nrows, prows):
+        da, db = a.asDict(recursive=True), b.asDict(recursive=True)
+        # bit-exact on every consumed field; aic alone may differ by 1 ulp
+        # (NumPy's glibc log vs the JVM's fdlibm StrictMath.log round the
+        # last bit differently — nothing downstream reads aic)
+        assert strip_aic(da) == strip_aic(db), (a, b)
+        for fa, fb in zip(
+            da.get("forecast_values", []), db.get("forecast_values", [])
+        ):
+            if fa["aic"] is None or fb["aic"] is None:
+                assert fa["aic"] == fb["aic"]
+            else:
+                assert abs(fa["aic"] - fb["aic"]) <= 4e-15 * max(
+                    abs(fa["aic"]), 1.0
+                ), (fa, fb)
+    wv.unpersist()
+
+
+def test_native_plan_has_no_python_stage(spark):
+    """The native path's physical plan must contain no Python evaluation
+    (no ArrowEvalPython / FlatMapGroupsInPandas) and exactly ONE exchange
+    — the shuffle on the key that any per-key ordered frame implies."""
+    wv = _braday_fixture(spark)
+    out = ml_detect_anomalies(
+        wv, "observed_value", "event_timestamp", ["patient_id"], implementation="native"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan
+    # windowed_vitals groups on (window, patient_id); the ML frame then
+    # shuffles on patient_id — nothing else may add an exchange
+    assert plan.count("Exchange") <= 2, plan
+
+
 def test_multi_key_independence(spark):
     base = _series_df(spark, [70.0] * 45, key=1)
     other = _series_df(spark, [120.0] * 45, key=2)
