@@ -118,7 +118,56 @@ def run(spark, sf_dir: str, label: str) -> None:
     print(json.dumps({"scale": label, "queries": timings}), flush=True)
 
 
+def longkey(spark, mult: int, implementation: str) -> float:
+    """Long-key probe: CONSTANT key cardinality (the reference's 10
+    patients, health_simulator.py:17) with ``mult``× the history per key.
+    The replica sweep grows data with FRESH keys, so it never exercises
+    the per-key ML shuffle's long-tail behavior — this does: every extra
+    row lands on one of the same 10 keys, so per-key state growth is the
+    whole signal.  The native window-aggregate AR(1) path should stay
+    ~linear with flat memory (constant-size aggregation buffers); the
+    applyInPandas path materializes each key's FULL history in one pandas
+    frame and is the straggler/memory trap this probe exists to watch."""
+    from functools import partial
+
+    from health_monitor_cc_flink_spark.fixtures import health_events_df
+    from health_monitor_cc_flink_spark.functions import timeseries as tsm
+    from health_monitor_cc_flink_spark.plans import health_pipeline as hp
+    from health_monitor_cc_flink_spark.sources.memory import patients_df
+
+    events = health_events_df(spark, n_ticks=2400 * mult, interval_s=0.5, seed=42).cache()
+    events.count()
+    orig_d, orig_f = hp.ml_detect_anomalies, hp.ml_forecast
+    hp.ml_detect_anomalies = partial(tsm.ml_detect_anomalies, implementation=implementation)
+    hp.ml_forecast = partial(tsm.ml_forecast, implementation=implementation)
+    try:
+        best = float("inf")
+        for _ in range(2):  # second rep = steady state
+            t0 = time.perf_counter()
+            stages = hp.run_pipeline(events, patients_df(spark))
+            stages["heartbeat_alerts"].write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        hp.ml_detect_anomalies, hp.ml_forecast = orig_d, orig_f
+        events.unpersist()
+    return round(best, 2)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--longkey":
+        mult = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        spark = build_session(
+            app_name="scale-probe-longkey",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS','32')}]",
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        out = {}
+        for impl in ("native", "pandas"):
+            out[impl] = {"1x": longkey(spark, 1, impl), f"{mult}x": longkey(spark, mult, impl)}
+        print(json.dumps({"probe": "longkey_10_patients", "mult": mult, "seconds": out}), flush=True)
+        spark.stop()
+        return
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spark = build_session(app_name="scale-probe", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS','32')}]")
     spark.sparkContext.setLogLevel("ERROR")
