@@ -161,19 +161,30 @@ def read_kafka_avro_stream(
     starting_offsets: str = "latest",
     confluent_wire_format: bool = True,
     decoder: str = "jvm",
+    source_format: str = "kafka",
+    extra_options: dict | None = None,
 ) -> DataFrame:
     """`events`-style source: Kafka topic → typed columns + event_time.
 
     Returns a streaming DataFrame with the value schema's columns at the
     top level plus ``event_time`` (Kafka record timestamp = `$rowtime`).
+
+    ``source_format`` defaults to the real Kafka source; tests inject
+    ``"kafka_sim"`` (sources/kafka_sim.py — same record schema and
+    startingOffsets semantics, replaying a recorded topic) so this
+    function's option plumbing and the downstream decode execute end-to-
+    end in broker-less environments.  ``extra_options`` passes source-
+    specific options (e.g. the sim's recorded-topic ``path``).
     """
-    raw = (
-        spark.readStream.format("kafka")
+    reader = (
+        spark.readStream.format(source_format)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load()
     return decode_avro_values(
         raw, value_schema, confluent_wire_format=confluent_wire_format, decoder=decoder
     )

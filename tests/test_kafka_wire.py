@@ -158,6 +158,165 @@ def test_wire_format_stream_to_windowed_vitals(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# read_kafka_avro_stream option/offset handling via the DataSource API
+# (the piece the recorded-bytes path above cannot reach: no broker in the
+# sandbox, so a Python DataSource reproduces the Kafka source contract —
+# record schema, subscribe, startingOffsets semantics — and the REAL
+# source function runs against it end-to-end)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+def _record_topic(spark, tmp_path, n_ticks=40):
+    """Record simulator events as a 3-partition framed-Avro topic parquet
+    (the reference's topic shape, main.tf:170-185): round-robin partition
+    assignment, per-partition sequential offsets, record timestamp =
+    event_time."""
+    events = health_events_df(spark, n_ticks=n_ticks, interval_s=0.5, seed=7)
+    rows = sorted(events.collect(), key=lambda r: (r.event_time, r.event_id))
+    recs, next_off = [], {0: 0, 1: 0, 2: 0}
+    for i, r in enumerate(rows):
+        p = i % 3
+        recs.append(
+            {
+                "partition": p,
+                "offset": next_off[p],
+                "key": str(r.patient_id).encode(),
+                "value": bytearray(
+                    confluent_frame(encode_record(SCHEMA_JSON, _row_to_record(r)), 7)
+                ),
+                "timestamp_us": int(r.event_time.timestamp() * 1_000_000),
+            }
+        )
+        next_off[p] += 1
+    path = str(tmp_path / "topic.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(recs), path)
+    return path, rows, recs
+
+
+def _drain(df, name):
+    (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return df.sparkSession.table(name).collect()
+
+
+@pytest.fixture()
+def kafka_sim(spark):
+    from health_monitor_cc_flink_spark.sources import kafka_sim as ks
+
+    ks.register(spark)
+    return ks
+
+
+def test_kafka_source_earliest_drains_everything(spark, tmp_path, kafka_sim):
+    """startingOffsets='earliest' through read_kafka_avro_stream must
+    deliver every recorded record across all 3 partitions, decoded, with
+    event_time = the Kafka record timestamp."""
+    from health_monitor_cc_flink_spark.sources.kafka import read_kafka_avro_stream
+
+    path, rows, _ = _record_topic(spark, tmp_path)
+    stream = read_kafka_avro_stream(
+        spark,
+        "sim-broker:9092",
+        "events",
+        VALUE_SCHEMA,
+        starting_offsets="earliest",
+        decoder="python",
+        source_format="kafka_sim",
+        extra_options={"path": path},
+    )
+    got = _drain(stream, "kafka_sim_earliest")
+    assert len(got) == len(rows)
+    by_id = {r.event_id: r for r in got}
+    for r in rows:
+        g = by_id[r.event_id]
+        assert g.event_time == r.event_time  # $rowtime = record timestamp
+        assert g.patient_id == r.patient_id
+        assert g.vitals.heart_rate == r.vitals.heart_rate
+
+
+def test_kafka_source_latest_positions_at_log_end(spark, tmp_path, kafka_sim):
+    """The function's default startingOffsets='latest' must position past
+    the recorded log: an availableNow drain sees zero records."""
+    from health_monitor_cc_flink_spark.sources.kafka import read_kafka_avro_stream
+
+    path, _, _ = _record_topic(spark, tmp_path)
+    stream = read_kafka_avro_stream(
+        spark,
+        "sim-broker:9092",
+        "events",
+        VALUE_SCHEMA,
+        decoder="python",
+        source_format="kafka_sim",
+        extra_options={"path": path},
+    )
+    assert _drain(stream, "kafka_sim_latest") == []
+
+
+def test_kafka_source_per_partition_json_offsets(spark, tmp_path, kafka_sim):
+    """Kafka's per-partition JSON form with all three offset kinds: a
+    concrete resume offset on partition 0, -2 (earliest) on partition 1,
+    -1 (latest) on partition 2 — exactly the records at/after each
+    partition's resolved start are delivered."""
+    from health_monitor_cc_flink_spark.sources.kafka import read_kafka_avro_stream
+
+    path, _, recs = _record_topic(spark, tmp_path)
+    resume_at = 5
+    stream = read_kafka_avro_stream(
+        spark,
+        "sim-broker:9092",
+        "events",
+        VALUE_SCHEMA,
+        starting_offsets='{"events": {"0": %d, "1": -2, "2": -1}}' % resume_at,
+        decoder="python",
+        source_format="kafka_sim",
+        extra_options={"path": path},
+    )
+    got = _drain(stream, "kafka_sim_json")
+    expected = [
+        r
+        for r in recs
+        if (r["partition"] == 0 and r["offset"] >= resume_at) or r["partition"] == 1
+    ]
+    assert len(got) == len(expected)
+    expected_ids = {
+        decode_record(SCHEMA_JSON, strip_confluent_frame(bytes(r["value"]))[1])["event_id"]
+        for r in expected
+    }
+    assert {r.event_id for r in got} == expected_ids
+
+
+def test_kafka_source_requires_bootstrap_servers(spark, tmp_path, kafka_sim):
+    """Option validation: the source rejects a missing/empty
+    kafka.bootstrap.servers, as the real Kafka source does."""
+    from health_monitor_cc_flink_spark.sources.kafka import read_kafka_avro_stream
+
+    path, _, _ = _record_topic(spark, tmp_path, n_ticks=4)
+    stream = read_kafka_avro_stream(
+        spark,
+        "",
+        "events",
+        VALUE_SCHEMA,
+        starting_offsets="earliest",
+        decoder="python",
+        source_format="kafka_sim",
+        extra_options={"path": path},
+    )
+    with pytest.raises(Exception, match="bootstrap"):
+        _drain(stream, "kafka_sim_nobootstrap")
+
+
+# ---------------------------------------------------------------------------
 # property-based codec fuzzing (pure Python — no SparkSession needed)
 # ---------------------------------------------------------------------------
 
