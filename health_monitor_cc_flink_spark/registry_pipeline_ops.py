@@ -2510,3 +2510,217 @@ def graph_link_prediction_common_neighbors(spark, sf_dir):
         .select("a", "c", "n_common", "deg_a", "deg_c")
     )
     return out
+
+
+# =============================================================================
+# Round-5 additions: sequence packing, eval-set decontamination, repetition
+# profiling, embedding int8 quantization — the remaining standard stages of
+# a training-data pipeline (pack → decontaminate → quality-filter → quantize).
+# =============================================================================
+
+
+@query(
+    "pack_token_budget_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok AS start_tok
+        FROM t
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(start_tok // 2048 AS BIGINT) AS seq_id,
+           CAST(start_tok % 2048 AS BIGINT) AS offset_in_seq
+    FROM c
+    """,
+    doc="Token-budget sequence packing (the last step before a training "
+    "job: concatenate documents into fixed-size training sequences).  "
+    "Document-contiguous block packing: per language, docs in doc_id "
+    "order, each doc's sequence id = its cumulative token START offset "
+    "div the 2048-token budget — one running-sum window (a single "
+    "shuffle on lang), all-integer outputs so the hash gate is exact.  "
+    "This is the order-preserving streaming-friendly variant of greedy "
+    "bin packing; exact first-fit needs a sequential remainder reset "
+    "that no engine parallelizes.  At 100 TB: the window runs per "
+    "partition-key, and the assignment is a pure prefix-sum — the same "
+    "plan Megatron-style data loaders use for offline packing.",
+)
+def pack_token_budget_sequences(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    budget = 2048
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = t.withColumn("start_tok", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        (F.col("start_tok") / budget).cast("bigint").alias("seq_id"),
+        (F.col("start_tok") % budget).alias("offset_in_seq"),
+    )
+
+
+@query(
+    "text_decontaminate_eval_overlap",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id,
+           CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shared_shingles
+    FROM tr JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY tr.doc_id
+    """,
+    doc="Eval-set decontamination (the overlap check every training "
+    "corpus runs before a benchmark claim): flag training documents "
+    "sharing any 3-word shingle with the held-out eval slice (doc_id % "
+    "97 = 0 — a deterministic stand-in for the eval corpus).  Inverted-"
+    "index equi-join on shingle — the same index the MinHash pipeline "
+    "builds, NEVER a doc×doc product — then an integer distinct-count "
+    "per contaminated doc.  At 100 TB the eval side is tiny and "
+    "broadcastable; the training side streams through the join map-side.",
+)
+def text_decontaminate_eval_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", 3)
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("ev_doc"), "shingle"
+    )
+    tr = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        tr.join(ev, "shingle")
+        .groupBy(tr.doc_id)
+        .agg(F.count_distinct(F.col("shingle")).alias("n_shared_shingles"))
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), g0 AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), per AS (
+        SELECT doc_id, gram, count(*) AS cnt FROM g0 GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(max(cnt) AS BIGINT) AS max_gram_count
+    FROM per GROUP BY doc_id
+    """,
+    doc="Intra-document repetition profile (Gopher-style repetition "
+    "filters: boilerplate and looping text show low distinct-gram "
+    "ratios): per doc, total / distinct / max-multiplicity of 3-word "
+    "grams — ALL integer outputs, the consumer applies ratio thresholds. "
+    "Spark side counts multiplicities with one (doc, gram) hash agg then "
+    "a per-doc agg — two partial-aggregated shuffles, no windows, no "
+    "UDFs.  The gram explosion is linear in corpus tokens (the same "
+    "cost envelope as tokenization itself).",
+)
+def text_repetition_ratio(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    ).select("doc_id", F.explode("grams").alias("gram"))
+    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("cnt").alias("max_gram_count"),
+    )
+
+
+@query(
+    "embedding_int8_quantize",
+    """
+    WITH e AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ), stats AS (
+        SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim
+    ), q AS (
+        SELECT vec_id, e.dim,
+               CAST(least(CASE WHEN mx > mn
+                    THEN floor((v - mn) / (mx - mn) * 255.0)
+                    ELSE 0 END, 255) AS BIGINT) AS code
+        FROM e JOIN stats ON e.dim = stats.dim
+    )
+    SELECT vec_id,
+           md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) AS codes_md5,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(min(code) AS BIGINT) AS code_min,
+           CAST(max(code) AS BIGINT) AS code_max
+    FROM q GROUP BY vec_id
+    """,
+    doc="Per-dimension int8 (0..255) min-max quantization of the "
+    "embedding column — the 4x memory compression applied before ANN "
+    "serving when PQ is too lossy.  Exactness: min/max are exact "
+    "aggregates; the quantize expression is the identical IEEE op "
+    "sequence on both engines ((v-mn)/(mx-mn)*255.0, floored), so codes "
+    "hash-match exactly; per-vector codes are folded to an md5 over the "
+    "dim-ordered code string plus integer sum/min/max (top-level arrays "
+    "would break the driver canonicalizer).  Scale shape: one 64-group "
+    "stats agg, stats broadcast back (64 rows), quantization is a pure "
+    "map — no per-vector shuffle beyond the final per-vec fold.",
+)
+def embedding_int8_quantize(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    stats = e.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    q = e.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.least(
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0),
+            ).otherwise(F.lit(0)),
+            F.lit(255),
+        )
+        .cast("bigint")
+        .alias("code"),
+    )
+    folded = q.groupBy("vec_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "code"))),
+                    lambda s: s["code"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("codes_md5"),
+        F.sum("code").alias("code_sum"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+    )
+    return folded

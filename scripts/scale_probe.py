@@ -45,6 +45,13 @@ PROBE_QUERIES = (
     "graph_triangle_count",
     "graph_pagerank_intscaled",
     "text_commonness_score",
+    # round-5 additions: the shingle inverted-index join (decontaminate)
+    # and the gram-multiplicity double-agg (repetition) are the linear-
+    # but-heavy token-volume paths; packing is a pure window prefix-sum
+    "text_decontaminate_eval_overlap",
+    "text_repetition_ratio",
+    "pack_token_budget_sequences",
+    "embedding_int8_quantize",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
