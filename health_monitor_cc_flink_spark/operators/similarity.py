@@ -535,3 +535,116 @@ def pq_probe_index(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- IVF-PQ: the full at-scale ANN composition ------------------------------
+#
+# IVF alone prunes WHICH files are scanned (partition layout); PQ alone
+# compresses WHAT is scanned (8-byte codes).  Production billion-vector
+# indexes (FAISS IVF-PQ and its descendants) compose both: the probe
+# reads only the probed cells' partitions, and those partitions hold
+# codes, not raw vectors — so a 100 TB float corpus probes as a few GB
+# of code scan plus a constant-size exact re-rank.
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_train: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the composed index: KMeans coarse cells + per-vector PQ
+    codes, written ``partitionBy("cell")`` so a probe is a statically
+    partition-pruned scan of 8-byte codes.  Artifacts: codes table at
+    ``path`` (cell-partitioned), coarse centroids at ``<path>_centroids``,
+    PQ codebook at ``<path>_codebook``.  One KMeans fit (bounded), one
+    codebook train (bounded sample), one encode pass over the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "cell")
+
+    codebook = pq_train_codebook(
+        emb, m=m, n_centroids=n_centroids, n_train=n_train, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(assigned, codebook, id_col=id_col, vec_col=vec_col)
+    (
+        codes.join(assigned.select(id_col, "cell"), id_col)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    mm, kk, _sub = codebook.shape
+    spark.createDataFrame(
+        [(j, c, [float(x) for x in codebook[j][c]]) for j in range(mm) for c in range(kk)],
+        "j int, c int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebook")
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the composed index: rank cells by coarse-centroid cosine on
+    the driver (n_cells rows), scan ONLY those cells' code partitions
+    (static partition pruning — `PartitionFilters` in the plan), ADC-score
+    the codes, exact-cosine re-rank the top-``rerank`` against raw
+    vectors.  Work per query: |probed cells| of code scan + a
+    constant-size re-rank, independent of corpus size."""
+    import numpy as np
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    centroids = spark.read.parquet(path.rstrip("/") + "_centroids")
+    probed = (
+        centroids.select("cell", cosine(F.col("centroid"), q).alias("ccos"))
+        .orderBy(F.desc("ccos"), F.asc("cell"))
+        .limit(n_probe)
+        .collect()
+    )
+    cells = [int(r["cell"]) for r in probed]
+
+    rows = spark.read.parquet(path.rstrip("/") + "_codebook").collect()
+    m = max(r["j"] for r in rows) + 1
+    n_centroids = max(r["c"] for r in rows) + 1
+    sub = len(rows[0]["centroid"])
+    codebook = np.empty((m, n_centroids, sub), dtype=np.float64)
+    for r in rows:
+        codebook[r["j"]][r["c"]] = [float(x) for x in r["centroid"]]
+    qn = np.array([float(v) for v in query_vec], dtype=np.float64)
+    qn /= max(np.linalg.norm(qn), 1e-12)
+    lut = np.empty((m, n_centroids), dtype=np.float64)
+    for j in range(m):
+        lut[j] = ((codebook[j] - qn[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+
+    codes = spark.read.parquet(path).filter(F.col("cell").isin(cells)).select(id_col, "codes")
+    scored = _pq_adc_scores(codes, lut, id_col=id_col)
+    cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)
+    return (
+        emb.join(F.broadcast(cand), id_col, "left_semi")
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

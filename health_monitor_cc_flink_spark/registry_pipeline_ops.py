@@ -2128,6 +2128,35 @@ def ann_pq_persisted_topk(spark, sf_dir):
     return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+@query(
+    "ann_ivfpq_persisted_topk",
+    None,  # float ADC + kmeans cells → rows-only; recall + pruning pinned in tests/test_ann.py
+    doc="IVF-PQ — the full at-scale ANN composition (FAISS-style): coarse "
+    "KMeans cells give static partition pruning (the probe scans only "
+    "n_probe of n_cells code partitions — PartitionFilters asserted in "
+    "tests), PQ gives 8-byte codes inside each cell (the scan reads "
+    "codes, never raw vectors), then a constant-size exact re-rank.  Per-"
+    "query work is |probed cells| of code scan + rerank — independent of "
+    "corpus size; this is the layout a 100 TB embedding corpus serves "
+    "from.",
+)
+def ann_ivfpq_persisted_topk(spark, sf_dir):
+    import os
+
+    from .operators.similarity import build_ivfpq_index, probe_ivfpq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"ivfpq_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    build_ivfpq_index(emb, path, n_cells=8, m=8, n_centroids=16)
+    topk = probe_ivfpq_index(spark, path, emb, qv, k=10, n_probe=3, rerank=100)
+    return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 # =============================================================================
 # Supervised-dataset construction: window featurization, deterministic
 # splits, class balancing — the last mile before a training job.

@@ -122,3 +122,40 @@ def test_pq_persisted_index_probe_matches_oneshot(spark, emb, qv, tmp_path_facto
     # probing again without rebuilding: pure reads, same answer
     again = S.pq_probe_index(spark, path, emb, qv, k=10, rerank=100).collect()
     assert [r.vec_id for r in again] == [r.vec_id for r in probed]
+
+
+def test_ivfpq_prunes_partitions_and_recalls(spark, emb, qv, tmp_path_factory):
+    """The composed IVF-PQ index must (a) physically prune — the probe's
+    code scan opens only the probed cells' partitions; (b) recall most of
+    the brute-force top-10 through BOTH approximations (cell pruning +
+    8-byte codes); (c) probing ALL cells equal the flat persisted-PQ
+    result (cell partitioning changes what is scanned, not what is
+    scored)."""
+    from health_monitor_cc_flink_spark.operators import similarity as S
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    S.build_ivfpq_index(emb, path, n_cells=8, m=8, n_centroids=16)
+
+    topk = S.probe_ivfpq_index(spark, path, emb, qv, k=10, n_probe=3, rerank=100)
+    rows = topk.collect()
+    assert len(rows) == 10 and 0 in {r.vec_id for r in rows}
+    exact = {r.vec_id for r in S.brute_force_topk(emb, qv, k=10).collect()}
+    assert len(exact & {r.vec_id for r in rows}) >= 6
+
+    # static partition pruning on the CODE scan (not the raw vectors)
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([0, 1, 2]))
+        .select("vec_id", "codes")
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+    # probe-all == flat persisted PQ (same codebook seed, same ADC+rerank)
+    flat_path = str(tmp_path_factory.mktemp("ivfpq") / "flat")
+    S.pq_build_index(emb, flat_path, m=8, n_centroids=16)
+    all_cells = S.probe_ivfpq_index(
+        spark, path, emb, qv, k=10, n_probe=8, rerank=100
+    ).collect()
+    flat = S.pq_probe_index(spark, flat_path, emb, qv, k=10, rerank=100).collect()
+    assert [r.vec_id for r in all_cells] == [r.vec_id for r in flat]

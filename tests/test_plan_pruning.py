@@ -104,6 +104,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "sql_surface_q1",
         "ann_ivf_persisted_topk",
         "ann_pq_persisted_topk",
+        "ann_ivfpq_persisted_topk",
     }
     # BNLJ-of-tiny allowlist: scalar thresholds / constant dimension rows
     bnlj_ok = {
