@@ -1061,6 +1061,60 @@ def streaming_session_minute(spark, sf_dir):
     return spark.table(name)
 
 
+@query(
+    "streaming_hop_minute",
+    """
+    WITH w AS (
+        SELECT s.window_start_s, e.user_id, count(*) AS n
+        FROM events e
+        CROSS JOIN LATERAL (
+            SELECT epoch_us(e.ts) // 300000000 * 300 - v.off AS window_start_s
+            FROM (VALUES (0), (300)) v(off)
+        ) s
+        WHERE epoch_us(e.ts) // 1000000 >= s.window_start_s
+          AND epoch_us(e.ts) // 1000000 < s.window_start_s + 600
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events
+    )
+    SELECT window_start_s, user_id, n
+    FROM w, m
+    WHERE (window_start_s + 600) * 1000 <= wm_ms
+    """,
+    doc="HOP windows under REAL Structured Streaming (10-min windows "
+    "sliding 5 — each event lands in 2 windows, doubling per-event state "
+    "writes; the watermark still evicts by window END).  Same gate "
+    "construction as streaming_tumble_minute/streaming_session_minute: "
+    "the oracle enumerates candidate starts per row and applies the "
+    "ms-truncated final-watermark cutoff, hash-checking overlapping-"
+    "window assignment AND append-mode eviction.  Completes TUMBLE/HOP/"
+    "SESSION under streaming; CUMULATE has no native streaming form "
+    "(batch composition at o21c_cumulate_window).",
+)
+def streaming_hop_minute(spark, sf_dir):
+    import uuid
+
+    from .sources.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "n")
+    )
+    name = "stream_hop_" + uuid.uuid4().hex[:8]
+    (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
 # =============================================================================
 # Additional analytic surface: pivot, ranking, arg-extremes, medians,
 # date battery, TPC-H Q18 shape, and the SQL text surface
