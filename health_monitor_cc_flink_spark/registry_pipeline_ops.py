@@ -2549,7 +2549,7 @@ def graph_link_prediction_common_neighbors(spark, sf_dir):
 
 
 @query(
-    "pack_token_budget_sequences",
+    "pack_sequences_per_lang",
     """
     WITH t AS (
         SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -2564,19 +2564,19 @@ def graph_link_prediction_common_neighbors(spark, sf_dir):
            CAST(start_tok % 2048 AS BIGINT) AS offset_in_seq
     FROM c
     """,
-    doc="Token-budget sequence packing (the last step before a training "
-    "job: concatenate documents into fixed-size training sequences).  "
-    "Document-contiguous block packing: per language, docs in doc_id "
-    "order, each doc's sequence id = its cumulative token START offset "
-    "div the 2048-token budget — one running-sum window (a single "
-    "shuffle on lang), all-integer outputs so the hash gate is exact.  "
-    "This is the order-preserving streaming-friendly variant of greedy "
-    "bin packing; exact first-fit needs a sequential remainder reset "
-    "that no engine parallelizes.  At 100 TB: the window runs per "
-    "partition-key, and the assignment is a pure prefix-sum — the same "
-    "plan Megatron-style data loaders use for offline packing.",
+    doc="Per-stratum sequence packing: the stratified companion to "
+    "pack_sequences_token_budget (which packs the GLOBAL doc order via a "
+    "two-phase distributed prefix sum).  Here packing is per language — "
+    "monolingual training sequences, the usual multilingual-corpus "
+    "requirement — so the prefix sum parallelizes naturally over the "
+    "partition key (one shuffle on lang, no global window at all), and "
+    "the output adds each doc's offset WITHIN its 2048-token sequence "
+    "(the loader's start position).  All-integer outputs; exact first-"
+    "fit packing needs a sequential remainder reset no engine "
+    "parallelizes, so both variants use document-contiguous block "
+    "packing.",
 )
-def pack_token_budget_sequences(spark, sf_dir):
+def pack_sequences_per_lang(spark, sf_dir):
     from pyspark.sql import Window as W
 
     docs = _t(spark, sf_dir, "documents")
@@ -2610,8 +2610,9 @@ def pack_token_budget_sequences(spark, sf_dir):
     FROM tr JOIN ev ON tr.shingle = ev.shingle
     GROUP BY tr.doc_id
     """,
-    doc="Eval-set decontamination (the overlap check every training "
-    "corpus runs before a benchmark claim): flag training documents "
+    doc="N-GRAM-level eval decontamination — the partial-overlap check "
+    "(GPT-3/Dolma style) that whole-document fingerprinting "
+    "(decontaminate_split_overlap) cannot catch: flag training documents "
     "sharing any 3-word shingle with the held-out eval slice (doc_id % "
     "97 = 0 — a deterministic stand-in for the eval corpus).  Inverted-"
     "index equi-join on shingle — the same index the MinHash pipeline "

@@ -50,7 +50,7 @@ PROBE_QUERIES = (
     # but-heavy token-volume paths; packing is a pure window prefix-sum
     "text_decontaminate_eval_overlap",
     "text_repetition_ratio",
-    "pack_token_budget_sequences",
+    "pack_sequences_per_lang",
     "embedding_int8_quantize",
 )
 
