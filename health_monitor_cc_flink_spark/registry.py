@@ -59,6 +59,39 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
     return deco
 
 
+#: state partitions for eager streaming drains — sized to the registry
+#: streams' state volume (thousands of live keys), not the session's
+#: batch shuffle default.  Committing 32 near-empty state stores per
+#: micro-batch (times 2+ batches, times up to 4 stateful operators in
+#: the cumulate union) dominated drain time; 8 keeps the same plan shape
+#: with 4x fewer store commits.  At scale this knob follows state size.
+_STREAM_STATE_PARTITIONS = "8"
+
+
+def _drain_to_memory(spark, df, prefix: str, output_mode: str = "append"):
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink with right-sized state partitions; returns the result
+    table.  The shuffle-partition conf is set only for the query's
+    lifetime (picked up at stream start) and restored after."""
+    import uuid
+
+    name = prefix + uuid.uuid4().hex[:8]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS)
+    try:
+        (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)
+
+
 def all_queries() -> list[QuerySpec]:
     """All registered queries, ordered for the driver's correctness gate.
 
@@ -971,8 +1004,6 @@ def distinct_pairs(spark, sf_dir):
     "so this checks both the aggregation values AND the watermark semantics.",
 )
 def streaming_tumble_minute(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     ev = events_stream(spark, sf_dir)
@@ -987,16 +1018,7 @@ def streaming_tumble_minute(spark, sf_dir):
         )
         .select(F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "n", "avg_value")
     )
-    name = "stream_tumble_" + uuid.uuid4().hex[:8]
-    (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, agg, "stream_tumble_")
 
 
 @query(
@@ -1037,8 +1059,6 @@ def streaming_tumble_minute(spark, sf_dir):
     "bounded regardless of stream length.",
 )
 def streaming_session_minute(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     ev = events_stream(spark, sf_dir)
@@ -1049,16 +1069,7 @@ def streaming_session_minute(spark, sf_dir):
         .select("user_id", F.unix_micros("w.start").alias("session_start_us"), "n")
         .select("user_id", "session_start_us", "n")
     )
-    name = "stream_session_" + uuid.uuid4().hex[:8]
-    (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, agg, "stream_session_")
 
 
 @query(
@@ -1092,8 +1103,6 @@ def streaming_session_minute(spark, sf_dir):
     "(batch composition at o21c_cumulate_window).",
 )
 def streaming_hop_minute(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     ev = events_stream(spark, sf_dir)
@@ -1103,16 +1112,7 @@ def streaming_hop_minute(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "n")
     )
-    name = "stream_hop_" + uuid.uuid4().hex[:8]
-    (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, agg, "stream_hop_")
 
 
 # =============================================================================
@@ -1363,8 +1363,6 @@ def scalar_subquery_filter(spark, sf_dir):
     "memory sink — stateless, so every input row must appear exactly once.",
 )
 def streaming_enrich_join(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
     from .sources.testdata import load_table
 
@@ -1373,16 +1371,7 @@ def streaming_enrich_join(spark, sf_dir):
     joined = src.join(F.broadcast(cust), src.user_id == cust.c_custkey, "inner").select(
         "event_id", "user_id", F.col("c_name").alias("name"), "value"
     )
-    name = "stream_enrich_" + uuid.uuid4().hex[:8]
-    (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, joined, "stream_enrich_")
 
 
 @query(
@@ -1697,8 +1686,6 @@ def q22_global_sales_opportunity(spark, sf_dir):
     "ms cutoff calibrated for the tumble case.",
 )
 def streaming_hop_10m5m(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     ev = events_stream(spark, sf_dir)
@@ -1708,16 +1695,7 @@ def streaming_hop_10m5m(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "n")
     )
-    name = "stream_hop_" + uuid.uuid4().hex[:8]
-    (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, agg, "stream_hop_")
 
 
 @query(
@@ -1747,8 +1725,6 @@ def streaming_hop_10m5m(spark, sf_dir):
     "Third real streaming run hash-verified against batch SQL.",
 )
 def streaming_session_30m(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     ev = events_stream(spark, sf_dir)
@@ -1763,16 +1739,7 @@ def streaming_session_30m(spark, sf_dir):
             "n",
         )
     )
-    name = "stream_sess_" + uuid.uuid4().hex[:8]
-    (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, agg, "stream_sess_")
 
 
 @query(
@@ -2067,8 +2034,6 @@ def window_frame_battery(spark, sf_dir):
     "run must equal the batch interval join exactly.",
 )
 def streaming_stream_stream_join(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     def src():
@@ -2106,16 +2071,7 @@ def streaming_stream_stream_join(spark, sf_dir):
         F.col("c_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    name = "stream_ss_join_" + uuid.uuid4().hex[:8]
-    (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, joined, "stream_ss_join_")
 
 
 @query(
@@ -2611,22 +2567,11 @@ def join_salted_skew(spark, sf_dir):
     "nondeterminism.",
 )
 def streaming_dedup_distinct(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     src = events_stream(spark, sf_dir)
     deduped = src.select("user_id", "event_type").dropDuplicates()
-    name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, deduped, "stream_dedup_")
 
 
 @query(
@@ -2642,8 +2587,6 @@ def streaming_dedup_distinct(spark, sf_dir):
     "batch answer.",
 )
 def streaming_complete_mode_agg(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     src = events_stream(spark, sf_dir)
@@ -2651,16 +2594,7 @@ def streaming_complete_mode_agg(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
-    name = "stream_complete_" + uuid.uuid4().hex[:8]
-    (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, agg, "stream_complete_", output_mode="complete")
 
 
 @query(
@@ -3093,7 +3027,6 @@ def udaf_pandas_sumproduct(spark, sf_dir):
     "cutoff reproduces ((start+size) <= final watermark).",
 )
 def streaming_cumulate_5m20m(spark, sf_dir):
-    import uuid
     from functools import reduce
 
     from .sources.testdata import events_stream
@@ -3116,16 +3049,7 @@ def streaming_cumulate_5m20m(spark, sf_dir):
             )
         )
     u = reduce(lambda a, b: a.unionByName(b), branches)
-    name = "stream_cumulate_" + uuid.uuid4().hex[:8]
-    (
-        u.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, u, "stream_cumulate_")
 
 
 @query(
@@ -3164,8 +3088,6 @@ def streaming_cumulate_5m20m(spark, sf_dir):
     "delay, calibrated at both SFs).",
 )
 def streaming_ss_left_outer_join(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     def src():
@@ -3203,16 +3125,7 @@ def streaming_ss_left_outer_join(spark, sf_dir):
         F.col("c_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    name = "stream_ss_lo_" + uuid.uuid4().hex[:8]
-    (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, joined, "stream_ss_lo_")
 
 
 @query(
@@ -3261,8 +3174,6 @@ def streaming_ss_left_outer_join(spark, sf_dir):
     "min-of-sources final watermark.",
 )
 def streaming_ss_full_outer_join(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     def src():
@@ -3300,16 +3211,7 @@ def streaming_ss_full_outer_join(spark, sf_dir):
         F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    name = "stream_ss_fo_" + uuid.uuid4().hex[:8]
-    (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(spark, joined, "stream_ss_fo_")
 
 
 @query(
@@ -3944,8 +3846,6 @@ def json_function_battery(spark, sf_dir):
     "duplicate's timestamp survived.",
 )
 def streaming_dedup_within_watermark(spark, sf_dir):
-    import uuid
-
     from .sources.testdata import events_stream
 
     ev = events_stream(spark, sf_dir)
@@ -3954,17 +3854,8 @@ def streaming_dedup_within_watermark(spark, sf_dir):
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
-    name = "stream_ddww_" + uuid.uuid4().hex[:8]
-    (
-        dd.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
     return (
-        spark.table(name)
+        _drain_to_memory(spark, dd, "stream_ddww_")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
