@@ -2619,6 +2619,7 @@ def pack_sequences_per_lang(spark, sf_dir):
     "builds, NEVER a doc×doc product — then an integer distinct-count "
     "per contaminated doc.  At 100 TB the eval side is tiny and "
     "broadcastable; the training side streams through the join map-side.",
+    bench=True,
 )
 def text_decontaminate_eval_overlap(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
