@@ -2831,6 +2831,45 @@ def health_pipeline_sql_alerts(spark, sf_dir):
 
 
 @query(
+    "cdc_scd2_intervals",
+    """
+    WITH v AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT user_id, event_id, value AS version_value,
+           ts_us AS valid_from_us,
+           coalesce(lead(ts_us) OVER w - 1, 253402300799000000) AS valid_to_us,
+           CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+    doc="SCD Type-2 dimension history: each change event becomes a "
+    "versioned row with a [valid_from, valid_to] interval (valid_to = "
+    "next change − 1 µs; open versions get the 9999-12-31 sentinel and "
+    "is_current = 1) — the standard warehouse pattern for tracking "
+    "dimension history, and the batch materialization of the CDC stream "
+    "cdc_apply_changelog compacts.  One lead() window per key (single "
+    "shuffle); all-integer outputs keep the gate exact.  Completes the "
+    "upsert family: changelog compaction (cdc_apply_changelog), MERGE "
+    "tagging (upsert_merge_simulation), and full history (this).",
+)
+def cdc_scd2_intervals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    v = ev.select("user_id", "event_id", "value", _ts_us().alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(w)
+    return v.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("version_value"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(nxt - 1, F.lit(253402300799000000)).alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
     "cdc_apply_changelog",
     """
     WITH ranked AS (

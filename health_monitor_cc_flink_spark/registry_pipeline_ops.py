@@ -2542,9 +2542,10 @@ def graph_link_prediction_common_neighbors(spark, sf_dir):
 
 
 # =============================================================================
-# Round-5 additions: sequence packing, eval-set decontamination, repetition
-# profiling, embedding int8 quantization — the remaining standard stages of
-# a training-data pipeline (pack → decontaminate → quality-filter → quantize).
+# Round-5 additions: per-stratum sequence packing, n-gram eval-set
+# decontamination, embedding int8 quantization — remaining standard stages
+# of a training-data pipeline (pack → decontaminate → quantize; repetition
+# profiling already exists as text_repetition_ratio, round 3).
 # =============================================================================
 
 
@@ -2632,59 +2633,6 @@ def text_decontaminate_eval_overlap(spark, sf_dir):
         tr.join(ev, "shingle")
         .groupBy(tr.doc_id)
         .agg(F.count_distinct(F.col("shingle")).alias("n_shared_shingles"))
-    )
-
-
-@query(
-    "text_repetition_ratio",
-    """
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-               generate_subscripts(string_split(text, ' '), 1) AS pos
-        FROM documents
-    ), g0 AS (
-        SELECT doc_id,
-               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram
-        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-        QUALIFY lead(w, 2) OVER win IS NOT NULL
-    ), per AS (
-        SELECT doc_id, gram, count(*) AS cnt FROM g0 GROUP BY doc_id, gram
-    )
-    SELECT doc_id,
-           CAST(sum(cnt) AS BIGINT) AS n_grams,
-           CAST(count(*) AS BIGINT) AS n_distinct_grams,
-           CAST(max(cnt) AS BIGINT) AS max_gram_count
-    FROM per GROUP BY doc_id
-    """,
-    doc="Intra-document repetition profile (Gopher-style repetition "
-    "filters: boilerplate and looping text show low distinct-gram "
-    "ratios): per doc, total / distinct / max-multiplicity of 3-word "
-    "grams — ALL integer outputs, the consumer applies ratio thresholds. "
-    "Spark side counts multiplicities with one (doc, gram) hash agg then "
-    "a per-doc agg — two partial-aggregated shuffles, no windows, no "
-    "UDFs.  The gram explosion is linear in corpus tokens (the same "
-    "cost envelope as tokenization itself).",
-)
-def text_repetition_ratio(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = docs.select(
-        "doc_id",
-        F.when(
-            F.size(toks) >= 3,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("grams"),
-    ).select("doc_id", F.explode("grams").alias("gram"))
-    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    return per.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_grams"),
-        F.count(F.lit(1)).alias("n_distinct_grams"),
-        F.max("cnt").alias("max_gram_count"),
     )
 
 

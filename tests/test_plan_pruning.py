@@ -80,6 +80,19 @@ def test_simhash_pairs_no_cartesian(spark, sf_smoke_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_registry_names_unique():
+    """Duplicate @query names silently shadow each other in the driver's
+    queries() dict while both run in every sweep — caught once in round 5
+    (a second text_repetition_ratio), now impossible."""
+    from collections import Counter
+
+    from health_monitor_cc_flink_spark.registry import all_queries
+
+    counts = Counter(s.name for s in all_queries())
+    dups = {n: c for n, c in counts.items() if c > 1}
+    assert not dups, f"duplicate registry names: {dups}"
+
+
 def test_no_cartesian_sweep(spark, sf_smoke_dir):
     """Registry-wide plan gate: NO batch relational query may plan a
     CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
