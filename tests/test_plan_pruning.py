@@ -80,6 +80,39 @@ def test_simhash_pairs_no_cartesian(spark, sf_smoke_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_eager_queries_scalar_output_schemas(spark, sf_smoke_dir):
+    """The no-array/map schema gate for the queries the plan sweep skips
+    (they execute eagerly inside fn(): streaming drains, health fixtures,
+    persisted-index builds).  These are exactly the rows-only set whose
+    canonicalization crashes are invisible until the driver runs them —
+    agg_approx_battery's failure mode.  Smoke-sf keeps the eager work
+    cheap."""
+    import pyspark.sql.types as T
+
+    from health_monitor_cc_flink_spark.registry import all_queries
+
+    eager_prefixes = ("streaming_", "health_", "simulator_", "source_", "cdc_")
+    eager_names = {
+        "ann_ivf_persisted_topk",
+        "ann_pq_persisted_topk",
+        "ann_ivfpq_persisted_topk",
+        "dedup_clusters",
+    }
+    checked = 0
+    for spec in all_queries():
+        if not (spec.name.startswith(eager_prefixes) or spec.name in eager_names):
+            continue
+        df = spec.fn(spark, sf_smoke_dir)
+        boxed = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType))
+        ]
+        assert not boxed, f"{spec.name} outputs array/map columns {boxed}"
+        checked += 1
+    assert checked >= 20, f"eager sweep only covered {checked} queries"
+
+
 def test_registry_names_unique():
     """Duplicate @query names silently shadow each other in the driver's
     queries() dict while both run in every sweep — caught once in round 5
