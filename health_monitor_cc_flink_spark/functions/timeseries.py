@@ -141,6 +141,7 @@ def _ar1_fit_native(df: DataFrame, value_col: str, ts_col: str, key_cols: Sequen
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(ts_col, value_col)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
     y = F.col(value_col).cast("double")
     df = df.withColumns(
         {
@@ -149,27 +150,34 @@ def _ar1_fit_native(df: DataFrame, value_col: str, ts_col: str, key_cols: Sequen
             "_lagprod": y * F.lag(y).over(w),
         }
     )
+    # Σx (regressors = all values BEFORE the current row) must be the
+    # PRECEDING-frame running sum, not `Σy_cum - y`: float subtraction is
+    # not the inverse of addition (fl((s+y)-y) != s in general), and the
+    # NumPy kernel takes the prefix cumsum directly.  The same sequential
+    # accumulation order keeps the two implementations bit-identical.
+    # Σz = Σy_cum - y₀ IS the kernel's own expression (it subtracts the
+    # first element), so that one mirrors exactly as written.
     df = df.withColumns(
         {
             "_s1": F.sum("_y").over(wcum),
             "_s2": F.sum(F.col("_y") * F.col("_y")).over(wcum),
+            "_sum_x": F.coalesce(F.sum("_y").over(wprev), F.lit(0.0)),
+            "_sum_x2": F.coalesce(
+                F.sum(F.col("_y") * F.col("_y")).over(wprev), F.lit(0.0)
+            ),
             "_c": F.coalesce(F.sum("_lagprod").over(wcum), F.lit(0.0)),
             "_y0": F.first("_y").over(wcum),
         }
     )
     k = F.col("_rn").cast("double") - 1.0
-    sum_x = F.col("_s1") - F.col("_y")
     sum_z = F.col("_s1") - F.col("_y0")
-    sum_x2 = F.col("_s2") - F.col("_y") * F.col("_y")
     sum_z2 = F.col("_s2") - F.col("_y0") * F.col("_y0")
     df = df.withColumns(
         {
             "_k": k,
-            "_sum_x": sum_x,
             "_sum_z": sum_z,
-            "_sum_x2": sum_x2,
             "_sum_z2": sum_z2,
-            "_denom": k * sum_x2 - sum_x * sum_x,
+            "_denom": k * F.col("_sum_x2") - F.col("_sum_x") * F.col("_sum_x"),
         }
     )
     b = F.when(
@@ -383,8 +391,12 @@ def ml_forecast(
             ),
         )
         a, b, s = F.col("_a_fit"), F.col("_b_fit"), F.col("_sigma_fit")
-        rmse_out = F.when(~F.isnan(F.col("_rmse_fit")), F.col("_rmse_fit"))
-        aic_out = F.when(~F.isnan(F.col("_aic_fit")), F.col("_aic_fit"))
+        # isfinite, not just not-NaN: the pandas kernel nulls rmse/aic via
+        # math.isfinite, so ±Inf (SSE overflow on enormous values) must
+        # null out here too.  abs(x) < inf is false for NaN as well
+        # (Spark orders NaN above all doubles), so one predicate covers both.
+        rmse_out = F.when(F.abs(F.col("_rmse_fit")) < F.lit(_INF), F.col("_rmse_fit"))
+        aic_out = F.when(F.abs(F.col("_aic_fit")) < F.lit(_INF), F.col("_aic_fit"))
         elems = []
         yhat = F.col("_y")
         var_acc = F.lit(0.0)

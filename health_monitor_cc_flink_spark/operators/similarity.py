@@ -369,13 +369,22 @@ def pq_train_codebook(
     return codebook
 
 
-def pq_encode(emb, codebook, id_col: str = "vec_id", vec_col: str = "embedding"):
+def pq_encode(
+    emb,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
+):
     """Encode vectors to M uint8 codes (stored as array<int>): one
     Arrow-batched mapInPandas pass, codebook shipped in the closure
-    (M·K·D/M floats — trivially broadcastable)."""
+    (M·K·D/M floats — trivially broadcastable).  ``carry_cols`` ride
+    through the encode from the same scan (e.g. the IVF cell id) so the
+    caller never has to re-join the corpus to recover them."""
     import numpy as np
 
     m, k, sub = codebook.shape
+    carry = tuple(carry_cols)
 
     def encode(batches):
         import pandas as pd
@@ -390,11 +399,51 @@ def pq_encode(emb, codebook, id_col: str = "vec_id", vec_col: str = "embedding")
                 xs = x[:, j * sub : (j + 1) * sub]
                 d2 = ((xs[:, None, :] - codebook[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].values, "codes": list(codes)})
+            out = {id_col: pdf[id_col].values, "codes": list(codes)}
+            for c in carry:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} long, codes array<long>"
+    carry_schema = "".join(f", {c} int" for c in carry)
+    return emb.select(id_col, vec_col, *carry).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<long>{carry_schema}"
     )
+
+
+def _write_codebook(spark, codebook, path: str) -> None:
+    """Persist an (M, K, D/M) PQ codebook as the <path>_codebook table."""
+    m, k, _sub = codebook.shape
+    spark.createDataFrame(
+        [(j, c, [float(x) for x in codebook[j][c]]) for j in range(m) for c in range(k)],
+        "j int, c int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebook")
+
+
+def _load_codebook(spark, path: str):
+    """Read <path>_codebook back into an (M, K, D/M) ndarray."""
+    import numpy as np
+
+    rows = spark.read.parquet(path.rstrip("/") + "_codebook").collect()
+    m = max(r["j"] for r in rows) + 1
+    k = max(r["c"] for r in rows) + 1
+    sub = len(rows[0]["centroid"])
+    codebook = np.empty((m, k, sub), dtype=np.float64)
+    for r in rows:
+        codebook[r["j"]][r["c"]] = [float(x) for x in r["centroid"]]
+    return codebook
+
+
+def _adc_lut(codebook, query_vec):
+    """L2-normalized query → per-subspace squared-distance LUT (M, K)."""
+    import numpy as np
+
+    m, k, sub = codebook.shape
+    q = np.array([float(v) for v in query_vec], dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    lut = np.empty((m, k), dtype=np.float64)
+    for j in range(m):
+        lut[j] = ((codebook[j] - q[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+    return lut
 
 
 def pq_adc_topk(
@@ -418,14 +467,7 @@ def pq_adc_topk(
 
     codebook = pq_train_codebook(emb, m=m, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(emb, codebook, id_col=id_col, vec_col=vec_col)
-
-    q = np.array([float(v) for v in query_vec], dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    sub = q.shape[0] // m
-    lut = np.empty((m, n_centroids), dtype=np.float64)
-    for j in range(m):
-        lut[j] = (((codebook[j] - q[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1))
-
+    lut = _adc_lut(codebook, query_vec)
     scored = _pq_adc_scores(codes, lut, id_col=id_col)
     cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
@@ -483,15 +525,7 @@ def pq_build_index(
     )
     codes = pq_encode(emb, codebook, id_col=id_col, vec_col=vec_col)
     codes.write.mode("overwrite").parquet(path)
-    mm, kk, _sub = codebook.shape
-    emb.sparkSession.createDataFrame(
-        [
-            (j, c, [float(x) for x in codebook[j][c]])
-            for j in range(mm)
-            for c in range(kk)
-        ],
-        "j int, c int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebook")
+    _write_codebook(emb.sparkSession, codebook, path)
 
 
 def pq_probe_index(
@@ -509,22 +543,7 @@ def pq_probe_index(
     read), ADC-score the codes table, then exact-cosine re-rank the
     top-``rerank`` candidates against the raw vectors (broadcast semi-join
     on id — a constant number of rows regardless of corpus size)."""
-    import numpy as np
-
-    rows = spark.read.parquet(path.rstrip("/") + "_codebook").collect()
-    m = max(r["j"] for r in rows) + 1
-    n_centroids = max(r["c"] for r in rows) + 1
-    sub = len(rows[0]["centroid"])
-    codebook = np.empty((m, n_centroids, sub), dtype=np.float64)
-    for r in rows:
-        codebook[r["j"]][r["c"]] = [float(x) for x in r["centroid"]]
-
-    q = np.array([float(v) for v in query_vec], dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    lut = np.empty((m, n_centroids), dtype=np.float64)
-    for j in range(m):
-        lut[j] = ((codebook[j] - q[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
-
+    lut = _adc_lut(_load_codebook(spark, path), query_vec)
     codes = spark.read.parquet(path)
     scored = _pq_adc_scores(codes, lut, id_col=id_col)
     cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)
@@ -578,23 +597,16 @@ def build_ivfpq_index(
     codebook = pq_train_codebook(
         emb, m=m, n_centroids=n_centroids, n_train=n_train, id_col=id_col, vec_col=vec_col
     )
-    codes = pq_encode(assigned, codebook, id_col=id_col, vec_col=vec_col)
-    (
-        codes.join(assigned.select(id_col, "cell"), id_col)
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    # the cell id rides THROUGH the encode (carry_cols) — one pass over the
+    # corpus, no re-transform, no corpus-sized join to recover the cell
+    codes = pq_encode(assigned, codebook, id_col=id_col, vec_col=vec_col, carry_cols=("cell",))
+    codes.write.partitionBy("cell").mode("overwrite").parquet(path)
     spark = emb.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
-    mm, kk, _sub = codebook.shape
-    spark.createDataFrame(
-        [(j, c, [float(x) for x in codebook[j][c]]) for j in range(mm) for c in range(kk)],
-        "j int, c int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebook")
+    _write_codebook(spark, codebook, path)
 
 
 def probe_ivfpq_index(
@@ -614,8 +626,6 @@ def probe_ivfpq_index(
     the codes, exact-cosine re-rank the top-``rerank`` against raw
     vectors.  Work per query: |probed cells| of code scan + a
     constant-size re-rank, independent of corpus size."""
-    import numpy as np
-
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     centroids = spark.read.parquet(path.rstrip("/") + "_centroids")
     probed = (
@@ -625,20 +635,7 @@ def probe_ivfpq_index(
         .collect()
     )
     cells = [int(r["cell"]) for r in probed]
-
-    rows = spark.read.parquet(path.rstrip("/") + "_codebook").collect()
-    m = max(r["j"] for r in rows) + 1
-    n_centroids = max(r["c"] for r in rows) + 1
-    sub = len(rows[0]["centroid"])
-    codebook = np.empty((m, n_centroids, sub), dtype=np.float64)
-    for r in rows:
-        codebook[r["j"]][r["c"]] = [float(x) for x in r["centroid"]]
-    qn = np.array([float(v) for v in query_vec], dtype=np.float64)
-    qn /= max(np.linalg.norm(qn), 1e-12)
-    lut = np.empty((m, n_centroids), dtype=np.float64)
-    for j in range(m):
-        lut[j] = ((codebook[j] - qn[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
-
+    lut = _adc_lut(_load_codebook(spark, path), query_vec)
     codes = spark.read.parquet(path).filter(F.col("cell").isin(cells)).select(id_col, "codes")
     scored = _pq_adc_scores(codes, lut, id_col=id_col)
     cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)

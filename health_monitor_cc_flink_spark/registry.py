@@ -1021,98 +1021,6 @@ def streaming_tumble_minute(spark, sf_dir):
     return _drain_to_memory(spark, agg, "stream_tumble_")
 
 
-@query(
-    "streaming_session_minute",
-    """
-    WITH d AS (
-        SELECT user_id, epoch_us(ts) AS ts_us,
-               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
-                    OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-    ), s AS (
-        SELECT user_id, ts_us,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM d
-    ), g AS (
-        SELECT user_id, session_id,
-               min(ts_us) AS session_start_us,
-               max(ts_us) + 1800000000 AS session_end_us,
-               count(*) AS n
-        FROM s GROUP BY user_id, session_id
-    ), m AS (
-        SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events
-    )
-    SELECT user_id, session_start_us, n
-    FROM g, m
-    WHERE session_end_us <= wm_ms * 1000
-    """,
-    doc="Session windows under REAL Structured Streaming (the stateful "
-    "merging-session path, completing the TVF matrix in streaming mode): "
-    "file-stream source → 10-min watermark → F.session_window(30 min) → "
-    "append-mode memory sink (availableNow).  Emitted set = sessions "
-    "whose END (last event + gap) closed under the final watermark; the "
-    "oracle reproduces sessionization (gaps-and-islands), the end-time "
-    "convention AND the ms-truncated watermark cutoff exactly, so this "
-    "gate checks session merging, aggregation and eviction semantics "
-    "together.  Scale: session state is per-key and watermark-evicted — "
-    "bounded regardless of stream length.",
-)
-def streaming_session_minute(spark, sf_dir):
-    from .sources.testdata import events_stream
-
-    ev = events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("user_id", F.unix_micros("w.start").alias("session_start_us"), "n")
-        .select("user_id", "session_start_us", "n")
-    )
-    return _drain_to_memory(spark, agg, "stream_session_")
-
-
-@query(
-    "streaming_hop_minute",
-    """
-    WITH w AS (
-        SELECT s.window_start_s, e.user_id, count(*) AS n
-        FROM events e
-        CROSS JOIN LATERAL (
-            SELECT epoch_us(e.ts) // 300000000 * 300 - v.off AS window_start_s
-            FROM (VALUES (0), (300)) v(off)
-        ) s
-        WHERE epoch_us(e.ts) // 1000000 >= s.window_start_s
-          AND epoch_us(e.ts) // 1000000 < s.window_start_s + 600
-        GROUP BY 1, 2
-    ), m AS (
-        SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events
-    )
-    SELECT window_start_s, user_id, n
-    FROM w, m
-    WHERE (window_start_s + 600) * 1000 <= wm_ms
-    """,
-    doc="HOP windows under REAL Structured Streaming (10-min windows "
-    "sliding 5 — each event lands in 2 windows, doubling per-event state "
-    "writes; the watermark still evicts by window END).  Same gate "
-    "construction as streaming_tumble_minute/streaming_session_minute: "
-    "the oracle enumerates candidate starts per row and applies the "
-    "ms-truncated final-watermark cutoff, hash-checking overlapping-"
-    "window assignment AND append-mode eviction.  Completes TUMBLE/HOP/"
-    "SESSION under streaming; CUMULATE has no native streaming form "
-    "(batch composition at o21c_cumulate_window).",
-)
-def streaming_hop_minute(spark, sf_dir):
-    from .sources.testdata import events_stream
-
-    ev = events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "n")
-    )
-    return _drain_to_memory(spark, agg, "stream_hop_")
 
 
 # =============================================================================

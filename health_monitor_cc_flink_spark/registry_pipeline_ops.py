@@ -2591,11 +2591,14 @@ def pack_sequences_per_lang(spark, sf_dir):
         W.unboundedPreceding, W.currentRow
     )
     c = t.withColumn("start_tok", F.sum("n_tok").over(w) - F.col("n_tok"))
+    # integral `div`, not float division: bigint/int goes through double
+    # in Spark, which is lossy past 2^53 cumulative tokens — exactly the
+    # regime the 100 TB framing implies
     return c.select(
         "doc_id",
         "lang",
         "n_tok",
-        (F.col("start_tok") / budget).cast("bigint").alias("seq_id"),
+        F.expr(f"start_tok div {budget}").alias("seq_id"),
         (F.col("start_tok") % budget).alias("offset_in_seq"),
     )
 

@@ -113,7 +113,12 @@ def run(spark, sf_dir: str, label: str) -> None:
     specs = {s.name: s for s in all_queries()}
     timings = {}
     # drop caches left by operators that materialize build artifacts
-    # (k-NN edge lists) so every scale point measures a cold build
+    # (k-NN edge lists) so every scale point measures a cold build; the
+    # memo dict must go too, or builders hand back uncached frames and
+    # every downstream graph query re-derives the edge list
+    from health_monitor_cc_flink_spark.registry_pipeline_ops import clear_knn_graph_cache
+
+    clear_knn_graph_cache(spark)
     spark.catalog.clearCache()
     for name in PROBE_QUERIES:
         # time fn() too: iterative operators (dedup_clusters) do their work

@@ -46,6 +46,9 @@ def spark():
         shuffle_partitions=8,
     )
     yield spark
+    from health_monitor_cc_flink_spark.registry_pipeline_ops import clear_knn_graph_cache
+
+    clear_knn_graph_cache(spark)  # unpersist memoized k-NN edge lists
     spark.stop()
 
 

@@ -186,7 +186,10 @@ def _record_topic(spark, tmp_path, n_ticks=40):
                 "value": bytearray(
                     confluent_frame(encode_record(SCHEMA_JSON, _row_to_record(r)), 7)
                 ),
-                "timestamp_us": int(r.event_time.timestamp() * 1_000_000),
+                # naive-datetime → epoch µs WITHOUT .timestamp() (which
+                # applies the host OS timezone); event_time is UTC-naive
+                "timestamp_us": (r.event_time - dt.datetime(1970, 1, 1))
+                // dt.timedelta(microseconds=1),
             }
         )
         next_off[p] += 1

@@ -109,13 +109,35 @@ def _braday_fixture(spark):
     return windowed_vitals(events)
 
 
+def _noisy_fixture(spark):
+    """Full-precision doubles (Gaussian noise — NOT dyadic rationals).
+    The bradycardia fixture's integer-snapped vitals make every running
+    sum exact, which once masked an association-order mismatch between
+    the native and pandas fits (fl((s+y)-y) != s on general data); this
+    fixture has no such mercy."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    rng = np.random.default_rng(123)
+    rows = [
+        (key, datetime(2026, 1, 1) + timedelta(seconds=i), float(v))
+        for key in (1, 2, 3)
+        for i, v in enumerate(70 + np.cumsum(rng.normal(0, 1.7, 700)))
+    ]
+    return spark.createDataFrame(
+        rows, "patient_id int, event_timestamp timestamp, observed_value double"
+    )
+
+
 @pytest.mark.parametrize("fn", ["detect", "forecast"])
-def test_native_matches_pandas_bitwise(spark, fn):
+@pytest.mark.parametrize("fixture", ["braday", "noisy"])
+def test_native_matches_pandas_bitwise(spark, fn, fixture):
     """The native window-aggregate AR(1) path must be BIT-IDENTICAL to the
-    applyInPandas NumPy kernel on the bradycardia fixture — every struct
-    field of every row, exact float equality (the native expressions
-    mirror the kernel's running sums op-for-op)."""
-    wv = _braday_fixture(spark).cache()
+    applyInPandas NumPy kernel — every struct field of every row, exact
+    float equality (the native expressions mirror the kernel's running
+    sums op-for-op) — on the bradycardia fixture AND on full-precision
+    Gaussian data where no floating-point identity comes for free."""
+    wv = (_braday_fixture(spark) if fixture == "braday" else _noisy_fixture(spark)).cache()
 
     if fn == "detect":
         kw = dict(min_training_size=30, confidence_percentage=95.0)
