@@ -299,6 +299,58 @@ def test_kafka_source_per_partition_json_offsets(spark, tmp_path, kafka_sim):
     assert {r.event_id for r in got} == expected_ids
 
 
+def test_kafka_source_checkpoint_resume(spark, tmp_path, kafka_sim):
+    """Offset-commit semantics: a second availableNow run against the
+    SAME checkpoint resumes from the committed offsets and re-emits
+    nothing; appending new records to the topic and running again emits
+    exactly the delta.  This is the exactly-once contract consumers rely
+    on across restarts of the real Kafka source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.sources.kafka import read_kafka_avro_stream
+
+    path, rows, recs = _record_topic(spark, tmp_path, n_ticks=8)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = read_kafka_avro_stream(
+            spark,
+            "sim-broker:9092",
+            "events",
+            VALUE_SCHEMA,
+            starting_offsets="earliest",
+            decoder="python",
+            source_format="kafka_sim",
+            extra_options={"path": path},
+        )
+        (
+            stream.selectExpr("event_id", "patient_id", "CAST(event_time AS STRING) AS et")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.read.parquet(out_dir).count()
+
+    assert run_once() == len(rows)
+    assert run_once() == len(rows)  # resume: nothing re-emitted
+
+    # append 3 more records to partition 0 of the recorded topic
+    extra = []
+    last_off = max(r["offset"] for r in recs if r["partition"] == 0)
+    for j in range(3):
+        src = dict(recs[j])
+        src["partition"], src["offset"] = 0, last_off + 1 + j
+        extra.append(src)
+    pq.write_table(pa.Table.from_pylist(recs + extra), path)
+    assert run_once() == len(rows) + 3  # exactly the delta
+
+
 def test_kafka_source_requires_bootstrap_servers(spark, tmp_path, kafka_sim):
     """Option validation: the source rejects a missing/empty
     kafka.bootstrap.servers, as the real Kafka source does."""
