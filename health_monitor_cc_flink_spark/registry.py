@@ -3661,6 +3661,96 @@ def source_orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "source_kafka_avro_roundtrip",
+    None,  # the recorded topic is not a DuckDB-visible table → rows-only;
+    # codec/offset/value semantics pinned in tests/test_kafka_wire.py
+    doc="O1 END-TO-END under the driver gate: the reference's primary "
+    "source path (3-partition Kafka topic of Confluent-framed Avro, "
+    "main.tf:170-185 / schema.tf:4-151) executed through the REAL "
+    "read_kafka_avro_stream — simulator events → SR wire-format Avro "
+    "bytes recorded as a 3-partition topic → kafka_sim DataSource "
+    "(same record schema + startingOffsets contract as format('kafka')) "
+    "→ wire strip → Avro decode → per-patient aggregation.  Deterministic "
+    "seeded fixture; integer-exact outputs.  With a broker + "
+    "spark-sql-kafka jar the identical call runs with "
+    "source_format='kafka'.",
+)
+def source_kafka_avro_roundtrip(spark, sf_dir):
+    import os
+
+    from pyspark.sql import types as T
+
+    from .fixtures import health_events_df
+    from .schemas import HEALTH_EVENT_SCHEMA
+    from .sources import kafka_sim
+    from .sources.avro_codec import confluent_frame, encode_record
+    from .sources.kafka import avro_schema_json, read_kafka_avro_stream
+
+    value_schema = T.StructType(
+        [f for f in HEALTH_EVENT_SCHEMA.fields if f.name != "event_time"]
+    )
+    schema_json = avro_schema_json(value_schema)
+    rows = sorted(
+        health_events_df(spark, n_ticks=60, interval_s=0.5, seed=7).collect(),
+        key=lambda r: (r.event_time, r.event_id),
+    )
+    recs, off = [], {0: 0, 1: 0, 2: 0}
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    for i, r in enumerate(rows):
+        p = i % 3
+        rec = {
+            "event_id": r.event_id,
+            "patient_id": r.patient_id,
+            "device_metadata": r.device_metadata.asDict(),
+            "vitals": {
+                "heart_rate": r.vitals.heart_rate,
+                "blood_oxygen_spO2": r.vitals.blood_oxygen_spO2,
+                "blood_pressure": r.vitals.blood_pressure.asDict(),
+                "body_temperature_c": r.vitals.body_temperature_c,
+            },
+        }
+        recs.append(
+            {
+                "partition": p,
+                "offset": off[p],
+                "key": str(r.patient_id).encode(),
+                "value": bytearray(
+                    confluent_frame(encode_record(schema_json, rec), 7)
+                ),
+                "timestamp_us": (r.event_time - epoch)
+                // __import__("datetime").timedelta(microseconds=1),
+            }
+        )
+        off[p] += 1
+    topic_dir = _warehouse_path(sf_dir, "kafka_topic")
+    os.makedirs(topic_dir, exist_ok=True)
+    topic_path = os.path.join(topic_dir, "topic.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(recs), topic_path)
+
+    kafka_sim.register(spark)
+    stream = read_kafka_avro_stream(
+        spark,
+        "sim-broker:9092",
+        "events",
+        value_schema,
+        starting_offsets="earliest",
+        decoder="python",
+        source_format="kafka_sim",
+        extra_options={"path": topic_path},
+    )
+    decoded = _drain_to_memory(spark, stream, "kafka_rt_")
+    return decoded.groupBy("patient_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("vitals.heart_rate").cast("long")).alias("hr_sum"),
+        F.min(F.unix_micros("event_time")).alias("first_event_us"),
+        F.max(F.unix_micros("event_time")).alias("last_event_us"),
+    )
+
+
+@query(
     "source_partitioned_pruning",
     """
     SELECT event_id, epoch_us(ts) AS ts_us, user_id, value, event_type

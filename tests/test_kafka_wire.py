@@ -351,6 +351,35 @@ def test_kafka_source_checkpoint_resume(spark, tmp_path, kafka_sim):
     assert run_once() == len(rows) + 3  # exactly the delta
 
 
+def test_registry_kafka_roundtrip_matches_batch(spark, sf_smoke_dir):
+    """The registry's O1 end-to-end query (encode → topic → source →
+    decode → agg) must reproduce the same per-patient aggregates computed
+    directly from the typed fixture — the whole Kafka path is a no-op
+    w.r.t. values."""
+    from pyspark.sql import functions as SF
+
+    from health_monitor_cc_flink_spark.registry import all_queries
+
+    spec = next(s for s in all_queries() if s.name == "source_kafka_avro_roundtrip")
+    got = {
+        (r.patient_id, r.n_events, r.hr_sum, r.first_event_us, r.last_event_us)
+        for r in spec.fn(spark, sf_smoke_dir).collect()
+    }
+    batch = {
+        (r.patient_id, r.n_events, r.hr_sum, r.first_event_us, r.last_event_us)
+        for r in health_events_df(spark, n_ticks=60, interval_s=0.5, seed=7)
+        .groupBy("patient_id")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_events"),
+            SF.sum(SF.col("vitals.heart_rate").cast("long")).alias("hr_sum"),
+            SF.min(SF.unix_micros("event_time")).alias("first_event_us"),
+            SF.max(SF.unix_micros("event_time")).alias("last_event_us"),
+        )
+        .collect()
+    }
+    assert got == batch and len(got) == 10
+
+
 def test_kafka_source_requires_bootstrap_servers(spark, tmp_path, kafka_sim):
     """Option validation: the source rejects a missing/empty
     kafka.bootstrap.servers, as the real Kafka source does."""
