@@ -2706,3 +2706,153 @@ def embedding_int8_quantize(spark, sf_dir):
         F.max("code").alias("code_max"),
     )
     return folded
+
+
+@query(
+    "text_bigram_lm_rarity",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), big AS (
+        SELECT doc_id, w AS w1, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok
+        QUALIFY lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS pc FROM big GROUP BY w1, w2
+    ), d AS (
+        SELECT big.doc_id,
+               count(*) AS n_bigrams,
+               CAST(sum(CASE WHEN c2.pc <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_bigrams,
+               CAST(min(c2.pc) AS BIGINT) AS min_pair_count,
+               CAST(sum(c2.pc) AS BIGINT) AS sum_pair_count
+        FROM big JOIN c2 USING (w1, w2) GROUP BY big.doc_id
+    )
+    SELECT doc_id, n_bigrams, rare_bigrams, min_pair_count, sum_pair_count,
+           CAST(rare_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rarity
+    FROM d
+    """,
+    doc="Bigram language-model rarity score per document — the CCNet/KenLM-style "
+    "LM quality filter re-expressed in exact integers: train the LM on the corpus "
+    "itself (bigram occurrence counts), then score each doc by the fraction of "
+    "its bigrams whose corpus frequency is <= 2 (the integer inputs to a "
+    "log-prob; the single per-row division is one IEEE op, identical on both "
+    "engines — no cross-row float summation rides the hash gate).  Scale shape: "
+    "one token explode, one (w1,w2) count shuffle, one shuffle join of doc "
+    "bigrams against the LM table, one per-doc fold — all linear in token "
+    "volume, no pairwise blowup; the LM table itself stays distributed (it is "
+    "~vocab^epsilon of the corpus, far too big to broadcast at 100 TB).",
+)
+def text_bigram_lm_rarity(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select("doc_id", F.col("w").alias("w1"), F.lead("w", 1).over(win).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pc"))
+    d = (
+        big.join(c2, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("pc") <= 2).cast("bigint")).alias("rare_bigrams"),
+            F.min("pc").alias("min_pair_count"),
+            F.sum("pc").alias("sum_pair_count"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        "rare_bigrams",
+        "min_pair_count",
+        "sum_pair_count",
+        (F.col("rare_bigrams").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "rarity"
+        ),
+    )
+
+
+@query(
+    "bpe_train_merges",
+    None,
+    doc="Distributed byte-pair-encoding merge training (the tokenizer-training "
+    "stage of an LLM data pipeline), via the standard word-count "
+    "pre-aggregation: the corpus is folded once into a (word, freq) vocabulary "
+    "table (one shuffle, after which iterations never touch the corpus again), "
+    "each word is split into symbol arrays, and each of the N merge rounds is "
+    "(a) a weighted adjacent-pair count over the vocab table (codegen'd "
+    "transform + explode + sum agg), (b) a 1-row argmax collect (a bounded "
+    "model artifact, not a data collect), and (c) a native left-to-right "
+    "non-overlapping fold (F.aggregate) applying the merge to every word's "
+    "symbol array.  Tie-break: count desc, then (left, right) lexicographic "
+    "asc — pinned against a pure-Python reference trainer in "
+    "tests/test_bpe.py.  Rows-only by design: iterative argmax training is "
+    "not expressible as one SQL statement.  At 100 TB the vocab table is "
+    "millions of rows, still distributed; per-round cost is vocab-bound, not "
+    "corpus-bound.",
+)
+def bpe_train_merges(spark, sf_dir, n_merges: int = 8):
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = wc.select(
+        "freq", F.expr("filter(split(word, ''), s -> s <> '')").alias("syms")
+    ).cache()
+    merges = []
+    prev = None
+    try:
+        for rank in range(n_merges):
+            pairs = (
+                cur.filter(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(slice(syms, 1, size(syms) - 1),"
+                            " (s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            best = pairs[0]
+            merges.append((rank, best.l, best.r, int(best.cnt)))
+            l_lit, r_lit, lr_lit = F.lit(best.l), F.lit(best.r), F.lit(best.l + best.r)
+            merged = F.aggregate(
+                "syms",
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == l_lit)
+                    & (x == r_lit),
+                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lr_lit)),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            nxt = cur.select("freq", merged.alias("syms")).cache()
+            nxt.count()  # materialize so each round folds once, not rank times
+            if prev is not None:
+                prev.unpersist()
+            prev, cur = cur, nxt
+    finally:
+        for df in (prev, cur):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )

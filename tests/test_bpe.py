@@ -1,0 +1,60 @@
+"""Pin the distributed BPE merge trainer (`bpe_train_merges`) against a
+pure-Python reference implementation of the same algorithm: word-frequency
+pre-aggregation, overlapping adjacent-pair counts weighted by word frequency,
+argmax with (count desc, left asc, right asc) tie-break, left-to-right
+non-overlapping merge application.  This is the dedicated test that backs the
+rows-only driver row (iterative argmax training is not one SQL statement)."""
+
+import collections
+
+import pyarrow.parquet as pq
+
+from health_monitor_cc_flink_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+N_MERGES = 8
+
+
+def _reference_bpe(texts, n_merges):
+    wc = collections.Counter(w for t in texts for w in t.split(" ") if w != "")
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pair_counts = collections.Counter()
+        for w, syms in vocab.items():
+            f = wc[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        (l, r), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    spec = {s.name: s for s in all_queries()}["bpe_train_merges"]
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in spec.fn(spark, SF_DIR).collect()
+    ]
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    want = _reference_bpe(texts, N_MERGES)
+    assert got == want
+    # second-order merges (a learned symbol reused as a merge operand) must be
+    # reachable — otherwise the iteration isn't actually feeding back
+    assert len(got) == N_MERGES
