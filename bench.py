@@ -71,7 +71,12 @@ def main() -> None:
 
     events = health_events_df(spark, n_ticks=2400, interval_s=0.5, seed=42).cache()
     events.count()  # materialize fixture outside the timed window
-    for _ in range(1):  # warmup: compile the ML window/codegen stages
+    # warmup: the native AR(1) path is one large codegen'd window stage and
+    # needs a few executions before the JVM's C2 JIT compiles the generated
+    # evaluators (measured: 8.4 / 3.3 / 2.3 / 2.0 s over consecutive runs);
+    # the old single-warmup was tuned for the pandas kernel, which has no
+    # JIT ramp.  Three warmups reach the steady state the bench documents.
+    for _ in range(3):
         w = run_pipeline(events, patients_df(spark))
         force(w["enriched_events"])
         force(w["heartbeat_alerts"])

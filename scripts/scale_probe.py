@@ -52,6 +52,12 @@ PROBE_QUERIES = (
     "text_repetition_ratio",
     "pack_sequences_per_lang",
     "embedding_int8_quantize",
+    # bigram LM training+scoring: the (w1,w2) count shuffle and the
+    # doc-bigram-vs-LM join are both token-volume bound; BPE's per-round
+    # pair count must stay vocab-bound (replicas reuse the same vocab, so
+    # superlinear growth here would mean the corpus leaked into a round)
+    "text_bigram_lm_rarity",
+    "bpe_train_merges",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
