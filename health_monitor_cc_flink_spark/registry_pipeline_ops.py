@@ -2795,16 +2795,59 @@ def text_bigram_lm_rarity(spark, sf_dir):
     "corpus-bound.",
 )
 def bpe_train_merges(spark, sf_dir, n_merges: int = 8):
+    return spark.createDataFrame(
+        _bpe_train(spark, sf_dir, n_merges),
+        "rank int, left string, right string, pair_count bigint",
+    )
+
+
+def _bpe_merge_fold(l: str, r: str):
+    """Left-to-right non-overlapping application of merge (l, r) to a
+    symbol array, as a native fold: append each symbol, except when the
+    accumulator's last element is `l` and the incoming symbol is `r` —
+    then replace the tail with the merged symbol.  The short-circuit AND
+    guarantees element_at(-1) never evaluates on the empty accumulator."""
+    l_lit, r_lit, lr_lit = F.lit(l), F.lit(r), F.lit(l + r)
+    return F.aggregate(
+        "syms",
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == l_lit) & (x == r_lit),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lr_lit)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _bpe_word_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    wc = (
+    return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    cur = wc.select(
-        "freq", F.expr("filter(split(word, ''), s -> s <> '')").alias("syms")
-    ).cache()
+
+
+#: trained merge tables memoized per (session, sf_dir, n_merges) — the
+#: same bounded-model-artifact policy as the IVF/PQ index pair: train
+#: once, reuse across registry queries in the session (no per-query
+#: retraining; ADVICE r4 flagged exactly this anti-pattern on pq_adc).
+_BPE_MERGE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _bpe_train(spark, sf_dir, n_merges: int = 8):
+    """Train BPE merges over the corpus vocabulary; returns
+    [(rank, left, right, pair_count)].  Corpus is touched exactly once
+    (the word-count shuffle); every round after that is vocab-bound."""
+    key = (sf_dir, n_merges)
+    cached = _BPE_MERGE_CACHE.setdefault(spark, {}).get(key)
+    if cached is not None:
+        return cached
+    cur = (
+        _bpe_word_counts(spark, sf_dir)
+        .select("freq", F.expr("filter(split(word, ''), s -> s <> '')").alias("syms"))
+        .cache()
+    )
     merges = []
     prev = None
     try:
@@ -2830,18 +2873,9 @@ def bpe_train_merges(spark, sf_dir, n_merges: int = 8):
                 break
             best = pairs[0]
             merges.append((rank, best.l, best.r, int(best.cnt)))
-            l_lit, r_lit, lr_lit = F.lit(best.l), F.lit(best.r), F.lit(best.l + best.r)
-            merged = F.aggregate(
-                "syms",
-                F.expr("cast(array() as array<string>)"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == l_lit)
-                    & (x == r_lit),
-                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lr_lit)),
-                ).otherwise(F.concat(acc, F.array(x))),
-            )
-            nxt = cur.select("freq", merged.alias("syms")).cache()
+            nxt = cur.select(
+                "freq", _bpe_merge_fold(best.l, best.r).alias("syms")
+            ).cache()
             nxt.count()  # materialize so each round folds once, not rank times
             if prev is not None:
                 prev.unpersist()
@@ -2853,6 +2887,55 @@ def bpe_train_merges(spark, sf_dir, n_merges: int = 8):
                     df.unpersist()
                 except Exception:
                     pass
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count bigint"
+    _BPE_MERGE_CACHE[spark][key] = merges
+    return merges
+
+
+@query(
+    "bpe_encode_docs",
+    None,
+    doc="Tokenizer APPLICATION at corpus scale: encode every document with "
+    "the merges learned by bpe_train_merges (memoized per session — train "
+    "once, encode everywhere, the same artifact policy as the persisted "
+    "IVF/PQ index pair).  The fold chain runs over the DISTINCT-word table, "
+    "not the corpus: token counts per unique word are computed once (8 "
+    "chained native folds, whole-stage codegen), then joined back to the "
+    "doc×word occurrences and summed per document — at 100 TB the fold cost "
+    "is vocabulary-bound while the per-document pass is a plain count/join/"
+    "sum.  Output is integer-exact (token counts before/after merging plus "
+    "the compression delta).  Rows-only by design (depends on the "
+    "iteratively trained merge table); encoding semantics pinned against a "
+    "pure-Python encoder in tests/test_bpe.py.",
+)
+def bpe_encode_docs(spark, sf_dir, n_merges: int = 8):
+    merges = _bpe_train(spark, sf_dir, n_merges)
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = occ.select("word").distinct().select(
+        "word", F.expr("filter(split(word, ''), s -> s <> '')").alias("syms")
+    )
+    for _, l, r, _cnt in merges:
+        vocab = vocab.select("word", _bpe_merge_fold(l, r).alias("syms"))
+    per_word = vocab.select(
+        "word",
+        F.length("word").alias("n_chars"),
+        F.size("syms").alias("n_bpe"),
+    )
+    return (
+        occ.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_char_tokens"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_char_tokens",
+            "n_bpe_tokens",
+            (F.col("n_char_tokens") - F.col("n_bpe_tokens")).alias("tokens_saved"),
+        )
     )

@@ -44,6 +44,21 @@ def _reference_bpe(texts, n_merges):
     return merges
 
 
+def _encode_word(word, merges):
+    syms = list(word)
+    for _, l, r, _cnt in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def test_bpe_merges_match_reference(spark):
     spec = {s.name: s for s in all_queries()}["bpe_train_merges"]
     got = [
@@ -58,3 +73,31 @@ def test_bpe_merges_match_reference(spark):
     # second-order merges (a learned symbol reused as a merge operand) must be
     # reachable — otherwise the iteration isn't actually feeding back
     assert len(got) == N_MERGES
+
+
+def test_bpe_encode_matches_reference(spark):
+    specs = {s.name: s for s in all_queries()}
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet")
+    doc_ids = texts["doc_id"].to_pylist()
+    doc_texts = texts["text"].to_pylist()
+    merges = _reference_bpe(doc_texts, N_MERGES)
+
+    want = {}
+    for did, t in zip(doc_ids, doc_texts):
+        words = [w for w in t.split(" ") if w != ""]
+        n_char = sum(len(w) for w in words)
+        n_bpe = sum(len(_encode_word(w, merges)) for w in words)
+        want[did] = (len(words), n_char, n_bpe, n_char - n_bpe)
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_char_tokens"],
+            r["n_bpe_tokens"],
+            r["tokens_saved"],
+        )
+        for r in specs["bpe_encode_docs"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # merges must actually compress — otherwise the fold chain is a no-op
+    assert sum(v[3] for v in got.values()) > 0
