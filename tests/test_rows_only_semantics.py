@@ -1,0 +1,125 @@
+"""Registry-level semantic pins for every rows-only query whose OPERATOR is
+tested elsewhere but whose registry wrapper was only smoke-checked (count>=0).
+A wrapper can silently drift from its tested operator (wrong parameters, wrong
+column mapping) without these — each test here asserts an invariant of the
+wrapper's actual output, so the driver's rows-only rows are backed by meaning,
+not just a row count.  (agg_approx_battery is covered by tests/test_sketches.py,
+the ann_*_persisted pair by tests/test_ann.py, source_kafka_avro_roundtrip by
+tests/test_kafka_wire.py, bpe_* by tests/test_bpe.py.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return {s.name: s for s in all_queries()}
+
+
+def test_agg_sketch_profile_bounds(spark, specs):
+    """Sketch estimates must track the exact answers: HLL distinct within a
+    generous 15% band, quantiles inside the value range and monotone."""
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    got = {r.event_type: r for r in specs["agg_sketch_profile"].fn(spark, SF).collect()}
+    exact = {
+        r.event_type: r
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("d_users"),
+            F.countDistinct("value").alias("d_values"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, g in got.items():
+        e = exact[et]
+        assert g.n_rows == e.n
+        assert abs(g.distinct_estimate - e.d_users) <= max(2, 0.15 * e.d_users)
+        assert abs(g.approx_distinct - e.d_values) <= max(2, 0.15 * e.d_values)
+        assert e.lo <= g.p50 <= g.p95 <= g.p99 <= e.hi
+
+
+def test_ann_wrapper_recall_vs_brute(spark, specs):
+    """Each ANN variant's registry wrapper must return k=10 rows, sorted by
+    similarity, with recall vs the brute-force top-10 at the level its
+    operator tests pin (pq exact-ish; kmeans-IVF high; label-cell IVF is the
+    documented weak-quantizer demo — geometric recall only via kmeans)."""
+    brute = [r.vec_id for r in specs["ann_brute_topk"].fn(spark, SF).collect()]
+    floors = {"ann_pq_topk": 8, "ann_ivf_kmeans": 5, "ann_ivf_topk": 1}
+    self_must_hit = {"ann_pq_topk", "ann_ivf_kmeans"}
+    for name, floor in floors.items():
+        rows = specs[name].fn(spark, SF).collect()
+        assert len(rows) == 10, name
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True), name
+        got = [r.vec_id for r in rows]
+        assert len(set(brute) & set(got)) >= floor, (name, got)
+        if name in self_must_hit:  # query vector is vec_id 0 itself
+            assert 0 in got, name
+
+
+def test_health_enriched_events_drops_unknown_patients(spark, specs):
+    """S3 wrapper: 240 ticks x 10 patients survive; the 5 planted
+    unknown-patient rows drop on the lookup miss; enrichment is total."""
+    df = specs["health_enriched_events"].fn(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 2400
+    assert sorted({r.patient_id for r in rows}) == list(range(1, 11))
+    assert all(r.name is not None and r.age is not None for r in rows)
+
+
+def test_health_alert_wrappers_agree(spark, specs):
+    """The DataFrame-path and SQL-surface (UDTF) wrappers run the same seeded
+    fixture — their alert sets must be identical, and bradycardia fires for
+    patient 1 only (the reference's designed acceptance signal)."""
+    hb = sorted(map(tuple, specs["health_heartbeat_alerts"].fn(spark, SF).collect()))
+    sq = sorted(map(tuple, specs["health_pipeline_sql_alerts"].fn(spark, SF).collect()))
+    assert hb == sq
+    assert len(hb) == 110
+    assert {t[0] for t in hb} == {1}
+    assert all(t[3] < 40 for t in hb)  # forecast_value under the S6 threshold
+
+
+def test_simulator_source_batch_shape_and_determinism(spark, specs):
+    """Native DataSource wrapper: one partition per patient, 240 ticks each,
+    deterministic per seed (two reads produce identical rows)."""
+    a = specs["simulator_source_batch"].fn(spark, SF).collect()
+    b = specs["simulator_source_batch"].fn(spark, SF).collect()
+    assert len(a) == 2400
+    assert sorted({r.patient_id for r in a}) == list(range(1, 11))
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_streaming_stateful_anomalies_matches_batch(spark, specs):
+    """O31 wrapper: the applyInPandasWithState streaming drain must reproduce
+    the batch ml_detect_anomalies verdicts row-for-row (history under the
+    512-point state cap at this sf, so batch == streaming exactly)."""
+    from health_monitor_cc_flink_spark.functions.timeseries import ml_detect_anomalies
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    got = {
+        (r.user_id, r.ts_us, round(r.observed_value, 9), r.is_anomaly)
+        for r in specs["streaming_stateful_anomalies"].fn(spark, SF).collect()
+    }
+    bat = ml_detect_anomalies(
+        load_table(spark, SF, "events"), "value", "ts", ["user_id"], min_training_size=30
+    )
+    want = {
+        (r.user_id, r.ts_us, round(r.observed_value, 9), r.is_anomaly)
+        for r in bat.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("value").alias("observed_value"),
+            F.col("report.is_anomaly").alias("is_anomaly"),
+        ).collect()
+    }
+    assert got == want
