@@ -113,11 +113,22 @@ def embedding_near_dup_pairs(
     pairs — the standard trick that makes O(n²) similarity feasible.
     Output: (vec_a, vec_b, cos_sim) for pairs ≥ threshold.
     """
+    # norms are computed ONCE per vector, before the join — inside the
+    # pair projection each side's norm would be re-evaluated per partner
+    # (O(pairs·dim) instead of O(n·dim) transcendental work).  The pair
+    # expression dot/(na·nb) is the same IEEE op sequence as before, so
+    # results are bit-identical.
     a = emb.select(
-        F.col(block_col), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+        F.col(block_col),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
     )
     b = emb.select(
-        F.col(block_col), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+        F.col(block_col),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
     )
     return (
         a.join(b, on=block_col)
@@ -125,9 +136,7 @@ def embedding_near_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            (dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))).alias(
-                "cos_sim"
-            ),
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
