@@ -101,3 +101,35 @@ def test_bpe_encode_matches_reference(spark):
     assert got == want
     # merges must actually compress — otherwise the fold chain is a no-op
     assert sum(v[3] for v in got.values()) > 0
+
+
+def test_bpe_merge_fold_adversarial_words(spark):
+    """The native fold must implement left-to-right NON-OVERLAPPING merging
+    exactly: 'aaa' + (a,a) -> [aa, a] (the merged token never re-merges with
+    the following operand), multi-merges, unicode, and 1-char words."""
+    from pyspark.sql import functions as F
+
+    from health_monitor_cc_flink_spark.registry_pipeline_ops import _bpe_merge_fold
+
+    words = ["aaa", "aaaa", "abab", "aab", "baa", "a", "", "ü", "üü", "xaay"]
+    df = spark.createDataFrame([(w,) for w in words], "word string").select(
+        "word", F.expr("filter(split(word, ''), s -> s <> '')").alias("syms")
+    )
+    for l, r in [("a", "a"), ("ü", "ü")]:
+        got = {
+            row["word"]: row["merged"]
+            for row in df.select(
+                "word", _bpe_merge_fold(l, r).alias("merged")
+            ).collect()
+        }
+        for w in words:
+            syms = [c for c in w]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            assert got[w] == out, (l, r, w, got[w], out)
