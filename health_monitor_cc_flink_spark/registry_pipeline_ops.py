@@ -2957,3 +2957,66 @@ def bpe_encode_docs(spark, sf_dir, n_merges: int = 8):
             (F.col("n_char_tokens") - F.col("n_bpe_tokens")).alias("tokens_saved"),
         )
     )
+
+
+@query(
+    "stats_chi2_contingency",
+    """
+    WITH obs AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+    ), rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS row_tot FROM obs GROUP BY lang),
+       ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS col_tot FROM obs GROUP BY source),
+       n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+    SELECT obs.lang, obs.source, obs.o, rt.row_tot, ct.col_tot, n.n,
+           CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE) / CAST(n.n AS DOUBLE)
+               AS expected,
+           (CAST(obs.o AS DOUBLE)
+              - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE) / CAST(n.n AS DOUBLE))
+           * (CAST(obs.o AS DOUBLE)
+              - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE) / CAST(n.n AS DOUBLE))
+           / (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE) / CAST(n.n AS DOUBLE))
+               AS chi2_term
+    FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    """,
+    doc="Chi-square contingency components over the (lang x source) grid — the "
+    "independence test behind categorical feature selection and dataset-shift "
+    "checks.  Exactness: observed/marginal totals are integer aggregates; "
+    "expected and the chi2 term are the identical IEEE op sequence on both "
+    "engines (e = rt*ct/n, term = (o-e)^2/e), so the hash gate holds without "
+    "rounding.  Consumer sums chi2_term for the statistic (kept per-cell here "
+    "so no cross-row float summation rides the gate).  Scale shape: one "
+    "(lang,source) count shuffle over the corpus, then all joins are on the "
+    "TINY marginal tables (|langs| + |sources| rows, broadcast); the scalar "
+    "grand total rides a broadcast cross join — the only BNLJ pattern the "
+    "plan gate allowlists.",
+)
+def stats_chi2_contingency(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "o",
+            "row_tot",
+            "col_tot",
+            "n",
+            e.alias("expected"),
+            (
+                (F.col("o").cast("double") - e)
+                * (F.col("o").cast("double") - e)
+                / e
+            ).alias("chi2_term"),
+        )
+    )

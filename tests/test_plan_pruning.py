@@ -161,6 +161,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "join_salted_skew",             # salt-explode broadcast
         "q11_share_threshold_shape",    # scalar share threshold
         "q15_top_supplier_shape",       # scalar max revenue
+        "stats_chi2_contingency",       # scalar grand-total broadcast
     }
     checked = 0
     for spec in all_queries():
