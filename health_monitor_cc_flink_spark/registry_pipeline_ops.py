@@ -3020,3 +3020,67 @@ def stats_chi2_contingency(spark, sf_dir):
             ).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "split_leakage_safe_clusters",
+    "WITH RECURSIVE " + _DUCK_SIG + """
+    , band AS (
+        SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
+        FROM sig GROUP BY doc_id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
+    ), lab(node, lbl) AS (
+        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
+        UNION
+        SELECT s.a AS node, l.lbl
+        FROM sym s JOIN lab l ON s.b = l.node
+        WHERE l.lbl < s.a
+    ), cl AS (
+        SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
+    ), rep AS (
+        SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rep_id
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+    )
+    SELECT doc_id, rep_id,
+           CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(rep_id AS VARCHAR)), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(md5(CAST(rep_id AS VARCHAR)), 2, 1)) - 1)) % 10 < 8
+                THEN 'train'
+                WHEN ((strpos('0123456789abcdef', substr(md5(CAST(rep_id AS VARCHAR)), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(md5(CAST(rep_id AS VARCHAR)), 2, 1)) - 1)) % 10 = 8
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM rep
+    """,
+    doc="Leakage-safe train/val/test split: every document is keyed by its "
+    "near-dup CLUSTER representative (min doc_id of its MinHash-LSH connected "
+    "component; singletons key by themselves) and the hash split is taken on "
+    "that representative — so near-duplicates can never straddle train and "
+    "test, the failure mode a per-document hash split silently allows.  "
+    "Composes dedup_clusters (banded LSH + distributed min-label propagation, "
+    "no all-pairs) with the deterministic md5 bucket split; one extra "
+    "broadcast-size join per doc.  Spark's iterative label propagation and "
+    "the oracle's recursive CTE converge to the same per-component min id, "
+    "so the gate is exact.",
+)
+def split_leakage_safe_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
+    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
+    cl = D.connected_components(pairs)
+    rep = docs.join(
+        cl.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("cluster_id", "doc_id").alias("rep_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("rep_id").cast("string")), 1, 2), 16, 10).cast("int")
+        % 10
+    )
+    return rep.select(
+        "doc_id",
+        "rep_id",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
