@@ -58,6 +58,11 @@ PROBE_QUERIES = (
     # superlinear growth here would mean the corpus leaked into a round)
     "text_bigram_lm_rarity",
     "bpe_train_merges",
+    # contingency marginals are tiny-broadcast joins; the leakage-safe
+    # split adds one broadcast-size join on top of the (already probed)
+    # LSH clustering — both must stay corpus-linear
+    "stats_chi2_contingency",
+    "split_leakage_safe_clusters",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
