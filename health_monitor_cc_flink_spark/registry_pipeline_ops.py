@@ -3084,3 +3084,39 @@ def split_leakage_safe_clusters(spark, sf_dir):
         "rep_id",
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "json_variant_battery",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_int,
+           event_type AS et_roundtrip,
+           value AS value_roundtrip
+    FROM events
+    """,
+    doc="Spark 4 VARIANT-type battery over the semi-structured props column: "
+    "parse_json -> variant_get typed extraction (int and string views of the "
+    "same field), try_variant_get on an absent path (NULL, not error), and a "
+    "struct -> to_json -> parse_json -> variant_get round trip whose oracle is "
+    "the ORIGINAL column — asserting the variant path is lossless for strings "
+    "and doubles.  VARIANT is the at-scale answer to schema-on-read props "
+    "blobs: binary-encoded once at ingest, then typed shredded access without "
+    "per-query string re-parsing.  The oracle reads the same fields with "
+    "DuckDB's JSON functions — engine-exact for ints/strings, and the double "
+    "survives because Jackson emits shortest-round-trip literals.",
+)
+def json_variant_battery(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    rt = F.parse_json(F.to_json(F.struct("event_type", "value")))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_int"),
+        F.try_variant_get(rt, "$.event_type", "string").alias("et_roundtrip"),
+        F.try_variant_get(rt, "$.value", "double").alias("value_roundtrip"),
+    )
