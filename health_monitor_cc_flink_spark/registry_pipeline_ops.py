@@ -3120,3 +3120,61 @@ def json_variant_battery(spark, sf_dir):
         F.try_variant_get(rt, "$.event_type", "string").alias("et_roundtrip"),
         F.try_variant_get(rt, "$.value", "double").alias("value_roundtrip"),
     )
+
+
+@query(
+    "o21d_session_dynamic_gap",
+    """
+    WITH b AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'error' THEN 300000000 ELSE 1800000000 END AS gap_us
+        FROM events
+    ), o AS (
+        SELECT *, max(ts_us + gap_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end_prev
+        FROM b
+    ), f AS (
+        SELECT *, CASE WHEN max_end_prev IS NULL OR ts_us > max_end_prev
+                       THEN 1 ELSE 0 END AS is_new
+        FROM o
+    ), g AS (
+        SELECT *, sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+    doc="SESSION window with a DYNAMIC per-event gap (F.session_window with a "
+    "Column gap: 5 min after an 'error' event, 30 min otherwise) — the gap "
+    "policy real sessionization needs (activity type changes the timeout).  "
+    "Oracle is the interval-merge gaps-and-islands rewrite: running max of "
+    "(ts + gap) over preceding rows marks a new island when the next event "
+    "starts strictly after it; with a constant gap this degenerates to the "
+    "o21b rewrite, so the two oracles are mutually consistent.  All-integer "
+    "µs boundary math; the value sum rides DECIMAL.  One shuffle on the key "
+    "in either engine.",
+)
+def o21d_session_dynamic_gap(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # gap must resolve to CalendarIntervalType: string-literal durations
+    # coerce there; DayTimeIntervalType (INTERVAL '5' MINUTE) is rejected
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n",
+            "sum_value",
+        )
+    )
