@@ -3178,3 +3178,64 @@ def o21d_session_dynamic_gap(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "streaming_session_dynamic_gap",
+    """
+    WITH b AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'error' THEN 300000000 ELSE 1800000000 END AS gap_us
+        FROM events
+    ), o AS (
+        SELECT *, max(ts_us + gap_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end_prev
+        FROM b
+    ), f AS (
+        SELECT *, CASE WHEN max_end_prev IS NULL OR ts_us > max_end_prev
+                       THEN 1 ELSE 0 END AS is_new
+        FROM o
+    ), g AS (
+        SELECT *, sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    ), sess AS (
+        SELECT user_id, min(ts_us) AS session_start_us,
+               max(ts_us + gap_us) AS session_end_us, count(*) AS n
+        FROM g GROUP BY user_id, sid
+    ), m AS (SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events)
+    SELECT user_id, session_start_us, session_end_us, n
+    FROM sess, m
+    WHERE session_end_us // 1000 <= wm_ms
+    """,
+    doc="Streaming SESSION windows with a DYNAMIC per-event gap under the "
+    "oracle gate: 5 min after an 'error' event, 30 min otherwise; session "
+    "end = max(ts + gap) over the merged interval set; append emission = "
+    "sessions whose end the final watermark passed.  Oracle is the "
+    "interval-merge gaps-and-islands rewrite plus the calibrated ms "
+    "cutoff — the streaming counterpart of o21d_session_dynamic_gap, "
+    "hash-verified against batch SQL like the constant-gap "
+    "streaming_session_30m.",
+)
+def streaming_session_dynamic_gap(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n",
+        )
+    )
+    return _drain_to_memory(spark, agg, "stream_dsess_")
