@@ -3909,3 +3909,34 @@ def streaming_dedup_within_watermark(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "source_csv_malformed_drop",
+    _ROUNDTRIP_ORACLE,
+    doc="Malformed-record tolerance on the CSV ingest path: the written "
+    "events CSV is polluted with a planted part-file of malformed lines "
+    "(wrong arity, unparsable numerics) and read back with "
+    "mode=DROPMALFORMED — bad lines are quarantined by the reader, good "
+    "rows survive bit-exactly (oracle = the original events table).  The "
+    "ingest-gate contract a 100 TB raw-landing pipeline relies on; the "
+    "PERMISSIVE + _corrupt_record capture variant (with its documented "
+    "cache requirement) is pinned in tests/test_corrupt_quarantine.py.",
+)
+def source_csv_malformed_drop(spark, sf_dir):
+    import os
+
+    path = _warehouse_path(sf_dir, "events_csv_malformed")
+    _roundtrip_base(spark, sf_dir).write.mode("overwrite").option("header", "true").csv(path)
+    with open(os.path.join(path, "part-corrupt.csv"), "w") as f:
+        f.write("event_id,ts_us,user_id,event_type,value\n")
+        f.write("not,a,valid\n")
+        f.write("xx,yy,zz,qq,ww\n")
+    return (
+        spark.read.schema(
+            "event_id bigint, ts_us bigint, user_id bigint, event_type string, value double"
+        )
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
