@@ -3239,3 +3239,266 @@ def streaming_session_dynamic_gap(spark, sf_dir):
         )
     )
     return _drain_to_memory(spark, agg, "stream_dsess_")
+
+
+# =============================================================================
+# Corpus-quality rules and distribution-drift statistics (round 5 cont.)
+# =============================================================================
+
+
+@query(
+    "text_gopher_quality_flags",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+        SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_word_count,
+               CAST(sum(c * length(w)) AS BIGINT) AS n_word_chars,
+               CAST(sum(CASE WHEN w IN ('the', 'a', 'of', 'to', 'and', 'in')
+                             THEN c ELSE 0 END) AS BIGINT) AS stopword_hits,
+               CAST(sum(CASE WHEN length(w) <= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS short_words
+        FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_distinct, top_word_count, stopword_hits,
+           CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_ratio,
+           CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+           CAST(short_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS short_word_frac,
+           (n_words BETWEEN 20 AND 100000) AS pass_word_count,
+           (CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+               BETWEEN 2.0 AND 12.0) AS pass_mean_word_len,
+           (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.6)
+               AS pass_dup_ratio,
+           (CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.12)
+               AS pass_top_word,
+           (stopword_hits >= 2) AS pass_stopwords
+    FROM agg
+    """,
+    doc="Gopher/C4-style document-quality RULE battery — the heuristic "
+    "pre-filter every LLM corpus pipeline runs before model-based scoring: "
+    "word-count bounds, mean word length band, duplicate-word ratio, "
+    "most-frequent-word fraction, stopword presence, short-word fraction — "
+    "plus the pass/fail flag per rule (Gopher table A1 shape; thresholds "
+    "tuned so the synthetic corpus exercises both outcomes).  Exactness: "
+    "every ratio is one int/int IEEE division (no float summation), flags "
+    "are boolean comparisons on those exact doubles.  Scale shape: one "
+    "explode, one (doc_id, word) partial-agg combine, one doc_id agg — "
+    "shuffle bytes bounded by the distinct-word-per-doc relation, no "
+    "corpus-wide state.",
+)
+def text_gopher_quality_flags(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_word_count"),
+        F.sum(F.col("c") * F.length("w")).alias("n_word_chars"),
+        F.sum(
+            F.when(
+                F.col("w").isin("the", "a", "of", "to", "and", "in"), F.col("c")
+            ).otherwise(F.lit(0))
+        ).alias("stopword_hits"),
+        F.sum(
+            F.when(F.length("w") <= 2, F.col("c")).otherwise(F.lit(0))
+        ).alias("short_words"),
+    )
+    mean_len = F.col("n_word_chars").cast("double") / F.col("n_words").cast("double")
+    dup_ratio = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col(
+        "n_words"
+    ).cast("double")
+    top_frac = F.col("top_word_count").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    short_frac = F.col("short_words").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "top_word_count",
+        "stopword_hits",
+        mean_len.alias("mean_word_len"),
+        dup_ratio.alias("dup_word_ratio"),
+        top_frac.alias("top_word_frac"),
+        short_frac.alias("short_word_frac"),
+        F.col("n_words").between(20, 100000).alias("pass_word_count"),
+        mean_len.between(2.0, 12.0).alias("pass_mean_word_len"),
+        (dup_ratio <= 0.6).alias("pass_dup_ratio"),
+        (top_frac <= 0.12).alias("pass_top_word"),
+        (F.col("stopword_hits") >= 2).alias("pass_stopwords"),
+    )
+
+
+@query(
+    "stats_psi_drift",
+    """
+    WITH binned AS (
+        SELECT event_type,
+               CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin,
+               (ts < TIMESTAMP '2024-01-16 00:00:00') AS is_ref
+        FROM events
+    ), grid AS (
+        SELECT et.event_type, b.bin
+        FROM (SELECT DISTINCT event_type FROM events) et
+        CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+    ), cnt AS (
+        SELECT event_type, bin,
+               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        FROM binned GROUP BY event_type, bin
+    ), full_grid AS (
+        SELECT g.event_type, g.bin,
+               coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+        FROM grid g LEFT JOIN cnt c
+          ON g.event_type = c.event_type AND g.bin = c.bin
+    ), tot AS (
+        SELECT event_type,
+               CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+               CAST(sum(n_cur) AS BIGINT) AS tot_cur
+        FROM full_grid GROUP BY event_type
+    )
+    SELECT f.event_type, f.bin, f.n_ref, f.n_cur,
+           CAST(f.n_ref AS DOUBLE) / CAST(t.tot_ref AS DOUBLE) AS p_ref,
+           CAST(f.n_cur AS DOUBLE) / CAST(t.tot_cur AS DOUBLE) AS p_cur,
+           CAST(f.n_cur AS DOUBLE) / CAST(t.tot_cur AS DOUBLE)
+             - CAST(f.n_ref AS DOUBLE) / CAST(t.tot_ref AS DOUBLE) AS p_delta,
+           CASE WHEN f.n_ref > 0 AND f.n_cur > 0 THEN
+               (CAST(f.n_cur AS DOUBLE) / CAST(t.tot_cur AS DOUBLE))
+             / (CAST(f.n_ref AS DOUBLE) / CAST(t.tot_ref AS DOUBLE))
+           END AS p_ratio
+    FROM full_grid f JOIN tot t ON f.event_type = t.event_type
+    """,
+    doc="Population Stability Index components per (event_type, value "
+    "bin): reference window = first 15 days, current = the rest; fixed "
+    "50-unit bins capped at bin 9; dense (event_type x bin) grid so "
+    "zero-count bins are explicit rows.  Emits exact counts and the "
+    "int/int-division bin fractions plus their delta and ratio — the "
+    "PSI statistic is sum(p_delta * ln(p_ratio)), with ln() left to the "
+    "consumer because libm log is not bit-identical across engines "
+    "(the same per-cell convention as stats_chi2_contingency).  Scale "
+    "shape: one (event_type, bin) count shuffle over the fact table; "
+    "grid and totals are tiny broadcast relations.",
+)
+def stats_psi_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("bigint").alias("bin"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "is_ref"
+        ),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
+    )
+    full_grid = (
+        grid.join(cnt, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = full_grid.groupBy("event_type").agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("tot_ref").cast("double")
+    p_cur = F.col("n_cur").cast("double") / F.col("tot_cur").cast("double")
+    return full_grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        (p_cur - p_ref).alias("p_delta"),
+        F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0), p_cur / p_ref).alias(
+            "p_ratio"
+        ),
+    )
+
+
+@query(
+    "stats_ks_two_sample",
+    """
+    WITH vals AS (
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY value
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM vals
+    ), cum AS (
+        SELECT sum(c1) OVER (ORDER BY value) AS cum1,
+               sum(c2) OVER (ORDER BY value) AS cum2
+        FROM vals
+    )
+    SELECT t.n1, t.n2,
+           max(abs(CAST(cum.cum1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                 - CAST(cum.cum2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))) AS ks_d
+    FROM cum CROSS JOIN tot t
+    GROUP BY t.n1, t.n2
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the 'click' and "
+    "'purchase' value distributions — the nonparametric drift test used "
+    "for feature-distribution monitoring.  D = max over distinct values "
+    "of |ECDF1 - ECDF2|; ties are handled exactly by pre-grouping on "
+    "value so each distinct value contributes one ECDF step.  Exactness: "
+    "ECDFs are int/int divisions, their difference and the max are "
+    "order-free IEEE ops.  Scale shape: the cumulative sum runs over the "
+    "DISTINCT-value relation (bounded by value-domain cardinality, here "
+    "<=49k two-decimal values — document before use on unbounded "
+    "domains); the global window is a single sorted partition of that "
+    "reduced relation, never of the raw events.",
+)
+def stats_ks_two_sample(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    vals = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "c1"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1").cast("double")
+                    - F.col("cum2").cast("double") / F.col("n2").cast("double")
+                )
+            ).alias("ks_d")
+        )
+    )
