@@ -20,7 +20,7 @@ from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import similarity as S
 from .operators import text as X
-from .registry import _t, query
+from .registry import _t, _ts_us, query
 
 # DuckDB shingle CTE shared by the MinHash / Jaccard oracles: 3-word
 # shingles via lead() windows, distinct per doc.
@@ -3404,10 +3404,17 @@ def stats_psi_drift(spark, sf_dir):
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
     )
+    # dense bin grid WITHOUT a join: explode a literal 0..9 sequence onto
+    # the distinct event types (the crossJoin formulation planned a BNLJ,
+    # which the registry-wide plan gate forbids outside scalar broadcasts)
     grid = (
         ev.select("event_type")
         .distinct()
-        .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+        .select("event_type", F.col("bin").cast("bigint").alias("bin"))
     )
     full_grid = (
         grid.join(cnt, ["event_type", "bin"], "left")
@@ -3502,3 +3509,215 @@ def stats_ks_two_sample(spark, sf_dir):
             ).alias("ks_d")
         )
     )
+
+
+@query(
+    "events_ohlc_bars",
+    """
+    WITH e AS (
+        SELECT event_type, event_id, value, epoch_us(ts) AS ts_us,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us
+        FROM events
+    ), rn AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, window_start_us
+                                  ORDER BY ts_us, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, window_start_us
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT event_type, window_start_us,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM rn GROUP BY event_type, window_start_us
+    """,
+    doc="OHLC candle bars per (event_type, 1 h tumbling window) — the "
+    "classic time-series downsample (open/high/low/close/volume) used "
+    "for dashboarding and coarse-grained retention of high-rate streams. "
+    " Open/close are tie-broken deterministically by (ts, event_id) via "
+    "row_number, so the result is total-order stable; high/low/open/"
+    "close are picked values (no float summation).  Scale shape: one "
+    "shuffle on (event_type, hour); the two row_number windows and the "
+    "final agg share that partitioning, so Catalyst plans a single "
+    "exchange.",
+)
+def events_ohlc_bars(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    e = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        "ts_us",
+        F.expr("(ts_us DIV 3600000000) * 3600000000").alias("window_start_us"),
+    )
+    part = ["event_type", "window_start_us"]
+    rn_a = F.row_number().over(
+        Window.partitionBy(*part).orderBy(F.asc("ts_us"), F.asc("event_id"))
+    )
+    rn_d = F.row_number().over(
+        Window.partitionBy(*part).orderBy(F.desc("ts_us"), F.desc("event_id"))
+    )
+    return (
+        e.withColumn("rn_a", rn_a)
+        .withColumn("rn_d", rn_d)
+        .groupBy(*part)
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "join_asof_nearest",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), w AS (
+        SELECT *,
+               max(CASE WHEN event_type = 'click' THEN ts_us END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_click_us,
+               min(CASE WHEN event_type = 'click' THEN ts_us END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_click_us
+        FROM e
+    )
+    SELECT event_id, user_id, ts_us, prev_click_us, next_click_us,
+           CASE
+             WHEN prev_click_us IS NOT NULL AND ts_us - prev_click_us <= 600000000
+                  AND (next_click_us IS NULL OR next_click_us - ts_us > 600000000
+                       OR ts_us - prev_click_us <= next_click_us - ts_us)
+               THEN prev_click_us
+             WHEN next_click_us IS NOT NULL AND next_click_us - ts_us <= 600000000
+               THEN next_click_us
+           END AS nearest_click_us,
+           CASE
+             WHEN prev_click_us IS NOT NULL AND ts_us - prev_click_us <= 600000000
+                  AND (next_click_us IS NULL OR next_click_us - ts_us > 600000000
+                       OR ts_us - prev_click_us <= next_click_us - ts_us)
+               THEN prev_click_us - ts_us
+             WHEN next_click_us IS NOT NULL AND next_click_us - ts_us <= 600000000
+               THEN next_click_us - ts_us
+           END AS delta_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="NEAREST as-of join: each purchase matched to the temporally "
+    "closest same-user click within +/-10 min, either direction; ties "
+    "prefer the earlier (backward) click — completes the as-of family "
+    "(backward join_asof_prev_purchase, forward join_asof_forward_"
+    "tolerance).  Implemented as two RANGE-frame window extremes over "
+    "ONE shuffle on user_id (no self-join, no per-row correlated "
+    "lookup); unmatched purchases keep NULLs (left semantics).  All "
+    "outputs are integer microseconds — hash-gate safe.",
+)
+def join_asof_nearest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    tol = F.lit(600000000)
+    w = (
+        ev.withColumn("prev_click_us", F.max(click_ts).over(wp))
+        .withColumn("next_click_us", F.min(click_ts).over(wn))
+        .filter(F.col("event_type") == "purchase")
+    )
+    prev_ok = F.col("prev_click_us").isNotNull() & (
+        F.col("ts_us") - F.col("prev_click_us") <= tol
+    )
+    next_ok = F.col("next_click_us").isNotNull() & (
+        F.col("next_click_us") - F.col("ts_us") <= tol
+    )
+    prefer_prev = prev_ok & (
+        ~next_ok
+        | (
+            F.col("ts_us") - F.col("prev_click_us")
+            <= F.col("next_click_us") - F.col("ts_us")
+        )
+    )
+    nearest = F.when(prefer_prev, F.col("prev_click_us")).when(
+        next_ok, F.col("next_click_us")
+    )
+    delta = F.when(prefer_prev, F.col("prev_click_us") - F.col("ts_us")).when(
+        next_ok, F.col("next_click_us") - F.col("ts_us")
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "prev_click_us",
+        "next_click_us",
+        nearest.alias("nearest_click_us"),
+        delta.alias("delta_us"),
+    )
+
+
+@query(
+    "ts_ewma_trailing",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events
+    ), arr AS (
+        SELECT event_id, user_id, ts_us, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)
+                   AS window_vals
+        FROM e
+    )
+    SELECT event_id, user_id, ts_us, value,
+           list_reduce(window_vals,
+                       (acc, x) -> acc * CAST(0.9 AS DOUBLE)
+                                 + x * CAST(0.1 AS DOUBLE)) AS ewma64
+    FROM arr
+    """,
+    doc="Trailing exponentially-weighted moving average per user "
+    "(alpha = 0.1), computed as a left fold s <- 0.9*s + 0.1*y over the "
+    "last 64 observations with s seeded by the oldest value in the "
+    "frame.  The 64-row truncation is what makes EWMA distributable: "
+    "the untruncated recursion needs either unbounded per-key history "
+    "(the pandas trap VERDICT r4 flagged for the AR(1) kernel) or "
+    "running sums of u^-i that overflow doubles past ~700 rows; a "
+    "bounded ROWS frame costs O(64) per row with constant memory and "
+    "is exact to 1e-3 relative (0.9^64) of the infinite-history EWMA. "
+    " Exactness: both engines execute the identical fold sequence "
+    "(Spark F.aggregate seeded with element 1 over slice(2..); DuckDB "
+    "list_reduce seeds with the first element) — bit-equal IEEE "
+    "doubles, no rounding.  Scale shape: one shuffle on user_id; the "
+    "frame array is bounded (64 doubles/row).",
+)
+def ts_ewma_trailing(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    w64 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
+        .rowsBetween(-63, 0)
+    )
+    arr = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.collect_list("value").over(w64).alias("window_vals"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("window_vals"), 2, 63),
+        F.element_at(F.col("window_vals"), 1),
+        lambda acc, x: acc * F.lit(0.9) + x * F.lit(0.1),
+    )
+    return arr.select("event_id", "user_id", "ts_us", "value", ewma.alias("ewma64"))
