@@ -3721,3 +3721,284 @@ def ts_ewma_trailing(spark, sf_dir):
         lambda acc, x: acc * F.lit(0.9) + x * F.lit(0.1),
     )
     return arr.select("event_id", "user_id", "ts_us", "value", ewma.alias("ewma64"))
+
+
+@query(
+    "stats_mann_whitney_u",
+    """
+    WITH vals AS (
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY value
+    ), cum AS (
+        SELECT c1, c2, c1 + c2 AS c,
+               coalesce(sum(c1 + c2) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        FROM vals
+    ), agg AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1 * (2 * cum_prev + c + 1)) AS BIGINT) AS r1_x2
+        FROM cum
+    )
+    SELECT n1, n2, r1_x2,
+           2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS u1_x2,
+           2 * n1 * n2 - (2 * n1 * n2 + n1 * (n1 + 1) - r1_x2) AS u2_x2
+    FROM agg
+    """,
+    doc="Mann-Whitney U (rank-sum) statistic between the 'click' and "
+    "'purchase' value samples with exact tie handling: distinct values "
+    "carry their group counts, average ranks come from the cumulative "
+    "count (2*avg_rank = 2*cum_prev + c + 1), and everything is kept in "
+    "DOUBLED integer units (r1_x2, u1_x2) so no .5-fraction ever rides "
+    "the hash gate — the consumer halves them.  Complements "
+    "stats_ks_two_sample (location-shift test vs distribution-shape "
+    "test).  Scale shape: identical to KS — one value-distinct shuffle, "
+    "then a window over the bounded distinct-value relation.",
+)
+def stats_mann_whitney_u(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    vals = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "c1"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0)).alias(
+            "cum_prev"
+        ),
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("cum_prev") + F.col("c") + F.lit(1))
+        ).alias("r1_x2"),
+    )
+    u1_x2 = (
+        F.lit(2) * F.col("n1") * F.col("n2")
+        + F.col("n1") * (F.col("n1") + 1)
+        - F.col("r1_x2")
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "r1_x2",
+        u1_x2.alias("u1_x2"),
+        (F.lit(2) * F.col("n1") * F.col("n2") - u1_x2).alias("u2_x2"),
+    )
+
+
+@query(
+    "stats_welch_ttest_components",
+    """
+    WITH scaled AS (
+        SELECT event_type,
+               CAST(round(value * 100.0) AS BIGINT) AS v100
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v100) AS BIGINT) AS sum100,
+               CAST(sum(v100 * v100) AS BIGINT) AS sumsq100
+        FROM scaled GROUP BY event_type
+    )
+    SELECT event_type, n, sum100, sumsq100,
+           CAST(sum100 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean,
+           (CAST(n AS DOUBLE) * CAST(sumsq100 AS DOUBLE)
+              - CAST(sum100 AS DOUBLE) * CAST(sum100 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 10000.0)
+               AS sample_var,
+           (CAST(n AS DOUBLE) * CAST(sumsq100 AS DOUBLE)
+              - CAST(sum100 AS DOUBLE) * CAST(sum100 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * (CAST(n AS DOUBLE) - 1.0) * 10000.0) AS var_over_n
+    FROM g
+    """,
+    doc="Welch t-test components per group ('click' vs 'purchase'): "
+    "n / mean / sample variance / var-over-n, from EXACT integer "
+    "centi-unit sums (values are 2-decimal by generation; sum and "
+    "sum-of-squares stay < 2^63 to ~1e8 rows per group — switch the "
+    "accumulators to DECIMAL(38,0) beyond that, as "
+    "embedding_centroid_per_label documents).  The float mean/variance "
+    "are then a fixed IEEE expression over those integers, identical on "
+    "both engines — no float summation ever happens, so the hash gate "
+    "holds without rounding.  t = mean_diff / sqrt(sum of var_over_n) "
+    "is left to the consumer (libm sqrt).  Scale shape: one partial-agg "
+    "combine per group — a single map-side-combined shuffle of 2 rows.",
+)
+def stats_welch_ttest_components(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    scaled = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        F.round(F.col("value") * 100.0).cast("bigint").alias("v100"),
+    )
+    g = scaled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v100").alias("sum100"),
+        F.sum(F.col("v100") * F.col("v100")).alias("sumsq100"),
+    )
+    nd = F.col("n").cast("double")
+    s = F.col("sum100").cast("double")
+    sq = F.col("sumsq100").cast("double")
+    var_num = nd * sq - s * s
+    return g.select(
+        "event_type",
+        "n",
+        "sum100",
+        "sumsq100",
+        (s / (nd * F.lit(100.0))).alias("mean"),
+        (var_num / (nd * (nd - F.lit(1.0)) * F.lit(10000.0))).alias("sample_var"),
+        (var_num / (nd * nd * (nd - F.lit(1.0)) * F.lit(10000.0))).alias(
+            "var_over_n"
+        ),
+    )
+
+
+@query(
+    "stats_autocorr_components",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               CAST(round(value * 100.0) AS BIGINT) AS v100,
+               lag(CAST(round(value * 100.0) AS BIGINT), 1)
+                   OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS l1,
+               lag(CAST(round(value * 100.0) AS BIGINT), 2)
+                   OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS l2,
+               lag(CAST(round(value * 100.0) AS BIGINT), 3)
+                   OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS l3
+        FROM events
+    )
+    SELECT event_type, k,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(sum_xy AS BIGINT) AS sum_xy,
+           CAST(sum_x AS BIGINT) AS sum_x,
+           CAST(sum_y AS BIGINT) AS sum_y
+    FROM (
+        SELECT event_type, 1 AS k, count(l1) AS n_pairs,
+               sum(v100 * l1) AS sum_xy, sum(CASE WHEN l1 IS NOT NULL THEN v100 END) AS sum_x,
+               sum(l1) AS sum_y
+        FROM seq GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 2, count(l2), sum(v100 * l2),
+               sum(CASE WHEN l2 IS NOT NULL THEN v100 END), sum(l2)
+        FROM seq GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 3, count(l3), sum(v100 * l3),
+               sum(CASE WHEN l3 IS NOT NULL THEN v100 END), sum(l3)
+        FROM seq GROUP BY event_type
+    )
+    """,
+    doc="Lag-k autocorrelation components (k = 1..3) per event_type over "
+    "the (ts, event_id)-ordered value sequence: pair count and the exact "
+    "integer centi-unit sums sum(x*y) / sum(x) / sum(y) that the ACF "
+    "r_k = (n*sxy - sx*sy) / ... needs — the time-series diagnostic "
+    "behind AR-order selection (the engine's ML_DETECT_ANOMALIES is "
+    "AR(1); a consumer uses these to justify k).  Products stay < 2^63 "
+    "to ~3e8 rows/group (centi-values <= 49k); the doc'd DECIMAL "
+    "escape applies beyond.  Scale shape: ONE shuffle on event_type "
+    "shared by the lag window and all three aggregates (Catalyst plans "
+    "one exchange; the union re-reads the windowed relation, not the "
+    "fact table).",
+)
+def stats_autocorr_components(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    w = Window.partitionBy("event_type").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    v = F.round(F.col("value") * 100.0).cast("bigint")
+    seq = ev.select(
+        "event_type",
+        v.alias("v100"),
+        F.lag(v, 1).over(w).alias("l1"),
+        F.lag(v, 2).over(w).alias("l2"),
+        F.lag(v, 3).over(w).alias("l3"),
+    )
+    parts = []
+    for k in (1, 2, 3):
+        lk = F.col(f"l{k}")
+        parts.append(
+            seq.groupBy("event_type").agg(
+                F.lit(k).cast("int").alias("k"),
+                F.count(lk).alias("n_pairs"),
+                F.sum(F.col("v100") * lk).alias("sum_xy"),
+                F.sum(F.when(lk.isNotNull(), F.col("v100"))).alias("sum_x"),
+                F.sum(lk).alias("sum_y"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("event_type", "k", "n_pairs", "sum_xy", "sum_x", "sum_y")
+
+
+@query(
+    "dq_key_skew_report",
+    """
+    WITH per_key AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(n_rows) AS BIGINT) AS max_rows
+        FROM per_key
+    ), ranked AS (
+        SELECT user_id, n_rows,
+               row_number() OVER (ORDER BY n_rows DESC, user_id) AS rnk
+        FROM per_key
+    )
+    SELECT r.rnk, r.user_id, r.n_rows, t.total_rows, t.n_keys, t.max_rows,
+           CAST(r.n_rows AS DOUBLE) / CAST(t.total_rows AS DOUBLE) AS share,
+           CAST(r.n_rows AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+             / CAST(t.total_rows AS DOUBLE) AS skew_factor
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rnk <= 20
+    """,
+    doc="Key-skew diagnostic report — the operational pre-check before "
+    "any groupBy/join on user_id at 100 TB: the 20 heaviest keys with "
+    "their exact row counts, corpus share, and skew factor (count / "
+    "mean count; > ~4 means AQE skew-join or salting territory — the "
+    "join_salted_skew operator is the prescription).  Exactness: "
+    "counts are integers; share/skew are single IEEE divisions.  Scale "
+    "shape: one map-side-combined count shuffle on the key, a top-20 "
+    "over the per-key relation (TakeOrdered, no global sort of facts), "
+    "and the scalar totals ride the allowlisted broadcast cross join.",
+)
+def dq_key_skew_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per_key.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    ranked = per_key.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("n_rows"), F.asc("user_id"))),
+    ).filter(F.col("rnk") <= 20)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "user_id",
+        "n_rows",
+        "total_rows",
+        "n_keys",
+        "max_rows",
+        (F.col("n_rows").cast("double") / F.col("total_rows").cast("double")).alias(
+            "share"
+        ),
+        (
+            F.col("n_rows").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("total_rows").cast("double")
+        ).alias("skew_factor"),
+    )

@@ -63,6 +63,23 @@ PROBE_QUERIES = (
     # LSH clustering — both must stay corpus-linear
     "stats_chi2_contingency",
     "split_leakage_safe_clusters",
+    # round-5 continuation: quality rules are token-volume explode+agg;
+    # PSI/KS are count shuffles (KS's global window runs on the distinct-
+    # value relation, which replicas barely grow — expect flat); OHLC and
+    # the as-of/EWMA windows shuffle on (type,hour)/user_id, with user_id
+    # cardinality FIXED across replicas so these double as long-key probes
+    "text_gopher_quality_flags",
+    "stats_psi_drift",
+    "stats_ks_two_sample",
+    "events_ohlc_bars",
+    "join_asof_nearest",
+    "ts_ewma_trailing",
+    # rank/variance statistics share KS's distinct-value or per-group
+    # integer-sum shape; the skew report is one count shuffle + top-20
+    "stats_mann_whitney_u",
+    "stats_welch_ttest_components",
+    "stats_autocorr_components",
+    "dq_key_skew_report",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
@@ -131,7 +148,13 @@ def run(spark, sf_dir: str, label: str) -> None:
 
     clear_knn_graph_cache(spark)
     spark.catalog.clearCache()
-    for name in PROBE_QUERIES:
+    only = os.environ.get("PROBE_ONLY")
+    queries = (
+        [q for q in PROBE_QUERIES if q in set(only.split(","))]
+        if only
+        else PROBE_QUERIES
+    )
+    for name in queries:
         # time fn() too: iterative operators (dedup_clusters) do their work
         # eagerly inside the builder via localCheckpoint
         t0 = time.perf_counter()

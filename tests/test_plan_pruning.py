@@ -163,6 +163,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "q15_top_supplier_shape",       # scalar max revenue
         "stats_chi2_contingency",       # scalar grand-total broadcast
         "stats_ks_two_sample",          # scalar (n1, n2) totals broadcast
+        "dq_key_skew_report",           # scalar corpus-totals broadcast
     }
     checked = 0
     for spec in all_queries():
