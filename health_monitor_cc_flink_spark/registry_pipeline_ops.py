@@ -4002,3 +4002,233 @@ def dq_key_skew_report(spark, sf_dir):
             / F.col("total_rows").cast("double")
         ).alias("skew_factor"),
     )
+
+
+@query(
+    "enrich_scd2_point_in_time",
+    """
+    WITH u AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'signup' THEN value END AS version_value,
+               (event_type = 'purchase') AS is_fact,
+               (event_type = 'signup') AS is_dim
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ), w AS (
+        SELECT *,
+               last_value(version_value IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS in_effect_value,
+               last_value(CASE WHEN is_dim THEN ts_us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS in_effect_from_us
+        FROM u
+    )
+    SELECT event_id, user_id, ts_us, in_effect_value, in_effect_from_us
+    FROM w WHERE is_fact
+    """,
+    doc="Point-in-time dimension lookup against SCD2 history: each "
+    "purchase is enriched with the signup VERSION in effect at its "
+    "event time (value payload + version start; NULL before the first "
+    "version) — the temporal-join every warehouse needs to avoid "
+    "time-traveling dimension attributes.  Implemented as a union-free "
+    "single scan: facts and versions share one user_id shuffle and a "
+    "running last-non-null window carries the in-effect version onto "
+    "each fact row — no interval join, no per-row subquery, and the "
+    "window state is O(1) per key.  Pairs with cdc_scd2_intervals "
+    "(which materializes the same history as [from,to] rows).",
+)
+def enrich_scd2_point_in_time(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    u = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(F.col("event_type") == "signup", F.col("value")).alias(
+            "version_value"
+        ),
+        (F.col("event_type") == "purchase").alias("is_fact"),
+        (F.col("event_type") == "signup").alias("is_dim"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = u.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "is_fact",
+        F.last("version_value", ignorenulls=True).over(w).alias("in_effect_value"),
+        F.last(
+            F.when(F.col("is_dim"), F.col("ts_us")), ignorenulls=True
+        ).over(w).alias("in_effect_from_us"),
+    )
+    return enriched.filter(F.col("is_fact")).select(
+        "event_id", "user_id", "ts_us", "in_effect_value", "in_effect_from_us"
+    )
+
+
+@query(
+    "events_rate_limit_per_key",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+               (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us
+        FROM events
+    ), rn AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, window_start_us
+                                     ORDER BY ts_us, event_id) AS seq_in_window
+        FROM e
+    )
+    SELECT event_id, user_id, event_type, ts_us, window_start_us, seq_in_window
+    FROM rn WHERE seq_in_window <= 2
+    """,
+    doc="Deterministic per-key rate limiting: keep the FIRST 2 events "
+    "per (user_id, 1 day window) by (ts, event_id) — the bounded-ingestion "
+    "guard that caps hot keys at the door before they skew every "
+    "downstream shuffle (the mitigation dq_key_skew_report prescribes). "
+    " Deterministic (total-order tie-break), so retries produce the "
+    "identical sample — unlike rate limiting by arrival.  One shuffle "
+    "on (key, window); the row_number window and filter pipeline into "
+    "the same stage.",
+)
+def events_rate_limit_per_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.expr("(ts_us DIV 86400000000) * 86400000000").alias("window_start_us"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "window_start_us").orderBy(
+            F.asc("ts_us"), F.asc("event_id")
+        )
+    )
+    return (
+        e.withColumn("seq_in_window", rn)
+        .filter(F.col("seq_in_window") <= 2)
+    )
+
+
+@query(
+    "stats_gini_concentration",
+    """
+    WITH per_key AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT n_rows,
+               row_number() OVER (ORDER BY n_rows, user_id) AS rnk
+        FROM per_key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           CAST(sum(rnk * n_rows) AS BIGINT) AS rank_weighted_sum,
+           2.0 * CAST(sum(rnk * n_rows) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(n_rows) AS DOUBLE))
+             - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE)
+               AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of the per-key event-count distribution — the "
+    "single-number concentration metric behind 'is this key space "
+    "salt-worthy' (complements dq_key_skew_report's top-20 view; 0 = "
+    "uniform keys, ->1 = one key owns the table).  Exact: the "
+    "rank-weighted sum is integer (ties broken deterministically by "
+    "key, which leaves the sum invariant because tied counts are "
+    "interchangeable across their rank block), and the float Gini is "
+    "one fixed IEEE expression over three integers.  Scale shape: one "
+    "count shuffle on the key, then a sort of the PER-KEY relation "
+    "(|keys| rows, not |events|) for ranking, then a scalar agg.",
+)
+def stats_gini_concentration(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    ranked = per_key.select(
+        "n_rows",
+        F.row_number()
+        .over(Window.orderBy(F.asc("n_rows"), F.asc("user_id")))
+        .alias("rnk"),
+    )
+    nd = F.count(F.lit(1)).cast("double")
+    tot = F.sum("n_rows").cast("double")
+    ws = F.sum(F.col("rnk") * F.col("n_rows")).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.sum(F.col("rnk") * F.col("n_rows")).alias("rank_weighted_sum"),
+        (
+            F.lit(2.0) * ws / (nd * tot) - (nd + F.lit(1.0)) / nd
+        ).alias("gini"),
+    )
+
+
+@query(
+    "streaming_ohlc_bars",
+    """
+    WITH e AS (
+        SELECT event_type, event_id, value, epoch_us(ts) AS ts_us,
+               (epoch_us(ts) // 3600000000) * 3600 AS window_start_s
+        FROM events
+    ), rn AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, window_start_s
+                                  ORDER BY ts_us, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, window_start_s
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        FROM e
+    ), bars AS (
+        SELECT event_type, window_start_s,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS n
+        FROM rn GROUP BY event_type, window_start_s
+    ), m AS (
+        SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events
+    )
+    SELECT event_type, window_start_s, open, high, low, close, n
+    FROM bars, m
+    WHERE (window_start_s + 3600) * 1000 <= wm_ms
+    """,
+    doc="STREAMING OHLC bars: the events file-stream under a 10-min "
+    "watermark, 1 h tumbling windows, open/close picked inside the "
+    "streaming aggregation via min_by/max_by over the (ts, event_id) "
+    "struct — no post-hoc sort, state is one (open, high, low, close, "
+    "n) tuple per live window.  Append emission = windows the final "
+    "watermark closed; the oracle reproduces the cutoff and the "
+    "deterministic tie-break exactly (hash gate on raw doubles). "
+    " The streaming counterpart of events_ohlc_bars.",
+)
+def streaming_ohlc_bars(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    order_key = F.struct(F.col("ts").alias("o_ts"), F.col("event_id").alias("o_id"))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+    return _drain_to_memory(spark, agg, "stream_ohlc_")
