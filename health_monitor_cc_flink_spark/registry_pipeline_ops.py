@@ -4232,3 +4232,130 @@ def streaming_ohlc_bars(spark, sf_dir):
         )
     )
     return _drain_to_memory(spark, agg, "stream_ohlc_")
+
+
+def _mg_candidates(words_df, k_mg: int):
+    """Per-partition Misra-Gries(k) candidate words via mapInPandas.
+
+    Guarantee (pigeonhole over partitions): any word with GLOBAL count
+    > N/k appears in at least one partition's summary, so the union is
+    a superset of every (N/k)-heavy hitter.  Memory is O(k) per
+    partition regardless of vocabulary size — the whole point vs a full
+    (word, count) shuffle whose reduce side is vocabulary-bound.
+    """
+
+    def summarize(batches):
+        import pandas as pd
+
+        d: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["w"].value_counts().items():
+                d[w] = d.get(w, 0) + int(c)
+            while len(d) > k_mg:
+                m = min(d.values())
+                d = {w: c - m for w, c in d.items() if c > m}
+        yield pd.DataFrame({"w": list(d.keys())})
+
+    return words_df.mapInPandas(summarize, schema="w string").distinct()
+
+
+@query(
+    "topk_heavy_hitters_twopass",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY w
+    ), ranked AS (
+        SELECT w, freq, row_number() OVER (ORDER BY freq DESC, w) AS rnk
+        FROM freq
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_words FROM tok),
+    f10 AS (SELECT freq AS f10 FROM ranked WHERE rnk = 10)
+    SELECT r.rnk, r.w, r.freq, t.n_words,
+           (f.f10 * 200 > t.n_words) AS certified
+    FROM ranked r CROSS JOIN tot t CROSS JOIN f10 f
+    WHERE r.rnk <= 10
+    """,
+    doc="Two-pass exact top-10 heavy hitters over corpus words: pass 1 "
+    "runs Misra-Gries(200) per partition (bounded O(k) memory, no "
+    "vocabulary-sized shuffle) and unions the candidates; pass 2 "
+    "broadcast-semi-joins the corpus to the candidate set and exact-"
+    "counts ONLY candidates.  Self-certifying: the emitted `certified` "
+    "flag is the pigeonhole bound f10 * k > N — when true, every "
+    "non-candidate provably has freq <= N/k < f10, so the answer "
+    "EQUALS the exact top-10 (which is why the exact-SQL oracle gates "
+    "it).  This is the 100 TB top-k pattern when the key domain is "
+    "unbounded (n-grams, URLs): corpus_vocab_topk's full (word) "
+    "shuffle is vocabulary-bound; this one shuffles only ~k*partitions "
+    "candidate rows plus the candidate recount.",
+)
+def topk_heavy_hitters_twopass(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    cand = _mg_candidates(words, 200)
+    freq = (
+        words.join(F.broadcast(cand), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freq.select(
+        "w",
+        "freq",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w"))).alias(
+            "rnk"
+        ),
+    ).filter(F.col("rnk") <= 10)
+    tot = words.agg(F.count(F.lit(1)).alias("n_words"))
+    f10 = ranked.filter(F.col("rnk") == 10).select(F.col("freq").alias("f10"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(f10))
+        .select(
+            "rnk",
+            "w",
+            "freq",
+            "n_words",
+            (F.col("f10") * F.lit(200) > F.col("n_words")).alias("certified"),
+        )
+    )
+
+
+@query(
+    "streaming_rate_limit_finalized",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+               (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us
+        FROM events
+    ), rn AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, window_start_us
+                                     ORDER BY ts_us, event_id) AS seq_in_window
+        FROM e
+    ), m AS (
+        SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events
+    )
+    SELECT event_id, user_id, event_type, ts_us, window_start_us,
+           CAST(seq_in_window AS INTEGER) AS seq_in_window
+    FROM rn, m
+    WHERE seq_in_window <= 2
+      AND (window_start_us + 86400000000) // 1000 < wm_ms
+    """,
+    doc="STREAMING deterministic rate limiting: first 2 events per "
+    "(user_id, 1-day window) by EVENT time, emitted only when the "
+    "watermark closes the window (applyInPandasWithState + "
+    "EventTimeTimeout) — so the emitted set equals the batch "
+    "events_rate_limit_per_key answer for every closed window, exactly "
+    "once, independent of arrival order.  An emit-on-sight limiter "
+    "cannot make that guarantee under out-of-order arrival or replay. "
+    " State = O(2) rows per live (key, window), removed at emission; "
+    "the oracle reproduces the strict watermark-passes-window-end "
+    "timer semantics.",
+)
+def streaming_rate_limit_finalized(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import events_stream
+    from .streaming.stateful import streaming_rate_limit_first_n
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    limited = streaming_rate_limit_first_n(ev, n_keep=2)
+    return _drain_to_memory(spark, limited, "stream_ratelimit_")

@@ -220,3 +220,113 @@ def streaming_forecast(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_rate_limit_first_n(
+    df: DataFrame,
+    n_keep: int = 2,
+    window_us: int = 86_400_000_000,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermark-FINALIZED per-key rate limiting: emit the first
+    ``n_keep`` events per (key, window) by EVENT time, not arrival time.
+
+    Arrival order is not event-time order, so an emit-on-sight limiter
+    is nondeterministic under replay.  This operator instead buffers the
+    current best-n (ts, event_id) per (key, window) in state and emits
+    ONLY when the event-time timeout fires — i.e. when the watermark
+    closes the window — so the emitted set is the deterministic batch
+    answer (events_rate_limit_per_key) for every closed window, exactly
+    once, regardless of arrival order.  State is O(n_keep) per live
+    window and is removed on emission: bounded by (keys x live windows),
+    never by history.
+
+    Requires ``withWatermark(ts_col, ...)`` upstream (EventTimeTimeout).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(key_col, T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("window_start_us", T.LongType()),
+            T.StructField("seq_in_window", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
+            T.StructField("event_id", T.ArrayType(T.LongType())),
+            T.StructField("event_type", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def limiter(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        k, window_start_us = (int(key[0]), int(key[1]))
+        if state.hasTimedOut:
+            if state.exists:
+                ts_us, eid, etype = state.get
+                rows = sorted(zip(ts_us, eid, etype))
+                out = pd.DataFrame(
+                    {
+                        "event_id": [r[1] for r in rows],
+                        key_col: k,
+                        "event_type": [r[2] for r in rows],
+                        "ts_us": [r[0] for r in rows],
+                        "window_start_us": window_start_us,
+                        "seq_in_window": list(range(1, len(rows) + 1)),
+                    }
+                )
+                state.remove()
+                yield out
+            return
+
+        if state.exists:
+            ts_us, eid, etype = state.get
+            best = list(zip(ts_us, eid, etype))
+        else:
+            best = []
+        for pdf in pdfs:
+            for t, i, e in zip(
+                (pdf[ts_col].astype("int64") // 1000).tolist(),
+                pdf["event_id"].astype("int64").tolist(),
+                pdf["event_type"].tolist(),
+            ):
+                best.append((t, i, e))
+        best = sorted(best)[:n_keep]
+        state.update(
+            (
+                [b[0] for b in best],
+                [b[1] for b in best],
+                [b[2] for b in best],
+            )
+        )
+        # fire when the watermark passes the window end → final emission
+        state.setTimeoutTimestamp(int(window_start_us + window_us) // 1000)
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                key_col: pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype="object"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "window_start_us": pd.Series([], dtype="int64"),
+                "seq_in_window": pd.Series([], dtype="int32"),
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn(
+        "window_start_us",
+        F.expr(f"(unix_micros({ts_col}) DIV {window_us}) * {window_us}"),
+    )
+    return keyed.groupBy(key_col, "window_start_us").applyInPandasWithState(
+        limiter,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
