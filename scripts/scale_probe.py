@@ -80,6 +80,13 @@ PROBE_QUERIES = (
     "stats_welch_ttest_components",
     "stats_autocorr_components",
     "dq_key_skew_report",
+    # SCD2 enrich and rate limit are one-window-shuffle plans; Gini
+    # sorts only the per-key relation; heavy hitters' pass 1 is the
+    # bounded-memory Misra-Gries map (shuffle = candidates, not vocab)
+    "enrich_scd2_point_in_time",
+    "events_rate_limit_per_key",
+    "stats_gini_concentration",
+    "topk_heavy_hitters_twopass",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
