@@ -4359,3 +4359,117 @@ def streaming_rate_limit_finalized(spark, sf_dir):
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     limited = streaming_rate_limit_first_n(ev, n_keep=2)
     return _drain_to_memory(spark, limited, "stream_ratelimit_")
+
+
+@query(
+    "sessions_event_path",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+    ), marked AS (
+        SELECT user_id, event_id, event_type, t,
+               CASE WHEN t - lag(t) OVER w > 1800000000 OR lag(t) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), sess AS (
+        SELECT user_id, event_id, event_type, t,
+               CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY t, event_id) AS path,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS converted
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc="Per-session event-PATH extraction: the ordered event_type "
+    "sequence of each 30-min-gap session as a '>'-joined string, plus "
+    "a conversion flag — the clickstream path-analysis primitive "
+    "(path frequencies, Markov funnels) downstream of sessionize_gaps_"
+    "islands.  Determinism: the path is ordered by (ts, event_id), a "
+    "total order — Spark collects (t, event_id, event_type) structs "
+    "per session, array_sorts them (struct order = the same total "
+    "order) and joins; DuckDB uses ORDER-aware string_agg.  Scale "
+    "shape: one user_id shuffle shared by the gap window and the "
+    "session agg; per-session memory is O(session length) — the "
+    "session GAP bounds it, never full key history (a running-prefix "
+    "formulation would be O(L^2) bytes per session and was rejected).",
+)
+def sessions_event_path(spark, sf_dir):
+    gap = 1_800_000_000
+    ev = _t(spark, sf_dir, "events").withColumn("t", _ts_us())
+    wo = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id"))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t",
+        F.when(
+            (F.col("t") - F.lag("t").over(wo) > gap)
+            | F.lag("t").over(wo).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("is_start").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("t", "event_id", "event_type"))
+                ),
+                lambda r: r.event_type,
+            ),
+            ">",
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+
+
+@query(
+    "agg_hll_mergeable_rollup",
+    None,
+    doc="MERGEABLE distinct-count rollup — the 100 TB pattern for "
+    "distinct users at multiple grains without re-scanning: build one "
+    "HLL sketch per (event_type, day) with hll_sketch_agg (Spark 4 "
+    "DataSketches HllSketch), then hll_union_agg the DAILY sketches up "
+    "to per-type totals and estimate both grains.  The fact table is "
+    "scanned ONCE; every coarser grain is sketch-merge only (the same "
+    "re-aggregation property the engine's window rollups rely on). "
+    " Rows-only by design: DuckDB's approx_distinct is a different "
+    "sketch; the estimate-vs-exact error bound and the merge-vs-direct "
+    "consistency are pinned in tests/test_rows_only_semantics.py. "
+    "Output: per event_type, the unioned-estimate, the exact distinct "
+    "(for the pin), and the day-sketch count that fed the union.",
+)
+def agg_hll_mergeable_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("(ts_us DIV 86400000000)").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users_merged"),
+        F.count(F.lit(1)).alias("n_day_sketches"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "approx_users_merged", "n_day_sketches", "exact_users"
+    )

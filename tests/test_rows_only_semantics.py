@@ -123,3 +123,29 @@ def test_streaming_stateful_anomalies_matches_batch(spark, specs):
         ).collect()
     }
     assert got == want
+
+
+def test_agg_hll_mergeable_rollup_consistency(spark, specs):
+    """The merged day-sketch estimate must (a) sit within the HllSketch
+    lgK=12 error band of the exact distinct count and (b) equal the
+    estimate of a DIRECT (un-rolled-up) sketch over the same rows —
+    the mergeability property the operator exists to demonstrate."""
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    rows = {r.event_type: r for r in specs["agg_hll_mergeable_rollup"].fn(spark, SF).collect()}
+    direct = {
+        r.event_type: r.direct
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("direct"))
+        .collect()
+    }
+    assert rows
+    for et, r in rows.items():
+        assert r.exact_users > 0
+        # lgK=12 → relative error ~1.6%; allow 5%
+        assert abs(r.approx_users_merged - r.exact_users) <= max(2, 0.05 * r.exact_users)
+        assert r.approx_users_merged == direct[et], (
+            f"{et}: merged {r.approx_users_merged} != direct {direct[et]}"
+        )
+        assert r.n_day_sketches > 1  # it actually rolled up multiple sketches
