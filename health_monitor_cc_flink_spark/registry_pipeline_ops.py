@@ -4473,3 +4473,45 @@ def agg_hll_mergeable_rollup(spark, sf_dir):
     return merged.join(exact, "event_type").select(
         "event_type", "approx_users_merged", "n_day_sketches", "exact_users"
     )
+
+
+@query(
+    "embedding_pca_topk_variance",
+    None,
+    doc="Distributed PCA over the 64-dim embedding column: per-partition "
+    "covariance partials via Arrow mapInPandas (each partition reduces "
+    "to ONE 64x64 matrix — the shuffle moves P matrices, never N "
+    "vectors), driver-side eigh on the d x d sum (O(d^3), independent "
+    "of N), then a distributed projection map onto the top-4 "
+    "components.  Output: per component, eigenvalue, explained-variance "
+    "ratio, and the projected-coordinate variance over the corpus "
+    "(which must equal the eigenvalue — the invariant the rows-only "
+    "pin asserts against numpy PCA in "
+    "tests/test_rows_only_semantics.py).  Rows-only: float summation "
+    "across partitions is order-sensitive in the last ulps, so no "
+    "bit-exact SQL oracle exists by construction.",
+)
+def embedding_pca_topk_variance(spark, sf_dir):
+    import numpy as np
+
+    from .operators.decomposition import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vals, comp, mean, n = pca_fit(emb, "embedding", 64, 4)
+    total_var = float(np.sum(vals)) if len(vals) else 0.0
+    proj = pca_project(emb, "embedding", "vec_id", comp, mean)
+    stats = proj.agg(
+        *[F.avg(F.col(f"pc{i+1}") * F.col(f"pc{i+1}")).alias(f"var{i+1}") for i in range(4)]
+    ).collect()[0]
+    rows = [
+        (
+            i + 1,
+            float(vals[i]),
+            float(stats[f"var{i+1}"]),
+            int(n),
+        )
+        for i in range(4)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, projected_variance double, n long"
+    )

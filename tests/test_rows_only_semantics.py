@@ -149,3 +149,27 @@ def test_agg_hll_mergeable_rollup_consistency(spark, specs):
             f"{et}: merged {r.approx_users_merged} != direct {direct[et]}"
         )
         assert r.n_day_sketches > 1  # it actually rolled up multiple sketches
+
+
+def test_embedding_pca_matches_numpy(spark, specs):
+    """Distributed covariance-partial PCA must agree with numpy PCA on
+    the collected corpus, and each projected-coordinate variance must
+    equal its eigenvalue (the defining PCA invariant)."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    rows = sorted(
+        specs["embedding_pca_topk_variance"].fn(spark, SF).collect(),
+        key=lambda r: r.component,
+    )
+    m = np.stack(
+        [np.array(r.embedding, dtype=np.float64) for r in load_table(spark, SF, "embeddings").collect()]
+    )
+    cov = np.cov(m, rowvar=False, bias=True)
+    ref = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    assert len(rows) == 4
+    for r, expected in zip(rows, ref):
+        assert abs(r.eigenvalue - expected) < 1e-9
+        assert abs(r.projected_variance - r.eigenvalue) < 1e-9
+        assert r.n == m.shape[0]
