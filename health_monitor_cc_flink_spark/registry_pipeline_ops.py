@@ -4515,3 +4515,106 @@ def embedding_pca_topk_variance(spark, sf_dir):
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, projected_variance double, n long"
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_bin,
+               (epoch_us(ts) // 3600000000) % 24 AS hod,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum100
+        FROM events GROUP BY 1, 2, 3
+    ), trended AS (
+        SELECT *,
+               CAST(sum(sum100) OVER w AS BIGINT) AS tr_sum100,
+               CAST(sum(n) OVER w AS BIGINT) AS tr_n
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_bin
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), seasonal AS (
+        SELECT event_type, hod,
+               CAST(sum(sum100) AS BIGINT) AS se_sum100,
+               CAST(sum(n) AS BIGINT) AS se_n
+        FROM hourly GROUP BY event_type, hod
+    ), grand AS (
+        SELECT event_type,
+               CAST(sum(sum100) AS BIGINT) AS g_sum100,
+               CAST(sum(n) AS BIGINT) AS g_n
+        FROM hourly GROUP BY event_type
+    )
+    SELECT t.event_type, t.hour_bin, t.hod, t.n,
+           CAST(t.sum100 AS DOUBLE) / (CAST(t.n AS DOUBLE) * 100.0) AS hourly_mean,
+           CAST(t.tr_sum100 AS DOUBLE) / (CAST(t.tr_n AS DOUBLE) * 100.0) AS trend,
+           CAST(s.se_sum100 AS DOUBLE) / (CAST(s.se_n AS DOUBLE) * 100.0) AS seasonal,
+           CAST(t.sum100 AS DOUBLE) / (CAST(t.n AS DOUBLE) * 100.0)
+             - CAST(t.tr_sum100 AS DOUBLE) / (CAST(t.tr_n AS DOUBLE) * 100.0)
+             - (CAST(s.se_sum100 AS DOUBLE) / (CAST(s.se_n AS DOUBLE) * 100.0)
+                - CAST(g.g_sum100 AS DOUBLE) / (CAST(g.g_n AS DOUBLE) * 100.0))
+               AS residual
+    FROM trended t
+    JOIN seasonal s ON t.event_type = s.event_type AND t.hod = s.hod
+    JOIN grand g ON t.event_type = g.event_type
+    """,
+    doc="Additive seasonal decomposition of the hourly value series per "
+    "event_type: trend = centered 25-hour rolling mean, seasonal = "
+    "hour-of-day profile (centered by the grand mean), residual = "
+    "hourly - trend - centered seasonal — the STL-lite diagnostic "
+    "before anomaly thresholds are tuned.  Exactness: every mean is "
+    "ratio-of-integer-sums (centi-unit values), INCLUDING the rolling "
+    "trend — the frame sums integers, never floats, so no sliding-"
+    "window FP accumulation differs between engines; the residual is "
+    "one fixed IEEE expression over those exact ratios.  Scale shape: "
+    "one (type, hour) pre-aggregation shrinks the fact table ~3000:1 "
+    "before any window; the rolling frame, seasonal profile and grand "
+    "totals all work on the tiny hourly relation (broadcast equi-joins).",
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    v100 = F.round(F.col("value") * 100.0).cast("bigint")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("ts_us DIV 3600000000").alias("hour_bin"),
+            F.expr("(ts_us DIV 3600000000) % 24").alias("hod"),
+            v100.alias("v100"),
+        )
+        .groupBy("event_type", "hour_bin", "hod")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v100").alias("sum100"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bin")
+        .rowsBetween(-12, 12)
+    )
+    trended = hourly.withColumn(
+        "tr_sum100", F.sum("sum100").over(w)
+    ).withColumn("tr_n", F.sum("n").over(w))
+    seasonal = hourly.groupBy("event_type", "hod").agg(
+        F.sum("sum100").alias("se_sum100"), F.sum("n").alias("se_n")
+    )
+    grand = hourly.groupBy("event_type").agg(
+        F.sum("sum100").alias("g_sum100"), F.sum("n").alias("g_n")
+    )
+
+    def ratio(snum, sden):
+        return F.col(snum).cast("double") / (F.col(sden).cast("double") * F.lit(100.0))
+
+    hm, tr = ratio("sum100", "n"), ratio("tr_sum100", "tr_n")
+    se, gr = ratio("se_sum100", "se_n"), ratio("g_sum100", "g_n")
+    return (
+        trended.join(F.broadcast(seasonal), ["event_type", "hod"])
+        .join(F.broadcast(grand), "event_type")
+        .select(
+            "event_type",
+            "hour_bin",
+            "hod",
+            "n",
+            hm.alias("hourly_mean"),
+            tr.alias("trend"),
+            se.alias("seasonal"),
+            (hm - tr - (se - gr)).alias("residual"),
+        )
+    )
