@@ -87,6 +87,10 @@ PROBE_QUERIES = (
     "events_rate_limit_per_key",
     "stats_gini_concentration",
     "topk_heavy_hitters_twopass",
+    # path extraction shares the sessionize shuffle; decompose windows
+    # run on the 3000:1-reduced hourly relation
+    "sessions_event_path",
+    "ts_seasonal_decompose",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
