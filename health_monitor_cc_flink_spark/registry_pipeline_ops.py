@@ -4618,3 +4618,134 @@ def ts_seasonal_decompose(spark, sf_dir):
             (hm - tr - (se - gr)).alias("residual"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), rt AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type, c.n, rt.row_total,
+           CAST(c.n AS DOUBLE) / CAST(rt.row_total AS DOUBLE) AS p
+    FROM c JOIN rt USING (prev_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: transition counts (prev_type -> next_type) and the "
+    "row-normalized probabilities — the model behind next-event "
+    "prediction and the generative view of sessions_event_path's "
+    "observed paths.  Exactness: integer counts, one int/int division. "
+    " Scale shape: one user_id shuffle for the lag window, one "
+    "(prev, next) count shuffle of |types|^2 rows, marginals broadcast.",
+)
+def events_markov_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rt = c.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return c.join(F.broadcast(rt), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "row_total",
+        (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
+    )
+
+
+@query(
+    "funnel_window_3step",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+    ), w1 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'click' THEN t END) OVER wf AS nc,
+               min(CASE WHEN event_type = 'purchase' THEN t END) OVER wf AS np
+        FROM e
+        WINDOW wf AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ), w2 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'click' THEN np END) OVER wf AS np_after_click
+        FROM w1
+        WINDOW wf AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ), steps AS (
+        SELECT user_id,
+               CASE
+                 WHEN nc IS NOT NULL AND nc - t <= 86400000000
+                      AND np_after_click IS NOT NULL
+                      AND np_after_click - t <= 86400000000 THEN 3
+                 WHEN nc IS NOT NULL AND nc - t <= 86400000000 THEN 2
+                 ELSE 1
+               END AS steps
+        FROM w2 WHERE event_type = 'signup'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(max(steps) AS BIGINT) AS max_steps
+    FROM steps GROUP BY user_id
+    """,
+    doc="Sequential window funnel (ClickHouse windowFunnel semantics): "
+    "longest prefix of signup -> click -> purchase completed IN ORDER "
+    "within 1 day of the signup, max over each user's signups.  The "
+    "step-3 time is recovered without a self-join via chained window "
+    "minima: np (next purchase after each row) is monotone "
+    "non-decreasing in row position, so min over following clicks of "
+    "their np IS the first-following-click's next purchase — two "
+    "stacked windows on ONE user_id shuffle, O(1) state per row, vs "
+    "the naive per-signup subquery (quadratic in key history) or a "
+    "3-way interval self-join.  Integer-exact.",
+)
+def funnel_window_3step(spark, sf_dir):
+    day = 86_400_000_000
+    ev = _t(spark, sf_dir, "events").withColumn("t", _ts_us())
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w1 = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t",
+        F.min(F.when(F.col("event_type") == "click", F.col("t"))).over(wf).alias("nc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t"))).over(wf).alias("np"),
+    )
+    w2 = w1.withColumn(
+        "np_after_click",
+        F.min(F.when(F.col("event_type") == "click", F.col("np"))).over(wf),
+    )
+    two_ok = F.col("nc").isNotNull() & (F.col("nc") - F.col("t") <= day)
+    three_ok = (
+        two_ok
+        & F.col("np_after_click").isNotNull()
+        & (F.col("np_after_click") - F.col("t") <= day)
+    )
+    steps = (
+        w2.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.when(three_ok, 3).when(two_ok, 2).otherwise(1).alias("steps"),
+        )
+    )
+    return steps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.max("steps").cast("bigint").alias("max_steps"),
+    )
