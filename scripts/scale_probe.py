@@ -91,6 +91,11 @@ PROBE_QUERIES = (
     # run on the 3000:1-reduced hourly relation
     "sessions_event_path",
     "ts_seasonal_decompose",
+    # transitions: lag window + |types|^2 count; funnel: two stacked
+    # windows on one user_id shuffle (user cardinality fixed across
+    # replicas → these double as long-key probes)
+    "events_markov_transitions",
+    "funnel_window_3step",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
