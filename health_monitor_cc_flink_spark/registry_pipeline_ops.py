@@ -4749,3 +4749,301 @@ def funnel_window_3step(spark, sf_dir):
         F.count(F.lit(1)).alias("n_signups"),
         F.max("steps").cast("bigint").alias("max_steps"),
     )
+
+
+# =============================================================================
+# Round-5 continuation II: canonical selection, partial-copy containment,
+# sorted-neighborhood ER, random projection, distribution entropy
+# =============================================================================
+
+import hashlib as _hashlib
+
+
+def _jl_signs(n_dims: int = 64, n_out: int = 8):
+    """Deterministic ±1 sign matrix for signed random projection
+    (Achlioptas/JL): sign(i, j) from md5 parity, identical constants
+    embedded in both the Spark plan and the DuckDB oracle."""
+    return [
+        [
+            1.0 if int(_hashlib.md5(f"jl_{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(n_dims)
+        ]
+        for j in range(n_out)
+    ]
+
+
+_JL = _jl_signs()
+_JL_VALUES = ", ".join(
+    "({}, [{}])".format(j, ", ".join(f"{s:.1f}" for s in _JL[j])) for j in range(len(_JL))
+)
+
+
+@query(
+    "dedup_keep_best_quality",
+    "WITH RECURSIVE " + _DUCK_SIG + """
+    , band AS (
+        SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
+        FROM sig GROUP BY doc_id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
+    ), lab(node, lbl) AS (
+        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
+        UNION
+        SELECT s.a AS node, l.lbl
+        FROM sym s JOIN lab l ON s.b = l.node
+        WHERE l.lbl < s.a
+    ), comp AS (
+        SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
+    ), d AS (
+        SELECT doc_id, n_chars, coalesce(c.cluster_id, doc_id) AS cluster_id
+        FROM documents LEFT JOIN comp c ON doc_id = c.node
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) AS rk
+        FROM d
+    )
+    SELECT cluster_id,
+           max(CASE WHEN rk = 1 THEN doc_id END) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS chars_kept,
+           CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+    FROM r GROUP BY cluster_id
+    """,
+    doc="Canonical-document selection per near-dup cluster: MinHash-LSH "
+    "connected components (as dedup_clusters), singleton docs as their "
+    "own cluster, then keep the highest-quality member (longest "
+    "n_chars, doc_id tie-break) — the FineWeb/CCNet-style 'keep best of "
+    "cluster' stage that turns near-dup detection into an actual "
+    "retention decision, with kept/dropped char accounting.  All-integer "
+    "output.  Scale shape: the LSH band equi-join bounds candidate "
+    "pairs, label propagation is O(component diameter) rounds, and the "
+    "keeper choice is one row_number window on the cluster key — no "
+    "pairwise work beyond the banded candidates.",
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
+    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
+    comp = D.connected_components(pairs)
+    d = docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r = d.withColumn("rk", F.row_number().over(w))
+    return r.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keeper"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("chars_kept"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "chars_dropped"
+        ),
+    )
+
+
+@query(
+    "dedup_containment_pairs",
+    "WITH " + _DUCK_SHINGLES + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+               AS containment,
+           CASE WHEN sa.n_sh <= sb.n_sh THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+    FROM common
+    JOIN sizes sa ON sa.doc_id = common.doc_a
+    JOIN sizes sb ON sb.doc_id = common.doc_b
+    WHERE n_common * 2 >= least(sa.n_sh, sb.n_sh)
+    """,
+    doc="Asymmetric shingle-containment pairs: |A∩B| / min(|A|, |B|) "
+    "with the inclusion direction — detects PARTIAL copies (one doc "
+    "embedded in another: quotes, syndication, boilerplate wrappers) "
+    "that symmetric Jaccard under-scores, since a small doc fully "
+    "contained in a large one has low Jaccard but containment 1.0.  "
+    "Same inverted-index candidate generation as dedup_ngram_jaccard "
+    "(shared shingle equi-join, no pairwise scan); the 0.5 threshold is "
+    "applied in integer arithmetic (n_common*2 >= min) so the float "
+    "division never gates the match set.  Floats: one int/int division.",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_common=2
+    )
+    mn = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        pairs.filter(F.col("n_common") * 2 >= mn)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (F.col("n_common").cast("double") / mn.cast("double")).alias("containment"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+    )
+
+
+@query(
+    "fuzzy_sorted_neighborhood_pairs",
+    r"""
+    WITH p AS (
+        SELECT p_partkey, p_name, regexp_extract(p_name, '(\S+)$', 1) AS blk
+        FROM part
+    ), w AS (
+        SELECT *,
+               lead(p_name, 1) OVER win AS n1, lead(p_partkey, 1) OVER win AS k1,
+               lead(p_name, 2) OVER win AS n2, lead(p_partkey, 2) OVER win AS k2
+        FROM p WINDOW win AS (PARTITION BY blk ORDER BY p_name, p_partkey)
+    ), u AS (
+        SELECT blk, p_partkey AS key_a, p_name AS name_a, k1 AS key_b, n1 AS name_b FROM w
+        UNION ALL
+        SELECT blk, p_partkey, p_name, k2, n2 FROM w
+    )
+    SELECT blk, key_a, key_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM u
+    WHERE key_b IS NOT NULL AND levenshtein(name_a, name_b) <= 3
+    """,
+    doc="Sorted-neighborhood entity resolution (Hernandez-Stolfo): block "
+    "part names by their last word, sort each block, and compare each "
+    "record only to its w=2 successors via lead() — O(n·w) comparisons "
+    "instead of the O(n²) fuzzy cross join, the classic scalable "
+    "record-linkage blocking scheme (production systems run multiple "
+    "passes with different sort keys).  Edit distance is computed on "
+    "exactly 2n candidate pairs; output pairs with levenshtein <= 3.  "
+    "Scale shape: one shuffle on the block key, window lead is "
+    "single-pass; no join at all.",
+)
+def fuzzy_sorted_neighborhood_pairs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"(\S+)$", 1).alias("blk"),
+    )
+    win = Window.partitionBy("blk").orderBy(F.asc("p_name"), F.asc("p_partkey"))
+    w = p.select(
+        "blk",
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.lead("p_name", 1).over(win).alias("n1"),
+        F.lead("p_partkey", 1).over(win).alias("k1"),
+        F.lead("p_name", 2).over(win).alias("n2"),
+        F.lead("p_partkey", 2).over(win).alias("k2"),
+    )
+    u = w.select(
+        "blk", "key_a", "name_a", F.col("k1").alias("key_b"), F.col("n1").alias("name_b")
+    ).unionAll(
+        w.select(
+            "blk", "key_a", "name_a", F.col("k2").alias("key_b"), F.col("n2").alias("name_b")
+        )
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        u.filter(F.col("key_b").isNotNull() & (dist <= 3))
+        .select("blk", "key_a", "key_b", "name_a", "name_b", dist.cast("bigint").alias("dist"))
+    )
+
+
+@query(
+    "embedding_random_projection",
+    f"""
+    SELECT vec_id, CAST(s.j AS BIGINT) AS dim,
+           0.0 + list_reduce(
+               list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * s.signs[i]),
+               (a, b) -> a + b) AS proj
+    FROM embeddings CROSS JOIN (VALUES {_JL_VALUES}) s(j, signs)
+    """,
+    doc="Signed random projection (Johnson-Lindenstrauss sketch): 64-dim "
+    "float embeddings down to 8 dims via a deterministic ±1 matrix "
+    "(md5-parity constants embedded identically in both engines).  "
+    "Distances are preserved within 1±ε, so the 8-dim sketch drives "
+    "cheap pre-filtering before exact 64-dim scoring — the standard "
+    "dimensionality-reduction front end for dedup/ANN at corpus scale.  "
+    "Bit-exact across engines: float32→double widening is exact, ±1 "
+    "products are exact sign flips, and both sides fold the 64 terms in "
+    "identical array order (Spark F.aggregate ≡ DuckDB list_reduce, the "
+    "ts_ewma_trailing technique).  Pure map work: no shuffle at all; "
+    "the 8 output dims explode from one scan.",
+)
+def embedding_random_projection(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    projs = []
+    for j, signs in enumerate(_JL):
+        arr = F.array(*[F.lit(s) for s in signs])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), arr, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        projs.append(F.struct(F.lit(j).cast("bigint").alias("dim"), proj.alias("proj")))
+    return (
+        emb.select("vec_id", F.explode(F.array(*projs)).alias("s"))
+        .select("vec_id", "s.dim", "s.proj")
+    )
+
+
+@query(
+    "stats_entropy_event_mix",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ), g AS (
+        SELECT user_id,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(n) AS DOUBLE) AS nd,
+               list(CAST(n AS DOUBLE) ORDER BY event_type) AS ns
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           round(0.0 + list_reduce(
+               list_transform(ns, p -> -(p / nd) * log2(p / nd)),
+               (a, b) -> a + b), 9) AS entropy
+    FROM g
+    """,
+    doc="Shannon entropy of each user's event-type mix — the "
+    "distributional-diversity score used for data-mixing decisions "
+    "(low-entropy users are bot-like/monotone; high-entropy users give "
+    "diverse behavioral data).  Exactness: counts are integers, each "
+    "entropy term is a fixed IEEE expression over exact ints, and both "
+    "engines sum the ≤5 terms in identical event_type order "
+    "(sort_array fold ≡ list(ORDER BY) fold); rounded to 9 dp to "
+    "absorb any 1-ulp libm log2 divergence.  Scale shape: two "
+    "hash-aggregations on (user, type) then user — map-side partials, "
+    "one shuffle, O(|types|) state per key.",
+)
+def stats_entropy_event_mix(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    g = c.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sort_array(F.collect_list(F.struct("event_type", "n"))).alias("arr"),
+    )
+    nd = F.col("n_events").cast("double")
+
+    def term(acc, x):
+        p = x["n"].cast("double") / nd
+        return acc + (-p) * F.log2(p)
+
+    return g.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(F.aggregate("arr", F.lit(0.0), term), 9).alias("entropy"),
+    )
