@@ -96,6 +96,15 @@ PROBE_QUERIES = (
     # replicas → these double as long-key probes)
     "events_markov_transitions",
     "funnel_window_3step",
+    # continuation II: keep-best rides the (probed) LSH clustering plus
+    # one row_number window; containment shares the shingle inverted
+    # index; sorted-neighborhood is one block-key window (no join);
+    # JL projection is pure map; entropy is two hash-agg shuffles
+    "dedup_keep_best_quality",
+    "dedup_containment_pairs",
+    "fuzzy_sorted_neighborhood_pairs",
+    "embedding_random_projection",
+    "stats_entropy_event_mix",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
