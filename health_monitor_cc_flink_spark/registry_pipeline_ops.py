@@ -5047,3 +5047,52 @@ def stats_entropy_event_mix(spark, sf_dir):
         "n_types",
         F.round(F.aggregate("arr", F.lit(0.0), term), 9).alias("entropy"),
     )
+
+
+@query(
+    "streaming_cep_click_purchase",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+    ), s AS (
+        SELECT *,
+            last_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS)
+                OVER w AS last_click,
+            last_value(CASE WHEN event_type = 'error' THEN t END IGNORE NULLS)
+                OVER w AS last_err
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), m AS (
+        SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events
+    )
+    SELECT user_id, event_id AS purchase_id, t AS purchase_t,
+           last_click, t - last_click AS gap_us
+    FROM s, m
+    WHERE event_type = 'purchase'
+      AND last_click IS NOT NULL
+      AND last_click >= t - 1800000000
+      AND (last_err IS NULL OR last_err < last_click)
+      AND t // 1000 < wm_ms
+    """,
+    doc="STREAMING sequential pattern detection (Flink-CEP analog, the "
+    "stream form of cep_click_then_purchase): click FOLLOWED BY "
+    "purchase within 30 min with no error between, by EVENT time, "
+    "finalized when the watermark passes the purchase "
+    "(applyInPandasWithState + EventTimeTimeout) — so the emitted "
+    "match set equals the batch CEP answer for every finalized "
+    "purchase, exactly once, independent of arrival order.  An "
+    "emit-on-sight matcher cannot: a late click/error with smaller "
+    "event time creates or invalidates matches retroactively.  State "
+    "per key = the out-of-order buffer (bounded by watermark delay x "
+    "rate, Flink CEP's own bound) + two carried timestamps with "
+    "pattern-window TTL; idle keys are removed.  The oracle reproduces "
+    "the watermark-passed-purchase cutoff exactly.",
+)
+def streaming_cep_click_purchase(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import events_stream
+    from .streaming.stateful import streaming_cep_click_purchase as cep
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _drain_to_memory(spark, cep(ev), "stream_cep_")

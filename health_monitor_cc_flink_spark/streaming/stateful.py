@@ -330,3 +330,137 @@ def streaming_rate_limit_first_n(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_cep_click_purchase(
+    df: DataFrame,
+    pattern_window_us: int = 1_800_000_000,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermark-FINALIZED sequential pattern detection on a stream —
+    the Flink-CEP pattern (click FOLLOWED BY purchase within 30 min
+    with no error between, reference semantics of the batch
+    ``cep_click_then_purchase``) evaluated by EVENT time under
+    out-of-order arrival.
+
+    An emit-on-sight matcher is wrong under reordering: a late click or
+    error with a smaller event time can create or invalidate a match
+    after the purchase was already seen.  This operator buffers each
+    key's events that the watermark has not yet passed, and on every
+    event-time timer fire processes the prefix with
+    ``t_ms < watermark`` in (t, event_id) order against O(1) carried
+    state (last click / last error time), emitting each match exactly
+    once.  That equals the batch answer restricted to finalized
+    purchases, independent of arrival order.
+
+    State per key = the out-of-order buffer (bounded by watermark delay
+    x event rate — the same bound Flink CEP's partial-match buffer has)
+    plus two carried timestamps.  Carries expire with the pattern
+    window (a click older than 30 min before the watermark can never
+    match a future purchase), so idle keys are removed entirely.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("purchase_t", T.LongType()),
+            T.StructField("last_click", T.LongType()),
+            T.StructField("gap_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("t_us", T.ArrayType(T.LongType())),
+            T.StructField("event_id", T.ArrayType(T.LongType())),
+            T.StructField("event_type", T.ArrayType(T.StringType())),
+            T.StructField("last_click", T.LongType()),
+            T.StructField("last_err", T.LongType()),
+        ]
+    )
+
+    def _emit(rows: list, k: int):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                key_col: pd.Series([k] * len(rows), dtype="int64"),
+                "purchase_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "purchase_t": pd.Series([r[1] for r in rows], dtype="int64"),
+                "last_click": pd.Series([r[2] for r in rows], dtype="int64"),
+                "gap_us": pd.Series([r[3] for r in rows], dtype="int64"),
+            }
+        )
+
+    def matcher(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
+        k = int(key[0])
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            t_us, eid, etype, last_click, last_err = state.get
+            buf = list(zip(t_us, eid, etype))
+        else:
+            buf, last_click, last_err = [], -1, -1
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    zip(
+                        (pdf[ts_col].astype("int64") // 1000).tolist(),
+                        pdf["event_id"].astype("int64").tolist(),
+                        pdf["event_type"].tolist(),
+                    )
+                )
+
+        # finalize the prefix the watermark has passed, in event-time order
+        buf.sort()
+        matches: list = []
+        remainder: list = []
+        for t, i, e in buf:
+            if t // 1000 >= wm_ms:
+                remainder.append((t, i, e))
+                continue
+            if (
+                e == "purchase"
+                and last_click >= 0
+                and last_click >= t - pattern_window_us
+                and (last_err < 0 or last_err < last_click)
+            ):
+                matches.append((i, t, last_click, t - last_click))
+            if e == "click":
+                last_click = t
+            elif e == "error":
+                last_err = t
+
+        # carry TTL: a click this old can never satisfy the pattern window
+        # for any not-yet-finalized purchase (t_ms >= wm); err only gates
+        # the click, so it expires with it
+        if last_click >= 0 and last_click // 1000 < wm_ms - pattern_window_us // 1000:
+            last_click, last_err = -1, -1
+
+        if not remainder and last_click < 0 and last_err < 0:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    [r[0] for r in remainder],
+                    [r[1] for r in remainder],
+                    [r[2] for r in remainder],
+                    last_click,
+                    last_err,
+                )
+            )
+            if remainder:
+                # fire as soon as the watermark passes the earliest
+                # unfinalized event (strictly > current watermark by the
+                # t_ms >= wm_ms invariant above)
+                state.setTimeoutTimestamp(remainder[0][0] // 1000 + 1)
+        yield _emit(matches, k)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        matcher,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

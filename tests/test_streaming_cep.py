@@ -1,0 +1,134 @@
+"""Watermark-finalized streaming CEP: arrival-order independence.
+
+The whole point of finalizing on the event-time timer is that a LATE
+click can create a match the purchase already "missed", and a LATE
+error can invalidate a match an emit-on-sight matcher would already
+have emitted.  This feeds those exact scenarios across separate
+micro-batches (maxFilesPerTrigger=1, increasing file mtimes) and
+asserts the final match set equals the batch CEP answer.
+"""
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from health_monitor_cc_flink_spark.streaming.stateful import (
+    streaming_cep_click_purchase,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+BASE = 1_767_225_600  # 2026-01-01T00:00:00Z epoch seconds
+
+
+def _write_batch(spark, spec, out_dir, name, mtime):
+    """spec: list of (user_id, event_type, t_offset_s).  One parquet
+    file named so the file source sees increasing modification times."""
+    data = [
+        (i, uid, et, (BASE + off) * 1_000_000)
+        for i, (uid, et, off) in enumerate(spec)
+    ]
+    df = (
+        spark.createDataFrame(
+            data, "event_id long, user_id long, event_type string, ts_us long"
+        )
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .coalesce(1)
+    )
+    tmp = out_dir + f"_tmp_{name}"
+    df.write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.makedirs(out_dir, exist_ok=True)
+    dst = os.path.join(out_dir, f"{name}.parquet")
+    shutil.copyfile(os.path.join(tmp, part), dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+# (user, type, offset_s) — event_ids are assigned per batch but the
+# operator orders by (t, event_id) and no two events of one user share t
+BATCH1 = [
+    (1, "click", 100), (1, "purchase", 200),          # clean match
+    (2, "click", 100), (2, "error", 150), (2, "purchase", 200),  # error between
+    (3, "purchase", 100),                              # no click
+    (4, "click", 100), (4, "purchase", 2000),          # outside 30-min window
+    (5, "purchase", 300),                              # click arrives LATE
+    (6, "click", 300), (6, "purchase", 400),           # error arrives LATE
+]
+BATCH2 = [
+    (5, "click", 250),   # out-of-order: creates u5's match retroactively
+    (6, "error", 350),   # out-of-order: invalidates u6's match
+]
+BATCH3 = [(99, "view", 100_000)]  # sentinel: pushes watermark past everything
+
+
+def test_streaming_cep_out_of_order_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "cep_src")
+    now = time.time()
+    _write_batch(spark, BATCH1, src, "a", now - 300)
+    _write_batch(spark, BATCH2, src, "b", now - 200)
+    _write_batch(spark, BATCH3, src, "c", now - 100)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    out_dir = str(tmp_path / "cep_out")
+    (
+        streaming_cep_click_purchase(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cep_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.user_id, r.gap_us)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # u1 matches (gap 100 s); u5 matches ONLY because the late click was
+    # folded in before finalization (gap 50 s); u6 does NOT match ONLY
+    # because the late error invalidated it; u2/u3/u4 never match.
+    assert got == {(1, 100_000_000), (5, 50_000_000)}
+
+
+def test_streaming_cep_no_premature_emission(spark, tmp_path):
+    """Without the sentinel, nothing is finalized (watermark never
+    passes any purchase) — exactly-once means zero early emissions."""
+    src = str(tmp_path / "cep_src2")
+    now = time.time()
+    _write_batch(spark, BATCH1, src, "a", now - 300)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    out_dir = str(tmp_path / "cep_out2")
+    (
+        streaming_cep_click_purchase(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cep_ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert spark.read.parquet(out_dir).count() == 0
