@@ -5096,3 +5096,175 @@ def streaming_cep_click_purchase(spark, sf_dir):
 
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     return _drain_to_memory(spark, cep(ev), "stream_cep_")
+
+
+@query(
+    "dedup_incremental_against_corpus",
+    "WITH " + _DUCK_SIG + """
+    , band AS (
+        SELECT doc_id, j // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
+        FROM sig GROUP BY doc_id, j // 4
+    ), split AS (
+        SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS cut FROM documents
+    )
+    SELECT n.doc_id AS new_doc,
+           CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_corpus_matches,
+           min(o.doc_id) AS first_match
+    FROM band n JOIN band o
+      ON n.band = o.band AND n.band_key = o.band_key, split
+    WHERE n.doc_id >= cut AND o.doc_id < cut
+    GROUP BY n.doc_id
+    """,
+    doc="INCREMENTAL near-dup screening: the newest 20% of docs (by "
+    "doc_id — the ingest batch) checked against the existing 80% corpus "
+    "via the same MinHash band keys, WITHOUT re-clustering the corpus.  "
+    "This is the production ingest pattern at 100 TB: the corpus's band "
+    "table is a persisted artifact; each new batch computes only its "
+    "own signatures and equi-joins corpus bands — cost scales with the "
+    "BATCH, not the corpus (the self-join variants rebuild everything). "
+    " Asymmetric join (new x old only), integer match counts.",
+)
+def dedup_incremental_against_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
+    bands = D.lsh_bands_from_arrays(sigs, "doc_id", 4)
+    cut = docs.agg(
+        F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("cut")
+    )
+    b = bands.crossJoin(F.broadcast(cut))
+    new = b.filter(F.col("doc_id") >= F.col("cut")).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_key"
+    )
+    old = b.filter(F.col("doc_id") < F.col("cut")).select(
+        F.col("doc_id").alias("old_doc"), "band", "band_key"
+    )
+    return (
+        new.join(old, ["band", "band_key"])
+        .groupBy("new_doc")
+        .agg(
+            F.countDistinct("old_doc").alias("n_corpus_matches"),
+            F.min("old_doc").alias("first_match"),
+        )
+    )
+
+
+@query(
+    "corpus_curriculum_shards",
+    """
+    WITH vc AS (
+        SELECT n_chars, count(*) AS n FROM documents GROUP BY n_chars
+    ), cum AS (
+        SELECT n_chars,
+               coalesce(sum(n) OVER (ORDER BY n_chars DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM vc
+    ), tot AS (SELECT count(*) AS nn FROM documents),
+    ranked AS (
+        SELECT d.doc_id, d.n_chars,
+               c.before + row_number() OVER (PARTITION BY d.n_chars
+                                             ORDER BY d.doc_id) AS g_rank
+        FROM documents d JOIN cum c ON d.n_chars = c.n_chars
+    )
+    SELECT CAST((g_rank - 1) * 8 // nn + 1 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(g_rank) AS BIGINT) AS rank_lo,
+           CAST(max(g_rank) AS BIGINT) AS rank_hi
+    FROM ranked, tot
+    GROUP BY 1
+    """,
+    doc="Curriculum sharding: every document gets an EXACT global "
+    "quality rank (n_chars desc, doc_id tie-break) and an equal-width "
+    "rank shard 1..8 — the data-ordering stage for curriculum / "
+    "annealed training schedules.  The naive ntile() needs one global "
+    "single-partition window (a 100 TB wall); here the global rank is "
+    "assembled scalably: a per-VALUE count + running-sum over the tiny "
+    "distinct-value relation gives each value's rank offset, and a "
+    "row_number windowed per n_chars PARTITION (parallel) gives the "
+    "intra-value rank — the distributed-ranking decomposition, exact "
+    "and integer-only (shard = (rank-1)*k/N + 1 in integer math on "
+    "both engines).",
+)
+def corpus_curriculum_shards(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    vc = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.orderBy(F.desc("n_chars")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = vc.select(
+        "n_chars", F.coalesce(F.sum("n").over(wv), F.lit(0)).alias("before")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("nn"))
+    wr = Window.partitionBy("n_chars").orderBy(F.asc("doc_id"))
+    ranked = (
+        docs.join(F.broadcast(cum), "n_chars")
+        .withColumn("g_rank", F.col("before") + F.row_number().over(wr))
+        .crossJoin(F.broadcast(tot))
+    )
+    shard = (((F.col("g_rank") - 1) * 8) / F.col("nn")).cast("bigint") + 1
+    return ranked.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("g_rank").alias("rank_lo"),
+        F.max("g_rank").alias("rank_hi"),
+    )
+
+
+@query(
+    "dq_dup_rate_per_source",
+    "WITH RECURSIVE " + _DUCK_SIG + """
+    , band AS (
+        SELECT doc_id, j // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
+        FROM sig GROUP BY doc_id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
+    ), lab(node, lbl) AS (
+        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
+        UNION
+        SELECT s.a AS node, l.lbl
+        FROM sym s JOIN lab l ON s.b = l.node
+        WHERE l.lbl < s.a
+    ), comp AS (
+        SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.cluster_id IS NOT NULL
+                          AND c.cluster_id <> d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups,
+           CAST(sum(CASE WHEN c.cluster_id IS NOT NULL
+                          AND c.cluster_id <> d.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    GROUP BY source
+    """,
+    doc="Per-source duplication-rate dashboard: fraction of each "
+    "source's documents that are near-dup NON-canonicals (in an LSH "
+    "cluster and not its min-id keeper) — the data-quality rollup that "
+    "tells you WHICH feed is polluting the corpus before you ingest "
+    "more of it.  Integer counts + one int/int division; rides the "
+    "already-probed LSH clustering, adds one broadcast-size join and "
+    "one source-key aggregation.",
+)
+def dq_dup_rate_per_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
+    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
+    comp = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    d = docs.join(comp, "doc_id", "left")
+    is_dup = (
+        F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col("doc_id"))
+    ).cast("int")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_dup).cast("bigint").alias("n_dups"),
+        (F.sum(is_dup).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "dup_rate"
+        ),
+    )
