@@ -105,6 +105,12 @@ PROBE_QUERIES = (
     "fuzzy_sorted_neighborhood_pairs",
     "embedding_random_projection",
     "stats_entropy_event_mix",
+    # incremental dedup joins batch bands to corpus bands (batch-bound);
+    # curriculum's only global object is the distinct-value cumsum;
+    # dup-rate rides the probed clustering + one source agg
+    "dedup_incremental_against_corpus",
+    "corpus_curriculum_shards",
+    "dq_dup_rate_per_source",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
