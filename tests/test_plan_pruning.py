@@ -165,6 +165,8 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "stats_ks_two_sample",          # scalar (n1, n2) totals broadcast
         "dq_key_skew_report",           # scalar corpus-totals broadcast
         "topk_heavy_hitters_twopass",   # scalar N + f10 certificate broadcast
+        "dedup_incremental_against_corpus",  # scalar ingest-cut threshold broadcast
+        "corpus_curriculum_shards",     # scalar corpus-count broadcast
     }
     checked = 0
     for spec in all_queries():
