@@ -5268,3 +5268,45 @@ def dq_dup_rate_per_source(spark, sf_dir):
             "dup_rate"
         ),
     )
+
+
+@query(
+    "mm_wav_header_parse",
+    """
+    SELECT doc_id, TRUE AS is_riff_wave,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+           CAST(8000 * (doc_id % 5 + 1) AS BIGINT) AS sample_rate,
+           CAST(16 AS BIGINT) AS bit_depth,
+           CAST((n_chars + 1000) * (doc_id % 2 + 1) * 2 AS BIGINT) AS data_size,
+           CAST(n_chars + 1000 AS BIGINT) AS n_samples,
+           CAST(((n_chars + 1000) * (doc_id % 2 + 1) * 2 * 1000000)
+                // (8000 * (doc_id % 5 + 1) * (doc_id % 2 + 1) * 2) AS BIGINT)
+               AS duration_us
+    FROM documents
+    """,
+    doc="REAL multimodal decode without leaving codegen: each row "
+    "synthesizes a genuine 16-bit PCM WAV payload (valid RIFF header — "
+    "the stdlib wave module opens these bytes, pinned in "
+    "tests/test_multimodal.py) as a BinaryType column, then parses "
+    "channels / sample rate / bit depth / data size / duration back out "
+    "of the BINARY with hex/substr/conv column math — zero Python, no "
+    "Arrow round-trip.  The oracle is GROUND TRUTH computed directly "
+    "from (doc_id, n_chars): if either the synthesis or the parse "
+    "mis-encodes a single byte, the hash gate fails.  At 100 TB this is "
+    "the pattern for metadata extraction/validation over billions of "
+    "opaque payloads: fixed-offset container framing is column math, "
+    "not a UDF.",
+)
+def mm_wav_header_parse(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    wav = M.synth_wav_payload(docs)
+    return M.parse_wav_header(wav).select(
+        "doc_id",
+        "is_riff_wave",
+        "channels",
+        "sample_rate",
+        "bit_depth",
+        "data_size",
+        "n_samples",
+        "duration_us",
+    )

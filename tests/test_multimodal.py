@@ -55,3 +55,56 @@ def test_decode_image_is_gated():
 
     with pytest.raises((NotImplementedError, Exception)):
         decode_image(b"not-an-image")
+
+
+def test_wav_synthesis_is_genuine_wav_and_parse_roundtrips(spark):
+    """The BinaryType payloads synth_wav_payload builds are REAL WAV
+    files: the stdlib `wave` module (an independent reference decoder)
+    must open every one and report exactly the parameters
+    parse_wav_header recovers with pure column math."""
+    import io
+    import wave as wave_mod
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        parse_wav_header,
+        synth_wav_payload,
+    )
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    parsed = parse_wav_header(synth_wav_payload(docs)).select(
+        "doc_id", "wav", "is_riff_wave", "channels", "sample_rate",
+        "bit_depth", "data_size", "n_samples", "duration_us",
+    ).collect()
+    assert len(parsed) == 20
+    for r in parsed:
+        assert r.is_riff_wave
+        f = wave_mod.open(io.BytesIO(bytes(r.wav)))
+        assert f.getnchannels() == r.channels
+        assert f.getframerate() == r.sample_rate
+        assert f.getsampwidth() * 8 == r.bit_depth
+        assert f.getnframes() == r.n_samples
+        # duration from the reference decoder's own arithmetic
+        assert r.duration_us == f.getnframes() * 1_000_000 // f.getframerate()
+
+
+def test_wav_parse_plan_stays_in_codegen(spark):
+    """No Python evaluation anywhere in the parse plan: BatchEvalPython /
+    ArrowEvalPython / mapInPandas must be absent — header decode is
+    column math."""
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        parse_wav_header,
+        synth_wav_payload,
+    )
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        parse_wav_header(synth_wav_payload(docs))
+        .select("channels", "sample_rate", "duration_us")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
