@@ -5310,3 +5310,56 @@ def mm_wav_header_parse(spark, sf_dir):
         "n_samples",
         "duration_us",
     )
+
+
+@query(
+    "streaming_ingest_screen",
+    """
+    WITH cut AS (
+        SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS c FROM documents
+    ), corpus AS (
+        SELECT DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        FROM documents, cut WHERE doc_id < c
+    ), batch AS (
+        SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        FROM documents, cut WHERE doc_id >= c
+    )
+    SELECT b.fp, min(b.doc_id) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    WHERE c.fp IS NULL
+    GROUP BY b.fp
+    """,
+    doc="STREAMING ingest screening — the stream face of "
+    "dedup_incremental_against_corpus: the arriving document batch "
+    "(doc_id >= the 80% cut) is fingerprinted, anti-joined against the "
+    "STATIC corpus fingerprint set (stream-static left-anti broadcast "
+    "join — the corpus side is the persisted artifact), and "
+    "within-stream duplicates collapse via a keyed aggregation (min "
+    "doc_id keeper + copy count, complete mode) — 'never ingest what "
+    "the corpus already has, and ingest each new text once'.  "
+    "Deterministic regardless of arrival order because the keeper is "
+    "an aggregate, not first-seen.  State = O(distinct new "
+    "fingerprints); at 100 TB the anti-join side stays a pruned "
+    "fingerprint table, never the corpus text.",
+)
+def streaming_ingest_screen(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import documents_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    cut = int(docs.agg(F.floor(0.8 * (F.max("doc_id") + 1))).first()[0])
+    fp = lambda c: F.md5(F.lower(F.regexp_replace(c, r"\s+", " ")))  # noqa: E731
+    corpus = (
+        docs.filter(F.col("doc_id") < cut).select(fp(F.col("text")).alias("fp")).distinct()
+    )
+    batch = (
+        documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= cut)
+        .select("doc_id", fp(F.col("text")).alias("fp"))
+    )
+    screened = batch.join(F.broadcast(corpus), "fp", "left_anti")
+    agg = screened.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return _drain_to_memory(spark, agg, "stream_ingest_", output_mode="complete")

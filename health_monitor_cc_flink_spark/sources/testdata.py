@@ -92,3 +92,18 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming documents source — the ingest-batch side of streaming
+    corpus screening (columns as on disk)."""
+    schema = (
+        spark.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
