@@ -265,3 +265,68 @@ def parse_wav_header(df: DataFrame, payload_col: str = "wav") -> DataFrame:
             "duration_us", F.expr("(data_size * 1000000) DIV byte_rate")
         )
     )
+
+
+def _hexbe(col, nbytes: int):
+    """Big-endian hex of an integer column, ``nbytes`` wide."""
+    return F.lpad(F.conv(col.cast("string"), 10, 16), 2 * nbytes, "0")
+
+
+def synth_png_header(df: DataFrame, id_col: str = "doc_id",
+                     len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``png`` BinaryType column: the 8-byte PNG signature plus
+    a VALID IHDR chunk — including its real CRC-32, computed with
+    Spark's codegen ``crc32`` over the chunk type+data bytes (zlib
+    verifies it; pinned in tests).  Dimensions/color type derive from
+    the row."""
+    width = (F.lit(16) * (F.col(id_col) % 40 + 1)).cast("bigint")
+    height = (F.lit(16) * (F.col(len_col) % 40 + 1)).cast("bigint")
+    color_type = F.element_at(
+        F.array(F.lit(0), F.lit(2), F.lit(6)), (F.col(id_col) % 3 + 1).cast("int")
+    ).cast("bigint")
+    body_hex = F.concat(
+        F.lit("49484452"),          # 'IHDR'
+        _hexbe(width, 4),
+        _hexbe(height, 4),
+        F.lit("08"),                # bit depth 8
+        _hexbe(color_type, 1),
+        F.lit("000000"),            # compression / filter / interlace
+    )
+    crc = F.crc32(F.unhex(body_hex))
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),  # PNG signature
+        F.lit("0000000D"),          # IHDR length 13
+        body_hex,
+        _hexbe(crc, 4),
+    )
+    return df.withColumn("png", F.unhex(png_hex))
+
+
+def parse_png_header(df: DataFrame, payload_col: str = "png") -> DataFrame:
+    """Parse width/height/bit depth/color type out of a PNG IHDR with
+    hex/substr/conv column math, AND verify the chunk CRC by
+    recomputing crc32 over the type+data bytes — integrity checking of
+    binary payloads without leaving codegen."""
+    h = F.hex(F.col(payload_col))
+
+    def be(byte_off: int, nbytes: int):
+        return F.conv(F.substring(h, byte_off * 2 + 1, 2 * nbytes), 16, 10).cast(
+            "bigint"
+        )
+
+    ct = be(25, 1)
+    return (
+        df.withColumn("is_png", F.substring(h, 1, 16) == "89504E470D0A1A0A")
+        .withColumn("width", be(16, 4))
+        .withColumn("height", be(20, 4))
+        .withColumn("bit_depth", be(24, 1))
+        .withColumn("color_type", ct)
+        .withColumn(
+            "n_channels",
+            F.when(ct == 0, 1).when(ct == 2, 3).when(ct == 6, 4).cast("bigint"),
+        )
+        .withColumn(
+            "crc_ok",
+            F.crc32(F.unhex(F.substring(h, 25, 34))) == be(29, 4),
+        )
+    )

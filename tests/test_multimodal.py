@@ -108,3 +108,34 @@ def test_wav_parse_plan_stays_in_codegen(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_png_header_crc_is_zlib_conformant(spark):
+    """The synthesized PNG signature+IHDR must carry a CRC-32 that
+    zlib (the PNG spec's reference CRC) reproduces, and the parse must
+    recover exactly the struct-unpacked fields."""
+    import struct
+    import zlib
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        parse_png_header,
+        synth_png_header,
+    )
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    rows = parse_png_header(synth_png_header(docs)).select(
+        "doc_id", "png", "is_png", "width", "height", "bit_depth",
+        "color_type", "crc_ok",
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        b = bytes(r.png)
+        assert r.is_png and b[:8] == b"\x89PNG\r\n\x1a\n"
+        ln, typ = struct.unpack(">I4s", b[8:16])
+        w, h, bd, ct = struct.unpack(">IIBB", b[16:26])
+        crc = struct.unpack(">I", b[29:33])[0]
+        assert (ln, typ) == (13, b"IHDR")
+        assert (w, h, bd, ct) == (r.width, r.height, r.bit_depth, r.color_type)
+        assert zlib.crc32(b[12:29]) == crc
+        assert r.crc_ok
