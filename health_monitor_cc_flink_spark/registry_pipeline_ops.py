@@ -5116,6 +5116,7 @@ def streaming_cep_click_purchase(spark, sf_dir):
     WHERE n.doc_id >= cut AND o.doc_id < cut
     GROUP BY n.doc_id
     """,
+    bench=True,
     doc="INCREMENTAL near-dup screening: the newest 20% of docs (by "
     "doc_id — the ingest batch) checked against the existing 80% corpus "
     "via the same MinHash band keys, WITHOUT re-clustering the corpus.  "
@@ -5284,6 +5285,7 @@ def dq_dup_rate_per_source(spark, sf_dir):
                AS duration_us
     FROM documents
     """,
+    bench=True,
     doc="REAL multimodal decode without leaving codegen: each row "
     "synthesizes a genuine 16-bit PCM WAV payload (valid RIFF header — "
     "the stdlib wave module opens these bytes, pinned in "
@@ -5397,4 +5399,95 @@ def mm_png_header_parse(spark, sf_dir):
         "color_type",
         "n_channels",
         "crc_ok",
+    )
+
+
+@query(
+    "stats_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           any_value(d.med) AS med,
+           any_value(m.mad) AS mad,
+           CAST(sum(CASE WHEN d.d > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection via Median Absolute Deviation: per "
+    "event type, median, MAD, and the count of points beyond 3 robust "
+    "sigmas (1.4826*MAD) — the outlier screen that, unlike z-scores, "
+    "is not corrupted by the outliers themselves.  Exactness: "
+    "interpolated percentile on sorted doubles is order-insensitive "
+    "(the agg_median precedent), |x-med| and the threshold are fixed "
+    "IEEE expressions, and the flag count is an integer.  Scale shape: "
+    "two keyed aggregations + broadcast joins of the 5-row medians; at "
+    "100 TB swap percentile for approx_percentile (the sketch bound "
+    "trades exactness for a single pass — agg_approx_battery is the "
+    "measured pattern).",
+)
+def stats_mad_outliers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.any_value(F.col("med")).alias("med"),
+        F.any_value(F.col("mad")).alias("mad"),
+        F.sum(
+            F.when(F.col("d") > F.lit(3) * F.lit(1.4826) * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+@query(
+    "corpus_mix_temperature_weights",
+    """
+    WITH c AS (
+        SELECT source, count(*) AS n, sum(n_chars) AS chars FROM documents GROUP BY source
+    ), t AS (SELECT sum(n) AS nn FROM c)
+    SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(chars AS BIGINT) AS n_chars,
+           round(pow(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 0.7), 9) AS temp_weight,
+           CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS p_raw
+    FROM c, t
+    """,
+    doc="Temperature-based mixture weights (multilingual/domain "
+    "up-sampling, the mT5/XLM-R recipe): per source, the raw share "
+    "p_i and the unnormalized temperature weight p_i^0.7 — low-resource "
+    "sources gain relative mass.  The final mixture divides by the "
+    "20-term normalizer downstream (kept OUT of the query so no "
+    "cross-row float summation rides the hash gate); each emitted "
+    "float is a fixed IEEE expression over exact counts, pow rounded "
+    "to 9 dp for libm-ulp safety.  One count shuffle + a scalar-total "
+    "broadcast.",
+)
+def corpus_mix_temperature_weights(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+    t = c.agg(F.sum("n").alias("nn"))
+    p = F.col("n").cast("double") / F.col("nn").cast("double")
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("chars").alias("n_chars"),
+        F.round(F.pow(p, F.lit(0.7)), 9).alias("temp_weight"),
+        p.alias("p_raw"),
     )
