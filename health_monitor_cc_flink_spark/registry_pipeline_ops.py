@@ -5491,3 +5491,106 @@ def corpus_mix_temperature_weights(spark, sf_dir):
         F.round(F.pow(p, F.lit(0.7)), 9).alias("temp_weight"),
         p.alias("p_raw"),
     )
+
+
+@query(
+    "streaming_psi_drift",
+    """
+    WITH binned AS (
+        SELECT event_type,
+               CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin,
+               (ts < TIMESTAMP '2024-01-16 00:00:00') AS is_ref
+        FROM events
+    ), grid AS (
+        SELECT et.event_type, b.bin
+        FROM (SELECT DISTINCT event_type FROM events) et
+        CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+    ), ref AS (
+        SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n_ref
+        FROM binned WHERE is_ref GROUP BY event_type, bin
+    ), cur AS (
+        SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n_cur
+        FROM binned WHERE NOT is_ref GROUP BY event_type, bin
+    ), full_grid AS (
+        SELECT g.event_type, g.bin,
+               coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+        FROM grid g
+        LEFT JOIN ref r ON g.event_type = r.event_type AND g.bin = r.bin
+        LEFT JOIN cur c ON g.event_type = c.event_type AND g.bin = c.bin
+    ), tot AS (
+        SELECT event_type,
+               CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+               CAST(sum(n_cur) AS BIGINT) AS tot_cur
+        FROM full_grid GROUP BY event_type
+    )
+    SELECT f.event_type, f.bin, f.n_ref, f.n_cur,
+           CAST(f.n_ref AS DOUBLE) / CAST(t.tot_ref AS DOUBLE) AS p_ref,
+           CAST(f.n_cur AS DOUBLE) / CAST(t.tot_cur AS DOUBLE) AS p_cur,
+           CAST(f.n_cur AS DOUBLE) / CAST(t.tot_cur AS DOUBLE)
+             - CAST(f.n_ref AS DOUBLE) / CAST(t.tot_ref AS DOUBLE) AS p_delta
+    FROM full_grid f JOIN tot t ON f.event_type = t.event_type
+    """,
+    doc="STREAMING drift monitoring: the live event stream (current "
+    "window, ts >= the split) is histogrammed per (event_type, value "
+    "bin) by a complete-mode streaming aggregation — the stateful, "
+    "data-volume-bound half — then normalized against the STATIC "
+    "reference histogram on the drained 50-row result (dense grid, "
+    "totals, p_ref/p_cur/p_delta: a batch epilogue on O(types x bins) "
+    "rows, the part that is free at any scale).  Same components as "
+    "stats_psi_drift's current-vs-reference split, so the oracle is "
+    "the shared ground truth.  State = O(types x bins), independent of "
+    "stream length.",
+)
+def streaming_psi_drift(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import events_stream
+
+    split = "2024-01-16 00:00:00"
+    bin_col = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("bigint")
+
+    cur_stream = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts") >= F.lit(split).cast("timestamp"))
+        .select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    cur = _drain_to_memory(spark, cur_stream, "stream_psi_", output_mode="complete")
+
+    ev = _t(spark, sf_dir, "events")
+    ref = (
+        ev.withColumn("ts_us", _ts_us())
+        .filter(F.col("ts_us") < F.lit(1705363200000000))  # 2024-01-16 UTC
+        .select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
+    )
+    fg = (
+        grid.join(ref, ["event_type", "bin"], "left")
+        .join(cur, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = fg.groupBy("event_type").agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("tot_ref").cast("double")
+    p_cur = F.col("n_cur").cast("double") / F.col("tot_cur").cast("double")
+    return fg.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        (p_cur - p_ref).alias("p_delta"),
+    )
