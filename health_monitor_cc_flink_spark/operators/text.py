@@ -120,3 +120,40 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))).alias("fingerprint"),
     )
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str,
+                      level: int = 6) -> DataFrame:
+    """Deflate-compression quality signal per document: compressed size
+    / raw size (zlib level 6).  Highly repetitive or templated text
+    compresses far below natural text, so a low ratio is the classic
+    cheap junk detector (used alongside Gopher-style rules in
+    RefinedWeb-style pipelines).  Runs as Arrow-batched ``mapInPandas``
+    — zlib is CPU-bound map work, the friendliest distributed shape;
+    deterministic (fixed level, no dictionary), so results are stable
+    across partitionings and engines with the same zlib."""
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col))
+
+    def compress(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": [len(b) for b in raw],
+                    "compressed_bytes": comp,
+                    "compression_ratio": [
+                        c / len(b) if len(b) else 1.0 for c, b in zip(comp, raw)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        compress,
+        schema="doc_id long, raw_bytes long, compressed_bytes long, compression_ratio double",
+    )

@@ -5594,3 +5594,21 @@ def streaming_psi_drift(spark, sf_dir):
         p_cur.alias("p_cur"),
         (p_cur - p_ref).alias("p_delta"),
     )
+
+
+@query(
+    "text_compression_ratio",
+    None,
+    doc="Deflate-ratio junk detection (rows-only: no SQL engine exposes "
+    "zlib): compressed/raw size per document at fixed level 6 — "
+    "repetitive or templated text compresses far below natural prose, "
+    "making this the cheapest content-agnostic quality signal in "
+    "RefinedWeb-style filter stacks.  Arrow-batched mapInPandas over "
+    "stdlib zlib (CPU-bound map work, no shuffle); deterministic for a "
+    "fixed zlib version/level, partition-order independent.  Semantics "
+    "pinned in tests/test_rows_only_semantics.py: planted repetitive "
+    "text scores strictly below natural text, ratios in (0, ~1.1], and "
+    "values are invariant under repartitioning.",
+)
+def text_compression_ratio(spark, sf_dir):
+    return X.compression_ratio(_t(spark, sf_dir, "documents"), "doc_id", "text")

@@ -173,3 +173,38 @@ def test_embedding_pca_matches_numpy(spark, specs):
         assert abs(r.eigenvalue - expected) < 1e-9
         assert abs(r.projected_variance - r.eigenvalue) < 1e-9
         assert r.n == m.shape[0]
+
+
+def test_text_compression_ratio_semantics(spark, specs):
+    """Compression ratio must (a) match stdlib zlib exactly per doc,
+    (b) be invariant under repartitioning, and (c) rank planted
+    repetitive text strictly below natural-looking text."""
+    import zlib
+
+    from health_monitor_cc_flink_spark.operators.text import compression_ratio
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    got = {r.doc_id: r for r in specs["text_compression_ratio"].fn(spark, SF).collect()}
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        raw = text.encode("utf-8")
+        assert got[doc_id].raw_bytes == len(raw)
+        assert got[doc_id].compressed_bytes == len(zlib.compress(raw, 6))
+
+    # partition invariance
+    re8 = {
+        r.doc_id: r.compressed_bytes
+        for r in compression_ratio(
+            load_table(spark, SF, "documents").repartition(8), "doc_id", "text"
+        ).collect()
+    }
+    assert re8 == {k: v.compressed_bytes for k, v in got.items()}
+
+    # discrimination: repetitive junk compresses harder than varied text
+    probe = spark.createDataFrame(
+        [(0, "spam " * 200), (1, " ".join(f"w{i}x{i * 7 % 113}" for i in range(200)))],
+        "doc_id long, text string",
+    )
+    pr = {r.doc_id: r.compression_ratio for r in compression_ratio(probe, "doc_id", "text").collect()}
+    assert pr[0] < pr[1] / 2
