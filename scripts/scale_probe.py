@@ -111,6 +111,14 @@ PROBE_QUERIES = (
     "dedup_incremental_against_corpus",
     "corpus_curriculum_shards",
     "dq_dup_rate_per_source",
+    # container decode is pure map (codegen); MAD is two keyed aggs +
+    # 5-row broadcast joins; temperature weights one count shuffle;
+    # compression ratio is Arrow-batched CPU-bound map work
+    "mm_wav_header_parse",
+    "mm_png_header_parse",
+    "stats_mad_outliers",
+    "corpus_mix_temperature_weights",
+    "text_compression_ratio",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
