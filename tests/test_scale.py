@@ -134,3 +134,43 @@ def test_partitioned_write_prunes_partitions(spark, sf_smoke_dir, tmp_path):
     assert "PartitionFilters" in plan and "purchase" in plan
     n_purchase = ev.filter(F.col("event_type") == "purchase").count()
     assert df.count() == n_purchase
+
+
+def test_dynamic_partition_pruning(spark, sf_smoke_dir, tmp_path):
+    """Runtime partition pruning: a partitioned fact joined to a
+    FILTERED dim must prune fact partitions via the dim's runtime
+    values (Spark DPP), not scan them all — the mechanism that makes
+    star-schema joins affordable on date-partitioned 100 TB facts.
+    The plan must carry a dynamicpruning subquery on the fact scan."""
+    from pyspark.sql import functions as F
+
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    fact_path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_smoke_dir, "events").withColumn(
+        "day", F.to_date(F.timestamp_micros(F.expr("ts_ns div 1000")))
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    n_days = ev.select("day").distinct().count()
+    assert n_days > 3
+
+    fact = spark.read.parquet(fact_path)
+    # a real dim table with a selective predicate — DPP's trigger condition
+    dim_path = str(tmp_path / "day_dim")
+    ev.select("day").distinct().withColumn(
+        "tag",
+        F.when(F.dayofmonth("day") <= 2, F.lit("keep")).otherwise(F.lit("drop")),
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+    n_keep = dim.count()
+    assert 0 < n_keep < n_days
+    # disable broadcast so DPP (not broadcast-reuse) must do the pruning
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = fact.join(dim, "day").groupBy("day").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        assert joined.count() == n_keep
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
