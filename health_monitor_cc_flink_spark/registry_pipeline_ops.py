@@ -5612,3 +5612,38 @@ def streaming_psi_drift(spark, sf_dir):
 )
 def text_compression_ratio(spark, sf_dir):
     return X.compression_ratio(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "agg_mode_deterministic",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS vbin,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n DESC, vbin) AS rk
+        FROM c
+    )
+    SELECT event_type, vbin AS mode_bin, CAST(n AS BIGINT) AS mode_count
+    FROM r WHERE rk = 1
+    """,
+    doc="Deterministic MODE aggregate: most frequent value bin per "
+    "event type with an explicit (count desc, value asc) tie-break — "
+    "built-in mode() functions tie-break arbitrarily in both engines, "
+    "so the portable form is count + row_number, which also "
+    "generalizes to top-k modes.  One count shuffle + one window on "
+    "the (already reduced) per-bin relation.",
+)
+def agg_mode_deterministic(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.floor(F.col("value") / 25.0).cast("bigint").alias("vbin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("vbin"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("vbin").alias("mode_bin"), F.col("n").alias("mode_count"))
+    )
