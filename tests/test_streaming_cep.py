@@ -132,3 +132,42 @@ def test_streaming_cep_no_premature_emission(spark, tmp_path):
         .awaitTermination()
     )
     assert spark.read.parquet(out_dir).count() == 0
+
+
+def test_streaming_cep_state_survives_restart(spark, tmp_path):
+    """Stop after batch 1 and RESTART from the checkpoint with the late
+    events + sentinel: the carried click/error state and the
+    out-of-order buffer must persist across runs, and every match is
+    emitted exactly once across both runs combined."""
+    src = str(tmp_path / "cep_src3")
+    out_dir = str(tmp_path / "cep_out3")
+    ckpt = str(tmp_path / "cep_ckpt3")
+    now = time.time()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+        )
+        (
+            streaming_cep_click_purchase(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    _write_batch(spark, BATCH1, src, "a", now - 300)
+    run_once()  # nothing finalizable yet: watermark below all events
+    _write_batch(spark, BATCH2, src, "b", now - 200)
+    _write_batch(spark, BATCH3, src, "c", now - 100)
+    run_once()  # restart: buffer + carries recovered, sentinel finalizes
+
+    got = [
+        (r.user_id, r.gap_us) for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert sorted(got) == [(1, 100_000_000), (5, 50_000_000)]  # exactly once
