@@ -125,3 +125,38 @@ def test_minhash_more_bands_superset_of_stricter(corpus):
         for r in minhash_lsh_pairs(corpus, "doc_id", "text", n_hashes=32, rows_per_band=8).collect()
     }
     assert strict <= loose
+
+
+def test_minhash_parameter_sweep(corpus):
+    """The (n_hashes, rows_per_band) config sweep (roadmap item): the
+    threshold curve P(candidate) = 1-(1-s^r)^b must show up in the
+    measured candidate sets — looser bands (smaller r) admit at least
+    as many candidates as stricter ones, the shipped design point
+    (16, 4) finds every planted pair with zero false candidates, and
+    everything is deterministic (md5 hash family), so these are exact
+    assertions, not statistical ones."""
+    planted = {(2 * i, 2 * i + 1) for i in range(5)}
+
+    def candidates(n_hashes, rows_per_band):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(
+                corpus, "doc_id", "text", k=3,
+                n_hashes=n_hashes, rows_per_band=rows_per_band,
+            ).collect()
+        }
+
+    loose = candidates(8, 2)     # b=4 bands of 2 rows: most permissive
+    design = candidates(16, 4)   # shipped config: b=4 bands of 4 rows
+    strict = candidates(32, 8)   # b=4 bands of 8 rows: most selective
+
+    assert design & planted == planted, "design point must find all planted pairs"
+    # the filler docs differ by one token from EACH OTHER (true near-dups),
+    # so false-positive accounting is over the 10 base/mutated docs only
+    base_pairs = {(a, b) for (a, b) in design if a < 10 and b < 10}
+    assert base_pairs == planted, "design point admits no false base-doc candidates"
+    assert planted <= loose, "loosening bands must not lose planted pairs"
+    assert strict <= loose | planted | design or len(strict) <= len(loose), (
+        "stricter bands must not admit more candidates than looser ones"
+    )
+    assert len(strict) <= len(design) <= len(loose)
