@@ -5647,3 +5647,83 @@ def agg_mode_deterministic(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("event_type", F.col("vbin").alias("mode_bin"), F.col("n").alias("mode_count"))
     )
+
+
+@query(
+    "events_cadence_histogram",
+    """
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+                   AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(least(floor(gap_us / 1000000.0), 60) AS BIGINT) AS gap_s_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Inter-arrival cadence histogram per event type: successive-event "
+    "gaps bucketed to whole seconds (capped at 60) — the jitter/cadence "
+    "diagnostic behind watermark-delay and trigger-interval tuning "
+    "(choose the watermark from the observed gap tail, not a guess).  "
+    "One event_type shuffle shared by the lag window and the count agg; "
+    "integer-exact.",
+)
+def events_cadence_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("t", _ts_us())
+    w = Window.partitionBy("event_type").orderBy(F.asc("t"), F.asc("event_id"))
+    g = ev.select(
+        "event_type", (F.col("t") - F.lag("t").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.least(F.floor(F.col("gap_us") / 1_000_000.0), F.lit(60)).cast("bigint")
+    return g.groupBy("event_type", bucket.alias("gap_s_bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "events_downtime_gaps",
+    """
+    WITH g AS (
+        SELECT event_type, event_id,
+               lag(epoch_us(ts)) OVER w AS gap_start_us,
+               epoch_us(ts) AS gap_end_us
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_type, gap_start_us, gap_end_us,
+           gap_end_us - gap_start_us AS gap_us
+    FROM g
+    WHERE gap_start_us IS NOT NULL
+      AND gap_end_us - gap_start_us > 300000000
+    """,
+    doc="Downtime incident detection: per event type, every silent "
+    "period longer than 5 minutes between consecutive events, with "
+    "exact start/end/duration — the feed-health report that catches a "
+    "dead producer before the dashboard does (the reference's alerting "
+    "concern, applied to the pipeline itself).  Same single-shuffle lag "
+    "window as the cadence histogram; integer-exact.",
+)
+def events_downtime_gaps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("t", _ts_us())
+    w = Window.partitionBy("event_type").orderBy(F.asc("t"), F.asc("event_id"))
+    g = ev.select(
+        "event_type",
+        F.lag("t").over(w).alias("gap_start_us"),
+        F.col("t").alias("gap_end_us"),
+    )
+    return (
+        g.filter(
+            F.col("gap_start_us").isNotNull()
+            & (F.col("gap_end_us") - F.col("gap_start_us") > 300_000_000)
+        )
+        .select(
+            "event_type",
+            "gap_start_us",
+            "gap_end_us",
+            (F.col("gap_end_us") - F.col("gap_start_us")).alias("gap_us"),
+        )
+    )
