@@ -5727,3 +5727,88 @@ def events_downtime_gaps(spark, sf_dir):
             (F.col("gap_end_us") - F.col("gap_start_us")).alias("gap_us"),
         )
     )
+
+
+@query(
+    "join_spatial_grid",
+    """
+    WITH pts AS (
+        SELECT event_id, user_id % 1024 AS x,
+               CAST(floor(value * 10) AS BIGINT) % 1024 AS y
+        FROM events
+    ), rects AS (
+        SELECT n_nationkey AS rect_id,
+               (n_nationkey * 37) % 900 AS x0, (n_nationkey * 37) % 900 + 120 AS x1,
+               (n_nationkey * 53) % 850 AS y0, (n_nationkey * 53) % 850 + 140 AS y1
+        FROM nation
+    )
+    SELECT r.rect_id,
+           CAST(count(p.event_id) AS BIGINT) AS n_points,
+           CAST(coalesce(sum(p.x), 0) AS BIGINT) AS sum_x,
+           CAST(coalesce(sum(p.y), 0) AS BIGINT) AS sum_y
+    FROM rects r LEFT JOIN pts p
+      ON p.x BETWEEN r.x0 AND r.x1 AND p.y BETWEEN r.y0 AND r.y1
+    GROUP BY r.rect_id
+    """,
+    doc="2-D spatial containment join (point-in-rectangle) by COVERING-"
+    "CELL replication: each rectangle is exploded to the 128-unit grid "
+    "cells it overlaps, each point computes its single containing cell, "
+    "and the pair meets in an EQUI-join on (cell_x, cell_y) with an "
+    "exact containment filter after — the standard distributed spatial-"
+    "join recipe (geohash/S2/H3 bucketing) that replaces the O(points x "
+    "rects) inequality join the naive SQL form plans.  A point joins a "
+    "rect in exactly one cell (its own), so no post-join dedup is "
+    "needed.  Integer-exact; left join keeps empty rectangles.  The "
+    "oracle runs the naive inequality join (fine at 25 rects in "
+    "DuckDB); the Spark plan is gated BNLJ-free registry-wide.",
+)
+def join_spatial_grid(spark, sf_dir):
+    CELL = 128
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("x"),
+        (F.floor(F.col("value") * 10).cast("bigint") % 1024).alias("y"),
+    ).select(
+        "event_id", "x", "y",
+        (F.col("x") / CELL).cast("bigint").alias("cx"),
+        (F.col("y") / CELL).cast("bigint").alias("cy"),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    rects = nation.select(
+        F.col("n_nationkey").alias("rect_id"),
+        ((F.col("n_nationkey") * 37) % 900).alias("x0"),
+        ((F.col("n_nationkey") * 37) % 900 + 120).alias("x1"),
+        ((F.col("n_nationkey") * 53) % 850).alias("y0"),
+        ((F.col("n_nationkey") * 53) % 850 + 140).alias("y1"),
+    )
+    cells = rects.select(
+        "*",
+        F.explode(
+            F.sequence((F.col("x0") / CELL).cast("bigint"), (F.col("x1") / CELL).cast("bigint"))
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence((F.col("y0") / CELL).cast("bigint"), (F.col("y1") / CELL).cast("bigint"))
+        ).alias("cy"),
+    )
+    hits = pts.join(F.broadcast(cells), ["cx", "cy"]).filter(
+        F.col("x").between(F.col("x0"), F.col("x1"))
+        & F.col("y").between(F.col("y0"), F.col("y1"))
+    )
+    agg = hits.groupBy("rect_id").agg(
+        F.count("event_id").alias("n_points"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+    )
+    return (
+        rects.select("rect_id")
+        .join(agg, "rect_id", "left")
+        .select(
+            "rect_id",
+            F.coalesce("n_points", F.lit(0)).alias("n_points"),
+            F.coalesce("sum_x", F.lit(0)).alias("sum_x"),
+            F.coalesce("sum_y", F.lit(0)).alias("sum_y"),
+        )
+    )
