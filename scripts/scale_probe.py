@@ -119,6 +119,12 @@ PROBE_QUERIES = (
     "stats_mad_outliers",
     "corpus_mix_temperature_weights",
     "text_compression_ratio",
+    # mode rides the reduced per-bin relation; cadence/downtime share
+    # one lag-window shuffle; spatial join is cell equi-join + broadcast
+    "agg_mode_deterministic",
+    "events_cadence_histogram",
+    "events_downtime_gaps",
+    "join_spatial_grid",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
