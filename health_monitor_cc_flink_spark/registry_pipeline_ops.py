@@ -557,10 +557,7 @@ def corpus_vocab_topk(spark, sf_dir):
     "The cluster id is the canonical keeper for group-level dedup.",
 )
 def dedup_clusters(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
-    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
-    return D.connected_components(pairs)
+    return _doc_clusters(spark, sf_dir)
 
 
 @query(
@@ -1706,6 +1703,33 @@ def clear_knn_graph_cache(spark=None):
                 df.unpersist()
             except Exception:
                 pass  # session already stopped
+    lsh_sessions = [spark] if spark is not None else list(_LSH_CLUSTER_CACHE.keys())
+    for s in lsh_sessions:
+        _LSH_CLUSTER_CACHE.pop(s, None)  # checkpointed frames; nothing persisted
+
+
+#: LSH connected-component labels memoized per (session, sf_dir): four
+#: registry queries (dedup_clusters, dedup_keep_best_quality,
+#: dq_dup_rate_per_source, split_leakage_safe_clusters) share the exact
+#: same clustering artifact; without memoization each re-ran the full
+#: signature build + iterative label propagation.  The fixpoint frame is
+#: already materialized via localCheckpoint inside connected_components,
+#: so caching the frame handle is enough.  Cleared with the k-NN cache.
+_LSH_CLUSTER_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _doc_clusters(spark, sf_dir):
+    """(node, cluster_id) LSH near-dup components over documents —
+    build-once per (session, sf_dir)."""
+    cached = _LSH_CLUSTER_CACHE.setdefault(spark, {}).get(sf_dir)
+    if cached is not None:
+        return cached
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
+    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
+    comp = D.connected_components(pairs)
+    _LSH_CLUSTER_CACHE[spark][sf_dir] = comp
+    return comp
 
 
 def _knn_graph_directed(spark, sf_dir, k: int = 10):
@@ -3069,9 +3093,7 @@ def stats_chi2_contingency(spark, sf_dir):
 )
 def split_leakage_safe_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
-    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
-    cl = D.connected_components(pairs)
+    cl = _doc_clusters(spark, sf_dir)
     rep = docs.join(
         cl.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).select("doc_id", F.coalesce("cluster_id", "doc_id").alias("rep_id"))
@@ -4827,9 +4849,7 @@ _JL_VALUES = ", ".join(
 )
 def dedup_keep_best_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
-    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
-    comp = D.connected_components(pairs)
+    comp = _doc_clusters(spark, sf_dir)
     d = docs.join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).select(
@@ -5255,9 +5275,7 @@ def corpus_curriculum_shards(spark, sf_dir):
 )
 def dq_dup_rate_per_source(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
-    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
-    comp = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    comp = _doc_clusters(spark, sf_dir).withColumnRenamed("node", "doc_id")
     d = docs.join(comp, "doc_id", "left")
     is_dup = (
         F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col("doc_id"))
