@@ -5830,3 +5830,41 @@ def join_spatial_grid(spark, sf_dir):
             F.coalesce("sum_y", F.lit(0)).alias("sum_y"),
         )
     )
+
+
+@query(
+    "streaming_downtime_gaps",
+    """
+    WITH g AS (
+        SELECT event_type,
+               lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                       ORDER BY epoch_us(ts)) AS gap_start_us,
+               epoch_us(ts) AS gap_end_us
+        FROM events
+    ), m AS (
+        SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events
+    )
+    SELECT event_type, gap_start_us, gap_end_us,
+           gap_end_us - gap_start_us AS gap_us
+    FROM g, m
+    WHERE gap_start_us IS NOT NULL
+      AND gap_end_us - gap_start_us > 300000000
+      AND gap_end_us // 1000 < wm_ms
+    """,
+    doc="STREAMING missing-data detection (the health monitor's own "
+    "blind spot: a dead feed raises no events, only a timer notices): "
+    "per event type, silent periods >5 min finalized when the closing "
+    "event's time passes the watermark — applyInPandasWithState + "
+    "EventTimeTimeout with the CEP matcher's buffer-and-finalize "
+    "discipline, exactly-once and arrival-order independent.  The "
+    "oracle is the batch downtime report restricted by the watermark "
+    "cutoff.  Note gap ordering needs no event_id tie-break: equal "
+    "timestamps produce zero-length gaps, never >5 min ones.",
+)
+def streaming_downtime_gaps(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import events_stream
+    from .streaming.stateful import streaming_gap_detector
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _drain_to_memory(spark, streaming_gap_detector(ev), "stream_gaps_")

@@ -464,3 +464,85 @@ def streaming_cep_click_purchase(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_gap_detector(
+    df: DataFrame,
+    min_gap_us: int = 300_000_000,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermark-finalized missing-data detection: per key, every silent
+    period longer than ``min_gap_us`` between CONSECUTIVE events by
+    event time — the streaming form of the batch downtime report and
+    the health-monitor's own failure mode (a patient that stops
+    sending vitals raises no event; only a timer can notice).
+
+    Same finalization discipline as the CEP matcher: events buffer per
+    key until the watermark passes them, then are processed in event
+    -time order against an O(1) carried last-seen timestamp; a gap row
+    (gap_start, gap_end, gap_us) is emitted exactly once when its
+    CLOSING event finalizes.  Deterministic under any arrival order;
+    state = out-of-order buffer (watermark-delay bound) + one carry.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("gap_start_us", T.LongType()),
+            T.StructField("gap_end_us", T.LongType()),
+            T.StructField("gap_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("t_us", T.ArrayType(T.LongType())),
+            T.StructField("last_seen", T.LongType()),
+        ]
+    )
+
+    def detector(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        k = str(key[0])
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            t_us, last_seen = state.get
+            buf = list(t_us)
+        else:
+            buf, last_seen = [], -1
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend((pdf[ts_col].astype("int64") // 1000).tolist())
+
+        buf.sort()
+        gaps, remainder = [], []
+        for t in buf:
+            if t // 1000 >= wm_ms:
+                remainder.append(t)
+                continue
+            if last_seen >= 0 and t - last_seen > min_gap_us:
+                gaps.append((last_seen, t, t - last_seen))
+            last_seen = t
+        if remainder or last_seen >= 0:
+            state.update((remainder, last_seen))
+            if remainder:
+                state.setTimeoutTimestamp(remainder[0] // 1000 + 1)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                key_col: pd.Series([k] * len(gaps), dtype="object"),
+                "gap_start_us": pd.Series([g[0] for g in gaps], dtype="int64"),
+                "gap_end_us": pd.Series([g[1] for g in gaps], dtype="int64"),
+                "gap_us": pd.Series([g[2] for g in gaps], dtype="int64"),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        detector,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
