@@ -5868,3 +5868,71 @@ def streaming_downtime_gaps(spark, sf_dir):
 
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     return _drain_to_memory(spark, streaming_gap_detector(ev), "stream_gaps_")
+
+
+@query(
+    "basket_part_affinity",
+    """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM basket
+    ), item AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM basket GROUP BY 1
+    ), pair AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.support, ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST(p.support AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence_a_b,
+           CAST(p.support AS DOUBLE) * CAST(t.n AS DOUBLE)
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n_orders t
+    """,
+    doc="Market-basket affinity (frequently-bought-together): part pairs "
+    "co-occurring in >= 2 orders with support, confidence and lift — "
+    "the association-rule primitive behind recommendations and query "
+    "expansion.  The pair join is an equi-join on the ORDER key, so "
+    "fan-out is bounded by basket size squared (TPC-H baskets are <= 7 "
+    "lines; a hot-basket cap slots in exactly like the LSH max_bucket "
+    "guard if baskets are unbounded) — never an item-item cross join.  "
+    "Integer support counts; floats are two fixed divisions.  One "
+    "basket shuffle + broadcast item counts + scalar order total.",
+)
+def basket_part_affinity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = basket.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    sup, na, nb = (F.col(c).cast("double") for c in ("support", "n_a", "n_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "n_a",
+            "n_b",
+            (sup / na).alias("confidence_a_b"),
+            (sup * F.col("n").cast("double") / (na * nb)).alias("lift"),
+        )
+    )

@@ -168,6 +168,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "dedup_incremental_against_corpus",  # scalar ingest-cut threshold broadcast
         "corpus_curriculum_shards",     # scalar corpus-count broadcast
         "corpus_mix_temperature_weights",  # scalar corpus-total broadcast
+        "basket_part_affinity",         # scalar order-total broadcast
     }
     checked = 0
     for spec in all_queries():
