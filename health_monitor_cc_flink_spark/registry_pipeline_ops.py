@@ -5936,3 +5936,33 @@ def basket_part_affinity(spark, sf_dir):
             (sup * F.col("n").cast("double") / (na * nb)).alias("lift"),
         )
     )
+
+
+@query(
+    "graph_degree_distribution",
+    f"""
+    WITH {_DUCK_KNN_GRAPH}, und AS (
+        SELECT src, dst FROM knn UNION SELECT dst, src FROM knn
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM und GROUP BY src
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the undirected k-NN supplier graph — "
+    "the first thing to look at before running any graph algorithm at "
+    "scale (a heavy tail means skewed joins; the k-NN sparsification "
+    "caps out-degree at k but IN-degree is organic, so this measures "
+    "what the cap actually left).  Rides the memoized edge list; one "
+    "node shuffle + a tiny degree rollup.",
+)
+def graph_degree_distribution(spark, sf_dir):
+    knn = _knn_graph_directed(spark, sf_dir)
+    und = knn.select("src", "dst").union(
+        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
