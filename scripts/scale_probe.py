@@ -125,6 +125,10 @@ PROBE_QUERIES = (
     "events_cadence_histogram",
     "events_downtime_gaps",
     "join_spatial_grid",
+    # basket pairs are order-key equi-joins (fan-out = basket size^2);
+    # degree distribution rides the memoized knn edge list
+    "basket_part_affinity",
+    "graph_degree_distribution",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
