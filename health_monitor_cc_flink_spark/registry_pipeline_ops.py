@@ -5966,3 +5966,123 @@ def graph_degree_distribution(spark, sf_dir):
         F.count(F.lit(1)).alias("degree")
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# Poisson(1) CDF thresholds scaled to uint32, shared by both engines:
+# weight w = number of thresholds <= u32 gives P(w=k) = e^-1/k! for
+# k<4 with the tail mass on w=4 — the single-pass Poisson bootstrap.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783)
+
+
+@query(
+    "stats_poisson_bootstrap_mean",
+    f"""
+    WITH src AS (
+        SELECT value, b,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_' ||
+                                   CAST(b AS VARCHAR)), 1, 8))::BIGINT AS u
+        FROM events CROSS JOIN (SELECT unnest(range(16)) AS b) bs
+    ), w AS (
+        SELECT value, b,
+              (CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 3160060337 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 3950075421 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 4213413783 THEN 1 ELSE 0 END) AS wt
+        FROM src
+    )
+    SELECT b, CAST(sum(wt) AS BIGINT) AS n_eff,
+           CAST(sum(wt * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(sum(wt) AS DOUBLE) AS boot_mean
+    FROM w GROUP BY b
+    """,
+    doc="Poisson bootstrap of the mean: 16 deterministic resamples in "
+    "ONE pass — each row draws a Poisson(1) replication weight per "
+    "resample from md5(event_id, b) against fixed uint32 CDF "
+    "thresholds (integer compares; tail mass on w=4), and each "
+    "resample's mean is an exact DECIMAL sum over weights.  This is "
+    "THE scalable bootstrap: classical resampling needs n draws per "
+    "replicate (a shuffle per resample at 100 TB); Poisson weights "
+    "make every replicate a weighted single-scan aggregate, "
+    "embarrassingly parallel and mergeable.  Consumer takes the "
+    "spread of boot_mean for the CI.  All randomness is hash-"
+    "deterministic, so both engines produce identical resamples.",
+)
+def stats_poisson_bootstrap_mean(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.col("event_id").cast("string"), F.col("b").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wt = sum(
+        F.when(F.col("u") >= F.lit(t), 1).otherwise(0) for t in _POIS_T
+    )
+    w = (
+        ev.select(
+            "event_id",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        )
+        .withColumn("u", u)
+        .withColumn("wt", wt)
+    )
+    return w.groupBy("b").agg(
+        F.sum("wt").alias("n_eff"),
+        (
+            F.sum(F.col("wt") * F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.sum("wt").cast("double")
+        ).alias("boot_mean"),
+    )
+
+
+@query(
+    "dq_benford_first_digit",
+    """
+    WITH d AS (
+        SELECT CAST(floor(value / pow(10, floor(log10(value)))) AS BIGINT)
+                   AS first_digit
+        FROM events WHERE value >= 1
+    ), t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+    SELECT first_digit,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS p_observed,
+           round(log10(1.0 + 1.0 / first_digit), 9) AS p_benford
+    FROM d, t
+    GROUP BY first_digit, t.n_total
+    """,
+    doc="Benford first-digit profile: observed leading-digit "
+    "distribution of event values vs the Benford expectation "
+    "log10(1+1/d) — the fabricated-data / unit-mixup screen for "
+    "numeric feeds (uniform synthetic data deliberately FAILS Benford; "
+    "the report shows by how much).  Digit extraction is floor/log10 "
+    "math identical in both engines (values >= 1, away from power-of-"
+    "ten boundaries at doubles); expectations rounded to 9 dp for libm "
+    "safety.  One count shuffle + a scalar total.",
+)
+def dq_benford_first_digit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") >= 1)
+    d = ev.select(
+        F.floor(
+            F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        d.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "first_digit",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total").cast("double")).alias(
+                "p_observed"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("first_digit")), 9).alias("p_benford"),
+        )
+    )

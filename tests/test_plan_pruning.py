@@ -169,6 +169,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "corpus_curriculum_shards",     # scalar corpus-count broadcast
         "corpus_mix_temperature_weights",  # scalar corpus-total broadcast
         "basket_part_affinity",         # scalar order-total broadcast
+        "dq_benford_first_digit",       # scalar corpus-total broadcast
     }
     checked = 0
     for spec in all_queries():
