@@ -6086,3 +6086,49 @@ def dq_benford_first_digit(spark, sf_dir):
             F.round(F.log10(1.0 + 1.0 / F.col("first_digit")), 9).alias("p_benford"),
         )
     )
+
+
+@query(
+    "dq_order_total_reconciliation",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS computed
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN abs(CAST(o_totalprice AS DECIMAL(18,2))
+                                  - computed) > 0.011 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(max(abs(CAST(o_totalprice AS DECIMAL(18,2)) - computed))
+                AS DOUBLE) AS max_abs_delta
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+    """,
+    doc="Cross-table reconciliation audit: every order's stored total "
+    "re-derived from its line items (extendedprice x (1-disc) x "
+    "(1+tax), exact DECIMAL arithmetic) and compared within a cent "
+    "tolerance — the financial-close / dual-write-consistency check "
+    "that referential-integrity tests don't cover (keys can match "
+    "while amounts drift).  One l_orderkey pre-aggregation then a key "
+    "join; DECIMAL all the way so the comparison is exact on both "
+    "engines.",
+)
+def dq_order_total_reconciliation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)"))
+        ).alias("computed")
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(computed, o.o_orderkey == computed.l_orderkey)
+    delta = F.abs(F.col("o_totalprice").cast("decimal(18,2)") - F.col("computed"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(delta > 0.011, 1).otherwise(0)).cast("bigint").alias("n_mismatched"),
+        F.max(delta).cast("double").alias("max_abs_delta"),
+    )
