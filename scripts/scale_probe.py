@@ -129,6 +129,11 @@ PROBE_QUERIES = (
     # degree distribution rides the memoized knn edge list
     "basket_part_affinity",
     "graph_degree_distribution",
+    # bootstrap is a 16x explode + one count shuffle; benford/reconcile
+    # are single-agg or key-join shapes
+    "stats_poisson_bootstrap_mean",
+    "dq_benford_first_digit",
+    "dq_order_total_reconciliation",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
