@@ -6132,3 +6132,66 @@ def dq_order_total_reconciliation(spark, sf_dir):
         F.sum(F.when(delta > 0.011, 1).otherwise(0)).cast("bigint").alias("n_mismatched"),
         F.max(delta).cast("double").alias("max_abs_delta"),
     )
+
+
+@query(
+    "embedding_lsh_bucket_purity",
+    """
+    WITH sgn AS (
+        SELECT j.j AS j, i.i AS i,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(4) j(j), range(64) i(i)
+    ), pos AS (
+        SELECT vec_id, i.i AS i,
+               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
+        FROM embeddings, range(64) i(i)
+    ), dots AS (
+        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
+        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
+    ), bucket AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bkt
+        FROM dots GROUP BY vec_id
+    ), lab AS (
+        SELECT bkt, label, count(*) AS n
+        FROM bucket JOIN embeddings USING (vec_id) GROUP BY 1, 2
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY bkt ORDER BY n DESC, label) AS rk
+        FROM lab
+    )
+    SELECT bkt AS bucket,
+           CAST(sum(n) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_labels,
+           CAST(max(CASE WHEN rk = 1 THEN label END) AS BIGINT) AS majority_label,
+           CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS majority_n
+    FROM r GROUP BY bkt
+    """,
+    doc="Clustering-quality evaluation of the hyperplane LSH partition: "
+    "per 4-bit bucket, size, distinct labels, and the majority label "
+    "with its count — Σ majority_n / Σ n_vecs is cluster PURITY, the "
+    "metric that tells you whether a hash partition is usable as a "
+    "semantic shard (for label-stratified training or locality-"
+    "preserving layout) before you commit a 100 TB re-partition to it. "
+    " All-integer contingency (exact milli-unit dot products), "
+    "deterministic majority tie-break.",
+)
+def embedding_lsh_bucket_purity(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    b = S.hyperplane_lsh_bucket(emb, "vec_id", "embedding", n_bits=4, dim=64)
+    bcol = [c for c in b.columns if c != "vec_id"][0]
+    lab = (
+        b.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy(F.col(bcol).alias("bkt"), "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("bkt").orderBy(F.desc("n"), F.asc("label"))
+    r = lab.withColumn("rk", F.row_number().over(w))
+    return r.groupBy(F.col("bkt").alias("bucket")).agg(
+        F.sum("n").alias("n_vecs"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max(F.when(F.col("rk") == 1, F.col("label"))).cast("bigint").alias(
+            "majority_label"
+        ),
+        F.max(F.when(F.col("rk") == 1, F.col("n"))).alias("majority_n"),
+    )
