@@ -6195,3 +6195,48 @@ def embedding_lsh_bucket_purity(spark, sf_dir):
         ),
         F.max(F.when(F.col("rk") == 1, F.col("n"))).alias("majority_n"),
     )
+
+
+@query(
+    "dq_k_anonymity_audit",
+    """
+    WITH qi AS (
+        SELECT event_type,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+               CAST(least(floor(value / 50.0), 9) AS BIGINT) AS vbin,
+               count(*) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, hod, vbin, CAST(n AS BIGINT) AS n_rows, n_users,
+           (n_users < 5) AS k_violation
+    FROM qi
+    """,
+    doc="k-anonymity audit (k=5) over the quasi-identifier combination "
+    "(event_type, hour-of-day, value bin): equivalence classes whose "
+    "DISTINCT-user count falls below k are re-identification risks — "
+    "the release-gate complement to PII redaction (text_redact_pii "
+    "removes direct identifiers; this catches indirect ones).  "
+    "Integer counts + one boolean; a single QI-key aggregation with "
+    "map-side partials, so the audit costs one shuffle at any scale.",
+)
+def dq_k_anonymity_audit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(_ts_us())
+    )
+    qi = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("bigint").alias("vbin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return qi.select(
+        "event_type",
+        "hod",
+        "vbin",
+        "n_rows",
+        "n_users",
+        (F.col("n_users") < 5).alias("k_violation"),
+    )
