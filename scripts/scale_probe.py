@@ -134,6 +134,10 @@ PROBE_QUERIES = (
     "stats_poisson_bootstrap_mean",
     "dq_benford_first_digit",
     "dq_order_total_reconciliation",
+    # purity is the bucket expression + one (bucket,label) count;
+    # k-anonymity is one QI-key aggregation
+    "embedding_lsh_bucket_purity",
+    "dq_k_anonymity_audit",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
