@@ -6240,3 +6240,38 @@ def dq_k_anonymity_audit(spark, sf_dir):
         "n_users",
         (F.col("n_users") < 5).alias("k_violation"),
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+    doc="XML source/sink round-trip (Spark 4 built-in XML data source, "
+    "rowTag framing, explicit schema on read) — completes the "
+    "multi-format source matrix alongside JSON/CSV/ORC/Avro: the "
+    "events table written as XML and read back bit-exact against the "
+    "plain-table oracle.  Floats survive because Spark's XML writer "
+    "emits round-trippable repr and the reader parses to the declared "
+    "DoubleType.",
+)
+def source_xml_roundtrip(spark, sf_dir):
+    from .registry import _roundtrip_base, _warehouse_path
+
+    path = _warehouse_path(sf_dir, "events_xml")
+    (
+        _roundtrip_base(spark, sf_dir)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "event")
+        .save(path)
+    )
+    return (
+        spark.read.schema(
+            "event_id bigint, ts_us bigint, user_id bigint, event_type string, value double"
+        )
+        .format("xml")
+        .option("rowTag", "event")
+        .load(path)
+    )
