@@ -174,3 +174,50 @@ def test_dynamic_partition_pruning(spark, sf_smoke_dir, tmp_path):
         assert joined.count() == n_keep
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_observation_metrics_batch_and_stream(spark, sf_smoke_dir, tmp_path):
+    """Pipeline observability without extra passes: df.observe() attaches
+    named aggregate metrics that are computed DURING the action — the
+    production monitoring primitive (row counts, null rates, value
+    bounds per stage) that otherwise costs a second scan per metric."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    obs = Observation("ingest")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("n_null_value"),
+        F.max("value").alias("max_value"),
+    )
+    out = observed.filter(F.col("event_type") == "click").count()
+    m = obs.get
+    assert m["n_rows"] == ev.count()        # metric covers pre-filter rows
+    assert m["n_null_value"] == 0
+    assert m["max_value"] >= 0
+    assert out > 0
+
+    # streaming: the same metrics surface per micro-batch via progress
+    stream = (
+        spark.readStream.schema(
+            spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_smoke_dir).schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_smoke_dir)
+        .observe("src", F.count(F.lit(1)).alias("n_rows"))
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p["observedMetrics"].get("src")]
+    assert progress, "no observed metrics in streaming progress"
+    total = sum(p["observedMetrics"]["src"]["n_rows"] for p in progress)
+    assert total == m["n_rows"]
