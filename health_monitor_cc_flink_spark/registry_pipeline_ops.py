@@ -6275,3 +6275,117 @@ def source_xml_roundtrip(spark, sf_dir):
         .option("rowTag", "event")
         .load(path)
     )
+
+
+@query(
+    "stats_calibration_bins",
+    """
+    WITH scored AS (
+        SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS score_bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    )
+    SELECT score_bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS observed_rate
+    FROM scored GROUP BY score_bin
+    """,
+    doc="Reliability-diagram components: per score bin, count, positives "
+    "and the observed positive rate — the calibration curve behind "
+    "trusting any classifier's probabilities (quality filters, dedup "
+    "scores) before thresholding them at corpus scale.  Integer counts "
+    "+ one division; a single bin-key aggregation.",
+)
+def stats_calibration_bins(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("bigint").alias(
+            "score_bin"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return scored.groupBy("score_bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "observed_rate"
+        ),
+    )
+
+
+@query(
+    "stats_kaplan_meier",
+    """
+    WITH bounds AS (
+        SELECT max(epoch_us(ts)) AS tmax FROM events
+    ), life AS (
+        SELECT user_id,
+               (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS dur_days,
+               (max(epoch_us(ts)) >= b.tmax - 3 * 86400000000) AS censored
+        FROM events, bounds b GROUP BY user_id, b.tmax
+    ), per_t AS (
+        SELECT dur_days AS t,
+               CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS ends
+        FROM life GROUP BY dur_days
+    ), risk AS (
+        SELECT t, d,
+               CAST(sum(ends) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS n_at_risk
+        FROM per_t
+    ), surv AS (
+        SELECT t, d, n_at_risk,
+               list(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS factors
+        FROM risk
+    )
+    SELECT t, d, n_at_risk,
+           round(0.0 + list_reduce(factors, (a, b) -> a * b), 9) AS km_survival
+    FROM surv
+    """,
+    doc="Kaplan-Meier survival estimator over user activity lifetimes "
+    "(first-to-last event, censored within 3 days of the corpus end): "
+    "per distinct duration, deaths d, at-risk count n, and the "
+    "product-limit survival Π(1 - d/n) — retention/churn analysis with "
+    "censoring done right (naive churn rates over-count users the "
+    "observation window cut off).  Scale shape: lifetimes are one "
+    "user_id aggregation; everything after runs on the DISTINCT-"
+    "duration relation (KS-test pattern), where the at-risk counts are "
+    "a reverse running sum and the survival product is an identical-"
+    "order fold on both engines (ts_ewma technique; ≤ |durations| "
+    "factors), rounded to 9 dp.",
+)
+def stats_kaplan_meier(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("t_us", _ts_us())
+    tmax = ev.agg(F.max("t_us").alias("tmax"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(F.min("t_us").alias("t0"), F.max("t_us").alias("t1"))
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.expr("(t1 - t0) div 86400000000").alias("dur_days"),
+            (F.col("t1") >= F.col("tmax") - F.lit(3 * 86_400_000_000)).alias(
+                "censored"
+            ),
+        )
+    )
+    per_t = life.groupBy(F.col("dur_days").alias("t")).agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("ends"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.select(
+        "t", "d", F.sum("ends").over(w_desc).cast("bigint").alias("n_at_risk")
+    )
+    w_asc = Window.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    factors = F.collect_list(
+        F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+    ).over(w_asc)
+    surv = risk.withColumn("factors", factors)
+    km = F.round(
+        F.aggregate("factors", F.lit(1.0), lambda a, x: a * x), 9
+    )
+    return surv.select("t", "d", "n_at_risk", km.alias("km_survival"))
