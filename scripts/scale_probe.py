@@ -138,6 +138,10 @@ PROBE_QUERIES = (
     # k-anonymity is one QI-key aggregation
     "embedding_lsh_bucket_purity",
     "dq_k_anonymity_audit",
+    # calibration is one bin-key agg; KM runs on the distinct-duration
+    # relation after a user_id agg; XML roundtrip is a format IO path
+    "stats_calibration_bins",
+    "stats_kaplan_meier",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
