@@ -6389,3 +6389,67 @@ def stats_kaplan_meier(spark, sf_dir):
         F.aggregate("factors", F.lit(1.0), lambda a, x: a * x), 9
     )
     return surv.select("t", "d", "n_at_risk", km.alias("km_survival"))
+
+
+@query(
+    "events_attribution_touchpoints",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+    ), s AS (
+        SELECT *,
+            last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                       IGNORE NULLS) OVER w AS last_touch,
+            last_value(CASE WHEN event_type <> 'purchase' THEN t END
+                       IGNORE NULLS) OVER w AS last_touch_t,
+            first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER w2 AS first_touch
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               w2 AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT first_touch, last_touch,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM s
+    WHERE event_type = 'purchase'
+      AND last_touch IS NOT NULL
+      AND last_touch_t >= t - 7 * 86400000000
+    GROUP BY first_touch, last_touch
+    """,
+    doc="Touch-point attribution: every purchase credited to its FIRST "
+    "and LAST preceding non-purchase touch (7-day lookback on the "
+    "last), rolled up to the (first_touch, last_touch) credit matrix — "
+    "the first/last-click attribution model pair in one pass.  Both "
+    "carries are running first/last_value(IGNORE NULLS) windows on ONE "
+    "user_id shuffle (the cep_click_then_purchase machinery "
+    "generalized); no per-purchase self-join, linear in events per "
+    "key.  Integer counts.",
+)
+def events_attribution_touchpoints(spark, sf_dir):
+    week = 7 * 86_400_000_000
+    ev = _t(spark, sf_dir, "events").withColumn("t", _ts_us())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_t = F.when(F.col("event_type") != "purchase", F.col("t"))
+    s = ev.select(
+        "event_type",
+        "t",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.last(touch_t, ignorenulls=True).over(w).alias("last_touch_t"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    return (
+        s.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_touch").isNotNull()
+            & (F.col("last_touch_t") >= F.col("t") - week)
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
