@@ -6453,3 +6453,44 @@ def events_attribution_touchpoints(spark, sf_dir):
         .groupBy("first_touch", "last_touch")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+@query(
+    "text_lang_id_confusion",
+    """
+    WITH c AS (
+        SELECT doc_id, lang,
+            len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','is'))) AS c_en,
+            len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y'))) AS c_es,
+            len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist'))) AS c_de,
+            len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','les','des'))) AS c_fr
+        FROM documents
+    ), pred AS (
+        SELECT lang AS actual,
+               CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+                    WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+                    WHEN c_fr > 0 THEN 'fr'
+                    ELSE 'und' END AS predicted
+        FROM c
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual, predicted
+    """,
+    doc="Model evaluation ON a pipeline component: the lang-id "
+    "heuristic's confusion matrix against the corpus's ground-truth "
+    "lang labels — per (actual, predicted) cell counts, from which "
+    "precision/recall/accuracy per language follow exactly.  The "
+    "evaluation loop every classifier-driven filter needs before its "
+    "threshold moves corpus composition.  One scan + one 2-key count "
+    "shuffle on top of the text_lang_id expression.",
+)
+def text_lang_id_confusion(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pred = X.lang_id(docs, "doc_id", "text").select("doc_id", "lang_guess")
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", F.col("lang_guess").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
