@@ -6494,3 +6494,132 @@ def text_lang_id_confusion(spark, sf_dir):
         .groupBy("actual", F.col("lang_guess").alias("predicted"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "dedup_minhash_estimate_quality",
+    "WITH " + _DUCK_SIG + """
+    , pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_match
+        FROM sig a JOIN sig b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    exact AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_match,
+           coalesce(e.n_common, 0) AS n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b
+    FROM pairs p
+    LEFT JOIN exact e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    """,
+    doc="Estimator-quality report for MinHash: for every pair agreeing "
+    "on >= 4 of 16 signature positions, the integer components of BOTH "
+    "the estimate (n_match/16) and the exact Jaccard (n_common, n_a, "
+    "n_b) — the honesty check that tells you how tight the 16-perm "
+    "estimate actually is on YOUR corpus before trusting its "
+    "threshold.  All integers (no float rides the gate); both "
+    "relations are the already-bounded signature/shingle equi-joins.",
+)
+def dedup_minhash_estimate_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
+    sig_long = sigs.select(
+        "doc_id", F.posexplode("sig").alias("j", "mh")
+    )
+    a = sig_long.select(F.col("doc_id").alias("doc_a"), "j", "mh")
+    b = sig_long.select(F.col("doc_id").alias("doc_b"), "j", "mh")
+    pairs = (
+        a.join(b, ["j", "mh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") >= 4)
+    )
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, min_common=1)
+    ex = exact.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    sizes = D.shingles(docs, "doc_id", "text", 3).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a2"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b2"))
+    return (
+        pairs.join(ex.select("doc_a", "doc_b", "n_common"), ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.col("n_a2").alias("n_a"),
+            F.col("n_b2").alias("n_b"),
+        )
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), mx.dmax) AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders, mx GROUP BY o_custkey, mx.dmax
+    ), seg AS (
+        SELECT CAST(least(recency_days // 180, 4) AS BIGINT) AS r_bucket,
+               CAST(least(frequency, 5) AS BIGINT) AS f_bucket,
+               CAST(least(floor(log10(CAST(monetary AS DOUBLE))), 6) AS BIGINT)
+                   AS m_bucket,
+               monetary
+        FROM rfm
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary) AS DOUBLE) AS total_monetary
+    FROM seg GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: recency (180-day buckets, capped), "
+    "frequency (order count, capped at 5+) and monetary (log10 "
+    "decades) rolled into segment cells with customer counts and "
+    "DECIMAL-exact revenue — the lifecycle-marketing workhorse.  "
+    "Fixed value-domain buckets instead of ntile quintiles ON PURPOSE: "
+    "quintile boundaries need a global rank (a driver-side or "
+    "single-partition object at 1e9 customers) while domain buckets "
+    "are pure map — the documented trade at 100 TB.  One custkey "
+    "aggregation + one cell rollup.",
+)
+def customer_rfm_segments(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    rfm = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "dmax")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+        .withColumn("recency_days", F.datediff("dmax", "last_order"))
+    )
+    seg = rfm.select(
+        F.least(F.floor(F.col("recency_days") / 180), F.lit(4)).cast("bigint").alias(
+            "r_bucket"
+        ),
+        F.least(F.col("frequency"), F.lit(5)).cast("bigint").alias("f_bucket"),
+        F.least(F.floor(F.log10(F.col("monetary").cast("double"))), F.lit(6))
+        .cast("bigint")
+        .alias("m_bucket"),
+        "monetary",
+    )
+    return seg.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )

@@ -170,6 +170,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "corpus_mix_temperature_weights",  # scalar corpus-total broadcast
         "basket_part_affinity",         # scalar order-total broadcast
         "dq_benford_first_digit",       # scalar corpus-total broadcast
+        "customer_rfm_segments",        # scalar max-date broadcast
     }
     checked = 0
     for spec in all_queries():
