@@ -142,6 +142,14 @@ PROBE_QUERIES = (
     # relation after a user_id agg; XML roundtrip is a format IO path
     "stats_calibration_bins",
     "stats_kaplan_meier",
+    # estimate-quality shares the signature/shingle equi-joins; RFM and
+    # attribution are one-key aggs/windows; backlog runs on the
+    # distinct-day relation; confusion is a scan + 2-key count
+    "dedup_minhash_estimate_quality",
+    "customer_rfm_segments",
+    "events_attribution_touchpoints",
+    "orders_backlog_timeline",
+    "text_lang_id_confusion",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
