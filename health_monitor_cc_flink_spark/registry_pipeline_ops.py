@@ -6678,3 +6678,56 @@ def orders_backlog_timeline(spark, sf_dir):
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.sum("net").over(w).cast("bigint").alias("n_open"),
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    """
+    WITH first_order AS (
+        SELECT o_custkey,
+               date_trunc('month', min(o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ), facts AS (
+        SELECT f.cohort_month,
+               (CAST(date_part('year', o.o_orderdate) AS BIGINT)
+                - CAST(date_part('year', f.cohort_month) AS BIGINT)) * 12
+               + CAST(date_part('month', o.o_orderdate) AS BIGINT)
+               - CAST(date_part('month', f.cohort_month) AS BIGINT) AS age_months,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+        FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    )
+    SELECT CAST(cohort_month AS DATE)::VARCHAR AS cohort_month, age_months,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(rev) AS DOUBLE) AS revenue
+    FROM facts GROUP BY cohort_month, age_months
+    """,
+    doc="Cohort LTV triangle: customers grouped by first-order month, "
+    "revenue rolled up by cohort x age-in-months — the lifetime-value "
+    "curve every subscription/commerce business reads daily, and the "
+    "revenue-weighted complement of cohort_weekly_retention's counts.  "
+    "DECIMAL-exact sums cast to double only at the edge; one custkey "
+    "aggregation + a key join + one (cohort, age) rollup.",
+)
+def orders_cohort_ltv(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    facts = o.join(first, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + F.month("o_orderdate")
+            - F.month("cohort_month")
+        )
+        .cast("bigint")
+        .alias("age_months"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    return facts.groupBy(
+        F.date_format("cohort_month", "yyyy-MM-dd").alias("cohort_month"),
+        "age_months",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
