@@ -6731,3 +6731,55 @@ def orders_cohort_ltv(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "mm_magic_byte_sniffer",
+    """
+    WITH payload AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN '52494646'      -- 'RIFF'
+                    WHEN doc_id % 3 = 1 THEN '89504E47'      -- PNG
+                    ELSE upper(substr(md5(text), 1, 8)) END AS head_hex,
+               n_chars
+        FROM documents
+    )
+    SELECT CASE WHEN head_hex = '52494646' THEN 'wav'
+                WHEN head_hex = '89504E47' THEN 'png'
+                ELSE 'unknown' END AS sniffed_format,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes_proxy
+    FROM payload GROUP BY 1
+    """,
+    doc="Content-based format detection over a MIXED binary corpus: "
+    "payloads are dispatched by their leading magic bytes (RIFF/PNG "
+    "signatures vs opaque), the gate in front of any per-format decode "
+    "fan-out — never trust the declared extension at ingest.  Spark "
+    "side synthesizes real mixed payloads (synth_wav_payload / "
+    "synth_png_header / raw bytes) and sniffs hex(substring(payload, "
+    "1, 4)) in codegen; the oracle derives the identical dispatch from "
+    "row attributes.  At 100 TB the sniff is a 4-byte projection per "
+    "payload — no decode, no Python.",
+)
+def mm_magic_byte_sniffer(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    wav = M.synth_wav_payload(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "doc_id", "n_chars", F.col("wav").alias("payload")
+    )
+    png = M.synth_png_header(docs.filter(F.col("doc_id") % 3 == 1)).select(
+        "doc_id", "n_chars", F.col("png").alias("payload")
+    )
+    raw = docs.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", "n_chars", F.unhex(F.upper(F.substring(F.md5("text"), 1, 8))).alias("payload")
+    )
+    mixed = wav.unionAll(png).unionAll(raw)
+    head = F.hex(F.substring("payload", 1, 4))
+    fmt = (
+        F.when(head == "52494646", "wav")
+        .when(head == "89504E47", "png")
+        .otherwise("unknown")
+    )
+    return mixed.groupBy(fmt.alias("sniffed_format")).agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("n_chars").alias("total_bytes_proxy"),
+    )
