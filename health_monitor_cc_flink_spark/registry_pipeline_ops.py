@@ -6783,3 +6783,117 @@ def mm_magic_byte_sniffer(spark, sf_dir):
         F.count(F.lit(1)).alias("n_payloads"),
         F.sum("n_chars").alias("total_bytes_proxy"),
     )
+
+
+@query(
+    "corpus_prep_pipeline_e2e",
+    "WITH RECURSIVE " + _DUCK_SIG + """
+    , filt AS (
+        SELECT doc_id FROM documents
+        WHERE len(text) >= 100
+          AND len(string_split(text, ' ')) >= 20
+          AND len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2 >= len(text)
+    ), band AS (
+        SELECT s.doc_id, j // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
+        FROM sig s JOIN filt USING (doc_id) GROUP BY s.doc_id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
+    ), lab(node, lbl) AS (
+        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
+        UNION
+        SELECT s.a AS node, l.lbl FROM sym s JOIN lab l ON s.b = l.node
+        WHERE l.lbl < s.a
+    ), comp AS (
+        SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
+    ), keeper AS (
+        SELECT d.doc_id
+        FROM documents d JOIN filt USING (doc_id)
+        LEFT JOIN comp c ON d.doc_id = c.node
+        QUALIFY row_number() OVER (
+            PARTITION BY coalesce(c.cluster_id, d.doc_id)
+            ORDER BY d.n_chars DESC, d.doc_id) = 1
+    ), ev AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    ), contaminated AS (
+        SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id % 97 <> 0
+    ), clean AS (
+        SELECT k.doc_id FROM keeper k
+        WHERE k.doc_id % 97 <> 0
+          AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), t AS (
+        SELECT d.doc_id, d.lang,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        FROM documents d JOIN clean USING (doc_id)
+    ), c2 AS (
+        SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok
+                   AS start_tok
+        FROM t
+    )
+    SELECT lang, CAST(start_tok // 2048 AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM c2 GROUP BY lang, seq_id
+    """,
+    bench=True,
+    doc="The training-data prep pipeline END TO END, one declarative "
+    "plan: quality-filter cascade (integer rules) -> MinHash-LSH "
+    "keep-best dedup over the survivors (longest per cluster) -> "
+    "n-gram eval decontamination (drop anything sharing a 3-shingle "
+    "with the held-out slice) -> per-language 2048-token sequence "
+    "packing, emitted as per-(lang, seq) shard stats.  The data-"
+    "pipeline counterpart of health_pipeline_e2e: every stage is the "
+    "already-probed operator (filter funnel / keep-best / "
+    "decontaminate / pack) COMPOSED, proving the stages actually chain "
+    "— Catalyst sees one DAG, stages share the shingle scan, and "
+    "nothing materializes in between.  Integer-exact throughout.",
+)
+def corpus_prep_pipeline_e2e(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    filt = docs.filter(
+        (F.length("text") >= 100)
+        & (F.size(toks) >= 20)
+        & (alpha * 2 >= F.length("text"))
+    )
+    sigs = D.minhash_signature_arrays(filt, "doc_id", "text", 3, 16)
+    pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
+    comp = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    keyed = filt.join(comp, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )
+    wk = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    keeper = (
+        keyed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("doc_id")
+    )
+    sh = D.shingles(docs, "doc_id", "text", 3)
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(ev, "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        keeper.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    t = docs.join(clean, "doc_id").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    wp = Window.partitionBy("lang").orderBy(F.asc("doc_id"))
+    c2 = t.withColumn("start_tok", F.sum("n_tok").over(wp) - F.col("n_tok"))
+    return c2.groupBy(
+        "lang", F.expr("start_tok div 2048").cast("bigint").alias("seq_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
