@@ -150,6 +150,11 @@ PROBE_QUERIES = (
     "events_attribution_touchpoints",
     "orders_backlog_timeline",
     "text_lang_id_confusion",
+    # cohort LTV is two keyed aggs; sniffer is pure map over synthesized
+    # payloads; the prep e2e composes four probed stages in one DAG
+    "orders_cohort_ltv",
+    "mm_magic_byte_sniffer",
+    "corpus_prep_pipeline_e2e",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
