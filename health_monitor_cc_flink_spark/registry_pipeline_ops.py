@@ -6897,3 +6897,58 @@ def corpus_prep_pipeline_e2e(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
+
+
+@query(
+    "events_pareto_concentration",
+    """
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), vc AS (
+        SELECT n, count(*) AS n_users, sum(n) AS events_at FROM per_user GROUP BY n
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total_events,
+               CAST(count(*) AS BIGINT) AS total_users
+        FROM per_user
+    )
+    SELECT n AS min_events_per_user,
+           CAST(sum(n_users) OVER w AS BIGINT) AS n_users_at_least,
+           CAST(sum(events_at) OVER w AS BIGINT) AS events_covered,
+           t.total_events, t.total_users
+    FROM vc, tot t
+    WINDOW w AS (ORDER BY n DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Pareto/Lorenz concentration curve in exact integer form: for "
+    "every distinct per-user activity level, how many users are at or "
+    "above it and how many events they cover — the '20% of users make "
+    "80% of traffic' curve that motivates skew handling, whale "
+    "sampling and per-key rate limits (the curve's tail IS the salting "
+    "decision dq_key_skew_report summarizes).  One user_id count "
+    "shuffle, then reverse running sums on the distinct-count relation "
+    "(KS pattern).  Integers only.",
+)
+def events_pareto_concentration(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    vc = per_user.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("n").alias("events_at")
+    )
+    tot = per_user.agg(
+        F.sum("n").alias("total_events"), F.count(F.lit(1)).alias("total_users")
+    )
+    w = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        vc.select(
+            F.col("n").alias("min_events_per_user"),
+            F.sum("n_users").over(w).cast("bigint").alias("n_users_at_least"),
+            F.sum("events_at").over(w).cast("bigint").alias("events_covered"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "min_events_per_user",
+            "n_users_at_least",
+            "events_covered",
+            F.col("total_events").cast("bigint").alias("total_events"),
+            F.col("total_users").cast("bigint").alias("total_users"),
+        )
+    )

@@ -172,6 +172,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "dq_benford_first_digit",       # scalar corpus-total broadcast
         "customer_rfm_segments",        # scalar max-date broadcast
         "stats_kaplan_meier",           # scalar max-timestamp broadcast
+        "events_pareto_concentration",  # scalar totals broadcast
     }
     checked = 0
     for spec in all_queries():
