@@ -221,3 +221,47 @@ def test_observation_metrics_batch_and_stream(spark, sf_smoke_dir, tmp_path):
     assert progress, "no observed metrics in streaming progress"
     total = sum(p["observedMetrics"]["src"]["n_rows"] for p in progress)
     assert total == m["n_rows"]
+
+
+def test_join_strategy_hints(spark, sf_smoke_dir):
+    """Join hints must actually switch the physical strategy: BROADCAST
+    forces BroadcastHashJoin, MERGE forces SortMergeJoin, SHUFFLE_HASH
+    forces ShuffledHashJoin on the same query — the manual override
+    when the optimizer's size estimates are wrong at 100 TB."""
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_smoke_dir, "orders")
+    lineitem = load_table(spark, sf_smoke_dir, "lineitem")
+
+    def plan_with(hint):
+        j = lineitem.join(
+            orders.hint(hint), lineitem.l_orderkey == orders.o_orderkey
+        )
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan_with("broadcast")
+    assert "SortMergeJoin" in plan_with("merge")
+    assert "ShuffledHashJoin" in plan_with("shuffle_hash")
+
+
+def test_cbo_statistics_inform_planning(spark, sf_smoke_dir, tmp_path):
+    """Cost-based optimization: after ANALYZE TABLE COMPUTE STATISTICS,
+    the catalog carries row counts and sizes the planner can use —
+    table-level stats are the inputs to join reordering and broadcast
+    decisions on warehouses where file listing alone misestimates."""
+    spark.sql(f"CREATE TABLE IF NOT EXISTS cbo_orders USING parquet LOCATION '{sf_smoke_dir}/orders.parquet'")
+    try:
+        spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql("DESCRIBE TABLE EXTENDED cbo_orders").select(
+                F.col("col_name").alias("info_name"), F.col("data_type").alias("info_value")
+            ).collect()
+        }
+        stats = desc.get("Statistics", "")
+        assert "rows" in stats, f"no row stats recorded: {stats!r}"
+        col = spark.sql("DESCRIBE EXTENDED cbo_orders o_orderkey").collect()
+        got = {r.info_name: r.info_value for r in col}
+        assert got.get("distinct_count") not in (None, "NULL"), got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")
