@@ -6952,3 +6952,52 @@ def events_pareto_concentration(spark, sf_dir):
             F.col("total_users").cast("bigint").alias("total_users"),
         )
     )
+
+
+@query(
+    "events_ab_test_components",
+    """
+    WITH assigned AS (
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS variant,
+               user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ), per_user AS (
+        SELECT variant, user_id, max(conv) AS converted
+        FROM assigned GROUP BY variant, user_id
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
+    FROM per_user GROUP BY variant
+    """,
+    doc="A/B experiment readout: variant assignment extracted from the "
+    "JSON props payload (k % 2 — the hash-bucket assignment every "
+    "experimentation system uses), USER-level conversion (max over the "
+    "user's events, so multi-event users are not double-counted — the "
+    "unit-of-analysis mistake that invalidates naive event-level "
+    "rates), and per-variant counts whose two-proportion z follows "
+    "exactly.  JSON extraction is codegen (get_json_object), two keyed "
+    "aggregations.  A user's events can span variants only if the "
+    "assignment key does — here k varies per event, making this ALSO "
+    "the canonical sample-ratio-mismatch sanity check (users appear "
+    "in both arms; n_users sums above distinct users).",
+)
+def events_ab_test_components(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    assigned = ev.select(
+        (F.get_json_object("props", "$.k").cast("bigint") % 2).alias("variant"),
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    per_user = assigned.groupBy("variant", "user_id").agg(
+        F.max("conv").alias("converted")
+    )
+    return per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "conv_rate"
+        ),
+    )
