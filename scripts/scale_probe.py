@@ -155,6 +155,10 @@ PROBE_QUERIES = (
     "orders_cohort_ltv",
     "mm_magic_byte_sniffer",
     "corpus_prep_pipeline_e2e",
+    # pareto runs on the distinct-count relation; AB readout is two
+    # keyed aggs over codegen JSON extraction
+    "events_pareto_concentration",
+    "events_ab_test_components",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
