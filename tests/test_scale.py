@@ -265,3 +265,20 @@ def test_cbo_statistics_inform_planning(spark, sf_smoke_dir, tmp_path):
         assert got.get("distinct_count") not in (None, "NULL"), got
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_orders")
+
+
+def test_exchange_reuse_for_repeated_subplans(spark, sf_smoke_dir):
+    """The same aggregate consumed twice (self-join of a grouped
+    relation) must execute ONE shuffle and reuse it (ReusedExchange),
+    not recompute — the plan property that makes diamond-shaped DAGs
+    (totals joined back to details) affordable."""
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    big = agg.filter(F.col("n") > 0)
+    small = agg.filter(F.col("n") > 10).withColumnRenamed("n", "n2")
+    j = big.join(small, "event_type")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:1500]
