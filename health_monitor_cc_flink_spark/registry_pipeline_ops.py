@@ -7001,3 +7001,64 @@ def events_ab_test_components(spark, sf_dir):
             "conv_rate"
         ),
     )
+
+
+@query(
+    "streaming_cdc_apply",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, value AS latest_value, ts_us AS updated_at_us
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="STREAMING upsert materialization: the event stream applied as "
+    "a CDC changelog to a persistent keyed table via foreachBatch "
+    "merge — per micro-batch, the batch's per-key latest is merged "
+    "with the stored state under (event_time, event_id) last-writer-"
+    "wins, TOMBSTONES RETAINED in state (an out-of-order update "
+    "arriving after a delete must not resurrect the key), and the "
+    "final snapshot equals the batch changelog compaction exactly.  "
+    "This is the maintenance loop behind every continuously-updated "
+    "serving table; at scale the merge is per-key and the state table "
+    "is partitioned by key range.  Tombstones are filtered only at "
+    "read-out.",
+)
+def streaming_cdc_apply(spark, sf_dir):
+    import os
+    import shutil
+
+    from .registry import _warehouse_path
+    from .sources.testdata import events_stream
+
+    state_dir = _warehouse_path(sf_dir, "cdc_state")
+    ckpt = _warehouse_path(sf_dir, "cdc_ckpt")
+    for p in (state_dir, ckpt):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    from .streaming.sinks import cdc_merge_batch
+
+    merge = cdc_merge_batch(state_dir)
+    src = events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    (
+        src.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(state_dir)
+        .filter(~F.col("tombstone"))
+        .select(
+            "user_id",
+            F.col("value").alias("latest_value"),
+            F.col("ts_us").alias("updated_at_us"),
+        )
+    )

@@ -44,3 +44,52 @@ def idempotent_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return _write
+
+
+def cdc_merge_batch(state_dir: str):
+    """foreachBatch merge for streaming CDC apply: per micro-batch,
+    reduce the batch to its per-key latest, merge with the persisted
+    state under (ts_us, event_id) last-writer-wins, and KEEP tombstone
+    rows in state so an out-of-order update arriving after a delete
+    cannot resurrect the key.  Atomic swap via write-to-tmp + rename.
+
+    Expects columns (user_id, event_type, value, ts_us, event_id);
+    'error' rows are deletes.  Read-out filters tombstones.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window, functions as F
+
+    def merge(batch_df, epoch_id):
+        s = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        new = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "value",
+                "ts_us",
+                "event_id",
+                (F.col("event_type") == "error").alias("tombstone"),
+            )
+        )
+        if os.path.exists(state_dir):
+            both = s.read.parquet(state_dir).unionByName(new)
+        else:
+            both = new
+        merged = (
+            both.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = state_dir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    return merge

@@ -47,3 +47,44 @@ def test_sink_under_real_stream(spark, sf_smoke_dir, tmp_path):
     n2 = spark.read.parquet(out).count()
     expected = load_table(spark, sf_smoke_dir, "events").count()
     assert n1 == n2 == expected
+
+
+def test_cdc_merge_tombstone_not_resurrected_across_batches(spark, tmp_path):
+    """Cross-batch CDC merge semantics: a LATE update (older event time)
+    arriving in a later batch must lose to the stored tombstone, and a
+    late update must also lose to a stored newer update — last-writer-
+    wins by EVENT time, not arrival time."""
+    from health_monitor_cc_flink_spark.streaming.sinks import cdc_merge_batch
+
+    state = str(tmp_path / "cdc_state")
+    merge = cdc_merge_batch(state)
+    schema = "user_id long, event_type string, value double, ts_us long, event_id long"
+
+    # batch 1: u1 deleted at t=200; u2 updated at t=200
+    merge(
+        spark.createDataFrame(
+            [(1, "error", 0.0, 200, 10), (2, "click", 5.0, 200, 11)], schema
+        ),
+        0,
+    )
+    # batch 2 (late arrivals): u1 update at t=150 (must NOT resurrect),
+    # u2 update at t=150 (must lose), u3 fresh update
+    merge(
+        spark.createDataFrame(
+            [(1, "click", 9.0, 150, 12), (2, "click", 9.0, 150, 13),
+             (3, "view", 7.0, 100, 14)],
+            schema,
+        ),
+        1,
+    )
+    from pyspark.sql import functions as F
+
+    snap = {
+        r.user_id: (r.value, r.tombstone)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert snap[1] == (0.0, True), "tombstone resurrected by late update"
+    assert snap[2] == (5.0, False), "newer stored update lost to late arrival"
+    assert snap[3] == (7.0, False)
+    live = spark.read.parquet(state).filter(~F.col("tombstone")).count()
+    assert live == 2
