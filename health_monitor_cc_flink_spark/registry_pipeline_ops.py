@@ -7062,3 +7062,74 @@ def streaming_cdc_apply(spark, sf_dir):
             F.col("ts_us").alias("updated_at_us"),
         )
     )
+
+
+@query(
+    "dq_join_fanout_estimate",
+    """
+    WITH a AS (
+        SELECT o_custkey AS k, count(*) AS n_a FROM orders GROUP BY 1
+    ), b AS (
+        SELECT user_id % 1500 AS k, count(*) AS n_b FROM events GROUP BY 1
+    ), j AS (
+        SELECT a.k, a.n_a, b.n_b, a.n_a * b.n_b AS fanout
+        FROM a JOIN b USING (k)
+    )
+    SELECT CAST(sum(fanout) AS BIGINT) AS predicted_rows,
+           CAST(count(*) AS BIGINT) AS n_matching_keys,
+           CAST(max(fanout) AS BIGINT) AS max_key_fanout,
+           CAST(max(n_a) AS BIGINT) AS max_left_per_key,
+           CAST(max(n_b) AS BIGINT) AS max_right_per_key
+    FROM j
+    """,
+    doc="Join fan-out prediction from per-key counts: the EXACT output "
+    "cardinality of a join is the sum over matching keys of n_a*n_b — "
+    "computed here for a deliberately many-to-many pair (orders per "
+    "custkey x events per user bucket) along with the worst single-key "
+    "fan-out.  This is the pre-flight check before any fact-fact join "
+    "at 100 TB: the two grouped count relations are tiny relative to "
+    "the join they predict, and max_key_fanout is the number that "
+    "decides between a plain join, salting, or a pre-aggregation "
+    "rewrite.  Integer-exact.",
+)
+def dq_join_fanout_estimate(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("n_a"))
+    b = ev.groupBy((F.col("user_id") % 1500).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    j = a.join(b, "k").withColumn("fanout", F.col("n_a") * F.col("n_b"))
+    return j.agg(
+        F.sum("fanout").cast("bigint").alias("predicted_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max("fanout").cast("bigint").alias("max_key_fanout"),
+        F.max("n_a").cast("bigint").alias("max_left_per_key"),
+        F.max("n_b").cast("bigint").alias("max_right_per_key"),
+    )
+
+
+@query(
+    "setop_except_all",
+    """
+    SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS vbin
+    FROM events WHERE user_id % 2 = 0
+    EXCEPT ALL
+    SELECT event_type, CAST(floor(value / 100.0) AS BIGINT)
+    FROM events WHERE user_id % 3 = 0
+    """,
+    doc="EXCEPT ALL — bag semantics: each occurrence in the right side "
+    "cancels ONE occurrence on the left (multiplicity max(l-r, 0)), "
+    "unlike the set-semantics EXCEPT already covered.  The form that "
+    "matters for reconciliation over fact rows, where duplicate rows "
+    "are real events, not noise.  Both engines implement it as a "
+    "counted anti-semi aggregation — one shuffle on the row key.",
+)
+def setop_except_all(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    proj = lambda df: df.select(  # noqa: E731
+        "event_type", F.floor(F.col("value") / 100.0).cast("bigint").alias("vbin")
+    )
+    left = proj(ev.filter(F.col("user_id") % 2 == 0))
+    right = proj(ev.filter(F.col("user_id") % 3 == 0))
+    return left.exceptAll(right)
