@@ -159,6 +159,10 @@ PROBE_QUERIES = (
     # keyed aggs over codegen JSON extraction
     "events_pareto_concentration",
     "events_ab_test_components",
+    # fan-out prediction runs on two grouped-count relations; except-all
+    # is one counted anti-semi shuffle
+    "dq_join_fanout_estimate",
+    "setop_except_all",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
