@@ -7133,3 +7133,69 @@ def setop_except_all(spark, sf_dir):
     left = proj(ev.filter(F.col("user_id") % 2 == 0))
     right = proj(ev.filter(F.col("user_id") % 3 == 0))
     return left.exceptAll(right)
+
+
+@query(
+    "embedding_covariance_4x4",
+    """
+    WITH pos AS (
+        SELECT vec_id, i.i AS i,
+               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
+        FROM embeddings, range(4) i(i)
+    ), pairs AS (
+        SELECT a.i AS di, b.i AS dj, a.vm AS va, b.vm AS vb
+        FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.i <= b.i
+    ), comp AS (
+        SELECT di, dj,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(va) AS BIGINT) AS s_a,
+               CAST(sum(vb) AS BIGINT) AS s_b,
+               CAST(sum(va * vb) AS BIGINT) AS s_ab
+        FROM pairs GROUP BY di, dj
+    )
+    SELECT di, dj, n, s_a, s_b, s_ab,
+           (CAST(s_ab AS DOUBLE) / n - (CAST(s_a AS DOUBLE) / n)
+                * (CAST(s_b AS DOUBLE) / n)) / 1000000.0 AS cov
+    FROM comp
+    """,
+    doc="Exact covariance submatrix (dims 0-3) over the embedding "
+    "corpus: per dim pair, the integer milli-unit sums (n, Σa, Σb, "
+    "Σab) that define cov = E[ab]-E[a]E[b] — the ORACLE-GATED "
+    "counterpart of the rows-only distributed PCA (whose mapInPandas "
+    "covariance partials compute exactly these sums for all 64 dims; "
+    "this pins the arithmetic against an independent engine on a "
+    "verifiable slice).  One vec-key self-join bounded by the dim "
+    "count, map-side partial sums, a 10-row result.  The float cov is "
+    "a fixed IEEE expression over exact integers.",
+)
+def embedding_covariance_4x4(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 4)).alias(
+            "i", "v"
+        ),
+    ).select("vec_id", "i", F.floor(F.col("v") * 1000).cast("bigint").alias("vm"))
+    a = pos.select("vec_id", F.col("i").alias("di"), F.col("vm").alias("va"))
+    b = pos.select("vec_id", F.col("i").alias("dj"), F.col("vm").alias("vb"))
+    pairs = a.join(b, "vec_id").filter(F.col("di") <= F.col("dj"))
+    comp = pairs.groupBy("di", "dj").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("va").alias("s_a"),
+        F.sum("vb").alias("s_b"),
+        F.sum(F.col("va") * F.col("vb")).alias("s_ab"),
+    )
+    n = F.col("n").cast("double")
+    cov = (
+        F.col("s_ab").cast("double") / n
+        - (F.col("s_a").cast("double") / n) * (F.col("s_b").cast("double") / n)
+    ) / 1_000_000.0
+    return comp.select(
+        "di",
+        "dj",
+        "n",
+        F.col("s_a").cast("bigint").alias("s_a"),
+        F.col("s_b").cast("bigint").alias("s_b"),
+        F.col("s_ab").cast("bigint").alias("s_ab"),
+        cov.alias("cov"),
+    )
