@@ -163,6 +163,8 @@ PROBE_QUERIES = (
     # is one counted anti-semi shuffle
     "dq_join_fanout_estimate",
     "setop_except_all",
+    # covariance is a dim-bounded self-join with map-side partial sums
+    "embedding_covariance_4x4",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
