@@ -7199,3 +7199,46 @@ def embedding_covariance_4x4(spark, sf_dir):
         F.col("s_ab").cast("bigint").alias("s_ab"),
         cov.alias("cov"),
     )
+
+
+_RECURSIVE_BFS_SQL = """
+    WITH RECURSIVE reach(node, hop) AS (
+        SELECT DISTINCT src AS node, 0 AS hop
+        FROM {edges} WHERE src = (SELECT min(src) FROM {edges})
+        UNION ALL
+        SELECT DISTINCT e.dst, r.hop + 1
+        FROM reach r JOIN {edges} e ON e.src = r.node
+        WHERE r.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS min_hop,
+           CAST(count(*) AS BIGINT) AS n_hop_levels
+    FROM reach GROUP BY node
+"""
+
+
+@query(
+    "sql_recursive_bfs",
+    "WITH RECURSIVE " + _DUCK_KNN_GRAPH.replace("el AS", "el0 AS", 1).replace(
+        "FROM el a JOIN el b", "FROM el0 a JOIN el0 b"
+    ) + ", und AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),"
+    + _RECURSIVE_BFS_SQL.format(edges="und").replace(
+        "WITH RECURSIVE reach", "reach", 1
+    ),
+    doc="Pure-SQL recursive graph traversal (Spark 4 WITH RECURSIVE — "
+    "new SQL surface): 3-hop BFS from the smallest supplier over the "
+    "undirected k-NN graph, returning per reached node the minimum hop "
+    "AND its count of distinct reachable hop levels — both engines execute the SAME "
+    "recursive CTE text, so this pins Spark's recursion semantics "
+    "(UNION set recursion, per-iteration join) against DuckDB's; walk multiplicities under UNION ALL are implementation-defined across engines and deliberately not part of the contract.  "
+    "Complements the DataFrame-loop graph_bfs_hops: same capability, "
+    "declarative form.  Walk fan-out bounded by degree<=k per hop.",
+)
+def sql_recursive_bfs(spark, sf_dir):
+    knn = _knn_graph_directed(spark, sf_dir)
+    und = (
+        knn.select("src", "dst")
+        .union(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    und.createOrReplaceTempView("knn_edges_sqlbfs")
+    return spark.sql(_RECURSIVE_BFS_SQL.format(edges="knn_edges_sqlbfs"))
