@@ -7239,6 +7239,8 @@ def sql_recursive_bfs(spark, sf_dir):
         knn.select("src", "dst")
         .union(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        # materialize once: the recursion joins this frame every step
+        .localCheckpoint(eager=True)
     )
     und.createOrReplaceTempView("knn_edges_sqlbfs")
     return spark.sql(_RECURSIVE_BFS_SQL.format(edges="knn_edges_sqlbfs"))

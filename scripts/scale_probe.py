@@ -165,6 +165,8 @@ PROBE_QUERIES = (
     "setop_except_all",
     # covariance is a dim-bounded self-join with map-side partial sums
     "embedding_covariance_4x4",
+    # recursion: 3 bounded frontier joins on the memoized knn edges
+    "sql_recursive_bfs",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
