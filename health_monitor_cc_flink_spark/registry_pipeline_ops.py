@@ -7244,3 +7244,68 @@ def sql_recursive_bfs(spark, sf_dir):
     )
     und.createOrReplaceTempView("knn_edges_sqlbfs")
     return spark.sql(_RECURSIVE_BFS_SQL.format(edges="knn_edges_sqlbfs"))
+
+
+@query(
+    "streaming_session_paths",
+    """
+    WITH d AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), s AS (
+        SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+    ), sess AS (
+        SELECT user_id,
+               min(ts_us) AS session_start_us,
+               max(ts_us) + 1800000000 AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        FROM s GROUP BY user_id, sid
+    ), m AS (SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events)
+    SELECT user_id, session_start_us, session_end_us, n_events, path
+    FROM sess, m
+    WHERE session_end_us // 1000 <= wm_ms
+    """,
+    doc="STREAMING per-session event-path extraction: session_window "
+    "(30-min gap) + an ordered struct collect inside the streaming "
+    "aggregation, so each watermark-CLOSED session emits its full "
+    "'>'-joined event-type path exactly once — the streaming face of "
+    "sessions_event_path, and the input to live path/funnel analysis. "
+    " State per live session = its (ts, event_id, type) structs — "
+    "bounded by the session GAP (the window closes 30 min after the "
+    "last event), never by key history.  Path order is the (ts, "
+    "event_id) total order: the struct array is sorted at emission, "
+    "so arrival order cannot leak into the result.  Oracle: batch "
+    "gaps-and-islands + ordered string_agg + the watermark cutoff.",
+)
+def streaming_session_paths(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            (F.max(F.unix_micros("ts")) + 1_800_000_000).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.collect_list(
+                F.struct(F.unix_micros("ts").alias("t"), "event_id", "event_type")
+            ).alias("evs"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            F.array_join(
+                F.transform(F.array_sort("evs"), lambda r: r.event_type), ">"
+            ).alias("path"),
+        )
+    )
+    return _drain_to_memory(spark, agg, "stream_spaths_")
