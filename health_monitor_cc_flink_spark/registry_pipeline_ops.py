@@ -7309,3 +7309,53 @@ def streaming_session_paths(spark, sf_dir):
         )
     )
     return _drain_to_memory(spark, agg, "stream_spaths_")
+
+
+@query(
+    "streaming_window_funnel",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+    ), w1 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'click' THEN t END) OVER wf AS nc,
+               min(CASE WHEN event_type = 'purchase' THEN t END) OVER wf AS np
+        FROM e
+        WINDOW wf AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ), w2 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'click' THEN np END) OVER wf AS np_after_click
+        FROM w1
+        WINDOW wf AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ), m AS (SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events)
+    SELECT user_id, event_id AS signup_id, t AS signup_t,
+           CAST(CASE
+             WHEN nc IS NOT NULL AND nc - t <= 86400000000
+                  AND np_after_click IS NOT NULL
+                  AND np_after_click - t <= 86400000000 THEN 3
+             WHEN nc IS NOT NULL AND nc - t <= 86400000000 THEN 2
+             ELSE 1
+           END AS BIGINT) AS steps
+    FROM w2, m
+    WHERE event_type = 'signup'
+      AND (t + 86400000000) // 1000 < wm_ms
+    """,
+    doc="STREAMING 3-step window funnel — the Flink-CEP within(1 day) "
+    "pattern as stateful Structured Streaming: each signup is "
+    "evaluated EXACTLY ONCE when the watermark closes its full pattern "
+    "window, against the event-time-sorted buffer of that window, so "
+    "the per-signup step count equals the batch chained-window-minima "
+    "answer (funnel_window_3step's per-signup form) under ANY arrival "
+    "order.  State = event buffer bounded by pattern window + "
+    "watermark delay, pruned to the oldest OPEN signup window; idle "
+    "keys removed.  Oracle reproduces the window-closed cutoff.",
+)
+def streaming_window_funnel(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import events_stream
+    from .streaming.stateful import streaming_window_funnel as swf
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _drain_to_memory(spark, swf(ev), "stream_funnel_")

@@ -546,3 +546,129 @@ def streaming_gap_detector(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_window_funnel(
+    df: DataFrame,
+    window_us: int = 86_400_000_000,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermark-finalized 3-step window funnel (ClickHouse
+    windowFunnel semantics, streaming form of funnel_window_3step):
+    for each signup, the longest prefix of signup -> click -> purchase
+    completed IN (ts, event_id) ORDER within ``window_us`` of the
+    signup — a signup is evaluated exactly once, when the watermark
+    passes its full pattern window, against the buffered events of
+    that window.
+
+    State per key = the event buffer, bounded by pattern window +
+    watermark delay (events older than any unfinalized signup's window
+    are pruned) — the Flink-CEP `within()` bound.  Arrival order
+    cannot affect results: evaluation happens on the event-time-sorted
+    buffer only after the window closes.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("signup_id", T.LongType()),
+            T.StructField("signup_t", T.LongType()),
+            T.StructField("steps", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("t_us", T.ArrayType(T.LongType())),
+            T.StructField("event_id", T.ArrayType(T.LongType())),
+            T.StructField("event_type", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def funnel(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        k = int(key[0])
+        wm_ms = state.getCurrentWatermarkMs()
+        buf = []
+        if state.exists:
+            t_us, eid, etype = state.get
+            buf = list(zip(t_us, eid, etype))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    zip(
+                        (pdf[ts_col].astype("int64") // 1000).tolist(),
+                        pdf["event_id"].astype("int64").tolist(),
+                        pdf["event_type"].tolist(),
+                    )
+                )
+        buf.sort()
+
+        out = []
+        remaining = []
+        open_windows = []
+        for idx, (t, i, e) in enumerate(buf):
+            if e != "signup":
+                continue
+            if (t + window_us) // 1000 < wm_ms:
+                # window closed: evaluate against the sorted buffer
+                steps = 1
+                first_click = None
+                for t2, i2, e2 in buf[idx + 1:]:
+                    if e2 == "click" and t2 - t <= window_us:
+                        first_click = (t2, i2)
+                        steps = 2
+                        break
+                if first_click is not None:
+                    fc_key = first_click
+                    for t3, i3, e3 in buf[idx + 1:]:
+                        if (t3, i3) <= fc_key:
+                            continue
+                        if e3 == "purchase" and t3 - t <= window_us:
+                            steps = 3
+                            break
+                out.append((i, t, steps))
+            else:
+                open_windows.append(t)
+
+        # keep events any open signup window may still need
+        if open_windows:
+            keep_from = min(open_windows)
+        else:
+            keep_from = wm_ms * 1000 - window_us
+        finalized = {(r[1], r[0]) for r in out}  # (t, id) of emitted signups
+        for t, i, e in buf:
+            if (t, i) in finalized and e == "signup":
+                continue
+            if t >= keep_from or t // 1000 >= wm_ms:
+                remaining.append((t, i, e))
+
+        if remaining:
+            state.update(
+                (
+                    [r[0] for r in remaining],
+                    [r[1] for r in remaining],
+                    [r[2] for r in remaining],
+                )
+            )
+            if open_windows:
+                state.setTimeoutTimestamp((min(open_windows) + window_us) // 1000 + 1)
+        elif state.exists:
+            state.remove()
+
+        yield pd.DataFrame(
+            {
+                key_col: pd.Series([k] * len(out), dtype="int64"),
+                "signup_id": pd.Series([r[0] for r in out], dtype="int64"),
+                "signup_t": pd.Series([r[1] for r in out], dtype="int64"),
+                "steps": pd.Series([r[2] for r in out], dtype="int64"),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        funnel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

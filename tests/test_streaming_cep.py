@@ -171,3 +171,40 @@ def test_streaming_cep_state_survives_restart(spark, tmp_path):
         (r.user_id, r.gap_us) for r in spark.read.parquet(out_dir).collect()
     ]
     assert sorted(got) == [(1, 100_000_000), (5, 50_000_000)]  # exactly once
+
+
+def test_streaming_window_funnel_late_events_upgrade_steps(spark, tmp_path):
+    """A late click+purchase arriving after the signup was seen must
+    still produce steps=3 once the window closes — the funnel waits
+    for the full pattern window, never scores on sight."""
+    from health_monitor_cc_flink_spark.streaming.stateful import (
+        streaming_window_funnel,
+    )
+
+    src = str(tmp_path / "funnel_src")
+    now = time.time()
+    # u1: full funnel, but click/purchase arrive LATE; u2: click only
+    _write_batch(spark, [(1, "signup", 100), (1, "purchase", 300),
+                         (2, "signup", 100), (2, "click", 150)], src, "a", now - 300)
+    _write_batch(spark, [(1, "click", 200)], src, "b", now - 200)
+    _write_batch(spark, [(99, "view", 1_000_000)], src, "c", now - 100)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    out_dir = str(tmp_path / "funnel_out")
+    (
+        streaming_window_funnel(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {(r.user_id, r.steps) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, 3), (2, 2)}
