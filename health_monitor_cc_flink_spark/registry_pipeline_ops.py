@@ -7359,3 +7359,53 @@ def streaming_window_funnel(spark, sf_dir):
 
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     return _drain_to_memory(spark, swf(ev), "stream_funnel_")
+
+
+@query(
+    "text_keyword_extraction_topk",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+    ), df AS (
+        SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (
+        SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * n.n_docs / df.df DESC, tf.tf DESC, tf.w
+               ) AS rk
+        FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="Per-document keyword extraction: top-3 terms by TF-IDF-style "
+    "salience (tf * N / df — exact small-integer products divided to exactly-representable doubles on both engines; same ordering "
+    "as tf*log(N/df) for fixed tf since log is monotone, so no float "
+    "enters the ranking; full (score desc, tf desc, term) tie-break "
+    "makes the top-k total-order deterministic).  The retrieval/"
+    "tagging stage built on text_tfidf_components' relations: one "
+    "token explode, two count shuffles, one per-doc window.",
+)
+def text_keyword_extraction_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df_, "w").crossJoin(F.broadcast(n))
+    wkey = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("n_docs") / F.col("df")).desc(),
+        F.desc("tf"),
+        F.asc("w"),
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wkey))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", F.col("w").alias("term"), "tf", "df")
+    )
