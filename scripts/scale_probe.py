@@ -167,6 +167,8 @@ PROBE_QUERIES = (
     "embedding_covariance_4x4",
     # recursion: 3 bounded frontier joins on the memoized knn edges
     "sql_recursive_bfs",
+    # keyword extraction: token explode + two count shuffles + per-doc window
+    "text_keyword_extraction_topk",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
