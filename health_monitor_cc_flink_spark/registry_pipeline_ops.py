@@ -7409,3 +7409,45 @@ def text_keyword_extraction_topk(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "rk", F.col("w").alias("term"), "tf", "df")
     )
+
+
+@query(
+    "orders_yoy_growth",
+    """
+    WITH monthly AS (
+        SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+               CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE) AS revenue_prior_year,
+           CASE WHEN lag(rev, 12) OVER (ORDER BY yr, mo) IS NOT NULL THEN
+               CAST(rev AS DOUBLE) / CAST(lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE)
+           END AS yoy_ratio
+    FROM monthly
+    """,
+    doc="Year-over-year growth per month: DECIMAL-exact monthly revenue "
+    "with a lag-12 window for the prior-year comparison — the BI "
+    "reporting staple.  The window runs on the tiny month relation "
+    "(the fact table reduces first — the only scalable shape); the "
+    "ratio is a double division of exact decimals.",
+)
+def orders_yoy_growth(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy(F.asc("yr"), F.asc("mo"))
+    prior = F.lag("rev", 12).over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        F.col("rev").cast("double").alias("revenue"),
+        prior.cast("double").alias("revenue_prior_year"),
+        F.when(
+            prior.isNotNull(), F.col("rev").cast("double") / prior.cast("double")
+        ).alias("yoy_ratio"),
+    )
