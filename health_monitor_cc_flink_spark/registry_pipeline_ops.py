@@ -7451,3 +7451,100 @@ def orders_yoy_growth(spark, sf_dir):
             prior.isNotNull(), F.col("rev").cast("double") / prior.cast("double")
         ).alias("yoy_ratio"),
     )
+
+
+@query(
+    "events_new_vs_returning",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY user_id
+    ), tagged AS (
+        SELECT CAST(to_timestamp(epoch_us(e.ts) // 1000000)::DATE AS VARCHAR) AS day,
+               CASE WHEN epoch_us(e.ts) // 86400000000
+                         = f.first_us // 86400000000
+                    THEN 1 ELSE 0 END AS is_new_day,
+               e.user_id
+        FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT day,
+           CAST(count(DISTINCT CASE WHEN is_new_day = 1 THEN user_id END) AS BIGINT)
+               AS new_users,
+           CAST(count(DISTINCT CASE WHEN is_new_day = 0 THEN user_id END) AS BIGINT)
+               AS returning_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM tagged GROUP BY day
+    """,
+    doc="Growth accounting: per day, users active on their FIRST day "
+    "(new) vs users returning — the DAU decomposition behind every "
+    "growth dashboard.  First-seen is one user_id aggregation joined "
+    "back (broadcast at dashboard scale, shuffle join beyond); the "
+    "day rollup distinct-counts per class.  Integer-exact; day "
+    "emitted as ISO string for cross-engine canon.",
+)
+def events_new_vs_returning(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("t_us", _ts_us())
+    first = ev.groupBy("user_id").agg(F.min("t_us").alias("first_us"))
+    day_us = 86_400_000_000
+    tagged = ev.join(first, "user_id").select(
+        F.date_format(
+            F.timestamp_micros((F.col("t_us") / 1_000_000).cast("bigint") * 1_000_000),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.when(
+            F.expr(f"t_us div {day_us}") == F.expr(f"first_us div {day_us}"), 1
+        )
+        .otherwise(0)
+        .alias("is_new_day"),
+        "user_id",
+    )
+    return tagged.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("is_new_day") == 1, F.col("user_id"))
+        ).alias("new_users"),
+        F.countDistinct(
+            F.when(F.col("is_new_day") == 0, F.col("user_id"))
+        ).alias("returning_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "market_concentration_hhi",
+    """
+    WITH per_supp AS (
+        SELECT s.s_nationkey, l.l_suppkey, count(*) AS n
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    )
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(n) AS BIGINT) AS total_lines,
+           CAST(sum(n * n) AS BIGINT) AS sum_sq,
+           CAST(sum(n * n) AS DOUBLE)
+             / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS hhi
+    FROM per_supp GROUP BY s_nationkey
+    """,
+    doc="Herfindahl-Hirschman concentration index per nation: supplier "
+    "market shares squared and summed — computed as Σn² / N² so the "
+    "ENTIRE calculation is integer sums (no float share is ever "
+    "summed across rows; the single division happens once per group). "
+    " The antitrust/market-structure measure, and the same algebraic "
+    "trick Gini/variance ops here use to keep float summation out of "
+    "the hash gate.  Two keyed aggregations + a broadcast supplier "
+    "dim.",
+)
+def market_concentration_hhi(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").cast("double")
+    return per_supp.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("n").cast("bigint").alias("total_lines"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        (F.sum(F.col("n") * F.col("n")).cast("double") / (tot * tot)).alias("hhi"),
+    )
