@@ -169,6 +169,10 @@ PROBE_QUERIES = (
     "sql_recursive_bfs",
     # keyword extraction: token explode + two count shuffles + per-doc window
     "text_keyword_extraction_topk",
+    # BI rollups: month/day/key-grain aggregations of the fact table
+    "orders_yoy_growth",
+    "events_new_vs_returning",
+    "market_concentration_hhi",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
