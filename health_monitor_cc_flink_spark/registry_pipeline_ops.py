@@ -7548,3 +7548,73 @@ def market_concentration_hhi(spark, sf_dir):
         F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
         (F.sum(F.col("n") * F.col("n")).cast("double") / (tot * tot)).alias("hhi"),
     )
+
+
+@query(
+    "events_dau_mau_stickiness",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_no FROM events
+    ), days AS (
+        SELECT DISTINCT day_no FROM ud
+    ), dau AS (
+        SELECT day_no, count(*) AS dau FROM ud GROUP BY day_no
+    ), mau AS (
+        SELECT d.day_no, count(DISTINCT u.user_id) AS mau
+        FROM days d JOIN ud u
+          ON u.day_no BETWEEN d.day_no - 29 AND d.day_no
+        GROUP BY d.day_no
+    )
+    SELECT CAST(d.day_no AS BIGINT) AS day_no,
+           CAST(a.dau AS BIGINT) AS dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           CAST(a.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+    FROM days d JOIN dau a USING (day_no) JOIN mau m USING (day_no)
+    """,
+    doc="DAU/MAU stickiness per day: exact trailing-30-day distinct "
+    "users via a RANGE join on the REDUCED (user, day) relation — the "
+    "events table collapses to distinct user-days first (the only "
+    "part that scales with volume), and the 30x fan-out applies to "
+    "that small relation, never the fact table; the replication is an "
+    "explode to the 30 windows each user-day serves, met by an "
+    "equi-join — no inequality join plans at any scale.  "
+    "The sketch alternative (union 30 daily HLLs, "
+    "agg_hll_mergeable_rollup) trades exactness for one pass.  "
+    "Integer counts + one division.",
+)
+def events_dau_mau_stickiness(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("ts_ns div 1000 div 86400000000").alias("day_no")
+    ).distinct()
+    days = ud.select("day_no").distinct()
+    dau = ud.groupBy("day_no").agg(F.count(F.lit(1)).alias("dau"))
+    # each user-day contributes to the 30 trailing windows ending on
+    # days [day_no, day_no+29]: explode-replicate on the REDUCED
+    # relation, then equi-join — no inequality join anywhere
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_no"), F.col("day_no") + 29)
+        ).alias("d_day"),
+    )
+    mau = (
+        contrib.join(
+            F.broadcast(days.select(F.col("day_no").alias("d_day"))), "d_day"
+        )
+        .groupBy("d_day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+        .withColumnRenamed("d_day", "day_no")
+    )
+    return (
+        days.join(dau, "day_no")
+        .join(mau, "day_no")
+        .select(
+            "day_no",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
