@@ -173,6 +173,8 @@ PROBE_QUERIES = (
     "orders_yoy_growth",
     "events_new_vs_returning",
     "market_concentration_hhi",
+    # stickiness: 30x explode on the reduced user-day relation
+    "events_dau_mau_stickiness",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
