@@ -61,3 +61,36 @@ class Engine:
         from .sources.testdata import register_testdata
 
         return register_testdata(self.spark, sf_dir)
+
+    # -- registry surface -------------------------------------------------
+
+    def list_operators(self) -> list[str]:
+        """Names of every registered operator/query (the full engine
+        surface — SURVEY §2 relational/streaming ops plus the
+        training-data pipeline families)."""
+        from .registry import all_queries
+
+        return [s.name for s in all_queries()]
+
+    def run_operator(self, name: str, sf_dir: str) -> DataFrame:
+        """Run a registered operator by name against a testdata
+        directory — the one-line way for a user to execute any of the
+        260+ documented queries."""
+        from .registry import all_queries
+
+        specs = {s.name: s for s in all_queries()}
+        if name not in specs:
+            raise KeyError(
+                f"unknown operator {name!r}; see Engine.list_operators()"
+            )
+        return specs[name].fn(self.spark, sf_dir)
+
+    def describe_operator(self, name: str) -> str:
+        """The operator's documentation (semantics, exactness contract,
+        scale shape)."""
+        from .registry import all_queries
+
+        specs = {s.name: s for s in all_queries()}
+        if name not in specs:
+            raise KeyError(f"unknown operator {name!r}")
+        return specs[name].doc

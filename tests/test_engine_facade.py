@@ -25,3 +25,19 @@ def test_engine_facade_end_to_end(spark, sf_smoke_dir):
     eng.register_ml_functions()
     sql_stages = eng.run_health_pipeline_sql(events, patients_df(spark))
     assert sql_stages["heartbeat_alerts"].columns[0] == "patient_id"
+
+
+def test_registry_surface_on_facade(spark):
+    from health_monitor_cc_flink_spark.engine import Engine
+
+    eng = Engine(spark)
+    names = eng.list_operators()
+    assert len(names) > 250 and "q1_pricing_summary" in names
+    df = eng.run_operator("q1_pricing_summary", "/root/testdata/sf0.001")
+    assert df.count() > 0
+    assert "pricing" in eng.describe_operator("q1_pricing_summary").lower() or \
+           len(eng.describe_operator("q1_pricing_summary")) > 0
+    import pytest
+
+    with pytest.raises(KeyError):
+        eng.run_operator("no_such_op", "/tmp")
