@@ -173,6 +173,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "customer_rfm_segments",        # scalar max-date broadcast
         "stats_kaplan_meier",           # scalar max-timestamp broadcast
         "events_pareto_concentration",  # scalar totals broadcast
+        "text_keyword_extraction_topk", # scalar corpus-count broadcast
     }
     checked = 0
     for spec in all_queries():
