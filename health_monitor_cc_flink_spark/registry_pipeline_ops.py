@@ -7618,3 +7618,91 @@ def events_dau_mau_stickiness(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "pricing_discount_response",
+    """
+    SELECT CAST(floor(l_discount * 100) AS BIGINT) AS discount_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS net_revenue
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Discount-response curve: volume and net revenue per discount "
+    "percentage band — the pricing-analytics readout behind markdown "
+    "decisions (does a deeper discount buy enough volume to pay for "
+    "itself?).  DECIMAL-exact sums, one band-key aggregation.",
+)
+def pricing_discount_response(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("discount_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "total_qty"
+        ),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("net_revenue"),
+    )
+
+
+@query(
+    "inventory_abc_classification",
+    """
+    WITH per_part AS (
+        SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+               sum(rev) OVER () AS total_rev
+        FROM per_part
+    )
+    SELECT CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
+                WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS DOUBLE) AS revenue
+    FROM ranked GROUP BY 1
+    """,
+    doc="ABC inventory classification: parts ranked by exact DECIMAL "
+    "revenue, class A = items within the first 80% of cumulative "
+    "revenue, B to 95%, C the tail — the stock-policy classic.  The "
+    "threshold compare is exact integer-scaled DECIMAL (cum*10 <= "
+    "total*8), no float cumsum ever forms; the running sum operates "
+    "on the per-part relation (fact reduces first) with a total "
+    "(rev desc, partkey) order.  At billion-part scale the global "
+    "window decomposes exactly like corpus_curriculum_shards.",
+)
+def inventory_abc_classification(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    ranked = per_part.select(
+        "rev",
+        F.sum("rev").over(w).alias("cum_rev"),
+        F.sum("rev").over(wt).alias("total_rev"),
+    )
+    cls = (
+        F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 8, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
