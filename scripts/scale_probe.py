@@ -175,6 +175,9 @@ PROBE_QUERIES = (
     "market_concentration_hhi",
     # stickiness: 30x explode on the reduced user-day relation
     "events_dau_mau_stickiness",
+    # pricing bands are one key agg; ABC windows run on the per-part relation
+    "pricing_discount_response",
+    "inventory_abc_classification",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
