@@ -7706,3 +7706,59 @@ def inventory_abc_classification(spark, sf_dir):
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "pricing_realization_by_brand",
+    """
+    WITH sold AS (
+        SELECT l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS net
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(s.qty) AS DOUBLE) AS total_qty,
+           CAST(sum(s.net) AS DOUBLE) AS net_revenue,
+           CAST(sum(s.qty * CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS list_revenue,
+           CAST(sum(s.net) AS DOUBLE)
+             / CAST(sum(s.qty * CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS realization_rate
+    FROM sold s JOIN part p ON s.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Price realization by brand: net revenue actually captured vs "
+    "revenue at list price (qty x retail) — the margin-leakage report "
+    "pricing teams live in.  All sums DECIMAL-exact (qty x retail is "
+    "decimal x decimal), doubles only at the edge; fact reduces per "
+    "part before the broadcast dim join.",
+)
+def pricing_realization_by_brand(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    sold = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("net"),
+    )
+    j = sold.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_retailprice")),
+        sold.l_partkey == F.col("p_partkey"),
+    )
+    list_rev = F.sum(
+        F.col("qty") * F.col("p_retailprice").cast("decimal(18,2)")
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("qty").cast("double").alias("total_qty"),
+        F.sum("net").cast("double").alias("net_revenue"),
+        list_rev.cast("double").alias("list_revenue"),
+        (F.sum("net").cast("double") / list_rev.cast("double")).alias(
+            "realization_rate"
+        ),
+    )
