@@ -7762,3 +7762,92 @@ def pricing_realization_by_brand(spark, sf_dir):
             "realization_rate"
         ),
     )
+
+
+@query(
+    "orders_aging_buckets",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    open_orders AS (
+        SELECT o_orderkey, o_totalprice,
+               date_diff('day', o_orderdate, mx.dmax) AS age_days
+        FROM orders, mx WHERE o_orderstatus = 'O'
+    )
+    SELECT CAST(least(age_days // 30, 12) AS BIGINT) AS age_bucket_months,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_value
+    FROM open_orders GROUP BY 1
+    """,
+    doc="Receivables aging: OPEN orders bucketed by age in 30-day "
+    "periods (capped at 12+) with DECIMAL-exact open value — the "
+    "finance-close report for outstanding exposure.  Scalar max-date "
+    "broadcast + one bucket aggregation.",
+)
+def orders_aging_buckets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    open_orders = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .withColumn("age_days", F.datediff("dmax", "o_orderdate"))
+    )
+    return open_orders.groupBy(
+        F.least(F.floor(F.col("age_days") / 30), F.lit(12))
+        .cast("bigint")
+        .alias("age_bucket_months")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("open_value"),
+    )
+
+
+@query(
+    "events_error_budget_sli",
+    """
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day_no,
+               count(*) AS n,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(day_no AS BIGINT) AS day_no,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(n_err AS BIGINT) AS n_errors,
+           CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) AS error_rate,
+           (n_err * 100 > n) AS slo_breach,
+           CAST(sum(n_err) OVER (ORDER BY day_no
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_errors,
+           CAST(sum(n) OVER (ORDER BY day_no
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_events
+    FROM daily
+    """,
+    doc="SLI/error-budget report: daily error rate against a 1% SLO "
+    "(breach flagged in integer arithmetic: n_err*100 > n) plus "
+    "cumulative error-budget consumption — the SRE readout for the "
+    "pipeline itself, sibling to the downtime detectors.  One day "
+    "rollup; running sums on the day relation.",
+)
+def events_error_budget_sli(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("ts_ns div 1000 div 86400000000").alias("day_no")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+    )
+    w = Window.orderBy(F.asc("day_no")).rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day_no").cast("bigint").alias("day_no"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_err").cast("bigint").alias("n_errors"),
+        (F.col("n_err").cast("double") / F.col("n").cast("double")).alias(
+            "error_rate"
+        ),
+        (F.col("n_err") * 100 > F.col("n")).alias("slo_breach"),
+        F.sum("n_err").over(w).cast("bigint").alias("cum_errors"),
+        F.sum("n").over(w).cast("bigint").alias("cum_events"),
+    )
