@@ -178,6 +178,10 @@ PROBE_QUERIES = (
     # pricing bands are one key agg; ABC windows run on the per-part relation
     "pricing_discount_response",
     "inventory_abc_classification",
+    # aging/SLI/realization: key-grain rollups + scalar broadcasts
+    "pricing_realization_by_brand",
+    "orders_aging_buckets",
+    "events_error_budget_sli",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
