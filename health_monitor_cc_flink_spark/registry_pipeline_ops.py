@@ -7851,3 +7851,87 @@ def events_error_budget_sli(spark, sf_dir):
         F.sum("n_err").over(w).cast("bigint").alias("cum_errors"),
         F.sum("n").over(w).cast("bigint").alias("cum_events"),
     )
+
+
+@query(
+    "returns_rate_by_brand",
+    """
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returned,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS return_rate,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         ELSE 0 END) AS DOUBLE) AS returned_value
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Return-rate by brand: returned-line share and DECIMAL-exact "
+    "returned value per brand — the product-quality feedback loop "
+    "(q10 finds the customers; this finds the merchandise).  One "
+    "broadcast dim join + one brand rollup.",
+)
+def returns_rate_by_brand(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(ret).cast("bigint").alias("n_returned"),
+            (F.sum(ret).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "return_rate"
+            ),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.col("l_extendedprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("returned_value"),
+        )
+    )
+
+
+@query(
+    "events_traffic_profile",
+    """
+    WITH g AS (
+        SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_cells FROM g)
+    SELECT dow, hod, CAST(n AS BIGINT) AS n,
+           (n * n_cells > total) AS above_uniform
+    FROM g, t
+    """,
+    doc="Traffic heatmap profile: event counts per (day-of-week, "
+    "hour-of-day) cell with an integer-arithmetic above-uniform flag — "
+    "the capacity-planning / trigger-tuning view of load periodicity "
+    "(feeds the same decisions as the cadence histogram, on the "
+    "calendar axis).  One cell rollup + scalar totals.  Cross-engine pitfall "
+    "pinned: Spark dayofweek is 1=Sunday, DuckDB's is 0=Sunday — the "
+    "oracle shifts to the Spark convention.",
+)
+def events_traffic_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(_ts_us())
+    )
+    g = ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_cells"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hod",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n") * F.col("n_cells") > F.col("total")).alias("above_uniform"),
+    )

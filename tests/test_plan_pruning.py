@@ -175,6 +175,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "events_pareto_concentration",  # scalar totals broadcast
         "text_keyword_extraction_topk", # scalar corpus-count broadcast
         "orders_aging_buckets",         # scalar max-date broadcast
+        "events_traffic_profile",       # scalar totals broadcast
     }
     checked = 0
     for spec in all_queries():
