@@ -182,6 +182,8 @@ PROBE_QUERIES = (
     "pricing_realization_by_brand",
     "orders_aging_buckets",
     "events_error_budget_sli",
+    "returns_rate_by_brand",
+    "events_traffic_profile",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
