@@ -208,3 +208,42 @@ def test_streaming_window_funnel_late_events_upgrade_steps(spark, tmp_path):
     )
     got = {(r.user_id, r.steps) for r in spark.read.parquet(out_dir).collect()}
     assert got == {(1, 3), (2, 2)}
+
+
+def test_streaming_window_funnel_state_survives_restart(spark, tmp_path):
+    """Funnel buffer must persist across checkpointed restarts: signup
+    in run 1, its click/purchase + sentinel in run 2 — the signup is
+    scored once, correctly, after recovery."""
+    from health_monitor_cc_flink_spark.streaming.stateful import (
+        streaming_window_funnel,
+    )
+
+    src = str(tmp_path / "f2_src")
+    out_dir = str(tmp_path / "f2_out")
+    ckpt = str(tmp_path / "f2_ckpt")
+    now = time.time()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+        )
+        (
+            streaming_window_funnel(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    _write_batch(spark, [(1, "signup", 100)], src, "a", now - 300)
+    run_once()
+    _write_batch(spark, [(1, "click", 200), (1, "purchase", 300),
+                         (99, "view", 1_000_000)], src, "b", now - 200)
+    run_once()
+    got = [(r.user_id, r.steps) for r in spark.read.parquet(out_dir).collect()]
+    assert got == [(1, 3)]
