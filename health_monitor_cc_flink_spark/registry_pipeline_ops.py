@@ -7935,3 +7935,100 @@ def events_traffic_profile(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         (F.col("n") * F.col("n_cells") > F.col("total")).alias("above_uniform"),
     )
+
+
+@query(
+    "sessions_bounce_rate",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+    ), marked AS (
+        SELECT user_id, t,
+               CASE WHEN t - lag(t) OVER w > 1800000000 OR lag(t) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), sess AS (
+        SELECT user_id,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+               t
+        FROM marked
+    ), per_sess AS (
+        SELECT user_id, sid,
+               CAST(min(t) // 86400000000 AS BIGINT) AS day_no,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT day_no,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS bounce_rate
+    FROM per_sess GROUP BY day_no
+    """,
+    doc="Bounce rate per day: single-event sessions over total sessions "
+    "(30-min gap sessionization) — the engagement-quality headline "
+    "metric.  Rides the sessionize_gaps_islands shuffle; day rollup on "
+    "the per-session relation.  Integer counts + one division.",
+)
+def sessions_bounce_rate(spark, sf_dir):
+    gap = 1_800_000_000
+    ev = _t(spark, sf_dir, "events").withColumn("t", _ts_us())
+    wo = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id"))
+    marked = ev.select(
+        "user_id",
+        "t",
+        F.when(
+            (F.col("t") - F.lag("t").over(wo) > gap)
+            | F.lag("t").over(wo).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    ws = Window.partitionBy("user_id").orderBy(F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marked.withColumn("sid", F.sum("is_start").over(ws))
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.expr("min(t) div 86400000000").cast("bigint").alias("day_no"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_sess.groupBy("day_no").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        (bounce.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "bounce_rate"
+        ),
+    )
+
+
+@query(
+    "orders_fulfillment_lag",
+    """
+    WITH lag_days AS (
+        SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(least(greatest(d, 0) // 7, 16) AS BIGINT) AS lag_weeks,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lag_days GROUP BY 1
+    """,
+    doc="Fulfillment-lag distribution: order-to-ship delay per line in "
+    "week buckets (capped at 16+) — the operations view of delivery "
+    "performance that q4's priority counts summarize away.  One key "
+    "join + one bucket rollup; integer-exact.",
+)
+def orders_fulfillment_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff("l_shipdate", "o_orderdate").alias("d")
+    )
+    return j.groupBy(
+        F.least(F.floor(F.greatest(F.col("d"), F.lit(0)) / 7), F.lit(16))
+        .cast("bigint")
+        .alias("lag_weeks")
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
