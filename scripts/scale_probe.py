@@ -184,6 +184,8 @@ PROBE_QUERIES = (
     "events_error_budget_sli",
     "returns_rate_by_brand",
     "events_traffic_profile",
+    "sessions_bounce_rate",
+    "orders_fulfillment_lag",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
