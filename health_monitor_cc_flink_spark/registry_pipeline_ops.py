@@ -8032,3 +8032,51 @@ def orders_fulfillment_lag(spark, sf_dir):
         .cast("bigint")
         .alias("lag_weeks")
     ).agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+@query(
+    "graph_assortativity_components",
+    f"""
+    WITH {_DUCK_KNN_GRAPH}, und AS (
+        SELECT src, dst FROM knn UNION SELECT dst, src FROM knn
+    ), deg AS (
+        SELECT src AS node, count(*) AS d FROM und GROUP BY src
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+           CAST(sum(da.d) AS BIGINT) AS s_u,
+           CAST(sum(db.d) AS BIGINT) AS s_v,
+           CAST(sum(da.d * db.d) AS BIGINT) AS s_uv,
+           CAST(sum(da.d * da.d) AS BIGINT) AS s_uu,
+           CAST(sum(db.d * db.d) AS BIGINT) AS s_vv
+    FROM und e
+    JOIN deg da ON e.src = da.node
+    JOIN deg db ON e.dst = db.node
+    """,
+    doc="Degree-assortativity components of the undirected k-NN graph: "
+    "the exact integer sums (m, Σdu, Σdv, Σdu·dv, Σdu², Σdv²) from "
+    "which the Pearson degree correlation follows in one closed-form "
+    "expression — assortative (hubs link hubs) vs disassortative "
+    "structure decides whether hub-removal or random sampling changes "
+    "connectivity, a pre-flight for graph-based dedup/sampling "
+    "decisions.  Rides the memoized edge list + one degree join; "
+    "no float ever forms.",
+)
+def graph_assortativity_components(spark, sf_dir):
+    knn = _knn_graph_directed(spark, sf_dir)
+    und = (
+        knn.select("src", "dst")
+        .union(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("dv"))
+    e = und.join(da, "src").join(db, "dst")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_dir_edges"),
+        F.sum("du").cast("bigint").alias("s_u"),
+        F.sum("dv").cast("bigint").alias("s_v"),
+        F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("s_uv"),
+        F.sum(F.col("du") * F.col("du")).cast("bigint").alias("s_uu"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("s_vv"),
+    )
