@@ -186,6 +186,7 @@ PROBE_QUERIES = (
     "events_traffic_profile",
     "sessions_bounce_rate",
     "orders_fulfillment_lag",
+    "graph_assortativity_components",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
