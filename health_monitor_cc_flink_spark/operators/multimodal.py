@@ -225,7 +225,7 @@ def synth_wav_payload(df: DataFrame, id_col: str = "doc_id",
         _hexle(F.lit(16), 2),           # bits per sample
         F.lit("64617461"),              # 'data'
         _hexle(data_size, 4),
-        F.repeat(F.lit("00"), (data_size * 2).cast("int")),  # silence PCM
+        F.repeat(F.lit("00"), data_size.cast("int")),  # silence PCM ("00" = 1 byte)
     )
     return df.withColumn("wav", F.unhex(hex_str))
 

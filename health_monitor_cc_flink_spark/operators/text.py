@@ -140,7 +140,10 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str,
         import pandas as pd
 
         for pdf in batches:
-            raw = [t.encode("utf-8") for t in pdf[text_col]]
+            # NULL text must not abort the job: treat it as empty (ratio
+            # defaults to 1.0 below, raw_bytes 0 — a downstream filter can
+            # drop or flag it).
+            raw = [(t or "").encode("utf-8") for t in pdf[text_col]]
             comp = [len(zlib.compress(b, level)) for b in raw]
             yield pd.DataFrame(
                 {

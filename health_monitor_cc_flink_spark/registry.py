@@ -118,12 +118,16 @@ def all_queries() -> list[QuerySpec]:
         green, checked = set(), set()
 
     def band(spec: QuerySpec) -> tuple[int, int]:
-        if spec.name in checked and spec.name not in green:
-            primary = 0  # previously red
+        if spec.name in checked and spec.name not in green and spec.oracle:
+            # Genuinely red: an oracle-bearing query whose driver check
+            # failed.  Rows-only queries (oracle=None) can never hash-match,
+            # so once checked they are DONE — putting them here would waste
+            # a window slot re-verifying them every round.
+            primary = 0
         elif spec.name not in checked:
             primary = 1  # never driver-checked
         else:
-            primary = 2  # already green
+            primary = 2  # already green (or rows-only already recorded)
         return (primary, 0 if spec.oracle else 1)
 
     return sorted(_REGISTRY, key=band)

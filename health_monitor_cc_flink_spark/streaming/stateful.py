@@ -286,9 +286,19 @@ def streaming_rate_limit_first_n(
                     pdf["event_id"].astype("int64").tolist(),
                     pdf["event_type"].tolist(),
                 ):
-                    windows.setdefault((t // window_us) * window_us, []).append(
-                        (t, i, e)
-                    )
+                    w = (t // window_us) * window_us
+                    # Late-data contract (same as Spark's built-in windowed
+                    # aggregation): a row whose window end is already below
+                    # the watermark is dropped.  Without this, a row landing
+                    # after its window was finalized-and-removed would be
+                    # re-emitted as a fresh window with seq restarting at 1
+                    # (duplicate window_start_us in the append output), and
+                    # a row landing in the gap between the watermark passing
+                    # and the timer firing would mutate an already-decided
+                    # top-n — nondeterministic under replay either way.
+                    if (w + window_us) // 1000 < wm_ms:
+                        continue
+                    windows.setdefault(w, []).append((t, i, e))
 
         out_rows = []
         open_ends = []
@@ -439,6 +449,10 @@ def streaming_cep_click_purchase(
         # the click, so it expires with it
         if last_click >= 0 and last_click // 1000 < wm_ms - pattern_window_us // 1000:
             last_click, last_err = -1, -1
+        if last_click < 0:
+            # an error only gates a click that PRECEDES it; with no carried
+            # click it can never affect a future match — dead state
+            last_err = -1
 
         if not remainder and last_click < 0 and last_err < 0:
             if state.exists:
@@ -458,6 +472,14 @@ def streaming_cep_click_purchase(
                 # unfinalized event (strictly > current watermark by the
                 # t_ms >= wm_ms invariant above)
                 state.setTimeoutTimestamp(remainder[0][0] // 1000 + 1)
+            else:
+                # only a carried click survives: arm its TTL so a
+                # permanently idle key is still cleaned up when the
+                # watermark passes click + pattern window (without this,
+                # the TTL branch above only runs if new data arrives)
+                state.setTimeoutTimestamp(
+                    last_click // 1000 + pattern_window_us // 1000 + 1
+                )
         yield _emit(matches, k)
 
     return df.groupBy(key_col).applyInPandasWithState(

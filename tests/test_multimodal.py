@@ -86,6 +86,10 @@ def test_wav_synthesis_is_genuine_wav_and_parse_roundtrips(spark):
         assert f.getnframes() == r.n_samples
         # duration from the reference decoder's own arithmetic
         assert r.duration_us == f.getnframes() * 1_000_000 // f.getframerate()
+        # strict RIFF consistency: the actual byte length must equal the
+        # canonical 44-byte header + declared data payload (no trailing
+        # bytes a length-based consumer would flag)
+        assert len(bytes(r.wav)) == 44 + r.data_size
 
 
 def test_wav_parse_plan_stays_in_codegen(spark):

@@ -208,3 +208,11 @@ def test_text_compression_ratio_semantics(spark, specs):
     )
     pr = {r.doc_id: r.compression_ratio for r in compression_ratio(probe, "doc_id", "text").collect()}
     assert pr[0] < pr[1] / 2
+
+    # NULL text must not abort the job: treated as empty, ratio 1.0
+    nulls = spark.createDataFrame(
+        [(0, None), (1, "some real text here")], "doc_id long, text string"
+    )
+    nr = {r.doc_id: r for r in compression_ratio(nulls, "doc_id", "text").collect()}
+    assert nr[0].raw_bytes == 0 and nr[0].compression_ratio == 1.0
+    assert nr[1].raw_bytes == len(b"some real text here")

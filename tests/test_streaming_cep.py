@@ -247,3 +247,99 @@ def test_streaming_window_funnel_state_survives_restart(spark, tmp_path):
     run_once()
     got = [(r.user_id, r.steps) for r in spark.read.parquet(out_dir).collect()]
     assert got == [(1, 3)]
+
+
+def test_streaming_rate_limit_drops_late_rows_for_finalized_windows(
+    spark, tmp_path
+):
+    """An event arriving AFTER the watermark already finalized (and
+    removed) its window must be dropped, not re-emitted as a fresh
+    window with seq restarting at 1 — append output must contain each
+    (key, window) exactly once."""
+    from health_monitor_cc_flink_spark.streaming.stateful import (
+        streaming_rate_limit_first_n,
+    )
+
+    src = str(tmp_path / "rl_src")
+    now = time.time()
+    _write_batch(spark, [(1, "click", 70), (1, "click", 80), (1, "click", 90)],
+                 src, "a", now - 400)
+    _write_batch(spark, [(99, "view", 10_000)], src, "b", now - 300)  # finalize
+    _write_batch(spark, [(1, "click", 75)], src, "c", now - 200)      # LATE
+    _write_batch(spark, [(99, "view", 20_000)], src, "d", now - 100)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    out_dir = str(tmp_path / "rl_out")
+    (
+        streaming_rate_limit_first_n(stream, n_keep=2, window_us=60_000_000)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = [
+        r for r in spark.read.parquet(out_dir).collect() if r.user_id == 1
+    ]
+    # the first n_keep=2 by EVENT time (70, 80) — the late 75 must NOT
+    # resurrect the window, and no (key, window) appears twice
+    assert sorted(r.ts_us - BASE * 1_000_000 for r in rows) == [
+        70_000_000, 80_000_000
+    ]
+    assert sorted((r.window_start_us, r.seq_in_window) for r in rows) == [
+        ((BASE * 1_000_000 + 60_000_000) // 60_000_000 * 60_000_000, 1),
+        ((BASE * 1_000_000 + 60_000_000) // 60_000_000 * 60_000_000, 2),
+    ]
+
+
+def test_streaming_cep_idle_key_state_is_cleaned_up(spark, tmp_path):
+    """A key whose only event is a click (never a purchase, never any
+    further data) must not keep state forever: the carry-TTL timer must
+    fire off the watermark alone and remove the state row."""
+    src = str(tmp_path / "idle_src")
+    out_dir = str(tmp_path / "idle_out")
+    ckpt = str(tmp_path / "idle_ckpt")
+    now = time.time()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+        )
+        q = (
+            streaming_cep_click_purchase(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1: the click is finalized (wm passes it) but the carry TTL has
+    # not expired yet (wm < click + 30 min) — carry survives with a timer
+    _write_batch(spark, [(1, "click", 100)], src, "a", now - 300)
+    _write_batch(spark, [(99, "view", 4_700)], src, "b", now - 200)
+    q1 = run_once()
+    # 2 state rows: key 1's surviving carry + key 99's own in-flight
+    # sentinel event (still above the watermark)
+    assert q1.lastProgress["stateOperators"][0]["numRowsTotal"] == 2
+
+    # run 2: ONLY a watermark-advancing sentinel — no data for key 1.
+    # The armed timer must fire, expire the carry, and remove key 1's
+    # state; only key 99's new in-flight sentinel row remains.
+    _write_batch(spark, [(99, "view", 100_000)], src, "c", now - 100)
+    q2 = run_once()
+    assert q2.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+    assert spark.read.parquet(out_dir).count() == 0  # and no spurious matches
