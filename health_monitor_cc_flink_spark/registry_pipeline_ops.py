@@ -6787,16 +6787,41 @@ def mm_magic_byte_sniffer(spark, sf_dir):
 
 @query(
     "corpus_prep_pipeline_e2e",
-    "WITH RECURSIVE " + _DUCK_SIG + """
-    , filt AS (
-        SELECT doc_id FROM documents
-        WHERE len(text) >= 100
+    f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+        WHERE doc_id % 97 <> 0
+          AND len(text) >= 100
           AND len(string_split(text, ' ')) >= 20
           AND len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2 >= len(text)
+    ), sh AS (
+        SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), etok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents WHERE doc_id % 97 = 0
+    ), ev AS (
+        SELECT DISTINCT w || ' ' || lead(w, 1) OVER ewin || ' ' || lead(w, 2) OVER ewin AS shingle
+        FROM etok WINDOW ewin AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER ewin IS NOT NULL
+    ), hv AS (
+        SELECT doc_id, {_H32} AS h32,
+               CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END AS contam
+        FROM sh
+    ), sig AS (
+        SELECT doc_id, c.j, min((c.a * h32 + c.b) % {D.MINHASH_PRIME}) AS mh
+        FROM hv CROSS JOIN (VALUES {_COEF_VALUES}) c(j, a, b)
+        GROUP BY doc_id, c.j
+    ), contaminated AS (
+        SELECT doc_id FROM hv GROUP BY doc_id HAVING max(contam) = 1
     ), band AS (
-        SELECT s.doc_id, j // 4 AS band,
+        SELECT doc_id, j // 4 AS band,
                string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
-        FROM sig s JOIN filt USING (doc_id) GROUP BY s.doc_id, j // 4
+        FROM sig GROUP BY doc_id, j // 4
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM band a JOIN band b
@@ -6812,20 +6837,14 @@ def mm_magic_byte_sniffer(spark, sf_dir):
         SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
     ), keeper AS (
         SELECT d.doc_id
-        FROM documents d JOIN filt USING (doc_id)
+        FROM documents d JOIN (SELECT DISTINCT doc_id FROM sh) f USING (doc_id)
         LEFT JOIN comp c ON d.doc_id = c.node
         QUALIFY row_number() OVER (
             PARTITION BY coalesce(c.cluster_id, d.doc_id)
             ORDER BY d.n_chars DESC, d.doc_id) = 1
-    ), ev AS (
-        SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
-    ), contaminated AS (
-        SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
-        WHERE s.doc_id % 97 <> 0
     ), clean AS (
         SELECT k.doc_id FROM keeper k
-        WHERE k.doc_id % 97 <> 0
-          AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
     ), t AS (
         SELECT d.doc_id, d.lang,
                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
@@ -6843,26 +6862,77 @@ def mm_magic_byte_sniffer(spark, sf_dir):
     bench=True,
     doc="The training-data prep pipeline END TO END, one declarative "
     "plan: quality-filter cascade (integer rules) -> MinHash-LSH "
-    "keep-best dedup over the survivors (longest per cluster) -> "
-    "n-gram eval decontamination (drop anything sharing a 3-shingle "
-    "with the held-out slice) -> per-language 2048-token sequence "
-    "packing, emitted as per-(lang, seq) shard stats.  The data-"
-    "pipeline counterpart of health_pipeline_e2e: every stage is the "
-    "already-probed operator (filter funnel / keep-best / "
-    "decontaminate / pack) COMPOSED, proving the stages actually chain "
-    "— Catalyst sees one DAG, stages share the shingle scan, and "
-    "nothing materializes in between.  Integer-exact throughout.",
+    "keep-best dedup over the train-side survivors (longest per "
+    "cluster) -> n-gram eval decontamination (drop anything sharing a "
+    "3-shingle with the held-out 1/97 slice) -> per-language 2048-token "
+    "sequence packing, emitted as per-(lang, seq) shard stats.  The "
+    "data-pipeline counterpart of health_pipeline_e2e: every stage is "
+    "the already-probed operator (filter funnel / keep-best / "
+    "decontaminate / pack) COMPOSED, proving the stages actually chain. "
+    "ONE shingle explode feeds both dedup and decontamination: the "
+    "MinHash minima and the contamination flag come out of the SAME "
+    "groupBy(doc_id) over the train-side shingle relation (bag "
+    "semantics — min over a bag equals min over the set), and the "
+    "resulting per-doc table (17 ints/doc) is checkpointed so its two "
+    "consumers (band join, contamination anti-join) never re-run the "
+    "explode (column pruning specializes the branches, defeating "
+    "ReusedExchange — pinned in tests/test_plan_pruning.py).  Eval-"
+    "side shingles come from a separate scan that reads only the 1/97 "
+    "held-out slice.  At 100 TB the token explode is the dominant cost "
+    "— this halves it vs the naive two-relation form.  Integer-exact "
+    "throughout.",
 )
 def corpus_prep_pipeline_e2e(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-    filt = docs.filter(
+    qual = (
         (F.length("text") >= 100)
         & (F.size(toks) >= 20)
         & (alpha * 2 >= F.length("text"))
     )
-    sigs = D.minhash_signature_arrays(filt, "doc_id", "text", 3, 16)
+    # train side: quality survivors with the eval slice held out up front
+    filt = docs.filter(qual & (F.col("doc_id") % 97 != 0))
+    # eval-side shingles: a separate scan touching only the 1/97 slice
+    ev = (
+        D.shingles(docs.filter(F.col("doc_id") % 97 == 0), "doc_id", "text", 3)
+        .select("shingle")
+        .distinct()
+        .withColumn("contam", F.lit(1))
+    )
+    # ONE shingle explode over the train survivors (bag semantics: min over
+    # the bag == min over the set, and existence is existence); signature
+    # minima AND the contamination flag come out of the same groupBy so the
+    # sig consumer and the contaminated consumer share this exchange
+    sh = D.shingles(filt, "doc_id", "text", 3, distinct=False)
+    coeffs = D.minhash_coefficients(16)
+    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    per_doc = (
+        sh.join(ev, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * h32 + F.lit(b)) % F.lit(D.MINHASH_PRIME)).alias(
+                    f"mh{j}"
+                )
+                for j, (a, b) in enumerate(coeffs)
+            ],
+            F.max(F.coalesce(F.col("contam"), F.lit(0))).alias("contam"),
+        )
+    )
+    # Materialize per_doc ONCE: it has two consumers (the band join and the
+    # contamination anti-join), and Catalyst's column pruning specializes
+    # each branch's aggregate (one keeps the minima, the other the contam
+    # flag), which defeats ReusedExchange and would re-run the corpus
+    # explode per branch.  per_doc is 17 ints/doc — vanishingly small next
+    # to the shingle relation it collapses — so checkpointing it is exactly
+    # what a 100 TB run would do (persist the signature table, never
+    # re-shingle).  Verified by tests/test_plan_pruning.py: the train-side
+    # explode executes exactly once per pipeline run.
+    per_doc = per_doc.localCheckpoint(eager=True)
+    sigs = per_doc.select(
+        "doc_id", F.array(*[F.col(f"mh{j}") for j in range(16)]).alias("sig")
+    )
     pairs = D.lsh_candidate_pairs(D.lsh_bands_from_arrays(sigs, "doc_id", 4), "doc_id")
     comp = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
     keyed = filt.join(comp, "doc_id", "left").withColumn(
@@ -6874,18 +6944,8 @@ def corpus_prep_pipeline_e2e(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("doc_id")
     )
-    sh = D.shingles(docs, "doc_id", "text", 3)
-    ev = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
-    contaminated = (
-        sh.filter(F.col("doc_id") % 97 != 0)
-        .join(ev, "shingle")
-        .select("doc_id")
-        .distinct()
-    )
-    clean = (
-        keeper.filter(F.col("doc_id") % 97 != 0)
-        .join(contaminated, "doc_id", "left_anti")
-    )
+    contaminated = per_doc.filter(F.col("contam") == 1).select("doc_id")
+    clean = keeper.join(contaminated, "doc_id", "left_anti")
     t = docs.join(clean, "doc_id").select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
     )

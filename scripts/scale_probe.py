@@ -306,7 +306,164 @@ def longkey(spark, mult: int, implementation: str) -> float:
     return round(best, 2)
 
 
+def _bootstrap_protobuf() -> None:
+    """Same shim as tests/conftest.py: the transformWithStateInPandas
+    state protocol needs google.protobuf, vendored here by the Cloud SDK.
+    Must run before the JVM starts so workers inherit PYTHONPATH."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    vendored = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if not os.path.isdir(os.path.join(vendored, "google", "protobuf")):
+        return
+    sys.path.append(vendored)
+    existing = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = f"{existing}{os.pathsep if existing else ''}{vendored}"
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+
+
+def longkey_stream(spark, mult: int, variant: str) -> dict:
+    """Streaming counterpart of the long-key probe: the same constant-key
+    (10 patients) × ``mult``-history shape, drained through the streaming
+    stateful ML paths in 4 time-sliced micro-batches.
+
+    variant 'aipws' = streaming_detect_anomalies (applyInPandasWithState,
+    capped ring buffer, default HDFS-backed store); variant 'tws' =
+    tws_detect_anomalies (transformWithStateInPandas under RocksDB).
+    Both cap per-key history (max_history), so state rows AND bytes must
+    stay ~flat as history grows — that is the claim this probe pins;
+    drain time may grow ~linearly (every row is scored once).
+    Returns {seconds, state_rows, state_bytes, out_rows}."""
+    import shutil
+    import tempfile
+
+    from health_monitor_cc_flink_spark.fixtures import health_events_df
+
+    flat = (
+        health_events_df(spark, n_ticks=2400 * mult, interval_s=0.5, seed=42)
+        .select(
+            F.col("patient_id").cast("long").alias("patient_id"),
+            "event_time",
+            F.col("vitals.heart_rate").cast("double").alias("observed_value"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix=f"lkstream_{variant}_{mult}x_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    # 4 event-time slices, one file each with increasing mtimes so
+    # maxFilesPerTrigger=1 yields 4 in-order micro-batches per key
+    cuts = list(
+        flat.selectExpr(
+            "CAST(percentile(unix_micros(event_time), 0.25) AS BIGINT) AS q1",
+            "CAST(percentile(unix_micros(event_time), 0.50) AS BIGINT) AS q2",
+            "CAST(percentile(unix_micros(event_time), 0.75) AS BIGINT) AS q3",
+        ).first()
+    )
+    bounds = [None, *cuts, None]
+    now = time.time()
+    for i in range(4):
+        part = flat
+        if bounds[i] is not None:
+            part = part.filter(F.unix_micros("event_time") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.unix_micros("event_time") <= bounds[i + 1])
+        pdir = os.path.join(tmp, f"p{i}")
+        part.coalesce(1).write.parquet(pdir)
+        pf = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i}.parquet")
+        shutil.copyfile(os.path.join(pdir, pf), dst)
+        os.utime(dst, (now - 400 + i * 100, now - 400 + i * 100))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if variant == "tws":
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    try:
+        stream = (
+            spark.readStream.schema(flat.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("event_time", "10 minutes")
+        )
+        if variant == "tws":
+            from health_monitor_cc_flink_spark.streaming.tws import (
+                tws_detect_anomalies,
+            )
+
+            flagged = tws_detect_anomalies(
+                stream, value_col="observed_value", ts_col="event_time",
+                key_col="patient_id", min_training_size=30,
+            )
+        else:
+            from health_monitor_cc_flink_spark.streaming.stateful import (
+                streaming_detect_anomalies,
+            )
+
+            flagged = streaming_detect_anomalies(
+                stream, value_col="observed_value", ts_col="event_time",
+                key_col="patient_id", min_training_size=30,
+            )
+        t0 = time.perf_counter()
+        q = (
+            flagged.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        secs = time.perf_counter() - t0
+        state = {"rows": None, "bytes": None, "out_rows": 0}
+        for p in q.recentProgress:
+            state["out_rows"] += sum(s.get("numOutputRows", 0) for s in [p["sink"]])
+            if p.get("stateOperators"):
+                state["rows"] = p["stateOperators"][0]["numRowsTotal"]
+                state["bytes"] = p["stateOperators"][0]["memoryUsedBytes"]
+        return {
+            "seconds": round(secs, 2),
+            "state_rows": state["rows"],
+            "state_bytes": state["bytes"],
+            "out_rows": state["out_rows"],
+        }
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--longkey-stream":
+        _bootstrap_protobuf()
+        mult = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        spark = build_session(
+            app_name="scale-probe-longkey-stream",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS','32')}]",
+            shuffle_partitions=8,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        out = {}
+        for variant in ("aipws", "tws"):
+            out[variant] = {
+                "1x": longkey_stream(spark, 1, variant),
+                f"{mult}x": longkey_stream(spark, mult, variant),
+            }
+        print(
+            json.dumps(
+                {"probe": "longkey_stream_10_patients", "mult": mult, "variants": out}
+            ),
+            flush=True,
+        )
+        spark.stop()
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "--longkey":
         mult = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         spark = build_session(
