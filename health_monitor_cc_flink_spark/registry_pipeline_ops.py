@@ -8140,3 +8140,187 @@ def graph_assortativity_components(spark, sf_dir):
         F.sum(F.col("du") * F.col("du")).cast("bigint").alias("s_uu"),
         F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("s_vv"),
     )
+
+
+@query(
+    "semdedup_cluster_prune",
+    """
+    WITH sgn AS (
+        SELECT j.j AS j, i.i AS i,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(8) j(j), range(64) i(i)
+    ), pos AS (
+        SELECT vec_id, i.i AS i,
+               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
+        FROM embeddings, range(64) i(i)
+    ), dots AS (
+        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
+        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
+    ), cellt AS (
+        SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
+        FROM dots GROUP BY vec_id
+    ), dropped AS (
+        SELECT DISTINCT cb.vec_id
+        FROM cellt ca JOIN cellt cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+        JOIN embeddings a ON a.vec_id = ca.vec_id
+        JOIN embeddings b ON b.vec_id = cb.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+    )
+    SELECT c.cell, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM cellt c LEFT JOIN dropped d USING (vec_id)
+    GROUP BY c.cell
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the "
+    "embedding space, prune near-identical members within each cluster): "
+    "coarse cells from the deterministic 8-bit hyperplane quantizer (same "
+    "md5-derived construction as ann_lsh_hyperplane_buckets — exact "
+    "integer milli-unit dots, zero shuffle), then within-cell cosine "
+    "pairs >= 0.9 mark every vector with a lower-id near-dup cell-mate as "
+    "dropped; emitted as per-cell (members, dropped) counts.  Scale "
+    "shape: the pairwise step is an equi-join on cell (never cross-cell), "
+    "so cost is sum(|cell|^2) — n_bits grows with the corpus exactly like "
+    "the SemDeDup paper's k (cells ~ n/avg_cluster), keeping cells "
+    "bounded; the threshold is margin-safe (planted dups at cos~1.0 vs "
+    "0.41 background), so float cosine never decides a count.",
+)
+def semdedup_cluster_prune(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = S.hyperplane_lsh_bucket(
+        emb, "vec_id", "embedding", n_bits=8, dim=64
+    ).withColumnRenamed("bucket8", "cell")
+    m = emb.join(cells, "vec_id")
+    pairs = S.embedding_near_dup_pairs(m, threshold=0.9, block_col="cell")
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
+        "is_drop", F.lit(1)
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("is_drop", F.lit(0))).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "dq_contamination_report",
+    """
+    WITH etok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents WHERE doc_id % 97 = 0
+    ), esh AS (
+        SELECT DISTINCT doc_id AS eval_id,
+               w || ' ' || lead(w, 1) OVER ewin || ' ' || lead(w, 2) OVER ewin AS shingle
+        FROM etok WINDOW ewin AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER ewin IS NOT NULL
+    ), ttok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents WHERE doc_id % 97 <> 0
+    ), tsh AS (
+        SELECT DISTINCT doc_id AS train_id,
+               w || ' ' || lead(w, 1) OVER twin || ' ' || lead(w, 2) OVER twin AS shingle
+        FROM ttok WINDOW twin AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER twin IS NOT NULL
+    ), hits AS (
+        SELECT eval_id, CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs,
+               CAST(count(DISTINCT e.shingle) AS BIGINT) AS n_shared_shingles
+        FROM esh e JOIN tsh t USING (shingle)
+        GROUP BY eval_id
+    )
+    SELECT d.doc_id AS eval_id,
+           coalesce(h.n_train_docs, 0) AS n_train_docs,
+           coalesce(h.n_shared_shingles, 0) AS n_shared_shingles
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.eval_id
+    WHERE d.doc_id % 97 = 0
+    """,
+    doc="Contamination REPORT (the audit view decontamination pipelines "
+    "ship alongside the drop): for every held-out eval doc, how many "
+    "train docs share at least one 3-shingle with it and how many of its "
+    "shingle types are compromised — zeros included, so a clean eval "
+    "suite is a visible all-zero report, not an empty one.  Scale shape: "
+    "inverted-index equi-join on shingle with the eval side 1/97 of the "
+    "corpus (broadcastable), two countDistincts on one shuffle; the "
+    "inverse view of text_decontaminate_eval_overlap over the same join.",
+)
+def dq_contamination_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    esh = D.shingles(
+        docs.filter(F.col("doc_id") % 97 == 0), "doc_id", "text", 3
+    ).withColumnRenamed("doc_id", "eval_id")
+    tsh = D.shingles(
+        docs.filter(F.col("doc_id") % 97 != 0), "doc_id", "text", 3
+    ).withColumnRenamed("doc_id", "train_id")
+    hits = esh.join(tsh, "shingle").groupBy("eval_id").agg(
+        F.countDistinct("train_id").alias("n_train_docs"),
+        F.countDistinct("shingle").alias("n_shared_shingles"),
+    )
+    base = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id")
+    )
+    return (
+        base.join(hits, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_train_docs", F.lit(0)).cast("bigint").alias("n_train_docs"),
+            F.coalesce("n_shared_shingles", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_shingles"),
+        )
+    )
+
+
+@query(
+    "streaming_topk_trending",
+    """
+    WITH w AS (
+        SELECT epoch_us(ts) // 60000000 * 60 AS window_start_s, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT (max(epoch_us(ts)) // 1000 - 600000) AS wm_ms FROM events
+    ), f AS (
+        SELECT window_start_s, event_type, n,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start_s ORDER BY n DESC, event_type
+               ) AS BIGINT) AS rk
+        FROM w, m WHERE (window_start_s + 60) * 1000 <= wm_ms
+    )
+    SELECT window_start_s, event_type, n, rk FROM f WHERE rk <= 3
+    """,
+    doc="Streaming 'trending now': 1-minute tumbling event-type counts "
+    "under a 10-min watermark (append emission, availableNow drain — the "
+    "oracle reproduces the final-watermark cutoff exactly, same "
+    "convention as streaming_tumble_minute), then the top-3 types per "
+    "finalized window with a deterministic (count DESC, type ASC) "
+    "tie-break.  The rank runs BATCH on the drained finalized windows — "
+    "ranking inside append-mode streaming would re-emit on every update; "
+    "rank-after-finalize is the correct streaming top-k shape.  Scale: "
+    "one windowed count shuffle (types x windows cardinality), rank on "
+    "the reduced relation.",
+)
+def streaming_topk_trending(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"), "event_type", "n"
+        )
+    )
+    out = _drain_to_memory(spark, agg, "stream_topk_")
+    wr = Window.partitionBy("window_start_s").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        out.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )
