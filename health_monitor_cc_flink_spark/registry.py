@@ -114,20 +114,23 @@ def all_queries() -> list[QuerySpec]:
             hist = json.load(f)
         green = set(hist.get("green", {}))
         checked = set(hist.get("checked", {}))
+        rows_recorded = set(hist.get("rows_recorded", {}))
     except (OSError, ValueError):
-        green, checked = set(), set()
+        green, checked, rows_recorded = set(), set(), set()
 
     def band(spec: QuerySpec) -> tuple[int, int]:
-        if spec.name in checked and spec.name not in green and spec.oracle:
-            # Genuinely red: an oracle-bearing query whose driver check
-            # failed.  Rows-only queries (oracle=None) can never hash-match,
-            # so once checked they are DONE — putting them here would waste
-            # a window slot re-verifying them every round.
-            primary = 0
+        # "done" = hash-green for oracle-bearing queries; for rows-only
+        # queries (oracle=None, can never hash-match) = a CLEAN rows-only
+        # row was recorded (err=no_oracle with a row count).  A rows-only
+        # query that appeared in a window but CRASHED is still red and
+        # re-surfaces to prove the fix.
+        done = green if spec.oracle else (green | rows_recorded)
+        if spec.name in checked and spec.name not in done:
+            primary = 0  # previously red (hash mismatch or crash)
         elif spec.name not in checked:
             primary = 1  # never driver-checked
         else:
-            primary = 2  # already green (or rows-only already recorded)
+            primary = 2  # done
         return (primary, 0 if spec.oracle else 1)
 
     return sorted(_REGISTRY, key=band)

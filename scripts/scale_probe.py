@@ -187,6 +187,13 @@ PROBE_QUERIES = (
     "sessions_bounce_rate",
     "orders_fulfillment_lag",
     "graph_assortativity_components",
+    # round-6 additions: semdedup's pairwise step is equi-join-bounded per
+    # hyperplane cell (cells ~ n/avg_cluster at fixed n_bits, so the x4
+    # probe stresses growing cells — the knob a real run turns is n_bits);
+    # the contamination report is the decontaminate inverted-index join
+    # plus two countDistincts on one shuffle
+    "semdedup_cluster_prune",
+    "dq_contamination_report",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
@@ -421,7 +428,9 @@ def longkey_stream(spark, mult: int, variant: str) -> dict:
         secs = time.perf_counter() - t0
         state = {"rows": None, "bytes": None, "out_rows": 0}
         for p in q.recentProgress:
-            state["out_rows"] += sum(s.get("numOutputRows", 0) for s in [p["sink"]])
+            # some sinks report -1 when counts are unknown; don't let that
+            # subtract from the total
+            state["out_rows"] += max(0, p["sink"].get("numOutputRows", 0))
             if p.get("stateOperators"):
                 state["rows"] = p["stateOperators"][0]["numRowsTotal"]
                 state["bytes"] = p["stateOperators"][0]["memoryUsedBytes"]

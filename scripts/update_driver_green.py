@@ -28,7 +28,8 @@ def main() -> None:
     except OSError:
         hist = {"green": {}, "checked": {}}
 
-    n_new_green = n_new_checked = 0
+    hist.setdefault("rows_recorded", {})
+    n_new_green = n_new_checked = n_new_rows = 0
     for name, res in results.items():
         if name not in hist["checked"]:
             hist["checked"][name] = round_tag
@@ -41,18 +42,29 @@ def main() -> None:
         ):
             hist["green"][name] = round_tag
             n_new_green += 1
+        if (
+            res.get("err") == "no_oracle"
+            and res.get("spark_rows") is not None
+            and name not in hist["rows_recorded"]
+        ):
+            hist["rows_recorded"][name] = round_tag
+            n_new_rows += 1
 
     hist["_doc"] = (
         "Driver-gate history: 'checked' = query appeared in a CORRECTNESS_r{N} "
-        "window; 'green' = rows+schema+hash all true at least once. "
-        "registry.all_queries() orders red-then-never-checked-then-green so the "
-        "driver's 50-query window rotates."
+        "window; 'green' = rows+schema+hash all true at least once; "
+        "'rows_recorded' = an oracle-less query produced a clean rows-only row "
+        "(err=no_oracle with a row count — NOT a crash). "
+        "registry.all_queries() orders red-then-never-checked-then-done: a "
+        "rows-only query is done once rows_recorded, red if it appeared but "
+        "crashed."
     )
     with open(GREEN_PATH, "w") as f:
         json.dump(hist, f, indent=1, sort_keys=True)
     print(
-        f"{round_tag}: +{n_new_checked} checked, +{n_new_green} green "
-        f"(totals: {len(hist['checked'])} checked, {len(hist['green'])} green)"
+        f"{round_tag}: +{n_new_checked} checked, +{n_new_green} green, "
+        f"+{n_new_rows} rows-recorded (totals: {len(hist['checked'])} checked, "
+        f"{len(hist['green'])} green, {len(hist['rows_recorded'])} rows-recorded)"
     )
 
 

@@ -97,7 +97,10 @@ def test_eager_queries_scalar_output_schemas(spark, sf_smoke_dir):
         "ann_pq_persisted_topk",
         "ann_ivfpq_persisted_topk",
         "dedup_clusters",
+        "sql_surface_q1",
     }
+    # together with test_no_cartesian_sweep (whose skip set equals this
+    # include set) every all_queries() entry is schema-gated exactly once
     checked = 0
     for spec in all_queries():
         if not (spec.name.startswith(eager_prefixes) or spec.name in eager_names):
@@ -201,40 +204,22 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
     assert checked > 100, f"sweep only covered {checked} queries"
 
 
-def test_remaining_query_output_schemas_are_scalar(spark, sf_smoke_dir):
-    """Completes the output-schema gate over the WHOLE registry: the
-    queries test_no_cartesian_sweep skips (streaming drains, source
-    round-trips, fixture-building health/simulator/cdc queries, eager
-    persisted-ANN builds) still must not emit top-level ArrayType /
-    MapType columns — the driver's canonicalizer factorizes every
-    column to sort rows and ndarray cells are unhashable (the exact
-    agg_approx_battery crash from round 4).  Together the two tests
-    cover every all_queries() entry."""
-    import pyspark.sql.types as T
-
+def test_corpus_prep_consumers_never_rerun_the_explode(spark, sf_smoke_dir):
+    """corpus_prep_pipeline_e2e materializes the per-doc signature/contam
+    table once (localCheckpoint) precisely because its two consumers
+    would otherwise each re-run the corpus token explode (column pruning
+    specializes the branches and defeats ReusedExchange).  Pin it: the
+    returned plan must contain ZERO Generate (explode) nodes — every
+    shingle explode happened exactly once, inside the checkpoint job —
+    and must read the checkpointed RDD instead."""
     from health_monitor_cc_flink_spark.registry import all_queries
 
-    skip_prefixes = ("streaming_", "source_", "health_", "simulator_", "cdc_")
-    skip_names = {
-        "dedup_clusters",
-        "sql_surface_q1",
-        "ann_ivf_persisted_topk",
-        "ann_pq_persisted_topk",
-        "ann_ivfpq_persisted_topk",
-    }
-    checked = 0
-    for spec in all_queries():
-        if not (spec.name in skip_names or spec.name.startswith(skip_prefixes)):
-            continue  # covered by test_no_cartesian_sweep
-        df = spec.fn(spark, sf_smoke_dir)
-        boxed = [
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType))
-        ]
-        assert not boxed, (
-            f"{spec.name} outputs top-level array/map columns {boxed} — "
-            "the driver canonicalizer cannot sort/hash these"
-        )
-        checked += 1
-    assert checked >= 40, f"schema sweep only covered {checked} queries"
+    spec = next(s for s in all_queries() if s.name == "corpus_prep_pipeline_e2e")
+    df = spec.fn(spark, sf_smoke_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, (
+        "a consumer re-ran the shingle explode — the localCheckpoint of "
+        "per_doc was removed or bypassed"
+    )
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan

@@ -343,3 +343,50 @@ def test_streaming_cep_idle_key_state_is_cleaned_up(spark, tmp_path):
     q2 = run_once()
     assert q2.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
     assert spark.read.parquet(out_dir).count() == 0  # and no spurious matches
+
+
+def test_streaming_rate_limit_state_survives_restart(spark, tmp_path):
+    """Stop before finalization and RESTART from the checkpoint: the
+    buffered per-(key, window) best-n state must persist, fold in a
+    pre-watermark row from the second run, and emit the event-time
+    first-2 exactly once across both runs."""
+    from health_monitor_cc_flink_spark.streaming.stateful import (
+        streaming_rate_limit_first_n,
+    )
+
+    src = str(tmp_path / "rlr_src")
+    out_dir = str(tmp_path / "rlr_out")
+    ckpt = str(tmp_path / "rlr_ckpt")
+    now = time.time()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+        )
+        (
+            streaming_rate_limit_first_n(stream, n_keep=2, window_us=60_000_000)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    _write_batch(spark, [(1, "click", 70), (1, "click", 80), (1, "click", 90)],
+                 src, "a", now - 300)
+    run_once()  # watermark below the window end: nothing emitted yet
+    assert spark.read.parquet(out_dir).count() == 0
+    # run 2: a still-open-window row with an EARLIER event time than the
+    # buffered best, plus the finalizing sentinel
+    _write_batch(spark, [(1, "click", 65)], src, "b", now - 200)
+    _write_batch(spark, [(99, "view", 10_000)], src, "c", now - 100)
+    run_once()
+    rows = [r for r in spark.read.parquet(out_dir).collect() if r.user_id == 1]
+    assert sorted((r.ts_us - BASE * 1_000_000, r.seq_in_window) for r in rows) == [
+        (65_000_000, 1), (70_000_000, 2)
+    ]
