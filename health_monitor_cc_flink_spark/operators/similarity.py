@@ -266,6 +266,7 @@ def hyperplane_lsh_bucket(
     vec_col: str,
     n_bits: int = 16,
     dim: int = 64,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Random-hyperplane LSH signature per vector (SimHash for cosine
     space): bit j = sign(⟨v, h_j⟩) where hyperplane h_j has deterministic
@@ -306,7 +307,11 @@ def hyperplane_lsh_bucket(
           ) > 0,
           shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
     """
-    return df.select(F.col(id_col), F.expr(bucket).alias(f"bucket{n_bits}"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.expr(bucket).alias(f"bucket{n_bits}"),
+    )
 
 
 def norm2_milli(

@@ -8324,3 +8324,76 @@ def streaming_topk_trending(spark, sf_dir):
         out.withColumn("rk", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "streaming_semdedup_ingest",
+    """
+    WITH sgn AS (
+        SELECT j.j AS j, i.i AS i,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(8) j(j), range(64) i(i)
+    ), pos AS (
+        SELECT vec_id, i.i AS i,
+               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
+        FROM embeddings, range(64) i(i)
+    ), dots AS (
+        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
+        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
+    ), cellt AS (
+        SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
+        FROM dots GROUP BY vec_id
+    ), dropped AS (
+        SELECT DISTINCT cb.vec_id
+        FROM cellt ca JOIN cellt cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+        JOIN embeddings a ON a.vec_id = ca.vec_id
+        JOIN embeddings b ON b.vec_id = cb.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+    )
+    SELECT c.vec_id, c.cell,
+           CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dropped
+    FROM cellt c LEFT JOIN dropped d USING (vec_id)
+    """,
+    doc="ONLINE SemDeDup under the hash gate: the embedding table as an "
+    "ingest stream, coarse hyperplane cell computed as a pure map "
+    "(streaming-safe codegen), then per-cell stateful dedup decisions "
+    "via applyInPandasWithState — state per cell is the full member set "
+    "seen so far (the online dedup index; a real deployment stores "
+    "int8/PQ codes, see operators.similarity).  Emits one immutable "
+    "decision row per vector (append, exactly once): dropped iff any "
+    "lower-vec_id cell-mate has cosine >= 0.9 — the batch "
+    "semdedup_cluster_prune rule, which the oracle reproduces per "
+    "vector.  The availableNow drain processes each cell's rows in one "
+    "invocation sorted by vec_id, so the streamed decisions equal the "
+    "batch rule exactly; under multi-batch ingest the contract is "
+    "prefix-consistency (decisions immutable, state complete).  Scale "
+    "shape: ONE shuffle on cell (= the state-store partition key), "
+    "within-cell work bounded by cell population like the batch query.",
+)
+def streaming_semdedup_ingest_q(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from .registry import _drain_to_memory
+    from .streaming.stateful import streaming_semdedup_ingest
+
+    sch = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    cells = S.hyperplane_lsh_bucket(
+        stream, "vec_id", "embedding", n_bits=8, dim=64, carry_cols=("embedding",)
+    ).withColumnRenamed("bucket8", "cell")
+    flagged = streaming_semdedup_ingest(cells)
+    out = _drain_to_memory(spark, flagged, "stream_semdedup_")
+    return out.select("vec_id", "cell", "is_dropped")

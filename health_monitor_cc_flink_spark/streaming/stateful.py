@@ -10,10 +10,12 @@ large enough that AR(1) coefficients are statistically indistinguishable
 from the full-history fit.  The deviation is documented engine behavior.
 
 Ordering: rows are scored in event-time order *within* the
-concatenation of (buffered history, this batch).  Cross-batch
-out-of-order data beyond the buffer horizon is scored against the
-available history (micro-batch approximation; the batch operator is the
-semantics reference).
+concatenation of (buffered history, this batch).  Rows BELOW the
+watermark are dropped (the standard late-data contract; appending them
+would interleave the AR history out of event order).  In-watermark
+cross-batch disorder is scored against the available history
+(micro-batch approximation; the batch operator is the semantics
+reference).
 """
 
 from __future__ import annotations
@@ -80,6 +82,16 @@ def streaming_detect_anomalies(
         n_hist = len(hist_vals)
 
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # Late-data contract (same as the rate limiter / Spark built-ins):
+        # rows below the watermark are dropped, not scored — appending
+        # them would interleave the AR history out of event order.
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            batch = batch[(batch[ts_col].astype("int64") // 1_000_000) >= wm_ms]
+        if batch.empty:
+            if state.exists:
+                state.update((hist_ts[-max_history:], hist_vals[-max_history:]))
+            return
         batch = batch.sort_values([ts_col, value_col], kind="mergesort")
         new_ts = (batch[ts_col].astype("int64") // 1000).tolist()  # ns → µs
         new_vals = batch[value_col].astype(float).tolist()
@@ -171,6 +183,14 @@ def streaming_forecast(
         n_hist = len(hist_vals)
 
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # same late-data contract as streaming_detect_anomalies
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            batch = batch[(batch[ts_col].astype("int64") // 1_000_000) >= wm_ms]
+        if batch.empty:
+            if state.exists:
+                state.update((hist_ts[-max_history:], hist_vals[-max_history:]))
+            return
         batch = batch.sort_values([ts_col, value_col], kind="mergesort")
         new_ts = (batch[ts_col].astype("int64") // 1000).tolist()
         new_vals = batch[value_col].astype(float).tolist()
@@ -696,4 +716,110 @@ def streaming_window_funnel(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_semdedup_ingest(
+    df: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Online SemDeDup: per-cell semantic dedup decisions on an
+    embedding INGEST stream — the streaming counterpart of the batch
+    ``semdedup_cluster_prune`` registry query.
+
+    Input must already carry the coarse-quantizer cell
+    (``hyperplane_lsh_bucket`` with ``carry_cols=(vec_col,)`` — a pure
+    map, streaming-safe).  State per cell = ALL members seen so far
+    (ids + flattened vectors): the rule is the batch one — a vector is
+    dropped iff ANY lower-id cell-mate has cosine ≥ threshold —
+    so keeping only kept exemplars would under-drop (a dropped member
+    can still prove a later vector duplicate).  Emits one decision row
+    per input vector, exactly once (append).
+
+    Determinism contract: with in-order ingest (monotone ``id_col``,
+    the natural ingest key) the emitted decisions equal the batch rule
+    for every prefix of the stream; a lower-id vector arriving AFTER a
+    higher-id one was decided cannot retro-drop it (decisions are
+    immutable appends) but does join the state for future comparisons.
+
+    100 TB: state is the online dedup index (dim doubles/member).  A
+    real deployment shards it by cell (this operator's grouping key =
+    the state-store partition key) and stores int8/PQ codes instead of
+    raw doubles (operators. similarity has both quantizers); the
+    decision math is unchanged.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("is_dropped", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("flat", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def dedup(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        cell = int(key[0])
+        if state.exists:
+            ids, flat = state.get
+            ids = list(ids)
+            flat = list(flat)
+        else:
+            ids, flat = [], []
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(id_col, kind="mergesort")
+        new_ids = batch[id_col].astype("int64").tolist()
+        new_vecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+        ).reshape(len(new_ids), -1)
+
+        members = (
+            np.array(flat, dtype=np.float64).reshape(len(ids), -1)
+            if ids
+            else np.empty((0, new_vecs.shape[1]))
+        )
+        member_ids = np.array(ids, dtype=np.int64)
+        member_norms = np.linalg.norm(members, axis=1) if ids else np.empty(0)
+
+        decisions = []
+        for vid, v in zip(new_ids, new_vecs):
+            nv = np.linalg.norm(v)
+            dropped = 0
+            if len(member_ids):
+                lower = member_ids < vid
+                if lower.any():
+                    cos = (members[lower] @ v) / (member_norms[lower] * nv)
+                    if (cos >= threshold).any():
+                        dropped = 1
+            decisions.append((vid, dropped))
+            member_ids = np.append(member_ids, vid)
+            members = np.vstack([members, v[None, :]])
+            member_norms = np.append(member_norms, nv)
+
+        state.update((member_ids.tolist(), members.ravel().tolist()))
+        yield pd.DataFrame(
+            {
+                "vec_id": pd.Series([d[0] for d in decisions], dtype="int64"),
+                "cell": pd.Series([cell] * len(decisions), dtype="int64"),
+                "is_dropped": pd.Series([d[1] for d in decisions], dtype="int64"),
+            }
+        )
+
+    return df.groupBy(cell_col).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -390,3 +390,54 @@ def test_streaming_rate_limit_state_survives_restart(spark, tmp_path):
     assert sorted((r.ts_us - BASE * 1_000_000, r.seq_in_window) for r in rows) == [
         (65_000_000, 1), (70_000_000, 2)
     ]
+
+
+def test_streaming_anomalies_drop_below_watermark_rows(spark, tmp_path):
+    """A row arriving below the watermark must be dropped by the
+    streaming scorer, not appended out-of-event-order into the AR
+    history: the emitted set contains only the in-watermark rows, and
+    the late row produces no output row."""
+    from health_monitor_cc_flink_spark.streaming.stateful import (
+        streaming_detect_anomalies,
+    )
+
+    src = str(tmp_path / "anom_src")
+    now = time.time()
+    # batch a: 40 in-order points for key 1 (offsets 0..39 s)
+    _write_batch(spark, [(1, "v", i) for i in range(40)], src, "a", now - 400)
+    # batch b: far-future row pushes the watermark past batch a
+    _write_batch(spark, [(1, "v", 100_000)], src, "b", now - 300)
+    # batch c: LATE row (below the watermark now at 100_000 - 3600)
+    _write_batch(spark, [(1, "v", 50)], src, "c", now - 200)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    # score event_id as the value column (deterministic integers)
+    flagged = streaming_detect_anomalies(
+        stream.withColumn("value", F.col("event_id").cast("double")),
+        value_col="value",
+        ts_col="ts",
+        key_col="user_id",
+        min_training_size=30,
+    )
+    out_dir = str(tmp_path / "anom_out")
+    (
+        flagged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "anom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got_ts = sorted(
+        r.event_timestamp.timestamp() - BASE
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # 40 batch-a rows + the future sentinel row; the late offset-50 row
+    # must NOT appear (and must not have corrupted the history order)
+    assert got_ts == [float(i) for i in range(40)] + [100_000.0]
