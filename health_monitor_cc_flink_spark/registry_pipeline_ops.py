@@ -8397,3 +8397,67 @@ def streaming_semdedup_ingest_q(spark, sf_dir):
     flagged = streaming_semdedup_ingest(cells)
     out = _drain_to_memory(spark, flagged, "stream_semdedup_")
     return out.select("vec_id", "cell", "is_dropped")
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    """
+    WITH sgn AS (
+        SELECT j.j AS j, i.i AS i,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(8) j(j), range(64) i(i)
+    ), pos AS (
+        SELECT vec_id, i.i AS i,
+               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
+        FROM embeddings, range(64) i(i)
+    ), dots AS (
+        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
+        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
+    ), cellt AS (
+        SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
+        FROM dots GROUP BY vec_id
+    ), qcell AS (
+        SELECT cell AS qc FROM cellt WHERE vec_id = 0
+    ), probes AS (
+        SELECT qc AS cell FROM qcell
+        UNION
+        SELECT xor(qc, 1 << b.b) FROM qcell, range(8) b(b)
+    ), q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+        SELECT c.vec_id FROM cellt c JOIN probes USING (cell)
+    )
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Multiprobe hyperplane-LSH ANN under the HASH GATE — the one ANN "
+    "variant whose full path (bucketing, probe-set expansion, candidate "
+    "retrieval, exact rerank) is deterministic enough for value-hash "
+    "verification, complementing the rows-only IVF/PQ family: 8-bit "
+    "md5-derived cells (exact integer milli-unit dots on both engines), "
+    "probe set = the query's cell plus all 8 Hamming-1 neighbors "
+    "(multiprobe: recover near-misses that a single hyperplane sign flip "
+    "pushed next door — the standard fix for single-bucket LSH recall), "
+    "exact cosine rerank of candidates only, deterministic (cos DESC, "
+    "vec_id) tie-break.  Scale shape: cells are computed map-side; the "
+    "9-cell probe set is a static IN-filter — on a cell-partitioned "
+    "layout (see ann_ivf_persisted_topk) it prunes to 9/256 of the "
+    "files; the rerank touches candidates only, never the corpus.",
+)
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = S.hyperplane_lsh_bucket(emb, "vec_id", "embedding", n_bits=8, dim=64)
+    qc = cells.filter(F.col("vec_id") == 0).select("bucket8").first()[0]
+    probes = [qc] + [qc ^ (1 << b) for b in range(8)]
+    cand = cells.filter(F.col("bucket8").isin(probes)).select("vec_id")
+    qv = _query_vec(spark, sf_dir)
+    topk = S.brute_force_topk(emb.join(cand, "vec_id"), qv, k=10)
+    return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
