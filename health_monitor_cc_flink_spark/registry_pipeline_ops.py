@@ -1706,6 +1706,9 @@ def clear_knn_graph_cache(spark=None):
     lsh_sessions = [spark] if spark is not None else list(_LSH_CLUSTER_CACHE.keys())
     for s in lsh_sessions:
         _LSH_CLUSTER_CACHE.pop(s, None)  # checkpointed frames; nothing persisted
+    bpe_sessions = [spark] if spark is not None else list(_BPE_MERGE_CACHE.keys())
+    for s in bpe_sessions:
+        _BPE_MERGE_CACHE.pop(s, None)  # plain lists; nothing persisted
 
 
 #: LSH connected-component labels memoized per (session, sf_dir): four
