@@ -8464,3 +8464,174 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
     topk = S.brute_force_topk(emb.join(cand, "vec_id"), qv, k=10)
     return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "semdedup_planted_prune",
+    """
+    WITH ids AS (
+        SELECT r.r AS vec_id,
+               CASE WHEN r.r % 10 = 7 THEN r.r - 1 ELSE r.r END AS eff_id
+        FROM range(150) r(r)
+    ), comp AS (
+        SELECT vec_id,  i.i AS i,
+               (('0x' || substr(md5(eff_id || '_' || i.i), 1, 1))::INT * 2 - 15) / 16.0
+               + CASE WHEN i.i = 0 AND vec_id % 10 = 7 THEN 0.125 ELSE 0.0 END AS v
+        FROM ids, range(64) i(i)
+    ), sgn AS (
+        SELECT j.j AS j, i.i AS i,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(8) j(j), range(64) i(i)
+    ), dots AS (
+        SELECT c.vec_id, g.j, CAST(sum(CAST(floor(c.v * 1000) AS BIGINT) * g.s) AS BIGINT) AS d
+        FROM comp c JOIN sgn g USING (i) GROUP BY 1, 2
+    ), cellt AS (
+        SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
+        FROM dots GROUP BY vec_id
+    ), norm2 AS (
+        SELECT vec_id, sum(v * v) AS n2 FROM comp GROUP BY vec_id
+    ), dotp AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dp
+        FROM comp a JOIN comp b USING (i)
+        JOIN cellt ca ON ca.vec_id = a.vec_id
+        JOIN cellt cb ON cb.vec_id = b.vec_id
+        WHERE a.vec_id < b.vec_id AND ca.cell = cb.cell
+        GROUP BY 1, 2
+    ), dropped AS (
+        SELECT DISTINCT d.vb AS vec_id
+        FROM dotp d JOIN norm2 na ON na.vec_id = d.va
+        JOIN norm2 nb ON nb.vec_id = d.vb
+        WHERE d.dp / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.9
+    )
+    SELECT c.cell, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM cellt c LEFT JOIN dropped dr USING (vec_id)
+    GROUP BY c.cell
+    """,
+    doc="SemDeDup's DROP branch under the driver HASH GATE: the stock "
+    "embeddings table has zero cos >= 0.9 pairs (verified), so "
+    "semdedup_cluster_prune only gate-checks the keep path.  This query "
+    "synthesizes a 150-vector corpus IN-QUERY with planted near-dups "
+    "(every id % 10 == 7 copies id-1's md5-derived vector plus a 0.125 "
+    "bump on dim 0) and runs the identical cell + within-cell prune.  "
+    "Exactness is engineered, not hoped for: components (2d-15)/16 and "
+    "the 0.125 perturbation are exact binary fractions, so dot products "
+    "are multiples of 1/256 with magnitude < 64 — bit-exact in IEEE "
+    "double on BOTH engines regardless of summation order — and the "
+    "cosine threshold decision is therefore deterministic, making ~15 "
+    "planted drops hash-verifiable.  (Unit tests pin the operator path "
+    "on real float vectors; this pins the rule end-to-end under the "
+    "driver gate.)",
+)
+def semdedup_planted_prune(spark, sf_dir):
+    ids = spark.range(150).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") % 10 == 7, F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("eff_id"),
+    )
+    vec = F.expr(
+        "transform(sequence(0, 63), i -> "
+        "  (conv(substr(md5(concat(eff_id, '_', i)), 1, 1), 16, 10) * 2.0D - 15.0D) / 16.0D"
+        "  + IF(i = 0 AND vec_id % 10 = 7, 0.125D, 0.0D))"
+    )
+    emb = ids.select("vec_id", vec.alias("embedding"))
+    cells = S.hyperplane_lsh_bucket(
+        emb, "vec_id", "embedding", n_bits=8, dim=64
+    ).withColumnRenamed("bucket8", "cell")
+    m = emb.join(cells, "vec_id")
+    pairs = S.embedding_near_dup_pairs(m, threshold=0.9, block_col="cell")
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
+        "is_drop", F.lit(1)
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("is_drop", F.lit(0))).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "ann_multiprobe_recall_certificate",
+    """
+    WITH sgn AS (
+        SELECT j.j AS j, i.i AS i,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(8) j(j), range(64) i(i)
+    ), pos AS (
+        SELECT vec_id, i.i AS i,
+               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
+        FROM embeddings, range(64) i(i)
+    ), dots AS (
+        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
+        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
+    ), cellt AS (
+        SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
+        FROM dots GROUP BY vec_id
+    ), qcell AS (
+        SELECT cell AS qc FROM cellt WHERE vec_id = 0
+    ), probes AS (
+        SELECT qc AS cell FROM qcell
+        UNION
+        SELECT xor(qc, 1 << b.b) FROM qcell, range(8) b(b)
+    ), q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+        SELECT c.vec_id FROM cellt c JOIN probes USING (cell)
+    ), approx AS (
+        SELECT e.vec_id
+        FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+        LIMIT 10
+    ), brute AS (
+        SELECT e.vec_id
+        FROM embeddings e, q
+        ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+        LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM approx JOIN brute USING (vec_id))
+               AS n_hits
+    """,
+    doc="Recall@10 CERTIFICATE for the multiprobe-LSH ANN, under the hash "
+    "gate: run the approximate retrieval (ann_lsh_multiprobe_topk's exact "
+    "path) AND the exact brute-force top-10 in one plan, emit the "
+    "integer intersection size — the measured-not-assumed quality number "
+    "every ANN deployment must report.  Both top-10 sets use the "
+    "deterministic (cos DESC, vec_id) tie-break, so the certificate is "
+    "engine-exact.  Scale shape: the brute side is the one full scan "
+    "(TakeOrdered, k rows to driver); the approx side is the pruned "
+    "probe — at scale the certificate runs on a SAMPLE of queries while "
+    "production traffic runs only the pruned path.  On this synthetic "
+    "corpus the number it reports is honestly LOW (2/10): isotropic "
+    "random vectors are LSH's worst case, and that reading is exactly "
+    "what tells an operator to raise n_probe/n_bits or switch to IVF — "
+    "real embedding corpora cluster, where the same index recalls far "
+    "more (the planted-dup tests show cos~1 neighbors always co-cell).",
+)
+def ann_multiprobe_recall_certificate(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = S.hyperplane_lsh_bucket(emb, "vec_id", "embedding", n_bits=8, dim=64)
+    qc = cells.filter(F.col("vec_id") == 0).select("bucket8").first()[0]
+    probes = [qc] + [qc ^ (1 << b) for b in range(8)]
+    cand = cells.filter(F.col("bucket8").isin(probes)).select("vec_id")
+    n_cand = cand.count()
+    qv = _query_vec(spark, sf_dir)
+    approx = S.brute_force_topk(emb.join(cand, "vec_id"), qv, k=10).select("vec_id")
+    brute = S.brute_force_topk(emb, qv, k=10).select("vec_id")
+    hits = approx.join(brute, "vec_id")
+    return hits.agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.lit(n_cand).cast("bigint").alias("n_candidates"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
