@@ -8145,6 +8145,30 @@ def graph_assortativity_components(spark, sf_dir):
     )
 
 
+def _semdedup_prune_rollup(emb):
+    """The SemDeDup prune rule, shared verbatim by the stock-corpus query
+    (semdedup_cluster_prune) and the planted-dup certification query
+    (semdedup_planted_prune) so the certified rule IS the deployed rule:
+    8-bit hyperplane cell, within-cell cos>=0.9 pairs, drop the higher
+    vec_id of each pair, roll up per-cell member/drop counts."""
+    cells = S.hyperplane_lsh_bucket(
+        emb, "vec_id", "embedding", n_bits=8, dim=64
+    ).withColumnRenamed("bucket8", "cell")
+    m = emb.join(cells, "vec_id")
+    pairs = S.embedding_near_dup_pairs(m, threshold=0.9, block_col="cell")
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
+        "is_drop", F.lit(1)
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("is_drop", F.lit(0))).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
 @query(
     "semdedup_cluster_prune",
     """
@@ -8191,23 +8215,7 @@ def graph_assortativity_components(spark, sf_dir):
     "0.41 background), so float cosine never decides a count.",
 )
 def semdedup_cluster_prune(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    cells = S.hyperplane_lsh_bucket(
-        emb, "vec_id", "embedding", n_bits=8, dim=64
-    ).withColumnRenamed("bucket8", "cell")
-    m = emb.join(cells, "vec_id")
-    pairs = S.embedding_near_dup_pairs(m, threshold=0.9, block_col="cell")
-    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
-        "is_drop", F.lit(1)
-    )
-    return (
-        cells.join(dropped, "vec_id", "left")
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum(F.coalesce("is_drop", F.lit(0))).cast("bigint").alias("n_dropped"),
-        )
-    )
+    return _semdedup_prune_rollup(_t(spark, sf_dir, "embeddings"))
 
 
 @query(
@@ -8402,6 +8410,19 @@ def streaming_semdedup_ingest_q(spark, sf_dir):
     return out.select("vec_id", "cell", "is_dropped")
 
 
+def _multiprobe_candidates(emb, query_vec_id=0, n_bits=8):
+    """Multiprobe-LSH candidate set, shared by ann_lsh_multiprobe_topk
+    and its recall certificate so the certified index configuration IS
+    the production one: the query's 8-bit hyperplane cell plus all
+    Hamming-1 neighbors, as a static IN-filter over the bucketed corpus.
+    The query-cell fetch is a 1-scalar collect (same class as the IVF
+    centroid collect)."""
+    cells = S.hyperplane_lsh_bucket(emb, "vec_id", "embedding", n_bits=n_bits, dim=64)
+    qc = cells.filter(F.col("vec_id") == query_vec_id).select(f"bucket{n_bits}").first()[0]
+    probes = [qc] + [qc ^ (1 << b) for b in range(n_bits)]
+    return cells.filter(F.col(f"bucket{n_bits}").isin(probes)).select("vec_id")
+
+
 @query(
     "ann_lsh_multiprobe_topk",
     """
@@ -8457,10 +8478,7 @@ def streaming_semdedup_ingest_q(spark, sf_dir):
 )
 def ann_lsh_multiprobe_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    cells = S.hyperplane_lsh_bucket(emb, "vec_id", "embedding", n_bits=8, dim=64)
-    qc = cells.filter(F.col("vec_id") == 0).select("bucket8").first()[0]
-    probes = [qc] + [qc ^ (1 << b) for b in range(8)]
-    cand = cells.filter(F.col("bucket8").isin(probes)).select("vec_id")
+    cand = _multiprobe_candidates(emb)
     qv = _query_vec(spark, sf_dir)
     topk = S.brute_force_topk(emb.join(cand, "vec_id"), qv, k=10)
     return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
@@ -8537,22 +8555,7 @@ def semdedup_planted_prune(spark, sf_dir):
         "  + IF(i = 0 AND vec_id % 10 = 7, 0.125D, 0.0D))"
     )
     emb = ids.select("vec_id", vec.alias("embedding"))
-    cells = S.hyperplane_lsh_bucket(
-        emb, "vec_id", "embedding", n_bits=8, dim=64
-    ).withColumnRenamed("bucket8", "cell")
-    m = emb.join(cells, "vec_id")
-    pairs = S.embedding_near_dup_pairs(m, threshold=0.9, block_col="cell")
-    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
-        "is_drop", F.lit(1)
-    )
-    return (
-        cells.join(dropped, "vec_id", "left")
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum(F.coalesce("is_drop", F.lit(0))).cast("bigint").alias("n_dropped"),
-        )
-    )
+    return _semdedup_prune_rollup(emb)
 
 
 @query(
@@ -8621,17 +8624,19 @@ def semdedup_planted_prune(spark, sf_dir):
 )
 def ann_multiprobe_recall_certificate(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    cells = S.hyperplane_lsh_bucket(emb, "vec_id", "embedding", n_bits=8, dim=64)
-    qc = cells.filter(F.col("vec_id") == 0).select("bucket8").first()[0]
-    probes = [qc] + [qc ^ (1 << b) for b in range(8)]
-    cand = cells.filter(F.col("bucket8").isin(probes)).select("vec_id")
-    n_cand = cand.count()
+    cand = _multiprobe_candidates(emb)
     qv = _query_vec(spark, sf_dir)
     approx = S.brute_force_topk(emb.join(cand, "vec_id"), qv, k=10).select("vec_id")
     brute = S.brute_force_topk(emb, qv, k=10).select("vec_id")
     hits = approx.join(brute, "vec_id")
-    return hits.agg(
-        F.lit(10).cast("bigint").alias("k"),
-        F.lit(n_cand).cast("bigint").alias("n_candidates"),
-        F.count(F.lit(1)).alias("n_hits"),
+    # n_candidates rides in-plan as a 1-row aggregate crossJoin (scalar
+    # broadcast, allowlisted) instead of an eager count() job.
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        hits.agg(
+            F.lit(10).cast("bigint").alias("k"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .crossJoin(n_cand)
+        .select("k", "n_candidates", "n_hits")
     )

@@ -85,7 +85,12 @@ def streaming_detect_anomalies(
         # Late-data contract (same as the rate limiter / Spark built-ins):
         # rows below the watermark are dropped, not scored — appending
         # them would interleave the AR history out of event order.
-        wm_ms = state.getCurrentWatermarkMs()
+        # Watermark-free streams (valid for NoTimeout operators) have no
+        # watermark to read: Spark raises, which here means "keep all".
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:
+            wm_ms = 0
         if wm_ms > 0:
             batch = batch[(batch[ts_col].astype("int64") // 1_000_000) >= wm_ms]
         if batch.empty:
@@ -184,7 +189,10 @@ def streaming_forecast(
 
         batch = pd.concat(list(pdfs), ignore_index=True)
         # same late-data contract as streaming_detect_anomalies
-        wm_ms = state.getCurrentWatermarkMs()
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:
+            wm_ms = 0  # watermark-free stream: keep all rows
         if wm_ms > 0:
             batch = batch[(batch[ts_col].astype("int64") // 1_000_000) >= wm_ms]
         if batch.empty:
@@ -782,37 +790,55 @@ def streaming_semdedup_ingest(
         new_ids = batch[id_col].astype("int64").tolist()
         new_vecs = np.array(
             [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
-        ).reshape(len(new_ids), -1)
+        ).reshape(len(new_ids), dim)
 
         members = (
-            np.array(flat, dtype=np.float64).reshape(len(ids), -1)
+            np.array(flat, dtype=np.float64).reshape(len(ids), dim)
             if ids
-            else np.empty((0, new_vecs.shape[1]))
+            else np.empty((0, dim))
         )
         member_ids = np.array(ids, dtype=np.int64)
         member_norms = np.linalg.norm(members, axis=1) if ids else np.empty(0)
+        new_norms = np.linalg.norm(new_vecs, axis=1)
+        new_ids_arr = np.array(new_ids, dtype=np.int64)
 
+        # One matmul against the pre-batch state (O((M+B)·B·dim) flops, no
+        # matrix rebuilds), then an in-batch prefix check on views: the
+        # batch is id-sorted, so earlier rows are exactly the lower-id
+        # in-batch mates.
+        cos_state = (
+            new_vecs @ members.T / (new_norms[:, None] * member_norms[None, :])
+            if len(ids)
+            else np.empty((len(new_ids), 0))
+        )
         decisions = []
-        for vid, v in zip(new_ids, new_vecs):
-            nv = np.linalg.norm(v)
+        for i, vid in enumerate(new_ids):
             dropped = 0
-            if len(member_ids):
+            if cos_state.shape[1]:
                 lower = member_ids < vid
-                if lower.any():
-                    cos = (members[lower] @ v) / (member_norms[lower] * nv)
-                    if (cos >= threshold).any():
+                if lower.any() and (cos_state[i, lower] >= threshold).any():
+                    dropped = 1
+            if not dropped and i:
+                pref = new_ids_arr[:i] < vid
+                if pref.any():
+                    cos_pref = (new_vecs[:i][pref] @ new_vecs[i]) / (
+                        new_norms[:i][pref] * new_norms[i]
+                    )
+                    if (cos_pref >= threshold).any():
                         dropped = 1
-            decisions.append((vid, dropped))
-            member_ids = np.append(member_ids, vid)
-            members = np.vstack([members, v[None, :]])
-            member_norms = np.append(member_norms, nv)
+            decisions.append(dropped)
 
-        state.update((member_ids.tolist(), members.ravel().tolist()))
+        state.update(
+            (
+                member_ids.tolist() + new_ids,
+                members.ravel().tolist() + new_vecs.ravel().tolist(),
+            )
+        )
         yield pd.DataFrame(
             {
-                "vec_id": pd.Series([d[0] for d in decisions], dtype="int64"),
-                "cell": pd.Series([cell] * len(decisions), dtype="int64"),
-                "is_dropped": pd.Series([d[1] for d in decisions], dtype="int64"),
+                "vec_id": pd.Series(new_ids, dtype="int64"),
+                "cell": pd.Series([cell] * len(new_ids), dtype="int64"),
+                "is_dropped": pd.Series(decisions, dtype="int64"),
             }
         )
 

@@ -143,9 +143,10 @@ def test_cross_batch_state_and_immutable_decisions(spark, tmp_path):
     ref = _reference_decisions(vecs)
     src = str(tmp_path / "src2")
     now = time.time()
-    _write(spark, vecs, [0, 2, 3], src, "a", now - 300)
-    _write(spark, vecs, [1, 4, 5], src, "b", now - 200)
+    _write(spark, vecs, [0, 1, 2, 3], src, "a", now - 300)
+    _write(spark, vecs, [4, 5], src, "b", now - 200)
     got = _drain(spark, src, str(tmp_path / "ckpt2"), str(tmp_path / "out2"))
     # in-order ingest (all batch-2 ids exceed batch-1 ids) => exactly the
-    # batch rule, one decision per vector
+    # batch rule, one decision per vector; v4's drop proof (v3) lives in
+    # batch-1 state, so the drop is genuinely cross-batch
     assert got == ref
