@@ -260,6 +260,46 @@ def probe_ivf_index(
     )
 
 
+def hyperplane_bucket_expr(
+    vec_col: str,
+    n_bits: int = 16,
+    dim: int = 64,
+    salt: str = "",
+) -> str:
+    """The hyperplane-LSH signature as ONE whole-stage-codegen SQL
+    expression (see hyperplane_lsh_bucket).  ``salt`` prefixes the md5
+    key (``md5(salt + j + '_' + i)``) so independent hash TABLES can be
+    derived from the same construction — the standard LSH recall lever
+    (OR over L tables); salt='' is the production single-table index."""
+    import hashlib
+
+    signs = [
+        [
+            1
+            if int(hashlib.md5(f"{salt}{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+    s_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v}L" for v in row) + ")" for row in signs
+        )
+        + ")"
+    )
+    return f"""
+      aggregate(sequence(0, {n_bits - 1}), CAST(0 AS BIGINT), (acc, j) ->
+        acc + IF(
+          aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), (a, i) ->
+            a + CAST(floor(CAST(element_at({vec_col}, i + 1) AS DOUBLE) * 1000) AS BIGINT)
+                * element_at(element_at({s_lit}, j + 1), i + 1)
+          ) > 0,
+          shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
+    """
+
+
 def hyperplane_lsh_bucket(
     df: DataFrame,
     id_col: str,
@@ -282,31 +322,7 @@ def hyperplane_lsh_bucket(
     candidates; at 100 TB the bucket id becomes a partition column (same
     layout as the persisted IVF index).
     """
-    import hashlib
-
-    signs = [
-        [
-            1 if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
-            for i in range(dim)
-        ]
-        for j in range(n_bits)
-    ]
-    s_lit = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{v}L" for v in row) + ")" for row in signs
-        )
-        + ")"
-    )
-    bucket = f"""
-      aggregate(sequence(0, {n_bits - 1}), CAST(0 AS BIGINT), (acc, j) ->
-        acc + IF(
-          aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), (a, i) ->
-            a + CAST(floor(CAST(element_at({vec_col}, i + 1) AS DOUBLE) * 1000) AS BIGINT)
-                * element_at(element_at({s_lit}, j + 1), i + 1)
-          ) > 0,
-          shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
-    """
+    bucket = hyperplane_bucket_expr(vec_col, n_bits=n_bits, dim=dim)
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],

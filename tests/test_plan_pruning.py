@@ -180,6 +180,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "orders_aging_buckets",         # scalar max-date broadcast
         "events_traffic_profile",       # scalar totals broadcast
         "ann_multiprobe_recall_certificate",  # 1-row recall/candidate-count agg join
+        "ann_multitable_recall_certificate",  # 1-row recall/candidate-count agg join
     }
     checked = 0
     for spec in all_queries():
