@@ -194,6 +194,11 @@ PROBE_QUERIES = (
     # plus two countDistincts on one shuffle
     "semdedup_cluster_prune",
     "dq_contamination_report",
+    # LSH ANN retrieval: one corpus scan for signatures (1 or 4 codegen'd
+    # expressions) + candidate-only rerank — both must track the scan,
+    # i.e. stay ~linear with no candidate blow-up
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_multitable_topk",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
