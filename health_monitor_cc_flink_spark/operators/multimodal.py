@@ -2,13 +2,13 @@
 
 Convention: a modality column is BinaryType payload + a sibling struct
 of metadata (size, hash, declared format).  Decode / feature-extraction
-runs as Arrow-batched `mapInPandas` — the Spark-side plumbing (schema,
-batch shape, partitioning) is real and tested; the actual media decode
-is STUBBED (image/audio libraries are not in this environment) behind
-`decode_image`, which raises NotImplementedError unless PIL is
-available.  `fake_feature_extract` is the deterministic stand-in used in
-tests: same signature, same batch flow, synthetic features derived from
-the payload hash.
+runs as Arrow-batched `mapInPandas`.  PNG decode is REAL (numpy +
+stdlib zlib: `encode_png` / `decode_png`, all five scanline filters,
+CRC-verified — no media library needed); WAV/PNG header parsing is
+pure codegen column math.  JPEG/WebP/video decode stays STUBBED behind
+`decode_image` (needs PIL/opencv, absent from this environment);
+`fake_feature_extract` is the deterministic stand-in that keeps that
+Arrow batch path tested with the same signature and batch flow.
 
 Scale notes: payloads ride *with* the rows (no driver collect); batch
 size is governed by spark.sql.execution.arrow.maxRecordsPerBatch, and a
@@ -56,11 +56,13 @@ def binary_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") ->
 
 
 def decode_image(payload: bytes):
-    """Real decode path — requires an image library.
-
-    STUB: PIL/opencv are not installed in this environment; the
-    surrounding plumbing is exercised with `fake_feature_extract`.
-    """
+    """General image decode.  PNGs decode natively via `decode_png`
+    (numpy + zlib, no library needed); other formats (JPEG/WebP/...)
+    require PIL, which is not installed in this environment — that
+    branch stays STUBBED and the surrounding plumbing is exercised
+    with `fake_feature_extract`."""
+    if bytes(payload[:8]) == _PNG_SIG:
+        return decode_png(payload)
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -68,7 +70,7 @@ def decode_image(payload: bytes):
         return Image.open(io.BytesIO(payload))
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "image decode requires PIL; use fake_feature_extract for plumbing tests"
+            "non-PNG image decode requires PIL; PNG decodes natively via decode_png"
         ) from exc
 
 
@@ -264,6 +266,253 @@ def parse_wav_header(df: DataFrame, payload_col: str = "wav") -> DataFrame:
         .withColumn(
             "duration_us", F.expr("(data_size * 1000000) DIV byte_rate")
         )
+    )
+
+
+# -----------------------------------------------------------------------------
+# REAL image decode without a media library: PNG is zlib (stdlib) + five
+# fixed byte-predictors, so 8-bit gray/RGB non-interlaced PNGs can be
+# encoded and decoded with numpy alone.  This replaces the PIL stub for
+# the PNG path: `synth_png_payload` writes genuine, spec-conformant PNG
+# files (signature, IHDR/IDAT/IEND chunks, real CRC-32s, per-row filters
+# cycling through all five types so decoders are actually exercised) and
+# `decode_png` reverses them byte-exactly.  JPEG/WebP stay stubbed —
+# those genuinely need a codec library.
+#
+# Scale shape: encode/decode are pure map work over Arrow batches
+# (mapInPandas); payloads ride with rows, cost is CPU-bound and
+# embarrassingly parallel, and the feature reduction happens inside the
+# same pass so full pixel buffers never hit a shuffle.
+# -----------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(arr, filter_mode: str = "cycle") -> bytes:
+    """Encode an 8-bit image array as a real PNG (RFC 2083 layout).
+
+    ``arr``: uint8 ndarray, (h, w) gray (color type 0) or (h, w, 3) RGB
+    (color type 2).  ``filter_mode`` "cycle" applies filter ``y % 5`` to
+    scanline y — deliberately exercising None/Sub/Up/Average/Paeth so a
+    round-trip proves the whole decoder; "none" writes filter 0 only.
+    Output opens in any conformant viewer; pinned against zlib CRCs in
+    tests/test_multimodal.py.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        color_type, bpp = 0, 1
+        raw = a.reshape(h, w)
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w = a.shape[:2]
+        color_type, bpp = 2, 3
+        raw = a.reshape(h, w * 3)
+    else:
+        raise ValueError("encode_png supports (h,w) gray or (h,w,3) RGB uint8")
+
+    rows = raw.astype(np.int16)  # room for mod-256 deltas
+    prior = np.zeros(rows.shape[1], dtype=np.int16)
+    left = lambda r: np.concatenate([np.zeros(bpp, np.int16), r[:-bpp]])  # noqa: E731
+    out = bytearray()
+    for y in range(h):
+        r = rows[y]
+        f = (y % 5) if filter_mode == "cycle" else 0
+        if f == 0:
+            filt = r
+        elif f == 1:
+            filt = r - left(r)
+        elif f == 2:
+            filt = r - prior
+        elif f == 3:
+            filt = r - (left(r) + prior) // 2
+        else:  # Paeth — vectorizable too: predictors use RAW neighbors
+            la, up, ul = left(r), prior, left(prior)
+            p = la + up - ul
+            pa, pb, pc = np.abs(p - la), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), la, np.where(pb <= pc, up, ul))
+            filt = r - pred
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = r
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes, verify_crc: bool = True):
+    """Decode an 8-bit gray/RGB non-interlaced PNG to a uint8 ndarray —
+    numpy + stdlib zlib only, no PIL.  Handles all five scanline filters
+    (None/Sub/Up/Average/Paeth) and multiple IDAT chunks; verifies every
+    chunk CRC when ``verify_crc``.  Returns (h, w) for gray, (h, w, 3)
+    for RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        data = bytes(payload[pos + 8 : pos + 8 + length])
+        if verify_crc:
+            (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color_type not in (0, 2) or interlace:
+                raise NotImplementedError(
+                    "decode_png handles 8-bit gray/RGB non-interlaced only"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("no IHDR chunk")
+    bpp = 1 if color_type == 0 else 3
+    stride = w * bpp
+    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if flat.size != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    lines = flat.reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int16)
+        prior = recon[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if f == 0:
+            row = cur
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            row = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(-1)
+        elif f == 2:
+            row = cur + prior
+        elif f in (3, 4):  # Average/Paeth need reconstructed left: scan
+            row = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                if f == 3:
+                    row[i] = cur[i] + ((int(a) + int(b)) >> 1)
+                else:
+                    c = prior[i - bpp] if i >= bpp else 0
+                    row[i] = cur[i] + _paeth(int(a), int(b), int(c))
+                row[i] %= 256
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        recon[y] = (row % 256).astype(np.uint8)
+    return recon if color_type == 0 else recon.reshape(h, w, 3)
+
+
+def synth_png_payload(df: DataFrame, id_col: str = "doc_id",
+                      len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``png`` column of COMPLETE, valid PNG files (not just
+    headers): per row, a w×h 8-bit grayscale gradient image with
+    pixel(y, x) = x + y, w = 16·(id%8+1), h = 16·(len%8+1) — dims ≤ 128
+    so x+y ≤ 252 never wraps, making every downstream statistic
+    closed-form for the SQL oracle.  Encoded via mapInPandas with
+    per-row filter cycling (all five PNG filter types appear in every
+    image taller than 4 rows)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(16) * (F.col(id_col) % 8 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 8 + 1)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            pngs = []
+            for w, h in zip(pdf["w"], pdf["h"]):
+                y, x = np.mgrid[0 : int(h), 0 : int(w)]
+                pngs.append(encode_png((x + y).astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+
+    return src.mapInPandas(gen, schema="doc_id long, png binary")
+
+
+def png_decode_features(df: DataFrame, payload_col: str = "png",
+                        thumb: int = 8) -> DataFrame:
+    """REAL decode → resize → featurize over Arrow batches: decode each
+    PNG (CRC-verified), area-resize to ``thumb``×``thumb`` (exact block
+    mean — dims here are multiples of 16, so blocks tile evenly), and
+    reduce to per-image statistics.  Pixel sums are exact integers, so a
+    single bit flipped anywhere in decode or unfiltering fails the hash
+    gate; full pixel buffers never leave the map task."""
+    src = df.select(F.col("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "crc_ok": [],
+                "px_sum": [], "px_mean": [], "px_min": [], "px_max": [],
+                "thumb_mean": [], "thumb_corner": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                img = decode_png(bytes(p), verify_crc=True)
+                h, w = img.shape
+                bh, bw = h // thumb, w // thumb
+                tb = img.reshape(thumb, bh, thumb, bw).mean(axis=(1, 3))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["crc_ok"].append(True)
+                out["px_sum"].append(int(img.sum(dtype=np.int64)))
+                out["px_mean"].append(float(img.mean()))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+                out["thumb_mean"].append(float(tb.mean()))
+                out["thumb_corner"].append(float(tb[0, 0]))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, width long, height long, crc_ok boolean, "
+            "px_sum long, px_mean double, px_min long, px_max long, "
+            "thumb_mean double, thumb_corner double"
+        ),
     )
 
 

@@ -5424,6 +5424,44 @@ def mm_png_header_parse(spark, sf_dir):
 
 
 @query(
+    "mm_png_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(16 * (doc_id % 8 + 1) AS BIGINT) AS w,
+               CAST(16 * (n_chars % 8 + 1) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id, w AS width, h AS height, TRUE AS crc_ok,
+           CAST(w * h * (w + h - 2) // 2 AS BIGINT) AS px_sum,
+           (w + h - 2) / 2.0 AS px_mean,
+           CAST(0 AS BIGINT) AS px_min,
+           CAST(w + h - 2 AS BIGINT) AS px_max,
+           (w + h - 2) / 2.0 AS thumb_mean,
+           (w // 8 - 1) / 2.0 + (h // 8 - 1) / 2.0 AS thumb_corner
+    FROM dims
+    """,
+    doc="REAL image decode under the hash gate — no media library: "
+    "synth_png_payload writes complete spec-valid PNGs (gradient "
+    "pixel(y,x)=x+y, per-row filters cycling through all five PNG "
+    "filter types), png_decode_features zlib-inflates, CRC-verifies, "
+    "un-filters (Sub/Up/Average/Paeth), area-resizes to 8x8, and "
+    "reduces to exact-integer pixel statistics inside one mapInPandas "
+    "pass.  The gradient makes every statistic closed-form from "
+    "(doc_id, n_chars), so the oracle re-derives px_sum/mean/extremes "
+    "and the thumbnail's corner block mean independently — a single "
+    "wrong byte anywhere in encode, inflate, unfilter, or resize "
+    "breaks the hash.  All arithmetic is dyadic-exact so the DOUBLE "
+    "columns hash-match bit-for-bit.  Scale: pure Arrow-batched map "
+    "work; pixel buffers live only inside the task.  Replaces the "
+    "former PIL-stubbed decode for the PNG path.",
+)
+def mm_png_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return M.png_decode_features(M.synth_png_payload(docs))
+
+
+@query(
     "stats_mad_outliers",
     """
     WITH med AS (
