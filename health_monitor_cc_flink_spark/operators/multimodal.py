@@ -424,16 +424,21 @@ def decode_png(payload: bytes, verify_crc: bool = True):
         elif f == 2:
             row = cur + prior
         elif f in (3, 4):  # Average/Paeth need reconstructed left: scan
-            row = np.zeros(stride, dtype=np.int16)
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prior[i]
-                if f == 3:
-                    row[i] = cur[i] + ((int(a) + int(b)) >> 1)
-                else:
-                    c = prior[i - bpp] if i >= bpp else 0
-                    row[i] = cur[i] + _paeth(int(a), int(b), int(c))
-                row[i] %= 256
+            # plain-int list scan — numpy scalar indexing in a tight
+            # loop is ~10x slower than Python ints
+            curl, priorl = cur.tolist(), prior.tolist()
+            rowl = [0] * stride
+            if f == 3:
+                for i in range(stride):
+                    a = rowl[i - bpp] if i >= bpp else 0
+                    rowl[i] = (curl[i] + ((a + priorl[i]) >> 1)) & 255
+            else:
+                for i in range(stride):
+                    a = rowl[i - bpp] if i >= bpp else 0
+                    b = priorl[i]
+                    c = priorl[i - bpp] if i >= bpp else 0
+                    rowl[i] = (curl[i] + _paeth(a, b, c)) & 255
+            row = np.asarray(rowl, dtype=np.int16)
         else:
             raise ValueError(f"unknown filter type {f}")
         recon[y] = (row % 256).astype(np.uint8)
@@ -512,6 +517,99 @@ def png_decode_features(df: DataFrame, payload_col: str = "png",
             "doc_id long, width long, height long, crc_ok boolean, "
             "px_sum long, px_mean double, px_min long, px_max long, "
             "thumb_mean double, thumb_corner double"
+        ),
+    )
+
+
+def synth_wav_tone_payload(df: DataFrame, id_col: str = "doc_id",
+                           len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``wav`` column of REAL 16-bit PCM WAV files carrying an
+    audible square-wave tone (not silence): amplitude A = 500 + id%1000,
+    half-period H = 25·(id%4+1) samples, n = 1000 + len samples, mono,
+    sample_rate = 8000·(id%5+1).  Square waves make every decoded
+    statistic an exact integer in closed form — sum of squares is n·A²,
+    zero crossings are (n−1)//H — so the decode path is hash-gateable.
+    Written via mapInPandas with the stdlib ``wave`` module (genuine
+    container framing, not hand-rolled bytes)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(500) + F.col(id_col) % 1000).cast("int").alias("amp"),
+        (F.lit(25) * (F.col(id_col) % 4 + 1)).cast("int").alias("half"),
+        (F.col(len_col) + 1000).cast("int").alias("n"),
+        (F.lit(8000) * (F.col(id_col) % 5 + 1)).cast("int").alias("sr"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            wavs = []
+            for amp, half, n, sr in zip(pdf["amp"], pdf["half"], pdf["n"], pdf["sr"]):
+                t = np.arange(int(n))
+                pcm = np.where((t // int(half)) % 2 == 0, int(amp), -int(amp)).astype(
+                    "<i2"
+                )
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(int(sr))
+                    w.writeframes(pcm.tobytes())
+                wavs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": wavs})
+
+    return src.mapInPandas(gen, schema="doc_id long, wav binary")
+
+
+def wav_pcm_decode_features(df: DataFrame, payload_col: str = "wav") -> DataFrame:
+    """REAL audio decode over Arrow batches: open each payload with the
+    stdlib ``wave`` reader (validates RIFF framing), pull the int16 PCM
+    samples through numpy, and reduce to exact-integer signal features —
+    sample count, sum of squared samples (energy), zero-crossing count,
+    min/max amplitude.  Integer outputs mean one wrong sample anywhere
+    fails the hash gate; PCM buffers never leave the map task."""
+    src = df.select(F.col("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "channels": [], "sample_rate": [], "n_samples": [],
+                "sumsq": [], "zero_crossings": [], "amp_min": [], "amp_max": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                with wave_mod.open(io.BytesIO(bytes(p)), "rb") as w:
+                    ch, sw, sr, n = (
+                        w.getnchannels(), w.getsampwidth(), w.getframerate(),
+                        w.getnframes(),
+                    )
+                    pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["channels"].append(ch)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["sumsq"].append(int((pcm * pcm).sum()))
+                out["zero_crossings"].append(
+                    int((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).sum())
+                )
+                out["amp_min"].append(int(pcm.min()))
+                out["amp_max"].append(int(pcm.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, channels long, sample_rate long, n_samples long, "
+            "sumsq long, zero_crossings long, amp_min long, amp_max long"
         ),
     )
 

@@ -5457,8 +5457,53 @@ def mm_png_header_parse(spark, sf_dir):
     "former PIL-stubbed decode for the PNG path.",
 )
 def mm_png_decode_features(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # decode is CPU-bound map work: spread the (single-file) local
+    # corpus across all cores — at 100 TB the scan is already split
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return M.png_decode_features(M.synth_png_payload(docs))
+
+
+@query(
+    "mm_wav_pcm_decode_features",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(500 + doc_id % 1000 AS BIGINT) AS amp,
+               CAST(25 * (doc_id % 4 + 1) AS BIGINT) AS half,
+               CAST(n_chars + 1000 AS BIGINT) AS n,
+               CAST(8000 * (doc_id % 5 + 1) AS BIGINT) AS sr
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS channels,
+           sr AS sample_rate,
+           n AS n_samples,
+           CAST(n * amp * amp AS BIGINT) AS sumsq,
+           CAST((n - 1) // half AS BIGINT) AS zero_crossings,
+           CAST(-amp AS BIGINT) AS amp_min,
+           amp AS amp_max
+    FROM p
+    """,
+    doc="REAL audio decode under the hash gate: synth_wav_tone_payload "
+    "writes genuine 16-bit PCM WAVs carrying a square-wave tone "
+    "(stdlib wave writer — real container framing), and "
+    "wav_pcm_decode_features re-opens them with the stdlib wave "
+    "reader, pulls the samples through numpy, and reduces to "
+    "exact-integer signal features (energy = n*amp^2, zero crossings "
+    "= (n-1)//half, min/max amplitude) — all closed-form from "
+    "(doc_id, n_chars), so the oracle independently re-derives every "
+    "value and a single wrong sample anywhere in encode or decode "
+    "fails the hash.  Complements mm_wav_header_parse (codegen header "
+    "math) with actual sample decoding; PCM buffers stay inside the "
+    "Arrow map task.",
+)
+def mm_wav_pcm_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.wav_pcm_decode_features(M.synth_wav_tone_payload(docs))
 
 
 @query(

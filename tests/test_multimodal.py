@@ -222,3 +222,38 @@ def test_png_decode_features_spark_matches_closed_form(spark):
         img = decode_png(bytes(s.png))
         assert img.shape == (rows[s.doc_id].height, rows[s.doc_id].width)
         assert int(img.sum(dtype=np.int64)) == rows[s.doc_id].px_sum
+
+
+def test_wav_tone_decode_matches_closed_form(spark):
+    """Real PCM decode: stdlib wave reader + numpy stats must match the
+    closed-form square-wave values, and the payload must be a genuine
+    WAV the stdlib opens with the declared parameters."""
+    import io
+    import wave as wave_mod
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        synth_wav_tone_payload,
+        wav_pcm_decode_features,
+    )
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(25)
+    with_wav = synth_wav_tone_payload(docs)
+    feats = {r.doc_id: r for r in wav_pcm_decode_features(with_wav).collect()}
+    raw = {r.doc_id: bytes(r.wav) for r in with_wav.collect()}
+    meta = {
+        r.doc_id: r
+        for r in docs.selectExpr("doc_id", "n_chars").collect()
+    }
+    assert len(feats) == 25
+    for doc_id, r in feats.items():
+        amp = 500 + doc_id % 1000
+        half = 25 * (doc_id % 4 + 1)
+        n = meta[doc_id].n_chars + 1000
+        assert (r.channels, r.sample_rate) == (1, 8000 * (doc_id % 5 + 1))
+        assert r.n_samples == n
+        assert r.sumsq == n * amp * amp
+        assert r.zero_crossings == (n - 1) // half
+        assert (r.amp_min, r.amp_max) == (-amp, amp)
+        with wave_mod.open(io.BytesIO(raw[doc_id]), "rb") as w:
+            assert (w.getnchannels(), w.getsampwidth(), w.getnframes()) == (1, 2, n)
