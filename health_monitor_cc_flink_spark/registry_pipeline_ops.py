@@ -5455,6 +5455,7 @@ def mm_png_header_parse(spark, sf_dir):
     "columns hash-match bit-for-bit.  Scale: pure Arrow-batched map "
     "work; pixel buffers live only inside the task.  Replaces the "
     "former PIL-stubbed decode for the PNG path.",
+    bench=True,
 )
 def mm_png_decode_features(spark, sf_dir):
     # decode is CPU-bound map work: spread the (single-file) local

@@ -268,8 +268,9 @@ def run(spark, sf_dir: str, label: str) -> None:
     clear_knn_graph_cache(spark)
     spark.catalog.clearCache()
     only = os.environ.get("PROBE_ONLY")
+    # PROBE_ONLY may name ANY registry query, not just the default list
     queries = (
-        [q for q in PROBE_QUERIES if q in set(only.split(","))]
+        [q for q in only.split(",") if q in specs]
         if only
         else PROBE_QUERIES
     )
