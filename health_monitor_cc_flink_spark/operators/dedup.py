@@ -212,7 +212,9 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Token hash = first 4 hex chars of md5 (a 16-bit integer); simhash
     bit b is the sign of Σ_tokens (2·bit_b(h) − 1).  All-integer math →
     engine-exact; the 16-bit width keeps the oracle SQL tractable while
-    exercising the real dataflow (widen to 64 bits by raising BITS).
+    exercising the real dataflow.  One hash-aggregate with 16 per-bit
+    sum columns (map-side partials): no bit fan-out rows, one shuffle
+    of |docs| wide rows instead of |tokens|·16 exploded rows.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(par).select(
@@ -222,24 +224,19 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     h = toks.select(
         id_col, F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int").alias("h")
     )
-    # bit positions via explode(sequence) — stays inside whole-stage codegen;
-    # a broadcast crossJoin of a 16-row range would plan as a
-    # BroadcastNestedLoopJoin and break the no-BNLJ plan gate
-    contrib = h.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
-        F.col("h"),
-    ).select(
-        id_col,
-        "b",
-        F.expr("2 * (shiftright(h, b) & 1) - 1").alias("c"),
+    # one aggregation, 16 per-bit sum columns — no bit fan-out rows, no
+    # second shuffle: the grouped relation is |docs| wide-rows instead of
+    # |tokens|·16 exploded rows, and each sum gets a map-side partial
+    sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"2 * (shiftright(h, {b}) & 1) - 1")).alias(f"s{b}")
+            for b in range(16)
+        ]
     )
-    return (
-        contrib.groupBy(id_col, "b")
-        .agg(F.sum("c").alias("s"))
-        .groupBy(id_col)
-        .agg(F.expr("sum(CASE WHEN s > 0 THEN shiftleft(1, b) ELSE 0 END)").alias("simhash"))
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN shiftleft(1, {b}) ELSE 0 END)" for b in range(16)
     )
+    return sums.select(id_col, F.expr(bit_terms).alias("simhash"))
 
 
 # -- n-gram Jaccard ------------------------------------------------------------
@@ -343,8 +340,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the halves stay exact in both engines).  Bit b of the sketch is the
     sign of Σ_tokens (2·bit_b(h) − 1); hamming distance downstream is
     ``bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)``.  All-integer →
-    oracle-exact.  Same dataflow as :func:`simhash16`: one shuffle per
-    doc/bit aggregation, map-side partials on both.
+    oracle-exact.  Same single-aggregation dataflow as
+    :func:`simhash16`, with 64 per-bit sum columns.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(par).select(
@@ -356,31 +353,27 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h_hi"),
         F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("bigint").alias("h_lo"),
     )
-    # explode(sequence) instead of a broadcast crossJoin over range(64):
-    # no BNLJ in the plan, bit fan-out stays in whole-stage codegen
-    contrib = h.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-        "h_hi",
-        "h_lo",
-    ).select(
-        id_col,
-        "b",
-        F.expr(
-            "2 * (CASE WHEN b < 32 THEN shiftright(h_lo, b) & 1 "
-            "ELSE shiftright(h_hi, b - 32) & 1 END) - 1"
-        ).alias("c"),
+    # one aggregation, 64 per-bit sum columns — no bit fan-out rows, no
+    # second shuffle (see simhash16)
+    lo_sums = [
+        F.sum(F.expr(f"2 * (shiftright(h_lo, {b}) & 1) - 1")).alias(f"s{b}")
+        for b in range(32)
+    ]
+    hi_sums = [
+        F.sum(F.expr(f"2 * (shiftright(h_hi, {b - 32}) & 1) - 1")).alias(f"s{b}")
+        for b in range(32, 64)
+    ]
+    sums = h.groupBy(id_col).agg(*lo_sums, *hi_sums)
+    hi_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b - 32}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32, 64)
     )
-    return (
-        contrib.groupBy(id_col, "b")
-        .agg(F.sum("c").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.expr(
-                "sum(CASE WHEN s > 0 AND b >= 32 THEN shiftleft(CAST(1 AS BIGINT), b - 32) ELSE 0 END)"
-            ).alias("simhash_hi"),
-            F.expr(
-                "sum(CASE WHEN s > 0 AND b < 32 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END)"
-            ).alias("simhash_lo"),
-        )
+    lo_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+    return sums.select(
+        id_col,
+        F.expr(hi_terms).alias("simhash_hi"),
+        F.expr(lo_terms).alias("simhash_lo"),
     )

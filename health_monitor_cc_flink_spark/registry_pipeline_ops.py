@@ -742,11 +742,12 @@ def dedup_simhash_hamming_pairs(spark, sf_dir):
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), F.col("band").alias("band_b"))
     return (
         a.join(b, (a.band == b.band_b) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "sa", "sb")
-        .distinct()
+        # verify-then-dedup: hamming is a map-side codegen predicate, so
+        # distinct() shuffles only qualifying pairs, not all candidates
         .withColumn("hamming", F.bit_count(F.expr("sa ^ sb")))
         .filter(F.col("hamming") <= 2)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -1012,14 +1013,16 @@ def dedup_simhash64_hamming_pairs(spark, sf_dir):
     )
     return (
         a.join(b, (a.band == b.band_b) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "hi_a", "hi_b", "lo_a", "lo_b")
-        .distinct()
+        # verify hamming BEFORE the pair-dedup: the filter is a codegen'd
+        # map-side predicate, so the distinct() shuffle carries only the
+        # qualifying pairs, not every banded candidate
         .withColumn(
             "hamming",
             F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("bigint"),
         )
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
