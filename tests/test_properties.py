@@ -111,3 +111,26 @@ def test_forecast_average_skill():
     # theory for phi=0.7, sigma=1: persistence MSE ≈ sigma² + (1-phi)²·Var(y)
     # ≈ 1.18, model MSE ≈ sigma² + estimation error → ratio ≈ 0.85-0.9
     assert float(np.mean(ratios)) < 0.95, np.mean(ratios)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([1, 3]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, channels, seed):
+    """decode(encode(x)) == x for arbitrary uint8 images, gray and RGB,
+    under the filter-cycling encoder (all five PNG filter types)."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(a, "cycle")), a)
