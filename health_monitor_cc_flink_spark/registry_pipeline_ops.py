@@ -5511,6 +5511,48 @@ def mm_wav_pcm_decode_features(spark, sf_dir):
 
 
 @query(
+    "streaming_png_decode_rollup",
+    """
+    WITH dims AS (
+        SELECT CAST(16 * (doc_id % 8 + 1) AS BIGINT) AS w,
+               CAST(16 * (n_chars % 8 + 1) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT w AS width,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(w * h * (w + h - 2) // 2) AS BIGINT) AS px_sum_total,
+           CAST(max(w + h - 2) AS BIGINT) AS px_max_max
+    FROM dims GROUP BY w
+    """,
+    doc="Multimodal decode under Structured Streaming, oracle-exact: the "
+    "documents stream is synthesized into real PNGs and DECODED "
+    "(zlib inflate + unfilter + CRC check) inside each micro-batch via "
+    "the same Arrow mapInPandas operators as the batch query, then "
+    "rolled up per image width (complete mode).  Proves the decode "
+    "path composes with readStream — the ingest shape of a production "
+    "multimodal pipeline (decode-at-ingest, emit features, never "
+    "persist raw pixels).  Exact-integer aggregates make the drain "
+    "hash-comparable to the closed-form oracle.",
+)
+def streaming_png_decode_rollup(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import documents_stream
+
+    # the local single-file stream source yields one input partition per
+    # micro-batch; spread the CPU-bound decode across cores before it
+    docs = documents_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = M.png_decode_features(M.synth_png_payload(docs))
+    agg = feats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("px_sum").alias("px_sum_total"),
+        F.max("px_max").alias("px_max_max"),
+    )
+    return _drain_to_memory(spark, agg, "png_rollup_", output_mode="complete")
+
+
+@query(
     "stats_mad_outliers",
     """
     WITH med AS (
