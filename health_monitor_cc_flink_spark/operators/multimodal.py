@@ -4,11 +4,15 @@ Convention: a modality column is BinaryType payload + a sibling struct
 of metadata (size, hash, declared format).  Decode / feature-extraction
 runs as Arrow-batched `mapInPandas`.  PNG decode is REAL (numpy +
 stdlib zlib: `encode_png` / `decode_png`, all five scanline filters,
-CRC-verified — no media library needed); WAV/PNG header parsing is
-pure codegen column math.  JPEG/WebP/video decode stays STUBBED behind
-`decode_image` (needs PIL/opencv, absent from this environment);
-`fake_feature_extract` is the deterministic stand-in that keeps that
-Arrow batch path tested with the same signature and batch flow.
+CRC-verified — no media library needed), as are APNG animation
+frame-sampling (`encode_apng` / `decode_apng_frames` /
+`apng_frame_sample`) and 16-bit PCM WAV sample decode
+(`wav_pcm_decode_features`, stdlib `wave`); WAV/PNG header parsing is
+pure codegen column math.  JPEG/WebP and true video codecs stay
+STUBBED behind `decode_image` (need PIL/opencv/ffmpeg, absent from
+this environment); `fake_feature_extract` is the deterministic
+stand-in that keeps that Arrow batch path tested with the same
+signature and batch flow.
 
 Scale notes: payloads ride *with* the rows (no driver collect); batch
 size is governed by spark.sql.execution.arrow.maxRecordsPerBatch, and a
@@ -153,10 +157,12 @@ def fake_resize(df: DataFrame, id_col: str = "doc_id", payload_col: str = "paylo
 
 def fake_frame_sample(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
                       n_frames: int = 4) -> DataFrame:
-    """Video frame-sampling stand-in: emits ``n_frames`` rows per input
-    row (the 1→N batch shape of real frame extraction), with
-    deterministic offsets/hashes derived from the payload digest.  A real
-    decoder slots into the same mapInPandas signature."""
+    """Video frame-sampling stand-in for formats needing a codec lib:
+    emits ``n_frames`` rows per input row (the 1→N batch shape of real
+    frame extraction), with deterministic offsets/hashes derived from
+    the payload digest.  For a REAL frame-sampling path over a public
+    animated format, see :func:`apng_frame_sample` (no library
+    needed)."""
     src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col))
 
     def sample(batches: Iterator) -> Iterator:
@@ -335,7 +341,24 @@ def encode_png(arr, filter_mode: str = "cycle") -> bytes:
     else:
         raise ValueError("encode_png supports (h,w) gray or (h,w,3) RGB uint8")
 
-    rows = raw.astype(np.int16)  # room for mod-256 deltas
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(_filter_scanlines(raw, bpp, filter_mode), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _filter_scanlines(raw, bpp: int, filter_mode: str = "cycle") -> bytes:
+    """Apply PNG scanline filters to a (h, stride) uint8 array and return
+    the filtered byte stream (1 filter byte + stride bytes per row) —
+    uncompressed.  "cycle" uses filter ``y % 5``; "none" writes 0s.
+    Filters predict from RAW neighbor bytes, so everything vectorizes."""
+    import numpy as np
+
+    rows = np.asarray(raw, dtype=np.int16)  # room for mod-256 deltas
+    h = rows.shape[0]
     prior = np.zeros(rows.shape[1], dtype=np.int16)
     left = lambda r: np.concatenate([np.zeros(bpp, np.int16), r[:-bpp]])  # noqa: E731
     out = bytearray()
@@ -359,13 +382,7 @@ def encode_png(arr, filter_mode: str = "cycle") -> bytes:
         out.append(f)
         out.extend((filt % 256).astype(np.uint8).tobytes())
         prior = r
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    return bytes(out)
 
 
 def decode_png(payload: bytes, verify_crc: bool = True):
@@ -407,10 +424,22 @@ def decode_png(payload: bytes, verify_crc: bool = True):
     if w is None:
         raise ValueError("no IHDR chunk")
     bpp = 1 if color_type == 0 else 3
+    recon = _inflate_unfilter(bytes(idat), w, h, bpp)
+    return recon if color_type == 0 else recon.reshape(h, w, 3)
+
+
+def _inflate_unfilter(compressed: bytes, w: int, h: int, bpp: int):
+    """zlib-inflate one PNG/APNG image data stream and reverse the
+    per-scanline filters; returns a (h, w*bpp) uint8 array.  Shared by
+    the still-image and animation decoders."""
+    import zlib
+
+    import numpy as np
+
     stride = w * bpp
-    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    flat = np.frombuffer(zlib.decompress(compressed), dtype=np.uint8)
     if flat.size != h * (stride + 1):
-        raise ValueError("IDAT length mismatch")
+        raise ValueError("image data length mismatch")
     lines = flat.reshape(h, stride + 1)
     recon = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
@@ -442,7 +471,7 @@ def decode_png(payload: bytes, verify_crc: bool = True):
         else:
             raise ValueError(f"unknown filter type {f}")
         recon[y] = (row % 256).astype(np.uint8)
-    return recon if color_type == 0 else recon.reshape(h, w, 3)
+    return recon
 
 
 def synth_png_payload(df: DataFrame, id_col: str = "doc_id",
@@ -517,6 +546,199 @@ def png_decode_features(df: DataFrame, payload_col: str = "png",
             "doc_id long, width long, height long, crc_ok boolean, "
             "px_sum long, px_mean double, px_min long, px_max long, "
             "thumb_mean double, thumb_corner double"
+        ),
+    )
+
+
+# -----------------------------------------------------------------------------
+# Animated PNG (APNG) — the public animation extension of PNG (acTL /
+# fcTL / fdAT chunks; Mozilla spec, now part of the W3C PNG 3 draft).
+# Same zlib+unfilter machinery as stills, so REAL video-style frame
+# sampling needs no media library either: full-frame animations,
+# dispose=NONE / blend=SOURCE, 8-bit gray/RGB.
+# -----------------------------------------------------------------------------
+
+
+def encode_apng(frames, delay_num: int = 1, delay_den: int = 10,
+                filter_mode: str = "cycle") -> bytes:
+    """Encode a list of equally-shaped uint8 arrays as a real APNG:
+    acTL declares the frame count, frame 0 rides in IDAT behind an fcTL,
+    frames 1..n−1 ride in fdAT chunks with spec-correct sequence
+    numbering.  Conformant viewers play it; `decode_apng_frames`
+    reverses it byte-exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_apng needs at least one frame")
+    a0 = np.ascontiguousarray(frames[0], dtype=np.uint8)
+    if a0.ndim == 2:
+        h, w = a0.shape
+        color_type, bpp = 0, 1
+    elif a0.ndim == 3 and a0.shape[2] == 3:
+        h, w = a0.shape[:2]
+        color_type, bpp = 2, 3
+    else:
+        raise ValueError("encode_apng supports (h,w) gray or (h,w,3) RGB uint8")
+
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))  # loop forever
+    seq = 0
+    for idx, fr in enumerate(frames):
+        a = np.ascontiguousarray(fr, dtype=np.uint8)
+        if a.shape != a0.shape:
+            raise ValueError("all frames must share one shape")
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_num, delay_den, 0, 0
+        )  # full-frame, dispose NONE, blend SOURCE
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        data = zlib.compress(
+            _filter_scanlines(a.reshape(h, w * bpp), bpp, filter_mode), 6
+        )
+        if idx == 0:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng_frames(payload: bytes, verify_crc: bool = True):
+    """Decode an APNG produced by any full-frame encoder back to the
+    list of uint8 frame arrays: walks acTL/fcTL/IDAT/fdAT, checks CRCs
+    and sequence-number ordering, inflates + unfilters each frame with
+    the shared still-image path.  Raises on sub-frame regions or blend
+    modes this decoder doesn't model (x/y offsets, dispose/blend ≠ 0)."""
+    import struct
+    import zlib
+
+    if bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w = 8, None
+    declared = None
+    frames, cur = [], None  # cur = bytearray of current frame's compressed data
+    expected_seq = 0
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        data = bytes(payload[pos + 8 : pos + 8 + length])
+        if verify_crc:
+            (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color_type not in (0, 2) or interlace:
+                raise NotImplementedError("8-bit gray/RGB non-interlaced only")
+        elif ctype == b"acTL":
+            declared, _ = struct.unpack(">II", data)
+        elif ctype == b"fcTL":
+            seq, fw, fh, x0, y0, _, _, dispose, blend = struct.unpack(
+                ">IIIIIHHBB", data
+            )
+            if seq != expected_seq:
+                raise ValueError(f"fcTL sequence {seq}, expected {expected_seq}")
+            expected_seq += 1
+            if (fw, fh, x0, y0, dispose, blend) != (w, h, 0, 0, 0, 0):
+                raise NotImplementedError("full-frame dispose=NONE/blend=SOURCE only")
+            if cur is not None:
+                frames.append(bytes(cur))
+            cur = bytearray()
+        elif ctype == b"IDAT":
+            if cur is None:
+                raise ValueError("IDAT before first fcTL in an APNG")
+            cur.extend(data)
+        elif ctype == b"fdAT":
+            (seq,) = struct.unpack(">I", data[:4])
+            if seq != expected_seq:
+                raise ValueError(f"fdAT sequence {seq}, expected {expected_seq}")
+            expected_seq += 1
+            cur.extend(data[4:])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or cur is None:
+        raise ValueError("missing IHDR or frames")
+    frames.append(bytes(cur))
+    if declared is not None and declared != len(frames):
+        raise ValueError(f"acTL declares {declared} frames, found {len(frames)}")
+    bpp = 1 if color_type == 0 else 3
+    out = [_inflate_unfilter(c, w, h, bpp) for c in frames]
+    return out if color_type == 0 else [a.reshape(h, w, 3) for a in out]
+
+
+def synth_apng_payload(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``apng`` column of real animated PNGs: 2 + id%3 frames
+    of the w×h gradient with per-frame brightness step (+2f), dims
+    16·(id%4+1) ≤ 64 so pixel values never wrap — closed-form per-frame
+    statistics for the oracle."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(16) * (F.col(id_col) % 4 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 4 + 1)).cast("int").alias("h"),
+        (F.col(id_col) % 3 + 2).cast("int").alias("n_frames"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for w, h, nf in zip(pdf["w"], pdf["h"], pdf["n_frames"]):
+                y, x = np.mgrid[0 : int(h), 0 : int(w)]
+                base = x + y
+                payloads.append(
+                    encode_apng([(base + 2 * f).astype(np.uint8) for f in range(int(nf))])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "apng": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, apng binary")
+
+
+def apng_frame_sample(df: DataFrame, payload_col: str = "apng",
+                      every: int = 2) -> DataFrame:
+    """REAL frame sampling over animated payloads: decode every frame
+    of each APNG (CRC + sequence-number checked), keep every
+    ``every``-th, and emit one row per sampled frame with exact-integer
+    pixel statistics — the 1→N batch shape of real video frame
+    extraction, previously only available as the `fake_frame_sample`
+    stand-in."""
+    src = df.select(F.col("doc_id"), F.col(payload_col))
+
+    def sample(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "n_frames": [],
+                "width": [], "height": [], "px_sum": [], "px_max": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                frames = decode_apng_frames(bytes(p))
+                for idx in range(0, len(frames), every):
+                    fr = frames[idx]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(len(frames))
+                    out["height"].append(fr.shape[0])
+                    out["width"].append(fr.shape[1])
+                    out["px_sum"].append(int(fr.sum(dtype=np.int64)))
+                    out["px_max"].append(int(fr.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        sample,
+        schema=(
+            "doc_id long, frame_idx long, n_frames long, width long, "
+            "height long, px_sum long, px_max long"
         ),
     )
 

@@ -5511,6 +5511,50 @@ def mm_wav_pcm_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_apng_frame_sample",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(16 * (doc_id % 4 + 1) AS BIGINT) AS w,
+               CAST(16 * (n_chars % 4 + 1) AS BIGINT) AS h,
+               CAST(doc_id % 3 + 2 AS BIGINT) AS nf
+        FROM documents
+    )
+    , fr AS (
+        SELECT doc_id, w, h, nf,
+               unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           nf AS n_frames,
+           w AS width,
+           h AS height,
+           CAST(w * h * (w + h - 2) // 2 + 2 * frame_idx * w * h AS BIGINT) AS px_sum,
+           CAST(w + h - 2 + 2 * frame_idx AS BIGINT) AS px_max
+    FROM fr
+    """,
+    doc="REAL animated-frame sampling under the hash gate — no media "
+    "library: synth_apng_payload writes genuine APNGs (the public "
+    "animated-PNG extension: acTL/fcTL/fdAT with spec-correct "
+    "sequence numbering and CRCs; 2-4 gradient frames with a +2/frame "
+    "brightness step), and apng_frame_sample decodes EVERY frame "
+    "(shared zlib+unfilter path with the still decoder), keeps every "
+    "2nd, and emits one row per sampled frame with exact-integer "
+    "pixel stats — the 1->N shape of video frame extraction that "
+    "fake_frame_sample only modeled.  The oracle re-derives each "
+    "sampled frame's statistics in closed form from (doc_id, "
+    "n_chars), so a wrong byte in any frame, a mis-ordered sequence "
+    "number, or a sampling off-by-one fails the hash.",
+)
+def mm_apng_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.apng_frame_sample(M.synth_apng_payload(docs))
+
+
+@query(
     "streaming_png_decode_rollup",
     """
     WITH dims AS (

@@ -257,3 +257,69 @@ def test_wav_tone_decode_matches_closed_form(spark):
         assert (r.amp_min, r.amp_max) == (-amp, amp)
         with wave_mod.open(io.BytesIO(raw[doc_id]), "rb") as w:
             assert (w.getnchannels(), w.getsampwidth(), w.getnframes()) == (1, 2, n)
+
+
+def test_apng_codec_roundtrip_and_sequence_guard():
+    """APNG encode/decode round-trips frame-exactly; tampered sequence
+    numbers and CRCs are detected."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        decode_apng_frames,
+        encode_apng,
+    )
+
+    rng = np.random.default_rng(11)
+    for nf, shape in [(1, (8, 8)), (4, (16, 24)), (3, (9, 5, 3))]:
+        frames = [rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(nf)]
+        dec = decode_apng_frames(encode_apng(frames))
+        assert len(dec) == nf
+        for a, b in zip(frames, dec):
+            assert np.array_equal(a, b)
+    # flip a byte inside acTL -> CRC failure
+    raw = bytearray(encode_apng([rng.integers(0, 256, (8, 8), np.uint8)] * 2))
+    raw[50] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_apng_frames(bytes(raw))
+    # break an fcTL sequence number (and fix its CRC) -> ordering failure
+    import zlib as _zlib
+
+    raw2 = bytearray(encode_apng([rng.integers(0, 256, (8, 8), np.uint8)] * 2))
+    pos = raw2.find(b"fcTL")
+    seq = struct.unpack(">I", raw2[pos + 4 : pos + 8])[0]
+    raw2[pos + 4 : pos + 8] = struct.pack(">I", seq + 7)
+    ln = struct.unpack(">I", raw2[pos - 4 : pos])[0]
+    body = bytes(raw2[pos : pos + 4 + ln])
+    raw2[pos + 4 + ln : pos + 8 + ln] = struct.pack(">I", _zlib.crc32(body) & 0xFFFFFFFF)
+    with _pytest.raises(ValueError, match="sequence"):
+        decode_apng_frames(bytes(raw2))
+
+
+def test_apng_frame_sample_spark_matches_closed_form(spark):
+    """Spark path: synth real APNGs -> decode all frames -> sample every
+    2nd; per-frame stats must match the gradient closed form."""
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        apng_frame_sample,
+        synth_apng_payload,
+    )
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    rows = apng_frame_sample(synth_apng_payload(docs)).collect()
+    meta = {r.doc_id: r.n_chars for r in docs.selectExpr("doc_id", "n_chars").collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(meta)
+    for doc_id, rs in by_doc.items():
+        w = 16 * (doc_id % 4 + 1)
+        h = 16 * (meta[doc_id] % 4 + 1)
+        nf = doc_id % 3 + 2
+        assert sorted(r.frame_idx for r in rs) == list(range(0, nf, 2))
+        for r in rs:
+            assert (r.width, r.height, r.n_frames) == (w, h, nf)
+            assert r.px_sum == w * h * (w + h - 2) // 2 + 2 * r.frame_idx * w * h
+            assert r.px_max == w + h - 2 + 2 * r.frame_idx
