@@ -8563,18 +8563,9 @@ def streaming_semdedup_ingest_q(spark, sf_dir):
     from .registry import _drain_to_memory
     from .streaming.stateful import streaming_semdedup_ingest
 
-    sch = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-            T.StructField("label", T.IntegerType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(sch)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
-    )
+    from .sources.testdata import _stream_table
+
+    stream = _stream_table(spark, sf_dir, "embeddings")
     cells = S.hyperplane_lsh_bucket(
         stream, "vec_id", "embedding", n_bits=8, dim=64, carry_cols=("embedding",)
     ).withColumnRenamed("bucket8", "cell")

@@ -66,6 +66,30 @@ def events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
+def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """readStream over one testdata table, handling both physical
+    layouts: a single ``<name>.parquet`` FILE beside sibling tables
+    (the driver's testdata) needs a pathGlobFilter on the directory
+    scan; a ``<name>.parquet`` DIRECTORY of part files (any
+    Spark-written copy, e.g. the scale-probe replicas — the production
+    shape) streams from the directory itself."""
+    import os
+
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        schema = spark.read.parquet(path).schema
+        return spark.readStream.schema(schema).parquet(path)
+    schema = (
+        spark.read.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir).schema
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming events source with ``ts`` normalized to TimestampType.
 
@@ -73,13 +97,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions as on disk, ``ts`` usable for watermarks/windows.  Adapts
     to both physical encodings of ``ts`` like :func:`normalize_events`.
     """
-    schema = events_raw_schema(spark, sf_dir)
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(schema["ts"].dataType, T.LongType):
+    src = _stream_table(spark, sf_dir, "events")
+    if isinstance(src.schema["ts"].dataType, T.LongType):
         return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return src.withColumn("ts", F.col("ts").cast("timestamp"))
 
@@ -97,13 +116,4 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming documents source — the ingest-batch side of streaming
     corpus screening (columns as on disk)."""
-    schema = (
-        spark.read.option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .schema
-    )
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    return _stream_table(spark, sf_dir, "documents")
