@@ -141,3 +141,33 @@ def test_stream_static_dim_refresh_via_foreachbatch(spark, tmp_path):
     names = {r.event_time: r.name for r in spark.read.parquet(out).collect()}
     assert names[base] == "Old Name"
     assert names[base + datetime.timedelta(seconds=10)] == "New Name"
+
+
+def test_stream_table_directory_layout(spark, tmp_path):
+    """_stream_table must stream a Spark-written part-file DIRECTORY
+    (the production table layout, also what scale-probe replicas write)
+    identically to the driver's single-file layout."""
+    from health_monitor_cc_flink_spark.sources.testdata import (
+        _stream_table,
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    # re-write as a directory named documents.parquet under a fresh root
+    root = str(tmp_path / "dirsf")
+    docs.write.mode("overwrite").parquet(f"{root}/documents.parquet")
+
+    out = (
+        _stream_table(spark, root, "documents")
+        .groupBy()
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dir_layout_count")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    n_stream = spark.table("dir_layout_count").first()[0]
+    assert n_stream == docs.count()
