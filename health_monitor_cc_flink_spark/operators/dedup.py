@@ -233,8 +233,11 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             for b in range(16)
         ]
     )
+    # CAST keeps the output BIGINT: the oracle declares BIGINT, and bare
+    # shiftleft(1, b) would narrow the column to INT (driver schema gate)
     bit_terms = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN shiftleft(1, {b}) ELSE 0 END)" for b in range(16)
+        f"(CASE WHEN s{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(16)
     )
     return sums.select(id_col, F.expr(bit_terms).alias("simhash"))
 

@@ -385,42 +385,62 @@ def _filter_scanlines(raw, bpp: int, filter_mode: str = "cycle") -> bytes:
     return bytes(out)
 
 
+def _iter_png_chunks(payload: bytes, verify_crc: bool = True):
+    """Yield ``(chunk_type, data)`` for every chunk of a PNG byte
+    stream.  The one chunk walk shared by the still-image and animation
+    decoders: validates the signature, bounds every chunk against the
+    payload length (truncation raises ValueError, not struct.error),
+    verifies per-chunk CRCs when ``verify_crc``, and stops at IEND."""
+    import struct
+    import zlib
+
+    if bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, total = 8, len(payload)
+    while pos < total:
+        if pos + 8 > total:
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        if pos + 12 + length > total:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        data = bytes(payload[pos + 8 : pos + 8 + length])
+        if verify_crc:
+            (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {ctype!r} chunk")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+
+
+def _parse_ihdr(data: bytes):
+    """Parse an IHDR payload to (w, h, color_type), gating on the
+    8-bit gray/RGB non-interlaced subset both decoders support."""
+    import struct
+
+    w, h, depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", data)
+    if depth != 8 or color_type not in (0, 2) or interlace:
+        raise NotImplementedError("8-bit gray/RGB non-interlaced only")
+    return w, h, color_type
+
+
 def decode_png(payload: bytes, verify_crc: bool = True):
     """Decode an 8-bit gray/RGB non-interlaced PNG to a uint8 ndarray —
     numpy + stdlib zlib only, no PIL.  Handles all five scanline filters
     (None/Sub/Up/Average/Paeth) and multiple IDAT chunks; verifies every
     chunk CRC when ``verify_crc``.  Returns (h, w) for gray, (h, w, 3)
     for RGB."""
-    import struct
-    import zlib
-
-    import numpy as np
-
-    if bytes(payload[:8]) != _PNG_SIG:
-        raise ValueError("not a PNG: bad signature")
-    pos, w = 8, None
+    w = None
     idat = bytearray()
-    while pos < len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = bytes(payload[pos + 4 : pos + 8])
-        data = bytes(payload[pos + 8 : pos + 8 + length])
-        if verify_crc:
-            (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
-            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                raise ValueError(f"bad CRC in {ctype!r} chunk")
+    for ctype, data in _iter_png_chunks(payload, verify_crc):
         if ctype == b"IHDR":
-            w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or color_type not in (0, 2) or interlace:
-                raise NotImplementedError(
-                    "decode_png handles 8-bit gray/RGB non-interlaced only"
-                )
+            w, h, color_type = _parse_ihdr(data)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
-        pos += 12 + length
     if w is None:
         raise ValueError("no IHDR chunk")
     bpp = 1 if color_type == 0 else 3
@@ -503,14 +523,41 @@ def synth_png_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, png binary")
 
 
+def _area_resize(plane, t: int):
+    """Exact ``t``×``t`` area resize of a 2-D float plane for ANY dims:
+    rows/cols are split into ``t`` nearly-equal contiguous blocks
+    (``np.add.reduceat`` on integer boundaries) and each block is
+    averaged.  When dims are multiples of ``t`` the blocks are equal and
+    this is bit-identical to the ``reshape(t, bh, t, bw).mean(axis=(1,3))``
+    fast path the hash-gated oracle was derived from; dims smaller than
+    ``t`` are nearest-neighbor upsampled first so no block is empty."""
+    import numpy as np
+
+    h, w = plane.shape
+    if h < t:
+        plane = np.repeat(plane, -(-t // h), axis=0)
+        h = plane.shape[0]
+    if w < t:
+        plane = np.repeat(plane, -(-t // w), axis=1)
+        w = plane.shape[1]
+    ys = (np.arange(t) * h) // t
+    xs = (np.arange(t) * w) // t
+    cells = np.add.reduceat(np.add.reduceat(plane, ys, axis=0), xs, axis=1)
+    ycnt = np.diff(np.append(ys, h)).reshape(-1, 1)
+    xcnt = np.diff(np.append(xs, w)).reshape(1, -1)
+    return cells / (ycnt * xcnt)
+
+
 def png_decode_features(df: DataFrame, payload_col: str = "png",
                         thumb: int = 8) -> DataFrame:
     """REAL decode → resize → featurize over Arrow batches: decode each
     PNG (CRC-verified), area-resize to ``thumb``×``thumb`` (exact block
-    mean — dims here are multiples of 16, so blocks tile evenly), and
-    reduce to per-image statistics.  Pixel sums are exact integers, so a
-    single bit flipped anywhere in decode or unfiltering fails the hash
-    gate; full pixel buffers never leave the map task."""
+    mean for any dims, see :func:`_area_resize`), and reduce to
+    per-image statistics.  Grayscale and RGB both decode: stats cover
+    every sample; the thumbnail averages RGB channels per pixel first.
+    Pixel sums are exact integers, so a single bit flipped anywhere in
+    decode or unfiltering fails the hash gate; full pixel buffers never
+    leave the map task."""
     src = df.select(F.col("doc_id"), F.col(payload_col))
 
     def feats(batches: Iterator) -> Iterator:
@@ -525,9 +572,13 @@ def png_decode_features(df: DataFrame, payload_col: str = "png",
             }
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
                 img = decode_png(bytes(p), verify_crc=True)
-                h, w = img.shape
-                bh, bw = h // thumb, w // thumb
-                tb = img.reshape(thumb, bh, thumb, bw).mean(axis=(1, 3))
+                h, w = img.shape[0], img.shape[1]
+                plane = (
+                    img.astype(np.float64)
+                    if img.ndim == 2
+                    else img.astype(np.float64).mean(axis=2)
+                )
+                tb = _area_resize(plane, thumb)
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -610,31 +661,23 @@ def encode_apng(frames, delay_num: int = 1, delay_den: int = 10,
 
 def decode_apng_frames(payload: bytes, verify_crc: bool = True):
     """Decode an APNG produced by any full-frame encoder back to the
-    list of uint8 frame arrays: walks acTL/fcTL/IDAT/fdAT, checks CRCs
-    and sequence-number ordering, inflates + unfilters each frame with
-    the shared still-image path.  Raises on sub-frame regions or blend
-    modes this decoder doesn't model (x/y offsets, dispose/blend ≠ 0)."""
+    list of uint8 frame arrays: walks acTL/fcTL/IDAT/fdAT via the
+    shared :func:`_iter_png_chunks`, checks sequence-number ordering,
+    inflates + unfilters each frame with the shared still-image path.
+    A default image whose IDAT precedes the first fcTL is, per the
+    APNG spec, not part of the animation and is skipped.  Raises on
+    sub-frame regions or blend modes this decoder doesn't model
+    (x/y offsets, dispose/blend ≠ 0)."""
     import struct
-    import zlib
 
-    if bytes(payload[:8]) != _PNG_SIG:
-        raise ValueError("not a PNG: bad signature")
-    pos, w = 8, None
+    w = None
     declared = None
     frames, cur = [], None  # cur = bytearray of current frame's compressed data
     expected_seq = 0
-    while pos < len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = bytes(payload[pos + 4 : pos + 8])
-        data = bytes(payload[pos + 8 : pos + 8 + length])
-        if verify_crc:
-            (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
-            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                raise ValueError(f"bad CRC in {ctype!r} chunk")
+    saw_idat = False  # IDAT before any fcTL = default image, not a frame
+    for ctype, data in _iter_png_chunks(payload, verify_crc):
         if ctype == b"IHDR":
-            w, h, depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", data)
-            if depth != 8 or color_type not in (0, 2) or interlace:
-                raise NotImplementedError("8-bit gray/RGB non-interlaced only")
+            w, h, color_type = _parse_ihdr(data)
         elif ctype == b"acTL":
             declared, _ = struct.unpack(">II", data)
         elif ctype == b"fcTL":
@@ -650,10 +693,15 @@ def decode_apng_frames(payload: bytes, verify_crc: bool = True):
                 frames.append(bytes(cur))
             cur = bytearray()
         elif ctype == b"IDAT":
-            if cur is None:
-                raise ValueError("IDAT before first fcTL in an APNG")
-            cur.extend(data)
+            saw_idat = True
+            # IDAT before the first fcTL is the spec-valid "default image
+            # not part of the animation" layout (acTL, IDAT, fcTL, fdAT…):
+            # skip its data — the animation frames all ride in fdAT.
+            if cur is not None:
+                cur.extend(data)
         elif ctype == b"fdAT":
+            if cur is None:
+                raise ValueError("fdAT before first fcTL")
             (seq,) = struct.unpack(">I", data[:4])
             if seq != expected_seq:
                 raise ValueError(f"fdAT sequence {seq}, expected {expected_seq}")
@@ -661,9 +709,8 @@ def decode_apng_frames(payload: bytes, verify_crc: bool = True):
             cur.extend(data[4:])
         elif ctype == b"IEND":
             break
-        pos += 12 + length
-    if w is None or cur is None:
-        raise ValueError("missing IHDR or frames")
+    if w is None or cur is None or not saw_idat:
+        raise ValueError("missing IHDR, IDAT, or frames")
     frames.append(bytes(cur))
     if declared is not None and declared != len(frames):
         raise ValueError(f"acTL declares {declared} frames, found {len(frames)}")

@@ -1051,14 +1051,20 @@ def ann_ivf_persisted_topk(spark, sf_dir):
     return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-@query(
-    "ann_lsh_hyperplane_buckets",
-    """
-    WITH sgn AS (
+def _hyperplane_cell_ctes(n_bits: int, cell_cte: str = "cellt",
+                          cell_col: str = "cell") -> str:
+    """DuckDB CTE block (sgn → pos → dots → cell) deriving the
+    md5-hyperplane LSH cell per `embeddings` vector — the ONE oracle-side
+    source of truth for the quantizer that S.hyperplane_lsh_bucket
+    implements Spark-side.  Any change to the quantizer (bit count,
+    milli-unit scale, md5 keying) is made here and in
+    hyperplane_lsh_bucket, nowhere else; the six oracles that previously
+    embedded this block verbatim all call this builder."""
+    return f"""sgn AS (
         SELECT j.j AS j, i.i AS i,
                CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
                     THEN 1 ELSE -1 END AS s
-        FROM range(16) j(j), range(64) i(i)
+        FROM range({n_bits}) j(j), range(64) i(i)
     ), pos AS (
         SELECT vec_id, i.i AS i,
                CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
@@ -1066,10 +1072,18 @@ def ann_ivf_persisted_topk(spark, sf_dir):
     ), dots AS (
         SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
         FROM pos JOIN sgn USING (i) GROUP BY 1, 2
-    )
-    SELECT vec_id,
-           CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket16
-    FROM dots GROUP BY vec_id
+    ), {cell_cte} AS (
+        SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS {cell_col}
+        FROM dots GROUP BY vec_id
+    )"""
+
+
+@query(
+    "ann_lsh_hyperplane_buckets",
+    "WITH "
+    + _hyperplane_cell_ctes(16, cell_cte="cellt", cell_col="bucket16")
+    + """
+    SELECT vec_id, bucket16 FROM cellt
     """,
     doc="Random-hyperplane LSH bucketing for cosine ANN (16-bit signature, "
     "md5-derived deterministic hyperplanes, exact integer milli-unit dot "
@@ -6312,24 +6326,9 @@ def dq_order_total_reconciliation(spark, sf_dir):
 
 @query(
     "embedding_lsh_bucket_purity",
-    """
-    WITH sgn AS (
-        SELECT j.j AS j, i.i AS i,
-               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
-                    THEN 1 ELSE -1 END AS s
-        FROM range(4) j(j), range(64) i(i)
-    ), pos AS (
-        SELECT vec_id, i.i AS i,
-               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
-        FROM embeddings, range(64) i(i)
-    ), dots AS (
-        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
-        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
-    ), bucket AS (
-        SELECT vec_id,
-               CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bkt
-        FROM dots GROUP BY vec_id
-    ), lab AS (
+    "WITH "
+    + _hyperplane_cell_ctes(4, cell_cte="bucket", cell_col="bkt")
+    + """, lab AS (
         SELECT bkt, label, count(*) AS n
         FROM bucket JOIN embeddings USING (vec_id) GROUP BY 1, 2
     ), r AS (
@@ -8323,10 +8322,17 @@ def _semdedup_prune_rollup(emb):
     (semdedup_cluster_prune) and the planted-dup certification query
     (semdedup_planted_prune) so the certified rule IS the deployed rule:
     8-bit hyperplane cell, within-cell cos>=0.9 pairs, drop the higher
-    vec_id of each pair, roll up per-cell member/drop counts."""
-    cells = S.hyperplane_lsh_bucket(
-        emb, "vec_id", "embedding", n_bits=8, dim=64
-    ).withColumnRenamed("bucket8", "cell")
+    vec_id of each pair, roll up per-cell member/drop counts.
+
+    ``cells`` feeds two plan branches (the pair join and the final
+    rollup); localCheckpoint materializes the ~512-FMA/row quantizer
+    once instead of letting Catalyst re-evaluate it per branch — the
+    same two-consumer fix corpus_prep_pipeline_e2e uses."""
+    cells = (
+        S.hyperplane_lsh_bucket(emb, "vec_id", "embedding", n_bits=8, dim=64)
+        .withColumnRenamed("bucket8", "cell")
+        .localCheckpoint(eager=True)
+    )
     m = emb.join(cells, "vec_id")
     pairs = S.embedding_near_dup_pairs(m, threshold=0.9, block_col="cell")
     dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
@@ -8344,23 +8350,9 @@ def _semdedup_prune_rollup(emb):
 
 @query(
     "semdedup_cluster_prune",
-    """
-    WITH sgn AS (
-        SELECT j.j AS j, i.i AS i,
-               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
-                    THEN 1 ELSE -1 END AS s
-        FROM range(8) j(j), range(64) i(i)
-    ), pos AS (
-        SELECT vec_id, i.i AS i,
-               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
-        FROM embeddings, range(64) i(i)
-    ), dots AS (
-        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
-        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
-    ), cellt AS (
-        SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
-        FROM dots GROUP BY vec_id
-    ), dropped AS (
+    "WITH "
+    + _hyperplane_cell_ctes(8)
+    + """, dropped AS (
         SELECT DISTINCT cb.vec_id
         FROM cellt ca JOIN cellt cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
         JOIN embeddings a ON a.vec_id = ca.vec_id
@@ -8512,23 +8504,9 @@ def streaming_topk_trending(spark, sf_dir):
 
 @query(
     "streaming_semdedup_ingest",
-    """
-    WITH sgn AS (
-        SELECT j.j AS j, i.i AS i,
-               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
-                    THEN 1 ELSE -1 END AS s
-        FROM range(8) j(j), range(64) i(i)
-    ), pos AS (
-        SELECT vec_id, i.i AS i,
-               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
-        FROM embeddings, range(64) i(i)
-    ), dots AS (
-        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
-        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
-    ), cellt AS (
-        SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
-        FROM dots GROUP BY vec_id
-    ), dropped AS (
+    "WITH "
+    + _hyperplane_cell_ctes(8)
+    + """, dropped AS (
         SELECT DISTINCT cb.vec_id
         FROM cellt ca JOIN cellt cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
         JOIN embeddings a ON a.vec_id = ca.vec_id
@@ -8589,23 +8567,9 @@ def _multiprobe_candidates(emb, query_vec_id=0, n_bits=8):
 
 @query(
     "ann_lsh_multiprobe_topk",
-    """
-    WITH sgn AS (
-        SELECT j.j AS j, i.i AS i,
-               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
-                    THEN 1 ELSE -1 END AS s
-        FROM range(8) j(j), range(64) i(i)
-    ), pos AS (
-        SELECT vec_id, i.i AS i,
-               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
-        FROM embeddings, range(64) i(i)
-    ), dots AS (
-        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
-        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
-    ), cellt AS (
-        SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
-        FROM dots GROUP BY vec_id
-    ), qcell AS (
+    "WITH "
+    + _hyperplane_cell_ctes(8)
+    + """, qcell AS (
         SELECT cell AS qc FROM cellt WHERE vec_id = 0
     ), probes AS (
         SELECT qc AS cell FROM qcell
@@ -8724,23 +8688,9 @@ def semdedup_planted_prune(spark, sf_dir):
 
 @query(
     "ann_multiprobe_recall_certificate",
-    """
-    WITH sgn AS (
-        SELECT j.j AS j, i.i AS i,
-               CASE WHEN (strpos('0123456789abcdef', substr(md5(j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
-                    THEN 1 ELSE -1 END AS s
-        FROM range(8) j(j), range(64) i(i)
-    ), pos AS (
-        SELECT vec_id, i.i AS i,
-               CAST(floor(embedding[i.i + 1]::DOUBLE * 1000) AS BIGINT) AS vm
-        FROM embeddings, range(64) i(i)
-    ), dots AS (
-        SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
-        FROM pos JOIN sgn USING (i) GROUP BY 1, 2
-    ), cellt AS (
-        SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
-        FROM dots GROUP BY vec_id
-    ), qcell AS (
+    "WITH "
+    + _hyperplane_cell_ctes(8)
+    + """, qcell AS (
         SELECT cell AS qc FROM cellt WHERE vec_id = 0
     ), probes AS (
         SELECT qc AS cell FROM qcell

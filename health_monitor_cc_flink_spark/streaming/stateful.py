@@ -24,6 +24,7 @@ from statistics import NormalDist
 from typing import Any, Iterator, Sequence
 
 import numpy as np
+from pyspark.errors import PySparkRuntimeError
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -86,10 +87,12 @@ def streaming_detect_anomalies(
         # rows below the watermark are dropped, not scored — appending
         # them would interleave the AR history out of event order.
         # Watermark-free streams (valid for NoTimeout operators) have no
-        # watermark to read: Spark raises, which here means "keep all".
+        # watermark to read: PySpark raises PySparkRuntimeError from a
+        # local-field check (no JVM call), which here means "keep all".
+        # Only that error is caught — anything else should surface.
         try:
             wm_ms = state.getCurrentWatermarkMs()
-        except Exception:
+        except PySparkRuntimeError:
             wm_ms = 0
         if wm_ms > 0:
             batch = batch[(batch[ts_col].astype("int64") // 1_000_000) >= wm_ms]
@@ -191,7 +194,7 @@ def streaming_forecast(
         # same late-data contract as streaming_detect_anomalies
         try:
             wm_ms = state.getCurrentWatermarkMs()
-        except Exception:
+        except PySparkRuntimeError:
             wm_ms = 0  # watermark-free stream: keep all rows
         if wm_ms > 0:
             batch = batch[(batch[ts_col].astype("int64") // 1_000_000) >= wm_ms]

@@ -71,7 +71,11 @@ def test_ngram_jaccard_ranks_planted_pairs_highest(corpus):
 
 
 def test_simhash_close_for_planted_pairs(corpus):
-    sh = {r.doc_id: r.simhash for r in simhash16(corpus, "doc_id", "text").collect()}
+    out = simhash16(corpus, "doc_id", "text")
+    # the oracle declares BIGINT; the single-aggregation rewrite must not
+    # narrow the sketch column to INT (driver schema gate)
+    assert out.schema["simhash"].dataType.typeName() == "long"
+    sh = {r.doc_id: r.simhash for r in out.collect()}
     for i in range(len(BASE_DOCS)):
         a, b = sh[2 * i], sh[2 * i + 1]
         assert bin(a ^ b).count("1") <= 6  # one-token mutation ⇒ few flipped bits

@@ -323,3 +323,82 @@ def test_apng_frame_sample_spark_matches_closed_form(spark):
             assert (r.width, r.height, r.n_frames) == (w, h, nf)
             assert r.px_sum == w * h * (w + h - 2) // 2 + 2 * r.frame_idx * w * h
             assert r.px_max == w + h - 2 + 2 * r.frame_idx
+
+
+def test_png_decode_features_rgb_and_ragged_dims(spark):
+    """Round-6 review fixes: RGB PNGs and dims not divisible by the
+    thumbnail size decode instead of crashing, and the reduceat-based
+    area resize is bit-identical to the reshape block mean on evenly
+    tiling dims (the hash-gated oracle path)."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        _area_resize,
+        encode_png,
+        png_decode_features,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (64, 32), dtype=np.uint8)
+    ref = img.astype(np.float64).reshape(8, 8, 8, 4).mean(axis=(1, 3))
+    assert np.array_equal(_area_resize(img.astype(np.float64), 8), ref)
+
+    rgb = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)  # not % 8
+    tiny = rng.integers(0, 256, (5, 3), dtype=np.uint8)  # smaller than thumb
+    pdf = spark.createDataFrame(
+        [(0, bytearray(encode_png(rgb))), (1, bytearray(encode_png(tiny)))],
+        "doc_id long, png binary",
+    )
+    rows = {r.doc_id: r for r in png_decode_features(pdf).collect()}
+    assert (rows[0].width, rows[0].height) == (10, 10)
+    assert rows[0].px_sum == int(rgb.sum(dtype=np.int64))
+    assert abs(rows[0].px_mean - rgb.mean()) < 1e-9
+    assert (rows[1].width, rows[1].height) == (3, 5)
+    assert rows[1].px_sum == int(tiny.sum(dtype=np.int64))
+    assert rows[1].px_min == int(tiny.min()) and rows[1].px_max == int(tiny.max())
+
+
+def test_apng_default_image_and_malformed_streams():
+    """APNG spec: an IDAT that precedes the first fcTL is a default
+    image outside the animation — decoded files skip it.  Malformed
+    streams (fdAT before fcTL, truncated chunks) raise ValueError, not
+    AttributeError/struct.error."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        _PNG_SIG,
+        _filter_scanlines,
+        _png_chunk,
+        decode_apng_frames,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(17)
+    h = w = 8
+    default_img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    frame = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    comp = lambda a: zlib.compress(_filter_scanlines(a.reshape(h, w), 1, "cycle"), 6)
+
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", 1, 0))
+    out += _png_chunk(b"IDAT", comp(default_img))  # default image, not a frame
+    out += _png_chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, w, h, 0, 0, 1, 10, 0, 0))
+    out += _png_chunk(b"fdAT", struct.pack(">I", 1) + comp(frame))
+    out += _png_chunk(b"IEND", b"")
+    dec = decode_apng_frames(bytes(out))
+    assert len(dec) == 1 and np.array_equal(dec[0], frame)
+
+    bad = bytearray(_PNG_SIG)
+    bad += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+    bad += _png_chunk(b"acTL", struct.pack(">II", 1, 0))
+    bad += _png_chunk(b"fdAT", struct.pack(">I", 0) + comp(frame))
+    with _pytest.raises(ValueError, match="fdAT before first fcTL"):
+        decode_apng_frames(bytes(bad))
+
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_apng_frames(encode_png(default_img)[:-6])
