@@ -96,10 +96,20 @@ class MLDetectAnomalies:
     def __init__(self):
         self.model = _OnlineAR1()
         self.i = 0
+        self._z = None
+        self._z_for = None
+
+    def _zcrit(self, confidence_percentage) -> float:
+        # confidence is constant per partition: solve inv_cdf once, not
+        # per row (it's an iterative solver on the UDTF hot path)
+        if self._z_for != confidence_percentage:
+            self._z = NormalDist().inv_cdf(0.5 + float(confidence_percentage) / 200.0)
+            self._z_for = confidence_percentage
+        return self._z
 
     def eval(self, row, min_training_size: int = 30, confidence_percentage: float = 95.0):
         min_training_size = int(min_training_size)  # SQL literals arrive as Decimal
-        z = NormalDist().inv_cdf(0.5 + float(confidence_percentage) / 200.0)
+        z = self._zcrit(confidence_percentage)
         y = float(row["observed_value"])
         fit = self.model.fit()  # model over rows 1..i-1
         if fit is None or not math.isfinite(fit[2]):
@@ -132,12 +142,22 @@ class MLDetectAnomalies:
 )
 class MLForecast:
     """ML_FORECAST(TABLE(t) PARTITION BY patient_id ORDER BY
-    event_timestamp [, horizon, confidence_percentage, min_training_size])."""
+    event_timestamp [, horizon, confidence_percentage, min_training_size]).
+
+    The batch operator stamps EVERY row's forecast_timestamp with the
+    key's FINAL inter-arrival gap (``steps.iloc[-1]``, ≤0/missing → 1 s),
+    which is only known once the partition ends — so rows are buffered
+    and emitted from ``terminate()``.  (A prior version used the running
+    last gap, silently diverging from the batch operator on keys with
+    varying cadence.)"""
 
     def __init__(self):
         self.model = _OnlineAR1()
         self.prev_ts = None
-        self.step = None
+        self.last_diff = None  # diff of the final two timestamps seen
+        self.rows = []  # buffered outputs awaiting the partition-final gap
+        self._z = None
+        self._z_for = None
 
     def eval(
         self,
@@ -146,22 +166,22 @@ class MLForecast:
         confidence_percentage: float = 95.0,
         min_training_size: int = 2,
     ):
-        import datetime
-
         horizon = int(horizon)  # SQL literals arrive as Decimal
         min_training_size = int(min_training_size)
-        z = NormalDist().inv_cdf(0.5 + float(confidence_percentage) / 200.0)
+        if self._z_for != confidence_percentage:
+            self._z = NormalDist().inv_cdf(0.5 + float(confidence_percentage) / 200.0)
+            self._z_for = confidence_percentage
+        z = self._z
         ts = row["event_timestamp"]
         y = float(row["observed_value"])
-        if self.prev_ts is not None and ts > self.prev_ts:
-            self.step = ts - self.prev_ts
+        if self.prev_ts is not None:
+            self.last_diff = ts - self.prev_ts
         self.prev_ts = ts
         self.model.update(y)
         fit = self.model.fit()
         if self.model.n < min_training_size or fit is None or not math.isfinite(fit[2]):
             return
         a, b, sigma, rmse, aic = fit
-        step = self.step or datetime.timedelta(seconds=1)
         yhat, var_acc = y, 0.0
         b2, pw = b * b, 1.0  # product chain, not pow (ulp parity with batch)
         for h in range(1, horizon + 1):
@@ -169,17 +189,28 @@ class MLForecast:
             var_acc += pw
             pw = pw * b2
             band = z * sigma * math.sqrt(var_acc)
-            yield (
-                row["patient_id"],
-                ts,
-                y,
-                ts + h * step,
-                yhat,
-                yhat - band,
-                yhat + band,
-                rmse if math.isfinite(rmse) else None,
-                aic if math.isfinite(aic) else None,
+            self.rows.append(
+                (
+                    row["patient_id"],
+                    ts,
+                    y,
+                    h,
+                    yhat,
+                    yhat - band,
+                    yhat + band,
+                    rmse if math.isfinite(rmse) else None,
+                    aic if math.isfinite(aic) else None,
+                )
             )
+
+    def terminate(self):
+        import datetime
+
+        step = self.last_diff
+        if step is None or step <= datetime.timedelta(0):
+            step = datetime.timedelta(seconds=1)
+        for pid, ts, y, h, yhat, lo, hi, rmse, aic in self.rows:
+            yield (pid, ts, y, ts + h * step, yhat, lo, hi, rmse, aic)
 
 
 def register_sql_ml_functions(spark) -> None:

@@ -33,11 +33,16 @@ class _JsonlCommit(WriterCommitMessage):
 
 
 class JsonlWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_audit requires option('path', ...)")
         self.fail = options.get("fail", "false").lower() == "true"
+        self.overwrite = overwrite
+        # published names carry a per-job id: two append jobs must not
+        # both publish part-00000.jsonl (the second would clobber the
+        # first via os.replace)
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         os.makedirs(self.path, exist_ok=True)
@@ -54,8 +59,21 @@ class JsonlWriter(DataSourceWriter):
     def commit(self, messages):
         total = 0
         published = []
+        if self.overwrite:
+            # overwrite contract: this job's output replaces ALL prior
+            # parts, including high-numbered ones from a larger job
+            for f in os.listdir(self.path):
+                if (f.startswith("part-") and f.endswith(".jsonl")) or f == "_SUCCESS":
+                    os.remove(os.path.join(self.path, f))
+        elif os.path.exists(os.path.join(self.path, "_SUCCESS")):
+            # append contract: prior jobs' files stay published and the
+            # manifest accumulates
+            with open(os.path.join(self.path, "_SUCCESS")) as fh:
+                prev = json.load(fh)
+            published = list(prev.get("files", []))
+            total = int(prev.get("rows", 0))
         for i, m in enumerate(messages):
-            final = f"part-{i:05d}.jsonl"
+            final = f"part-{i:05d}-{self.job_id}.jsonl"
             os.replace(os.path.join(self.path, m.tmp_name), os.path.join(self.path, final))
             published.append({"file": final, "rows": m.n_rows})
             total += m.n_rows
@@ -80,7 +98,7 @@ class JsonlAuditDataSource(DataSource):
         return "jsonl_audit"
 
     def writer(self, schema, overwrite: bool):
-        return JsonlWriter(self.options)
+        return JsonlWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -16,19 +16,27 @@ contract (changed-rows in, current-table out) is identical.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 
+from .sinks import publish_dir_atomically, recover_published_dir
 
-def upsert_snapshot(snapshot_path: str):
+
+def upsert_snapshot(snapshot_path: str, key_cols: list[str]):
     """foreachBatch function: apply a batch of changed rows (update-mode
-    output, one row per changed key) to the parquet snapshot."""
+    output, one row per changed key, keyed by ``key_cols``) to the
+    parquet snapshot.
+
+    The snapshot is published via staging-dir + atomic rename
+    (:func:`publish_dir_atomically`): a crash at any point leaves either
+    the old or the new complete snapshot, and a replayed epoch re-merges
+    against the recovered state instead of rebuilding the table from the
+    one replayed batch."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        key_cols = batch.schema.names[:1] if not hasattr(_apply, "keys") else _apply.keys
-        tmp = snapshot_path + f"._staging_{batch_id}"
+        recover_published_dir(snapshot_path)
+        tmp = snapshot_path + "._staging"
         if os.path.exists(snapshot_path):
             current = spark.read.parquet(snapshot_path)
             kept = current.join(batch.select(*key_cols), on=key_cols, how="left_anti")
@@ -36,8 +44,7 @@ def upsert_snapshot(snapshot_path: str):
         else:
             merged = batch
         merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(snapshot_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        publish_dir_atomically(tmp, snapshot_path)
 
     return _apply
 
@@ -52,8 +59,7 @@ def maintain_table(
     """Start an update-mode query maintaining ``snapshot_path`` as the
     current state of ``agg`` (a streaming aggregation keyed by
     ``key_cols``)."""
-    fn = upsert_snapshot(snapshot_path)
-    fn.keys = key_cols
+    fn = upsert_snapshot(snapshot_path, key_cols)
     writer = (
         agg.writeStream.outputMode("update")
         .foreachBatch(fn)

@@ -81,6 +81,11 @@ def run_streaming_pipeline(
 
     def sink(df: DataFrame, name: str) -> str:
         path = os.path.join(out_dir, name)
+        # pre-create the sink dir: in continuous mode the next stage's
+        # file-stream source starts against it before the first
+        # micro-batch commits, and an empty dir + explicit schema is
+        # valid where a missing path is not
+        os.makedirs(path, exist_ok=True)
         q = (
             df.writeStream.outputMode("append")
             .format("parquet")
@@ -111,10 +116,14 @@ def run_streaming_pipeline(
     smoothed = streaming_windowed_vitals(events, window=window)
     sink(smoothed, "windowed_vitals")
 
-    # stage 2b: stateful anomaly detection over the re-sourced stream
-    smoothed_src = spark.readStream.schema(
-        spark.read.parquet(paths["windowed_vitals"]).schema
-    ).parquet(paths["windowed_vitals"])
+    # stage 2b: stateful anomaly detection over the re-sourced stream.
+    # Schemas of the re-sourced stages come from the upstream streaming
+    # DataFrames (statically known), NOT from reading the materialized
+    # parquet — in continuous mode that directory has no committed files
+    # yet when this line runs.
+    smoothed_src = spark.readStream.schema(smoothed.schema).parquet(
+        paths["windowed_vitals"]
+    )
     flagged = streaming_detect_anomalies(
         with_default_watermark(smoothed_src, "event_timestamp"),
         value_col="observed_value",
@@ -126,16 +135,16 @@ def run_streaming_pipeline(
 
     # stage 3: anomaly filter (drop direction, reference §2.12.2) over the
     # materialized stage-2 output — re-sourced as a fresh stream
-    flagged_src = spark.readStream.schema(
-        spark.read.parquet(paths["enriched_events_flagged"]).schema
-    ).parquet(paths["enriched_events_flagged"])
+    flagged_src = spark.readStream.schema(flagged.schema).parquet(
+        paths["enriched_events_flagged"]
+    )
     filtered = flagged_src.filter(F.col("is_anomaly") == F.lit(False))
     sink(filtered, "filtered_enriched_events")
 
     # stage 4: stateful forecast + threshold alerts
-    filtered_src = spark.readStream.schema(
-        spark.read.parquet(paths["filtered_enriched_events"]).schema
-    ).parquet(paths["filtered_enriched_events"])
+    filtered_src = spark.readStream.schema(filtered.schema).parquet(
+        paths["filtered_enriched_events"]
+    )
     fc = streaming_forecast(
         with_default_watermark(filtered_src, "event_timestamp"),
         value_col="observed_value",

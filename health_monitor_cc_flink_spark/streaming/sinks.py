@@ -18,30 +18,60 @@ that don't care read ``spark.read.parquet(path)`` and drop the column.
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def recover_published_dir(final_dir: str) -> None:
+    """Crash recovery for :func:`publish_dir_atomically`: if a previous
+    process died between its two renames, the last committed state lives
+    in ``<final>_old`` — restore it.  Call before reading ``final_dir``."""
+    old = final_dir + "_old"
+    if os.path.exists(old):
+        if os.path.exists(final_dir):
+            shutil.rmtree(old)  # crash after publish, before cleanup
+        else:
+            os.rename(old, final_dir)  # crash between the two renames
+
+
+def publish_dir_atomically(tmp_dir: str, final_dir: str) -> None:
+    """Replace ``final_dir`` with ``tmp_dir`` so that EVERY crash point
+    leaves a recoverable committed state: demote final to ``_old``,
+    promote tmp, drop ``_old``.  A bare rmtree-then-rename (the naive
+    swap) has a window where neither directory exists and a replayed
+    foreachBatch epoch would silently rebuild state from that one batch;
+    here the pre-epoch state survives any crash and
+    :func:`recover_published_dir` restores it on the next call."""
+    old = final_dir + "_old"
+    if os.path.exists(final_dir):
+        os.rename(final_dir, old)
+    os.rename(tmp_dir, final_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def idempotent_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
     """Return a ``foreachBatch`` function writing each epoch to
     ``<path>/batch_id=<id>`` with partition-overwrite semantics: replays
     of the same epoch overwrite their own output (exactly-once effect),
-    distinct epochs append new partitions."""
+    distinct epochs append new partitions.
+
+    Overwrite mode is writer-scoped (``.option("partitionOverwriteMode",
+    "dynamic")``) rather than set on the session conf: two concurrent
+    queries sharing one session must not race on a global flag — a
+    static overwrite sneaking in would truncate the whole table to one
+    epoch."""
 
     def _write(df: DataFrame, batch_id: int) -> None:
-        spark = df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        (
+            df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
     return _write
 
@@ -56,13 +86,11 @@ def cdc_merge_batch(state_dir: str):
     Expects columns (user_id, event_type, value, ts_us, event_id);
     'error' rows are deletes.  Read-out filters tombstones.
     """
-    import os
-    import shutil
-
     from pyspark.sql import Window, functions as F
 
     def merge(batch_df, epoch_id):
         s = batch_df.sparkSession
+        recover_published_dir(state_dir)
         w = Window.partitionBy("user_id").orderBy(
             F.desc("ts_us"), F.desc("event_id")
         )
@@ -88,8 +116,6 @@ def cdc_merge_batch(state_dir: str):
         )
         tmp = state_dir + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+        publish_dir_atomically(tmp, state_dir)
 
     return merge

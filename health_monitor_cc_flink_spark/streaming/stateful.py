@@ -319,16 +319,17 @@ def streaming_rate_limit_first_n(
                 ):
                     w = (t // window_us) * window_us
                     # Late-data contract (same as Spark's built-in windowed
-                    # aggregation): a row whose window end is already below
-                    # the watermark is dropped.  Without this, a row landing
-                    # after its window was finalized-and-removed would be
-                    # re-emitted as a fresh window with seq restarting at 1
-                    # (duplicate window_start_us in the append output), and
-                    # a row landing in the gap between the watermark passing
-                    # and the timer firing would mutate an already-decided
-                    # top-n — nondeterministic under replay either way.
-                    if (w + window_us) // 1000 < wm_ms:
-                        continue
+                    # aggregation): any row that reaches this function
+                    # passed Spark's late-event filter (which lags the
+                    # eviction watermark by one batch), so its window is
+                    # either still open or being finalized in THIS
+                    # invocation — it joins the window and counts toward
+                    # the top-n, exactly as the batch operator would.  A
+                    # row for a window finalized in an EARLIER invocation
+                    # cannot get here: its ts is below that invocation's
+                    # eviction watermark, which is this batch's late-event
+                    # filter — Spark drops it before the operator, so
+                    # duplicate (key, window) emissions are impossible.
                     windows.setdefault(w, []).append((t, i, e))
 
         out_rows = []
@@ -709,6 +710,15 @@ def streaming_window_funnel(
             )
             if open_windows:
                 state.setTimeoutTimestamp((min(open_windows) + window_us) // 1000 + 1)
+            else:
+                # no open signup window: the kept events only matter to a
+                # signup arriving within window_us of them — arm a cleanup
+                # timer so a key whose stream simply ends is still evicted
+                # once the watermark passes last-event + window (without
+                # it, permanently idle keys kept state forever)
+                state.setTimeoutTimestamp(
+                    (max(r[0] for r in remaining) + window_us) // 1000 + 1
+                )
         elif state.exists:
             state.remove()
 

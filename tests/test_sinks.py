@@ -88,3 +88,66 @@ def test_cdc_merge_tombstone_not_resurrected_across_batches(spark, tmp_path):
     assert snap[3] == (7.0, False)
     live = spark.read.parquet(state).filter(~F.col("tombstone")).count()
     assert live == 2
+
+
+def test_publish_dir_atomically_every_crash_point_recovers(spark, tmp_path):
+    """The state-publish protocol (demote final -> _old, promote tmp,
+    drop _old) must leave a recoverable committed state at EVERY crash
+    point; recover_published_dir restores it.  A bare rmtree+rename has
+    a window where a replayed epoch would rebuild state from one batch."""
+    import os
+
+    from health_monitor_cc_flink_spark.streaming.sinks import (
+        publish_dir_atomically,
+        recover_published_dir,
+    )
+
+    final = str(tmp_path / "state")
+
+    def write(tag, to):
+        spark.createDataFrame([(tag,)], "v string").write.mode("overwrite").parquet(to)
+
+    # normal publish v1 then v2
+    write("v1", str(tmp_path / "t1"))
+    publish_dir_atomically(str(tmp_path / "t1"), final)
+    write("v2", str(tmp_path / "t2"))
+    publish_dir_atomically(str(tmp_path / "t2"), final)
+    assert spark.read.parquet(final).first().v == "v2"
+
+    # crash point A: between the two renames (final demoted, tmp not yet
+    # promoted) — committed state lives in _old and must come back
+    os.rename(final, final + "_old")
+    recover_published_dir(final)
+    assert spark.read.parquet(final).first().v == "v2"
+    assert not os.path.exists(final + "_old")
+
+    # crash point B: after promote, before _old cleanup — final wins,
+    # stale _old is swept
+    write("v3", str(tmp_path / "t3"))
+    os.rename(final, final + "_old")
+    os.rename(str(tmp_path / "t3"), final)
+    recover_published_dir(final)
+    assert spark.read.parquet(final).first().v == "v3"
+    assert not os.path.exists(final + "_old")
+
+
+def test_cdc_merge_survives_simulated_crash_between_renames(spark, tmp_path):
+    """cdc state after a crash mid-publish + epoch replay must still
+    contain keys from EARLIER epochs (the naive swap lost them all)."""
+    import os
+
+    from health_monitor_cc_flink_spark.streaming.sinks import cdc_merge_batch
+
+    state = str(tmp_path / "cdc_state")
+    merge = cdc_merge_batch(state)
+    cols = "user_id long, event_type string, value double, ts_us long, event_id long"
+    merge(spark.createDataFrame([(1, "update", 1.0, 100, 1)], cols), 0)
+    merge(spark.createDataFrame([(2, "update", 2.0, 200, 2)], cols), 1)
+
+    # simulate dying between the demote and promote renames, then the
+    # replayed epoch arriving
+    os.rename(state, state + "_old")
+    merge(spark.createDataFrame([(2, "update", 2.0, 200, 2)], cols), 1)
+
+    rows = {r.user_id: r.value for r in spark.read.parquet(state).collect()}
+    assert rows == {1: 1.0, 2: 2.0}  # key 1 survived the crash + replay

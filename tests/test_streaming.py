@@ -171,3 +171,44 @@ def test_stream_table_directory_layout(spark, tmp_path):
     out.awaitTermination()
     n_stream = spark.table("dir_layout_count").first()[0]
     assert n_stream == docs.count()
+
+
+def test_streaming_pipeline_continuous_mode_starts_and_flows(
+    spark, events_path, tmp_path
+):
+    """available_now=False (the advertised continuous mode) must start
+    all five chained queries without crashing — re-source schemas come
+    from the upstream DataFrames, not from reading a not-yet-written
+    parquet dir — and data must flow through at least the first stages
+    while the queries run."""
+    import time as _time
+
+    before = set(q.id for q in spark.streams.active)
+    paths = run_streaming_pipeline(
+        spark,
+        events_path,
+        HEALTH_EVENT_SCHEMA,
+        patients_df(spark),
+        out_dir=str(tmp_path / "cont"),
+        available_now=False,
+    )
+    ours = [q for q in spark.streams.active if q.id not in before]
+    try:
+        assert len(ours) == 5  # all five stage queries are live
+        deadline = _time.time() + 90
+        seen = 0
+        while _time.time() < deadline:
+            try:
+                seen = spark.read.parquet(paths["windowed_vitals"]).count()
+            except Exception:
+                seen = 0
+            if seen > 0:
+                break
+            _time.sleep(2)
+        assert seen > 0, "no data flowed through the windowed stage"
+        assert spark.read.parquet(paths["enriched_events"]).count() > 0
+    finally:
+        for q in ours:
+            q.stop()
+        for q in ours:
+            q.awaitTermination(30)

@@ -249,13 +249,14 @@ def test_streaming_window_funnel_state_survives_restart(spark, tmp_path):
     assert got == [(1, 3)]
 
 
-def test_streaming_rate_limit_drops_late_rows_for_finalized_windows(
-    spark, tmp_path
-):
-    """An event arriving AFTER the watermark already finalized (and
-    removed) its window must be dropped, not re-emitted as a fresh
-    window with seq restarting at 1 — append output must contain each
-    (key, window) exactly once."""
+def test_streaming_rate_limit_late_rows_batch_parity(spark, tmp_path):
+    """Late-data contract (matches Spark's built-in windowed agg and the
+    batch operator): a late row that still passes Spark's late-event
+    filter (which lags the eviction watermark by one batch) joins its
+    window BEFORE finalization and counts toward the top-n — the batch
+    answer over all events.  A row beyond the late-filter horizon is
+    dropped by Spark itself, so a finalized (key, window) can never be
+    re-emitted — append output contains each exactly once."""
     from health_monitor_cc_flink_spark.streaming.stateful import (
         streaming_rate_limit_first_n,
     )
@@ -264,9 +265,14 @@ def test_streaming_rate_limit_drops_late_rows_for_finalized_windows(
     now = time.time()
     _write_batch(spark, [(1, "click", 70), (1, "click", 80), (1, "click", 90)],
                  src, "a", now - 400)
-    _write_batch(spark, [(99, "view", 10_000)], src, "b", now - 300)  # finalize
-    _write_batch(spark, [(1, "click", 75)], src, "c", now - 200)      # LATE
-    _write_batch(spark, [(99, "view", 20_000)], src, "d", now - 100)
+    _write_batch(spark, [(99, "view", 10_000)], src, "b", now - 300)  # advance wm
+    # LATE but within the one-batch late-filter lag: reaches the operator
+    # in the same invocation that finalizes window [60, 120)
+    _write_batch(spark, [(1, "click", 75)], src, "c", now - 250)
+    _write_batch(spark, [(99, "view", 20_000)], src, "d", now - 200)
+    # beyond the late-filter horizon (wm is now ~16400): Spark drops it
+    # before the operator — must NOT resurrect the finalized window
+    _write_batch(spark, [(1, "click", 76)], src, "e", now - 100)
 
     stream = (
         spark.readStream.schema(SCHEMA)
@@ -288,10 +294,11 @@ def test_streaming_rate_limit_drops_late_rows_for_finalized_windows(
     rows = [
         r for r in spark.read.parquet(out_dir).collect() if r.user_id == 1
     ]
-    # the first n_keep=2 by EVENT time (70, 80) — the late 75 must NOT
-    # resurrect the window, and no (key, window) appears twice
+    # first n_keep=2 by EVENT time over ALL arrived events = (70, 75) —
+    # identical to the batch operator's answer; exactly one emission of
+    # the (key, window) pair
     assert sorted(r.ts_us - BASE * 1_000_000 for r in rows) == [
-        70_000_000, 80_000_000
+        70_000_000, 75_000_000
     ]
     assert sorted((r.window_start_us, r.seq_in_window) for r in rows) == [
         ((BASE * 1_000_000 + 60_000_000) // 60_000_000 * 60_000_000, 1),
@@ -441,3 +448,42 @@ def test_streaming_anomalies_drop_below_watermark_rows(spark, tmp_path):
     # 40 batch-a rows + the future sentinel row; the late offset-50 row
     # must NOT appear (and must not have corrupted the history order)
     assert got_ts == [float(i) for i in range(40)] + [100_000.0]
+
+
+def test_streaming_window_funnel_idle_key_state_is_cleaned_up(spark, tmp_path):
+    """A key whose stream ends without a trailing signup (here: a lone
+    click) must not keep its buffered events forever: the cleanup timer
+    must fire off the watermark alone and remove the state row."""
+    from health_monitor_cc_flink_spark.streaming.stateful import (
+        streaming_window_funnel,
+    )
+
+    src = str(tmp_path / "fidle_src")
+    out_dir = str(tmp_path / "fidle_out")
+    ckpt = str(tmp_path / "fidle_ckpt")
+    now = time.time()
+    # key 1: a click and nothing else, ever; key 99: watermark sentinels
+    _write_batch(spark, [(1, "click", 100)], src, "a", now - 300)
+    _write_batch(spark, [(99, "view", 200_000)], src, "b", now - 200)
+    _write_batch(spark, [(99, "view", 300_000)], src, "c", now - 100)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        streaming_window_funnel(stream, window_us=600_000_000)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # key 1's state was evicted by the timer; only key 99's own
+    # still-in-flight sentinel rows remain
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+    assert spark.read.parquet(out_dir).count() == 0  # no signup, no rows
