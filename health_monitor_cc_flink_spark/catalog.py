@@ -61,8 +61,13 @@ class EngineCatalog:
         with an explicit broadcast — SURVEY.md O13/O32)."""
         spec = self.connection(connection)
         reader = self.spark.read.format(spec.kind).options(**spec.options)
+        # bind the table name to the option each datasource actually
+        # keys tables on: dbtable for jdbc, subscribe (topic) for kafka,
+        # path for file-based formats
         if spec.kind == "jdbc":
             reader = reader.option("dbtable", table_name)
+        elif spec.kind == "kafka":
+            reader = reader.option("subscribe", table_name)
         else:
             reader = reader.option("path", table_name)
         df = reader.options(**reader_options).load()

@@ -32,6 +32,8 @@ def covariance_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         s = np.zeros(dim, dtype=np.float64)
         o = np.zeros((dim, dim), dtype=np.float64)
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: np.stack would raise
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             n += m.shape[0]
             s += m.sum(axis=0)

@@ -62,10 +62,16 @@ def shingles(
     """
     from pyspark.sql import Window
 
+    if k < 1:
+        raise ValueError(f"shingles: k must be >= 1, got {k}")
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(par).select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
     )
+    if k == 1:
+        # unigram shingles: the token itself, no window needed
+        out = toks.select(id_col, F.col("w").alias("shingle"))
+        return out.distinct() if distinct else out
     win = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("w", i).over(win) for i in range(1, k)]
     out = (
@@ -128,14 +134,21 @@ def lsh_bands_from_arrays(
     sigs: DataFrame, id_col: str, rows_per_band: int = 4
 ) -> DataFrame:
     """Band table from array signatures — still map-side (posexplode of
-    n_bands elements per doc, no shuffle)."""
+    n_bands elements per doc, no shuffle).  A signature shorter than one
+    band yields NO band rows (the CASE guard): without it,
+    ``sequence(0, -1)`` auto-descends to ``[0, -1]`` and emits a
+    negative-index garbage band sliced from the array tail."""
     n = rows_per_band
+    if n < 1:
+        raise ValueError(f"rows_per_band must be >= 1, got {n}")
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.expr(
+                f"CASE WHEN size(sig) >= {n} THEN "
                 f"transform(sequence(0, size(sig) div {n} - 1), "
-                f"b -> concat_ws('|', slice(sig, b * {n} + 1, {n})))"
+                f"b -> concat_ws('|', slice(sig, b * {n} + 1, {n}))) "
+                f"ELSE array() END"
             )
         ).alias("band", "band_key"),
     )
@@ -184,7 +197,19 @@ def minhash_lsh_pairs(
     self-join for candidates, then an array zip comparison per pair —
     no per-(doc, seed) shuffle anywhere.
     """
-    sigs = minhash_signature_arrays(df, id_col, text_col, k, n_hashes).cache()
+    if n_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a multiple of rows_per_band "
+            f"({rows_per_band}) — trailing minhashes would be silently unbanded"
+        )
+    # lazy localCheckpoint, not .cache(): same reuse across the three
+    # consumers below, but the materialized RDD is released by the
+    # ContextCleaner when this plan is garbage collected — .cache()
+    # entries live in the CacheManager until someone unpersists, which
+    # no caller of this lazy-returning function can do
+    sigs = minhash_signature_arrays(df, id_col, text_col, k, n_hashes).localCheckpoint(
+        eager=False
+    )
     pairs = lsh_candidate_pairs(
         lsh_bands_from_arrays(sigs, id_col, rows_per_band), id_col, max_bucket
     )
@@ -259,15 +284,22 @@ def ngram_jaccard_pairs(
     jaccard = n_common / (n_a + n_b − n_common) is consumer-exact.
     ``max_doc_freq`` drops stop-shingles (appearing in more than that
     many docs) before pairing — the fan-out bound that makes this viable
-    on skewed corpora.
+    on skewed corpora.  When it is set, n_a/n_b are ALSO computed over
+    the filtered shingle sets, so the jaccard triple stays internally
+    consistent ("Jaccard over informative shingles"); mixing filtered
+    n_common with unfiltered sizes would systematically underestimate.
     """
-    sh = shingles(df, id_col, text_col, k).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # lazy localCheckpoint, not .cache(): released on GC (see
+    # minhash_lsh_pairs)
+    sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh_j = sh.join(freq.filter(F.col("df_") <= max_doc_freq), on="shingle").drop("df_")
+        sh_j = sh.join(
+            freq.filter(F.col("df_") <= max_doc_freq), on="shingle"
+        ).drop("df_").localCheckpoint(eager=False)
     else:
         sh_j = sh
+    sizes = sh_j.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_j.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh_j.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
@@ -296,6 +328,12 @@ def connected_components(
     shallow, so a handful of joins; lineage is truncated with
     localCheckpoint each round so plans don't snowball.  Returns
     (node, cluster_id) for every node appearing in an edge.
+
+    Raises RuntimeError if labels are still changing after ``max_iters``
+    rounds: returning silently would split one real component into
+    several cluster_ids and dedup would keep multiple "keepers" of the
+    same duplicate family (long boilerplate chains can exceed any fixed
+    cap) — callers should raise ``max_iters`` for deep graphs.
     """
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -331,6 +369,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(a component's diameter exceeds the cap); raise max_iters"
+        )
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
 
 

@@ -441,7 +441,11 @@ def pq_encode(
                 out[c] = pdf[c].values
             yield pd.DataFrame(out)
 
-    carry_schema = "".join(f", {c} int" for c in carry)
+    # carry columns keep their ACTUAL types (hardcoding `int` truncated
+    # bigint ids and broke string carries outright)
+    carry_schema = "".join(
+        f", {c} {emb.schema[c].dataType.simpleString()}" for c in carry
+    )
     return emb.select(id_col, vec_col, *carry).mapInPandas(
         encode, schema=f"{id_col} long, codes array<long>{carry_schema}"
     )

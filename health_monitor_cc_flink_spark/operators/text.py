@@ -115,10 +115,14 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 over the normalized text (lowercase,
-    collapsed whitespace) — the exact-dedup key for noisy corpora."""
+    collapsed whitespace) — the exact-dedup key for noisy corpora.
+    Normalization is dedup.normalized_text, the ONE definition, so the
+    fingerprint key can never drift from the exact-dedup key."""
+    from .dedup import normalized_text
+
     return df.select(
         F.col(id_col),
-        F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))).alias("fingerprint"),
+        F.md5(normalized_text(text_col)).alias("fingerprint"),
     )
 
 

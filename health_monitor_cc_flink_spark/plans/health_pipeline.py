@@ -138,14 +138,29 @@ def run_pipeline(
     (faithful per-stage topology, SURVEY.md §7.5); `materialize=True`
     additionally checkpoints each stage like the reference's per-stage
     Kafka topics."""
+    # each stage is registered AS IT IS BUILT and the next stage derives
+    # from the registered (possibly checkpointed) frame: registering the
+    # whole chain afterwards would leave every downstream plan pointing
+    # at the un-materialized upstream, so materialize=True re-executed
+    # the window+ML pass once per downstream stage instead of reading
+    # the previous stage's materialization
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        if catalog is not None:
+            df = catalog.create_table_as(name, df, materialize=materialize)
+        return df
+
     stages: dict[str, DataFrame] = {}
-    stages["enriched_events"] = enriched_events(events, patients)  # dead-end branch
-    stages["enriched_events_flagged"] = enriched_events_flagged(events, window=window)
-    stages["filtered_enriched_events"] = filtered_enriched_events(
-        stages["enriched_events_flagged"]
+    stages["enriched_events"] = stage(
+        "enriched_events", enriched_events(events, patients)
+    )  # dead-end branch
+    stages["enriched_events_flagged"] = stage(
+        "enriched_events_flagged", enriched_events_flagged(events, window=window)
     )
-    stages["heartbeat_alerts"] = heartbeat_alerts(stages["filtered_enriched_events"])
-    if catalog is not None:
-        for name, df in stages.items():
-            catalog.create_table_as(name, df, materialize=materialize)
+    stages["filtered_enriched_events"] = stage(
+        "filtered_enriched_events",
+        filtered_enriched_events(stages["enriched_events_flagged"]),
+    )
+    stages["heartbeat_alerts"] = stage(
+        "heartbeat_alerts", heartbeat_alerts(stages["filtered_enriched_events"])
+    )
     return stages

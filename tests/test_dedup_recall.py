@@ -164,3 +164,81 @@ def test_minhash_parameter_sweep(corpus):
         "stricter bands must not admit more candidates than looser ones"
     )
     assert len(strict) <= len(design) <= len(loose)
+
+
+def test_shingles_k1_and_band_edge_cases(spark):
+    """Review fixes: k=1 (unigram) shingles work; a signature shorter
+    than one band yields no band rows instead of a negative-index
+    garbage band; non-divisible banding configs are rejected loudly."""
+    from pyspark.sql import functions as F
+
+    from health_monitor_cc_flink_spark.operators.dedup import (
+        lsh_bands_from_arrays,
+        minhash_lsh_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id long, text string"
+    )
+    uni = {(r.doc_id, r.shingle) for r in shingles(docs, "doc_id", "text", k=1).collect()}
+    assert uni == {(0, "a"), (0, "b"), (0, "c"), (1, "b"), (1, "c"), (1, "d")}
+
+    sigs = spark.createDataFrame([(0, [1, 2, 3])], "doc_id long, sig array<bigint>")
+    assert lsh_bands_from_arrays(sigs, "doc_id", rows_per_band=4).count() == 0
+    ok = lsh_bands_from_arrays(sigs, "doc_id", rows_per_band=3).collect()
+    assert [(r.band, r.band_key) for r in ok] == [(0, "1|2|3")]
+
+    with pytest.raises(ValueError, match="multiple of rows_per_band"):
+        minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=16, rows_per_band=5)
+
+
+def test_connected_components_raises_instead_of_splitting(spark):
+    """A chain whose diameter exceeds max_iters must raise, not silently
+    report one component as several clusters."""
+    from health_monitor_cc_flink_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # and with enough rounds the same chain is ONE component
+    labels = {r.node: r.cluster_id for r in connected_components(chain).collect()}
+    assert set(labels.values()) == {0}
+
+
+def test_ngram_jaccard_sizes_consistent_under_stop_shingle_filter(spark):
+    """With max_doc_freq, n_a/n_b count the FILTERED shingle sets so the
+    jaccard triple is internally consistent."""
+    from health_monitor_cc_flink_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat today ok"),
+            (1, "the cat sat on the rug today ok"),
+            (2, "the cat sat on a box today ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, min_common=1, max_doc_freq=2
+    ).collect()
+    # expected sizes: per-doc count of shingles appearing in <= 2 docs
+    sh = shingles(docs, "doc_id", "text", k=3)
+    from pyspark.sql import functions as F
+
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    filt_sizes = {
+        r.doc_id: r.n
+        for r in sh.join(freq.filter(F.col("df_") <= 2), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_a == filt_sizes[r.doc_a] and r.n_b == filt_sizes[r.doc_b]
+        assert r.n_common <= min(r.n_a, r.n_b)  # consistency of the triple
