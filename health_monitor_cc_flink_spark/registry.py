@@ -688,7 +688,10 @@ def o22_sort_limit_topk(spark, sf_dir):
 def setop_except(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     ords = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return cust.exceptAll(ords.distinct()).distinct()
+    # subtract IS EXCEPT-distinct (drops a left key entirely if it appears on
+    # the right, regardless of left-side multiplicity — exceptAll+distinct
+    # would keep a survivor when the left side has duplicates).
+    return cust.subtract(ords)
 
 
 @query(
@@ -1102,9 +1105,14 @@ def ranking_battery(spark, sf_dir):
 )
 def agg_arg_extremes(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    # deterministic under value ties: take extreme over (value, event_id) pairs
+    # deterministic under value ties, matching the ordered max_by/min_by oracle:
+    # DuckDB's `max_by(arg, val ORDER BY val, arg)` keeps the FIRST arg in scan
+    # order among tied extremes, i.e. the SMALLEST event_id.  max(struct) would
+    # keep the largest, so negate the id inside the struct and negate back.
     return ev.groupBy("user_id").agg(
-        F.max(F.struct("value", "event_id"))["event_id"].alias("max_value_event"),
+        (-F.max(F.struct(F.col("value"), (-F.col("event_id")).alias("nid")))["nid"]).alias(
+            "max_value_event"
+        ),
         F.min(F.struct("value", "event_id"))["event_id"].alias("min_value_event"),
         F.max("value").alias("max_value"),
         F.min("value").alias("min_value"),
@@ -1670,7 +1678,14 @@ def streaming_session_30m(spark, sf_dir):
 )
 def latest_per_key(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
-    picked = F.max(F.struct("ts_us", "event_id", "event_type", "value"))
+    # tiebreak matches the ordered max_by oracle: on equal ts_us, DuckDB's
+    # `max_by(x, ts ORDER BY ts, event_id)` keeps the first-scanned (SMALLEST)
+    # event_id, so sort the struct by (ts_us, -event_id).
+    picked = F.max(
+        F.struct(
+            F.col("ts_us"), (-F.col("event_id")).alias("nid"), F.col("event_type"), F.col("value")
+        )
+    )
     return ev.groupBy("user_id").agg(
         F.max("ts_us").alias("last_ts_us"),
         picked["event_type"].alias("last_event_type"),

@@ -55,6 +55,58 @@ _DUCK_SIG = _DUCK_SHINGLES + f"""
     )
 """
 
+# LSH banding fragments over a `sig(doc_id, j, mh)` relation — the ONE
+# oracle-side source of truth for the 4-rows/band banding scheme that
+# D.lsh_bands_from_arrays implements Spark-side.  Any change to the band
+# width or key encoding is made here and there, nowhere else; append
+# after _DUCK_SIG (or any CTE chain ending in a `sig` relation).
+_DUCK_BAND = """, band AS (
+        SELECT doc_id, j // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
+        FROM sig GROUP BY doc_id, j // 4
+    )"""
+
+# ... + distinct candidate pairs from the band equi-join.
+_DUCK_BAND_CAND = _DUCK_BAND + """, cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
+
+# ... + connected components by recursive min-label propagation: terminal
+# relation `lab(node, lbl)`; consumers take min(lbl) per node (requires
+# WITH RECURSIVE).
+_DUCK_CAND_LABELS = _DUCK_BAND_CAND + """, sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
+    ), lab(node, lbl) AS (
+        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
+        UNION
+        SELECT s.a AS node, l.lbl
+        FROM sym s JOIN lab l ON s.b = l.node
+        WHERE l.lbl < s.a
+    )"""
+
+# 16-bit SimHash per document, terminal relation `sh16(doc_id, simhash)`
+# — shared by the simhash sketch + hamming-pair oracles (the 64-bit
+# variant is _DUCK_SIMHASH64 below); mirrors D.simhash16.
+_DUCK_SIMHASH16 = """tok16 AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h16 AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) AS h
+        FROM tok16
+    ), bits16 AS (
+        SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+        FROM h16 CROSS JOIN range(16) t(b)
+        GROUP BY doc_id, b
+    ), sh16 AS (
+        SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits16 GROUP BY doc_id
+    )"""
+
 
 # =============================================================================
 # Deduplication
@@ -95,9 +147,8 @@ def dedup_fingerprint(spark, sf_dir):
 
 @query(
     "dedup_minhash_bands",
-    "WITH " + _DUCK_SIG + """
-    SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
-    FROM sig GROUP BY doc_id, j // 4
+    "WITH " + _DUCK_SIG + _DUCK_BAND + """
+    SELECT doc_id, band, band_key FROM band
     """,
     bench=True,
     doc="MinHash signatures + LSH band keys (16 hashes, 4 rows/band) — the full "
@@ -111,15 +162,7 @@ def dedup_minhash_bands(spark, sf_dir):
 
 @query(
     "dedup_minhash_lsh_pairs",
-    "WITH " + _DUCK_SIG + """
-    , band AS (
-        SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
-        FROM sig GROUP BY doc_id, j // 4
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band a JOIN band b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
+    "WITH " + _DUCK_SIG + _DUCK_BAND_CAND + """
     SELECT c.doc_a, c.doc_b,
            CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
     FROM cand c
@@ -159,23 +202,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @query(
     "dedup_simhash",
-    """
-    WITH tok AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-    ), h AS (
-        SELECT doc_id,
-               (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
-             + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
-             + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
-             + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) AS h
-        FROM tok
-    ), bits AS (
-        SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
-        FROM h CROSS JOIN range(16) t(b)
-        GROUP BY doc_id, b
-    )
-    SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
+    "WITH " + _DUCK_SIMHASH16 + """
+    SELECT doc_id, simhash FROM sh16
     """,
     doc="16-bit SimHash per doc (sign-aggregated token-hash bits; all-integer math). "
     "Near-dups = small hamming distance; width is a config, 16 keeps the oracle tractable.",
@@ -532,23 +560,7 @@ def corpus_vocab_topk(spark, sf_dir):
 
 @query(
     "dedup_clusters",
-    "WITH RECURSIVE " + _DUCK_SIG + """
-    , band AS (
-        SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
-        FROM sig GROUP BY doc_id, j // 4
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band a JOIN band b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
-    ), lab(node, lbl) AS (
-        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
-        UNION
-        SELECT s.a AS node, l.lbl
-        FROM sym s JOIN lab l ON s.b = l.node
-        WHERE l.lbl < s.a
-    )
+    "WITH RECURSIVE " + _DUCK_SIG + _DUCK_CAND_LABELS + """
     SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
     """,
     doc="Near-dup clustering: connected components over the MinHash-LSH candidate "
@@ -696,27 +708,10 @@ def mm_frame_sample(spark, sf_dir):
 
 @query(
     "dedup_simhash_hamming_pairs",
-    """
-    WITH tok AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-    ), h AS (
-        SELECT doc_id,
-               (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
-             + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
-             + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
-             + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) AS h
-        FROM tok
-    ), bits AS (
-        SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
-        FROM h CROSS JOIN range(16) t(b)
-        GROUP BY doc_id, b
-    ), sh AS (
-        SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id
-    )
+    "WITH " + _DUCK_SIMHASH16 + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM sh16 a JOIN sh16 b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """,
     doc="SimHash near-dup pairs: hamming distance ≤ 2 over the 16-bit sketches "
@@ -753,15 +748,7 @@ def dedup_simhash_hamming_pairs(spark, sf_dir):
 
 @query(
     "fuzzy_join_levenshtein",
-    "WITH " + _DUCK_SIG + """
-    , band AS (
-        SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
-        FROM sig GROUP BY doc_id, j // 4
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band a JOIN band b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
+    "WITH " + _DUCK_SIG + _DUCK_BAND_CAND + """
     SELECT c.doc_a, c.doc_b,
            levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS edit_distance
     FROM cand c
@@ -811,11 +798,15 @@ def text_tfidf_components(spark, sf_dir):
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()
+    # corpus size as an IN-PLAN scalar aggregate broadcast-crossJoined, not an
+    # eager docs.count() job: no extra driver-blocking scan before the real
+    # query, and the value can never go stale if the plan is reused.
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(df_, "w")
         .filter(F.col("tf") >= 3)
-        .select("doc_id", F.col("w").alias("term"), "tf", "df", F.lit(n_docs).alias("n_docs"))
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", F.col("w").alias("term"), "tf", "df", "n_docs")
     )
 
 
@@ -1035,17 +1026,12 @@ def dedup_simhash64_hamming_pairs(spark, sf_dir):
     "The physical layout the at-scale ANN path runs on.",
 )
 def ann_ivf_persisted_topk(spark, sf_dir):
-    import os
-
     from .operators.similarity import build_ivf_index, probe_ivf_index
+    from .registry import _warehouse_path
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        f"ivf_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _warehouse_path(sf_dir, "ivf_index")
     _ensure_index(spark, path, lambda: build_ivf_index(emb, path, n_cells=8, seed=42))
     topk = probe_ivf_index(spark, path, qv, k=10, n_probe=2)
     return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
@@ -1170,10 +1156,16 @@ def pack_sequences_token_budget(spark, sf_dir):
         .select(
             "doc_id",
             "n_tokens",
-            (
-                (F.col("offset") + F.sum("n_tokens").over(w_in) - 1)
-                / budget
-            ).cast("long").alias("bin_id"),
+            # integral `div`, NOT float `/`: past 2^53 cumulative tokens the
+            # long->double round-trip loses precision; `div` stays exact.
+            (F.col("offset") + F.sum("n_tokens").over(w_in) - F.lit(1))
+            .cast("long")
+            .alias("cum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"cum div {budget}").cast("long").alias("bin_id"),
         )
     )
 
@@ -1447,7 +1439,8 @@ def corpus_mix_resample(spark, sf_dir):
         FROM w, unnest(generate_series(0, len(words) - 4)) AS t(i)
         WHERE len(words) >= 8
     ), c AS (
-        SELECT doc_id, pos, n, kh * 1024 + (1023 - pos) AS comb
+        SELECT doc_id, pos, n,
+               kh * 2147483648 + (2147483647 - pos) AS comb
         FROM k
     ), m AS (
         SELECT doc_id, pos, n,
@@ -1458,14 +1451,16 @@ def corpus_mix_resample(spark, sf_dir):
         SELECT DISTINCT doc_id, sel FROM m WHERE pos <= n - 8
     )
     SELECT doc_id, count(*) AS n_fingerprints,
-           CAST(sum(sel) AS BIGINT) AS fp_sum
+           CAST(sum(sel // 2147483648) AS BIGINT) AS fp_sum
     FROM fp GROUP BY doc_id
     """,
     doc="MOSS-style winnowing fingerprint selection (k=4-word grams, window "
     "w=5): hash every k-gram, then for each window of 5 consecutive k-grams "
     "select its minimum hash with the standard rightmost-on-ties rule — "
-    "encoded arithmetically as kh*1024 + (1023 - pos) so one plain min() "
-    "frame implements the argmin + tie-break with no struct ordering. The "
+    "encoded arithmetically as kh*2^31 + (2^31-1 - pos) so one plain min() "
+    "frame implements the argmin + tie-break with no struct ordering (kh is "
+    "32-bit, so the radix encoding is collision-free up to 2^31-token "
+    "documents and tops out at 2^63-1, never overflowing BIGINT). The "
     "frame is BOUNDED ([current, +4]) so it is O(n*w) streaming work per "
     "partition, unlike an unbounded-following frame; the distinct selected "
     "set is the document's winnowing sketch (guaranteed match detection for "
@@ -1473,6 +1468,21 @@ def corpus_mix_resample(spark, sf_dir):
 )
 def text_winnowing_fingerprints(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
+    sel = winnowing_selection(docs)
+    # digest sums the DECODED 32-bit k-gram hash (comb div 2^31), not the raw
+    # radix encoding — summing ~2^62-magnitude combs would overflow BIGINT.
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(F.expr("sel div 2147483648")).cast("long").alias("fp_sum"),
+    )
+
+
+def winnowing_selection(docs):
+    """Winnowing-selected fingerprint set per document: distinct radix-encoded
+    (k-gram-hash, position) argmins, one row per (doc_id, sel).  `sel div 2^31`
+    recovers the 32-bit k-gram hash.  Shared by the registry query (which
+    digests it) and the MOSS-guarantee property test (which intersects the
+    raw sets)."""
     base = docs.select(
         "doc_id",
         F.split("text", " ").alias("words"),
@@ -1497,20 +1507,16 @@ def text_winnowing_fingerprints(spark, sf_dir):
                 16,
                 10,
             ).cast("long")
-            * 1024
-            + (F.lit(1023) - F.col("pos"))
+            * F.lit(2147483648)
+            + (F.lit(2147483647) - F.col("pos"))
         ).alias("comb"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
-    sel = (
+    return (
         kg.withColumn("sel", F.min("comb").over(win))
         .filter(F.col("pos") <= F.col("n") - 8)
         .select("doc_id", "sel")
         .distinct()
-    )
-    return sel.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.sum("sel").cast("long").alias("fp_sum"),
     )
 
 
@@ -2171,17 +2177,12 @@ def ann_pq_topk(spark, sf_dir):
     "mirroring ann_ivf_persisted_topk).",
 )
 def ann_pq_persisted_topk(spark, sf_dir):
-    import os
-
     from .operators.similarity import pq_build_index, pq_probe_index
+    from .registry import _warehouse_path
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        f"pq_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _warehouse_path(sf_dir, "pq_index")
     _ensure_index(spark, path, lambda: pq_build_index(emb, path, m=8, n_centroids=16))
     topk = pq_probe_index(spark, path, emb, qv, k=10, rerank=100)
     return topk.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
@@ -2200,17 +2201,12 @@ def ann_pq_persisted_topk(spark, sf_dir):
     "from.",
 )
 def ann_ivfpq_persisted_topk(spark, sf_dir):
-    import os
-
     from .operators.similarity import build_ivfpq_index, probe_ivfpq_index
+    from .registry import _warehouse_path
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        f"ivfpq_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _warehouse_path(sf_dir, "ivfpq_index")
     _ensure_index(
         spark, path, lambda: build_ivfpq_index(emb, path, n_cells=8, m=8, n_centroids=16)
     )
@@ -2321,14 +2317,22 @@ def split_train_val_test(spark, sf_dir):
 def class_balance_weights(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    total = emb.count()
-    n_classes = c.count()
-    return c.select(
-        "label",
-        "n",
-        F.expr(f"CAST(({total}L * 1000000L) div ({n_classes}L * n) AS BIGINT)").alias(
-            "weight_ppm"
-        ),
+    # totals as IN-PLAN scalar aggregates (broadcast cross join), not two
+    # eager .count() driver jobs — one Spark job instead of three, and the
+    # constants cannot go stale on plan reuse.
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "label",
+            "n",
+            F.expr("CAST((total * 1000000L) div (n_classes * n) AS BIGINT)").alias(
+                "weight_ppm"
+            ),
+        )
     )
 
 
@@ -3068,23 +3072,8 @@ def stats_chi2_contingency(spark, sf_dir):
 
 @query(
     "split_leakage_safe_clusters",
-    "WITH RECURSIVE " + _DUCK_SIG + """
-    , band AS (
-        SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
-        FROM sig GROUP BY doc_id, j // 4
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band a JOIN band b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
-    ), lab(node, lbl) AS (
-        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
-        UNION
-        SELECT s.a AS node, l.lbl
-        FROM sym s JOIN lab l ON s.b = l.node
-        WHERE l.lbl < s.a
-    ), cl AS (
+    "WITH RECURSIVE " + _DUCK_SIG + _DUCK_CAND_LABELS + """
+    , cl AS (
         SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
     ), rep AS (
         SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rep_id
@@ -4326,7 +4315,11 @@ def _mg_candidates(words_df, k_mg: int):
     "flag is the pigeonhole bound f10 * k > N — when true, every "
     "non-candidate provably has freq <= N/k < f10, so the answer "
     "EQUALS the exact top-10 (which is why the exact-SQL oracle gates "
-    "it).  This is the 100 TB top-k pattern when the key domain is "
+    "it).  When the certificate FAILS (flat tail: f10 <= N/k), the "
+    "query falls back to the exact vocabulary-bound ranking — one tiny "
+    "boolean collect decides, so the expensive path is paid only when "
+    "the sketch provably cannot answer.  This is the 100 TB top-k "
+    "pattern when the key domain is "
     "unbounded (n-grams, URLs): corpus_vocab_topk's full (word) "
     "shuffle is vocabulary-bound; this one shuffles only ~k*partitions "
     "candidate rows plus the candidate recount.",
@@ -4334,32 +4327,48 @@ def _mg_candidates(words_df, k_mg: int):
 def topk_heavy_hitters_twopass(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+
+    def ranked_top10(freq):
+        ranked = freq.select(
+            "w",
+            "freq",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w"))).alias(
+                "rnk"
+            ),
+        ).filter(F.col("rnk") <= 10)
+        tot = words.agg(F.count(F.lit(1)).alias("n_words"))
+        f10 = ranked.filter(F.col("rnk") == 10).select(F.col("freq").alias("f10"))
+        return (
+            ranked.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(f10))
+            .select(
+                "rnk",
+                "w",
+                "freq",
+                "n_words",
+                (F.col("f10") * F.lit(200) > F.col("n_words")).alias("certified"),
+            )
+        )
+
     cand = _mg_candidates(words, 200)
-    freq = (
+    cand_freq = (
         words.join(F.broadcast(cand), "w")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = freq.select(
-        "w",
-        "freq",
-        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w"))).alias(
-            "rnk"
-        ),
-    ).filter(F.col("rnk") <= 10)
-    tot = words.agg(F.count(F.lit(1)).alias("n_words"))
-    f10 = ranked.filter(F.col("rnk") == 10).select(F.col("freq").alias("f10"))
-    return (
-        ranked.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(f10))
-        .select(
-            "rnk",
-            "w",
-            "freq",
-            "n_words",
-            (F.col("f10") * F.lit(200) > F.col("n_words")).alias("certified"),
-        )
-    )
+    fast = ranked_top10(cand_freq)
+    # Soundness gate: the candidate answer equals the exact top-10 ONLY when
+    # the pigeonhole certificate holds (candidate f10 * k > N implies every
+    # non-candidate has freq <= N/k < f10).  Check it with one tiny collect
+    # (a single boolean row — the candidate relation is ~k*partitions rows);
+    # when it fails, fall back to the exact vocabulary-bound ranking rather
+    # than emitting a possibly-wrong rank order.  candidate-f10 <= exact-f10
+    # always, so the check is conservative: certified=True is never wrong.
+    gate = fast.filter(F.col("rnk") == 10).select("certified").limit(1).collect()
+    if gate and gate[0]["certified"]:
+        return fast
+    exact_freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    return ranked_top10(exact_freq)
 
 
 @query(
@@ -4823,23 +4832,8 @@ _JL_VALUES = ", ".join(
 
 @query(
     "dedup_keep_best_quality",
-    "WITH RECURSIVE " + _DUCK_SIG + """
-    , band AS (
-        SELECT doc_id, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
-        FROM sig GROUP BY doc_id, j // 4
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band a JOIN band b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
-    ), lab(node, lbl) AS (
-        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
-        UNION
-        SELECT s.a AS node, l.lbl
-        FROM sym s JOIN lab l ON s.b = l.node
-        WHERE l.lbl < s.a
-    ), comp AS (
+    "WITH RECURSIVE " + _DUCK_SIG + _DUCK_CAND_LABELS + """
+    , comp AS (
         SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
     ), d AS (
         SELECT doc_id, n_chars, coalesce(c.cluster_id, doc_id) AS cluster_id
@@ -5140,12 +5134,8 @@ def streaming_cep_click_purchase(spark, sf_dir):
 
 @query(
     "dedup_incremental_against_corpus",
-    "WITH " + _DUCK_SIG + """
-    , band AS (
-        SELECT doc_id, j // 4 AS band,
-               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
-        FROM sig GROUP BY doc_id, j // 4
-    ), split AS (
+    "WITH " + _DUCK_SIG + _DUCK_BAND + """
+    , split AS (
         SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS cut FROM documents
     )
     SELECT n.doc_id AS new_doc,
@@ -5243,7 +5233,9 @@ def corpus_curriculum_shards(spark, sf_dir):
         .withColumn("g_rank", F.col("before") + F.row_number().over(wr))
         .crossJoin(F.broadcast(tot))
     )
-    shard = (((F.col("g_rank") - 1) * 8) / F.col("nn")).cast("bigint") + 1
+    # integral `div` keeps the shard boundary exact past 2^53 ranks (float `/`
+    # would round the long->double conversion at 100 TB row counts).
+    shard = F.expr("(g_rank - 1) * 8 div nn").cast("bigint") + 1
     return ranked.groupBy(shard.alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
@@ -5254,24 +5246,8 @@ def corpus_curriculum_shards(spark, sf_dir):
 
 @query(
     "dq_dup_rate_per_source",
-    "WITH RECURSIVE " + _DUCK_SIG + """
-    , band AS (
-        SELECT doc_id, j // 4 AS band,
-               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
-        FROM sig GROUP BY doc_id, j // 4
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band a JOIN band b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
-    ), lab(node, lbl) AS (
-        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
-        UNION
-        SELECT s.a AS node, l.lbl
-        FROM sym s JOIN lab l ON s.b = l.node
-        WHERE l.lbl < s.a
-    ), comp AS (
+    "WITH RECURSIVE " + _DUCK_SIG + _DUCK_CAND_LABELS + """
+    , comp AS (
         SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
     )
     SELECT source,
@@ -6993,22 +6969,7 @@ def mm_magic_byte_sniffer(spark, sf_dir):
         GROUP BY doc_id, c.j
     ), contaminated AS (
         SELECT doc_id FROM hv GROUP BY doc_id HAVING max(contam) = 1
-    ), band AS (
-        SELECT doc_id, j // 4 AS band,
-               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
-        FROM sig GROUP BY doc_id, j // 4
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band a JOIN band b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM cand UNION SELECT doc_b, doc_a FROM cand
-    ), lab(node, lbl) AS (
-        SELECT a AS node, least(a, min(b)) AS lbl FROM sym GROUP BY a
-        UNION
-        SELECT s.a AS node, l.lbl FROM sym s JOIN lab l ON s.b = l.node
-        WHERE l.lbl < s.a
-    ), comp AS (
+    ){_DUCK_CAND_LABELS}, comp AS (
         SELECT node, min(lbl) AS cluster_id FROM lab GROUP BY node
     ), keeper AS (
         SELECT d.doc_id
@@ -8178,13 +8139,13 @@ def events_traffic_profile(spark, sf_dir):
     WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS t FROM events
     ), marked AS (
-        SELECT user_id, t,
+        SELECT user_id, t, event_id,
                CASE WHEN t - lag(t) OVER w > 1800000000 OR lag(t) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_start
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
     ), sess AS (
         SELECT user_id,
-               sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
                t
         FROM marked
@@ -8214,6 +8175,7 @@ def sessions_bounce_rate(spark, sf_dir):
     marked = ev.select(
         "user_id",
         "t",
+        "event_id",
         F.when(
             (F.col("t") - F.lag("t").over(wo) > gap)
             | F.lag("t").over(wo).isNull(),
@@ -8222,7 +8184,9 @@ def sessions_bounce_rate(spark, sf_dir):
         .otherwise(0)
         .alias("is_start"),
     )
-    ws = Window.partitionBy("user_id").orderBy(F.asc("t")).rowsBetween(
+    # (t, event_id) tiebreak keeps the running session-id sum deterministic
+    # under same-microsecond events (matches sessionize_gaps_islands).
+    ws = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id")).rowsBetween(
         Window.unboundedPreceding, 0
     )
     sess = marked.withColumn("sid", F.sum("is_start").over(ws))

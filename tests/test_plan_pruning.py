@@ -177,6 +177,8 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "stats_kaplan_meier",           # scalar max-timestamp broadcast
         "events_pareto_concentration",  # scalar totals broadcast
         "text_keyword_extraction_topk", # scalar corpus-count broadcast
+        "text_tfidf_components",        # scalar corpus-count broadcast
+        "class_balance_weights",        # scalar (total, n_classes) broadcast
         "orders_aging_buckets",         # scalar max-date broadcast
         "events_traffic_profile",       # scalar totals broadcast
         "ann_multiprobe_recall_certificate",  # 1-row recall/candidate-count agg join
