@@ -26,6 +26,7 @@ from __future__ import annotations
 import math
 from statistics import NormalDist
 
+import numpy as np
 from pyspark.sql.functions import udtf
 
 _N_PARAMS = 2
@@ -37,8 +38,10 @@ class _OnlineAR1:
 
     def __init__(self):
         self.n = 0
-        self.s1 = 0.0   # Σ y
-        self.s2 = 0.0   # Σ y²
+        self.s1 = 0.0   # Σ y over the full prefix
+        self.s2 = 0.0   # Σ y² over the full prefix
+        self.s1_prev = 0.0  # Σ y over the prefix MINUS its last row
+        self.s2_prev = 0.0  # Σ y² over the prefix minus its last row
         self.c = 0.0    # Σ y_{t-1}·y_t
         self.y_first = 0.0
         self.y_last = 0.0
@@ -49,6 +52,13 @@ class _OnlineAR1:
         else:
             self.c += self.y_last * y
         self.n += 1
+        # Σx (regressors = all values before the prefix's last row) must be
+        # the SNAPSHOT of the running sum before this add, not `s1 - y_last`
+        # recomputed later: float subtraction is not the inverse of addition
+        # (fl((s+y)-y) != s in general), and the batch kernel takes the
+        # prefix cumsum directly — same trap _ar1_fit_native documents.
+        self.s1_prev = self.s1
+        self.s2_prev = self.s2
         self.s1 += y
         self.s2 += y * y
         self.y_last = y
@@ -59,9 +69,9 @@ class _OnlineAR1:
         m, k = self.n, self.n - 1.0
         if m < 2:
             return None
-        sum_x = self.s1 - self.y_last
+        sum_x = self.s1_prev
         sum_z = self.s1 - self.y_first
-        sum_x2 = self.s2 - self.y_last * self.y_last
+        sum_x2 = self.s2_prev
         sum_z2 = self.s2 - self.y_first * self.y_first
         if k < 2:
             return (self.y_first, 0.0, float("inf"), float("nan"), float("nan"))
@@ -79,7 +89,14 @@ class _OnlineAR1:
         )
         sigma = max(math.sqrt(sse / max(k - _N_PARAMS, 1.0)), 1e-9)
         rmse = math.sqrt(sse / k)
-        aic = k * math.log(sse / k) + 2.0 * (_N_PARAMS + 1) if sse > 0 else float("nan")
+        # np.log, not math.log: they are different libm paths that can differ
+        # in the last ulp, and the bit-parity contract with expanding_ar1
+        # covers aic too (sqrt is correctly rounded everywhere, log is not)
+        aic = (
+            k * float(np.log(sse / k)) + 2.0 * (_N_PARAMS + 1)
+            if sse > 0
+            else float("nan")
+        )
         return (a, b, sigma, rmse, aic)
 
 

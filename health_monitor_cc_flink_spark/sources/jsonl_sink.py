@@ -57,6 +57,9 @@ class JsonlWriter(DataSourceWriter):
         return _JsonlCommit(tmp, n)
 
     def commit(self, messages):
+        # a zero-partition job never runs write(), so the directory may not
+        # exist yet — commit must still publish an (empty) _SUCCESS
+        os.makedirs(self.path, exist_ok=True)
         total = 0
         published = []
         if self.overwrite:

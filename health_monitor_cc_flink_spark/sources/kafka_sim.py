@@ -59,12 +59,15 @@ def _load_partitions(path: str, topic: str) -> dict[int, list[tuple]]:
 
     t = pq.read_table(path)
     cols = {c: t.column(c).to_pylist() for c in t.column_names}
+    # hoisted: building the keyless default inside the loop would allocate
+    # a fresh num_rows-length list per row (O(n²) for key-free recordings)
+    keys = cols.get("key") or [None] * t.num_rows
     parts: dict[int, list[tuple]] = {}
     for i in range(t.num_rows):
         parts.setdefault(int(cols["partition"][i]), []).append(
             (
                 int(cols["offset"][i]),
-                cols.get("key", [None] * t.num_rows)[i],
+                keys[i],
                 cols["value"][i],
                 int(cols["timestamp_us"][i]),
             )

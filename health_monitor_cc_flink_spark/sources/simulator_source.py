@@ -26,6 +26,7 @@ consumers pace the replay with ``ticks_per_batch`` under a
 from __future__ import annotations
 
 from datetime import datetime, timedelta
+from functools import lru_cache
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -50,13 +51,18 @@ def _opts(options):
     )
 
 
-def _gen_patient_rows(pid: int, n_ticks: int, interval_s: float, seed: int,
-                      fault: bool, tick_from: int = 0, tick_to: int | None = None):
-    """Rows for one patient (tuples matching HEALTH_EVENT_SCHEMA),
-    optionally sliced to a tick range (streaming micro-batches)."""
+@lru_cache(maxsize=64)
+def _patient_series(pid: int, n_ticks: int, interval_s: float, seed: int, fault: bool):
+    """One patient's full deterministic series, memoized per worker: a
+    paced replay (ticks_per_batch under a processingTime trigger) calls
+    read() once per micro-batch, and regenerating all n_ticks every time
+    made the replay O(n_ticks²) per patient.  Spark reuses Python workers
+    (spark.python.worker.reuse defaults true), so the cache turns that
+    into generate-once + O(slice) per batch; the series is derived purely
+    from the key args, so cached results are batch-order independent."""
     from ..fixtures import generate_health_events_pdf
 
-    pdf = generate_health_events_pdf(
+    return generate_health_events_pdf(
         n_ticks=n_ticks,
         interval_s=interval_s,
         seed=seed + pid,          # independent per-patient stream
@@ -64,6 +70,13 @@ def _gen_patient_rows(pid: int, n_ticks: int, interval_s: float, seed: int,
         patient_ids=(pid,),
         fault=fault and pid == 1,
     )
+
+
+def _gen_patient_rows(pid: int, n_ticks: int, interval_s: float, seed: int,
+                      fault: bool, tick_from: int = 0, tick_to: int | None = None):
+    """Rows for one patient (tuples matching HEALTH_EVENT_SCHEMA),
+    optionally sliced to a tick range (streaming micro-batches)."""
+    pdf = _patient_series(pid, n_ticks, interval_s, seed, fault)
     lo = tick_from
     hi = tick_to if tick_to is not None else n_ticks
     for r in pdf.iloc[lo:hi].itertuples():

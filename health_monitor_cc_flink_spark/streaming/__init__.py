@@ -1,5 +1,6 @@
 from .watermark import with_default_watermark  # noqa: F401
 from .pipeline import (  # noqa: F401
+    PipelineRun,
     streaming_windowed_vitals,
     streaming_enriched_events,
     run_streaming_pipeline,

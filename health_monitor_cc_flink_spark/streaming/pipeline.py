@@ -56,6 +56,18 @@ def streaming_windowed_vitals(
     )
 
 
+class PipelineRun(dict):
+    """``{stage_name: output_path}`` plus ``.queries`` — the live
+    ``StreamingQuery`` handle per stage.  In continuous mode the caller
+    needs them to await, stop, or read ``.exception()`` from each stage
+    (discarding them would make stage failures undetectable); after an
+    ``availableNow`` drain they are terminated handles kept for status."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.queries: dict = {}
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     events_path: str | None,
@@ -74,10 +86,12 @@ def run_streaming_pipeline(
     Kafka topics).  With ``available_now`` the run drains the source and
     terminates — the batch≡streaming test harness.
 
-    Returns {stage_name: output_path}.
+    Returns a ``PipelineRun``: ``{stage_name: output_path}`` whose
+    ``.queries`` maps stage name → its ``StreamingQuery`` (live in
+    continuous mode — await/stop/inspect failures through these).
     """
     out_dir = out_dir or tempfile.mkdtemp(prefix="hm_stream_")
-    paths = {}
+    paths = PipelineRun()
 
     def sink(df: DataFrame, name: str) -> str:
         path = os.path.join(out_dir, name)
@@ -96,6 +110,7 @@ def run_streaming_pipeline(
         sq = q.start()
         if available_now:
             sq.awaitTermination()
+        paths.queries[name] = sq
         paths[name] = path
         return path
 

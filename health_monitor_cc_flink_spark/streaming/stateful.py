@@ -692,7 +692,14 @@ def streaming_window_funnel(
         if open_windows:
             keep_from = min(open_windows)
         else:
-            keep_from = wm_ms * 1000 - window_us
+            # no open signup: the funnel window is FORWARD-looking from a
+            # signup, and any future-admitted signup has t >= this batch's
+            # eviction watermark (which becomes the next batch's late-event
+            # filter), so its window covers only events at t >= wm — events
+            # below wm are dead.  (A `wm - window_us` bound would retain a
+            # full extra pattern-window of click/purchase state per key and
+            # keep re-arming its cleanup timer, for zero effect on results.)
+            keep_from = wm_ms * 1000
         finalized = {(r[1], r[0]) for r in out}  # (t, id) of emitted signups
         for t, i, e in buf:
             if (t, i) in finalized and e == "signup":

@@ -107,9 +107,11 @@ class AnomalyProcessor(StatefulProcessor):
                 "event_ts_us": new_ts,
                 "observed_value": new_vals,
                 "is_anomaly": is_anom[sl],
-                "expected_value": np.where(np.isfinite(expected[sl]), expected[sl], np.nan),
-                "lower_bound": np.where(np.isfinite(lower[sl]), lower[sl], np.nan),
-                "upper_bound": np.where(np.isfinite(upper[sl]), upper[sl], np.nan),
+                # None (SQL NULL), not NaN, for warm-up rows — exact parity
+                # with the applyInPandasWithState twin and the batch operator
+                "expected_value": [v if np.isfinite(v) else None for v in expected[sl]],
+                "lower_bound": [v if np.isfinite(v) else None for v in lower[sl]],
+                "upper_bound": [v if np.isfinite(v) else None for v in upper[sl]],
             }
         )
         self.state.update(

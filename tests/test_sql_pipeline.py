@@ -50,3 +50,33 @@ def test_sql_pipeline_matches_dataframe_pipeline(spark, events):
     )
     pats = {r.patient_id for r in sql_stages["heartbeat_alerts"].collect()}
     assert pats == {1}
+
+
+def test_online_ar1_bit_parity_on_hostile_floats():
+    """_OnlineAR1 (the SQL UDTF's incremental fit) must agree BIT-FOR-BIT
+    with the vectorized batch kernel even in the catastrophic-cancellation
+    regime (values ~1e15 with unit-scale deltas).  Regression: the prior
+    `s1 - y_last` reconstruction of the preceding-frame sums diverged on
+    6/200 prefixes of exactly this series — fl((s+y)-y) != s — which is why
+    the sums are now snapshotted before each update, mirroring
+    _ar1_fit_native's preceding-frame cumsum."""
+    import math
+
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.functions.sql_udtf import _OnlineAR1
+    from health_monitor_cc_flink_spark.functions.timeseries import expanding_ar1
+
+    rng = np.random.default_rng(7)
+    y = 1e15 + rng.normal(0, 1, 200)
+    fits = expanding_ar1(y)
+    m = _OnlineAR1()
+    for i, v in enumerate(map(float, y)):
+        m.update(v)
+        f = m.fit()
+        if f is None:
+            continue
+        for mine, ref in zip(f, (fits[c][i] for c in ("a", "b", "sigma", "rmse", "aic"))):
+            assert mine == ref or (math.isnan(mine) and math.isnan(ref)), (
+                f"row {i}: {f} vs kernel"
+            )

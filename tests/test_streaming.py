@@ -183,7 +183,6 @@ def test_streaming_pipeline_continuous_mode_starts_and_flows(
     while the queries run."""
     import time as _time
 
-    before = set(q.id for q in spark.streams.active)
     paths = run_streaming_pipeline(
         spark,
         events_path,
@@ -192,9 +191,12 @@ def test_streaming_pipeline_continuous_mode_starts_and_flows(
         out_dir=str(tmp_path / "cont"),
         available_now=False,
     )
-    ours = [q for q in spark.streams.active if q.id not in before]
+    # the run hands back its own StreamingQuery handles — no scraping
+    # spark.streams.active (which races with unrelated queries)
+    ours = list(paths.queries.values())
     try:
-        assert len(ours) == 5  # all five stage queries are live
+        assert len(ours) == 5 and all(q.isActive for q in ours)
+        assert set(paths.queries) == set(paths)  # one handle per stage
         deadline = _time.time() + 90
         seen = 0
         while _time.time() < deadline:
