@@ -22,11 +22,17 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def covariance_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
-    """One (partition_id, n, sum_vec, outer_flat) row per partition."""
+    """One (partition_id, n, sum_vec, outer_flat) row per partition.
+    partition_id is the cross-partition reduction's DETERMINISTIC sort
+    key in pca_fit — (n, sum_vec) alone does not uniquely order partials
+    (two partitions can share counts and sums yet have different outer
+    products), which would leave the float-summation order to collect()'s
+    arrival order."""
 
     def partials(batches):
         import numpy as np
         import pandas as pd
+        from pyspark import TaskContext
 
         n = 0
         s = np.zeros(dim, dtype=np.float64)
@@ -41,6 +47,7 @@ def covariance_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         if n:
             yield pd.DataFrame(
                 {
+                    "partition_id": [TaskContext.get().partitionId()],
                     "n": [n],
                     "sum_vec": [s.tolist()],
                     "outer_flat": [o.reshape(-1).tolist()],
@@ -49,7 +56,7 @@ def covariance_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
 
     return df.select(vec_col).mapInPandas(
         partials,
-        schema="n long, sum_vec array<double>, outer_flat array<double>",
+        schema="partition_id long, n long, sum_vec array<double>, outer_flat array<double>",
     )
 
 
@@ -62,7 +69,10 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int):
     n = sum(r.n for r in rows)
     s = np.zeros(dim)
     o = np.zeros((dim, dim))
-    for r in sorted(rows, key=lambda r: (r.n, tuple(r.sum_vec))):
+    # partition_id uniquely orders the partials — (n, sum_vec) does not
+    # (equal counts+sums with different outer products would tie, leaving
+    # the float-summation order to collect()'s nondeterministic arrival)
+    for r in sorted(rows, key=lambda r: r.partition_id):
         s += np.array(r.sum_vec)
         o += np.array(r.outer_flat).reshape(dim, dim)
     mean = s / n

@@ -39,6 +39,31 @@ def normalized_text(col: str = "text") -> F.Column:
     return F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
 
 
+def _spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input arrives as far fewer splits than
+    the cluster has cores (the local single-file-parquet shape): the
+    shingle/hash stages are CPU-bound map work that would otherwise run
+    on a handful of tasks.  When the scan is already well-split — a
+    100 TB corpus has thousands of input splits — repartitioning here
+    would shuffle the full raw text for nothing, so it is skipped and
+    the module's shuffle accounting (min-aggregation + band join only)
+    holds at scale."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # file COUNT as the split proxy: metadata-only (~3 ms vs ~1.3 s for
+        # df.rdd.getNumPartitions(), which converts the whole plan to an
+        # RDD).  Conservative: one big splittable file under-counts and
+        # triggers a harmless repartition; a 100 TB corpus always has far
+        # more files than cores and skips.  Non-file sources return [] and
+        # also spread — correct for the in-memory test shape.
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits >= max(1, par // 2):
+        return df
+    return df.repartition(par)
+
+
 # -- MinHash + LSH -------------------------------------------------------------
 
 
@@ -55,17 +80,16 @@ def shingles(
     Implementation: posexplode tokens → per-doc lead() window →
     concat_ws → distinct.  The window/concat path is JVM-native
     (higher-order array lambdas would drop the stage to interpreted
-    eval — measured ~3× slower); the repartition spreads CPU-bound work
-    across the cluster even when the corpus arrives as few input splits.
-    Per-doc window partitions are bounded by document length, so no
-    skew risk.
+    eval — measured ~3× slower); _spread_for_cpu repartitions ONLY when
+    the corpus arrives as few input splits, so a well-split 100 TB scan
+    never pays a raw-text shuffle here.  Per-doc window partitions are
+    bounded by document length, so no skew risk.
     """
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError(f"shingles: k must be >= 1, got {k}")
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(par).select(
+    toks = _spread_for_cpu(df).select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
     )
     if k == 1:
@@ -241,8 +265,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sum columns (map-side partials): no bit fan-out rows, one shuffle
     of |docs| wide rows instead of |tokens|·16 exploded rows.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(par).select(
+    toks = _spread_for_cpu(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     )
@@ -389,8 +412,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     oracle-exact.  Same single-aggregation dataflow as
     :func:`simhash16`, with 64 per-bit sum columns.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(par).select(
+    toks = _spread_for_cpu(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     )

@@ -265,12 +265,17 @@ def parse_wav_header(df: DataFrame, payload_col: str = "wav") -> DataFrame:
         .withColumn("sample_rate", sr)
         .withColumn("bit_depth", bits)
         .withColumn("data_size", data_size)
+        # nullif on the divisors: a corrupt/non-WAV payload with zero bytes
+        # at the channels/bit-depth/byte-rate offsets must yield NULL derived
+        # fields on its own row, not a DIVIDE_BY_ZERO that kills the stage
+        # (Spark 4 runs ANSI mode by default)
         .withColumn(
-            "n_samples", F.expr("data_size DIV (channels * (bit_depth DIV 8))")
+            "n_samples",
+            F.expr("data_size DIV nullif(channels * (bit_depth DIV 8), 0)"),
         )
         .withColumn("byte_rate", byte_rate)
         .withColumn(
-            "duration_us", F.expr("(data_size * 1000000) DIV byte_rate")
+            "duration_us", F.expr("(data_size * 1000000) DIV nullif(byte_rate, 0)")
         )
     )
 
@@ -571,7 +576,20 @@ def png_decode_features(df: DataFrame, payload_col: str = "png",
                 "thumb_mean": [], "thumb_corner": [],
             }
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
-                img = decode_png(bytes(p), verify_crc=True)
+                # one corrupt payload among billions must FLAG its row
+                # (crc_ok=false, NULL features), never abort the whole
+                # ingest job from inside the Arrow batch
+                try:
+                    img = decode_png(bytes(p), verify_crc=True)
+                except Exception:  # bad CRC / truncation / zlib errors
+                    out["doc_id"].append(doc_id)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["crc_ok"].append(False)
+                    for c in ("px_sum", "px_mean", "px_min", "px_max",
+                              "thumb_mean", "thumb_corner"):
+                        out[c].append(None)
+                    continue
                 h, w = img.shape[0], img.shape[1]
                 plane = (
                     img.astype(np.float64)
@@ -862,13 +880,20 @@ def wav_pcm_decode_features(df: DataFrame, payload_col: str = "wav") -> DataFram
                         w.getnframes(),
                     )
                     pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+                # DEINTERLEAVE before the crossing count: frames are stored
+                # L R L R ..., and sign-comparing adjacent raw samples on a
+                # stereo file counts an L/R flip at every frame boundary
+                # (constant L=+a, R=-a would report ~n crossings for a
+                # per-channel-silent signal).  Crossings are per channel,
+                # summed; sumsq/min/max legitimately cover all samples.
+                mat = pcm.reshape(-1, ch) if ch > 0 else pcm.reshape(-1, 1)
                 out["doc_id"].append(doc_id)
                 out["channels"].append(ch)
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(n)
                 out["sumsq"].append(int((pcm * pcm).sum()))
                 out["zero_crossings"].append(
-                    int((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).sum())
+                    int((np.signbit(mat[1:, :]) != np.signbit(mat[:-1, :])).sum())
                 )
                 out["amp_min"].append(int(pcm.min()))
                 out["amp_max"].append(int(pcm.max()))

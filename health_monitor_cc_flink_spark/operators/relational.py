@@ -90,9 +90,53 @@ def hop(df: DataFrame, ts_col: str, size: str, slide: str) -> DataFrame:
     return _with_window_cols(df.withColumn("w", F.window(ts_col, size, slide)))
 
 
-def session(df: DataFrame, ts_col: str, gap: str) -> DataFrame:
-    """SESSION windowing TVF (gap-based)."""
-    return _with_window_cols(df.withColumn("w", F.session_window(ts_col, gap)))
+def session(
+    df: DataFrame, ts_col: str, gap: str, partition_by: tuple = ()
+) -> DataFrame:
+    """SESSION windowing TVF (gap-based): every row gets its MERGED
+    session's window_start / window_end / window_time, Flink semantics
+    (end = last event in the session + gap).
+
+    ``F.session_window`` in a projection would be wrong here: outside a
+    groupBy aggregation it emits the unmerged per-row proto-window
+    ``[ts, ts+gap)``, splitting every real session into per-event windows.
+    Sessions merge via gaps-and-islands instead: a row starts a new
+    session when it is more than ``gap`` after its predecessor, the
+    running start-count is the session id, and the merged bounds are
+    min/max aggregates windowed over (keys, session id) — two sorts on
+    the same (keys, ts) order, no extra shuffle between them.
+
+    ``partition_by`` carries Flink's optional PARTITION BY keys; keyless
+    sessionization is inherently a single global ordering (same as
+    Flink's non-keyed SESSION), so pass keys whenever the stream has
+    them."""
+    from pyspark.sql import Window
+
+    gap_us = F.expr(f"unix_micros(timestamp_micros(0) + INTERVAL {gap})")
+    keys = [F.col(c) for c in partition_by]
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    marked = df.withColumn(
+        "__is_start",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__sid",
+        F.sum("__is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy(*keys, F.col("__sid"))
+    return (
+        marked.withColumn("window_start", F.min(ts_col).over(ws))
+        .withColumn(
+            "window_end",
+            F.timestamp_micros(F.max(us).over(ws) + gap_us),
+        )
+        .withColumn(
+            "window_time", F.col("window_end") - F.expr("INTERVAL 1 MILLISECOND")
+        )
+        .drop("__is_start", "__sid")
+    )
 
 
 def cumulate(df: DataFrame, ts_col: str, step_s: int, size_s: int) -> DataFrame:
@@ -108,8 +152,16 @@ def cumulate(df: DataFrame, ts_col: str, step_s: int, size_s: int) -> DataFrame:
     if size_s % step_s != 0:
         raise ValueError("size must be a multiple of step")
     n = size_s // step_s
-    sec = F.expr(f"unix_micros({ts_col}) div 1000000")  # integer div: exact
-    start = F.timestamp_seconds(sec - sec % size_s)
+    # FLOOR alignment in pure integer micros: Spark's % keeps the dividend's
+    # sign, so `sec - sec % size` rounds pre-epoch timestamps toward zero and
+    # would assign a 1969 row to a base window STARTING AFTER it; the
+    # double-mod floors exactly for any sign (matching F.window's alignment)
+    # and integer micros never round (unlike a float unix_timestamp).
+    size_us = size_s * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    start = F.timestamp_micros(
+        us - ((us % size_us + size_us) % size_us)
+    )
     ends = F.array(
         *[
             F.col("__cum_start") + F.expr(f"INTERVAL {k * step_s} SECOND")

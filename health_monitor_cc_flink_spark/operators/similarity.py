@@ -37,6 +37,79 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- shared ANN building blocks ----------------------------------------------
+# One definition each for the four stages every IVF/PQ variant composes;
+# keeping them single-source prevents the drift this file once had (the
+# deterministic cell tiebreak existed in some probes but not others).
+
+
+def _fit_kmeans_cells(emb: DataFrame, n_cells: int, seed: int,
+                      id_col: str, vec_col: str):
+    """Fit the KMeans coarse quantizer and assign every vector its cell.
+    Returns (assigned df with a `cell` column, centroid lists)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "cell")
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, cents
+
+
+def _centroids_df(spark, cents) -> DataFrame:
+    return _small_df(
+        spark,
+        {"cell": list(range(len(cents))), "centroid": cents},
+        "cell int, centroid array<double>",
+    )
+
+
+def _write_centroids(spark, cents, path: str) -> None:
+    _centroids_df(spark, cents).coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "_centroids"
+    )
+
+
+def _rank_cells(centroids: DataFrame, q: Column, n_probe: int,
+                cell_col: str = "cell") -> DataFrame:
+    """Top-``n_probe`` cells by centroid cosine — the cell-id tiebreak
+    keeps the probed set deterministic when centroid cosines tie."""
+    return (
+        centroids.select(cell_col, cosine(F.col("centroid"), q).alias("ccos"))
+        .orderBy(F.desc("ccos"), F.asc(cell_col))
+        .limit(n_probe)
+    )
+
+
+def _exact_topk(cand: DataFrame, q: Column, k: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """Exact cosine top-k over a candidate relation (id tiebreak)."""
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _adc_rerank(scored: DataFrame, emb: DataFrame, q: Column, k: int,
+                rerank: int, id_col: str, vec_col: str) -> DataFrame:
+    """ADC top-``rerank`` candidates → exact-cosine re-rank to top-``k``
+    (broadcast semi-join on id: constant rows regardless of corpus size)."""
+    cand = (
+        scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)
+    )
+    return _exact_topk(
+        emb.join(F.broadcast(cand), id_col, "left_semi"), q, k, id_col, vec_col
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -86,17 +159,9 @@ def ivf_topk(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(bucket_col, F.expr("transform(pc, x -> x.c)").alias("centroid"))
     )
-    probed = (
-        cent.select(bucket_col, cosine(F.col("centroid"), q).alias("ccos"))
-        .orderBy(F.desc("ccos"))
-        .limit(n_probe)
-    )
+    probed = _rank_cells(cent, q, n_probe, cell_col=bucket_col)
     cand = emb.join(F.broadcast(probed.select(bucket_col)), on=bucket_col)
-    return (
-        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
-    )
+    return _exact_topk(cand, q, k, id_col, vec_col)
 
 
 def embedding_near_dup_pairs(
@@ -159,36 +224,11 @@ def kmeans_ivf_topk(
     Probe side: rank cells by centroid cosine to the query, scan only the
     top ``n_probe`` cells.  Deterministic for a fixed seed.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    spark = emb.sparkSession
-    feat = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feat)
-    assigned = model.transform(feat).select(id_col, vec_col, "cell")
-
+    assigned, cents = _fit_kmeans_cells(emb, n_cells, seed, id_col, vec_col)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    cents = [[float(x) for x in c] for c in model.clusterCenters()]
-    centroids = _small_df(
-        spark,
-        {"cell": list(range(len(cents))), "centroid": cents},
-        "cell int, centroid array<double>",
-    )
-    probed = (
-        centroids.select("cell", cosine(F.col("centroid"), q).alias("ccos"))
-        .orderBy(F.desc("ccos"))
-        .limit(n_probe)
-    )
+    probed = _rank_cells(_centroids_df(emb.sparkSession, cents), q, n_probe)
     cand = assigned.join(F.broadcast(probed.select("cell")), on="cell")
-    return (
-        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
-    )
+    return _exact_topk(cand, q, k, id_col, vec_col)
 
 
 def build_ivf_index(
@@ -210,23 +250,9 @@ def build_ivf_index(
     100 TB the pruned scan is the difference between reading n_probe/
     n_cells of the table and reading all of it.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feat)
-    assigned = model.transform(feat).select(id_col, vec_col, "cell")
+    assigned, cents = _fit_kmeans_cells(emb, n_cells, seed, id_col, vec_col)
     assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
-    cents = [[float(x) for x in c] for c in model.clusterCenters()]
-    _small_df(
-        emb.sparkSession,
-        {"cell": list(range(len(cents))), "centroid": cents},
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    _write_centroids(emb.sparkSession, cents, path)
 
 
 def probe_ivf_index(
@@ -245,19 +271,10 @@ def probe_ivf_index(
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     centroids = spark.read.parquet(path.rstrip("/") + "_centroids")
-    probed = (
-        centroids.select("cell", cosine(F.col("centroid"), q).alias("ccos"))
-        .orderBy(F.desc("ccos"), F.asc("cell"))
-        .limit(n_probe)
-        .collect()
-    )
+    probed = _rank_cells(centroids, q, n_probe).collect()
     cells = [int(r["cell"]) for r in probed]
     scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
-    return (
-        scan.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
-    )
+    return _exact_topk(scan, q, k, id_col, vec_col)
 
 
 def hyperplane_bucket_expr(
@@ -441,13 +458,15 @@ def pq_encode(
                 out[c] = pdf[c].values
             yield pd.DataFrame(out)
 
-    # carry columns keep their ACTUAL types (hardcoding `int` truncated
-    # bigint ids and broke string carries outright)
+    # id and carry columns keep their ACTUAL types (hardcoding `int`
+    # truncated bigint ids and broke string carries outright; a string id
+    # column — e.g. doc URIs — must survive the encode too)
+    id_type = emb.schema[id_col].dataType.simpleString()
     carry_schema = "".join(
         f", {c} {emb.schema[c].dataType.simpleString()}" for c in carry
     )
     return emb.select(id_col, vec_col, *carry).mapInPandas(
-        encode, schema=f"{id_col} long, codes array<long>{carry_schema}"
+        encode, schema=f"{id_col} {id_type}, codes array<long>{carry_schema}"
     )
 
 
@@ -527,15 +546,8 @@ def pq_adc_topk(
     codes = pq_encode(emb, codebook, id_col=id_col, vec_col=vec_col)
     lut = _adc_lut(codebook, query_vec)
     scored = _pq_adc_scores(codes, lut, id_col=id_col)
-    cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
-    exact = (
-        emb.join(F.broadcast(cand), id_col, "left_semi")
-        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
-    )
-    return exact
+    return _adc_rerank(scored, emb, qcol, k, rerank, id_col, vec_col)
 
 
 def _pq_adc_scores(codes, lut, id_col: str = "vec_id"):
@@ -556,7 +568,9 @@ def _pq_adc_scores(codes, lut, id_col: str = "vec_id"):
             dist = lut[np.arange(m)[None, :], c].sum(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col].values, "adc_dist": dist})
 
-    return codes.mapInPandas(adc, schema=f"{id_col} long, adc_dist double")
+    # id keeps its actual type — same bug class as pq_encode's carry fix
+    id_type = codes.schema[id_col].dataType.simpleString()
+    return codes.mapInPandas(adc, schema=f"{id_col} {id_type}, adc_dist double")
 
 
 def pq_build_index(
@@ -604,14 +618,8 @@ def pq_probe_index(
     lut = _adc_lut(_load_codebook(spark, path), query_vec)
     codes = spark.read.parquet(path)
     scored = _pq_adc_scores(codes, lut, id_col=id_col)
-    cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
-    return (
-        emb.join(F.broadcast(cand), id_col, "left_semi")
-        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
-    )
+    return _adc_rerank(scored, emb, qcol, k, rerank, id_col, vec_col)
 
 
 # --- IVF-PQ: the full at-scale ANN composition ------------------------------
@@ -641,17 +649,7 @@ def build_ivfpq_index(
     ``path`` (cell-partitioned), coarse centroids at ``<path>_centroids``,
     PQ codebook at ``<path>_codebook``.  One KMeans fit (bounded), one
     codebook train (bounded sample), one encode pass over the corpus."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feat)
-    assigned = model.transform(feat).select(id_col, vec_col, "cell")
-
+    assigned, cents = _fit_kmeans_cells(emb, n_cells, seed, id_col, vec_col)
     codebook = pq_train_codebook(
         emb, m=m, n_centroids=n_centroids, n_train=n_train, id_col=id_col, vec_col=vec_col
     )
@@ -660,12 +658,7 @@ def build_ivfpq_index(
     codes = pq_encode(assigned, codebook, id_col=id_col, vec_col=vec_col, carry_cols=("cell",))
     codes.write.partitionBy("cell").mode("overwrite").parquet(path)
     spark = emb.sparkSession
-    cents = [[float(x) for x in c] for c in model.clusterCenters()]
-    _small_df(
-        spark,
-        {"cell": list(range(len(cents))), "centroid": cents},
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    _write_centroids(spark, cents, path)
     _write_codebook(spark, codebook, path)
 
 
@@ -688,20 +681,9 @@ def probe_ivfpq_index(
     constant-size re-rank, independent of corpus size."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     centroids = spark.read.parquet(path.rstrip("/") + "_centroids")
-    probed = (
-        centroids.select("cell", cosine(F.col("centroid"), q).alias("ccos"))
-        .orderBy(F.desc("ccos"), F.asc("cell"))
-        .limit(n_probe)
-        .collect()
-    )
+    probed = _rank_cells(centroids, q, n_probe).collect()
     cells = [int(r["cell"]) for r in probed]
     lut = _adc_lut(_load_codebook(spark, path), query_vec)
     codes = spark.read.parquet(path).filter(F.col("cell").isin(cells)).select(id_col, "codes")
     scored = _pq_adc_scores(codes, lut, id_col=id_col)
-    cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank).select(id_col)
-    return (
-        emb.join(F.broadcast(cand), id_col, "left_semi")
-        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
-    )
+    return _adc_rerank(scored, emb, q, k, rerank, id_col, vec_col)

@@ -27,7 +27,19 @@ def salted_join(
 ) -> DataFrame:
     """Join ``fact`` to ``dim`` on ``on`` with an n-way salt split of
     every key.  ``dim`` is replicated n_salts× (keep it far smaller than
-    the fact side; for tiny dims prefer a plain broadcast join)."""
+    the fact side; for tiny dims prefer a plain broadcast join).
+
+    Only ``inner`` and fact-preserving left joins are valid: the dim
+    replication makes right/full outer joins surface every unmatched dim
+    row n_salts times, and left_anti/left_semi against the replicated
+    side change multiplicity semantics — reject those instead of
+    returning plausible-looking garbage."""
+    ok = {"inner", "left", "left_outer", "leftouter"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in ok}:
+        raise ValueError(
+            f"salted_join preserves semantics only for {sorted(ok)} joins, got {how!r}: "
+            "the salt-replicated dim side would multiply unmatched/anti rows"
+        )
     salted_fact = fact.withColumn("_salt", (F.rand(seed) * n_salts).cast("int"))
     salts = fact.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
     salted_dim = dim.crossJoin(salts)

@@ -93,3 +93,51 @@ def test_streaming_drops_late_events_beyond_watermark(spark, tmp_path):
     # the t+5s window was emitted in run 1 with hr=70 only; the late
     # hr=200 reading must NOT have produced a second/updated row
     assert len(late) == 1 and late[0].observed_value == 70.0
+
+
+def test_session_tvf_merges_rows_into_one_window(spark):
+    """SESSION TVF semantics: rows within the gap share ONE merged window
+    whose end = last event + gap — NOT the per-row proto-window
+    [ts, ts+gap) that F.session_window emits outside an aggregation
+    (regression: the old projection form split every session into
+    per-event windows)."""
+    from health_monitor_cc_flink_spark.operators.relational import session
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:05"),
+         (1, "2024-01-01 00:10:00"), (2, "2024-01-01 00:00:02")],
+        "k int, ts_s string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+    out = {
+        (r.k, str(r.ts)): (str(r.window_start), str(r.window_end))
+        for r in session(df, "ts", "30 seconds", partition_by=("k",)).collect()
+    }
+    # the two events 5s apart share one merged window ending last+gap
+    merged = ("2024-01-01 00:00:00", "2024-01-01 00:00:35")
+    assert out[(1, "2024-01-01 00:00:00")] == merged
+    assert out[(1, "2024-01-01 00:00:05")] == merged
+    # the isolated event starts its own session
+    assert out[(1, "2024-01-01 00:10:00")] == (
+        "2024-01-01 00:10:00", "2024-01-01 00:10:30"
+    )
+    # keys never merge across partitions
+    assert out[(2, "2024-01-01 00:00:02")] == (
+        "2024-01-01 00:00:02", "2024-01-01 00:00:32"
+    )
+
+
+def test_cumulate_floors_pre_epoch_timestamps(spark):
+    """CUMULATE window alignment must FLOOR for pre-epoch timestamps:
+    Spark's % keeps the dividend's sign, so the old `sec - sec % size`
+    assigned a 1969 row to a base window starting AFTER it."""
+    from health_monitor_cc_flink_spark.operators.relational import cumulate
+
+    df = spark.createDataFrame(
+        [("1969-12-31 23:59:55",)], "ts_s string"
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts")
+    rows = cumulate(df, "ts", 5, 10).select("window_start", "window_end").collect()
+    starts = {str(r.window_start) for r in rows}
+    assert starts == {"1969-12-31 23:59:50"}, starts
+    # every emitted sub-window must actually contain the row
+    for r in rows:
+        assert str(r.window_start) <= "1969-12-31 23:59:55" < str(r.window_end)
