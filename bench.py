@@ -35,7 +35,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    specs = [s for s in all_queries() if (s.bench or os.environ.get("BENCH_ALL"))]
+    bench_all = os.environ.get("BENCH_ALL", "").lower() in ("1", "true", "yes")
+    specs = [s for s in all_queries() if (s.bench or bench_all)]
 
     # warmup: touch every table + codegen paths + Python/Arrow workers
     # once so timings reflect steady state, not first-touch costs
@@ -64,12 +65,14 @@ def main() -> None:
         timings[spec.name] = round(time.perf_counter() - t0, 3)
 
     # the reference workload itself: 4-stage health pipeline incl. both
-    # ML operators on a 20-minute simulated stream (2400 windows/patient)
+    # ML operators on a 20-minute simulated stream (2400 ticks at 0.5 s
+    # = 1200 one-second windows per patient)
     from health_monitor_cc_flink_spark.fixtures import health_events_df
     from health_monitor_cc_flink_spark.plans.health_pipeline import run_pipeline
     from health_monitor_cc_flink_spark.sources.memory import patients_df
 
-    events = health_events_df(spark, n_ticks=2400, interval_s=0.5, seed=42).cache()
+    n_ticks, n_patients = 2400, 10
+    events = health_events_df(spark, n_ticks=n_ticks, interval_s=0.5, seed=42).cache()
     events.count()  # materialize fixture outside the timed window
     # warmup: the native AR(1) path is one large codegen'd window stage and
     # needs a few executions before the JVM's C2 JIT compiles the generated
@@ -95,23 +98,16 @@ def main() -> None:
 
     # streaming throughput: drain the sf events table through the
     # watermarked tumbling aggregation (availableNow) — the structured-
-    # streaming path's sustained rate vs the reference's 50 events/s
-    import uuid
-
+    # streaming path's sustained rate vs the reference's 50 events/s.
+    # _drain_to_memory is the registry's shared drain recipe: memory sink,
+    # right-sized state partitions, and the shuffle-conf restore in a
+    # try/finally (the former inline copy leaked the 8-partition override
+    # on any drain failure).
+    from health_monitor_cc_flink_spark.registry import _drain_to_memory
     from health_monitor_cc_flink_spark.sources.testdata import events_stream
     from pyspark.sql import functions as SF
 
     n_events = load_table(spark, sf_dir, "events").count()
-
-    # state-partition sizing: the stateful agg keys on (window, user_id) —
-    # a few thousand live state rows.  Committing 32 near-empty state
-    # stores per micro-batch (2 batches: data + watermark flush) costs
-    # more than the aggregation itself; 8 partitions is right-sized for
-    # this state volume.  (At 100 TB the same knob scales UP with state
-    # size — the point is that state partitions follow state, not the
-    # session's shuffle default.)
-    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def drain() -> float:
         src = events_stream(spark, sf_dir)
@@ -120,23 +116,12 @@ def main() -> None:
             .groupBy(SF.window("ts", "1 minute"), "user_id")
             .agg(SF.avg("value"))
         )
-        qname = "bench_stream_" + uuid.uuid4().hex[:8]
         t0 = time.perf_counter()
-        (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-        sec = time.perf_counter() - t0
-        spark.catalog.dropTempView(qname)
-        return sec
+        _drain_to_memory(spark, agg, "bench_stream_")
+        return time.perf_counter() - t0
 
     drain()  # warmup: micro-batch machinery, state-store + sink codepaths
     stream_sec = round(min(drain(), drain()), 3)  # best-of-2, as for e2e
-    spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
     timings["streaming_tumble_drain"] = stream_sec
 
     total = round(sum(timings.values()), 3)
@@ -152,7 +137,7 @@ def main() -> None:
                 # reference load envelope comparison (BASELINE.md: the
                 # original pipeline was sized for 50 events/s sustained)
                 "health_pipeline_events_per_sec": round(
-                    2400 * 10 / timings["health_pipeline_e2e"], 1
+                    n_ticks * n_patients / timings["health_pipeline_e2e"], 1
                 ),
                 "streaming_events_per_sec": round(n_events / stream_sec, 1),
             }

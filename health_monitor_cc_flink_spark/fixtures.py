@@ -132,23 +132,41 @@ def health_events_df(
     nested HEALTH_EVENT_SCHEMA.  ``unknown_patient_rows`` appends events
     with patient_id=99 to pin the enrichment join's drop-on-miss
     semantics (SURVEY.md §2.12.3)."""
+    from pyspark.sql import functions as F
+
     pdf = generate_health_events_pdf(n_ticks, interval_s, seed, start, patient_ids, fault)
-    rows = [
-        (
-            r.event_time.to_pydatetime(),
-            r.event_id,
-            int(r.patient_id),
-            (r.device_type, int(r.battery_level), r.sensor_status),
-            (
-                int(r.heart_rate),
-                int(r.blood_oxygen_spO2),
-                (int(r.systolic), int(r.diastolic)),
-                float(r.body_temperature_c),
-            ),
-        )
-        for r in pdf.itertuples()
-    ]
+    # Arrow-ingest the FLAT frame, then build the nested structs in Spark:
+    # the former per-row Python-tuple loop serialized every row through the
+    # driver one at a time (seconds of single-threaded time at scale-probe
+    # sizes); the flat pandas frame takes createDataFrame's Arrow fast path
+    # and the struct assembly is pure codegen'd projection.
+    flat = spark.createDataFrame(
+        pdf,
+        schema=(
+            "event_time timestamp, event_id string, patient_id int, "
+            "device_type string, battery_level int, sensor_status string, "
+            "heart_rate int, blood_oxygen_spO2 int, systolic int, "
+            "diastolic int, body_temperature_c float"
+        ),
+    )
+    nested = flat.select(
+        "event_time",
+        "event_id",
+        "patient_id",
+        F.struct("device_type", "battery_level", "sensor_status").alias(
+            "device_metadata"
+        ),
+        F.struct(
+            F.col("heart_rate"),
+            F.col("blood_oxygen_spO2"),
+            F.struct("systolic", "diastolic").alias("blood_pressure"),
+            F.col("body_temperature_c"),
+        ).alias("vitals"),
+    )
     if unknown_patient_rows:
-        base = rows[:unknown_patient_rows]
-        rows += [(t, e, 99, d, v) for (t, e, _, d, v) in base]
-    return spark.createDataFrame(rows, schema=HEALTH_EVENT_SCHEMA)
+        extra = nested.limit(unknown_patient_rows).withColumn(
+            "patient_id", F.lit(99).cast("int")
+        )
+        nested = nested.unionByName(extra)
+    assert nested.schema.fieldNames() == HEALTH_EVENT_SCHEMA.fieldNames()
+    return nested

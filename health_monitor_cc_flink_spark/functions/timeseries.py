@@ -248,22 +248,11 @@ def ml_detect_anomalies(
     ``implementation="pandas"`` keeps the NumPy kernel; both paths are
     bit-identical (tests/test_timeseries.py).
     """
+    from ..schemas import ANOMALY_REPORT_SCHEMA
+
     z = _zcrit(confidence_percentage)
     out_schema = T.StructType(
-        df.schema.fields
-        + [
-            T.StructField(
-                output_col,
-                T.StructType(
-                    [
-                        T.StructField("is_anomaly", T.BooleanType()),
-                        T.StructField("expected_value", T.DoubleType()),
-                        T.StructField("lower_bound", T.DoubleType()),
-                        T.StructField("upper_bound", T.DoubleType()),
-                    ]
-                ),
-            )
-        ]
+        df.schema.fields + [T.StructField(output_col, ANOMALY_REPORT_SCHEMA)]
     )
     if implementation == "native":
         fitted, w = _ar1_fit_native(df, value_col, ts_col, key_cols)
@@ -363,17 +352,10 @@ def ml_forecast(
     fit — no Python, no per-key pandas materialization; ``"pandas"``
     keeps the NumPy kernel.  Bit-identical (tests/test_timeseries.py).
     """
+    from ..schemas import FORECAST_ROW_SCHEMA
+
     z = _zcrit(confidence_percentage)
-    elem = T.StructType(
-        [
-            T.StructField("forecast_timestamp", T.TimestampType()),
-            T.StructField("forecast_value", T.DoubleType()),
-            T.StructField("lower_bound", T.DoubleType()),
-            T.StructField("upper_bound", T.DoubleType()),
-            T.StructField("rmse", T.DoubleType()),
-            T.StructField("aic", T.DoubleType()),
-        ]
-    )
+    elem = FORECAST_ROW_SCHEMA
     out_schema = T.StructType(df.schema.fields + [T.StructField(output_col, T.ArrayType(elem))])
     if implementation == "native":
         fitted, w = _ar1_fit_native(df, value_col, ts_col, key_cols)

@@ -144,6 +144,14 @@ def run_pipeline(
     # at the un-materialized upstream, so materialize=True re-executed
     # the window+ML pass once per downstream stage instead of reading
     # the previous stage's materialization
+    if materialize and catalog is None:
+        raise ValueError(
+            "materialize=True requires a catalog: without one the stages "
+            "stay lazy and forcing each returned frame re-executes the "
+            "window+ML pass per stage (the exact re-execution this flag "
+            "exists to prevent)"
+        )
+
     def stage(name: str, df: DataFrame) -> DataFrame:
         if catalog is not None:
             df = catalog.create_table_as(name, df, materialize=materialize)

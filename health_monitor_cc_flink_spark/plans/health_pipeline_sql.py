@@ -16,16 +16,24 @@ Statement texts mirror the reference's CTE structure; `window_time` is
 path is row-at-a-time Python (the SQL-parity surface); the DataFrame
 pipeline in plans/health_pipeline.py is the vectorized fast path — the
 two are asserted equal in tests/test_sql_pipeline.py.
+
+Every view name carries a per-run prefix ``{p}``: temp views are
+SESSION-GLOBAL, and unprefixed ``CREATE OR REPLACE TEMPORARY VIEW
+events`` would silently clobber an identically-named view another
+component registered on the shared session (e.g. the driver testdata
+``events`` view from sources.testdata.register_testdata).
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.sql_udtf import register_sql_ml_functions
 
 S3_ENRICHED_EVENTS = """
-CREATE OR REPLACE TEMPORARY VIEW enriched_events AS
+CREATE OR REPLACE TEMPORARY VIEW {p}enriched_events AS
 SELECT v.event_time AS event_time,
        v.event_id,
        v.patient_id,
@@ -33,34 +41,34 @@ SELECT v.event_time AS event_time,
        v.vitals,
        p.name,
        p.age
-FROM events v
-JOIN patients p ON v.patient_id = p.patient_id
+FROM {p}events v
+JOIN {p}patients p ON v.patient_id = p.patient_id
 """
 
 S4_WINDOWED_VITALS = """
-CREATE OR REPLACE TEMPORARY VIEW windowed_vitals AS
+CREATE OR REPLACE TEMPORARY VIEW {p}windowed_vitals AS
 SELECT patient_id,
        window.end - INTERVAL 1 MILLISECOND AS event_timestamp,
        avg(vitals.heart_rate) AS observed_value
-FROM (SELECT *, window(event_time, '1 second') AS window FROM events)
+FROM (SELECT *, window(event_time, '1 second') AS window FROM {p}events)
 GROUP BY patient_id, window
 """
 
 S4_FLAGGED = """
-CREATE OR REPLACE TEMPORARY VIEW enriched_events_flagged AS
+CREATE OR REPLACE TEMPORARY VIEW {p}enriched_events_flagged AS
 SELECT * FROM ml_detect_anomalies(
-    TABLE(windowed_vitals) PARTITION BY patient_id ORDER BY (event_timestamp),
+    TABLE({p}windowed_vitals) PARTITION BY patient_id ORDER BY (event_timestamp),
     {min_training_size}, {confidence}
 )
 """
 
 S5_FILTERED = """
-CREATE OR REPLACE TEMPORARY VIEW filtered_enriched_events AS
-SELECT * FROM enriched_events_flagged WHERE is_anomaly = FALSE
+CREATE OR REPLACE TEMPORARY VIEW {p}filtered_enriched_events AS
+SELECT * FROM {p}enriched_events_flagged WHERE is_anomaly = FALSE
 """
 
 S6_ALERTS = """
-CREATE OR REPLACE TEMPORARY VIEW heartbeat_alerts AS
+CREATE OR REPLACE TEMPORARY VIEW {p}heartbeat_alerts AS
 SELECT patient_id,
        event_timestamp,
        current_value,
@@ -69,7 +77,7 @@ SELECT patient_id,
        upper_bound
 FROM ml_forecast(
     TABLE(SELECT patient_id, event_timestamp, observed_value
-          FROM filtered_enriched_events)
+          FROM {p}filtered_enriched_events)
     PARTITION BY patient_id ORDER BY (event_timestamp),
     {horizon}, {confidence}
 )
@@ -86,17 +94,24 @@ def run_pipeline_sql(
     horizon: int = 1,
     threshold: float = 40.0,
 ) -> dict[str, DataFrame]:
-    """Execute S3..S6 as SQL statements; returns the stage views."""
+    """Execute S3..S6 as SQL statements; returns the stage views (keyed
+    by the canonical stage names — the backing temp views carry a unique
+    per-run prefix so a shared session's own views are never clobbered)."""
     register_sql_ml_functions(spark)
-    events.createOrReplaceTempView("events")
-    patients.createOrReplaceTempView("patients")
-    spark.sql(S3_ENRICHED_EVENTS)
-    spark.sql(S4_WINDOWED_VITALS)
-    spark.sql(S4_FLAGGED.format(min_training_size=min_training_size, confidence=confidence))
-    spark.sql(S5_FILTERED)
-    spark.sql(S6_ALERTS.format(horizon=horizon, confidence=confidence, threshold=threshold))
+    p = f"hmsql_{uuid.uuid4().hex[:8]}_"
+    events.createOrReplaceTempView(f"{p}events")
+    patients.createOrReplaceTempView(f"{p}patients")
+    spark.sql(S3_ENRICHED_EVENTS.format(p=p))
+    spark.sql(S4_WINDOWED_VITALS.format(p=p))
+    spark.sql(
+        S4_FLAGGED.format(p=p, min_training_size=min_training_size, confidence=confidence)
+    )
+    spark.sql(S5_FILTERED.format(p=p))
+    spark.sql(
+        S6_ALERTS.format(p=p, horizon=horizon, confidence=confidence, threshold=threshold)
+    )
     return {
-        name: spark.table(name)
+        name: spark.table(p + name)
         for name in (
             "enriched_events",
             "enriched_events_flagged",

@@ -80,3 +80,28 @@ def test_online_ar1_bit_parity_on_hostile_floats():
             assert mine == ref or (math.isnan(mine) and math.isnan(ref)), (
                 f"row {i}: {f} vs kernel"
             )
+
+
+def test_sql_pipeline_does_not_clobber_session_views(spark, events):
+    """run_pipeline_sql registers its working views under a per-run
+    prefix: an identically-named view another component registered on
+    the shared session (e.g. the driver testdata `events` view) must
+    survive the run untouched."""
+    spark.range(5).selectExpr("id AS user_id").createOrReplaceTempView("events")
+    try:
+        stages = run_pipeline_sql(spark, events, patients_df(spark))
+        assert {r.patient_id for r in stages["heartbeat_alerts"].collect()} == {1}
+        assert spark.table("events").columns == ["user_id"]
+    finally:
+        spark.catalog.dropTempView("events")
+
+
+def test_run_pipeline_materialize_requires_catalog(spark, events):
+    """materialize=True without a catalog must raise, not silently return
+    un-checkpointed lazy frames."""
+    import pytest as _pytest
+
+    from health_monitor_cc_flink_spark.sources.memory import patients_df as _p
+
+    with _pytest.raises(ValueError, match="materialize"):
+        run_pipeline(events, _p(spark), materialize=True)
