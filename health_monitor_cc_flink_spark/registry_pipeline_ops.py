@@ -4359,14 +4359,17 @@ def topk_heavy_hitters_twopass(spark, sf_dir):
     fast = ranked_top10(cand_freq)
     # Soundness gate: the candidate answer equals the exact top-10 ONLY when
     # the pigeonhole certificate holds (candidate f10 * k > N implies every
-    # non-candidate has freq <= N/k < f10).  Check it with one tiny collect
-    # (a single boolean row — the candidate relation is ~k*partitions rows);
-    # when it fails, fall back to the exact vocabulary-bound ranking rather
-    # than emitting a possibly-wrong rank order.  candidate-f10 <= exact-f10
-    # always, so the check is conservative: certified=True is never wrong.
-    gate = fast.filter(F.col("rnk") == 10).select("certified").limit(1).collect()
-    if gate and gate[0]["certified"]:
-        return fast
+    # non-candidate has freq <= N/k < f10).  The gated result is <= 10 rows,
+    # so collect it ONCE and — when certified — hand back a local DataFrame
+    # of those rows (re-returning the lazy plan would re-run the whole MG
+    # candidate pass when the caller executes it).  When the certificate
+    # fails (flat tail), fall back to the exact vocabulary-bound ranking
+    # rather than emitting a possibly-wrong rank order.  candidate-f10 <=
+    # exact-f10 always, so the check is conservative: certified=True is
+    # never wrong.
+    rows = fast.collect()
+    if rows and all(r["certified"] for r in rows):
+        return spark.createDataFrame(rows, schema=fast.schema)
     exact_freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     return ranked_top10(exact_freq)
 
