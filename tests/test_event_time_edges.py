@@ -141,3 +141,86 @@ def test_cumulate_floors_pre_epoch_timestamps(spark):
     # every emitted sub-window must actually contain the row
     for r in rows:
         assert str(r.window_start) <= "1969-12-31 23:59:55" < str(r.window_end)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_session_tvf_matches_python_reference(spark, seed):
+    """Randomized cross-check of the session TVF against an obvious
+    O(n log n) Python sessionizer: random event sets with few keys,
+    duplicate timestamps, and gaps straddling the boundary."""
+    import random
+
+    rng = random.Random(seed)
+    gap_s = 30
+    rows = []
+    for i in range(rng.randint(20, 60)):
+        k = rng.randint(1, 3)
+        # coarse second grid → plenty of exact-boundary and duplicate ts
+        t = rng.randint(0, 20) * 15
+        rows.append((i, k, t))
+
+    # python reference: per key, sort by ts; new session when gap exceeded
+    expected = {}
+    for k in {r[1] for r in rows}:
+        ts = sorted(t for (_, kk, t) in rows if kk == k)
+        sessions, cur = [], [ts[0]]
+        for t in ts[1:]:
+            if t - cur[-1] > gap_s:
+                sessions.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        sessions.append(cur)
+        for s in sessions:
+            for t in s:
+                expected[(k, t)] = (min(s), max(s) + gap_s)
+
+    df = spark.createDataFrame(rows, "event_id long, k int, sec long").selectExpr(
+        "event_id", "k", "timestamp_seconds(sec) AS ts"
+    )
+    from health_monitor_cc_flink_spark.operators.relational import session
+
+    got = session(df, "ts", f"{gap_s} seconds", partition_by=("k",))
+    for r in got.selectExpr(
+        "k",
+        "unix_seconds(ts) AS t",
+        "unix_seconds(window_start) AS ws",
+        "unix_seconds(window_end) AS we",
+    ).collect():
+        assert expected[(r.k, r.t)] == (r.ws, r.we), (r.k, r.t)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cumulate_matches_python_reference(spark, seed):
+    """Randomized cross-check of CUMULATE against the definition: a row
+    belongs to every expanding sub-window of its floor-aligned base
+    window whose end lies after the row — including pre-epoch rows."""
+    import random
+
+    rng = random.Random(seed)
+    step_s, size_s = 5, 20
+    secs = [rng.randint(-100, 100) for _ in range(40)]
+
+    def ref(sec):
+        base = sec - (sec % size_s + size_s) % size_s  # floor alignment
+        return {
+            (base, base + k * step_s)
+            for k in range(1, size_s // step_s + 1)
+            if sec < base + k * step_s
+        }
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(secs)],
+                               "event_id long, sec long").selectExpr(
+        "event_id", "sec", "timestamp_seconds(sec) AS ts"
+    )
+    from health_monitor_cc_flink_spark.operators.relational import cumulate
+
+    got = {}
+    for r in cumulate(df, "ts", step_s, size_s).selectExpr(
+        "event_id", "sec",
+        "unix_seconds(window_start) AS ws",
+        "unix_seconds(window_end) AS we",
+    ).collect():
+        got.setdefault(r.event_id, set()).add((r.ws, r.we))
+    for i, s in enumerate(secs):
+        assert got.get(i, set()) == ref(s), (i, s)
