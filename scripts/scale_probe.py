@@ -268,12 +268,17 @@ def run(spark, sf_dir: str, label: str) -> None:
     clear_knn_graph_cache(spark)
     spark.catalog.clearCache()
     only = os.environ.get("PROBE_ONLY")
-    # PROBE_ONLY may name ANY registry query, not just the default list
-    queries = (
-        [q for q in only.split(",") if q in specs]
-        if only
-        else PROBE_QUERIES
-    )
+    # PROBE_ONLY may name ANY registry query, not just the default list;
+    # unknown names are a hard error — silently dropping a typo (or a
+    # token with a stray space) would burn a full replicate() run while
+    # measuring nothing
+    if only:
+        queries = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = [q for q in queries if q not in specs]
+        if unknown:
+            raise SystemExit(f"PROBE_ONLY names unknown queries: {unknown}")
+    else:
+        queries = PROBE_QUERIES
     for name in queries:
         # time fn() too: iterative operators (dedup_clusters) do their work
         # eagerly inside the builder via localCheckpoint
@@ -319,23 +324,9 @@ def longkey(spark, mult: int, implementation: str) -> float:
     return round(best, 2)
 
 
-def _bootstrap_protobuf() -> None:
-    """Same shim as tests/conftest.py: the transformWithStateInPandas
-    state protocol needs google.protobuf, vendored here by the Cloud SDK.
-    Must run before the JVM starts so workers inherit PYTHONPATH."""
-    try:
-        import google.protobuf  # noqa: F401
-
-        return
-    except ImportError:
-        pass
-    vendored = "/usr/lib/google-cloud-sdk/platform/google_appengine"
-    if not os.path.isdir(os.path.join(vendored, "google", "protobuf")):
-        return
-    sys.path.append(vendored)
-    existing = os.environ.get("PYTHONPATH", "")
-    os.environ["PYTHONPATH"] = f"{existing}{os.pathsep if existing else ''}{vendored}"
-    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+from health_monitor_cc_flink_spark.protobuf_shim import (  # noqa: E402
+    bootstrap_protobuf as _bootstrap_protobuf,
+)
 
 
 def longkey_stream(spark, mult: int, variant: str) -> dict:

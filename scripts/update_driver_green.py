@@ -27,6 +27,13 @@ def main() -> None:
             hist = json.load(f)
     except OSError:
         hist = {"green": {}, "checked": {}}
+    except ValueError as e:
+        # a corrupt/truncated history must STOP the merge, not silently
+        # restart from empty (losing the rotation's accumulated state)
+        raise SystemExit(
+            f"{GREEN_PATH} exists but is not valid JSON ({e}); refusing to "
+            "overwrite the rotation history — restore it from git first"
+        )
 
     hist.setdefault("rows_recorded", {})
     n_new_green = n_new_checked = n_new_rows = 0
@@ -59,8 +66,13 @@ def main() -> None:
         "rows-only query is done once rows_recorded, red if it appeared but "
         "crashed."
     )
-    with open(GREEN_PATH, "w") as f:
+    # atomic publish: a crash mid-dump must not leave a truncated file
+    # (registry.all_queries treats unreadable history as empty, silently
+    # resetting the rotation)
+    tmp = GREEN_PATH + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(hist, f, indent=1, sort_keys=True)
+    os.replace(tmp, GREEN_PATH)
     print(
         f"{round_tag}: +{n_new_checked} checked, +{n_new_green} green, "
         f"+{n_new_rows} rows-recorded (totals: {len(hist['checked'])} checked, "
