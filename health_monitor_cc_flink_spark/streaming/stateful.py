@@ -20,7 +20,6 @@ reference).
 
 from __future__ import annotations
 
-from statistics import NormalDist
 from typing import Any, Iterator, Sequence
 
 import numpy as np
@@ -29,13 +28,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.timeseries import expanding_ar1
+from ..functions.timeseries import _zcrit, expanding_ar1
 
 MAX_HISTORY_DEFAULT = 512
 
+#: (ts_us, vals) ring-buffer state shared by the two AR(1) scorers
+_TS_VALS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
 
-def _zcrit(confidence_percentage: float) -> float:
-    return NormalDist().inv_cdf(0.5 + confidence_percentage / 200.0)
+
+def _load_ring_buffer(state: GroupState) -> tuple[list, list]:
+    if state.exists:
+        hist_ts, hist_vals = state.get
+        return list(hist_ts), list(hist_vals)
+    return [], []
+
+
+def _screen_batch(pdfs, state, ts_col, value_col, hist_ts, hist_vals, max_history):
+    """The shared late-data contract for the AR(1) scorers: rows below the
+    watermark are dropped, not scored — appending them would interleave
+    the AR history out of event order.  Watermark-free streams (valid for
+    NoTimeout operators) have no watermark to read: PySpark raises
+    PySparkRuntimeError from a local-field check (no JVM call), which
+    here means "keep all".  Only that error is caught — anything else
+    should surface.  Returns the (ts, value)-sorted surviving batch, or
+    None after refreshing state when nothing survives."""
+    import pandas as pd
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    try:
+        wm_ms = state.getCurrentWatermarkMs()
+    except PySparkRuntimeError:
+        wm_ms = 0
+    if wm_ms > 0:
+        batch = batch[(batch[ts_col].astype("int64") // 1_000_000) >= wm_ms]
+    if batch.empty:
+        if state.exists:
+            state.update((hist_ts[-max_history:], hist_vals[-max_history:]))
+        return None
+    return batch.sort_values([ts_col, value_col], kind="mergesort")
 
 
 def streaming_detect_anomalies(
@@ -63,44 +98,16 @@ def streaming_detect_anomalies(
             T.StructField("upper_bound", T.DoubleType()),
         ]
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("ts_us", T.ArrayType(T.LongType())),
-            T.StructField("vals", T.ArrayType(T.DoubleType())),
-        ]
-    )
 
     def score(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
         import pandas as pd
 
         (k,) = key
-        if state.exists:
-            hist_ts, hist_vals = state.get
-            hist_ts = list(hist_ts)
-            hist_vals = list(hist_vals)
-        else:
-            hist_ts, hist_vals = [], []
+        hist_ts, hist_vals = _load_ring_buffer(state)
         n_hist = len(hist_vals)
-
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        # Late-data contract (same as the rate limiter / Spark built-ins):
-        # rows below the watermark are dropped, not scored — appending
-        # them would interleave the AR history out of event order.
-        # Watermark-free streams (valid for NoTimeout operators) have no
-        # watermark to read: PySpark raises PySparkRuntimeError from a
-        # local-field check (no JVM call), which here means "keep all".
-        # Only that error is caught — anything else should surface.
-        try:
-            wm_ms = state.getCurrentWatermarkMs()
-        except PySparkRuntimeError:
-            wm_ms = 0
-        if wm_ms > 0:
-            batch = batch[(batch[ts_col].astype("int64") // 1_000_000) >= wm_ms]
-        if batch.empty:
-            if state.exists:
-                state.update((hist_ts[-max_history:], hist_vals[-max_history:]))
+        batch = _screen_batch(pdfs, state, ts_col, value_col, hist_ts, hist_vals, max_history)
+        if batch is None:
             return
-        batch = batch.sort_values([ts_col, value_col], kind="mergesort")
         new_ts = (batch[ts_col].astype("int64") // 1000).tolist()  # ns → µs
         new_vals = batch[value_col].astype(float).tolist()
 
@@ -117,15 +124,29 @@ def streaming_detect_anomalies(
         is_anom = trained & finite & ((y < lower) | (y > upper))
 
         sl = slice(n_hist, n)  # only this batch's rows are emitted
+        # warm-up mask matches the batch operator exactly: BOTH batch paths
+        # NULL the whole report while the prev-fit sigma is non-finite (the
+        # raw `expected` is finite there — 0.0 or y[0] — so masking only on
+        # each value's own finiteness would leak those numbers)
+        fin = finite[sl]
         out = pd.DataFrame(
             {
                 "key": k,
                 "event_timestamp": batch[ts_col].values,
                 "observed_value": new_vals,
                 "is_anomaly": is_anom[sl],
-                "expected_value": [v if np.isfinite(v) else None for v in expected[sl]],
-                "lower_bound": [v if np.isfinite(v) else None for v in lower[sl]],
-                "upper_bound": [v if np.isfinite(v) else None for v in upper[sl]],
+                "expected_value": [
+                    float(v) if f and np.isfinite(v) else None
+                    for v, f in zip(expected[sl], fin)
+                ],
+                "lower_bound": [
+                    float(v) if f and np.isfinite(v) else None
+                    for v, f in zip(lower[sl], fin)
+                ],
+                "upper_bound": [
+                    float(v) if f and np.isfinite(v) else None
+                    for v, f in zip(upper[sl], fin)
+                ],
             }
         )
 
@@ -137,7 +158,7 @@ def streaming_detect_anomalies(
     return df.groupBy(key_col).applyInPandasWithState(
         score,
         outputStructType=out_schema,
-        stateStructType=state_schema,
+        stateStructType=_TS_VALS_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -170,39 +191,17 @@ def streaming_forecast(
             T.StructField("aic", T.DoubleType()),
         ]
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("ts_us", T.ArrayType(T.LongType())),
-            T.StructField("vals", T.ArrayType(T.DoubleType())),
-        ]
-    )
-
     def forecast(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
         import math
 
         import pandas as pd
 
         (k,) = key
-        if state.exists:
-            hist_ts, hist_vals = state.get
-            hist_ts, hist_vals = list(hist_ts), list(hist_vals)
-        else:
-            hist_ts, hist_vals = [], []
+        hist_ts, hist_vals = _load_ring_buffer(state)
         n_hist = len(hist_vals)
-
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        # same late-data contract as streaming_detect_anomalies
-        try:
-            wm_ms = state.getCurrentWatermarkMs()
-        except PySparkRuntimeError:
-            wm_ms = 0  # watermark-free stream: keep all rows
-        if wm_ms > 0:
-            batch = batch[(batch[ts_col].astype("int64") // 1_000_000) >= wm_ms]
-        if batch.empty:
-            if state.exists:
-                state.update((hist_ts[-max_history:], hist_vals[-max_history:]))
+        batch = _screen_batch(pdfs, state, ts_col, value_col, hist_ts, hist_vals, max_history)
+        if batch is None:
             return
-        batch = batch.sort_values([ts_col, value_col], kind="mergesort")
         new_ts = (batch[ts_col].astype("int64") // 1000).tolist()
         new_vals = batch[value_col].astype(float).tolist()
 
@@ -234,8 +233,15 @@ def streaming_forecast(
                         "forecast_value": float(yhat),
                         "lower_bound": float(yhat - band),
                         "upper_bound": float(yhat + band),
-                        "rmse": float(fits["rmse"][i]),
-                        "aic": float(fits["aic"][i]),
+                        # NULL (not NaN) for non-finite diagnostics — exact
+                        # parity with both batch paths (a constant history
+                        # gives sse=0: sigma clamps finite but aic is NaN)
+                        "rmse": float(fits["rmse"][i])
+                        if math.isfinite(fits["rmse"][i])
+                        else None,
+                        "aic": float(fits["aic"][i])
+                        if math.isfinite(fits["aic"][i])
+                        else None,
                     }
                 )
         state.update(((ts_all)[-max_history:], (hist_vals + new_vals)[-max_history:]))
@@ -247,7 +253,7 @@ def streaming_forecast(
     return df.groupBy(key_col).applyInPandasWithState(
         forecast,
         outputStructType=out_schema,
-        stateStructType=state_schema,
+        stateStructType=_TS_VALS_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -668,20 +674,27 @@ def streaming_window_funnel(
             if e != "signup":
                 continue
             if (t + window_us) // 1000 < wm_ms:
-                # window closed: evaluate against the sorted buffer
+                # window closed: evaluate against the sorted buffer.  buf is
+                # t-ordered, so both scans BREAK once past t + window_us —
+                # without that bound a backlog drain on a hot key is
+                # O(signups x buffered history) instead of O(signups x window)
                 steps = 1
                 first_click = None
                 for t2, i2, e2 in buf[idx + 1:]:
-                    if e2 == "click" and t2 - t <= window_us:
+                    if t2 - t > window_us:
+                        break
+                    if e2 == "click":
                         first_click = (t2, i2)
                         steps = 2
                         break
                 if first_click is not None:
                     fc_key = first_click
                     for t3, i3, e3 in buf[idx + 1:]:
+                        if t3 - t > window_us:
+                            break
                         if (t3, i3) <= fc_key:
                             continue
-                        if e3 == "purchase" and t3 - t <= window_us:
+                        if e3 == "purchase":
                             steps = 3
                             break
                 out.append((i, t, steps))
@@ -848,12 +861,11 @@ def streaming_semdedup_ingest(
                         dropped = 1
             decisions.append(dropped)
 
-        state.update(
-            (
-                member_ids.tolist() + new_ids,
-                members.ravel().tolist() + new_vecs.ravel().tolist(),
-            )
-        )
+        # reuse the flat lists already in hand: rebuilding `flat` from the
+        # members ndarray (ravel().tolist()) re-converts M·dim doubles to
+        # Python objects every batch for an identical result — on large
+        # cells that reconversion, not the matmul, dominates
+        state.update((ids + new_ids, flat + new_vecs.ravel().tolist()))
         yield pd.DataFrame(
             {
                 "vec_id": pd.Series(new_ids, dtype="int64"),

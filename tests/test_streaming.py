@@ -214,3 +214,87 @@ def test_streaming_pipeline_continuous_mode_starts_and_flows(
             q.stop()
         for q in ours:
             q.awaitTermination(30)
+
+
+def test_streaming_anomalies_warmup_rows_are_fully_null(spark, tmp_path):
+    """Batch/stream parity on the WARM-UP mask: while the prev-fit sigma is
+    non-finite (first rows of a key), BOTH batch paths NULL the whole
+    report (expected_value included — the raw expected is a finite 0.0 or
+    y[0] there), so the streaming scorer must too."""
+    from health_monitor_cc_flink_spark.streaming.stateful import (
+        streaming_detect_anomalies,
+    )
+
+    src = str(tmp_path / "warmup_src")
+    spark.createDataFrame(
+        [(1, i, 80.0 + (i % 5)) for i in range(12)], "user_id long, t long, v double"
+    ).selectExpr(
+        "user_id", "timestamp_seconds(t) AS ts", "v AS observed_value"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, observed_value double"
+    ).parquet(src)
+    flagged = streaming_detect_anomalies(
+        stream.withWatermark("ts", "10 seconds"),
+        value_col="observed_value",
+        ts_col="ts",
+        key_col="user_id",
+        min_training_size=5,
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("warmup_null_check")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(spark.table("warmup_null_check").collect(), key=lambda r: r.event_timestamp)
+    assert len(rows) == 12
+    # rows 0-2: no valid prev fit (sigma inf) -> the whole report is NULL
+    for r in rows[:3]:
+        assert r.expected_value is None and r.lower_bound is None and r.upper_bound is None
+    # from row 3 on the k>=2 fit exists -> all three present
+    for r in rows[3:]:
+        assert r.expected_value is not None and r.lower_bound is not None
+
+
+def test_streaming_forecast_constant_history_emits_null_aic(spark, tmp_path):
+    """A constant series gives sse=0: sigma clamps finite (rows emit) but
+    aic is undefined — batch emits NULL there, so streaming must too (NaN
+    would diverge under `aic IS NULL` filters and the oracle hash)."""
+    import math
+
+    from health_monitor_cc_flink_spark.streaming.stateful import streaming_forecast
+
+    src = str(tmp_path / "const_src")
+    spark.createDataFrame(
+        [(1, i, 50.0) for i in range(8)], "user_id long, t long, v double"
+    ).selectExpr(
+        "user_id", "timestamp_seconds(t) AS ts", "v AS observed_value"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, observed_value double"
+    ).parquet(src)
+    fc = streaming_forecast(
+        stream.withWatermark("ts", "10 seconds"),
+        value_col="observed_value",
+        ts_col="ts",
+        key_col="user_id",
+        min_training_size=2,
+    )
+    q = (
+        fc.writeStream.format("memory")
+        .queryName("const_aic_check")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("const_aic_check").collect()
+    assert rows, "constant series must still emit forecasts (sigma clamps finite)"
+    for r in rows:
+        assert r.aic is None or math.isfinite(r.aic), f"NaN leaked into aic: {r}"
+    assert any(r.aic is None for r in rows), "sse=0 rows must have NULL aic"
