@@ -34,12 +34,25 @@ def upsert_snapshot(snapshot_path: str, key_cols: list[str]):
     one replayed batch."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
         spark = batch.sparkSession
         recover_published_dir(snapshot_path)
         tmp = snapshot_path + "._staging"
         if os.path.exists(snapshot_path):
             current = spark.read.parquet(snapshot_path)
-            kept = current.join(batch.select(*key_cols), on=key_cols, how="left_anti")
+            # NULL-safe anti-join: grouping keys can legitimately be NULL
+            # (a NULL-keyed aggregate group), and a plain equality anti-join
+            # never matches NULL==NULL — the stale NULL-key row would
+            # survive every epoch and accumulate next to its replacement
+            upd = batch.select(*key_cols)
+            cond = reduce(
+                lambda a, b: a & b,
+                [current[c].eqNullSafe(upd[c]) for c in key_cols],
+            )
+            kept = current.join(upd, on=cond, how="left_anti")
             merged = kept.unionByName(batch)
         else:
             merged = batch

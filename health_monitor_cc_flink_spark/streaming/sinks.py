@@ -44,7 +44,15 @@ def publish_dir_atomically(tmp_dir: str, final_dir: str) -> None:
     swap) has a window where neither directory exists and a replayed
     foreachBatch epoch would silently rebuild state from that one batch;
     here the pre-epoch state survives any crash and
-    :func:`recover_published_dir` restores it on the next call."""
+    :func:`recover_published_dir` restores it on the next call.
+
+    CONCURRENT-READER CONTRACT: the swap is crash-atomic for the WRITER,
+    not for readers — between the two renames ``final_dir`` briefly does
+    not exist, so a reader racing a live continuous-mode writer can see
+    PATH_NOT_FOUND for a microsecond window and should retry.  (A fully
+    reader-atomic publish needs a symlink/manifest indirection or a table
+    format — Delta/Iceberg MERGE — which is the stated at-scale swap-in;
+    this filesystem fallback keeps the same operator contract.)"""
     old = final_dir + "_old"
     if os.path.exists(final_dir):
         os.rename(final_dir, old)
@@ -86,7 +94,7 @@ def cdc_merge_batch(state_dir: str):
     Expects columns (user_id, event_type, value, ts_us, event_id);
     'error' rows are deletes.  Read-out filters tombstones.
     """
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import Window
 
     def merge(batch_df, epoch_id):
         s = batch_df.sparkSession

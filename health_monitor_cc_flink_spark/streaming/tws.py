@@ -3,8 +3,13 @@
 applyInPandasWithState, with typed state handles and RocksDB-friendly
 layouts).
 
-Both implementations share the expanding-AR(1) kernel; this one keeps
-the per-key ring buffer in a ValueState of (ts_us array, value array).
+Both implementations share the expanding-AR(1) kernel AND the parity
+contract pieces: the (ts_us, vals) state schema and z-critical come from
+their single sources (`stateful._TS_VALS_STATE_SCHEMA`,
+`timeseries._zcrit`), the warm-up mask NULLs the whole report while the
+prev-fit sigma is non-finite (exactly like the batch operator and the
+applyInPandasWithState twin), and rows below the watermark are dropped
+rather than interleaved into the ring buffer out of event order.
 `streaming/stateful.py` remains the default (stable API); this module is
 the forward path and is exercised by tests/test_streaming_tws.py.
 
@@ -12,15 +17,14 @@ ENVIRONMENT NOTES: the TWS state-server protocol requires
 ``google.protobuf`` at runtime (pyspark's StateMessage_pb2) and a state
 store provider with column-family support (RocksDB).  In this sandbox
 protobuf is bootstrapped from the Google Cloud SDK's vendored runtime
-(tests/conftest.py:_bootstrap_protobuf) and the test sets the RocksDB
-provider, so tests/test_streaming_tws.py executes this path for real —
-asserting exact agreement with the batch `ml_detect_anomalies`.  On a
-standard cluster install (protobuf via pip) it runs as-is.
+(health_monitor_cc_flink_spark.protobuf_shim) and the test sets the
+RocksDB provider, so tests/test_streaming_tws.py executes this path for
+real — asserting exact agreement with the batch `ml_detect_anomalies`.
+On a standard cluster install (protobuf via pip) it runs as-is.
 """
 
 from __future__ import annotations
 
-from statistics import NormalDist
 from typing import Iterator
 
 import numpy as np
@@ -32,7 +36,8 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-from ..functions.timeseries import expanding_ar1
+from ..functions.timeseries import _zcrit, expanding_ar1
+from .stateful import _TS_VALS_STATE_SCHEMA
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -43,13 +48,6 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("expected_value", T.DoubleType()),
         T.StructField("lower_bound", T.DoubleType()),
         T.StructField("upper_bound", T.DoubleType()),
-    ]
-)
-
-_STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("ts_us", T.ArrayType(T.LongType())),
-        T.StructField("vals", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -68,11 +66,11 @@ class AnomalyProcessor(StatefulProcessor):
         self.ts_col = ts_col
         self.value_col = value_col
         self.min_training_size = min_training_size
-        self.z = NormalDist().inv_cdf(0.5 + confidence_percentage / 200.0)
+        self.z = _zcrit(confidence_percentage)
         self.max_history = max_history
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self.state = handle.getValueState("history", _STATE_SCHEMA)
+        self.state = handle.getValueState("history", _TS_VALS_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
         (k,) = key
@@ -84,6 +82,20 @@ class AnomalyProcessor(StatefulProcessor):
         n_hist = len(hist_vals)
 
         batch = pd.concat(list(rows), ignore_index=True)
+        # same late-data contract as the applyInPandasWithState twin: rows
+        # below the watermark are DROPPED, not scored — appending them would
+        # interleave the AR history out of event order and permanently skew
+        # every later prediction for the key.  timeMode="none" reports -1
+        # (no watermark: keep all, the watermark-free contract).
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        if wm_ms > 0:
+            batch = batch[(batch[self.ts_col].astype("int64") // 1_000_000) >= wm_ms]
+        if batch.empty:
+            if self.state.exists():
+                self.state.update(
+                    (hist_ts[-self.max_history:], hist_vals[-self.max_history:])
+                )
+            return
         batch = batch.sort_values([self.ts_col, self.value_col], kind="mergesort")
         new_ts = (batch[self.ts_col].astype("int64") // 1000).tolist()
         new_vals = batch[self.value_col].astype(float).tolist()
@@ -101,17 +113,29 @@ class AnomalyProcessor(StatefulProcessor):
         is_anom = trained & finite & ((y < lower) | (y > upper))
 
         sl = slice(n_hist, n)
+        # warm-up mask matches the batch operator exactly: the WHOLE report
+        # is NULL while the prev-fit sigma is non-finite (the raw expected
+        # is a finite 0.0 / y[0] there, so masking per-value leaks numbers
+        # where batch emits NULL) — same fix as the twin's
+        fin = finite[sl]
         out = pd.DataFrame(
             {
                 "key": int(k),
                 "event_ts_us": new_ts,
                 "observed_value": new_vals,
                 "is_anomaly": is_anom[sl],
-                # None (SQL NULL), not NaN, for warm-up rows — exact parity
-                # with the applyInPandasWithState twin and the batch operator
-                "expected_value": [v if np.isfinite(v) else None for v in expected[sl]],
-                "lower_bound": [v if np.isfinite(v) else None for v in lower[sl]],
-                "upper_bound": [v if np.isfinite(v) else None for v in upper[sl]],
+                "expected_value": [
+                    float(v) if f and np.isfinite(v) else None
+                    for v, f in zip(expected[sl], fin)
+                ],
+                "lower_bound": [
+                    float(v) if f and np.isfinite(v) else None
+                    for v, f in zip(lower[sl], fin)
+                ],
+                "upper_bound": [
+                    float(v) if f and np.isfinite(v) else None
+                    for v, f in zip(upper[sl], fin)
+                ],
             }
         )
         self.state.update(
@@ -131,10 +155,15 @@ def tws_detect_anomalies(
     min_training_size: int = 30,
     confidence_percentage: float = 95.0,
     max_history: int = 512,
+    time_mode: str = "eventTime",
 ) -> DataFrame:
+    """``time_mode="eventTime"`` (default) carries the stream's watermark
+    into the processor so late rows are screened exactly like the
+    applyInPandasWithState twin; pass ``"none"`` for watermark-free
+    streams (every row is kept — the twin's watermark-free contract)."""
     return df.groupBy(key_col).transformWithStateInPandas(
         AnomalyProcessor(ts_col, value_col, min_training_size, confidence_percentage, max_history),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="append",
-        timeMode="none",
+        timeMode=time_mode,
     )

@@ -61,3 +61,23 @@ def test_incremental_restart_converges(spark, sf_smoke_dir, tmp_path):
     got = {r.user_id: r.n for r in spark.read.parquet(snap).collect()}
     want = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_upsert_replaces_null_keyed_group(spark, tmp_path):
+    """A NULL grouping key is a legitimate aggregate group; the snapshot
+    upsert must REPLACE its row on later epochs, not append next to it
+    (a plain equality anti-join never matches NULL==NULL)."""
+    from health_monitor_cc_flink_spark.streaming.materialize import upsert_snapshot
+
+    snap = str(tmp_path / "snap")
+    apply_fn = upsert_snapshot(snap, ["k"])
+    # epoch 1: one NULL-keyed and one normal group
+    apply_fn(
+        spark.createDataFrame([(None, 1), (7, 10)], "k int, n long"), 1
+    )
+    # epoch 2: both groups updated
+    apply_fn(
+        spark.createDataFrame([(None, 2), (7, 20)], "k int, n long"), 2
+    )
+    rows = {(r.k, r.n) for r in spark.read.parquet(snap).collect()}
+    assert rows == {(None, 2), (7, 20)}, rows

@@ -29,8 +29,15 @@ def test_tws_matches_batch_anomalies(spark, smoothed_path, tmp_path):
     from health_monitor_cc_flink_spark.functions.timeseries import ml_detect_anomalies
 
     batch = spark.read.parquet(smoothed_path)
+    # FULL report parity, not just the boolean: warm-up rows must be NULL
+    # across expected_value/bounds exactly as the batch operator emits them
     expected = {
-        (r.patient_id, int(r.event_timestamp.timestamp() * 1_000_000)): r.report.is_anomaly
+        (r.patient_id, int(r.event_timestamp.timestamp() * 1_000_000)): (
+            r.report.is_anomaly,
+            r.report.expected_value,
+            r.report.lower_bound,
+            r.report.upper_bound,
+        )
         for r in ml_detect_anomalies(
             batch, "observed_value", "event_timestamp", ["patient_id"], min_training_size=30
         ).collect()
@@ -56,7 +63,11 @@ def test_tws_matches_batch_anomalies(spark, smoothed_path, tmp_path):
     got = spark.read.parquet(out).collect()
     assert len(got) == len(expected)
     for r in got:
-        assert expected[(r.key, r.event_ts_us)] == r.is_anomaly
+        exp = expected[(r.key, r.event_ts_us)]
+        assert exp == (r.is_anomaly, r.expected_value, r.lower_bound, r.upper_bound), (
+            r.key,
+            r.event_ts_us,
+        )
 
 
 def _run_tws(spark, stream, tmp_path, out, tws_detect_anomalies):
