@@ -66,7 +66,14 @@ def decode_image(payload: bytes):
     branch stays STUBBED and the surrounding plumbing is exercised
     with `fake_feature_extract`."""
     if bytes(payload[:8]) == _PNG_SIG:
-        return decode_png(payload)
+        try:
+            return decode_png(payload)
+        except NotImplementedError:
+            # PNG subtype outside the native decoder's 8-bit gray/RGB
+            # non-interlaced subset (palette, 16-bit, interlaced): fall
+            # through to PIL when available rather than narrowing the
+            # 'general image decode' contract to the native subset
+            pass
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -203,8 +210,8 @@ def fake_frame_sample(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
 
 def _hexle(col, nbytes: int):
     """Little-endian hex of an integer column, ``nbytes`` wide —
-    byte-swapped big-endian hex, built from conv+lpad+substr (codegen)."""
-    h = F.lpad(F.conv(col.cast("string"), 10, 16), 2 * nbytes, "0")
+    byte-swapped big-endian hex (shares _hexbe's range guard)."""
+    h = _hexbe(col, nbytes)
     return F.concat(*[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)])
 
 
@@ -428,6 +435,11 @@ def _parse_ihdr(data: bytes):
     w, h, depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", data)
     if depth != 8 or color_type not in (0, 2) or interlace:
         raise NotImplementedError("8-bit gray/RGB non-interlaced only")
+    if w == 0 or h == 0:
+        # a zero dimension is spec-invalid; letting it through would pass
+        # decode (0 == 0 bytes) and crash the FEATURIZER (div-by-zero in
+        # area-resize, min() on empty) outside the corrupt-payload guard
+        raise ValueError(f"invalid IHDR dimensions {w}x{h}")
     return w, h, color_type
 
 
@@ -554,7 +566,7 @@ def _area_resize(plane, t: int):
 
 
 def png_decode_features(df: DataFrame, payload_col: str = "png",
-                        thumb: int = 8) -> DataFrame:
+                        thumb: int = 8, id_col: str = "doc_id") -> DataFrame:
     """REAL decode → resize → featurize over Arrow batches: decode each
     PNG (CRC-verified), area-resize to ``thumb``×``thumb`` (exact block
     mean for any dims, see :func:`_area_resize`), and reduce to
@@ -563,7 +575,7 @@ def png_decode_features(df: DataFrame, payload_col: str = "png",
     Pixel sums are exact integers, so a single bit flipped anywhere in
     decode or unfiltering fails the hash gate; full pixel buffers never
     leave the map task."""
-    src = df.select(F.col("doc_id"), F.col(payload_col))
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
 
     def feats(batches: Iterator) -> Iterator:
         import numpy as np
@@ -688,7 +700,7 @@ def decode_apng_frames(payload: bytes, verify_crc: bool = True):
     (x/y offsets, dispose/blend ≠ 0)."""
     import struct
 
-    w = None
+    w = h = color_type = None
     declared = None
     frames, cur = [], None  # cur = bytearray of current frame's compressed data
     expected_seq = 0
@@ -699,6 +711,10 @@ def decode_apng_frames(payload: bytes, verify_crc: bool = True):
         elif ctype == b"acTL":
             declared, _ = struct.unpack(">II", data)
         elif ctype == b"fcTL":
+            if w is None:
+                # must be ValueError (corrupt input), not a NameError from
+                # the unbound-h comparison below
+                raise ValueError("fcTL before IHDR")
             seq, fw, fh, x0, y0, _, _, dispose, blend = struct.unpack(
                 ">IIIIIHHBB", data
             )
@@ -720,6 +736,8 @@ def decode_apng_frames(payload: bytes, verify_crc: bool = True):
         elif ctype == b"fdAT":
             if cur is None:
                 raise ValueError("fdAT before first fcTL")
+            if len(data) < 4:
+                raise ValueError("fdAT chunk shorter than its sequence number")
             (seq,) = struct.unpack(">I", data[:4])
             if seq != expected_seq:
                 raise ValueError(f"fdAT sequence {seq}, expected {expected_seq}")
@@ -768,14 +786,20 @@ def synth_apng_payload(df: DataFrame, id_col: str = "doc_id",
 
 
 def apng_frame_sample(df: DataFrame, payload_col: str = "apng",
-                      every: int = 2) -> DataFrame:
+                      every: int = 2, id_col: str = "doc_id") -> DataFrame:
     """REAL frame sampling over animated payloads: decode every frame
     of each APNG (CRC + sequence-number checked), keep every
     ``every``-th, and emit one row per sampled frame with exact-integer
     pixel statistics — the 1→N batch shape of real video frame
     extraction, previously only available as the `fake_frame_sample`
-    stand-in."""
-    src = df.select(F.col("doc_id"), F.col(payload_col))
+    stand-in.
+
+    Corrupt payloads (bad CRC, broken sequence numbers, truncation)
+    yield ZERO frames for their document instead of aborting the job —
+    in the 1→N shape there is no single row to flag, so pair with a
+    validator (``png_header_parse`` / ``magic_byte_sniffer``) to count
+    undecodable payloads."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
 
     def sample(batches: Iterator) -> Iterator:
         import numpy as np
@@ -787,7 +811,10 @@ def apng_frame_sample(df: DataFrame, payload_col: str = "apng",
                 "width": [], "height": [], "px_sum": [], "px_max": [],
             }
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
-                frames = decode_apng_frames(bytes(p))
+                try:
+                    frames = decode_apng_frames(bytes(p))
+                except Exception:  # corrupt payload: skip, never abort
+                    continue
                 for idx in range(0, len(frames), every):
                     fr = frames[idx]
                     out["doc_id"].append(doc_id)
@@ -852,14 +879,22 @@ def synth_wav_tone_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, wav binary")
 
 
-def wav_pcm_decode_features(df: DataFrame, payload_col: str = "wav") -> DataFrame:
+def wav_pcm_decode_features(df: DataFrame, payload_col: str = "wav",
+                            id_col: str = "doc_id") -> DataFrame:
     """REAL audio decode over Arrow batches: open each payload with the
     stdlib ``wave`` reader (validates RIFF framing), pull the int16 PCM
     samples through numpy, and reduce to exact-integer signal features —
     sample count, sum of squared samples (energy), zero-crossing count,
     min/max amplitude.  Integer outputs mean one wrong sample anywhere
-    fails the hash gate; PCM buffers never leave the map task."""
-    src = df.select(F.col("doc_id"), F.col(payload_col))
+    fails the hash gate; PCM buffers never leave the map task.
+
+    Corrupt / non-RIFF / non-16-bit-PCM payloads emit their row with all
+    features NULL instead of aborting the job (the PNG path's
+    flag-dont-abort contract): sample width is VALIDATED, since an 8- or
+    24-bit file would otherwise be silently misparsed as int16."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+    _FEATS = ("channels", "sample_rate", "n_samples", "sumsq",
+              "zero_crossings", "amp_min", "amp_max")
 
     def feats(batches: Iterator) -> Iterator:
         import io
@@ -874,12 +909,22 @@ def wav_pcm_decode_features(df: DataFrame, payload_col: str = "wav") -> DataFram
                 "sumsq": [], "zero_crossings": [], "amp_min": [], "amp_max": [],
             }
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
-                with wave_mod.open(io.BytesIO(bytes(p)), "rb") as w:
-                    ch, sw, sr, n = (
-                        w.getnchannels(), w.getsampwidth(), w.getframerate(),
-                        w.getnframes(),
-                    )
-                    pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+                try:
+                    with wave_mod.open(io.BytesIO(bytes(p)), "rb") as w:
+                        ch, sw, sr, n = (
+                            w.getnchannels(), w.getsampwidth(), w.getframerate(),
+                            w.getnframes(),
+                        )
+                        if sw != 2 or ch < 1 or n < 1:
+                            raise ValueError(f"unsupported WAV: sw={sw} ch={ch} n={n}")
+                        pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+                        if pcm.size != n * ch:
+                            raise ValueError("truncated PCM data chunk")
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    for c in _FEATS:
+                        out[c].append(None)
+                    continue
                 # DEINTERLEAVE before the crossing count: frames are stored
                 # L R L R ..., and sign-comparing adjacent raw samples on a
                 # stereo file counts an L/R flip at every frame boundary
@@ -909,8 +954,20 @@ def wav_pcm_decode_features(df: DataFrame, payload_col: str = "wav") -> DataFram
 
 
 def _hexbe(col, nbytes: int):
-    """Big-endian hex of an integer column, ``nbytes`` wide."""
-    return F.lpad(F.conv(col.cast("string"), 10, 16), 2 * nbytes, "0")
+    """Big-endian hex of an integer column, ``nbytes`` wide.  Values
+    outside [0, 256^nbytes) raise at runtime — lpad would otherwise
+    TRUNCATE an over-long hex string to its LEADING digits, silently
+    writing a corrupt binary field (e.g. a >=4 GiB data_size in a RIFF
+    header)."""
+    hexed = F.lpad(F.conv(col.cast("string"), 10, 16), 2 * nbytes, "0")
+    return F.when((col >= 0) & (col < F.lit(256 ** nbytes)), hexed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"value out of range for a {nbytes}-byte field: "),
+                col.cast("string"),
+            )
+        )
+    )
 
 
 def synth_png_header(df: DataFrame, id_col: str = "doc_id",

@@ -402,3 +402,66 @@ def test_apng_default_image_and_malformed_streams():
 
     with _pytest.raises(ValueError, match="truncated"):
         decode_apng_frames(encode_png(default_img)[:-6])
+
+
+def test_corrupt_payloads_flag_not_abort(spark):
+    """One bad payload among many must never abort the decode job: the
+    PNG path flags crc_ok=false, the WAV path emits a NULL-feature row,
+    and the APNG path (1→N) contributes zero frames — the surrounding
+    healthy rows all still produce their features."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        apng_frame_sample,
+        encode_apng,
+        encode_png,
+        png_decode_features,
+        wav_pcm_decode_features,
+    )
+
+    good_img = (np.arange(64, dtype=np.uint8).reshape(8, 8))
+    good_png = encode_png(good_img)
+    bad_png = bytearray(good_png)
+    bad_png[-20] ^= 0xFF  # flip a bit inside IDAT
+    png_df = spark.createDataFrame(
+        [(1, bytes(good_png)), (2, bytes(bad_png))], "doc_id long, png binary"
+    )
+    got = {r.doc_id: r for r in png_decode_features(png_df).collect()}
+    assert got[1].crc_ok and got[1].px_sum == int(good_img.sum())
+    assert got[2].crc_ok is False and got[2].px_sum is None
+
+    good_apng = encode_apng([good_img, good_img + 1])
+    bad_apng = bytearray(good_apng)
+    bad_apng[-20] ^= 0xFF
+    apng_df = spark.createDataFrame(
+        [(1, bytes(good_apng)), (2, bytes(bad_apng))], "doc_id long, apng binary"
+    )
+    rows = apng_frame_sample(apng_df, every=1).collect()
+    assert {r.doc_id for r in rows} == {1}  # corrupt doc contributes no frames
+    assert len(rows) == 2
+
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.full(100, 7, dtype="<i2").tobytes())
+    good_wav = buf.getvalue()
+    # 8-bit file: opens fine in `wave` but must NOT be misparsed as int16
+    buf8 = io.BytesIO()
+    with wave_mod.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(100)))
+    wav_df = spark.createDataFrame(
+        [(1, good_wav), (2, b"not a riff at all"), (3, buf8.getvalue())],
+        "doc_id long, wav binary",
+    )
+    got = {r.doc_id: r for r in wav_pcm_decode_features(wav_df).collect()}
+    assert got[1].sumsq == 100 * 49 and got[1].channels == 1
+    assert got[2].sumsq is None and got[2].channels is None
+    assert got[3].sumsq is None, "8-bit PCM must be rejected, not misparsed"
