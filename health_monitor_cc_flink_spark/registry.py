@@ -28,7 +28,7 @@ at sf0.1.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -1964,44 +1964,47 @@ def window_frame_battery(spark, sf_dir):
     "run must equal the batch interval join exactly.",
 )
 def streaming_stream_stream_join(spark, sf_dir):
+    return _drain_to_memory(
+        spark, _click_purchase_interval_join(spark, sf_dir, "inner"), "stream_ss_join_"
+    )
+
+
+def _click_purchase_interval_join(spark, sf_dir, how: str) -> DataFrame:
+    """The stream-stream interval-join family (inner / left_outer /
+    full_outer) shares the ENTIRE construction — watermarked click and
+    purchase legs from two independent readers of the events stream, the
+    per-user 1-hour forward-interval condition, and the (ids, user, gap)
+    projection; only the join type differs.  One definition so a change
+    to the watermark delay or the interval bound cannot silently diverge
+    one family member (coalesce(c_user, p_user) equals c_user whenever
+    the left side is present, so the projection is shared too)."""
     from .sources.testdata import events_stream
 
-    def src():
-        return events_stream(spark, sf_dir)
+    def leg(etype: str, prefix: str) -> DataFrame:
+        return (
+            events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == etype)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("event_id").alias(f"{etype}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
 
-    clicks = (
-        src()
-        .filter(F.col("event_type") == "click")
-        .withWatermark("ts", "10 minutes")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-    )
-    purchases = (
-        src()
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "10 minutes")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-    )
-    joined = clicks.join(
+    clicks, purchases = leg("click", "c"), leg("purchase", "p")
+    return clicks.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
         & (F.col("p_ts") > F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "inner",
+        how,
     ).select(
         "click_id",
         "purchase_id",
-        F.col("c_user").alias("user_id"),
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    return _drain_to_memory(spark, joined, "stream_ss_join_")
 
 
 @query(
@@ -2097,12 +2100,16 @@ def q7_volume_shipping_shape(spark, sf_dir):
     vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
     )
+    # broadcast-join each DIM with its nation filter BEFORE the fact joins:
+    # supplier/customer shrink to the two nations' rows first, so the
+    # lineitem/orders shuffles carry ~8% of the rows instead of pruning
+    # AFTER the full 4-way fact join (the filter-early pattern q2 uses)
+    sup_n = sup.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    cust_n = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
     return (
-        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        li.join(sup_n, li.l_suppkey == F.col("s_suppkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(cust_n, orders.o_custkey == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -3070,44 +3077,11 @@ def streaming_cumulate_5m20m(spark, sf_dir):
     "delay, calibrated at both SFs).",
 )
 def streaming_ss_left_outer_join(spark, sf_dir):
-    from .sources.testdata import events_stream
-
-    def src():
-        return events_stream(spark, sf_dir)
-
-    clicks = (
-        src()
-        .filter(F.col("event_type") == "click")
-        .withWatermark("ts", "10 minutes")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
+    return _drain_to_memory(
+        spark,
+        _click_purchase_interval_join(spark, sf_dir, "left_outer"),
+        "stream_ss_lo_",
     )
-    purchases = (
-        src()
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "10 minutes")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    ).select(
-        "click_id",
-        "purchase_id",
-        F.col("c_user").alias("user_id"),
-        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
-    )
-    return _drain_to_memory(spark, joined, "stream_ss_lo_")
 
 
 @query(
@@ -3156,44 +3130,11 @@ def streaming_ss_left_outer_join(spark, sf_dir):
     "min-of-sources final watermark.",
 )
 def streaming_ss_full_outer_join(spark, sf_dir):
-    from .sources.testdata import events_stream
-
-    def src():
-        return events_stream(spark, sf_dir)
-
-    clicks = (
-        src()
-        .filter(F.col("event_type") == "click")
-        .withWatermark("ts", "10 minutes")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
+    return _drain_to_memory(
+        spark,
+        _click_purchase_interval_join(spark, sf_dir, "full_outer"),
+        "stream_ss_fo_",
     )
-    purchases = (
-        src()
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "10 minutes")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "full_outer",
-    ).select(
-        "click_id",
-        "purchase_id",
-        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
-        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
-    )
-    return _drain_to_memory(spark, joined, "stream_ss_fo_")
 
 
 @query(
@@ -3282,25 +3223,29 @@ def window_range_value_frame(spark, sf_dir):
            count(*) AS n,
            CAST(sum(x) AS BIGINT) AS sum_x,
            CAST(sum(y) AS BIGINT) AS sum_y,
-           CAST(sum(x * x) AS BIGINT) AS sum_xx,
-           CAST(sum(x * y) AS BIGINT) AS sum_xy
+           CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sum_xx,
+           CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sum_xy
     FROM e GROUP BY event_type
     """,
     doc="Exact regression/correlation sufficient statistics (n, Σx, Σy, Σx², "
     "Σxy) in integer milli-units — one distributed pass, mergeable map-side "
     "partials; the consumer derives slope/intercept/r locally. The exact-math "
-    "alternative to order-sensitive double corr()/covar() at 100 TB.",
+    "alternative to order-sensitive double corr()/covar() at 100 TB: the "
+    "second-order sums accumulate in DECIMAL(38,0) (Σx² of milli-unit values "
+    "passes 2^63 around ~4e7 rows per group — int64 would overflow long "
+    "before the claimed scale).",
 )
 def stats_regression_components(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     x = F.floor(F.col("value") * 1000)
+    xd = x.cast("decimal(19,0)")
     y = F.col("user_id")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sum_x"),
         F.sum(y).alias("sum_y"),
-        F.sum(x * x).alias("sum_xx"),
-        F.sum(x * y).alias("sum_xy"),
+        F.sum(xd * x).cast("decimal(38,0)").alias("sum_xx"),
+        F.sum(xd * y).cast("decimal(38,0)").alias("sum_xy"),
     )
 
 
@@ -3389,9 +3334,7 @@ def cep_click_then_purchase(spark, sf_dir):
     )
 
 
-@query(
-    "gapfill_hour_forward_fill",
-    """
+_HOURLY_GRID_CTES = """
     WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS t,
                CAST(floor(value * 1000) AS BIGINT) AS v
@@ -3409,23 +3352,18 @@ def cep_click_then_purchase(spark, sf_dir):
     ), grid AS (
         SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hour_us
         FROM spans
-    )
-    SELECT g.user_id, g.hour_us // 1000000 AS hour_s,
-           last_value(o.v IGNORE NULLS) OVER (
-               PARTITION BY g.user_id ORDER BY g.hour_us
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
-    FROM grid g LEFT JOIN obs o
-      ON g.user_id = o.user_id AND g.hour_us = o.hour_us
-    """,
-    doc="Time-series gap filling: per-key hourly grid (sequence+explode — no "
-    "driver loop) + last-observation-carried-forward via a running "
-    "last(ignorenulls). Last observation per hour is arg-max by (t, event_id) "
-    "— a single hash agg in Spark (max_by), no pre-sort. The resample/fill "
-    "primitive every monitoring rollup needs.",
-)
-def gapfill_hour_forward_fill(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    )"""
+
+
+def _hourly_obs_grid(spark, sf_dir):
+    """Shared construction for the gap-filling family: last observation
+    per (user, hour) chosen by (t, event_id) arg-max (one hash agg), and
+    the per-key dense hourly grid via sequence+explode (no driver loop).
+    Returns (grid, obs); the oracle-side twin is _HOURLY_GRID_CTES — any
+    change to the hour bucket or the arg-max tiebreak is made in BOTH,
+    nowhere else."""
     hour = 3_600_000_000
+    ev = _t(spark, sf_dir, "events")
     e = ev.select(
         "user_id",
         "event_id",
@@ -3442,6 +3380,27 @@ def gapfill_hour_forward_fill(spark, sf_dir):
         "user_id",
         F.explode(F.sequence("h0", "h1", F.lit(hour).cast("long"))).alias("hour_us"),
     )
+    return grid, obs
+
+
+@query(
+    "gapfill_hour_forward_fill",
+    _HOURLY_GRID_CTES + """
+    SELECT g.user_id, g.hour_us // 1000000 AS hour_s,
+           last_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM grid g LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.hour_us = o.hour_us
+    """,
+    doc="Time-series gap filling: per-key hourly grid (sequence+explode — no "
+    "driver loop) + last-observation-carried-forward via a running "
+    "last(ignorenulls). Last observation per hour is arg-max by (t, event_id) "
+    "— a single hash agg in Spark (max_by), no pre-sort. The resample/fill "
+    "primitive every monitoring rollup needs.",
+)
+def gapfill_hour_forward_fill(spark, sf_dir):
+    grid, obs = _hourly_obs_grid(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("hour_us")
@@ -3514,25 +3473,8 @@ def join_asof_forward_tolerance(spark, sf_dir):
 
 @query(
     "gapfill_linear_interpolation",
-    """
-    WITH e AS (
-        SELECT user_id, event_id, epoch_us(ts) AS t,
-               CAST(floor(value * 1000) AS BIGINT) AS v
-        FROM events
-    ), ranked AS (
-        SELECT user_id, t - t % 3600000000 AS hour_us, v,
-               row_number() OVER (PARTITION BY user_id, t - t % 3600000000
-                                  ORDER BY t DESC, event_id DESC) AS rn
-        FROM e
-    ), obs AS (
-        SELECT user_id, hour_us, v FROM ranked WHERE rn = 1
-    ), spans AS (
-        SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1
-        FROM obs GROUP BY user_id
-    ), grid AS (
-        SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hour_us
-        FROM spans
-    ), ctx AS (
+    _HOURLY_GRID_CTES + """
+    , ctx AS (
         SELECT g.user_id, g.hour_us, o.v,
                last_value(o.v IGNORE NULLS) OVER (
                    PARTITION BY g.user_id ORDER BY g.hour_us
@@ -3562,24 +3504,7 @@ def join_asof_forward_tolerance(spark, sf_dir):
     "compute the same double quotient of exact ints, well inside 2^53).",
 )
 def gapfill_linear_interpolation(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    hour = 3_600_000_000
-    e = ev.select(
-        "user_id",
-        "event_id",
-        _ts_us().alias("t"),
-        F.floor(F.col("value") * 1000).alias("v"),
-    ).withColumn("hour_us", F.col("t") - F.col("t") % hour)
-    obs = e.groupBy("user_id", "hour_us").agg(
-        F.max_by("v", F.struct("t", "event_id")).alias("v")
-    )
-    spans = obs.groupBy("user_id").agg(
-        F.min("hour_us").alias("h0"), F.max("hour_us").alias("h1")
-    )
-    grid = spans.select(
-        "user_id",
-        F.explode(F.sequence("h0", "h1", F.lit(hour).cast("long"))).alias("hour_us"),
-    )
+    grid, obs = _hourly_obs_grid(spark, sf_dir)
     back = (
         Window.partitionBy("user_id").orderBy("hour_us")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -3632,7 +3557,7 @@ def gapfill_linear_interpolation(spark, sf_dir):
         FROM e
     )
     SELECT user_id,
-           CAST(sum(CAST(v * dur AS DECIMAL(38,0))) AS DOUBLE)
+           CAST(sum(CAST(v AS DECIMAL(19,0)) * dur) AS DOUBLE)
              / CAST(sum(CAST(dur AS DECIMAL(38,0))) AS DOUBLE) AS twa_milli,
            count(*) AS n_segments
     FROM seg WHERE dur IS NOT NULL
@@ -3658,9 +3583,13 @@ def time_weighted_avg(spark, sf_dir):
         .withColumn("dur", F.lead("t").over(w) - F.col("t"))
         .filter(F.col("dur").isNotNull())
     )
+    # the PRODUCT must be decimal, not just the sum input: v*dur as an
+    # int64 multiply overflows first (v ~ 4e6 milli-units x a 30-day gap
+    # ~ 2.6e12 us is ~1e19 > Long.MAX) — cast v to decimal so the multiply
+    # itself widens (decimal(19,0) x long -> decimal(38,0))
     return seg.groupBy("user_id").agg(
         (
-            F.sum((F.col("v") * F.col("dur")).cast("decimal(38,0)")).cast("double")
+            F.sum(F.col("v").cast("decimal(19,0)") * F.col("dur")).cast("double")
             / F.sum(F.col("dur").cast("decimal(38,0)")).cast("double")
         ).alias("twa_milli"),
         F.count(F.lit(1)).alias("n_segments"),
@@ -3712,12 +3641,17 @@ def source_kafka_avro_roundtrip(spark, sf_dir):
         [f for f in HEALTH_EVENT_SCHEMA.fields if f.name != "event_time"]
     )
     schema_json = avro_schema_json(value_schema)
+    # epoch-us computed SPARK-side (unix_micros): collect() returns naive
+    # datetimes rendered in the OS-local timezone, so a driver-side
+    # `event_time - epoch(1970)` subtraction is off by the UTC offset on
+    # any non-UTC host — the recorded topic must be host-tz independent
     rows = sorted(
-        health_events_df(spark, n_ticks=60, interval_s=0.5, seed=7).collect(),
-        key=lambda r: (r.event_time, r.event_id),
+        health_events_df(spark, n_ticks=60, interval_s=0.5, seed=7)
+        .withColumn("ts_us", F.unix_micros("event_time"))
+        .collect(),
+        key=lambda r: (r.ts_us, r.event_id),
     )
     recs, off = [], {0: 0, 1: 0, 2: 0}
-    epoch = __import__("datetime").datetime(1970, 1, 1)
     for i, r in enumerate(rows):
         p = i % 3
         rec = {
@@ -3739,8 +3673,7 @@ def source_kafka_avro_roundtrip(spark, sf_dir):
                 "value": bytearray(
                     confluent_frame(encode_record(schema_json, rec), 7)
                 ),
-                "timestamp_us": (r.event_time - epoch)
-                // __import__("datetime").timedelta(microseconds=1),
+                "timestamp_us": r.ts_us,
             }
         )
         off[p] += 1
