@@ -61,8 +61,11 @@ def covariance_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
 
 
 def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int):
-    """Return (eigvals desc, components [k x d], mean, n) from the
-    partial-covariance reduction.  Driver work is O(P * d^2 + d^3)."""
+    """Return (eigvals desc, components [k x d], mean, n, total_var) from
+    the partial-covariance reduction, where ``total_var`` = trace(cov) =
+    the sum of ALL d eigenvalues (the denominator of the explained-
+    variance ratio — the top-k sum alone would overstate it).  Driver
+    work is O(P * d^2 + d^3)."""
     import numpy as np
 
     rows = covariance_partials(df, vec_col, dim).collect()
@@ -85,7 +88,7 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int):
         j = int(np.argmax(np.abs(comp[i])))
         if comp[i, j] < 0:
             comp[i] = -comp[i]
-    return vals[order], comp, mean, n
+    return vals[order], comp, mean, n, float(np.trace(cov))
 
 
 def pca_project(df: DataFrame, vec_col: str, id_col: str, components, mean) -> DataFrame:

@@ -126,7 +126,12 @@ def minhash_coefficients(n_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signature_arrays(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as one array<bigint> column.
 
@@ -135,8 +140,12 @@ def minhash_signature_arrays(
     partially-aggregated min-groupBy (the shuffle carries only
     n_docs × n_hashes minima).  All plain codegen'd column math — no
     higher-order lambdas (those drop to interpreted eval).
+
+    ``shingles_df``: a pre-built (id, shingle) relation to reuse (ideally
+    localCheckpointed) — the shingle explode is the dominant corpus cost,
+    so a caller feeding several consumers should materialize it once.
     """
-    sh = shingles(df, id_col, text_col, k)
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, k)
     coeffs = minhash_coefficients(n_hashes)
     h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
     hashed = sh.select(
@@ -300,6 +309,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     min_common: int = 2,
     max_doc_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard via inverted-index join.
 
@@ -311,10 +321,18 @@ def ngram_jaccard_pairs(
     the filtered shingle sets, so the jaccard triple stays internally
     consistent ("Jaccard over informative shingles"); mixing filtered
     n_common with unfiltered sizes would systematically underestimate.
+
+    ``shingles_df``: a pre-built (id, shingle) relation to reuse — the
+    caller is responsible for having materialized it (localCheckpoint)
+    when it also feeds other consumers.
     """
     # lazy localCheckpoint, not .cache(): released on GC (see
     # minhash_lsh_pairs)
-    sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
+    )
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         sh_j = sh.join(

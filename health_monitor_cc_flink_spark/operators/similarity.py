@@ -277,6 +277,25 @@ def probe_ivf_index(
     return _exact_topk(scan, q, k, id_col, vec_col)
 
 
+def hyperplane_signs(n_bits: int, dim: int, salt: str = "") -> list[list[int]]:
+    """The md5-parity ±1 hyperplane sign matrix — the ONE source of truth
+    for every consumer of the construction (the LSH bucket expression,
+    the L-table variants, and the JL random projection via salt='jl_');
+    an edit to the parity rule here reaches all of them and their
+    embedded oracle constants."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
 def hyperplane_bucket_expr(
     vec_col: str,
     n_bits: int = 16,
@@ -288,17 +307,7 @@ def hyperplane_bucket_expr(
     key (``md5(salt + j + '_' + i)``) so independent hash TABLES can be
     derived from the same construction — the standard LSH recall lever
     (OR over L tables); salt='' is the production single-table index."""
-    import hashlib
-
-    signs = [
-        [
-            1
-            if int(hashlib.md5(f"{salt}{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
-            else -1
-            for i in range(dim)
-        ]
-        for j in range(n_bits)
-    ]
+    signs = hyperplane_signs(n_bits, dim, salt)
     s_lit = (
         "array("
         + ",".join(

@@ -652,8 +652,7 @@ def ann_ivf_kmeans(spark, sf_dir):
     "deterministic (single micro-batch, in-batch event-time ordering).",
 )
 def streaming_stateful_anomalies(spark, sf_dir):
-    import uuid
-
+    from .registry import _drain_to_memory
     from .sources.testdata import events_stream
     from .streaming.stateful import streaming_detect_anomalies
 
@@ -665,16 +664,10 @@ def streaming_stateful_anomalies(spark, sf_dir):
         key_col="user_id",
         min_training_size=30,
     )
-    name = "stream_anom_" + uuid.uuid4().hex[:8]
-    (
-        flagged.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    out = spark.table(name)
+    # the shared drain right-sizes state-store partitions (8, not the
+    # session's 32) — the inline writeStream copy paid 4x the per-batch
+    # near-empty store commits the helper exists to avoid
+    out = _drain_to_memory(spark, flagged, "stream_anom_")
     return out.select(
         F.col("key").alias("user_id"),
         F.unix_micros("event_timestamp").alias("ts_us"),
@@ -2461,6 +2454,9 @@ def ts_cusum_drift(spark, sf_dir):
         F.expr("ts_ns div 1000").alias("t_us"),
         vs.alias("vs"),
     ).withColumn("mu", F.expr("sum(vs) over (partition by user_id) div count(*) over (partition by user_id)"))
+    # ONE running frame shared by the prefix-sum pass and the running-min
+    # pass — the CUSUM identity requires them to agree on the ordering
+    # tiebreak, so they must not be separate (drift-prone) definitions
     wo = (
         Window.partitionBy("user_id")
         .orderBy("t_us", "event_id")
@@ -2472,17 +2468,12 @@ def ts_cusum_drift(spark, sf_dir):
         "t_us",
         F.sum(F.col("vs") - F.col("mu") - F.lit(500000)).over(wo).cast("bigint").alias("pref"),
     )
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("t_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     c = p.select(
         "user_id",
         "event_id",
         (
             F.col("pref")
-            - F.least(F.lit(0).cast("bigint"), F.min("pref").over(wp).cast("bigint"))
+            - F.least(F.lit(0).cast("bigint"), F.min("pref").over(wo).cast("bigint"))
         ).alias("cusum"),
     )
     return c.select(
@@ -3435,10 +3426,22 @@ def stats_psi_drift(spark, sf_dir):
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
     )
-    # dense bin grid WITHOUT a join: explode a literal 0..9 sequence onto
-    # the distinct event types (the crossJoin formulation planned a BNLJ,
-    # which the registry-wide plan gate forbids outside scalar broadcasts)
-    grid = (
+    full_grid = _psi_dense_grid(ev).join(cnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    return _psi_normalize(full_grid)
+
+
+def _psi_dense_grid(ev):
+    """Dense (event_type x bin 0..9) grid WITHOUT a join: explode a
+    literal sequence onto the distinct event types (a crossJoin here
+    plans a BroadcastNestedLoopJoin, which the registry-wide plan gate
+    forbids outside scalar broadcasts).  One definition for the batch and
+    streaming PSI variants."""
+    return (
         ev.select("event_type")
         .distinct()
         .select(
@@ -3447,15 +3450,13 @@ def stats_psi_drift(spark, sf_dir):
         )
         .select("event_type", F.col("bin").cast("bigint").alias("bin"))
     )
-    full_grid = (
-        grid.join(cnt, ["event_type", "bin"], "left")
-        .select(
-            "event_type",
-            "bin",
-            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-        )
-    )
+
+
+def _psi_normalize(full_grid):
+    """Shared PSI epilogue over the dense (event_type, bin, n_ref, n_cur)
+    grid: per-type totals broadcast back, per-bin probabilities, delta,
+    and the guarded ratio.  Any change to the normalization is made here
+    for BOTH the batch and streaming PSI views."""
     tot = full_grid.groupBy("event_type").agg(
         F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
     )
@@ -4328,7 +4329,7 @@ def topk_heavy_hitters_twopass(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("w"))
 
-    def ranked_top10(freq):
+    def ranked_top10(freq, n_words: int | None = None):
         ranked = freq.select(
             "w",
             "freq",
@@ -4336,7 +4337,14 @@ def topk_heavy_hitters_twopass(spark, sf_dir):
                 "rnk"
             ),
         ).filter(F.col("rnk") <= 10)
-        tot = words.agg(F.count(F.lit(1)).alias("n_words"))
+        # the fallback path has ALREADY executed the corpus count in the
+        # gate collect — thread it through as a literal rather than paying
+        # a second full words scan on top of the exact vocabulary shuffle
+        tot = (
+            spark.range(1).select(F.lit(n_words).cast("long").alias("n_words"))
+            if n_words is not None
+            else words.agg(F.count(F.lit(1)).alias("n_words"))
+        )
         f10 = ranked.filter(F.col("rnk") == 10).select(F.col("freq").alias("f10"))
         return (
             ranked.crossJoin(F.broadcast(tot))
@@ -4371,7 +4379,7 @@ def topk_heavy_hitters_twopass(spark, sf_dir):
     if rows and all(r["certified"] for r in rows):
         return spark.createDataFrame(rows, schema=fast.schema)
     exact_freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-    return ranked_top10(exact_freq)
+    return ranked_top10(exact_freq, n_words=rows[0]["n_words"] if rows else None)
 
 
 @query(
@@ -4546,13 +4554,10 @@ def agg_hll_mergeable_rollup(spark, sf_dir):
     "bit-exact SQL oracle exists by construction.",
 )
 def embedding_pca_topk_variance(spark, sf_dir):
-    import numpy as np
-
     from .operators.decomposition import pca_fit, pca_project
 
     emb = _t(spark, sf_dir, "embeddings")
-    vals, comp, mean, n = pca_fit(emb, "embedding", 64, 4)
-    total_var = float(np.sum(vals)) if len(vals) else 0.0
+    vals, comp, mean, n, total_var = pca_fit(emb, "embedding", 64, 4)
     proj = pca_project(emb, "embedding", "vec_id", comp, mean)
     stats = proj.agg(
         *[F.avg(F.col(f"pc{i+1}") * F.col(f"pc{i+1}")).alias(f"var{i+1}") for i in range(4)]
@@ -4561,13 +4566,18 @@ def embedding_pca_topk_variance(spark, sf_dir):
         (
             i + 1,
             float(vals[i]),
+            # the documented explained-variance ratio: eigenvalue over
+            # trace(cov) = the sum of ALL 64 eigenvalues, not the top-4 sum
+            float(vals[i] / total_var) if total_var else 0.0,
             float(stats[f"var{i+1}"]),
             int(n),
         )
         for i in range(4)
     ]
     return spark.createDataFrame(
-        rows, "component int, eigenvalue double, projected_variance double, n long"
+        rows,
+        "component int, eigenvalue double, explained_variance_ratio double, "
+        "projected_variance double, n long",
     )
 
 
@@ -4810,20 +4820,15 @@ def funnel_window_3step(spark, sf_dir):
 # sorted-neighborhood ER, random projection, distribution entropy
 # =============================================================================
 
-import hashlib as _hashlib
-
-
 def _jl_signs(n_dims: int = 64, n_out: int = 8):
     """Deterministic ±1 sign matrix for signed random projection
-    (Achlioptas/JL): sign(i, j) from md5 parity, identical constants
-    embedded in both the Spark plan and the DuckDB oracle."""
+    (Achlioptas/JL): S.hyperplane_signs with salt='jl_' — the SAME
+    md5-parity source of truth the LSH bucket expression uses, so the
+    parity rule cannot drift between the two (the embedded DuckDB oracle
+    constants derive from this matrix)."""
     return [
-        [
-            1.0 if int(_hashlib.md5(f"jl_{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
-            else -1.0
-            for i in range(n_dims)
-        ]
-        for j in range(n_out)
+        [float(v) for v in row]
+        for row in S.hyperplane_signs(n_out, n_dims, salt="jl_")
     ]
 
 
@@ -5752,13 +5757,9 @@ def streaming_psi_drift(spark, sf_dir):
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n_ref"))
     )
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
-    )
     fg = (
-        grid.join(ref, ["event_type", "bin"], "left")
+        _psi_dense_grid(ev)
+        .join(ref, ["event_type", "bin"], "left")
         .join(cur, ["event_type", "bin"], "left")
         .select(
             "event_type",
@@ -5767,20 +5768,8 @@ def streaming_psi_drift(spark, sf_dir):
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    tot = fg.groupBy("event_type").agg(
-        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
-    )
-    p_ref = F.col("n_ref").cast("double") / F.col("tot_ref").cast("double")
-    p_cur = F.col("n_cur").cast("double") / F.col("tot_cur").cast("double")
-    return fg.join(F.broadcast(tot), "event_type").select(
-        "event_type",
-        "bin",
-        "n_ref",
-        "n_cur",
-        p_ref.alias("p_ref"),
-        p_cur.alias("p_cur"),
-        (p_cur - p_ref).alias("p_delta"),
-    )
+    # shared epilogue; this query's oracle-gated schema has no p_ratio
+    return _psi_normalize(fg).drop("p_ratio")
 
 
 @query(
@@ -6682,7 +6671,12 @@ def text_lang_id_confusion(spark, sf_dir):
 )
 def dedup_minhash_estimate_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16)
+    # ONE materialized shingle relation feeds all three consumers
+    # (signatures, exact-common join, per-doc sizes) — the token explode
+    # is the dominant corpus cost, and the previous form re-scanned it
+    # three times (signatures, ngram pairs internally, a sizes rebuild)
+    sh = D.shingles(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    sigs = D.minhash_signature_arrays(docs, "doc_id", "text", 3, 16, shingles_df=sh)
     sig_long = sigs.select(
         "doc_id", F.posexplode("sig").alias("j", "mh")
     )
@@ -6695,15 +6689,16 @@ def dedup_minhash_estimate_quality(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_match"))
         .filter(F.col("n_match") >= 4)
     )
-    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, min_common=1)
-    ex = exact.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
-    sizes = D.shingles(docs, "doc_id", "text", 3).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh")
+    exact = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, min_common=1, shingles_df=sh
     )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a2"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b2"))
     return (
-        pairs.join(ex.select("doc_a", "doc_b", "n_common"), ["doc_a", "doc_b"], "left")
+        pairs.join(
+            exact.select("doc_a", "doc_b", "n_common"), ["doc_a", "doc_b"], "left"
+        )
         .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(

@@ -37,7 +37,7 @@ def test_partials_reduce_to_exact_covariance(spark, emb):
 
 def test_projection_matches_numpy(spark, emb):
     df, m, ids = emb
-    vals, comp, mean, n = pca_fit(df, "embedding", 64, 3)
+    vals, comp, mean, n, total_var = pca_fit(df, "embedding", 64, 3)
     got = {r.vec_id: (r.pc1, r.pc2, r.pc3) for r in pca_project(df, "embedding", "vec_id", comp, mean).collect()}
     expected = (m - mean) @ comp.T
     for i, vid in enumerate(ids):

@@ -169,9 +169,12 @@ def test_embedding_pca_matches_numpy(spark, specs):
     cov = np.cov(m, rowvar=False, bias=True)
     ref = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
     assert len(rows) == 4
+    total_var = float(np.trace(cov))
     for r, expected in zip(rows, ref):
         assert abs(r.eigenvalue - expected) < 1e-9
         assert abs(r.projected_variance - r.eigenvalue) < 1e-9
+        # the documented ratio: eigenvalue over trace(cov), NOT the top-4 sum
+        assert abs(r.explained_variance_ratio - expected / total_var) < 1e-9
         assert r.n == m.shape[0]
 
 
