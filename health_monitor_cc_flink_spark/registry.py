@@ -2883,11 +2883,27 @@ def join_range_binned(spark, sf_dir):
 
 @query(
     "agg_approx_battery",
-    None,
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS approx_users_within_band,
+           true AS p50_within_rank_band,
+           true AS p95_within_rank_band,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
     doc="Native approximate aggregates (approx_count_distinct HLL++, "
     "approx_percentile GK) — the single-pass mergeable forms used instead of "
-    "exact distinct/percentile at 100 TB. Deterministic per engine; error "
-    "bounds vs exact answers asserted in tests/test_sketches.py.",
+    "exact distinct/percentile at 100 TB.  HASH-GATED as a certificate "
+    "(promoted from rows-only, r7): neither sketch has a DuckDB twin "
+    "(re-verified 2026-08-15 — approx_distinct/approx_quantile are "
+    "different algorithms), so the gated columns are the exact counts "
+    "plus deterministic accuracy certificates: approx_users within "
+    "max(2, 3*rsd=6%) of exact, and each GK percentile inside the exact "
+    "[p-0.05, p+0.05] RANK band (GK at accuracy=10000 guarantees rank "
+    "error <= 1e-4*N, so a +-5% rank band holds with ~500x margin; both "
+    "sketches are deterministic for a fixed dataset).  Raw estimate "
+    "error bounds stay pinned in tests/test_sketches.py.",
 )
 def agg_approx_battery(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -2896,16 +2912,23 @@ def agg_approx_battery(spark, sf_dir):
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.percentile_approx("value", [0.5, 0.95], 10000).alias("_pcts"),
+            F.expr("percentile(value, array(0.45, 0.55, 0.90, 1.0))").alias("_ex"),
+            F.count_distinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n"),
         )
-        # Scalar projections: array-typed output columns crash the driver's
-        # pandas-based canonicalizer (sort_values on ndarray cells), so the
-        # GK-sketch percentile pair is projected to two double columns.
         .select(
             "event_type",
-            "approx_users",
-            F.element_at("_pcts", 1).alias("value_p50"),
-            F.element_at("_pcts", 2).alias("value_p95"),
+            "exact_users",
+            (
+                F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+                <= F.greatest(F.lit(2.0), 0.06 * F.col("exact_users"))
+            ).alias("approx_users_within_band"),
+            F.element_at("_pcts", 1)
+            .between(F.element_at("_ex", 1), F.element_at("_ex", 2))
+            .alias("p50_within_rank_band"),
+            F.element_at("_pcts", 2)
+            .between(F.element_at("_ex", 3), F.element_at("_ex", 4))
+            .alias("p95_within_rank_band"),
             "n",
         )
     )

@@ -25,11 +25,34 @@ def test_agg_sketch_profile_bounds(spark, specs):
     generous 15% band, quantiles inside the value range and monotone."""
     from health_monitor_cc_flink_spark.sources.testdata import load_table
 
+    from health_monitor_cc_flink_spark.operators.sketches import (
+        approx_profile,
+        distinct_sketches,
+        estimate,
+    )
+
     got = {r.event_type: r for r in specs["agg_sketch_profile"].fn(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    # raw sketch estimates, recomputed from the operators (the gated
+    # output carries certificate booleans since the r7 oracle promotion)
+    raw = {
+        r.event_type: r
+        for r in estimate(distinct_sketches(ev, ["event_type"], "user_id"))
+        .join(approx_profile(ev, "event_type", "value"), "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "distinct_estimate",
+            "approx_distinct",
+            F.element_at("quantiles", 1).alias("p50"),
+            F.element_at("quantiles", 2).alias("p95"),
+            F.element_at("quantiles", 3).alias("p99"),
+        )
+        .collect()
+    }
     exact = {
         r.event_type: r
-        for r in load_table(spark, SF, "events")
-        .groupBy("event_type")
+        for r in ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("user_id").alias("d_users"),
@@ -39,9 +62,16 @@ def test_agg_sketch_profile_bounds(spark, specs):
         )
         .collect()
     }
-    assert set(got) == set(exact)
-    for et, g in got.items():
+    assert set(got) == set(exact) == set(raw)
+    for et, g in raw.items():
         e = exact[et]
+        q = got[et]
+        assert q.n_rows == e.n and q.exact_users == e.d_users
+        assert (
+            q.hll_users_within_band
+            and q.approx_values_within_band
+            and q.quantiles_within_rank_band
+        )
         assert g.n_rows == e.n
         assert abs(g.distinct_estimate - e.d_users) <= max(2, 0.15 * e.d_users)
         assert abs(g.approx_distinct - e.d_values) <= max(2, 0.15 * e.d_values)
@@ -133,20 +163,43 @@ def test_agg_hll_mergeable_rollup_consistency(spark, specs):
     from health_monitor_cc_flink_spark.sources.testdata import load_table
 
     rows = {r.event_type: r for r in specs["agg_hll_mergeable_rollup"].fn(spark, SF).collect()}
-    direct = {
-        r.event_type: r.direct
-        for r in load_table(spark, SF, "events")
+    # raw estimates, recomputed independently of the query (the gated
+    # output carries only the certificate booleans since the r7 oracle
+    # promotion — the estimates themselves stay pinned here)
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", F.expr("(unix_micros(ts) DIV 86400000000)")
+    )
+    merged = {
+        r.event_type: r.m
+        for r in ev.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
         .groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("direct"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m"))
+        .collect()
+    }
+    # a DIFFERENT regrouping of the same rows (weekly sketches) must
+    # union to a near-identical estimate — HLL_4 curMin clipping makes
+    # unions only approximately grouping-independent (~0.7% spread
+    # measured at sf0.1), so the mergeability contract is a 2% band,
+    # not bit-equality (and merged != direct is likewise allowed: HIP
+    # vs composite estimator)
+    weekly = {
+        r.event_type: r.m
+        for r in ev.withColumn("week", F.expr("day DIV 7"))
+        .groupBy("event_type", "week")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m"))
         .collect()
     }
     assert rows
     for et, r in rows.items():
         assert r.exact_users > 0
+        assert r.merge_consistent and r.within_error_band
         # lgK=12 → relative error ~1.6%; allow 5%
-        assert abs(r.approx_users_merged - r.exact_users) <= max(2, 0.05 * r.exact_users)
-        assert r.approx_users_merged == direct[et], (
-            f"{et}: merged {r.approx_users_merged} != direct {direct[et]}"
+        assert abs(merged[et] - r.exact_users) <= max(2, 0.05 * r.exact_users)
+        assert abs(merged[et] - weekly[et]) <= max(2, 0.02 * r.exact_users), (
+            f"{et}: daily-merge {merged[et]} vs weekly-merge {weekly[et]}"
         )
         assert r.n_day_sketches > 1  # it actually rolled up multiple sketches
 
