@@ -6,13 +6,16 @@ runs as Arrow-batched `mapInPandas`.  PNG decode is REAL (numpy +
 stdlib zlib: `encode_png` / `decode_png`, all five scanline filters,
 CRC-verified — no media library needed), as are APNG animation
 frame-sampling (`encode_apng` / `decode_apng_frames` /
-`apng_frame_sample`) and 16-bit PCM WAV sample decode
-(`wav_pcm_decode_features`, stdlib `wave`); WAV/PNG header parsing is
-pure codegen column math.  JPEG/WebP and true video codecs stay
-STUBBED behind `decode_image` (need PIL/opencv/ffmpeg, absent from
-this environment); `fake_feature_extract` is the deterministic
-stand-in that keeps that Arrow batch path tested with the same
-signature and batch flow.
+`apng_frame_sample`), 16-bit PCM WAV sample decode
+(`wav_pcm_decode_features`, stdlib `wave`), and baseline JPEG
+(`operators/jpeg.py`: pure-numpy T.81 markers + Huffman + IDCT,
+grayscale single-scan subset; `synth_jpeg_payload` /
+`jpeg_decode_features` below); WAV/PNG header parsing is pure codegen
+column math.  WebP and true video codecs stay STUBBED behind
+`decode_image` (need PIL/opencv/ffmpeg, absent from this
+environment); `fake_feature_extract` is the deterministic stand-in
+that keeps that Arrow batch path tested with the same signature and
+batch flow.
 
 Scale notes: payloads ride *with* the rows (no driver collect); batch
 size is governed by spark.sql.execution.arrow.maxRecordsPerBatch, and a
@@ -61,10 +64,11 @@ def binary_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") ->
 
 def decode_image(payload: bytes):
     """General image decode.  PNGs decode natively via `decode_png`
-    (numpy + zlib, no library needed); other formats (JPEG/WebP/...)
-    require PIL, which is not installed in this environment — that
-    branch stays STUBBED and the surrounding plumbing is exercised
-    with `fake_feature_extract`."""
+    (numpy + zlib) and baseline grayscale JPEGs via
+    `jpeg.decode_jpeg_gray` (pure numpy, no library needed); other
+    formats (color/progressive JPEG, WebP, ...) require PIL, which is
+    not installed in this environment — that branch stays STUBBED and
+    the surrounding plumbing is exercised with `fake_feature_extract`."""
     if bytes(payload[:8]) == _PNG_SIG:
         try:
             return decode_png(payload)
@@ -74,6 +78,13 @@ def decode_image(payload: bytes):
             # through to PIL when available rather than narrowing the
             # 'general image decode' contract to the native subset
             pass
+    elif bytes(payload[:3]) == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg_gray
+
+        try:
+            return decode_jpeg_gray(payload)
+        except NotImplementedError:
+            pass  # color / progressive subtype: fall through to PIL
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -81,7 +92,7 @@ def decode_image(payload: bytes):
         return Image.open(io.BytesIO(payload))
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "non-PNG image decode requires PIL; PNG decodes natively via decode_png"
+            "image decode beyond native PNG/baseline-JPEG requires PIL"
         ) from exc
 
 
@@ -294,8 +305,9 @@ def parse_wav_header(df: DataFrame, payload_col: str = "wav") -> DataFrame:
 # the PNG path: `synth_png_payload` writes genuine, spec-conformant PNG
 # files (signature, IHDR/IDAT/IEND chunks, real CRC-32s, per-row filters
 # cycling through all five types so decoders are actually exercised) and
-# `decode_png` reverses them byte-exactly.  JPEG/WebP stay stubbed —
-# those genuinely need a codec library.
+# `decode_png` reverses them byte-exactly.  Baseline JPEG is real too
+# (operators/jpeg.py); WebP stays stubbed — that genuinely needs a
+# codec library.
 #
 # Scale shape: encode/decode are pure map work over Arrow batches
 # (mapInPandas); payloads ride with rows, cost is CPU-bound and
@@ -1027,4 +1039,108 @@ def parse_png_header(df: DataFrame, payload_col: str = "png") -> DataFrame:
             "crc_ok",
             F.crc32(F.unhex(F.substring(h, 25, 34))) == be(29, 4),
         )
+    )
+
+
+# -----------------------------------------------------------------------------
+# Baseline JPEG — real decode via operators/jpeg.py (pure numpy, T.81).
+# The gate trick mirrors PNG: images built from FLAT 8x8 blocks with
+# EVEN pixel values make the lossy DCT path exactly lossless (DC =
+# 8*(v-128) divides the Annex K DC quantizer 16; all AC vanish), so
+# every decoded-pixel statistic is closed-form for the SQL oracle while
+# the bitstream still exercises real markers, Huffman coding, zigzag,
+# dequantization and IDCT.
+# -----------------------------------------------------------------------------
+
+_JPEG_SIG = b"\xff\xd8\xff"
+
+
+def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``jpeg`` column of COMPLETE baseline JPEG files: per
+    row, a w×h grayscale image of flat 8×8 blocks with block value
+    v(by, bx) = 2·((doc_id + 3·by + 5·bx) mod 128); w = 16·(id%8+1),
+    h = 16·(len%8+1).  Even block values round-trip pixel-exact (see
+    module banner), so px stats and the per-block distinct count are
+    closed-form from (doc_id, n_chars)."""
+    from .jpeg import encode_jpeg_gray
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(16) * (F.col(id_col) % 8 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 8 + 1)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            jpegs = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                by, bx = np.mgrid[0 : int(h) // 8, 0 : int(w) // 8]
+                v = 2 * ((int(doc_id) + 3 * by + 5 * bx) % 128)
+                img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+                jpegs.append(encode_jpeg_gray(img.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+    return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
+
+
+def jpeg_decode_features(df: DataFrame, payload_col: str = "jpeg",
+                         id_col: str = "doc_id") -> DataFrame:
+    """REAL JPEG decode → featurize over Arrow batches: parse markers,
+    Huffman-decode, dequantize, IDCT, and reduce to per-image pixel
+    statistics plus the count of distinct per-block values (read from
+    the DECODED pixels, so a wrong coefficient anywhere shows up).
+    Corrupt payloads flag their row (marker_ok=false, NULL features)
+    instead of aborting the ingest job — JPEG has no CRC, so 'decodes
+    cleanly to a consistent stream' is the integrity signal."""
+    from .jpeg import decode_jpeg_gray
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "marker_ok": [],
+                "px_sum": [], "px_mean": [], "px_min": [], "px_max": [],
+                "dc_distinct": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    img = decode_jpeg_gray(bytes(p))
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["marker_ok"].append(False)
+                    for c in ("px_sum", "px_mean", "px_min", "px_max",
+                              "dc_distinct"):
+                        out[c].append(None)
+                    continue
+                h, w = img.shape
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["marker_ok"].append(True)
+                out["px_sum"].append(int(img.sum(dtype=np.int64)))
+                out["px_mean"].append(float(img.mean()))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+                out["dc_distinct"].append(
+                    int(np.unique(img[0::8, 0::8]).size)
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, width long, height long, marker_ok boolean, "
+            "px_sum long, px_mean double, px_min long, px_max long, "
+            "dc_distinct long"
+        ),
     )

@@ -5554,6 +5554,58 @@ def mm_png_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_jpeg_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(16 * (doc_id % 8 + 1) AS BIGINT) AS w,
+               CAST(16 * (n_chars % 8 + 1) AS BIGINT) AS h
+        FROM documents
+    ), blocks AS (
+        SELECT d.doc_id, d.w, d.h,
+               (d.doc_id + 3 * byy.by + 5 * bxx.bx) % 128 AS m
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h // 8 - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, d.w // 8 - 1)) AS bxx(bx)
+    )
+    SELECT doc_id,
+           any_value(w) AS width,
+           any_value(h) AS height,
+           TRUE AS marker_ok,
+           CAST(128 * sum(m) AS BIGINT) AS px_sum,
+           CAST(128 * sum(m) AS DOUBLE) / (any_value(w) * any_value(h))
+               AS px_mean,
+           CAST(2 * min(m) AS BIGINT) AS px_min,
+           CAST(2 * max(m) AS BIGINT) AS px_max,
+           CAST(count(DISTINCT m) AS BIGINT) AS dc_distinct
+    FROM blocks GROUP BY doc_id
+    """,
+    doc="REAL baseline-JPEG decode under the hash gate — no media "
+    "library (operators/jpeg.py: pure-numpy ITU-T T.81 markers, "
+    "canonical Huffman, dequant, IDCT): synth_jpeg_payload writes "
+    "complete spec-valid JPEGs of flat 8x8 blocks with EVEN values "
+    "v(by,bx)=2*((doc_id+3by+5bx) mod 128) — the one family the lossy "
+    "DCT path reproduces pixel-exact (DC=8(v-128) divides the Annex K "
+    "DC quantizer 16; all AC quantize to zero), so every decoded-pixel "
+    "statistic is closed-form from (doc_id, n_chars) and the oracle "
+    "re-derives px_sum/mean/extremes plus the distinct per-block value "
+    "count independently.  One wrong bit in marker parse, Huffman "
+    "decode, DC prediction, dequant or IDCT breaks the hash.  The AC/"
+    "run-length half of the entropy coder (unused by flat blocks) is "
+    "pinned losslessly in tests/test_jpeg.py via coefficient-space "
+    "roundtrips.  Scale: Arrow-batched map work; pixel buffers never "
+    "leave the task.  Completes the multimodal story with the format "
+    "real corpora actually contain (VERDICT r6 task 2a).",
+    bench=True,
+)
+def mm_jpeg_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.jpeg_decode_features(M.synth_jpeg_payload(docs))
+
+
+@query(
     "mm_wav_pcm_decode_features",
     """
     WITH p AS (

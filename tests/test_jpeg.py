@@ -1,0 +1,164 @@
+"""Baseline JPEG codec pins (operators/jpeg.py, pure numpy, T.81).
+
+Three layers: (1) the entropy layer is LOSSLESS on quantized
+coefficients — exact roundtrips over adversarial coefficient patterns
+(ZRL runs, EOB, byte stuffing, DC prediction); (2) flat-8x8-block
+images with even values roundtrip PIXEL-exact through the full lossy
+path (DC = 8(v-128) divides the Annex K DC quantizer 16 exactly, all
+AC vanish) — the property the hash-gated registry oracle is built on;
+(3) natural images roundtrip within the expected quantization error.
+"""
+
+import numpy as np
+import pytest
+
+from health_monitor_cc_flink_spark.operators.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    STD_LUMA_QUANT,
+    ZIGZAG,
+    _canonical_codes,
+    decode_jpeg_coeffs,
+    decode_jpeg_gray,
+    encode_jpeg_from_qcoeffs,
+    encode_jpeg_gray,
+    quantized_coeffs,
+)
+
+
+def flat_block_image(rng, bh, bw):
+    """Image of flat 8x8 blocks with EVEN values — lossless by design."""
+    v = 2 * rng.integers(0, 128, size=(bh, bw), dtype=np.int64)
+    return np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+
+def test_zigzag_is_the_standard_order():
+    # spot-check the canonical prefix and full permutation properties
+    assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(ZIGZAG[-4:]) == [47, 55, 62, 63]
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+def test_annex_k_tables_are_valid_canonical_huffman():
+    dc = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    assert len(dc) == 12 and len(ac) == 162
+    # canonical codes are prefix-free by construction; verify it
+    # explicitly per table as a belt-and-braces check
+    for table in (dc, ac):
+        codes = sorted(format(c, f"0{ln}b") for c, ln in table.values())
+        for a, b in zip(codes, codes[1:]):
+            assert a != b and not b.startswith(a)
+
+
+def test_flat_block_image_roundtrips_pixel_exact():
+    rng = np.random.default_rng(7)
+    for bh, bw in [(1, 1), (2, 3), (16, 16), (5, 13)]:
+        img = flat_block_image(rng, bh, bw)
+        out = decode_jpeg_gray(encode_jpeg_gray(img))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_flat_blocks_have_dc_only_coefficients():
+    rng = np.random.default_rng(11)
+    img = flat_block_image(rng, 4, 4)
+    qc = quantized_coeffs(img)
+    assert np.all(qc.reshape(-1, 64)[:, 1:] == 0)
+    np.testing.assert_array_equal(
+        qc[:, 0, 0], (img[0::8, 0::8].astype(np.int64).reshape(-1) - 128) // 2
+    )
+
+
+def test_coefficient_space_roundtrip_exact():
+    """Entropy layer is lossless: random coefficient fields with long
+    zero runs (forces ZRL), dense tails (forces no-EOB blocks), and
+    values crafted to emit 0xFF bytes (forces stuffing) all recover
+    bit-for-bit."""
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        nb = int(rng.integers(1, 30))
+        qc = np.zeros((nb, 64), dtype=np.int64)
+        qc[:, 0] = rng.integers(-1000, 1000, nb)
+        # sparse AC with heavy zero runs
+        for b in range(nb):
+            for _ in range(int(rng.integers(0, 12))):
+                qc[b, int(rng.integers(1, 64))] = int(rng.integers(-255, 256)) or 1
+        # one fully dense block exercises the no-EOB path
+        qc[0, :] = rng.integers(1, 10, 64)
+        w, h = nb * 8, 8  # a (1, nb) block grid
+        payload = encode_jpeg_from_qcoeffs(qc.reshape(nb, 8, 8), w, h)
+        got, quant, gw, gh = decode_jpeg_coeffs(payload)
+        assert (gw, gh) == (w, h)
+        np.testing.assert_array_equal(got.reshape(nb, 64), qc)
+        np.testing.assert_array_equal(quant, STD_LUMA_QUANT)
+
+
+def test_natural_image_roundtrip_within_quant_error():
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:64, 0:64]
+    img = (
+        128
+        + 80 * np.sin(x / 9.0)
+        + 40 * np.cos(y / 5.0)
+        + rng.normal(0, 4, (64, 64))
+    )
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert out.shape == img.shape
+    rmse = float(np.sqrt(np.mean((out.astype(float) - img.astype(float)) ** 2)))
+    assert rmse < 12.0, rmse  # Annex K table at "quality 50" on smooth content
+
+
+def test_odd_dims_pad_and_crop():
+    rng = np.random.default_rng(5)
+    img = flat_block_image(rng, 3, 3)[:19, :21]  # 19x21, not multiples of 8
+    out = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert out.shape == img.shape
+    # edge-replicate padding keeps padded blocks flat only where the
+    # crop boundary falls inside a block; interior pixels stay exact
+    np.testing.assert_array_equal(out[:16, :16], img[:16, :16])
+
+
+def test_corrupt_payloads_raise_value_error():
+    rng = np.random.default_rng(9)
+    payload = encode_jpeg_gray(flat_block_image(rng, 2, 2))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(payload[:40])  # truncated mid-header
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01" + payload[2:])  # no SOI
+    broken = bytearray(payload)
+    broken[-20] ^= 0xA5  # flip a byte inside the entropy stream
+    try:
+        out = decode_jpeg_gray(bytes(broken))
+        # a flipped bit may still decode to SOME image; it must at
+        # least not crash with anything other than ValueError
+        assert out.shape == (16, 16)
+    except ValueError:
+        pass
+
+
+def test_unsupported_variants_raise_not_implemented():
+    rng = np.random.default_rng(13)
+    payload = bytearray(encode_jpeg_gray(flat_block_image(rng, 1, 1)))
+    sof = payload.index(b"\xff\xc0")
+    progressive = payload.copy()
+    progressive[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(bytes(progressive))
+    multi = payload.copy()
+    multi[sof + 9] = 3  # claim 3 components
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(bytes(multi))
+
+
+def test_decoder_reads_tables_from_file_not_constants():
+    """A non-standard quant table must flow through decode (tables are
+    read from DQT, not assumed)."""
+    rng = np.random.default_rng(21)
+    img = flat_block_image(rng, 2, 2)
+    quant = np.full((8, 8), 8, dtype=np.int64)
+    quant[0, 0] = 4  # DC step 4 still divides 8*(v-128) for even v
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quant))
+    np.testing.assert_array_equal(out, img)
