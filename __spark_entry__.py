@@ -20,8 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from health_monitor_cc_flink_spark.protobuf_shim import bootstrap_protobuf  # noqa: E402
 from health_monitor_cc_flink_spark.registry import all_queries  # noqa: E402
 from health_monitor_cc_flink_spark.session import ensure_runtime_confs  # noqa: E402
+
+# transformWithStateInPandas needs google.protobuf in the JVM-spawned
+# state-server workers; the shim must extend PYTHONPATH BEFORE the
+# SparkSession/JVM starts, so run it at import time (no-op elsewhere)
+bootstrap_protobuf()
 
 
 def entry(spark: SparkSession) -> DataFrame:

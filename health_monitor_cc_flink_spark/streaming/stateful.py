@@ -411,37 +411,7 @@ def streaming_cep_click_purchase(
     window (a click older than 30 min before the watermark can never
     match a future purchase), so idle keys are removed entirely.
     """
-    out_schema = T.StructType(
-        [
-            T.StructField(key_col, T.LongType()),
-            T.StructField("purchase_id", T.LongType()),
-            T.StructField("purchase_t", T.LongType()),
-            T.StructField("last_click", T.LongType()),
-            T.StructField("gap_us", T.LongType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("t_us", T.ArrayType(T.LongType())),
-            T.StructField("event_id", T.ArrayType(T.LongType())),
-            T.StructField("event_type", T.ArrayType(T.StringType())),
-            T.StructField("last_click", T.LongType()),
-            T.StructField("last_err", T.LongType()),
-        ]
-    )
-
-    def _emit(rows: list, k: int):
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                key_col: pd.Series([k] * len(rows), dtype="int64"),
-                "purchase_id": pd.Series([r[0] for r in rows], dtype="int64"),
-                "purchase_t": pd.Series([r[1] for r in rows], dtype="int64"),
-                "last_click": pd.Series([r[2] for r in rows], dtype="int64"),
-                "gap_us": pd.Series([r[3] for r in rows], dtype="int64"),
-            }
-        )
+    out_schema = cep_out_schema(key_col)
 
     def matcher(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
         k = int(key[0])
@@ -462,37 +432,11 @@ def streaming_cep_click_purchase(
                     )
                 )
 
-        # finalize the prefix the watermark has passed, in event-time order
-        buf.sort()
-        matches: list = []
-        remainder: list = []
-        for t, i, e in buf:
-            if t // 1000 >= wm_ms:
-                remainder.append((t, i, e))
-                continue
-            if (
-                e == "purchase"
-                and last_click >= 0
-                and last_click >= t - pattern_window_us
-                and (last_err < 0 or last_err < last_click)
-            ):
-                matches.append((i, t, last_click, t - last_click))
-            if e == "click":
-                last_click = t
-            elif e == "error":
-                last_err = t
+        matches, remainder, last_click, last_err, timer_ms = cep_finalize(
+            buf, last_click, last_err, wm_ms, pattern_window_us
+        )
 
-        # carry TTL: a click this old can never satisfy the pattern window
-        # for any not-yet-finalized purchase (t_ms >= wm); err only gates
-        # the click, so it expires with it
-        if last_click >= 0 and last_click // 1000 < wm_ms - pattern_window_us // 1000:
-            last_click, last_err = -1, -1
-        if last_click < 0:
-            # an error only gates a click that PRECEDES it; with no carried
-            # click it can never affect a future match — dead state
-            last_err = -1
-
-        if not remainder and last_click < 0 and last_err < 0:
+        if timer_ms is None:
             if state.exists:
                 state.remove()
         else:
@@ -505,28 +449,115 @@ def streaming_cep_click_purchase(
                     last_err,
                 )
             )
-            if remainder:
-                # fire as soon as the watermark passes the earliest
-                # unfinalized event (strictly > current watermark by the
-                # t_ms >= wm_ms invariant above)
-                state.setTimeoutTimestamp(remainder[0][0] // 1000 + 1)
-            else:
-                # only a carried click survives: arm its TTL so a
-                # permanently idle key is still cleaned up when the
-                # watermark passes click + pattern window (without this,
-                # the TTL branch above only runs if new data arrives)
-                state.setTimeoutTimestamp(
-                    last_click // 1000 + pattern_window_us // 1000 + 1
-                )
-        yield _emit(matches, k)
+            state.setTimeoutTimestamp(timer_ms)
+        yield cep_emit(matches, k, key_col)
 
     return df.groupBy(key_col).applyInPandasWithState(
         matcher,
         outputStructType=out_schema,
-        stateStructType=state_schema,
+        stateStructType=_CEP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+#: Shared by the applyInPandasWithState matcher above and the
+#: transformWithStateInPandas twin (streaming/tws.py) — single source
+#: for the CEP state layout and match/carry semantics.
+_CEP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t_us", T.ArrayType(T.LongType())),
+        T.StructField("event_id", T.ArrayType(T.LongType())),
+        T.StructField("event_type", T.ArrayType(T.StringType())),
+        T.StructField("last_click", T.LongType()),
+        T.StructField("last_err", T.LongType()),
+    ]
+)
+
+
+def cep_out_schema(key_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("purchase_t", T.LongType()),
+            T.StructField("last_click", T.LongType()),
+            T.StructField("gap_us", T.LongType()),
+        ]
+    )
+
+
+def cep_emit(rows: list, k: int, key_col: str):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            key_col: pd.Series([k] * len(rows), dtype="int64"),
+            "purchase_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "purchase_t": pd.Series([r[1] for r in rows], dtype="int64"),
+            "last_click": pd.Series([r[2] for r in rows], dtype="int64"),
+            "gap_us": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def cep_finalize(
+    buf: list,
+    last_click: int,
+    last_err: int,
+    wm_ms: int,
+    pattern_window_us: int,
+) -> tuple:
+    """The CEP kernel, pure: finalize the (t, event_id, event_type)
+    buffer prefix the watermark has passed, in event-time order, against
+    the carried (last_click, last_err) state.
+
+    Returns ``(matches, remainder, last_click, last_err, timer_ms)``;
+    ``timer_ms is None`` means the key's state is dead and should be
+    removed, otherwise re-arm an event-time timer at ``timer_ms``
+    (earliest unfinalized event + 1 ms, or the carried click's
+    pattern-window TTL when only the carry survives)."""
+    buf.sort()
+    matches: list = []
+    remainder: list = []
+    for t, i, e in buf:
+        if t // 1000 >= wm_ms:
+            remainder.append((t, i, e))
+            continue
+        if (
+            e == "purchase"
+            and last_click >= 0
+            and last_click >= t - pattern_window_us
+            and (last_err < 0 or last_err < last_click)
+        ):
+            matches.append((i, t, last_click, t - last_click))
+        if e == "click":
+            last_click = t
+        elif e == "error":
+            last_err = t
+
+    # carry TTL: a click this old can never satisfy the pattern window
+    # for any not-yet-finalized purchase (t_ms >= wm); err only gates
+    # the click, so it expires with it
+    if last_click >= 0 and last_click // 1000 < wm_ms - pattern_window_us // 1000:
+        last_click, last_err = -1, -1
+    if last_click < 0:
+        # an error only gates a click that PRECEDES it; with no carried
+        # click it can never affect a future match — dead state
+        last_err = -1
+
+    if remainder:
+        # fire as soon as the watermark passes the earliest unfinalized
+        # event (strictly > current watermark by the t >= wm invariant)
+        timer_ms = remainder[0][0] // 1000 + 1
+    elif last_click >= 0:
+        # only a carried click survives: arm its TTL so a permanently
+        # idle key is still cleaned up when the watermark passes
+        # click + pattern window
+        timer_ms = last_click // 1000 + pattern_window_us // 1000 + 1
+    else:
+        timer_ms = None
+    return matches, remainder, last_click, last_err, timer_ms
 
 
 def streaming_gap_detector(
