@@ -199,6 +199,13 @@ PROBE_QUERIES = (
     # i.e. stay ~linear with no candidate blow-up
     "ann_lsh_multiprobe_topk",
     "ann_lsh_multitable_topk",
+    # round-7 additions: JPEG decode is Arrow-batched CPU-bound map work
+    # (like the PNG path — must scale with the scan); the sketch
+    # certificates are hash-agg shuffles over the fact table
+    "mm_jpeg_decode_features",
+    "agg_hll_mergeable_rollup",
+    "agg_approx_battery",
+    "agg_sketch_profile",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.

@@ -465,3 +465,36 @@ def test_corrupt_payloads_flag_not_abort(spark):
     assert got[1].sumsq == 100 * 49 and got[1].channels == 1
     assert got[2].sumsq is None and got[2].channels is None
     assert got[3].sumsq is None, "8-bit PCM must be rejected, not misparsed"
+
+
+def test_jpeg_decode_features_flags_and_closed_form(spark):
+    """The JPEG Arrow path mirrors the PNG contract: healthy flat-block
+    payloads produce the closed-form stats (pixel-exact roundtrip, see
+    tests/test_jpeg.py), a truncated payload flags marker_ok=false with
+    NULL features, and an unsupported variant (progressive SOF2) is
+    flagged too — never aborting the batch."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.jpeg import encode_jpeg_gray
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        jpeg_decode_features,
+    )
+
+    rng = np.random.default_rng(17)
+    v = 2 * rng.integers(0, 128, size=(2, 3), dtype=np.int64)
+    img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+    good = encode_jpeg_gray(img)
+    progressive = bytearray(good)
+    progressive[progressive.index(b"\xff\xc0") + 1] = 0xC2
+    df = spark.createDataFrame(
+        [(1, bytes(good)), (2, bytes(good[:40])), (3, bytes(progressive))],
+        "doc_id long, jpeg binary",
+    )
+    got = {r.doc_id: r for r in jpeg_decode_features(df).collect()}
+    assert got[1].marker_ok
+    assert (got[1].width, got[1].height) == (24, 16)
+    assert got[1].px_sum == int(img.sum())
+    assert got[1].px_min == int(v.min()) and got[1].px_max == int(v.max())
+    assert got[1].dc_distinct == len(np.unique(v))
+    assert got[2].marker_ok is False and got[2].px_sum is None
+    assert got[3].marker_ok is False and got[3].px_sum is None
