@@ -234,10 +234,15 @@ def quantized_coeffs(arr: np.ndarray, quant: np.ndarray = STD_LUMA_QUANT) -> np.
     return np.round(coeffs / quant).astype(np.int32)
 
 
+#: Canonical code dicts for the fixed Annex K tables, derived once at
+#: import (encode_jpeg_gray runs once per row inside mapInPandas).
+_DC_CODES = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+_AC_CODES = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+
+
 def _entropy_encode(qc_flat: np.ndarray) -> bytes:
     """(nblocks, 64) zigzag-ordered quantized coeffs -> entropy bytes."""
-    dc_codes = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_codes = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_codes, ac_codes = _DC_CODES, _AC_CODES
     w = _BitWriter()
     pred = 0
     for blk in qc_flat:
@@ -386,7 +391,15 @@ def decode_jpeg_coeffs(payload: bytes):
     Returns ``(qcoeffs, quant, w, h)`` with qcoeffs (nblocks, 8, 8)
     int32 in natural order — the exact quantized coefficients, before
     any lossy arithmetic, so coefficient roundtrips can be pinned
-    bit-for-bit."""
+    bit-for-bit.  Malformed input raises ``ValueError`` (never
+    ``IndexError``), so callers can flag corrupt rows uniformly."""
+    try:
+        return _decode_jpeg_coeffs(payload)
+    except IndexError as exc:  # any residual short-read on hostile bytes
+        raise ValueError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _decode_jpeg_coeffs(payload: bytes):
     payload = bytes(payload)
     quant_tables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
@@ -398,17 +411,25 @@ def decode_jpeg_coeffs(payload: bytes):
         if marker in _UNSUPPORTED_SOF:
             raise NotImplementedError(f"{_UNSUPPORTED_SOF[marker]} JPEG not supported")
         if marker == 0xC0:  # SOF0
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             if body[5] != 1:
                 raise NotImplementedError("only single-component (grayscale) scans")
+            if w == 0 or h == 0:
+                # T.81 allows height 0 (deferred to a DNL marker); the
+                # stats contract needs real dims, so flag, don't crash
+                raise ValueError("zero image dimension (DNL-deferred height?)")
             qsel = body[8]
             dims = (w, h)
         elif marker == 0xDB:  # DQT (possibly several tables)
             j = 0
             while j < len(body):
+                if j + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 pq, tq = body[j] >> 4, body[j] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables not supported")
@@ -419,13 +440,19 @@ def decode_jpeg_coeffs(payload: bytes):
         elif marker == 0xC4:  # DHT (possibly several tables)
             j = 0
             while j < len(body):
+                if j + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[j] >> 4, body[j] & 0x0F
                 bits = list(body[j + 1 : j + 17])
                 nv = sum(bits)
+                if j + 17 + nv > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[j + 17 : j + 17 + nv])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 j += 17 + nv
         elif marker == 0xDA:  # SOS
+            if len(body) < 6:
+                raise ValueError("truncated SOS segment")
             if body[0] != 1:
                 raise NotImplementedError("only single-component scans")
             dc_id, ac_id = body[2] >> 4, body[2] & 0x0F

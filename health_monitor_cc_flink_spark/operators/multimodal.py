@@ -83,8 +83,10 @@ def decode_image(payload: bytes):
 
         try:
             return decode_jpeg_gray(payload)
-        except NotImplementedError:
-            pass  # color / progressive subtype: fall through to PIL
+        except (NotImplementedError, ValueError):
+            # color/progressive subtype, or a stream our strict parser
+            # rejects that libjpeg may salvage: fall through to PIL
+            pass
     try:
         from PIL import Image  # noqa: F401
         import io

@@ -604,7 +604,7 @@ def agg_sketch_profile(spark, sf_dir):
         F.count_distinct("user_id").alias("exact_users"),
         F.count_distinct("value").alias("_exact_values"),
         F.expr(
-            "percentile(value, array(0.45, 0.55, 0.90, 1.0, 0.94, 0.999))"
+            "percentile(value, array(0.45, 0.55, 0.90, 1.0, 0.94))"
         ).alias("_ex"),
     )
     band = lambda approx, ex, frac: (  # noqa: E731
@@ -5325,12 +5325,14 @@ def streaming_cep_click_purchase_tws(spark, sf_dir):
             and "protobuf" not in msg
         ):
             raise
-        return _legacy()
     finally:
-        if prev:
+        # restore BEFORE any fallback drain: the legacy stream must run
+        # under the session's own provider, not the RocksDB override
+        if prev is not None:
             spark.conf.set(provider_key, prev)
         else:
             spark.conf.unset(provider_key)
+    return _legacy()
 
 
 @query(

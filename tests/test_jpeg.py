@@ -128,6 +128,19 @@ def test_corrupt_payloads_raise_value_error():
         decode_jpeg_gray(payload[:40])  # truncated mid-header
     with pytest.raises(ValueError):
         decode_jpeg_gray(b"\x00\x01" + payload[2:])  # no SOI
+    # short segment BODIES must be ValueError, never IndexError
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\xff\xd8\xff\xc0\x00\x02\xff\xd9")  # empty SOF0
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x02\xff\xd9")  # short DHT
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\xff\xd8\xff\xda\x00\x03\x01\xff\xd9")  # short SOS
+    # T.81 zero-height (DNL-deferred) is flagged, not crashed on
+    sof = payload.index(b"\xff\xc0")
+    zero_h = bytearray(payload)
+    zero_h[sof + 5 : sof + 7] = b"\x00\x00"
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(zero_h))
     broken = bytearray(payload)
     broken[-20] ^= 0xA5  # flip a byte inside the entropy stream
     try:

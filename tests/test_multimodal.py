@@ -474,6 +474,7 @@ def test_jpeg_decode_features_flags_and_closed_form(spark):
     NULL features, and an unsupported variant (progressive SOF2) is
     flagged too — never aborting the batch."""
     import numpy as np
+    from test_jpeg import flat_block_image
 
     from health_monitor_cc_flink_spark.operators.jpeg import encode_jpeg_gray
     from health_monitor_cc_flink_spark.operators.multimodal import (
@@ -481,8 +482,8 @@ def test_jpeg_decode_features_flags_and_closed_form(spark):
     )
 
     rng = np.random.default_rng(17)
-    v = 2 * rng.integers(0, 128, size=(2, 3), dtype=np.int64)
-    img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+    img = flat_block_image(rng, 2, 3)
+    v = img[0::8, 0::8]
     good = encode_jpeg_gray(img)
     progressive = bytearray(good)
     progressive[progressive.index(b"\xff\xc0") + 1] = 0xC2
