@@ -7,11 +7,14 @@ stdlib zlib: `encode_png` / `decode_png`, all five scanline filters,
 CRC-verified — no media library needed), as are APNG animation
 frame-sampling (`encode_apng` / `decode_apng_frames` /
 `apng_frame_sample`), 16-bit PCM WAV sample decode
-(`wav_pcm_decode_features`, stdlib `wave`), and baseline JPEG
+(`wav_pcm_decode_features`, stdlib `wave`), baseline JPEG
 (`operators/jpeg.py`: pure-numpy T.81 markers + Huffman + IDCT,
 grayscale single-scan subset; `synth_jpeg_payload` /
-`jpeg_decode_features` below); WAV/PNG header parsing is pure codegen
-column math.  WebP and true video codecs stay STUBBED behind
+`jpeg_decode_features` below), and MJPEG VIDEO in a RIFF/AVI
+container (`encode_avi_mjpeg` / `decode_avi_mjpeg_frames` /
+`avi_mjpeg_frame_sample` — container parse + per-frame JPEG decode);
+WAV/PNG header parsing is pure codegen column math.  WebP and
+compressed video codecs (H.264 etc.) stay STUBBED behind
 `decode_image` (need PIL/opencv/ffmpeg, absent from this
 environment); `fake_feature_extract` is the deterministic stand-in
 that keeps that Arrow batch path tested with the same signature and
@@ -180,9 +183,10 @@ def fake_frame_sample(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
     """Video frame-sampling stand-in for formats needing a codec lib:
     emits ``n_frames`` rows per input row (the 1→N batch shape of real
     frame extraction), with deterministic offsets/hashes derived from
-    the payload digest.  For a REAL frame-sampling path over a public
-    animated format, see :func:`apng_frame_sample` (no library
-    needed)."""
+    the payload digest.  For REAL frame-sampling paths over public
+    formats, see :func:`apng_frame_sample` (animated PNG) and
+    :func:`avi_mjpeg_frame_sample` (MJPEG video in a RIFF/AVI
+    container) — neither needs a media library."""
     src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col))
 
     def sample(batches: Iterator) -> Iterator:
@@ -1144,5 +1148,216 @@ def jpeg_decode_features(df: DataFrame, payload_col: str = "jpeg",
             "doc_id long, width long, height long, marker_ok boolean, "
             "px_sum long, px_mean double, px_min long, px_max long, "
             "dc_distinct long"
+        ),
+    )
+
+
+# -----------------------------------------------------------------------------
+# REAL video: Motion-JPEG in an AVI (RIFF) container — the classic
+# public video format whose frames are plain baseline JPEGs, so the
+# pure-numpy JPEG codec above makes true container-parse + frame-decode
+# + frame-sampling possible with no media library.  Structure written
+# and parsed here follows the public RIFF/AVI layout (RIFF('AVI '
+# LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi' '00dc'*)));
+# compressed codecs (H.264 etc.) remain honestly out of scope.
+# -----------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, *chunks: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + b"".join(chunks))
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """Grayscale uint8 frames (equal dims) -> a complete MJPEG AVI."""
+    import struct
+
+    from .jpeg import encode_jpeg_gray
+
+    if not frames:
+        raise ValueError("MJPEG AVI needs at least one frame")
+    h, w = frames[0].shape
+    payloads = []
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share dimensions")
+        payloads.append(encode_jpeg_gray(fr))
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # usec per frame
+        0, 0, 0,
+        len(frames),
+        0, 1, 0,
+        w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                        len(frames), 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih),
+        _riff_list(b"strl", _riff_chunk(b"strh", strh), _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", *[_riff_chunk(b"00dc", p) for p in payloads])
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _iter_riff_chunks(data: bytes, offset: int, end: int):
+    import struct
+
+    while offset + 8 <= end:
+        fourcc = data[offset : offset + 4]
+        (size,) = struct.unpack("<I", data[offset + 4 : offset + 8])
+        body_end = offset + 8 + size
+        if body_end > end:
+            raise ValueError("truncated RIFF chunk")
+        yield fourcc, offset + 8, body_end
+        offset = body_end + (size % 2)  # chunks are word-aligned
+
+
+def decode_avi_mjpeg_frames(payload: bytes):
+    """MJPEG AVI bytes -> (list of uint8 frame arrays, declared_frames).
+
+    Walks the RIFF tree, decodes every '00dc'/'00db' chunk in the
+    'movi' list as a baseline JPEG.  Raises ``ValueError`` on a
+    malformed container and ``NotImplementedError`` when the stream
+    declares a non-MJPG codec (real codecs need a media library)."""
+    import struct
+
+    from .jpeg import decode_jpeg_gray
+
+    payload = bytes(payload)
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/'AVI ' header)")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(8 + riff_size, len(payload))
+    declared = None
+    frames = []
+
+    def walk(offset: int, limit: int) -> None:
+        nonlocal declared
+        for fourcc, body_start, body_end in _iter_riff_chunks(payload, offset, limit):
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_end)
+            elif fourcc == b"avih":
+                if body_end - body_start < 24:
+                    raise ValueError("truncated avih")
+                (declared,) = struct.unpack(
+                    "<I", payload[body_start + 16 : body_start + 20]
+                )
+            elif fourcc == b"strh":
+                if body_end - body_start >= 8:
+                    if payload[body_start : body_start + 4] == b"vids" and (
+                        payload[body_start + 4 : body_start + 8] != b"MJPG"
+                    ):
+                        raise NotImplementedError(
+                            "only MJPG video streams decode natively"
+                        )
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(decode_jpeg_gray(payload[body_start:body_end]))
+
+    walk(12, end)
+    if declared is not None and declared != len(frames):
+        raise ValueError(
+            f"avih declares {declared} frames, movi carries {len(frames)}"
+        )
+    return frames, declared
+
+
+def synth_avi_payload(df: DataFrame, id_col: str = "doc_id",
+                      len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``avi`` column of COMPLETE MJPEG AVIs: doc_id%3+2
+    frames of w×h flat-8×8-block grayscale with block value
+    v(f, by, bx) = 2·((doc_id + f + 3·by + 5·bx) mod 128); w =
+    16·(id%4+1), h = 16·(len%4+1).  Even flat blocks make every frame's
+    JPEG roundtrip pixel-exact (see operators/jpeg.py), so sampled
+    frame statistics are closed-form from (doc_id, n_chars)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col) % 3 + 2).cast("int").alias("nf"),
+        (F.lit(16) * (F.col(id_col) % 4 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 4 + 1)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            avis = []
+            for doc_id, nf, w, h in zip(pdf["doc_id"], pdf["nf"], pdf["w"], pdf["h"]):
+                by, bx = np.mgrid[0 : int(h) // 8, 0 : int(w) // 8]
+                frames = [
+                    np.repeat(
+                        np.repeat(
+                            2 * ((int(doc_id) + f + 3 * by + 5 * bx) % 128), 8, axis=0
+                        ),
+                        8,
+                        axis=1,
+                    ).astype(np.uint8)
+                    for f in range(int(nf))
+                ]
+                avis.append(encode_avi_mjpeg(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "avi": avis})
+
+    return src.mapInPandas(gen, schema="doc_id long, avi binary")
+
+
+def avi_mjpeg_frame_sample(df: DataFrame, payload_col: str = "avi",
+                           every: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """REAL video frame sampling over Arrow batches: parse the RIFF
+    tree, decode every ``every``-th MJPEG frame, and reduce each to
+    pixel statistics — the 1→N decode shape of training-data video
+    ingestion, with full frames never leaving the map task.  A corrupt
+    or non-MJPG payload contributes a single flag row (ok=false, NULL
+    features) instead of aborting the batch."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def sample(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("frame_idx", "n_frames", "width", "height", "px_sum", "px_mean")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    frames, _ = decode_avi_mjpeg_frames(bytes(p))
+                    if not frames:
+                        raise ValueError("no frames")
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for f in range(0, len(frames), every):
+                    img = frames[f]
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(len(frames))
+                    out["height"].append(img.shape[0])
+                    out["width"].append(img.shape[1])
+                    out["px_sum"].append(int(img.sum(dtype=np.int64)))
+                    out["px_mean"].append(float(img.mean()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        sample,
+        schema=(
+            "doc_id long, ok boolean, frame_idx long, n_frames long, "
+            "width long, height long, px_sum long, px_mean double"
         ),
     )

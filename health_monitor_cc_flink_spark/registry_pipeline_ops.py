@@ -5715,6 +5715,57 @@ def mm_jpeg_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_avi_mjpeg_frame_sample",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 + 2 AS BIGINT) AS nf,
+               CAST(16 * (doc_id % 4 + 1) AS BIGINT) AS w,
+               CAST(16 * (n_chars % 4 + 1) AS BIGINT) AS h
+        FROM documents
+    ), frames AS (
+        SELECT d.doc_id, d.nf, d.w, d.h, ff.f
+        FROM dims d, LATERAL unnest(generate_series(0, d.nf - 1, 2)) AS ff(f)
+    ), blocks AS (
+        SELECT fr.doc_id, fr.f, fr.nf, fr.w, fr.h,
+               (fr.doc_id + fr.f + 3 * byy.by + 5 * bxx.bx) % 128 AS m
+        FROM frames fr,
+             LATERAL unnest(generate_series(0, fr.h // 8 - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, fr.w // 8 - 1)) AS bxx(bx)
+    )
+    SELECT doc_id, TRUE AS ok, f AS frame_idx,
+           any_value(nf) AS n_frames,
+           any_value(w) AS width, any_value(h) AS height,
+           CAST(128 * sum(m) AS BIGINT) AS px_sum,
+           CAST(128 * sum(m) AS DOUBLE) / (any_value(w) * any_value(h))
+               AS px_mean
+    FROM blocks GROUP BY doc_id, f
+    """,
+    doc="REAL video frame sampling under the hash gate — no media "
+    "library: synth_avi_payload writes complete MJPEG AVIs (RIFF tree "
+    "with avih/strh/strf headers and 2-4 '00dc' chunks, each a "
+    "spec-valid baseline JPEG of flat even 8x8 blocks, "
+    "v(f,by,bx)=2*((doc_id+f+3by+5bx) mod 128)), and "
+    "avi_mjpeg_frame_sample walks the container, decodes every 2nd "
+    "frame through the pure-numpy T.81 decoder, and reduces each to "
+    "pixel statistics the oracle re-derives closed-form — container "
+    "parse, frame-count consistency (avih vs movi), JPEG decode and "
+    "the sampling stride are all under one value hash.  The 1-to-N "
+    "decode shape of training-data video ingestion; frames never "
+    "leave the map task.  Upgrades the video story from the "
+    "fake_frame_sample stand-in to a real public container+codec "
+    "path; compressed codecs (H.264 etc.) stay honestly stubbed.  "
+    "Scale: Arrow-batched CPU map work, same envelope as the "
+    "PNG/JPEG paths (SCALE_PROBE.md).",
+)
+def mm_avi_mjpeg_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.avi_mjpeg_frame_sample(M.synth_avi_payload(docs), every=2)
+
+
+@query(
     "mm_wav_pcm_decode_features",
     """
     WITH p AS (

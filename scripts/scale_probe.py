@@ -203,6 +203,7 @@ PROBE_QUERIES = (
     # (like the PNG path — must scale with the scan); the sketch
     # certificates are hash-agg shuffles over the fact table
     "mm_jpeg_decode_features",
+    "mm_avi_mjpeg_frame_sample",
     "agg_hll_mergeable_rollup",
     "agg_approx_battery",
     "agg_sketch_profile",

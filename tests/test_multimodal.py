@@ -499,3 +499,56 @@ def test_jpeg_decode_features_flags_and_closed_form(spark):
     assert got[1].dc_distinct == len(np.unique(v))
     assert got[2].marker_ok is False and got[2].px_sum is None
     assert got[3].marker_ok is False and got[3].px_sum is None
+
+
+def test_avi_mjpeg_codec_and_sampling(spark):
+    """RIFF/MJPEG container: exact frame roundtrip, sampling stride,
+    frame-count consistency check, non-MJPG codec refusal, and the
+    corrupt-payload flag contract at the Arrow level."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+    from test_jpeg import flat_block_image
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        avi_mjpeg_frame_sample,
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    frames = [flat_block_image(rng, 2, 2) for _ in range(4)]
+    avi = encode_avi_mjpeg(frames)
+    dec, declared = decode_avi_mjpeg_frames(avi)
+    assert declared == 4 and len(dec) == 4
+    for a, b in zip(frames, dec):
+        np.testing.assert_array_equal(a, b)
+
+    # frame-count consistency: lie in avih -> ValueError
+    lied = bytearray(avi)
+    pos = lied.index(b"avih") + 8 + 16
+    lied[pos : pos + 4] = struct.pack("<I", 9)
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg_frames(bytes(lied))
+
+    # non-MJPG vids stream -> NotImplementedError
+    h264 = bytearray(avi)
+    strh = h264.index(b"strh") + 8
+    h264[strh + 4 : strh + 8] = b"H264"
+    with _pytest.raises(NotImplementedError):
+        decode_avi_mjpeg_frames(bytes(h264))
+
+    # Arrow path: stride-2 sampling + corrupt flag row
+    df = spark.createDataFrame(
+        [(1, bytes(avi)), (2, bytes(avi[:30]))], "doc_id long, avi binary"
+    )
+    rows = avi_mjpeg_frame_sample(df, every=2).collect()
+    good = sorted((r.frame_idx for r in rows if r.doc_id == 1))
+    assert good == [0, 2]
+    for r in rows:
+        if r.doc_id == 1:
+            assert r.ok and r.n_frames == 4
+            assert r.px_sum == int(frames[r.frame_idx].sum())
+    (bad,) = [r for r in rows if r.doc_id == 2]
+    assert bad.ok is False and bad.px_sum is None
