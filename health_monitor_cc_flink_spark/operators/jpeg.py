@@ -107,6 +107,11 @@ def _zigzag_order() -> np.ndarray:
 
 ZIGZAG = _zigzag_order()
 
+#: Decode-side cap on declared pixel count (64 Mpx ≈ 256 MB of int32
+#: coefficients): beyond this a hostile SOF0 would OOM the executor
+#: before any entropy data is validated.
+MAX_PIXELS = 1 << 26
+
 _POW2 = 1 << np.arange(25, dtype=np.int64)[::-1]  # MSB-first bit weights
 
 
@@ -462,6 +467,10 @@ def _decode_jpeg_coeffs(payload: bytes):
     if qsel not in quant_tables or (0, dc_id) not in huff or (1, ac_id) not in huff:
         raise ValueError("scan references undefined tables")
     w, h = dims
+    if w * h > MAX_PIXELS:
+        # hostile declared dims would drive a multi-GB coefficient
+        # allocation before a single scan bit is read — flag, don't OOM
+        raise ValueError(f"declared dimensions {w}x{h} exceed decoder limit")
     bw, bh = (w + 7) // 8, (h + 7) // 8
     dc_dec, ac_dec = huff[(0, dc_id)], huff[(1, ac_id)]
     bits = np.unpackbits(np.frombuffer(scan, dtype=np.uint8))

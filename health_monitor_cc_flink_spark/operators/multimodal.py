@@ -82,14 +82,21 @@ def decode_image(payload: bytes):
             # 'general image decode' contract to the native subset
             pass
     elif bytes(payload[:3]) == b"\xff\xd8\xff":
+        import importlib.util
+
         from .jpeg import decode_jpeg_gray
 
         try:
             return decode_jpeg_gray(payload)
-        except (NotImplementedError, ValueError):
-            # color/progressive subtype, or a stream our strict parser
-            # rejects that libjpeg may salvage: fall through to PIL
-            pass
+        except NotImplementedError:
+            pass  # color/progressive subtype: fall through to PIL
+        except ValueError:
+            # a stream our strict parser rejects: let libjpeg try to
+            # salvage it when PIL exists, but WITHOUT PIL re-raise the
+            # corrupt-stream error — re-reporting corruption as a
+            # missing-library NotImplementedError misdirects callers
+            if importlib.util.find_spec("PIL") is None:
+                raise
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -1226,30 +1233,30 @@ def _iter_riff_chunks(data: bytes, offset: int, end: int):
         offset = body_end + (size % 2)  # chunks are word-aligned
 
 
-def decode_avi_mjpeg_frames(payload: bytes):
-    """MJPEG AVI bytes -> (list of uint8 frame arrays, declared_frames).
-
-    Walks the RIFF tree, decodes every '00dc'/'00db' chunk in the
-    'movi' list as a baseline JPEG.  Raises ``ValueError`` on a
-    malformed container and ``NotImplementedError`` when the stream
-    declares a non-MJPG codec (real codecs need a media library)."""
+def _avi_frame_payloads(payload: bytes):
+    """MJPEG AVI bytes -> (list of raw JPEG frame byte slices,
+    declared_frames), WITHOUT decoding any frame — so callers that
+    sample can pay the JPEG Huffman cost only for the frames they
+    keep, while the avih-vs-movi frame-count consistency check (which
+    needs only the count) still covers the whole container.  The RIFF
+    tree is walked with an explicit stack (a hostile payload of deeply
+    nested LISTs must not RecursionError past the corrupt-row guard).
+    Raises ``ValueError`` on a malformed container and
+    ``NotImplementedError`` for a non-MJPG video stream."""
     import struct
-
-    from .jpeg import decode_jpeg_gray
 
     payload = bytes(payload)
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI (missing RIFF/'AVI ' header)")
     (riff_size,) = struct.unpack("<I", payload[4:8])
-    end = min(8 + riff_size, len(payload))
     declared = None
-    frames = []
-
-    def walk(offset: int, limit: int) -> None:
-        nonlocal declared
+    frames: list[bytes] = []
+    stack = [(12, min(8 + riff_size, len(payload)))]
+    while stack:
+        offset, limit = stack.pop()
         for fourcc, body_start, body_end in _iter_riff_chunks(payload, offset, limit):
             if fourcc == b"LIST":
-                walk(body_start + 4, body_end)
+                stack.append((body_start + 4, body_end))
             elif fourcc == b"avih":
                 if body_end - body_start < 24:
                     raise ValueError("truncated avih")
@@ -1265,14 +1272,26 @@ def decode_avi_mjpeg_frames(payload: bytes):
                             "only MJPG video streams decode natively"
                         )
             elif fourcc in (b"00dc", b"00db"):
-                frames.append(decode_jpeg_gray(payload[body_start:body_end]))
-
-    walk(12, end)
+                frames.append(payload[body_start:body_end])
     if declared is not None and declared != len(frames):
         raise ValueError(
             f"avih declares {declared} frames, movi carries {len(frames)}"
         )
     return frames, declared
+
+
+def decode_avi_mjpeg_frames(payload: bytes):
+    """MJPEG AVI bytes -> (list of uint8 frame arrays, declared_frames).
+
+    Container walk via :func:`_avi_frame_payloads`; every '00dc'/'00db'
+    chunk decodes as a baseline JPEG.  Raises ``ValueError`` on a
+    malformed container/stream and ``NotImplementedError`` when the
+    stream declares a non-MJPG codec (real codecs need a media
+    library)."""
+    from .jpeg import decode_jpeg_gray
+
+    raw, declared = _avi_frame_payloads(payload)
+    return [decode_jpeg_gray(p) for p in raw], declared
 
 
 def synth_avi_payload(df: DataFrame, id_col: str = "doc_id",
@@ -1317,11 +1336,16 @@ def synth_avi_payload(df: DataFrame, id_col: str = "doc_id",
 def avi_mjpeg_frame_sample(df: DataFrame, payload_col: str = "avi",
                            every: int = 2, id_col: str = "doc_id") -> DataFrame:
     """REAL video frame sampling over Arrow batches: parse the RIFF
-    tree, decode every ``every``-th MJPEG frame, and reduce each to
-    pixel statistics — the 1→N decode shape of training-data video
-    ingestion, with full frames never leaving the map task.  A corrupt
-    or non-MJPG payload contributes a single flag row (ok=false, NULL
-    features) instead of aborting the batch."""
+    tree, decode ONLY every ``every``-th MJPEG frame (the container
+    walk yields raw frame slices, so skipped frames never pay the
+    Huffman decode), and reduce each to pixel statistics — the 1→N
+    decode shape of training-data video ingestion, with full frames
+    never leaving the map task.  A corrupt or non-MJPG payload — or a
+    corrupt SAMPLED frame — contributes a single flag row (ok=false,
+    NULL features) instead of aborting the batch; corruption confined
+    to skipped frames is by construction not observed."""
+    from .jpeg import decode_jpeg_gray
+
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
 
     def sample(batches: Iterator) -> Iterator:
@@ -1333,21 +1357,24 @@ def avi_mjpeg_frame_sample(df: DataFrame, payload_col: str = "avi",
             out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
                 try:
-                    frames, _ = decode_avi_mjpeg_frames(bytes(p))
-                    if not frames:
+                    raw, _ = _avi_frame_payloads(bytes(p))
+                    if not raw:
                         raise ValueError("no frames")
+                    sampled = [
+                        (f, decode_jpeg_gray(raw[f]))
+                        for f in range(0, len(raw), every)
+                    ]
                 except (ValueError, NotImplementedError):
                     out["doc_id"].append(doc_id)
                     out["ok"].append(False)
                     for c in cols:
                         out[c].append(None)
                     continue
-                for f in range(0, len(frames), every):
-                    img = frames[f]
+                for f, img in sampled:
                     out["doc_id"].append(doc_id)
                     out["ok"].append(True)
                     out["frame_idx"].append(f)
-                    out["n_frames"].append(len(frames))
+                    out["n_frames"].append(len(raw))
                     out["height"].append(img.shape[0])
                     out["width"].append(img.shape[1])
                     out["px_sum"].append(int(img.sum(dtype=np.int64)))

@@ -552,3 +552,50 @@ def test_avi_mjpeg_codec_and_sampling(spark):
             assert r.px_sum == int(frames[r.frame_idx].sum())
     (bad,) = [r for r in rows if r.doc_id == 2]
     assert bad.ok is False and bad.px_sum is None
+
+
+def test_avi_hostile_payloads_flag_not_crash(spark):
+    """Adversarial containers must hit the ValueError path, never
+    RecursionError/MemoryError: deeply nested LISTs (iterative walk),
+    and a JPEG frame declaring absurd dimensions (MAX_PIXELS guard)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+    from test_jpeg import flat_block_image
+
+    from health_monitor_cc_flink_spark.operators.jpeg import decode_jpeg_gray
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        avi_mjpeg_frame_sample,
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+
+    # 5000-deep nested LIST chunks: the walk must stay iterative
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
+    nested = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    frames, declared = decode_avi_mjpeg_frames(nested)  # walks fine, no frames
+    assert frames == [] and declared is None
+
+    # hostile SOF0 dims: 65535x65535 must raise ValueError pre-allocation
+    rng = np.random.default_rng(31)
+    payload = bytearray(
+        __import__(
+            "health_monitor_cc_flink_spark.operators.jpeg", fromlist=["x"]
+        ).encode_jpeg_gray(flat_block_image(rng, 1, 1))
+    )
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 5 : sof + 9] = b"\xff\xff\xff\xff"
+    with _pytest.raises(ValueError, match="exceed decoder limit"):
+        decode_jpeg_gray(bytes(payload))
+
+    # both shapes flag their row at the Arrow level instead of aborting
+    good = encode_avi_mjpeg([flat_block_image(rng, 1, 1)])
+    df = spark.createDataFrame(
+        [(1, bytes(good)), (2, bytes(nested))], "doc_id long, avi binary"
+    )
+    rows = {r.doc_id: r for r in avi_mjpeg_frame_sample(df, every=1).collect()}
+    assert rows[1].ok and rows[2].ok is False
