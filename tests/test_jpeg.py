@@ -175,3 +175,76 @@ def test_decoder_reads_tables_from_file_not_constants():
     quant[0, 0] = 4  # DC step 4 still divides 8*(v-128) for even v
     out = decode_jpeg_gray(encode_jpeg_gray(img, quant))
     np.testing.assert_array_equal(out, img)
+
+
+# ---------------------------------------------------------------------------
+# Property-based fuzz: the decoder's failure contract must hold for ANY
+# byte string — ValueError/NotImplementedError only, never IndexError/
+# RecursionError/MemoryError — and the two lossless layers must
+# roundtrip for arbitrary valid inputs.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_fuzz_arbitrary_bytes_fail_cleanly(data):
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg_gray(b"\xff\xd8" + data)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_fuzz_truncations_and_bitflips_fail_cleanly_or_decode(data):
+    rng = np.random.default_rng(77)
+    payload = bytearray(encode_jpeg_gray(flat_block_image(rng, 2, 2)))
+    mode = data.draw(st.sampled_from(["truncate", "flip"]))
+    if mode == "truncate":
+        cut = data.draw(st.integers(0, len(payload) - 1))
+        corrupted = bytes(payload[:cut])
+    else:
+        pos = data.draw(st.integers(2, len(payload) - 1))
+        payload[pos] ^= data.draw(st.integers(1, 255))
+        corrupted = bytes(payload)
+    try:
+        out = decode_jpeg_gray(corrupted)
+        assert out.dtype == np.uint8  # a salvageable flip may still decode
+    except (ValueError, NotImplementedError):
+        pass  # the documented failure contract — and nothing else
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.data())
+def test_fuzz_flat_block_roundtrip(data):
+    bh = data.draw(st.integers(1, 6))
+    bw = data.draw(st.integers(1, 6))
+    v = np.array(
+        data.draw(
+            st.lists(
+                st.integers(0, 127), min_size=bh * bw, max_size=bh * bw
+            )
+        ),
+        dtype=np.int64,
+    ).reshape(bh, bw) * 2
+    img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+    np.testing.assert_array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.data())
+def test_fuzz_coefficient_entropy_roundtrip(data):
+    nb = data.draw(st.integers(1, 8))
+    qc = np.zeros((nb, 64), dtype=np.int64)
+    for b in range(nb):
+        qc[b, 0] = data.draw(st.integers(-900, 900))
+        for _ in range(data.draw(st.integers(0, 10))):
+            k = data.draw(st.integers(1, 63))
+            qc[b, k] = data.draw(
+                st.integers(-255, 255).filter(lambda x: x != 0)
+            )
+    got, _, _, _ = decode_jpeg_coeffs(
+        encode_jpeg_from_qcoeffs(qc.reshape(nb, 8, 8), nb * 8, 8)
+    )
+    np.testing.assert_array_equal(got.reshape(nb, 64), qc)
