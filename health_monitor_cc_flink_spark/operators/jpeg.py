@@ -6,20 +6,26 @@ as the PNG/APNG/WAV codecs in ``multimodal.py`` — a spec-correct,
 deterministic subset implemented from the PUBLIC standard, hash-gated
 end-to-end against a closed-form DuckDB oracle:
 
-* **Encoder** (``encode_jpeg_gray``): 8-bit grayscale, single scan,
-  baseline sequential DCT.  Level shift, vectorized 8x8 orthonormal
-  DCT-II (one einsum over all blocks), quantization with the Annex K
-  luminance table, zigzag, differential DC + run-length AC Huffman
-  coding with the Annex K luminance code tables, 0xFF byte stuffing.
-  Edge-replicate padding for dims not a multiple of 8.
-* **Decoder** (``decode_jpeg_gray``): marker parse (SOI/APP/COM/DQT/
-  SOF0/DHT/SOS/EOI), canonical Huffman decode (mincode/maxcode/valptr,
-  T.81 F.2.2.3), dequantize, vectorized IDCT, crop.  Tables are read
-  from the FILE, so any baseline grayscale JPEG decodes, not just our
-  own.  Progressive (SOF2), multi-component scans, 12-bit precision,
-  arithmetic coding and restart markers raise ``NotImplementedError``
-  explicitly; corrupt streams raise ``ValueError`` so the feature path
-  can flag the row instead of aborting the job (JPEG has no CRC).
+* **Encoders** (``encode_jpeg_gray`` / ``encode_jpeg_ycbcr`` /
+  ``encode_jpeg_rgb``): 8-bit baseline sequential DCT — grayscale
+  single-component, and interleaved YCbCr color at 4:4:4 or 4:2:0.
+  Level shift, vectorized 8x8 orthonormal DCT-II (one einsum over all
+  blocks), Annex K luminance/chrominance quantization, zigzag,
+  differential DC + run-length AC Huffman coding, 0xFF byte stuffing,
+  MCU-grid edge-replicate padding.
+* **Decoder** (``decode_jpeg`` / ``decode_jpeg_gray`` /
+  ``decode_jpeg_planes`` / ``decode_jpeg_rgb``): marker parse
+  (SOI/APP/COM/DQT/SOF0/DHT/SOS/EOI), canonical Huffman decode
+  (mincode/maxcode/valptr, T.81 F.2.2.3), MCU-interleaved
+  multi-component scans (grayscale, YCbCr 4:4:4, YCbCr 4:2:0 with
+  per-component tables and DC predictors), dequantize, vectorized
+  IDCT, crop; RGB via JFIF/BT.601 conversion.  Tables are read from
+  the FILE, so any baseline JPEG in those sampling layouts decodes,
+  not just our own.  Progressive (SOF2), other samplings, 12-bit
+  precision, arithmetic coding and restart markers raise
+  ``NotImplementedError`` explicitly; corrupt streams raise
+  ``ValueError`` so the feature path can flag the row instead of
+  aborting the job (JPEG has no CRC).
 * **Coefficient-space path** (``encode_jpeg_from_qcoeffs`` /
   ``decode_jpeg_coeffs``): the entropy layer is LOSSLESS on quantized
   coefficients, so tests pin exact coefficient roundtrips (exercising
@@ -245,39 +251,46 @@ _DC_CODES = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
 _AC_CODES = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
 
 
+def _encode_block(w: _BitWriter, blk: np.ndarray, pred: int) -> int:
+    """Huffman-encode ONE zigzag-ordered quantized block; returns the
+    new DC predictor (Annex K luminance tables for every component —
+    legal JPEG: the decoder reads table selectors from the file)."""
+    diff = int(blk[0]) - pred
+    pred = int(blk[0])
+    cat = _category(diff)
+    code, length = _DC_CODES[cat]
+    w.put(code, length)
+    if cat:
+        w.put(_extend_bits(diff, cat), cat)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = _AC_CODES[0xF0]  # ZRL
+            w.put(code, length)
+            run -= 16
+        cat = _category(v)
+        code, length = _AC_CODES[(run << 4) | cat]
+        w.put(code, length)
+        w.put(_extend_bits(v, cat), cat)
+        run = 0
+    if last < 63:
+        code, length = _AC_CODES[0x00]  # EOB
+        w.put(code, length)
+    return pred
+
+
 def _entropy_encode(qc_flat: np.ndarray) -> bytes:
     """(nblocks, 64) zigzag-ordered quantized coeffs -> entropy bytes."""
-    dc_codes, ac_codes = _DC_CODES, _AC_CODES
     w = _BitWriter()
     pred = 0
     for blk in qc_flat:
-        diff = int(blk[0]) - pred
-        pred = int(blk[0])
-        cat = _category(diff)
-        code, length = dc_codes[cat]
-        w.put(code, length)
-        if cat:
-            w.put(_extend_bits(diff, cat), cat)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
-                w.put(code, length)
-                run -= 16
-            cat = _category(v)
-            code, length = ac_codes[(run << 4) | cat]
-            w.put(code, length)
-            w.put(_extend_bits(v, cat), cat)
-            run = 0
-        if last < 63:
-            code, length = ac_codes[0x00]  # EOB
-            w.put(code, length)
+        pred = _encode_block(w, blk, pred)
     return w.flush()
 
 
@@ -404,31 +417,59 @@ def decode_jpeg_coeffs(payload: bytes):
         raise ValueError(f"malformed JPEG stream: {exc}") from exc
 
 
-def _decode_jpeg_coeffs(payload: bytes):
+def _decode_jpeg_scan(payload: bytes):
+    """Parse + entropy-decode a baseline JPEG scan with 1 or 3
+    components (grayscale, or YCbCr at 4:4:4 / 4:2:0).
+
+    Returns ``(comps, w, h)`` where each comp is a dict with keys
+    ``cid, hi, vi, quant, qc`` — ``qc`` shaped (gh, gw, 8, 8) int32 in
+    natural order over the MCU-padded block grid."""
     payload = bytes(payload)
     quant_tables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     dims = None
-    qsel = 0
-    dc_id = ac_id = 0
+    comps: list[dict] = []
+    sel: dict[int, tuple[int, int]] = {}
     scan = None
     for marker, body, scan_data in _parse_segments(payload):
         if marker in _UNSUPPORTED_SOF:
             raise NotImplementedError(f"{_UNSUPPORTED_SOF[marker]} JPEG not supported")
         if marker == 0xC0:  # SOF0
-            if len(body) < 9:
+            if len(body) < 6:
                 raise ValueError("truncated SOF0 segment")
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
-            if body[5] != 1:
-                raise NotImplementedError("only single-component (grayscale) scans")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError("only 1- or 3-component frames")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 segment")
             if w == 0 or h == 0:
                 # T.81 allows height 0 (deferred to a DNL marker); the
                 # stats contract needs real dims, so flag, don't crash
                 raise ValueError("zero image dimension (DNL-deferred height?)")
-            qsel = body[8]
+            comps = [
+                {
+                    "cid": body[6 + 3 * i],
+                    "hi": body[7 + 3 * i] >> 4,
+                    "vi": body[7 + 3 * i] & 0x0F,
+                    "tq": body[8 + 3 * i],
+                }
+                for i in range(nc)
+            ]
+            factors = [(c["hi"], c["vi"]) for c in comps]
+            if nc == 1:
+                if factors != [(1, 1)]:
+                    # a lone component's sampling factors are vacuous
+                    # but anything else signals a frame we don't model
+                    factors = [(1, 1)]
+                    comps[0]["hi"] = comps[0]["vi"] = 1
+            elif factors not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
+                raise NotImplementedError(
+                    "only 4:4:4 or 4:2:0 YCbCr sampling supported"
+                )
             dims = (w, h)
         elif marker == 0xDB:  # DQT (possibly several tables)
             j = 0
@@ -456,33 +497,52 @@ def _decode_jpeg_coeffs(payload: bytes):
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 j += 17 + nv
         elif marker == 0xDA:  # SOS
-            if len(body) < 6:
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("truncated SOS segment")
-            if body[0] != 1:
-                raise NotImplementedError("only single-component scans")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            if body[0] != len(comps) or not comps:
+                raise NotImplementedError(
+                    "only single interleaved full-frame scans supported"
+                )
+            for i in range(body[0]):
+                sel[body[1 + 2 * i]] = (
+                    body[2 + 2 * i] >> 4,
+                    body[2 + 2 * i] & 0x0F,
+                )
             scan = scan_data
     if dims is None or scan is None:
         raise ValueError("missing SOF0 or SOS")
-    if qsel not in quant_tables or (0, dc_id) not in huff or (1, ac_id) not in huff:
-        raise ValueError("scan references undefined tables")
     w, h = dims
     if w * h > MAX_PIXELS:
         # hostile declared dims would drive a multi-GB coefficient
         # allocation before a single scan bit is read — flag, don't OOM
         raise ValueError(f"declared dimensions {w}x{h} exceed decoder limit")
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    dc_dec, ac_dec = huff[(0, dc_id)], huff[(1, ac_id)]
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    for c in comps:
+        if c["cid"] not in sel:
+            raise ValueError("SOS omits a frame component")
+        c["dc_sel"], c["ac_sel"] = sel[c["cid"]]
+        if c["tq"] not in quant_tables:
+            raise ValueError("scan references undefined quant table")
+        if (0, c["dc_sel"]) not in huff or (1, c["ac_sel"]) not in huff:
+            raise ValueError("scan references undefined huffman table")
+        c["quant"] = quant_tables[c["tq"]]
+        c["gw"], c["gh"] = mcx * c["hi"], mcy * c["vi"]
+        c["zz"] = np.zeros((c["gh"] * c["gw"], 64), dtype=np.int32)
+        c["pred"] = 0
     bits = np.unpackbits(np.frombuffer(scan, dtype=np.uint8))
-    qc = np.zeros((bh * bw, 64), dtype=np.int32)
-    pos, pred = 0, 0
+    pos = 0
 
     def read_raw(pos: int, cat: int) -> tuple[int, int]:
         if pos + cat > len(bits):
             raise ValueError("truncated entropy stream")
         return int(bits[pos : pos + cat] @ _POW2[-cat:]), pos + cat
 
-    for b in range(bh * bw):
+    def decode_block(c: dict, b: int, pos: int) -> int:
+        dc_dec = huff[(0, c["dc_sel"])]
+        ac_dec = huff[(1, c["ac_sel"])]
         cat, pos = dc_dec.decode(bits, pos)
         if cat > 11:
             raise ValueError("invalid DC category")
@@ -490,8 +550,9 @@ def _decode_jpeg_coeffs(payload: bytes):
         if cat:
             raw, pos = read_raw(pos, cat)
             diff = _receive_extend(raw, cat)
-        pred += diff
-        qc[b, 0] = pred
+        c["pred"] += diff
+        row = c["zz"][b]
+        row[0] = c["pred"]
         k = 1
         while k < 64:
             rs, pos = ac_dec.decode(bits, pos)
@@ -505,22 +566,235 @@ def _decode_jpeg_coeffs(payload: bytes):
             if k > 63:
                 raise ValueError("AC run overflows block")
             raw, pos = read_raw(pos, cat)
-            qc[b, k] = _receive_extend(raw, cat)
+            row[k] = _receive_extend(raw, cat)
             k += 1
-    out = np.zeros((bh * bw, 64), dtype=np.int32)
-    out[:, ZIGZAG] = qc
-    return out.reshape(-1, 8, 8), quant_tables[qsel], w, h
+        return pos
+
+    for my in range(mcy):
+        for mx in range(mcx):
+            for c in comps:
+                for r in range(c["vi"]):
+                    for cc in range(c["hi"]):
+                        b = (my * c["vi"] + r) * c["gw"] + (mx * c["hi"] + cc)
+                        pos = decode_block(c, b, pos)
+    out = []
+    for c in comps:
+        nat = np.zeros_like(c["zz"])
+        nat[:, ZIGZAG] = c["zz"]
+        out.append(
+            {
+                "cid": c["cid"],
+                "hi": c["hi"],
+                "vi": c["vi"],
+                "quant": c["quant"],
+                "qc": nat.reshape(c["gh"], c["gw"], 8, 8),
+            }
+        )
+    return out, w, h
+
+
+def _decode_jpeg_coeffs(payload: bytes):
+    comps, w, h = _decode_jpeg_scan(payload)
+    if len(comps) != 1:
+        raise NotImplementedError(
+            "coefficient access is single-component; use decode_jpeg_planes"
+        )
+    c = comps[0]
+    return c["qc"].reshape(-1, 8, 8), c["quant"], w, h
+
+
+def _plane_from_coeffs(qc: np.ndarray, quant: np.ndarray, pw: int, ph: int) -> np.ndarray:
+    """(gh, gw, 8, 8) quantized coeffs -> uint8 (ph, pw) plane."""
+    gh, gw = qc.shape[0], qc.shape[1]
+    coeffs = qc.reshape(-1, 8, 8).astype(np.float64) * quant
+    blocks = np.einsum("ji,njk,kl->nil", _DCT, coeffs, _DCT)
+    img = blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+    return np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)[:ph, :pw]
+
+
+def decode_jpeg_planes(payload: bytes):
+    """Baseline JPEG bytes -> (list of uint8 component planes at their
+    NATIVE sampling resolution, w, h).  One plane for grayscale; Y, Cb,
+    Cr (chroma half-size under 4:2:0) for color."""
+    comps, w, h = _decode_jpeg_scan(payload)
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    planes = []
+    for c in comps:
+        pw = -(-w * c["hi"] // hmax)
+        ph = -(-h * c["vi"] // vmax)
+        planes.append(_plane_from_coeffs(c["qc"], c["quant"], pw, ph))
+    return planes, w, h
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Baseline grayscale JPEG bytes -> uint8 (h, w) pixel array."""
+    """Baseline grayscale JPEG bytes -> uint8 (h, w) pixel array.
+    Raises ``NotImplementedError`` for color frames (use
+    :func:`decode_jpeg_rgb` / :func:`decode_jpeg`)."""
     qc, quant, w, h = decode_jpeg_coeffs(payload)
-    coeffs = qc.astype(np.float64) * quant
-    blocks = np.einsum("ji,njk,kl->nil", _DCT, coeffs, _DCT)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    img = (
-        blocks.reshape(bh, bw, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(bh * 8, bw * 8)
+    gh = (h + 7) // 8
+    gw = (w + 7) // 8
+    return _plane_from_coeffs(qc.reshape(gh, gw, 8, 8), quant, w, h)
+
+
+def _planes_to_rgb(planes, w: int, h: int) -> np.ndarray:
+    y = planes[0].astype(np.float64)
+    up = []
+    for p in planes[1:]:
+        ry = -(-h // p.shape[0])
+        rx = -(-w // p.shape[1])
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        up.append(p[:h, :w].astype(np.float64) - 128.0)
+    cb, cr = up
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
     )
-    return np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_rgb(payload: bytes) -> np.ndarray:
+    """Baseline YCbCr JPEG bytes -> uint8 (h, w, 3) RGB array (JFIF /
+    BT.601 conversion; 4:2:0 chroma upsampled by sample duplication)."""
+    planes, w, h = decode_jpeg_planes(payload)
+    if len(planes) != 3:
+        raise ValueError("decode_jpeg_rgb needs a 3-component frame")
+    return _planes_to_rgb(planes, w, h)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Shape-dispatching decode: 2-D grayscale for 1-component frames,
+    (h, w, 3) RGB for YCbCr frames."""
+    planes, w, h = decode_jpeg_planes(payload)
+    if len(planes) == 1:
+        return planes[0]
+    return _planes_to_rgb(planes, w, h)
+
+
+# ---------------------------------------------------------------------------
+# Color (YCbCr) encode — 4:4:4 and 4:2:0 interleaved baseline
+# ---------------------------------------------------------------------------
+
+#: Annex K Table K.2 — chrominance quantization table, row-major.
+STD_CHROMA_QUANT = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _quantized_grid(plane: np.ndarray, gh: int, gw: int, quant: np.ndarray) -> np.ndarray:
+    """uint8 plane -> (gh, gw, 64) zigzag quantized coeffs over the
+    MCU-padded block grid (edge-replicate padding)."""
+    plane = np.asarray(plane, dtype=np.uint8)
+    ph, pw = gh * 8 - plane.shape[0], gw * 8 - plane.shape[1]
+    if ph < 0 or pw < 0:
+        raise ValueError("plane larger than its block grid")
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    blocks = (
+        plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    ).astype(np.float64)
+    coeffs = np.einsum("ij,njk,lk->nil", _DCT, blocks - 128.0, _DCT)
+    q = np.round(coeffs / quant).astype(np.int64)
+    return q.reshape(-1, 64)[:, ZIGZAG].reshape(gh, gw, 64)
+
+
+def encode_jpeg_ycbcr(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    subsampling: str = "444",
+    quant_luma: np.ndarray = STD_LUMA_QUANT,
+    quant_chroma: np.ndarray = STD_CHROMA_QUANT,
+) -> bytes:
+    """YCbCr planes -> complete baseline color JPEG.  ``subsampling``
+    '444' expects full-size chroma; '420' expects chroma of shape
+    (ceil(h/2), ceil(w/2)) (one chroma sample per 2x2 luma block)."""
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    if subsampling == "444":
+        hv_y, mcx, mcy = 0x11, -(-w // 8), -(-h // 8)
+        cgw, cgh = mcx, mcy
+        cexp = (h, w)
+    elif subsampling == "420":
+        hv_y, mcx, mcy = 0x22, -(-w // 16), -(-h // 16)
+        cgw, cgh = mcx, mcy
+        cexp = (-(-h // 2), -(-w // 2))
+    else:
+        raise ValueError("subsampling must be '444' or '420'")
+    for p in (cb, cr):
+        if np.asarray(p).shape != cexp:
+            raise ValueError(f"chroma shape must be {cexp} for {subsampling}")
+    ygh, ygw = mcy * (hv_y >> 4), mcx * (hv_y & 0x0F)
+    grids = [
+        _quantized_grid(y, ygh, ygw, quant_luma),
+        _quantized_grid(np.asarray(cb, dtype=np.uint8), cgh, cgw, quant_chroma),
+        _quantized_grid(np.asarray(cr, dtype=np.uint8), cgh, cgw, quant_chroma),
+    ]
+    factors = [(hv_y >> 4, hv_y & 0x0F), (1, 1), (1, 1)]
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, (vi, hi) in enumerate(factors):
+                for r in range(vi):
+                    for c in range(hi):
+                        blk = grids[ci][my * vi + r, mx * hi + c]
+                        preds[ci] = _encode_block(wtr, blk, preds[ci])
+    data = wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(quant_luma.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(quant_chroma.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += seg(
+        0xC0,
+        b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03"
+        + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    out += seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
+    out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_rgb(rgb: np.ndarray, subsampling: str = "444") -> bytes:
+    """uint8 (h, w, 3) RGB -> baseline color JPEG (JFIF forward
+    conversion; 4:2:0 chroma by 2x2 block mean)."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    to8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
+    if subsampling == "420":
+        h, w = y.shape
+        ph, pw = (-h) % 2, (-w) % 2
+        if ph or pw:
+            cb = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
+            cr = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+    return encode_jpeg_ycbcr(to8(y), to8(cb), to8(cr), subsampling)

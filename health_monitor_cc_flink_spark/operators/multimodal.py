@@ -67,11 +67,12 @@ def binary_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") ->
 
 def decode_image(payload: bytes):
     """General image decode.  PNGs decode natively via `decode_png`
-    (numpy + zlib) and baseline grayscale JPEGs via
-    `jpeg.decode_jpeg_gray` (pure numpy, no library needed); other
-    formats (color/progressive JPEG, WebP, ...) require PIL, which is
-    not installed in this environment — that branch stays STUBBED and
-    the surrounding plumbing is exercised with `fake_feature_extract`."""
+    (numpy + zlib) and baseline JPEGs — grayscale AND YCbCr color at
+    4:4:4/4:2:0 — via `jpeg.decode_jpeg` (pure numpy, no library
+    needed); other formats (progressive JPEG, exotic samplings, WebP,
+    ...) require PIL, which is not installed in this environment — that
+    branch stays STUBBED and the surrounding plumbing is exercised with
+    `fake_feature_extract`."""
     if bytes(payload[:8]) == _PNG_SIG:
         try:
             return decode_png(payload)
@@ -84,12 +85,12 @@ def decode_image(payload: bytes):
     elif bytes(payload[:3]) == b"\xff\xd8\xff":
         import importlib.util
 
-        from .jpeg import decode_jpeg_gray
+        from .jpeg import decode_jpeg
 
         try:
-            return decode_jpeg_gray(payload)
+            return decode_jpeg(payload)  # gray 2-D or YCbCr->RGB 3-D
         except NotImplementedError:
-            pass  # color/progressive subtype: fall through to PIL
+            pass  # progressive / exotic-sampling subtype: fall to PIL
         except ValueError:
             # a stream our strict parser rejects: let libjpeg try to
             # salvage it when PIL exists, but WITHOUT PIL re-raise the
@@ -1386,5 +1387,109 @@ def avi_mjpeg_frame_sample(df: DataFrame, payload_col: str = "avi",
         schema=(
             "doc_id long, ok boolean, frame_idx long, n_frames long, "
             "width long, height long, px_sum long, px_mean double"
+        ),
+    )
+
+
+def synth_jpeg_color_payload(df: DataFrame, id_col: str = "doc_id",
+                             len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``jpeg`` column of COMPLETE baseline COLOR JPEGs:
+    YCbCr planes of flat even 8×8 blocks (Y: 2·((doc_id+3by+5bx) mod
+    128); Cb: +7by+11bx+1; Cr: +13by+9bx+2), w = 16·(id%4+1),
+    h = 16·(len%4+1); even rows 4:4:4, odd rows 4:2:0 (half-size
+    chroma planes, so the MCU-interleave geometry is exercised in both
+    layouts).  Chroma quantizes with the luminance table so the DC
+    roundtrip stays exact (legal JPEG — tables ride in the file)."""
+    from .jpeg import STD_LUMA_QUANT, encode_jpeg_ycbcr
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(16) * (F.col(id_col) % 4 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 4 + 1)).cast("int").alias("h"),
+        (F.col(id_col) % 2 == 0).alias("is444"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def plane(doc_id, bh, bw, a, b, c):
+            by, bx = np.mgrid[0:bh, 0:bw]
+            v = 2 * ((int(doc_id) + a * by + b * bx + c) % 128)
+            return np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+        for pdf in batches:
+            jpegs = []
+            for doc_id, w, h, is444 in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["is444"]
+            ):
+                w, h = int(w), int(h)
+                y = plane(doc_id, h // 8, w // 8, 3, 5, 0)
+                cdiv = 8 if is444 else 16
+                cb = plane(doc_id, h // cdiv, w // cdiv, 7, 11, 1)
+                cr = plane(doc_id, h // cdiv, w // cdiv, 13, 9, 2)
+                jpegs.append(
+                    encode_jpeg_ycbcr(
+                        y, cb, cr,
+                        "444" if is444 else "420",
+                        quant_chroma=STD_LUMA_QUANT,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+    return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
+
+
+def jpeg_color_decode_features(df: DataFrame, payload_col: str = "jpeg",
+                               id_col: str = "doc_id") -> DataFrame:
+    """REAL color-JPEG decode → per-plane statistics over Arrow
+    batches: MCU-interleaved multi-component Huffman decode, per-plane
+    IDCT at native sampling resolution (no chroma upsampling before
+    stats — 4:2:0 chroma is measured at its true size).  Corrupt or
+    unsupported payloads flag their row."""
+    from .jpeg import decode_jpeg_planes
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("width", "height", "subsampling", "y_sum", "cb_sum",
+                "cr_sum", "y_mean", "cr_max")
+        for pdf in batches:
+            out = {"doc_id": [], "marker_ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    planes, w, h = decode_jpeg_planes(bytes(p))
+                    if len(planes) != 3:
+                        raise ValueError("expected a color frame")
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["marker_ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                y, cb, cr = planes
+                out["doc_id"].append(doc_id)
+                out["marker_ok"].append(True)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["subsampling"].append(
+                    "444" if cb.shape == y.shape else "420"
+                )
+                out["y_sum"].append(int(y.sum(dtype=np.int64)))
+                out["cb_sum"].append(int(cb.sum(dtype=np.int64)))
+                out["cr_sum"].append(int(cr.sum(dtype=np.int64)))
+                out["y_mean"].append(float(y.mean()))
+                out["cr_max"].append(int(cr.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, marker_ok boolean, width long, height long, "
+            "subsampling string, y_sum long, cb_sum long, cr_sum long, "
+            "y_mean double, cr_max long"
         ),
     )

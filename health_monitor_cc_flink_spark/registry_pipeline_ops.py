@@ -5715,6 +5715,65 @@ def mm_jpeg_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_jpeg_color_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(16 * (doc_id % 4 + 1) AS BIGINT) AS w,
+               CAST(16 * (n_chars % 4 + 1) AS BIGINT) AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS cdiv
+        FROM documents
+    ), yb AS (
+        SELECT d.doc_id,
+               CAST(128 * sum((d.doc_id + 3 * byy.by + 5 * bxx.bx) % 128)
+                    AS BIGINT) AS y_sum
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h // 8 - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, d.w // 8 - 1)) AS bxx(bx)
+        GROUP BY d.doc_id
+    ), cbcr AS (
+        SELECT d.doc_id,
+               CAST(128 * sum((d.doc_id + 7 * byy.by + 11 * bxx.bx + 1) % 128)
+                    AS BIGINT) AS cb_sum,
+               CAST(128 * sum((d.doc_id + 13 * byy.by + 9 * bxx.bx + 2) % 128)
+                    AS BIGINT) AS cr_sum,
+               CAST(2 * max((d.doc_id + 13 * byy.by + 9 * bxx.bx + 2) % 128)
+                    AS BIGINT) AS cr_max
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h // d.cdiv - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, d.w // d.cdiv - 1)) AS bxx(bx)
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, TRUE AS marker_ok, d.w AS width, d.h AS height,
+           CASE WHEN d.doc_id % 2 = 0 THEN '444' ELSE '420' END AS subsampling,
+           yb.y_sum, cbcr.cb_sum, cbcr.cr_sum,
+           CAST(yb.y_sum AS DOUBLE) / (d.w * d.h) AS y_mean,
+           cbcr.cr_max
+    FROM dims d JOIN yb USING (doc_id) JOIN cbcr USING (doc_id)
+    """,
+    doc="REAL COLOR JPEG decode under the hash gate: synth writes "
+    "interleaved YCbCr baseline JPEGs — even doc_ids 4:4:4, odd 4:2:0 "
+    "(half-size chroma, 2x2-luma MCUs) — with flat even blocks per "
+    "plane, so the MCU-interleaved multi-component Huffman decode, "
+    "per-component DC predictors and quant-table selectors, and the "
+    "per-plane IDCT are all pixel-exact and every per-plane statistic "
+    "is closed-form from (doc_id, n_chars).  Chroma stats are measured "
+    "at NATIVE sampling resolution (the oracle's chroma block grid "
+    "switches 8 vs 16 with the layout), so a wrong MCU geometry or a "
+    "swapped component shows up as a hash break.  RGB conversion "
+    "(JFIF/BT.601) is pinned separately in tests/test_jpeg.py — float "
+    "color math has no cross-engine closed form.  Completes the JPEG "
+    "story: real corpora are color.  Scale: same Arrow CPU-map "
+    "envelope as the grayscale path.",
+)
+def mm_jpeg_color_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.jpeg_color_decode_features(M.synth_jpeg_color_payload(docs))
+
+
+@query(
     "mm_avi_mjpeg_frame_sample",
     """
     WITH dims AS (

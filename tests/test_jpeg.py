@@ -161,7 +161,7 @@ def test_unsupported_variants_raise_not_implemented():
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(bytes(progressive))
     multi = payload.copy()
-    multi[sof + 9] = 3  # claim 3 components
+    multi[sof + 9] = 2  # 2-component frames stay unsupported (1 or 3 only)
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(bytes(multi))
 
@@ -248,3 +248,114 @@ def test_fuzz_coefficient_entropy_roundtrip(data):
         encode_jpeg_from_qcoeffs(qc.reshape(nb, 8, 8), nb * 8, 8)
     )
     np.testing.assert_array_equal(got.reshape(nb, 64), qc)
+
+
+# ---------------------------------------------------------------------------
+# Color (YCbCr 4:4:4 / 4:2:0, MCU-interleaved)
+# ---------------------------------------------------------------------------
+
+from health_monitor_cc_flink_spark.operators.jpeg import (  # noqa: E402
+    STD_CHROMA_QUANT,
+    decode_jpeg,
+    decode_jpeg_planes,
+    decode_jpeg_rgb,
+    encode_jpeg_rgb,
+    encode_jpeg_ycbcr,
+)
+
+
+def test_color_444_flat_planes_roundtrip_exact():
+    rng = np.random.default_rng(51)
+    y, cb, cr = (flat_block_image(rng, 2, 3) for _ in range(3))
+    # luma quant table for chroma too: DC step 16 divides 8*(v-128)
+    payload = encode_jpeg_ycbcr(y, cb, cr, "444", quant_chroma=STD_LUMA_QUANT)
+    planes, w, h = decode_jpeg_planes(payload)
+    assert (w, h) == (24, 16) and len(planes) == 3
+    for a, b in zip((y, cb, cr), planes):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_color_420_flat_planes_roundtrip_exact():
+    """4:2:0 exercises the 2x2-luma MCU geometry and per-component DC
+    predictors: half-size chroma planes must come back exactly."""
+    rng = np.random.default_rng(53)
+    y = flat_block_image(rng, 4, 6)          # 32x48
+    cb = flat_block_image(rng, 2, 3)         # 16x24
+    cr = flat_block_image(rng, 2, 3)
+    payload = encode_jpeg_ycbcr(y, cb, cr, "420", quant_chroma=STD_LUMA_QUANT)
+    planes, w, h = decode_jpeg_planes(payload)
+    assert (w, h) == (48, 32)
+    assert planes[1].shape == (16, 24) and planes[2].shape == (16, 24)
+    for a, b in zip((y, cb, cr), planes):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_color_rgb_roundtrip_within_quant_error():
+    rng = np.random.default_rng(57)
+    y, x = np.mgrid[0:48, 0:48]
+    img = np.stack(
+        [
+            128 + 70 * np.sin(x / 8.0),
+            128 + 50 * np.cos(y / 6.0),
+            np.full_like(x, 90.0, dtype=np.float64),
+        ],
+        axis=2,
+    )
+    img = np.clip(img + rng.normal(0, 2, img.shape), 0, 255).astype(np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg_rgb(encode_jpeg_rgb(img, sub))
+        assert out.shape == img.shape
+        rmse = float(np.sqrt(np.mean((out.astype(float) - img.astype(float)) ** 2)))
+        assert rmse < 14.0, (sub, rmse)
+
+
+def test_color_odd_dims_and_dispatch():
+    rng = np.random.default_rng(59)
+    img = np.clip(
+        rng.normal(128, 30, (19, 21, 3)), 0, 255
+    ).astype(np.uint8)  # neither dim a multiple of 8 or 16
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg_rgb(img, sub))
+        assert out.shape == (19, 21, 3)
+    gray = decode_jpeg(encode_jpeg_gray(flat_block_image(rng, 1, 1)))
+    assert gray.ndim == 2
+
+
+def test_color_unsupported_sampling_raises():
+    rng = np.random.default_rng(61)
+    payload = bytearray(
+        encode_jpeg_ycbcr(*(flat_block_image(rng, 2, 2) for _ in range(3)), "444")
+    )
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 11] = 0x21  # Y sampling 2x1 (4:2:2) — honestly unsupported
+    with pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg(bytes(payload))
+
+
+def test_gray_coeff_access_rejects_color():
+    rng = np.random.default_rng(63)
+    payload = encode_jpeg_ycbcr(*(flat_block_image(rng, 1, 1) for _ in range(3)), "444")
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(payload)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_coeffs(payload)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300))
+def test_fuzz_color_headers_fail_cleanly(data):
+    """Color frames widen the header surface (per-component selectors,
+    MCU geometry): arbitrary tails after a real color header prefix
+    must still fail with the documented exceptions only."""
+    rng = np.random.default_rng(65)
+    prefix = encode_jpeg_ycbcr(
+        flat_block_image(rng, 2, 2),
+        flat_block_image(rng, 1, 1),
+        flat_block_image(rng, 1, 1),
+        "420",
+    )[:60]
+    try:
+        out = decode_jpeg(bytes(prefix) + data)
+        assert out.ndim in (2, 3)
+    except (ValueError, NotImplementedError):
+        pass

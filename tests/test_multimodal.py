@@ -599,3 +599,36 @@ def test_avi_hostile_payloads_flag_not_crash(spark):
     )
     rows = {r.doc_id: r for r in avi_mjpeg_frame_sample(df, every=1).collect()}
     assert rows[1].ok and rows[2].ok is False
+
+
+def test_jpeg_color_decode_features_flags_and_native_chroma(spark):
+    """Color Arrow path: a 4:2:0 payload reports half-size-native
+    chroma stats, a grayscale payload is flagged (not a color frame),
+    and truncation flags too."""
+    import numpy as np
+    from test_jpeg import flat_block_image
+
+    from health_monitor_cc_flink_spark.operators.jpeg import (
+        STD_LUMA_QUANT,
+        encode_jpeg_gray,
+        encode_jpeg_ycbcr,
+    )
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        jpeg_color_decode_features,
+    )
+
+    rng = np.random.default_rng(67)
+    y = flat_block_image(rng, 4, 4)
+    cb, cr = flat_block_image(rng, 2, 2), flat_block_image(rng, 2, 2)
+    color = encode_jpeg_ycbcr(y, cb, cr, "420", quant_chroma=STD_LUMA_QUANT)
+    gray = encode_jpeg_gray(y)
+    df = spark.createDataFrame(
+        [(1, bytes(color)), (2, bytes(gray)), (3, bytes(color[:50]))],
+        "doc_id long, jpeg binary",
+    )
+    got = {r.doc_id: r for r in jpeg_color_decode_features(df).collect()}
+    assert got[1].marker_ok and got[1].subsampling == "420"
+    assert got[1].y_sum == int(y.sum()) and got[1].cb_sum == int(cb.sum())
+    assert got[1].cr_max == int(cr.max())
+    assert got[2].marker_ok is False  # grayscale: not a color frame
+    assert got[3].marker_ok is False  # truncated
