@@ -21,11 +21,12 @@ end-to-end against a closed-form DuckDB oracle:
   per-component tables and DC predictors), dequantize, vectorized
   IDCT, crop; RGB via JFIF/BT.601 conversion.  Tables are read from
   the FILE, so any baseline JPEG in those sampling layouts decodes,
-  not just our own.  Progressive (SOF2), other samplings, 12-bit
-  precision, arithmetic coding and restart markers raise
-  ``NotImplementedError`` explicitly; corrupt streams raise
-  ``ValueError`` so the feature path can flag the row instead of
-  aborting the job (JPEG has no CRC).
+  not just our own.  Restart markers are SUPPORTED (DRI + cycling
+  RSTn: byte-aligned segments, DC predictor resets, sequence
+  validation).  Progressive (SOF2), other samplings, 12-bit precision
+  and arithmetic coding raise ``NotImplementedError`` explicitly;
+  corrupt streams raise ``ValueError`` so the feature path can flag
+  the row instead of aborting the job (JPEG has no CRC).
 * **Coefficient-space path** (``encode_jpeg_from_qcoeffs`` /
   ``decode_jpeg_coeffs``): the entropy layer is LOSSLESS on quantized
   coefficients, so tests pin exact coefficient roundtrips (exercising
@@ -285,16 +286,36 @@ def _encode_block(w: _BitWriter, blk: np.ndarray, pred: int) -> int:
     return pred
 
 
-def _entropy_encode(qc_flat: np.ndarray) -> bytes:
+def _encode_scan(mcus, ncomp: int, restart_interval: int = 0) -> bytes:
+    """Entropy-encode a full scan.  ``mcus``: per MCU, the list of
+    (comp_idx, zigzag_block64) in interleave order.  A non-zero
+    ``restart_interval`` splits the stream into byte-aligned segments
+    joined by cycling RSTn markers with DC predictors reset — exactly
+    what the decoder's restart path consumes."""
+    writers = [_BitWriter()]
+    preds = [0] * ncomp
+    for m, blocks in enumerate(mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            writers.append(_BitWriter())
+            preds = [0] * ncomp
+        for ci, blk in blocks:
+            preds[ci] = _encode_block(writers[-1], blk, preds[ci])
+    data = writers[0].flush()
+    for i, wtr in enumerate(writers[1:]):
+        data += bytes([0xFF, 0xD0 + (i % 8)]) + wtr.flush()
+    return data
+
+
+def _entropy_encode(qc_flat: np.ndarray, restart_interval: int = 0) -> bytes:
     """(nblocks, 64) zigzag-ordered quantized coeffs -> entropy bytes."""
-    w = _BitWriter()
-    pred = 0
-    for blk in qc_flat:
-        pred = _encode_block(w, blk, pred)
-    return w.flush()
+    return _encode_scan(
+        [[(0, blk)] for blk in qc_flat], 1, restart_interval
+    )
 
 
-def _segments(w: int, h: int, quant: np.ndarray, data: bytes) -> bytes:
+def _segments(
+    w: int, h: int, quant: np.ndarray, data: bytes, restart_interval: int = 0
+) -> bytes:
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
@@ -307,19 +328,27 @@ def _segments(w: int, h: int, quant: np.ndarray, data: bytes) -> bytes:
     )
     out += seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))  # DHT dc0
     out += seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))  # DHT ac0
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))  # DRI
     out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += data
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-def encode_jpeg_gray(arr: np.ndarray, quant: np.ndarray = STD_LUMA_QUANT) -> bytes:
-    """8-bit grayscale array -> complete baseline JPEG bytes."""
+def encode_jpeg_gray(
+    arr: np.ndarray,
+    quant: np.ndarray = STD_LUMA_QUANT,
+    restart_interval: int = 0,
+) -> bytes:
+    """8-bit grayscale array -> complete baseline JPEG bytes.  A
+    non-zero ``restart_interval`` (MCUs) emits DRI + cycling RSTn
+    markers — the error-resilience feature real encoders use."""
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape
     qc = quantized_coeffs(arr, quant)
-    data = _entropy_encode(qc.reshape(-1, 64)[:, ZIGZAG])
-    return _segments(w, h, quant, data)
+    data = _entropy_encode(qc.reshape(-1, 64)[:, ZIGZAG], restart_interval)
+    return _segments(w, h, quant, data, restart_interval)
 
 
 def encode_jpeg_from_qcoeffs(
@@ -355,8 +384,10 @@ _UNSUPPORTED_SOF = {
 
 
 def _parse_segments(payload: bytes):
-    """Yield (marker, payload_bytes, scan_data) walking the stream;
-    scan_data is non-None only for SOS."""
+    """Yield (marker, payload_bytes, scan_chunks) walking the stream;
+    scan_chunks (non-None only for SOS) is the list of unstuffed
+    entropy-coded byte runs split at RSTn restart markers, whose
+    modulo-8 cycling (T.81 B.2.1.2) is validated here."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
@@ -384,8 +415,11 @@ def _parse_segments(payload: bytes):
         if marker != 0xDA:
             yield marker, body, None
             continue
-        # entropy-coded scan: unstuff until the next real marker
+        # entropy-coded scan: unstuff until the next real marker,
+        # splitting at restart markers and checking their cycle
+        chunks: list[bytes] = []
         scan = bytearray()
+        rst_expect = 0
         while i < n:
             b = payload[i]
             if b != 0xFF:
@@ -397,10 +431,16 @@ def _parse_segments(payload: bytes):
                 scan.append(0xFF)
                 i += 2
             elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("restart markers not supported")
+                if nxt - 0xD0 != rst_expect:
+                    raise ValueError("restart marker out of sequence")
+                rst_expect = (rst_expect + 1) % 8
+                chunks.append(bytes(scan))
+                scan = bytearray()
+                i += 2
             else:
                 break
-        yield marker, body, bytes(scan)
+        chunks.append(bytes(scan))
+        yield marker, body, chunks
 
 
 def decode_jpeg_coeffs(payload: bytes):
@@ -431,6 +471,7 @@ def _decode_jpeg_scan(payload: bytes):
     comps: list[dict] = []
     sel: dict[int, tuple[int, int]] = {}
     scan = None
+    ri = 0
     for marker, body, scan_data in _parse_segments(payload):
         if marker in _UNSUPPORTED_SOF:
             raise NotImplementedError(f"{_UNSUPPORTED_SOF[marker]} JPEG not supported")
@@ -496,6 +537,10 @@ def _decode_jpeg_scan(payload: bytes):
                 vals = list(body[j + 17 : j + 17 + nv])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 j += 17 + nv
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            ri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS
             if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("truncated SOS segment")
@@ -532,7 +577,11 @@ def _decode_jpeg_scan(payload: bytes):
         c["gw"], c["gh"] = mcx * c["hi"], mcy * c["vi"]
         c["zz"] = np.zeros((c["gh"] * c["gw"], 64), dtype=np.int32)
         c["pred"] = 0
-    bits = np.unpackbits(np.frombuffer(scan, dtype=np.uint8))
+    chunks = scan
+    if len(chunks) > 1 and ri == 0:
+        raise ValueError("restart markers present but no DRI interval")
+    chunk_idx = 0
+    bits = np.unpackbits(np.frombuffer(chunks[0], dtype=np.uint8))
     pos = 0
 
     def read_raw(pos: int, cat: int) -> tuple[int, int]:
@@ -570,13 +619,24 @@ def _decode_jpeg_scan(payload: bytes):
             k += 1
         return pos
 
-    for my in range(mcy):
-        for mx in range(mcx):
+    n_mcus = mcy * mcx
+    for mcu in range(n_mcus):
+        if ri and mcu and mcu % ri == 0:
+            # restart boundary: next entropy chunk, byte-aligned, DC
+            # predictors reset (T.81 F.2.1.3.1)
+            chunk_idx += 1
+            if chunk_idx >= len(chunks):
+                raise ValueError("missing restart segment")
+            bits = np.unpackbits(np.frombuffer(chunks[chunk_idx], dtype=np.uint8))
+            pos = 0
             for c in comps:
-                for r in range(c["vi"]):
-                    for cc in range(c["hi"]):
-                        b = (my * c["vi"] + r) * c["gw"] + (mx * c["hi"] + cc)
-                        pos = decode_block(c, b, pos)
+                c["pred"] = 0
+        my, mx = divmod(mcu, mcx)
+        for c in comps:
+            for r in range(c["vi"]):
+                for cc in range(c["hi"]):
+                    b = (my * c["vi"] + r) * c["gw"] + (mx * c["hi"] + cc)
+                    pos = decode_block(c, b, pos)
     out = []
     for c in comps:
         nat = np.zeros_like(c["zz"])
@@ -720,10 +780,12 @@ def encode_jpeg_ycbcr(
     subsampling: str = "444",
     quant_luma: np.ndarray = STD_LUMA_QUANT,
     quant_chroma: np.ndarray = STD_CHROMA_QUANT,
+    restart_interval: int = 0,
 ) -> bytes:
     """YCbCr planes -> complete baseline color JPEG.  ``subsampling``
     '444' expects full-size chroma; '420' expects chroma of shape
-    (ceil(h/2), ceil(w/2)) (one chroma sample per 2x2 luma block)."""
+    (ceil(h/2), ceil(w/2)) (one chroma sample per 2x2 luma block).
+    Non-zero ``restart_interval`` emits DRI + cycling RSTn markers."""
     y = np.asarray(y, dtype=np.uint8)
     h, w = y.shape
     if subsampling == "444":
@@ -746,16 +808,17 @@ def encode_jpeg_ycbcr(
         _quantized_grid(np.asarray(cr, dtype=np.uint8), cgh, cgw, quant_chroma),
     ]
     factors = [(hv_y >> 4, hv_y & 0x0F), (1, 1), (1, 1)]
-    wtr = _BitWriter()
-    preds = [0, 0, 0]
-    for my in range(mcy):
-        for mx in range(mcx):
-            for ci, (vi, hi) in enumerate(factors):
-                for r in range(vi):
-                    for c in range(hi):
-                        blk = grids[ci][my * vi + r, mx * hi + c]
-                        preds[ci] = _encode_block(wtr, blk, preds[ci])
-    data = wtr.flush()
+    mcus = [
+        [
+            (ci, grids[ci][my * vi + r, mx * hi + c])
+            for ci, (vi, hi) in enumerate(factors)
+            for r in range(vi)
+            for c in range(hi)
+        ]
+        for my in range(mcy)
+        for mx in range(mcx)
+    ]
+    data = _encode_scan(mcus, 3, restart_interval)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
@@ -774,6 +837,8 @@ def encode_jpeg_ycbcr(
     )
     out += seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
     out += seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))  # DRI
     out += seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
     out += data
     out += b"\xff\xd9"

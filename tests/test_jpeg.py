@@ -359,3 +359,45 @@ def test_fuzz_color_headers_fail_cleanly(data):
         assert out.ndim in (2, 3)
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_restart_markers_roundtrip_gray_and_color():
+    """DRI + cycling RSTn: byte-aligned restart segments with DC
+    predictor resets must roundtrip pixel-exact in both grayscale and
+    interleaved color, including intervals that exercise the RST
+    modulo-8 cycle (>8 restarts)."""
+    rng = np.random.default_rng(71)
+    img = flat_block_image(rng, 4, 5)  # 20 MCUs
+    for ri in (1, 3, 7):
+        payload = encode_jpeg_gray(img, restart_interval=ri)
+        assert b"\xff\xdd" in payload and b"\xff\xd0" in payload
+        np.testing.assert_array_equal(decode_jpeg_gray(payload), img)
+    y = flat_block_image(rng, 4, 6)
+    cb, cr = flat_block_image(rng, 2, 3), flat_block_image(rng, 2, 3)
+    payload = encode_jpeg_ycbcr(
+        y, cb, cr, "420", quant_chroma=STD_LUMA_QUANT, restart_interval=1
+    )
+    planes, _, _ = decode_jpeg_planes(payload)
+    for a, b in zip((y, cb, cr), planes):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_restart_marker_abuse_fails_cleanly():
+    rng = np.random.default_rng(73)
+    payload = bytearray(encode_jpeg_gray(flat_block_image(rng, 2, 4), restart_interval=2))
+    # out-of-sequence RST: flip D0 -> D3
+    pos = payload.index(b"\xff\xd0")
+    broken = payload.copy()
+    broken[pos + 1] = 0xD3
+    with pytest.raises(ValueError, match="sequence"):
+        decode_jpeg_gray(bytes(broken))
+    # RST markers without a DRI segment
+    no_dri = bytearray(payload)
+    dri = no_dri.index(b"\xff\xdd")
+    del no_dri[dri : dri + 6]
+    with pytest.raises(ValueError, match="DRI"):
+        decode_jpeg_gray(bytes(no_dri))
+    # truncated: drop the last restart segment entirely
+    last = bytes(payload[: payload.index(b"\xff\xd0") + 2]) + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(last)
