@@ -1493,3 +1493,85 @@ def jpeg_color_decode_features(df: DataFrame, payload_col: str = "jpeg",
             "y_mean double, cr_max long"
         ),
     )
+
+
+# -----------------------------------------------------------------------------
+# FLAC — compressed LOSSLESS audio (operators/flac.py, RFC 9639 subset).
+# Losslessness makes the gate trivial compared to the image codecs:
+# any deterministic synthetic waveform decodes back bit-exactly, so the
+# oracle is the waveform formula itself; CRC-8/16 + md5 give the codec
+# a spec-native corrupt-payload story.
+# -----------------------------------------------------------------------------
+
+
+def synth_flac_payload(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``flac`` column of COMPLETE FLAC files: mono 16-bit
+    sawtooth s[i] = ((doc_id*31 + 7*i) mod 2048) - 1024 with
+    n = n_chars + 500 samples at 8000*(doc_id%4+1) Hz — a predictable
+    signal the FIXED predictors genuinely compress (~2.7x)."""
+    from .flac import encode_flac
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(len_col) + 500).cast("int").alias("n"),
+        (F.lit(8000) * (F.col(id_col) % 4 + 1)).cast("int").alias("sr"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            flacs = []
+            for doc_id, n, sr in zip(pdf["doc_id"], pdf["n"], pdf["sr"]):
+                i = np.arange(int(n), dtype=np.int64)
+                s = ((int(doc_id) * 31 + 7 * i) % 2048 - 1024).astype(np.int16)
+                flacs.append(encode_flac(s, int(sr)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "flac": flacs})
+
+    return src.mapInPandas(gen, schema="doc_id long, flac binary")
+
+
+def flac_decode_features(df: DataFrame, payload_col: str = "flac",
+                         id_col: str = "doc_id") -> DataFrame:
+    """REAL compressed-audio decode over Arrow batches: full FLAC
+    parse (STREAMINFO, frame headers, FIXED/Rice subframes) with CRC-8,
+    CRC-16 and md5 all verified, reduced to integer-exact sample
+    statistics.  Corrupt payloads flag their row (ok=false)."""
+    from .flac import decode_flac
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("n_samples", "sample_rate", "sample_sum", "s_min", "s_max")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    s, sr = decode_flac(bytes(p), verify=True)
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["n_samples"].append(int(s.shape[0]))
+                out["sample_rate"].append(int(sr))
+                out["sample_sum"].append(int(s.sum(dtype=np.int64)))
+                out["s_min"].append(int(s.min()))
+                out["s_max"].append(int(s.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, ok boolean, n_samples long, sample_rate long, "
+            "sample_sum long, s_min long, s_max long"
+        ),
+    )

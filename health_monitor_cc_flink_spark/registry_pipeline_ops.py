@@ -5715,6 +5715,49 @@ def mm_jpeg_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_flac_decode_features",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(n_chars + 500 AS BIGINT) AS n,
+               CAST(8000 * (doc_id % 4 + 1) AS BIGINT) AS sr
+        FROM documents
+    ), s AS (
+        SELECT p.doc_id, p.n, p.sr,
+               (p.doc_id * 31 + 7 * i.i) % 2048 - 1024 AS v
+        FROM p, LATERAL unnest(generate_series(0, p.n - 1)) AS i(i)
+    )
+    SELECT doc_id, TRUE AS ok,
+           any_value(n) AS n_samples,
+           any_value(sr) AS sample_rate,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(min(v) AS BIGINT) AS s_min,
+           CAST(max(v) AS BIGINT) AS s_max
+    FROM s GROUP BY doc_id
+    """,
+    doc="REAL compressed-audio decode under the hash gate — no media "
+    "library (operators/flac.py: RFC 9639 subset in pure numpy — "
+    "STREAMINFO, frame headers with UTF-8-style numbering, FIXED "
+    "polynomial predictors, Rice-coded residuals with partitions and "
+    "escapes, CRC-8 + CRC-16 + md5 all verified): synth_flac_payload "
+    "writes genuinely-compressed sawtooth signals (~2.7x smaller than "
+    "raw PCM), flac_decode_features decodes and reduces to "
+    "integer-exact sample statistics.  FLAC is LOSSLESS, so the "
+    "oracle is simply the waveform formula — one wrong bit anywhere "
+    "in predictor reconstruction, Rice decoding or frame assembly "
+    "breaks the hash (and usually the md5 first).  Extends the audio "
+    "story beyond uncompressed WAV to the compressed format real "
+    "audio corpora are stored in.  Scale: Arrow CPU-map envelope like "
+    "the other codecs.",
+)
+def mm_flac_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.flac_decode_features(M.synth_flac_payload(docs))
+
+
+@query(
     "mm_jpeg_color_decode_features",
     """
     WITH dims AS (

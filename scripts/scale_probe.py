@@ -205,6 +205,7 @@ PROBE_QUERIES = (
     "mm_jpeg_decode_features",
     "mm_avi_mjpeg_frame_sample",
     "mm_jpeg_color_decode_features",
+    "mm_flac_decode_features",
     "agg_hll_mergeable_rollup",
     "agg_approx_battery",
     "agg_sketch_profile",
