@@ -108,6 +108,9 @@ class _BitWriter:
         return bytes(self.buf)
 
 
+_POW2_64 = 1 << np.arange(62, -1, -1, dtype=np.int64)  # MSB-first weights
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
@@ -116,9 +119,7 @@ class _BitReader:
     def read(self, n: int) -> int:
         if self.pos + n > len(self.bits):
             raise ValueError("truncated FLAC bitstream")
-        v = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
+        v = int(self.bits[self.pos : self.pos + n] @ _POW2_64[-n:]) if n else 0
         self.pos += n
         return v
 
@@ -265,8 +266,12 @@ def _encode_subframe(w: _BitWriter, s: np.ndarray) -> None:
 def decode_flac(payload: bytes, verify: bool = True):
     """FLAC bytes -> (samples int16 (n,) or (n, 2), sample_rate).
 
-    Verifies frame CRC-8/CRC-16 and the STREAMINFO md5 when ``verify``
-    (one corrupt byte anywhere fails loudly with ``ValueError``)."""
+    Verifies frame-header CRC-8, whole-frame CRC-16 and the STREAMINFO
+    md5 of the decoded samples when ``verify``, and rejects trailing
+    bytes after the final frame — so corruption anywhere in frame data
+    or samples fails loudly with ``ValueError``.  (Like real FLAC, the
+    non-md5 STREAMINFO fields themselves carry no checksum; the
+    sample-rate field is at least bounds-checked per RFC 9639.)"""
     payload = bytes(payload)
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream (missing fLaC magic)")
@@ -308,14 +313,19 @@ def decode_flac(payload: bytes, verify: bool = True):
         raise ValueError("declared sample count exceeds decoder limit")
     if sample_rate == 0 or total == 0:
         raise ValueError("STREAMINFO declares zero rate or length")
+    if sample_rate > 655350:  # RFC 9639 upper bound
+        raise ValueError("STREAMINFO sample rate out of range")
 
     chans = [[] for _ in range(n_channels)]
     got = 0
+    # ONE unpackbits over the whole stream; frames are byte-aligned, so
+    # the reader just repositions to i*8 per frame (re-unpacking the
+    # remaining payload per frame would be O(frames x size))
+    rd = _BitReader(payload)
     while got < total:
-        frame_start = i
         if i + 2 > len(payload):
             raise ValueError("truncated frame header")
-        rd = _BitReader(payload[i:])
+        rd.pos = i * 8
         if rd.read(14) != 0b11111111111110:
             raise ValueError("bad frame sync")
         rd.read(1)
@@ -359,12 +369,12 @@ def decode_flac(payload: bytes, verify: bool = True):
         elif sr_code == 0b1111:
             raise ValueError("invalid sample rate code")
         rd.align()
-        hdr_len = rd.byte_pos()
+        hdr_len = rd.byte_pos() - i
         if _crc8(payload[i : i + hdr_len]) != (
             payload[i + hdr_len] if i + hdr_len < len(payload) else -1
         ):
             raise ValueError("frame header CRC-8 mismatch")
-        rd.pos = (hdr_len + 1) * 8
+        rd.pos = (i + hdr_len + 1) * 8
         if chan_code == 0b0000:
             frame_chans = 1
         elif chan_code == 0b0001:
@@ -380,7 +390,7 @@ def decode_flac(payload: bytes, verify: bool = True):
         for ch in range(n_channels):
             chans[ch].extend(_decode_subframe(rd, bs, bps))
         rd.align()
-        end = i + rd.byte_pos()
+        end = rd.byte_pos()
         if end + 2 > len(payload):
             raise ValueError("truncated frame footer")
         if verify and _crc16(payload[i:end]) != int.from_bytes(
@@ -391,12 +401,16 @@ def decode_flac(payload: bytes, verify: bool = True):
         got += bs
     if got != total:
         raise ValueError("frame sample count disagrees with STREAMINFO")
+    if i != len(payload):
+        raise ValueError("trailing bytes after the final frame")
     arr = np.stack(
         [np.asarray(c[:total], dtype=np.int64) for c in chans], axis=1
     )
     if verify:
-        md5 = hashlib.md5(arr.astype("<i2").tobytes()).digest()
-        if md5 != md5_expect:
+        # RFC 9639: md5 is over raw little-endian samples at the
+        # stream's OWN width (1 byte for 8 bps, 2 for 16)
+        raw = arr.astype("<i2" if bps == 16 else "i1").tobytes()
+        if hashlib.md5(raw).digest() != md5_expect:
             raise ValueError("decoded-sample md5 mismatch")
     out = arr.astype(np.int16)
     return (out[:, 0] if n_channels == 1 else out), sample_rate

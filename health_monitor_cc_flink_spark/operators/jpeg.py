@@ -114,9 +114,9 @@ def _zigzag_order() -> np.ndarray:
 
 ZIGZAG = _zigzag_order()
 
-#: Decode-side cap on declared pixel count (64 Mpx ≈ 256 MB of int32
-#: coefficients): beyond this a hostile SOF0 would OOM the executor
-#: before any entropy data is validated.
+#: Decode-side cap on the TOTAL declared coefficient count across all
+#: components (64 M ≈ 256 MB of int32): beyond this a hostile SOF0
+#: would OOM the executor before any entropy data is validated.
 MAX_PIXELS = 1 << 26
 
 _POW2 = 1 << np.arange(25, dtype=np.int64)[::-1]  # MSB-first bit weights
@@ -227,23 +227,31 @@ def _receive_extend(raw: int, cat: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _blockify(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """uint8 (h, w) -> float64 (nblocks, 8, 8) with edge-replicate pad."""
-    h, w = arr.shape
-    ph, pw = (-h) % 8, (-w) % 8
+def _quantized_blocks(
+    plane: np.ndarray, gh: int, gw: int, quant: np.ndarray
+) -> np.ndarray:
+    """uint8 plane -> (gh*gw, 8, 8) int32 quantized coefficients in
+    natural order over a (gh, gw) block grid (edge-replicate padding)
+    — the ONE forward pad/blockify/DCT/quantize pipeline, shared by
+    the grayscale and color encoders."""
+    plane = np.asarray(plane, dtype=np.uint8)
+    ph, pw = gh * 8 - plane.shape[0], gw * 8 - plane.shape[1]
+    if ph < 0 or pw < 0:
+        raise ValueError("plane larger than its block grid")
     if ph or pw:
-        arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
-    bh, bw = arr.shape[0] // 8, arr.shape[1] // 8
-    blocks = arr.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    return blocks.astype(np.float64), bh, bw
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    blocks = (
+        plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    ).astype(np.float64)
+    coeffs = np.einsum("ij,njk,lk->nil", _DCT, blocks - 128.0, _DCT)
+    return np.round(coeffs / quant).astype(np.int32)
 
 
 def quantized_coeffs(arr: np.ndarray, quant: np.ndarray = STD_LUMA_QUANT) -> np.ndarray:
     """Forward path up to (and including) quantization: (nblocks, 8, 8)
     int32 quantized coefficients in natural (row, col) order."""
-    blocks, _, _ = _blockify(np.asarray(arr, dtype=np.uint8))
-    coeffs = np.einsum("ij,njk,lk->nil", _DCT, blocks - 128.0, _DCT)
-    return np.round(coeffs / quant).astype(np.int32)
+    arr = np.asarray(arr, dtype=np.uint8)
+    return _quantized_blocks(arr, -(-arr.shape[0] // 8), -(-arr.shape[1] // 8), quant)
 
 
 #: Canonical code dicts for the fixed Annex K tables, derived once at
@@ -313,27 +321,57 @@ def _entropy_encode(qc_flat: np.ndarray, restart_interval: int = 0) -> bytes:
     )
 
 
-def _segments(
-    w: int, h: int, quant: np.ndarray, data: bytes, restart_interval: int = 0
-) -> bytes:
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+_APP0_JFIF = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
 
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _assemble(
+    w: int,
+    h: int,
+    quants: list,
+    sof_comps: list,
+    data: bytes,
+    restart_interval: int = 0,
+) -> bytes:
+    """ONE marker-assembly path for both encoders.  ``quants``: list of
+    (table_id, 8x8 array); ``sof_comps``: list of (cid, hv, tq) — SOS
+    selectors are always table 0 (what both encoders emit)."""
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    out += seg(0xDB, b"\x00" + bytes(quant.reshape(-1)[ZIGZAG].astype(np.uint8)))  # DQT
-    out += seg(
-        0xC0,  # SOF0: 8-bit, 1 component, no subsampling, qtable 0
-        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00",
+    out += _seg(0xE0, _APP0_JFIF)
+    for tid, q in quants:
+        out += _seg(
+            0xDB, bytes([tid]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8))
+        )
+    out += _seg(
+        0xC0,
+        b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([len(sof_comps)])
+        + bytes(b for comp in sof_comps for b in comp),
     )
-    out += seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))  # DHT dc0
-    out += seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))  # DHT ac0
+    out += _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
     if restart_interval:
-        out += seg(0xDD, restart_interval.to_bytes(2, "big"))  # DRI
-    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))  # DRI
+    out += _seg(
+        0xDA,
+        bytes([len(sof_comps)])
+        + bytes(b for comp in sof_comps for b in (comp[0], 0x00))
+        + b"\x00\x3f\x00",
+    )
     out += data
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _segments(
+    w: int, h: int, quant: np.ndarray, data: bytes, restart_interval: int = 0
+) -> bytes:
+    return _assemble(w, h, [(0, quant)], [(1, 0x11, 0)], data, restart_interval)
 
 
 def encode_jpeg_gray(
@@ -557,14 +595,21 @@ def _decode_jpeg_scan(payload: bytes):
     if dims is None or scan is None:
         raise ValueError("missing SOF0 or SOS")
     w, h = dims
-    if w * h > MAX_PIXELS:
-        # hostile declared dims would drive a multi-GB coefficient
-        # allocation before a single scan bit is read — flag, don't OOM
-        raise ValueError(f"declared dimensions {w}x{h} exceed decoder limit")
     hmax = max(c["hi"] for c in comps)
     vmax = max(c["vi"] for c in comps)
     mcx = -(-w // (8 * hmax))
     mcy = -(-h // (8 * vmax))
+    # hostile declared dims would drive a multi-GB coefficient
+    # allocation before a single scan bit is read — bound the TOTAL
+    # coefficient count across all components (not just w*h: a
+    # 3-component 4:4:4 frame allocates 3x), flag, don't OOM
+    total_coeffs = sum(
+        (mcx * c["hi"]) * (mcy * c["vi"]) * 64 for c in comps
+    )
+    if total_coeffs > MAX_PIXELS:
+        raise ValueError(
+            f"declared dimensions {w}x{h}x{len(comps)} exceed decoder limit"
+        )
     for c in comps:
         if c["cid"] not in sel:
             raise ValueError("SOS omits a frame component")
@@ -758,18 +803,8 @@ STD_CHROMA_QUANT = np.array(
 
 def _quantized_grid(plane: np.ndarray, gh: int, gw: int, quant: np.ndarray) -> np.ndarray:
     """uint8 plane -> (gh, gw, 64) zigzag quantized coeffs over the
-    MCU-padded block grid (edge-replicate padding)."""
-    plane = np.asarray(plane, dtype=np.uint8)
-    ph, pw = gh * 8 - plane.shape[0], gw * 8 - plane.shape[1]
-    if ph < 0 or pw < 0:
-        raise ValueError("plane larger than its block grid")
-    if ph or pw:
-        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-    blocks = (
-        plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    ).astype(np.float64)
-    coeffs = np.einsum("ij,njk,lk->nil", _DCT, blocks - 128.0, _DCT)
-    q = np.round(coeffs / quant).astype(np.int64)
+    MCU-padded block grid (shared pipeline: `_quantized_blocks`)."""
+    q = _quantized_blocks(plane, gh, gw, quant).astype(np.int64)
     return q.reshape(-1, 64)[:, ZIGZAG].reshape(gh, gw, 64)
 
 
@@ -819,30 +854,14 @@ def encode_jpeg_ycbcr(
         for mx in range(mcx)
     ]
     data = _encode_scan(mcus, 3, restart_interval)
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(quant_luma.reshape(-1)[ZIGZAG].astype(np.uint8)))
-    out += seg(0xDB, b"\x01" + bytes(quant_chroma.reshape(-1)[ZIGZAG].astype(np.uint8)))
-    out += seg(
-        0xC0,
-        b"\x08"
-        + h.to_bytes(2, "big")
-        + w.to_bytes(2, "big")
-        + b"\x03"
-        + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    return _assemble(
+        w,
+        h,
+        [(0, quant_luma), (1, quant_chroma)],
+        [(1, hv_y, 0), (2, 0x11, 1), (3, 0x11, 1)],
+        data,
+        restart_interval,
     )
-    out += seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
-    out += seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
-    if restart_interval:
-        out += seg(0xDD, restart_interval.to_bytes(2, "big"))  # DRI
-    out += seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
-    out += data
-    out += b"\xff\xd9"
-    return bytes(out)
 
 
 def encode_jpeg_rgb(rgb: np.ndarray, subsampling: str = "444") -> bytes:

@@ -106,3 +106,22 @@ def test_fuzz_roundtrip_random_signals(data):
     out, sr = decode_flac(encode_flac(s, 22050, block_size=256))
     assert sr == 22050
     np.testing.assert_array_equal(out, s)
+
+
+def test_trailing_garbage_and_bad_sample_rate_rejected():
+    rng = np.random.default_rng(11)
+    s = rng.integers(-500, 500, 800).astype(np.int16)
+    payload = encode_flac(s, 8000)
+    with pytest.raises(ValueError, match="trailing"):
+        decode_flac(payload + b"GARBAGE")
+    # flip a bit inside the (format-unprotected) sample-rate field: the
+    # decoder at least bounds-checks it against RFC 9639's maximum
+    hacked = bytearray(payload)
+    sr_byte = 8 + 10  # STREAMINFO starts at 8; sample rate at bit 80
+    hacked[sr_byte] = 0xFF
+    hacked[sr_byte + 1] = 0xFF
+    try:
+        decode_flac(bytes(hacked))
+        raise AssertionError("out-of-range sample rate accepted")
+    except ValueError:
+        pass

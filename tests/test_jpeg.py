@@ -401,3 +401,16 @@ def test_restart_marker_abuse_fails_cleanly():
     last = bytes(payload[: payload.index(b"\xff\xd0") + 2]) + b"\xff\xd9"
     with pytest.raises(ValueError):
         decode_jpeg_gray(last)
+
+
+def test_hostile_color_dims_capped_per_component():
+    """A 3-component 4:4:4 frame at exactly the old w*h cap must now be
+    rejected: the guard bounds TOTAL coefficients across components."""
+    rng = np.random.default_rng(67)
+    payload = bytearray(
+        encode_jpeg_ycbcr(*(flat_block_image(rng, 1, 1) for _ in range(3)), "444")
+    )
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 5 : sof + 9] = (8192).to_bytes(2, "big") * 2  # 8192x8192x3
+    with pytest.raises(ValueError, match="decoder limit"):
+        decode_jpeg(bytes(payload))
