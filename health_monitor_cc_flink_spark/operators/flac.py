@@ -11,16 +11,21 @@ corrupt-payload flag contract is spec-native.
 
 Subset (explicit, like the JPEG/PNG codecs):
 
-* **Encoder** (``encode_flac``): 16-bit mono or independent stereo,
-  fixed block size, CONSTANT / VERBATIM / FIXED(0-4) subframes chosen
-  per block by exhaustive cost, single Rice partition.
+* **Encoder** (``encode_flac``): 16-bit mono or stereo, fixed block
+  size, CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-8, Levinson-Durbin
+  with 14-bit quantized coefficients) subframes chosen per block by
+  exhaustive measured cost, single Rice partition; stereo frames pick
+  the cheapest of independent / left-side / right-side / mid-side
+  decorrelation per frame (RFC 9639 §9.1.3), overridable via
+  ``stereo_mode`` / ``force_lpc`` for targeted test vectors.
 * **Decoder** (``decode_flac``): any stream within — CONSTANT /
-  VERBATIM / FIXED subframes with arbitrary Rice partition orders and
-  escape codes, wasted bits, mono or independent stereo, 8/16 bps.
-  LPC subframes and mid/side stereo raise ``NotImplementedError``
-  (honest subset: our encoder never emits them; real FLAC encoders
-  do).  Malformed streams raise ``ValueError`` — never IndexError —
-  so Arrow feature paths can flag rows.
+  VERBATIM / FIXED / LPC (any order 1-32, any coefficient precision,
+  non-negative shift) subframes with arbitrary Rice partition orders
+  and escape codes, wasted bits, mono or stereo in all four channel
+  assignments (side channels carry the spec's extra bit), 8/16 bps.
+  Negative LPC shifts are rejected as invalid per RFC 9639 §9.2.4.
+  Malformed streams raise ``ValueError`` — never IndexError — so
+  Arrow feature paths can flag rows.
 
 Scale: same Arrow CPU-map envelope as the other codecs; bit-level work
 is per-payload Python over numpy-unpacked bits.
@@ -103,6 +108,17 @@ class _BitWriter:
         if self.nbits:
             self.put(0, 8 - self.nbits)
 
+    def bit_length(self) -> int:
+        return len(self.buf) * 8 + self.nbits
+
+    def extend(self, other: "_BitWriter") -> None:
+        """Append another writer's bits (used to splice the cheapest
+        pre-measured subframe candidates into the frame body)."""
+        for b in other.buf:
+            self.put(b, 8)
+        if other.nbits:
+            self.put(other.acc, other.nbits)
+
     def bytes(self) -> bytes:
         assert self.nbits == 0
         return bytes(self.buf)
@@ -172,10 +188,90 @@ def _fixed_residuals(samples: np.ndarray, order: int) -> np.ndarray:
     return r
 
 
+_LPC_MAX_ORDER = 8
+_LPC_PRECISION = 14  # quantized coefficient bits (RFC 9639 allows <=15)
+
+
+def _lpc_residuals(
+    s64: np.ndarray, qcoefs: np.ndarray, shift: int
+) -> np.ndarray:
+    """Residuals of the quantized-integer LPC predictor — the exact
+    arithmetic the decoder inverts (arithmetic shift right, RFC 9639
+    §9.2.4), so the roundtrip is bit-exact by construction."""
+    order = len(qcoefs)
+    n = len(s64)
+    acc = np.zeros(n - order, dtype=np.int64)
+    for j in range(order):  # coefficient j predicts from lag j+1
+        acc += qcoefs[j] * s64[order - 1 - j : n - 1 - j]
+    return s64[order:] - (acc >> shift)
+
+
+def _lpc_candidate(s: np.ndarray, bps: int):
+    """Best quantized-LPC subframe plan for one block, or ``None``.
+
+    Levinson-Durbin over the raw autocorrelation (no window — any
+    valid coefficient choice is lossless; windows only tune the
+    residual size), all orders 1..8 evaluated at their TRUE coded cost
+    after quantization.  Returns (order, qcoefs, shift, res, k, bits).
+    """
+    n = len(s)
+    max_order = min(_LPC_MAX_ORDER, n - 1)
+    if max_order < 1:
+        return None
+    x = s.astype(np.float64)
+    ac = np.array([float(np.dot(x[: n - j], x[j:])) for j in range(max_order + 1)])
+    if ac[0] <= 0:
+        return None  # all-zero block: CONSTANT wins anyway
+    best = None
+    err = ac[0]
+    a = np.zeros(0)
+    for m in range(1, max_order + 1):
+        if err <= 0:
+            break
+        acc = ac[m] - (a @ ac[m - 1 : 0 : -1] if m > 1 else 0.0)
+        k_refl = acc / err
+        a = np.concatenate((a - k_refl * a[::-1], [k_refl]))
+        err *= 1.0 - k_refl * k_refl
+        cmax = float(np.max(np.abs(a)))
+        if cmax <= 0 or not np.isfinite(cmax):
+            continue
+        # shift so every coefficient fits signed _LPC_PRECISION bits
+        shift = _LPC_PRECISION - 1 - (int(np.floor(np.log2(cmax))) + 1)
+        shift = max(0, min(15, shift))
+        q = np.clip(
+            np.round(a * (1 << shift)).astype(np.int64),
+            -(1 << (_LPC_PRECISION - 1)),
+            (1 << (_LPC_PRECISION - 1)) - 1,
+        )
+        if not q.any():
+            continue
+        res = _lpc_residuals(s.astype(np.int64), q, shift)
+        rk = _best_rice_k(res)
+        bits = (
+            m * bps  # warm-up samples
+            + 4 + 5 + m * _LPC_PRECISION  # precision, shift, coefficients
+            + 2 + 4 + 4  # residual method, partition order, rice k
+            + _rice_cost(res, rk)
+        )
+        if best is None or bits < best[5]:
+            best = (m, q, shift, res, rk, bits)
+    return best
+
+
 def encode_flac(
-    samples: np.ndarray, sample_rate: int = 8000, block_size: int = 4096
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    block_size: int = 4096,
+    stereo_mode: str = "auto",
+    force_lpc: bool = False,
 ) -> bytes:
-    """int16 samples, shape (n,) mono or (n, 2) stereo -> FLAC bytes."""
+    """int16 samples, shape (n,) mono or (n, 2) stereo -> FLAC bytes.
+
+    ``stereo_mode``: ``auto`` (cheapest of the four RFC 9639 channel
+    assignments per frame, measured in coded bits), or force
+    ``indep`` / ``ls`` / ``rs`` / ``ms``.  ``force_lpc`` makes every
+    subframe with a viable predictor use LPC — a targeted test-vector
+    knob; lossless either way."""
     samples = np.asarray(samples, dtype=np.int16)
     if samples.ndim == 1:
         chans = [samples]
@@ -204,22 +300,34 @@ def encode_flac(
     out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big")  # last block
     out += streaminfo
 
+    if stereo_mode not in ("auto", "indep", "ls", "rs", "ms"):
+        raise ValueError("stereo_mode must be auto/indep/ls/rs/ms")
     for fi, start in enumerate(range(0, n, block_size)):
         bs = min(block_size, n - start)
+        blocks = [c[start : start + bs].astype(np.int64) for c in chans]
+        if len(chans) == 1:
+            chan_code = 0b0000
+            coded = [
+                _encode_subframe_to(blocks[0], 16, force_lpc=force_lpc)
+            ]
+        else:
+            chan_code, coded = _plan_stereo_frame(
+                blocks[0], blocks[1], stereo_mode, force_lpc
+            )
         hdr = _BitWriter()
         hdr.put(0b11111111111110, 14)
         hdr.put(0, 1)  # reserved
         hdr.put(0, 1)  # fixed blocksize strategy
         hdr.put(0b0111, 4)  # block size: 16-bit field - 1 follows
         hdr.put(0b0000, 4)  # sample rate: from STREAMINFO
-        hdr.put(0b0000 if len(chans) == 1 else 0b0001, 4)  # channels
+        hdr.put(chan_code, 4)  # channel assignment (RFC 9639 §9.1.3)
         hdr.put(0b100, 3)  # 16 bps
         hdr.put(0, 1)  # reserved
         hbytes = hdr.bytes() + _utf8_like(fi) + (bs - 1).to_bytes(2, "big")
         frame = bytearray(hbytes + bytes([_crc8(hbytes)]))
         body = _BitWriter()
-        for ch in chans:
-            _encode_subframe(body, ch[start : start + bs].astype(np.int64))
+        for sub in coded:
+            body.extend(sub)
         body.align()
         frame += body.bytes()
         frame += _crc16(bytes(frame)).to_bytes(2, "big")
@@ -227,36 +335,98 @@ def encode_flac(
     return bytes(out)
 
 
-def _encode_subframe(w: _BitWriter, s: np.ndarray) -> None:
-    """Pick CONSTANT / VERBATIM / best FIXED order by exhaustive cost."""
+_STEREO_CODES = {"indep": 0b0001, "ls": 0b1000, "rs": 0b1001, "ms": 0b1010}
+
+
+def _plan_stereo_frame(
+    left: np.ndarray, right: np.ndarray, stereo_mode: str, force_lpc: bool
+):
+    """Encode all requested channel-assignment candidates and keep the
+    cheapest in MEASURED bits.  Side channels carry bps+1 bits; mid is
+    the floor average (arithmetic shift), exactly what the decoder's
+    ``(mid<<1 | side&1)`` reconstruction inverts."""
+    side = left - right
+    mid = (left + right) >> 1
+    layouts = {
+        "indep": ((left, 16), (right, 16)),
+        "ls": ((left, 16), (side, 17)),
+        "rs": ((side, 17), (right, 16)),
+        "ms": ((mid, 16), (side, 17)),
+    }
+    wanted = layouts.keys() if stereo_mode == "auto" else (stereo_mode,)
+    best_name, best_subs, best_bits = None, None, None
+    for name in wanted:
+        subs = [
+            _encode_subframe_to(s, bps, force_lpc=force_lpc)
+            for s, bps in layouts[name]
+        ]
+        bits = sum(s.bit_length() for s in subs)
+        if best_bits is None or bits < best_bits:
+            best_name, best_subs, best_bits = name, subs, bits
+    return _STEREO_CODES[best_name], best_subs
+
+
+def _encode_subframe_to(
+    s: np.ndarray, bps: int, force_lpc: bool = False
+) -> _BitWriter:
+    w = _BitWriter()
+    _encode_subframe(w, s, bps, force_lpc=force_lpc)
+    return w
+
+
+def _encode_subframe(
+    w: _BitWriter, s: np.ndarray, bps: int = 16, force_lpc: bool = False
+) -> None:
+    """Pick CONSTANT / VERBATIM / best FIXED order / best LPC by
+    exhaustive measured cost (``force_lpc`` pins LPC when viable)."""
+    mask = (1 << bps) - 1
     if np.all(s == s[0]):
         w.put(0, 1)
         w.put(0b000000, 6)  # CONSTANT
         w.put(0, 1)
-        w.put(int(s[0]) & 0xFFFF, 16)
+        w.put(int(s[0]) & mask, bps)
         return
-    best, best_cost = None, len(s) * 16  # VERBATIM cost baseline
-    for order in range(0, min(5, len(s))):
-        res = _fixed_residuals(s, order)
-        if len(res) == 0:
-            continue
-        k = _best_rice_k(res)
-        cost = order * 16 + 8 + _rice_cost(res, k)
-        if cost < best_cost:
-            best, best_cost = (order, res, k), cost
+    lpc = _lpc_candidate(s, bps)
+    best, best_cost = None, len(s) * bps  # VERBATIM cost baseline
+    if not (force_lpc and lpc is not None):
+        for order in range(0, min(5, len(s))):
+            res = _fixed_residuals(s, order)
+            if len(res) == 0:
+                continue
+            k = _best_rice_k(res)
+            cost = order * bps + 8 + _rice_cost(res, k)
+            if cost < best_cost:
+                best, best_cost = (order, res, k), cost
+    if lpc is not None and (force_lpc or lpc[5] < best_cost):
+        order, qcoefs, shift, res, k, _bits = lpc
+        w.put(0, 1)
+        w.put(0b100000 | (order - 1), 6)  # LPC, order coded as -1
+        w.put(0, 1)  # no wasted bits
+        for v in s[:order]:
+            w.put(int(v) & mask, bps)
+        w.put(_LPC_PRECISION - 1, 4)
+        w.put(shift, 5)  # non-negative, so unsigned == two's complement
+        pmask = (1 << _LPC_PRECISION) - 1
+        for c in qcoefs:
+            w.put(int(c) & pmask, _LPC_PRECISION)
+        w.put(0b00, 2)  # residual method: 4-bit rice
+        w.put(0, 4)  # partition order 0
+        w.put(k, 4)
+        _rice_encode(w, res, k)
+        return
     if best is None:
         w.put(0, 1)
         w.put(0b000001, 6)  # VERBATIM
         w.put(0, 1)
         for v in s:
-            w.put(int(v) & 0xFFFF, 16)
+            w.put(int(v) & mask, bps)
         return
     order, res, k = best
     w.put(0, 1)
     w.put(0b001000 | order, 6)  # FIXED
     w.put(0, 1)  # no wasted bits
     for v in s[:order]:
-        w.put(int(v) & 0xFFFF, 16)
+        w.put(int(v) & mask, bps)
     w.put(0b00, 2)  # residual method: 4-bit rice
     w.put(0, 4)  # partition order 0
     w.put(k, 4)
@@ -375,20 +545,45 @@ def decode_flac(payload: bytes, verify: bool = True):
         ):
             raise ValueError("frame header CRC-8 mismatch")
         rd.pos = (i + hdr_len + 1) * 8
-        if chan_code == 0b0000:
-            frame_chans = 1
-        elif chan_code == 0b0001:
-            frame_chans = 2
-        elif chan_code <= 0b0111:
+        if chan_code <= 0b0111:
             frame_chans = chan_code + 1
+            mode = "indep"
+            sub_bps = [bps] * frame_chans
+        elif chan_code in (0b1000, 0b1001, 0b1010):
+            # decorrelated stereo: the SIDE channel carries one extra
+            # bit (RFC 9639 §9.1.3) — left/side, side/right, mid/side
+            frame_chans = 2
+            mode = {0b1000: "ls", 0b1001: "rs", 0b1010: "ms"}[chan_code]
+            sub_bps = [bps + 1, bps] if mode == "rs" else [bps, bps + 1]
         else:
-            raise NotImplementedError("mid/side stereo not supported")
+            raise ValueError("reserved channel assignment")
         if frame_chans != n_channels:
             raise ValueError("frame/STREAMINFO channel mismatch")
-        if bps_code not in (0b000, 0b001, 0b100):
-            raise NotImplementedError("only 8/16-bit frames supported")
+        # RFC 9639: a non-zero frame sample-size code must agree with
+        # STREAMINFO (0b011 is reserved)
+        code_bps = {
+            0b000: None, 0b001: 8, 0b010: 12,
+            0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32,
+        }.get(bps_code)
+        if bps_code == 0b011:
+            raise ValueError("reserved frame sample-size code")
+        if code_bps is not None and code_bps != bps:
+            raise ValueError("frame/STREAMINFO sample-size mismatch")
+        subs = [
+            np.asarray(_decode_subframe(rd, bs, sub_bps[c]), dtype=np.int64)
+            for c in range(frame_chans)
+        ]
+        if mode == "indep":
+            decoded = subs
+        elif mode == "ls":
+            decoded = [subs[0], subs[0] - subs[1]]
+        elif mode == "rs":
+            decoded = [subs[1] + subs[0], subs[1]]
+        else:  # mid/side: invert mid=(L+R)>>1, side=L-R exactly
+            mid2 = (subs[0] << 1) | (subs[1] & 1)
+            decoded = [(mid2 + subs[1]) >> 1, (mid2 - subs[1]) >> 1]
         for ch in range(n_channels):
-            chans[ch].extend(_decode_subframe(rd, bs, bps))
+            chans[ch].extend(decoded[ch].tolist())
         rd.align()
         end = rd.byte_pos()
         if end + 2 > len(payload):
@@ -424,6 +619,8 @@ def _decode_subframe(rd: _BitReader, bs: int, bps: int) -> list[int]:
     if rd.read(1):  # wasted bits flag
         wasted = rd.read_unary() + 1
     eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("wasted bits exceed sample width")
     if stype == 0b000000:  # CONSTANT
         v = rd.read_signed(eff) << wasted
         return [v] * bs
@@ -444,8 +641,29 @@ def _decode_subframe(rd: _BitReader, bs: int, bps: int) -> list[int]:
             x = np.cumsum(np.concatenate(([seed], x)))[1:]
         s = np.concatenate((wa, x)).astype(np.int64)
         return list(s << wasted)
-    if stype & 0b100000:
-        raise NotImplementedError("LPC subframes not supported")
+    if stype & 0b100000:  # LPC, order 1-32 (RFC 9639 §9.2.4)
+        order = (stype & 0x1F) + 1
+        if order > bs:
+            raise ValueError("LPC order exceeds block size")
+        warm = [rd.read_signed(eff) for _ in range(order)]
+        prec = rd.read(4)
+        if prec == 0b1111:
+            raise ValueError("invalid LPC coefficient precision")
+        prec += 1
+        shift = rd.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift is invalid")
+        coefs = [rd.read_signed(prec) for _ in range(order)]
+        res = _decode_residuals(rd, bs, order)
+        # sequential IIR reconstruction: s[i] = e[i] + (Σ c_j·s[i-1-j])>>shift
+        # (arithmetic shift; Python ints — products fit far below 2^63)
+        out = [int(v) for v in warm]
+        for e in res:
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * out[-1 - j]
+            out.append(e + (acc >> shift))
+        return [v << wasted for v in out]
     raise ValueError("reserved subframe type")
 
 

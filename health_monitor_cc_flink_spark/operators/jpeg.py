@@ -720,8 +720,13 @@ def _plane_from_coeffs(qc: np.ndarray, quant: np.ndarray, pw: int, ph: int) -> n
 def decode_jpeg_planes(payload: bytes):
     """Baseline JPEG bytes -> (list of uint8 component planes at their
     NATIVE sampling resolution, w, h).  One plane for grayscale; Y, Cb,
-    Cr (chroma half-size under 4:2:0) for color."""
-    comps, w, h = _decode_jpeg_scan(payload)
+    Cr (chroma half-size under 4:2:0) for color.  Malformed input
+    raises ``ValueError`` (never ``IndexError``), matching
+    :func:`decode_jpeg_coeffs`, so the Arrow batch flags the row."""
+    try:
+        comps, w, h = _decode_jpeg_scan(payload)
+    except IndexError as exc:  # any residual short-read on hostile bytes
+        raise ValueError(f"malformed JPEG stream: {exc}") from exc
     hmax = max(c["hi"] for c in comps)
     vmax = max(c["vi"] for c in comps)
     planes = []

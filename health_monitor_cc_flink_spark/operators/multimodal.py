@@ -1533,6 +1533,101 @@ def synth_flac_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, flac binary")
 
 
+def synth_flac_stereo_payload(df: DataFrame, id_col: str = "doc_id",
+                              len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``flac`` column of COMPLETE stereo FLAC files that
+    exercise the decoder's LPC + stereo-decorrelation surface: every
+    subframe is forced LPC (the subframe type real encoders emit), and
+    the channel assignment cycles indep/left-side/right-side/mid-side
+    by doc_id%4, so one hash covers all four reconstructions.
+    Channels are integer sawtooths L[i] = ((doc_id*31+7i) mod 2048)-1024,
+    R[i] = ((doc_id*17+5i) mod 1024)-512 — lossless, so the oracle is
+    the waveform formula."""
+    from .flac import encode_flac
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(len_col) + 500).cast("int").alias("n"),
+        (F.lit(8000) * (F.col(id_col) % 4 + 1)).cast("int").alias("sr"),
+    )
+    modes = ("indep", "ls", "rs", "ms")
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            flacs = []
+            for doc_id, n, sr in zip(pdf["doc_id"], pdf["n"], pdf["sr"]):
+                i = np.arange(int(n), dtype=np.int64)
+                left = (int(doc_id) * 31 + 7 * i) % 2048 - 1024
+                right = (int(doc_id) * 17 + 5 * i) % 1024 - 512
+                s = np.stack([left, right], axis=1).astype(np.int16)
+                flacs.append(
+                    encode_flac(
+                        s,
+                        int(sr),
+                        stereo_mode=modes[int(doc_id) % 4],
+                        force_lpc=True,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "flac": flacs})
+
+    return src.mapInPandas(gen, schema="doc_id long, flac binary")
+
+
+def flac_stereo_decode_features(df: DataFrame, payload_col: str = "flac",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Stereo twin of :func:`flac_decode_features`: full decode (LPC
+    subframes, all four channel assignments, CRC-8/16 + md5 verified)
+    reduced to integer-exact per-channel statistics.  Corrupt payloads
+    flag their row (ok=false)."""
+    from .flac import decode_flac
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("n_samples", "sample_rate", "l_sum", "l_min", "l_max",
+                "r_sum", "r_min", "r_max")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    s, sr = decode_flac(bytes(p), verify=True)
+                    if s.ndim != 2 or s.shape[1] != 2:
+                        raise ValueError("expected a stereo stream")
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                left, right = s[:, 0], s[:, 1]
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["n_samples"].append(int(s.shape[0]))
+                out["sample_rate"].append(int(sr))
+                out["l_sum"].append(int(left.sum(dtype=np.int64)))
+                out["l_min"].append(int(left.min()))
+                out["l_max"].append(int(left.max()))
+                out["r_sum"].append(int(right.sum(dtype=np.int64)))
+                out["r_min"].append(int(right.min()))
+                out["r_max"].append(int(right.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, ok boolean, n_samples long, sample_rate long, "
+            "l_sum long, l_min long, l_max long, "
+            "r_sum long, r_min long, r_max long"
+        ),
+    )
+
+
 def flac_decode_features(df: DataFrame, payload_col: str = "flac",
                          id_col: str = "doc_id") -> DataFrame:
     """REAL compressed-audio decode over Arrow batches: full FLAC

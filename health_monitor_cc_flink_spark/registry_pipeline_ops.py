@@ -5758,6 +5758,54 @@ def mm_flac_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_flac_lpc_ms_decode_features",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(n_chars + 500 AS BIGINT) AS n,
+               CAST(8000 * (doc_id % 4 + 1) AS BIGINT) AS sr
+        FROM documents
+    ), s AS (
+        SELECT p.doc_id, p.n, p.sr,
+               (p.doc_id * 31 + 7 * i.i) % 2048 - 1024 AS l,
+               (p.doc_id * 17 + 5 * i.i) % 1024 - 512 AS r
+        FROM p, LATERAL unnest(generate_series(0, p.n - 1)) AS i(i)
+    )
+    SELECT doc_id, TRUE AS ok,
+           any_value(n) AS n_samples,
+           any_value(sr) AS sample_rate,
+           CAST(sum(l) AS BIGINT) AS l_sum,
+           CAST(min(l) AS BIGINT) AS l_min,
+           CAST(max(l) AS BIGINT) AS l_max,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(min(r) AS BIGINT) AS r_min,
+           CAST(max(r) AS BIGINT) AS r_max
+    FROM s GROUP BY doc_id
+    """,
+    doc="FLAC LPC + stereo-decorrelation decode under the hash gate — "
+    "the round-8 closure of the codec's biggest honest gap (real "
+    "encoders emit LPC subframes, which the r7 decoder rejected). "
+    "synth_flac_stereo_payload writes stereo streams with EVERY "
+    "subframe forced to quantized-LPC (Levinson-Durbin, 14-bit "
+    "coefficients, integer shift — RFC 9639 §9.2.4) and the channel "
+    "assignment cycling independent / left-side / right-side / "
+    "mid-side by doc_id%4, so one hash covers the LPC IIR "
+    "reconstruction AND all four stereo inversions (side channels at "
+    "bps+1 bits).  FLAC is lossless, so the oracle is the waveform "
+    "formula; one wrong bit in coefficient quantization, the "
+    "arithmetic-shift predictor, or any decorrelation inverse breaks "
+    "the hash (and usually the STREAMINFO md5 first).  Scale: Arrow "
+    "CPU-map envelope like the other codecs.",
+    bench=True,
+)
+def mm_flac_lpc_ms_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.flac_stereo_decode_features(M.synth_flac_stereo_payload(docs))
+
+
+@query(
     "mm_jpeg_color_decode_features",
     """
     WITH dims AS (
