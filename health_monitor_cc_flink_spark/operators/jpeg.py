@@ -7,26 +7,35 @@ deterministic subset implemented from the PUBLIC standard, hash-gated
 end-to-end against a closed-form DuckDB oracle:
 
 * **Encoders** (``encode_jpeg_gray`` / ``encode_jpeg_ycbcr`` /
-  ``encode_jpeg_rgb``): 8-bit baseline sequential DCT — grayscale
-  single-component, and interleaved YCbCr color at 4:4:4 or 4:2:0.
-  Level shift, vectorized 8x8 orthonormal DCT-II (one einsum over all
-  blocks), Annex K luminance/chrominance quantization, zigzag,
-  differential DC + run-length AC Huffman coding, 0xFF byte stuffing,
-  MCU-grid edge-replicate padding.
+  ``encode_jpeg_rgb``, plus ``encode_jpeg_progressive_*`` twins):
+  8-bit DCT — grayscale single-component, and interleaved YCbCr color
+  at 4:4:4 or 4:2:0 — as baseline sequential (SOF0) or progressive
+  (SOF2) with spectral selection + successive approximation (default
+  libjpeg-style 6/10-scan scripts, EOB-run coding, buffered
+  correction bits).  Level shift, vectorized 8x8 orthonormal DCT-II
+  (one einsum over all blocks), Annex K luminance/chrominance
+  quantization, zigzag, differential DC + run-length AC Huffman
+  coding, 0xFF byte stuffing, MCU-grid edge-replicate padding.
 * **Decoder** (``decode_jpeg`` / ``decode_jpeg_gray`` /
   ``decode_jpeg_planes`` / ``decode_jpeg_rgb``): marker parse
-  (SOI/APP/COM/DQT/SOF0/DHT/SOS/EOI), canonical Huffman decode
+  (SOI/APP/COM/DQT/SOF0/SOF2/DHT/SOS/EOI), canonical Huffman decode
   (mincode/maxcode/valptr, T.81 F.2.2.3), MCU-interleaved
   multi-component scans (grayscale, YCbCr 4:4:4, YCbCr 4:2:0 with
   per-component tables and DC predictors), dequantize, vectorized
   IDCT, crop; RGB via JFIF/BT.601 conversion.  Tables are read from
-  the FILE, so any baseline JPEG in those sampling layouts decodes,
-  not just our own.  Restart markers are SUPPORTED (DRI + cycling
-  RSTn: byte-aligned segments, DC predictor resets, sequence
-  validation).  Progressive (SOF2), other samplings, 12-bit precision
-  and arithmetic coding raise ``NotImplementedError`` explicitly;
-  corrupt streams raise ``ValueError`` so the feature path can flag
-  the row instead of aborting the job (JPEG has no CRC).
+  the FILE, so any baseline OR progressive JPEG in those sampling
+  layouts decodes, not just our own.  Progressive (SOF2) streams are
+  SUPPORTED in full Annex G Huffman form: any legal scan sequence of
+  DC/AC first + successive-approximation refinement scans,
+  non-interleaved AC bands over the component's own block grid,
+  EOB-runs, and per-scan restart intervals; partial scan sequences
+  (a truncated progressive download) decode to the coarser
+  approximation, as real viewers do.  Restart markers are SUPPORTED
+  (DRI + cycling RSTn: byte-aligned segments, DC predictor resets,
+  sequence validation).  Other samplings, 12-bit precision and
+  arithmetic coding raise ``NotImplementedError`` explicitly; corrupt
+  streams raise ``ValueError`` so the feature path can flag the row
+  instead of aborting the job (JPEG has no CRC).
 * **Coefficient-space path** (``encode_jpeg_from_qcoeffs`` /
   ``decode_jpeg_coeffs``): the entropy layer is LOSSLESS on quantized
   coefficients, so tests pin exact coefficient roundtrips (exercising
@@ -407,7 +416,6 @@ def encode_jpeg_from_qcoeffs(
 
 _UNSUPPORTED_SOF = {
     0xC1: "extended sequential",
-    0xC2: "progressive",
     0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -495,9 +503,232 @@ def decode_jpeg_coeffs(payload: bytes):
         raise ValueError(f"malformed JPEG stream: {exc}") from exc
 
 
+class _ScanReader:
+    """Entropy-bit reader over one scan's restart-separated chunks."""
+
+    def __init__(self, chunks: list[bytes]):
+        self.chunks = chunks
+        self.idx = 0
+        self.bits = np.unpackbits(np.frombuffer(chunks[0], dtype=np.uint8))
+        self.pos = 0
+
+    def next_chunk(self) -> None:
+        self.idx += 1
+        if self.idx >= len(self.chunks):
+            raise ValueError("missing restart segment")
+        self.bits = np.unpackbits(
+            np.frombuffer(self.chunks[self.idx], dtype=np.uint8)
+        )
+        self.pos = 0
+
+    def raw(self, cat: int) -> int:
+        if self.pos + cat > len(self.bits):
+            raise ValueError("truncated entropy stream")
+        v = int(self.bits[self.pos : self.pos + cat] @ _POW2[-cat:]) if cat else 0
+        self.pos += cat
+        return v
+
+    def huff(self, dec: _HuffDecoder) -> int:
+        v, self.pos = dec.decode(self.bits, self.pos)
+        return v
+
+
+def _scan_units(scomps: list[dict], mcx: int, mcy: int, progressive: bool):
+    """Yield the scan's entropy-coded units as lists of (comp, block
+    index): MCUs of hi*vi blocks per component when interleaved (or
+    baseline), single blocks over the component's own non-interleaved
+    grid otherwise (T.81 A.2)."""
+    if len(scomps) > 1 or not progressive:
+        for my in range(mcy):
+            for mx in range(mcx):
+                unit = []
+                for c in scomps:
+                    for r in range(c["vi"]):
+                        for cc in range(c["hi"]):
+                            unit.append(
+                                (c, (my * c["vi"] + r) * c["gw"] + mx * c["hi"] + cc)
+                            )
+                yield unit
+    else:
+        c = scomps[0]
+        for by in range(c["ch"]):
+            for bx in range(c["cw"]):
+                yield [(c, by * c["gw"] + bx)]
+
+
+def _run_scan(
+    scomps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict,
+    ri: int,
+    chunks: list[bytes],
+    mcx: int,
+    mcy: int,
+    progressive: bool,
+) -> None:
+    """Entropy-decode ONE scan into the components' zigzag coefficient
+    arrays — baseline full-band, or any of the four progressive scan
+    kinds (DC/AC first/refinement, T.81 G.1.2)."""
+    if len(chunks) > 1 and ri == 0:
+        raise ValueError("restart markers present but no DRI interval")
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and (se < ss or se > 63):
+            raise ValueError("invalid spectral band")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("progressive AC scans must be non-interleaved")
+        if al > 13 or ah > 13:
+            raise ValueError("invalid successive-approximation bits")
+    dc_scan = ss == 0
+    ac_scan = not progressive or ss > 0
+    for c in scomps:
+        # DC refinement scans read raw bits only — no table needed
+        if dc_scan and ah == 0 and (0, c["dc_sel"]) not in huff:
+            raise ValueError("scan references undefined huffman table")
+        if ac_scan and (1, c["ac_sel"]) not in huff:
+            raise ValueError("scan references undefined huffman table")
+    rdr = _ScanReader(chunks)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def baseline_block(c: dict, b: int) -> None:
+        cat = rdr.huff(huff[(0, c["dc_sel"])])
+        if cat > 11:
+            raise ValueError("invalid DC category")
+        diff = _receive_extend(rdr.raw(cat), cat) if cat else 0
+        c["pred"] += diff
+        row = c["zz"][b]
+        row[0] = c["pred"]
+        ac_dec = huff[(1, c["ac_sel"])]
+        k = 1
+        while k < 64:
+            rs = rdr.huff(ac_dec)
+            run, cat = rs >> 4, rs & 0x0F
+            if cat == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            row[k] = _receive_extend(rdr.raw(cat), cat)
+            k += 1
+
+    def dc_first_block(c: dict, b: int) -> None:
+        cat = rdr.huff(huff[(0, c["dc_sel"])])
+        if cat > 11:
+            raise ValueError("invalid DC category")
+        diff = _receive_extend(rdr.raw(cat), cat) if cat else 0
+        c["pred"] += diff
+        c["zz"][b, 0] = c["pred"] << al
+
+    def dc_refine_block(c: dict, b: int) -> None:
+        if rdr.raw(1):
+            c["zz"][b, 0] |= p1
+
+    def ac_first_block(c: dict, b: int) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        row = c["zz"][b]
+        ac_dec = huff[(1, c["ac_sel"])]
+        k = ss
+        while k <= se:
+            rs = rdr.huff(ac_dec)
+            run, cat = rs >> 4, rs & 0x0F
+            if cat == 0:
+                if run != 15:  # EOBn: run of (1<<run)+bits end-of-bands
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += rdr.raw(run)
+                    break
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("AC run overflows spectral band")
+            row[k] = _receive_extend(rdr.raw(cat), cat) << al
+            k += 1
+
+    def ac_refine_block(c: dict, b: int) -> None:
+        # T.81 G.1.2.3 successive-approximation AC refinement: newly
+        # significant coefficients arrive as run/1 symbols with a sign
+        # bit; every already-nonzero coefficient passed on the way (and
+        # in EOB-run blocks) carries one correction bit
+        nonlocal eobrun
+        row = c["zz"][b]
+        ac_dec = huff[(1, c["ac_sel"])]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rdr.huff(ac_dec)
+                run, cat = rs >> 4, rs & 0x0F
+                newval = 0
+                if cat == 0:
+                    if run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += rdr.raw(run)
+                        break
+                    # ZRL: pass 16 zero-history coefficients
+                elif cat == 1:
+                    newval = p1 if rdr.raw(1) else m1
+                else:
+                    raise ValueError("refinement symbol must have size 1")
+                while k <= se:
+                    v = int(row[k])
+                    if v != 0:
+                        if rdr.raw(1) and (v & p1) == 0:
+                            row[k] = v + (p1 if v > 0 else m1)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    row[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                v = int(row[k])
+                if v != 0 and rdr.raw(1) and (v & p1) == 0:
+                    row[k] = v + (p1 if v > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    if not progressive:
+        block_fn = baseline_block
+    elif dc_scan:
+        block_fn = dc_first_block if ah == 0 else dc_refine_block
+    elif ah == 0:
+        block_fn = ac_first_block
+    else:
+        block_fn = ac_refine_block
+    for c in scomps:
+        c["pred"] = 0
+    for u, unit in enumerate(_scan_units(scomps, mcx, mcy, progressive)):
+        if ri and u and u % ri == 0:
+            # restart boundary: next entropy chunk, byte-aligned, DC
+            # predictors and EOB run reset (T.81 F.2.1.3.1)
+            rdr.next_chunk()
+            eobrun = 0
+            for c in scomps:
+                c["pred"] = 0
+        for c, b in unit:
+            block_fn(c, b)
+
+
 def _decode_jpeg_scan(payload: bytes):
-    """Parse + entropy-decode a baseline JPEG scan with 1 or 3
-    components (grayscale, or YCbCr at 4:4:4 / 4:2:0).
+    """Parse + entropy-decode a JPEG frame with 1 or 3 components
+    (grayscale, or YCbCr at 4:4:4 / 4:2:0) — baseline (SOF0, one
+    interleaved scan) or progressive (SOF2, any legal sequence of
+    spectral-selection / successive-approximation scans, T.81 Annex G).
 
     Returns ``(comps, w, h)`` where each comp is a dict with keys
     ``cid, hi, vi, quant, qc`` — ``qc`` shaped (gh, gw, 8, 8) int32 in
@@ -507,15 +738,18 @@ def _decode_jpeg_scan(payload: bytes):
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     dims = None
     comps: list[dict] = []
-    sel: dict[int, tuple[int, int]] = {}
-    scan = None
+    progressive = False
+    seen_scan = False
     ri = 0
     for marker, body, scan_data in _parse_segments(payload):
         if marker in _UNSUPPORTED_SOF:
             raise NotImplementedError(f"{_UNSUPPORTED_SOF[marker]} JPEG not supported")
-        if marker == 0xC0:  # SOF0
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if dims is not None:
+                raise ValueError("multiple frame headers")
+            progressive = marker == 0xC2
             if len(body) < 6:
-                raise ValueError("truncated SOF0 segment")
+                raise ValueError("truncated SOF segment")
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             h = int.from_bytes(body[1:3], "big")
@@ -524,7 +758,7 @@ def _decode_jpeg_scan(payload: bytes):
             if nc not in (1, 3):
                 raise NotImplementedError("only 1- or 3-component frames")
             if len(body) < 6 + 3 * nc:
-                raise ValueError("truncated SOF0 segment")
+                raise ValueError("truncated SOF segment")
             if w == 0 or h == 0:
                 # T.81 allows height 0 (deferred to a DNL marker); the
                 # stats contract needs real dims, so flag, don't crash
@@ -550,6 +784,30 @@ def _decode_jpeg_scan(payload: bytes):
                     "only 4:4:4 or 4:2:0 YCbCr sampling supported"
                 )
             dims = (w, h)
+            hmax = max(c["hi"] for c in comps)
+            vmax = max(c["vi"] for c in comps)
+            mcx = -(-w // (8 * hmax))
+            mcy = -(-h // (8 * vmax))
+            # hostile declared dims would drive a multi-GB coefficient
+            # allocation before a single scan bit is read — bound the
+            # TOTAL coefficient count across all components (not just
+            # w*h: a 3-component 4:4:4 frame allocates 3x), flag,
+            # don't OOM
+            total_coeffs = sum(
+                (mcx * c["hi"]) * (mcy * c["vi"]) * 64 for c in comps
+            )
+            if total_coeffs > MAX_PIXELS:
+                raise ValueError(
+                    f"declared dimensions {w}x{h}x{nc} exceed decoder limit"
+                )
+            for c in comps:
+                c["gw"], c["gh"] = mcx * c["hi"], mcy * c["vi"]
+                # non-interleaved (single-component-scan) block grid:
+                # ceil(component samples / 8), NOT MCU-padded (A.2.2)
+                c["cw"] = -(-(-(-w * c["hi"] // hmax)) // 8)
+                c["ch"] = -(-(-(-h * c["vi"] // vmax)) // 8)
+                c["zz"] = np.zeros((c["gh"] * c["gw"], 64), dtype=np.int32)
+                c["pred"] = 0
         elif marker == 0xDB:  # DQT (possibly several tables)
             j = 0
             while j < len(body):
@@ -579,111 +837,46 @@ def _decode_jpeg_scan(payload: bytes):
             if len(body) < 2:
                 raise ValueError("truncated DRI segment")
             ri = int.from_bytes(body[:2], "big")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan NOW (progressive
+            # frames carry many; tables may be redefined between them)
+            if dims is None or not comps:
+                raise ValueError("SOS before SOF")
             if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("truncated SOS segment")
-            if body[0] != len(comps) or not comps:
-                raise NotImplementedError(
-                    "only single interleaved full-frame scans supported"
-                )
-            for i in range(body[0]):
-                sel[body[1 + 2 * i]] = (
-                    body[2 + 2 * i] >> 4,
-                    body[2 + 2 * i] & 0x0F,
-                )
-            scan = scan_data
-    if dims is None or scan is None:
-        raise ValueError("missing SOF0 or SOS")
+            ns = body[0]
+            by_cid = {c["cid"]: c for c in comps}
+            scomps = []
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                if cid not in by_cid:
+                    raise ValueError("SOS references unknown component")
+                c = by_cid[cid]
+                c["dc_sel"] = body[2 + 2 * i] >> 4
+                c["ac_sel"] = body[2 + 2 * i] & 0x0F
+                scomps.append(c)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if not progressive:
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "only single interleaved full-frame scans "
+                        "supported in baseline"
+                    )
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("invalid baseline spectral parameters")
+            _run_scan(
+                scomps, ss, se, ah, al, huff, ri, scan_data,
+                mcx, mcy, progressive,
+            )
+            seen_scan = True
+    if dims is None or not seen_scan:
+        raise ValueError("missing SOF or SOS")
     w, h = dims
-    hmax = max(c["hi"] for c in comps)
-    vmax = max(c["vi"] for c in comps)
-    mcx = -(-w // (8 * hmax))
-    mcy = -(-h // (8 * vmax))
-    # hostile declared dims would drive a multi-GB coefficient
-    # allocation before a single scan bit is read — bound the TOTAL
-    # coefficient count across all components (not just w*h: a
-    # 3-component 4:4:4 frame allocates 3x), flag, don't OOM
-    total_coeffs = sum(
-        (mcx * c["hi"]) * (mcy * c["vi"]) * 64 for c in comps
-    )
-    if total_coeffs > MAX_PIXELS:
-        raise ValueError(
-            f"declared dimensions {w}x{h}x{len(comps)} exceed decoder limit"
-        )
-    for c in comps:
-        if c["cid"] not in sel:
-            raise ValueError("SOS omits a frame component")
-        c["dc_sel"], c["ac_sel"] = sel[c["cid"]]
-        if c["tq"] not in quant_tables:
-            raise ValueError("scan references undefined quant table")
-        if (0, c["dc_sel"]) not in huff or (1, c["ac_sel"]) not in huff:
-            raise ValueError("scan references undefined huffman table")
-        c["quant"] = quant_tables[c["tq"]]
-        c["gw"], c["gh"] = mcx * c["hi"], mcy * c["vi"]
-        c["zz"] = np.zeros((c["gh"] * c["gw"], 64), dtype=np.int32)
-        c["pred"] = 0
-    chunks = scan
-    if len(chunks) > 1 and ri == 0:
-        raise ValueError("restart markers present but no DRI interval")
-    chunk_idx = 0
-    bits = np.unpackbits(np.frombuffer(chunks[0], dtype=np.uint8))
-    pos = 0
-
-    def read_raw(pos: int, cat: int) -> tuple[int, int]:
-        if pos + cat > len(bits):
-            raise ValueError("truncated entropy stream")
-        return int(bits[pos : pos + cat] @ _POW2[-cat:]), pos + cat
-
-    def decode_block(c: dict, b: int, pos: int) -> int:
-        dc_dec = huff[(0, c["dc_sel"])]
-        ac_dec = huff[(1, c["ac_sel"])]
-        cat, pos = dc_dec.decode(bits, pos)
-        if cat > 11:
-            raise ValueError("invalid DC category")
-        diff = 0
-        if cat:
-            raw, pos = read_raw(pos, cat)
-            diff = _receive_extend(raw, cat)
-        c["pred"] += diff
-        row = c["zz"][b]
-        row[0] = c["pred"]
-        k = 1
-        while k < 64:
-            rs, pos = ac_dec.decode(bits, pos)
-            run, cat = rs >> 4, rs & 0x0F
-            if cat == 0:
-                if run == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += run
-            if k > 63:
-                raise ValueError("AC run overflows block")
-            raw, pos = read_raw(pos, cat)
-            row[k] = _receive_extend(raw, cat)
-            k += 1
-        return pos
-
-    n_mcus = mcy * mcx
-    for mcu in range(n_mcus):
-        if ri and mcu and mcu % ri == 0:
-            # restart boundary: next entropy chunk, byte-aligned, DC
-            # predictors reset (T.81 F.2.1.3.1)
-            chunk_idx += 1
-            if chunk_idx >= len(chunks):
-                raise ValueError("missing restart segment")
-            bits = np.unpackbits(np.frombuffer(chunks[chunk_idx], dtype=np.uint8))
-            pos = 0
-            for c in comps:
-                c["pred"] = 0
-        my, mx = divmod(mcu, mcx)
-        for c in comps:
-            for r in range(c["vi"]):
-                for cc in range(c["hi"]):
-                    b = (my * c["vi"] + r) * c["gw"] + (mx * c["hi"] + cc)
-                    pos = decode_block(c, b, pos)
     out = []
     for c in comps:
+        if c["tq"] not in quant_tables:
+            raise ValueError("frame references undefined quant table")
+        c["quant"] = quant_tables[c["tq"]]
         nat = np.zeros_like(c["zz"])
         nat[:, ZIGZAG] = c["zz"]
         out.append(
@@ -887,3 +1080,338 @@ def encode_jpeg_rgb(rgb: np.ndarray, subsampling: str = "444") -> bytes:
         cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
         cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
     return encode_jpeg_ycbcr(to8(y), to8(cb), to8(cr), subsampling)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encode — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+#: One static AC table for progressive scans: the Annex K baseline AC
+#: tables lack the EOBn symbols (r<<4, r=0..14) Annex G needs, so we
+#: declare a flat 9-bit canonical table covering every symbol a
+#: progressive scan can emit (15 EOBn + ZRL + 160 run/size).  511 (the
+#: all-ones 9-bit code) stays unassigned, as T.81 Annex C requires.
+_AC_PROG_BITS = [0] * 8 + [176] + [0] * 7
+_AC_PROG_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_PROG_CODES = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+#: libjpeg-style default scan scripts: DC first (Al=1) + refinement,
+#: AC bands with successive approximation 2 -> 1 -> 0.
+_DEFAULT_GRAY_SCANS = [
+    ([0], 0, 0, 0, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 1, 63, 1, 0),
+]
+_DEFAULT_COLOR_SCANS = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([1], 1, 63, 0, 1),
+    ([2], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan segment (between
+    restarts): EOB-run accumulation plus the correction bits buffered
+    behind it (T.81 G.1.2.2-3)."""
+
+    def __init__(self):
+        self.w = _BitWriter()
+        self.eobrun = 0
+        self.corr: list[int] = []  # bits pending behind the EOB run
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = _AC_PROG_CODES[nbits << 4]
+            self.w.put(code, length)
+            if nbits:
+                self.w.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            for b in self.corr:
+                self.w.put(b, 1)
+            self.corr = []
+
+    def finish(self) -> bytes:
+        self.emit_eobrun()
+        return self.w.flush()
+
+
+def _enc_ac_first(st: _ProgScanWriter, row, ss: int, se: int, al: int) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(row[k])
+        t = v >> al if v >= 0 else -((-v) >> al)  # truncate toward zero
+        if t == 0:
+            r += 1
+            continue
+        st.emit_eobrun()
+        while r > 15:
+            code, length = _AC_PROG_CODES[0xF0]
+            st.w.put(code, length)
+            r -= 16
+        cat = _category(t)
+        code, length = _AC_PROG_CODES[(r << 4) | cat]
+        st.w.put(code, length)
+        st.w.put(_extend_bits(t, cat), cat)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def _enc_ac_refine(st: _ProgScanWriter, row, ss: int, se: int, al: int) -> None:
+    # invariant that keeps the bit interleave decoder-consistent: a
+    # correction bit is never buffered while more than 15 zero-history
+    # coefficients are pending (ZRLs flush first), so every buffered
+    # bit lies before the 16 zeros the next ZRL spans
+    ts = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+    eobk = ss - 1
+    for k in range(ss, se + 1):
+        if ts[k - ss] == 1:
+            eobk = k
+    r = 0
+    pend: list[int] = []
+    for k in range(ss, se + 1):
+        t = ts[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobk:
+            st.emit_eobrun()
+            code, length = _AC_PROG_CODES[0xF0]
+            st.w.put(code, length)
+            r -= 16
+            for b in pend:
+                st.w.put(b, 1)
+            pend = []
+        if t > 1:  # already significant: one correction bit
+            pend.append(t & 1)
+            continue
+        st.emit_eobrun()
+        code, length = _AC_PROG_CODES[(r << 4) | 1]
+        st.w.put(code, length)
+        st.w.put(1 if int(row[k]) > 0 else 0, 1)
+        for b in pend:
+            st.w.put(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        st.eobrun += 1
+        st.corr.extend(pend)
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def _encode_prog_scan(
+    scomps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    mcx: int,
+    mcy: int,
+    restart_interval: int = 0,
+) -> bytes:
+    """Entropy-encode one progressive scan over the components' zigzag
+    grids, emitting cycling RSTn markers at restart boundaries."""
+    segs = [_ProgScanWriter()]
+    preds = {id(c): 0 for c in scomps}
+    for u, unit in enumerate(_scan_units(scomps, mcx, mcy, True)):
+        if restart_interval and u and u % restart_interval == 0:
+            segs.append(_ProgScanWriter())
+            preds = {id(c): 0 for c in scomps}
+        st = segs[-1]
+        for c, b in unit:
+            row = c["zz"][b]
+            if ss == 0 and ah == 0:  # DC first (G.1.2.1: arithmetic shift)
+                v = int(row[0]) >> al
+                diff = v - preds[id(c)]
+                preds[id(c)] = v
+                cat = _category(diff)
+                code, length = _DC_CODES[cat]
+                st.w.put(code, length)
+                if cat:
+                    st.w.put(_extend_bits(diff, cat), cat)
+            elif ss == 0:  # DC refinement: one raw bit per block
+                st.w.put((int(row[0]) >> al) & 1, 1)
+            elif ah == 0:
+                _enc_ac_first(st, row, ss, se, al)
+            else:
+                _enc_ac_refine(st, row, ss, se, al)
+    data = segs[0].finish()
+    for i, seg in enumerate(segs[1:]):
+        data += bytes([0xFF, 0xD0 + (i % 8)]) + seg.finish()
+    return data
+
+
+def _assemble_progressive(
+    w: int,
+    h: int,
+    quants: list,
+    sof_comps: list,
+    scan_payloads: list,
+    restart_interval: int = 0,
+) -> bytes:
+    """Marker assembly for SOF2 frames: shared tables up front, then
+    one SOS header + entropy segment per scan."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, _APP0_JFIF)
+    for tid, q in quants:
+        out += _seg(
+            0xDB, bytes([tid]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8))
+        )
+    out += _seg(
+        0xC2,  # SOF2: progressive DCT, Huffman
+        b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([len(sof_comps)])
+        + bytes(b for comp in sof_comps for b in comp),
+    )
+    out += _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xC4, b"\x11" + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    for sos_hdr, data in scan_payloads:
+        out += _seg(0xDA, sos_hdr) + data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _prog_scan_payloads(
+    comps: list[dict],
+    cids: list[int],
+    scans: list,
+    mcx: int,
+    mcy: int,
+    restart_interval: int,
+) -> list:
+    payloads = []
+    for idxs, ss, se, ah, al in scans:
+        scomps = [comps[i] for i in idxs]
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("AC scans must cover exactly one component")
+        hdr = bytes([len(scomps)])
+        for i in idxs:
+            hdr += bytes([cids[i], 0x01])  # DC table 0, AC table 1
+        hdr += bytes([ss, se, (ah << 4) | al])
+        payloads.append(
+            (hdr, _encode_prog_scan(scomps, ss, se, ah, al, mcx, mcy,
+                                    restart_interval))
+        )
+    return payloads
+
+
+def encode_jpeg_progressive_gray(
+    arr: np.ndarray,
+    quant: np.ndarray = STD_LUMA_QUANT,
+    scans: list | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """8-bit grayscale array -> complete PROGRESSIVE (SOF2) JPEG with
+    the default libjpeg-style scan script (DC first + refinement, AC
+    spectral bands refined 2 -> 1 -> 0); entropy-lossless on the same
+    quantized coefficients as :func:`encode_jpeg_gray`."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    gh, gw = -(-h // 8), -(-w // 8)
+    grid = _quantized_grid(arr, gh, gw, quant).reshape(-1, 64).astype(np.int64)
+    comp = {"zz": grid, "gw": gw, "gh": gh, "hi": 1, "vi": 1,
+            "cw": gw, "ch": gh}
+    payloads = _prog_scan_payloads(
+        [comp], [1], scans or _DEFAULT_GRAY_SCANS, gw, gh, restart_interval
+    )
+    return _assemble_progressive(
+        w, h, [(0, quant)], [(1, 0x11, 0)], payloads, restart_interval
+    )
+
+
+def encode_jpeg_progressive_ycbcr(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    subsampling: str = "444",
+    quant_luma: np.ndarray = STD_LUMA_QUANT,
+    quant_chroma: np.ndarray = STD_CHROMA_QUANT,
+    scans: list | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """YCbCr planes -> complete PROGRESSIVE (SOF2) color JPEG at 4:4:4
+    or 4:2:0, same plane contract as :func:`encode_jpeg_ycbcr`."""
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    if subsampling == "444":
+        hv_y, mcx, mcy = 0x11, -(-w // 8), -(-h // 8)
+        cexp = (h, w)
+    elif subsampling == "420":
+        hv_y, mcx, mcy = 0x22, -(-w // 16), -(-h // 16)
+        cexp = (-(-h // 2), -(-w // 2))
+    else:
+        raise ValueError("subsampling must be '444' or '420'")
+    for p in (cb, cr):
+        if np.asarray(p).shape != cexp:
+            raise ValueError(f"chroma shape must be {cexp} for {subsampling}")
+    hmax, vmax = hv_y >> 4, hv_y & 0x0F
+    factors = [(hmax, vmax), (1, 1), (1, 1)]
+    planes = [y, np.asarray(cb, dtype=np.uint8), np.asarray(cr, dtype=np.uint8)]
+    quants = [quant_luma, quant_chroma, quant_chroma]
+    comps = []
+    for (hi, vi), plane, q in zip(factors, planes, quants):
+        gh, gw = mcy * vi, mcx * hi
+        grid = _quantized_grid(plane, gh, gw, q).reshape(-1, 64).astype(np.int64)
+        comps.append(
+            {
+                "zz": grid, "gw": gw, "gh": gh, "hi": hi, "vi": vi,
+                "cw": -(-(-(-w * hi // hmax)) // 8),
+                "ch": -(-(-(-h * vi // vmax)) // 8),
+            }
+        )
+    payloads = _prog_scan_payloads(
+        comps, [1, 2, 3], scans or _DEFAULT_COLOR_SCANS, mcx, mcy,
+        restart_interval,
+    )
+    return _assemble_progressive(
+        w,
+        h,
+        [(0, quant_luma), (1, quant_chroma)],
+        [(1, hv_y, 0), (2, 0x11, 1), (3, 0x11, 1)],
+        payloads,
+        restart_interval,
+    )
+
+
+def encode_jpeg_progressive_rgb(
+    rgb: np.ndarray, subsampling: str = "444"
+) -> bytes:
+    """uint8 (h, w, 3) RGB -> progressive color JPEG (same forward
+    conversion as :func:`encode_jpeg_rgb`)."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    to8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
+    if subsampling == "420":
+        h, w = y.shape
+        ph, pw = (-h) % 2, (-w) % 2
+        if ph or pw:
+            cb = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
+            cr = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+    return encode_jpeg_progressive_ycbcr(to8(y), to8(cb), to8(cr), subsampling)

@@ -1101,6 +1101,45 @@ def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
 
 
+def synth_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id",
+                                   len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``jpeg`` column of COMPLETE PROGRESSIVE (SOF2) JPEGs —
+    the same flat-even-block image family as :func:`synth_jpeg_payload`
+    (so the same closed-form oracle holds: progressive is an entropy
+    reordering, identical quantized coefficients), coded with the
+    default 6-scan script (DC first + refinement, AC bands refined
+    2→1→0) and a restart interval cycling 0/2/5 by doc_id%3 to cover
+    the progressive restart path too."""
+    from .jpeg import encode_jpeg_progressive_gray
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(16) * (F.col(id_col) % 8 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 8 + 1)).cast("int").alias("h"),
+    )
+    intervals = (0, 2, 5)
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            jpegs = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                by, bx = np.mgrid[0 : int(h) // 8, 0 : int(w) // 8]
+                v = 2 * ((int(doc_id) + 3 * by + 5 * bx) % 128)
+                img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+                jpegs.append(
+                    encode_jpeg_progressive_gray(
+                        img.astype(np.uint8),
+                        restart_interval=intervals[int(doc_id) % 3],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+    return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
+
+
 def jpeg_decode_features(df: DataFrame, payload_col: str = "jpeg",
                          id_col: str = "doc_id") -> DataFrame:
     """REAL JPEG decode → featurize over Arrow batches: parse markers,

@@ -5715,6 +5715,55 @@ def mm_jpeg_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_jpeg_progressive_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(16 * (doc_id % 8 + 1) AS BIGINT) AS w,
+               CAST(16 * (n_chars % 8 + 1) AS BIGINT) AS h
+        FROM documents
+    ), blocks AS (
+        SELECT d.doc_id, d.w, d.h,
+               (d.doc_id + 3 * byy.by + 5 * bxx.bx) % 128 AS m
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h // 8 - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, d.w // 8 - 1)) AS bxx(bx)
+    )
+    SELECT doc_id,
+           any_value(w) AS width,
+           any_value(h) AS height,
+           TRUE AS marker_ok,
+           CAST(128 * sum(m) AS BIGINT) AS px_sum,
+           CAST(128 * sum(m) AS DOUBLE) / (any_value(w) * any_value(h))
+               AS px_mean,
+           CAST(2 * min(m) AS BIGINT) AS px_min,
+           CAST(2 * max(m) AS BIGINT) AS px_max,
+           CAST(count(DISTINCT m) AS BIGINT) AS dc_distinct
+    FROM blocks GROUP BY doc_id
+    """,
+    doc="PROGRESSIVE (SOF2) JPEG decode under the hash gate — the "
+    "round-8 closure of the decoder's biggest remaining format gap "
+    "(most web-scraped JPEGs are progressive).  The payloads are the "
+    "same flat-even-block family as mm_jpeg_decode_features but coded "
+    "with the default 6-scan progressive script — DC first + "
+    "refinement, AC spectral bands with successive approximation "
+    "2→1→0 (T.81 Annex G: EOB-run coding, ZRL/correction-bit "
+    "interleave, per-scan restart markers cycling 0/2/5 MCUs) — so "
+    "the oracle is IDENTICAL by construction: progressive is an "
+    "entropy-layer reordering of the same quantized coefficients, "
+    "and tests/test_jpeg.py pins prog-vs-baseline coefficient "
+    "equality exactly.  One wrong bit in any of the four progressive "
+    "scan decoders breaks the hash.  Scale: Arrow CPU-map envelope.",
+    bench=True,
+)
+def mm_jpeg_progressive_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.jpeg_decode_features(M.synth_jpeg_progressive_payload(docs))
+
+
+@query(
     "mm_flac_decode_features",
     """
     WITH p AS (

@@ -156,10 +156,16 @@ def test_unsupported_variants_raise_not_implemented():
     rng = np.random.default_rng(13)
     payload = bytearray(encode_jpeg_gray(flat_block_image(rng, 1, 1)))
     sof = payload.index(b"\xff\xc0")
-    progressive = payload.copy()
-    progressive[sof + 1] = 0xC2
+    extended = payload.copy()
+    extended[sof + 1] = 0xC1  # extended sequential stays unsupported
     with pytest.raises(NotImplementedError):
-        decode_jpeg_gray(bytes(progressive))
+        decode_jpeg_gray(bytes(extended))
+    # progressive is SUPPORTED since round 8 — but a baseline stream
+    # relabeled SOF2 carries an Ss=0,Se=63 scan, illegal in progressive
+    relabeled = payload.copy()
+    relabeled[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(relabeled))
     multi = payload.copy()
     multi[sof + 9] = 2  # 2-component frames stay unsupported (1 or 3 only)
     with pytest.raises(NotImplementedError):
@@ -414,3 +420,117 @@ def test_hostile_color_dims_capped_per_component():
     payload[sof + 5 : sof + 9] = (8192).to_bytes(2, "big") * 2  # 8192x8192x3
     with pytest.raises(ValueError, match="decoder limit"):
         decode_jpeg(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode + encode (round 8)
+# ---------------------------------------------------------------------------
+
+from health_monitor_cc_flink_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg_coeffs,
+    decode_jpeg_rgb,
+    encode_jpeg_progressive_gray,
+    encode_jpeg_progressive_rgb,
+    encode_jpeg_progressive_ycbcr,
+    encode_jpeg_rgb,
+)
+
+
+def test_progressive_gray_coefficient_exact():
+    """Progressive is an entropy reordering: decoded quantized
+    coefficients must equal the baseline encoding's exactly."""
+    rng = np.random.default_rng(81)
+    for shape in [(7, 9), (16, 24), (33, 41), (64, 64)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        qc_b, _, _, _ = decode_jpeg_coeffs(encode_jpeg_gray(img))
+        for ri in (0, 3):
+            prog = encode_jpeg_progressive_gray(img, restart_interval=ri)
+            qc_p, _, w, h = decode_jpeg_coeffs(prog)
+            assert (w, h) == (shape[1], shape[0])
+            np.testing.assert_array_equal(qc_p, qc_b)
+
+
+def test_progressive_color_pixel_exact_vs_baseline():
+    rng = np.random.default_rng(83)
+    for shape in [(20, 20, 3), (33, 41, 3), (48, 64, 3)]:
+        rgb = rng.integers(0, 256, shape).astype(np.uint8)
+        for sub in ("444", "420"):
+            np.testing.assert_array_equal(
+                decode_jpeg_rgb(encode_jpeg_progressive_rgb(rgb, sub)),
+                decode_jpeg_rgb(encode_jpeg_rgb(rgb, sub)),
+            )
+
+
+def test_progressive_restart_and_custom_script():
+    rng = np.random.default_rng(85)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    qc_b, _, _, _ = decode_jpeg_coeffs(encode_jpeg_gray(img))
+    # spectral-selection-only script (no successive approximation)
+    scans = [([0], 0, 0, 0, 0), ([0], 1, 20, 0, 0), ([0], 21, 63, 0, 0)]
+    qc_p, _, _, _ = decode_jpeg_coeffs(
+        encode_jpeg_progressive_gray(img, scans=scans)
+    )
+    np.testing.assert_array_equal(qc_p, qc_b)
+    # deep successive approximation, fine restart interval
+    scans = [
+        ([0], 0, 0, 0, 3), ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1),
+        ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 0, 3), ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1),
+        ([0], 1, 63, 1, 0),
+    ]
+    qc_p, _, _, _ = decode_jpeg_coeffs(
+        encode_jpeg_progressive_gray(img, scans=scans, restart_interval=1)
+    )
+    np.testing.assert_array_equal(qc_p, qc_b)
+
+
+def test_progressive_sparse_ac_refine_stress():
+    """Sparse high-frequency content maximizes ZRL/EOB-run/correction
+    bit interplay in the AC refinement coder."""
+    rng = np.random.default_rng(87)
+    for _ in range(15):
+        img = np.zeros((32, 32), dtype=np.uint8)
+        idx = rng.integers(0, 32, (12, 2))
+        img[idx[:, 0], idx[:, 1]] = rng.integers(1, 256, 12)
+        qc_p, _, _, _ = decode_jpeg_coeffs(encode_jpeg_progressive_gray(img))
+        qc_b, _, _, _ = decode_jpeg_coeffs(encode_jpeg_gray(img))
+        np.testing.assert_array_equal(qc_p, qc_b)
+
+
+def test_progressive_partial_scans_decode():
+    """A truncated progressive scan sequence (DC-only) is a legal
+    lower-quality image: the decoder must accept it and produce the
+    DC approximation, not crash."""
+    rng = np.random.default_rng(89)
+    img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    dc_only = encode_jpeg_progressive_gray(
+        img, scans=[([0], 0, 0, 0, 0)]
+    )
+    out = decode_jpeg_gray(dc_only)
+    assert out.shape == (24, 24)
+    # DC-only blocks are flat at the block mean (quantized): every 8x8
+    # block must be constant
+    blocks = out.reshape(3, 8, 3, 8)
+    assert (blocks == blocks[:, :1, :, :1]).all()
+
+
+def test_progressive_malformed_scans_rejected():
+    rng = np.random.default_rng(91)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    # interleaved AC scan is illegal
+    with pytest.raises(ValueError):
+        encode_jpeg_progressive_ycbcr(
+            img, img, img, "444", scans=[([0, 1, 2], 1, 5, 0, 0)]
+        )
+    payload = bytearray(encode_jpeg_progressive_gray(img))
+    # corrupt a scan's spectral band: Ss=0 scans must have Se=0
+    sos = payload.index(b"\xff\xda")
+    seglen = int.from_bytes(payload[sos + 2 : sos + 4], "big")
+    assert payload[sos + 2 + seglen - 3] == 0  # Ss of the DC scan
+    broken = payload.copy()
+    broken[sos + 2 + seglen - 2] = 13  # Se
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg_gray(bytes(broken))
+    # truncating entropy data mid-scan fails cleanly
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(payload[: len(payload) // 2]) + b"\xff\xd9")
