@@ -1271,6 +1271,10 @@ def _iter_riff_chunks(data: bytes, offset: int, end: int):
             raise ValueError("truncated RIFF chunk")
         yield fourcc, offset + 8, body_end
         offset = body_end + (size % 2)  # chunks are word-aligned
+    if offset < end:
+        # 1-7 leftover bytes cannot form a chunk header: malformed,
+        # flag it rather than silently dropping trailing data
+        raise ValueError("trailing garbage inside RIFF list")
 
 
 def _avi_frame_payloads(payload: bytes):
@@ -1279,8 +1283,12 @@ def _avi_frame_payloads(payload: bytes):
     sample can pay the JPEG Huffman cost only for the frames they
     keep, while the avih-vs-movi frame-count consistency check (which
     needs only the count) still covers the whole container.  The RIFF
-    tree is walked with an explicit stack (a hostile payload of deeply
-    nested LISTs must not RecursionError past the corrupt-row guard).
+    tree is walked depth-first in DOCUMENT order with an explicit
+    stack of iterators (a hostile payload of deeply nested LISTs must
+    not RecursionError past the corrupt-row guard), and frame chunks
+    are collected ONLY under a 'movi' (or OpenDML 'rec ') LIST — a
+    '00dc' planted elsewhere in the tree is not video data, and
+    multiple movi/rec LISTs keep their frames in file order.
     Raises ``ValueError`` on a malformed container and
     ``NotImplementedError`` for a non-MJPG video stream."""
     import struct
@@ -1291,28 +1299,41 @@ def _avi_frame_payloads(payload: bytes):
     (riff_size,) = struct.unpack("<I", payload[4:8])
     declared = None
     frames: list[bytes] = []
-    stack = [(12, min(8 + riff_size, len(payload)))]
+    top_end = min(8 + riff_size, len(payload))
+    stack = [(_iter_riff_chunks(payload, 12, top_end), False)]
     while stack:
-        offset, limit = stack.pop()
-        for fourcc, body_start, body_end in _iter_riff_chunks(payload, offset, limit):
-            if fourcc == b"LIST":
-                stack.append((body_start + 4, body_end))
-            elif fourcc == b"avih":
-                if body_end - body_start < 24:
-                    raise ValueError("truncated avih")
-                (declared,) = struct.unpack(
-                    "<I", payload[body_start + 16 : body_start + 20]
+        it, in_movi = stack[-1]
+        nxt = next(it, None)
+        if nxt is None:
+            stack.pop()
+            continue
+        fourcc, body_start, body_end = nxt
+        if fourcc == b"LIST":
+            if body_end - body_start < 4:
+                raise ValueError("truncated LIST header")
+            ltype = payload[body_start : body_start + 4]
+            stack.append(
+                (
+                    _iter_riff_chunks(payload, body_start + 4, body_end),
+                    in_movi or ltype in (b"movi", b"rec "),
                 )
-            elif fourcc == b"strh":
-                if body_end - body_start >= 8:
-                    if payload[body_start : body_start + 4] == b"vids" and (
-                        payload[body_start + 4 : body_start + 8] != b"MJPG"
-                    ):
-                        raise NotImplementedError(
-                            "only MJPG video streams decode natively"
-                        )
-            elif fourcc in (b"00dc", b"00db"):
-                frames.append(payload[body_start:body_end])
+            )
+        elif fourcc == b"avih":
+            if body_end - body_start < 24:
+                raise ValueError("truncated avih")
+            (declared,) = struct.unpack(
+                "<I", payload[body_start + 16 : body_start + 20]
+            )
+        elif fourcc == b"strh":
+            if body_end - body_start >= 8:
+                if payload[body_start : body_start + 4] == b"vids" and (
+                    payload[body_start + 4 : body_start + 8] != b"MJPG"
+                ):
+                    raise NotImplementedError(
+                        "only MJPG video streams decode natively"
+                    )
+        elif fourcc in (b"00dc", b"00db") and in_movi:
+            frames.append(payload[body_start:body_end])
     if declared is not None and declared != len(frames):
         raise ValueError(
             f"avih declares {declared} frames, movi carries {len(frames)}"

@@ -5322,8 +5322,12 @@ def streaming_cep_click_purchase_tws(spark, sf_dir):
         if (
             "INITIALIZATION_FAILURE" not in msg
             and "driver worker exited unexpectedly" not in msg
-            and "protobuf" not in msg
+            and "No module named 'google.protobuf'" not in msg
+            and "No module named google.protobuf" not in msg
         ):
+            # the bare substring 'protobuf' would also swallow real
+            # processor/serialization bugs whose traceback merely
+            # mentions it — match only the missing-runtime signature
             raise
     finally:
         # restore BEFORE any fallback drain: the legacy stream must run

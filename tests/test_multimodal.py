@@ -658,3 +658,61 @@ def test_flac_decode_features_flags_and_stats(spark):
     assert got[1].sample_sum == int(s.sum())
     assert got[1].s_min == int(s.min()) and got[1].s_max == int(s.max())
     assert got[2].ok is False and got[3].ok is False
+
+
+def test_avi_frames_only_under_movi_and_in_document_order():
+    """ADVICE r7: '00dc' chunks planted outside a movi LIST are not
+    video data; multiple movi/'rec ' LISTs (OpenDML) keep file order;
+    sub-8-byte trailing garbage inside a LIST is malformed."""
+    import struct
+
+    import numpy as np
+    from test_jpeg import flat_block_image
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        _riff_chunk,
+        _riff_list,
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+    import pytest as _pytest
+
+    rng = np.random.default_rng(41)
+    frames = [flat_block_image(rng, 1, 1) for _ in range(3)]
+    from health_monitor_cc_flink_spark.operators.jpeg import encode_jpeg_gray
+
+    payloads = [encode_jpeg_gray(f) for f in frames]
+
+    # a '00dc' planted inside hdrl must NOT count as a frame
+    avi = bytearray(encode_avi_mjpeg(frames))
+    planted = _riff_chunk(b"00dc", payloads[0])
+    hdrl_pos = avi.index(b"hdrl")
+    # splice into the hdrl LIST: grow the LIST and RIFF sizes
+    list_hdr = hdrl_pos - 8
+    (lsize,) = struct.unpack("<I", avi[list_hdr + 4 : list_hdr + 8])
+    insert_at = list_hdr + 8 + lsize
+    avi[list_hdr + 4 : list_hdr + 8] = struct.pack("<I", lsize + len(planted))
+    (rsize,) = struct.unpack("<I", avi[4:8])
+    avi[4:8] = struct.pack("<I", rsize + len(planted))
+    avi[insert_at:insert_at] = planted
+    dec, declared = decode_avi_mjpeg_frames(bytes(avi))
+    assert declared == 3 and len(dec) == 3  # planted chunk ignored
+
+    # two movi LISTs + one OpenDML 'rec ' LIST: frames in document order
+    movi1 = _riff_list(b"movi", _riff_chunk(b"00dc", payloads[0]))
+    rec = _riff_list(b"rec ", _riff_chunk(b"00dc", payloads[1]))
+    movi2 = _riff_list(b"movi", rec, _riff_chunk(b"00dc", payloads[2]))
+    body = b"AVI " + movi1 + movi2
+    multi = b"RIFF" + struct.pack("<I", len(body)) + body
+    dec, declared = decode_avi_mjpeg_frames(multi)
+    assert declared is None and len(dec) == 3
+    for want, got in zip(frames, dec):
+        np.testing.assert_array_equal(want, got)
+
+    # 3 bytes of garbage inside a LIST: malformed, not silently dropped
+    junk_list = _riff_list(b"movi", _riff_chunk(b"00dc", payloads[0]))
+    inner = junk_list[8:] + b"\x01\x02\x03"
+    bad = b"RIFF" + struct.pack("<I", len(b"AVI ") + 8 + len(inner)) + b"AVI " \
+        + b"LIST" + struct.pack("<I", len(inner)) + inner
+    with _pytest.raises(ValueError, match="trailing garbage"):
+        decode_avi_mjpeg_frames(bad)
