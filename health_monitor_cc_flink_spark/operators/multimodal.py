@@ -67,13 +67,26 @@ def binary_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") ->
 
 def decode_image(payload: bytes):
     """General image decode.  PNGs decode natively via `decode_png`
-    (numpy + zlib) and baseline JPEGs — grayscale AND YCbCr color at
-    4:4:4/4:2:0 — via `jpeg.decode_jpeg` (pure numpy, no library
-    needed); other formats (progressive JPEG, exotic samplings, WebP,
-    ...) require PIL, which is not installed in this environment — that
+    (numpy + zlib), baseline AND progressive JPEGs — grayscale and
+    YCbCr color at 4:4:4/4:2:0 — via `jpeg.decode_jpeg`, and lossless
+    WebP (VP8L) via `webp.decode_webp` (all pure numpy, no library
+    needed); remaining formats (lossy WebP, exotic samplings, ...)
+    require PIL, which is not installed in this environment — that
     branch stays STUBBED and the surrounding plumbing is exercised with
     `fake_feature_extract`."""
-    if bytes(payload[:8]) == _PNG_SIG:
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        import importlib.util
+
+        from .webp import decode_webp
+
+        try:
+            return decode_webp(payload)  # (h, w, 4) RGBA
+        except NotImplementedError:
+            pass  # lossy VP8 / VP8X: fall to PIL when available
+        except ValueError:
+            if importlib.util.find_spec("PIL") is None:
+                raise
+    elif bytes(payload[:8]) == _PNG_SIG:
         try:
             return decode_png(payload)
         except NotImplementedError:
@@ -1562,6 +1575,93 @@ def jpeg_color_decode_features(df: DataFrame, payload_col: str = "jpeg",
 # oracle is the waveform formula itself; CRC-8/16 + md5 give the codec
 # a spec-native corrupt-payload story.
 # -----------------------------------------------------------------------------
+
+
+def synth_webp_payload(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``webp`` column of COMPLETE lossless WebP (VP8L) files:
+    per row a w×h RGBA image with r=(doc_id+x)%256, g=(doc_id*3+y)%256,
+    b=(x+y)%256, a=255; w = 8*(doc_id%4+1), h = 8*(n_chars%4+1);
+    subtract-green cycles on/off by doc_id parity.  VP8L is LOSSLESS,
+    so every pixel statistic is closed-form from (doc_id, n_chars)."""
+    from .webp import encode_webp_lossless
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(8) * (F.col(id_col) % 4 + 1)).cast("int").alias("w"),
+        (F.lit(8) * (F.col(len_col) % 4 + 1)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            webps = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                y, x = np.mgrid[0 : int(h), 0 : int(w)]
+                img = np.stack(
+                    [
+                        (int(doc_id) + x) % 256,
+                        (int(doc_id) * 3 + y) % 256,
+                        (x + y) % 256,
+                        np.full_like(x, 255),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                webps.append(
+                    encode_webp_lossless(img, subtract_green=bool(doc_id % 2))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "webp": webps})
+
+    return src.mapInPandas(gen, schema="doc_id long, webp binary")
+
+
+def webp_decode_features(df: DataFrame, payload_col: str = "webp",
+                         id_col: str = "doc_id") -> DataFrame:
+    """REAL WebP-lossless decode over Arrow batches (full VP8L parse:
+    transforms, prefix codes, LZ77, color cache) reduced to
+    integer-exact per-channel statistics.  Corrupt payloads flag their
+    row (ok=false)."""
+    from .webp import decode_webp
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("width", "height", "r_sum", "g_sum", "b_sum",
+                "a_min", "rgb_max")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    img = decode_webp(bytes(p))
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["width"].append(int(img.shape[1]))
+                out["height"].append(int(img.shape[0]))
+                out["r_sum"].append(int(img[:, :, 0].sum(dtype=np.int64)))
+                out["g_sum"].append(int(img[:, :, 1].sum(dtype=np.int64)))
+                out["b_sum"].append(int(img[:, :, 2].sum(dtype=np.int64)))
+                out["a_min"].append(int(img[:, :, 3].min()))
+                out["rgb_max"].append(int(img[:, :, :3].max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, ok boolean, width long, height long, "
+            "r_sum long, g_sum long, b_sum long, a_min long, rgb_max long"
+        ),
+    )
 
 
 def synth_flac_payload(df: DataFrame, id_col: str = "doc_id",
