@@ -1577,6 +1577,89 @@ def jpeg_color_decode_features(df: DataFrame, payload_col: str = "jpeg",
 # -----------------------------------------------------------------------------
 
 
+def synth_gif_payload(df: DataFrame, id_col: str = "doc_id",
+                      len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``gif`` column of COMPLETE animated GIF89a files: two
+    frames — a checkerboard of colors A/B, then the same with a C
+    rectangle over the top-left quadrant — w = 8*(doc_id%4+1),
+    h = 8*(n_chars%4+1), interlacing cycling by doc_id parity.
+    A = (doc_id%256, doc_id*7%256, 11), B = (doc_id*3%256, 200,
+    doc_id*5%256), C = (doc_id*11%256, 33, 77).  The palette pipeline
+    is lossless, so the composited last frame is closed-form."""
+    from .gif import encode_gif
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(8) * (F.col(id_col) % 4 + 1)).cast("int").alias("w"),
+        (F.lit(8) * (F.col(len_col) % 4 + 1)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            gifs = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(doc_id), int(w), int(h)
+                y, x = np.mgrid[0:h, 0:w]
+                a = np.array([d % 256, d * 7 % 256, 11], dtype=np.uint8)
+                b = np.array([d * 3 % 256, 200, d * 5 % 256], dtype=np.uint8)
+                f1 = np.where(((x + y) % 2 == 0)[:, :, None], a, b).astype(np.uint8)
+                f2 = f1.copy()
+                f2[: h // 2, : w // 2] = [d * 11 % 256, 33, 77]
+                gifs.append(encode_gif([f1, f2], interlace=bool(d % 2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "gif": gifs})
+
+    return src.mapInPandas(gen, schema="doc_id long, gif binary")
+
+
+def gif_decode_features(df: DataFrame, payload_col: str = "gif",
+                        id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF decode over Arrow batches (full GIF89a parse: LZW,
+    interlace, extensions, animation compositing) reduced to
+    integer-exact statistics of the final composited frame.  Corrupt
+    payloads flag their row (ok=false)."""
+    from .gif import decode_gif_frames
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("n_frames", "width", "height", "r_sum", "g_sum", "b_sum")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    frames, w, h = decode_gif_frames(bytes(p))
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                last = frames[-1]
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["n_frames"].append(len(frames))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["r_sum"].append(int(last[:, :, 0].sum(dtype=np.int64)))
+                out["g_sum"].append(int(last[:, :, 1].sum(dtype=np.int64)))
+                out["b_sum"].append(int(last[:, :, 2].sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, ok boolean, n_frames long, width long, "
+            "height long, r_sum long, g_sum long, b_sum long"
+        ),
+    )
+
+
 def synth_webp_payload(df: DataFrame, id_col: str = "doc_id",
                        len_col: str = "n_chars") -> DataFrame:
     """Attach a ``webp`` column of COMPLETE lossless WebP (VP8L) files:

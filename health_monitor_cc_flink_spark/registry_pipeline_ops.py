@@ -5811,6 +5811,61 @@ def mm_flac_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_gif_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8 * (doc_id % 4 + 1) AS BIGINT) AS w,
+               CAST(8 * (n_chars % 4 + 1) AS BIGINT) AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h,
+               CASE WHEN yy.y < d.h // 2 AND xx.x < d.w // 2
+                    THEN (d.doc_id * 11) % 256
+                    WHEN (xx.x + yy.y) % 2 = 0 THEN d.doc_id % 256
+                    ELSE (d.doc_id * 3) % 256 END AS r,
+               CASE WHEN yy.y < d.h // 2 AND xx.x < d.w // 2 THEN 33
+                    WHEN (xx.x + yy.y) % 2 = 0 THEN (d.doc_id * 7) % 256
+                    ELSE 200 END AS g,
+               CASE WHEN yy.y < d.h // 2 AND xx.x < d.w // 2 THEN 77
+                    WHEN (xx.x + yy.y) % 2 = 0 THEN 11
+                    ELSE (d.doc_id * 5) % 256 END AS b
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h - 1)) AS yy(y),
+             LATERAL unnest(generate_series(0, d.w - 1)) AS xx(x)
+    )
+    SELECT doc_id, TRUE AS ok,
+           CAST(2 AS BIGINT) AS n_frames,
+           any_value(w) AS width,
+           any_value(h) AS height,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(g) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL GIF decode under the hash gate — no media library "
+    "(operators/gif.py: pure-numpy GIF89a — variable-width LZW with "
+    "dictionary growth/reset and deferred-clear tolerance, interlace "
+    "de-pass, graphic-control extensions, multi-frame animation "
+    "compositing with disposal methods).  synth_gif_payload writes "
+    "2-frame animated GIFs (checkerboard + overlay rectangle, "
+    "interlacing cycling by parity) through the encoder's real LZW "
+    "path; the palette pipeline is LOSSLESS, so the composited final "
+    "frame is the closed-form pixel formula — one wrong bit in LZW, "
+    "interlace reordering, or compositing breaks the hash.  Rounds "
+    "out the web-image surface: PNG + JPEG (baseline/progressive) + "
+    "WebP + GIF.  Scale: Arrow CPU-map envelope like the other "
+    "codecs.",
+    bench=True,
+)
+def mm_gif_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.gif_decode_features(M.synth_gif_payload(docs))
+
+
+@query(
     "mm_webp_decode_features",
     """
     WITH dims AS (

@@ -209,6 +209,12 @@ PROBE_QUERIES = (
     "agg_hll_mergeable_rollup",
     "agg_approx_battery",
     "agg_sketch_profile",
+    # round-8 additions: three more Arrow-batched CPU-map codecs —
+    # progressive JPEG, LPC/mid-side FLAC, WebP-lossless — all must
+    # track the scan like their round-6/7 siblings
+    "mm_jpeg_progressive_decode_features",
+    "mm_flac_lpc_ms_decode_features",
+    "mm_webp_decode_features",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
