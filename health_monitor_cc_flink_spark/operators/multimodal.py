@@ -1577,6 +1577,90 @@ def jpeg_color_decode_features(df: DataFrame, payload_col: str = "jpeg",
 # -----------------------------------------------------------------------------
 
 
+def synth_g711_payload(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``wav`` column of COMPLETE G.711 WAV files (format tag
+    7 mu-law for even doc_ids, 6 A-law for odd): companded wire bytes
+    b_i = (doc_id*13 + 7i) % 256, n = n_chars + 800 samples, mono,
+    sr = 8000*(doc_id%2+1).  The companded->linear map is exact
+    integer arithmetic, so the decoded-sample statistics are
+    closed-form from the byte formula."""
+    from .g711 import encode_g711_wav
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(len_col) + 800).cast("int").alias("n"),
+        (F.lit(8000) * (F.col(id_col) % 2 + 1)).cast("int").alias("sr"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            wavs = []
+            for doc_id, n, sr in zip(pdf["doc_id"], pdf["n"], pdf["sr"]):
+                d = int(doc_id)
+                i = np.arange(int(n), dtype=np.int64)
+                comp = ((d * 13 + 7 * i) % 256).astype(np.uint8)
+                wavs.append(
+                    encode_g711_wav(
+                        comp, int(sr), "ulaw" if d % 2 == 0 else "alaw"
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": wavs})
+
+    return src.mapInPandas(gen, schema="doc_id long, wav binary")
+
+
+def g711_decode_features(df: DataFrame, payload_col: str = "wav",
+                         id_col: str = "doc_id") -> DataFrame:
+    """REAL G.711 decode over Arrow batches (RIFF parse + exact
+    companding inverse) reduced to integer-exact linear-sample
+    statistics.  Corrupt payloads flag their row (ok=false)."""
+    from .g711 import decode_g711_wav
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("law", "sample_rate", "n_samples", "s_sum", "s_min",
+                "s_max", "energy")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    lin, sr, law = decode_g711_wav(bytes(p))
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                s = lin.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["law"].append(law)
+                out["sample_rate"].append(int(sr))
+                out["n_samples"].append(int(s.size))
+                out["s_sum"].append(int(s.sum()))
+                out["s_min"].append(int(s.min()))
+                out["s_max"].append(int(s.max()))
+                out["energy"].append(int((s * s).sum()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, ok boolean, law string, sample_rate long, "
+            "n_samples long, s_sum long, s_min long, s_max long, "
+            "energy long"
+        ),
+    )
+
+
 def synth_gif_payload(df: DataFrame, id_col: str = "doc_id",
                       len_col: str = "n_chars") -> DataFrame:
     """Attach a ``gif`` column of COMPLETE animated GIF89a files: two

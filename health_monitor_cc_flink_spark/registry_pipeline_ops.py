@@ -5811,6 +5811,72 @@ def mm_flac_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_g711_decode_features",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(n_chars + 800 AS BIGINT) AS n,
+               CAST(8000 * (doc_id % 2 + 1) AS BIGINT) AS sr
+        FROM documents
+    ), s AS (
+        SELECT p.doc_id, p.n, p.sr,
+               (p.doc_id * 13 + 7 * i.i) % 256 AS b
+        FROM p, LATERAL unnest(generate_series(0, p.n - 1)) AS i(i)
+    ), lin AS (
+        SELECT doc_id, n, sr,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   -- mu-law: complement, then segmented expansion
+                   CASE WHEN (255 - b) >= 128
+                        THEN -(((((255 - b) % 16) * 8 + 132)
+                                << (((255 - b) // 16) % 8)) - 132)
+                        ELSE ((((255 - b) % 16) * 8 + 132)
+                              << (((255 - b) // 16) % 8)) - 132
+                   END
+               ELSE
+                   -- A-law: 0x55 mask, segment 0 linear
+                   CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+                   CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                        THEN (xor(b, 85) % 16) * 16 + 8
+                        ELSE ((xor(b, 85) % 16) * 16 + 264)
+                             << (((xor(b, 85) // 16) % 8) - 1)
+                   END
+               END AS x
+        FROM s
+    )
+    SELECT doc_id, TRUE AS ok,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+           any_value(sr) AS sample_rate,
+           any_value(n) AS n_samples,
+           CAST(sum(x) AS BIGINT) AS s_sum,
+           CAST(min(x) AS BIGINT) AS s_min,
+           CAST(max(x) AS BIGINT) AS s_max,
+           CAST(sum(x * x) AS BIGINT) AS energy
+    FROM lin GROUP BY doc_id
+    """,
+    doc="REAL G.711 telephony-audio decode under the hash gate "
+    "(operators/g711.py: ITU-T mu-law and A-law segmented companding, "
+    "byte-identical to the CCITT reference implementation — pinned "
+    "EXHAUSTIVELY against CPython's audioop over all 65536 inputs and "
+    "256 codewords in tests/test_g711.py — plus WAV framing with "
+    "format tags 6/7, which the stdlib PCM-only reader refuses).  "
+    "synth_g711_payload writes deterministic companded byte streams "
+    "(mu-law for even doc_ids, A-law for odd); the companded->linear "
+    "map is exact integer arithmetic, so the oracle replicates the "
+    "expansion formula in SQL — one wrong bit in either law's "
+    "segment/mantissa/sign handling breaks the hash.  Extends the "
+    "audio surface to the encodings call-center/voicemail corpora "
+    "actually use.  Scale: Arrow CPU-map envelope, fully vectorized "
+    "numpy (no per-sample Python).",
+    bench=True,
+)
+def mm_g711_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.g711_decode_features(M.synth_g711_payload(docs))
+
+
+@query(
     "mm_gif_decode_features",
     """
     WITH dims AS (
