@@ -215,6 +215,8 @@ PROBE_QUERIES = (
     "mm_jpeg_progressive_decode_features",
     "mm_flac_lpc_ms_decode_features",
     "mm_webp_decode_features",
+    "mm_gif_decode_features",
+    "mm_g711_decode_features",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
