@@ -182,6 +182,8 @@ class _HuffDecoder:
                 self.maxcode[length] = code - 1
             code <<= 1
 
+    _LUT_BITS = 10
+
     def decode(self, bits: np.ndarray, pos: int) -> tuple[int, int]:
         code = 0
         n = len(bits)
@@ -193,6 +195,25 @@ class _HuffDecoder:
             if self.maxcode[length] >= code >= self.mincode[length]:
                 return self.vals[self.valptr[length] + code - self.mincode[length]], pos
         raise ValueError("invalid huffman code")
+
+    def _lut(self) -> list[int]:
+        """Window lookup table (built lazily once per table): entry for
+        every _LUT_BITS-bit MSB-first window whose prefix is a code of
+        length <= _LUT_BITS; packed (symbol << 5) | length, -1 when the
+        code is longer than the window."""
+        lut = getattr(self, "_lut_cache", None)
+        if lut is None:
+            lb = self._LUT_BITS
+            arr = np.full(1 << lb, -1, dtype=np.int64)
+            for length in range(1, lb + 1):
+                if self.maxcode[length] < 0:
+                    continue
+                for code in range(self.mincode[length], self.maxcode[length] + 1):
+                    sym = self.vals[self.valptr[length] + code - self.mincode[length]]
+                    base = code << (lb - length)
+                    arr[base : base + (1 << (lb - length))] = (sym << 5) | length
+            lut = self._lut_cache = arr.tolist()
+        return lut
 
 
 class _BitWriter:
@@ -504,32 +525,59 @@ def decode_jpeg_coeffs(payload: bytes):
 
 
 class _ScanReader:
-    """Entropy-bit reader over one scan's restart-separated chunks."""
+    """Entropy-bit reader over one scan's restart-separated chunks:
+    O(1) MSB-first multi-bit reads via a 4-byte ``int.from_bytes``
+    window, and window-LUT huffman decode (one peek + one list index
+    per symbol on the hot path)."""
 
     def __init__(self, chunks: list[bytes]):
         self.chunks = chunks
         self.idx = 0
-        self.bits = np.unpackbits(np.frombuffer(chunks[0], dtype=np.uint8))
+        self._load(chunks[0])
+
+    def _load(self, chunk: bytes) -> None:
+        self.data = chunk
+        self.nbits = len(chunk) * 8
+        self._padded = chunk + b"\x00" * 4
         self.pos = 0
+        if hasattr(self, "_bits"):
+            del self._bits  # walk fallback cache is per-chunk
 
     def next_chunk(self) -> None:
         self.idx += 1
         if self.idx >= len(self.chunks):
             raise ValueError("missing restart segment")
-        self.bits = np.unpackbits(
-            np.frombuffer(self.chunks[self.idx], dtype=np.uint8)
-        )
-        self.pos = 0
+        self._load(self.chunks[self.idx])
 
     def raw(self, cat: int) -> int:
-        if self.pos + cat > len(self.bits):
+        pos = self.pos
+        if pos + cat > self.nbits:
             raise ValueError("truncated entropy stream")
-        v = int(self.bits[self.pos : self.pos + cat] @ _POW2[-cat:]) if cat else 0
-        self.pos += cat
-        return v
+        byte0 = pos >> 3
+        chunk = int.from_bytes(self._padded[byte0 : byte0 + 4], "big")
+        self.pos = pos + cat
+        return (chunk >> (32 - (pos & 7) - cat)) & ((1 << cat) - 1)
 
     def huff(self, dec: _HuffDecoder) -> int:
-        v, self.pos = dec.decode(self.bits, self.pos)
+        pos = self.pos
+        byte0 = pos >> 3
+        # zero-padded peek: past-the-end windows resolve to either a
+        # valid short code (validated against nbits) or a miss
+        window = (
+            int.from_bytes(self._padded[byte0 : byte0 + 4], "big")
+            >> (32 - (pos & 7) - _HuffDecoder._LUT_BITS)
+        ) & ((1 << _HuffDecoder._LUT_BITS) - 1)
+        entry = dec._lut()[window]
+        if entry >= 0:
+            length = entry & 31
+            if pos + length > self.nbits:
+                raise ValueError("truncated entropy stream")
+            self.pos = pos + length
+            return entry >> 5
+        # long code (or truncation): fall back to the bit walk
+        if not hasattr(self, "_bits"):
+            self._bits = np.unpackbits(np.frombuffer(self.data, dtype=np.uint8))
+        v, self.pos = dec.decode(self._bits, pos)
         return v
 
 
@@ -637,7 +685,8 @@ def _run_scan(
             eobrun -= 1
             return
         row = c["zz"][b]
-        ac_dec = huff[(1, c["ac_sel"])]
+        band = row[ss : se + 1].tolist()  # numpy scalar indexing is the
+        ac_dec = huff[(1, c["ac_sel"])]  # hot-loop cost; work on a list
         k = ss
         while k <= se:
             rs = rdr.huff(ac_dec)
@@ -653,8 +702,9 @@ def _run_scan(
             k += run
             if k > se:
                 raise ValueError("AC run overflows spectral band")
-            row[k] = _receive_extend(rdr.raw(cat), cat) << al
+            band[k - ss] = _receive_extend(rdr.raw(cat), cat) << al
             k += 1
+        row[ss : se + 1] = band
 
     def ac_refine_block(c: dict, b: int) -> None:
         # T.81 G.1.2.3 successive-approximation AC refinement: newly
@@ -663,6 +713,7 @@ def _run_scan(
         # in EOB-run blocks) carries one correction bit
         nonlocal eobrun
         row = c["zz"][b]
+        band = row[ss : se + 1].tolist()
         ac_dec = huff[(1, c["ac_sel"])]
         k = ss
         if eobrun == 0:
@@ -682,25 +733,26 @@ def _run_scan(
                 else:
                     raise ValueError("refinement symbol must have size 1")
                 while k <= se:
-                    v = int(row[k])
+                    v = band[k - ss]
                     if v != 0:
                         if rdr.raw(1) and (v & p1) == 0:
-                            row[k] = v + (p1 if v > 0 else m1)
+                            band[k - ss] = v + (p1 if v > 0 else m1)
                     else:
                         if run == 0:
                             break
                         run -= 1
                     k += 1
                 if newval and k <= se:
-                    row[k] = newval
+                    band[k - ss] = newval
                 k += 1
         if eobrun > 0:
             while k <= se:
-                v = int(row[k])
+                v = band[k - ss]
                 if v != 0 and rdr.raw(1) and (v & p1) == 0:
-                    row[k] = v + (p1 if v > 0 else m1)
+                    band[k - ss] = v + (p1 if v > 0 else m1)
                 k += 1
             eobrun -= 1
+        row[ss : se + 1] = band
 
     if not progressive:
         block_fn = baseline_block

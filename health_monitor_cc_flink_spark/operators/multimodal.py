@@ -1577,6 +1577,161 @@ def jpeg_color_decode_features(df: DataFrame, payload_col: str = "jpeg",
 # -----------------------------------------------------------------------------
 
 
+def synth_archive_payload(df: DataFrame, id_col: str = "doc_id",
+                          len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``archive`` column of COMPLETE shard archives — the
+    container format web-scale corpora actually ship in: ZIP (deflate)
+    for even doc_ids, gzipped POSIX tar for odd.  Each archive holds
+    m = doc_id%4+2 members named doc_<doc_id>_<k>.txt whose text is
+    'doc <doc_id> member <k> ' repeated r_k = n_chars%7+k+1 times —
+    every member size and content statistic is closed-form."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col) % 4 + 2).cast("int").alias("m"),
+        (F.col(len_col) % 7).cast("int").alias("rbase"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import gzip
+        import io
+        import tarfile
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            archives = []
+            for doc_id, m, rbase in zip(pdf["doc_id"], pdf["m"], pdf["rbase"]):
+                d, m, rbase = int(doc_id), int(m), int(rbase)
+                members = [
+                    (
+                        f"doc_{d}_{k}.txt",
+                        (f"doc {d} member {k} " * (rbase + k + 1)).encode(),
+                    )
+                    for k in range(m)
+                ]
+                buf = io.BytesIO()
+                if d % 2 == 0:
+                    with zipfile.ZipFile(
+                        buf, "w", compression=zipfile.ZIP_DEFLATED
+                    ) as zf:
+                        for name, data in members:
+                            zf.writestr(
+                                zipfile.ZipInfo(name),  # fixed 1980 date
+                                data,
+                            )
+                else:
+                    tbuf = io.BytesIO()
+                    with tarfile.open(fileobj=tbuf, mode="w",
+                                      format=tarfile.USTAR_FORMAT) as tf:
+                        for name, data in members:
+                            info = tarfile.TarInfo(name)
+                            info.size = len(data)
+                            tf.addfile(info, io.BytesIO(data))
+                    buf.write(gzip.compress(tbuf.getvalue(), mtime=0))
+                archives.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "archive": archives})
+
+    return src.mapInPandas(gen, schema="doc_id long, archive binary")
+
+
+#: Decode-side caps: a hostile archive must not expand past these.
+MAX_ARCHIVE_MEMBERS = 10_000
+MAX_MEMBER_BYTES = 64 << 20
+
+
+def archive_members_extract(df: DataFrame, payload_col: str = "archive",
+                            id_col: str = "doc_id") -> DataFrame:
+    """EXPLODE shard archives into one row per member — the ingestion
+    step that turns a corpus of tar/zip shards into a documents table.
+    Sniffs ZIP (PK signature) vs gzip/tar, streams members inside the
+    Arrow batch (never materializing the whole shard corpus), and
+    bounds both member count and per-member size against zip-bomb
+    style hostiles (flagging the row, not aborting the job).  Output:
+    (doc_id, ok, fmt, member_name, member_bytes, member_text_hash) —
+    content is reduced to size + md5 so only bounded data leaves the
+    task."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def extract(batches: Iterator) -> Iterator:
+        import gzip
+        import hashlib
+        import io
+        import tarfile
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "fmt": [], "member_name": [],
+                   "member_bytes": [], "member_md5": []}
+
+            def flag(doc_id):
+                out["doc_id"].append(doc_id)
+                out["ok"].append(False)
+                for c in ("fmt", "member_name", "member_bytes", "member_md5"):
+                    out[c].append(None)
+
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                p = bytes(p)
+                try:
+                    members = []
+                    if p[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+                        fmt = "zip"
+                        with zipfile.ZipFile(io.BytesIO(p)) as zf:
+                            infos = zf.infolist()
+                            if len(infos) > MAX_ARCHIVE_MEMBERS:
+                                raise ValueError("too many archive members")
+                            for info in infos:
+                                if info.file_size > MAX_MEMBER_BYTES:
+                                    raise ValueError("member exceeds size cap")
+                                with zf.open(info) as f:
+                                    data = f.read(MAX_MEMBER_BYTES + 1)
+                                if len(data) != info.file_size:
+                                    raise ValueError(
+                                        "member size disagrees with directory"
+                                    )
+                                members.append((info.filename, data))
+                    elif p[:2] == b"\x1f\x8b" or p[257:262] == b"ustar":
+                        fmt = "tar"
+                        raw = gzip.decompress(p) if p[:2] == b"\x1f\x8b" else p
+                        with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                            n = 0
+                            for info in tf:
+                                if not info.isfile():
+                                    continue
+                                n += 1
+                                if n > MAX_ARCHIVE_MEMBERS:
+                                    raise ValueError("too many archive members")
+                                if info.size > MAX_MEMBER_BYTES:
+                                    raise ValueError("member exceeds size cap")
+                                f = tf.extractfile(info)
+                                members.append((info.name, f.read()))
+                    else:
+                        raise ValueError("unknown archive format")
+                    if not members:
+                        raise ValueError("archive has no file members")
+                except Exception:
+                    flag(doc_id)
+                    continue
+                for name, data in members:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["fmt"].append(fmt)
+                    out["member_name"].append(name)
+                    out["member_bytes"].append(len(data))
+                    out["member_md5"].append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, ok boolean, fmt string, member_name string, "
+            "member_bytes long, member_md5 string"
+        ),
+    )
+
+
 def synth_g711_payload(df: DataFrame, id_col: str = "doc_id",
                        len_col: str = "n_chars") -> DataFrame:
     """Attach a ``wav`` column of COMPLETE G.711 WAV files (format tag

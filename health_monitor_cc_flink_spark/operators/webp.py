@@ -64,24 +64,32 @@ def _distance_map() -> list[tuple[int, int]]:
 _DIST_MAP = _distance_map()
 _DIST_MAP_INV = {p: i + 1 for i, p in enumerate(_DIST_MAP)}
 
-_POW2_LSB = 1 << np.arange(24, dtype=np.int64)  # LSB-first bit weights
-
-
 class _LsbReader:
-    """LSB-first bit reader (VP8L shares DEFLATE's bit packing)."""
+    """LSB-first bit reader (VP8L shares DEFLATE's bit packing) with
+    O(1) multi-bit reads via a 5-byte ``int.from_bytes`` window."""
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(
-            np.frombuffer(data, dtype=np.uint8), bitorder="little"
-        )
+        self.data = bytes(data)
+        self.nbits = len(self.data) * 8
+        self._padded = self.data + b"\x00" * 5
         self.pos = 0
 
     def read(self, n: int) -> int:
-        if self.pos + n > len(self.bits):
+        pos = self.pos
+        if pos + n > self.nbits:
             raise ValueError("truncated VP8L bitstream")
-        v = int(self.bits[self.pos : self.pos + n] @ _POW2_LSB[:n]) if n else 0
-        self.pos += n
-        return v
+        byte0 = pos >> 3
+        chunk = int.from_bytes(self._padded[byte0 : byte0 + 5], "little")
+        self.pos = pos + n
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        """Up to n bits without consuming (zero-padded past the end)."""
+        pos = self.pos
+        byte0 = pos >> 3
+        nbytes = ((pos & 7) + n + 7) >> 3
+        chunk = int.from_bytes(self._padded[byte0 : byte0 + nbytes], "little")
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
 
 
 class _LsbWriter:
@@ -129,9 +137,21 @@ def _canonical_codes_from_lengths(lengths: list[int]) -> dict[int, tuple[int, in
     return out
 
 
+def _revbits(v: int, n: int) -> int:
+    out = 0
+    for _ in range(n):
+        out = (out << 1) | (v & 1)
+        v >>= 1
+    return out
+
+
 class _PrefixDecoder:
-    """Bit-by-bit canonical decoder; a single-symbol code reads 0 bits
-    (spec: length-0 codes)."""
+    """Canonical decoder over a peeked-window lookup table (one peek +
+    one list index per symbol instead of a per-bit dict walk); codes
+    longer than the table window fall back to the walk.  A
+    single-symbol code reads 0 bits (spec: length-0 codes)."""
+
+    _LUT_BITS = 11
 
     def __init__(self, lengths: list[int]):
         used = [s for s, ln in enumerate(lengths) if ln]
@@ -145,6 +165,18 @@ class _PrefixDecoder:
         codes = _canonical_codes_from_lengths(lengths)
         self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
         self.max_len = max(ln for ln, _ in self.table)
+        self._build_lut()
+
+    def _build_lut(self) -> None:
+        lb = min(self.max_len, self._LUT_BITS)
+        self.lut_bits = lb
+        lut = np.full(1 << lb, -1, dtype=np.int64)
+        for (ln, code), sym in self.table.items():
+            if ln <= lb:
+                # stream order presents the code MSB-first, and the
+                # peeked window is LSB-first: index by the reversed code
+                lut[_revbits(code, ln) :: 1 << ln] = (sym << 5) | ln
+        self.lut = lut.tolist()
 
     @classmethod
     def single_symbol(cls, sym: int) -> "_PrefixDecoder":
@@ -159,13 +191,24 @@ class _PrefixDecoder:
         d.single = None
         d.table = {(1, 0): s0, (1, 1): s1}
         d.max_len = 1
+        d._build_lut()
         return d
 
     def decode(self, rdr: _LsbReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for ln in range(1, self.max_len + 1):
+        entry = self.lut[rdr.peek(self.lut_bits)]
+        if entry >= 0:
+            ln = entry & 31
+            if rdr.pos + ln > rdr.nbits:
+                raise ValueError("truncated VP8L bitstream")
+            rdr.pos += ln
+            return entry >> 5
+        code = rdr.read(self.lut_bits)
+        # resume the walk with the already-consumed window reversed
+        # back into MSB-first order
+        code = _revbits(code, self.lut_bits)
+        for ln in range(self.lut_bits + 1, self.max_len + 1):
             code = (code << 1) | rdr.read(1)
             sym = self.table.get((ln, code))
             if sym is not None:

@@ -5811,6 +5811,55 @@ def mm_flac_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_archive_members_extract",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 + 2 AS BIGINT) AS m,
+               CAST(n_chars % 7 AS BIGINT) AS rbase
+        FROM documents
+    ), mem AS (
+        SELECT p.doc_id, p.rbase, kk.k,
+               repeat(
+                   'doc ' || CAST(p.doc_id AS VARCHAR) || ' member '
+                       || CAST(kk.k AS VARCHAR) || ' ',
+                   CAST(p.rbase + kk.k + 1 AS INT)
+               ) AS body
+        FROM p, LATERAL unnest(generate_series(0, p.m - 1)) AS kk(k)
+    )
+    SELECT doc_id, TRUE AS ok,
+           CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END AS fmt,
+           'doc_' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR)
+               || '.txt' AS member_name,
+           CAST(length(body) AS BIGINT) AS member_bytes,
+           md5(body) AS member_md5
+    FROM mem
+    """,
+    doc="Shard-archive EXPLODE — the ingestion step that turns a "
+    "corpus of tar/zip shards (how web-scale training data actually "
+    "ships: WARC-adjacent zip shards, gzipped tar dumps) into one row "
+    "per member document.  synth_archive_payload writes real ZIP "
+    "(deflate, fixed timestamps) for even doc_ids and gzipped POSIX "
+    "tar for odd; archive_members_extract sniffs the format, streams "
+    "members inside the Arrow batch, bounds member count AND "
+    "per-member size against zip-bomb hostiles (flag, don't abort), "
+    "cross-checks zip directory sizes against actual payload, and "
+    "reduces content to size + md5 so only bounded data leaves the "
+    "task.  Both container writers are stdlib (deterministic "
+    "timestamps), so member names, sizes, and md5s are all "
+    "closed-form — the oracle rebuilds them with repeat()/md5() in "
+    "SQL.  Scale: pure Arrow CPU-map fan-out; the explode multiplies "
+    "rows, never bytes (hashes, not contents).",
+    bench=True,
+)
+def mm_archive_members_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.archive_members_extract(M.synth_archive_payload(docs))
+
+
+@query(
     "mm_g711_decode_features",
     """
     WITH p AS (

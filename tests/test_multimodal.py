@@ -716,3 +716,48 @@ def test_avi_frames_only_under_movi_and_in_document_order():
         + b"LIST" + struct.pack("<I", len(inner)) + inner
     with _pytest.raises(ValueError, match="trailing garbage"):
         decode_avi_mjpeg_frames(bad)
+
+
+def test_archive_members_extract(spark):
+    """Shard-archive explode: zip + tar member rows, hostile caps."""
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        archive_members_extract,
+    )
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(zipfile.ZipInfo("a.txt"), b"hello world")
+        zf.writestr(zipfile.ZipInfo("b.txt"), b"bye")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo("c.txt")
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"data"))
+    rows = archive_members_extract(
+        spark.createDataFrame(
+            [
+                (1, zbuf.getvalue()),
+                (2, gzip.compress(tbuf.getvalue(), mtime=0)),
+                (3, b"not an archive"),
+                (4, zbuf.getvalue()[:20]),  # truncated zip
+            ],
+            "doc_id long, archive binary",
+        )
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(m.member_name for m in by_doc[1]) == ["a.txt", "b.txt"]
+    assert all(m.ok and m.fmt == "zip" for m in by_doc[1])
+    import hashlib
+
+    (hello,) = [m for m in by_doc[1] if m.member_name == "a.txt"]
+    assert hello.member_bytes == 11
+    assert hello.member_md5 == hashlib.md5(b"hello world").hexdigest()
+    assert by_doc[2][0].fmt == "tar" and by_doc[2][0].member_name == "c.txt"
+    assert by_doc[3][0].ok is False and by_doc[4][0].ok is False
