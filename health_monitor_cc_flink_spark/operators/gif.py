@@ -54,18 +54,21 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()
-    # bit cursor over the whole stream, LSB-first
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    # bit cursor over the whole stream, LSB-first; O(1) reads via a
+    # 3-byte int.from_bytes window (width <= 12, offset <= 7 -> 19 bits)
+    padded = data + b"\x00\x00\x00"
     pos = 0
     width = min_code_size + 1
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     prev: bytes | None = None
-    n = len(bits)
-    weights = 1 << np.arange(12, dtype=np.int64)
+    n = len(data) * 8
     while True:
         if pos + width > n:
             raise ValueError("truncated LZW stream")
-        code = int(bits[pos : pos + width] @ weights[:width])
+        byte0 = pos >> 3
+        code = (
+            int.from_bytes(padded[byte0 : byte0 + 3], "little") >> (pos & 7)
+        ) & ((1 << width) - 1)
         pos += width
         if code == clear:
             table = [bytes([i]) for i in range(clear)] + [b"", b""]

@@ -1577,6 +1577,85 @@ def jpeg_color_decode_features(df: DataFrame, payload_col: str = "jpeg",
 # -----------------------------------------------------------------------------
 
 
+def synth_mp3_payload(df: DataFrame, id_col: str = "doc_id",
+                      len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``mp3`` column of structurally-valid MP3 files:
+    ID3v2.3 tag (TIT2='title <doc_id>', TPE1='artist <doc_id%50>')
+    followed by n_chars%40+20 CBR MPEG-1 Layer III frames at bitrate
+    [64,128,192,320][doc_id%4] kbps / sample rate
+    [44100,48000,32000][doc_id%3] — every metadata field closed-form."""
+    from .mp3 import encode_mp3_stub
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(len_col) % 40 + 20).cast("int").alias("n"),
+    )
+    kbps_cycle = (64, 128, 192, 320)
+    sr_cycle = (44100, 48000, 32000)
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            mp3s = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                d = int(doc_id)
+                mp3s.append(
+                    encode_mp3_stub(
+                        f"title {d}",
+                        f"artist {d % 50}",
+                        int(n),
+                        kbps_cycle[d % 4],
+                        sr_cycle[d % 3],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "mp3": mp3s})
+
+    return src.mapInPandas(gen, schema="doc_id long, mp3 binary")
+
+
+def mp3_metadata_features(df: DataFrame, payload_col: str = "mp3",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Audio-corpus metadata triage over Arrow batches: ID3v2 text
+    frames + MPEG frame walk (count, bitrate, sample rate, CBR
+    duration) WITHOUT audio decode.  Corrupt payloads flag their row
+    (ok=false)."""
+    from .mp3 import mp3_metadata
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("title", "artist", "n_frames", "bitrate_kbps",
+                "sample_rate", "audio_bytes", "duration_ms")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    meta = mp3_metadata(bytes(p))
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                for c in cols:
+                    out[c].append(meta[c])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, ok boolean, title string, artist string, "
+            "n_frames long, bitrate_kbps long, sample_rate long, "
+            "audio_bytes long, duration_ms long"
+        ),
+    )
+
+
 def synth_archive_payload(df: DataFrame, id_col: str = "doc_id",
                           len_col: str = "n_chars") -> DataFrame:
     """Attach an ``archive`` column of COMPLETE shard archives — the

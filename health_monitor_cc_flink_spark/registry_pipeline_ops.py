@@ -5811,6 +5811,50 @@ def mm_flac_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_mp3_metadata_triage",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(n_chars % 40 + 20 AS BIGINT) AS n,
+               CAST([64, 128, 192, 320][CAST(doc_id % 4 AS INT) + 1]
+                    AS BIGINT) AS kbps,
+               CAST([44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1]
+                    AS BIGINT) AS sr
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS ok,
+           'title ' || CAST(doc_id AS VARCHAR) AS title,
+           'artist ' || CAST(doc_id % 50 AS VARCHAR) AS artist,
+           n AS n_frames,
+           kbps AS bitrate_kbps,
+           sr AS sample_rate,
+           n * (144 * kbps * 1000 // sr) AS audio_bytes,
+           n * 1152 * 1000 // sr AS duration_ms
+    FROM p
+    """,
+    doc="Audio-corpus METADATA triage under the hash gate "
+    "(operators/mp3.py: ID3v2.3/2.4 tag parse with syncsafe sizes and "
+    "text frames, MPEG-1/2 audio frame-sync walk with the public "
+    "bitrate/sample-rate tables, per-frame byte lengths, CBR duration "
+    "estimate) — how real audio pipelines select/bucket MP3 corpora "
+    "long before any PCM decode; the polyphase/huffman audio decode "
+    "itself stays honestly out of scope like H.264.  "
+    "synth_mp3_payload writes ID3v2.3 + CBR Layer III frame "
+    "structures cycling 4 bitrates x 3 sample rates; every output "
+    "field is closed-form arithmetic over (doc_id, n_chars).  One "
+    "wrong entry in either public table, the syncsafe coding, or the "
+    "frame-length formula breaks the hash.  Scale: Arrow CPU-map, "
+    "header-only byte walks.",
+    bench=True,
+)
+def mm_mp3_metadata_triage(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.mp3_metadata_features(M.synth_mp3_payload(docs))
+
+
+@query(
     "mm_archive_members_extract",
     """
     WITH p AS (
