@@ -1577,6 +1577,99 @@ def jpeg_color_decode_features(df: DataFrame, payload_col: str = "jpeg",
 # -----------------------------------------------------------------------------
 
 
+def synth_warc_payload(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``warc`` column of COMPLETE Common-Crawl-style WARC
+    files (per-record gzip members): a warcinfo record plus TWO HTTP
+    response records per doc at uri http://corpus.example/<d>/<k>,
+    each an HTML page — title 'T<d>-<k>', an h1, a script block (must
+    NOT leak into extracted text), and n_chars%5+1 paragraphs
+    'para <d> <k> word&amp;<j>' — so the extracted text is a
+    closed-form string."""
+    from .warc import build_warc
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(len_col) % 5 + 1).cast("int").alias("m"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            warcs = []
+            for doc_id, m in zip(pdf["doc_id"], pdf["m"]):
+                d, m = int(doc_id), int(m)
+                pages = []
+                for k in range(2):
+                    paras = "".join(
+                        f"<p>para {d} {k} word&amp;{j}</p>" for j in range(m)
+                    )
+                    html = (
+                        f"<html><head><title>T{d}-{k}</title>"
+                        f"<script>var x={d};</script></head>"
+                        f"<body><h1>Header {d}</h1>{paras}</body></html>"
+                    )
+                    pages.append((f"http://corpus.example/{d}/{k}", html))
+                warcs.append(build_warc(pages, gzip_members=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "warc": warcs})
+
+    return src.mapInPandas(gen, schema="doc_id long, warc binary")
+
+
+def warc_extract_text(df: DataFrame, payload_col: str = "warc",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Common-Crawl ingestion: EXPLODE WARC shards into one row per
+    HTTP response record with deterministic HTML-to-text extraction
+    (script/style subtrees dropped, entities decoded, whitespace
+    canonicalized) — the first stage of every web-text pipeline.
+    Corrupt payloads flag their row (ok=false)."""
+    from .warc import html_extract_text, parse_warc
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("page", "uri", "http_status", "text", "n_words")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    recs = [
+                        r for r in parse_warc(bytes(p))
+                        if r["fields"].get("warc-type") == "response"
+                    ]
+                    if not recs:
+                        raise ValueError("no response records")
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for page, r in enumerate(recs):
+                    text = html_extract_text(
+                        r["http_body"].decode("utf-8", "replace")
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["page"].append(page)
+                    out["uri"].append(r["fields"].get("warc-target-uri"))
+                    out["http_status"].append(r["http_status"])
+                    out["text"].append(text)
+                    out["n_words"].append(len(text.split()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, ok boolean, page long, uri string, "
+            "http_status long, text string, n_words long"
+        ),
+    )
+
+
 def synth_mp3_payload(df: DataFrame, id_col: str = "doc_id",
                       len_col: str = "n_chars") -> DataFrame:
     """Attach an ``mp3`` column of structurally-valid MP3 files:

@@ -1,0 +1,220 @@
+"""WARC (ISO 28500 Web ARChive) parsing + HTML text extraction.
+
+THE ingestion surface for web-scale text corpora: Common-Crawl-style
+data ships as WARC files (per-record gzip members), and the first
+pipeline stage is response-record extraction + HTML-to-text.  Pure
+stdlib (gzip/zlib, html.parser) from the PUBLIC ISO 28500 / WARC 1.0
+format spec and the HTTP/1.1 message layout:
+
+* ``parse_warc`` — concatenated WARC records, plain OR per-record gzip
+  members (sniffed); header block (version line, colon fields,
+  Content-Length), payload, CRLF CRLF separator.  For ``response``
+  records the HTTP status line/headers are split from the body.
+* ``build_warc`` — writes warcinfo + response records (optionally
+  gzip-membered) — the synth/oracle vehicle.
+* ``html_extract_text`` — deterministic text extraction: script /
+  style / noscript / template subtrees dropped, character/entity
+  references decoded (stdlib HTMLParser), and ALL whitespace-separated
+  tokens joined by single spaces — a closed-form, SQL-replicable rule
+  (not a heuristic readability model).
+
+Malformed input raises ``ValueError`` — never ``IndexError``.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+#: Caps against hostile payloads (decompression bombs, header floods).
+MAX_RECORDS = 100_000
+MAX_RECORD_BYTES = 64 << 20
+
+_SKIP_TAGS = {"script", "style", "noscript", "template"}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip:
+            self._skip -= 1
+
+    def handle_data(self, data):
+        if not self._skip:
+            self.chunks.append(data)
+
+
+def html_extract_text(html: str) -> str:
+    """HTML -> plain text: skip script/style/noscript/template
+    subtrees, decode entities, join all whitespace-separated tokens
+    with single spaces."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    return " ".join(" ".join(p.chunks).split())
+
+
+def _split_gzip_members(payload: bytes) -> list[bytes]:
+    import zlib
+
+    out = []
+    rest = payload
+    while rest:
+        if rest[:2] != b"\x1f\x8b":
+            raise ValueError("trailing bytes after gzip members")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            data = d.decompress(rest, MAX_RECORD_BYTES + 1)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member: {exc}") from exc
+        if not d.eof:
+            raise ValueError("gzip member exceeds size cap or is truncated")
+        if len(data) > MAX_RECORD_BYTES:
+            raise ValueError("gzip member exceeds size cap")
+        out.append(data)
+        rest = d.unused_data
+        if len(out) > MAX_RECORDS:
+            raise ValueError("too many gzip members")
+    return out
+
+
+def _parse_plain(payload: bytes) -> list[dict]:
+    records = []
+    i = 0
+    n = len(payload)
+    while i < n:
+        if len(records) >= MAX_RECORDS:
+            raise ValueError("too many WARC records")
+        end_hdr = payload.find(b"\r\n\r\n", i)
+        if end_hdr < 0:
+            raise ValueError("truncated WARC header block")
+        lines = payload[i:end_hdr].split(b"\r\n")
+        if not lines[0].startswith(b"WARC/"):
+            raise ValueError("missing WARC version line")
+        version = lines[0][5:].decode("ascii", "replace")
+        fields: dict[str, str] = {}
+        for line in lines[1:]:
+            k, sep, v = line.partition(b":")
+            if not sep:
+                raise ValueError("malformed WARC header field")
+            fields[k.decode("latin-1").strip().lower()] = (
+                v.decode("latin-1").strip()
+            )
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("missing/invalid Content-Length") from exc
+        if clen < 0 or clen > MAX_RECORD_BYTES:
+            raise ValueError("Content-Length out of range")
+        body_start = end_hdr + 4
+        body_end = body_start + clen
+        if body_end > n:
+            raise ValueError("truncated WARC record body")
+        body = payload[body_start:body_end]
+        sep = payload[body_end : body_end + 4]
+        # the spec's two trailing CRLFs; tolerate exact-EOF truncation
+        # of the final separator (some writers omit it)
+        if sep != b"\r\n\r\n" and body_end != n:
+            raise ValueError("missing WARC record separator")
+        records.append({"version": version, "fields": fields, "body": body})
+        i = body_end + len(sep)
+    if not records:
+        raise ValueError("no WARC records")
+    return records
+
+
+def split_http_response(body: bytes):
+    """HTTP response bytes -> (status_code, headers dict, body bytes)."""
+    end = body.find(b"\r\n\r\n")
+    if end < 0:
+        raise ValueError("truncated HTTP response header")
+    lines = body[:end].split(b"\r\n")
+    parts = lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError("malformed HTTP status line")
+    try:
+        status = int(parts[1])
+    except ValueError as exc:
+        raise ValueError("malformed HTTP status code") from exc
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.decode("latin-1").strip().lower()] = (
+                v.decode("latin-1").strip()
+            )
+    return status, headers, body[end + 4 :]
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """WARC bytes (plain or per-record gzip members) -> list of record
+    dicts with keys ``version, fields, body`` plus, for response
+    records, ``http_status, http_headers, http_body``."""
+    payload = bytes(payload)
+    if payload[:2] == b"\x1f\x8b":
+        chunks = _split_gzip_members(payload)
+        records = []
+        for c in chunks:
+            records.extend(_parse_plain(c))
+    else:
+        records = _parse_plain(payload)
+    for r in records:
+        if r["fields"].get("warc-type") == "response":
+            status, headers, hbody = split_http_response(r["body"])
+            r["http_status"] = status
+            r["http_headers"] = headers
+            r["http_body"] = hbody
+    return records
+
+
+def build_warc(responses, gzip_members: bool = True,
+               warcinfo: str = "software: health-monitor-spark") -> bytes:
+    """[(uri, html_str), ...] -> WARC bytes with a warcinfo record then
+    one HTTP response record per entry (deterministic record ids)."""
+    import gzip as gzip_mod
+
+    def record(rtype: str, extra: dict, body: bytes, idx: int) -> bytes:
+        hdr = [f"WARC/1.0"]
+        hdr.append(f"WARC-Type: {rtype}")
+        hdr.append(f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-{idx:012d}>")
+        hdr.append("WARC-Date: 2026-01-01T00:00:00Z")
+        for k, v in extra.items():
+            hdr.append(f"{k}: {v}")
+        hdr.append(f"Content-Length: {len(body)}")
+        return ("\r\n".join(hdr) + "\r\n\r\n").encode() + body + b"\r\n\r\n"
+
+    out = []
+    info = warcinfo.encode()
+    out.append(
+        record("warcinfo", {"Content-Type": "application/warc-fields"}, info, 0)
+    )
+    for i, (uri, html) in enumerate(responses, start=1):
+        html_b = html.encode()
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(html_b)}\r\n\r\n".encode()
+            + html_b
+        )
+        out.append(
+            record(
+                "response",
+                {
+                    "WARC-Target-URI": uri,
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                http,
+                i,
+            )
+        )
+    if gzip_members:
+        return b"".join(
+            gzip_mod.compress(r, mtime=0) for r in out
+        )
+    return b"".join(out)

@@ -5811,6 +5811,59 @@ def mm_flac_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_warc_html_extract",
+    """
+    WITH p AS (
+        SELECT doc_id, CAST(n_chars % 5 + 1 AS BIGINT) AS m
+        FROM documents
+    ), pages AS (
+        SELECT p.doc_id, p.m, kk.k FROM p,
+             LATERAL unnest(generate_series(0, 1)) AS kk(k)
+    ), paras AS (
+        SELECT doc_id, m, k,
+               string_agg(
+                   ' para ' || CAST(doc_id AS VARCHAR) || ' '
+                       || CAST(k AS VARCHAR) || ' word&'
+                       || CAST(j.j AS VARCHAR),
+                   '' ORDER BY j.j
+               ) AS para_text
+        FROM pages, LATERAL unnest(generate_series(0, m - 1)) AS j(j)
+        GROUP BY doc_id, m, k
+    )
+    SELECT doc_id, TRUE AS ok,
+           k AS page,
+           'http://corpus.example/' || CAST(doc_id AS VARCHAR) || '/'
+               || CAST(k AS VARCHAR) AS uri,
+           CAST(200 AS BIGINT) AS http_status,
+           'T' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+               || ' Header ' || CAST(doc_id AS VARCHAR) || para_text
+               AS text,
+           CAST(3 + 4 * m AS BIGINT) AS n_words
+    FROM paras
+    """,
+    doc="Common-Crawl-style WARC ingestion under the hash gate "
+    "(operators/warc.py: ISO 28500 record framing with per-record "
+    "gzip members, header block + Content-Length + CRLF separators, "
+    "HTTP response splitting, and DETERMINISTIC HTML-to-text "
+    "extraction — script/style/noscript subtrees dropped, entities "
+    "decoded via the stdlib parser, all whitespace-separated tokens "
+    "joined by single spaces).  The explode yields one row per "
+    "response record; the extracted TEXT ITSELF is a gated column "
+    "(the oracle rebuilds it with string_agg), so a single leaked "
+    "script character, missed entity, or whitespace deviation breaks "
+    "the hash.  This is the first stage of every web-text training "
+    "pipeline — the format the 100 TB actually arrives in.  Scale: "
+    "Arrow CPU-map explode; rows multiply, bytes stay bounded.",
+    bench=True,
+)
+def mm_warc_html_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.warc_extract_text(M.synth_warc_payload(docs))
+
+
+@query(
     "mm_mp3_metadata_triage",
     """
     WITH p AS (
