@@ -217,6 +217,10 @@ PROBE_QUERIES = (
     "mm_webp_decode_features",
     "mm_gif_decode_features",
     "mm_g711_decode_features",
+    # ingestion explodes (rows multiply, bytes bounded) + metadata walk
+    "mm_archive_members_extract",
+    "mm_mp3_metadata_triage",
+    "mm_warc_html_extract",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
