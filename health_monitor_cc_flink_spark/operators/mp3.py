@@ -25,13 +25,19 @@ Malformed input raises ``ValueError`` (never IndexError).
 
 from __future__ import annotations
 
-#: kbit/s by bitrate index, MPEG-1 Layer III (index 0 free, 15 bad).
+#: kbit/s by bitrate index (index 0 free, 15 bad) — one table per
+#: (MPEG version, layer) class from the public frame-header spec.
 _BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                    224, 256, 320, -1]
+_BITRATES_V1_L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                   256, 320, 384, -1]
 _BITRATES_V1_L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
                    352, 384, 416, 448, -1]
-_BITRATES_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
-                   144, 160, -1]
+_BITRATES_V2_L1 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+                   192, 224, 256, -1]
+#: MPEG-2/2.5 Layers II and III share one table.
+_BITRATES_V2_L23 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                    144, 160, -1]
 _SAMPLE_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
                  0: [11025, 12000, 8000]}  # version bits -> rates
 
@@ -123,11 +129,13 @@ def walk_mpeg_frames(payload: bytes, offset: int = 0):
             raise ValueError("reserved sample-rate index")
         sample_rate = _SAMPLE_RATES[version][sidx]
         if layer == 3:  # Layer I
-            table = _BITRATES_V1_L1
-        elif version == 3:
+            table = _BITRATES_V1_L1 if version == 3 else _BITRATES_V2_L1
+        elif layer == 2:  # Layer II
+            table = _BITRATES_V1_L2 if version == 3 else _BITRATES_V2_L23
+        elif version == 3:  # Layer III, MPEG-1
             table = _BITRATES_V1_L3
-        else:
-            table = _BITRATES_V2_L3
+        else:  # Layer III, MPEG-2/2.5
+            table = _BITRATES_V2_L23
         kbps = table[bidx]
         if kbps <= 0:
             raise ValueError("free-form/bad bitrate not supported")
@@ -135,8 +143,9 @@ def walk_mpeg_frames(payload: bytes, offset: int = 0):
             flen = (12 * kbps * 1000 // sample_rate + pad) * 4
             samples = 384
         else:
-            # Layer III: 1152 samples MPEG-1, 576 MPEG-2/2.5
-            samples = 1152 if version == 3 else 576
+            # Layer II: always 1152 samples; Layer III: 1152 samples
+            # MPEG-1, 576 MPEG-2/2.5
+            samples = 1152 if (layer == 2 or version == 3) else 576
             flen = samples // 8 * kbps * 1000 // sample_rate + pad
         if i + flen > len(payload):
             raise ValueError("truncated MPEG frame")

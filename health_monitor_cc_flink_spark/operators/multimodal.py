@@ -1788,10 +1788,12 @@ def synth_archive_payload(df: DataFrame, id_col: str = "doc_id",
                         buf, "w", compression=zipfile.ZIP_DEFLATED
                     ) as zf:
                         for name, data in members:
-                            zf.writestr(
-                                zipfile.ZipInfo(name),  # fixed 1980 date
-                                data,
-                            )
+                            info = zipfile.ZipInfo(name)  # fixed 1980 date
+                            # ZipInfo defaults to ZIP_STORED and overrides
+                            # the ZipFile-level setting; set it so the
+                            # deflate read path is actually exercised.
+                            info.compress_type = zipfile.ZIP_DEFLATED
+                            zf.writestr(info, data)
                 else:
                     tbuf = io.BytesIO()
                     with tarfile.open(fileobj=tbuf, mode="w",
@@ -1810,6 +1812,36 @@ def synth_archive_payload(df: DataFrame, id_col: str = "doc_id",
 #: Decode-side caps: a hostile archive must not expand past these.
 MAX_ARCHIVE_MEMBERS = 10_000
 MAX_MEMBER_BYTES = 64 << 20
+#: Total decompressed bytes allowed for one gzipped shard — enforced
+#: DURING streamed decompression so a gzip bomb never expands fully.
+MAX_ARCHIVE_BYTES = 256 << 20
+
+
+def _gunzip_capped(p: bytes, cap: int = MAX_ARCHIVE_BYTES) -> bytes:
+    """Stream-decompress a gzip payload with a running total-output
+    cap; raises ``ValueError`` the moment the cap is exceeded rather
+    than materializing a bomb (same contract as
+    ``warc._split_gzip_members``)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    out = []
+    total = 0
+    i = 0
+    while i < len(p):
+        chunk = d.decompress(p[i:i + (1 << 20)], cap - total + 1)
+        total += len(chunk)
+        if total > cap:
+            raise ValueError("gzip expansion exceeds archive cap")
+        out.append(chunk)
+        while d.unconsumed_tail:
+            chunk = d.decompress(d.unconsumed_tail, cap - total + 1)
+            total += len(chunk)
+            if total > cap:
+                raise ValueError("gzip expansion exceeds archive cap")
+            out.append(chunk)
+        i += 1 << 20
+    return b"".join(out)
 
 
 def archive_members_extract(df: DataFrame, payload_col: str = "archive",
@@ -1826,7 +1858,6 @@ def archive_members_extract(df: DataFrame, payload_col: str = "archive",
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
 
     def extract(batches: Iterator) -> Iterator:
-        import gzip
         import hashlib
         import io
         import tarfile
@@ -1866,7 +1897,7 @@ def archive_members_extract(df: DataFrame, payload_col: str = "archive",
                                 members.append((info.filename, data))
                     elif p[:2] == b"\x1f\x8b" or p[257:262] == b"ustar":
                         fmt = "tar"
-                        raw = gzip.decompress(p) if p[:2] == b"\x1f\x8b" else p
+                        raw = _gunzip_capped(p) if p[:2] == b"\x1f\x8b" else p
                         with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
                             n = 0
                             for info in tf:

@@ -153,10 +153,72 @@ def split_http_response(body: bytes):
     return status, headers, body[end + 4 :]
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 ``Transfer-Encoding: chunked`` body.  Chunk
+    extensions after ``;`` are ignored, trailer headers after the final
+    0-chunk are tolerated; malformed framing raises ``ValueError``."""
+    out = []
+    total = 0
+    i = 0
+    while True:
+        eol = body.find(b"\r\n", i)
+        if eol < 0:
+            raise ValueError("truncated chunk-size line")
+        size_tok = body[i:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise ValueError("malformed chunk size") from exc
+        i = eol + 2
+        if size == 0:
+            return b"".join(out)
+        total += size
+        if total > MAX_RECORD_BYTES:
+            raise ValueError("chunked body exceeds size cap")
+        if i + size + 2 > len(body):
+            raise ValueError("truncated chunk data")
+        out.append(body[i : i + size])
+        if body[i + size : i + size + 2] != b"\r\n":
+            raise ValueError("missing chunk terminator")
+        i += size + 2
+
+
+def decode_http_body(headers: dict, body: bytes) -> bytes:
+    """Apply Transfer-Encoding (chunked) then Content-Encoding
+    (gzip/deflate, capped) per the parsed headers — the step real
+    Common-Crawl response records need before the body is HTML.
+    Unsupported codings raise ``ValueError`` so the row is flagged
+    rather than producing corrupt text."""
+    import zlib
+
+    te = headers.get("transfer-encoding", "").strip().lower()
+    if te and te != "identity":
+        if te != "chunked":
+            raise ValueError(f"unsupported transfer-encoding: {te}")
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce and ce != "identity":
+        if ce in ("gzip", "x-gzip"):
+            wbits = 31
+        elif ce == "deflate":
+            wbits = 15
+        else:
+            raise ValueError(f"unsupported content-encoding: {ce}")
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            body = d.decompress(body, MAX_RECORD_BYTES + 1)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt {ce} body: {exc}") from exc
+        if len(body) > MAX_RECORD_BYTES:
+            raise ValueError("decoded body exceeds size cap")
+    return body
+
+
 def parse_warc(payload: bytes) -> list[dict]:
     """WARC bytes (plain or per-record gzip members) -> list of record
     dicts with keys ``version, fields, body`` plus, for response
-    records, ``http_status, http_headers, http_body``."""
+    records, ``http_status, http_headers, http_body`` (the http_body is
+    de-chunked / content-decoded per its own headers)."""
     payload = bytes(payload)
     if payload[:2] == b"\x1f\x8b":
         chunks = _split_gzip_members(payload)
@@ -170,7 +232,7 @@ def parse_warc(payload: bytes) -> list[dict]:
             status, headers, hbody = split_http_response(r["body"])
             r["http_status"] = status
             r["http_headers"] = headers
-            r["http_body"] = hbody
+            r["http_body"] = decode_http_body(headers, hbody)
     return records
 
 

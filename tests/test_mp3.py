@@ -88,3 +88,44 @@ def test_fuzz_arbitrary_bytes_fail_cleanly(data):
         pass
     except Exception as exc:  # noqa: BLE001
         raise AssertionError(f"non-ValueError escape: {type(exc)}") from exc
+
+
+def _frame(version, layer, bidx, sidx, n_payload, pad=0):
+    h = (0x7FF << 21) | (version << 19) | (layer << 17) | (1 << 16) \
+        | (bidx << 12) | (sidx << 10) | (pad << 9) | (0b11 << 6)
+    return h.to_bytes(4, "big") + b"\x00" * n_payload
+
+
+def test_mpeg1_layer2_bitrate_table():
+    # MPEG-1 Layer II (layer bits 2), 48 kHz, bitrate index 12 -> 256
+    # kbps per the public Layer-II table (NOT the Layer-III 224).
+    kbps, sr = 256, 48000
+    flen = 1152 // 8 * kbps * 1000 // sr  # 768
+    stream = _frame(3, 2, 12, 1, flen - 4) * 3
+    n, got_kbps, got_sr, nbytes, dur = walk_mpeg_frames(stream)
+    assert (n, got_kbps, got_sr) == (3, 256, 48000)
+    assert nbytes == 3 * flen
+    assert dur == 3 * 1152 * 1000 // sr
+
+
+def test_mpeg2_layer1_bitrate_table():
+    # MPEG-2 Layer I (version bits 2, layer bits 3), 22050 Hz, bitrate
+    # index 5 -> 80 kbps per the MPEG-2 Layer-I table (NOT V1's 160).
+    kbps, sr = 80, 22050
+    flen = (12 * kbps * 1000 // sr) * 4  # 172
+    stream = _frame(2, 3, 5, 0, flen - 4) * 2
+    n, got_kbps, got_sr, nbytes, dur = walk_mpeg_frames(stream)
+    assert (n, got_kbps, got_sr) == (2, 80, 22050)
+    assert nbytes == 2 * flen
+    assert dur == 2 * 384 * 1000 // sr
+
+
+def test_mpeg2_layer2_shares_v2_table_and_1152_samples():
+    # MPEG-2 Layer II uses the shared V2 L2/L3 table AND 1152 samples
+    # (unlike MPEG-2 Layer III's 576).
+    kbps, sr = 64, 24000
+    flen = 1152 // 8 * kbps * 1000 // sr  # 384
+    stream = _frame(2, 2, 8, 1, flen - 4) * 2
+    n, got_kbps, got_sr, nbytes, dur = walk_mpeg_frames(stream)
+    assert (n, got_kbps, got_sr) == (2, 64, 24000)
+    assert dur == 2 * 1152 * 1000 // sr

@@ -761,3 +761,46 @@ def test_archive_members_extract(spark):
     assert hello.member_md5 == hashlib.md5(b"hello world").hexdigest()
     assert by_doc[2][0].fmt == "tar" and by_doc[2][0].member_name == "c.txt"
     assert by_doc[3][0].ok is False and by_doc[4][0].ok is False
+
+
+def test_gunzip_capped_blocks_bombs():
+    """Streamed gzip decode enforces the total-output cap DURING
+    decompression (a bomb never fully expands in memory)."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        _gunzip_capped,
+    )
+
+    data = b"\x00" * 100_000
+    gz = _gzip.compress(data, mtime=0)
+    assert _gunzip_capped(gz) == data          # default cap passes
+    assert _gunzip_capped(gz, cap=100_000) == data  # exactly at cap
+    with _pytest.raises(ValueError, match="cap"):
+        _gunzip_capped(gz, cap=99_999)         # one under -> flagged
+
+
+def test_synth_zip_archives_use_deflate(spark):
+    """The synth path must exercise the DEFLATE read path, not STORED."""
+    import io
+    import zipfile
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        synth_archive_payload,
+    )
+
+    rows = synth_archive_payload(
+        spark.range(2, 4).select(
+            F.col("id").alias("doc_id"), F.lit(40).alias("text_len")
+        ),
+        id_col="doc_id", len_col="text_len",
+    ).collect()
+    zips = [r for r in rows if bytes(r.archive)[:2] == b"PK"]
+    assert zips, "expected at least one zip shard from even doc_ids"
+    with zipfile.ZipFile(io.BytesIO(bytes(zips[0].archive))) as zf:
+        infos = zf.infolist()
+        assert infos
+        assert all(i.compress_type == zipfile.ZIP_DEFLATED for i in infos)
+        assert all(i.compress_size < i.file_size for i in infos)

@@ -96,3 +96,54 @@ def test_fuzz_arbitrary_bytes_fail_cleanly(data):
         parse_warc(b"WARC/1.0\r\n" + data + b"\x00")
     except ValueError:
         pass
+
+
+def test_chunked_transfer_encoding_dechunked():
+    from health_monitor_cc_flink_spark.operators.warc import decode_http_body
+
+    html = b"<p>alpha beta</p>"
+    chunked = (b"5\r\n" + html[:5] + b"\r\n"
+               + hex(len(html) - 5)[2:].encode() + b";ext=1\r\n"
+               + html[5:] + b"\r\n0\r\nTrailer: x\r\n\r\n")
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunked)
+    status, headers, body = split_http_response(http)
+    assert decode_http_body(headers, body) == html
+    # end-to-end through parse_warc: a chunked response record
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           + f"Content-Length: {len(http)}\r\n\r\n".encode()
+           + http + b"\r\n\r\n")
+    (r,) = parse_warc(rec)
+    assert r["http_body"] == html
+    assert html_extract_text(r["http_body"].decode()) == "alpha beta"
+
+
+def test_content_encoding_gzip_and_deflate():
+    import zlib
+
+    from health_monitor_cc_flink_spark.operators.warc import decode_http_body
+
+    html = b"<i>gz body</i>"
+    assert decode_http_body({"content-encoding": "gzip"},
+                            gzip.compress(html, mtime=0)) == html
+    assert decode_http_body({"content-encoding": "deflate"},
+                            zlib.compress(html)) == html
+    # chunked THEN gzip (TE applies before CE on the decode side)
+    gz = gzip.compress(html, mtime=0)
+    chunked = hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    assert decode_http_body(
+        {"transfer-encoding": "chunked", "content-encoding": "gzip"},
+        chunked) == html
+
+
+def test_unsupported_codings_flag_not_corrupt():
+    from health_monitor_cc_flink_spark.operators.warc import decode_http_body
+
+    with pytest.raises(ValueError, match="transfer-encoding"):
+        decode_http_body({"transfer-encoding": "gzip, chunked"}, b"x")
+    with pytest.raises(ValueError, match="content-encoding"):
+        decode_http_body({"content-encoding": "br"}, b"x")
+    with pytest.raises(ValueError, match="chunk"):
+        decode_http_body({"transfer-encoding": "chunked"}, b"not hex\r\n")
+    with pytest.raises(ValueError, match="corrupt"):
+        decode_http_body({"content-encoding": "gzip"}, b"\x1f\x8bbroken")
