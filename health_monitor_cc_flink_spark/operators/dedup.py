@@ -463,3 +463,123 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.expr(hi_terms).alias("simhash_hi"),
         F.expr(lo_terms).alias("simhash_lo"),
     )
+
+
+# -- duplicated spans (suffix-array-style ExactSubstr) ---------------------------
+
+
+def kgram_positions(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 6
+) -> DataFrame:
+    """Every k-token gram of every document WITH its 0-based token
+    position -> (doc_id, pos, gram).  In-plan narrow work: split +
+    transform(sequence) + posexplode, no shuffle, no Python.  Documents
+    shorter than k tokens contribute nothing (guarded: F.sequence with
+    start > stop would generate a DESCENDING range)."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("words")
+    )
+    return (
+        docs.filter(F.size("words") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("words") - k),
+                    lambda i: F.array_join(F.slice("words", i + 1, k), " "),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_tokens: int = 8,
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the suffix-array-style
+    train-data dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", ExactSubstr), re-expressed bucketed
+    for Spark instead of via a monolithic suffix array:
+
+    1. anchor: every k-token gram with its position (narrow map work);
+    2. stop-gram filter: grams whose GLOBAL frequency exceeds
+       ``max_gram_freq`` are dropped via a broadcast anti-join (the hot
+       list is tiny by construction), capping per-gram join fan-out at
+       max_gram_freq^2 — the equi-join is bucketed by gram, NEVER
+       all-pairs;
+    3. candidate alignments: gram equi-join across doc pairs
+       (doc_a < doc_b), each match pinned to a diagonal
+       diag = pos_a - pos_b;
+    4. maximal spans: gaps-and-islands along each (doc_a, doc_b, diag)
+       — a run of r consecutive matching gram positions is EXACTLY a
+       maximal duplicated span of r + k - 1 tokens (extending it by one
+       token either side would add another matching gram to the run).
+
+    Returns (doc_a, doc_b, start_a, start_b, span_tokens, span_md5) for
+    maximal spans of >= ``min_tokens`` tokens; start_* are 0-based token
+    offsets and span_md5 hashes the span text sliced back out of doc_a.
+    Granularity caveat (same as any anchor-based ExactSubstr
+    approximation): spans are detected at k-gram resolution, so
+    duplicates shorter than k tokens are invisible and span boundaries
+    are exact to the token.
+
+    Scale shape: one gram hash-agg (frequency census), one broadcast
+    anti-join, one gram equi-join whose fan-out the census bounds, one
+    window + hash-agg on (doc-pair, diag), one doc-keyed join to slice
+    span text.  At 100 TB the gram string would be replaced by
+    xxhash64(gram) to narrow the shuffle (kept as the raw string here
+    so the DuckDB oracle can replicate the join byte-for-byte)."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("words")
+    )
+    grams = kgram_positions(df, id_col, text_col, k)
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_gram_freq)
+        .select("gram")
+    )
+    gf = grams.join(F.broadcast(hot), "gram", "left_anti")
+    a = gf.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
+    )
+    b = gf.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram"
+    )
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = pairs.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .drop("diag", "isl")
+    )
+    wa = docs.select(F.col("doc_id").alias("doc_a"), "words")
+    return spans.join(wa, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        "start_b",
+        "span_tokens",
+        F.md5(
+            F.array_join(
+                F.slice("words", F.col("start_a") + 1, F.col("span_tokens")), " "
+            )
+        ).alias("span_md5"),
+    )

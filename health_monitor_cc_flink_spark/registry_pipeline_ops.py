@@ -1282,6 +1282,48 @@ def corpus_filter_funnel(spark, sf_dir):
 
 
 @query(
+    "dedup_span_exactsubstr",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(words[(i+1):(i+6)],' ') AS gram
+          FROM w, unnest(generate_series(0, len(words)-6)) AS t(i)),
+    f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+    gf AS (SELECT g.doc_id, g.i, g.gram FROM g JOIN f USING (gram)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.i AS pos_a, b.i AS pos_b
+          FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    r AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                 pos_a - row_number() OVER (
+                     PARTITION BY doc_a, doc_b, pos_a - pos_b
+                     ORDER BY pos_a) AS isl
+          FROM p),
+    s AS (SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+                 CAST(min(pos_b) AS BIGINT) AS start_b,
+                 CAST(count(*) + 5 AS BIGINT) AS span_tokens
+          FROM r GROUP BY doc_a, doc_b, diag, isl)
+    SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_tokens,
+           md5(array_to_string(
+               w.words[(s.start_a+1):(s.start_a+s.span_tokens)],
+               ' ')) AS span_md5
+    FROM s JOIN w ON w.doc_id = s.doc_a
+    WHERE s.span_tokens >= 8
+    """,
+    doc="Suffix-array-style duplicated-SPAN dedup (Lee et al. 2022 "
+    "ExactSubstr, at 6-gram anchor granularity): maximal cross-document "
+    "repeated substrings at ARBITRARY positions — unlike "
+    "corpus_span_dedup_global's fixed 10-word segmentation. Shape: k-gram "
+    "anchor census -> stop-gram broadcast anti-join (fan-out capped at "
+    "max_freq^2, never all-pairs) -> gram equi-join -> gaps-and-islands "
+    "along each (doc-pair, diagonal): a run of r consecutive matching "
+    "anchor positions IS a maximal span of r+k-1 tokens. Hash-gated on the "
+    "span text md5 sliced back out of doc_a.",
+)
+def dedup_span_exactsubstr(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, k=6, min_tokens=8, max_gram_freq=50)
+
+
+@query(
     "text_repetition_ratio",
     "WITH " + _DUCK_SHINGLES.replace("sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)",
                                      "shx AS (SELECT doc_id, shingle FROM sh0)") + """

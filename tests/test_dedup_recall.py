@@ -242,3 +242,72 @@ def test_ngram_jaccard_sizes_consistent_under_stop_shingle_filter(spark):
     for r in rows:
         assert r.n_a == filt_sizes[r.doc_a] and r.n_b == filt_sizes[r.doc_b]
         assert r.n_common <= min(r.n_a, r.n_b)  # consistency of the triple
+
+
+def test_duplicated_spans_planted_recall(spark):
+    """ExactSubstr-style span dedup: every planted cross-doc span of
+    >= min_tokens must be recovered EXACTLY (position + maximal length),
+    and no span may be reported where none was planted."""
+    import hashlib
+
+    from health_monitor_cc_flink_spark.operators.dedup import duplicated_spans
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            # doc 0: shared span at token offset 2
+            (0, "x0 y0 " + shared + " z0 w0"),
+            # doc 1: the same 10-token span at offset 0
+            (1, shared + " q1 r1 s1"),
+            # doc 2: a DIFFERENT 7-token overlap with doc 3
+            (2, "m2 n2 one two three four five six seven p2"),
+            (3, "one two three four five six seven k3 l3 j3"),
+            # doc 4: unique text, must appear in no pair
+            (4, "u4 v4 w4 x4 y4 z4 a4 b4 c4 d4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(docs, k=6, min_tokens=7, max_gram_freq=50).collect()
+    got = {(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens) for r in rows}
+    assert got == {
+        (0, 1, 2, 0, 10),   # maximal: the full 10-token shared span
+        (2, 3, 2, 0, 7),    # maximal: the 7-token overlap
+    }, got
+    # the reported md5 is the md5 of the actual span text of doc_a
+    by_pair = {(r.doc_a, r.doc_b): r.span_md5 for r in rows}
+    assert by_pair[(0, 1)] == hashlib.md5(shared.encode()).hexdigest()
+    assert by_pair[(2, 3)] == hashlib.md5(
+        b"one two three four five six seven"
+    ).hexdigest()
+
+
+def test_duplicated_spans_stop_gram_cap_and_short_docs(spark):
+    """Grams above the global frequency cap must not generate pairs
+    (boilerplate suppression), and sub-k-token docs are skipped, not
+    crashed (F.sequence would otherwise go descending)."""
+    from health_monitor_cc_flink_spark.operators.dedup import duplicated_spans
+    boiler = "the same six token header here"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" tail{i} t{i}") for i in range(6)] + [(99, "too short")],
+        "doc_id long, text string",
+    )
+    # boilerplate gram appears 6x > cap 5 -> dropped -> zero spans
+    assert duplicated_spans(docs, k=6, min_tokens=6, max_gram_freq=5).count() == 0
+    # raise the cap -> all 15 doc pairs share the 6-token header span
+    # (exactly one matching gram position -> run of 1 -> span of k tokens)
+    rows = duplicated_spans(docs, k=6, min_tokens=6, max_gram_freq=50).collect()
+    assert len(rows) == 15
+    assert all(r.span_tokens == 6 and r.start_a == 0 and r.start_b == 0 for r in rows)
+
+
+def test_duplicated_spans_plan_never_all_pairs(spark):
+    """The candidate join must be a gram EQUI-join: no CartesianProduct
+    or BroadcastNestedLoopJoin anywhere in the physical plan."""
+    from health_monitor_cc_flink_spark.operators.dedup import duplicated_spans
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        duplicated_spans(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
