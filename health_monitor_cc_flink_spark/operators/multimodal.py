@@ -365,38 +365,101 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(arr, filter_mode: str = "cycle") -> bytes:
-    """Encode an 8-bit image array as a real PNG (RFC 2083 layout).
+def _samples_to_rows(samples, depth: int) -> bytes:
+    """Sample array (ph, pw, channels) -> packed scanline bytes
+    (ph, stride): big-endian 16-bit split, byte passthrough, or
+    sub-byte big-endian bit pack with row padding."""
+    import numpy as np
 
-    ``arr``: uint8 ndarray, (h, w) gray (color type 0) or (h, w, 3) RGB
-    (color type 2).  ``filter_mode`` "cycle" applies filter ``y % 5`` to
-    scanline y — deliberately exercising None/Sub/Up/Average/Paeth so a
-    round-trip proves the whole decoder; "none" writes filter 0 only.
-    Output opens in any conformant viewer; pinned against zlib CRCs in
-    tests/test_multimodal.py.
+    ph, pw, channels = samples.shape
+    if depth == 8:
+        return samples.astype(np.uint8).reshape(ph, pw * channels)
+    if depth == 16:
+        s = samples.astype(np.uint16).reshape(ph, pw * channels)
+        out = np.empty((ph, pw * channels * 2), dtype=np.uint8)
+        out[:, 0::2] = s >> 8
+        out[:, 1::2] = s & 0xFF
+        return out
+    bits = (
+        (samples.astype(np.uint8).reshape(ph, pw, 1)
+         >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(ph, pw * depth)
+    return np.packbits(bits, axis=1)  # pads each row to a byte boundary
+
+
+def encode_png(arr, filter_mode: str = "cycle", *, palette=None,
+               depth: int | None = None, interlace: bool = False) -> bytes:
+    """Encode an image array as a real PNG (RFC 2083 layout) — the full
+    static matrix the decoder covers:
+
+    * uint8 (h, w) gray / (h, w, 2) gray+alpha / (h, w, 3) RGB /
+      (h, w, 4) RGBA  (color types 0/4/2/6, depth 8);
+    * uint16 arrays of the same shapes -> depth 16;
+    * ``palette=(n,3) uint8`` with (h, w) index array -> color type 3 at
+      ``depth`` 1/2/4/8 (default: smallest depth that fits the indices);
+    * gray at sub-byte ``depth`` 1/2/4 (values must be < 2**depth);
+    * ``interlace=True`` -> Adam7 (each pass filtered independently).
+
+    ``filter_mode`` "cycle" applies filter ``y % 5`` per scanline —
+    deliberately exercising None/Sub/Up/Average/Paeth so a round-trip
+    proves the whole decoder; "none" writes filter 0 only.
     """
     import struct
     import zlib
 
     import numpy as np
 
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        h, w = a.shape
-        color_type, bpp = 0, 1
-        raw = a.reshape(h, w)
-    elif a.ndim == 3 and a.shape[2] == 3:
-        h, w = a.shape[:2]
-        color_type, bpp = 2, 3
-        raw = a.reshape(h, w * 3)
+    a = np.asarray(arr)
+    if palette is not None:
+        pal = np.ascontiguousarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+            raise ValueError("palette must be (n<=256, 3) uint8")
+        if a.ndim != 2:
+            raise ValueError("palette encoding needs a (h,w) index array")
+        color_type = 3
+        if depth is None:
+            depth = next(d for d in (1, 2, 4, 8) if pal.shape[0] <= 1 << d)
+        samples = a.astype(np.uint16)[:, :, None]
     else:
-        raise ValueError("encode_png supports (h,w) gray or (h,w,3) RGB uint8")
+        pal = None
+        if depth is None:
+            depth = 16 if a.dtype == np.uint16 else 8
+        if a.ndim == 2:
+            samples = a.astype(np.uint16)[:, :, None]
+        elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+            samples = a.astype(np.uint16)
+        else:
+            raise ValueError(
+                "encode_png supports (h,w)[,2|3|4-channel] arrays"
+            )
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[samples.shape[2]]
+    if depth not in _PNG_LEGAL[color_type]:
+        raise ValueError(f"illegal depth {depth} for color type {color_type}")
+    if int(samples.max(initial=0)) >= 1 << depth:
+        raise ValueError(f"sample value out of range for depth {depth}")
+    if pal is not None and int(samples.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    h, w, channels = samples.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    fbpp = max(1, channels * depth // 8)
+    raw = bytearray()
+    for x0, y0, dx, dy in (_ADAM7 if interlace else [(0, 0, 1, 1)]):
+        sub = samples[y0::dy, x0::dx, :]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        rows = _samples_to_rows(sub, depth)
+        raw.extend(_filter_scanlines(rows, fbpp, filter_mode))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if pal is not None:
+        out += _png_chunk(b"PLTE", pal.tobytes())
     return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(_filter_scanlines(raw, bpp, filter_mode), 6))
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -466,48 +529,129 @@ def _iter_png_chunks(payload: bytes, verify_crc: bool = True):
         pos += 12 + length
 
 
+#: Adam7 interlace passes: (x_start, y_start, x_step, y_step) — the
+#: fixed 7-pass pixel permutation from the PNG spec (RFC 2083 §2.6).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+#: Legal bit depths per color type (PNG spec §11.2.2).
+_PNG_LEGAL = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+              4: (8, 16), 6: (8, 16)}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def _parse_ihdr(data: bytes):
-    """Parse an IHDR payload to (w, h, color_type), gating on the
-    8-bit gray/RGB non-interlaced subset both decoders support."""
+    """Parse an IHDR payload to (w, h, depth, color_type, interlace),
+    validating against the spec's legal depth/color-type matrix."""
     import struct
 
-    w, h, depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", data)
-    if depth != 8 or color_type not in (0, 2) or interlace:
-        raise NotImplementedError("8-bit gray/RGB non-interlaced only")
+    if len(data) != 13:
+        raise ValueError("IHDR length must be 13")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", data
+    )
+    if comp or filt:
+        raise ValueError("unknown compression/filter method")
+    if color_type not in _PNG_LEGAL or depth not in _PNG_LEGAL[color_type]:
+        raise ValueError(f"illegal depth {depth} for color type {color_type}")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     if w == 0 or h == 0:
         # a zero dimension is spec-invalid; letting it through would pass
         # decode (0 == 0 bytes) and crash the FEATURIZER (div-by-zero in
         # area-resize, min() on empty) outside the corrupt-payload guard
         raise ValueError(f"invalid IHDR dimensions {w}x{h}")
-    return w, h, color_type
+    return w, h, depth, color_type, interlace
+
+
+def _rows_to_samples(recon, pw: int, channels: int, depth: int):
+    """Unfiltered byte rows (ph, stride) -> sample array
+    (ph, pw, channels): big-endian 16-bit join, byte passthrough, or
+    sub-byte big-endian bit unpack (sub-byte only occurs single-channel
+    per the legal matrix)."""
+    import numpy as np
+
+    ph = recon.shape[0]
+    if depth == 8:
+        return recon.reshape(ph, pw, channels)
+    if depth == 16:
+        pairs = recon.reshape(ph, pw * channels, 2).astype(np.uint16)
+        return ((pairs[..., 0] << 8) | pairs[..., 1]).reshape(ph, pw, channels)
+    bits = np.unpackbits(recon, axis=1)[:, : pw * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(ph, pw, 1)
 
 
 def decode_png(payload: bytes, verify_crc: bool = True):
-    """Decode an 8-bit gray/RGB non-interlaced PNG to a uint8 ndarray —
-    numpy + stdlib zlib only, no PIL.  Handles all five scanline filters
-    (None/Sub/Up/Average/Paeth) and multiple IDAT chunks; verifies every
-    chunk CRC when ``verify_crc``.  Returns (h, w) for gray, (h, w, 3)
-    for RGB."""
-    w = None
+    """Decode ANY legal static PNG to an ndarray — numpy + stdlib zlib
+    only, no PIL.  Covers the full spec matrix: gray 1/2/4/8/16-bit,
+    RGB 8/16, palette 1/2/4/8 (PLTE lookup -> RGB), gray+alpha and RGBA
+    8/16, Adam7 interlaced or not, all five scanline filters, multiple
+    IDAT chunks, per-chunk CRC verification.  Returns uint8 for depths
+    <= 8 (sub-byte gray scaled to 0..255; palette resolved to (h,w,3))
+    and uint16 for 16-bit; shapes (h,w), (h,w,2), (h,w,3), (h,w,4) by
+    color type."""
+    import zlib
+
+    import numpy as np
+
+    w = plte = None
     idat = bytearray()
     for ctype, data in _iter_png_chunks(payload, verify_crc):
         if ctype == b"IHDR":
-            w, h, color_type = _parse_ihdr(data)
+            w, h, depth, color_type, interlace = _parse_ihdr(data)
+        elif ctype == b"PLTE":
+            if len(data) == 0 or len(data) % 3 or len(data) > 3 * 256:
+                raise ValueError("invalid PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if w is None:
         raise ValueError("no IHDR chunk")
-    bpp = 1 if color_type == 0 else 3
-    recon = _inflate_unfilter(bytes(idat), w, h, bpp)
-    return recon if color_type == 0 else recon.reshape(h, w, 3)
+    channels = _PNG_CHANNELS[color_type]
+    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    out = np.zeros((h, w, channels), dtype=dtype)
+    pos = 0
+    for x0, y0, dx, dy in (_ADAM7 if interlace else [(0, 0, 1, 1)]):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * channels * depth + 7) // 8
+        fbpp = max(1, channels * depth // 8)
+        need = ph * (stride + 1)
+        if pos + need > flat.size:
+            raise ValueError("image data length mismatch")
+        recon = _unfilter(flat[pos : pos + need].reshape(ph, stride + 1),
+                          stride, fbpp)
+        pos += need
+        out[y0::dy, x0::dx, :] = _rows_to_samples(recon, pw, channels, depth)
+    if pos != flat.size:
+        raise ValueError("image data length mismatch")
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE chunk")
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    if color_type == 0 and depth < 8:
+        # replicate sub-byte gray into full 8-bit range (v * 255 / max)
+        out = (out.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    return out[:, :, 0] if channels == 1 else out
 
 
 def _inflate_unfilter(compressed: bytes, w: int, h: int, bpp: int):
-    """zlib-inflate one PNG/APNG image data stream and reverse the
-    per-scanline filters; returns a (h, w*bpp) uint8 array.  Shared by
-    the still-image and animation decoders."""
+    """zlib-inflate one 8-bit PNG/APNG image data stream and reverse the
+    per-scanline filters; returns a (h, w*bpp) uint8 array.  Kept as the
+    animation decoder's entry; stills go through the pass loop above."""
     import zlib
 
     import numpy as np
@@ -516,7 +660,16 @@ def _inflate_unfilter(compressed: bytes, w: int, h: int, bpp: int):
     flat = np.frombuffer(zlib.decompress(compressed), dtype=np.uint8)
     if flat.size != h * (stride + 1):
         raise ValueError("image data length mismatch")
-    lines = flat.reshape(h, stride + 1)
+    return _unfilter(flat.reshape(h, stride + 1), stride, bpp)
+
+
+def _unfilter(lines, stride: int, bpp: int):
+    """Reverse the five PNG scanline filters over (h, stride+1) rows of
+    [filter_byte, data...]; ``bpp`` is the filter byte step (>= 1 even
+    for sub-byte depths, per spec).  Returns (h, stride) uint8."""
+    import numpy as np
+
+    h = lines.shape[0]
     recon = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         f = int(lines[y, 0])
@@ -525,6 +678,8 @@ def _inflate_unfilter(compressed: bytes, w: int, h: int, bpp: int):
         if f == 0:
             row = cur
         elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            # stride is always a multiple of bpp: 8/16-bit rows are
+            # pw*bpp bytes; sub-byte rows have bpp == 1
             row = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(-1)
         elif f == 2:
             row = cur + prior
@@ -670,6 +825,132 @@ def png_decode_features(df: DataFrame, payload_col: str = "png",
     )
 
 
+#: The six PNG subtype cases synth_png_matrix_payload cycles through —
+#: the subsets real web scrapes hit beyond 8-bit gray/RGB linear.
+_PNG_MATRIX_CASES = [
+    "palette8", "palette4_adam7", "gray16",
+    "rgb8_adam7", "gray4", "rgba8_adam7",
+]
+
+
+def synth_png_matrix_payload(df: DataFrame, id_col: str = "doc_id",
+                             len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``png`` column cycling through the EXTENDED PNG matrix
+    (doc_id % 6): 8-bit palette, 4-bit palette + Adam7, 16-bit gray,
+    8-bit RGB + Adam7, 4-bit gray, and RGBA + Adam7 — the subsets web
+    scrapes actually contain beyond plain 8-bit gray/RGB.  Pixel
+    patterns are integer-exact functions of (x, y) (see the query
+    oracle), dims w = 8*(id%6+2), h = 8*(len%6+2) <= 56."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(8) * (F.col(id_col) % 6 + 2)).cast("int").alias("w"),
+        (F.lit(8) * (F.col(len_col) % 6 + 2)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            pngs = []
+            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(d), int(w), int(h)
+                y, x = np.mgrid[0:h, 0:w]
+                case = d % 6
+                if case == 0:  # 8-bit palette, linear
+                    pal = np.stack(
+                        [4 * np.arange(16), 8 * np.arange(16),
+                         12 * np.arange(16)], axis=1
+                    ).astype(np.uint8)
+                    png = encode_png(((x + y) % 16).astype(np.uint8),
+                                     palette=pal, depth=8)
+                elif case == 1:  # 4-bit palette, Adam7
+                    j = np.arange(16)
+                    pal = np.stack([17 * j, 255 - 17 * j, 8 * j],
+                                   axis=1).astype(np.uint8)
+                    png = encode_png(((x + y) % 16).astype(np.uint8),
+                                     palette=pal, depth=4, interlace=True)
+                elif case == 2:  # 16-bit gray, linear
+                    png = encode_png(
+                        (257 * ((x + 3 * y) % 256)).astype(np.uint16))
+                elif case == 3:  # 8-bit RGB, Adam7
+                    rgb = np.stack([(x + 2 * y) % 256, (2 * x + y) % 256,
+                                    (x * y) % 256], axis=2).astype(np.uint8)
+                    png = encode_png(rgb, interlace=True)
+                elif case == 4:  # 4-bit gray, linear
+                    png = encode_png(((x + y) % 16).astype(np.uint8),
+                                     depth=4)
+                else:  # 8-bit RGBA, Adam7
+                    rgba = np.stack(
+                        [(x + 2 * y) % 256, (2 * x + y) % 256,
+                         (x * y) % 256, (x + y) % 256], axis=2
+                    ).astype(np.uint8)
+                    png = encode_png(rgba, interlace=True)
+                pngs.append(png)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+
+    return src.mapInPandas(gen, schema="doc_id long, png binary")
+
+
+def png_matrix_decode_features(df: DataFrame, payload_col: str = "png",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Decode the extended-matrix PNGs and reduce to exact-integer pixel
+    statistics over the DECODED samples (palette resolved to RGB,
+    sub-byte gray rescaled to 0..255, 16-bit kept at full range) plus
+    the header's bit depth — so the hash gate pins palette lookup,
+    Adam7 deinterlace, sub-byte unpack, and 16-bit byte order all at
+    once.  Corrupt payloads flag the row (ok=false), never abort."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "ok": [], "width": [], "height": [],
+                "n_channels": [], "bit_depth": [],
+                "px_sum": [], "px_min": [], "px_max": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                p = bytes(p)
+                try:
+                    depth = None
+                    for ctype, data in _iter_png_chunks(p):
+                        if ctype == b"IHDR":
+                            depth = _parse_ihdr(data)[2]
+                            break
+                    if depth is None:
+                        raise ValueError("no IHDR")
+                    img = decode_png(p, verify_crc=True)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in ("width", "height", "n_channels", "bit_depth",
+                              "px_sum", "px_min", "px_max"):
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["n_channels"].append(1 if img.ndim == 2 else img.shape[2])
+                out["bit_depth"].append(depth)
+                out["px_sum"].append(int(img.sum(dtype=np.int64)))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, ok boolean, width long, height long, "
+            "n_channels long, bit_depth long, px_sum long, "
+            "px_min long, px_max long"
+        ),
+    )
+
+
 # -----------------------------------------------------------------------------
 # Animated PNG (APNG) — the public animation extension of PNG (acTL /
 # fcTL / fdAT chunks; Mozilla spec, now part of the W3C PNG 3 draft).
@@ -746,7 +1027,11 @@ def decode_apng_frames(payload: bytes, verify_crc: bool = True):
     saw_idat = False  # IDAT before any fcTL = default image, not a frame
     for ctype, data in _iter_png_chunks(payload, verify_crc):
         if ctype == b"IHDR":
-            w, h, color_type = _parse_ihdr(data)
+            w, h, depth, color_type, interlace = _parse_ihdr(data)
+            if depth != 8 or color_type not in (0, 2) or interlace:
+                raise NotImplementedError(
+                    "APNG frames: 8-bit gray/RGB non-interlaced only"
+                )
         elif ctype == b"acTL":
             declared, _ = struct.unpack(">II", data)
         elif ctype == b"fcTL":

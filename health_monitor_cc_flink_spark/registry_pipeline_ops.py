@@ -5709,6 +5709,78 @@ def mm_png_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_png_matrix_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS c,
+               8 * (doc_id % 6 + 2) AS w,
+               8 * (n_chars % 6 + 2) AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.c, d.w, d.h,
+               (xx.x + yy.y) % 16 AS j,
+               (xx.x + 3*yy.y) % 256 AS g16,
+               (xx.x + 2*yy.y) % 256 AS r8,
+               (2*xx.x + yy.y) % 256 AS g8,
+               (xx.x * yy.y) % 256 AS b8,
+               (xx.x + yy.y) % 256 AS a8
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.w - 1)) AS xx(x),
+             LATERAL unnest(generate_series(0, d.h - 1)) AS yy(y)
+    ), v AS (
+        SELECT doc_id, c, w, h,
+               CASE c WHEN 0 THEN 24*j
+                      WHEN 1 THEN 255 + 8*j
+                      WHEN 2 THEN 257*g16
+                      WHEN 3 THEN r8+g8+b8
+                      WHEN 4 THEN 17*j
+                      ELSE r8+g8+b8+a8 END AS s_sum,
+               CASE c WHEN 0 THEN 4*j
+                      WHEN 1 THEN least(17*j, 255-17*j, 8*j)
+                      WHEN 2 THEN 257*g16
+                      WHEN 3 THEN least(r8, g8, b8)
+                      WHEN 4 THEN 17*j
+                      ELSE least(r8, g8, b8, a8) END AS s_min,
+               CASE c WHEN 0 THEN 12*j
+                      WHEN 1 THEN greatest(17*j, 255-17*j, 8*j)
+                      WHEN 2 THEN 257*g16
+                      WHEN 3 THEN greatest(r8, g8, b8)
+                      WHEN 4 THEN 17*j
+                      ELSE greatest(r8, g8, b8, a8) END AS s_max
+        FROM px
+    )
+    SELECT doc_id, TRUE AS ok,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(([3,3,1,3,1,4])[CAST(any_value(c)+1 AS INT)] AS BIGINT)
+               AS n_channels,
+           CAST(([8,4,16,8,4,8])[CAST(any_value(c)+1 AS INT)] AS BIGINT)
+               AS bit_depth,
+           CAST(sum(s_sum) AS BIGINT) AS px_sum,
+           CAST(min(s_min) AS BIGINT) AS px_min,
+           CAST(max(s_max) AS BIGINT) AS px_max
+    FROM v GROUP BY doc_id
+    """,
+    doc="EXTENDED PNG matrix decode under the hash gate — closes the "
+    "palette / Adam7-interlace / sub-byte / 16-bit gaps (the subsets web "
+    "scrapes actually contain): synth cycles 8-bit palette, 4-bit "
+    "palette + Adam7, 16-bit gray, RGB + Adam7, 4-bit gray, RGBA + Adam7; "
+    "the decoder resolves PLTE lookups, deinterlaces the 7-pass pixel "
+    "permutation, unpacks sub-byte samples (rescaled 0..255 per spec), "
+    "and joins big-endian 16-bit pairs.  The oracle re-derives every "
+    "pixel from (x, y) integer arithmetic on a generated grid, so one "
+    "wrong pixel anywhere in any subset breaks the hash.  Scale: pure "
+    "Arrow CPU-map like every codec path.",
+    bench=True,
+)
+def mm_png_matrix_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.png_matrix_decode_features(M.synth_png_matrix_payload(docs))
+
+
+@query(
     "mm_jpeg_decode_features",
     """
     WITH dims AS (

@@ -804,3 +804,126 @@ def test_synth_zip_archives_use_deflate(spark):
         assert infos
         assert all(i.compress_type == zipfile.ZIP_DEFLATED for i in infos)
         assert all(i.compress_size < i.file_size for i in infos)
+
+
+def test_png_full_matrix_roundtrip():
+    """Every legal (color type, depth) combo x {linear, Adam7} must
+    round-trip bit-exactly through encode_png/decode_png (sub-byte gray
+    compares against the spec's 0..255 rescale)."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    # odd dims so Adam7 passes have ragged widths/heights
+    h, w = 21, 13
+    for interlace in (False, True):
+        # gray / gray+alpha / RGB / RGBA at 8 and 16 bit
+        for channels in (1, 2, 3, 4):
+            shape = (h, w) if channels == 1 else (h, w, channels)
+            a8 = rng.randint(0, 256, shape).astype(np.uint8)
+            got = decode_png(encode_png(a8, interlace=interlace))
+            assert got.dtype == np.uint8 and np.array_equal(got, a8), (
+                channels, 8, interlace)
+            a16 = rng.randint(0, 1 << 16, shape).astype(np.uint16)
+            got = decode_png(encode_png(a16, interlace=interlace))
+            assert got.dtype == np.uint16 and np.array_equal(got, a16), (
+                channels, 16, interlace)
+        # sub-byte gray
+        for depth in (1, 2, 4):
+            mx = (1 << depth) - 1
+            a = rng.randint(0, mx + 1, (h, w)).astype(np.uint8)
+            got = decode_png(encode_png(a, depth=depth, interlace=interlace))
+            want = (a.astype(np.uint16) * 255 // mx).astype(np.uint8)
+            assert np.array_equal(got, want), (depth, interlace)
+        # palette at every legal depth
+        for depth in (1, 2, 4, 8):
+            n = 1 << depth
+            pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+            idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+            got = decode_png(
+                encode_png(idx, palette=pal, depth=depth, interlace=interlace)
+            )
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, pal[idx]), (depth, interlace)
+
+
+def test_png_adam7_equals_linear():
+    """The interlaced stream must decode to EXACTLY the same pixels as
+    the linear stream of the same image (Adam7 is a permutation)."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    y, x = np.mgrid[0:33, 0:17]
+    img = ((3 * x + 5 * y) % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(img, interlace=True)),
+        decode_png(encode_png(img, interlace=False)),
+    )
+    # tiny images where several Adam7 passes are EMPTY
+    for dims in ((1, 1), (2, 3), (7, 5), (8, 1)):
+        tiny = ((np.indices(dims).sum(0)) % 256).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(tiny, interlace=True)), tiny)
+
+
+def test_png_extended_matrix_corrupt_payloads():
+    """Spec-invalid streams in the NEW subsets must raise ValueError,
+    never IndexError/KeyError."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    good = encode_png(idx, palette=pal, depth=4)
+
+    # palette image with the PLTE chunk stripped
+    no_plte = good.replace(_png_chunk(b"PLTE", pal.tobytes()), b"")
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+    # palette index beyond the palette (index 15 with an 8-entry PLTE)
+    short_pal = encode_png(
+        np.full((2, 2), 15, np.uint8), palette=pal, depth=4
+    ).replace(
+        _png_chunk(b"PLTE", pal.tobytes()), _png_chunk(b"PLTE", pal[:8].tobytes())
+    )
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(short_pal)
+    # illegal depth/color-type combo (depth 16 palette)
+    bad_ihdr = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="illegal depth"):
+        decode_png(bad_ihdr)
+    # interlaced stream truncated mid-pass
+    img = (np.arange(256) % 256).reshape(16, 16).astype(np.uint8)
+    inter = encode_png(img, interlace=True)
+    # find IDAT, shorten its inflated payload by re-deflating a prefix
+    with _pytest.raises(ValueError):
+        decode_png(inter[: len(inter) - 20] + inter[-12:])
+    # encoder-side guards
+    with _pytest.raises(ValueError, match="out of range"):
+        encode_png(np.full((2, 2), 9, np.uint8), depth=2)
+    with _pytest.raises(ValueError, match="out of range"):
+        encode_png(np.full((2, 2), 200, np.uint8), palette=pal)
+    with _pytest.raises(ValueError, match="palette index"):
+        encode_png(np.full((2, 2), 12, np.uint8), palette=pal[:8], depth=4)
