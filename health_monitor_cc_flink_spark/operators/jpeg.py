@@ -9,7 +9,8 @@ end-to-end against a closed-form DuckDB oracle:
 * **Encoders** (``encode_jpeg_gray`` / ``encode_jpeg_ycbcr`` /
   ``encode_jpeg_rgb``, plus ``encode_jpeg_progressive_*`` twins):
   8-bit DCT — grayscale single-component, and interleaved YCbCr color
-  at 4:4:4 or 4:2:0 — as baseline sequential (SOF0) or progressive
+  at 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 / 4:1:1 — as baseline sequential
+  (SOF0) or progressive
   (SOF2) with spectral selection + successive approximation (default
   libjpeg-style 6/10-scan scripts, EOB-run coding, buffered
   correction bits).  Level shift, vectorized 8x8 orthonormal DCT-II
@@ -20,11 +21,12 @@ end-to-end against a closed-form DuckDB oracle:
   ``decode_jpeg_planes`` / ``decode_jpeg_rgb``): marker parse
   (SOI/APP/COM/DQT/SOF0/SOF2/DHT/SOS/EOI), canonical Huffman decode
   (mincode/maxcode/valptr, T.81 F.2.2.3), MCU-interleaved
-  multi-component scans (grayscale, YCbCr 4:4:4, YCbCr 4:2:0 with
+  multi-component scans (grayscale, and YCbCr at ANY T.81-legal
+  sampling-factor combination — factors 1..4, <= 10 blocks/MCU — with
   per-component tables and DC predictors), dequantize, vectorized
-  IDCT, crop; RGB via JFIF/BT.601 conversion.  Tables are read from
-  the FILE, so any baseline OR progressive JPEG in those sampling
-  layouts decodes, not just our own.  Progressive (SOF2) streams are
+  IDCT, crop; RGB via JFIF/BT.601 conversion with per-axis chroma
+  upsampling.  Tables are read from the FILE, so any baseline OR
+  progressive JPEG decodes, not just our own.  Progressive (SOF2) streams are
   SUPPORTED in full Annex G Huffman form: any legal scan sequence of
   DC/AC first + successive-approximation refinement scans,
   non-interleaved AC bands over the component's own block grid,
@@ -32,8 +34,8 @@ end-to-end against a closed-form DuckDB oracle:
   (a truncated progressive download) decode to the coarser
   approximation, as real viewers do.  Restart markers are SUPPORTED
   (DRI + cycling RSTn: byte-aligned segments, DC predictor resets,
-  sequence validation).  Other samplings, 12-bit precision and
-  arithmetic coding raise ``NotImplementedError`` explicitly; corrupt
+  sequence validation).  12-bit precision and arithmetic coding
+  raise ``NotImplementedError`` explicitly; corrupt
   streams raise ``ValueError`` so the feature path can flag the row
   instead of aborting the job (JPEG has no CRC).
 * **Coefficient-space path** (``encode_jpeg_from_qcoeffs`` /
@@ -778,8 +780,8 @@ def _run_scan(
 
 def _decode_jpeg_scan(payload: bytes):
     """Parse + entropy-decode a JPEG frame with 1 or 3 components
-    (grayscale, or YCbCr at 4:4:4 / 4:2:0) — baseline (SOF0, one
-    interleaved scan) or progressive (SOF2, any legal sequence of
+    (grayscale, or YCbCr at any T.81-legal sampling) — baseline
+    (SOF0, one interleaved scan) or progressive (SOF2, any legal sequence of
     spectral-selection / successive-approximation scans, T.81 Annex G).
 
     Returns ``(comps, w, h)`` where each comp is a dict with keys
@@ -831,10 +833,18 @@ def _decode_jpeg_scan(payload: bytes):
                     # but anything else signals a frame we don't model
                     factors = [(1, 1)]
                     comps[0]["hi"] = comps[0]["vi"] = 1
-            elif factors not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
-                raise NotImplementedError(
-                    "only 4:4:4 or 4:2:0 YCbCr sampling supported"
-                )
+            else:
+                # any T.81-legal factor combination decodes: the MCU
+                # interleave (_scan_units) and the per-plane upsample
+                # (_planes_to_rgb) are generic over (hi, vi) — this
+                # covers 4:4:4, 4:2:2, 4:2:0, 4:4:0, 4:1:1, ...
+                for fh, fv in factors:
+                    if not (1 <= fh <= 4 and 1 <= fv <= 4):
+                        raise ValueError("sampling factors must be 1..4")
+                if sum(fh * fv for fh, fv in factors) > 10:
+                    raise ValueError(
+                        "more than 10 blocks per MCU (T.81 B.2.2)"
+                    )
             dims = (w, h)
             hmax = max(c["hi"] for c in comps)
             vmax = max(c["vi"] for c in comps)
@@ -965,7 +975,7 @@ def _plane_from_coeffs(qc: np.ndarray, quant: np.ndarray, pw: int, ph: int) -> n
 def decode_jpeg_planes(payload: bytes):
     """Baseline JPEG bytes -> (list of uint8 component planes at their
     NATIVE sampling resolution, w, h).  One plane for grayscale; Y, Cb,
-    Cr (chroma half-size under 4:2:0) for color.  Malformed input
+    Cr (chroma at its subsampled size) for color.  Malformed input
     raises ``ValueError`` (never ``IndexError``), matching
     :func:`decode_jpeg_coeffs`, so the Arrow batch flags the row."""
     try:
@@ -1015,7 +1025,8 @@ def _planes_to_rgb(planes, w: int, h: int) -> np.ndarray:
 
 def decode_jpeg_rgb(payload: bytes) -> np.ndarray:
     """Baseline YCbCr JPEG bytes -> uint8 (h, w, 3) RGB array (JFIF /
-    BT.601 conversion; 4:2:0 chroma upsampled by sample duplication)."""
+    BT.601 conversion; subsampled chroma upsampled by per-axis sample
+    duplication)."""
     planes, w, h = decode_jpeg_planes(payload)
     if len(planes) != 3:
         raise ValueError("decode_jpeg_rgb needs a 3-component frame")
@@ -1032,7 +1043,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Color (YCbCr) encode — 4:4:4 and 4:2:0 interleaved baseline
+# Color (YCbCr) encode — interleaved baseline at 444/422/420/440/411
 # ---------------------------------------------------------------------------
 
 #: Annex K Table K.2 — chrominance quantization table, row-major.
@@ -1058,6 +1069,42 @@ def _quantized_grid(plane: np.ndarray, gh: int, gw: int, quant: np.ndarray) -> n
     return q.reshape(-1, 64)[:, ZIGZAG].reshape(gh, gw, 64)
 
 
+#: Luma (h, v) sampling factors per subsampling name; chroma is 1x1.
+#: Covers every layout common JPEG writers emit (libjpeg -sample names).
+_SUBSAMP_FACTORS = {"444": (1, 1), "422": (2, 1), "420": (2, 2),
+                    "440": (1, 2), "411": (4, 1)}
+
+
+def _subsamp_geometry(subsampling: str, w: int, h: int):
+    """-> (hy, vy, mcx, mcy, expected chroma shape) for a named
+    subsampling over a w x h luma plane."""
+    if subsampling not in _SUBSAMP_FACTORS:
+        raise ValueError(
+            f"subsampling must be one of {sorted(_SUBSAMP_FACTORS)}"
+        )
+    hy, vy = _SUBSAMP_FACTORS[subsampling]
+    mcx, mcy = -(-w // (8 * hy)), -(-h // (8 * vy))
+    return hy, vy, mcx, mcy, (-(-h // vy), -(-w // hy))
+
+
+def _chroma_downsample(cb, cr, hy: int, vy: int):
+    """Block-mean chroma downsample by (hy, vy) with edge padding."""
+    if (hy, vy) == (1, 1):
+        return cb, cr
+    h, w = cb.shape
+    ph, pw = (-h) % vy, (-w) % hy
+    out = []
+    for p in (cb, cr):
+        if ph or pw:
+            p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+        out.append(
+            p.reshape(p.shape[0] // vy, vy, p.shape[1] // hy, hy).mean(
+                axis=(1, 3)
+            )
+        )
+    return out
+
+
 def encode_jpeg_ycbcr(
     y: np.ndarray,
     cb: np.ndarray,
@@ -1068,31 +1115,25 @@ def encode_jpeg_ycbcr(
     restart_interval: int = 0,
 ) -> bytes:
     """YCbCr planes -> complete baseline color JPEG.  ``subsampling``
-    '444' expects full-size chroma; '420' expects chroma of shape
-    (ceil(h/2), ceil(w/2)) (one chroma sample per 2x2 luma block).
-    Non-zero ``restart_interval`` emits DRI + cycling RSTn markers."""
+    is one of 444/422/420/440/411: chroma must be the luma shape
+    ceil-divided by the named factors (e.g. '422' -> (h, ceil(w/2)),
+    '411' -> (h, ceil(w/4))).  Non-zero ``restart_interval`` emits
+    DRI + cycling RSTn markers."""
     y = np.asarray(y, dtype=np.uint8)
     h, w = y.shape
-    if subsampling == "444":
-        hv_y, mcx, mcy = 0x11, -(-w // 8), -(-h // 8)
-        cgw, cgh = mcx, mcy
-        cexp = (h, w)
-    elif subsampling == "420":
-        hv_y, mcx, mcy = 0x22, -(-w // 16), -(-h // 16)
-        cgw, cgh = mcx, mcy
-        cexp = (-(-h // 2), -(-w // 2))
-    else:
-        raise ValueError("subsampling must be '444' or '420'")
+    hy, vy, mcx, mcy, cexp = _subsamp_geometry(subsampling, w, h)
+    hv_y = (hy << 4) | vy
+    cgw, cgh = mcx, mcy
     for p in (cb, cr):
         if np.asarray(p).shape != cexp:
             raise ValueError(f"chroma shape must be {cexp} for {subsampling}")
-    ygh, ygw = mcy * (hv_y >> 4), mcx * (hv_y & 0x0F)
+    ygh, ygw = mcy * vy, mcx * hy
     grids = [
         _quantized_grid(y, ygh, ygw, quant_luma),
         _quantized_grid(np.asarray(cb, dtype=np.uint8), cgh, cgw, quant_chroma),
         _quantized_grid(np.asarray(cr, dtype=np.uint8), cgh, cgw, quant_chroma),
     ]
-    factors = [(hv_y >> 4, hv_y & 0x0F), (1, 1), (1, 1)]
+    factors = [(vy, hy), (1, 1), (1, 1)]  # (vi, hi) — row-major MCU walk
     mcus = [
         [
             (ci, grids[ci][my * vi + r, mx * hi + c])
@@ -1116,21 +1157,15 @@ def encode_jpeg_ycbcr(
 
 def encode_jpeg_rgb(rgb: np.ndarray, subsampling: str = "444") -> bytes:
     """uint8 (h, w, 3) RGB -> baseline color JPEG (JFIF forward
-    conversion; 4:2:0 chroma by 2x2 block mean)."""
+    conversion; subsampled chroma by block mean)."""
     rgb = np.asarray(rgb, dtype=np.float64)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
     to8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
-    if subsampling == "420":
-        h, w = y.shape
-        ph, pw = (-h) % 2, (-w) % 2
-        if ph or pw:
-            cb = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
-            cr = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
-        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+    hy, vy, _, _, _ = _subsamp_geometry(subsampling, *y.shape[::-1])
+    cb, cr = _chroma_downsample(cb, cr, hy, vy)
     return encode_jpeg_ycbcr(to8(y), to8(cb), to8(cr), subsampling)
 
 
@@ -1403,22 +1438,16 @@ def encode_jpeg_progressive_ycbcr(
     scans: list | None = None,
     restart_interval: int = 0,
 ) -> bytes:
-    """YCbCr planes -> complete PROGRESSIVE (SOF2) color JPEG at 4:4:4
-    or 4:2:0, same plane contract as :func:`encode_jpeg_ycbcr`."""
+    """YCbCr planes -> complete PROGRESSIVE (SOF2) color JPEG at any
+    named subsampling (444/422/420/440/411), same plane contract as
+    :func:`encode_jpeg_ycbcr`."""
     y = np.asarray(y, dtype=np.uint8)
     h, w = y.shape
-    if subsampling == "444":
-        hv_y, mcx, mcy = 0x11, -(-w // 8), -(-h // 8)
-        cexp = (h, w)
-    elif subsampling == "420":
-        hv_y, mcx, mcy = 0x22, -(-w // 16), -(-h // 16)
-        cexp = (-(-h // 2), -(-w // 2))
-    else:
-        raise ValueError("subsampling must be '444' or '420'")
+    hmax, vmax, mcx, mcy, cexp = _subsamp_geometry(subsampling, w, h)
+    hv_y = (hmax << 4) | vmax
     for p in (cb, cr):
         if np.asarray(p).shape != cexp:
             raise ValueError(f"chroma shape must be {cexp} for {subsampling}")
-    hmax, vmax = hv_y >> 4, hv_y & 0x0F
     factors = [(hmax, vmax), (1, 1), (1, 1)]
     planes = [y, np.asarray(cb, dtype=np.uint8), np.asarray(cr, dtype=np.uint8)]
     quants = [quant_luma, quant_chroma, quant_chroma]
@@ -1458,12 +1487,6 @@ def encode_jpeg_progressive_rgb(
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
     to8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
-    if subsampling == "420":
-        h, w = y.shape
-        ph, pw = (-h) % 2, (-w) % 2
-        if ph or pw:
-            cb = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
-            cr = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
-        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+    hy, vy, _, _, _ = _subsamp_geometry(subsampling, *y.shape[::-1])
+    cb, cr = _chroma_downsample(cb, cr, hy, vy)
     return encode_jpeg_progressive_ycbcr(to8(y), to8(cb), to8(cr), subsampling)

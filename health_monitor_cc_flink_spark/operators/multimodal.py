@@ -1833,8 +1833,13 @@ def jpeg_color_decode_features(df: DataFrame, payload_col: str = "jpeg",
                 out["marker_ok"].append(True)
                 out["width"].append(w)
                 out["height"].append(h)
+                ry = round(y.shape[0] / cb.shape[0])
+                rx = round(y.shape[1] / cb.shape[1])
                 out["subsampling"].append(
-                    "444" if cb.shape == y.shape else "420"
+                    {(1, 1): "444", (2, 2): "420", (2, 1): "422",
+                     (4, 1): "411", (1, 2): "440"}.get(
+                        (rx, ry), f"{rx}x{ry}"
+                    )
                 )
                 out["y_sum"].append(int(y.sum(dtype=np.int64)))
                 out["cb_sum"].append(int(cb.sum(dtype=np.int64)))
@@ -1851,6 +1856,51 @@ def jpeg_color_decode_features(df: DataFrame, payload_col: str = "jpeg",
             "y_mean double, cr_max long"
         ),
     )
+
+
+def synth_jpeg_subsampling_payload(df: DataFrame, id_col: str = "doc_id",
+                                   len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``jpeg`` column cycling the REMAINING common chroma
+    layouts (doc_id % 3): 4:2:2, 4:1:1, 4:4:0 — the ones beyond
+    444/420 that broadcast/DV-lineage JPEG writers emit.  Same flat
+    even-valued 8x8-block construction as synth_jpeg_color_payload
+    (chroma quantized with the luminance table), so every plane's DC
+    round-trip is exact and the oracle is closed-form.  Dims
+    w = 32*(id%2+1), h = 16*(len%3+1) keep every chroma plane a whole
+    number of blocks in all three layouts."""
+    from .jpeg import STD_LUMA_QUANT, encode_jpeg_ycbcr
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(32) * (F.col(id_col) % 2 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 3 + 1)).cast("int").alias("h"),
+    )
+    subs = {0: ("422", 2, 1), 1: ("411", 4, 1), 2: ("440", 1, 2)}
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def plane(doc_id, bh, bw, a, b, c):
+            by, bx = np.mgrid[0:bh, 0:bw]
+            v = 2 * ((int(doc_id) + a * by + b * bx + c) % 128)
+            return np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+        for pdf in batches:
+            jpegs = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(doc_id), int(w), int(h)
+                sub, hy, vy = subs[d % 3]
+                y = plane(d, h // 8, w // 8, 3, 5, 0)
+                cb = plane(d, h // (8 * vy), w // (8 * hy), 7, 11, 1)
+                cr = plane(d, h // (8 * vy), w // (8 * hy), 13, 9, 2)
+                jpegs.append(
+                    encode_jpeg_ycbcr(y, cb, cr, sub,
+                                      quant_chroma=STD_LUMA_QUANT)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+    return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
 
 
 # -----------------------------------------------------------------------------

@@ -5709,6 +5709,60 @@ def mm_png_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_jpeg_subsampling_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS c,
+               32 * (doc_id % 2 + 1) AS w,
+               16 * (n_chars % 3 + 1) AS h,
+               ([2,4,1])[CAST(doc_id % 3 + 1 AS INT)] AS hy,
+               ([1,1,2])[CAST(doc_id % 3 + 1 AS INT)] AS vy
+        FROM documents
+    ), yb AS (
+        SELECT d.doc_id,
+               sum(2 * ((d.doc_id + 3*byy.by + 5*bxx.bx) % 128)) AS ys
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h//8 - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, d.w//8 - 1)) AS bxx(bx)
+        GROUP BY d.doc_id
+    ), cbl AS (
+        SELECT d.doc_id,
+               sum(2 * ((d.doc_id + 7*byy.by + 11*bxx.bx + 1) % 128)) AS cbs,
+               sum(2 * ((d.doc_id + 13*byy.by + 9*bxx.bx + 2) % 128)) AS crs,
+               max(2 * ((d.doc_id + 13*byy.by + 9*bxx.bx + 2) % 128)) AS crm
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h//(8*d.vy) - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, d.w//(8*d.hy) - 1)) AS bxx(bx)
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, TRUE AS marker_ok,
+           CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+           (['422','411','440'])[CAST(d.c + 1 AS INT)] AS subsampling,
+           CAST(64 * yb.ys AS BIGINT) AS y_sum,
+           CAST(64 * cbl.cbs AS BIGINT) AS cb_sum,
+           CAST(64 * cbl.crs AS BIGINT) AS cr_sum,
+           CAST(64 * yb.ys AS DOUBLE) / (d.w * d.h) AS y_mean,
+           CAST(cbl.crm AS BIGINT) AS cr_max
+    FROM dims d JOIN yb USING (doc_id) JOIN cbl USING (doc_id)
+    """,
+    doc="4:2:2 / 4:1:1 / 4:4:0 chroma-sampling decode under the hash "
+    "gate — closes the last common baseline-JPEG layouts beyond "
+    "444/420: the MCU interleave walks 2x1, 4x1 and 1x2 luma factor "
+    "grids and the per-plane IDCT measures chroma at its NATIVE "
+    "half/quarter resolution.  Flat even-valued blocks with the "
+    "luminance quant table keep every DC round-trip exact, so the "
+    "oracle re-derives per-plane sums/extremes from the block-grid "
+    "arithmetic.  Scale: Arrow CPU-map like every codec path.",
+    bench=True,
+)
+def mm_jpeg_subsampling_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.jpeg_color_decode_features(M.synth_jpeg_subsampling_payload(docs))
+
+
+@query(
     "mm_png_matrix_decode_features",
     """
     WITH dims AS (

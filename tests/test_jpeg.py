@@ -327,15 +327,23 @@ def test_color_odd_dims_and_dispatch():
     assert gray.ndim == 2
 
 
-def test_color_unsupported_sampling_raises():
+def test_color_unsupported_features_still_raise():
+    """Every T.81-legal sampling layout now decodes (444/422/420/440/
+    411 covered elsewhere); the honest NotImplementedError surface is
+    down to 12-bit precision and arithmetic coding."""
     rng = np.random.default_rng(61)
     payload = bytearray(
         encode_jpeg_ycbcr(*(flat_block_image(rng, 2, 2) for _ in range(3)), "444")
     )
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 11] = 0x21  # Y sampling 2x1 (4:2:2) — honestly unsupported
-    with pytest.raises(NotImplementedError, match="sampling"):
-        decode_jpeg(bytes(payload))
+    twelve_bit = bytearray(payload)
+    twelve_bit[sof + 4] = 12  # precision byte
+    with pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(twelve_bit))
+    arith = bytearray(payload)
+    arith[sof + 1] = 0xC9  # SOF9: arithmetic-coded sequential
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(arith))
 
 
 def test_gray_coeff_access_rejects_color():
@@ -534,3 +542,87 @@ def test_progressive_malformed_scans_rejected():
     # truncating entropy data mid-scan fails cleanly
     with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(payload[: len(payload) // 2]) + b"\xff\xd9")
+
+
+def test_subsampling_422_411_440_planes_and_pixels():
+    """The new chroma layouts decode with chroma at NATIVE resolution,
+    flat even blocks are DC-exact, and progressive == baseline."""
+    from health_monitor_cc_flink_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_planes,
+        encode_jpeg_progressive_ycbcr,
+        encode_jpeg_ycbcr,
+    )
+
+    w, h = 64, 32
+
+    def blocks(bh, bw, a, b, c):
+        by, bx = np.mgrid[0:bh, 0:bw]
+        v = 2 * ((a * by + b * bx + c) % 128)
+        return np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+    for sub, hy, vy in (("422", 2, 1), ("411", 4, 1), ("440", 1, 2)):
+        y = blocks(h // 8, w // 8, 3, 5, 0)
+        cb = blocks(h // (8 * vy), w // (8 * hy), 7, 11, 1)
+        cr = blocks(h // (8 * vy), w // (8 * hy), 13, 9, 2)
+        jb = encode_jpeg_ycbcr(y, cb, cr, sub, quant_chroma=STD_LUMA_QUANT)
+        planes, dw, dh = decode_jpeg_planes(jb)
+        assert (dw, dh) == (w, h)
+        assert planes[0].shape == (h, w)
+        assert planes[1].shape == (h // vy, w // hy), sub
+        # flat even blocks survive the lossy path bit-exactly
+        assert np.array_equal(planes[0], y), sub
+        assert np.array_equal(planes[1], cb), sub
+        assert np.array_equal(planes[2], cr), sub
+        # progressive twin produces the same pixels
+        jp = encode_jpeg_progressive_ycbcr(
+            y, cb, cr, sub, quant_chroma=STD_LUMA_QUANT
+        )
+        assert np.array_equal(decode_jpeg(jb), decode_jpeg(jp)), sub
+
+
+def test_subsampling_422_restart_markers():
+    """DRI/RSTn across 4:2:2 MCUs: predictors reset per restart."""
+    from health_monitor_cc_flink_spark.operators.jpeg import (
+        decode_jpeg_planes,
+        encode_jpeg_ycbcr,
+    )
+
+    w, h = 96, 16  # 6 MCUs of 16x16 luma at 4:2:2 -> restarts mid-row
+    by, bx = np.mgrid[0 : h // 8, 0 : w // 8]
+    y = np.repeat(np.repeat(2 * ((3 * by + 7 * bx) % 128), 8, 0), 8, 1).astype(
+        np.uint8
+    )
+    cby, cbx = np.mgrid[0 : h // 8, 0 : w // 16]
+    cb = np.repeat(np.repeat(2 * ((5 * cby + 11 * cbx + 1) % 128), 8, 0), 8, 1).astype(np.uint8)
+    cr = np.repeat(np.repeat(2 * ((9 * cby + 13 * cbx + 2) % 128), 8, 0), 8, 1).astype(np.uint8)
+    jb = encode_jpeg_ycbcr(y, cb, cr, "422", quant_chroma=STD_LUMA_QUANT,
+                           restart_interval=2)
+    planes, _, _ = decode_jpeg_planes(jb)
+    assert np.array_equal(planes[0], y)
+    assert np.array_equal(planes[1], cb)
+    assert np.array_equal(planes[2], cr)
+
+
+def test_illegal_sampling_factor_combos_rejected():
+    """T.81 B.2.2: factors outside 1..4 or >10 blocks/MCU must flag as
+    corrupt (ValueError), and unknown encoder names must raise."""
+    from health_monitor_cc_flink_spark.operators.jpeg import (
+        decode_jpeg_planes,
+        encode_jpeg_ycbcr,
+    )
+
+    y = np.zeros((16, 16), np.uint8)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg_ycbcr(y, y, y, "421")
+    # hand-patch a legal 4:2:0 stream's SOF to illegal factors
+    cb = np.zeros((8, 8), np.uint8)
+    jb = bytearray(encode_jpeg_ycbcr(y, cb, cb, "420"))
+    sof = jb.find(b"\xff\xc0")
+    comp0 = sof + 2 + 8  # first component entry: cid, hv, tq
+    jb[comp0 + 1] = 0x55  # hi=5 > 4
+    with pytest.raises(ValueError, match="1..4"):
+        decode_jpeg_planes(bytes(jb))
+    jb[comp0 + 1] = 0x43  # 4x3 = 12 blocks in one component > 10
+    with pytest.raises(ValueError, match="blocks per MCU"):
+        decode_jpeg_planes(bytes(jb))
