@@ -583,3 +583,69 @@ def duplicated_spans(
             )
         ).alias("span_md5"),
     )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_tokens: int = 8,
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """The ExactSubstr dedup ACTION (Lee et al. 2022 apply step): drop
+    every token covered by a cross-document duplicated span, KEEPING
+    the occurrence in the lowest-doc_id document of each pair, and
+    reassemble the surviving text in original token order.  Keep-first
+    is an aggregate property (the doc is the larger id of the pair),
+    so the result is deterministic regardless of partitioning.
+
+    Returns every document: (doc_id, n_tokens, n_removed, text_clean)
+    — n_removed = 0 and text_clean = text for untouched docs.
+
+    Scale shape: duplicated_spans' bucketed pipeline, plus one bounded
+    explode of span token positions (span volume, not corpus volume),
+    one (doc, pos) anti-join against the token stream, and one per-doc
+    reassembly agg."""
+    spans = duplicated_spans(df, id_col, text_col, k, min_tokens,
+                             max_gram_freq)
+    covered = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("words")
+    ).select("doc_id", F.posexplode("words").alias("pos", "token"))
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
+    )
+    # every doc appears in `toks`, so absence from `out` means ZERO
+    # kept tokens (fully-stripped doc), not an untouched one
+    return base.join(out, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )

@@ -1324,6 +1324,61 @@ def dedup_span_exactsubstr(spark, sf_dir):
 
 
 @query(
+    "dedup_span_exactsubstr_strip",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(words[(i+1):(i+6)],' ') AS gram
+          FROM w, unnest(generate_series(0, len(words)-6)) AS t(i)),
+    f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+    gf AS (SELECT g.doc_id, g.i, g.gram FROM g JOIN f USING (gram)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.i AS pos_a, b.i AS pos_b
+          FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    r AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                 pos_a - row_number() OVER (
+                     PARTITION BY doc_a, doc_b, pos_a - pos_b
+                     ORDER BY pos_a) AS isl
+          FROM p),
+    s AS (SELECT doc_b, min(pos_b) AS start_b,
+                 count(*) + 5 AS span_tokens
+          FROM r GROUP BY doc_a, doc_b, diag, isl
+          HAVING count(*) + 5 >= 8),
+    covered AS (
+        SELECT DISTINCT s.doc_b AS doc_id, pp.pos
+        FROM s, LATERAL unnest(generate_series(
+                 s.start_b, s.start_b + s.span_tokens - 1)) AS pp(pos)),
+    toks AS (
+        SELECT doc_id, t.i AS pos, words[t.i+1] AS token
+        FROM w, unnest(generate_series(0, len(words)-1)) AS t(i)),
+    kept AS (
+        SELECT tk.doc_id, tk.pos, tk.token
+        FROM toks tk LEFT JOIN covered c
+          ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+        WHERE c.doc_id IS NULL)
+    SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens,
+           CAST(len(w.words) - count(k.pos) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.token, ' ' ORDER BY k.pos), '')
+               AS text_clean
+    FROM w LEFT JOIN kept k USING (doc_id)
+    GROUP BY w.doc_id, len(w.words)
+    """,
+    doc="The ExactSubstr dedup APPLY step: tokens covered by any "
+    "cross-document duplicated span (dedup_span_exactsubstr's maximal "
+    "spans) are dropped from the HIGHER-doc_id occurrence of each pair "
+    "(keep-first as an aggregate property, deterministic under any "
+    "partitioning) and the surviving text is reassembled in original "
+    "order.  Full corpus out: untouched docs pass through, "
+    "fully-duplicated docs come back empty.  Hash-gated on the exact "
+    "cleaned text.  Scale: the bucketed span pipeline plus a "
+    "span-volume-bounded position explode and one (doc, pos) "
+    "anti-join — never all-pairs, never a driver collect.",
+)
+def dedup_span_exactsubstr_strip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.strip_duplicated_spans(docs, k=6, min_tokens=8, max_gram_freq=50)
+
+
+@query(
     "text_repetition_ratio",
     "WITH " + _DUCK_SHINGLES.replace("sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)",
                                      "shx AS (SELECT doc_id, shingle FROM sh0)") + """

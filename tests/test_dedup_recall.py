@@ -311,3 +311,39 @@ def test_duplicated_spans_plan_never_all_pairs(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_strip_duplicated_spans_keep_first(spark):
+    """The apply step removes the HIGHER-id occurrence only, keeps the
+    lower, passes untouched docs through, and empties full duplicates."""
+    from health_monitor_cc_flink_spark.operators.dedup import (
+        strip_duplicated_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "pre0 " + shared + " post0"),
+            (1, shared + " tail1 tail2"),     # copy at offset 0 -> stripped
+            (2, shared),                      # exact full duplicate -> empty
+            (3, "u3 v3 w3 x3 y3 z3 a3 b3"),   # unique -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in strip_duplicated_spans(
+        docs, k=6, min_tokens=8, max_gram_freq=50).collect()}
+    assert len(rows) == 4
+    # doc 0 is the keeper: nothing removed
+    assert rows[0].n_removed == 0
+    assert rows[0].text_clean == "pre0 " + shared + " post0"
+    # doc 1 loses exactly the 8 shared tokens, keeps its tail
+    assert rows[1].n_removed == 8
+    assert rows[1].text_clean == "tail1 tail2"
+    # doc 2 is fully covered
+    assert rows[2].n_removed == 8 and rows[2].text_clean == ""
+    # doc 3 untouched
+    assert rows[3].n_removed == 0
+    assert rows[3].text_clean == "u3 v3 w3 x3 y3 z3 a3 b3"
+    assert all(r.n_tokens - r.n_removed ==
+               (len(r.text_clean.split()) if r.text_clean else 0)
+               for r in rows.values())
