@@ -649,3 +649,142 @@ def strip_duplicated_spans(
         .alias("n_removed"),
         F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
+
+
+def repeated_spans_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_tokens: int = 3,
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """INTRA-document repeated spans — the within-doc complement of
+    :func:`duplicated_spans` (boilerplate / tandem-repeat detection):
+    maximal substrings that occur at least twice INSIDE one document.
+    Each later occurrence pairs with each earlier one on a positive
+    diagonal d = pos_late - pos_early (the repeat distance); runs of
+    consecutive gram matches along one (doc, d) are maximal repeats of
+    run + k - 1 tokens, including overlapping tandem repeats (d <
+    span length).  The frequency cap here is PER-DOCUMENT (a gram
+    repeated > max_gram_freq times in one doc is degenerate boilerplate
+    and would square the self-join) — at 100 TB per-doc caps bound the
+    fan-out even for book-length documents.
+
+    Returns (doc_id, start_early, start_late, distance, span_tokens,
+    span_md5)."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("words")
+    )
+    grams = kgram_positions(df, id_col, text_col, k)
+    hot = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_gram_freq)
+        .select("doc_id", "gram")
+    )
+    gf = grams.join(F.broadcast(hot), ["doc_id", "gram"], "left_anti")
+    a = gf.select("doc_id", F.col("pos").alias("pos_late"), "gram")
+    b = gf.select("doc_id", F.col("pos").alias("pos_early"), "gram")
+    pairs = (
+        a.join(b, ["doc_id", "gram"])
+        .filter(F.col("pos_late") > F.col("pos_early"))
+        .withColumn("distance", F.col("pos_late") - F.col("pos_early"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "distance").orderBy("pos_late")
+    runs = pairs.withColumn(
+        "isl", F.col("pos_late") - F.row_number().over(w)
+    )
+    spans = (
+        runs.groupBy("doc_id", "distance", "isl")
+        .agg(
+            F.min("pos_early").cast("long").alias("start_early"),
+            F.min("pos_late").cast("long").alias("start_late"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .drop("isl")
+    )
+    return spans.join(docs, "doc_id").select(
+        "doc_id",
+        "start_early",
+        "start_late",
+        F.col("distance").cast("long").alias("distance"),
+        "span_tokens",
+        F.md5(
+            F.array_join(
+                F.slice("words", F.col("start_early") + 1,
+                        F.col("span_tokens")),
+                " ",
+            )
+        ).alias("span_md5"),
+    )
+
+
+def duplicated_spans_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_tokens: int = 8,
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """Incremental ExactSubstr: duplicated spans between an INGEST
+    BATCH and an existing corpus only (never corpus x corpus) — the
+    asymmetric new-vs-old shape of dedup_incremental_against_corpus,
+    so per-batch cost scales with the batch, not the corpus.  The
+    frequency cap is computed over corpus + batch grams together (the
+    stop-gram list is a corpus artifact at scale).  Returns spans with
+    doc_a = corpus doc, doc_b = batch doc, same columns/semantics as
+    :func:`duplicated_spans`."""
+    corpus_grams = kgram_positions(corpus_df, id_col, text_col, k)
+    new_grams = kgram_positions(new_df, id_col, text_col, k)
+    hot = (
+        corpus_grams.unionAll(new_grams)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_gram_freq)
+        .select("gram")
+    )
+    a = corpus_grams.join(F.broadcast(hot), "gram", "left_anti").select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
+    )
+    b = new_grams.join(F.broadcast(hot), "gram", "left_anti").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram"
+    )
+    pairs = a.join(b, "gram").withColumn(
+        "diag", F.col("pos_a") - F.col("pos_b")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = pairs.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .drop("diag", "isl")
+    )
+    docs_a = corpus_df.select(
+        F.col(id_col).alias("doc_a"), F.split(text_col, " ").alias("words")
+    )
+    return spans.join(docs_a, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        "start_b",
+        "span_tokens",
+        F.md5(
+            F.array_join(
+                F.slice("words", F.col("start_a") + 1, F.col("span_tokens")),
+                " ",
+            )
+        ).alias("span_md5"),
+    )

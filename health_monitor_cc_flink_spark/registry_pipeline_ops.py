@@ -1324,6 +1324,98 @@ def dedup_span_exactsubstr(spark, sf_dir):
 
 
 @query(
+    "dedup_span_intra_doc",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(words[(i+1):(i+3)],' ') AS gram
+          FROM w, unnest(generate_series(0, len(words)-3)) AS t(i)),
+    f AS (SELECT doc_id, gram FROM g GROUP BY doc_id, gram
+          HAVING count(*) <= 50),
+    gf AS (SELECT g.doc_id, g.i, g.gram
+           FROM g JOIN f USING (doc_id, gram)),
+    p AS (SELECT a.doc_id, a.i AS pl, b.i AS pe
+          FROM gf a JOIN gf b
+            ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.i > b.i),
+    r AS (SELECT doc_id, pl, pe, pl - pe AS distance,
+                 pl - row_number() OVER (
+                     PARTITION BY doc_id, pl - pe ORDER BY pl) AS isl
+          FROM p),
+    s AS (SELECT doc_id, CAST(min(pe) AS BIGINT) AS start_early,
+                 CAST(min(pl) AS BIGINT) AS start_late,
+                 CAST(distance AS BIGINT) AS distance,
+                 CAST(count(*) + 2 AS BIGINT) AS span_tokens
+          FROM r GROUP BY doc_id, distance, isl)
+    SELECT s.doc_id, s.start_early, s.start_late, s.distance, s.span_tokens,
+           md5(array_to_string(
+               w.words[(s.start_early+1):(s.start_early+s.span_tokens)],
+               ' ')) AS span_md5
+    FROM s JOIN w USING (doc_id)
+    WHERE s.span_tokens >= 3
+    """,
+    doc="INTRA-document repeated spans (the within-doc complement of "
+    "dedup_span_exactsubstr): maximal substrings occurring at least "
+    "twice inside one document — boilerplate / tandem-repeat detection "
+    "at arbitrary positions, at 3-gram anchor resolution.  Later-vs-"
+    "earlier occurrences pair on positive diagonals (repeat distance); "
+    "islands along each (doc, distance) give maximal repeats, "
+    "overlapping tandem repeats included.  Frequency cap is PER-DOC "
+    "(bounds the self-join fan-out even for book-length docs).",
+)
+def dedup_span_intra_doc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.repeated_spans_within_doc(
+        docs, k=3, min_tokens=3, max_gram_freq=50
+    )
+
+
+@query(
+    "dedup_span_incremental",
+    """
+    WITH cut AS (SELECT CAST(floor(0.8*(max(doc_id)+1)) AS BIGINT) AS c
+                 FROM documents),
+    w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(words[(i+1):(i+6)],' ') AS gram
+          FROM w, unnest(generate_series(0, len(words)-6)) AS t(i)),
+    f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+    gf AS (SELECT g.doc_id, g.i, g.gram FROM g JOIN f USING (gram)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.i AS pos_a, b.i AS pos_b
+          FROM gf a JOIN gf b ON a.gram = b.gram, cut
+          WHERE a.doc_id < cut.c AND b.doc_id >= cut.c),
+    r AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                 pos_a - row_number() OVER (
+                     PARTITION BY doc_a, doc_b, pos_a - pos_b
+                     ORDER BY pos_a) AS isl
+          FROM p),
+    s AS (SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+                 CAST(min(pos_b) AS BIGINT) AS start_b,
+                 CAST(count(*) + 5 AS BIGINT) AS span_tokens
+          FROM r GROUP BY doc_a, doc_b, diag, isl)
+    SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_tokens,
+           md5(array_to_string(
+               w.words[(s.start_a+1):(s.start_a+s.span_tokens)],
+               ' ')) AS span_md5
+    FROM s JOIN w ON w.doc_id = s.doc_a
+    WHERE s.span_tokens >= 8
+    """,
+    doc="Incremental ExactSubstr: duplicated spans between an ingest "
+    "batch (top 20% of doc_ids) and the existing corpus ONLY — the "
+    "asymmetric new-vs-old join of dedup_incremental_against_corpus "
+    "applied to spans, so per-batch cost scales with the batch, never "
+    "corpus x corpus.  Stop-gram census over corpus+batch together "
+    "(the list is a persisted corpus artifact at scale).",
+)
+def dedup_span_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cut = int(docs.agg(F.floor(0.8 * (F.max("doc_id") + 1))).first()[0])
+    return D.duplicated_spans_incremental(
+        docs.filter(F.col("doc_id") >= cut),
+        docs.filter(F.col("doc_id") < cut),
+        k=6, min_tokens=8, max_gram_freq=50,
+    )
+
+
+@query(
     "dedup_span_exactsubstr_strip",
     """
     WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),

@@ -347,3 +347,62 @@ def test_strip_duplicated_spans_keep_first(spark):
     assert all(r.n_tokens - r.n_removed ==
                (len(r.text_clean.split()) if r.text_clean else 0)
                for r in rows.values())
+
+
+def test_repeated_spans_within_doc_tandem(spark):
+    """Intra-doc spans: simple repeats at the right distance, tandem
+    (overlapping) repeats included, and unique docs produce nothing."""
+    from health_monitor_cc_flink_spark.operators.dedup import (
+        repeated_spans_within_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 'one two three' repeated with junk between: distance 5
+            (0, "one two three j0 j1 one two three j2 j3"),
+            # tandem: 'ra pa pam' x3 back-to-back -> distances 3 and 6
+            (1, "ra pa pam ra pa pam ra pa pam end1 end2"),
+            (2, "all unique tokens here nothing repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = repeated_spans_within_doc(docs, k=3, min_tokens=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.start_early, r.start_late, r.distance, r.span_tokens)
+        )
+    assert by_doc[0] == [(0, 5, 5, 3)]
+    # doc 1: distance 3 run covers positions 3..6 (late) -> 6-token span
+    # starting early=0; distance 6 run -> 3-token span
+    assert set(by_doc[1]) == {(0, 3, 3, 6), (0, 6, 6, 3)}, by_doc[1]
+    assert 2 not in by_doc
+
+
+def test_duplicated_spans_incremental_asymmetric(spark):
+    """Incremental spans: batch-vs-corpus pairs only — corpus-internal
+    and batch-internal duplicates must NOT appear."""
+    from health_monitor_cc_flink_spark.operators.dedup import (
+        duplicated_spans_incremental,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    corpus = spark.createDataFrame(
+        [
+            (0, shared + " c0 c1"),
+            (1, shared + " c2 c3"),   # corpus-internal dup of doc 0
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "b0 " + shared + " b1"),
+            (11, "b2 " + shared + " b3"),  # batch-internal dup of doc 10
+            (12, "totally fresh batch document nothing shared here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans_incremental(batch, corpus, k=6, min_tokens=8).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    assert pairs == {(0, 10), (0, 11), (1, 10), (1, 11)}, pairs
+    assert all(r.span_tokens == 8 and r.start_b == 1 for r in rows)
