@@ -260,13 +260,19 @@ def _receive_extend(raw: int, cat: int) -> int:
 
 
 def _quantized_blocks(
-    plane: np.ndarray, gh: int, gw: int, quant: np.ndarray
+    plane: np.ndarray, gh: int, gw: int, quant: np.ndarray,
+    precision: int = 8,
 ) -> np.ndarray:
-    """uint8 plane -> (gh*gw, 8, 8) int32 quantized coefficients in
+    """Sample plane -> (gh*gw, 8, 8) int32 quantized coefficients in
     natural order over a (gh, gw) block grid (edge-replicate padding)
     — the ONE forward pad/blockify/DCT/quantize pipeline, shared by
-    the grayscale and color encoders."""
-    plane = np.asarray(plane, dtype=np.uint8)
+    the grayscale and color encoders.  ``precision`` 8 (uint8 samples,
+    level shift 128) or 12 (uint16 samples 0..4095, level shift 2048;
+    T.81 extended sequential)."""
+    dtype = np.uint8 if precision == 8 else np.uint16
+    plane = np.asarray(plane, dtype=dtype)
+    if precision == 12 and int(plane.max(initial=0)) > 4095:
+        raise ValueError("12-bit sample out of range")
     ph, pw = gh * 8 - plane.shape[0], gw * 8 - plane.shape[1]
     if ph < 0 or pw < 0:
         raise ValueError("plane larger than its block grid")
@@ -275,15 +281,19 @@ def _quantized_blocks(
     blocks = (
         plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     ).astype(np.float64)
-    coeffs = np.einsum("ij,njk,lk->nil", _DCT, blocks - 128.0, _DCT)
+    mid = float(1 << (precision - 1))
+    coeffs = np.einsum("ij,njk,lk->nil", _DCT, blocks - mid, _DCT)
     return np.round(coeffs / quant).astype(np.int32)
 
 
-def quantized_coeffs(arr: np.ndarray, quant: np.ndarray = STD_LUMA_QUANT) -> np.ndarray:
+def quantized_coeffs(arr: np.ndarray, quant: np.ndarray = STD_LUMA_QUANT,
+                     precision: int = 8) -> np.ndarray:
     """Forward path up to (and including) quantization: (nblocks, 8, 8)
     int32 quantized coefficients in natural (row, col) order."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    return _quantized_blocks(arr, -(-arr.shape[0] // 8), -(-arr.shape[1] // 8), quant)
+    arr = np.asarray(arr)
+    return _quantized_blocks(
+        arr, -(-arr.shape[0] // 8), -(-arr.shape[1] // 8), quant, precision
+    )
 
 
 #: Canonical code dicts for the fixed Annex K tables, derived once at
@@ -291,15 +301,31 @@ def quantized_coeffs(arr: np.ndarray, quant: np.ndarray = STD_LUMA_QUANT) -> np.
 _DC_CODES = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
 _AC_CODES = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
 
+# 12-bit (extended sequential) tables: Annex K defines none, so we emit
+# our own legal flat canonical tables — DC categories 0..15 all at code
+# length 5 (Kraft 16/32, all-ones unused), AC symbols EOB + ZRL +
+# (run 0..15, category 1..14) all at length 8 (226/256, 0xFF unused).
+DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC12_VALS = list(range(16))
+AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | cat for run in range(16) for cat in range(1, 15)
+]
+AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_CODES = _canonical_codes(DC12_BITS, DC12_VALS)
+_AC12_CODES = _canonical_codes(AC12_BITS, AC12_VALS)
 
-def _encode_block(w: _BitWriter, blk: np.ndarray, pred: int) -> int:
+
+def _encode_block(w: _BitWriter, blk: np.ndarray, pred: int,
+                  dc_codes: dict = _DC_CODES,
+                  ac_codes: dict = _AC_CODES) -> int:
     """Huffman-encode ONE zigzag-ordered quantized block; returns the
     new DC predictor (Annex K luminance tables for every component —
-    legal JPEG: the decoder reads table selectors from the file)."""
+    legal JPEG: the decoder reads table selectors from the file; the
+    12-bit path passes the extended flat tables)."""
     diff = int(blk[0]) - pred
     pred = int(blk[0])
     cat = _category(diff)
-    code, length = _DC_CODES[cat]
+    code, length = dc_codes[cat]
     w.put(code, length)
     if cat:
         w.put(_extend_bits(diff, cat), cat)
@@ -312,21 +338,23 @@ def _encode_block(w: _BitWriter, blk: np.ndarray, pred: int) -> int:
             run += 1
             continue
         while run > 15:
-            code, length = _AC_CODES[0xF0]  # ZRL
+            code, length = ac_codes[0xF0]  # ZRL
             w.put(code, length)
             run -= 16
         cat = _category(v)
-        code, length = _AC_CODES[(run << 4) | cat]
+        code, length = ac_codes[(run << 4) | cat]
         w.put(code, length)
         w.put(_extend_bits(v, cat), cat)
         run = 0
     if last < 63:
-        code, length = _AC_CODES[0x00]  # EOB
+        code, length = ac_codes[0x00]  # EOB
         w.put(code, length)
     return pred
 
 
-def _encode_scan(mcus, ncomp: int, restart_interval: int = 0) -> bytes:
+def _encode_scan(mcus, ncomp: int, restart_interval: int = 0,
+                 dc_codes: dict = _DC_CODES,
+                 ac_codes: dict = _AC_CODES) -> bytes:
     """Entropy-encode a full scan.  ``mcus``: per MCU, the list of
     (comp_idx, zigzag_block64) in interleave order.  A non-zero
     ``restart_interval`` splits the stream into byte-aligned segments
@@ -339,17 +367,24 @@ def _encode_scan(mcus, ncomp: int, restart_interval: int = 0) -> bytes:
             writers.append(_BitWriter())
             preds = [0] * ncomp
         for ci, blk in blocks:
-            preds[ci] = _encode_block(writers[-1], blk, preds[ci])
+            preds[ci] = _encode_block(
+                writers[-1], blk, preds[ci], dc_codes, ac_codes
+            )
     data = writers[0].flush()
     for i, wtr in enumerate(writers[1:]):
         data += bytes([0xFF, 0xD0 + (i % 8)]) + wtr.flush()
     return data
 
 
-def _entropy_encode(qc_flat: np.ndarray, restart_interval: int = 0) -> bytes:
+def _entropy_encode(qc_flat: np.ndarray, restart_interval: int = 0,
+                    precision: int = 8) -> bytes:
     """(nblocks, 64) zigzag-ordered quantized coeffs -> entropy bytes."""
+    if precision == 8:
+        dc, ac = _DC_CODES, _AC_CODES
+    else:
+        dc, ac = _DC12_CODES, _AC12_CODES
     return _encode_scan(
-        [[(0, blk)] for blk in qc_flat], 1, restart_interval
+        [[(0, blk)] for blk in qc_flat], 1, restart_interval, dc, ac
     )
 
 
@@ -367,6 +402,7 @@ def _assemble(
     sof_comps: list,
     data: bytes,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """ONE marker-assembly path for both encoders.  ``quants``: list of
     (table_id, 8x8 array); ``sof_comps``: list of (cid, hv, tq) — SOS
@@ -374,19 +410,29 @@ def _assemble(
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, _APP0_JFIF)
     for tid, q in quants:
-        out += _seg(
-            0xDB, bytes([tid]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8))
-        )
+        zz = q.reshape(-1)[ZIGZAG]
+        if precision == 12:
+            # pq=1: 16-bit table elements (extended sequential)
+            out += _seg(
+                0xDB,
+                bytes([0x10 | tid]) + zz.astype(">u2").tobytes(),
+            )
+        else:
+            out += _seg(0xDB, bytes([tid]) + bytes(zz.astype(np.uint8)))
     out += _seg(
-        0xC0,
-        b"\x08"
+        0xC0 if precision == 8 else 0xC1,
+        bytes([precision])
         + h.to_bytes(2, "big")
         + w.to_bytes(2, "big")
         + bytes([len(sof_comps)])
         + bytes(b for comp in sof_comps for b in comp),
     )
-    out += _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
-    out += _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if precision == 8:
+        out += _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        out += _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    else:
+        out += _seg(0xC4, b"\x00" + bytes(DC12_BITS) + bytes(DC12_VALS))
+        out += _seg(0xC4, b"\x10" + bytes(AC12_BITS) + bytes(AC12_VALS))
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))  # DRI
     out += _seg(
@@ -401,24 +447,34 @@ def _assemble(
 
 
 def _segments(
-    w: int, h: int, quant: np.ndarray, data: bytes, restart_interval: int = 0
+    w: int, h: int, quant: np.ndarray, data: bytes,
+    restart_interval: int = 0, precision: int = 8,
 ) -> bytes:
-    return _assemble(w, h, [(0, quant)], [(1, 0x11, 0)], data, restart_interval)
+    return _assemble(
+        w, h, [(0, quant)], [(1, 0x11, 0)], data, restart_interval, precision
+    )
 
 
 def encode_jpeg_gray(
     arr: np.ndarray,
     quant: np.ndarray = STD_LUMA_QUANT,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """8-bit grayscale array -> complete baseline JPEG bytes.  A
-    non-zero ``restart_interval`` (MCUs) emits DRI + cycling RSTn
+    """Grayscale array -> complete JPEG bytes: 8-bit baseline (SOF0)
+    or, with ``precision=12``, T.81 EXTENDED SEQUENTIAL (SOF1 —
+    uint16 samples 0..4095, 16-bit DQT, extended Huffman categories).
+    A non-zero ``restart_interval`` (MCUs) emits DRI + cycling RSTn
     markers — the error-resilience feature real encoders use."""
-    arr = np.asarray(arr, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    arr = np.asarray(arr, dtype=np.uint8 if precision == 8 else np.uint16)
     h, w = arr.shape
-    qc = quantized_coeffs(arr, quant)
-    data = _entropy_encode(qc.reshape(-1, 64)[:, ZIGZAG], restart_interval)
-    return _segments(w, h, quant, data, restart_interval)
+    qc = quantized_coeffs(arr, quant, precision)
+    data = _entropy_encode(
+        qc.reshape(-1, 64)[:, ZIGZAG], restart_interval, precision
+    )
+    return _segments(w, h, quant, data, restart_interval, precision)
 
 
 def encode_jpeg_from_qcoeffs(
@@ -438,7 +494,6 @@ def encode_jpeg_from_qcoeffs(
 # ---------------------------------------------------------------------------
 
 _UNSUPPORTED_SOF = {
-    0xC1: "extended sequential",
     0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -647,7 +702,7 @@ def _run_scan(
 
     def baseline_block(c: dict, b: int) -> None:
         cat = rdr.huff(huff[(0, c["dc_sel"])])
-        if cat > 11:
+        if cat > (11 if c["prec"] == 8 else 15):
             raise ValueError("invalid DC category")
         diff = _receive_extend(rdr.raw(cat), cat) if cat else 0
         c["pred"] += diff
@@ -671,7 +726,7 @@ def _run_scan(
 
     def dc_first_block(c: dict, b: int) -> None:
         cat = rdr.huff(huff[(0, c["dc_sel"])])
-        if cat > 11:
+        if cat > (11 if c["prec"] == 8 else 15):
             raise ValueError("invalid DC category")
         diff = _receive_extend(rdr.raw(cat), cat) if cat else 0
         c["pred"] += diff
@@ -798,14 +853,20 @@ def _decode_jpeg_scan(payload: bytes):
     for marker, body, scan_data in _parse_segments(payload):
         if marker in _UNSUPPORTED_SOF:
             raise NotImplementedError(f"{_UNSUPPORTED_SOF[marker]} JPEG not supported")
-        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             if dims is not None:
                 raise ValueError("multiple frame headers")
             progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("truncated SOF segment")
-            if body[0] != 8:
-                raise NotImplementedError("only 8-bit precision supported")
+            prec = body[0]
+            if marker == 0xC0 and prec != 8:
+                # T.81: baseline (SOF0) is 8-bit by definition
+                raise ValueError("baseline SOF0 must be 8-bit")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"{prec}-bit precision not supported"
+                )
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -823,6 +884,7 @@ def _decode_jpeg_scan(payload: bytes):
                     "hi": body[7 + 3 * i] >> 4,
                     "vi": body[7 + 3 * i] & 0x0F,
                     "tq": body[8 + 3 * i],
+                    "prec": prec,
                 }
                 for i in range(nc)
             ]
@@ -876,12 +938,20 @@ def _decode_jpeg_scan(payload: bytes):
                 if j + 65 > len(body):
                     raise ValueError("truncated DQT segment")
                 pq, tq = body[j] >> 4, body[j] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables not supported")
+                if pq not in (0, 1):
+                    raise ValueError("invalid DQT element precision")
+                nbytes = 64 * (pq + 1)
+                if j + 1 + nbytes > len(body):
+                    raise ValueError("truncated DQT segment")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[ZIGZAG] = np.frombuffer(body[j + 1 : j + 65], dtype=np.uint8)
+                raw = body[j + 1 : j + 1 + nbytes]
+                tbl[ZIGZAG] = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8)
+                )
                 quant_tables[tq] = tbl.reshape(8, 8)
-                j += 65
+                j += 1 + nbytes
         elif marker == 0xC4:  # DHT (possibly several tables)
             j = 0
             while j < len(body):
@@ -946,6 +1016,7 @@ def _decode_jpeg_scan(payload: bytes):
                 "cid": c["cid"],
                 "hi": c["hi"],
                 "vi": c["vi"],
+                "prec": c["prec"],
                 "quant": c["quant"],
                 "qc": nat.reshape(c["gh"], c["gw"], 8, 8),
             }
@@ -963,13 +1034,17 @@ def _decode_jpeg_coeffs(payload: bytes):
     return c["qc"].reshape(-1, 8, 8), c["quant"], w, h
 
 
-def _plane_from_coeffs(qc: np.ndarray, quant: np.ndarray, pw: int, ph: int) -> np.ndarray:
-    """(gh, gw, 8, 8) quantized coeffs -> uint8 (ph, pw) plane."""
+def _plane_from_coeffs(qc: np.ndarray, quant: np.ndarray, pw: int, ph: int,
+                       prec: int = 8) -> np.ndarray:
+    """(gh, gw, 8, 8) quantized coeffs -> (ph, pw) sample plane: uint8
+    for 8-bit frames, uint16 (0..4095) for 12-bit."""
     gh, gw = qc.shape[0], qc.shape[1]
     coeffs = qc.reshape(-1, 8, 8).astype(np.float64) * quant
     blocks = np.einsum("ji,njk,kl->nil", _DCT, coeffs, _DCT)
     img = blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
-    return np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)[:ph, :pw]
+    mid, top = 1 << (prec - 1), (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
+    return np.clip(np.round(img + mid), 0, top).astype(dtype)[:ph, :pw]
 
 
 def decode_jpeg_planes(payload: bytes):
@@ -988,21 +1063,28 @@ def decode_jpeg_planes(payload: bytes):
     for c in comps:
         pw = -(-w * c["hi"] // hmax)
         ph = -(-h * c["vi"] // vmax)
-        planes.append(_plane_from_coeffs(c["qc"], c["quant"], pw, ph))
+        planes.append(
+            _plane_from_coeffs(c["qc"], c["quant"], pw, ph, c["prec"])
+        )
     return planes, w, h
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Baseline grayscale JPEG bytes -> uint8 (h, w) pixel array.
-    Raises ``NotImplementedError`` for color frames (use
+    """Grayscale JPEG bytes -> (h, w) pixel array — uint8 for 8-bit
+    frames, uint16 for 12-bit (SOF1/SOF2) frames.  Raises
+    ``NotImplementedError`` for color frames (use
     :func:`decode_jpeg_rgb` / :func:`decode_jpeg`)."""
-    qc, quant, w, h = decode_jpeg_coeffs(payload)
-    gh = (h + 7) // 8
-    gw = (w + 7) // 8
-    return _plane_from_coeffs(qc.reshape(gh, gw, 8, 8), quant, w, h)
+    planes, w, h = decode_jpeg_planes(payload)
+    if len(planes) != 1:
+        raise NotImplementedError("decode_jpeg_gray needs a 1-component frame")
+    return planes[0]
 
 
 def _planes_to_rgb(planes, w: int, h: int) -> np.ndarray:
+    if planes[0].dtype != np.uint8:
+        raise NotImplementedError(
+            "12-bit color conversion not supported (gray-only 12-bit)"
+        )
     y = planes[0].astype(np.float64)
     up = []
     for p in planes[1:]:

@@ -1399,6 +1399,45 @@ def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
 
 
+def synth_jpeg12_payload(df: DataFrame, id_col: str = "doc_id",
+                         len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``jpeg`` column of 12-BIT EXTENDED-SEQUENTIAL (SOF1)
+    grayscale JPEGs: flat 8x8 blocks v(by,bx) = 2*((doc_id + 599*by +
+    211*bx) mod 2048) — the multipliers sweep the full 0..4094 sample
+    range so 16-bit DQT, extended DC categories and the 2048 level
+    shift are all exercised; even values round-trip DC-exact exactly
+    like the 8-bit family.  Restart interval cycles 0/2/5 by id%3."""
+    from .jpeg import encode_jpeg_gray
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(16) * (F.col(id_col) % 8 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 8 + 1)).cast("int").alias("h"),
+    )
+    intervals = (0, 2, 5)
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            jpegs = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                by, bx = np.mgrid[0 : int(h) // 8, 0 : int(w) // 8]
+                v = 2 * ((int(doc_id) + 599 * by + 211 * bx) % 2048)
+                img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+                jpegs.append(
+                    encode_jpeg_gray(
+                        img.astype(np.uint16),
+                        precision=12,
+                        restart_interval=intervals[int(doc_id) % 3],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+    return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
+
+
 def synth_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id",
                                    len_col: str = "n_chars") -> DataFrame:
     """Attach a ``jpeg`` column of COMPLETE PROGRESSIVE (SOF2) JPEGs —

@@ -5856,6 +5856,50 @@ def mm_png_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_jpeg12_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(16 * (doc_id % 8 + 1) AS BIGINT) AS w,
+               CAST(16 * (n_chars % 8 + 1) AS BIGINT) AS h
+        FROM documents
+    ), blocks AS (
+        SELECT d.doc_id, d.w, d.h,
+               (d.doc_id + 599 * byy.by + 211 * bxx.bx) % 2048 AS m
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h // 8 - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, d.w // 8 - 1)) AS bxx(bx)
+    )
+    SELECT doc_id,
+           any_value(w) AS width,
+           any_value(h) AS height,
+           TRUE AS marker_ok,
+           CAST(128 * sum(m) AS BIGINT) AS px_sum,
+           CAST(128 * sum(m) AS DOUBLE) / (any_value(w) * any_value(h))
+               AS px_mean,
+           CAST(2 * min(m) AS BIGINT) AS px_min,
+           CAST(2 * max(m) AS BIGINT) AS px_max,
+           CAST(count(DISTINCT m) AS BIGINT) AS dc_distinct
+    FROM blocks GROUP BY doc_id
+    """,
+    doc="12-BIT JPEG decode under the hash gate — T.81 extended "
+    "sequential (SOF1): 16-bit DQT elements, DC categories up to 15, "
+    "2048 level shift, uint16 sample planes; restart intervals cycle "
+    "0/2/5.  The flat even-block family sweeps the full 0..4094 range "
+    "(multipliers 599/211 mod 2048) and rounds trip DC-exact, so the "
+    "oracle re-derives every pixel statistic from the block formula.  "
+    "Closes the 12-bit half of the remaining JPEG gap (arithmetic "
+    "coding stays honestly out of scope).  Scale: Arrow CPU-map.",
+    bench=True,
+)
+def mm_jpeg12_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.jpeg_decode_features(M.synth_jpeg12_payload(docs))
+
+
+@query(
     "mm_jpeg_subsampling_decode_features",
     """
     WITH dims AS (

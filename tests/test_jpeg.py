@@ -156,10 +156,13 @@ def test_unsupported_variants_raise_not_implemented():
     rng = np.random.default_rng(13)
     payload = bytearray(encode_jpeg_gray(flat_block_image(rng, 1, 1)))
     sof = payload.index(b"\xff\xc0")
+    # SOF1 (extended sequential) is SUPPORTED since round 9: an 8-bit
+    # baseline stream relabeled SOF1 decodes identically
     extended = payload.copy()
-    extended[sof + 1] = 0xC1  # extended sequential stays unsupported
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_gray(bytes(extended))
+    extended[sof + 1] = 0xC1
+    np.testing.assert_array_equal(
+        decode_jpeg_gray(bytes(extended)), decode_jpeg_gray(bytes(payload))
+    )
     # progressive is SUPPORTED since round 8 — but a baseline stream
     # relabeled SOF2 carries an Ss=0,Se=63 scan, illegal in progressive
     relabeled = payload.copy()
@@ -336,10 +339,17 @@ def test_color_unsupported_features_still_raise():
         encode_jpeg_ycbcr(*(flat_block_image(rng, 2, 2) for _ in range(3)), "444")
     )
     sof = payload.index(b"\xff\xc0")
+    # 12-bit on SOF0 is spec-INVALID (baseline is 8-bit by definition);
+    # an unsupported precision on SOF1 is the honest NotImplementedError
     twelve_bit = bytearray(payload)
     twelve_bit[sof + 4] = 12  # precision byte
-    with pytest.raises(NotImplementedError, match="precision"):
+    with pytest.raises(ValueError, match="SOF0"):
         decode_jpeg(bytes(twelve_bit))
+    ten_bit = bytearray(payload)
+    ten_bit[sof + 1] = 0xC1
+    ten_bit[sof + 4] = 10
+    with pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(ten_bit))
     arith = bytearray(payload)
     arith[sof + 1] = 0xC9  # SOF9: arithmetic-coded sequential
     with pytest.raises(NotImplementedError):
@@ -626,3 +636,38 @@ def test_illegal_sampling_factor_combos_rejected():
     jb[comp0 + 1] = 0x43  # 4x3 = 12 blocks in one component > 10
     with pytest.raises(ValueError, match="blocks per MCU"):
         decode_jpeg_planes(bytes(jb))
+
+
+def test_12bit_extended_sequential_roundtrip():
+    """SOF1 12-bit: full-range flat even blocks round-trip DC-exact
+    (16-bit DQT, extended DC categories, 2048 level shift, uint16
+    out), with and without restart markers; natural images round-trip
+    within quantization error; SOF0 with precision 12 is corrupt."""
+    from health_monitor_cc_flink_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    by, bx = np.mgrid[0:6, 0:8]
+    img = np.repeat(
+        np.repeat(2 * ((7 + 599 * by + 211 * bx) % 2048), 8, 0), 8, 1
+    ).astype(np.uint16)
+    for ri in (0, 3):
+        out = decode_jpeg_gray(encode_jpeg_gray(img, precision=12,
+                                                restart_interval=ri))
+        assert out.dtype == np.uint16 and np.array_equal(out, img), ri
+    assert img.max() > 4000  # the range was actually exercised
+    # smooth natural 12-bit content: bounded quantization error
+    y, x = np.mgrid[0:48, 0:48]
+    nat = ((8 * x + 11 * y) % 4096).astype(np.uint16)
+    out = decode_jpeg_gray(encode_jpeg_gray(nat, precision=12))
+    assert float(np.abs(out.astype(int) - nat.astype(int)).mean()) < 64
+    # a baseline SOF0 marker claiming 12-bit precision is spec-invalid
+    jb = bytearray(encode_jpeg_gray(nat.astype(np.uint8) % 256))
+    sof = jb.index(b"\xff\xc0")
+    jb[sof + 4] = 12
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg_gray(bytes(jb))
+    # out-of-range samples rejected at encode time
+    with pytest.raises(ValueError, match="out of range"):
+        encode_jpeg_gray(np.full((8, 8), 5000, np.uint16), precision=12)
