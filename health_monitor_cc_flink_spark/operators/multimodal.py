@@ -95,6 +95,10 @@ def decode_image(payload: bytes):
             # through to PIL when available rather than narrowing the
             # 'general image decode' contract to the native subset
             pass
+    elif bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)  # gray 2-D or RGB 3-D, none/PackBits
     elif bytes(payload[:3]) == b"\xff\xd8\xff":
         import importlib.util
 
@@ -1940,6 +1944,108 @@ def synth_jpeg_subsampling_payload(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
 
     return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
+
+
+#: TIFF synth subtype cases (byte order, compression, rows/strip, rgb?).
+_TIFF_CASES = [
+    ("II", 1, None, False), ("MM", 32773, 4, False),
+    ("II", 32773, 8, True), ("MM", 1, None, True),
+]
+
+
+def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``tiff`` column of COMPLETE baseline TIFFs cycling
+    doc_id % 4 through {II/none/gray, MM/PackBits/4-row-strips/gray,
+    II/PackBits/8-row-strips/RGB, MM/none/RGB} — both byte orders,
+    both compressions, single- and multi-strip.  Pixels: gray
+    (x + 2y) % 256; RGB ((3x)%256, (5y)%256, (x+y)%256) — closed-form
+    for the oracle.  Dims w = 8*(id%6+2), h = 8*(len%6+2)."""
+    from .tiff import encode_tiff
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(8) * (F.col(id_col) % 6 + 2)).cast("int").alias("w"),
+        (F.lit(8) * (F.col(len_col) % 6 + 2)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            tiffs = []
+            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(d), int(w), int(h)
+                bo, comp, rps, rgb = _TIFF_CASES[d % 4]
+                y, x = np.mgrid[0:h, 0:w]
+                if rgb:
+                    img = np.stack(
+                        [(3 * x) % 256, (5 * y) % 256, (x + y) % 256],
+                        axis=2,
+                    ).astype(np.uint8)
+                else:
+                    img = ((x + 2 * y) % 256).astype(np.uint8)
+                tiffs.append(encode_tiff(img, bo, comp, rps))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tiff": tiffs})
+
+    return src.mapInPandas(gen, schema="doc_id long, tiff binary")
+
+
+def tiff_decode_features(df: DataFrame, payload_col: str = "tiff",
+                         id_col: str = "doc_id") -> DataFrame:
+    """REAL TIFF decode -> per-image statistics over Arrow batches:
+    IFD walk (both byte orders), strip assembly, PackBits expansion
+    (capped), photometric handling — plus the container metadata
+    (byte order, compression) read back from the file so the gate
+    pins the IFD parse too.  Corrupt payloads flag the row."""
+    from .tiff import decode_tiff, parse_tiff_ifd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "ok": [], "byte_order": [], "compression": [],
+                "width": [], "height": [], "n_channels": [],
+                "px_sum": [], "px_min": [], "px_max": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                p = bytes(p)
+                try:
+                    order, tags = parse_tiff_ifd(p)
+                    img = decode_tiff(p)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in ("byte_order", "compression", "width",
+                              "height", "n_channels", "px_sum", "px_min",
+                              "px_max"):
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["byte_order"].append(order)
+                out["compression"].append(int(tags.get(259, [1])[0]))
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["n_channels"].append(1 if img.ndim == 2 else img.shape[2])
+                out["px_sum"].append(int(img.sum(dtype=np.int64)))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, ok boolean, byte_order string, compression long, "
+            "width long, height long, n_channels long, px_sum long, "
+            "px_min long, px_max long"
+        ),
+    )
 
 
 # -----------------------------------------------------------------------------

@@ -1,0 +1,344 @@
+"""Baseline TIFF (TIFF 6.0) encode + decode in pure numpy/stdlib.
+
+The scanned-document / print-pipeline format real multimodal corpora
+contain alongside PNG/JPEG — and, structurally, the IFD
+(Image File Directory) tag walk is the same machinery EXIF metadata
+rides in inside JPEG APP1 segments, so this module doubles as the
+repo's IFD parser.  Implemented from the PUBLIC TIFF 6.0 specification
+(Adobe, 1992): no probability/transform tables at all, just structure
+— which is what makes the full format honestly implementable here,
+unlike lossy VP8/H.264 whose spec constants are not available in this
+environment.
+
+* ``parse_tiff_ifd`` — header (II little-endian / MM big-endian +
+  magic 42), IFD entry walk (tag, type, count, inline-or-offset
+  value), typed value decoding for BYTE/ASCII/SHORT/LONG/RATIONAL.
+* ``decode_tiff`` — baseline subset: 8-bit grayscale (photometric
+  0/1, MinIsBlack and MinIsWhite) and RGB (photometric 2), strip-
+  based, Compression 1 (none) or 32773 (PackBits), II and MM byte
+  orders, multi-strip with RowsPerStrip.
+* ``encode_tiff`` — writes spec-conformant files in either byte
+  order, none/PackBits, configurable rows per strip — the test/oracle
+  vehicle, like every other codec's synth path.
+* ``packbits_encode`` / ``packbits_decode`` — the Apple PackBits RLE
+  (TIFF 6.0 §9): literal runs (n >= 0: n+1 bytes), repeat runs
+  (-127 <= n <= -1: next byte 1-n times), -128 no-op.
+
+Malformed input raises ``ValueError`` (never IndexError/KeyError);
+hostile dimensions/strip counts are capped so a crafted file flags its
+row instead of OOMing the executor.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: Decode caps against hostile headers.
+MAX_PIXELS = 1 << 26          # total samples across the image
+MAX_IFD_ENTRIES = 4096
+MAX_STRIPS = 1 << 16
+
+#: Tag names for the metadata surface (public TIFF 6.0 tag registry).
+TAG_NAMES = {
+    256: "ImageWidth", 257: "ImageLength", 258: "BitsPerSample",
+    259: "Compression", 262: "PhotometricInterpretation",
+    270: "ImageDescription", 271: "Make", 272: "Model",
+    273: "StripOffsets", 274: "Orientation", 277: "SamplesPerPixel",
+    278: "RowsPerStrip", 279: "StripByteCounts", 282: "XResolution",
+    283: "YResolution", 296: "ResolutionUnit", 305: "Software",
+    306: "DateTime",
+}
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def packbits_decode(data: bytes, max_out: int) -> bytes:
+    """PackBits RLE decode with an output cap (TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c == 128:  # no-op
+            continue
+        if c < 128:  # literal run of c+1 bytes
+            if i + c + 1 > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:  # repeat next byte 257-c times
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        if len(out) > max_out:
+            raise ValueError("PackBits expansion exceeds cap")
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encode: maximal repeat runs (>= 3 repeats pay off;
+    2-byte repeats are folded into literals), literals capped at 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # measure the repeat run at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i = j
+            continue
+        # literal run: until the next >=3 repeat or 128 bytes
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            j = i + 1
+            while j < n and j - i < 3 and data[j] == data[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _read_values(payload: bytes, bo: str, vtype: int, count: int,
+                 raw: bytes):
+    """Decode one IFD entry's value list; ``raw`` is the 4 inline
+    bytes; larger values follow the offset."""
+    size = _TYPE_SIZES[vtype] * count
+    if size <= 4:
+        buf = raw[:size]
+    else:
+        (off,) = struct.unpack(bo + "I", raw)
+        if off + size > len(payload):
+            raise ValueError("IFD value offset out of bounds")
+        buf = payload[off : off + size]
+    if vtype == 1:
+        return list(buf)
+    if vtype == 2:
+        return [buf.split(b"\x00")[0].decode("latin-1")]
+    if vtype == 3:
+        return list(struct.unpack(bo + f"{count}H", buf))
+    if vtype == 4:
+        return list(struct.unpack(bo + f"{count}I", buf))
+    # RATIONAL: (numerator, denominator) pairs
+    vals = struct.unpack(bo + f"{2 * count}I", buf)
+    return [(vals[2 * i], vals[2 * i + 1]) for i in range(count)]
+
+
+def parse_tiff_ifd(payload: bytes):
+    """TIFF bytes -> (byte_order ('II'|'MM'), {tag: [values]}).  Walks
+    the FIRST IFD (multi-page files: later IFDs are ignored, like a
+    thumbnail-less metadata pass).  Unknown tags are kept (by number);
+    unknown value types raise."""
+    payload = bytes(payload)
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    order = payload[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack(bo + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("IFD offset out of bounds")
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    if n_entries > MAX_IFD_ENTRIES:
+        raise ValueError("IFD entry count exceeds cap")
+    end = ifd_off + 2 + 12 * n_entries
+    if end + 4 > len(payload):
+        raise ValueError("truncated IFD")
+    tags: dict[int, list] = {}
+    for e in range(n_entries):
+        base = ifd_off + 2 + 12 * e
+        tag, vtype, count = struct.unpack(
+            bo + "HHI", payload[base : base + 8]
+        )
+        if vtype not in _TYPE_SIZES:
+            raise ValueError(f"unknown IFD value type {vtype}")
+        if count > MAX_PIXELS:
+            raise ValueError("IFD value count exceeds cap")
+        tags[tag] = _read_values(
+            payload, bo, vtype, count, payload[base + 8 : base + 12]
+        )
+    return order.decode("ascii"), tags
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF -> uint8 ndarray: (h, w) gray or (h, w, 3) RGB.
+    Strip-based, Compression none/PackBits, II/MM, MinIsWhite gray
+    inverted to MinIsBlack convention on output."""
+    payload = bytes(payload)
+    _, tags = parse_tiff_ifd(payload)
+
+    def one(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"missing required tag {TAG_NAMES.get(tag, tag)}")
+            return default
+        return int(tags[tag][0])
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if w <= 0 or h <= 0:
+        raise ValueError("invalid TIFF dimensions")
+    if any(int(b) != 8 for b in bits):
+        raise NotImplementedError("only 8 bits per sample supported")
+    if photo in (0, 1):
+        if spp != 1:
+            raise ValueError("gray photometric with SamplesPerPixel != 1")
+    elif photo == 2:
+        if spp != 3:
+            raise ValueError("RGB photometric with SamplesPerPixel != 3")
+    else:
+        raise NotImplementedError(f"photometric {photo} not supported")
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"compression {comp} not supported")
+    if w * h * spp > MAX_PIXELS:
+        raise ValueError("declared dimensions exceed decoder limit")
+    rows_per_strip = one(278, h)
+    if rows_per_strip <= 0:
+        raise ValueError("invalid RowsPerStrip")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if offsets is None or counts is None:
+        raise ValueError("missing strip offsets/byte counts")
+    n_strips = -(-h // rows_per_strip)
+    if n_strips > MAX_STRIPS or len(offsets) != n_strips or len(counts) != n_strips:
+        raise ValueError("strip table disagrees with dimensions")
+    row_bytes = w * spp
+    out = bytearray()
+    for s in range(n_strips):
+        off, cnt = int(offsets[s]), int(counts[s])
+        if off + cnt > len(payload) or off < 0 or cnt < 0:
+            raise ValueError("strip out of bounds")
+        strip = payload[off : off + cnt]
+        strip_rows = min(rows_per_strip, h - s * rows_per_strip)
+        want = strip_rows * row_bytes
+        if comp == 32773:
+            strip = packbits_decode(strip, want)
+        if len(strip) != want:
+            raise ValueError("strip length disagrees with dimensions")
+        out += strip
+    img = np.frombuffer(bytes(out), dtype=np.uint8)
+    if photo == 0:  # MinIsWhite: invert to the usual convention
+        img = 255 - img
+    if spp == 1:
+        return img.reshape(h, w)
+    return img.reshape(h, w, 3)
+
+
+def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
+                rows_per_strip: int | None = None,
+                photometric: int | None = None,
+                software: str = "health-monitor-spark") -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB -> complete TIFF file.
+    ``byte_order`` 'II' or 'MM'; ``compression`` 1 (none) or 32773
+    (PackBits); strips of ``rows_per_strip`` rows (default: whole
+    image in one strip).  Deterministic layout: header, pixel strips,
+    then the IFD."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        spp = 1
+        photo = 1 if photometric is None else photometric
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w = a.shape[:2]
+        spp = 3
+        photo = 2
+    else:
+        raise ValueError("encode_tiff supports (h,w) gray or (h,w,3) RGB")
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    if compression not in (1, 32773):
+        raise ValueError("compression must be 1 (none) or 32773 (PackBits)")
+    bo = "<" if byte_order == "II" else ">"
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    if photo == 0:
+        a = 255 - a
+    flat = a.reshape(h, w * spp)
+    strips = []
+    for s in range(-(-h // rps)):
+        raw = flat[s * rps : (s + 1) * rps].tobytes()
+        strips.append(packbits_encode(raw) if compression == 32773 else raw)
+
+    sw = software.encode("latin-1") + b"\x00"
+    # layout: 8-byte header | strips | software string | IFD
+    strip_offs = []
+    pos = 8
+    for st in strips:
+        strip_offs.append(pos)
+        pos += len(st)
+    sw_off = pos
+    pos += len(sw)
+    if pos % 2:  # IFDs must be word-aligned
+        pos += 1
+    ifd_off = pos
+
+    def entry(tag, vtype, values):
+        count = len(values)
+        size = _TYPE_SIZES[vtype] * count
+        fmt = {1: "B", 3: "H", 4: "I"}[vtype]
+        packed = struct.pack(bo + fmt * count, *values)
+        if size <= 4:
+            return struct.pack(bo + "HHI", tag, vtype, count) + packed.ljust(4, b"\x00"), b""
+        return None, packed  # caller assigns the overflow offset
+
+    # ASCII software tag handled manually (stored at sw_off)
+    fields = [
+        (256, 4, [w]), (257, 4, [h]),
+        (258, 3, [8] * spp), (259, 3, [compression]),
+        (262, 3, [photo]), (273, 4, strip_offs),
+        (277, 3, [spp]), (278, 4, [rps]),
+        (279, 4, [len(st) for st in strips]),
+        (305, 2, None),  # Software -> sw_off
+    ]
+    # overflow values land after the IFD
+    n_entries = len(fields)
+    overflow_off = ifd_off + 2 + 12 * n_entries + 4
+    entries = b""
+    overflow = b""
+    for tag, vtype, values in fields:
+        if tag == 305:
+            entries += struct.pack(bo + "HHII", 305, 2, len(sw), sw_off)
+            continue
+        count = len(values)
+        size = _TYPE_SIZES[vtype] * count
+        fmt = {1: "B", 3: "H", 4: "I"}[vtype]
+        packed = struct.pack(bo + fmt * count, *values)
+        if size <= 4:
+            entries += (
+                struct.pack(bo + "HHI", tag, vtype, count)
+                + packed.ljust(4, b"\x00")
+            )
+        else:
+            entries += struct.pack(
+                bo + "HHII", tag, vtype, count, overflow_off + len(overflow)
+            )
+            overflow += packed
+    ifd = struct.pack(bo + "H", n_entries) + entries + struct.pack(bo + "I", 0)
+
+    out = bytearray()
+    out += byte_order.encode("ascii") + struct.pack(bo + "HI", 42, ifd_off)
+    for st in strips:
+        out += st
+    out += sw
+    if len(out) % 2:
+        out += b"\x00"
+    out += ifd
+    out += overflow
+    return bytes(out)

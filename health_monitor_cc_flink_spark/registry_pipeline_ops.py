@@ -5856,6 +5856,65 @@ def mm_png_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_tiff_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS c,
+               8 * (doc_id % 6 + 2) AS w,
+               8 * (n_chars % 6 + 2) AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.c, d.w, d.h,
+               (xx.x + 2*yy.y) % 256 AS gv,
+               (3*xx.x) % 256 AS r8,
+               (5*yy.y) % 256 AS g8,
+               (xx.x + yy.y) % 256 AS b8
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.w - 1)) AS xx(x),
+             LATERAL unnest(generate_series(0, d.h - 1)) AS yy(y)
+    ), v AS (
+        SELECT doc_id, c, w, h,
+               CASE WHEN c IN (0, 1) THEN gv ELSE r8 + g8 + b8 END AS s_sum,
+               CASE WHEN c IN (0, 1) THEN gv
+                    ELSE least(r8, g8, b8) END AS s_min,
+               CASE WHEN c IN (0, 1) THEN gv
+                    ELSE greatest(r8, g8, b8) END AS s_max
+        FROM px
+    )
+    SELECT doc_id, TRUE AS ok,
+           (['II','MM','II','MM'])[CAST(any_value(c)+1 AS INT)]
+               AS byte_order,
+           CAST(([1,32773,32773,1])[CAST(any_value(c)+1 AS INT)] AS BIGINT)
+               AS compression,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(CASE WHEN any_value(c) IN (0, 1) THEN 1 ELSE 3 END
+                AS BIGINT) AS n_channels,
+           CAST(sum(s_sum) AS BIGINT) AS px_sum,
+           CAST(min(s_min) AS BIGINT) AS px_min,
+           CAST(max(s_max) AS BIGINT) AS px_max
+    FROM v GROUP BY doc_id
+    """,
+    doc="Baseline TIFF decode under the hash gate — the scanned-"
+    "document format: IFD tag walk in BOTH byte orders (II/MM), "
+    "strip-based assembly with RowsPerStrip, PackBits RLE expansion "
+    "under an output cap, gray and RGB photometrics.  The synth cycles "
+    "{II/none, MM/PackBits/multi-strip, II/PackBits/multi-strip/RGB, "
+    "MM/none/RGB} and the oracle re-derives every pixel statistic "
+    "plus the parsed byte order/compression from the case arithmetic.  "
+    "Structure-only format (no transform tables), so the FULL baseline "
+    "spec is honestly implementable — unlike lossy VP8/H.264.  Scale: "
+    "Arrow CPU-map like every codec path.",
+    bench=True,
+)
+def mm_tiff_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.tiff_decode_features(M.synth_tiff_payload(docs))
+
+
+@query(
     "mm_jpeg12_decode_features",
     """
     WITH dims AS (

@@ -1,0 +1,134 @@
+"""Baseline TIFF codec pins (operators/tiff.py, TIFF 6.0)."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from health_monitor_cc_flink_spark.operators.tiff import (
+    decode_tiff,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode,
+    parse_tiff_ifd,
+)
+
+
+def _gray(h=23, w=17):
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x + 2 * y) % 256).astype(np.uint8)
+
+
+def _rgb(h=23, w=17):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(3 * x) % 256, (5 * y) % 256, (x + y) % 256],
+                    axis=2).astype(np.uint8)
+
+
+def test_roundtrip_matrix():
+    """Both byte orders x both compressions x strip layouts x gray/RGB
+    round-trip bit-exactly."""
+    for bo in ("II", "MM"):
+        for comp in (1, 32773):
+            for rps in (None, 1, 4, 7):
+                for img in (_gray(), _rgb()):
+                    out = decode_tiff(encode_tiff(img, bo, comp, rps))
+                    assert np.array_equal(out, img), (bo, comp, rps, img.ndim)
+
+
+def test_min_is_white_inverted():
+    g = _gray()
+    assert np.array_equal(decode_tiff(encode_tiff(g, photometric=0)), g)
+
+
+def test_ifd_metadata_surface():
+    t = encode_tiff(_rgb(), "MM", 32773, 4, software="synthco scan v1")
+    order, tags = parse_tiff_ifd(t)
+    assert order == "MM"
+    assert tags[256] == [17] and tags[257] == [23]
+    assert tags[259] == [32773] and tags[277] == [3]
+    assert tags[258] == [8, 8, 8]
+    assert tags[305] == ["synthco scan v1"]
+    assert len(tags[273]) == len(tags[279]) == 6  # ceil(23/4) strips
+
+
+def test_packbits_adversarial():
+    # spec vectors: repeats, literals, no-op
+    assert packbits_decode(b"\xfe\xaa", 100) == b"\xaa\xaa\xaa"
+    assert packbits_decode(b"\x02abc", 100) == b"abc"
+    assert packbits_decode(b"\x80\x00a", 100) == b"a"  # no-op then literal
+    with pytest.raises(ValueError, match="cap"):
+        packbits_decode(b"\x81\xff" * 100, 50)  # bomb hits the cap
+    with pytest.raises(ValueError, match="truncated"):
+        packbits_decode(b"\x05ab", 100)
+    with pytest.raises(ValueError, match="truncated"):
+        packbits_decode(b"\xfe", 100)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=600))
+def test_packbits_roundtrip_fuzz(data):
+    assert packbits_decode(packbits_encode(data), len(data) + 1) == data
+
+
+def test_corrupt_payloads_flag_cleanly():
+    good = encode_tiff(_gray(), "II", 32773, 4)
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="magic"):
+        decode_tiff(b"II" + struct.pack("<HI", 41, 8) + good[8:])
+    with pytest.raises(ValueError):
+        decode_tiff(good[:40])  # truncated before the IFD
+    # hostile dims: IFD claims a huge image over 4 bytes of strip data
+    order, tags = parse_tiff_ifd(good)
+    # patch ImageWidth inside the IFD to an enormous value
+    ifd_off = struct.unpack("<I", good[4:8])[0]
+    patched = bytearray(good)
+    n = struct.unpack("<H", good[ifd_off:ifd_off + 2])[0]
+    for e in range(n):
+        base = ifd_off + 2 + 12 * e
+        tag = struct.unpack("<H", good[base:base + 2])[0]
+        if tag == 256:
+            patched[base + 8:base + 12] = struct.pack("<I", 1 << 30)
+    with pytest.raises(ValueError, match="limit|strip"):
+        decode_tiff(bytes(patched))
+
+
+def test_unsupported_subsets_explicit():
+    good = bytearray(encode_tiff(_gray()))
+    ifd_off = struct.unpack("<I", good[4:8])[0]
+    n = struct.unpack("<H", good[ifd_off:ifd_off + 2])[0]
+    for e in range(n):
+        base = ifd_off + 2 + 12 * e
+        tag = struct.unpack("<H", bytes(good[base:base + 2]))[0]
+        if tag == 259:  # Compression -> LZW (5): honestly unsupported
+            lzw = good.copy()
+            lzw[base + 8:base + 12] = struct.pack("<I", 5)
+            with pytest.raises(NotImplementedError, match="compression"):
+                decode_tiff(bytes(lzw))
+        if tag == 258:  # BitsPerSample -> 16: honestly unsupported
+            b16 = good.copy()
+            b16[base + 8:base + 12] = struct.pack("<I", 16)
+            with pytest.raises(NotImplementedError, match="bits"):
+                decode_tiff(bytes(b16))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=300))
+def test_fuzz_arbitrary_bytes_fail_cleanly(data):
+    for prefix in (b"II*\x00", b"MM\x00*"):
+        try:
+            decode_tiff(prefix + data)
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"non-contract escape: {type(exc)}") from exc
+
+
+def test_decode_image_routes_tiff():
+    from health_monitor_cc_flink_spark.operators.multimodal import decode_image
+
+    g = _gray()
+    assert np.array_equal(decode_image(encode_tiff(g, "MM", 32773, 4)), g)
