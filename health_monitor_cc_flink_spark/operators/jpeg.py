@@ -1572,3 +1572,32 @@ def encode_jpeg_progressive_rgb(
     hy, vy, _, _, _ = _subsamp_geometry(subsampling, *y.shape[::-1])
     cb, cr = _chroma_downsample(cb, cr, hy, vy)
     return encode_jpeg_progressive_ycbcr(to8(y), to8(cb), to8(cr), subsampling)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (APP1) — metadata injection + extraction.  The payload itself is
+# a TIFF stream; parsing lives in operators/tiff.py (parse_exif).
+# ---------------------------------------------------------------------------
+
+
+def insert_app1(payload: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment (e.g. an EXIF block) into a JPEG, right
+    after SOI (before APP0, where real writers put it)."""
+    payload = bytes(payload)
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    if len(app1) + 2 > 0xFFFF:
+        raise ValueError("APP1 payload too large for one segment")
+    return payload[:2] + _seg(0xE1, app1) + payload[2:]
+
+
+def extract_exif_app1(payload: bytes) -> bytes | None:
+    """Return the first EXIF APP1 payload ('Exif\\x00\\x00'-prefixed)
+    or None when the stream carries none.  Walks the same validated
+    segment parser as decode, so corrupt streams raise ValueError."""
+    for marker, body, _ in _parse_segments(bytes(payload)):
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return bytes(body)
+        if marker == 0xDA:  # metadata precedes the scan
+            break
+    return None

@@ -1946,6 +1946,119 @@ def synth_jpeg_subsampling_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
 
 
+def synth_jpeg_exif_payload(df: DataFrame, id_col: str = "doc_id",
+                            len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``jpeg`` column of small baseline JPEGs carrying an
+    EXIF APP1 block (alternating II/MM byte order by doc_id%2): Make
+    'synthcam<id%7>', Model 'mk<id%5>', Orientation id%8+1, ISO
+    100*(id%16+1), DateTimeOriginal derived from id, pixel dims =
+    the actual image dims w = 16*(id%4+1), h = 16*(len%4+1) — every
+    field closed-form for the oracle."""
+    from .jpeg import encode_jpeg_gray, insert_app1
+    from .tiff import build_exif_app1
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(16) * (F.col(id_col) % 4 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 4 + 1)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            jpegs = []
+            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(d), int(w), int(h)
+                img = np.full((h, w), 2 * (d % 128), np.uint8)
+                app1 = build_exif_app1(
+                    make=f"synthcam{d % 7}",
+                    model=f"mk{d % 5}",
+                    orientation=d % 8 + 1,
+                    datetime_original=(
+                        f"2026:0{d % 9 + 1}:0{d % 9 + 1} "
+                        f"0{d % 10 if d % 10 < 10 else 0}:00:00"
+                    ),
+                    iso=100 * (d % 16 + 1),
+                    pixel_x=w,
+                    pixel_y=h,
+                    byte_order="II" if d % 2 == 0 else "MM",
+                )
+                jpegs.append(insert_app1(encode_jpeg_gray(img), app1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+    return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
+
+
+def jpeg_exif_metadata(df: DataFrame, payload_col: str = "jpeg",
+                       id_col: str = "doc_id") -> DataFrame:
+    """EXIF harvesting over Arrow batches — the image-corpus analog of
+    the MP3 ID3 triage: walk the JPEG segment stream for an APP1 EXIF
+    block, parse its TIFF IFDs (0th + Exif sub-IFD, either byte
+    order), and surface the camera fields.  Images without EXIF get
+    has_exif = false with NULL fields; corrupt streams flag ok =
+    false.  No pixel decode happens — metadata-bound, like the MP3
+    walk."""
+    from .jpeg import extract_exif_app1
+    from .tiff import parse_exif
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("byte_order", "make", "model", "orientation",
+                "datetime_original", "iso", "pixel_x", "pixel_y")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "has_exif": [],
+                   **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    app1 = extract_exif_app1(bytes(p))
+                    meta = parse_exif(app1) if app1 is not None else None
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    out["has_exif"].append(None)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["has_exif"].append(meta is not None)
+                if meta is None:
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                first = lambda k: (meta.get(k) or [None])[0]  # noqa: E731
+                out["byte_order"].append(
+                    "II" if bytes(p)[bytes(p).index(b"Exif\x00\x00") + 6:
+                                     bytes(p).index(b"Exif\x00\x00") + 8]
+                    == b"II" else "MM"
+                )
+                out["make"].append(first("Make"))
+                out["model"].append(first("Model"))
+                ori = first("Orientation")
+                out["orientation"].append(None if ori is None else int(ori))
+                out["datetime_original"].append(first("DateTimeOriginal"))
+                iso = first("ISOSpeedRatings")
+                out["iso"].append(None if iso is None else int(iso))
+                px, py = first("PixelXDimension"), first("PixelYDimension")
+                out["pixel_x"].append(None if px is None else int(px))
+                out["pixel_y"].append(None if py is None else int(py))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, ok boolean, has_exif boolean, byte_order string, "
+            "make string, model string, orientation long, "
+            "datetime_original string, iso long, pixel_x long, pixel_y long"
+        ),
+    )
+
+
 #: TIFF synth subtype cases (byte order, compression, rows/strip, rgb?).
 _TIFF_CASES = [
     ("II", 1, None, False), ("MM", 32773, 4, False),

@@ -133,25 +133,9 @@ def _read_values(payload: bytes, bo: str, vtype: int, count: int,
     return [(vals[2 * i], vals[2 * i + 1]) for i in range(count)]
 
 
-def parse_tiff_ifd(payload: bytes):
-    """TIFF bytes -> (byte_order ('II'|'MM'), {tag: [values]}).  Walks
-    the FIRST IFD (multi-page files: later IFDs are ignored, like a
-    thumbnail-less metadata pass).  Unknown tags are kept (by number);
-    unknown value types raise."""
-    payload = bytes(payload)
-    if len(payload) < 8:
-        raise ValueError("truncated TIFF header")
-    order = payload[:2]
-    if order == b"II":
-        bo = "<"
-    elif order == b"MM":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF: bad byte-order mark")
-    magic, ifd_off = struct.unpack(bo + "HI", payload[2:8])
-    if magic != 42:
-        raise ValueError("not a TIFF: bad magic")
-    if ifd_off + 2 > len(payload):
+def _parse_ifd(payload: bytes, bo: str, ifd_off: int) -> dict[int, list]:
+    """Walk ONE IFD at ``ifd_off`` -> {tag: [values]}."""
+    if ifd_off + 2 > len(payload) or ifd_off < 0:
         raise ValueError("IFD offset out of bounds")
     (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
     if n_entries > MAX_IFD_ENTRIES:
@@ -172,7 +156,68 @@ def parse_tiff_ifd(payload: bytes):
         tags[tag] = _read_values(
             payload, bo, vtype, count, payload[base + 8 : base + 12]
         )
-    return order.decode("ascii"), tags
+    return tags
+
+
+def parse_tiff_ifd(payload: bytes):
+    """TIFF bytes -> (byte_order ('II'|'MM'), {tag: [values]}).  Walks
+    the FIRST IFD (multi-page files: later IFDs are ignored, like a
+    thumbnail-less metadata pass).  Unknown tags are kept (by number);
+    unknown value types raise."""
+    payload = bytes(payload)
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    order = payload[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack(bo + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    return order.decode("ascii"), _parse_ifd(payload, bo, ifd_off)
+
+
+def write_ifd(bo: str, entries: list, first_value_off: int) -> bytes:
+    """Serialize one IFD: ``entries`` = [(tag, vtype, values)] with
+    values as ints (BYTE/SHORT/LONG), str (ASCII, NUL appended) or
+    (num, den) tuples (RATIONAL).  Overflow values are placed directly
+    after the IFD, which starts at ``first_value_off`` in the final
+    stream (needed to compute offsets).  Returns IFD + overflow bytes;
+    the next-IFD pointer is 0."""
+    packed_vals = []
+    for tag, vtype, values in entries:
+        if vtype == 2:
+            buf = values[0].encode("latin-1") + b"\x00"
+            count = len(buf)
+        elif vtype == 5:
+            buf = b"".join(
+                struct.pack(bo + "II", n, d) for (n, d) in values
+            )
+            count = len(values)
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[vtype]
+            buf = struct.pack(bo + fmt * len(values), *values)
+            count = len(values)
+        packed_vals.append((tag, vtype, count, buf))
+    ifd_len = 2 + 12 * len(entries) + 4
+    overflow_base = first_value_off + ifd_len
+    out = struct.pack(bo + "H", len(entries))
+    overflow = b""
+    for tag, vtype, count, buf in packed_vals:
+        if len(buf) <= 4:
+            out += (
+                struct.pack(bo + "HHI", tag, vtype, count)
+                + buf.ljust(4, b"\x00")
+            )
+        else:
+            out += struct.pack(
+                bo + "HHII", tag, vtype, count, overflow_base + len(overflow)
+            )
+            overflow += buf
+    return out + struct.pack(bo + "I", 0) + overflow
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
@@ -342,3 +387,80 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
     out += ifd
     out += overflow
     return bytes(out)
+
+
+# -----------------------------------------------------------------------------
+# EXIF — the camera/phone metadata block inside JPEG APP1 segments is a
+# TIFF stream (header + IFDs), so the walker above reads it directly.
+# Tag IDs from the public EXIF 2.x registry.
+# -----------------------------------------------------------------------------
+
+EXIF_TAG_NAMES = {
+    0x010F: "Make", 0x0110: "Model", 0x0112: "Orientation",
+    0x0131: "Software", 0x0132: "DateTime", 0x8769: "ExifIFDPointer",
+    0x829A: "ExposureTime", 0x8827: "ISOSpeedRatings",
+    0x9003: "DateTimeOriginal", 0xA002: "PixelXDimension",
+    0xA003: "PixelYDimension",
+}
+
+
+def parse_exif(app1_payload: bytes) -> dict[str, list]:
+    """EXIF APP1 payload ('Exif\\x00\\x00' + TIFF stream) -> flat
+    {tag_name_or_number: [values]} merging the 0th IFD and, when tag
+    0x8769 points at one, the Exif sub-IFD.  Malformed payloads raise
+    ``ValueError``."""
+    p = bytes(app1_payload)
+    if p[:6] != b"Exif\x00\x00":
+        raise ValueError("not an EXIF APP1 payload")
+    tiff = p[6:]
+    order, tags = parse_tiff_ifd(tiff)
+    bo = "<" if order == "II" else ">"
+    if 0x8769 in tags:
+        sub_off = int(tags[0x8769][0])
+        tags.update(_parse_ifd(tiff, bo, sub_off))
+    return {EXIF_TAG_NAMES.get(t, t): v for t, v in tags.items()}
+
+
+def build_exif_app1(
+    make: str,
+    model: str,
+    orientation: int,
+    datetime_original: str,
+    iso: int,
+    pixel_x: int,
+    pixel_y: int,
+    byte_order: str = "II",
+) -> bytes:
+    """Write a spec-shaped EXIF APP1 payload: 0th IFD (Make, Model,
+    Orientation, ExifIFDPointer) + Exif sub-IFD (DateTimeOriginal,
+    ISOSpeedRatings, PixelXDimension, PixelYDimension) — the synth /
+    oracle vehicle for EXIF extraction, like every codec's encoder."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    bo = "<" if byte_order == "II" else ">"
+    # 0th IFD starts right after the 8-byte TIFF header.  Sizes are
+    # computed by serializing twice: first with a placeholder pointer
+    # to learn the 0th IFD's total length, then for real.
+    zeroth_entries = lambda ptr: [  # noqa: E731
+        (0x010F, 2, [make]),
+        (0x0110, 2, [model]),
+        (0x0112, 3, [orientation]),
+        (0x8769, 4, [ptr]),
+    ]
+    probe = write_ifd(bo, zeroth_entries(0), 8)
+    sub_off = 8 + len(probe)
+    zeroth = write_ifd(bo, zeroth_entries(sub_off), 8)
+    if len(zeroth) != len(probe):
+        raise ValueError("IFD size changed with pointer value")
+    sub = write_ifd(
+        bo,
+        [
+            (0x8827, 3, [iso]),
+            (0x9003, 2, [datetime_original]),
+            (0xA002, 4, [pixel_x]),
+            (0xA003, 4, [pixel_y]),
+        ],
+        sub_off,
+    )
+    header = byte_order.encode("ascii") + struct.pack(bo + "HI", 42, 8)
+    return b"Exif\x00\x00" + header + zeroth + sub

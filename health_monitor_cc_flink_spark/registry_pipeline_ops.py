@@ -5856,6 +5856,38 @@ def mm_png_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_jpeg_exif_metadata",
+    """
+    SELECT doc_id, TRUE AS ok, TRUE AS has_exif,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           'synthcam' || CAST(doc_id % 7 AS VARCHAR) AS make,
+           'mk' || CAST(doc_id % 5 AS VARCHAR) AS model,
+           CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+           '2026:0' || CAST(doc_id % 9 + 1 AS VARCHAR) || ':0'
+               || CAST(doc_id % 9 + 1 AS VARCHAR) || ' 0'
+               || CAST(doc_id % 10 AS VARCHAR) || ':00:00'
+               AS datetime_original,
+           CAST(100 * (doc_id % 16 + 1) AS BIGINT) AS iso,
+           CAST(16 * (doc_id % 4 + 1) AS BIGINT) AS pixel_x,
+           CAST(16 * (n_chars % 4 + 1) AS BIGINT) AS pixel_y
+    FROM documents
+    """,
+    doc="EXIF metadata harvesting from JPEG APP1 — the image-corpus "
+    "analog of the MP3 ID3 triage: segment walk to the APP1 block, "
+    "TIFF-stream parse (header, 0th IFD, Exif sub-IFD via the 0x8769 "
+    "pointer) in BOTH byte orders, camera fields surfaced as columns.  "
+    "No pixel decode — metadata-bound.  The synth writes spec-shaped "
+    "EXIF with every field closed-form from doc_id, so the oracle "
+    "re-derives strings and integers directly; one wrong offset in "
+    "the IFD writer or reader breaks the hash.  Scale: Arrow CPU-map "
+    "over header bytes only.",
+)
+def mm_jpeg_exif_metadata(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return M.jpeg_exif_metadata(M.synth_jpeg_exif_payload(docs))
+
+
+@query(
     "mm_tiff_decode_features",
     """
     WITH dims AS (

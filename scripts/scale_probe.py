@@ -221,6 +221,19 @@ PROBE_QUERIES = (
     "mm_archive_members_extract",
     "mm_mp3_metadata_triage",
     "mm_warc_html_extract",
+    # round-9 additions: the ExactSubstr span-dedup family is the first
+    # probe entry whose core is a token-position equi-join — the gram
+    # join fan-out must stay bounded by the stop-gram cap as replicas
+    # multiply docs (replica-suffixed text keeps spans from exploding
+    # cross-replica); the codecs are the usual Arrow CPU-map shape
+    "dedup_span_exactsubstr",
+    "dedup_span_exactsubstr_strip",
+    "dedup_span_intra_doc",
+    "dedup_span_incremental",
+    "mm_png_matrix_decode_features",
+    "mm_jpeg_subsampling_decode_features",
+    "mm_jpeg12_decode_features",
+    "mm_tiff_decode_features",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.

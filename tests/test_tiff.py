@@ -132,3 +132,42 @@ def test_decode_image_routes_tiff():
 
     g = _gray()
     assert np.array_equal(decode_image(encode_tiff(g, "MM", 32773, 4)), g)
+
+
+def test_exif_roundtrip_and_jpeg_integration():
+    """EXIF APP1: build -> splice into a JPEG -> extract -> parse, both
+    byte orders; no-EXIF images report None; corrupt APP1 raises."""
+    from health_monitor_cc_flink_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        extract_exif_app1,
+        insert_app1,
+    )
+    from health_monitor_cc_flink_spark.operators.tiff import (
+        build_exif_app1,
+        parse_exif,
+    )
+
+    img = np.full((16, 16), 84, np.uint8)  # flat even: lossless roundtrip
+    plain = encode_jpeg_gray(img)
+    assert extract_exif_app1(plain) is None
+    for bo in ("II", "MM"):
+        app1 = build_exif_app1("SynthCo", "ScanCam 9", 6,
+                               "2026:01:02 03:04:05", 400, 16, 16, bo)
+        jb = insert_app1(plain, app1)
+        # the image still decodes; the APP1 comes back byte-identical
+        assert np.array_equal(decode_jpeg_gray(jb), img)
+        got = extract_exif_app1(jb)
+        assert got == app1
+        meta = parse_exif(got)
+        assert meta["Make"] == ["SynthCo"]
+        assert meta["Model"] == ["ScanCam 9"]
+        assert meta["Orientation"] == [6]
+        assert meta["DateTimeOriginal"] == ["2026:01:02 03:04:05"]
+        assert meta["ISOSpeedRatings"] == [400]
+        assert meta["PixelXDimension"] == [16]
+        assert meta["PixelYDimension"] == [16]
+    with pytest.raises(ValueError, match="EXIF"):
+        parse_exif(b"JFIF\x00\x00junk")
+    with pytest.raises(ValueError):
+        parse_exif(b"Exif\x00\x00II\x2a\x00\xff\xff\xff\xff")
