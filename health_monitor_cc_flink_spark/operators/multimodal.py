@@ -2063,17 +2063,19 @@ def jpeg_exif_metadata(df: DataFrame, payload_col: str = "jpeg",
 _TIFF_CASES = [
     ("II", 1, None, False), ("MM", 32773, 4, False),
     ("II", 32773, 8, True), ("MM", 1, None, True),
+    ("II", 5, 4, False), ("MM", 5, None, True),
 ]
 
 
 def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id",
                        len_col: str = "n_chars") -> DataFrame:
     """Attach a ``tiff`` column of COMPLETE baseline TIFFs cycling
-    doc_id % 4 through {II/none/gray, MM/PackBits/4-row-strips/gray,
-    II/PackBits/8-row-strips/RGB, MM/none/RGB} — both byte orders,
-    both compressions, single- and multi-strip.  Pixels: gray
-    (x + 2y) % 256; RGB ((3x)%256, (5y)%256, (x+y)%256) — closed-form
-    for the oracle.  Dims w = 8*(id%6+2), h = 8*(len%6+2)."""
+    doc_id % 6 through {II/none/gray, MM/PackBits/4-row-strips/gray,
+    II/PackBits/8-row-strips/RGB, MM/none/RGB, II/LZW/4-row-strips/
+    gray, MM/LZW/RGB} — both byte orders, all three compressions,
+    single- and multi-strip.  Pixels: gray (x + 2y) % 256; RGB
+    ((3x)%256, (5y)%256, (x+y)%256) — closed-form for the oracle.
+    Dims w = 8*(id%6+2), h = 8*(len%6+2)."""
     from .tiff import encode_tiff
 
     src = df.select(
@@ -2090,7 +2092,7 @@ def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id",
             tiffs = []
             for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
                 d, w, h = int(d), int(w), int(h)
-                bo, comp, rps, rgb = _TIFF_CASES[d % 4]
+                bo, comp, rps, rgb = _TIFF_CASES[d % 6]
                 y, x = np.mgrid[0:h, 0:w]
                 if rgb:
                     img = np.stack(

@@ -15,8 +15,9 @@ environment.
   value), typed value decoding for BYTE/ASCII/SHORT/LONG/RATIONAL.
 * ``decode_tiff`` — baseline subset: 8-bit grayscale (photometric
   0/1, MinIsBlack and MinIsWhite) and RGB (photometric 2), strip-
-  based, Compression 1 (none) or 32773 (PackBits), II and MM byte
-  orders, multi-strip with RowsPerStrip.
+  based, Compression 1 (none), 5 (LZW, MSB-first with early change)
+  or 32773 (PackBits), II and MM byte orders, multi-strip with
+  RowsPerStrip.
 * ``encode_tiff`` — writes spec-conformant files in either byte
   order, none/PackBits, configurable rows per strip — the test/oracle
   vehicle, like every other codec's synth path.
@@ -105,6 +106,105 @@ def packbits_encode(data: bytes) -> bytes:
                 break
             i += 1
         out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF 6.0 §13 LZW decode: MSB-first code packing, 9→12-bit
+    widths with EARLY CHANGE (the width grows one code earlier than
+    GIF's LSB variant), Clear=256, EOI=257.  Output capped."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    i = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if i >= n:
+                raise ValueError("truncated LZW stream (no EOI)")
+            acc = (acc << 8) | data[i]
+            i += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # Clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            return bytes(out)
+        if prev is None:
+            if code > 255:
+                raise ValueError("LZW stream starts with a table code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code beyond table")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("LZW expansion exceeds cap")
+        prev = entry
+        # early change (TIFF 6.0 §13): the decoder's table lags the
+        # encoder's by exactly one entry, so it must widen one slot
+        # earlier — at (1<<w)-2 where the encoder widens at (1<<w)-1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        if len(table) >= 4094:
+            # spec requires the ENCODER to emit Clear here; tolerate
+            # one more code then demand it
+            if len(table) > 4095:
+                raise ValueError("LZW table overflow without Clear")
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW encode: leading Clear, early-change widths,
+    Clear when the table fills, trailing EOI."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(256, width)  # leading Clear
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        # early change: the width in force must fit next_code itself
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(256, width)  # Clear: reset the table
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        put(table[cur], width)
+    put(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
 
 
@@ -251,7 +351,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raise ValueError("RGB photometric with SamplesPerPixel != 3")
     else:
         raise NotImplementedError(f"photometric {photo} not supported")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(f"compression {comp} not supported")
     if w * h * spp > MAX_PIXELS:
         raise ValueError("declared dimensions exceed decoder limit")
@@ -276,6 +376,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         want = strip_rows * row_bytes
         if comp == 32773:
             strip = packbits_decode(strip, want)
+        elif comp == 5:
+            strip = lzw_decode(strip, want)
         if len(strip) != want:
             raise ValueError("strip length disagrees with dimensions")
         out += strip
@@ -309,8 +411,10 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
         raise ValueError("encode_tiff supports (h,w) gray or (h,w,3) RGB")
     if byte_order not in ("II", "MM"):
         raise ValueError("byte_order must be 'II' or 'MM'")
-    if compression not in (1, 32773):
-        raise ValueError("compression must be 1 (none) or 32773 (PackBits)")
+    if compression not in (1, 5, 32773):
+        raise ValueError(
+            "compression must be 1 (none), 5 (LZW) or 32773 (PackBits)"
+        )
     bo = "<" if byte_order == "II" else ">"
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
     if photo == 0:
@@ -319,7 +423,11 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
     strips = []
     for s in range(-(-h // rps)):
         raw = flat[s * rps : (s + 1) * rps].tobytes()
-        strips.append(packbits_encode(raw) if compression == 32773 else raw)
+        if compression == 32773:
+            raw = packbits_encode(raw)
+        elif compression == 5:
+            raw = lzw_encode(raw)
+        strips.append(raw)
 
     sw = software.encode("latin-1") + b"\x00"
     # layout: 8-byte header | strips | software string | IFD

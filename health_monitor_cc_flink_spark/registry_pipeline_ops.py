@@ -5891,7 +5891,7 @@ def mm_jpeg_exif_metadata(spark, sf_dir):
     "mm_tiff_decode_features",
     """
     WITH dims AS (
-        SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS c,
+        SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS c,
                8 * (doc_id % 6 + 2) AS w,
                8 * (n_chars % 6 + 2) AS h
         FROM documents
@@ -5906,21 +5906,22 @@ def mm_jpeg_exif_metadata(spark, sf_dir):
              LATERAL unnest(generate_series(0, d.h - 1)) AS yy(y)
     ), v AS (
         SELECT doc_id, c, w, h,
-               CASE WHEN c IN (0, 1) THEN gv ELSE r8 + g8 + b8 END AS s_sum,
-               CASE WHEN c IN (0, 1) THEN gv
+               CASE WHEN c IN (0, 1, 4) THEN gv
+                    ELSE r8 + g8 + b8 END AS s_sum,
+               CASE WHEN c IN (0, 1, 4) THEN gv
                     ELSE least(r8, g8, b8) END AS s_min,
-               CASE WHEN c IN (0, 1) THEN gv
+               CASE WHEN c IN (0, 1, 4) THEN gv
                     ELSE greatest(r8, g8, b8) END AS s_max
         FROM px
     )
     SELECT doc_id, TRUE AS ok,
-           (['II','MM','II','MM'])[CAST(any_value(c)+1 AS INT)]
+           (['II','MM','II','MM','II','MM'])[CAST(any_value(c)+1 AS INT)]
                AS byte_order,
-           CAST(([1,32773,32773,1])[CAST(any_value(c)+1 AS INT)] AS BIGINT)
-               AS compression,
+           CAST(([1,32773,32773,1,5,5])[CAST(any_value(c)+1 AS INT)]
+                AS BIGINT) AS compression,
            CAST(any_value(w) AS BIGINT) AS width,
            CAST(any_value(h) AS BIGINT) AS height,
-           CAST(CASE WHEN any_value(c) IN (0, 1) THEN 1 ELSE 3 END
+           CAST(CASE WHEN any_value(c) IN (0, 1, 4) THEN 1 ELSE 3 END
                 AS BIGINT) AS n_channels,
            CAST(sum(s_sum) AS BIGINT) AS px_sum,
            CAST(min(s_min) AS BIGINT) AS px_min,
@@ -5929,14 +5930,15 @@ def mm_jpeg_exif_metadata(spark, sf_dir):
     """,
     doc="Baseline TIFF decode under the hash gate — the scanned-"
     "document format: IFD tag walk in BOTH byte orders (II/MM), "
-    "strip-based assembly with RowsPerStrip, PackBits RLE expansion "
-    "under an output cap, gray and RGB photometrics.  The synth cycles "
-    "{II/none, MM/PackBits/multi-strip, II/PackBits/multi-strip/RGB, "
-    "MM/none/RGB} and the oracle re-derives every pixel statistic "
-    "plus the parsed byte order/compression from the case arithmetic.  "
-    "Structure-only format (no transform tables), so the FULL baseline "
-    "spec is honestly implementable — unlike lossy VP8/H.264.  Scale: "
-    "Arrow CPU-map like every codec path.",
+    "strip-based assembly with RowsPerStrip, PackBits RLE and TIFF "
+    "LZW (MSB-first, early change, Clear on table-full) expansion "
+    "under output caps, gray and RGB photometrics.  The synth cycles "
+    "six {byte order x compression x strip-layout x photometric} "
+    "cases and the oracle re-derives every pixel statistic plus the "
+    "parsed byte order/compression from the case arithmetic.  "
+    "Structure-only format (no transform tables), so the FULL "
+    "baseline spec is honestly implementable — unlike lossy "
+    "VP8/H.264.  Scale: Arrow CPU-map like every codec path.",
     bench=True,
 )
 def mm_tiff_decode_features(spark, sf_dir):

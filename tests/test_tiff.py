@@ -28,10 +28,10 @@ def _rgb(h=23, w=17):
 
 
 def test_roundtrip_matrix():
-    """Both byte orders x both compressions x strip layouts x gray/RGB
-    round-trip bit-exactly."""
+    """Both byte orders x all three compressions x strip layouts x
+    gray/RGB round-trip bit-exactly."""
     for bo in ("II", "MM"):
-        for comp in (1, 32773):
+        for comp in (1, 5, 32773):
             for rps in (None, 1, 4, 7):
                 for img in (_gray(), _rgb()):
                     out = decode_tiff(encode_tiff(img, bo, comp, rps))
@@ -103,11 +103,11 @@ def test_unsupported_subsets_explicit():
     for e in range(n):
         base = ifd_off + 2 + 12 * e
         tag = struct.unpack("<H", bytes(good[base:base + 2]))[0]
-        if tag == 259:  # Compression -> LZW (5): honestly unsupported
-            lzw = good.copy()
-            lzw[base + 8:base + 12] = struct.pack("<I", 5)
+        if tag == 259:  # Compression -> JPEG-in-TIFF (7): unsupported
+            j7 = good.copy()
+            j7[base + 8:base + 12] = struct.pack("<I", 7)
             with pytest.raises(NotImplementedError, match="compression"):
-                decode_tiff(bytes(lzw))
+                decode_tiff(bytes(j7))
         if tag == 258:  # BitsPerSample -> 16: honestly unsupported
             b16 = good.copy()
             b16[base + 8:base + 12] = struct.pack("<I", 16)
@@ -171,3 +171,33 @@ def test_exif_roundtrip_and_jpeg_integration():
         parse_exif(b"JFIF\x00\x00junk")
     with pytest.raises(ValueError):
         parse_exif(b"Exif\x00\x00II\x2a\x00\xff\xff\xff\xff")
+
+
+def test_lzw_unit_vectors_and_hostiles():
+    """TIFF LZW: width-boundary crossings (9->10->11->12), table-full
+    Clear cycles, KwKwK pattern, and hostile streams."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.tiff import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.RandomState(3)
+    # enough distinct phrases to cross every width boundary + a Clear
+    big = rng.randint(0, 256, 60000, dtype=np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(big), len(big) + 1) == big
+    # KwKwK: aaa... makes the decoder hit code == len(table)
+    runs = b"a" * 500
+    assert lzw_decode(lzw_encode(runs), 501) == runs
+    assert lzw_decode(lzw_encode(b""), 1) == b""
+    with pytest.raises(ValueError, match="cap"):
+        lzw_decode(lzw_encode(big), 100)
+    with pytest.raises(ValueError, match="truncated"):
+        lzw_decode(lzw_encode(big)[:-8], len(big) + 1)
+    # a stream that opens with a table code is corrupt
+    with pytest.raises(ValueError, match="table code"):
+        # 9-bit code 300 followed by EOI, MSB-packed by hand
+        acc = (300 << 9) | 257
+        lzw_decode(bytes([(acc >> 10) & 0xFF, (acc >> 2) & 0xFF,
+                          (acc << 6) & 0xFF]), 100)
