@@ -98,7 +98,11 @@ def decode_image(payload: bytes):
     elif bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff
 
-        return decode_tiff(payload)  # gray 2-D or RGB 3-D, none/PackBits
+        return decode_tiff(payload)  # gray 2-D or RGB 3-D, none/LZW/PackBits
+    elif bytes(payload[:2]) == b"BM":
+        from .bmp import decode_bmp
+
+        return decode_bmp(payload)  # (h, w, 3) RGB, paletted/24-bit/RLE8
     elif bytes(payload[:3]) == b"\xff\xd8\xff":
         import importlib.util
 
@@ -2056,6 +2060,93 @@ def jpeg_exif_metadata(df: DataFrame, payload_col: str = "jpeg",
             "make string, model string, orientation long, "
             "datetime_original string, iso long, pixel_x long, pixel_y long"
         ),
+    )
+
+
+def synth_bmp_payload(df: DataFrame, id_col: str = "doc_id",
+                      len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``bmp`` column cycling doc_id % 4 through {8-bit
+    paletted BI_RGB, 8-bit BI_RLE8, 24-bit bottom-up, 24-bit
+    top-down (negative height)}.  Paletted pixels: idx = (x+y) % 16
+    with palette (4j, 8j, 12j); 24-bit: ((3x)%256, (5y)%256,
+    (x*y)%256).  Dims w = 8*(id%5+2), h = 8*(len%5+2)."""
+    from .bmp import encode_bmp
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(8) * (F.col(id_col) % 5 + 2)).cast("int").alias("w"),
+        (F.lit(8) * (F.col(len_col) % 5 + 2)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        pal = np.stack(
+            [4 * np.arange(16), 8 * np.arange(16), 12 * np.arange(16)],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            bmps = []
+            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(d), int(w), int(h)
+                y, x = np.mgrid[0:h, 0:w]
+                case = d % 4
+                if case < 2:
+                    idx = ((x + y) % 16).astype(np.uint8)
+                    bmps.append(encode_bmp(idx, palette=pal,
+                                           compression=case))
+                else:
+                    rgb = np.stack(
+                        [(3 * x) % 256, (5 * y) % 256, (x * y) % 256],
+                        axis=2,
+                    ).astype(np.uint8)
+                    bmps.append(encode_bmp(rgb, top_down=(case == 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "bmp": bmps})
+
+    return src.mapInPandas(gen, schema="doc_id long, bmp binary")
+
+
+def bmp_decode_features(df: DataFrame, payload_col: str = "bmp",
+                        id_col: str = "doc_id") -> DataFrame:
+    """REAL BMP decode -> per-image statistics over Arrow batches:
+    palette resolution, RLE8 expansion (escape codes included),
+    bottom-up/top-down normalization, row padding.  Corrupt payloads
+    flag the row."""
+    from .bmp import decode_bmp
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "width": [], "height": [],
+                   "px_sum": [], "px_min": [], "px_max": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    img = decode_bmp(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in ("width", "height", "px_sum", "px_min",
+                              "px_max"):
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["px_sum"].append(int(img.sum(dtype=np.int64)))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, width long, height long, "
+                "px_sum long, px_min long, px_max long"),
     )
 
 

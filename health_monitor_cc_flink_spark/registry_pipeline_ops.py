@@ -5856,6 +5856,57 @@ def mm_png_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_bmp_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS c,
+               8 * (doc_id % 5 + 2) AS w,
+               8 * (n_chars % 5 + 2) AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.c, d.w, d.h,
+               (xx.x + yy.y) % 16 AS j,
+               (3*xx.x) % 256 AS r8,
+               (5*yy.y) % 256 AS g8,
+               (xx.x * yy.y) % 256 AS b8
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.w - 1)) AS xx(x),
+             LATERAL unnest(generate_series(0, d.h - 1)) AS yy(y)
+    ), v AS (
+        SELECT doc_id, c, w, h,
+               CASE WHEN c < 2 THEN 24*j ELSE r8 + g8 + b8 END AS s_sum,
+               CASE WHEN c < 2 THEN 4*j
+                    ELSE least(r8, g8, b8) END AS s_min,
+               CASE WHEN c < 2 THEN 12*j
+                    ELSE greatest(r8, g8, b8) END AS s_max
+        FROM px
+    )
+    SELECT doc_id, TRUE AS ok,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(sum(s_sum) AS BIGINT) AS px_sum,
+           CAST(min(s_min) AS BIGINT) AS px_min,
+           CAST(max(s_max) AS BIGINT) AS px_max
+    FROM v GROUP BY doc_id
+    """,
+    doc="Windows BMP decode under the hash gate — the legacy raster "
+    "format crawled archives still carry: 8-bit paletted (BI_RGB and "
+    "BI_RLE8 run-length with end-of-line/bitmap/delta escapes), "
+    "24-bit BGR, bottom-up AND top-down (negative height) row orders, "
+    "4-byte row padding, palette resolved to RGB.  The synth cycles "
+    "all four layouts and the oracle re-derives pixel statistics from "
+    "grid arithmetic.  Structure-only, honestly complete for the "
+    "8/24-bit subsets; 1/4/16/32-bit are explicit guards.  Scale: "
+    "Arrow CPU-map.",
+)
+def mm_bmp_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.bmp_decode_features(M.synth_bmp_payload(docs))
+
+
+@query(
     "mm_jpeg_exif_metadata",
     """
     SELECT doc_id, TRUE AS ok, TRUE AS has_exif,

@@ -1,0 +1,112 @@
+"""Windows BMP codec pins (operators/bmp.py)."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from health_monitor_cc_flink_spark.operators.bmp import (
+    decode_bmp,
+    encode_bmp,
+    rle8_decode,
+    rle8_encode,
+)
+
+PAL = np.stack([4 * np.arange(16), 8 * np.arange(16), 12 * np.arange(16)],
+               axis=1).astype(np.uint8)
+
+
+def _idx(h=21, w=13):
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x + y) % 16).astype(np.uint8)
+
+
+def _rgb(h=21, w=13):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(3 * x) % 256, (5 * y) % 256, (x * y) % 256],
+                    axis=2).astype(np.uint8)
+
+
+def test_roundtrip_matrix():
+    idx, rgb = _idx(), _rgb()
+    assert np.array_equal(decode_bmp(encode_bmp(idx, palette=PAL)), PAL[idx])
+    assert np.array_equal(
+        decode_bmp(encode_bmp(idx, palette=PAL, top_down=True)), PAL[idx]
+    )
+    assert np.array_equal(
+        decode_bmp(encode_bmp(idx, palette=PAL, compression=1)), PAL[idx]
+    )
+    assert np.array_equal(decode_bmp(encode_bmp(rgb)), rgb)
+    assert np.array_equal(decode_bmp(encode_bmp(rgb, top_down=True)), rgb)
+    # width not a multiple of 4 exercises row padding in both depths
+    for w in (1, 2, 3, 5):
+        assert np.array_equal(
+            decode_bmp(encode_bmp(_idx(5, w), palette=PAL)), PAL[_idx(5, w)]
+        )
+        assert np.array_equal(decode_bmp(encode_bmp(_rgb(5, w))), _rgb(5, w))
+
+
+def test_rle8_escape_codes():
+    # absolute run (0 n>=3) with word padding
+    out = rle8_decode(bytes([0, 4, 9, 8, 7, 6, 0, 0, 0, 1]), 4, 1)
+    assert list(out[0]) == [9, 8, 7, 6]
+    # odd absolute run is padded to a word: 0 3 a b c PAD
+    out = rle8_decode(bytes([0, 3, 9, 8, 7, 0, 0, 0, 0, 1]), 4, 1)
+    assert list(out[0]) == [9, 8, 7, 0]
+    # delta (0 2 dx dy): skipped pixels stay 0
+    out = rle8_decode(bytes([2, 5, 0, 2, 2, 0, 1, 7, 0, 0, 0, 1]), 5, 1)
+    assert list(out[0]) == [5, 5, 0, 0, 7]
+    # encoder output round-trips
+    idx = _idx(9, 31)
+    assert np.array_equal(rle8_decode(rle8_encode(idx), 31, 9), idx)
+
+
+def test_corrupt_and_hostile():
+    good = encode_bmp(_idx(), palette=PAL)
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"XX" + good[2:])
+    with pytest.raises(ValueError):
+        decode_bmp(good[:30])
+    # hostile dims
+    huge = bytearray(good)
+    huge[18:22] = struct.pack("<i", 1 << 24)
+    with pytest.raises(ValueError, match="limit"):
+        decode_bmp(bytes(huge))
+    # palette index beyond a shortened palette: encoder guard, and a
+    # decoder stream whose palette was truncated after the fact
+    with pytest.raises(ValueError, match="palette index"):
+        encode_bmp(_idx(), palette=PAL[:8])
+    trunc_pal = bytearray(good)
+    trunc_pal[46:50] = struct.pack("<I", 8)  # biClrUsed = 8 entries
+    with pytest.raises(ValueError, match="palette index"):
+        decode_bmp(bytes(trunc_pal))
+    # RLE run overrunning its row
+    with pytest.raises(ValueError, match="overruns"):
+        rle8_decode(bytes([200, 1, 0, 1]), 10, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        rle8_decode(bytes([0, 4, 9]), 4, 1)
+    # unsupported depths are explicit
+    bad_bpp = bytearray(good)
+    bad_bpp[28:30] = struct.pack("<H", 4)
+    with pytest.raises(NotImplementedError, match="4-bit"):
+        decode_bmp(bytes(bad_bpp))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=300))
+def test_fuzz_arbitrary_bytes_fail_cleanly(data):
+    try:
+        decode_bmp(b"BM" + data)
+    except (ValueError, NotImplementedError):
+        pass
+    except Exception as exc:  # noqa: BLE001
+        raise AssertionError(f"non-contract escape: {type(exc)}") from exc
+
+
+def test_decode_image_routes_bmp():
+    from health_monitor_cc_flink_spark.operators.multimodal import decode_image
+
+    rgb = _rgb()
+    assert np.array_equal(decode_image(encode_bmp(rgb)), rgb)
