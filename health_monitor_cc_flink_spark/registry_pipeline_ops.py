@@ -5778,6 +5778,78 @@ def streaming_ingest_screen(spark, sf_dir):
 
 
 @query(
+    "streaming_span_ingest_screen",
+    """
+    WITH cut AS (SELECT CAST(floor(0.8*(max(doc_id)+1)) AS BIGINT) AS c
+                 FROM documents),
+    w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(words[(i+1):(i+6)],' ') AS gram
+          FROM w, unnest(generate_series(0, len(words)-6)) AS t(i)),
+    corpus AS (SELECT DISTINCT gram FROM g, cut WHERE doc_id < cut.c),
+    batch AS (SELECT doc_id, i, gram FROM g, cut WHERE doc_id >= cut.c),
+    m AS (SELECT b.doc_id,
+                 count(*) AS n_grams,
+                 CAST(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_corpus_grams
+          FROM batch b LEFT JOIN corpus c ON b.gram = c.gram
+          GROUP BY b.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_corpus_grams,
+           n_corpus_grams >= 3 AS screened
+    FROM m
+    """,
+    doc="STREAMING span-level ingest screen: each arriving document's "
+    "6-gram anchors join stream-static against the corpus's distinct "
+    "gram set (the persisted dedup artifact), and a per-doc complete-"
+    "mode aggregation counts corpus-matching anchors — >= 3 matching "
+    "anchors means a duplicated span of >= 8 tokens may exist, so the "
+    "doc is flagged for the batch ExactSubstr pass instead of "
+    "ingesting blind.  The real streaming runs under the oracle; "
+    "state = per-new-doc counts, the static side is a pruned gram "
+    "relation, never the corpus text.",
+)
+def streaming_span_ingest_screen(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import documents_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    cut = int(docs.agg(F.floor(0.8 * (F.max("doc_id") + 1))).first()[0])
+    corpus = (
+        D.kgram_positions(docs.filter(F.col("doc_id") < cut), k=6)
+        .select("gram")
+        .distinct()
+    )
+    stream = documents_stream(spark, sf_dir).filter(F.col("doc_id") >= cut)
+    batch_grams = (
+        stream.filter(F.size(F.split("text", " ")) >= 6)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.split("text", " ")) - 6),
+                    lambda i: F.array_join(
+                        F.slice(F.split("text", " "), i + 1, 6), " "
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    marked = batch_grams.join(
+        corpus.withColumn("_hit", F.lit(1)), "gram", "left"
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+            "n_corpus_grams"
+        ),
+    ).select(
+        "doc_id", "n_grams", "n_corpus_grams",
+        (F.col("n_corpus_grams") >= 3).alias("screened"),
+    )
+    return _drain_to_memory(spark, agg, "stream_spanscreen_",
+                            output_mode="complete")
+
+
+@query(
     "mm_png_header_parse",
     """
     SELECT doc_id, TRUE AS is_png,
