@@ -396,7 +396,8 @@ def _samples_to_rows(samples, depth: int) -> bytes:
 
 
 def encode_png(arr, filter_mode: str = "cycle", *, palette=None,
-               depth: int | None = None, interlace: bool = False) -> bytes:
+               depth: int | None = None, interlace: bool = False,
+               trans=None) -> bytes:
     """Encode an image array as a real PNG (RFC 2083 layout) — the full
     static matrix the decoder covers:
 
@@ -465,6 +466,13 @@ def encode_png(arr, filter_mode: str = "cycle", *, palette=None,
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if pal is not None:
         out += _png_chunk(b"PLTE", pal.tobytes())
+        if trans is not None:
+            tr = np.ascontiguousarray(trans, dtype=np.uint8)
+            if tr.ndim != 1 or tr.size > pal.shape[0]:
+                raise ValueError("trans must be <= palette length")
+            out += _png_chunk(b"tRNS", tr.tobytes())
+    elif trans is not None:
+        raise ValueError("trans requires a palette")
     return (
         out
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
@@ -605,7 +613,7 @@ def decode_png(payload: bytes, verify_crc: bool = True):
 
     import numpy as np
 
-    w = plte = None
+    w = plte = trns = None
     idat = bytearray()
     for ctype, data in _iter_png_chunks(payload, verify_crc):
         if ctype == b"IHDR":
@@ -614,6 +622,8 @@ def decode_png(payload: bytes, verify_crc: bool = True):
             if len(data) == 0 or len(data) % 3 or len(data) > 3 * 256:
                 raise ValueError("invalid PLTE length")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -647,6 +657,15 @@ def decode_png(payload: bytes, verify_crc: bool = True):
         idx = out[:, :, 0]
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index out of range")
+        if trns is not None:
+            # palette transparency: alpha per entry, 255 for the tail
+            if trns.size > plte.shape[0]:
+                raise ValueError("tRNS longer than the palette")
+            alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+            alpha[: trns.size] = trns
+            return np.concatenate(
+                [plte[idx], alpha[idx][:, :, None]], axis=2
+            )
         return plte[idx]
     if color_type == 0 and depth < 8:
         # replicate sub-byte gray into full 8-bit range (v * 255 / max)

@@ -927,3 +927,42 @@ def test_png_extended_matrix_corrupt_payloads():
         encode_png(np.full((2, 2), 200, np.uint8), palette=pal)
     with _pytest.raises(ValueError, match="palette index"):
         encode_png(np.full((2, 2), 12, np.uint8), palette=pal[:8], depth=4)
+
+
+def test_png_palette_trns_transparency():
+    """tRNS palette alpha: decoded as RGBA with 255 for entries past
+    the tRNS table; oversized tRNS is corrupt; trans without a palette
+    is an encoder error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    pal = (np.arange(48, dtype=np.uint8).reshape(16, 3) * 5 % 256).astype(
+        np.uint8
+    )
+    tr = np.array([0, 128, 255], np.uint8)
+    idx = (np.indices((11, 5)).sum(0) % 16).astype(np.uint8)
+    for inter in (False, True):
+        out = decode_png(
+            encode_png(idx, palette=pal, depth=4, interlace=inter, trans=tr)
+        )
+        assert out.shape == (11, 5, 4)
+        alpha = np.full(16, 255, np.uint8)
+        alpha[:3] = tr
+        assert np.array_equal(out[:, :, :3], pal[idx])
+        assert np.array_equal(out[:, :, 3], alpha[idx])
+    # tRNS longer than the palette must flag
+    good = encode_png(idx, palette=pal, depth=4, trans=tr)
+    bloated = good.replace(
+        _png_chunk(b"tRNS", tr.tobytes()),
+        _png_chunk(b"tRNS", bytes(range(20))),
+    )
+    with _pytest.raises(ValueError, match="tRNS"):
+        decode_png(bloated)
+    with _pytest.raises(ValueError, match="palette"):
+        encode_png(idx, trans=tr)
