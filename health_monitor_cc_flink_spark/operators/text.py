@@ -164,3 +164,96 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str,
         compress,
         schema="doc_id long, raw_bytes long, compressed_bytes long, compression_ratio double",
     )
+
+
+# -- URL canonicalization (crawl-side pipeline primitive) ----------------------
+
+#: Query parameters dropped during canonicalization (tracking noise).
+URL_TRACKING_PARAMS = ("fbclid", "gclid", "ref")
+
+#: Second-level labels that act as public suffixes under a 2-letter
+#: ccTLD (heuristic subset of the public-suffix list — documented
+#: approximation; the full PSL is a data file, not an algorithm).
+URL_SECOND_LEVEL_SUFFIXES = ("co", "com", "net", "org", "ac", "gov", "edu")
+
+
+def url_parse(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Parse + canonicalize URLs with PURE codegen column ops (regexp /
+    split / higher-order array functions — no UDF anywhere):
+
+    * scheme and host lowercased, a leading ``www.`` and any trailing
+      dot stripped from the host;
+    * default ports dropped (``:80`` for http, ``:443`` for https),
+      other ports kept;
+    * empty path -> ``/``; fragment dropped;
+    * query params: ``utm_*`` and ``URL_TRACKING_PARAMS`` dropped, the
+      rest SORTED lexicographically and rejoined;
+    * ``registrable_domain``: last two host labels, or last three when
+      the second-to-last is a known second-level suffix under a
+      2-letter ccTLD (PSL-heuristic, documented).
+
+    Adds columns: scheme, host, port (long, -1 = default), path,
+    registrable_domain, n_params_kept, canon_url."""
+    scheme = F.lower(F.regexp_extract(url_col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host_raw = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(host_raw, r"^www\.", ""), r"\.$", ""
+    )
+    port_str = F.regexp_extract(authority, r":(\d+)$", 1)
+    port = F.when(port_str == "", F.lit(-1)).otherwise(
+        port_str.cast("long")
+    )
+    is_default = (
+        (port == -1)
+        | ((scheme == F.lit("http")) & (port == 80))
+        | ((scheme == F.lit("https")) & (port == 443))
+    )
+    path_raw = F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    query = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.split(p, "=")[0].startswith("utm_")
+        & ~F.split(p, "=")[0].isin(*URL_TRACKING_PARAMS),
+    )
+    params_sorted = F.array_sort(params)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    take3 = (
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & second.isin(*URL_SECOND_LEVEL_SUFFIXES)
+    )
+    reg_dom = F.when(
+        n <= 1, host
+    ).when(
+        take3,
+        F.concat_ws(".", F.element_at(labels, -3), second, tld),
+    ).otherwise(F.concat_ws(".", second, tld))
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(is_default, F.lit("")).otherwise(
+            F.concat(F.lit(":"), port.cast("string"))
+        ),
+        path,
+        F.when(F.size(params_sorted) > 0,
+               F.concat(F.lit("?"), F.array_join(params_sorted, "&"))
+               ).otherwise(F.lit("")),
+    )
+    return df.select(
+        "*",
+        scheme.alias("scheme"),
+        host.alias("host"),
+        # canonical port: -1 when absent OR the scheme default
+        F.when(is_default, F.lit(-1)).otherwise(port).alias("port"),
+        path.alias("path"),
+        reg_dom.alias("registrable_domain"),
+        F.size(params_sorted).cast("long").alias("n_params_kept"),
+        canon.alias("canon_url"),
+    )

@@ -1470,6 +1470,152 @@ def dedup_span_exactsubstr_strip(spark, sf_dir):
     return D.strip_duplicated_spans(docs, k=6, min_tokens=8, max_gram_freq=50)
 
 
+#: Spark-side synth for the URL family: six URL shapes from doc_id —
+#: uppercase hosts, www prefixes, default/explicit ports, tracking
+#: params, co.uk-style suffixes, trailing-dot hosts, fragments.
+def _synth_urls(docs):
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 6 == 0, F.concat(
+            F.lit("https://WWW.Example"), (d % 9).cast("string"),
+            F.lit(".COM:443/path"), (d % 7).cast("string"),
+            F.lit("/p?utm_source=x&b="), (d % 5).cast("string"),
+            F.lit("&a=1#frag")))
+        .when(d % 6 == 1, F.concat(
+            F.lit("http://sub"), (d % 4).cast("string"),
+            F.lit(".example"), (d % 9).cast("string"),
+            F.lit(".co.uk:80/x?gclid=z&z="), (d % 3).cast("string")))
+        .when(d % 6 == 2, F.concat(
+            F.lit("https://example"), (d % 9).cast("string"),
+            F.lit(".org")))
+        .when(d % 6 == 3, F.concat(
+            F.lit("http://a.b.example"), (d % 9).cast("string"),
+            F.lit(".net:8080/q?b=2&a="), (d % 5).cast("string"),
+            F.lit("&fbclid=t")))
+        .when(d % 6 == 4, F.concat(
+            F.lit("https://www.example"), (d % 9).cast("string"),
+            F.lit(".de/path?x="), (d % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("http://EXAMPLE"), (d % 9).cast("string"),
+            F.lit(".com./p/q/r")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+#: The oracle's closed-form twin of the synth + canonicalization —
+#: shared by both URL queries.
+_URL_ORACLE_CTE = """
+    u AS (
+        SELECT doc_id, doc_id % 6 AS c,
+               CAST(doc_id % 9 AS VARCHAR) AS h9,
+               CAST(doc_id % 7 AS VARCHAR) AS p7,
+               CAST(doc_id % 5 AS VARCHAR) AS q5,
+               CAST(doc_id % 4 AS VARCHAR) AS s4,
+               CAST(doc_id % 3 AS VARCHAR) AS z3
+        FROM documents
+    ), parsed AS (
+        SELECT doc_id,
+           CASE c WHEN 0 THEN 'https://WWW.Example' || h9 || '.COM:443/path' || p7 || '/p?utm_source=x&b=' || q5 || '&a=1#frag'
+                  WHEN 1 THEN 'http://sub' || s4 || '.example' || h9 || '.co.uk:80/x?gclid=z&z=' || z3
+                  WHEN 2 THEN 'https://example' || h9 || '.org'
+                  WHEN 3 THEN 'http://a.b.example' || h9 || '.net:8080/q?b=2&a=' || q5 || '&fbclid=t'
+                  WHEN 4 THEN 'https://www.example' || h9 || '.de/path?x=' || p7
+                  ELSE 'http://EXAMPLE' || h9 || '.com./p/q/r' END AS url,
+           CASE WHEN c IN (0, 2, 4) THEN 'https' ELSE 'http' END AS scheme,
+           CASE c WHEN 0 THEN 'example' || h9 || '.com'
+                  WHEN 1 THEN 'sub' || s4 || '.example' || h9 || '.co.uk'
+                  WHEN 2 THEN 'example' || h9 || '.org'
+                  WHEN 3 THEN 'a.b.example' || h9 || '.net'
+                  WHEN 4 THEN 'example' || h9 || '.de'
+                  ELSE 'example' || h9 || '.com' END AS host,
+           CAST(CASE WHEN c = 3 THEN 8080 ELSE -1 END AS BIGINT) AS port,
+           CASE c WHEN 0 THEN '/path' || p7 || '/p'
+                  WHEN 1 THEN '/x'
+                  WHEN 2 THEN '/'
+                  WHEN 3 THEN '/q'
+                  WHEN 4 THEN '/path'
+                  ELSE '/p/q/r' END AS path,
+           CASE c WHEN 0 THEN 'example' || h9 || '.com'
+                  WHEN 1 THEN 'example' || h9 || '.co.uk'
+                  WHEN 2 THEN 'example' || h9 || '.org'
+                  WHEN 3 THEN 'example' || h9 || '.net'
+                  WHEN 4 THEN 'example' || h9 || '.de'
+                  ELSE 'example' || h9 || '.com' END AS registrable_domain,
+           CAST(([2, 1, 0, 2, 1, 0])[CAST(c + 1 AS INT)] AS BIGINT)
+               AS n_params_kept,
+           CASE c WHEN 0 THEN 'https://example' || h9 || '.com/path' || p7 || '/p?a=1&b=' || q5
+                  WHEN 1 THEN 'http://sub' || s4 || '.example' || h9 || '.co.uk/x?z=' || z3
+                  WHEN 2 THEN 'https://example' || h9 || '.org/'
+                  WHEN 3 THEN 'http://a.b.example' || h9 || '.net:8080/q?a=' || q5 || '&b=2'
+                  WHEN 4 THEN 'https://example' || h9 || '.de/path?x=' || p7
+                  ELSE 'http://example' || h9 || '.com/p/q/r' END AS canon_url
+        FROM u
+    )
+"""
+
+
+@query(
+    "text_url_canonicalize",
+    "WITH " + _URL_ORACLE_CTE + """
+    SELECT doc_id, url, scheme, host, port, path, registrable_domain,
+           n_params_kept, canon_url
+    FROM parsed
+    """,
+    doc="URL parsing + canonicalization — the crawl-side dedup "
+    "primitive — in PURE codegen column ops (regexp_extract, split, "
+    "higher-order filter/array_sort; zero UDFs): lowercased scheme/"
+    "host, www and trailing-dot stripping, default-port removal, "
+    "fragment removal, utm_*/fbclid/gclid/ref tracking-param removal "
+    "with the survivors SORTED, and registrable-domain extraction "
+    "with a documented public-suffix heuristic (co.uk-style 3-label "
+    "suffixes).  The synth covers six adversarial URL shapes; the "
+    "oracle re-derives every output closed-form, so a wrong regexp "
+    "anywhere breaks the hash.",
+)
+def text_url_canonicalize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return X.url_parse(_synth_urls(docs)).select(
+        "doc_id", "url", "scheme", "host", "port", "path",
+        "registrable_domain", "n_params_kept", "canon_url",
+    )
+
+
+@query(
+    "corpus_domain_quota_sample",
+    "WITH " + _URL_ORACLE_CTE + """, rk AS (
+        SELECT doc_id, registrable_domain, canon_url,
+               row_number() OVER (
+                   PARTITION BY registrable_domain
+                   ORDER BY md5(canon_url), doc_id) AS r
+        FROM parsed
+    )
+    SELECT doc_id, registrable_domain, CAST(r AS BIGINT) AS domain_rank
+    FROM rk WHERE r <= 2
+    """,
+    doc="Per-domain crawl quota — the politeness/diversity sampler "
+    "every web-scale corpus applies: group documents by registrable "
+    "domain (from the canonical URL) and keep the first 2 per domain "
+    "by a deterministic hash order (md5 of the canonical URL, doc_id "
+    "tiebreak).  One window shuffle on the domain key; at 100 TB the "
+    "domain key is low-cardinality-skewed, so the same salting "
+    "playbook as join_salted_skew applies past the quota cutoff.",
+)
+def corpus_domain_quota_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    parsed = X.url_parse(_synth_urls(docs))
+    w = Window.partitionBy("registrable_domain").orderBy(
+        F.md5("canon_url"), "doc_id"
+    )
+    return (
+        parsed.withColumn("domain_rank",
+                          F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= 2)
+        .select("doc_id", "registrable_domain", "domain_rank")
+    )
+
+
 @query(
     "text_repetition_ratio",
     "WITH " + _DUCK_SHINGLES.replace("sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)",

@@ -1,0 +1,69 @@
+"""URL canonicalization pins (operators/text.py url_parse)."""
+
+from pyspark.sql import functions as F
+
+from health_monitor_cc_flink_spark.operators.text import url_parse
+
+
+def _parse_one(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return url_parse(df).first()
+
+
+def test_canonicalization_rules(spark):
+    cases = [
+        # (url, canon, host, port, registrable_domain, n_params)
+        ("https://WWW.Example.COM:443/a/b?utm_source=x&b=2&a=1#f",
+         "https://example.com/a/b?a=1&b=2", "example.com", -1,
+         "example.com", 2),
+        ("http://sub.site.co.uk:80/x?gclid=z",
+         "http://sub.site.co.uk/x", "sub.site.co.uk", -1,
+         "site.co.uk", 0),
+        ("https://host.org", "https://host.org/", "host.org", -1,
+         "host.org", 0),
+        ("http://a.b.c.net:8080/q?z=1&y=2&ref=tw",
+         "http://a.b.c.net:8080/q?y=2&z=1", "a.b.c.net", 8080,
+         "c.net", 2),
+        ("http://TRAILING.com./p", "http://trailing.com/p",
+         "trailing.com", -1, "trailing.com", 0),
+        # single-label host: registrable domain is the host itself
+        ("http://localhost:9999/", "http://localhost:9999/",
+         "localhost", 9999, "localhost", 0),
+        # 2-letter second level NOT in the suffix set stays 2-label
+        ("https://x.yz.de/", "https://x.yz.de/", "x.yz.de", -1,
+         "yz.de", 0),
+        # empty query after stripping -> no '?'
+        ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p",
+         "a.com", -1, "a.com", 0),
+    ]
+    for url, canon, host, port, dom, n in cases:
+        r = _parse_one(spark, url)
+        assert r.canon_url == canon, (url, r.canon_url)
+        assert r.host == host and r.port == port, (url, r.host, r.port)
+        assert r.registrable_domain == dom, (url, r.registrable_domain)
+        assert r.n_params_kept == n, (url, r.n_params_kept)
+
+
+def test_url_parse_plan_stays_in_codegen(spark):
+    """Zero Python evaluation: the whole parse is regexp/array codegen."""
+    df = spark.createDataFrame([("https://a.com/p?x=1",)], "url string")
+    plan = (
+        url_parse(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_canonical_url_is_idempotent(spark):
+    """Canonicalizing a canonical URL is a fixed point."""
+    urls = [
+        "https://WWW.Example.COM:443/a/b?utm_source=x&b=2&a=1#f",
+        "http://a.b.c.net:8080/q?z=1&y=2&ref=tw",
+        "https://host.org",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = url_parse(df).select(F.col("canon_url").alias("url"))
+    twice = url_parse(once).select("canon_url").collect()
+    assert [r.canon_url for r in twice] == [
+        r.url for r in once.collect()
+    ]
