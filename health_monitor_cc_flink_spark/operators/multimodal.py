@@ -2375,6 +2375,97 @@ def warc_extract_text(df: DataFrame, payload_col: str = "warc",
     )
 
 
+#: Charsets the charset-extraction synth cycles through.
+_WARC_CHARSETS = ["utf-8", "utf-16-le", "iso-8859-1"]
+
+
+def synth_warc_charset_payload(df: DataFrame, id_col: str = "doc_id",
+                               len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``warc`` column whose response pages cycle LEGACY text
+    encodings — page k of doc d is encoded as
+    _WARC_CHARSETS[(d + k) % 3] (utf-16-le gets its BOM, iso-8859-1 is
+    declared via Content-Type) and contains non-ASCII text (café /
+    naïve / über) so a wrong transcoding is visible in the hash."""
+    from .warc import build_warc
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            warcs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pages = []
+                for k in range(3):
+                    html = (
+                        f"<html><head><title>T{d}-{k}</title></head>"
+                        f"<body><p>café {d} {k} "
+                        f"naïve&amp;über</p></body></html>"
+                    )
+                    pages.append(
+                        (f"http://corpus.example/{d}/{k}", html,
+                         _WARC_CHARSETS[(d + k) % 3])
+                    )
+                warcs.append(build_warc(pages, gzip_members=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "warc": warcs})
+
+    return src.mapInPandas(gen, schema="doc_id long, warc binary")
+
+
+def warc_charset_extract(df: DataFrame, payload_col: str = "warc",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Charset-aware WARC text extraction: BOM / Content-Type /
+    UTF-8-probe detection (warc.decode_text_body), transcode, then the
+    deterministic HTML-to-text rule.  Surfaces the detected charset per
+    page so the gate pins detection AND transcoding.  Corrupt payloads
+    or undecodable bodies flag the row."""
+    from .warc import decode_text_body, html_extract_text, parse_warc
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("page", "charset", "text", "n_words")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    recs = [
+                        r for r in parse_warc(bytes(p))
+                        if r["fields"].get("warc-type") == "response"
+                    ]
+                    pages = [
+                        decode_text_body(r["http_headers"], r["http_body"])
+                        for r in recs
+                    ]
+                    if not pages:
+                        raise ValueError("no response records")
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for page, (charset, body_text) in enumerate(pages):
+                    text = html_extract_text(body_text)
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["page"].append(page)
+                    out["charset"].append(charset)
+                    out["text"].append(text)
+                    out["n_words"].append(len(text.split()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        extract,
+        schema=("doc_id long, ok boolean, page long, charset string, "
+                "text string, n_words long"),
+    )
+
+
 def synth_mp3_payload(df: DataFrame, id_col: str = "doc_id",
                       len_col: str = "n_chars") -> DataFrame:
     """Attach an ``mp3`` column of structurally-valid MP3 files:

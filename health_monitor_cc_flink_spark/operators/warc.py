@@ -238,8 +238,11 @@ def parse_warc(payload: bytes) -> list[dict]:
 
 def build_warc(responses, gzip_members: bool = True,
                warcinfo: str = "software: health-monitor-spark") -> bytes:
-    """[(uri, html_str), ...] -> WARC bytes with a warcinfo record then
-    one HTTP response record per entry (deterministic record ids)."""
+    """[(uri, html_str), ...] or [(uri, html_str, charset), ...] ->
+    WARC bytes with a warcinfo record then one HTTP response record
+    per entry (deterministic record ids).  ``charset`` (default
+    utf-8) encodes the body and is declared in Content-Type;
+    utf-16-le/-be bodies get their BOM."""
     import gzip as gzip_mod
 
     def record(rtype: str, extra: dict, body: bytes, idx: int) -> bytes:
@@ -257,10 +260,17 @@ def build_warc(responses, gzip_members: bool = True,
     out.append(
         record("warcinfo", {"Content-Type": "application/warc-fields"}, info, 0)
     )
-    for i, (uri, html) in enumerate(responses, start=1):
-        html_b = html.encode()
+    for i, entry in enumerate(responses, start=1):
+        uri, html = entry[0], entry[1]
+        charset = entry[2] if len(entry) > 2 else "utf-8"
+        html_b = html.encode(charset)
+        if charset == "utf-16-le":
+            html_b = b"\xff\xfe" + html_b
+        elif charset == "utf-16-be":
+            html_b = b"\xfe\xff" + html_b
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"HTTP/1.1 200 OK\r\n"
+            + f"Content-Type: text/html; charset={charset}\r\n".encode()
             + f"Content-Length: {len(html_b)}\r\n\r\n".encode()
             + html_b
         )
@@ -280,3 +290,45 @@ def build_warc(responses, gzip_members: bool = True,
             gzip_mod.compress(r, mtime=0) for r in out
         )
     return b"".join(out)
+
+
+#: Charset labels this decoder supports (normalized); anything else
+#: declared in Content-Type raises so the row is flagged, not
+#: mis-transcoded.
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8", "us-ascii": "ascii",
+    "ascii": "ascii", "iso-8859-1": "iso-8859-1",
+    "latin-1": "iso-8859-1", "latin1": "iso-8859-1",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+
+def decode_text_body(headers: dict, body: bytes):
+    """Charset-aware body decode -> (charset_label, str).  Precedence
+    (what real crawl pipelines do): BOM > Content-Type charset
+    parameter > UTF-8 validity probe > Latin-1 fallback (never
+    fails).  A declared-but-unsupported charset, or bytes invalid in
+    the DECLARED charset, raise ``ValueError`` so the row is flagged
+    rather than silently mojibake'd."""
+    import re as _re
+
+    if body[:2] == b"\xff\xfe":
+        return "utf-16-le", body[2:].decode("utf-16-le")
+    if body[:2] == b"\xfe\xff":
+        return "utf-16-be", body[2:].decode("utf-16-be")
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8", body[3:].decode("utf-8")
+    m = _re.search(r"charset=\"?([A-Za-z0-9_\-]+)",
+                   headers.get("content-type", ""), _re.IGNORECASE)
+    if m:
+        declared = m.group(1).lower()
+        if declared not in _CHARSET_ALIASES:
+            raise ValueError(f"unsupported charset {declared}")
+        cs = _CHARSET_ALIASES[declared]
+        return cs, body.decode(cs)  # UnicodeDecodeError IS a ValueError
+    try:
+        return "utf-8", body.decode("utf-8")
+    except UnicodeDecodeError:
+        return "iso-8859-1", body.decode("iso-8859-1")

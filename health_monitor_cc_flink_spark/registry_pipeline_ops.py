@@ -6585,6 +6585,39 @@ def mm_warc_html_extract(spark, sf_dir):
 
 
 @query(
+    "mm_warc_charset_extract",
+    """
+    WITH pages AS (
+        SELECT doc_id, kk.k FROM documents,
+             LATERAL unnest(generate_series(0, 2)) AS kk(k)
+    )
+    SELECT doc_id, TRUE AS ok, k AS page,
+           (['utf-8','utf-16-le','iso-8859-1'])
+               [CAST((doc_id + k) % 3 + 1 AS INT)] AS charset,
+           'T' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+               || ' café ' || CAST(doc_id AS VARCHAR) || ' '
+               || CAST(k AS VARCHAR) || ' naïve&über' AS text,
+           CAST(5 AS BIGINT) AS n_words
+    FROM pages
+    """,
+    doc="Charset detection + transcoding for crawled text — the "
+    "legacy-encoding reality of web corpora: BOM sniffing (UTF-16 "
+    "LE/BE, UTF-8), Content-Type charset parameters, a UTF-8 validity "
+    "probe, and a Latin-1 fallback; declared-but-unsupported charsets "
+    "or bytes invalid in the declared charset FLAG the row instead of "
+    "emitting mojibake.  The synth cycles utf-8 / BOM'd utf-16-le / "
+    "header-declared iso-8859-1 pages carrying non-ASCII text, and "
+    "the gate hashes the transcoded extraction itself, so one wrong "
+    "byte-order or codepage assumption breaks it.",
+)
+def mm_warc_charset_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.warc_charset_extract(M.synth_warc_charset_payload(docs))
+
+
+@query(
     "mm_mp3_metadata_triage",
     """
     WITH p AS (

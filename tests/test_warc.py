@@ -147,3 +147,54 @@ def test_unsupported_codings_flag_not_corrupt():
         decode_http_body({"transfer-encoding": "chunked"}, b"not hex\r\n")
     with pytest.raises(ValueError, match="corrupt"):
         decode_http_body({"content-encoding": "gzip"}, b"\x1f\x8bbroken")
+
+
+def test_charset_detection_precedence_and_failures():
+    """BOM > Content-Type > UTF-8 probe > Latin-1 fallback; declared-
+    but-wrong charsets flag, unknown charsets flag."""
+    from health_monitor_cc_flink_spark.operators.warc import decode_text_body
+
+    # BOM wins even when the header declares something else
+    body = b"\xff\xfe" + "café".encode("utf-16-le")
+    cs, txt = decode_text_body({"content-type": "text/html; charset=iso-8859-1"}, body)
+    assert (cs, txt) == ("utf-16-le", "café")
+    cs, txt = decode_text_body({}, b"\xfe\xff" + "über".encode("utf-16-be"))
+    assert (cs, txt) == ("utf-16-be", "über")
+    cs, txt = decode_text_body({}, b"\xef\xbb\xbf" + "naïve".encode())
+    assert (cs, txt) == ("utf-8", "naïve")
+    # declared charset honored (case-insensitive, quoted)
+    cs, txt = decode_text_body(
+        {"content-type": 'text/html; charset="Windows-1252"'},
+        "café".encode("windows-1252"))
+    assert (cs, txt) == ("windows-1252", "café")
+    # no declaration: valid utf-8 -> utf-8; invalid -> latin-1 fallback
+    assert decode_text_body({}, "déjà".encode())[0] == "utf-8"
+    cs, txt = decode_text_body({}, b"caf\xe9")  # bare latin-1 byte
+    assert (cs, txt) == ("iso-8859-1", "café")
+    # declared utf-8 with invalid bytes flags (UnicodeDecodeError is a
+    # ValueError), and unknown charsets flag
+    with pytest.raises(ValueError):
+        decode_text_body({"content-type": "text/html; charset=utf-8"},
+                         b"\xff\xff\xff")
+    with pytest.raises(ValueError, match="unsupported charset"):
+        decode_text_body({"content-type": "text/html; charset=shift_jis"},
+                         b"abc")
+
+
+def test_build_warc_charset_pages_roundtrip():
+    from health_monitor_cc_flink_spark.operators.warc import (
+        build_warc,
+        decode_text_body,
+        html_extract_text,
+        parse_warc,
+    )
+
+    pages = [("http://x/0", "<p>café zero</p>", "utf-16-le"),
+             ("http://x/1", "<p>über one</p>", "iso-8859-1"),
+             ("http://x/2", "<p>plain two</p>")]  # 2-tuple back-compat
+    recs = [r for r in parse_warc(build_warc(pages))
+            if r["fields"].get("warc-type") == "response"]
+    got = [decode_text_body(r["http_headers"], r["http_body"]) for r in recs]
+    assert [c for c, _ in got] == ["utf-16-le", "iso-8859-1", "utf-8"]
+    assert [html_extract_text(t) for _, t in got] == [
+        "café zero", "über one", "plain two"]
