@@ -212,3 +212,153 @@ def encode_bmp(arr, palette=None, compression: int = 0,
     file_hdr = struct.pack("<2sIHHI", b"BM", data_off + len(pix), 0, 0,
                            data_off)
     return file_hdr + info + pal_bytes + pix
+
+
+# -----------------------------------------------------------------------------
+# ICO — the favicon container (ICONDIR + entries); members are either
+# PNG streams or headerless DIBs (BITMAPINFOHEADER with DOUBLED height:
+# XOR color data then a 1-bit AND transparency mask, rows padded to 32
+# bits).  Web scrapes are full of these.
+# -----------------------------------------------------------------------------
+
+MAX_ICO_MEMBERS = 256
+
+
+def decode_ico(payload: bytes) -> list:
+    """ICO bytes -> list of (kind, ndarray) per member: ('png', any
+    PNG-decoder output) or ('bmp', (h, w, 4) RGBA with alpha from the
+    AND mask).  Malformed containers raise ``ValueError``."""
+    from .multimodal import _PNG_SIG, decode_png
+
+    p = bytes(payload)
+    if len(p) < 6:
+        raise ValueError("truncated ICO header")
+    reserved, rtype, count = struct.unpack("<HHH", p[:6])
+    if reserved != 0 or rtype != 1:
+        raise ValueError("not an ICO: bad ICONDIR")
+    if count == 0 or count > MAX_ICO_MEMBERS:
+        raise ValueError("ICO member count out of range")
+    if 6 + 16 * count > len(p):
+        raise ValueError("truncated ICONDIR entries")
+    out = []
+    for e in range(count):
+        base = 6 + 16 * e
+        size, off = struct.unpack("<II", p[base + 8 : base + 16])
+        if off + size > len(p):
+            raise ValueError("ICO member out of bounds")
+        member = p[off : off + size]
+        if member[:8] == _PNG_SIG:
+            out.append(("png", decode_png(member)))
+            continue
+        # headerless DIB: BITMAPINFOHEADER with doubled height
+        if len(member) < 40:
+            raise ValueError("truncated ICO DIB header")
+        hdr_size = struct.unpack("<I", member[:4])[0]
+        if hdr_size != 40:
+            raise ValueError("unsupported ICO DIB header size")
+        w, h2 = struct.unpack("<ii", member[4:12])
+        planes, bpp = struct.unpack("<HH", member[12:16])
+        comp = struct.unpack("<I", member[16:20])[0]
+        if h2 % 2 or h2 <= 0 or w <= 0:
+            raise ValueError("ICO DIB height must be positive and doubled")
+        h = h2 // 2
+        if comp != 0 or planes != 1:
+            raise NotImplementedError("compressed ICO DIBs not supported")
+        if w * h * 4 > MAX_PIXELS:
+            raise ValueError("ICO dimensions exceed decoder limit")
+        if bpp == 8:
+            n_colors = struct.unpack("<I", member[32:36])[0] or 256
+            pal_off = 40
+            pal_end = pal_off + 4 * n_colors
+            quads = np.frombuffer(
+                member[pal_off:pal_end], dtype=np.uint8
+            ).reshape(-1, 4)
+            palette = quads[:, [2, 1, 0]]
+            stride = (w + 3) & ~3
+            xor_end = pal_end + stride * h
+            if xor_end > len(member):
+                raise ValueError("truncated ICO XOR data")
+            idx = np.frombuffer(
+                member[pal_end:xor_end], dtype=np.uint8
+            ).reshape(h, stride)[:, :w]
+            if int(idx.max(initial=0)) >= palette.shape[0]:
+                raise ValueError("ICO palette index out of range")
+            rgb = palette[idx]
+        elif bpp == 24:
+            stride = (w * 3 + 3) & ~3
+            pal_end = 40
+            xor_end = pal_end + stride * h
+            if xor_end > len(member):
+                raise ValueError("truncated ICO XOR data")
+            rows = np.frombuffer(
+                member[pal_end:xor_end], dtype=np.uint8
+            ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            rgb = rows[:, :, ::-1]
+        else:
+            raise NotImplementedError(f"{bpp}-bit ICO DIB not supported")
+        mask_stride = ((w + 31) // 32) * 4
+        mask_end = xor_end + mask_stride * h
+        if mask_end > len(member):
+            raise ValueError("truncated ICO AND mask")
+        mask_rows = np.frombuffer(
+            member[xor_end:mask_end], dtype=np.uint8
+        ).reshape(h, mask_stride)
+        bits = np.unpackbits(mask_rows, axis=1)[:, :w]
+        alpha = np.where(bits == 1, 0, 255).astype(np.uint8)
+        rgba = np.concatenate([rgb, alpha[:, :, None]], axis=2)
+        out.append(("bmp", np.ascontiguousarray(rgba[::-1])))
+    return out
+
+
+def encode_ico(members) -> bytes:
+    """[(kind, payload_or_arrays)] -> ICO bytes.  kind 'png': payload
+    is ready PNG bytes.  kind 'bmp': payload is ((h, w) index array,
+    (n, 3) palette, (h, w) bool transparency) encoded as a headerless
+    8-bit DIB with AND mask."""
+    if not 1 <= len(members) <= MAX_ICO_MEMBERS:
+        raise ValueError("ICO needs 1..256 members")
+    blobs = []
+    dims = []
+    for kind, payload in members:
+        if kind == "png":
+            from .multimodal import decode_png
+
+            img = decode_png(payload)  # also validates
+            dims.append((img.shape[1], img.shape[0]))
+            blobs.append(bytes(payload))
+            continue
+        idx, pal, trans = payload
+        idx = np.ascontiguousarray(idx, dtype=np.uint8)
+        pal = np.ascontiguousarray(pal, dtype=np.uint8)
+        trans = np.ascontiguousarray(trans, dtype=bool)
+        h, w = idx.shape
+        if trans.shape != (h, w):
+            raise ValueError("transparency mask shape mismatch")
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        quads = np.zeros((pal.shape[0], 4), dtype=np.uint8)
+        quads[:, :3] = pal[:, ::-1]
+        stride = (w + 3) & ~3
+        xor = np.zeros((h, stride), dtype=np.uint8)
+        xor[:, :w] = idx[::-1]  # bottom-up
+        mask_stride = ((w + 31) // 32) * 4
+        mask = np.zeros((h, mask_stride * 8), dtype=np.uint8)
+        mask[:, :w] = trans[::-1].astype(np.uint8)
+        mask_bytes = np.packbits(mask, axis=1)[:, :mask_stride]
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, 2 * h, 1, 8, 0,
+            stride * h + mask_stride * h, 0, 0, pal.shape[0], 0,
+        )
+        blobs.append(hdr + quads.tobytes() + xor.tobytes()
+                     + mask_bytes.tobytes())
+        dims.append((w, h))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(members)))
+    off = 6 + 16 * len(members)
+    for (w, h), blob in zip(dims, blobs):
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 8, len(blob), off
+        )
+        off += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)

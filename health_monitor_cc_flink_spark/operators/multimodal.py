@@ -2169,6 +2169,95 @@ def bmp_decode_features(df: DataFrame, payload_col: str = "bmp",
     )
 
 
+def synth_ico_payload(df: DataFrame, id_col: str = "doc_id",
+                      len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``ico`` column of two-member favicons: member 0 an
+    8-bit headerless DIB (idx = (x+y)%16, palette (4j, 8j, 12j), AND
+    mask transparent where (x+y)%5 == 0), member 1 a PNG gray image
+    ((7x + 3y) % 256).  Square icons, side 8*(id%3+2)."""
+    from .bmp import encode_ico
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(8) * (F.col(id_col) % 3 + 2)).cast("int").alias("side"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        pal = np.stack(
+            [4 * np.arange(16), 8 * np.arange(16), 12 * np.arange(16)],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            icos = []
+            for d, side in zip(pdf["doc_id"], pdf["side"]):
+                s = int(side)
+                y, x = np.mgrid[0:s, 0:s]
+                idx = ((x + y) % 16).astype(np.uint8)
+                trans = (x + y) % 5 == 0
+                png = encode_png(((7 * x + 3 * y) % 256).astype(np.uint8))
+                icos.append(
+                    encode_ico([("bmp", (idx, pal, trans)), ("png", png)])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ico": icos})
+
+    return src.mapInPandas(gen, schema="doc_id long, ico binary")
+
+
+def ico_decode_features(df: DataFrame, payload_col: str = "ico",
+                        id_col: str = "doc_id") -> DataFrame:
+    """EXPLODE favicons into one row per member with real decode:
+    PNG members via the native PNG decoder, DIB members with XOR data
+    + AND-mask transparency.  Corrupt containers flag one row."""
+    from .bmp import decode_ico
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("member", "kind", "width", "height", "px_sum",
+                "n_transparent")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    members = decode_ico(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for m, (kind, img) in enumerate(members):
+                    rgb = img[:, :, :3] if img.ndim == 3 else img
+                    alpha = (
+                        img[:, :, 3]
+                        if img.ndim == 3 and img.shape[2] == 4
+                        else None
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["member"].append(m)
+                    out["kind"].append(kind)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["px_sum"].append(int(rgb.sum(dtype=np.int64)))
+                    out["n_transparent"].append(
+                        0 if alpha is None else int((alpha == 0).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, member long, kind string, "
+                "width long, height long, px_sum long, n_transparent long"),
+    )
+
+
 #: TIFF synth subtype cases (byte order, compression, rows/strip, rgb?).
 _TIFF_CASES = [
     ("II", 1, None, False), ("MM", 32773, 4, False),

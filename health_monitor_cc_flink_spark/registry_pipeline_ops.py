@@ -6074,6 +6074,50 @@ def mm_png_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_ico_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, 8 * (doc_id % 3 + 2) AS s FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.s,
+               (xx.x + yy.y) % 16 AS j,
+               (7*xx.x + 3*yy.y) % 256 AS g,
+               CASE WHEN (xx.x + yy.y) % 5 = 0 THEN 1 ELSE 0 END AS tr
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.s - 1)) AS xx(x),
+             LATERAL unnest(generate_series(0, d.s - 1)) AS yy(y)
+    ), agg AS (
+        SELECT doc_id, any_value(s) AS s,
+               CAST(sum(24*j) AS BIGINT) AS bmp_sum,
+               CAST(sum(g) AS BIGINT) AS png_sum,
+               CAST(sum(tr) AS BIGINT) AS n_tr
+        FROM px GROUP BY doc_id
+    )
+    SELECT doc_id, TRUE AS ok, mm.m AS member,
+           CASE WHEN mm.m = 0 THEN 'bmp' ELSE 'png' END AS kind,
+           CAST(s AS BIGINT) AS width, CAST(s AS BIGINT) AS height,
+           CASE WHEN mm.m = 0 THEN bmp_sum ELSE png_sum END AS px_sum,
+           CASE WHEN mm.m = 0 THEN n_tr ELSE CAST(0 AS BIGINT) END
+               AS n_transparent
+    FROM agg, LATERAL unnest(generate_series(0, 1)) AS mm(m)
+    """,
+    doc="ICO favicon container decode under the hash gate — ICONDIR "
+    "entry walk, PNG members routed to the native PNG decoder, "
+    "headerless-DIB members decoded with the doubled-height XOR + "
+    "1-bit AND transparency mask (rows padded to 32 bits), palette "
+    "resolved, bottom-up flipped.  One row per member; the oracle "
+    "re-derives pixel sums and the transparent-pixel count from grid "
+    "arithmetic.  Scale: Arrow CPU-map explode (rows multiply, bytes "
+    "bounded).",
+)
+def mm_ico_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.ico_decode_features(M.synth_ico_payload(docs))
+
+
+@query(
     "mm_bmp_decode_features",
     """
     WITH dims AS (

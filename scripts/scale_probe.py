@@ -234,6 +234,14 @@ PROBE_QUERIES = (
     "mm_jpeg_subsampling_decode_features",
     "mm_jpeg12_decode_features",
     "mm_tiff_decode_features",
+    # round-9 continuation: BMP/EXIF/charset are the usual CPU-map
+    # shapes; the URL family is pure codegen string work (the quota
+    # sampler adds one window shuffle on the domain key)
+    "mm_bmp_decode_features",
+    "mm_jpeg_exif_metadata",
+    "mm_warc_charset_extract",
+    "text_url_canonicalize",
+    "corpus_domain_quota_sample",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.

@@ -110,3 +110,36 @@ def test_decode_image_routes_bmp():
 
     rgb = _rgb()
     assert np.array_equal(decode_image(encode_bmp(rgb)), rgb)
+
+
+def test_ico_container_roundtrip_and_hostiles():
+    """ICO: DIB member with AND-mask alpha + PNG member; corrupt
+    containers raise ValueError."""
+    from health_monitor_cc_flink_spark.operators.bmp import (
+        decode_ico,
+        encode_ico,
+    )
+    from health_monitor_cc_flink_spark.operators.multimodal import encode_png
+
+    y, x = np.mgrid[0:16, 0:16]
+    idx = ((x + y) % 16).astype(np.uint8)
+    trans = (x + y) % 5 == 0
+    png_img = ((7 * x + 3 * y) % 256).astype(np.uint8)
+    ico = encode_ico([("bmp", (idx, PAL, trans)), ("png", encode_png(png_img))])
+    (k0, rgba), (k1, img1) = decode_ico(ico)
+    assert k0 == "bmp" and rgba.shape == (16, 16, 4)
+    assert np.array_equal(rgba[:, :, :3], PAL[idx])
+    assert np.array_equal(rgba[:, :, 3], np.where(trans, 0, 255))
+    assert k1 == "png" and np.array_equal(img1, png_img)
+    # hostiles
+    with pytest.raises(ValueError, match="ICONDIR"):
+        decode_ico(b"\x01\x00\x01\x00\x01\x00" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="truncated|out of bounds"):
+        decode_ico(ico[:30])
+    trunc = bytearray(ico)
+    # member 0 size points past the end
+    trunc[14:18] = struct.pack("<I", 1 << 30)
+    with pytest.raises(ValueError):
+        decode_ico(bytes(trunc))
+    with pytest.raises(ValueError, match="member count"):
+        decode_ico(struct.pack("<HHH", 0, 1, 0))
