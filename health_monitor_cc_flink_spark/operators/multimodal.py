@@ -103,6 +103,12 @@ def decode_image(payload: bytes):
         from .bmp import decode_bmp
 
         return decode_bmp(payload)  # (h, w, 3) RGB, paletted/24-bit/RLE8
+    elif bytes(payload[:4]) == b"\x00\x00\x01\x00":
+        from .bmp import decode_ico
+
+        # favicon: return the largest member (what browsers pick)
+        members = decode_ico(payload)
+        return max(members, key=lambda m: m[1].shape[0] * m[1].shape[1])[1]
     elif bytes(payload[:3]) == b"\xff\xd8\xff":
         import importlib.util
 

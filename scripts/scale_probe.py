@@ -238,6 +238,7 @@ PROBE_QUERIES = (
     # shapes; the URL family is pure codegen string work (the quota
     # sampler adds one window shuffle on the domain key)
     "mm_bmp_decode_features",
+    "mm_ico_decode_features",
     "mm_jpeg_exif_metadata",
     "mm_warc_charset_extract",
     "text_url_canonicalize",
