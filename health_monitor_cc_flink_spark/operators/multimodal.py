@@ -1236,6 +1236,88 @@ def synth_wav_tone_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, wav binary")
 
 
+def synth_aiff_tone_payload(df: DataFrame, id_col: str = "doc_id",
+                            len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``aiff`` column: the SAME square-wave tone family as
+    synth_wav_tone_payload, but framed as big-endian AIFF with the
+    80-bit extended-float sample rate — so the closed-form oracle also
+    pins the f80 and big-endian-PCM paths."""
+    from .aiff import encode_aiff
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(500) + F.col(id_col) % 1000).cast("int").alias("amp"),
+        (F.lit(25) * (F.col(id_col) % 4 + 1)).cast("int").alias("half"),
+        (F.col(len_col) + 1000).cast("int").alias("n"),
+        (F.lit(8000) * (F.col(id_col) % 5 + 1)).cast("int").alias("sr"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            aiffs = []
+            for amp, half, n, sr in zip(pdf["amp"], pdf["half"],
+                                        pdf["n"], pdf["sr"]):
+                t = np.arange(int(n))
+                pcm = np.where(
+                    (t // int(half)) % 2 == 0, int(amp), -int(amp)
+                ).astype(np.int16)
+                aiffs.append(encode_aiff(pcm, int(sr)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "aiff": aiffs})
+
+    return src.mapInPandas(gen, schema="doc_id long, aiff binary")
+
+
+def aiff_pcm_decode_features(df: DataFrame, payload_col: str = "aiff",
+                             id_col: str = "doc_id") -> DataFrame:
+    """AIFF decode -> exact-integer signal features (mirrors
+    wav_pcm_decode_features: energy, zero crossings, extremes) plus
+    the sample rate recovered through the 80-bit extended float."""
+    from .aiff import decode_aiff
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("channels", "sample_rate", "n_samples", "sumsq",
+                "zero_crossings", "amp_min", "amp_max")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    s, rate, _ = decode_aiff(bytes(p))
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                mono = s[:, 0].astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["channels"].append(s.shape[1])
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(s.shape[0])
+                out["sumsq"].append(int((mono * mono).sum()))
+                out["zero_crossings"].append(
+                    int((np.signbit(mono[1:]) != np.signbit(mono[:-1])).sum())
+                )
+                out["amp_min"].append(int(mono.min()))
+                out["amp_max"].append(int(mono.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, channels long, "
+                "sample_rate long, n_samples long, sumsq long, "
+                "zero_crossings long, amp_min long, amp_max long"),
+    )
+
+
 def wav_pcm_decode_features(df: DataFrame, payload_col: str = "wav",
                             id_col: str = "doc_id") -> DataFrame:
     """REAL audio decode over Arrow batches: open each payload with the

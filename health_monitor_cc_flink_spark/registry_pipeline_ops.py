@@ -7088,6 +7088,43 @@ def mm_avi_mjpeg_frame_sample(spark, sf_dir):
 
 
 @query(
+    "mm_aiff_pcm_decode_features",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(500 + doc_id % 1000 AS BIGINT) AS amp,
+               CAST(25 * (doc_id % 4 + 1) AS BIGINT) AS half,
+               CAST(n_chars + 1000 AS BIGINT) AS n,
+               CAST(8000 * (doc_id % 5 + 1) AS BIGINT) AS sr
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS ok,
+           CAST(1 AS BIGINT) AS channels,
+           sr AS sample_rate,
+           n AS n_samples,
+           CAST(n * amp * amp AS BIGINT) AS sumsq,
+           CAST((n - 1) // half AS BIGINT) AS zero_crossings,
+           CAST(-amp AS BIGINT) AS amp_min,
+           amp AS amp_max
+    FROM p
+    """,
+    doc="AIFF decode under the hash gate — the BIG-ENDIAN legacy audio "
+    "container: IFF FORM/AIFF chunk walk with even padding, COMM parse "
+    "including the 80-bit IEEE EXTENDED float sample rate (sign, "
+    "15-bit biased exponent, explicit-integer-bit mantissa — recovered "
+    "exactly and gated as a column), SSND offset handling, big-endian "
+    "16-bit PCM.  Same square-tone family as the WAV query, so every "
+    "signal feature is closed-form and a byte-order or f80 mistake "
+    "breaks the hash.  Scale: Arrow CPU-map.",
+)
+def mm_aiff_pcm_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.aiff_pcm_decode_features(M.synth_aiff_tone_payload(docs))
+
+
+@query(
     "mm_wav_pcm_decode_features",
     """
     WITH p AS (
