@@ -241,6 +241,7 @@ PROBE_QUERIES = (
     "mm_ico_decode_features",
     "mm_jpeg_exif_metadata",
     "mm_warc_charset_extract",
+    "mm_aiff_pcm_decode_features",
     "text_url_canonicalize",
     "corpus_domain_quota_sample",
 )
