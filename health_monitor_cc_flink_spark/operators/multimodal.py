@@ -2347,6 +2347,8 @@ def ico_decode_features(df: DataFrame, payload_col: str = "ico",
 
 
 #: TIFF synth subtype cases (byte order, compression, rows/strip, rgb?).
+#: The two LZW cases carry Predictor 2 (horizontal differencing), the
+#: combination real LZW TIFFs ship with.
 _TIFF_CASES = [
     ("II", 1, None, False), ("MM", 32773, 4, False),
     ("II", 32773, 8, True), ("MM", 1, None, True),
@@ -2380,6 +2382,7 @@ def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id",
             for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
                 d, w, h = int(d), int(w), int(h)
                 bo, comp, rps, rgb = _TIFF_CASES[d % 6]
+                pred = 2 if comp == 5 else 1
                 y, x = np.mgrid[0:h, 0:w]
                 if rgb:
                     img = np.stack(
@@ -2388,7 +2391,8 @@ def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id",
                     ).astype(np.uint8)
                 else:
                     img = ((x + 2 * y) % 256).astype(np.uint8)
-                tiffs.append(encode_tiff(img, bo, comp, rps))
+                tiffs.append(encode_tiff(img, bo, comp, rps,
+                                         predictor=pred))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "tiff": tiffs})
 
     return src.mapInPandas(gen, schema="doc_id long, tiff binary")

@@ -16,7 +16,8 @@ environment.
 * ``decode_tiff`` — baseline subset: 8-bit grayscale (photometric
   0/1, MinIsBlack and MinIsWhite) and RGB (photometric 2), strip-
   based, Compression 1 (none), 5 (LZW, MSB-first with early change)
-  or 32773 (PackBits), II and MM byte orders, multi-strip with
+  or 32773 (PackBits), Predictor 2 (horizontal differencing — what
+  real LZW TIFFs use), II and MM byte orders, multi-strip with
   RowsPerStrip.
 * ``encode_tiff`` — writes spec-conformant files in either byte
   order, none/PackBits, configurable rows per strip — the test/oracle
@@ -49,7 +50,7 @@ TAG_NAMES = {
     273: "StripOffsets", 274: "Orientation", 277: "SamplesPerPixel",
     278: "RowsPerStrip", 279: "StripByteCounts", 282: "XResolution",
     283: "YResolution", 296: "ResolutionUnit", 305: "Software",
-    306: "DateTime",
+    306: "DateTime", 317: "Predictor",
 }
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
@@ -338,7 +339,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     comp = one(259, 1)
     photo = one(262)
     spp = one(277, 1)
+    predictor = one(317, 1)
     bits = tags.get(258, [8])
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"predictor {predictor} not supported")
     if w <= 0 or h <= 0:
         raise ValueError("invalid TIFF dimensions")
     if any(int(b) != 8 for b in bits):
@@ -380,6 +384,15 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             strip = lzw_decode(strip, want)
         if len(strip) != want:
             raise ValueError("strip length disagrees with dimensions")
+        if predictor == 2:
+            # horizontal differencing (tag 317): per-row, per-channel
+            # cumulative sum mod 256 restores the samples
+            rows = np.frombuffer(strip, dtype=np.uint8).reshape(
+                strip_rows, w, spp
+            )
+            strip = (
+                np.cumsum(rows.astype(np.uint32), axis=1) % 256
+            ).astype(np.uint8).tobytes()
         out += strip
     img = np.frombuffer(bytes(out), dtype=np.uint8)
     if photo == 0:  # MinIsWhite: invert to the usual convention
@@ -392,7 +405,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
                 rows_per_strip: int | None = None,
                 photometric: int | None = None,
-                software: str = "health-monitor-spark") -> bytes:
+                software: str = "health-monitor-spark",
+                predictor: int = 1) -> bytes:
     """uint8 (h, w) gray or (h, w, 3) RGB -> complete TIFF file.
     ``byte_order`` 'II' or 'MM'; ``compression`` 1 (none) or 32773
     (PackBits); strips of ``rows_per_strip`` rows (default: whole
@@ -416,13 +430,25 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
             "compression must be 1 (none), 5 (LZW) or 32773 (PackBits)"
         )
     bo = "<" if byte_order == "II" else ">"
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if predictor == 2 and compression == 1:
+        raise ValueError("predictor 2 needs a compression scheme")
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
     if photo == 0:
         a = 255 - a
     flat = a.reshape(h, w * spp)
     strips = []
     for s in range(-(-h // rps)):
-        raw = flat[s * rps : (s + 1) * rps].tobytes()
+        block = flat[s * rps : (s + 1) * rps]
+        if predictor == 2:
+            rows = block.reshape(block.shape[0], w, spp).astype(np.int16)
+            diff = rows.copy()
+            diff[:, 1:, :] -= rows[:, :-1, :]
+            block = (diff % 256).astype(np.uint8).reshape(
+                block.shape[0], w * spp
+            )
+        raw = block.tobytes()
         if compression == 32773:
             raw = packbits_encode(raw)
         elif compression == 5:
@@ -460,6 +486,8 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
         (279, 4, [len(st) for st in strips]),
         (305, 2, None),  # Software -> sw_off
     ]
+    if predictor == 2:
+        fields.insert(9, (317, 3, [2]))
     # overflow values land after the IFD
     n_entries = len(fields)
     overflow_off = ifd_off + 2 + 12 * n_entries + 4

@@ -201,3 +201,33 @@ def test_lzw_unit_vectors_and_hostiles():
         acc = (300 << 9) | 257
         lzw_decode(bytes([(acc >> 10) & 0xFF, (acc >> 2) & 0xFF,
                           (acc << 6) & 0xFF]), 100)
+
+
+def test_predictor2_roundtrip_and_tag():
+    """Predictor 2 (horizontal differencing): round-trips with LZW and
+    PackBits, writes tag 317, shrinks LZW output on smooth content."""
+    from health_monitor_cc_flink_spark.operators.tiff import (
+        decode_tiff as _dec,
+        encode_tiff as _enc,
+        parse_tiff_ifd as _ifd,
+    )
+
+    for comp in (5, 32773):
+        for img in (_gray(), _rgb()):
+            t = _enc(img, "MM", comp, 4, predictor=2)
+            assert np.array_equal(_dec(t), img), comp
+            assert _ifd(t)[1][317] == [2]
+    smooth = _gray(64, 64)
+    assert len(_enc(smooth, "II", 5, predictor=2)) < len(_enc(smooth, "II", 5))
+    with pytest.raises(ValueError, match="predictor"):
+        _enc(smooth, "II", 1, predictor=2)
+    # unsupported predictor value on decode is explicit
+    t = bytearray(_enc(smooth, "II", 5, predictor=2))
+    ifd_off = struct.unpack("<I", t[4:8])[0]
+    n = struct.unpack("<H", t[ifd_off:ifd_off + 2])[0]
+    for e in range(n):
+        base = ifd_off + 2 + 12 * e
+        if struct.unpack("<H", bytes(t[base:base + 2]))[0] == 317:
+            t[base + 8:base + 12] = struct.pack("<I", 3)
+    with pytest.raises(NotImplementedError, match="predictor"):
+        decode_tiff(bytes(t))
