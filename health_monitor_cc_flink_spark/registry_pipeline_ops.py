@@ -1554,6 +1554,86 @@ _URL_ORACLE_CTE = """
 """
 
 
+#: The robots.txt template every doc in corpus_robots_screen evaluates
+#: against (two groups: a specific agent and the ``*`` fallback).
+_ROBOTS_TEMPLATE = (
+    "User-agent: goodbot\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /tmp/*\n"
+    "Disallow: /exact$\n"
+    "Allow:\n"
+)
+
+
+@query(
+    "corpus_robots_screen",
+    """
+    WITH u AS (
+        SELECT doc_id, doc_id % 6 AS c, doc_id % 2 AS g,
+               CAST(doc_id % 7 AS VARCHAR) AS p7
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN g = 0 THEN 'goodbot' ELSE 'otherbot' END AS agent,
+           CASE c WHEN 0 THEN '/private/secret' || p7
+                  WHEN 1 THEN '/private/ok/p' || p7
+                  WHEN 2 THEN '/public/p' || p7
+                  WHEN 3 THEN '/tmp/t' || p7 || '/x'
+                  WHEN 4 THEN '/exact'
+                  ELSE '/exactly' END AS path,
+           CASE WHEN g = 0 THEN c <> 0
+                ELSE c NOT IN (3, 4) END AS allowed,
+           CASE WHEN g = 0 THEN
+                    CASE c WHEN 0 THEN '/private/'
+                           WHEN 1 THEN '/private/ok'
+                           ELSE NULL END
+                ELSE
+                    CASE c WHEN 3 THEN '/tmp/*'
+                           WHEN 4 THEN '/exact$'
+                           ELSE '' END
+           END AS matched_pattern
+    FROM u
+    """,
+    doc="robots.txt evaluation (RFC 9309) as PURE DataFrame ops — the "
+    "crawl-politeness screen before a URL may enter a corpus: line "
+    "explode, gaps-and-islands User-agent GROUP recovery, exact-agent-"
+    "beats-* group scoring, wildcard translation (* and trailing $) "
+    "into rlike regexes, LONGEST-match with Allow winning ties, empty "
+    "Disallow = allow-all, no-match = allowed.  Six path shapes x two "
+    "agents against a two-group robots file; the oracle re-derives "
+    "verdict AND matched pattern closed-form.  Zero UDFs; windows "
+    "partition per request row, so state is one robots file (RFC caps "
+    "them at 500 KiB).",
+)
+def corpus_robots_screen(spark, sf_dir):
+    from .operators.robots import robots_allowed
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    src = docs.select(
+        "doc_id",
+        F.lit(_ROBOTS_TEMPLATE).alias("robots_txt"),
+        F.when(d % 2 == 0, F.lit("goodbot"))
+        .otherwise(F.lit("otherbot"))
+        .alias("agent"),
+        F.when(d % 6 == 0, F.concat(F.lit("/private/secret"),
+                                    (d % 7).cast("string")))
+        .when(d % 6 == 1, F.concat(F.lit("/private/ok/p"),
+                                   (d % 7).cast("string")))
+        .when(d % 6 == 2, F.concat(F.lit("/public/p"),
+                                   (d % 7).cast("string")))
+        .when(d % 6 == 3, F.concat(F.lit("/tmp/t"), (d % 7).cast("string"),
+                                   F.lit("/x")))
+        .when(d % 6 == 4, F.lit("/exact"))
+        .otherwise(F.lit("/exactly"))
+        .alias("path"),
+    )
+    return robots_allowed(src)
+
+
 @query(
     "text_url_canonicalize",
     "WITH " + _URL_ORACLE_CTE + """
