@@ -244,6 +244,7 @@ PROBE_QUERIES = (
     "mm_aiff_pcm_decode_features",
     "text_url_canonicalize",
     "corpus_domain_quota_sample",
+    "corpus_robots_screen",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
