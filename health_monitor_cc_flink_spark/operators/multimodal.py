@@ -2398,6 +2398,88 @@ def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, tiff binary")
 
 
+def synth_tiff_multipage_payload(df: DataFrame, id_col: str = "doc_id",
+                                 len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``tiff`` column of MULTI-PAGE TIFFs (next-IFD chain):
+    m = id%3+1 gray pages with page-varying pattern
+    (x + 2y + 7k) % 256, byte order II/MM by id%2, compression cycling
+    none/LZW+predictor/PackBits by id%3."""
+    from .tiff import encode_tiff_multipage
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(8) * (F.col(id_col) % 4 + 2)).cast("int").alias("w"),
+        (F.lit(8) * (F.col(len_col) % 4 + 2)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            tiffs = []
+            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(d), int(w), int(h)
+                y, x = np.mgrid[0:h, 0:w]
+                pages = [
+                    ((x + 2 * y + 7 * k) % 256).astype(np.uint8)
+                    for k in range(d % 3 + 1)
+                ]
+                comp, pred = [(1, 1), (5, 2), (32773, 1)][d % 3]
+                tiffs.append(
+                    encode_tiff_multipage(
+                        pages, "II" if d % 2 == 0 else "MM", comp, 4,
+                        predictor=pred,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tiff": tiffs})
+
+    return src.mapInPandas(gen, schema="doc_id long, tiff binary")
+
+
+def tiff_pages_extract(df: DataFrame, payload_col: str = "tiff",
+                       id_col: str = "doc_id") -> DataFrame:
+    """EXPLODE multi-page TIFFs into one row per page (the scan/fax
+    ingestion shape): next-IFD chain walk with a cycle guard, full
+    per-page decode.  Corrupt containers flag one row."""
+    from .tiff import decode_tiff_pages
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("page", "width", "height", "px_sum", "px_min", "px_max")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    pages = decode_tiff_pages(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for k, img in enumerate(pages):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["page"].append(k)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["px_sum"].append(int(img.sum(dtype=np.int64)))
+                    out["px_min"].append(int(img.min()))
+                    out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, page long, width long, "
+                "height long, px_sum long, px_min long, px_max long"),
+    )
+
+
 def tiff_decode_features(df: DataFrame, payload_col: str = "tiff",
                          id_col: str = "doc_id") -> DataFrame:
     """REAL TIFF decode -> per-image statistics over Arrow batches:

@@ -321,13 +321,61 @@ def write_ifd(bo: str, entries: list, first_value_off: int) -> bytes:
     return out + struct.pack(bo + "I", 0) + overflow
 
 
+MAX_TIFF_PAGES = 1024
+
+
+def parse_tiff_pages(payload: bytes):
+    """TIFF bytes -> (byte_order, [tags per page]) following the
+    next-IFD chain (multi-page scans/faxes).  Cycles and hostile page
+    counts raise."""
+    payload = bytes(payload)
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    order = payload[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack(bo + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    pages = []
+    seen = set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise ValueError("IFD chain cycle")
+        seen.add(ifd_off)
+        if len(pages) >= MAX_TIFF_PAGES:
+            raise ValueError("IFD chain exceeds page cap")
+        pages.append(_parse_ifd(payload, bo, ifd_off))
+        (n_entries,) = struct.unpack(
+            bo + "H", payload[ifd_off : ifd_off + 2]
+        )
+        ptr = ifd_off + 2 + 12 * n_entries
+        (ifd_off,) = struct.unpack(bo + "I", payload[ptr : ptr + 4])
+    return order.decode("ascii"), pages
+
+
+def decode_tiff_pages(payload: bytes) -> list:
+    """Multi-page TIFF -> list of decoded page arrays."""
+    payload = bytes(payload)
+    _, pages = parse_tiff_pages(payload)
+    return [_decode_page(payload, tags) for tags in pages]
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Baseline TIFF -> uint8 ndarray: (h, w) gray or (h, w, 3) RGB.
-    Strip-based, Compression none/PackBits, II/MM, MinIsWhite gray
-    inverted to MinIsBlack convention on output."""
+    """Baseline TIFF -> uint8 ndarray: (h, w) gray or (h, w, 3) RGB —
+    the FIRST page of a multi-page file (use decode_tiff_pages for
+    all).  Strip-based, Compression none/LZW/PackBits, Predictor 2,
+    II/MM, MinIsWhite gray inverted to MinIsBlack convention."""
     payload = bytes(payload)
     _, tags = parse_tiff_ifd(payload)
+    return _decode_page(payload, tags)
 
+
+def _decode_page(payload: bytes, tags: dict) -> np.ndarray:
     def one(tag, default=None):
         if tag not in tags:
             if default is None:
@@ -402,16 +450,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return img.reshape(h, w, 3)
 
 
-def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
-                rows_per_strip: int | None = None,
-                photometric: int | None = None,
-                software: str = "health-monitor-spark",
-                predictor: int = 1) -> bytes:
-    """uint8 (h, w) gray or (h, w, 3) RGB -> complete TIFF file.
-    ``byte_order`` 'II' or 'MM'; ``compression`` 1 (none) or 32773
-    (PackBits); strips of ``rows_per_strip`` rows (default: whole
-    image in one strip).  Deterministic layout: header, pixel strips,
-    then the IFD."""
+def _encode_page(arr, bo: str, compression: int,
+                 rows_per_strip: int | None, photometric: int | None,
+                 software: str, predictor: int, base: int):
+    """Build one page section starting at absolute offset ``base``:
+    [strips | software | pad | IFD | overflow].  Returns (section
+    bytes, absolute IFD offset, position of the next-IFD pointer
+    WITHIN the section)."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         h, w = a.shape
@@ -423,13 +468,10 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
         photo = 2
     else:
         raise ValueError("encode_tiff supports (h,w) gray or (h,w,3) RGB")
-    if byte_order not in ("II", "MM"):
-        raise ValueError("byte_order must be 'II' or 'MM'")
     if compression not in (1, 5, 32773):
         raise ValueError(
             "compression must be 1 (none), 5 (LZW) or 32773 (PackBits)"
         )
-    bo = "<" if byte_order == "II" else ">"
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
     if predictor == 2 and compression == 1:
@@ -456,9 +498,8 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
         strips.append(raw)
 
     sw = software.encode("latin-1") + b"\x00"
-    # layout: 8-byte header | strips | software string | IFD
     strip_offs = []
-    pos = 8
+    pos = base
     for st in strips:
         strip_offs.append(pos)
         pos += len(st)
@@ -467,15 +508,6 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
     if pos % 2:  # IFDs must be word-aligned
         pos += 1
     ifd_off = pos
-
-    def entry(tag, vtype, values):
-        count = len(values)
-        size = _TYPE_SIZES[vtype] * count
-        fmt = {1: "B", 3: "H", 4: "I"}[vtype]
-        packed = struct.pack(bo + fmt * count, *values)
-        if size <= 4:
-            return struct.pack(bo + "HHI", tag, vtype, count) + packed.ljust(4, b"\x00"), b""
-        return None, packed  # caller assigns the overflow offset
 
     # ASCII software tag handled manually (stored at sw_off)
     fields = [
@@ -488,7 +520,6 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
     ]
     if predictor == 2:
         fields.insert(9, (317, 3, [2]))
-    # overflow values land after the IFD
     n_entries = len(fields)
     overflow_off = ifd_off + 2 + 12 * n_entries + 4
     entries = b""
@@ -514,14 +545,66 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
     ifd = struct.pack(bo + "H", n_entries) + entries + struct.pack(bo + "I", 0)
 
     out = bytearray()
-    out += byte_order.encode("ascii") + struct.pack(bo + "HI", 42, ifd_off)
     for st in strips:
         out += st
     out += sw
-    if len(out) % 2:
+    if (base + len(out)) % 2:
         out += b"\x00"
+    next_ptr_pos = len(out) + 2 + 12 * n_entries  # within the section
     out += ifd
     out += overflow
+    return bytes(out), ifd_off, next_ptr_pos
+
+
+def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
+                rows_per_strip: int | None = None,
+                photometric: int | None = None,
+                software: str = "health-monitor-spark",
+                predictor: int = 1) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB -> complete TIFF file.
+    ``byte_order`` 'II' or 'MM'; ``compression`` 1/5/32773; strips of
+    ``rows_per_strip`` rows (default: whole image in one strip);
+    optional Predictor 2.  Deterministic layout: header, pixel strips,
+    then the IFD."""
+    return encode_tiff_multipage(
+        [arr], byte_order, compression, rows_per_strip, photometric,
+        software, predictor,
+    )
+
+
+def encode_tiff_multipage(pages, byte_order: str = "II",
+                          compression: int = 1,
+                          rows_per_strip: int | None = None,
+                          photometric: int | None = None,
+                          software: str = "health-monitor-spark",
+                          predictor: int = 1) -> bytes:
+    """List of image arrays -> one multi-page TIFF (next-IFD chain) —
+    the multi-page scan/fax shape real document corpora carry."""
+    if not pages:
+        raise ValueError("multi-page TIFF needs at least one page")
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    bo = "<" if byte_order == "II" else ">"
+    sections = []
+    ifd_offs = []
+    ptr_positions = []  # absolute positions of each next-IFD pointer
+    base = 8
+    for a in pages:
+        sec, ifd_off, ptr_pos = _encode_page(
+            a, bo, compression, rows_per_strip, photometric, software,
+            predictor, base,
+        )
+        sections.append(bytearray(sec))
+        ifd_offs.append(ifd_off)
+        ptr_positions.append(ptr_pos)
+        base += len(sec)
+    for i in range(len(sections) - 1):  # chain the IFDs
+        p = ptr_positions[i]
+        sections[i][p : p + 4] = struct.pack(bo + "I", ifd_offs[i + 1])
+    out = bytearray()
+    out += byte_order.encode("ascii") + struct.pack(bo + "HI", 42, ifd_offs[0])
+    for sec in sections:
+        out += sec
     return bytes(out)
 
 

@@ -6342,6 +6342,47 @@ def mm_tiff_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_tiff_pages_extract",
+    """
+    WITH dims AS (
+        SELECT doc_id, 8 * (doc_id % 4 + 2) AS w,
+               8 * (n_chars % 4 + 2) AS h,
+               doc_id % 3 + 1 AS m
+        FROM documents
+    ), pages AS (
+        SELECT doc_id, w, h, kk.k
+        FROM dims, LATERAL unnest(generate_series(0, m - 1)) AS kk(k)
+    ), px AS (
+        SELECT p.doc_id, p.w, p.h, p.k,
+               (xx.x + 2*yy.y + 7*p.k) % 256 AS v
+        FROM pages p,
+             LATERAL unnest(generate_series(0, p.w - 1)) AS xx(x),
+             LATERAL unnest(generate_series(0, p.h - 1)) AS yy(y)
+    )
+    SELECT doc_id, TRUE AS ok, k AS page,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS BIGINT) AS px_min,
+           CAST(max(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id, k
+    """,
+    doc="MULTI-page TIFF explode — the scan/fax ingestion shape: walk "
+    "the next-IFD chain (cycle guard, page cap), decode every page, "
+    "one row per page.  The synth chains 1-3 pages with page-varying "
+    "pixels and cycles byte order and compression (none / "
+    "LZW+Predictor2 / PackBits); the oracle re-derives per-page "
+    "statistics from the (x, y, page) formula.  Scale: Arrow CPU-map "
+    "explode, rows multiply and bytes stay bounded.",
+)
+def mm_tiff_pages_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.tiff_pages_extract(M.synth_tiff_multipage_payload(docs))
+
+
+@query(
     "mm_jpeg12_decode_features",
     """
     WITH dims AS (

@@ -231,3 +231,35 @@ def test_predictor2_roundtrip_and_tag():
             t[base + 8:base + 12] = struct.pack("<I", 3)
     with pytest.raises(NotImplementedError, match="predictor"):
         decode_tiff(bytes(t))
+
+
+def test_multipage_chain_roundtrip_and_hostiles():
+    """Next-IFD chain: N pages round-trip in order; decode_tiff reads
+    page 0; cycles and truncation flag cleanly."""
+    from health_monitor_cc_flink_spark.operators.tiff import (
+        decode_tiff_pages,
+        encode_tiff_multipage,
+        parse_tiff_pages,
+    )
+
+    pages = [_gray(), _rgb(), 255 - _gray()]
+    for bo in ("II", "MM"):
+        for comp, pred in ((1, 1), (5, 2), (32773, 1)):
+            t = encode_tiff_multipage(pages, bo, comp, 4, predictor=pred)
+            got = decode_tiff_pages(t)
+            assert len(got) == 3
+            for a, b in zip(got, pages):
+                assert np.array_equal(a, b), (bo, comp)
+            assert np.array_equal(decode_tiff(t), pages[0])
+            order, tag_pages = parse_tiff_pages(t)
+            assert order == bo and len(tag_pages) == 3
+    # a chain cycle must be detected, not spin
+    t = bytearray(encode_tiff_multipage([_gray(), _gray()], "II"))
+    ifd0 = struct.unpack("<I", t[4:8])[0]
+    n = struct.unpack("<H", t[ifd0:ifd0 + 2])[0]
+    ptr = ifd0 + 2 + 12 * n
+    t[ptr:ptr + 4] = struct.pack("<I", ifd0)  # page 0 -> page 0
+    with pytest.raises(ValueError, match="cycle"):
+        decode_tiff_pages(bytes(t))
+    with pytest.raises(ValueError):
+        decode_tiff_pages(encode_tiff_multipage([_gray()], "II")[:40])
