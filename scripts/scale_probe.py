@@ -245,6 +245,7 @@ PROBE_QUERIES = (
     "text_url_canonicalize",
     "corpus_domain_quota_sample",
     "corpus_robots_screen",
+    "mm_tiff_pages_extract",
 )
 
 # key columns to offset per replica so cardinalities scale with data size.
