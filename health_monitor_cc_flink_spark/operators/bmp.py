@@ -4,10 +4,11 @@ The legacy raster format still common in crawled archives and
 document dumps.  Implemented from the PUBLIC Windows BITMAPFILEHEADER
 / BITMAPINFOHEADER layout — structure-only, like TIFF:
 
-* ``decode_bmp`` — BITMAPINFOHEADER (40-byte) DIBs: 8-bit paletted
-  (BI_RGB or BI_RLE8 run-length) and 24-bit BGR (BI_RGB), bottom-up
-  AND top-down (negative height) row orders, 4-byte row padding,
-  palette lookup to (h, w, 3) RGB.
+* ``decode_bmp`` — BITMAPINFOHEADER (40-byte) DIBs: 1/4/8-bit
+  paletted (BI_RGB; 8-bit also BI_RLE8 run-length) and 24-bit BGR,
+  bottom-up AND top-down (negative height) row orders, 32-bit row
+  padding, MSB-first sub-byte index unpack, palette lookup to
+  (h, w, 3) RGB.
 * ``encode_bmp`` — writes conformant files: 8-bit with a palette
   (BI_RGB or BI_RLE8) or 24-bit BGR; ``top_down=True`` emits the
   negative-height variant.
@@ -117,10 +118,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("BMP planes must be 1")
     if w * h * 3 > MAX_PIXELS:
         raise ValueError("declared dimensions exceed decoder limit")
-    if bpp == 8:
+    if bpp in (1, 4, 8):
+        if comp == 1 and bpp != 8:
+            raise NotImplementedError("RLE is 8-bit only in this decoder")
         if comp not in (0, 1):
-            raise NotImplementedError(f"8-bit compression {comp} not supported")
-        n_colors = struct.unpack("<I", p[46:50])[0] or 256
+            raise NotImplementedError(f"{bpp}-bit compression {comp} not supported")
+        n_colors = struct.unpack("<I", p[46:50])[0] or (1 << bpp)
         pal_off = 14 + hdr_size
         pal_end = pal_off + 4 * n_colors
         if pal_end > len(p):
@@ -132,14 +135,21 @@ def decode_bmp(payload: bytes) -> np.ndarray:
                 raise ValueError("RLE8 with top-down rows is spec-invalid")
             idx = rle8_decode(p[data_off:], w, h)
         else:
-            stride = (w + 3) & ~3
+            stride = ((w * bpp + 31) // 32) * 4  # rows pad to 32 bits
             need = stride * h
             if data_off + need > len(p):
                 raise ValueError("truncated BMP pixel data")
             rows = np.frombuffer(
                 p[data_off : data_off + need], dtype=np.uint8
-            ).reshape(h, stride)[:, :w]
-            idx = rows
+            ).reshape(h, stride)
+            if bpp == 8:
+                idx = rows[:, :w]
+            else:  # sub-byte: MSB-first packed indices
+                bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+                weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+                idx = (
+                    (bits.reshape(h, w, bpp) * weights).sum(axis=2)
+                ).astype(np.uint8)
         if int(idx.max(initial=0)) >= palette.shape[0]:
             raise ValueError("palette index out of range")
         img = palette[idx]
@@ -160,7 +170,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def encode_bmp(arr, palette=None, compression: int = 0,
-               top_down: bool = False) -> bytes:
+               top_down: bool = False,
+               bits_per_pixel: int | None = None) -> bytes:
     """(h, w) index array + ``palette`` (n<=256, 3 RGB) -> 8-bit BMP
     (BI_RGB or, with ``compression=1``, BI_RLE8); (h, w, 3) RGB ->
     24-bit BI_RGB.  Input is top-down; stored bottom-up unless
@@ -177,17 +188,32 @@ def encode_bmp(arr, palette=None, compression: int = 0,
         if int(a.max(initial=0)) >= pal.shape[0]:
             raise ValueError("palette index out of range")
         h, w = a.shape
-        bpp = 8
+        bpp = 8 if bits_per_pixel is None else bits_per_pixel
+        if bpp not in (1, 4, 8):
+            raise ValueError("bits_per_pixel must be 1, 4 or 8")
+        if bpp != 8 and compression == 1:
+            raise ValueError("RLE8 needs 8-bit indices")
+        if int(a.max(initial=0)) >= 1 << bpp:
+            raise ValueError(f"index out of range for {bpp}-bit")
         quads = np.zeros((pal.shape[0], 4), dtype=np.uint8)
         quads[:, :3] = pal[:, ::-1]  # RGB -> BGRx
         pal_bytes = quads.tobytes()
         rows = a if top_down else a[::-1]
         if compression == 1:
             pix = rle8_encode(rows)
-        else:
+        elif bpp == 8:
             stride = (w + 3) & ~3
             padded = np.zeros((h, stride), dtype=np.uint8)
             padded[:, :w] = rows
+            pix = padded.tobytes()
+        else:  # sub-byte: MSB-first bit pack, rows padded to 32 bits
+            stride = ((w * bpp + 31) // 32) * 4
+            bits = (
+                (rows[:, :, None] >> np.arange(bpp - 1, -1, -1)) & 1
+            ).reshape(h, w * bpp).astype(np.uint8)
+            packed = np.packbits(bits, axis=1)
+            padded = np.zeros((h, stride), dtype=np.uint8)
+            padded[:, : packed.shape[1]] = packed
             pix = padded.tobytes()
     else:
         if a.ndim != 3 or a.shape[2] != 3:

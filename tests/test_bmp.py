@@ -87,10 +87,11 @@ def test_corrupt_and_hostile():
         rle8_decode(bytes([200, 1, 0, 1]), 10, 1)
     with pytest.raises(ValueError, match="truncated"):
         rle8_decode(bytes([0, 4, 9]), 4, 1)
-    # unsupported depths are explicit
+    # unsupported depths are explicit (4-bit is supported since the
+    # sub-byte extension; 16-bit remains a guard)
     bad_bpp = bytearray(good)
-    bad_bpp[28:30] = struct.pack("<H", 4)
-    with pytest.raises(NotImplementedError, match="4-bit"):
+    bad_bpp[28:30] = struct.pack("<H", 16)
+    with pytest.raises(NotImplementedError, match="16-bit"):
         decode_bmp(bytes(bad_bpp))
 
 
@@ -143,3 +144,29 @@ def test_ico_container_roundtrip_and_hostiles():
         decode_ico(bytes(trunc))
     with pytest.raises(ValueError, match="member count"):
         decode_ico(struct.pack("<HHH", 0, 1, 0))
+
+
+def test_sub_byte_bmp_roundtrip():
+    """1-bit and 4-bit paletted BMPs: MSB-first packed indices, 32-bit
+    row padding, both row orders, ragged widths."""
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    y, x = np.mgrid[0:13, 0:11]
+    idx4 = ((x + y) % 16).astype(np.uint8)
+    idx1 = ((x + y) % 2).astype(np.uint8)
+    for td in (False, True):
+        got4 = decode_bmp(encode_bmp(idx4, palette=PAL,
+                                     bits_per_pixel=4, top_down=td))
+        assert np.array_equal(got4, PAL[idx4])
+        got1 = decode_bmp(encode_bmp(idx1, palette=pal2,
+                                     bits_per_pixel=1, top_down=td))
+        assert np.array_equal(got1, pal2[idx1])
+    for w in (1, 2, 3, 7, 9):
+        i4 = idx4[:, :w]
+        assert np.array_equal(
+            decode_bmp(encode_bmp(i4, palette=PAL, bits_per_pixel=4)),
+            PAL[i4],
+        )
+    with pytest.raises(ValueError, match="out of range"):
+        encode_bmp(idx4, palette=PAL, bits_per_pixel=1)
+    with pytest.raises(ValueError, match="RLE8"):
+        encode_bmp(idx4, palette=PAL, bits_per_pixel=4, compression=1)
