@@ -9,9 +9,9 @@ document dumps.  Implemented from the PUBLIC Windows BITMAPFILEHEADER
   bottom-up AND top-down (negative height) row orders, 32-bit row
   padding, MSB-first sub-byte index unpack, palette lookup to
   (h, w, 3) RGB.
-* ``encode_bmp`` — writes conformant files: 8-bit with a palette
-  (BI_RGB or BI_RLE8) or 24-bit BGR; ``top_down=True`` emits the
-  negative-height variant.
+* ``encode_bmp`` — writes conformant files: 1/4/8-bit with a palette
+  (8-bit also BI_RLE8), 24-bit BGR or 32-bit BGRA; ``top_down=True``
+  emits the negative-height variant.
 * ``rle8_encode`` / ``rle8_decode`` — BI_RLE8: (count, value) runs,
   escapes 0 0 = end of line, 0 1 = end of bitmap, 0 2 = delta move,
   0 n>=3 = absolute run padded to a word boundary.
@@ -164,6 +164,17 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             p[data_off : data_off + need], dtype=np.uint8
         ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
         img = rows[:, :, ::-1]  # BGR -> RGB
+    elif bpp == 32:
+        # BGRA (or BGRX); BI_RGB only — rows are naturally word-aligned
+        if comp != 0:
+            raise NotImplementedError(f"32-bit compression {comp} not supported")
+        need = w * 4 * h
+        if data_off + need > len(p):
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            p[data_off : data_off + need], dtype=np.uint8
+        ).reshape(h, w, 4)
+        img = rows[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
     else:
         raise NotImplementedError(f"{bpp}-bit BMP not supported")
     return np.ascontiguousarray(img if top_down else img[::-1])
@@ -216,18 +227,24 @@ def encode_bmp(arr, palette=None, compression: int = 0,
             padded[:, : packed.shape[1]] = packed
             pix = padded.tobytes()
     else:
-        if a.ndim != 3 or a.shape[2] != 3:
-            raise ValueError("24-bit encoding needs a (h,w,3) RGB array")
+        if a.ndim != 3 or a.shape[2] not in (3, 4):
+            raise ValueError(
+                "truecolor encoding needs a (h,w,3) RGB or (h,w,4) RGBA array"
+            )
         if compression != 0:
-            raise ValueError("24-bit BMP supports BI_RGB only")
+            raise ValueError("truecolor BMP supports BI_RGB only")
         h, w = a.shape[:2]
-        bpp = 24
         pal_bytes = b""
         rows = a if top_down else a[::-1]
-        stride = (w * 3 + 3) & ~3
-        padded = np.zeros((h, stride), dtype=np.uint8)
-        padded[:, : w * 3] = rows[:, :, ::-1].reshape(h, w * 3)
-        pix = padded.tobytes()
+        if a.shape[2] == 4:
+            bpp = 32
+            pix = rows[:, :, [2, 1, 0, 3]].tobytes()  # RGBA -> BGRA
+        else:
+            bpp = 24
+            stride = (w * 3 + 3) & ~3
+            padded = np.zeros((h, stride), dtype=np.uint8)
+            padded[:, : w * 3] = rows[:, :, ::-1].reshape(h, w * 3)
+            pix = padded.tobytes()
     data_off = 14 + 40 + len(pal_bytes)
     info = struct.pack(
         "<IiiHHIIiiII",

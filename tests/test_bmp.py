@@ -170,3 +170,15 @@ def test_sub_byte_bmp_roundtrip():
         encode_bmp(idx4, palette=PAL, bits_per_pixel=1)
     with pytest.raises(ValueError, match="RLE8"):
         encode_bmp(idx4, palette=PAL, bits_per_pixel=4, compression=1)
+
+
+def test_32bit_bgra_roundtrip():
+    """32-bit BGRA: alpha preserved, both row orders, word-aligned rows."""
+    y, x = np.mgrid[0:9, 0:7]
+    rgba = np.stack(
+        [(3 * x) % 256, (5 * y) % 256, (x * y) % 256, (x + y) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    for td in (False, True):
+        got = decode_bmp(encode_bmp(rgba, top_down=td))
+        assert got.shape == (9, 7, 4) and np.array_equal(got, rgba)
