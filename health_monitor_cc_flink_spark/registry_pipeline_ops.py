@@ -6201,7 +6201,7 @@ def mm_ico_decode_features(spark, sf_dir):
     "mm_bmp_decode_features",
     """
     WITH dims AS (
-        SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS c,
+        SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS c,
                8 * (doc_id % 5 + 2) AS w,
                8 * (n_chars % 5 + 2) AS h
         FROM documents
@@ -6210,17 +6210,22 @@ def mm_ico_decode_features(spark, sf_dir):
                (xx.x + yy.y) % 16 AS j,
                (3*xx.x) % 256 AS r8,
                (5*yy.y) % 256 AS g8,
-               (xx.x * yy.y) % 256 AS b8
+               (xx.x * yy.y) % 256 AS b8,
+               (xx.x + yy.y) % 256 AS a8
         FROM dims d,
              LATERAL unnest(generate_series(0, d.w - 1)) AS xx(x),
              LATERAL unnest(generate_series(0, d.h - 1)) AS yy(y)
     ), v AS (
         SELECT doc_id, c, w, h,
-               CASE WHEN c < 2 THEN 24*j ELSE r8 + g8 + b8 END AS s_sum,
-               CASE WHEN c < 2 THEN 4*j
-                    ELSE least(r8, g8, b8) END AS s_min,
-               CASE WHEN c < 2 THEN 12*j
-                    ELSE greatest(r8, g8, b8) END AS s_max
+               CASE WHEN c IN (0, 1, 4) THEN 24*j
+                    WHEN c IN (2, 3) THEN r8 + g8 + b8
+                    ELSE r8 + g8 + b8 + a8 END AS s_sum,
+               CASE WHEN c IN (0, 1, 4) THEN 4*j
+                    WHEN c IN (2, 3) THEN least(r8, g8, b8)
+                    ELSE least(r8, g8, b8, a8) END AS s_min,
+               CASE WHEN c IN (0, 1, 4) THEN 12*j
+                    WHEN c IN (2, 3) THEN greatest(r8, g8, b8)
+                    ELSE greatest(r8, g8, b8, a8) END AS s_max
         FROM px
     )
     SELECT doc_id, TRUE AS ok,
@@ -6232,14 +6237,13 @@ def mm_ico_decode_features(spark, sf_dir):
     FROM v GROUP BY doc_id
     """,
     doc="Windows BMP decode under the hash gate — the legacy raster "
-    "format crawled archives still carry: 8-bit paletted (BI_RGB and "
-    "BI_RLE8 run-length with end-of-line/bitmap/delta escapes), "
-    "24-bit BGR, bottom-up AND top-down (negative height) row orders, "
-    "4-byte row padding, palette resolved to RGB.  The synth cycles "
-    "all four layouts and the oracle re-derives pixel statistics from "
-    "grid arithmetic.  Structure-only, honestly complete for the "
-    "8/24-bit subsets; 1/4/16/32-bit are explicit guards.  Scale: "
-    "Arrow CPU-map.",
+    "format crawled archives still carry: 1/4/8-bit paletted (8-bit "
+    "also BI_RLE8 with end-of-line/bitmap/delta escapes; sub-byte "
+    "MSB-first packed), 24-bit BGR and 32-bit BGRA (alpha kept), "
+    "bottom-up AND top-down (negative height) row orders, 32-bit row "
+    "padding, palette resolved to RGB.  The synth cycles six layouts "
+    "and the oracle re-derives pixel statistics from grid arithmetic.  "
+    "16-bit stays an explicit guard.  Scale: Arrow CPU-map.",
 )
 def mm_bmp_decode_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").repartition(
