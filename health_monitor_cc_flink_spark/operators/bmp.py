@@ -5,7 +5,8 @@ document dumps.  Implemented from the PUBLIC Windows BITMAPFILEHEADER
 / BITMAPINFOHEADER layout — structure-only, like TIFF:
 
 * ``decode_bmp`` — BITMAPINFOHEADER (40-byte) DIBs: 1/4/8-bit
-  paletted (BI_RGB; 8-bit also BI_RLE8 run-length) and 24-bit BGR,
+  paletted (BI_RGB; 8-bit also BI_RLE8 run-length), 16-bit XRGB1555
+  (5-bit channels replicated to 8), 24-bit BGR and 32-bit BGRA,
   bottom-up AND top-down (negative height) row orders, 32-bit row
   padding, MSB-first sub-byte index unpack, palette lookup to
   (h, w, 3) RGB.
@@ -164,6 +165,25 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             p[data_off : data_off + need], dtype=np.uint8
         ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
         img = rows[:, :, ::-1]  # BGR -> RGB
+    elif bpp == 16:
+        # BI_RGB 16-bit is XRGB1555 little-endian; channels replicate
+        # their 5 bits into 8 ((v << 3) | (v >> 2)) like real decoders
+        if comp != 0:
+            raise NotImplementedError(f"16-bit compression {comp} not supported")
+        stride = (w * 2 + 3) & ~3
+        need = stride * h
+        if data_off + need > len(p):
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            p[data_off : data_off + need], dtype=np.uint8
+        ).reshape(h, stride)[:, : w * 2]
+        pix = rows.reshape(h, w, 2).astype(np.uint16)
+        v = pix[:, :, 0] | (pix[:, :, 1] << 8)
+        r5 = ((v >> 10) & 31).astype(np.uint8)
+        g5 = ((v >> 5) & 31).astype(np.uint8)
+        b5 = (v & 31).astype(np.uint8)
+        rep = lambda c: ((c << 3) | (c >> 2)).astype(np.uint8)  # noqa: E731
+        img = np.stack([rep(r5), rep(g5), rep(b5)], axis=2)
     elif bpp == 32:
         # BGRA (or BGRX); BI_RGB only — rows are naturally word-aligned
         if comp != 0:

@@ -87,12 +87,18 @@ def test_corrupt_and_hostile():
         rle8_decode(bytes([200, 1, 0, 1]), 10, 1)
     with pytest.raises(ValueError, match="truncated"):
         rle8_decode(bytes([0, 4, 9]), 4, 1)
-    # unsupported depths are explicit (4-bit is supported since the
-    # sub-byte extension; 16-bit remains a guard)
+    # unsupported depths are explicit (1/4/8/16/24/32 all decode now;
+    # a spec-illegal depth stays a clean guard)
     bad_bpp = bytearray(good)
-    bad_bpp[28:30] = struct.pack("<H", 16)
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    bad_bpp[28:30] = struct.pack("<H", 2)
+    with pytest.raises(NotImplementedError, match="2-bit"):
         decode_bmp(bytes(bad_bpp))
+    # BI_BITFIELDS (comp=3) on 16-bit is the remaining honest guard
+    bf = bytearray(good)
+    bf[28:30] = struct.pack("<H", 16)
+    bf[30:34] = struct.pack("<I", 3)
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp(bytes(bf))
 
 
 @settings(max_examples=120, deadline=None)
@@ -182,3 +188,24 @@ def test_32bit_bgra_roundtrip():
     for td in (False, True):
         got = decode_bmp(encode_bmp(rgba, top_down=td))
         assert got.shape == (9, 7, 4) and np.array_equal(got, rgba)
+
+
+def test_16bit_xrgb1555_decode():
+    """16-bit BI_RGB (XRGB1555): 5-bit channels replicated to 8 bits,
+    little-endian pixels, rows padded to 32 bits, bottom-up."""
+    y, x = np.mgrid[0:2, 0:3]
+    r5, g5, b5 = (x * 7) % 32, (y * 11) % 32, (x + y) % 32
+    v = (r5 << 10) | (g5 << 5) | b5
+    stride = (3 * 2 + 3) & ~3
+    pix = bytearray()
+    for row in v[::-1]:
+        rb = b"".join(struct.pack("<H", int(val)) for val in row)
+        pix += rb.ljust(stride, b"\x00")
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 16, 0, len(pix),
+                       2835, 2835, 0, 0)
+    img = decode_bmp(hdr + info + bytes(pix))
+    rep = lambda c: ((c << 3) | (c >> 2)).astype(np.uint8)  # noqa: E731
+    want = np.stack([rep(r5.astype(np.uint8)), rep(g5.astype(np.uint8)),
+                     rep(b5.astype(np.uint8))], axis=2)
+    assert np.array_equal(img, want)
