@@ -9,7 +9,8 @@ document dumps.  Implemented from the PUBLIC Windows BITMAPFILEHEADER
   (5-bit channels replicated to 8), 24-bit BGR and 32-bit BGRA,
   bottom-up AND top-down (negative height) row orders, 32-bit row
   padding, MSB-first sub-byte index unpack, palette lookup to
-  (h, w, 3) RGB.
+  (h, w, 3) RGB; 32-bit inputs keep their alpha and return (h, w, 4)
+  RGBA.
 * ``encode_bmp`` — writes conformant files: 1/4/8-bit with a palette
   (8-bit also BI_RLE8), 24-bit BGR or 32-bit BGRA; ``top_down=True``
   emits the negative-height variant.
@@ -96,9 +97,10 @@ def rle8_encode(idx: np.ndarray) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """BMP bytes -> uint8 (h, w, 3) RGB (8-bit paletted resolved) or
-    (h, w, 3) for 24-bit; returned top-down regardless of storage
-    order."""
+    """BMP bytes -> uint8 pixel array, returned top-down regardless of
+    storage order: (h, w, 3) RGB for 1/4/8-bit paletted, 16-bit
+    XRGB1555 and 24-bit BGR inputs; (h, w, 4) RGBA for 32-bit BGRA
+    inputs (alpha preserved — drop ``[..., :3]`` for RGB-only use)."""
     p = bytes(payload)
     if p[:2] != b"BM":
         raise ValueError("not a BMP: bad signature")

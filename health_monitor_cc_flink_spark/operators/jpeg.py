@@ -1085,11 +1085,27 @@ def _planes_to_rgb(planes, w: int, h: int) -> np.ndarray:
         raise NotImplementedError(
             "12-bit color conversion not supported (gray-only 12-bit)"
         )
+    if planes[0].shape != (h, w):
+        # legal-but-odd sampling sets (e.g. Y=1x1 with a larger chroma
+        # factor) would leave luma sub-resolution here and silently
+        # misalign the stack below.
+        raise NotImplementedError(
+            "color conversion requires a full-resolution luma plane "
+            f"(got {planes[0].shape}, frame {(h, w)})"
+        )
     y = planes[0].astype(np.float64)
     up = []
     for p in planes[1:]:
         ry = -(-h // p.shape[0])
         rx = -(-w // p.shape[1])
+        # integer-ratio check: a plane of ph rows is a valid 1/ry
+        # vertical subsampling of h iff ph == ceil(h/ry) (fails for
+        # fractional ratios like 3:2, which np.repeat cannot express)
+        if p.shape[0] != -(-h // ry) or p.shape[1] != -(-w // rx):
+            raise NotImplementedError(
+                "non-integer chroma subsampling ratio "
+                f"(chroma {p.shape} vs frame {(h, w)})"
+            )
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         up.append(p[:h, :w].astype(np.float64) - 128.0)

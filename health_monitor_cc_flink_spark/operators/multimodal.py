@@ -102,7 +102,7 @@ def decode_image(payload: bytes):
     elif bytes(payload[:2]) == b"BM":
         from .bmp import decode_bmp
 
-        return decode_bmp(payload)  # (h, w, 3) RGB, paletted/24-bit/RLE8
+        return decode_bmp(payload)  # (h, w, 3) RGB; 32-bit BGRA -> (h, w, 4)
     elif bytes(payload[:4]) == b"\x00\x00\x01\x00":
         from .bmp import decode_ico
 

@@ -68,7 +68,11 @@ def robots_allowed(
         F.trim(
             F.expr("substring(_line, instr(_line, ':') + 1)")
         ).alias("_value"),
-    ).filter(F.col("_line") != "")
+    ).filter(
+        # a colon-less line (e.g. a bare 'Disallow') would otherwise
+        # parse as key = value = the whole line and fabricate a rule
+        F.expr("instr(_line, ':')") > 0
+    )
     typed = parsed.select(
         "_rid", "_agent", "_path", "_ln", "_key", "_value",
         (F.col("_key") == "user-agent").alias("_is_ua"),

@@ -671,3 +671,25 @@ def test_12bit_extended_sequential_roundtrip():
     # out-of-range samples rejected at encode time
     with pytest.raises(ValueError, match="out of range"):
         encode_jpeg_gray(np.full((8, 8), 5000, np.uint16), precision=12)
+
+
+def test_planes_to_rgb_rejects_odd_sampling_shapes():
+    # legal-but-odd T.81 sampling sets must raise, not silently
+    # misalign: sub-resolution luma and fractional chroma ratios
+    import numpy as np
+    import pytest
+    from health_monitor_cc_flink_spark.operators.jpeg import _planes_to_rgb
+
+    h, w = 12, 12
+    full = np.zeros((h, w), dtype=np.uint8)
+    half = np.zeros((h, w // 2), dtype=np.uint8)
+    # luma not full resolution (e.g. Y=1x1 beside a 2x2 chroma)
+    with pytest.raises(NotImplementedError):
+        _planes_to_rgb([half, full, full], w, h)
+    # fractional chroma ratio 3:2 -> plane is 8 rows for h=12
+    frac = np.zeros((8, w), dtype=np.uint8)
+    with pytest.raises(NotImplementedError):
+        _planes_to_rgb([full, frac, frac], w, h)
+    # sane integer ratios still convert
+    out = _planes_to_rgb([full, half, half], w, h)
+    assert out.shape == (h, w, 3)

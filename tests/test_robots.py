@@ -78,3 +78,19 @@ def test_allow_disallow_tie_and_regex_escapes(spark):
     assert got[0] == (True, "/a/b")
     assert got[1] == (False, "/q?x=1")
     assert got[2] == (True, None)
+
+
+def test_colonless_line_is_ignored(spark):
+    # a bare 'Disallow' (no colon) must not fabricate a rule with
+    # pattern 'Disallow' — RFC 9309 parsers skip malformed lines
+    robots = (
+        "User-agent: *\n"
+        "Disallow\n"            # malformed: no colon
+        "Disallow: /real/\n"
+    )
+    got = _verdicts(spark, [
+        (0, robots, "bot", "/Disallow"),   # would match the bogus rule
+        (1, robots, "bot", "/real/x"),
+    ])
+    assert got[0] == (True, None)
+    assert got[1] == (False, "/real/")
