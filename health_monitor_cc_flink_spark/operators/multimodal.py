@@ -2546,6 +2546,172 @@ def tiff_decode_features(df: DataFrame, payload_col: str = "tiff",
     )
 
 
+#: (byte_order, compression, predictor, rows_per_strip, tile, bits, rgb)
+#: — the round-10 extended matrix: 16-bit samples and the tiled layout.
+_TIFF_EXT_CASES = [
+    ("II", 1,     1, 4,    None,     16, False),
+    ("MM", 5,     2, None, None,     16, False),
+    ("II", 32773, 1, 8,    None,     16, True),
+    ("MM", 5,     2, None, (16, 16), 8,  False),
+    ("II", 1,     1, None, (32, 16), 8,  True),
+    ("MM", 32773, 1, None, (16, 32), 16, False),
+]
+
+
+def synth_tiff_extended_payload(df: DataFrame, id_col: str = "doc_id",
+                                len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``tiff`` column cycling doc_id % 6 through the
+    EXTENDED layout matrix (``_TIFF_EXT_CASES``): 16-bit strips (none /
+    LZW+Predictor2 / PackBits, gray and RGB, both byte orders) and
+    tiled layouts (8-bit gray LZW tiles, 8-bit RGB uncompressed tiles,
+    16-bit gray PackBits tiles) with image dims that are NOT tile
+    multiples, so edge-tile cropping is under the gate.  Pixels:
+    16-bit gray (513x + 1031y) %% 65536; 16-bit RGB ((257x) %% 65536,
+    (521y) %% 65536, (xy) %% 65536); 8-bit gray (x + 2y) %% 256;
+    8-bit RGB ((3x) %% 256, (5y) %% 256, (x+y) %% 256) — closed-form
+    for the oracle.  Dims w = 8*(id%6+2), h = 8*(len%6+2)."""
+    from .tiff import encode_tiff
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(8) * (F.col(id_col) % 6 + 2)).cast("int").alias("w"),
+        (F.lit(8) * (F.col(len_col) % 6 + 2)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            tiffs = []
+            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(d), int(w), int(h)
+                bo, comp, pred, rps, tile, bits, rgb = _TIFF_EXT_CASES[d % 6]
+                y, x = np.mgrid[0:h, 0:w]
+                if bits == 16 and rgb:
+                    img = np.stack(
+                        [(257 * x) % 65536, (521 * y) % 65536,
+                         (x * y) % 65536], axis=2,
+                    ).astype(np.uint16)
+                elif bits == 16:
+                    img = ((513 * x + 1031 * y) % 65536).astype(np.uint16)
+                elif rgb:
+                    img = np.stack(
+                        [(3 * x) % 256, (5 * y) % 256, (x + y) % 256],
+                        axis=2,
+                    ).astype(np.uint8)
+                else:
+                    img = ((x + 2 * y) % 256).astype(np.uint8)
+                tiffs.append(encode_tiff(img, bo, comp, rps,
+                                         predictor=pred, tile=tile))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tiff": tiffs})
+
+    return src.mapInPandas(gen, schema="doc_id long, tiff binary")
+
+
+def synth_tiff_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
+                            len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``tiff`` column of COMPRESSION-7 (new-style JPEG)
+    TIFFs cycling doc_id % 4 through {gray/II/single-strip full
+    streams, gray/MM/16-row strips with tag-347 JPEGTables,
+    YCbCr color (photometric 6, R=G=B source)/II/single strip,
+    gray/II/16x16 tiles with JPEGTables}.  Pixels are FLAT even-valued
+    8x8 blocks v = 2*((id + 59*by + 31*bx) %% 128) — the DC-exact
+    family every mm_jpeg* oracle uses — and dims are multiples of 16,
+    so the lossy path round-trips bit-exactly and the oracle
+    re-derives statistics from the block formula.  Dims
+    w = 16*(id%4+1), h = 16*(len%4+1)."""
+    from .tiff import encode_tiff
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(16) * (F.col(id_col) % 4 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 4 + 1)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            tiffs = []
+            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(d), int(w), int(h)
+                by, bx = np.mgrid[0 : h // 8, 0 : w // 8]
+                v = (2 * ((d + 59 * by + 31 * bx) % 128)).astype(np.uint8)
+                gray = np.kron(v, np.ones((8, 8), dtype=np.uint8))
+                case = d % 4
+                if case == 0:
+                    t = encode_tiff(gray, "II", 7)
+                elif case == 1:
+                    t = encode_tiff(gray, "MM", 7, rows_per_strip=16,
+                                    jpeg_tables=True)
+                elif case == 2:
+                    rgb = np.stack([gray, gray, gray], axis=2)
+                    t = encode_tiff(rgb, "II", 7)
+                else:
+                    t = encode_tiff(gray, "II", 7, tile=(16, 16),
+                                    jpeg_tables=True)
+                tiffs.append(t)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tiff": tiffs})
+
+    return src.mapInPandas(gen, schema="doc_id long, tiff binary")
+
+
+def tiff_extended_decode_features(df: DataFrame, payload_col: str = "tiff",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """tiff_decode_features plus the round-10 surface: BitsPerSample
+    (8/16) and the strip-vs-tile layout read back from the IFD, so the
+    gate pins 16-bit sample assembly, tile reassembly with edge crop,
+    and JPEG-in-TIFF (compression 7, tag-347 JPEGTables) end-to-end.
+    Corrupt payloads flag the row."""
+    from .tiff import decode_tiff, parse_tiff_ifd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("byte_order", "compression", "bits", "layout", "width",
+                "height", "n_channels", "px_sum", "px_min", "px_max")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                p = bytes(p)
+                try:
+                    order, tags = parse_tiff_ifd(p)
+                    img = decode_tiff(p)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["byte_order"].append(order)
+                out["compression"].append(int(tags.get(259, [1])[0]))
+                out["bits"].append(int(tags.get(258, [8])[0]))
+                out["layout"].append("tile" if 322 in tags else "strip")
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["n_channels"].append(1 if img.ndim == 2 else img.shape[2])
+                out["px_sum"].append(int(img.sum(dtype=np.int64)))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, ok boolean, byte_order string, compression long, "
+            "bits long, layout string, width long, height long, "
+            "n_channels long, px_sum long, px_min long, px_max long"
+        ),
+    )
+
+
 # -----------------------------------------------------------------------------
 # FLAC — compressed LOSSLESS audio (operators/flac.py, RFC 9639 subset).
 # Losslessness makes the gate trivial compared to the image codecs:

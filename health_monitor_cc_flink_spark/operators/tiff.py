@@ -13,15 +13,18 @@ environment.
 * ``parse_tiff_ifd`` — header (II little-endian / MM big-endian +
   magic 42), IFD entry walk (tag, type, count, inline-or-offset
   value), typed value decoding for BYTE/ASCII/SHORT/LONG/RATIONAL.
-* ``decode_tiff`` — baseline subset: 8-bit grayscale (photometric
-  0/1, MinIsBlack and MinIsWhite) and RGB (photometric 2), strip-
-  based, Compression 1 (none), 5 (LZW, MSB-first with early change)
-  or 32773 (PackBits), Predictor 2 (horizontal differencing — what
-  real LZW TIFFs use), II and MM byte orders, multi-strip with
-  RowsPerStrip.
+* ``decode_tiff`` — 8- and 16-bit grayscale (photometric 0/1,
+  MinIsBlack and MinIsWhite) and RGB (photometric 2; 6 = YCbCr for
+  JPEG), strip AND tile (tags 322-325) layouts, Compression 1 (none),
+  5 (LZW, MSB-first with early change), 32773 (PackBits) or 7
+  (new-style JPEG per TIFF Technical Note 2: each segment is a JPEG
+  stream, optionally abbreviated against a tag-347 JPEGTables block —
+  decoded by ``operators/jpeg.py``), Predictor 2 (horizontal
+  differencing — what real LZW TIFFs use), II and MM byte orders,
+  multi-strip with RowsPerStrip.
 * ``encode_tiff`` — writes spec-conformant files in either byte
-  order, none/PackBits, configurable rows per strip — the test/oracle
-  vehicle, like every other codec's synth path.
+  order, all four compressions, strip or tiled layout, 8/16-bit —
+  the test/oracle vehicle, like every other codec's synth path.
 * ``packbits_encode`` / ``packbits_decode`` — the Apple PackBits RLE
   (TIFF 6.0 §9): literal runs (n >= 0: n+1 bytes), repeat runs
   (-127 <= n <= -1: next byte 1-n times), -128 no-op.
@@ -50,10 +53,12 @@ TAG_NAMES = {
     273: "StripOffsets", 274: "Orientation", 277: "SamplesPerPixel",
     278: "RowsPerStrip", 279: "StripByteCounts", 282: "XResolution",
     283: "YResolution", 296: "ResolutionUnit", 305: "Software",
-    306: "DateTime", 317: "Predictor",
+    306: "DateTime", 317: "Predictor", 322: "TileWidth",
+    323: "TileLength", 324: "TileOffsets", 325: "TileByteCounts",
+    347: "JPEGTables", 530: "YCbCrSubSampling",
 }
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def packbits_decode(data: bytes, max_out: int) -> bytes:
@@ -221,7 +226,7 @@ def _read_values(payload: bytes, bo: str, vtype: int, count: int,
         if off + size > len(payload):
             raise ValueError("IFD value offset out of bounds")
         buf = payload[off : off + size]
-    if vtype == 1:
+    if vtype in (1, 7):  # BYTE / UNDEFINED (e.g. tag 347 JPEGTables)
         return list(buf)
     if vtype == 2:
         return [buf.split(b"\x00")[0].decode("latin-1")]
@@ -299,7 +304,7 @@ def write_ifd(bo: str, entries: list, first_value_off: int) -> bytes:
             )
             count = len(values)
         else:
-            fmt = {1: "B", 3: "H", 4: "I"}[vtype]
+            fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[vtype]
             buf = struct.pack(bo + fmt * len(values), *values)
             count = len(values)
         packed_vals.append((tag, vtype, count, buf))
@@ -361,21 +366,63 @@ def parse_tiff_pages(payload: bytes):
 def decode_tiff_pages(payload: bytes) -> list:
     """Multi-page TIFF -> list of decoded page arrays."""
     payload = bytes(payload)
-    _, pages = parse_tiff_pages(payload)
-    return [_decode_page(payload, tags) for tags in pages]
+    order, pages = parse_tiff_pages(payload)
+    bo = "<" if order == "II" else ">"
+    return [_decode_page(payload, tags, bo) for tags in pages]
+
+
+def split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Full interchange JPEG -> (tables stream, abbreviated image
+    stream) for the tag-347 JPEGTables layout (TIFF Technical Note 2):
+    tables = SOI + every DQT/DHT segment + EOI; image = SOI + the
+    remaining segments (SOF/DRI/SOS + entropy data + EOI)."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    image = bytearray(b"\xff\xd8")
+    i = 2
+    n = len(stream)
+    while i + 4 <= n:
+        if stream[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = stream[i + 1]
+        if marker == 0xDA:  # SOS: entropy data through EOI, verbatim
+            image += stream[i:]
+            tables += b"\xff\xd9"
+            return bytes(tables), bytes(image)
+        seg_len = struct.unpack(">H", stream[i + 2 : i + 4])[0]
+        seg = stream[i : i + 2 + seg_len]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            image += seg
+        i += 2 + seg_len
+    raise ValueError("JPEG stream has no SOS")
+
+
+def _merge_jpeg_tables(tables: bytes, stream: bytes) -> bytes:
+    """Splice a JPEGTables stream's table segments ahead of an
+    abbreviated per-segment stream: SOI + tables[2:-2] + stream[2:]."""
+    if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+        raise ValueError("malformed JPEGTables stream")
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    return b"\xff\xd8" + bytes(tables[2:-2]) + bytes(stream[2:])
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Baseline TIFF -> uint8 ndarray: (h, w) gray or (h, w, 3) RGB —
-    the FIRST page of a multi-page file (use decode_tiff_pages for
-    all).  Strip-based, Compression none/LZW/PackBits, Predictor 2,
+    """Baseline TIFF -> ndarray: (h, w) gray or (h, w, 3) RGB — the
+    FIRST page of a multi-page file (use decode_tiff_pages for all).
+    Strip OR tile (tags 322-325) layout; Compression none/LZW/
+    PackBits/JPEG (7, with optional tag-347 JPEGTables), Predictor 2,
+    8- or 16-bit samples (uint8/uint16 out, either byte order),
     II/MM, MinIsWhite gray inverted to MinIsBlack convention."""
     payload = bytes(payload)
-    _, tags = parse_tiff_ifd(payload)
-    return _decode_page(payload, tags)
+    order, tags = parse_tiff_ifd(payload)
+    return _decode_page(payload, tags, "<" if order == "II" else ">")
 
 
-def _decode_page(payload: bytes, tags: dict) -> np.ndarray:
+def _decode_page(payload: bytes, tags: dict, bo: str = "<") -> np.ndarray:
     def one(tag, default=None):
         if tag not in tags:
             if default is None:
@@ -389,75 +436,137 @@ def _decode_page(payload: bytes, tags: dict) -> np.ndarray:
     spp = one(277, 1)
     predictor = one(317, 1)
     bits = tags.get(258, [8])
+    bps = int(bits[0])
     if predictor not in (1, 2):
         raise NotImplementedError(f"predictor {predictor} not supported")
     if w <= 0 or h <= 0:
         raise ValueError("invalid TIFF dimensions")
-    if any(int(b) != 8 for b in bits):
-        raise NotImplementedError("only 8 bits per sample supported")
+    if bps not in (8, 16) or any(int(b) != bps for b in bits):
+        raise NotImplementedError("only uniform 8 or 16 bits per sample")
     if photo in (0, 1):
         if spp != 1:
             raise ValueError("gray photometric with SamplesPerPixel != 1")
     elif photo == 2:
         if spp != 3:
             raise ValueError("RGB photometric with SamplesPerPixel != 3")
+    elif photo == 6:
+        # YCbCr is only meaningful here as the JPEG-compressed color
+        # layout (TIFF TechNote 2); the JPEG stream self-describes and
+        # decodes straight to RGB
+        if comp != 7 or spp != 3:
+            raise NotImplementedError("photometric 6 only with JPEG")
     else:
         raise NotImplementedError(f"photometric {photo} not supported")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 32773, 7):
         raise NotImplementedError(f"compression {comp} not supported")
+    if comp == 7 and bps != 8:
+        raise NotImplementedError("JPEG-in-TIFF supports 8-bit only")
+    if comp == 7 and predictor != 1:
+        raise ValueError("predictor is invalid with JPEG compression")
     if w * h * spp > MAX_PIXELS:
         raise ValueError("declared dimensions exceed decoder limit")
-    rows_per_strip = one(278, h)
-    if rows_per_strip <= 0:
-        raise ValueError("invalid RowsPerStrip")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if offsets is None or counts is None:
-        raise ValueError("missing strip offsets/byte counts")
-    n_strips = -(-h // rows_per_strip)
-    if n_strips > MAX_STRIPS or len(offsets) != n_strips or len(counts) != n_strips:
-        raise ValueError("strip table disagrees with dimensions")
-    row_bytes = w * spp
-    out = bytearray()
-    for s in range(n_strips):
-        off, cnt = int(offsets[s]), int(counts[s])
-        if off + cnt > len(payload) or off < 0 or cnt < 0:
-            raise ValueError("strip out of bounds")
-        strip = payload[off : off + cnt]
-        strip_rows = min(rows_per_strip, h - s * rows_per_strip)
-        want = strip_rows * row_bytes
+
+    jpegtables = bytes(tags[347]) if 347 in tags else None
+    sample_bytes = bps // 8
+    dt_file = np.dtype(bo + "u2") if bps == 16 else np.dtype(np.uint8)
+    dt_out = np.uint16 if bps == 16 else np.uint8
+
+    def decode_segment(raw: bytes, rows: int, cols: int) -> np.ndarray:
+        """One strip or tile -> (rows, cols, spp) native-order array."""
+        if comp == 7:
+            from .jpeg import decode_jpeg
+
+            stream = _merge_jpeg_tables(jpegtables, raw) if jpegtables else raw
+            img = decode_jpeg(bytes(stream))
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape != (rows, cols, spp):
+                raise ValueError("JPEG segment dims disagree with tags")
+            return img.astype(np.uint8)
+        want = rows * cols * spp * sample_bytes
         if comp == 32773:
-            strip = packbits_decode(strip, want)
+            raw = packbits_decode(raw, want)
         elif comp == 5:
-            strip = lzw_decode(strip, want)
-        if len(strip) != want:
-            raise ValueError("strip length disagrees with dimensions")
+            raw = lzw_decode(raw, want)
+        if len(raw) != want:
+            raise ValueError("segment length disagrees with dimensions")
+        seg = np.frombuffer(raw, dtype=dt_file).astype(dt_out)
+        seg = seg.reshape(rows, cols, spp)
         if predictor == 2:
             # horizontal differencing (tag 317): per-row, per-channel
-            # cumulative sum mod 256 restores the samples
-            rows = np.frombuffer(strip, dtype=np.uint8).reshape(
-                strip_rows, w, spp
+            # cumulative sum over the SAMPLE width restores the values
+            seg = (
+                np.cumsum(seg.astype(np.uint64), axis=1) % (1 << bps)
+            ).astype(dt_out)
+        return seg
+
+    if 322 in tags:  # tiled layout (TIFF 6.0 §15)
+        tw, th = one(322), one(323)
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("tile dims must be positive multiples of 16")
+        offsets, counts = tags.get(324), tags.get(325)
+        if offsets is None or counts is None:
+            raise ValueError("missing tile offsets/byte counts")
+        across, down = -(-w // tw), -(-h // th)
+        n_tiles = across * down
+        if n_tiles > MAX_STRIPS or len(offsets) != n_tiles or len(counts) != n_tiles:
+            raise ValueError("tile table disagrees with dimensions")
+        if down * th * across * tw * spp > 4 * MAX_PIXELS:
+            raise ValueError("padded tile grid exceeds decoder limit")
+        img = np.zeros((down * th, across * tw, spp), dtype=dt_out)
+        for t in range(n_tiles):
+            off, cnt = int(offsets[t]), int(counts[t])
+            if off < 0 or cnt < 0 or off + cnt > len(payload):
+                raise ValueError("tile out of bounds")
+            ty, tx = divmod(t, across)  # left-to-right, top-to-bottom
+            img[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = (
+                decode_segment(payload[off : off + cnt], th, tw)
             )
-            strip = (
-                np.cumsum(rows.astype(np.uint32), axis=1) % 256
-            ).astype(np.uint8).tobytes()
-        out += strip
-    img = np.frombuffer(bytes(out), dtype=np.uint8)
+        img = img[:h, :w]
+    else:  # strip layout
+        rows_per_strip = one(278, h)
+        if rows_per_strip <= 0:
+            raise ValueError("invalid RowsPerStrip")
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if offsets is None or counts is None:
+            raise ValueError("missing strip offsets/byte counts")
+        n_strips = -(-h // rows_per_strip)
+        if n_strips > MAX_STRIPS or len(offsets) != n_strips or len(counts) != n_strips:
+            raise ValueError("strip table disagrees with dimensions")
+        parts = []
+        for s in range(n_strips):
+            off, cnt = int(offsets[s]), int(counts[s])
+            if off + cnt > len(payload) or off < 0 or cnt < 0:
+                raise ValueError("strip out of bounds")
+            strip_rows = min(rows_per_strip, h - s * rows_per_strip)
+            parts.append(
+                decode_segment(payload[off : off + cnt], strip_rows, w)
+            )
+        img = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     if photo == 0:  # MinIsWhite: invert to the usual convention
-        img = 255 - img
+        img = ((1 << bps) - 1 - img.astype(np.uint32)).astype(dt_out)
     if spp == 1:
         return img.reshape(h, w)
-    return img.reshape(h, w, 3)
+    return np.ascontiguousarray(img)
 
 
 def _encode_page(arr, bo: str, compression: int,
                  rows_per_strip: int | None, photometric: int | None,
-                 software: str, predictor: int, base: int):
+                 software: str, predictor: int, base: int,
+                 tile: tuple[int, int] | None = None,
+                 jpeg_tables: bool = False):
     """Build one page section starting at absolute offset ``base``:
-    [strips | software | pad | IFD | overflow].  Returns (section
+    [segments | software | pad | IFD | overflow].  Returns (section
     bytes, absolute IFD offset, position of the next-IFD pointer
     WITHIN the section)."""
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    a = np.ascontiguousarray(arr)
+    if a.dtype == np.uint16:
+        bps = 16
+    elif a.dtype == np.uint8:
+        bps = 8
+    else:
+        raise ValueError("encode_tiff needs a uint8 or uint16 array")
     if a.ndim == 2:
         h, w = a.shape
         spp = 1
@@ -465,42 +574,87 @@ def _encode_page(arr, bo: str, compression: int,
     elif a.ndim == 3 and a.shape[2] == 3:
         h, w = a.shape[:2]
         spp = 3
-        photo = 2
+        # color JPEG-in-TIFF stores YCbCr (TechNote 2 convention)
+        photo = 6 if compression == 7 else 2
     else:
         raise ValueError("encode_tiff supports (h,w) gray or (h,w,3) RGB")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 32773, 7):
         raise ValueError(
-            "compression must be 1 (none), 5 (LZW) or 32773 (PackBits)"
+            "compression must be 1 (none), 5 (LZW), 32773 (PackBits) "
+            "or 7 (JPEG)"
         )
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
-    if predictor == 2 and compression == 1:
-        raise ValueError("predictor 2 needs a compression scheme")
-    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    if predictor == 2 and compression in (1, 7):
+        raise ValueError("predictor 2 needs a lossless compression scheme")
+    if compression == 7 and bps != 8:
+        raise ValueError("JPEG-in-TIFF is 8-bit only")
+    if jpeg_tables and compression != 7:
+        raise ValueError("jpeg_tables requires compression 7")
+    mask = (1 << bps) - 1
     if photo == 0:
-        a = 255 - a
-    flat = a.reshape(h, w * spp)
-    strips = []
-    for s in range(-(-h // rps)):
-        block = flat[s * rps : (s + 1) * rps]
+        a = (mask - a.astype(np.uint32)).astype(a.dtype)
+
+    def compress_segment(seg: np.ndarray) -> bytes:
+        """(rows, cols, spp) native-order array -> segment bytes
+        (lossless paths; JPEG is handled separately)."""
         if predictor == 2:
-            rows = block.reshape(block.shape[0], w, spp).astype(np.int16)
-            diff = rows.copy()
-            diff[:, 1:, :] -= rows[:, :-1, :]
-            block = (diff % 256).astype(np.uint8).reshape(
-                block.shape[0], w * spp
-            )
-        raw = block.tobytes()
+            diff = seg.astype(np.int64).copy()
+            diff[:, 1:, :] -= seg.astype(np.int64)[:, :-1, :]
+            seg = (diff & mask).astype(a.dtype)
+        raw = seg.astype(bo + f"u{bps // 8}").tobytes() if bps == 16 \
+            else seg.tobytes()
         if compression == 32773:
-            raw = packbits_encode(raw)
-        elif compression == 5:
-            raw = lzw_encode(raw)
-        strips.append(raw)
+            return packbits_encode(raw)
+        if compression == 5:
+            return lzw_encode(raw)
+        return raw
+
+    def jpeg_segment(seg: np.ndarray) -> bytes:
+        from .jpeg import encode_jpeg_gray, encode_jpeg_rgb
+
+        if spp == 1:
+            return encode_jpeg_gray(seg[:, :, 0])
+        return encode_jpeg_rgb(seg, "444")
+
+    cube = a.reshape(h, w, spp)
+    segments: list[bytes] = []
+    tables: bytes | None = None
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("tile dims must be positive multiples of 16")
+        across, down = -(-w // tw), -(-h // th)
+        padded = np.zeros((down * th, across * tw, spp), dtype=a.dtype)
+        padded[:h, :w] = cube
+        for ty in range(down):
+            for tx in range(across):
+                seg = padded[ty * th : (ty + 1) * th,
+                             tx * tw : (tx + 1) * tw]
+                segments.append(
+                    jpeg_segment(seg) if compression == 7
+                    else compress_segment(seg)
+                )
+        rps = None
+    else:
+        rps = h if rows_per_strip is None else max(1, rows_per_strip)
+        for s in range(-(-h // rps)):
+            seg = cube[s * rps : (s + 1) * rps]
+            segments.append(
+                jpeg_segment(seg) if compression == 7
+                else compress_segment(seg)
+            )
+    if jpeg_tables:
+        split = [split_jpeg_tables(st) for st in segments]
+        tables = split[0][0]
+        if any(t != tables for t, _ in split):
+            raise ValueError("JPEG segments disagree on tables")
+        segments = [img for _, img in split]
 
     sw = software.encode("latin-1") + b"\x00"
     strip_offs = []
     pos = base
-    for st in strips:
+    for st in segments:
         strip_offs.append(pos)
         pos += len(st)
     sw_off = pos
@@ -509,17 +663,33 @@ def _encode_page(arr, bo: str, compression: int,
         pos += 1
     ifd_off = pos
 
-    # ASCII software tag handled manually (stored at sw_off)
+    # ASCII software tag handled manually (stored at sw_off);
+    # tags kept in ascending order (TIFF 6.0 requires it)
     fields = [
         (256, 4, [w]), (257, 4, [h]),
-        (258, 3, [8] * spp), (259, 3, [compression]),
-        (262, 3, [photo]), (273, 4, strip_offs),
-        (277, 3, [spp]), (278, 4, [rps]),
-        (279, 4, [len(st) for st in strips]),
+        (258, 3, [bps] * spp), (259, 3, [compression]),
+        (262, 3, [photo]),
+        (277, 3, [spp]),
         (305, 2, None),  # Software -> sw_off
     ]
+    if tile is not None:
+        fields += [
+            (322, 4, [tw]), (323, 4, [th]),
+            (324, 4, strip_offs),
+            (325, 4, [len(st) for st in segments]),
+        ]
+    else:
+        fields += [
+            (273, 4, strip_offs), (278, 4, [rps]),
+            (279, 4, [len(st) for st in segments]),
+        ]
     if predictor == 2:
-        fields.insert(9, (317, 3, [2]))
+        fields.append((317, 3, [2]))
+    if tables is not None:
+        fields.append((347, 7, list(tables)))
+    if photo == 6:
+        fields.append((530, 3, [1, 1]))  # 444 — what the encoder emits
+    fields.sort(key=lambda f: f[0])
     n_entries = len(fields)
     overflow_off = ifd_off + 2 + 12 * n_entries + 4
     entries = b""
@@ -530,7 +700,7 @@ def _encode_page(arr, bo: str, compression: int,
             continue
         count = len(values)
         size = _TYPE_SIZES[vtype] * count
-        fmt = {1: "B", 3: "H", 4: "I"}[vtype]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[vtype]
         packed = struct.pack(bo + fmt * count, *values)
         if size <= 4:
             entries += (
@@ -545,7 +715,7 @@ def _encode_page(arr, bo: str, compression: int,
     ifd = struct.pack(bo + "H", n_entries) + entries + struct.pack(bo + "I", 0)
 
     out = bytearray()
-    for st in strips:
+    for st in segments:
         out += st
     out += sw
     if (base + len(out)) % 2:
@@ -560,15 +730,20 @@ def encode_tiff(arr, byte_order: str = "II", compression: int = 1,
                 rows_per_strip: int | None = None,
                 photometric: int | None = None,
                 software: str = "health-monitor-spark",
-                predictor: int = 1) -> bytes:
-    """uint8 (h, w) gray or (h, w, 3) RGB -> complete TIFF file.
-    ``byte_order`` 'II' or 'MM'; ``compression`` 1/5/32773; strips of
-    ``rows_per_strip`` rows (default: whole image in one strip);
-    optional Predictor 2.  Deterministic layout: header, pixel strips,
-    then the IFD."""
+                predictor: int = 1,
+                tile: tuple[int, int] | None = None,
+                jpeg_tables: bool = False) -> bytes:
+    """uint8/uint16 (h, w) gray or (h, w, 3) RGB -> complete TIFF
+    file.  ``byte_order`` 'II' or 'MM'; ``compression`` 1/5/32773 or
+    7 (JPEG, 8-bit; 3-channel input stored as YCbCr per TechNote 2,
+    with ``jpeg_tables=True`` factoring DQT/DHT into tag 347);
+    ``tile=(tw, th)`` (multiples of 16) writes the tiled layout
+    instead of strips of ``rows_per_strip`` rows; optional
+    Predictor 2.  uint16 input writes BitsPerSample 16 in the file's
+    byte order.  Deterministic layout: header, segments, IFD."""
     return encode_tiff_multipage(
         [arr], byte_order, compression, rows_per_strip, photometric,
-        software, predictor,
+        software, predictor, tile, jpeg_tables,
     )
 
 
@@ -577,7 +752,9 @@ def encode_tiff_multipage(pages, byte_order: str = "II",
                           rows_per_strip: int | None = None,
                           photometric: int | None = None,
                           software: str = "health-monitor-spark",
-                          predictor: int = 1) -> bytes:
+                          predictor: int = 1,
+                          tile: tuple[int, int] | None = None,
+                          jpeg_tables: bool = False) -> bytes:
     """List of image arrays -> one multi-page TIFF (next-IFD chain) —
     the multi-page scan/fax shape real document corpora carry."""
     if not pages:
@@ -592,7 +769,7 @@ def encode_tiff_multipage(pages, byte_order: str = "II",
     for a in pages:
         sec, ifd_off, ptr_pos = _encode_page(
             a, bo, compression, rows_per_strip, photometric, software,
-            predictor, base,
+            predictor, base, tile, jpeg_tables,
         )
         sections.append(bytearray(sec))
         ifd_offs.append(ifd_off)

@@ -6387,6 +6387,131 @@ def mm_tiff_pages_extract(spark, sf_dir):
 
 
 @query(
+    "mm_tiff16_tiled_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS c,
+               8 * (doc_id % 6 + 2) AS w,
+               8 * (n_chars % 6 + 2) AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.c, d.w, d.h,
+               (513*xx.x + 1031*yy.y) % 65536 AS gv16,
+               (257*xx.x) % 65536 AS r16,
+               (521*yy.y) % 65536 AS g16,
+               (xx.x * yy.y) % 65536 AS b16,
+               (xx.x + 2*yy.y) % 256 AS g8,
+               (3*xx.x) % 256 AS r8,
+               (5*yy.y) % 256 AS gg8,
+               (xx.x + yy.y) % 256 AS b8
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.w - 1)) AS xx(x),
+             LATERAL unnest(generate_series(0, d.h - 1)) AS yy(y)
+    ), v AS (
+        SELECT doc_id, c, w, h,
+               CASE WHEN c IN (0, 1, 5) THEN gv16
+                    WHEN c = 2 THEN r16 + g16 + b16
+                    WHEN c = 3 THEN g8
+                    ELSE r8 + gg8 + b8 END AS s_sum,
+               CASE WHEN c IN (0, 1, 5) THEN gv16
+                    WHEN c = 2 THEN least(r16, g16, b16)
+                    WHEN c = 3 THEN g8
+                    ELSE least(r8, gg8, b8) END AS s_min,
+               CASE WHEN c IN (0, 1, 5) THEN gv16
+                    WHEN c = 2 THEN greatest(r16, g16, b16)
+                    WHEN c = 3 THEN g8
+                    ELSE greatest(r8, gg8, b8) END AS s_max
+        FROM px
+    )
+    SELECT doc_id, TRUE AS ok,
+           (['II','MM','II','MM','II','MM'])[CAST(any_value(c)+1 AS INT)]
+               AS byte_order,
+           CAST(([1,5,32773,5,1,32773])[CAST(any_value(c)+1 AS INT)]
+                AS BIGINT) AS compression,
+           CAST(([16,16,16,8,8,16])[CAST(any_value(c)+1 AS INT)]
+                AS BIGINT) AS bits,
+           (['strip','strip','strip','tile','tile','tile'])
+               [CAST(any_value(c)+1 AS INT)] AS layout,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(CASE WHEN any_value(c) IN (2, 4) THEN 3 ELSE 1 END
+                AS BIGINT) AS n_channels,
+           CAST(sum(s_sum) AS BIGINT) AS px_sum,
+           CAST(min(s_min) AS BIGINT) AS px_min,
+           CAST(max(s_max) AS BIGINT) AS px_max
+    FROM v GROUP BY doc_id
+    """,
+    doc="16-BIT + TILED TIFF decode under the hash gate — the two "
+    "remaining lossless layout axes: BitsPerSample 16 (byte-order-"
+    "correct sample assembly, Predictor 2 over the 16-bit sample "
+    "width, MinIsBlack) and the tiled layout (tags 322-325: 16-"
+    "multiple tile grids, left-to-right top-to-bottom order, edge-"
+    "tile cropping — image dims deliberately NOT tile multiples).  "
+    "Six cases cycle {16-bit gray/RGB strips x none/LZW+Pred2/"
+    "PackBits x II/MM} and {8/16-bit gray/RGB tiles}; the oracle "
+    "re-derives the IFD surface and every pixel statistic from the "
+    "case arithmetic.  Scale: Arrow CPU-map like every codec path.",
+    bench=True,
+)
+def mm_tiff16_tiled_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.tiff_extended_decode_features(M.synth_tiff_extended_payload(docs))
+
+
+@query(
+    "mm_tiff_jpeg_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS c,
+               16 * (doc_id % 4 + 1) AS w,
+               16 * (n_chars % 4 + 1) AS h
+        FROM documents
+    ), blocks AS (
+        SELECT d.doc_id, d.c, d.w, d.h,
+               2 * ((d.doc_id + 59*byy.by + 31*bxx.bx) % 128) AS v
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h // 8 - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, d.w // 8 - 1)) AS bxx(bx)
+    )
+    SELECT doc_id, TRUE AS ok,
+           (['II','MM','II','II'])[CAST(any_value(c)+1 AS INT)]
+               AS byte_order,
+           CAST(7 AS BIGINT) AS compression,
+           CAST(8 AS BIGINT) AS bits,
+           (['strip','strip','strip','tile'])[CAST(any_value(c)+1 AS INT)]
+               AS layout,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(CASE WHEN any_value(c) = 2 THEN 3 ELSE 1 END AS BIGINT)
+               AS n_channels,
+           CAST(64 * (CASE WHEN any_value(c) = 2 THEN 3 ELSE 1 END)
+                * sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS BIGINT) AS px_min,
+           CAST(max(v) AS BIGINT) AS px_max
+    FROM blocks GROUP BY doc_id
+    """,
+    doc="JPEG-in-TIFF (new-style, compression 7, TIFF TechNote 2) "
+    "under the hash gate: each strip/tile is a JPEG stream decoded by "
+    "operators/jpeg.py, optionally ABBREVIATED against a shared "
+    "tag-347 JPEGTables block (DQT/DHT factored out, spliced back at "
+    "decode).  Four cases cycle {gray single-strip full streams, "
+    "gray multi-strip + JPEGTables (MM), YCbCr color photometric 6, "
+    "gray 16x16 tiles + JPEGTables}.  Flat even-valued 8x8 blocks "
+    "and 16-multiple dims keep the lossy path DC-exact (the same "
+    "family as every mm_jpeg* oracle), so the oracle re-derives all "
+    "statistics from the block formula.  Scale: Arrow CPU-map.",
+    bench=True,
+)
+def mm_tiff_jpeg_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.tiff_extended_decode_features(M.synth_tiff_jpeg_payload(docs))
+
+
+@query(
     "mm_jpeg12_decode_features",
     """
     WITH dims AS (

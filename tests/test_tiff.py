@@ -103,16 +103,16 @@ def test_unsupported_subsets_explicit():
     for e in range(n):
         base = ifd_off + 2 + 12 * e
         tag = struct.unpack("<H", bytes(good[base:base + 2]))[0]
-        if tag == 259:  # Compression -> JPEG-in-TIFF (7): unsupported
-            j7 = good.copy()
-            j7[base + 8:base + 12] = struct.pack("<I", 7)
+        if tag == 259:  # Compression -> old-style JPEG (6): unsupported
+            j6 = good.copy()
+            j6[base + 8:base + 12] = struct.pack("<I", 6)
             with pytest.raises(NotImplementedError, match="compression"):
-                decode_tiff(bytes(j7))
-        if tag == 258:  # BitsPerSample -> 16: honestly unsupported
-            b16 = good.copy()
-            b16[base + 8:base + 12] = struct.pack("<I", 16)
+                decode_tiff(bytes(j6))
+        if tag == 258:  # BitsPerSample -> 12: honestly unsupported
+            b12 = good.copy()
+            b12[base + 8:base + 12] = struct.pack("<I", 12)
             with pytest.raises(NotImplementedError, match="bits"):
-                decode_tiff(bytes(b16))
+                decode_tiff(bytes(b12))
 
 
 @settings(max_examples=120, deadline=None)
@@ -263,3 +263,94 @@ def test_multipage_chain_roundtrip_and_hostiles():
         decode_tiff_pages(bytes(t))
     with pytest.raises(ValueError):
         decode_tiff_pages(encode_tiff_multipage([_gray()], "II")[:40])
+
+# ---------------------------------------------------------------------------
+# round-10 extensions: 16-bit samples, tiled layout, JPEG-in-TIFF (comp 7)
+# ---------------------------------------------------------------------------
+
+
+def _flat_blocks(h, w, d):
+    """Flat even-valued 8x8 blocks — DC round-trips exactly through
+    the JPEG path (same family as the mm_jpeg* oracle queries)."""
+    by, bx = np.mgrid[0:h // 8, 0:w // 8]
+    v = (2 * ((d + 59 * by + 31 * bx) % 128)).astype(np.uint8)
+    return np.kron(v, np.ones((8, 8), dtype=np.uint8))
+
+
+def test_16bit_roundtrip_matrix():
+    rng = np.random.default_rng(7)
+    for bo in ("II", "MM"):
+        for comp, pred in ((1, 1), (5, 2), (32773, 1), (5, 1)):
+            img = rng.integers(0, 65536, (23, 37), dtype=np.uint16)
+            out = decode_tiff(encode_tiff(img, bo, comp, 7, predictor=pred))
+            assert out.dtype == np.uint16 and np.array_equal(out, img)
+    rgb = rng.integers(0, 65536, (17, 21, 3), dtype=np.uint16)
+    for bo in ("II", "MM"):
+        assert np.array_equal(decode_tiff(encode_tiff(rgb, bo, 32773, 4)), rgb)
+    # MinIsWhite inverts over the 16-bit range
+    img = rng.integers(0, 65536, (9, 11), dtype=np.uint16)
+    assert np.array_equal(decode_tiff(encode_tiff(img, "II", 1, photometric=0)), img)
+
+
+def test_tiled_layout_roundtrip_and_edge_crop():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)  # non-multiple dims
+    assert np.array_equal(
+        decode_tiff(encode_tiff(img, "MM", 5, predictor=2, tile=(16, 16))), img
+    )
+    rgb = rng.integers(0, 256, (20, 45, 3), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(rgb, "II", 1, tile=(32, 16))), rgb)
+    g16 = rng.integers(0, 65536, (31, 18), dtype=np.uint16)
+    assert np.array_equal(decode_tiff(encode_tiff(g16, "MM", 32773, tile=(16, 32))), g16)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, "II", 1, tile=(8, 8))
+
+
+def test_jpeg_in_tiff_gray_strip_tile_tables():
+    img = _flat_blocks(32, 48, 5)
+    assert np.array_equal(decode_tiff(encode_tiff(img, "II", 7)), img)
+    # multi-strip, abbreviated streams against tag-347 JPEGTables
+    t = encode_tiff(img, "MM", 7, rows_per_strip=16, jpeg_tables=True)
+    _, tags = parse_tiff_ifd(t)
+    assert 347 in tags and len(tags[273]) == 2
+    assert np.array_equal(decode_tiff(t), img)
+    t = encode_tiff(img, "II", 7, tile=(16, 16), jpeg_tables=True)
+    _, tags = parse_tiff_ifd(t)
+    assert 347 in tags and 322 in tags
+    assert np.array_equal(decode_tiff(t), img)
+
+
+def test_jpeg_in_tiff_color_photometric6():
+    g = _flat_blocks(32, 32, 9)
+    rgb = np.stack([g, g, g], axis=2)  # Cb=Cr=128 -> DC-exact roundtrip
+    t = encode_tiff(rgb, "II", 7)
+    _, tags = parse_tiff_ifd(t)
+    assert tags[262] == [6] and tags[530] == [1, 1]
+    assert np.array_equal(decode_tiff(t), rgb)
+    t = encode_tiff(rgb, "MM", 7, rows_per_strip=16, jpeg_tables=True)
+    assert np.array_equal(decode_tiff(t), rgb)
+
+
+def test_multipage_16bit_tiled_chain():
+    from health_monitor_cc_flink_spark.operators.tiff import (
+        decode_tiff_pages,
+        encode_tiff_multipage,
+    )
+
+    rng = np.random.default_rng(13)
+    pages = [rng.integers(0, 65536, (19, 22), dtype=np.uint16) for _ in range(3)]
+    t = encode_tiff_multipage(pages, "MM", 5, predictor=2, tile=(16, 16))
+    outs = decode_tiff_pages(t)
+    assert len(outs) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(outs, pages))
+
+
+def test_jpeg_in_tiff_guards():
+    img16 = np.zeros((16, 16), dtype=np.uint16)
+    with pytest.raises(ValueError, match="8-bit"):
+        encode_tiff(img16, "II", 7)
+    img = _flat_blocks(16, 16, 1)
+    with pytest.raises(ValueError, match="predictor 2"):
+        encode_tiff(img, "II", 7, predictor=2)
+    with pytest.raises(ValueError, match="jpeg_tables"):
+        encode_tiff(img, "II", 5, jpeg_tables=True)
