@@ -5,7 +5,8 @@ document dumps.  Implemented from the PUBLIC Windows BITMAPFILEHEADER
 / BITMAPINFOHEADER layout — structure-only, like TIFF:
 
 * ``decode_bmp`` — BITMAPINFOHEADER (40-byte) DIBs: 1/4/8-bit
-  paletted (BI_RGB; 8-bit also BI_RLE8 run-length), 16-bit XRGB1555
+  paletted (BI_RGB; 8-bit BI_RLE8 and 4-bit BI_RLE4 run-length with
+  alternating-nibble encoded runs), 16-bit XRGB1555
   (5-bit channels replicated to 8), 24-bit BGR and 32-bit BGRA,
   bottom-up AND top-down (negative height) row orders, 32-bit row
   padding, MSB-first sub-byte index unpack, palette lookup to
@@ -96,6 +97,89 @@ def rle8_encode(idx: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def rle4_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE4 -> (h, w) uint8 nibble-index array (row 0 = BOTTOM row,
+    as stored).  Encoded runs ALTERNATE the two nibbles of the value
+    byte (hi, lo, hi, ...); absolute runs carry packed nibbles padded
+    to a word boundary; escapes are the RLE8 set (0 0 = end of line,
+    0 1 = end of bitmap, 0 2 = delta).  Unpainted pixels default 0."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("truncated RLE4 stream")
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run: alternate hi/lo nibbles
+            if y >= h or x + c > w:
+                raise ValueError("RLE4 run overruns row")
+            pair = np.array([v >> 4, v & 0x0F], dtype=np.uint8)
+            out[y, x : x + c] = np.resize(pair, c)
+            x += c
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("RLE4 line count overruns image")
+            continue
+        if v == 1:  # end of bitmap
+            return out
+        if v == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("truncated RLE4 delta")
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            x, y = x + dx, y + dy
+            if x > w or y > h:
+                raise ValueError("RLE4 delta overruns image")
+            continue
+        # absolute run of v nibbles; bytes consumed pad to a word
+        if y >= h or x + v > w:
+            raise ValueError("RLE4 absolute run overruns row")
+        nbytes = (v + 1) // 2
+        if i + nbytes > n:
+            raise ValueError("truncated RLE4 absolute run")
+        raw = np.frombuffer(data[i : i + nbytes], dtype=np.uint8)
+        nibbles = np.empty(nbytes * 2, dtype=np.uint8)
+        nibbles[0::2] = raw >> 4
+        nibbles[1::2] = raw & 0x0F
+        out[y, x : x + v] = nibbles[:v]
+        x += v
+        i += nbytes + (nbytes & 1)  # word padding
+
+
+def rle4_encode(idx: np.ndarray) -> bytes:
+    """(h, w) uint8 nibble rows (values < 16, row 0 = bottom) ->
+    BI_RLE4 bytes: maximal constant runs as encoded runs (both nibbles
+    equal), everything else as alternating pairs; absolute runs are a
+    decoder surface, exercised by tests with hand-built streams."""
+    h, w = idx.shape
+    if int(idx.max(initial=0)) > 15:
+        raise ValueError("RLE4 needs nibble values")
+    out = bytearray()
+    for y in range(h):
+        row = idx[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            if run >= 2:
+                v = int(row[x])
+                out += bytes([run, (v << 4) | v])
+                x += run
+            else:
+                nxt = int(row[x + 1]) if x + 1 < w else 0
+                c = 2 if x + 1 < w else 1
+                out += bytes([c, (int(row[x]) << 4) | nxt])
+                x += c
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """BMP bytes -> uint8 pixel array, returned top-down regardless of
     storage order: (h, w, 3) RGB for 1/4/8-bit paletted, 16-bit
@@ -123,8 +207,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("declared dimensions exceed decoder limit")
     if bpp in (1, 4, 8):
         if comp == 1 and bpp != 8:
-            raise NotImplementedError("RLE is 8-bit only in this decoder")
-        if comp not in (0, 1):
+            raise NotImplementedError("BI_RLE8 needs 8-bit pixels")
+        if comp == 2 and bpp != 4:
+            raise NotImplementedError("BI_RLE4 needs 4-bit pixels")
+        if comp not in (0, 1, 2):
             raise NotImplementedError(f"{bpp}-bit compression {comp} not supported")
         n_colors = struct.unpack("<I", p[46:50])[0] or (1 << bpp)
         pal_off = 14 + hdr_size
@@ -133,10 +219,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             raise ValueError("truncated BMP palette")
         quads = np.frombuffer(p[pal_off:pal_end], dtype=np.uint8).reshape(-1, 4)
         palette = quads[:, [2, 1, 0]]  # BGRx -> RGB
-        if comp == 1:
+        if comp in (1, 2):
             if top_down:
-                raise ValueError("RLE8 with top-down rows is spec-invalid")
-            idx = rle8_decode(p[data_off:], w, h)
+                raise ValueError("RLE with top-down rows is spec-invalid")
+            dec = rle8_decode if comp == 1 else rle4_decode
+            idx = dec(p[data_off:], w, h)
         else:
             stride = ((w * bpp + 31) // 32) * 4  # rows pad to 32 bits
             need = stride * h
@@ -205,13 +292,16 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 def encode_bmp(arr, palette=None, compression: int = 0,
                top_down: bool = False,
                bits_per_pixel: int | None = None) -> bytes:
-    """(h, w) index array + ``palette`` (n<=256, 3 RGB) -> 8-bit BMP
-    (BI_RGB or, with ``compression=1``, BI_RLE8); (h, w, 3) RGB ->
-    24-bit BI_RGB.  Input is top-down; stored bottom-up unless
-    ``top_down`` (negative height; BI_RGB only)."""
+    """(h, w) index array + ``palette`` (n<=256, 3 RGB) -> paletted BMP
+    (BI_RGB; ``compression=1`` = BI_RLE8 at 8-bit, ``compression=2`` =
+    BI_RLE4 at 4-bit); (h, w, 3) RGB -> 24-bit BI_RGB.  Input is
+    top-down; stored bottom-up unless ``top_down`` (negative height;
+    BI_RGB only)."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
-    if compression == 1 and top_down:
-        raise ValueError("RLE8 cannot be stored top-down")
+    if compression not in (0, 1, 2):
+        raise ValueError("compression must be 0 (BI_RGB), 1 (RLE8) or 2 (RLE4)")
+    if compression in (1, 2) and top_down:
+        raise ValueError("RLE cannot be stored top-down")
     if palette is not None:
         pal = np.ascontiguousarray(palette, dtype=np.uint8)
         if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
@@ -224,8 +314,10 @@ def encode_bmp(arr, palette=None, compression: int = 0,
         bpp = 8 if bits_per_pixel is None else bits_per_pixel
         if bpp not in (1, 4, 8):
             raise ValueError("bits_per_pixel must be 1, 4 or 8")
-        if bpp != 8 and compression == 1:
-            raise ValueError("RLE8 needs 8-bit indices")
+        if compression == 1 and bpp != 8:
+            raise ValueError("BI_RLE8 needs 8-bit indices")
+        if compression == 2 and bpp != 4:
+            raise ValueError("BI_RLE4 needs 4-bit indices")
         if int(a.max(initial=0)) >= 1 << bpp:
             raise ValueError(f"index out of range for {bpp}-bit")
         quads = np.zeros((pal.shape[0], 4), dtype=np.uint8)
@@ -234,6 +326,8 @@ def encode_bmp(arr, palette=None, compression: int = 0,
         rows = a if top_down else a[::-1]
         if compression == 1:
             pix = rle8_encode(rows)
+        elif compression == 2:
+            pix = rle4_encode(rows)
         elif bpp == 8:
             stride = (w + 3) & ~3
             padded = np.zeros((h, stride), dtype=np.uint8)
@@ -261,6 +355,19 @@ def encode_bmp(arr, palette=None, compression: int = 0,
         if a.shape[2] == 4:
             bpp = 32
             pix = rows[:, :, [2, 1, 0, 3]].tobytes()  # RGBA -> BGRA
+        elif bits_per_pixel == 16:
+            # XRGB1555: channels quantized v >> 3 (decode replicates
+            # the 5 bits back to 8, so the roundtrip is v -> rep(v>>3))
+            bpp = 16
+            r5 = (rows[:, :, 0] >> 3).astype(np.uint16)
+            g5 = (rows[:, :, 1] >> 3).astype(np.uint16)
+            b5 = (rows[:, :, 2] >> 3).astype(np.uint16)
+            v = (r5 << 10) | (g5 << 5) | b5
+            stride = (w * 2 + 3) & ~3
+            padded = np.zeros((h, stride), dtype=np.uint8)
+            le = v.astype("<u2").view(np.uint8).reshape(h, w * 2)
+            padded[:, : w * 2] = le
+            pix = padded.tobytes()
         else:
             bpp = 24
             stride = (w * 3 + 3) & ~3

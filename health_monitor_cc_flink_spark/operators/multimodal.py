@@ -2172,12 +2172,14 @@ def jpeg_exif_metadata(df: DataFrame, payload_col: str = "jpeg",
 
 def synth_bmp_payload(df: DataFrame, id_col: str = "doc_id",
                       len_col: str = "n_chars") -> DataFrame:
-    """Attach a ``bmp`` column cycling doc_id % 6 through {8-bit
+    """Attach a ``bmp`` column cycling doc_id % 8 through {8-bit
     paletted BI_RGB, 8-bit BI_RLE8, 24-bit bottom-up, 24-bit
     top-down (negative height), 4-bit paletted, 32-bit BGRA
-    top-down}.  Paletted pixels: idx = (x+y) % 16 with palette
-    (4j, 8j, 12j); truecolor: ((3x)%256, (5y)%256, (x*y)%256
-    [, alpha (x+y)%256]).  Dims w = 8*(id%5+2), h = 8*(len%5+2)."""
+    top-down, 4-bit BI_RLE4, 16-bit XRGB1555}.  Paletted pixels:
+    idx = (x+y) % 16 with palette (4j, 8j, 12j); truecolor:
+    ((3x)%256, (5y)%256, (x*y)%256 [, alpha (x+y)%256]); 16-bit
+    quantizes those channels to 5 bits (decode replicates them back:
+    v -> 8*(v//8) + v//32).  Dims w = 8*(id%5+2), h = 8*(len%5+2)."""
     from .bmp import encode_bmp
 
     src = df.select(
@@ -2199,7 +2201,7 @@ def synth_bmp_payload(df: DataFrame, id_col: str = "doc_id",
             for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
                 d, w, h = int(d), int(w), int(h)
                 y, x = np.mgrid[0:h, 0:w]
-                case = d % 6
+                case = d % 8
                 idx = ((x + y) % 16).astype(np.uint8)
                 rgb = np.stack(
                     [(3 * x) % 256, (5 * y) % 256, (x * y) % 256],
@@ -2213,12 +2215,18 @@ def synth_bmp_payload(df: DataFrame, id_col: str = "doc_id",
                 elif case == 4:
                     bmps.append(encode_bmp(idx, palette=pal,
                                            bits_per_pixel=4))
-                else:
+                elif case == 5:
                     rgba = np.concatenate(
                         [rgb, (((x + y) % 256).astype(np.uint8))[:, :, None]],
                         axis=2,
                     )
                     bmps.append(encode_bmp(rgba, top_down=True))
+                elif case == 6:
+                    bmps.append(encode_bmp(idx, palette=pal,
+                                           compression=2,
+                                           bits_per_pixel=4))
+                else:
+                    bmps.append(encode_bmp(rgb, bits_per_pixel=16))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "bmp": bmps})
 
     return src.mapInPandas(gen, schema="doc_id long, bmp binary")

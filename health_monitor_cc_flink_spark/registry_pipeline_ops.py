@@ -6201,7 +6201,7 @@ def mm_ico_decode_features(spark, sf_dir):
     "mm_bmp_decode_features",
     """
     WITH dims AS (
-        SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS c,
+        SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS c,
                8 * (doc_id % 5 + 2) AS w,
                8 * (n_chars % 5 + 2) AS h
         FROM documents
@@ -6211,20 +6211,27 @@ def mm_ico_decode_features(spark, sf_dir):
                (3*xx.x) % 256 AS r8,
                (5*yy.y) % 256 AS g8,
                (xx.x * yy.y) % 256 AS b8,
-               (xx.x + yy.y) % 256 AS a8
+               (xx.x + yy.y) % 256 AS a8,
+               -- XRGB1555 roundtrip: v -> rep(v >> 3) = 8*(v//8) + v//32
+               8*((3*xx.x) % 256 // 8) + ((3*xx.x) % 256) // 32 AS r16,
+               8*((5*yy.y) % 256 // 8) + ((5*yy.y) % 256) // 32 AS g16,
+               8*((xx.x * yy.y) % 256 // 8) + ((xx.x * yy.y) % 256) // 32 AS b16
         FROM dims d,
              LATERAL unnest(generate_series(0, d.w - 1)) AS xx(x),
              LATERAL unnest(generate_series(0, d.h - 1)) AS yy(y)
     ), v AS (
         SELECT doc_id, c, w, h,
-               CASE WHEN c IN (0, 1, 4) THEN 24*j
+               CASE WHEN c IN (0, 1, 4, 6) THEN 24*j
                     WHEN c IN (2, 3) THEN r8 + g8 + b8
+                    WHEN c = 7 THEN r16 + g16 + b16
                     ELSE r8 + g8 + b8 + a8 END AS s_sum,
-               CASE WHEN c IN (0, 1, 4) THEN 4*j
+               CASE WHEN c IN (0, 1, 4, 6) THEN 4*j
                     WHEN c IN (2, 3) THEN least(r8, g8, b8)
+                    WHEN c = 7 THEN least(r16, g16, b16)
                     ELSE least(r8, g8, b8, a8) END AS s_min,
-               CASE WHEN c IN (0, 1, 4) THEN 12*j
+               CASE WHEN c IN (0, 1, 4, 6) THEN 12*j
                     WHEN c IN (2, 3) THEN greatest(r8, g8, b8)
+                    WHEN c = 7 THEN greatest(r16, g16, b16)
                     ELSE greatest(r8, g8, b8, a8) END AS s_max
         FROM px
     )
@@ -6238,12 +6245,15 @@ def mm_ico_decode_features(spark, sf_dir):
     """,
     doc="Windows BMP decode under the hash gate — the legacy raster "
     "format crawled archives still carry: 1/4/8-bit paletted (8-bit "
-    "also BI_RLE8 with end-of-line/bitmap/delta escapes; sub-byte "
-    "MSB-first packed), 24-bit BGR and 32-bit BGRA (alpha kept), "
-    "bottom-up AND top-down (negative height) row orders, 32-bit row "
-    "padding, palette resolved to RGB.  The synth cycles six layouts "
-    "and the oracle re-derives pixel statistics from grid arithmetic.  "
-    "16-bit stays an explicit guard.  Scale: Arrow CPU-map.",
+    "BI_RLE8 and 4-bit BI_RLE4 with alternating-nibble encoded runs "
+    "and end-of-line/bitmap/delta escapes; sub-byte MSB-first "
+    "packed), 16-bit XRGB1555 (5-bit channels replicated to 8), "
+    "24-bit BGR and 32-bit BGRA (alpha kept), bottom-up AND top-down "
+    "(negative height) row orders, 32-bit row padding, palette "
+    "resolved to RGB.  The synth cycles EIGHT layouts and the oracle "
+    "re-derives pixel statistics from grid arithmetic (the 16-bit "
+    "case through the quantize-replicate roundtrip formula).  "
+    "BI_BITFIELDS stays an explicit guard.  Scale: Arrow CPU-map.",
 )
 def mm_bmp_decode_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").repartition(

@@ -209,3 +209,58 @@ def test_16bit_xrgb1555_decode():
     want = np.stack([rep(r5.astype(np.uint8)), rep(g5.astype(np.uint8)),
                      rep(b5.astype(np.uint8))], axis=2)
     assert np.array_equal(img, want)
+
+
+def test_rle4_roundtrip_and_vectors():
+    from health_monitor_cc_flink_spark.operators.bmp import (
+        decode_bmp,
+        encode_bmp,
+        rle4_decode,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in ((7, 13), (16, 16), (3, 1), (9, 31)):
+        idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+        idx[2:4] = 7  # constant-run rows exercise encoded runs
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        bmp = encode_bmp(idx, palette=pal, compression=2, bits_per_pixel=4)
+        assert np.array_equal(decode_bmp(bmp), pal[idx]), (h, w)
+    # hand-built stream: absolute run (5 nibbles, word-padded),
+    # encoded run, delta, end-of-bitmap
+    stream = bytes([
+        0x00, 0x05, 0x12, 0x34, 0x50, 0x00,  # absolute 1,2,3,4,5 + pad
+        0x02, 0xAB,                          # encoded 2: A,B
+        0x00, 0x02, 0x01, 0x01,              # delta +1,+1
+        0x00, 0x01,                          # end of bitmap
+    ])
+    out = rle4_decode(stream, 8, 2)
+    assert list(out[0]) == [1, 2, 3, 4, 5, 0xA, 0xB, 0]
+    assert list(out[1]) == [0] * 8
+    # end-of-line resets x; alternating-nibble run
+    out = rle4_decode(bytes([0x03, 0x77, 0x00, 0x00,
+                             0x05, 0x21, 0x00, 0x01]), 6, 2)
+    assert list(out[0]) == [7, 7, 7, 0, 0, 0]
+    assert list(out[1]) == [2, 1, 2, 1, 2, 0]
+    with pytest.raises(ValueError, match="truncated"):
+        rle4_decode(bytes([0x00, 0x09, 0x11]), 16, 2)
+    with pytest.raises(ValueError, match="overruns"):
+        rle4_decode(bytes([0x09, 0x11]), 4, 1)
+    with pytest.raises(NotImplementedError, match="RLE4"):
+        # RLE4 compression on an 8-bit header is spec-invalid
+        bad = bytearray(encode_bmp(np.zeros((4, 4), np.uint8),
+                                   palette=np.zeros((2, 3), np.uint8)))
+        bad[30:34] = (2).to_bytes(4, "little")
+        decode_bmp(bytes(bad))
+
+
+def test_16bit_encode_roundtrip():
+    from health_monitor_cc_flink_spark.operators.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    out = decode_bmp(encode_bmp(rgb, bits_per_pixel=16))
+    q = rgb >> 3
+    assert np.array_equal(out, ((q << 3) | (q >> 2)).astype(np.uint8))
