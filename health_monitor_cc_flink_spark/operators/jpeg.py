@@ -1160,10 +1160,12 @@ STD_CHROMA_QUANT = np.array(
 )
 
 
-def _quantized_grid(plane: np.ndarray, gh: int, gw: int, quant: np.ndarray) -> np.ndarray:
-    """uint8 plane -> (gh, gw, 64) zigzag quantized coeffs over the
-    MCU-padded block grid (shared pipeline: `_quantized_blocks`)."""
-    q = _quantized_blocks(plane, gh, gw, quant).astype(np.int64)
+def _quantized_grid(plane: np.ndarray, gh: int, gw: int, quant: np.ndarray,
+                    precision: int = 8) -> np.ndarray:
+    """Sample plane -> (gh, gw, 64) zigzag quantized coeffs over the
+    MCU-padded block grid (shared pipeline: `_quantized_blocks`;
+    ``precision`` 8 or 12 picks the dtype and level shift)."""
+    q = _quantized_blocks(plane, gh, gw, quant, precision).astype(np.int64)
     return q.reshape(-1, 64)[:, ZIGZAG].reshape(gh, gw, 64)
 
 
@@ -1211,13 +1213,20 @@ def encode_jpeg_ycbcr(
     quant_luma: np.ndarray = STD_LUMA_QUANT,
     quant_chroma: np.ndarray = STD_CHROMA_QUANT,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """YCbCr planes -> complete baseline color JPEG.  ``subsampling``
-    is one of 444/422/420/440/411: chroma must be the luma shape
-    ceil-divided by the named factors (e.g. '422' -> (h, ceil(w/2)),
-    '411' -> (h, ceil(w/4))).  Non-zero ``restart_interval`` emits
-    DRI + cycling RSTn markers."""
-    y = np.asarray(y, dtype=np.uint8)
+    """YCbCr planes -> complete color JPEG: 8-bit baseline (SOF0) or,
+    with ``precision=12``, T.81 EXTENDED SEQUENTIAL (SOF1 — uint16
+    samples 0..4095, 16-bit DQT, extended flat Huffman tables; the
+    color half of the 12-bit gray path).  ``subsampling`` is one of
+    444/422/420/440/411: chroma must be the luma shape ceil-divided by
+    the named factors (e.g. '422' -> (h, ceil(w/2)), '411' ->
+    (h, ceil(w/4))).  Non-zero ``restart_interval`` emits DRI +
+    cycling RSTn markers."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    sdtype = np.uint8 if precision == 8 else np.uint16
+    y = np.asarray(y, dtype=sdtype)
     h, w = y.shape
     hy, vy, mcx, mcy, cexp = _subsamp_geometry(subsampling, w, h)
     hv_y = (hy << 4) | vy
@@ -1227,9 +1236,11 @@ def encode_jpeg_ycbcr(
             raise ValueError(f"chroma shape must be {cexp} for {subsampling}")
     ygh, ygw = mcy * vy, mcx * hy
     grids = [
-        _quantized_grid(y, ygh, ygw, quant_luma),
-        _quantized_grid(np.asarray(cb, dtype=np.uint8), cgh, cgw, quant_chroma),
-        _quantized_grid(np.asarray(cr, dtype=np.uint8), cgh, cgw, quant_chroma),
+        _quantized_grid(y, ygh, ygw, quant_luma, precision),
+        _quantized_grid(np.asarray(cb, dtype=sdtype), cgh, cgw,
+                        quant_chroma, precision),
+        _quantized_grid(np.asarray(cr, dtype=sdtype), cgh, cgw,
+                        quant_chroma, precision),
     ]
     factors = [(vy, hy), (1, 1), (1, 1)]  # (vi, hi) — row-major MCU walk
     mcus = [
@@ -1242,7 +1253,11 @@ def encode_jpeg_ycbcr(
         for my in range(mcy)
         for mx in range(mcx)
     ]
-    data = _encode_scan(mcus, 3, restart_interval)
+    if precision == 8:
+        dc, ac = _DC_CODES, _AC_CODES
+    else:
+        dc, ac = _DC12_CODES, _AC12_CODES
+    data = _encode_scan(mcus, 3, restart_interval, dc, ac)
     return _assemble(
         w,
         h,
@@ -1250,6 +1265,7 @@ def encode_jpeg_ycbcr(
         [(1, hv_y, 0), (2, 0x11, 1), (3, 0x11, 1)],
         data,
         restart_interval,
+        precision,
     )
 
 

@@ -1553,6 +1553,57 @@ def synth_jpeg12_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
 
 
+def synth_jpeg12_color_payload(df: DataFrame, id_col: str = "doc_id",
+                               len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``jpeg`` column of 12-BIT COLOR extended-sequential
+    (SOF1, 3-component YCbCr) JPEGs — the color half of the 12-bit
+    path: subsampling alternates 444/420 by id%2, restart interval
+    cycles 0/2/5 by id%3.  Flat even-valued blocks per plane over the
+    full 0..4094 range (chroma quantized with the luminance table, so
+    every DC round-trips exactly like the gray 12-bit family): y =
+    2*((d + 599*by + 211*bx) %% 2048), cb = 2*((d + 401*by + 157*bx
+    + 1) %% 2048), cr = 2*((d + 613*by + 101*bx + 2) %% 2048) at each
+    plane's NATIVE block grid.  Dims w = 16*(id%4+1), h =
+    16*(len%4+1) keep both layouts whole-block."""
+    from .jpeg import STD_LUMA_QUANT, encode_jpeg_ycbcr
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(16) * (F.col(id_col) % 4 + 1)).cast("int").alias("w"),
+        (F.lit(16) * (F.col(len_col) % 4 + 1)).cast("int").alias("h"),
+    )
+    intervals = (0, 2, 5)
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def plane(d, bh, bw, a, b, c):
+            by, bx = np.mgrid[0:bh, 0:bw]
+            v = 2 * ((d + a * by + b * bx + c) % 2048)
+            return np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(
+                np.uint16
+            )
+
+        for pdf in batches:
+            jpegs = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(doc_id), int(w), int(h)
+                sub, f = ("444", 1) if d % 2 == 0 else ("420", 2)
+                y = plane(d, h // 8, w // 8, 599, 211, 0)
+                cb = plane(d, h // (8 * f), w // (8 * f), 401, 157, 1)
+                cr = plane(d, h // (8 * f), w // (8 * f), 613, 101, 2)
+                jpegs.append(
+                    encode_jpeg_ycbcr(
+                        y, cb, cr, sub, quant_chroma=STD_LUMA_QUANT,
+                        restart_interval=intervals[d % 3], precision=12,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+    return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
+
+
 def synth_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id",
                                    len_col: str = "n_chars") -> DataFrame:
     """Attach a ``jpeg`` column of COMPLETE PROGRESSIVE (SOF2) JPEGs —

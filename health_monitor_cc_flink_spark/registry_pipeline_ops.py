@@ -6566,6 +6566,65 @@ def mm_jpeg12_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_jpeg12_color_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS c,
+               16 * (doc_id % 4 + 1) AS w,
+               16 * (n_chars % 4 + 1) AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS f
+        FROM documents
+    ), yb AS (
+        SELECT d.doc_id,
+               sum(2 * ((d.doc_id + 599*byy.by + 211*bxx.bx) % 2048)) AS ys
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h//8 - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, d.w//8 - 1)) AS bxx(bx)
+        GROUP BY d.doc_id
+    ), cbl AS (
+        SELECT d.doc_id,
+               sum(2 * ((d.doc_id + 401*byy.by + 157*bxx.bx + 1) % 2048))
+                   AS cbs,
+               sum(2 * ((d.doc_id + 613*byy.by + 101*bxx.bx + 2) % 2048))
+                   AS crs,
+               max(2 * ((d.doc_id + 613*byy.by + 101*bxx.bx + 2) % 2048))
+                   AS crm
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.h//(8*d.f) - 1)) AS byy(by),
+             LATERAL unnest(generate_series(0, d.w//(8*d.f) - 1)) AS bxx(bx)
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, TRUE AS marker_ok,
+           CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+           (['444','420'])[CAST(d.c + 1 AS INT)] AS subsampling,
+           CAST(64 * yb.ys AS BIGINT) AS y_sum,
+           CAST(64 * cbl.cbs AS BIGINT) AS cb_sum,
+           CAST(64 * cbl.crs AS BIGINT) AS cr_sum,
+           CAST(64 * yb.ys AS DOUBLE) / (d.w * d.h) AS y_mean,
+           CAST(cbl.crm AS BIGINT) AS cr_max
+    FROM dims d JOIN yb USING (doc_id) JOIN cbl USING (doc_id)
+    """,
+    doc="12-BIT COLOR JPEG decode under the hash gate — the color "
+    "half of the T.81 extended-sequential (SOF1) path the r9 gray "
+    "query opened: 3-component YCbCr MCU interleave at 444 AND 420, "
+    "16-bit DQT elements for BOTH tables, extended flat Huffman "
+    "tables, 2048 level shift, uint16 planes, restart intervals "
+    "cycling 0/2/5.  Flat even-valued blocks per plane (chroma "
+    "quantized with the luminance table) round-trip DC-exact over "
+    "the full 0..4094 range, so the oracle re-derives per-plane "
+    "statistics from each plane's native block grid.  Closes the "
+    "12-bit JPEG gap (arithmetic coding stays honestly out of "
+    "scope).  Scale: Arrow CPU-map like every codec path.",
+    bench=True,
+)
+def mm_jpeg12_color_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.jpeg_color_decode_features(M.synth_jpeg12_color_payload(docs))
+
+
+@query(
     "mm_jpeg_subsampling_decode_features",
     """
     WITH dims AS (

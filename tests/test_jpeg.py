@@ -693,3 +693,37 @@ def test_planes_to_rgb_rejects_odd_sampling_shapes():
     # sane integer ratios still convert
     out = _planes_to_rgb([full, half, half], w, h)
     assert out.shape == (h, w, 3)
+
+
+def test_12bit_color_sof1_roundtrip_exact():
+    """12-bit 3-component SOF1: flat even blocks per plane (chroma on
+    the luminance quant table) round-trip DC-exact at 444 and 420,
+    with and without restart intervals."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.jpeg import (
+        STD_LUMA_QUANT,
+        decode_jpeg_planes,
+        encode_jpeg_ycbcr,
+    )
+
+    def plane12(d, bh, bw, a, b, c):
+        by, bx = np.mgrid[0:bh, 0:bw]
+        v = 2 * ((d + a * by + b * bx + c) % 2048)
+        return np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint16)
+
+    for d in (0, 7, 123):
+        for sub, f in (("444", 1), ("420", 2)):
+            w, h = 32, 32
+            y = plane12(d, h // 8, w // 8, 599, 211, 0)
+            cb = plane12(d, h // (8 * f), w // (8 * f), 401, 157, 1)
+            cr = plane12(d, h // (8 * f), w // (8 * f), 613, 101, 2)
+            jb = encode_jpeg_ycbcr(y, cb, cr, sub,
+                                   quant_chroma=STD_LUMA_QUANT,
+                                   precision=12, restart_interval=d % 3)
+            planes, ww, hh = decode_jpeg_planes(jb)
+            assert (ww, hh) == (w, h)
+            assert planes[0].dtype == np.uint16
+            assert np.array_equal(planes[0], y)
+            assert np.array_equal(planes[1], cb)
+            assert np.array_equal(planes[2], cr)
