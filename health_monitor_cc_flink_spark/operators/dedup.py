@@ -467,6 +467,48 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # -- duplicated spans (suffix-array-style ExactSubstr) ---------------------------
 
+#: Stop-gram lists larger than this are NOT broadcast: the list size is
+#: data-dependent (a heavy-tailed corpus can push millions of grams
+#: above max_gram_freq), and an unbounded broadcast is a driver/executor
+#: OOM at 100 TB.  Above the limit the anti-join falls back to a
+#: shuffle join (same result, bounded memory).
+DEFAULT_HOT_BROADCAST_LIMIT = 1_000_000
+
+
+def _anti_join_hot(grams: DataFrame, hot: DataFrame, keys,
+                   hot_broadcast_limit: int | None) -> DataFrame:
+    """Anti-join the gram stream against the stop-gram list, broadcast
+    ONLY when the list is verifiably small.  ``hot_broadcast_limit``
+    None = unconditional broadcast (the pre-guard behavior, for plans
+    that must stay action-free); an int = persist the list, count at
+    most limit+1 rows, and broadcast iff the count stays at or under
+    the limit — otherwise shuffle.  The persist makes the census run
+    once whichever path executes the join."""
+    if hot_broadcast_limit is None:
+        return grams.join(F.broadcast(hot), keys, "left_anti")
+    from pyspark import StorageLevel
+
+    hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
+    n = hot.limit(int(hot_broadcast_limit) + 1).count()
+    if n <= hot_broadcast_limit:
+        return grams.join(F.broadcast(hot), keys, "left_anti")
+    return grams.join(hot, keys, "left_anti")
+
+
+def _maybe_hash_grams(grams: DataFrame,
+                      use_hashed_grams: bool) -> DataFrame:
+    """Optionally replace the gram STRING with xxhash64(gram) — the
+    narrow-shuffle variant for 100 TB runs: the census/anti-join/
+    equi-join shuffle 8-byte keys instead of k-token strings.  A hash
+    collision can only fabricate an isolated 1-gram candidate
+    alignment, which the min_tokens span filter discards (a run of r
+    matches is needed for a span of r + k - 1 tokens).  The string
+    path stays the default so the DuckDB oracle replicates the join
+    byte-for-byte."""
+    if not use_hashed_grams:
+        return grams
+    return grams.withColumn("gram", F.xxhash64("gram"))
+
 
 def kgram_positions(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 6
@@ -500,6 +542,8 @@ def duplicated_spans(
     k: int = 6,
     min_tokens: int = 8,
     max_gram_freq: int = 50,
+    use_hashed_grams: bool = False,
+    hot_broadcast_limit: int | None = DEFAULT_HOT_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Cross-document duplicated-SPAN detection — the suffix-array-style
     train-data dedup of Lee et al. 2022 ("Deduplicating Training Data
@@ -508,10 +552,15 @@ def duplicated_spans(
 
     1. anchor: every k-token gram with its position (narrow map work);
     2. stop-gram filter: grams whose GLOBAL frequency exceeds
-       ``max_gram_freq`` are dropped via a broadcast anti-join (the hot
-       list is tiny by construction), capping per-gram join fan-out at
-       max_gram_freq^2 — the equi-join is bucketed by gram, NEVER
-       all-pairs;
+       ``max_gram_freq`` are dropped via an anti-join, capping per-gram
+       join fan-out at max_gram_freq^2 — the equi-join is bucketed by
+       gram, NEVER all-pairs.  The stop-gram list is broadcast ONLY
+       while its counted size stays at or under
+       ``hot_broadcast_limit`` (its size is data-dependent: heavy-
+       tailed corpora can push millions of grams over the cap); above
+       the limit the anti-join falls back to a shuffle join —
+       identical result, bounded memory.  ``hot_broadcast_limit=None``
+       restores the unconditional pre-guard broadcast;
     3. candidate alignments: gram equi-join across doc pairs
        (doc_a < doc_b), each match pinned to a diagonal
        diag = pos_a - pos_b;
@@ -528,23 +577,28 @@ def duplicated_spans(
     duplicates shorter than k tokens are invisible and span boundaries
     are exact to the token.
 
-    Scale shape: one gram hash-agg (frequency census), one broadcast
+    Scale shape: one gram hash-agg (frequency census), one size-guarded
     anti-join, one gram equi-join whose fan-out the census bounds, one
     window + hash-agg on (doc-pair, diag), one doc-keyed join to slice
-    span text.  At 100 TB the gram string would be replaced by
-    xxhash64(gram) to narrow the shuffle (kept as the raw string here
-    so the DuckDB oracle can replicate the join byte-for-byte)."""
+    span text.  ``use_hashed_grams=True`` is the 100 TB narrow-shuffle
+    variant: every join/census key becomes xxhash64(gram) (8 bytes
+    instead of a k-token string); a hash collision can only fabricate
+    an isolated 1-gram candidate, which the min_tokens filter discards.
+    The string path stays the default so the DuckDB oracle replicates
+    the join byte-for-byte."""
     docs = df.select(
         F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("words")
     )
-    grams = kgram_positions(df, id_col, text_col, k)
+    grams = _maybe_hash_grams(
+        kgram_positions(df, id_col, text_col, k), use_hashed_grams
+    )
     hot = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > max_gram_freq)
         .select("gram")
     )
-    gf = grams.join(F.broadcast(hot), "gram", "left_anti")
+    gf = _anti_join_hot(grams, hot, "gram", hot_broadcast_limit)
     a = gf.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
     )
@@ -592,6 +646,8 @@ def strip_duplicated_spans(
     k: int = 6,
     min_tokens: int = 8,
     max_gram_freq: int = 50,
+    use_hashed_grams: bool = False,
+    hot_broadcast_limit: int | None = DEFAULT_HOT_BROADCAST_LIMIT,
 ) -> DataFrame:
     """The ExactSubstr dedup ACTION (Lee et al. 2022 apply step): drop
     every token covered by a cross-document duplicated span, KEEPING
@@ -608,7 +664,8 @@ def strip_duplicated_spans(
     one (doc, pos) anti-join against the token stream, and one per-doc
     reassembly agg."""
     spans = duplicated_spans(df, id_col, text_col, k, min_tokens,
-                             max_gram_freq)
+                             max_gram_freq, use_hashed_grams,
+                             hot_broadcast_limit)
     covered = (
         spans.select(
             F.col("doc_b").alias("doc_id"),
@@ -658,6 +715,8 @@ def repeated_spans_within_doc(
     k: int = 3,
     min_tokens: int = 3,
     max_gram_freq: int = 50,
+    use_hashed_grams: bool = False,
+    hot_broadcast_limit: int | None = DEFAULT_HOT_BROADCAST_LIMIT,
 ) -> DataFrame:
     """INTRA-document repeated spans — the within-doc complement of
     :func:`duplicated_spans` (boilerplate / tandem-repeat detection):
@@ -676,14 +735,16 @@ def repeated_spans_within_doc(
     docs = df.select(
         F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("words")
     )
-    grams = kgram_positions(df, id_col, text_col, k)
+    grams = _maybe_hash_grams(
+        kgram_positions(df, id_col, text_col, k), use_hashed_grams
+    )
     hot = (
         grams.groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > max_gram_freq)
         .select("doc_id", "gram")
     )
-    gf = grams.join(F.broadcast(hot), ["doc_id", "gram"], "left_anti")
+    gf = _anti_join_hot(grams, hot, ["doc_id", "gram"], hot_broadcast_limit)
     a = gf.select("doc_id", F.col("pos").alias("pos_late"), "gram")
     b = gf.select("doc_id", F.col("pos").alias("pos_early"), "gram")
     pairs = (
@@ -731,6 +792,8 @@ def duplicated_spans_incremental(
     k: int = 6,
     min_tokens: int = 8,
     max_gram_freq: int = 50,
+    use_hashed_grams: bool = False,
+    hot_broadcast_limit: int | None = DEFAULT_HOT_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Incremental ExactSubstr: duplicated spans between an INGEST
     BATCH and an existing corpus only (never corpus x corpus) — the
@@ -740,8 +803,12 @@ def duplicated_spans_incremental(
     stop-gram list is a corpus artifact at scale).  Returns spans with
     doc_a = corpus doc, doc_b = batch doc, same columns/semantics as
     :func:`duplicated_spans`."""
-    corpus_grams = kgram_positions(corpus_df, id_col, text_col, k)
-    new_grams = kgram_positions(new_df, id_col, text_col, k)
+    corpus_grams = _maybe_hash_grams(
+        kgram_positions(corpus_df, id_col, text_col, k), use_hashed_grams
+    )
+    new_grams = _maybe_hash_grams(
+        kgram_positions(new_df, id_col, text_col, k), use_hashed_grams
+    )
     hot = (
         corpus_grams.unionAll(new_grams)
         .groupBy("gram")
@@ -749,10 +816,13 @@ def duplicated_spans_incremental(
         .filter(F.col("c") > max_gram_freq)
         .select("gram")
     )
-    a = corpus_grams.join(F.broadcast(hot), "gram", "left_anti").select(
+    # the two anti-joins share one persisted census: Spark's cache
+    # manager dedupes on the canonicalized plan, so the guard count
+    # runs the census once
+    a = _anti_join_hot(corpus_grams, hot, "gram", hot_broadcast_limit).select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
     )
-    b = new_grams.join(F.broadcast(hot), "gram", "left_anti").select(
+    b = _anti_join_hot(new_grams, hot, "gram", hot_broadcast_limit).select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram"
     )
     pairs = a.join(b, "gram").withColumn(

@@ -1324,6 +1324,51 @@ def dedup_span_exactsubstr(spark, sf_dir):
 
 
 @query(
+    "dedup_span_exactsubstr_scaled",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(words[(i+1):(i+6)],' ') AS gram
+          FROM w, unnest(generate_series(0, len(words)-6)) AS t(i)),
+    f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+    gf AS (SELECT g.doc_id, g.i, g.gram FROM g JOIN f USING (gram)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.i AS pos_a, b.i AS pos_b
+          FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    r AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                 pos_a - row_number() OVER (
+                     PARTITION BY doc_a, doc_b, pos_a - pos_b
+                     ORDER BY pos_a) AS isl
+          FROM p),
+    s AS (SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+                 CAST(min(pos_b) AS BIGINT) AS start_b,
+                 CAST(count(*) + 5 AS BIGINT) AS span_tokens
+          FROM r GROUP BY doc_a, doc_b, diag, isl)
+    SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_tokens,
+           md5(array_to_string(
+               w.words[(s.start_a+1):(s.start_a+s.span_tokens)],
+               ' ')) AS span_md5
+    FROM s JOIN w ON w.doc_id = s.doc_a
+    WHERE s.span_tokens >= 8
+    """,
+    doc="The 100 TB configuration of dedup_span_exactsubstr under the "
+    "SAME hash gate: use_hashed_grams=True keys every census/anti-join/"
+    "equi-join shuffle on xxhash64(gram) (8 bytes instead of a 6-token "
+    "string — a collision can only fabricate an isolated 1-gram "
+    "candidate, which the min_tokens filter discards), and "
+    "hot_broadcast_limit=0 FORCES the stop-gram shuffle-anti-join "
+    "fallback that guards against data-dependent hot-list blow-up "
+    "(heavy-tailed corpora can push millions of grams over "
+    "max_gram_freq; broadcasting an unbounded list is a driver OOM).  "
+    "Identical spans to the string/broadcast path — the oracle is "
+    "byte-for-byte the same SQL.",
+)
+def dedup_span_exactsubstr_scaled(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, k=6, min_tokens=8, max_gram_freq=50,
+                              use_hashed_grams=True, hot_broadcast_limit=0)
+
+
+@query(
     "dedup_span_intra_doc",
     """
     WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),

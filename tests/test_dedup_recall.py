@@ -406,3 +406,58 @@ def test_duplicated_spans_incremental_asymmetric(spark):
     pairs = {(r.doc_a, r.doc_b) for r in rows}
     assert pairs == {(0, 10), (0, 11), (1, 10), (1, 11)}, pairs
     assert all(r.span_tokens == 8 and r.start_b == 1 for r in rows)
+
+
+def test_span_dedup_guard_and_hashed_paths_identical(spark):
+    """The stop-gram size guard (hot_broadcast_limit=0 forces the
+    shuffle anti-join fallback) and the xxhash64 narrow-shuffle
+    variant must produce spans identical to the string/broadcast
+    default, across the whole family."""
+    from health_monitor_cc_flink_spark.operators.dedup import (
+        duplicated_spans,
+        duplicated_spans_incremental,
+        repeated_spans_within_doc,
+        strip_duplicated_spans,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far "
+            "away home tonight"),
+        (2, "a b c the quick brown fox jumps over the lazy dog and runs "
+            "far x y z"),
+        (3, "common common common common words only here nothing shared "
+            "with others at all"),
+        (4, "unrelated text entirely different tokens everywhere zebra "
+            "yak xylophone walrus vulture"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    variants = (
+        dict(),                                            # broadcast+string
+        dict(hot_broadcast_limit=0),                       # forced fallback
+        dict(use_hashed_grams=True),                       # narrow shuffle
+        dict(use_hashed_grams=True, hot_broadcast_limit=0),
+        dict(hot_broadcast_limit=None),                    # pre-guard path
+    )
+    outs = [sorted(map(tuple, duplicated_spans(df, **kw).collect()))
+            for kw in variants]
+    assert len(outs[0]) > 0
+    assert all(o == outs[0] for o in outs[1:])
+
+    strips = [sorted(map(tuple, strip_duplicated_spans(df, **kw).collect()))
+              for kw in (dict(), dict(use_hashed_grams=True,
+                                      hot_broadcast_limit=0))]
+    assert strips[0] == strips[1]
+
+    doubled = df.selectExpr("doc_id", "concat(text, ' ', text) AS text")
+    intra = [sorted(map(tuple, repeated_spans_within_doc(doubled, **kw)
+                        .collect()))
+             for kw in (dict(), dict(use_hashed_grams=True,
+                                     hot_broadcast_limit=0))]
+    assert len(intra[0]) > 0 and intra[0] == intra[1]
+
+    new = df.limit(1).selectExpr("doc_id + 100 AS doc_id", "text")
+    inc = [sorted(map(tuple,
+                      duplicated_spans_incremental(new, df, **kw).collect()))
+           for kw in (dict(), dict(use_hashed_grams=True,
+                                   hot_broadcast_limit=0))]
+    assert len(inc[0]) > 0 and inc[0] == inc[1]
