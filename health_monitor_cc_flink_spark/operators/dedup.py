@@ -465,6 +465,83 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# -- paragraph-level dedup (MassiveText-style) -----------------------------------
+
+
+def paragraph_fingerprint(col) -> F.Column:
+    """Normalized paragraph fingerprint: md5 over lowercase text with
+    whitespace collapsed — the MassiveText/Gopher normalization
+    (Rae et al. 2021 §A.1.2 dedup on normalized exact match)."""
+    return F.md5(F.lower(F.regexp_replace(col, r"\s+", " ")))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """MassiveText-style PARAGRAPH-level exact dedup — the cheap
+    middle granularity between doc-level MinHash and span-level
+    ExactSubstr that real ingest pipelines run first (Rae et al. 2021):
+    split each document into paragraphs on ``sep``, fingerprint each
+    normalized paragraph, keep ONLY the first occurrence corpus-wide
+    (the minimum (doc_id, paragraph index) — an aggregate, so the
+    result is deterministic regardless of partitioning; contrast
+    C4-style drop-ALL in corpus_span_dedup_global), and reassemble the
+    surviving paragraphs in original order.
+
+    Returns every input document: (doc_id, n_paras, n_removed,
+    text_clean) — n_removed = 0 and text_clean = text for documents
+    whose every paragraph is globally first.
+
+    Scale shape: one narrow paragraph explode, one hash-agg on the
+    16-byte fingerprint (the keeper census), one fingerprint-keyed
+    join back, one per-doc reassembly agg — no pairwise comparison
+    anywhere.  The shuffle key is the md5 fingerprint, never the
+    paragraph text."""
+    paras = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(text_col, sep)).alias("idx", "para"),
+        )
+        .filter(F.trim("para") != "")
+        .withColumn("fp", paragraph_fingerprint(F.col("para")))
+    )
+    keepers = paras.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "idx")).alias("keeper")
+    )
+    marked = paras.join(keepers, "fp").withColumn(
+        "is_kept",
+        (F.col("doc_id") == F.col("keeper.doc_id"))
+        & (F.col("idx") == F.col("keeper.idx")),
+    )
+    out = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum((~F.col("is_kept")).cast("long")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_kept"), F.struct("idx", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    # documents made entirely of empty/whitespace paragraphs never
+    # reach `paras`; restore them with zero counts
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 # -- duplicated spans (suffix-array-style ExactSubstr) ---------------------------
 
 #: Stop-gram lists larger than this are NOT broadcast: the list size is

@@ -1368,6 +1368,150 @@ def dedup_span_exactsubstr_scaled(spark, sf_dir):
                               use_hashed_grams=True, hot_broadcast_limit=0)
 
 
+def _paragraphized_docs(docs):
+    """documents -> (doc_id, text) with REAL paragraph structure for
+    the MassiveText-style paragraph operators: 10-word chunks of the
+    source text joined by blank lines, with every (doc_id + i) %% 3 ==
+    0 chunk replaced by one of FOUR shared boilerplate paragraphs —
+    the repeated header/footer material paragraph dedup exists to
+    remove.  Pure codegen; the oracle re-derives the same paragraphs
+    from the chunk arithmetic."""
+    words = F.split("text", " ")
+    n = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.when(
+            (F.col("doc_id") + i) % 3 == 0,
+            F.concat(F.lit("boilerplate footer number "),
+                     (i % 4).cast("string")),
+        ).otherwise(F.array_join(F.slice(words, i * 10 + 1, 10), " ")),
+    )
+    return docs.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+
+
+_PARA_ORACLE_CTE = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    p AS (SELECT doc_id, i,
+                 CASE WHEN (doc_id + i) % 3 = 0
+                      THEN 'boilerplate footer number ' ||
+                           CAST(i % 4 AS VARCHAR)
+                      ELSE array_to_string(words[(10*i+1):(10*i+10)], ' ')
+                 END AS para
+          FROM w, unnest(generate_series(0,
+                   CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS t(i))
+"""
+
+
+@query(
+    "dedup_paragraph_keep_first",
+    """
+    WITH """ + _PARA_ORACLE_CTE + """,
+    k AS (SELECT para, min(doc_id * 1048576 + i) AS ord
+          FROM p GROUP BY para),
+    m AS (SELECT p.doc_id, p.i, p.para,
+                 (p.doc_id * 1048576 + p.i) = k.ord AS is_kept
+          FROM p JOIN k USING (para))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed,
+           coalesce(string_agg(CASE WHEN is_kept THEN para END,
+                               chr(10) || chr(10) ORDER BY i), '')
+               AS text_clean
+    FROM m GROUP BY doc_id
+    """,
+    doc="MassiveText-style PARAGRAPH-level exact dedup (Rae et al. "
+    "2021) — the cheap middle granularity between doc-level MinHash "
+    "and span-level ExactSubstr that real pipelines run first: split "
+    "on blank lines, fingerprint each normalized paragraph (md5 over "
+    "lowercased whitespace-collapsed text), keep ONLY the globally "
+    "first occurrence (min (doc_id, idx) — an aggregate, so "
+    "deterministic under any partitioning; contrast C4-style drop-ALL "
+    "in corpus_span_dedup_global), reassemble survivors in order.  "
+    "The synth paragraphizes documents into 10-word chunks with a "
+    "4-member shared boilerplate pool spliced into every third slot, "
+    "so heavy cross-doc duplication is under the gate.  Scale: one "
+    "paragraph explode, one fingerprint hash-agg, one fingerprint "
+    "join, one per-doc reassembly — fingerprints shuffle, text never "
+    "does twice.",
+    bench=True,
+)
+def dedup_paragraph_keep_first(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.paragraph_dedup(_paragraphized_docs(docs))
+
+
+@query(
+    "streaming_paragraph_ingest_screen",
+    """
+    WITH cut AS (SELECT CAST(floor(0.8*(max(doc_id)+1)) AS BIGINT) AS c
+                 FROM documents),
+    """ + _PARA_ORACLE_CTE + """,
+    corpus AS (SELECT DISTINCT para FROM p, cut WHERE doc_id < cut.c),
+    batch AS (SELECT doc_id, para FROM p, cut WHERE doc_id >= cut.c),
+    m AS (SELECT b.doc_id, count(*) AS n_paras,
+                 CAST(sum(CASE WHEN c.para IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_corpus_paras
+          FROM batch b LEFT JOIN corpus c ON b.para = c.para
+          GROUP BY b.doc_id)
+    SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras, n_corpus_paras,
+           2 * n_corpus_paras >= n_paras AS screened
+    FROM m
+    """,
+    doc="STREAMING paragraph-level ingest screen — the MassiveText "
+    "granularity on the ingest path: each arriving document is "
+    "paragraphized, every paragraph fingerprint passes a BLOOM "
+    "prefilter built from the corpus's paragraph set (a broadcast "
+    "(word -> bitmask) relation, three xxhash64 probes — the cheap "
+    "test real pipelines run before touching the exact store), and "
+    "only bloom candidates pay the exact stream-static verification "
+    "join; a doc with >= half its paragraphs already in the corpus is "
+    "flagged.  The bloom is sound (no false negatives), so "
+    "bloom AND exact == exact and the gate stays hash-exact.  State = "
+    "per-doc counters; the static side is a fingerprint relation, "
+    "never corpus text.",
+)
+def streaming_paragraph_ingest_screen(spark, sf_dir):
+    from .registry import _drain_to_memory
+    from .sources.testdata import documents_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    cut = int(docs.agg(F.floor(0.8 * (F.max("doc_id") + 1))).first()[0])
+    corpus_fps = (
+        _paragraphized_docs(docs.filter(F.col("doc_id") < cut))
+        .select(F.explode(F.split("text", "\n\n")).alias("para"))
+        .select(D.paragraph_fingerprint(F.col("para")).alias("fp"))
+        .distinct()
+    )
+    stream_paras = (
+        _paragraphized_docs(
+            documents_stream(spark, sf_dir).filter(F.col("doc_id") >= cut)
+        )
+        .select(
+            "doc_id",
+            F.explode(F.split("text", "\n\n")).alias("para"),
+        )
+        .select("doc_id", D.paragraph_fingerprint(F.col("para")).alias("fp"))
+    )
+    flagged = _bloom_flag(stream_paras, "fp", corpus_fps, "fp")
+    marked = flagged.join(
+        F.broadcast(corpus_fps.withColumn("_c", F.lit(1))), "fp", "left"
+    ).withColumn(
+        "_hit", F.col("_bloom_maybe") & F.col("_c").isNotNull()
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.col("_hit").cast("long")).cast("long").alias("n_corpus_paras"),
+    ).select(
+        "doc_id", "n_paras", "n_corpus_paras",
+        (2 * F.col("n_corpus_paras") >= F.col("n_paras")).alias("screened"),
+    )
+    return _drain_to_memory(spark, agg, "stream_parascreen_",
+                            output_mode="complete")
+
+
 @query(
     "dedup_span_intra_doc",
     """
@@ -2499,6 +2643,49 @@ def _bloom_prune(fact, fact_key, dim, dim_key, m_bits=1 << 16, seeds=(1, 2, 3)):
     "The bloom lives as a ≤1024-row (word → mask) relation broadcast "
     "like any build side — fully distributed, no driver round-trip.",
 )
+def _bloom_flag(df, key, dim, dim_key, m_bits=1 << 16, seeds=(1, 2, 3)):
+    """_bloom_prune's NON-destructive sibling: adds a ``_bloom_maybe``
+    boolean instead of filtering, so a caller can count totals AND
+    gate an exact verification join on the same pass (the streaming
+    ingest-screen shape, where dropping rows would lose the per-doc
+    denominators).  Sound like the prune: a key present in dim always
+    flags true, so ``_bloom_maybe AND exact-match == exact-match``."""
+
+    def positions(k):
+        return [F.pmod(F.xxhash64(k, F.lit(s)), F.lit(m_bits)) for s in seeds]
+
+    bits = dim.select(
+        F.explode(F.array(*positions(F.col(dim_key)))).alias("h")
+    ).select(
+        F.expr("h div 64").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias("b"),
+    )
+    wordmap = bits.groupBy("w").agg(F.expr("bit_or(b)").alias("m"))
+
+    out = df
+    flags = []
+    for i, h in enumerate(positions(F.col(key))):
+        wm = wordmap.select(F.col("w").alias(f"_w{i}"), F.col("m").alias(f"_m{i}"))
+        out = (
+            out.withColumn(f"_h{i}", h)
+            .withColumn(f"_w{i}", F.expr(f"_h{i} div 64"))
+            .join(F.broadcast(wm), f"_w{i}", "left")  # absent word -> no bits
+            .withColumn(
+                f"_f{i}",
+                F.expr(
+                    f"coalesce((shiftrightunsigned(_m{i}, "
+                    f"CAST(_h{i} % 64 AS INT)) & 1) = 1, false)"
+                ),
+            )
+        )
+        flags.append(f"_f{i}")
+    out = out.withColumn("_bloom_maybe", F.expr(" AND ".join(flags)))
+    return out.drop(
+        *[c for i in range(len(seeds))
+          for c in (f"_h{i}", f"_w{i}", f"_m{i}", f"_f{i}")]
+    )
+
+
 def join_bloom_semi_prefilter(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")

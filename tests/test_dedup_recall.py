@@ -461,3 +461,42 @@ def test_span_dedup_guard_and_hashed_paths_identical(spark):
            for kw in (dict(), dict(use_hashed_grams=True,
                                    hot_broadcast_limit=0))]
     assert len(inc[0]) > 0 and inc[0] == inc[1]
+
+
+def test_paragraph_dedup_keep_first_semantics(spark):
+    from health_monitor_cc_flink_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta\n\nshared footer\n\ngamma delta"),
+        (2, "shared footer\n\nepsilon zeta"),           # footer dup of doc 1
+        (3, "Shared   FOOTER\n\nunique tail"),          # normalized dup
+        (4, "\n\n \n\n"),                               # only empty paragraphs
+        (5, "alpha beta"),                              # dup of doc 1 para 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert got[1].n_paras == 3 and got[1].n_removed == 0
+    assert got[1].text_clean == "alpha beta\n\nshared footer\n\ngamma delta"
+    assert got[2].n_paras == 2 and got[2].n_removed == 1
+    assert got[2].text_clean == "epsilon zeta"
+    # normalization: case/extra-space variant is the SAME paragraph
+    assert got[3].n_removed == 1 and got[3].text_clean == "unique tail"
+    # whitespace-only docs survive with zero counts
+    assert got[4].n_paras == 0 and got[4].text_clean == ""
+    assert got[5].n_removed == 1 and got[5].text_clean == ""
+
+
+def test_bloom_flag_is_sound(spark):
+    """_bloom_maybe must be TRUE for every key present in dim (no
+    false negatives), so bloom AND exact == exact."""
+    from health_monitor_cc_flink_spark.registry_pipeline_ops import _bloom_flag
+
+    dim = spark.range(0, 200).selectExpr("CAST(id * 7 AS STRING) AS k")
+    probe = spark.range(0, 600).selectExpr("id", "CAST(id AS STRING) AS k")
+    out = _bloom_flag(probe, "k", dim, "k").collect()
+    members = {str(i * 7) for i in range(200)}
+    for r in out:
+        if r.k in members:
+            assert r._bloom_maybe, r.k
+    # and it prunes SOMETHING (not degenerate all-true)
+    assert any(not r._bloom_maybe for r in out)
