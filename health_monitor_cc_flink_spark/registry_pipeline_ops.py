@@ -6703,6 +6703,54 @@ def mm_tiff16_tiled_decode_features(spark, sf_dir):
 
 
 @query(
+    "mm_pdf_text_extract",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words
+               FROM documents),
+    d AS (SELECT doc_id, words,
+                 CAST(ceil(len(words)/8.0) AS BIGINT) AS L,
+                 least(doc_id % 3 + 1,
+                       CAST(ceil(len(words)/8.0) AS BIGINT)) AS p
+          FROM w),
+    l AS (SELECT doc_id, p, t.j,
+                 array_to_string(words[(8*t.j+1):(8*t.j+8)], ' ') AS line
+          FROM d, unnest(generate_series(0, L - 1)) AS t(j)),
+    pg AS (SELECT doc_id, p, j % p AS k,
+                  string_agg(line, chr(10) ORDER BY j) AS page_text
+           FROM l GROUP BY doc_id, p, j % p),
+    agg AS (SELECT doc_id, CAST(any_value(p) AS BIGINT) AS n_pages,
+                   string_agg(page_text, chr(10) ORDER BY k) AS text
+            FROM pg GROUP BY doc_id)
+    SELECT d.doc_id, TRUE AS ok, agg.n_pages,
+           CAST(d.L AS BIGINT) AS n_lines,
+           CAST(length(agg.text) AS BIGINT) AS n_chars,
+           md5(agg.text) AS text_md5
+    FROM d JOIN agg USING (doc_id)
+    """,
+    doc="PDF structural parse + TEXT EXTRACTION under the hash gate — "
+    "the single most common document format in crawled corpora, "
+    "implemented from the PUBLIC ISO 32000-1 object model (structure "
+    "only, stdlib zlib): object-syntax lexer (dicts/arrays/names/"
+    "escaped strings/hex strings/indirect refs), startxref + "
+    "cross-reference TABLE + trailer walk, lazy object store, page-"
+    "tree traversal, FlateDecode content streams, and the Tj / "
+    "TJ-array text-showing operators.  The synth writes conformant "
+    "multi-page files (balanced never-empty page split, 4-case "
+    "{plain,Flate} x {Tj,TJ} matrix) and the oracle re-derives the "
+    "extracted text md5 from the 8-word chunk arithmetic.  Xref "
+    "STREAMS / object streams / encryption / CID text stay explicit "
+    "NotImplementedError guards.  Scale: Arrow CPU-map, zero "
+    "shuffle.",
+    bench=True,
+)
+def mm_pdf_text_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.pdf_text_features(M.synth_pdf_payload(docs))
+
+
+@query(
     "mm_tiff_jpeg_decode_features",
     """
     WITH dims AS (

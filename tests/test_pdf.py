@@ -1,0 +1,136 @@
+"""PDF structural parse + text extraction pins (operators/pdf.py,
+ISO 32000-1 subset)."""
+
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from health_monitor_cc_flink_spark.operators.pdf import (
+    encode_pdf,
+    parse_pdf,
+    pdf_extract_text,
+)
+
+PAGES = [
+    ["hello world", "second line with (parens) and \\ backslash"],
+    ["page two line one"],
+    [],
+]
+
+
+def test_roundtrip_matrix():
+    want = ["\n".join(p) for p in PAGES]
+    for compress in (False, True):
+        for tj in (False, True):
+            pdf = encode_pdf(PAGES, compress=compress, use_tj_array=tj)
+            assert pdf_extract_text(pdf) == want, (compress, tj)
+
+
+def test_trailer_and_object_surface():
+    doc = parse_pdf(encode_pdf(PAGES))
+    assert doc.trailer["Size"] == 10  # 3 fixed + 2 per page + free entry
+    root = doc.resolve(doc.trailer["Root"])
+    assert doc.resolve(root["Type"]) == "Catalog"
+    pages = doc.resolve(doc.resolve(root["Pages"])["Kids"])
+    assert len(pages) == 3
+
+
+def test_string_escapes_and_hex_strings():
+    # octal escape, nested parens, hex string via a hand-built page
+    body = (b"BT /F1 12 Tf (\\101\\102) Tj (a(b)c) Tj <48 65 78> Tj "
+            b"[(x) -250 (y)] TJ ET")
+    pdf = _hand_pdf(body)
+    assert pdf_extract_text(pdf) == ["AB\na(b)c\nHex\nxy"]
+
+
+def _hand_pdf(content: bytes, length=None, filt=b"") -> bytes:
+    """Minimal single-page PDF around a raw content stream."""
+    ln = len(content) if length is None else length
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+        4: (b"<< /Length " + str(ln).encode() + filt
+            + b" >>\nstream\n" + content + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in range(1, 5):
+        offs[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + objs[n] + b"\nendobj\n"
+    x = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for n in range(1, 5):
+        out += f"{offs[n]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n{x}\n%%EOF\n"
+            ).encode()
+    return bytes(out)
+
+
+def test_flate_stream_and_bad_flate():
+    raw = b"BT (flated) Tj ET"
+    pdf = _hand_pdf(zlib.compress(raw), filt=b" /Filter /FlateDecode")
+    assert pdf_extract_text(pdf) == ["flated"]
+    bad = _hand_pdf(b"\xff\xfe\xfd\xfc", filt=b" /Filter /FlateDecode")
+    with pytest.raises(ValueError, match="Flate"):
+        pdf_extract_text(bad)
+
+
+def test_unsupported_subsets_explicit():
+    with pytest.raises(NotImplementedError, match="filter"):
+        pdf_extract_text(
+            _hand_pdf(b"x" * 4, filt=b" /Filter /LZWDecode")
+        )
+    # an xref STREAM start (a number where 'xref' belongs)
+    pdf = bytearray(encode_pdf(PAGES))
+    i = pdf.rfind(b"xref")
+    pdf[i : i + 4] = b"7 0 "
+    with pytest.raises((NotImplementedError, ValueError)):
+        parse_pdf(bytes(pdf))
+
+
+def test_hostile_inputs_flag_cleanly():
+    good = encode_pdf(PAGES)
+    with pytest.raises(ValueError, match="header"):
+        parse_pdf(b"not a pdf at all")
+    with pytest.raises(ValueError):
+        parse_pdf(good[:80])
+    # bad /Length overrunning the file
+    pdf = _hand_pdf(b"BT (x) Tj ET", length=1 << 20)
+    with pytest.raises(ValueError, match="overruns|Length"):
+        pdf_extract_text(pdf)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_fuzz_arbitrary_bytes_fail_cleanly(data):
+    try:
+        pdf_extract_text(b"%PDF-1.4\n" + data)
+    except (ValueError, NotImplementedError):
+        pass
+    except Exception as exc:  # noqa: BLE001
+        raise AssertionError(f"non-contract escape: {type(exc)}") from exc
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                st.characters(min_codepoint=32, max_codepoint=255),
+                max_size=40,
+            ),
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_fuzz_roundtrip_any_latin1_text(pages, compress, tj):
+    pdf = encode_pdf(pages, compress=compress, use_tj_array=tj)
+    assert pdf_extract_text(pdf) == ["\n".join(p) for p in pages]
