@@ -2814,6 +2814,119 @@ def synth_pdf_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, pdf binary")
 
 
+def synth_email_payload(df: DataFrame, id_col: str = "doc_id",
+                        len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``eml`` column of COMPLETE RFC 5322 messages built
+    from the document text, cycling doc_id %% 4 through {simple 7bit,
+    simple quoted-printable with an RFC 2047 encoded-word subject,
+    multipart/alternative (text+html) with base64 text parts,
+    multipart/mixed (nested alternative + base64 attachment) with QP
+    text and encoded-word subject}.  Subject = the first 5 words;
+    html = '<p>' + text + '</p>'; attachment bytes are the closed-form
+    sequence (7*id + i) %% 256 over n = id%%50+20 bytes."""
+    from .mime import build_email
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            emls = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d, text = int(d), str(text)
+                subject = " ".join(text.split(" ")[:5])
+                html = "<p>" + text + "</p>"
+                att = bytes((7 * d + i) % 256 for i in range(d % 50 + 20))
+                case = d % 4
+                if case == 0:
+                    e = build_email(subject, "alice@example.org",
+                                    "list@example.org", text)
+                elif case == 1:
+                    e = build_email(subject, "alice@example.org",
+                                    "list@example.org", text,
+                                    text_cte="quoted-printable",
+                                    subject_encoded_word=True)
+                elif case == 2:
+                    e = build_email(subject, "alice@example.org",
+                                    "list@example.org", text,
+                                    html_body=html, text_cte="base64")
+                else:
+                    e = build_email(subject, "alice@example.org",
+                                    "list@example.org", text,
+                                    html_body=html, attachment=att,
+                                    text_cte="quoted-printable",
+                                    subject_encoded_word=True)
+                emls.append(e)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "eml": emls})
+
+    return src.mapInPandas(gen, schema="doc_id long, eml binary")
+
+
+def email_extract_features(df: DataFrame, payload_col: str = "eml",
+                           id_col: str = "doc_id") -> DataFrame:
+    """REAL RFC 5322 / MIME parse over Arrow batches: header
+    unfolding, Content-Type parameter parse, recursive multipart walk
+    (preamble/epilogue dropped), 7bit/QP/base64 transfer decode,
+    RFC 2047 encoded-word subjects — per message: decoded subject,
+    leaf part count, text/plain body md5, html presence, attachment
+    length and byte sum.  Corrupt messages flag the row."""
+    import hashlib
+
+    from .mime import parse_email
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("subject", "n_parts", "body_md5", "has_html",
+                "att_len", "att_sum")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    m = parse_email(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                texts = [pt for pt in m["parts"]
+                         if pt["content_type"] == "text/plain"]
+                att = [pt for pt in m["parts"]
+                       if pt["content_type"] == "application/octet-stream"]
+                body = texts[0]["text"] if texts else ""
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["subject"].append(m["subject"])
+                out["n_parts"].append(len(m["parts"]))
+                out["body_md5"].append(
+                    hashlib.md5(body.encode("utf-8")).hexdigest()
+                )
+                out["has_html"].append(
+                    any(pt["content_type"] == "text/html"
+                        for pt in m["parts"])
+                )
+                out["att_len"].append(
+                    len(att[0]["data"]) if att else 0
+                )
+                out["att_sum"].append(
+                    int(sum(att[0]["data"])) if att else 0
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, subject string, n_parts long, "
+                "body_md5 string, has_html boolean, att_len long, "
+                "att_sum long"),
+    )
+
+
 def pdf_text_features(df: DataFrame, payload_col: str = "pdf",
                       id_col: str = "doc_id") -> DataFrame:
     """REAL PDF parse + text extraction over Arrow batches: header,

@@ -6751,6 +6751,53 @@ def mm_pdf_text_extract(spark, sf_dir):
 
 
 @query(
+    "mm_email_mime_extract",
+    """
+    WITH d AS (
+        SELECT doc_id, text, CAST(doc_id % 4 AS BIGINT) AS c,
+               array_to_string(string_split(text, ' ')[1:5], ' ')
+                   AS subject,
+               doc_id % 50 + 20 AS att_n
+        FROM documents
+    ), att AS (
+        SELECT d.doc_id,
+               CAST(sum((7 * d.doc_id + t.i) % 256) AS BIGINT) AS s
+        FROM d, unnest(generate_series(0, d.att_n - 1)) AS t(i)
+        WHERE d.c = 3
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, TRUE AS ok, d.subject,
+           CAST(([1, 1, 2, 3])[CAST(d.c + 1 AS INT)] AS BIGINT) AS n_parts,
+           md5(d.text) AS body_md5,
+           d.c IN (2, 3) AS has_html,
+           CAST(CASE WHEN d.c = 3 THEN d.att_n ELSE 0 END AS BIGINT)
+               AS att_len,
+           coalesce(att.s, 0) AS att_sum
+    FROM d LEFT JOIN att USING (doc_id)
+    """,
+    doc="RFC 5322 / MIME email parse under the hash gate — the "
+    "mailing-list/mbox corpus format, implemented from the PUBLIC "
+    "RFCs 5322/2045/2046/2047 WITHOUT the stdlib email package: "
+    "header-block split + continuation-line unfolding, Content-Type "
+    "parameter parse (quoted and token boundaries), RECURSIVE "
+    "multipart walk with preamble/epilogue dropped per RFC 2046 "
+    "§5.1.1, 7bit / quoted-printable (soft line breaks) / base64 "
+    "transfer decode, and RFC 2047 B-form encoded-word subjects.  "
+    "The synth cycles four shapes {simple 7bit, QP + encoded-word "
+    "subject, multipart/alternative base64, multipart/mixed with a "
+    "nested alternative + base64 attachment}; the oracle re-derives "
+    "subject, part counts, body md5 and the closed-form attachment "
+    "byte sum.  Scale: Arrow CPU-map, zero shuffle.",
+    bench=True,
+)
+def mm_email_mime_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.email_extract_features(M.synth_email_payload(docs))
+
+
+@query(
     "mm_tiff_jpeg_decode_features",
     """
     WITH dims AS (
