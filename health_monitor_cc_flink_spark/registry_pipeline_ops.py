@@ -2617,32 +2617,6 @@ def _bloom_prune(fact, fact_key, dim, dim_key, m_bits=1 << 16, seeds=(1, 2, 3)):
 
 
 
-@query(
-    "join_bloom_semi_prefilter",
-    """
-    SELECT l.l_returnflag,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-    FROM lineitem l
-    WHERE l.l_orderkey IN (
-        SELECT o_orderkey FROM orders
-        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
-    )
-    GROUP BY l.l_returnflag
-    """,
-    doc="Semi-join accelerated by an explicit Bloom runtime filter: the "
-    "selective dim keys build a 64 Kib bloom (3 × xxhash64, bit_or "
-    "aggregation over 1024 longs — a mergeable, broadcastable artifact), "
-    "the fact side tests the bits in codegen'd column math BEFORE the "
-    "shuffle, and an exact left-semi join removes false positives.  The "
-    "final semantics are exactly IN (oracle), the bloom only prunes — "
-    "this is the hand-rolled version of Spark's runtime bloom filter "
-    "(spark.sql.optimizer.runtime.bloomFilter), shown explicitly because "
-    "at 100 TB pre-shuffle pruning of the fact side is the difference "
-    "between shuffling 100 TB and shuffling the 1% that can match. "
-    "The bloom lives as a ≤1024-row (word → mask) relation broadcast "
-    "like any build side — fully distributed, no driver round-trip.",
-)
 def _bloom_flag(df, key, dim, dim_key, m_bits=1 << 16, seeds=(1, 2, 3)):
     """_bloom_prune's NON-destructive sibling: adds a ``_bloom_maybe``
     boolean instead of filtering, so a caller can count totals AND
@@ -2686,6 +2660,32 @@ def _bloom_flag(df, key, dim, dim_key, m_bits=1 << 16, seeds=(1, 2, 3)):
     )
 
 
+@query(
+    "join_bloom_semi_prefilter",
+    """
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    )
+    GROUP BY l.l_returnflag
+    """,
+    doc="Semi-join accelerated by an explicit Bloom runtime filter: the "
+    "selective dim keys build a 64 Kib bloom (3 × xxhash64, bit_or "
+    "aggregation over 1024 longs — a mergeable, broadcastable artifact), "
+    "the fact side tests the bits in codegen'd column math BEFORE the "
+    "shuffle, and an exact left-semi join removes false positives.  The "
+    "final semantics are exactly IN (oracle), the bloom only prunes — "
+    "this is the hand-rolled version of Spark's runtime bloom filter "
+    "(spark.sql.optimizer.runtime.bloomFilter), shown explicitly because "
+    "at 100 TB pre-shuffle pruning of the fact side is the difference "
+    "between shuffling 100 TB and shuffling the 1% that can match. "
+    "The bloom lives as a ≤1024-row (word → mask) relation broadcast "
+    "like any build side — fully distributed, no driver round-trip.",
+)
 def join_bloom_semi_prefilter(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
