@@ -2814,6 +2814,184 @@ def synth_pdf_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, pdf binary")
 
 
+def synth_tar_payload(df: DataFrame, id_col: str = "doc_id",
+                      len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``tar`` column of ustar archives: one directory entry
+    ``doc{d}/`` plus the document's 12-word chunks as members
+    ``doc{d}/part{k}.txt``; odd doc_ids gzip the archive (.tar.gz).
+    Chunk arithmetic is closed-form for the oracle."""
+    import gzip as _gzip
+
+    from .tar import build_tar
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            tars = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                words = str(text).split(" ")
+                chunks = [
+                    " ".join(words[12 * k : 12 * k + 12])
+                    for k in range(-(-len(words) // 12))
+                ]
+                members = [(f"doc{d}/", b"")] + [
+                    (f"doc{d}/part{k}.txt", c.encode("utf-8"))
+                    for k, c in enumerate(chunks)
+                ]
+                t = build_tar(members)
+                if d % 2 == 1:
+                    t = _gzip.compress(t, compresslevel=6, mtime=0)
+                tars.append(t)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tar": tars})
+
+    return src.mapInPandas(gen, schema="doc_id long, tar binary")
+
+
+def tar_members_extract(df: DataFrame, payload_col: str = "tar",
+                        id_col: str = "doc_id") -> DataFrame:
+    """REAL ustar walk over Arrow batches — gzip-wrapped archives
+    transparently decompressed under the archive cap, header checksums
+    verified, prefix+name joined — EXPLODED to one row per member.
+    Corrupt archives flag one row."""
+    import hashlib
+
+    from .tar import parse_tar
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("member_idx", "name", "is_dir", "size", "member_md5")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    p = bytes(p)
+                    if p[:2] == b"\x1f\x8b":
+                        p = _gunzip_capped(p)
+                    members = parse_tar(p)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for k, m in enumerate(members):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["member_idx"].append(k)
+                    out["name"].append(m["name"])
+                    out["is_dir"].append(m["typeflag"] == "5")
+                    out["size"].append(m["size"])
+                    out["member_md5"].append(
+                        hashlib.md5(m["data"]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, member_idx long, name string, "
+                "is_dir boolean, size long, member_md5 string"),
+    )
+
+
+def synth_mbox_payload(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``mbox`` column: m = min(id%3+1, n_words) RFC 5322
+    messages per document in one RFC 4155 mbox (envelope lines,
+    mboxrd From-quoting); message j carries subject
+    'msg {j} ' + the first 3 words and a body of the words with index
+    ≡ j (mod m); transfer encoding cycles 7bit/QP/base64 by
+    (id + j) %% 3."""
+    from .mime import build_email
+    from .tar import mbox_join
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+    ctes = ("7bit", "quoted-printable", "base64")
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            boxes = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                words = str(text).split(" ")
+                m = min(d % 3 + 1, len(words))
+                head = " ".join(words[:3])
+                msgs = []
+                for j in range(m):
+                    body = " ".join(words[j::m])
+                    msgs.append(
+                        build_email(
+                            f"msg {j} {head}", "alice@example.org",
+                            "list@example.org", body,
+                            text_cte=ctes[(d + j) % 3],
+                        )
+                    )
+                boxes.append(mbox_join(msgs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "mbox": boxes})
+
+    return src.mapInPandas(gen, schema="doc_id long, mbox binary")
+
+
+def mbox_messages_extract(df: DataFrame, payload_col: str = "mbox",
+                          id_col: str = "doc_id") -> DataFrame:
+    """REAL mbox split (RFC 4155 envelopes, mboxrd unquoting) + full
+    RFC 5322/MIME parse per message, EXPLODED to one row per message.
+    Corrupt mailboxes flag one row."""
+    import hashlib
+
+    from .mime import parse_email
+    from .tar import mbox_split
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("msg_idx", "subject", "n_parts", "body_md5")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    msgs = [parse_email(m) for m in mbox_split(bytes(p))]
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for j, m in enumerate(msgs):
+                    texts = [pt for pt in m["parts"]
+                             if pt["content_type"] == "text/plain"]
+                    body = texts[0]["text"] if texts else ""
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["msg_idx"].append(j)
+                    out["subject"].append(m["subject"])
+                    out["n_parts"].append(len(m["parts"]))
+                    out["body_md5"].append(
+                        hashlib.md5(body.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, msg_idx long, subject string, "
+                "n_parts long, body_md5 string"),
+    )
+
+
 def synth_email_payload(df: DataFrame, id_col: str = "doc_id",
                         len_col: str = "n_chars") -> DataFrame:
     """Attach an ``eml`` column of COMPLETE RFC 5322 messages built

@@ -6798,6 +6798,84 @@ def mm_email_mime_extract(spark, sf_dir):
 
 
 @query(
+    "mm_tar_extract",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words
+               FROM documents),
+    c AS (SELECT doc_id, t.k,
+                 array_to_string(words[(12*t.k+1):(12*t.k+12)], ' ')
+                     AS chunk
+          FROM w, unnest(generate_series(0,
+                   CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS t(k))
+    SELECT doc_id, TRUE AS ok, CAST(0 AS BIGINT) AS member_idx,
+           'doc' || doc_id || '/' AS name, TRUE AS is_dir,
+           CAST(0 AS BIGINT) AS size, md5('') AS member_md5
+    FROM w
+    UNION ALL
+    SELECT doc_id, TRUE AS ok, CAST(k + 1 AS BIGINT) AS member_idx,
+           'doc' || doc_id || '/part' || k || '.txt' AS name,
+           FALSE AS is_dir,
+           CAST(length(chunk) AS BIGINT) AS size,
+           md5(chunk) AS member_md5
+    FROM c
+    """,
+    doc="POSIX ustar tar archive walk under the hash gate — the "
+    "shard container corpus dumps actually ship in, implemented from "
+    "the PUBLIC POSIX.1-1988 layout (not stdlib tarfile): 512-byte "
+    "headers with the blanked-checksum rule verified per member, "
+    "octal size/mtime fields, prefix+name joining, directory vs "
+    "regular typeflags, data rounded to blocks, double-zero-block "
+    "terminator; odd doc_ids wrap the archive in gzip (.tar.gz), "
+    "decompressed under the existing archive cap.  GNU long-name and "
+    "PAX extensions stay explicit guards.  EXPLODED one row per "
+    "member with the member md5 re-derived by the oracle from the "
+    "12-word chunk arithmetic.  Scale: Arrow CPU-map explode.",
+    bench=True,
+)
+def mm_tar_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.tar_members_extract(M.synth_tar_payload(docs))
+
+
+@query(
+    "mm_mbox_extract",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words
+               FROM documents),
+    d AS (SELECT doc_id, words,
+                 least(doc_id % 3 + 1, len(words)) AS m,
+                 array_to_string(words[1:3], ' ') AS head
+          FROM w),
+    e AS (SELECT d.doc_id, d.m, d.head, t.i, d.words[t.i] AS word
+          FROM d, unnest(generate_series(1, len(d.words))) AS t(i)),
+    b AS (SELECT doc_id, m, head, (i - 1) % m AS j,
+                 string_agg(word, ' ' ORDER BY i) AS body
+          FROM e GROUP BY doc_id, m, head, (i - 1) % m)
+    SELECT doc_id, TRUE AS ok, CAST(j AS BIGINT) AS msg_idx,
+           'msg ' || j || ' ' || head AS subject,
+           CAST(1 AS BIGINT) AS n_parts,
+           md5(body) AS body_md5
+    FROM b
+    """,
+    doc="RFC 4155 mbox mailbox split + per-message MIME parse under "
+    "the hash gate — the mailing-list archive shape: 'From ' envelope "
+    "lines delimit messages (envelope dropped, it is not part of the "
+    "message), mboxrd '>From ' body quoting unquoted one level, then "
+    "the full RFC 5322 parse per message (transfer encoding cycles "
+    "7bit/QP/base64).  EXPLODED one row per message; the oracle "
+    "re-derives each message's interleaved word body (index ≡ j mod "
+    "m) and subject.  Scale: Arrow CPU-map explode.",
+)
+def mm_mbox_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.mbox_messages_extract(M.synth_mbox_payload(docs))
+
+
+@query(
     "mm_tiff_jpeg_decode_features",
     """
     WITH dims AS (
