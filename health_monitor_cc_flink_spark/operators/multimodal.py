@@ -2818,9 +2818,11 @@ def synth_tar_payload(df: DataFrame, id_col: str = "doc_id",
                       len_col: str = "n_chars") -> DataFrame:
     """Attach a ``tar`` column of ustar archives: one directory entry
     ``doc{d}/`` plus the document's 12-word chunks as members
-    ``doc{d}/part{k}.txt``; odd doc_ids gzip the archive (.tar.gz).
-    Chunk arithmetic is closed-form for the oracle."""
+    ``doc{d}/part{k}.txt``; the container cycles id %% 3 through
+    plain .tar, .tar.gz (gzip) and .tar.xz (LZMA2/XZ via stdlib
+    lzma).  Chunk arithmetic is closed-form for the oracle."""
     import gzip as _gzip
+    import lzma as _lzma
 
     from .tar import build_tar
 
@@ -2845,8 +2847,10 @@ def synth_tar_payload(df: DataFrame, id_col: str = "doc_id",
                     for k, c in enumerate(chunks)
                 ]
                 t = build_tar(members)
-                if d % 2 == 1:
+                if d % 3 == 1:
                     t = _gzip.compress(t, compresslevel=6, mtime=0)
+                elif d % 3 == 2:
+                    t = _lzma.compress(t, preset=6)
                 tars.append(t)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "tar": tars})
 
@@ -2855,10 +2859,10 @@ def synth_tar_payload(df: DataFrame, id_col: str = "doc_id",
 
 def tar_members_extract(df: DataFrame, payload_col: str = "tar",
                         id_col: str = "doc_id") -> DataFrame:
-    """REAL ustar walk over Arrow batches — gzip-wrapped archives
-    transparently decompressed under the archive cap, header checksums
-    verified, prefix+name joined — EXPLODED to one row per member.
-    Corrupt archives flag one row."""
+    """REAL ustar walk over Arrow batches — gzip- or xz-wrapped
+    archives transparently decompressed under the archive cap, header
+    checksums verified, prefix+name joined — EXPLODED to one row per
+    member.  Corrupt archives flag one row."""
     import hashlib
 
     from .tar import parse_tar
@@ -2866,7 +2870,16 @@ def tar_members_extract(df: DataFrame, payload_col: str = "tar",
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
 
     def feats(batches: Iterator) -> Iterator:
+        import lzma as _lzma
+
         import pandas as pd
+
+        def unxz_capped(raw: bytes) -> bytes:
+            dec = _lzma.LZMADecompressor(format=_lzma.FORMAT_XZ)
+            out = dec.decompress(raw, max_length=MAX_ARCHIVE_BYTES)
+            if not dec.eof:
+                raise ValueError("xz stream exceeds archive cap")
+            return out
 
         cols = ("member_idx", "name", "is_dir", "size", "member_md5")
         for pdf in batches:
@@ -2876,6 +2889,8 @@ def tar_members_extract(df: DataFrame, payload_col: str = "tar",
                     p = bytes(p)
                     if p[:2] == b"\x1f\x8b":
                         p = _gunzip_capped(p)
+                    elif p[:6] == b"\xfd7zXZ\x00":
+                        p = unxz_capped(p)
                     members = parse_tar(p)
                 except Exception:
                     out["doc_id"].append(doc_id)

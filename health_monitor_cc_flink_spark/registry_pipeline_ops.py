@@ -6825,8 +6825,9 @@ def mm_email_mime_extract(spark, sf_dir):
     "headers with the blanked-checksum rule verified per member, "
     "octal size/mtime fields, prefix+name joining, directory vs "
     "regular typeflags, data rounded to blocks, double-zero-block "
-    "terminator; odd doc_ids wrap the archive in gzip (.tar.gz), "
-    "decompressed under the existing archive cap.  GNU long-name and "
+    "terminator; the container cycles plain .tar / .tar.gz (gzip) / "
+    ".tar.xz (stdlib lzma), decompressed under the archive cap.  "
+    "GNU long-name and "
     "PAX extensions stay explicit guards.  EXPLODED one row per "
     "member with the member md5 re-derived by the oracle from the "
     "12-word chunk arithmetic.  Scale: Arrow CPU-map explode.",
