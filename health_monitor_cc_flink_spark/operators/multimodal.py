@@ -2814,6 +2814,121 @@ def synth_pdf_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, pdf binary")
 
 
+def synth_pnm_qoi_payload(df: DataFrame, id_col: str = "doc_id",
+                          len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``img`` column cycling doc_id %% 8 through the
+    Netpbm/QOI lossless matrix: {P2 ASCII gray, P5 gray, P5 16-bit
+    big-endian, P3 ASCII RGB, P6 RGB, P6 16-bit, P4 packed bitmap,
+    QOI RGB}.  Pixels: gray8 (x+2y)%%256; gray16 (513x+1031y)%%65536;
+    rgb8 ((3x)%%256,(5y)%%256,(x+y)%%256); rgb16 ((257x)%%65536,
+    (521y)%%65536,(xy)%%65536); bitmap (x+y)%%2; the QOI case paints
+    every y%%4==0 row flat 9 (exercising QOI_OP_RUN) and the rgb8
+    pattern elsewhere (DIFF/LUMA/INDEX).  Dims w = 8*(id%%6+2),
+    h = 8*(len%%6+2) — closed-form for the oracle."""
+    from .pnm import encode_pnm, encode_qoi
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.lit(8) * (F.col(id_col) % 6 + 2)).cast("int").alias("w"),
+        (F.lit(8) * (F.col(len_col) % 6 + 2)).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            imgs = []
+            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(d), int(w), int(h)
+                y, x = np.mgrid[0:h, 0:w]
+                case = d % 8
+                if case in (0, 1):
+                    a = ((x + 2 * y) % 256).astype(np.uint8)
+                    imgs.append(encode_pnm(a, ascii_form=(case == 0)))
+                elif case == 2:
+                    a = ((513 * x + 1031 * y) % 65536).astype(np.uint16)
+                    imgs.append(encode_pnm(a))
+                elif case in (3, 4):
+                    a = np.stack(
+                        [(3 * x) % 256, (5 * y) % 256, (x + y) % 256],
+                        axis=2,
+                    ).astype(np.uint8)
+                    imgs.append(encode_pnm(a, ascii_form=(case == 3)))
+                elif case == 5:
+                    a = np.stack(
+                        [(257 * x) % 65536, (521 * y) % 65536,
+                         (x * y) % 65536], axis=2,
+                    ).astype(np.uint16)
+                    imgs.append(encode_pnm(a))
+                elif case == 6:
+                    a = ((x + y) % 2).astype(np.uint8)
+                    imgs.append(encode_pnm(a, maxval=1))
+                else:
+                    a = np.stack(
+                        [(3 * x) % 256, (5 * y) % 256, (x + y) % 256],
+                        axis=2,
+                    ).astype(np.uint8)
+                    a[y % 4 == 0] = 9
+                    imgs.append(encode_qoi(a))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "img": imgs})
+
+    return src.mapInPandas(gen, schema="doc_id long, img binary")
+
+
+def pnm_qoi_decode_features(df: DataFrame, payload_col: str = "img",
+                            id_col: str = "doc_id") -> DataFrame:
+    """REAL Netpbm/QOI decode -> per-image statistics over Arrow
+    batches (format sniffed from the magic).  Corrupt payloads flag
+    the row."""
+    from .pnm import decode_pnm, decode_qoi
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("format", "width", "height", "n_channels",
+                "px_sum", "px_min", "px_max")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                p = bytes(p)
+                try:
+                    if p[:4] == b"qoif":
+                        img = decode_qoi(p)
+                        fmt = "qoif"
+                    else:
+                        img = decode_pnm(p)
+                        fmt = p[:2].decode("latin-1")
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["format"].append(fmt)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["n_channels"].append(
+                    1 if img.ndim == 2 else img.shape[2]
+                )
+                out["px_sum"].append(int(img.sum(dtype=np.int64)))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, format string, width long, "
+                "height long, n_channels long, px_sum long, px_min long, "
+                "px_max long"),
+    )
+
+
 def synth_tar_payload(df: DataFrame, id_col: str = "doc_id",
                       len_col: str = "n_chars") -> DataFrame:
     """Attach a ``tar`` column of ustar archives: one directory entry

@@ -6877,6 +6877,84 @@ def mm_mbox_extract(spark, sf_dir):
 
 
 @query(
+    "mm_pnm_qoi_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS c,
+               8 * (doc_id % 6 + 2) AS w,
+               8 * (n_chars % 6 + 2) AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.c, d.w, d.h, yy.y,
+               (xx.x + 2*yy.y) % 256 AS g8,
+               (513*xx.x + 1031*yy.y) % 65536 AS g16,
+               (3*xx.x) % 256 AS r8,
+               (5*yy.y) % 256 AS gg8,
+               (xx.x + yy.y) % 256 AS b8,
+               (257*xx.x) % 65536 AS r16,
+               (521*yy.y) % 65536 AS g16c,
+               (xx.x * yy.y) % 65536 AS b16,
+               (xx.x + yy.y) % 2 AS bit
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.w - 1)) AS xx(x),
+             LATERAL unnest(generate_series(0, d.h - 1)) AS yy(y)
+    ), v AS (
+        SELECT doc_id, c, w, h,
+               CASE WHEN c IN (0, 1) THEN g8
+                    WHEN c = 2 THEN g16
+                    WHEN c IN (3, 4) THEN r8 + gg8 + b8
+                    WHEN c = 5 THEN r16 + g16c + b16
+                    WHEN c = 6 THEN bit
+                    WHEN y % 4 = 0 THEN 27
+                    ELSE r8 + gg8 + b8 END AS s_sum,
+               CASE WHEN c IN (0, 1) THEN g8
+                    WHEN c = 2 THEN g16
+                    WHEN c IN (3, 4) THEN least(r8, gg8, b8)
+                    WHEN c = 5 THEN least(r16, g16c, b16)
+                    WHEN c = 6 THEN bit
+                    WHEN y % 4 = 0 THEN 9
+                    ELSE least(r8, gg8, b8) END AS s_min,
+               CASE WHEN c IN (0, 1) THEN g8
+                    WHEN c = 2 THEN g16
+                    WHEN c IN (3, 4) THEN greatest(r8, gg8, b8)
+                    WHEN c = 5 THEN greatest(r16, g16c, b16)
+                    WHEN c = 6 THEN bit
+                    WHEN y % 4 = 0 THEN 9
+                    ELSE greatest(r8, gg8, b8) END AS s_max
+        FROM px
+    )
+    SELECT doc_id, TRUE AS ok,
+           (['P2','P5','P5','P3','P6','P6','P4','qoif'])
+               [CAST(any_value(c)+1 AS INT)] AS format,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(CASE WHEN any_value(c) IN (3, 4, 5, 7) THEN 3 ELSE 1 END
+                AS BIGINT) AS n_channels,
+           CAST(sum(s_sum) AS BIGINT) AS px_sum,
+           CAST(min(s_min) AS BIGINT) AS px_min,
+           CAST(max(s_max) AS BIGINT) AS px_max
+    FROM v GROUP BY doc_id
+    """,
+    doc="Netpbm + QOI decode under the hash gate — two LOSSLESS "
+    "raster formats real corpora carry: the full PNM matrix (P1-P6 "
+    "decode; the synth cycles ASCII and binary gray/RGB, 16-bit "
+    "big-endian samples, and P4 MSB-packed bitmaps with comment "
+    "handling) and the public QOI 1.0 spec (64-entry running index "
+    "keyed (3r+5g+7b+11a)%%64, RGB/RGBA/INDEX/DIFF/LUMA/RUN ops, end "
+    "marker) — the QOI case paints flat rows to drive QOI_OP_RUN "
+    "across the 62-run cap and a gradient elsewhere for DIFF/LUMA.  "
+    "The oracle re-derives every statistic from the grid arithmetic.  "
+    "Scale: Arrow CPU-map like every codec path.",
+    bench=True,
+)
+def mm_pnm_qoi_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.pnm_qoi_decode_features(M.synth_pnm_qoi_payload(docs))
+
+
+@query(
     "mm_tiff_jpeg_decode_features",
     """
     WITH dims AS (
