@@ -541,17 +541,20 @@ def encode_pdf(pages: list[list[str]], compress: bool = False,
     for i, lines in enumerate(pages):
         body = bytearray(b"BT /F1 12 Tf 72 720 Td 14 TL\n")
         for j, line in enumerate(lines):
-            esc = _escape_pdf_string(line)
             if j > 0:
                 body += b"T*\n"
             if use_tj_array:
-                # split the line in two around the midpoint with a kern
-                mid = len(esc) // 2
+                # split the RAW line (never the escaped bytes — a cut
+                # inside an escape sequence corrupts the string) around
+                # the midpoint with a kern number between the halves
+                mid = len(line) // 2
                 body += (
-                    b"[(" + esc[:mid] + b") -250 (" + esc[mid:] + b")] TJ\n"
+                    b"[(" + _escape_pdf_string(line[:mid])
+                    + b") -250 ("
+                    + _escape_pdf_string(line[mid:]) + b")] TJ\n"
                 )
             else:
-                body += b"(" + esc + b") Tj\n"
+                body += b"(" + _escape_pdf_string(line) + b") Tj\n"
         body += b"ET"
         data = bytes(body)
         if compress:
