@@ -228,3 +228,19 @@ def test_corpus_prep_consumers_never_rerun_the_explode(spark, sf_smoke_dir):
         "per_doc was removed or bypassed"
     )
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_paragraph_dedup_minimal_shuffle_shape(spark, sf_smoke_dir):
+    """dedup_paragraph_keep_first must shuffle exactly once on the
+    16-byte fingerprint (the keeper census) and once on doc_id (the
+    reassembly agg) — paragraph TEXT never shuffles twice, and there is
+    no pairwise join anywhere."""
+    from health_monitor_cc_flink_spark.registry import all_queries
+
+    spec = next(s for s in all_queries()
+                if s.name == "dedup_paragraph_keep_first")
+    plan = spec.fn(spark, sf_smoke_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("hashpartitioning(fp#") == 1, plan
+    assert plan.count("hashpartitioning(doc_id#") == 1, plan
+    assert "CartesianProduct" not in plan
