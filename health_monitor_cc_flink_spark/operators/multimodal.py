@@ -2814,6 +2814,154 @@ def synth_pdf_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, pdf binary")
 
 
+def synth_sitemap_payload(df: DataFrame, id_col: str = "doc_id",
+                          len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``sitemap`` column: n = id%%5+2 urls per doc, loc =
+    'https://site{id%%7}.example.org/page{k}?ref=x&k={k}' (the '&'
+    exercises entity escaping), lastmod '2026-01-{k%%28+1:02d}' on
+    even k, priority (k%%10)/10 when k%%3==0 — closed-form."""
+    from .xml import build_sitemap
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            maps = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                urls = []
+                for k in range(d % 5 + 2):
+                    u = {
+                        "loc": (f"https://site{d % 7}.example.org/"
+                                f"page{k}?ref=x&k={k}"),
+                    }
+                    if k % 2 == 0:
+                        u["lastmod"] = f"2026-01-{k % 28 + 1:02d}"
+                    if k % 3 == 0:
+                        u["priority"] = (k % 10) / 10.0
+                    urls.append(u)
+                maps.append(build_sitemap(urls))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sitemap": maps})
+
+    return src.mapInPandas(gen, schema="doc_id long, sitemap binary")
+
+
+def sitemap_extract(df: DataFrame, payload_col: str = "sitemap",
+                    id_col: str = "doc_id") -> DataFrame:
+    """REAL XML parse (no xml.etree) + sitemap <urlset> extraction,
+    EXPLODED one row per URL — the crawl-frontier feed that composes
+    with url_parse / robots / domain-quota.  Corrupt documents flag a
+    row."""
+    from .xml import sitemap_urls
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("url_idx", "loc", "lastmod", "priority")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rows = sitemap_urls(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for k, r in enumerate(rows):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["url_idx"].append(k)
+                    out["loc"].append(r["loc"])
+                    out["lastmod"].append(r["lastmod"])
+                    out["priority"].append(r["priority"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, url_idx long, loc string, "
+                "lastmod string, priority double"),
+    )
+
+
+def synth_rss_payload(df: DataFrame, id_col: str = "doc_id",
+                      len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``rss`` column: m = id%%3+1 RSS 2.0 items per doc,
+    title 'item {j}: ' + first 4 words + ' & more' (even items
+    entity-escaped, odd items CDATA — both forms under the gate),
+    link 'https://feed{id%%5}.example.org/{j}', fixed pubDate."""
+    from .xml import build_rss
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feeds = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                head = " ".join(str(text).split(" ")[:4])
+                items = [
+                    {
+                        "title": f"item {j}: {head} & more",
+                        "link": f"https://feed{d % 5}.example.org/{j}",
+                        "pubDate": f"Mon, 0{j % 7 + 1} Jan 2026",
+                    }
+                    for j in range(d % 3 + 1)
+                ]
+                feeds.append(build_rss(items))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rss": feeds})
+
+    return src.mapInPandas(gen, schema="doc_id long, rss binary")
+
+
+def rss_extract(df: DataFrame, payload_col: str = "rss",
+                id_col: str = "doc_id") -> DataFrame:
+    """REAL RSS 2.0 / Atom parse, EXPLODED one row per item (CDATA and
+    entity-escaped titles both decode).  Corrupt feeds flag a row."""
+    from .xml import rss_items
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("item_idx", "title", "link", "published")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rows = rss_items(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for j, r in enumerate(rows):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["item_idx"].append(j)
+                    out["title"].append(r["title"])
+                    out["link"].append(r["link"])
+                    out["published"].append(r["published"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, item_idx long, title string, "
+                "link string, published string"),
+    )
+
+
 def synth_pnm_qoi_payload(df: DataFrame, id_col: str = "doc_id",
                           len_col: str = "n_chars") -> DataFrame:
     """Attach an ``img`` column cycling doc_id %% 8 through the

@@ -6955,6 +6955,65 @@ def mm_pnm_qoi_decode_features(spark, sf_dir):
 
 
 @query(
+    "corpus_sitemap_extract",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 5 + 2 AS n, doc_id % 7 AS s
+               FROM documents)
+    SELECT d.doc_id, TRUE AS ok, CAST(t.k AS BIGINT) AS url_idx,
+           'https://site' || d.s || '.example.org/page' || t.k
+               || '?ref=x&k=' || t.k AS loc,
+           CASE WHEN t.k % 2 = 0
+                THEN '2026-01-' || lpad(CAST(t.k % 28 + 1 AS VARCHAR), 2, '0')
+                END AS lastmod,
+           CASE WHEN t.k % 3 = 0
+                THEN CAST(t.k % 10 AS DOUBLE) / 10 END AS priority
+    FROM d, unnest(generate_series(0, d.n - 1)) AS t(k)
+    """,
+    doc="sitemap.xml extraction under the hash gate — the crawl-"
+    "frontier artifact that FEEDS url_parse / robots / domain-quota: "
+    "a from-scratch well-formed-XML parser (prolog/comment/DOCTYPE "
+    "skip, attribute parse, the five predefined entities + numeric/"
+    "hex character references, CDATA, tag-balance enforcement, "
+    "namespace prefixes kept) walks <urlset><url> rows for "
+    "loc/lastmod/priority; <sitemapindex> nesting is detected.  The "
+    "synth's locs carry raw '&' so entity escaping round-trips under "
+    "the gate.  Scale: Arrow CPU-map explode, zero shuffle.",
+)
+def corpus_sitemap_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.sitemap_extract(M.synth_sitemap_payload(docs))
+
+
+@query(
+    "corpus_rss_extract",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS m, doc_id % 5 AS s,
+                      array_to_string(string_split(text, ' ')[1:4], ' ')
+                          AS head
+               FROM documents)
+    SELECT d.doc_id, TRUE AS ok, CAST(t.j AS BIGINT) AS item_idx,
+           'item ' || t.j || ': ' || d.head || ' & more' AS title,
+           'https://feed' || d.s || '.example.org/' || t.j AS link,
+           'Mon, 0' || (t.j % 7 + 1) || ' Jan 2026' AS published
+    FROM d, unnest(generate_series(0, d.m - 1)) AS t(j)
+    """,
+    doc="RSS 2.0 feed extraction under the hash gate — the standing "
+    "text-corpus source: the same from-scratch XML parser walks "
+    "<channel><item> title/link/pubDate, with titles alternating "
+    "entity-escaped and CDATA forms so both decode paths are gated "
+    "(Atom <feed><entry> with link@href is handled by the same "
+    "extractor and pinned in pytest).  Scale: Arrow CPU-map explode.",
+)
+def corpus_rss_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.rss_extract(M.synth_rss_payload(docs))
+
+
+@query(
     "mm_tiff_jpeg_decode_features",
     """
     WITH dims AS (
