@@ -7014,6 +7014,108 @@ def corpus_rss_extract(spark, sf_dir):
 
 
 @query(
+    "crawl_frontier_pipeline_e2e",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 5 + 2 AS n, doc_id % 7 AS s
+               FROM documents),
+    u AS (SELECT d.doc_id, CAST(t.k AS BIGINT) AS url_idx, d.s, t.k,
+                 CASE WHEN t.k % 3 = 0
+                      THEN CAST(t.k % 10 AS DOUBLE) / 10 END AS priority
+          FROM d, unnest(generate_series(0, d.n - 1)) AS t(k)),
+    p AS (SELECT doc_id, url_idx, priority,
+                 'site' || s || '.example.org' AS host,
+                 -- canonicalization DROPS the 'ref' tracking param
+                 'https://site' || s || '.example.org/page' || k
+                     || '?k=' || k AS canon_url,
+                 k <> 1 AS allowed
+          FROM u),
+    q AS (SELECT doc_id, url_idx,
+                 row_number() OVER (
+                     PARTITION BY host
+                     ORDER BY priority DESC NULLS LAST, canon_url,
+                              doc_id, url_idx) AS rn
+          FROM p WHERE allowed)
+    SELECT p.doc_id, p.url_idx, p.canon_url, p.host, p.allowed,
+           coalesce(q.rn <= 2, FALSE) AS kept
+    FROM p LEFT JOIN q USING (doc_id, url_idx)
+    """,
+    doc="CRAWL-FRONTIER pipeline end-to-end — four operators of this "
+    "repo composed the way a real ingest frontier runs them: sitemap "
+    "XML extraction (the from-scratch parser) -> url_parse "
+    "canonicalization (params sorted, defaults dropped) -> RFC 9309 "
+    "robots evaluation against a per-host robots.txt (broadcast "
+    "7-row dim; 'Disallow: /page1' screens exactly the k=1 pages; "
+    "the 'ref' tracking param is STRIPPED by canonicalization, "
+    "which the oracle mirrors) -> "
+    "per-host politeness quota (top-2 by priority DESC NULLS LAST "
+    "with a fully deterministic tiebreak).  The oracle re-derives "
+    "every stage's decision in closed form.  Scale: CPU-map explode "
+    "+ one broadcast join + one window shuffle on host — the frontier "
+    "never materializes more than (url, verdict) rows.",
+    bench=True,
+)
+def crawl_frontier_pipeline_e2e(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.robots import robots_allowed
+    from .operators.text import url_parse
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    urls = M.sitemap_extract(M.synth_sitemap_payload(docs)).filter(
+        F.col("ok")
+    )
+    parsed = url_parse(
+        urls.select("doc_id", "url_idx", "priority",
+                    F.col("loc").alias("url")),
+        "url",
+    ).select("doc_id", "url_idx", "priority", "host", "path", "canon_url")
+    robots_dim = (
+        spark.range(7)
+        .select(
+            F.concat(F.lit("site"), F.col("id"),
+                     F.lit(".example.org")).alias("host"),
+            F.lit("User-agent: *\nDisallow: /page1\n").alias("robots_txt"),
+        )
+    )
+    # evaluate robots on DISTINCT (host, path) pairs — identical
+    # requests share one verdict (7 hosts x <=6 paths here; at 100 TB
+    # this collapses billions of frontier rows to the distinct
+    # URL-path surface) — then broadcast the verdicts back
+    distinct_req = (
+        parsed.select("host", "path").distinct()
+        .join(F.broadcast(robots_dim), "host")
+        .select(
+            F.concat_ws("\x00", "host", "path").alias("_rid"),
+            "host", "path", "robots_txt",
+            F.lit("trainingbot").alias("agent"),
+        )
+    )
+    verdicts = (
+        robots_allowed(distinct_req, id_col="_rid")
+        .select("_rid", "allowed")
+        .join(distinct_req.select("_rid", "host", "path"), "_rid")
+        .select("host", "path", "allowed")
+    )
+    scored = parsed.join(F.broadcast(verdicts), ["host", "path"])
+    w = (
+        Window.partitionBy("host")
+        .orderBy(
+            F.col("priority").desc_nulls_last(), F.col("canon_url"),
+            F.col("doc_id"), F.col("url_idx"),
+        )
+    )
+    ranked = scored.filter(F.col("allowed")).select(
+        "doc_id", "url_idx", F.row_number().over(w).alias("_rn")
+    )
+    return scored.join(ranked, ["doc_id", "url_idx"], "left").select(
+        "doc_id", "url_idx", "canon_url", "host", "allowed",
+        F.coalesce(F.col("_rn") <= 2, F.lit(False)).alias("kept"),
+    )
+
+
+@query(
     "mm_tiff_jpeg_decode_features",
     """
     WITH dims AS (
