@@ -2814,6 +2814,95 @@ def synth_pdf_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, pdf binary")
 
 
+def synth_subtitles_payload(df: DataFrame, id_col: str = "doc_id",
+                            len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``subs`` column: n = id%%5+2 cues per doc, cue k from
+    1000k + 100*(id%%7) ms for 900 + 50*(k%%6) ms carrying the doc's
+    6-word chunk k; format cycles id%%3 through {SRT, plain WebVTT,
+    WebVTT with cue ids + NOTE block}."""
+    from .subtitles import build_srt, build_vtt
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            subs = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                words = str(text).split(" ")
+                cues = []
+                for k in range(d % 5 + 2):
+                    start = 1000 * k + 100 * (d % 7)
+                    cues.append(
+                        {
+                            "start_ms": start,
+                            "end_ms": start + 900 + 50 * (k % 6),
+                            "text": " ".join(words[6 * k : 6 * k + 6]),
+                        }
+                    )
+                case = d % 3
+                if case == 0:
+                    subs.append(build_srt(cues))
+                elif case == 1:
+                    subs.append(build_vtt(cues))
+                else:
+                    subs.append(build_vtt(cues, with_ids=True,
+                                           note="synth track"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "subs": subs})
+
+    return src.mapInPandas(gen, schema="doc_id long, subs binary")
+
+
+def subtitles_extract(df: DataFrame, payload_col: str = "subs",
+                      id_col: str = "doc_id") -> DataFrame:
+    """REAL SRT/WebVTT parse (format sniffed from the WEBVTT header),
+    EXPLODED one row per cue with the cue duration.  Corrupt files
+    flag a row."""
+    from .subtitles import parse_srt, parse_vtt
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("fmt", "idx", "start_ms", "end_ms", "dur_ms", "text")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                p = bytes(p)
+                try:
+                    if p.lstrip()[:6] == b"WEBVTT":
+                        cues, fmt = parse_vtt(p), "vtt"
+                    else:
+                        cues, fmt = parse_srt(p), "srt"
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for c in cues:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["fmt"].append(fmt)
+                    out["idx"].append(c["idx"])
+                    out["start_ms"].append(c["start_ms"])
+                    out["end_ms"].append(c["end_ms"])
+                    out["dur_ms"].append(c["end_ms"] - c["start_ms"])
+                    out["text"].append(c["text"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, fmt string, idx long, "
+                "start_ms long, end_ms long, dur_ms long, text string"),
+    )
+
+
 def synth_sitemap_payload(df: DataFrame, id_col: str = "doc_id",
                           len_col: str = "n_chars") -> DataFrame:
     """Attach a ``sitemap`` column: n = id%%5+2 urls per doc, loc =

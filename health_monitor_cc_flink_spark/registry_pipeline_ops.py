@@ -7014,6 +7014,42 @@ def corpus_rss_extract(spark, sf_dir):
 
 
 @query(
+    "mm_subtitles_extract",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words
+               FROM documents),
+    d AS (SELECT doc_id, words, doc_id % 5 + 2 AS n,
+                 100 * (doc_id % 7) AS off,
+                 (['srt','vtt','vtt'])[CAST(doc_id % 3 + 1 AS INT)]
+                     AS fmt
+          FROM w)
+    SELECT doc_id, TRUE AS ok, fmt, CAST(t.k + 1 AS BIGINT) AS idx,
+           CAST(1000 * t.k + off AS BIGINT) AS start_ms,
+           CAST(1000 * t.k + off + 900 + 50 * (t.k % 6) AS BIGINT)
+               AS end_ms,
+           CAST(900 + 50 * (t.k % 6) AS BIGINT) AS dur_ms,
+           coalesce(array_to_string(words[(6*t.k+1):(6*t.k+6)], ' '), '')
+               AS text
+    FROM d, unnest(generate_series(0, d.n - 1)) AS t(k)
+    """,
+    doc="SRT + WebVTT subtitle parsing under the hash gate — the text "
+    "layer of the video modality (aligned conversational text): SRT "
+    "numbered cue blocks with comma-millisecond timings, WebVTT "
+    "header/NOTE blocks, optional cue identifiers, dot-millisecond "
+    "timings with optional settings, multi-line payloads, timing "
+    "sanity (end > start, sexagesimal field ranges).  The synth "
+    "cycles the three shapes and the oracle re-derives cue timings "
+    "and 6-word chunk texts in closed form.  Scale: Arrow CPU-map "
+    "explode.",
+)
+def mm_subtitles_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.subtitles_extract(M.synth_subtitles_payload(docs))
+
+
+@query(
     "crawl_frontier_pipeline_e2e",
     """
     WITH d AS (SELECT doc_id, doc_id % 5 + 2 AS n, doc_id % 7 AS s
