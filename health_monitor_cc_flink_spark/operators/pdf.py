@@ -232,6 +232,7 @@ class PdfDocument:
         self._offsets = offsets
         self._trailer = trailer
         self._cache: dict[int, object] = {}
+        self._parsing: set[int] = set()  # cycle guard for nested derefs
 
     @property
     def trailer(self) -> dict:
@@ -250,9 +251,21 @@ class PdfDocument:
     def get_object(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        if num in self._parsing:
+            # e.g. two streams whose /Length entries reference each
+            # other — without this guard the mutual deref recurses
+            # past the interpreter limit (RecursionError, off-contract)
+            raise ValueError(f"PDF object {num} reference cycle")
         off = self._offsets.get(num)
         if off is None or not 0 <= off < len(self._data):
             raise ValueError(f"PDF object {num} missing from xref")
+        self._parsing.add(num)
+        try:
+            return self._parse_object(num, off)
+        finally:
+            self._parsing.discard(num)
+
+    def _parse_object(self, num: int, off: int):
         lx = _Lexer(self._data, off)
         k1, n1 = lx.next_token()
         k2, _g = lx.next_token()

@@ -134,3 +134,28 @@ def test_fuzz_arbitrary_bytes_fail_cleanly(data):
 def test_fuzz_roundtrip_any_latin1_text(pages, compress, tj):
     pdf = encode_pdf(pages, compress=compress, use_tj_array=tj)
     assert pdf_extract_text(pdf) == ["\n".join(p) for p in pages]
+
+
+def test_mutual_length_reference_cycle_guard():
+    """Two streams whose /Length entries reference each other must
+    flag as ValueError, not recurse past the interpreter limit."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 5 0 R >>\nstream\nBT (x) Tj ET\nendstream",
+        5: b"<< /Length 4 0 R >>\nstream\nzz\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in range(1, 6):
+        offs[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + objs[n] + b"\nendobj\n"
+    x = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for n in range(1, 6):
+        out += f"{offs[n]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size 6 /Root 1 0 R >>\n"
+            f"startxref\n{x}\n%%EOF\n").encode()
+    with pytest.raises(ValueError, match="cycle"):
+        pdf_extract_text(bytes(out))
