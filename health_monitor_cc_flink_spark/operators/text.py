@@ -262,3 +262,47 @@ def url_parse(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.size(params_sorted).cast("long").alias("n_params_kept"),
         canon.alias("canon_url"),
     )
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid Grade Level with PURE
+    codegen column ops (the published public formulas):
+
+    * syllables: the classic vowel-group heuristic — maximal
+      ``[aeiouy]+`` runs per lowercased word, minimum 1 for words with
+      no vowels;
+    * sentences: runs of ``.!?`` terminators, floor 1 (word-soup
+      corpora with no punctuation score as one long sentence — the
+      formula still ranks documents by word/syllable density);
+    * FRE = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+    * FKG = 0.39*(words/sentences) + 11.8*(syllables/words) - 15.59
+
+    Adds: n_words, n_syllables, n_sentences, words_per_sentence,
+    syllables_per_word, flesch_reading_ease, fk_grade."""
+    lower = F.lower(F.col(text_col))
+    words = F.split(lower, " ")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    vowel_groups = F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0))
+    no_vowel_words = F.size(
+        F.filter(words, lambda w: ~w.rlike("[aeiouy]"))
+    )
+    n_syll = (vowel_groups + no_vowel_words).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("long")
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / n_words
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        n_syll.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+        wps.alias("words_per_sentence"),
+        spw.alias("syllables_per_word"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+        .alias("flesch_reading_ease"),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+        .alias("fk_grade"),
+    )

@@ -7014,6 +7014,52 @@ def corpus_rss_extract(spark, sf_dir):
 
 
 @query(
+    "text_readability",
+    """
+    WITH t AS (
+        SELECT doc_id, lower(text) AS lt, text FROM documents
+    ), c AS (
+        SELECT doc_id,
+               greatest(len(string_split(lt, ' ')), 1) AS n_words,
+               len(regexp_extract_all(lt, '[aeiouy]+')) +
+               len(list_filter(string_split(lt, ' '),
+                               w -> NOT regexp_matches(w, '[aeiouy]')))
+                   AS n_syll,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sent
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           CAST(n_sent AS BIGINT) AS n_sentences,
+           CAST(n_words AS DOUBLE) / n_sent AS words_per_sentence,
+           CAST(n_syll AS DOUBLE) / n_words AS syllables_per_word,
+           206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                   - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)
+               AS flesch_reading_ease,
+           0.39 * (CAST(n_words AS DOUBLE) / n_sent)
+               + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59
+               AS fk_grade
+    FROM c
+    """,
+    doc="Flesch Reading Ease + Flesch-Kincaid Grade Level under the "
+    "hash gate — the published PUBLIC readability formulas as PURE "
+    "codegen column math (regexp_extract_all vowel-group syllable "
+    "heuristic with a no-vowel-word floor, sentence-terminator runs "
+    "with floor 1, two double divisions in a fixed evaluation order "
+    "so both engines produce bit-identical IEEE results).  The "
+    "corpus-quality signal C4/Gopher-style filters add next to "
+    "length/stopword heuristics.  Scale: narrow map work, zero "
+    "shuffle, whole-stage codegen.",
+)
+def text_readability(spark, sf_dir):
+    from .operators.text import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "mm_subtitles_extract",
     """
     WITH w AS (SELECT doc_id, string_split(text,' ') AS words

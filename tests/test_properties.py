@@ -134,3 +134,19 @@ def test_png_roundtrip_property(h, w, channels, seed):
     shape = (h, w) if channels == 1 else (h, w, channels)
     a = rng.integers(0, 256, shape, dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(a, "cycle")), a)
+
+
+def test_readability_pins(spark):
+    """Flesch/FK formula pins: known sentence/syllable counts."""
+    from health_monitor_cc_flink_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox. it jumps high! crwth pfft")],
+        "doc_id long, text string",
+    )
+    r = readability(df).first()
+    # 9 words, 7 vowel-group words + 2 no-vowel words, 2 sentences
+    assert (r.n_words, r.n_syllables, r.n_sentences) == (9, 9, 2)
+    assert r.words_per_sentence == 4.5 and r.syllables_per_word == 1.0
+    assert abs(r.flesch_reading_ease - (206.835 - 1.015 * 4.5 - 84.6)) < 1e-9
+    assert abs(r.fk_grade - (0.39 * 4.5 + 11.8 - 15.59)) < 1e-9
