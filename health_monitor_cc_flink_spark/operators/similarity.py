@@ -696,3 +696,39 @@ def probe_ivfpq_index(
     codes = spark.read.parquet(path).filter(F.col("cell").isin(cells)).select(id_col, "codes")
     scored = _pq_adc_scores(codes, lut, id_col=id_col)
     return _adc_rerank(scored, emb, q, k, rerank, id_col, vec_col)
+
+
+def int8_quantize(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the standard 4x
+    memory cut vector stores apply ahead of IVF/PQ at corpus scale:
+    scale = max|v| / 127, code_i = floor(v_i / scale + 0.5) (the
+    half-up rounding both engines compute identically, unlike banker's
+    rounding).  PURE codegen higher-order array math, zero shuffle.
+
+    Returns scalar quantization statistics per vector (the driver
+    gate's canonicalizer needs scalar columns): n_dims, scale,
+    code_sum / code_min / code_max, and n_saturated (|code| = 127 —
+    the outlier-clipping diagnostic that decides when per-block scales
+    are needed instead)."""
+    absmax = F.array_max(
+        F.transform(vec_col, lambda v: F.abs(v))
+    ).cast("double")
+    scale = absmax / F.lit(127.0)
+    codes = F.transform(
+        vec_col,
+        lambda v: F.when(
+            scale > 0, F.floor(v.cast("double") / scale + F.lit(0.5))
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(vec_col).cast("long").alias("n_dims"),
+        scale.alias("scale"),
+        F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda acc, c: acc + c).alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+        F.size(F.filter(codes, lambda c: F.abs(c) == 127))
+        .cast("long").alias("n_saturated"),
+    )

@@ -7014,6 +7014,48 @@ def corpus_rss_extract(spark, sf_dir):
 
 
 @query(
+    "ann_int8_quantize",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, v -> abs(v)))
+                    AS DOUBLE) / 127.0 AS scale
+        FROM embeddings
+    ), c AS (
+        SELECT vec_id, scale,
+               list_transform(
+                   embedding,
+                   v -> CASE WHEN scale > 0
+                             THEN CAST(floor(CAST(v AS DOUBLE) / scale
+                                             + 0.5) AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END) AS codes
+        FROM e
+    )
+    SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims, scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CAST(len(list_filter(codes, x -> abs(x) = 127)) AS BIGINT)
+               AS n_saturated
+    FROM c
+    """,
+    doc="Per-vector symmetric INT8 scalar quantization under the hash "
+    "gate — the standard 4x embedding-memory cut vector stores apply "
+    "ahead of IVF/PQ at 100 TB: scale = max|v|/127, half-up rounding "
+    "(floor(x + 0.5), which both engines compute identically — "
+    "banker's rounding would not gate).  Pure higher-order array "
+    "codegen, zero shuffle; outputs are scalar quantization "
+    "statistics incl. the saturation count that diagnoses when "
+    "per-block scales are needed.  Completes the ANN family's "
+    "compression axis next to PQ.",
+)
+def ann_int8_quantize(spark, sf_dir):
+    from .operators.similarity import int8_quantize
+
+    return int8_quantize(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
     "text_readability",
     """
     WITH t AS (

@@ -159,3 +159,29 @@ def test_ivfpq_prunes_partitions_and_recalls(spark, emb, qv, tmp_path_factory):
     ).collect()
     flat = S.pq_probe_index(spark, flat_path, emb, qv, k=10, rerank=100).collect()
     assert [r.vec_id for r in all_cells] == [r.vec_id for r in flat]
+
+
+def test_int8_quantize_error_bound(spark):
+    """Reconstruction error of half-up int8 quantization is bounded by
+    scale/2 everywhere (no clipping can occur at |v| <= max|v|), and
+    the max-magnitude component always saturates to ±127."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.similarity import (
+        int8_quantize,
+    )
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {r.vec_id: r for r in int8_quantize(emb).limit(50).collect()}
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in emb.limit(50).collect()}
+    for vid, r in rows.items():
+        v = raw[vid]
+        scale = r.scale
+        codes = np.floor(v / scale + 0.5)
+        assert r.code_sum == int(codes.sum())
+        assert r.code_min == int(codes.min())
+        assert r.code_max == int(codes.max())
+        assert np.abs(v - codes * scale).max() <= scale / 2 + 1e-12
+        assert max(abs(r.code_min), abs(r.code_max)) == 127
