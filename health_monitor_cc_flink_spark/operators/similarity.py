@@ -732,3 +732,74 @@ def int8_quantize(df: DataFrame, id_col: str = "vec_id",
         F.size(F.filter(codes, lambda c: F.abs(c) == 127))
         .cast("long").alias("n_saturated"),
     )
+
+
+def int8_codes(df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, scale, codes array<long>) — the int8 quantization itself
+    (same scale/rounding as :func:`int8_quantize`), kept as an array
+    for downstream integer-dot search."""
+    absmax = F.array_max(
+        F.transform(vec_col, lambda v: F.abs(v))
+    ).cast("double")
+    scale = absmax / F.lit(127.0)
+    codes = F.transform(
+        vec_col,
+        lambda v: F.when(
+            scale > 0, F.floor(v.cast("double") / scale + F.lit(0.5))
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    return df.select(
+        F.col(id_col), scale.alias("scale"), codes.alias("codes")
+    )
+
+
+def int8_topk(df: DataFrame, k: int = 5, n_queries: int = 4,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k over INT8-quantized vectors — the search half
+    of the scalar-quantization axis: integer dot products (EXACT in
+    both engines, so the gate hashes them directly) rescaled by the
+    per-vector scales for ranking.  The first ``n_queries`` ids probe
+    the whole corpus; self-matches excluded; ties broken by vec_id.
+
+    Scale shape: the quantized query side is a broadcast cross join
+    (n_queries rows); scoring is a codegen'd zip_with/aggregate fold
+    over 8-byte codes — a quarter of the float traffic at 100 TB —
+    and the only shuffle is the per-query top-k window."""
+    from pyspark.sql import Window
+
+    c = int8_codes(df, id_col, vec_col)
+    q = c.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("codes").alias("q_codes"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "int_dot",
+            F.aggregate(
+                F.zip_with("q_codes", "codes", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "approx_sim",
+            (F.col("q_scale") * F.col("scale"))
+            * F.col("int_dot").cast("double"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            F.col(id_col), "int_dot", "approx_sim",
+        )
+    )

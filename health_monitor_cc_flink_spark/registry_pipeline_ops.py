@@ -7014,6 +7014,58 @@ def corpus_rss_extract(spark, sf_dir):
 
 
 @query(
+    "ann_int8_topk",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               CAST(list_max(list_transform(embedding, v -> abs(v)))
+                    AS DOUBLE) / 127.0 AS scale,
+               list_transform(
+                   embedding,
+                   v -> CASE WHEN CAST(list_max(list_transform(embedding,
+                                 u -> abs(u))) AS DOUBLE) / 127.0 > 0
+                             THEN CAST(floor(CAST(v AS DOUBLE) /
+                                  (CAST(list_max(list_transform(embedding,
+                                   u -> abs(u))) AS DOUBLE) / 127.0)
+                                  + 0.5) AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END) AS codes
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, scale AS q_scale, codes AS q_codes
+        FROM e WHERE vec_id < 4
+    ), s AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(list_dot_product(q.q_codes, e.codes) AS BIGINT)
+                   AS int_dot,
+               (q.q_scale * e.scale)
+                   * list_dot_product(q.q_codes, e.codes) AS approx_sim
+        FROM q, e WHERE e.vec_id <> q.query_id
+    ), r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY approx_sim DESC, vec_id) AS rank
+        FROM s
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, int_dot,
+           approx_sim
+    FROM r WHERE rank <= 5
+    """,
+    doc="Brute-force top-k over INT8-quantized vectors — the SEARCH "
+    "half of the scalar-quantization axis: integer code dot products "
+    "are EXACT in both engines (values < 2^53), so the gate hashes "
+    "the dots themselves, with ranking by the scale-rescaled "
+    "similarity and a vec_id tiebreak.  Query side broadcast; "
+    "scoring is a codegen'd zip_with fold over 8-byte codes — a "
+    "quarter of the float shuffle traffic at 100 TB; one window "
+    "shuffle for the per-query top-k.",
+)
+def ann_int8_topk(spark, sf_dir):
+    from .operators.similarity import int8_topk
+
+    return int8_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
     "ann_int8_quantize",
     """
     WITH e AS (

@@ -185,3 +185,35 @@ def test_int8_quantize_error_bound(spark):
         assert r.code_max == int(codes.max())
         assert np.abs(v - codes * scale).max() <= scale / 2 + 1e-12
         assert max(abs(r.code_min), abs(r.code_max)) == 127
+
+
+def test_int8_topk_agrees_with_float_ranking(spark):
+    """Int8 ranking must agree with exact float cosine-by-dot ranking
+    on MOST of the top-5 (quantization recall check): >= 3/5 overlap
+    per query on the smoke corpus, and int dots must equal a numpy
+    recomputation exactly."""
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.similarity import (
+        int8_topk,
+    )
+    from health_monitor_cc_flink_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = int8_topk(emb).collect()
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in emb.collect()}
+    scales = {v: np.abs(x).max() / 127.0 for v, x in raw.items()}
+    codes = {v: np.floor(x / scales[v] + 0.5) for v, x in raw.items()}
+    by_q = {}
+    for r in got:
+        want = int(codes[r.query_id] @ codes[r.vec_id])
+        assert r.int_dot == want, (r.query_id, r.vec_id)
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for qid, ids in by_q.items():
+        assert len(ids) == 5
+        sims = {v: float(raw[qid] @ x) / (np.linalg.norm(raw[qid])
+                * np.linalg.norm(x))
+                for v, x in raw.items() if v != qid}
+        float_top = sorted(sims, key=lambda v: (-sims[v], v))[:5]
+        assert len(set(ids) & set(float_top)) >= 3, (qid, ids, float_top)
