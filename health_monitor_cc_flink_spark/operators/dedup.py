@@ -560,7 +560,10 @@ def _anti_join_hot(grams: DataFrame, hot: DataFrame, keys,
     that must stay action-free); an int = persist the list, count at
     most limit+1 rows, and broadcast iff the count stays at or under
     the limit — otherwise shuffle.  The persist makes the census run
-    once whichever path executes the join."""
+    once whichever path executes the join; it is left cached (Spark's
+    LRU evicts MEMORY_AND_DISK blocks under pressure) because
+    unpersisting before the lazy join executes would recompute the
+    census inside the join."""
     if hot_broadcast_limit is None:
         return grams.join(F.broadcast(hot), keys, "left_anti")
     from pyspark import StorageLevel
