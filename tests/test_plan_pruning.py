@@ -173,6 +173,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "corpus_mix_temperature_weights",  # scalar corpus-total broadcast
         "basket_part_affinity",         # scalar order-total broadcast
         "dq_benford_first_digit",       # scalar corpus-total broadcast
+        "ann_int8_topk",                # n_queries(=4)-row quantized probe broadcast
         "customer_rfm_segments",        # scalar max-date broadcast
         "stats_kaplan_meier",           # scalar max-timestamp broadcast
         "events_pareto_concentration",  # scalar totals broadcast
