@@ -2814,6 +2814,106 @@ def synth_pdf_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, pdf binary")
 
 
+def synth_markdown_payload(df: DataFrame, id_col: str = "doc_id",
+                           len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``md`` column of deterministic Markdown documents
+    built from the doc words: ``# `` title (first 3 words), id%%3+1
+    sections (``## part s w`` + an 8-word paragraph; the first
+    paragraph carries a ``[see w0](url)`` link), id%%4+1 list items,
+    one fenced ``py`` code block ``x = id%%97``, and a ``> note``
+    blockquote on even ids — closed-form for the oracle."""
+    from .markdown import build_markdown
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            mds = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                words = str(text).split(" ")
+                sections = [
+                    (f"part {s} {words[3 + s]}",
+                     " ".join(words[4 + 8 * s : 12 + 8 * s]))
+                    for s in range(d % 3 + 1)
+                ]
+                mds.append(
+                    build_markdown(
+                        words[:3],
+                        sections,
+                        [f"item {j} {words[j]}" for j in range(d % 4 + 1)],
+                        f"x = {d % 97}",
+                        link=(f"see {words[0]}",
+                              f"https://docs.example.org/{d % 11}"),
+                        quote=(f"note {words[1]}" if d % 2 == 0 else None),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "md": mds})
+
+    return src.mapInPandas(gen, schema="doc_id long, md binary")
+
+
+def markdown_extract_features(df: DataFrame, payload_col: str = "md",
+                              id_col: str = "doc_id") -> DataFrame:
+    """REAL Markdown parse + markup strip over Arrow batches:
+    structure statistics (headings, fenced code, links, list items,
+    blockquotes) plus the markup-stripped plain text's length and md5
+    — the two corpus operations run on Markdown at scale.  Corrupt
+    documents (unterminated fences) flag the row."""
+    import hashlib
+
+    from .markdown import markdown_to_text, parse_markdown
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("n_headings", "n_code_blocks", "code_chars", "n_links",
+                "n_list_items", "n_blockquotes", "plain_chars",
+                "plain_md5")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    text = bytes(p).decode("utf-8")
+                    parsed = parse_markdown(text)
+                    plain = markdown_to_text(text)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["n_headings"].append(len(parsed["headings"]))
+                out["n_code_blocks"].append(len(parsed["code_blocks"]))
+                out["code_chars"].append(
+                    sum(len(b) for _i, b in parsed["code_blocks"])
+                )
+                out["n_links"].append(len(parsed["links"]))
+                out["n_list_items"].append(len(parsed["list_items"]))
+                out["n_blockquotes"].append(len(parsed["blockquotes"]))
+                out["plain_chars"].append(len(plain))
+                out["plain_md5"].append(
+                    hashlib.md5(plain.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_headings long, "
+                "n_code_blocks long, code_chars long, n_links long, "
+                "n_list_items long, n_blockquotes long, plain_chars long, "
+                "plain_md5 string"),
+    )
+
+
 def synth_subtitles_payload(df: DataFrame, id_col: str = "doc_id",
                             len_col: str = "n_chars") -> DataFrame:
     """Attach a ``subs`` column: n = id%%5+2 cues per doc, cue k from

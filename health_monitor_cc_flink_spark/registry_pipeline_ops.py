@@ -7014,6 +7014,84 @@ def corpus_rss_extract(spark, sf_dir):
 
 
 @query(
+    "mm_markdown_extract",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words
+               FROM documents),
+    d AS (SELECT doc_id, words, doc_id % 3 + 1 AS ns,
+                 doc_id % 4 + 1 AS m
+          FROM w),
+    secs AS (
+        -- an empty paragraph line is SKIPPED by the stripper (blank
+        -- lines collapse), so emit its newline only when non-empty
+        SELECT d.doc_id,
+               string_agg(
+                   'part ' || s.s || ' ' || d.words[4 + s.s]
+                   || CASE WHEN coalesce(array_to_string(
+                               d.words[(8*s.s+5):(8*s.s+12)], ' '), '')
+                           || CASE WHEN s.s = 0
+                                   THEN ' see ' || d.words[1]
+                                   ELSE '' END <> ''
+                           THEN chr(10)
+                                || coalesce(array_to_string(
+                                   d.words[(8*s.s+5):(8*s.s+12)], ' '), '')
+                                || CASE WHEN s.s = 0
+                                        THEN ' see ' || d.words[1]
+                                        ELSE '' END
+                           ELSE '' END,
+                   chr(10) ORDER BY s.s) AS sec_text
+        FROM d, unnest(generate_series(0, d.ns - 1)) AS s(s)
+        GROUP BY d.doc_id
+    ),
+    items AS (
+        SELECT d.doc_id,
+               string_agg('item ' || j.j || ' ' || d.words[j.j + 1],
+                          chr(10) ORDER BY j.j) AS item_text
+        FROM d, unnest(generate_series(0, d.m - 1)) AS j(j)
+        GROUP BY d.doc_id
+    ),
+    plain AS (
+        SELECT d.doc_id,
+               array_to_string(d.words[1:3], ' ') || chr(10)
+               || secs.sec_text || chr(10) || items.item_text
+               || CASE WHEN d.doc_id % 2 = 0
+                       THEN chr(10) || 'note ' || d.words[2]
+                       ELSE '' END AS p
+        FROM d JOIN secs USING (doc_id) JOIN items USING (doc_id)
+    )
+    SELECT d.doc_id, TRUE AS ok,
+           CAST(d.ns + 1 AS BIGINT) AS n_headings,
+           CAST(1 AS BIGINT) AS n_code_blocks,
+           CAST(4 + length(CAST(d.doc_id % 97 AS VARCHAR)) AS BIGINT)
+               AS code_chars,
+           CAST(1 AS BIGINT) AS n_links,
+           CAST(d.m AS BIGINT) AS n_list_items,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_blockquotes,
+           CAST(length(plain.p) AS BIGINT) AS plain_chars,
+           md5(plain.p) AS plain_md5
+    FROM d JOIN plain USING (doc_id)
+    """,
+    doc="Markdown parse + markup STRIP under the hash gate — the "
+    "dominant serialization of curated LLM text, and the two corpus "
+    "operations run on it at scale: structure statistics (ATX heading "
+    "outline, fenced code density, [text](url) links incl. image "
+    "forms, list items, blockquotes) and markup-stripped plain text "
+    "(code blocks DROPPED — code is not natural text; link text kept, "
+    "URLs discarded; inline code/bold/emphasis markers removed).  The "
+    "synth builds deterministic documents and the oracle reassembles "
+    "the stripped plain text line-for-line (md5-gated).  Unterminated "
+    "fences flag the row.  Scale: Arrow CPU-map, zero shuffle.",
+    bench=True,
+)
+def mm_markdown_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.markdown_extract_features(M.synth_markdown_payload(docs))
+
+
+@query(
     "ann_int8_topk",
     """
     WITH e AS (
