@@ -142,3 +142,37 @@ def robots_allowed(
         F.coalesce(F.col("matched_is_allow"), F.lit(True)).alias("allowed"),
         "matched_pattern",
     )
+
+
+def robots_sitemaps(df: DataFrame, id_col: str = "doc_id",
+                    robots_col: str = "robots_txt") -> DataFrame:
+    """``Sitemap:`` directive extraction — the sitemaps.org extension
+    every major crawler honors: the directive is GROUP-INDEPENDENT
+    (valid anywhere in the file, unlike Allow/Disallow) and its key is
+    case-insensitive; the value is an absolute sitemap URL.  Returns
+    (id, sm_idx, sitemap_url) exploded in line order — the discovery
+    hop that feeds the sitemap parser and the crawl frontier.  Pure
+    codegen: line explode + filter + one per-file window."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(robots_col, "\n")).alias("_ln", "_raw"),
+    ).select(
+        "doc_id", "_ln",
+        F.trim(F.regexp_replace("_raw", r"#.*$", "")).alias("_line"),
+    ).filter(F.expr("instr(_line, ':')") > 0)
+    sm = lines.filter(
+        F.lower(F.trim(F.substring_index("_line", ":", 1))) == "sitemap"
+    ).select(
+        "doc_id", "_ln",
+        F.trim(
+            F.expr("substring(_line, instr(_line, ':') + 1)")
+        ).alias("sitemap_url"),
+    ).filter(F.col("sitemap_url") != "")
+    w = Window.partitionBy("doc_id").orderBy("_ln")
+    return sm.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("sm_idx"),
+        "sitemap_url",
+    )

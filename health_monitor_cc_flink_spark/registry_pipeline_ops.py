@@ -7014,6 +7014,51 @@ def corpus_rss_extract(spark, sf_dir):
 
 
 @query(
+    "corpus_robots_sitemaps",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS n, doc_id % 7 AS s
+               FROM documents)
+    SELECT doc_id, CAST(t.j AS BIGINT) AS sm_idx,
+           'https://site' || d.s || '.example.org/sm/' || t.j || '.xml'
+               AS sitemap_url
+    FROM d, unnest(generate_series(0, d.n - 1)) AS t(j)
+    """,
+    doc="robots.txt ``Sitemap:`` directive extraction under the hash "
+    "gate — the sitemaps.org extension every major crawler honors: "
+    "the directive is GROUP-INDEPENDENT (the synth puts the first one "
+    "BEFORE any User-agent group, where Allow/Disallow would be "
+    "ignored) and case-insensitive (the synth cycles Sitemap/sitemap/"
+    "SITEMAP), with comment stripping and first-colon splitting so "
+    "the URL's own colon survives.  The discovery hop that chains "
+    "corpus_robots_screen to corpus_sitemap_extract in the crawl "
+    "frontier.  Pure codegen: line explode + one per-file window.",
+)
+def corpus_robots_sitemaps(spark, sf_dir):
+    from .operators.robots import robots_sitemaps
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    keys = ("Sitemap", "sitemap", "SITEMAP")
+    sm_line = lambda j: F.concat(  # noqa: E731
+        F.lit(f"{keys[j % 3]}: https://site"), (d % 7).cast("string"),
+        F.lit(f".example.org/sm/{j}.xml"),
+    )
+    # first directive sits BEFORE any group (group-independence);
+    # later ones trail the rule groups, one with a comment suffix
+    robots = F.concat(
+        sm_line(0), F.lit("\n"), F.lit(_ROBOTS_TEMPLATE),
+        F.when(d % 3 >= 1,
+               F.concat(sm_line(1), F.lit(" # mirrors\n"))
+               ).otherwise(F.lit("")),
+        F.when(d % 3 >= 2,
+               F.concat(sm_line(2), F.lit("\n"))).otherwise(F.lit("")),
+    )
+    return robots_sitemaps(
+        docs.select("doc_id", robots.alias("robots_txt"))
+    )
+
+
+@query(
     "mm_markdown_extract",
     """
     WITH w AS (SELECT doc_id, string_split(text,' ') AS words

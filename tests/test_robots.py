@@ -94,3 +94,27 @@ def test_colonless_line_is_ignored(spark):
     ])
     assert got[0] == (True, None)
     assert got[1] == (False, "/real/")
+
+
+def test_sitemap_directive_extraction(spark):
+    """Sitemap: is group-independent and case-insensitive; the URL's
+    own colon survives the first-colon split; comments strip."""
+    from health_monitor_cc_flink_spark.operators.robots import (
+        robots_sitemaps,
+    )
+
+    robots = (
+        "Sitemap: https://e/a.xml\n"       # before any group: still valid
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "sitemap: https://e/b.xml # note\n"
+        "SITEMAP:https://e/c.xml\n"
+        "Sitemap\n"                         # colon-less: ignored
+        "Sitemap:   \n"                     # empty value: ignored
+    )
+    df = spark.createDataFrame([(1, robots)],
+                               "doc_id long, robots_txt string")
+    got = [(r.sm_idx, r.sitemap_url) for r in
+           robots_sitemaps(df).orderBy("sm_idx").collect()]
+    assert got == [(0, "https://e/a.xml"), (1, "https://e/b.xml"),
+                   (2, "https://e/c.xml")]
