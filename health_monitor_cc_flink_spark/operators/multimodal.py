@@ -2814,6 +2814,98 @@ def synth_pdf_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, pdf binary")
 
 
+def synth_html_metadata_payload(df: DataFrame, id_col: str = "doc_id",
+                                len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``html`` column: a page with <title> (first 2 words
+    + ' archive'), OpenGraph og:title/og:type metas, one schema.org
+    JSON-LD Article script (headline = first 3 words, wordCount =
+    n words), and the doc text in the body — closed-form."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import json
+
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                words = str(text).split(" ")
+                t2 = " ".join(words[:2])
+                ld = json.dumps(
+                    {"@type": "Article",
+                     "headline": " ".join(words[:3]),
+                     "wordCount": len(words)},
+                    sort_keys=True,
+                )
+                htmls.append(
+                    "<html><head>"
+                    f"<title>{t2} archive</title>"
+                    f'<meta property="og:title" content="{t2}"/>'
+                    '<meta property="og:type" content="article"/>'
+                    '<script type="application/ld+json">'
+                    f"{ld}</script>"
+                    "</head><body><p>"
+                    f"{text}</p></body></html>".encode("utf-8")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    return src.mapInPandas(gen, schema="doc_id long, html binary")
+
+
+def html_metadata_features(df: DataFrame, payload_col: str = "html",
+                           id_col: str = "doc_id") -> DataFrame:
+    """REAL HTML metadata extraction (stdlib HTMLParser): <title>,
+    OpenGraph metas, schema.org JSON-LD scripts parsed with strict
+    json — the document-metadata enrichment hop of web-corpus
+    pipelines.  Corrupt payloads flag the row."""
+    from .warc import html_extract_metadata
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import json
+
+        import pandas as pd
+
+        cols = ("title", "og_title", "og_type", "n_jsonld", "ld_type",
+                "ld_headline", "ld_wordcount")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    meta = html_extract_metadata(
+                        bytes(p).decode("utf-8")
+                    )
+                    ld = (json.loads(meta["jsonld"][0])
+                          if meta["jsonld"] else {})
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["title"].append(meta["title"])
+                out["og_title"].append(meta["og"].get("title"))
+                out["og_type"].append(meta["og"].get("type"))
+                out["n_jsonld"].append(len(meta["jsonld"]))
+                out["ld_type"].append(ld.get("@type"))
+                out["ld_headline"].append(ld.get("headline"))
+                out["ld_wordcount"].append(ld.get("wordCount"))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, title string, og_title string, "
+                "og_type string, n_jsonld long, ld_type string, "
+                "ld_headline string, ld_wordcount long"),
+    )
+
+
 def synth_markdown_payload(df: DataFrame, id_col: str = "doc_id",
                            len_col: str = "n_chars") -> DataFrame:
     """Attach an ``md`` column of deterministic Markdown documents

@@ -61,6 +61,61 @@ def html_extract_text(html: str) -> str:
     return " ".join(" ".join(p.chunks).split())
 
 
+class _MetadataExtractor(HTMLParser):
+    """<title>, OpenGraph <meta property="og:*" content>, and raw
+    <script type="application/ld+json"> bodies."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.title_parts: list[str] = []
+        self.og: dict[str, str] = {}
+        self.jsonld: list[str] = []
+        self._in_title = False
+        self._in_ld = False
+        self._ld_parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "title":
+            self._in_title = True
+        elif tag == "meta":
+            prop = a.get("property", "")
+            if prop.startswith("og:") and "content" in a:
+                self.og.setdefault(prop[3:], a["content"])
+        elif tag == "script" and a.get("type") == "application/ld+json":
+            self._in_ld = True
+            self._ld_parts = []
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+        elif tag == "script" and self._in_ld:
+            self._in_ld = False
+            self.jsonld.append("".join(self._ld_parts))
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+        elif self._in_ld:
+            self._ld_parts.append(data)
+
+
+def html_extract_metadata(html: str) -> dict:
+    """HTML -> {'title', 'og' {property-sans-prefix: content},
+    'jsonld' [raw script bodies]} — the structured-metadata layer web
+    corpora carry (page titles, OpenGraph cards, schema.org JSON-LD),
+    extracted with the same stdlib HTMLParser discipline as
+    :func:`html_extract_text`."""
+    p = _MetadataExtractor()
+    p.feed(html)
+    p.close()
+    return {
+        "title": " ".join("".join(p.title_parts).split()),
+        "og": p.og,
+        "jsonld": p.jsonld,
+    }
+
+
 def _split_gzip_members(payload: bytes) -> list[bytes]:
     import zlib
 

@@ -7014,6 +7014,37 @@ def corpus_rss_extract(spark, sf_dir):
 
 
 @query(
+    "mm_html_metadata_extract",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           array_to_string(words[1:2], ' ') || ' archive' AS title,
+           array_to_string(words[1:2], ' ') AS og_title,
+           'article' AS og_type,
+           CAST(1 AS BIGINT) AS n_jsonld,
+           'Article' AS ld_type,
+           array_to_string(words[1:3], ' ') AS ld_headline,
+           CAST(len(words) AS BIGINT) AS ld_wordcount
+    FROM w
+    """,
+    doc="HTML structured-METADATA extraction under the hash gate — "
+    "the enrichment hop web-corpus pipelines run alongside text "
+    "extraction: <title> text, OpenGraph og:* meta properties, and "
+    "schema.org JSON-LD script bodies (raw script captured by the "
+    "same stdlib-HTMLParser discipline as html_extract_text, then "
+    "strict-json parsed for @type/headline/wordCount).  The synth "
+    "builds pages with all three layers and the oracle re-derives "
+    "every field closed-form.  Scale: Arrow CPU-map, zero shuffle.",
+)
+def mm_html_metadata_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.html_metadata_features(M.synth_html_metadata_payload(docs))
+
+
+@query(
     "corpus_robots_sitemaps",
     """
     WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS n, doc_id % 7 AS s

@@ -198,3 +198,28 @@ def test_build_warc_charset_pages_roundtrip():
     assert [c for c, _ in got] == ["utf-16-le", "iso-8859-1", "utf-8"]
     assert [html_extract_text(t) for _, t in got] == [
         "café zero", "über one", "plain two"]
+
+
+def test_html_metadata_extraction():
+    from health_monitor_cc_flink_spark.operators.warc import (
+        html_extract_metadata,
+    )
+
+    html = (
+        "<html><head><title>My  Page &amp; More</title>"
+        '<meta property="og:title" content="OG Title"/>'
+        '<meta property="og:type" content="article"/>'
+        '<meta property="og:title" content="dup ignored"/>'
+        '<meta name="description" content="not og"/>'
+        '<script type="application/ld+json">{"@type": "Article"}'
+        "</script>"
+        '<script>var x = "plain script ignored";</script>'
+        "</head><body>body text</body></html>"
+    )
+    meta = html_extract_metadata(html)
+    assert meta["title"] == "My Page & More"   # entities + ws collapse
+    assert meta["og"] == {"title": "OG Title", "type": "article"}
+    assert meta["jsonld"] == ['{"@type": "Article"}']
+    # pages without any metadata yield empty structures, no crash
+    empty = html_extract_metadata("<p>hi</p>")
+    assert empty == {"title": "", "og": {}, "jsonld": []}
