@@ -2814,6 +2814,116 @@ def synth_pdf_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, pdf binary")
 
 
+def synth_html_data_uri_payload(df: DataFrame, id_col: str = "doc_id",
+                                len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``html`` column of pages with m = id%%3+1 INLINE
+    base64 PNG data URIs (<img src="data:image/png;base64,...">):
+    image j is w x h 8-bit gray with pixel (x + y + j), w =
+    8*(id%%4+2), h = 8*((n_chars+j)%%4+2) — dims <= 40 so values never
+    wrap and every statistic is closed-form."""
+    import base64
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(len_col).cast("long").alias("n_chars"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                parts = ["<html><body>"]
+                for j in range(d % 3 + 1):
+                    w = 8 * (d % 4 + 2)
+                    h = 8 * ((nc + j) % 4 + 2)
+                    y, x = np.mgrid[0:h, 0:w]
+                    png = encode_png((x + y + j).astype(np.uint8))
+                    b64 = base64.b64encode(png).decode("ascii")
+                    parts.append(
+                        f'<p>img {j}</p><img alt="i{j}" '
+                        f'src="data:image/png;base64,{b64}"/>'
+                    )
+                parts.append("</body></html>")
+                htmls.append("".join(parts).encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    return src.mapInPandas(gen, schema="doc_id long, html binary")
+
+
+def html_data_uri_image_features(df: DataFrame, payload_col: str = "html",
+                                 id_col: str = "doc_id") -> DataFrame:
+    """Inline-image extraction the way crawled pages actually carry
+    small images: walk <img> tags with the stdlib HTMLParser, accept
+    ``data:image/png;base64,`` URIs, STRICT-base64 decode, then run
+    the repo's real PNG decoder — one row per embedded image.
+    Corrupt pages flag a row."""
+    import base64
+    import binascii
+    from html.parser import HTMLParser
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    class _ImgCollector(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.uris: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "img":
+                src_attr = dict(attrs).get("src", "")
+                if src_attr.startswith("data:image/png;base64,"):
+                    self.uris.append(
+                        src_attr[len("data:image/png;base64,"):]
+                    )
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("img_idx", "width", "height", "px_sum", "px_min",
+                "px_max")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    collector = _ImgCollector()
+                    collector.feed(bytes(p).decode("utf-8"))
+                    collector.close()
+                    imgs = []
+                    for u in collector.uris:
+                        try:
+                            raw = base64.b64decode(u, validate=True)
+                        except binascii.Error as exc:
+                            raise ValueError("bad data-URI base64") from exc
+                        imgs.append(decode_png(raw))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for j, img in enumerate(imgs):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["img_idx"].append(j)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["px_sum"].append(int(img.sum(dtype=np.int64)))
+                    out["px_min"].append(int(img.min()))
+                    out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, img_idx long, width long, "
+                "height long, px_sum long, px_min long, px_max long"),
+    )
+
+
 def synth_html_metadata_payload(df: DataFrame, id_col: str = "doc_id",
                                 len_col: str = "n_chars") -> DataFrame:
     """Attach an ``html`` column: a page with <title> (first 2 words

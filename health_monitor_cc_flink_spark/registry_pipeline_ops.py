@@ -7014,6 +7014,49 @@ def corpus_rss_extract(spark, sf_dir):
 
 
 @query(
+    "mm_html_data_uri_images",
+    """
+    WITH d AS (SELECT doc_id, n_chars, doc_id % 3 + 1 AS m
+               FROM documents)
+    SELECT d.doc_id, TRUE AS ok, CAST(t.j AS BIGINT) AS img_idx,
+           CAST(8 * (d.doc_id % 4 + 2) AS BIGINT) AS width,
+           CAST(8 * ((d.n_chars + t.j) % 4 + 2) AS BIGINT) AS height,
+           -- sum over the w x h grid of (x + y + j), closed form
+           CAST(
+             (8 * ((d.n_chars + t.j) % 4 + 2))
+               * (8 * (d.doc_id % 4 + 2)) * (8 * (d.doc_id % 4 + 2) - 1)
+               / 2
+             + (8 * (d.doc_id % 4 + 2))
+               * (8 * ((d.n_chars + t.j) % 4 + 2))
+               * (8 * ((d.n_chars + t.j) % 4 + 2) - 1) / 2
+             + (8 * (d.doc_id % 4 + 2))
+               * (8 * ((d.n_chars + t.j) % 4 + 2)) * t.j
+           AS BIGINT) AS px_sum,
+           CAST(t.j AS BIGINT) AS px_min,
+           CAST(8 * (d.doc_id % 4 + 2) - 1
+                + 8 * ((d.n_chars + t.j) % 4 + 2) - 1 + t.j
+                AS BIGINT) AS px_max
+    FROM d, unnest(generate_series(0, d.m - 1)) AS t(j)
+    """,
+    doc="INLINE base64 image extraction under the hash gate — small "
+    "images in crawled pages ship as <img src='data:image/png;"
+    "base64,...'> data URIs: HTMLParser img-tag walk, strict base64 "
+    "decode, then the repo's REAL PNG decoder, exploded one row per "
+    "embedded image — a two-stack composition (HTML x codec) real "
+    "multimodal ingest runs before any fetch.  The oracle re-derives "
+    "each image's statistics from the gradient's closed-form sums.  "
+    "Scale: Arrow CPU-map explode, zero shuffle.",
+)
+def mm_html_data_uri_images(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.html_data_uri_image_features(
+        M.synth_html_data_uri_payload(docs)
+    )
+
+
+@query(
     "mm_html_metadata_extract",
     """
     WITH w AS (SELECT doc_id, string_split(text,' ') AS words

@@ -966,3 +966,36 @@ def test_png_palette_trns_transparency():
         decode_png(bloated)
     with _pytest.raises(ValueError, match="palette"):
         encode_png(idx, trans=tr)
+
+
+def test_html_data_uri_images_extraction(spark):
+    """Embedded base64 PNG data URIs decode through the real PNG
+    decoder; non-PNG/absent srcs are ignored; bad base64 flags."""
+    import base64
+
+    import numpy as np
+
+    from health_monitor_cc_flink_spark.operators.multimodal import (
+        encode_png,
+        html_data_uri_image_features,
+    )
+
+    y, x = np.mgrid[0:8, 0:16]
+    png = encode_png((x + y).astype(np.uint8))
+    b64 = base64.b64encode(png).decode()
+    rows = [
+        (1, ("<html><body>"
+             f'<img src="data:image/png;base64,{b64}"/>'
+             '<img src="https://remote/x.png"/>'      # fetched, not inline
+             '<img alt="no src"/>'
+             "</body></html>").encode()),
+        (2, b'<img src="data:image/png;base64,!!notb64!!"/>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {(r.doc_id, r.img_idx): r
+           for r in html_data_uri_image_features(df).collect()}
+    r = got[(1, 0)]
+    assert r.ok and (r.width, r.height) == (16, 8)
+    assert r.px_sum == int((x + y).sum()) and r.px_max == 22
+    assert len([k for k in got if k[0] == 1]) == 1  # only the data URI
+    assert got[(2, None)].ok is False               # bad base64 flags
