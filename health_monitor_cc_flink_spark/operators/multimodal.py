@@ -2108,6 +2108,92 @@ def synth_jpeg_subsampling_payload(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
 
 
+def synth_jpeg_exif_gps_payload(df: DataFrame, id_col: str = "doc_id",
+                                len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``jpeg`` column whose EXIF APP1 carries a GPS IFD
+    (tag 0x8825): lat = (id%%90)° (id%%60)' ((7id%%6000)/100)\" with
+    ref N/S by id%%2, lon = (id%%180)° ((3id)%%60)'
+    ((11id%%6000)/100)\" with ref E/W by id%%3==0; byte order
+    alternates II/MM — closed-form decimal degrees for the oracle."""
+    from .jpeg import encode_jpeg_gray, insert_app1
+    from .tiff import build_exif_app1
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        img = np.full((16, 16), 84, np.uint8)  # flat even: exact
+        for pdf in batches:
+            jpegs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gps = (
+                    "N" if d % 2 == 0 else "S",
+                    [(d % 90, 1), (d % 60, 1), ((7 * d) % 6000, 100)],
+                    "E" if d % 3 == 0 else "W",
+                    [(d % 180, 1), ((3 * d) % 60, 1),
+                     ((11 * d) % 6000, 100)],
+                )
+                app1 = build_exif_app1(
+                    f"synthcam{d % 7}", f"mk{d % 5}", d % 8 + 1,
+                    "2026:01:02 03:04:05", 100, 16, 16,
+                    "II" if d % 2 == 0 else "MM", gps=gps,
+                )
+                jpegs.append(insert_app1(encode_jpeg_gray(img), app1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+    return src.mapInPandas(gen, schema="doc_id long, jpeg binary")
+
+
+def jpeg_exif_gps_metadata(df: DataFrame, payload_col: str = "jpeg",
+                           id_col: str = "doc_id") -> DataFrame:
+    """EXIF GPS extraction: APP1 walk, GPS IFD (tag 0x8825) rational
+    triplets -> signed decimal degrees in the fixed d + m/60 + s/3600
+    evaluation order (bit-identical doubles in both engines).
+    Corrupt or GPS-less payloads flag the row."""
+    from .jpeg import extract_exif_app1
+    from .tiff import exif_gps_decimal, parse_exif
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("lat_ref", "lon_ref", "lat_deg", "lon_deg")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    app1 = extract_exif_app1(bytes(p))
+                    if app1 is None:
+                        raise ValueError("no EXIF APP1")
+                    meta = parse_exif(app1)
+                    dec = exif_gps_decimal(meta)
+                    if dec is None:
+                        raise ValueError("no GPS IFD")
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["lat_ref"].append(meta["GPSLatitudeRef"][0])
+                out["lon_ref"].append(meta["GPSLongitudeRef"][0])
+                out["lat_deg"].append(dec[0])
+                out["lon_deg"].append(dec[1])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, lat_ref string, lon_ref string, "
+                "lat_deg double, lon_deg double"),
+    )
+
+
 def synth_jpeg_exif_payload(df: DataFrame, id_col: str = "doc_id",
                             len_col: str = "n_chars") -> DataFrame:
     """Attach a ``jpeg`` column of small baseline JPEGs carrying an

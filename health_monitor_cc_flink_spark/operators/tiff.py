@@ -796,7 +796,15 @@ EXIF_TAG_NAMES = {
     0x0131: "Software", 0x0132: "DateTime", 0x8769: "ExifIFDPointer",
     0x829A: "ExposureTime", 0x8827: "ISOSpeedRatings",
     0x9003: "DateTimeOriginal", 0xA002: "PixelXDimension",
-    0xA003: "PixelYDimension",
+    0xA003: "PixelYDimension", 0x8825: "GPSInfoIFDPointer",
+}
+
+#: GPS IFD tag ids collide with the 0th-IFD number space, so they get
+#: their own name map (public EXIF 2.x GPS attribute registry).
+GPS_TAG_NAMES = {
+    0x0001: "GPSLatitudeRef", 0x0002: "GPSLatitude",
+    0x0003: "GPSLongitudeRef", 0x0004: "GPSLongitude",
+    0x0005: "GPSAltitudeRef", 0x0006: "GPSAltitude",
 }
 
 
@@ -814,7 +822,30 @@ def parse_exif(app1_payload: bytes) -> dict[str, list]:
     if 0x8769 in tags:
         sub_off = int(tags[0x8769][0])
         tags.update(_parse_ifd(tiff, bo, sub_off))
-    return {EXIF_TAG_NAMES.get(t, t): v for t, v in tags.items()}
+    out = {EXIF_TAG_NAMES.get(t, t): v for t, v in tags.items()}
+    if 0x8825 in tags:
+        gps = _parse_ifd(tiff, bo, int(tags[0x8825][0]))
+        out.update({GPS_TAG_NAMES.get(t, t): v for t, v in gps.items()})
+    return out
+
+
+def exif_gps_decimal(meta: dict) -> tuple[float, float] | None:
+    """Parsed EXIF metadata -> (lat, lon) in signed decimal degrees,
+    or None when no GPS IFD is present.  The three rationals are combined
+    in the FIXED order d + m/60 + s/3600 (each rational evaluated as
+    num/den in double first), so both engines of the oracle gate
+    produce bit-identical doubles; S/W refs negate."""
+    if "GPSLatitude" not in meta or "GPSLongitude" not in meta:
+        return None
+
+    def dec(triplet, ref: str, neg: str) -> float:
+        (dn, dd), (mn, md), (sn, sd) = triplet
+        v = dn / dd + (mn / md) / 60.0 + (sn / sd) / 3600.0
+        return -v if ref == neg else v
+
+    lat = dec(meta["GPSLatitude"], meta.get("GPSLatitudeRef", ["N"])[0], "S")
+    lon = dec(meta["GPSLongitude"], meta.get("GPSLongitudeRef", ["E"])[0], "W")
+    return lat, lon
 
 
 def build_exif_app1(
@@ -826,6 +857,7 @@ def build_exif_app1(
     pixel_x: int,
     pixel_y: int,
     byte_order: str = "II",
+    gps: tuple | None = None,
 ) -> bytes:
     """Write a spec-shaped EXIF APP1 payload: 0th IFD (Make, Model,
     Orientation, ExifIFDPointer) + Exif sub-IFD (DateTimeOriginal,
@@ -837,15 +869,20 @@ def build_exif_app1(
     # 0th IFD starts right after the 8-byte TIFF header.  Sizes are
     # computed by serializing twice: first with a placeholder pointer
     # to learn the 0th IFD's total length, then for real.
-    zeroth_entries = lambda ptr: [  # noqa: E731
-        (0x010F, 2, [make]),
-        (0x0110, 2, [model]),
-        (0x0112, 3, [orientation]),
-        (0x8769, 4, [ptr]),
-    ]
-    probe = write_ifd(bo, zeroth_entries(0), 8)
+    def zeroth_entries(ptr, gps_ptr):
+        ents = [
+            (0x010F, 2, [make]),
+            (0x0110, 2, [model]),
+            (0x0112, 3, [orientation]),
+            (0x8769, 4, [ptr]),
+        ]
+        if gps is not None:
+            ents.append((0x8825, 4, [gps_ptr]))
+        return ents
+
+    probe = write_ifd(bo, zeroth_entries(0, 0), 8)
     sub_off = 8 + len(probe)
-    zeroth = write_ifd(bo, zeroth_entries(sub_off), 8)
+    zeroth = write_ifd(bo, zeroth_entries(sub_off, 0), 8)
     if len(zeroth) != len(probe):
         raise ValueError("IFD size changed with pointer value")
     sub = write_ifd(
@@ -858,5 +895,22 @@ def build_exif_app1(
         ],
         sub_off,
     )
+    if gps is not None:
+        # gps = (lat_ref, lat_rationals x3, lon_ref, lon_rationals x3)
+        gps_off = sub_off + len(sub)
+        zeroth = write_ifd(bo, zeroth_entries(sub_off, gps_off), 8)
+        lat_ref, lat_trip, lon_ref, lon_trip = gps
+        gps_ifd = write_ifd(
+            bo,
+            [
+                (0x0001, 2, [lat_ref]),
+                (0x0002, 5, list(lat_trip)),
+                (0x0003, 2, [lon_ref]),
+                (0x0004, 5, list(lon_trip)),
+            ],
+            gps_off,
+        )
+        header = byte_order.encode("ascii") + struct.pack(bo + "HI", 42, 8)
+        return b"Exif\x00\x00" + header + zeroth + sub + gps_ifd
     header = byte_order.encode("ascii") + struct.pack(bo + "HI", 42, 8)
     return b"Exif\x00\x00" + header + zeroth + sub

@@ -7014,6 +7014,46 @@ def corpus_rss_extract(spark, sf_dir):
 
 
 @query(
+    "mm_jpeg_exif_gps",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+               CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+               CAST(doc_id % 90 AS DOUBLE)
+                 + (CAST(doc_id % 60 AS DOUBLE)) / 60.0
+                 + (CAST((7 * doc_id) % 6000 AS DOUBLE) / 100.0) / 3600.0
+                   AS lat_abs,
+               CAST(doc_id % 180 AS DOUBLE)
+                 + (CAST((3 * doc_id) % 60 AS DOUBLE)) / 60.0
+                 + (CAST((11 * doc_id) % 6000 AS DOUBLE) / 100.0) / 3600.0
+                   AS lon_abs
+        FROM documents
+    )
+    SELECT doc_id, TRUE AS ok, lat_ref, lon_ref,
+           CASE WHEN lat_ref = 'S' THEN -lat_abs ELSE lat_abs END
+               AS lat_deg,
+           CASE WHEN lon_ref = 'W' THEN -lon_abs ELSE lon_abs END
+               AS lon_deg
+    FROM d
+    """,
+    doc="EXIF GPS extraction under the hash gate — the geolocation "
+    "metadata layer cameras/phones embed: the APP1 TIFF stream's GPS "
+    "IFD (tag 0x8825, its own tag number space) carries lat/lon as "
+    "three RATIONALs each plus N/S/E/W refs; decimal degrees are "
+    "combined in the FIXED d + m/60 + s/3600 evaluation order (each "
+    "rational as num/den first), so both engines produce bit-"
+    "identical doubles and S/W negate exactly.  Both byte orders "
+    "cycle.  Scale: Arrow CPU-map metadata walk, zero shuffle.",
+)
+def mm_jpeg_exif_gps(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.jpeg_exif_gps_metadata(M.synth_jpeg_exif_gps_payload(docs))
+
+
+@query(
     "mm_html_data_uri_images",
     """
     WITH d AS (SELECT doc_id, n_chars, doc_id % 3 + 1 AS m

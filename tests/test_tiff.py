@@ -354,3 +354,33 @@ def test_jpeg_in_tiff_guards():
         encode_tiff(img, "II", 7, predictor=2)
     with pytest.raises(ValueError, match="jpeg_tables"):
         encode_tiff(img, "II", 5, jpeg_tables=True)
+
+
+def test_exif_gps_ifd_roundtrip():
+    from health_monitor_cc_flink_spark.operators.tiff import (
+        build_exif_app1,
+        exif_gps_decimal,
+        parse_exif,
+    )
+
+    for bo in ("II", "MM"):
+        app1 = build_exif_app1(
+            "SynthCo", "GeoCam 1", 1, "2026:01:02 03:04:05", 200,
+            32, 32, bo,
+            gps=("N", [(48, 1), (51, 1), (2412, 100)],
+                 "E", [(2, 1), (21, 1), (350, 100)]),
+        )
+        meta = parse_exif(app1)
+        assert meta["GPSLatitude"] == [(48, 1), (51, 1), (2412, 100)]
+        lat, lon = exif_gps_decimal(meta)
+        assert abs(lat - (48 + 51 / 60 + 24.12 / 3600)) < 1e-12
+        assert abs(lon - (2 + 21 / 60 + 3.50 / 3600)) < 1e-12
+        # S/W refs negate; GPS-less payloads return None
+        s = build_exif_app1("a", "b", 1, "d", 1, 1, 1, bo,
+                            gps=("S", [(10, 1), (0, 1), (0, 1)],
+                                 "W", [(20, 1), (30, 1), (0, 1)]))
+        lat, lon = exif_gps_decimal(parse_exif(s))
+        assert lat == -10.0 and abs(lon + 20.5) < 1e-12
+        plain = build_exif_app1("a", "b", 1, "d", 1, 1, 1, bo)
+        assert exif_gps_decimal(parse_exif(plain)) is None
+        assert "Make" in parse_exif(plain)  # base fields unaffected
