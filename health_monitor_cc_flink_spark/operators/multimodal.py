@@ -2859,12 +2859,16 @@ def tiff_extended_decode_features(df: DataFrame, payload_col: str = "tiff",
 
 def synth_pdf_payload(df: DataFrame, id_col: str = "doc_id",
                       len_col: str = "n_chars") -> DataFrame:
-    """Attach a ``pdf`` column of COMPLETE PDF 1.4 files built from the
+    """Attach a ``pdf`` column of COMPLETE PDF files built from the
     document text: lines are 8-word chunks; pages p = min(id%3+1, L)
-    with line j on page j %% p (balanced, never-empty pages); the
+    with line j on page j %% p (balanced, never-empty pages).  The
     case matrix cycles id %% 4 through {plain Tj, FlateDecode Tj,
-    plain TJ-array, FlateDecode TJ-array}.  Text with the chunk
-    arithmetic is closed-form for the oracle."""
+    plain TJ-array, FlateDecode TJ-array} and id %% 8 through the
+    structural forms {0-3: classic xref table, 4: PDF 1.5 xref
+    STREAM, 5: xref stream + PNG-Up predictor, 6: xref stream +
+    ObjStm, 7: xref stream + ObjStm + predictor} — text identical
+    across forms, so the oracle is unchanged by structure.  Text with the chunk arithmetic is
+    closed-form for the oracle."""
     from .pdf import encode_pdf
 
     src = df.select(
@@ -2888,11 +2892,15 @@ def synth_pdf_payload(df: DataFrame, id_col: str = "doc_id",
                     [ln for j, ln in enumerate(lines) if j % p == k]
                     for k in range(p)
                 ]
+                s = d % 8
                 pdfs.append(
                     encode_pdf(
                         pages,
                         compress=(d % 4) in (1, 3),
                         use_tj_array=(d % 4) in (2, 3),
+                        xref_stream=s >= 4,
+                        predictor=s in (5, 7),
+                        use_objstm=s in (6, 7),
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf_batch["doc_id"], "pdf": pdfs})
@@ -3894,8 +3902,10 @@ def pdf_text_features(df: DataFrame, payload_col: str = "pdf",
                 out["doc_id"].append(doc_id)
                 out["ok"].append(True)
                 out["n_pages"].append(len(pages))
+                # count unconditionally: an empty page still emitted
+                # one Tj line, matching the oracle's ceil(words/8)
                 out["n_lines"].append(
-                    sum(len(pg.split("\n")) if pg else 0 for pg in pages)
+                    sum(len(pg.split("\n")) for pg in pages)
                 )
                 out["n_chars"].append(len(text))
                 out["text_md5"].append(
