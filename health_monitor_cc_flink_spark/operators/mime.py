@@ -39,21 +39,42 @@ MAX_DEPTH = 8
 
 def qp_encode(data: bytes, line_len: int = 76) -> bytes:
     """Quoted-printable encode: '=XX' for non-printables / '=' /
-    trailing spaces, soft line breaks ('=' + CRLF) at ``line_len``."""
+    trailing spaces, soft line breaks ('=' + CRLF) at ``line_len``.
+    RFC 2045 §6.7 rule 3: a space/tab MUST NOT end an encoded line —
+    before a hard break or at end of body it becomes =20/=09 (soft-
+    breaking first if that would overflow); before a soft break the
+    escaped form carries to the next line."""
     out = bytearray()
     line = bytearray()
 
     def flush_soft():
         nonlocal line
+        carry = b""
+        if line[-1:] in (b" ", b"\t"):
+            carry = b"=%02X" % line[-1]
+            del line[-1]
         out.extend(line)
         out.extend(b"=\r\n")
+        line = bytearray(carry)
+
+    def flush_hard():
+        nonlocal line
+        if line[-1:] in (b" ", b"\t"):
+            esc = b"=%02X" % line[-1]
+            del line[-1]
+            if len(line) + len(esc) > line_len:
+                out.extend(line)
+                out.extend(b"=\r\n")
+                line = bytearray(esc)
+            else:
+                line.extend(esc)
+        out.extend(line)
         line = bytearray()
 
-    for i, b in enumerate(data):
+    for b in data:
         if b in b"\r\n":
             # hard line breaks pass through (normalize: emit as-is)
-            out.extend(line)
-            line = bytearray()
+            flush_hard()
             out.append(b)
             continue
         enc = (
@@ -64,7 +85,7 @@ def qp_encode(data: bytes, line_len: int = 76) -> bytes:
         if len(line) + len(enc) > line_len - 1:
             flush_soft()
         line.extend(enc)
-    out.extend(line)
+    flush_hard()
     return bytes(out)
 
 

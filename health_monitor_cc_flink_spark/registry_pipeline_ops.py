@@ -1391,16 +1391,22 @@ def _paragraphized_docs(docs):
     )
 
 
-_PARA_ORACLE_CTE = """
+_PARA_ORACLE_CTE = r"""
     w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-    p AS (SELECT doc_id, i,
+    p0 AS (SELECT doc_id, i,
                  CASE WHEN (doc_id + i) % 3 = 0
                       THEN 'boilerplate footer number ' ||
                            CAST(i % 4 AS VARCHAR)
                       ELSE array_to_string(words[(10*i+1):(10*i+10)], ' ')
                  END AS para
           FROM w, unnest(generate_series(0,
-                   CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS t(i))
+                   CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS t(i)),
+    -- norm mirrors the engine's paragraph_fingerprint normalization
+    -- (lowercase + whitespace collapse) so mixed-case/whitespace
+    -- variants dedup identically on both sides
+    p AS (SELECT doc_id, i, para,
+                 lower(regexp_replace(para, '\s+', ' ', 'g')) AS norm
+          FROM p0)
 """
 
 
@@ -1408,11 +1414,11 @@ _PARA_ORACLE_CTE = """
     "dedup_paragraph_keep_first",
     """
     WITH """ + _PARA_ORACLE_CTE + """,
-    k AS (SELECT para, min(doc_id * 1048576 + i) AS ord
-          FROM p GROUP BY para),
+    k AS (SELECT norm, min(doc_id * 1048576 + i) AS ord
+          FROM p GROUP BY norm),
     m AS (SELECT p.doc_id, p.i, p.para,
                  (p.doc_id * 1048576 + p.i) = k.ord AS is_kept
-          FROM p JOIN k USING (para))
+          FROM p JOIN k USING (norm))
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_paras,
            CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT)
@@ -1449,12 +1455,12 @@ def dedup_paragraph_keep_first(spark, sf_dir):
     WITH cut AS (SELECT CAST(floor(0.8*(max(doc_id)+1)) AS BIGINT) AS c
                  FROM documents),
     """ + _PARA_ORACLE_CTE + """,
-    corpus AS (SELECT DISTINCT para FROM p, cut WHERE doc_id < cut.c),
-    batch AS (SELECT doc_id, para FROM p, cut WHERE doc_id >= cut.c),
+    corpus AS (SELECT DISTINCT norm FROM p, cut WHERE doc_id < cut.c),
+    batch AS (SELECT doc_id, norm FROM p, cut WHERE doc_id >= cut.c),
     m AS (SELECT b.doc_id, count(*) AS n_paras,
-                 CAST(sum(CASE WHEN c.para IS NOT NULL THEN 1 ELSE 0 END)
+                 CAST(sum(CASE WHEN c.norm IS NOT NULL THEN 1 ELSE 0 END)
                       AS BIGINT) AS n_corpus_paras
-          FROM batch b LEFT JOIN corpus c ON b.para = c.para
+          FROM batch b LEFT JOIN corpus c ON b.norm = c.norm
           GROUP BY b.doc_id)
     SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras, n_corpus_paras,
            2 * n_corpus_paras >= n_paras AS screened

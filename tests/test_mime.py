@@ -109,3 +109,26 @@ def test_fuzz_arbitrary_bytes_fail_cleanly(data):
 @given(st.binary(max_size=300))
 def test_fuzz_qp_roundtrip(data):
     assert qp_decode(qp_encode(data)) == data
+
+
+def test_qp_no_trailing_whitespace_on_encoded_lines():
+    """RFC 2045 §6.7 rule 3: no encoded line may end with a literal
+    space or tab — foreign decoders may strip trailing whitespace."""
+    import re
+
+    cases = [
+        b"hello world ",
+        b"trailing tab\t",
+        b"mid line\r\nsecond \r\nthird",
+        b"a" * 74 + b" ",   # escape would overflow: soft-break first
+        b"a" * 73 + b" ",   # escape fits on the line
+        b"a" * 200 + b" \r\n tail ",
+        b" ",
+        b"\t\r\n",
+    ]
+    for c in cases:
+        e = qp_encode(c)
+        assert qp_decode(e) == c
+        for ln in re.split(rb"[\r\n]", e):
+            assert not ln.endswith((b" ", b"\t")), (c, ln)
+            assert len(ln) <= 76, (c, ln)
