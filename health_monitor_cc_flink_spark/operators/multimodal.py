@@ -3568,7 +3568,12 @@ def synth_tar_payload(df: DataFrame, id_col: str = "doc_id",
     ``doc{d}/`` plus the document's 12-word chunks as members
     ``doc{d}/part{k}.txt``; the container cycles id %% 3 through
     plain .tar, .tar.gz (gzip) and .tar.xz (LZMA2/XZ via stdlib
-    lzma).  Chunk arithmetic is closed-form for the oracle."""
+    lzma), and the HEADER STYLE cycles (id // 3) %% 3 through
+    {classic ustar, old-GNU 'L' long-name members for every entry,
+    pax 'x' extended headers (path+mtime records) for every entry} —
+    member names and data are identical across styles, so the oracle
+    is style-independent.  Chunk arithmetic is closed-form for the
+    oracle."""
     import gzip as _gzip
     import lzma as _lzma
 
@@ -3594,7 +3599,12 @@ def synth_tar_payload(df: DataFrame, id_col: str = "doc_id",
                     (f"doc{d}/part{k}.txt", c.encode("utf-8"))
                     for k, c in enumerate(chunks)
                 ]
-                t = build_tar(members)
+                style = (d // 3) % 3
+                t = build_tar(
+                    members,
+                    longname=("ustar", "gnu", "pax")[style],
+                    meta_all=style > 0,
+                )
                 if d % 3 == 1:
                     t = _gzip.compress(t, compresslevel=6, mtime=0)
                 elif d % 3 == 2:

@@ -9,10 +9,16 @@ data rounded up to 512-byte blocks, two zero blocks at the end.
 
 * ``parse_tar`` — member walk with checksum verification, regular
   files ('0' / NUL) and directories ('5'); prefix+name joining; GNU
-  long-name ('L'/'K') and PAX ('x'/'g') extensions raise
-  ``NotImplementedError`` (explicit guard, never silent misparse).
+  long-name members ('L' longname / 'K' longlink, the old-GNU
+  "././@LongLink" convention) and PAX extended headers ('x' per-file
+  / 'g' global, POSIX.1-2001 length-prefixed "LEN key=value\\n"
+  records — path/size/mtime honored, file-level overriding global)
+  applied to the following member.
 * ``build_tar`` — deterministic conformant writer (fixed mtime unless
-  given), the synth/oracle vehicle.
+  given), the synth/oracle vehicle; ``longname=`` selects how names
+  over 100 bytes are carried ('ustar' prefix split, 'gnu' 'L'
+  member, 'pax' 'x' member), ``pax_all`` forces an 'x' header per
+  member regardless of length.
 
 Hostile input raises ``ValueError``; sizes are bounds-checked against
 the payload and a member cap so crafted archives flag their row.
@@ -36,13 +42,50 @@ def _octal(field: bytes) -> int:
         raise ValueError(f"bad tar octal field {field!r}") from exc
 
 
+def _pax_records(data: bytes) -> dict[str, str]:
+    """POSIX.1-2001 pax extended-header payload -> {key: value}.
+    Each record is 'LEN key=value\\n' where LEN is the decimal byte
+    length of the WHOLE record including the digits and newline."""
+    recs: dict[str, str] = {}
+    i = 0
+    n = len(data)
+    while i < n:
+        sp = data.find(b" ", i, i + 20)
+        if sp < 0:
+            raise ValueError("malformed pax record length")
+        try:
+            ln = int(data[i:sp])
+        except ValueError as exc:
+            raise ValueError("malformed pax record length") from exc
+        if ln < sp - i + 2 or i + ln > n or data[i + ln - 1 : i + ln] != b"\n":
+            raise ValueError("pax record length out of bounds")
+        kv = data[sp + 1 : i + ln - 1]
+        k, eq, v = kv.partition(b"=")
+        if not eq:
+            raise ValueError("pax record missing '='")
+        try:
+            recs[k.decode("utf-8")] = v.decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise ValueError("pax record not UTF-8") from exc
+        i += ln
+    return recs
+
+
 def parse_tar(payload: bytes) -> list[dict]:
     """tar bytes -> [{'name', 'size', 'typeflag', 'mtime', 'data'}]
-    for regular files and directories (data = b'' for dirs)."""
+    for regular files and directories (data = b'' for dirs).  GNU
+    'L'/'K' long-name members and pax 'x'/'g' extended headers are
+    consumed and applied to the member that follows (path/size/mtime;
+    file-level records override global ones, GNU longname overrides
+    pax path per GNU tar precedence)."""
     p = bytes(payload)
     out: list[dict] = []
     i = 0
     n = len(p)
+    glob: dict[str, str] = {}   # 'g' defaults for all following members
+    pend: dict[str, str] = {}   # 'x' records for the next member only
+    pend_name: str | None = None    # GNU 'L' for the next member
+    meta_runs = 0               # consecutive meta members (hostile cap)
     while True:
         if i + _BLOCK > n:
             raise ValueError("tar truncated before end-of-archive marker")
@@ -68,18 +111,53 @@ def parse_tar(payload: bytes) -> list[dict]:
             name = prefix + "/" + name
         size = _octal(hdr[124:136])
         mtime = _octal(hdr[136:148])
-        if typeflag in (b"L", b"K", b"x", b"g"):
-            raise NotImplementedError(
-                "tar GNU long-name / PAX extensions not supported"
-            )
-        if typeflag not in (b"0", b"\x00", b"5"):
-            raise NotImplementedError(
-                f"tar typeflag {typeflag!r} not supported"
-            )
         if size < 0 or size > MAX_MEMBER_BYTES:
             raise ValueError("tar member size exceeds cap")
         data_start = i + _BLOCK
         data_end = data_start + size
+        if typeflag in (b"L", b"K", b"x", b"g"):
+            meta_runs += 1
+            if meta_runs > 8:
+                raise ValueError("tar meta-member run exceeds cap")
+            if data_end > n:
+                raise ValueError("tar meta member overruns archive")
+            meta = p[data_start:data_end]
+            if typeflag == b"L":
+                pend_name = meta.split(b"\x00")[0].decode("utf-8", "replace")
+            elif typeflag == b"K":
+                pass  # long linkname: no link types supported, consume
+            elif typeflag == b"x":
+                pend.update(_pax_records(meta))
+            else:
+                glob.update(_pax_records(meta))
+            i = data_start + ((size + _BLOCK - 1) // _BLOCK) * _BLOCK
+            continue
+        if typeflag not in (b"0", b"\x00", b"5"):
+            raise NotImplementedError(
+                f"tar typeflag {typeflag!r} not supported"
+            )
+        meta_runs = 0
+        eff = dict(glob)
+        eff.update(pend)
+        pend = {}
+        if "size" in eff:
+            try:
+                size = int(eff["size"])
+            except ValueError as exc:
+                raise ValueError("bad pax size record") from exc
+            if size < 0 or size > MAX_MEMBER_BYTES:
+                raise ValueError("tar member size exceeds cap")
+            data_end = data_start + size
+        if "mtime" in eff:
+            try:
+                mtime = int(float(eff["mtime"]))
+            except ValueError as exc:
+                raise ValueError("bad pax mtime record") from exc
+        if pend_name is not None:
+            name = pend_name
+            pend_name = None
+        elif "path" in eff:
+            name = eff["path"]
         if data_end > n:
             raise ValueError("tar member data overruns archive")
         data = p[data_start:data_end] if typeflag != b"5" else b""
@@ -96,14 +174,18 @@ def parse_tar(payload: bytes) -> list[dict]:
 
 
 def _header(name: str, size: int, typeflag: bytes,
-            mtime: int, mode: int) -> bytes:
+            mtime: int, mode: int, split_prefix: bool = True) -> bytes:
     nb = name.encode("latin-1")
     if len(nb) > 100:
-        # split into prefix/name at a '/' (ustar rule)
-        cut = nb[:155].rfind(b"/")
-        if cut <= 0 or len(nb) - cut - 1 > 100:
-            raise ValueError("tar name too long for ustar")
-        prefix, nb = nb[:cut], nb[cut + 1 :]
+        if not split_prefix:
+            nb = nb[:100]  # placeholder field; the meta member governs
+            prefix = b""
+        else:
+            # split into prefix/name at a '/' (ustar rule)
+            cut = nb[:155].rfind(b"/")
+            if cut <= 0 or len(nb) - cut - 1 > 100:
+                raise ValueError("tar name too long for ustar")
+            prefix, nb = nb[:cut], nb[cut + 1 :]
     else:
         prefix = b""
     hdr = bytearray(_BLOCK)
@@ -123,19 +205,63 @@ def _header(name: str, size: int, typeflag: bytes,
     return bytes(hdr)
 
 
+def _pax_payload(records: dict[str, str]) -> bytes:
+    """{key: value} -> pax extended-header payload with the
+    self-referential length prefix (LEN counts its own digits)."""
+    out = bytearray()
+    for k, v in records.items():
+        body = f" {k}={v}\n".encode("utf-8")
+        ln = len(body) + 1
+        while len(str(ln)) + len(body) != ln:
+            ln = len(str(ln)) + len(body)
+        out += str(ln).encode() + body
+    return bytes(out)
+
+
+def _data_blocks(data: bytes) -> bytes:
+    return data + b"\x00" * ((-len(data)) % _BLOCK)
+
+
 def build_tar(members: list[tuple[str, bytes]],
-              mtime: int = 1735689600, mode: int = 0o644) -> bytes:
+              mtime: int = 1735689600, mode: int = 0o644,
+              longname: str = "ustar", meta_all: bool = False) -> bytes:
     """[(name, data)] -> complete ustar archive; a name ending in '/'
-    writes a directory entry.  Deterministic (fixed mtime/mode)."""
+    writes a directory entry.  Deterministic (fixed mtime/mode).
+    ``longname`` picks the carrier for names over 100 bytes: 'ustar'
+    (prefix split, raises when impossible), 'gnu' (an old-GNU 'L'
+    "././@LongLink" member), or 'pax' (an 'x' extended header with a
+    path record).  ``meta_all`` emits the meta member for EVERY
+    entry regardless of length (what GNU tar --format=pax does with
+    path+mtime records) — parsed output is identical either way,
+    which keeps oracles independent of the header style."""
+    if longname not in ("ustar", "gnu", "pax"):
+        raise ValueError(f"unknown tar longname strategy {longname!r}")
+    if meta_all and longname == "ustar":
+        raise ValueError("meta_all requires longname 'gnu' or 'pax'")
     out = bytearray()
     for name, data in members:
-        if name.endswith("/"):
-            out += _header(name, 0, b"5", mtime, 0o755)
-            continue
-        out += _header(name, len(data), b"0", mtime, mode)
-        out += data
-        pad = (-len(data)) % _BLOCK
-        out += b"\x00" * pad
+        is_dir = name.endswith("/")
+        tf, payload = (b"5", b"") if is_dir else (b"0", data)
+        needs_meta = meta_all or len(name.encode("latin-1")) > 100
+        if needs_meta and longname != "ustar":
+            if longname == "gnu":
+                meta_name, meta_tf = "././@LongLink", b"L"
+                meta = name.encode("utf-8") + b"\x00"
+            else:
+                meta_name, meta_tf = f"./PaxHeaders.0/{name[:80]}", b"x"
+                recs = {"path": name}
+                if meta_all:
+                    recs["mtime"] = str(mtime)
+                meta = _pax_payload(recs)
+            out += _header(meta_name, len(meta), meta_tf, mtime, 0o644,
+                           split_prefix=False)
+            out += _data_blocks(meta)
+            out += _header(name, len(payload), tf, mtime,
+                           0o755 if is_dir else mode, split_prefix=False)
+        else:
+            out += _header(name, len(payload), tf, mtime,
+                           0o755 if is_dir else mode)
+        out += _data_blocks(payload)
     out += b"\x00" * (2 * _BLOCK)
     return bytes(out)
 

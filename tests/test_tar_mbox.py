@@ -60,13 +60,77 @@ def test_tar_hostiles_flag_cleanly():
     corrupted[0] ^= 0xFF
     with pytest.raises(ValueError, match="checksum"):
         parse_tar(bytes(corrupted))
-    # a GNU long-name header is an explicit guard, not a misparse
-    gnu = bytearray(t)
-    gnu[156] = ord("L")
-    ck = sum(gnu[:148]) + 8 * 0x20 + sum(gnu[156:512])
-    gnu[148:156] = b"%06o\x00 " % ck
-    with pytest.raises(NotImplementedError, match="long-name|PAX"):
-        parse_tar(bytes(gnu))
+    # a symlink typeflag stays an explicit guard, not a misparse
+    sym = bytearray(t)
+    sym[156] = ord("2")
+    ck = sum(sym[:148]) + 8 * 0x20 + sum(sym[156:512])
+    sym[148:156] = b"%06o\x00 " % ck
+    with pytest.raises(NotImplementedError, match="typeflag"):
+        parse_tar(bytes(sym))
+
+
+LONG = "deep/" * 30 + "x" * 60 + ".txt"   # ~210 chars, ustar-unsplittable
+PAXY = [("short.txt", b"hello"), (LONG, b"world" * 100), ("dir/", b"")]
+
+
+def test_tar_gnu_and_pax_longnames_roundtrip():
+    want = [(n, b"" if n.endswith("/") else d) for n, d in PAXY]
+    for strat in ("gnu", "pax"):
+        for meta_all in (False, True):
+            t = build_tar(PAXY, longname=strat, meta_all=meta_all)
+            got = parse_tar(t)
+            assert [(m["name"], m["data"]) for m in got] == want
+            # stdlib tarfile as the independent interop oracle
+            tf = stdlib_tarfile.open(fileobj=io.BytesIO(t))
+            assert tf.extractfile(LONG).read() == b"world" * 100
+
+
+def test_tar_parses_stdlib_pax_and_gnu_formats():
+    for fmt in (stdlib_tarfile.PAX_FORMAT, stdlib_tarfile.GNU_FORMAT):
+        bio = io.BytesIO()
+        with stdlib_tarfile.open(fileobj=bio, mode="w", format=fmt) as w:
+            ti = stdlib_tarfile.TarInfo(LONG)
+            ti.size = 5
+            ti.mtime = 1735689600
+            w.addfile(ti, io.BytesIO(b"12345"))
+        got = parse_tar(bio.getvalue())
+        assert got[0]["name"] == LONG and got[0]["data"] == b"12345"
+        assert got[0]["mtime"] == 1735689600
+
+
+def test_tar_pax_global_header_defaults():
+    from health_monitor_cc_flink_spark.operators.tar import (
+        _data_blocks,
+        _header,
+        _pax_payload,
+        _pax_records,
+    )
+
+    g = _pax_payload({"mtime": "1111111111"})
+    raw = (
+        _header("./pax_global_header", len(g), b"g", 0, 0o644)
+        + _data_blocks(g)
+        + _header("a.txt", 3, b"0", 0, 0o644) + _data_blocks(b"abc")
+        + b"\x00" * 1024
+    )
+    got = parse_tar(raw)
+    assert got[0]["mtime"] == 1111111111 and got[0]["data"] == b"abc"
+    # pax size record overrides the header's octal field
+    x = _pax_payload({"size": "3"})
+    raw = (
+        _header("./PaxHeaders.0/b.txt", len(x), b"x", 0, 0o644)
+        + _data_blocks(x)
+        + _header("b.txt", 0, b"0", 0, 0o644) + _data_blocks(b"xyz")
+        + b"\x00" * 1024
+    )
+    assert parse_tar(raw)[0]["data"] == b"xyz"
+    # self-referential length edge: record crossing the 100-byte mark
+    recs = {"path": "p/" + "q" * 85}
+    assert _pax_records(_pax_payload(recs)) == recs
+    # hostile: unbounded meta-member run is capped
+    meta = _header("././@LongLink", 2, b"L", 0, 0o644) + _data_blocks(b"n\x00")
+    with pytest.raises(ValueError, match="meta-member run"):
+        parse_tar(meta * 9 + b"\x00" * 1024)
 
 
 def test_mbox_roundtrip_with_from_quoting():
