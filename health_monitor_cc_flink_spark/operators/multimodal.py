@@ -4808,3 +4808,185 @@ def flac_decode_features(df: DataFrame, payload_col: str = "flac",
             "sample_sum long, s_min long, s_max long"
         ),
     )
+
+
+# -----------------------------------------------------------------------------
+# DOCX / EPUB — packaged-document compositions (operators/docx.py,
+# operators/epub.py): the OOXML/OCF zip container + this repo's
+# from-scratch XML parser (+ the WARC HTML text extractor for EPUB).
+# -----------------------------------------------------------------------------
+
+
+def synth_docx_payload(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``docx`` column of COMPLETE .docx files built from the
+    document text: paragraphs are 9-word chunks, paragraph k is a
+    Heading1 when (doc_id + k) %% 4 == 0, title = the first two words,
+    zip deflate for even ids / stored for odd.  Each paragraph is
+    written as two runs split at the word midpoint, so reassembly is
+    always multi-run.  Chunk arithmetic is closed-form for the
+    oracle."""
+    from .docx import build_docx
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                words = str(text).split(" ")
+                paras = [
+                    (
+                        " ".join(words[9 * k : 9 * k + 9]),
+                        (d + k) % 4 == 0,
+                    )
+                    for k in range(-(-len(words) // 9))
+                ]
+                payloads.append(
+                    build_docx(
+                        paras,
+                        title=" ".join(words[:2]),
+                        compress=d % 2 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "docx": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, docx binary")
+
+
+def docx_text_features(df: DataFrame, payload_col: str = "docx",
+                       id_col: str = "doc_id") -> DataFrame:
+    """REAL DOCX parse over Arrow batches: zip container walk,
+    from-scratch WordprocessingML XML parse, per-paragraph multi-run
+    text reassembly in document order, Heading-style count, Dublin
+    Core title.  Corrupt payloads flag the row."""
+    import hashlib
+
+    from .docx import parse_docx
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("title", "n_paras", "n_headings", "n_chars", "text_md5")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    parsed = parse_docx(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                paras = parsed["paragraphs"]
+                text = "\n".join(p["text"] for p in paras)
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["title"].append(parsed["title"])
+                out["n_paras"].append(len(paras))
+                out["n_headings"].append(
+                    sum(1 for p in paras if p["heading"])
+                )
+                out["n_chars"].append(len(text))
+                out["text_md5"].append(
+                    hashlib.md5(text.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, title string, n_paras long, "
+                "n_headings long, n_chars long, text_md5 string"),
+    )
+
+
+def synth_epub_payload(df: DataFrame, id_col: str = "doc_id",
+                       len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``epub`` column of COMPLETE .epub files: lines are
+    10-word chunks, chapters c = min(doc_id%%3+1, L) with line j in
+    chapter j %% c (balanced, never empty), chapter k headed
+    'Chapter k of <doc_id>', book title 'Book <doc_id>'.  Chunk
+    arithmetic is closed-form for the oracle."""
+    from .epub import build_epub
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                words = str(text).split(" ")
+                lines = [
+                    " ".join(words[10 * j : 10 * j + 10])
+                    for j in range(-(-len(words) // 10))
+                ]
+                c = min(d % 3 + 1, len(lines))
+                chapters = [
+                    (
+                        f"Chapter {k} of {d}",
+                        [ln for j, ln in enumerate(lines) if j % c == k],
+                    )
+                    for k in range(c)
+                ]
+                payloads.append(build_epub(chapters, title=f"Book {d}"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "epub": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, epub binary")
+
+
+def epub_text_features(df: DataFrame, payload_col: str = "epub",
+                       id_col: str = "doc_id") -> DataFrame:
+    """REAL EPUB parse over Arrow batches: OCF container walk,
+    container.xml -> OPF -> spine resolution with the from-scratch
+    XML parser, per-chapter XHTML text extraction, chapters joined by
+    newlines in spine order.  Corrupt payloads flag the row."""
+    import hashlib
+
+    from .epub import parse_epub
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("title", "n_chapters", "n_chars", "text_md5")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    parsed = parse_epub(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                text = "\n".join(c["text"] for c in parsed["chapters"])
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["title"].append(parsed["title"])
+                out["n_chapters"].append(len(parsed["chapters"]))
+                out["n_chars"].append(len(text))
+                out["text_md5"].append(
+                    hashlib.md5(text.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, title string, n_chapters long, "
+                "n_chars long, text_md5 string"),
+    )

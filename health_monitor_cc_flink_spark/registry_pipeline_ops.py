@@ -6847,6 +6847,95 @@ def mm_tar_extract(spark, sf_dir):
 
 
 @query(
+    "mm_docx_extract",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words
+               FROM documents),
+    d AS (SELECT doc_id, words,
+                 CAST(ceil(len(words)/9.0) AS BIGINT) AS L
+          FROM w),
+    l AS (SELECT doc_id, t.k,
+                 array_to_string(words[(9*t.k+1):(9*t.k+9)], ' ') AS para,
+                 (doc_id + t.k) % 4 = 0 AS heading
+          FROM d, unnest(generate_series(0, L - 1)) AS t(k)),
+    agg AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(sum(CASE WHEN heading THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_headings,
+                   string_agg(para, chr(10) ORDER BY k) AS text
+            FROM l GROUP BY doc_id)
+    SELECT d.doc_id, TRUE AS ok,
+           array_to_string(d.words[1:2], ' ') AS title,
+           agg.n_paras, agg.n_headings,
+           CAST(length(agg.text) AS BIGINT) AS n_chars,
+           md5(agg.text) AS text_md5
+    FROM d JOIN agg USING (doc_id)
+    """,
+    doc="DOCX (ECMA-376 WordprocessingML) text extraction under the "
+    "hash gate — a top-5 real-corpus document format, implemented BY "
+    "COMPOSITION: the OOXML zip container (stdlib zipfile, same "
+    "policy as the shard-archive walk) + THIS repo's from-scratch XML "
+    "parser for word/document.xml (w:p paragraph walk, multi-run w:t "
+    "reassembly in document order, w:pStyle Heading detection, "
+    "Dublin Core title from docProps/core.xml).  The synth writes "
+    "9-word-chunk paragraphs split into two runs each, heading every "
+    "(doc_id+k)%4==0, deflate/stored cycled; the oracle re-derives "
+    "title, paragraph/heading counts, and the text md5 from the chunk "
+    "arithmetic.  Scale: Arrow CPU-map, zero shuffle.",
+    bench=True,
+)
+def mm_docx_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.docx_text_features(M.synth_docx_payload(docs))
+
+
+@query(
+    "mm_epub_extract",
+    """
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS words
+               FROM documents),
+    d AS (SELECT doc_id, words,
+                 CAST(ceil(len(words)/10.0) AS BIGINT) AS L,
+                 least(doc_id % 3 + 1,
+                       CAST(ceil(len(words)/10.0) AS BIGINT)) AS c
+          FROM w),
+    l AS (SELECT doc_id, c, t.j,
+                 array_to_string(words[(10*t.j+1):(10*t.j+10)], ' ') AS line
+          FROM d, unnest(generate_series(0, L - 1)) AS t(j)),
+    ch AS (SELECT doc_id, c, j % c AS k,
+                  'Chapter ' || CAST(j % c AS VARCHAR) || ' of ' ||
+                  CAST(doc_id AS VARCHAR) || ' ' ||
+                  string_agg(line, ' ' ORDER BY j) AS chap_text
+           FROM l GROUP BY doc_id, c, j % c),
+    agg AS (SELECT doc_id, CAST(any_value(c) AS BIGINT) AS n_chapters,
+                   string_agg(chap_text, chr(10) ORDER BY k) AS text
+            FROM ch GROUP BY doc_id)
+    SELECT doc_id, TRUE AS ok,
+           'Book ' || CAST(doc_id AS VARCHAR) AS title,
+           n_chapters,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM agg
+    """,
+    doc="EPUB (OCF/OPF) text extraction under the hash gate — the "
+    "dominant e-book corpus format, implemented BY COMPOSITION: the "
+    "OCF zip container + from-scratch XML for container.xml -> OPF "
+    "(dc:title, manifest id->href, spine order) + the repo's WARC "
+    "HTML extractor for each XHTML chapter.  The synth balances "
+    "10-word lines round-robin over min(id%3+1, L) chapters; the "
+    "oracle re-derives chapter count and the spine-ordered text md5 "
+    "from the chunk arithmetic.  Scale: Arrow CPU-map, zero shuffle.",
+)
+def mm_epub_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.epub_text_features(M.synth_epub_payload(docs))
+
+
+@query(
     "mm_mbox_extract",
     """
     WITH w AS (SELECT doc_id, string_split(text,' ') AS words
