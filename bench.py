@@ -126,24 +126,76 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # reference load envelope comparison (BASELINE.md: the
-                # original pipeline was sized for 50 events/s sustained)
-                "health_pipeline_events_per_sec": round(
-                    n_ticks * n_patients / timings["health_pipeline_e2e"], 1
-                ),
-                "streaming_events_per_sec": round(n_events / stream_sec, 1),
-            }
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # reference load envelope comparison (BASELINE.md: the
+        # original pipeline was sized for 50 events/s sustained)
+        "health_pipeline_events_per_sec": round(
+            n_ticks * n_patients / timings["health_pipeline_e2e"], 1
+        ),
+        "streaming_events_per_sec": round(n_events / stream_sec, 1),
+    }
+    print(json.dumps(payload))
+    # structural anti-drift (VERDICT r10 #3): when BENCH_PERF_ROUND=N
+    # is set, the SAME payload is written to BENCH_r{N}.json and its
+    # PERF.md round section is rendered from that dict — prose totals
+    # can no longer narrate a different run than the committed artifact
+    perf_round = os.environ.get("BENCH_PERF_ROUND")
+    if perf_round:
+        _write_round_artifacts(payload, perf_round)
+    spark.stop()
+
+
+def _write_round_artifacts(payload: dict, round_no: str) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    rn = int(round_no)
+    with open(os.path.join(here, f"BENCH_r{rn:02d}.json"), "w") as f:
+        f.write(json.dumps(payload) + "\n")
+    timings = payload["queries"]
+    # common-set ratio vs the previous committed artifact, same-dict
+    prev_line = ""
+    prev_path = os.path.join(here, f"BENCH_r{rn - 1:02d}.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)["queries"]
+        common = sorted(set(prev) & set(timings))
+        if common:
+            now_s = sum(timings[q] for q in common)
+            then_s = sum(prev[q] for q in common)
+            prev_line = (
+                f"The {len(common)} r{rn - 1}-common queries total "
+                f"{now_s:.2f} s vs {then_s:.2f} s committed in "
+                f"BENCH_r{rn - 1:02d}.json = "
+                f"**{now_s / then_s:.2f}x**.\n"
+            )
+    try:
+        load1 = f"{os.getloadavg()[0]:.2f}"
+    except OSError:
+        load1 = "n/a"
+    rows = "\n".join(
+        f"| {name} | {sec:.2f} |"
+        for name, sec in sorted(
+            timings.items(), key=lambda kv: -kv[1]
         )
     )
-    spark.stop()
+    section = (
+        f"\n## Round-{rn} bench (generated by bench.py from "
+        f"BENCH_r{rn:02d}.json — same dict, no prose drift; "
+        f"loadavg 1-min {load1} at finish)\n\n"
+        f"Total **{payload['value']:.2f} s over {len(timings)} headline "
+        f"queries** at sf{payload['sf']}.  Health pipeline "
+        f"{payload['health_pipeline_events_per_sec']:,.0f} events/s; "
+        f"streaming drain "
+        f"{payload['streaming_events_per_sec']:,.0f} events/s.\n"
+        + prev_line
+        + f"\n| query | sec |\n|---|---|\n{rows}\n"
+    )
+    with open(os.path.join(here, "PERF.md"), "a") as f:
+        f.write(section)
 
 
 if __name__ == "__main__":
