@@ -45,3 +45,46 @@ def salted_join(
     salted_dim = dim.crossJoin(salts)
     out = salted_fact.join(salted_dim, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def group_top_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    salt_cols: list[str],
+    k: int,
+    n_salts: int = 32,
+    rank_col: str = "_rank",
+) -> DataFrame:
+    """Skew-safe deterministic per-group top-k: a two-phase group
+    limit that a mega-group cannot serialize into one window task.
+
+    Phase 1 ranks within (group, salt) — the salt is ``xxhash64`` of
+    ``salt_cols`` (columns that must make ``order_cols`` a TOTAL
+    order, e.g. the tiebreak ids), so the hot group's rows spread
+    over ``n_salts`` parallel tasks and only k survivors per bucket
+    continue.  Phase 2 re-ranks the <= k * n_salts survivors per
+    group with the SAME ordering, yielding ranks identical to a
+    single ``row_number`` window (the group top-k is always contained
+    in the union of the bucket top-ks).
+
+    Cost: one extra (narrow-ish) shuffle keyed (group, salt), after
+    which the group-keyed shuffle carries at most k * n_salts rows
+    per group instead of the full group.  At 100 TB a 90 %%-hot host
+    costs ~1/n_salts of the single-window wall-clock.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("group_top_k needs k >= 1")
+    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts))
+    w1 = Window.partitionBy(*group_cols, "_gtk_salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_gtk_salt", salt)
+        .withColumn("_gtk_r1", F.row_number().over(w1))
+        .filter(F.col("_gtk_r1") <= k)
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop("_gtk_salt", "_gtk_r1")
+    )

@@ -1871,23 +1871,28 @@ def text_url_canonicalize(spark, sf_dir):
     "every web-scale corpus applies: group documents by registrable "
     "domain (from the canonical URL) and keep the first 2 per domain "
     "by a deterministic hash order (md5 of the canonical URL, doc_id "
-    "tiebreak).  One window shuffle on the domain key; at 100 TB the "
-    "domain key is low-cardinality-skewed, so the same salting "
-    "playbook as join_salted_skew applies past the quota cutoff.",
+    "tiebreak).  Runs through the SKEW-SAFE two-phase group limit "
+    "(operators/skew.py group_top_k): phase 1 ranks within (domain, "
+    "salt) so a mega-domain spreads over 32 tasks, phase 2 re-ranks "
+    "the <= 2*32 survivors per domain — ranks identical to a single "
+    "window, but no 90%%-hot domain can serialize one task at "
+    "100 TB.",
 )
 def corpus_domain_quota_sample(spark, sf_dir):
-    from pyspark.sql import Window
+    from .operators.skew import group_top_k
 
     docs = _t(spark, sf_dir, "documents")
     parsed = X.url_parse(_synth_urls(docs))
-    w = Window.partitionBy("registrable_domain").orderBy(
-        F.md5("canon_url"), "doc_id"
-    )
-    return (
-        parsed.withColumn("domain_rank",
-                          F.row_number().over(w).cast("long"))
-        .filter(F.col("domain_rank") <= 2)
-        .select("doc_id", "registrable_domain", "domain_rank")
+    return group_top_k(
+        parsed.withColumn("_h", F.md5("canon_url")),
+        group_cols=["registrable_domain"],
+        order_cols=[F.col("_h"), F.col("doc_id")],
+        salt_cols=["canon_url", "doc_id"],
+        k=2,
+        rank_col="domain_rank",
+    ).select(
+        "doc_id", "registrable_domain",
+        F.col("domain_rank").cast("long").alias("domain_rank"),
     )
 
 
@@ -7556,15 +7561,15 @@ def mm_subtitles_extract(spark, sf_dir):
     "the 'ref' tracking param is STRIPPED by canonicalization, "
     "which the oracle mirrors) -> "
     "per-host politeness quota (top-2 by priority DESC NULLS LAST "
-    "with a fully deterministic tiebreak).  The oracle re-derives "
-    "every stage's decision in closed form.  Scale: CPU-map explode "
-    "+ one broadcast join + one window shuffle on host — the frontier "
+    "with a fully deterministic tiebreak, via the SKEW-SAFE two-phase "
+    "group_top_k so a mega-host cannot serialize one window task).  "
+    "The oracle re-derives every stage's decision in closed form.  "
+    "Scale: CPU-map explode + one broadcast join + a salted window "
+    "pre-pass and a <=2*32-rows-per-host final window — the frontier "
     "never materializes more than (url, verdict) rows.",
     bench=True,
 )
 def crawl_frontier_pipeline_e2e(spark, sf_dir):
-    from pyspark.sql import Window
-
     from .operators.robots import robots_allowed
     from .operators.text import url_parse
 
@@ -7607,16 +7612,23 @@ def crawl_frontier_pipeline_e2e(spark, sf_dir):
         .select("host", "path", "allowed")
     )
     scored = parsed.join(F.broadcast(verdicts), ["host", "path"])
-    w = (
-        Window.partitionBy("host")
-        .orderBy(
+    # skew-safe two-phase politeness quota (operators/skew.py): a
+    # mega-host (90% of the frontier) spreads over 32 salt tasks in
+    # phase 1; phase 2 re-ranks <= 2*32 survivors per host — ranks
+    # identical to a single window
+    from .operators.skew import group_top_k
+
+    ranked = group_top_k(
+        scored.filter(F.col("allowed")),
+        group_cols=["host"],
+        order_cols=[
             F.col("priority").desc_nulls_last(), F.col("canon_url"),
             F.col("doc_id"), F.col("url_idx"),
-        )
-    )
-    ranked = scored.filter(F.col("allowed")).select(
-        "doc_id", "url_idx", F.row_number().over(w).alias("_rn")
-    )
+        ],
+        salt_cols=["canon_url", "doc_id", "url_idx"],
+        k=2,
+        rank_col="_rn",
+    ).select("doc_id", "url_idx", "_rn")
     return scored.join(ranked, ["doc_id", "url_idx"], "left").select(
         "doc_id", "url_idx", "canon_url", "host", "allowed",
         F.coalesce(F.col("_rn") <= 2, F.lit(False)).alias("kept"),
