@@ -803,3 +803,80 @@ def int8_topk(df: DataFrame, k: int = 5, n_queries: int = 4,
             F.col(id_col), "int_dot", "approx_sim",
         )
     )
+
+
+def build_ivf_int8_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persisted IVF index over INT8-QUANTIZED vectors — the actual
+    100 TB serving shape: the coarse quantizer gives static partition
+    pruning (scan opens n_probe/n_cells of the files) and scalar
+    quantization cuts the stored payload 4x (codes as tinyint array +
+    one float scale per vector; raw floats are never written).
+    Centroids land next to the data at ``<path>_centroids``."""
+    assigned, cents = _fit_kmeans_cells(emb, n_cells, seed, id_col, vec_col)
+    codes = int8_codes(assigned, id_col, vec_col).withColumnRenamed(
+        id_col, "_id8"
+    )
+    packed = (
+        assigned.select(id_col, "cell")
+        .join(codes, F.col(id_col) == F.col("_id8"))
+        .select(
+            id_col, "cell", "scale",
+            F.transform("codes", lambda c: c.cast("tinyint")).alias("codes"),
+        )
+    )
+    packed.write.partitionBy("cell").mode("overwrite").parquet(path)
+    _write_centroids(emb.sparkSession, cents, path)
+
+
+def probe_ivf_int8_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted int8 IVF index: rank cells by centroid cosine
+    on the driver (n_cells rows), quantize the QUERY with the same
+    symmetric scheme (driver-side, it is one vector), scan only the
+    probed cells, score by integer code dot products rescaled by
+    q_scale*scale, exact top-k with id tiebreak.  The scan reads
+    tinyint codes — a quarter of the float bytes — and the plan prunes
+    partitions statically (``PartitionFilters: [cell IN ...]``)."""
+    q = [float(v) for v in query_vec]
+    q_absmax = max(abs(v) for v in q)
+    q_scale = q_absmax / 127.0
+    q_codes = [
+        int((v / q_scale + 0.5) // 1) if q_scale > 0 else 0 for v in q
+    ]
+    centroids = spark.read.parquet(path.rstrip("/") + "_centroids")
+    qcol = F.array(*[F.lit(v) for v in q])
+    probed = _rank_cells(centroids, qcol, n_probe).collect()
+    cells = [int(r["cell"]) for r in probed]
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    qc = F.array(*[F.lit(c).cast("long") for c in q_codes])
+    scored = scan.select(
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(qc, F.col("codes"),
+                       lambda a, b: a * b.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("int_dot"),
+        F.col("scale"),
+    ).withColumn(
+        "approx_sim",
+        F.lit(q_scale) * F.col("scale") * F.col("int_dot").cast("double"),
+    )
+    return (
+        scored.orderBy(F.desc("approx_sim"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "int_dot", "approx_sim")
+    )

@@ -7445,6 +7445,41 @@ def ann_int8_quantize(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_int8_topk",
+    None,  # kmeans float cells → rows-only; recall + pruning + int8
+    #       agreement pinned in tests/test_ann.py
+    doc="Persisted IVF over INT8-QUANTIZED codes — scalar quantization "
+    "wired into the partition-pruned index, the actual 100 TB serving "
+    "shape: the coarse KMeans cells give static partition pruning "
+    "(PartitionFilters: [cell IN ...], asserted in tests) and the "
+    "stored payload is tinyint codes + one float scale per vector — "
+    "4x smaller than the float index, integer dot products inside "
+    "the probed cells.  The query is quantized driver-side with the "
+    "same symmetric half-up scheme; scoring is a codegen zip_with "
+    "fold rescaled by q_scale*scale.  Recall certificate vs the "
+    "float brute-force path pinned in tests/test_ann.py.",
+)
+def ann_ivf_int8_topk(spark, sf_dir):
+    from .operators.similarity import (
+        build_ivf_int8_index,
+        probe_ivf_int8_index,
+    )
+    from .registry import _warehouse_path
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = _warehouse_path(sf_dir, "ivf_int8_index")
+    _ensure_index(
+        spark, path,
+        lambda: build_ivf_int8_index(emb, path, n_cells=8, seed=42),
+    )
+    topk = probe_ivf_int8_index(spark, path, qv, k=10, n_probe=2)
+    return topk.select(
+        "vec_id", "int_dot", F.round("approx_sim", 4).alias("approx_sim")
+    )
+
+
+@query(
     "text_readability",
     """
     WITH t AS (

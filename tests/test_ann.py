@@ -217,3 +217,70 @@ def test_int8_topk_agrees_with_float_ranking(spark):
                 for v, x in raw.items() if v != qid}
         float_top = sorted(sims, key=lambda v: (-sims[v], v))[:5]
         assert len(set(ids) & set(float_top)) >= 3, (qid, ids, float_top)
+
+
+def test_ivf_int8_prunes_and_recalls(spark, emb, qv, tmp_path_factory):
+    """int8 IVF (scalar quantization wired into the persisted index):
+    (a) physical partition pruning; (b) stored payload is tinyint
+    codes + scale, never raw floats; (c) recall certificate vs the
+    float brute-force top-10; (d) probing ALL cells agrees with the
+    flat int8 ranking (quantization is the only approximation)."""
+    from health_monitor_cc_flink_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_int8_index,
+        probe_ivf_int8_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf8") / "index")
+    build_ivf_int8_index(emb, path, n_cells=8, seed=42)
+
+    # (b) storage shape: tinyint codes, float scale, no embedding col
+    stored = spark.read.parquet(path)
+    dt = dict(stored.dtypes)
+    assert dt["codes"] == "array<tinyint>" and "embedding" not in dt
+
+    topk = probe_ivf_int8_index(spark, path, qv, k=10, n_probe=2)
+    got = topk.collect()
+    assert got[0].vec_id == 0  # the query vector is its own best match
+    plan = topk._jdf.queryExecution().executedPlan()
+    assert "PartitionFilters: [cell" in plan.toString()
+    n_total = len(stored.inputFiles())
+    leaves = plan.collectLeaves()
+    num_files = [
+        int(leaves.apply(i).metrics().apply("numFiles").value())
+        for i in range(leaves.size())
+        if "parquet" in leaves.apply(i).nodeName().lower()
+    ]
+    assert num_files and max(num_files) < n_total, (num_files, n_total)
+
+    # (c) recall certificate vs the FLOAT exact path
+    exact = {r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()}
+    approx = {r.vec_id for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"int8 IVF recall {recall} too low"
+
+    # (d) all-cells probe == flat int8 brute ranking: int8_topk ranks by
+    # the same q_scale*scale*int_dot (modulo its self-exclusion), so
+    # compare against a direct integer-dot ranking over all vectors
+    full = probe_ivf_int8_index(spark, path, qv, k=10, n_probe=8)
+    from health_monitor_cc_flink_spark.operators.similarity import int8_codes
+
+    q_absmax = max(abs(v) for v in qv)
+    q_scale = q_absmax / 127.0
+    q_codes = [int((v / q_scale + 0.5) // 1) for v in qv]
+    qc = F.array(*[F.lit(c).cast("long") for c in q_codes])
+    flat = (
+        int8_codes(emb)
+        .select(
+            "vec_id",
+            (F.lit(q_scale) * F.col("scale") * F.aggregate(
+                F.zip_with(qc, "codes", lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).cast("double")).alias("approx_sim"),
+        )
+        .orderBy(F.desc("approx_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+    assert [r.vec_id for r in full.collect()] == [
+        r.vec_id for r in flat.collect()
+    ]
