@@ -4990,3 +4990,107 @@ def epub_text_features(df: DataFrame, payload_col: str = "epub",
         schema=("doc_id long, ok boolean, title string, n_chapters long, "
                 "n_chars long, text_md5 string"),
     )
+
+
+def synth_mp4_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach an ``mp4`` column of ISO-BMFF containers: brand cycles
+    id %% 3 over {isom, mp42, avc1}, duration = (n_words %% 300 + 1)
+    * 40 ms, one avc1 video track with n_words samples at
+    ((id%%16)*16+64) x ((id%%9)*16+64), an mp4a/44100 audio track when
+    id is odd, the document text as the opaque mdat payload, layout
+    alternating fast-start vs mdat-first, and mvhd version cycling
+    0/1 by (id // 2) %% 2 — all closed-form for the oracle."""
+    from .mp4 import build_mp4
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                text = str(text)
+                nw = len(text.split(" "))
+                payloads.append(build_mp4(
+                    brand=("isom", "mp42", "avc1")[d % 3],
+                    duration_ms=(nw % 300 + 1) * 40,
+                    n_video_samples=nw,
+                    width=(d % 16) * 16 + 64,
+                    height=(d % 9) * 16 + 64,
+                    audio=d % 2 == 1,
+                    mdat=text.encode("utf-8"),
+                    fast_start=d % 2 == 0,
+                    mvhd_version=(d // 2) % 2,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "mp4": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, mp4 binary")
+
+
+def mp4_structure_features(df: DataFrame, payload_col: str = "mp4",
+                           id_col: str = "doc_id") -> DataFrame:
+    """REAL ISO-BMFF box walk over Arrow batches — bounded recursive
+    box grammar, largesize escape, both fast-start and mdat-first
+    layouts, mvhd v0/v1 — emitting the container metadata a corpus
+    triage pass needs (duration, track layout, codec fourcc, dims,
+    sample count) plus the mdat md5.  Corrupt files flag the row."""
+    import hashlib
+
+    from .mp4 import parse_mp4
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("brand", "duration_ms", "n_tracks", "has_audio",
+                "video_codec", "width", "height", "n_video_samples",
+                "audio_rate", "mdat_md5")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    m = parse_mp4(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                vid = next((t for t in m["tracks"]
+                            if t["handler"] == "vide"), None)
+                aud = next((t for t in m["tracks"]
+                            if t["handler"] == "soun"), None)
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["brand"].append(m["brand"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["n_tracks"].append(len(m["tracks"]))
+                out["has_audio"].append(aud is not None)
+                out["video_codec"].append(
+                    vid["stsd"][0]["fourcc"] if vid and vid["stsd"]
+                    else None)
+                out["width"].append(
+                    int(vid["width"]) if vid else None)
+                out["height"].append(
+                    int(vid["height"]) if vid else None)
+                out["n_video_samples"].append(
+                    vid["n_samples"] if vid else None)
+                out["audio_rate"].append(
+                    aud["stsd"][0].get("samplerate")
+                    if aud and aud["stsd"] else None)
+                out["mdat_md5"].append(
+                    hashlib.md5(m["mdat"]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, brand string, duration_ms long, "
+                "n_tracks long, has_audio boolean, video_codec string, "
+                "width long, height long, n_video_samples long, "
+                "audio_rate long, mdat_md5 string"),
+    )

@@ -12219,3 +12219,53 @@ def ann_clustered_recall_curve(spark, sf_dir):
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# =====================================================================
+# Round 11 (cont): container / codec / corpus-toolchain operators
+# =====================================================================
+
+
+@query(
+    "mm_mp4_structure",
+    """
+    WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS nw,
+                      md5(text) AS m
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           (['isom', 'mp42', 'avc1'])[CAST(doc_id % 3 + 1 AS INT)]
+               AS brand,
+           CAST((nw % 300 + 1) * 40 AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_tracks,
+           doc_id % 2 = 1 AS has_audio,
+           'avc1' AS video_codec,
+           CAST((doc_id % 16) * 16 + 64 AS BIGINT) AS width,
+           CAST((doc_id % 9) * 16 + 64 AS BIGINT) AS height,
+           CAST(nw AS BIGINT) AS n_video_samples,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 44100 END AS BIGINT)
+               AS audio_rate,
+           m AS mdat_md5
+    FROM w
+    """,
+    doc="ISO-BMFF (MP4) container-structure triage under the hash "
+    "gate — the format video corpora actually ship in, implemented "
+    "from the PUBLIC ISO/IEC 14496-12 box grammar from scratch: "
+    "size+fourcc walk with the 64-bit largesize escape, recursive "
+    "container boxes, FullBox v0/v1 (mvhd/mdhd both versions), ftyp "
+    "brands, tkhd 16.16 fixed-point dims, hdlr track typing, stsd "
+    "Visual/AudioSampleEntry header fields, stsz/stts sample tables, "
+    "and mdat hashing; BOTH the fast-start (moov-first) and "
+    "recording (mdat-first) layouts are cycled by the synth.  Codec "
+    "bitstreams stay opaque per the no-invented-tables policy.  The "
+    "oracle re-derives brand/duration/track layout/dims/sample count "
+    "closed-form and the mdat md5 from the text.  Scale: pure Arrow "
+    "CPU-map over the scan, zero shuffle — container triage at "
+    "100 TB is embarrassingly parallel.",
+    bench=True,
+)
+def mm_mp4_structure(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.mp4_structure_features(M.synth_mp4_payload(docs))
