@@ -5094,3 +5094,101 @@ def mp4_structure_features(df: DataFrame, payload_col: str = "mp4",
                 "width long, height long, n_video_samples long, "
                 "audio_rate long, mdat_md5 string"),
     )
+
+
+def synth_mkv_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach an ``mkv`` column of EBML/Matroska containers: doctype
+    alternates matroska/webm, video codec cycles id %% 3 over
+    {V_VP9, V_AV1, V_MPEG4/ISO/AVC}, an A_OPUS audio track when id is
+    odd, duration (n_words %% 500 + 1) * 20 ms, dims the same modular
+    grid as the MP4 synth, and the document text carried as opaque
+    SimpleBlock payloads (32-byte blocks, 4 per Cluster) — all
+    closed-form for the oracle."""
+    from .ebml import build_mkv
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                text = str(text)
+                nw = len(text.split(" "))
+                payloads.append(build_mkv(
+                    doctype=("matroska", "webm")[d % 2],
+                    duration_ms=(nw % 500 + 1) * 20,
+                    title=f"Video {d}",
+                    video_codec=("V_VP9", "V_AV1",
+                                 "V_MPEG4/ISO/AVC")[d % 3],
+                    width=(d % 16) * 16 + 64,
+                    height=(d % 9) * 16 + 64,
+                    audio=d % 2 == 1,
+                    payload=text.encode("utf-8"),
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "mkv": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, mkv binary")
+
+
+def mkv_structure_features(df: DataFrame, payload_col: str = "mkv",
+                           id_col: str = "doc_id") -> DataFrame:
+    """REAL EBML walk over Arrow batches — RFC 8794 VINT decode,
+    bounded master-element recursion, unknown-size Segment escape,
+    SimpleBlock framing — emitting container triage metadata plus the
+    md5 of the reassembled (codec-opaque) block payload.  Corrupt
+    files flag the row."""
+    import hashlib
+
+    from .ebml import parse_mkv
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("doctype", "duration_ms", "n_tracks", "has_audio",
+                "video_codec", "width", "height", "n_clusters",
+                "n_blocks", "payload_md5")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    m = parse_mkv(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                vid = next((t for t in m["tracks"]
+                            if t.get("type") == 1), None)
+                aud = next((t for t in m["tracks"]
+                            if t.get("type") == 2), None)
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["doctype"].append(m["doctype"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["n_tracks"].append(len(m["tracks"]))
+                out["has_audio"].append(aud is not None)
+                out["video_codec"].append(
+                    vid["codec"] if vid else None)
+                out["width"].append(vid.get("width") if vid else None)
+                out["height"].append(vid.get("height") if vid else None)
+                out["n_clusters"].append(m["n_clusters"])
+                out["n_blocks"].append(m["n_blocks"])
+                out["payload_md5"].append(
+                    hashlib.md5(m["payload"]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, doctype string, "
+                "duration_ms long, n_tracks long, has_audio boolean, "
+                "video_codec string, width long, height long, "
+                "n_clusters long, n_blocks long, payload_md5 string"),
+    )

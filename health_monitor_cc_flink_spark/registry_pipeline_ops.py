@@ -12269,3 +12269,47 @@ def mm_mp4_structure(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.mp4_structure_features(M.synth_mp4_payload(docs))
+
+
+@query(
+    "mm_mkv_structure",
+    """
+    WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS nw,
+                      greatest(CAST(ceil(octet_length(encode(text))
+                                         / 32.0) AS BIGINT), 1) AS nb,
+                      md5(text) AS m
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           (['matroska', 'webm'])[CAST(doc_id % 2 + 1 AS INT)]
+               AS doctype,
+           CAST((nw % 500 + 1) * 20 AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_tracks,
+           doc_id % 2 = 1 AS has_audio,
+           (['V_VP9', 'V_AV1', 'V_MPEG4/ISO/AVC'])
+               [CAST(doc_id % 3 + 1 AS INT)] AS video_codec,
+           CAST((doc_id % 16) * 16 + 64 AS BIGINT) AS width,
+           CAST((doc_id % 9) * 16 + 64 AS BIGINT) AS height,
+           CAST(ceil(nb / 4.0) AS BIGINT) AS n_clusters,
+           nb AS n_blocks,
+           m AS payload_md5
+    FROM w
+    """,
+    doc="EBML / Matroska (MKV, WebM) container-structure triage under "
+    "the hash gate — the web-video corpus format, implemented from "
+    "the PUBLIC RFC 8794 EBML grammar + Matroska element IDs from "
+    "scratch: VINT decode for sizes (marker stripped) and IDs "
+    "(marker kept), the all-ones unknown-size Segment escape, "
+    "bounded master-element recursion, 4/8-byte IEEE-754 float "
+    "leaves, Info/Tracks/Video/Audio metadata, and SimpleBlock "
+    "framing with the codec payload kept opaque and md5-reassembled. "
+    "The oracle re-derives doctype/duration/track layout/dims and "
+    "the cluster/block census from 32-byte-block arithmetic.  Scale: "
+    "pure Arrow CPU-map, zero shuffle.",
+    bench=True,
+)
+def mm_mkv_structure(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.mkv_structure_features(M.synth_mkv_payload(docs))
