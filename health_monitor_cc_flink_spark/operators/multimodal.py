@@ -5192,3 +5192,96 @@ def mkv_structure_features(df: DataFrame, payload_col: str = "mkv",
                 "video_codec string, width long, height long, "
                 "n_clusters long, n_blocks long, payload_md5 string"),
     )
+
+
+def synth_ogg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach an ``ogg`` column: codec alternates Vorbis/Opus by id
+    parity (channels 1/2, rate 44100/48000), a VorbisComment block of
+    TITLE = first three words, ARTIST = doc{id}, plus id %% 4 extra
+    COMMENT{i} = word[i] tags, and the document text as opaque
+    64-byte audio packets laced 4 per page — all closed-form."""
+    from .ogg import build_ogg
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                text = str(text)
+                words = text.split(" ")
+                comments = (
+                    ["TITLE=" + " ".join(words[:3]),
+                     f"ARTIST=doc{d}"]
+                    + [f"COMMENT{i}={words[i]}" for i in range(d % 4)]
+                )
+                payloads.append(build_ogg(
+                    codec=("vorbis", "opus")[d % 2],
+                    serial=d,
+                    channels=d % 2 + 1,
+                    rate=(44100, 48000)[d % 2],
+                    vendor="health-monitor-synth",
+                    comments=comments,
+                    audio=text.encode("utf-8"),
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ogg": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, ogg binary")
+
+
+def ogg_metadata_features(df: DataFrame, payload_col: str = "ogg",
+                          id_col: str = "doc_id") -> DataFrame:
+    """REAL Ogg walk over Arrow batches — page CRC verified with the
+    from-scratch non-reflected Ogg CRC-32, packets reassembled across
+    lacing, Vorbis/Opus identification + VorbisComment parse —
+    emitting the tag metadata and the reassembled opaque-audio md5.
+    Corrupt streams flag the row."""
+    import hashlib
+
+    from .ogg import parse_ogg
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("codec", "channels", "rate", "n_pages", "n_packets",
+                "n_comments", "title", "audio_md5")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    m = parse_ogg(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                title = next(
+                    (c[6:] for c in m["comments"]
+                     if c.upper().startswith("TITLE=")), None)
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["codec"].append(m["codec"])
+                out["channels"].append(m["channels"])
+                out["rate"].append(m["rate"])
+                out["n_pages"].append(m["n_pages"])
+                out["n_packets"].append(m["n_packets"])
+                out["n_comments"].append(len(m["comments"]))
+                out["title"].append(title)
+                out["audio_md5"].append(
+                    hashlib.md5(m["audio"]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, codec string, channels long, "
+                "rate long, n_pages long, n_packets long, "
+                "n_comments long, title string, audio_md5 string"),
+    )

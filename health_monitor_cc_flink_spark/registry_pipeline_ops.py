@@ -12313,3 +12313,47 @@ def mm_mkv_structure(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.mkv_structure_features(M.synth_mkv_payload(docs))
+
+
+@query(
+    "mm_ogg_metadata",
+    """
+    WITH w AS (SELECT doc_id,
+                      greatest(CAST(ceil(octet_length(encode(text))
+                                         / 64.0) AS BIGINT), 1) AS ndp,
+                      array_to_string(string_split(text, ' ')[1:3], ' ')
+                          AS title,
+                      md5(text) AS m
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           (['vorbis', 'opus'])[CAST(doc_id % 2 + 1 AS INT)] AS codec,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+           CAST(([44100, 48000])[CAST(doc_id % 2 + 1 AS INT)]
+                AS BIGINT) AS rate,
+           CAST(2 + ceil(ndp / 4.0) AS BIGINT) AS n_pages,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END + ndp
+                AS BIGINT) AS n_packets,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_comments,
+           title,
+           m AS audio_md5
+    FROM w
+    """,
+    doc="Ogg / VorbisComment metadata triage under the hash gate — "
+    "the podcast-corpus container, implemented from the PUBLIC RFC "
+    "3533 framing + Vorbis I / RFC 7845 header specs from scratch: "
+    "the non-reflected Ogg CRC-32 (poly 0x04C11DB7 — zlib's crc32 "
+    "cannot stand in) verified per page, 255-lacing packet "
+    "reassembly across pages, BOS/EOS flags, Vorbis '\\x01vorbis' / "
+    "Opus 'OpusHead' identification, and the shared VorbisComment "
+    "tag block (the same layout FLAC reuses).  Audio packets stay "
+    "opaque and are md5-reassembled.  The oracle re-derives codec/"
+    "channels/rate by id parity and the page/packet census from "
+    "64-byte-packet, 4-per-page arithmetic.  Scale: pure Arrow "
+    "CPU-map, zero shuffle.",
+    bench=True,
+)
+def mm_ogg_metadata(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.ogg_metadata_features(M.synth_ogg_payload(docs))
