@@ -5285,3 +5285,58 @@ def ogg_metadata_features(df: DataFrame, payload_col: str = "ogg",
                 "rate long, n_pages long, n_packets long, "
                 "n_comments long, title string, audio_md5 string"),
     )
+
+
+def codec_roundtrip_features(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             chunk_bytes: int = 4096) -> DataFrame:
+    """Snappy framing-format + LZ4 block round-trip over Arrow
+    batches with the repo's FROM-SCRATCH codecs (operators/snappy.py,
+    operators/lz4.py — both cross-validated against Arrow's native
+    implementations in tests): compress each document's text with
+    both, decode with the from-scratch decoders, verify the framing
+    CRC-32C per chunk, and emit the census a foreign-data-file walk
+    needs.  Any codec error flags the row."""
+    import hashlib
+
+    from .lz4 import lz4_compress_block, lz4_decompress_block
+    from .snappy import snappy_frame_compress, snappy_frame_decompress
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("n_bytes", "snappy_chunks", "snappy_md5", "lz4_md5",
+                "codecs_agree")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                try:
+                    raw = str(text).encode("utf-8")
+                    sdec, nch = snappy_frame_decompress(
+                        snappy_frame_compress(raw,
+                                              chunk_bytes=chunk_bytes))
+                    ldec = lz4_decompress_block(
+                        lz4_compress_block(raw), len(raw))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["n_bytes"].append(len(raw))
+                out["snappy_chunks"].append(nch)
+                out["snappy_md5"].append(hashlib.md5(sdec).hexdigest())
+                out["lz4_md5"].append(hashlib.md5(ldec).hexdigest())
+                out["codecs_agree"].append(sdec == ldec)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_bytes long, "
+                "snappy_chunks long, snappy_md5 string, lz4_md5 string, "
+                "codecs_agree boolean"),
+    )

@@ -12357,3 +12357,37 @@ def mm_ogg_metadata(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.ogg_metadata_features(M.synth_ogg_payload(docs))
+
+
+@query(
+    "mm_snappy_lz4_roundtrip",
+    """
+    SELECT doc_id, TRUE AS ok,
+           octet_length(encode(text)) AS n_bytes,
+           greatest(CAST(ceil(octet_length(encode(text)) / 4096.0)
+                         AS BIGINT), 1) AS snappy_chunks,
+           md5(text) AS snappy_md5,
+           md5(text) AS lz4_md5,
+           TRUE AS codecs_agree
+    FROM documents
+    """,
+    doc="Snappy (framing + block) and LZ4 (block) codec round-trip "
+    "under the hash gate — THE two default codecs of the big-data "
+    "stack (Parquet SNAPPY/LZ4_RAW, Kafka, RocksDB SSTs), both "
+    "implemented from the PUBLIC format descriptions from scratch: "
+    "snappy varint preamble + literal/copy-1/copy-2/copy-4 tags with "
+    "overlapping-copy RLE, the framing format's per-chunk MASKED "
+    "CRC-32C (Castagnoli table built in-module; rotr15+0xA282EAD8 "
+    "mask), LZ4 token/extension sequences with the last-5-literals "
+    "and 12-byte-margin end rules.  Both codecs are cross-validated "
+    "two-way against Arrow's native snappy/lz4_raw in tests/"
+    "test_codecs.py; the gate pins decode(encode(text)) == text at "
+    "4096-byte snappy chunking.  Scale: pure Arrow CPU-map, zero "
+    "shuffle — foreign-file decompression parallelizes per file.",
+    bench=True,
+)
+def mm_snappy_lz4_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.codec_roundtrip_features(docs)
