@@ -5340,3 +5340,210 @@ def codec_roundtrip_features(df: DataFrame, text_col: str = "text",
                 "snappy_chunks long, snappy_md5 string, lz4_md5 string, "
                 "codecs_agree boolean"),
     )
+
+
+def synth_cc_warc_payload(df: DataFrame, id_col: str = "doc_id",
+                          len_col: str = "n_chars") -> DataFrame:
+    """Attach a ``warc`` column for the Common-Crawl-toolchain
+    queries: two response records per doc at
+    http://www.corpus{d%%5}.example/{d}/{k}?b=2&a=1 (unsorted query,
+    www. prefix — SURT must fix both), each page carrying a title
+    T{d}-{k}, an h1, d%%4+1 anchor links to /l{i}, and n_chars%%5+1
+    'para {d} {k} word&amp;{j}' paragraphs — every derived artifact
+    (WET text, WAT metadata, CDX-J key/digest) closed-form."""
+    from .warc import build_warc
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(len_col) % 5 + 1).cast("int").alias("m"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            warcs = []
+            for doc_id, m in zip(pdf["doc_id"], pdf["m"]):
+                d, m = int(doc_id), int(m)
+                n_links = d % 4 + 1
+                pages = []
+                for k in range(2):
+                    anchors = "".join(
+                        f'<a href="/l{i}">link {i}</a>'
+                        for i in range(n_links)
+                    )
+                    paras = "".join(
+                        f"<p>para {d} {k} word&amp;{j}</p>"
+                        for j in range(m)
+                    )
+                    html = (
+                        f"<html><head><title>T{d}-{k}</title></head>"
+                        f"<body><h1>Header {d}</h1>{anchors}{paras}"
+                        f"</body></html>"
+                    )
+                    uri = (f"http://www.corpus{d % 5}.example/{d}/{k}"
+                           f"?b=2&a=1")
+                    pages.append((uri, html))
+                warcs.append(build_warc(pages, gzip_members=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "warc": warcs})
+
+    return src.mapInPandas(gen, schema="doc_id long, warc binary")
+
+
+def _cc_captures(payload: bytes) -> list[dict]:
+    """Parse a WARC shard into the capture dicts the WET/WAT/CDX
+    builders consume: uri, raw html, extracted text, title, links,
+    status, mime."""
+    import hashlib
+
+    from .warc import (
+        html_extract_links,
+        html_extract_metadata,
+        html_extract_text,
+        parse_warc,
+    )
+
+    caps = []
+    for r in parse_warc(payload):
+        if r["fields"].get("warc-type") != "response":
+            continue
+        body = r["http_body"]
+        html = body.decode("utf-8")
+        meta = html_extract_metadata(html)
+        mime = r["http_headers"].get("content-type", "")
+        mime = mime.split(";", 1)[0].strip()
+        caps.append({
+            "uri": r["fields"]["warc-target-uri"],
+            "text": html_extract_text(html),
+            "title": meta.get("title"),
+            "links": html_extract_links(html),
+            "status": r["http_status"],
+            "mime": mime,
+            "digest": "md5:" + hashlib.md5(body).hexdigest(),
+            "length": len(body),
+        })
+    return caps
+
+
+def wet_derive_extract(df: DataFrame, payload_col: str = "warc",
+                       id_col: str = "doc_id") -> DataFrame:
+    """WARC -> WET -> parse-back chain: build REAL WET bytes (WARC
+    conversion records) from each shard's extracted text, re-parse
+    them, and explode one row per conversion record — proving the
+    derived artifact round-trips, not just the in-memory text."""
+    import hashlib
+
+    from .cdx import build_wet, parse_wet
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("rec_idx", "uri", "n_chars", "text_md5")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    recs = parse_wet(build_wet(_cc_captures(bytes(p))))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for i, rec in enumerate(recs):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["rec_idx"].append(i)
+                    out["uri"].append(rec["uri"])
+                    out["n_chars"].append(len(rec["text"]))
+                    out["text_md5"].append(hashlib.md5(
+                        rec["text"].encode("utf-8")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, rec_idx long, uri string, "
+                "n_chars long, text_md5 string"),
+    )
+
+
+def wat_derive_extract(df: DataFrame, payload_col: str = "warc",
+                       id_col: str = "doc_id") -> DataFrame:
+    """WARC -> WAT -> parse-back chain: build REAL WAT bytes (JSON
+    metadata records) and re-parse them, one row per capture."""
+    from .cdx import build_wat, parse_wat
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("rec_idx", "uri", "title", "n_links", "status")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    recs = parse_wat(build_wat(_cc_captures(bytes(p))))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for i, rec in enumerate(recs):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["rec_idx"].append(i)
+                    out["uri"].append(rec["uri"])
+                    out["title"].append(rec["title"])
+                    out["n_links"].append(len(rec["links"]))
+                    out["status"].append(rec["status"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, rec_idx long, uri string, "
+                "title string, n_links long, status long"),
+    )
+
+
+def cdxj_index_extract(df: DataFrame, payload_col: str = "warc",
+                       id_col: str = "doc_id") -> DataFrame:
+    """WARC -> CDX-J -> parse-back chain: build the sorted capture
+    index (SURT urlkey + JSON block) and re-parse it, one row per
+    capture — the lookup artifact a 100 TB crawl is addressed by."""
+    from .cdx import build_cdxj, parse_cdxj
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("urlkey", "timestamp", "url", "mime", "status",
+                "digest", "length")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rows = parse_cdxj(build_cdxj(_cc_captures(bytes(p))))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for rec in rows:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    for c in cols:
+                        out[c].append(rec[c])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, urlkey string, "
+                "timestamp string, url string, mime string, "
+                "status long, digest string, length long"),
+    )

@@ -61,6 +61,28 @@ def html_extract_text(html: str) -> str:
     return " ".join(" ".join(p.chunks).split())
 
 
+class _LinkExtractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            href = dict(attrs).get("href")
+            if href:
+                self.hrefs.append(href)
+
+
+def html_extract_links(html: str) -> list[str]:
+    """HTML -> anchor hrefs in document order (the outlink layer the
+    WAT sidecar carries), same stdlib HTMLParser discipline as
+    :func:`html_extract_text`."""
+    p = _LinkExtractor()
+    p.feed(html)
+    p.close()
+    return p.hrefs
+
+
 class _MetadataExtractor(HTMLParser):
     """<title>, OpenGraph <meta property="og:*" content>, and raw
     <script type="application/ld+json"> bodies."""

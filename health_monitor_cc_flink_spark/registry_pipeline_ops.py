@@ -12391,3 +12391,131 @@ def mm_snappy_lz4_roundtrip(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.codec_roundtrip_features(docs)
+
+
+# Shared CTE for the Common-Crawl toolchain oracles: rebuilds, per
+# (doc, page k in {0,1}), the synth page's anchor/paragraph aggregates
+# used by synth_cc_warc_payload.
+_DUCK_CC_PAGES = """
+    p AS (SELECT doc_id, CAST(n_chars % 5 + 1 AS BIGINT) AS m,
+                 CAST(doc_id % 4 + 1 AS BIGINT) AS nl,
+                 CAST(doc_id % 5 AS BIGINT) AS hv
+          FROM documents),
+    pages AS (SELECT p.*, kk.k
+              FROM p, LATERAL unnest(generate_series(0, 1)) AS kk(k)),
+    links AS (SELECT doc_id, k,
+                     string_agg(' link ' || i.i, '' ORDER BY i.i)
+                         AS link_text,
+                     string_agg('<a href="/l' || i.i || '">link '
+                                || i.i || '</a>', '' ORDER BY i.i)
+                         AS link_html
+              FROM pages, LATERAL unnest(generate_series(0, nl - 1))
+                   AS i(i)
+              GROUP BY doc_id, k),
+    paras AS (SELECT doc_id, k,
+                     string_agg(' para ' || doc_id || ' ' || k
+                                || ' word&' || j.j, '' ORDER BY j.j)
+                         AS para_text,
+                     string_agg('<p>para ' || doc_id || ' ' || k
+                                || ' word&amp;' || j.j || '</p>',
+                                '' ORDER BY j.j) AS para_html
+              FROM pages, LATERAL unnest(generate_series(0, m - 1))
+                   AS j(j)
+              GROUP BY doc_id, k, m),
+    cap AS (SELECT pg.doc_id, pg.k, pg.hv, pg.nl,
+                   'http://www.corpus' || pg.hv || '.example/'
+                       || pg.doc_id || '/' || pg.k || '?b=2&a=1' AS uri,
+                   'T' || pg.doc_id || '-' || pg.k || ' Header '
+                       || pg.doc_id || l.link_text || pr.para_text
+                       AS text,
+                   '<html><head><title>T' || pg.doc_id || '-' || pg.k
+                       || '</title></head><body><h1>Header '
+                       || pg.doc_id || '</h1>' || l.link_html
+                       || pr.para_html || '</body></html>' AS html
+            FROM pages pg
+            JOIN links l ON l.doc_id = pg.doc_id AND l.k = pg.k
+            JOIN paras pr ON pr.doc_id = pg.doc_id AND pr.k = pg.k)
+"""
+
+
+@query(
+    "corpus_wet_derive",
+    "WITH " + _DUCK_CC_PAGES + """
+    SELECT doc_id, TRUE AS ok, k AS rec_idx, uri,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM cap
+    """,
+    doc="WARC -> WET derivation under the hash gate — the sidecar "
+    "artifact Common Crawl publishes beside every crawl and the form "
+    "most text pipelines actually consume.  The operator parses the "
+    "synth WARC shard, extracts text, then builds REAL WET bytes "
+    "(ISO 28500 'conversion' records, operators/cdx.py) and "
+    "re-parses them, so the gate pins the derived artifact's "
+    "round-trip, not just the in-memory text; the oracle rebuilds "
+    "the extracted text (title + h1 + anchors + entity-decoded "
+    "paragraphs) with string_agg.  Scale: Arrow CPU-map explode, "
+    "zero shuffle — shard-local derivation exactly as the real "
+    "toolchain runs it.",
+    bench=True,
+)
+def corpus_wet_derive(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.wet_derive_extract(M.synth_cc_warc_payload(docs))
+
+
+@query(
+    "corpus_wat_derive",
+    "WITH " + _DUCK_CC_PAGES + """
+    SELECT doc_id, TRUE AS ok, k AS rec_idx, uri,
+           'T' || doc_id || '-' || k AS title,
+           nl AS n_links,
+           CAST(200 AS BIGINT) AS status
+    FROM cap
+    """,
+    doc="WARC -> WAT derivation under the hash gate: per-capture "
+    "JSON metadata records (target URI, <title>, outlink list) built "
+    "as REAL WARC 'metadata' records and re-parsed through the JSON "
+    "envelope — the link-graph sidecar crawl analytics run on.  "
+    "Scale: Arrow CPU-map explode, zero shuffle.",
+)
+def corpus_wat_derive(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.wat_derive_extract(M.synth_cc_warc_payload(docs))
+
+
+@query(
+    "corpus_cdxj_index",
+    "WITH " + _DUCK_CC_PAGES + """
+    SELECT doc_id, TRUE AS ok,
+           'example,corpus' || hv || ')/' || doc_id || '/' || k
+               || '?a=1&b=2' AS urlkey,
+           '20260101000000' AS timestamp,
+           uri AS url,
+           'text/html' AS mime,
+           CAST(200 AS BIGINT) AS status,
+           'md5:' || md5(html) AS digest,
+           CAST(length(html) AS BIGINT) AS length
+    FROM cap
+    """,
+    doc="WARC -> CDX-J capture index under the hash gate: SURT "
+    "urlkey derivation (scheme dropped, www-stripped host labels "
+    "REVERSED comma-joined, ')' separator, query params sorted — "
+    "the oracle re-derives the key for the deliberately unsorted "
+    "'?b=2&a=1' synth query), 14-digit timestamp, and the JSON block "
+    "with url/mime/status/payload digest/length; lines emitted in "
+    "the index's required sort order and the parser verifies it.  "
+    "Digest is md5:<hex> so both engines can derive it (CC uses "
+    "sha1:base32 — a parameter of the convention, not the format).  "
+    "Scale: per-shard map then a global sort only at final index "
+    "publication; the gate exercises the shard-local stage.",
+)
+def corpus_cdxj_index(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.cdxj_index_extract(M.synth_cc_warc_payload(docs))
