@@ -56,8 +56,8 @@ def surt(url: str) -> str:
     path, sep, query = rest.partition("?")
     key = ",".join(reversed(host.split("."))) + ")" + path.lower()
     if sep:
-        params = sorted(p for p in query.split("&") if p)
-        key += "?" + "&".join(p.lower() for p in params)
+        params = sorted(p.lower() for p in query.split("&") if p)
+        key += "?" + "&".join(params)
     return key
 
 
