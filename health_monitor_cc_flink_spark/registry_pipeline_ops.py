@@ -12519,3 +12519,55 @@ def corpus_cdxj_index(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.cdxj_index_extract(M.synth_cc_warc_payload(docs))
+
+
+@query(
+    "data_order_epoch_shards",
+    """
+    WITH e AS (SELECT d.doc_id, ep.epoch,
+                      md5(CAST(ep.epoch AS VARCHAR) || ':'
+                          || CAST(d.doc_id AS VARCHAR)) AS k
+               FROM documents d,
+                    LATERAL unnest(generate_series(0, 1)) AS ep(epoch)),
+    s AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, k,
+                 CAST((strpos('0123456789abcdef', substr(k, 1, 1)) - 1)
+                      * 16
+                      + strpos('0123456789abcdef', substr(k, 2, 1)) - 1
+                      AS BIGINT) % 8 AS shard
+          FROM e)
+    SELECT doc_id, epoch, shard,
+           CAST(row_number() OVER (PARTITION BY epoch, shard
+                                   ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    doc="Deterministic per-epoch training-order shuffle + shard "
+    "assignment — the data-ordering stage of an LLM training "
+    "pipeline: every (epoch, doc) gets the shuffle key "
+    "md5(epoch ':' doc_id), shard = first-byte-of-key mod 8, and pos "
+    "= rank of the key WITHIN its shard, so each epoch is a "
+    "different, reproducible permutation with no coordination "
+    "state.  Scale: this is the design that survives 100 TB — shard "
+    "assignment is a pure hash (no shuffle), and ordering is "
+    "rank-within-shard (sort inside each hash partition) rather "
+    "than a global row_number, so no single task ever sees more "
+    "than one shard; both engines derive identical values because "
+    "the key is md5, not an engine-private hash.",
+    bench=True,
+)
+def data_order_epoch_shards(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = docs.crossJoin(
+        spark.range(2).select(F.col("id").alias("epoch"))
+    ).withColumn(
+        "k",
+        F.md5(F.concat(F.col("epoch").cast("string"), F.lit(":"),
+                       F.col("doc_id").cast("string"))),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("k", 1, 2), 16, 10).cast("long") % 8),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return e.select(
+        "doc_id", "epoch", "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
