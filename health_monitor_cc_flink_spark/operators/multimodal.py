@@ -5547,3 +5547,110 @@ def cdxj_index_extract(df: DataFrame, payload_col: str = "warc",
                 "timestamp string, url string, mime string, "
                 "status long, digest string, length long"),
     )
+
+
+def synth_tga_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``tga`` column cycling doc_id %% 6 over {gray
+    bottom-up, BGR24 top-down, BGRA32 bottom-up + TGA2 footer, RLE
+    BGR24 with flat rows every y%%4==0 (forcing run packets),
+    colormapped 8-bit with a 256-entry (i, 2i, 3i) palette, RLE gray
+    bottom-up}; dims 8*(id%%6+2) x 8*(n_chars%%6+2); pixel grids the
+    same modular forms as the PNM synth so the oracle is closed-form."""
+    from .tga import build_tga
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        pal = [(i, (2 * i) % 256, (3 * i) % 256) for i in range(256)]
+
+        def grid(c, w, h):
+            px = []
+            for y in range(h):
+                for x in range(w):
+                    if c in (0, 5):
+                        px.append((x + 2 * y) % 256)
+                    elif c == 1:
+                        px.append(((3 * x) % 256, (5 * y) % 256,
+                                   (x + y) % 256))
+                    elif c == 2:
+                        px.append(((3 * x) % 256, (5 * y) % 256,
+                                   (x + y) % 256, (x + 3 * y) % 256))
+                    elif c == 3:
+                        px.append((7, 11, 13) if y % 4 == 0 else
+                                  ((3 * x) % 256, (5 * y) % 256,
+                                   (x + y) % 256))
+                    else:
+                        px.append((x + y) % 256)
+            return px
+
+        kw_by_c = [
+            dict(image_type=3, top_down=False),
+            dict(image_type=2, top_down=True),
+            dict(image_type=2, top_down=False, footer=True),
+            dict(image_type=10, top_down=True),
+            dict(image_type=1, palette=pal, top_down=False),
+            dict(image_type=11, top_down=False),
+        ]
+        for pdf in batches:
+            payloads = []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                c = d % 6
+                w, h = 8 * (d % 6 + 2), 8 * (nc % 6 + 2)
+                payloads.append(build_tga(
+                    width=w, height=h, pixels=grid(c, w, h),
+                    **kw_by_c[c]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tga": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, tga binary")
+
+
+def tga_decode_features(df: DataFrame, payload_col: str = "tga",
+                        id_col: str = "doc_id") -> DataFrame:
+    """REAL TGA decode over Arrow batches — truecolor/gray/colormap,
+    RLE run+raw packets, both row origins normalized top-down, TGA2
+    footer tolerated — emitting the same pixel-statistic columns as
+    the other raster decoders.  Corrupt payloads flag the row."""
+    from .tga import parse_tga
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("image_type", "width", "height", "n_channels",
+                "px_sum", "px_min", "px_max")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    m = parse_tga(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                vals = [v for px in m["pixels"] for v in px]
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["image_type"].append(m["image_type"])
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["n_channels"].append(m["n_channels"])
+                out["px_sum"].append(sum(vals))
+                out["px_min"].append(min(vals))
+                out["px_max"].append(max(vals))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, image_type long, width long, "
+                "height long, n_channels long, px_sum long, px_min long, "
+                "px_max long"),
+    )

@@ -12571,3 +12571,76 @@ def data_order_epoch_shards(spark, sf_dir):
         "doc_id", "epoch", "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@query(
+    "mm_tga_decode_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS c,
+               8 * (doc_id % 6 + 2) AS w,
+               8 * (n_chars % 6 + 2) AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.c, d.w, d.h, yy.y,
+               (xx.x + 2*yy.y) % 256 AS g8,
+               (3*xx.x) % 256 AS r8,
+               (5*yy.y) % 256 AS gg8,
+               (xx.x + yy.y) % 256 AS b8,
+               (xx.x + 3*yy.y) % 256 AS a8,
+               (2*((xx.x + yy.y) % 256)) % 256 AS p2,
+               (3*((xx.x + yy.y) % 256)) % 256 AS p3
+        FROM dims d,
+             LATERAL unnest(generate_series(0, d.w - 1)) AS xx(x),
+             LATERAL unnest(generate_series(0, d.h - 1)) AS yy(y)
+    ), v AS (
+        SELECT doc_id, c, w, h,
+               CASE WHEN c IN (0, 5) THEN g8
+                    WHEN c = 1 THEN r8 + gg8 + b8
+                    WHEN c = 2 THEN r8 + gg8 + b8 + a8
+                    WHEN c = 3 AND y % 4 = 0 THEN 31
+                    WHEN c = 3 THEN r8 + gg8 + b8
+                    ELSE b8 + p2 + p3 END AS s_sum,
+               CASE WHEN c IN (0, 5) THEN g8
+                    WHEN c = 1 THEN least(r8, gg8, b8)
+                    WHEN c = 2 THEN least(r8, gg8, b8, a8)
+                    WHEN c = 3 AND y % 4 = 0 THEN 7
+                    WHEN c = 3 THEN least(r8, gg8, b8)
+                    ELSE least(b8, p2, p3) END AS s_min,
+               CASE WHEN c IN (0, 5) THEN g8
+                    WHEN c = 1 THEN greatest(r8, gg8, b8)
+                    WHEN c = 2 THEN greatest(r8, gg8, b8, a8)
+                    WHEN c = 3 AND y % 4 = 0 THEN 13
+                    WHEN c = 3 THEN greatest(r8, gg8, b8)
+                    ELSE greatest(b8, p2, p3) END AS s_max
+        FROM px
+    )
+    SELECT doc_id, TRUE AS ok,
+           CAST(([3, 2, 2, 10, 1, 11])[CAST(any_value(c)+1 AS INT)]
+                AS BIGINT) AS image_type,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(([1, 3, 4, 3, 3, 1])[CAST(any_value(c)+1 AS INT)]
+                AS BIGINT) AS n_channels,
+           CAST(sum(s_sum) AS BIGINT) AS px_sum,
+           CAST(min(s_min) AS BIGINT) AS px_min,
+           CAST(max(s_max) AS BIGINT) AS px_max
+    FROM v GROUP BY doc_id
+    """,
+    doc="Truevision TGA decode under the hash gate — the lossless "
+    "texture/render raster of game and VFX corpora, implemented from "
+    "the PUBLIC TGA 2.0 spec from scratch: truecolor BGR24/BGRA32, "
+    "8-bit grayscale, 24-bit-palette colormapped, the RLE forms "
+    "(run vs raw packets, scan-line bounded) with flat rows planted "
+    "to force maximal runs, BOTH row origins (descriptor bit 5) "
+    "normalized to top-down, and the TGA 2.0 footer tolerated.  The "
+    "oracle re-derives every statistic from the modular pixel "
+    "grids including the palette indirection (idx -> (i,2i,3i)).  "
+    "Scale: Arrow CPU-map, zero shuffle.",
+    bench=True,
+)
+def mm_tga_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.tga_decode_features(M.synth_tga_payload(docs))
