@@ -5654,3 +5654,91 @@ def tga_decode_features(df: DataFrame, payload_col: str = "tga",
                 "height long, n_channels long, px_sum long, px_min long, "
                 "px_max long"),
     )
+
+
+def synth_avro_ocf_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach an ``avro`` column of Object Container Files: doc_id %%
+    5 + 2 records per file ({doc_id, rec_idx, head = first two words
+    + ' r<j>', n_words}), 2 records per block so multi-block walks
+    and per-block sync markers are exercised, codec cycling
+    null/deflate/snappy by id %% 3 — all closed-form."""
+    import json as _json
+
+    from ..sources.avro_ocf import write_ocf
+
+    schema = _json.dumps({
+        "type": "record", "name": "Doc", "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "rec_idx", "type": "long"},
+            {"name": "head", "type": "string"},
+            {"name": "n_words", "type": "long"},
+        ]})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                words = str(text).split(" ")
+                head2 = " ".join(words[:2])
+                recs = [
+                    {"doc_id": d, "rec_idx": j,
+                     "head": f"{head2} r{j}", "n_words": len(words)}
+                    for j in range(d % 5 + 2)
+                ]
+                payloads.append(write_ocf(
+                    schema, recs,
+                    codec=("null", "deflate", "snappy")[d % 3],
+                    records_per_block=2, sync_seed=d))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "avro": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, avro binary")
+
+
+def avro_ocf_extract(df: DataFrame, payload_col: str = "avro",
+                     id_col: str = "doc_id") -> DataFrame:
+    """REAL Avro OCF walk over Arrow batches — metadata map, per-
+    block sync verification, null/deflate/snappy codecs (snappy CRC
+    checked with the from-scratch decoder) — EXPLODED one row per
+    record.  Corrupt files flag one row."""
+    from ..sources.avro_ocf import read_ocf
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("codec", "n_blocks", "rec_idx", "head", "n_words")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    m = read_ocf(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for rec in m["records"]:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["codec"].append(m["codec"])
+                    out["n_blocks"].append(m["n_blocks"])
+                    out["rec_idx"].append(rec["rec_idx"])
+                    out["head"].append(rec["head"])
+                    out["n_words"].append(rec["n_words"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, codec string, n_blocks long, "
+                "rec_idx long, head string, n_words long"),
+    )

@@ -12644,3 +12644,43 @@ def mm_tga_decode_features(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.tga_decode_features(M.synth_tga_payload(docs))
+
+
+@query(
+    "mm_avro_ocf_extract",
+    """
+    WITH w AS (SELECT doc_id,
+                      CAST(doc_id % 5 + 2 AS BIGINT) AS k,
+                      len(string_split(text, ' ')) AS nw,
+                      array_to_string(string_split(text, ' ')[1:2], ' ')
+                          AS head2
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           (['null', 'deflate', 'snappy'])[CAST(doc_id % 3 + 1 AS INT)]
+               AS codec,
+           CAST(ceil(k / 2.0) AS BIGINT) AS n_blocks,
+           CAST(j.j AS BIGINT) AS rec_idx,
+           head2 || ' r' || j.j AS head,
+           CAST(nw AS BIGINT) AS n_words
+    FROM w, LATERAL unnest(generate_series(0, k - 1)) AS j(j)
+    """,
+    doc="Avro Object Container File (.avro) ingestion under the hash "
+    "gate — the format Kafka-connect sinks and corpus dumps actually "
+    "land in, implemented from the PUBLIC Avro 1.11 container spec "
+    "from scratch on top of the repo's Avro binary codec: Obj\\x01 "
+    "magic, the metadata map (negative block-count form accepted), "
+    "per-block 16-byte sync-marker verification, and ALL THREE "
+    "standard codecs — null, RAW deflate (no zlib wrapper, per "
+    "spec), and snappy with the big-endian CRC-32-of-uncompressed "
+    "suffix decoded by the repo's own from-scratch snappy.  Two "
+    "records per block so every file is multi-block.  EXPLODED one "
+    "row per record; the oracle re-derives codec/blocks/record "
+    "fields closed-form.  Scale: Arrow CPU-map explode, zero "
+    "shuffle.",
+    bench=True,
+)
+def mm_avro_ocf_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.avro_ocf_extract(M.synth_avro_ocf_payload(docs))
