@@ -12684,3 +12684,96 @@ def mm_avro_ocf_extract(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.avro_ocf_extract(M.synth_avro_ocf_payload(docs))
+
+
+@query(
+    "ir_bm25_topk",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM tok GROUP BY doc_id
+    ), corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS s
+        FROM dl
+    ), q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+    tf AS (
+        SELECT t.doc_id, t.w AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok t JOIN q ON t.w = q.term
+        GROUP BY t.doc_id, t.w
+    ), df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               sum(((c.n - df.df) * 1000 // df.df)
+                   * ((44000 * tf.tf * c.s)
+                      // (20 * c.s * tf.tf + 6 * c.s
+                          + 18 * dl.dl * c.n))) AS score
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN corpus c
+        GROUP BY tf.doc_id
+    ), ranked AS (
+        SELECT doc_id, CAST(score AS BIGINT) AS score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for the 3-term query "
+    "{spark, join, window}, top-10 — IN EXACT INTEGER ARITHMETIC so "
+    "the hash gate never rides on libm: the term weight tf*(k1+1) / "
+    "(tf + k1*(1-b+b*dl/avgdl)) is cross-multiplied by 20*S (S = "
+    "total corpus tokens) into the all-integer milliweight "
+    "(44000*tf*S) div (20*S*tf + 6*S + 18*dl*N), and the Robertson "
+    "idf is the monotone integer surrogate ((N-df)*1000) div df — "
+    "rank-equivalent per term, deterministic across engines by "
+    "construction (both sides use integer div).  Scale: tf is a "
+    "hash-agg on (doc, term) AFTER the broadcast-size 3-term filter "
+    "prunes the token explosion; corpus N/S is one scalar aggregate; "
+    "the only global sort is over the ~df matching docs, top-10 "
+    "limited.  Same family as text_tfidf_components (integer "
+    "components policy) but carried through to the actual ranking.",
+    bench=True,
+)
+def ir_bm25_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("s"))
+    tf = (tok.filter(F.col("w").isin(terms))
+          .groupBy("doc_id", F.col("w").alias("term"))
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_scaled",
+            F.expr("(n - df) * 1000 div df"))
+        .withColumn(
+            "w_milli",
+            F.expr("(44000 * tf * s) div "
+                   "(20 * s * tf + 6 * s + 18 * dl * n)"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf_scaled") * F.col("w_milli"))
+             .cast("long").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("doc_id", "score", "rank"))
