@@ -12777,3 +12777,87 @@ def ir_bm25_topk(spark, sf_dir):
                               F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= 10)
             .select("doc_id", "score", "rank"))
+
+
+@query(
+    "meta_parquet_footer",
+    """
+    WITH m AS (
+        SELECT * FROM parquet_metadata(
+            '/root/testdata/*/lineitem.parquet')
+    ), pick AS (
+        SELECT file_name FROM m WHERE column_id = 0
+        GROUP BY file_name
+        HAVING sum(num_values) = (SELECT count(*) FROM lineitem)
+    )
+    SELECT CAST(row_group_id AS BIGINT) AS rg_id,
+           CAST(column_id AS BIGINT) AS column_id,
+           path_in_schema, type, compression,
+           num_values, total_compressed_size,
+           total_uncompressed_size, data_page_offset,
+           dictionary_page_offset,
+           row_group_num_rows AS rg_num_rows
+    FROM m JOIN pick USING (file_name)
+    """,
+    doc="Parquet footer introspection under the hash gate — the "
+    "engine reading the LAKE FORMAT ITSELF, from scratch: the PAR1 "
+    "trailer, then the footer's Thrift COMPACT-protocol FileMetaData "
+    "(short/long field headers, zigzag varints, list-header escape, "
+    "bool-in-nibble) walked generically with parquet-format field "
+    "ids mapped for RowGroup/ColumnChunk/ColumnMetaData — per-chunk "
+    "codec, value counts, compressed/uncompressed bytes and page "
+    "offsets, the inputs split planning and compaction decisions "
+    "consume at 100 TB.  The oracle is FULLY EXTERNAL: DuckDB's own "
+    "parquet_metadata() over the same real testdata file (selected "
+    "from the constant glob by matching the lineitem view's row "
+    "count), so every integer is pinned by an independent C++ "
+    "parquet implementation, not by this repo's arithmetic.  Scale: "
+    "footers are O(columns x row-groups), read without touching "
+    "data pages — exactly how a planner sizes a 100 TB scan.",
+    bench=True,
+)
+def meta_parquet_footer(spark, sf_dir):
+    from .operators.parquet_meta import parse_footer
+
+    files = (spark.read.format("binaryFile")
+             .load(f"{sf_dir}/lineitem.parquet")
+             .select("content"))
+
+    def feats(batches):
+        import pandas as pd
+
+        cols = ("rg_id", "column_id", "path_in_schema", "type",
+                "compression", "num_values", "total_compressed_size",
+                "total_uncompressed_size", "data_page_offset",
+                "dictionary_page_offset", "rg_num_rows")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for blob in pdf["content"]:
+                m = parse_footer(bytes(blob))
+                for gi, rg in enumerate(m["row_groups"]):
+                    for ci, c in enumerate(rg["columns"]):
+                        out["rg_id"].append(gi)
+                        out["column_id"].append(ci)
+                        out["path_in_schema"].append(c["path"])
+                        out["type"].append(c["type"])
+                        out["compression"].append(c["codec"])
+                        out["num_values"].append(c["num_values"])
+                        out["total_compressed_size"].append(
+                            c["total_compressed_size"])
+                        out["total_uncompressed_size"].append(
+                            c["total_uncompressed_size"])
+                        out["data_page_offset"].append(
+                            c["data_page_offset"])
+                        out["dictionary_page_offset"].append(
+                            c["dictionary_page_offset"])
+                        out["rg_num_rows"].append(rg["num_rows"])
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        feats,
+        schema=("rg_id long, column_id long, path_in_schema string, "
+                "type string, compression string, num_values long, "
+                "total_compressed_size long, "
+                "total_uncompressed_size long, data_page_offset long, "
+                "dictionary_page_offset long, rg_num_rows long"),
+    )
