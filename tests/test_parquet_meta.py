@@ -16,8 +16,7 @@ FILES = sorted(glob.glob("/root/testdata/sf0.001/*.parquet"))
 def _duck_rows(path):
     con = duckdb.connect()
     rows = con.sql(
-        "SELECT row_group_id, column_id, "
-        "replace(path_in_schema, ', ', ', ') AS path_in_schema, type, "
+        "SELECT row_group_id, column_id, path_in_schema, type, "
         "compression, num_values, total_compressed_size, "
         "total_uncompressed_size, data_page_offset, "
         "dictionary_page_offset, row_group_num_rows "
