@@ -5742,3 +5742,101 @@ def avro_ocf_extract(df: DataFrame, payload_col: str = "avro",
         schema=("doc_id long, ok boolean, codec string, n_blocks long, "
                 "rec_idx long, head string, n_words long"),
     )
+
+
+def synth_au_payload(df: DataFrame, id_col: str = "doc_id",
+                     len_col: str = "n_chars") -> DataFrame:
+    """Attach an ``au`` column of Sun/NeXT audio files: encoding
+    cycles id %% 3 over {mu-law, signed PCM8, BE PCM16}, rate over
+    {8000, 16000, 44100}, channels = id %% 2 + 1, sample count
+    n_chars + 600 floored to a channel multiple, a 'doc<id>'
+    annotation displacing the data offset, and the unknown-size
+    (0xFFFFFFFF, read-to-EOF) header form every 4th doc — byte
+    streams closed-form for the oracle."""
+    import numpy as np
+
+    from .au import build_au
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(len_col).cast("long").alias("n_chars"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                ch = d % 2 + 1
+                n0 = nc + 600
+                n = n0 - (n0 % ch)
+                enc = d % 3 + 1
+                i = np.arange(n, dtype=np.int64)
+                if enc == 1:
+                    data = ((13 * d + 7 * i) % 256).astype(
+                        np.uint8).tobytes()
+                elif enc == 2:
+                    data = (((11 * d + 5 * i) % 256) - 128).astype(
+                        np.int8).tobytes()
+                else:
+                    data = (((31 * d + 17 * i) % 4001) - 2000).astype(
+                        ">i2").tobytes()
+                payloads.append(build_au(
+                    encoding=enc,
+                    rate=(8000, 16000, 44100)[d % 3],
+                    channels=ch,
+                    data=data,
+                    annotation=f"doc{d}\x00".encode(),
+                    unknown_size=d % 4 == 0,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "au": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, au binary")
+
+
+def au_decode_features(df: DataFrame, payload_col: str = "au",
+                       id_col: str = "doc_id") -> DataFrame:
+    """REAL Sun AU decode over Arrow batches — header walk with the
+    annotation offset and unknown-size form, mu-law expansion through
+    the repo's CCITT-pinned G.711 tables, signed PCM8/BE-PCM16 —
+    emitting integer sample statistics.  Corrupt payloads flag."""
+    from .au import parse_au
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("encoding", "sample_rate", "channels", "n_samples",
+                "s_sum", "s_min", "s_max")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    m = parse_au(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                s = m["samples"]
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["encoding"].append(m["encoding_name"])
+                out["sample_rate"].append(m["rate"])
+                out["channels"].append(m["channels"])
+                out["n_samples"].append(m["n_samples"])
+                out["s_sum"].append(int(s.sum()))
+                out["s_min"].append(int(s.min()))
+                out["s_max"].append(int(s.max()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, encoding string, "
+                "sample_rate long, channels long, n_samples long, "
+                "s_sum long, s_min long, s_max long"),
+    )

@@ -12861,3 +12861,65 @@ def meta_parquet_footer(spark, sf_dir):
                 "total_uncompressed_size long, data_page_offset long, "
                 "dictionary_page_offset long, rg_num_rows long"),
     )
+
+
+@query(
+    "mm_au_decode_features",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS enc,
+               CAST(([8000, 16000, 44100])[CAST(doc_id % 3 + 1 AS INT)]
+                    AS BIGINT) AS sr,
+               (n_chars + 600) - ((n_chars + 600) % (doc_id % 2 + 1))
+                   AS n
+        FROM documents
+    ), s AS (
+        SELECT p.doc_id, p.ch, p.enc, p.sr, p.n,
+               CASE WHEN p.enc = 1
+                    THEN (13 * p.doc_id + 7 * i.i) % 256
+                    WHEN p.enc = 2
+                    THEN (11 * p.doc_id + 5 * i.i) % 256
+                    ELSE (31 * p.doc_id + 17 * i.i) % 4001 END AS b
+        FROM p, LATERAL unnest(generate_series(0, p.n - 1)) AS i(i)
+    ), lin AS (
+        SELECT doc_id, ch, enc, sr, n,
+               CASE WHEN enc = 1 THEN
+                   CASE WHEN (255 - b) >= 128
+                        THEN -(((((255 - b) % 16) * 8 + 132)
+                                << (((255 - b) // 16) % 8)) - 132)
+                        ELSE ((((255 - b) % 16) * 8 + 132)
+                              << (((255 - b) // 16) % 8)) - 132
+                   END
+               WHEN enc = 2 THEN b - 128
+               ELSE b - 2000 END AS x
+        FROM s
+    )
+    SELECT doc_id, TRUE AS ok,
+           (['ulaw', 'pcm8', 'pcm16'])[CAST(any_value(enc) AS INT)]
+               AS encoding,
+           any_value(sr) AS sample_rate,
+           any_value(ch) AS channels,
+           any_value(n) AS n_samples,
+           CAST(sum(x) AS BIGINT) AS s_sum,
+           CAST(min(x) AS BIGINT) AS s_min,
+           CAST(max(x) AS BIGINT) AS s_max
+    FROM lin GROUP BY doc_id
+    """,
+    doc="Sun/NeXT AU (.au/.snd) decode under the hash gate — the "
+    "legacy speech-corpus container (TIMIT-era distributions), "
+    "implemented from the PUBLIC Sun audio header layout: big-endian "
+    "24-byte header, annotation-displaced data offset, the "
+    "0xFFFFFFFF unknown-size read-to-EOF form (every 4th doc), and "
+    "three encodings — 8-bit mu-law expanded through the repo's "
+    "CCITT-pinned G.711 tables (the same exact-integer expansion "
+    "replicated in the oracle), signed linear PCM8, and big-endian "
+    "linear PCM16.  Scale: Arrow CPU-map, vectorized numpy, zero "
+    "shuffle.",
+)
+def mm_au_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.au_decode_features(M.synth_au_payload(docs))
