@@ -202,3 +202,57 @@ def encode_mp3_stub(
     flen = 144 * bitrate_kbps * 1000 // sample_rate
     frame = h.to_bytes(4, "big") + b"\x00" * (flen - 4)
     return tag + frame * n_frames
+
+
+#: ID3v1 genre names we emit/expect (indices into the public ID3v1
+#: genre list; only the handful the synth cycles — the full 192-entry
+#: Winamp extension list adds nothing to the parse logic under test).
+ID3V1_GENRES = {0: "Blues", 1: "Classic Rock", 2: "Country",
+                8: "Jazz", 13: "Pop", 17: "Rock", 255: None}
+
+
+def _id3v1_field(raw: bytes) -> str:
+    """30-byte fixed field -> string: NUL- or space-padded per the
+    de-facto ID3v1 convention."""
+    return raw.split(b"\x00")[0].decode("latin-1").rstrip(" ")
+
+
+def build_id3v1(*, title: str, artist: str, album: str, year: str,
+                comment: str, track: int, genre: int) -> bytes:
+    """128-byte ID3v1.1 trailer (TAG + 30/30/30-byte text fields +
+    4-byte year + 28-byte comment + NUL + track + genre)."""
+    def f30(s: str) -> bytes:
+        raw = s.encode("latin-1")[:30]
+        return raw + b"\x00" * (30 - len(raw))
+
+    cm = comment.encode("latin-1")[:28]
+    return (b"TAG" + f30(title) + f30(artist) + f30(album)
+            + year.encode("latin-1")[:4].ljust(4, b"\x00")
+            + cm + b"\x00" * (28 - len(cm))
+            + b"\x00" + bytes([track & 0xFF, genre & 0xFF]))
+
+
+def parse_id3v1(payload: bytes) -> dict | None:
+    """Last-128-bytes ID3v1(.1) trailer -> dict, or None if absent.
+    The v1.1 track convention applies when comment byte 28 is NUL and
+    byte 29 is nonzero."""
+    if len(payload) < 128:
+        return None
+    tag = payload[-128:]
+    if tag[:3] != b"TAG":
+        return None
+    comment_raw = tag[97:127]
+    track = None
+    if comment_raw[28] == 0 and comment_raw[29] != 0:
+        track = comment_raw[29]
+        comment_raw = comment_raw[:28]
+    return {
+        "title": _id3v1_field(tag[3:33]),
+        "artist": _id3v1_field(tag[33:63]),
+        "album": _id3v1_field(tag[63:93]),
+        "year": tag[93:97].split(b"\x00")[0].decode("latin-1"),
+        "comment": _id3v1_field(comment_raw),
+        "track": track,
+        "genre_id": tag[127],
+        "genre": ID3V1_GENRES.get(tag[127]),
+    }

@@ -5840,3 +5840,89 @@ def au_decode_features(df: DataFrame, payload_col: str = "au",
                 "sample_rate long, channels long, n_samples long, "
                 "s_sum long, s_min long, s_max long"),
     )
+
+
+def synth_mp3_id3v1_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach an ``mp3`` column carrying BOTH tag layers: the ID3v2.3
+    head (TIT2 'T<id>', TPE1 'doc<id>') the triage query already
+    exercises, plus a 128-byte ID3v1.1 TRAILER with the same
+    title/artist, album 'Album <id%%7>', year 1970+id%%50, the first
+    word as comment, track id%%30+1 and genre cycling
+    {0,1,2,8,13,17} — every field closed-form."""
+    from .mp3 import build_id3v1, encode_mp3_stub
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+    genres = (0, 1, 2, 8, 13, 17)
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                w0 = str(text).split(" ")[0]
+                payloads.append(
+                    encode_mp3_stub(f"T{d}", f"doc{d}", d % 4 + 1)
+                    + build_id3v1(
+                        title=f"T{d}", artist=f"doc{d}",
+                        album=f"Album {d % 7}",
+                        year=str(1970 + d % 50),
+                        comment=w0, track=d % 30 + 1,
+                        genre=genres[d % 6]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "mp3": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, mp3 binary")
+
+
+def mp3_id3v1_features(df: DataFrame, payload_col: str = "mp3",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Both ID3 layers parsed and CROSS-CHECKED: v1 trailer fields
+    (including the v1.1 track convention) against the v2 head's
+    TIT2/TPE1."""
+    from .mp3 import parse_id3v1, parse_id3v2
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("title", "artist", "album", "year", "comment",
+                "track", "genre", "tags_agree")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    p = bytes(p)
+                    v1 = parse_id3v1(p)
+                    v2, _ = parse_id3v2(p)
+                    if v1 is None:
+                        raise ValueError("missing ID3v1 trailer")
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                out["doc_id"].append(doc_id)
+                out["ok"].append(True)
+                out["title"].append(v1["title"])
+                out["artist"].append(v1["artist"])
+                out["album"].append(v1["album"])
+                out["year"].append(v1["year"])
+                out["comment"].append(v1["comment"])
+                out["track"].append(v1["track"])
+                out["genre"].append(v1["genre"])
+                out["tags_agree"].append(
+                    v1["title"] == v2.get("TIT2")
+                    and v1["artist"] == v2.get("TPE1"))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, title string, artist string, "
+                "album string, year string, comment string, track long, "
+                "genre string, tags_agree boolean"),
+    )

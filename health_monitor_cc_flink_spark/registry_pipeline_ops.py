@@ -12923,3 +12923,34 @@ def mm_au_decode_features(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.au_decode_features(M.synth_au_payload(docs))
+
+
+@query(
+    "mm_mp3_id3v1_tags",
+    """
+    SELECT doc_id, TRUE AS ok,
+           'T' || doc_id AS title,
+           'doc' || doc_id AS artist,
+           'Album ' || (doc_id % 7) AS album,
+           CAST(1970 + doc_id % 50 AS VARCHAR) AS year,
+           string_split(text, ' ')[1] AS comment,
+           CAST(doc_id % 30 + 1 AS BIGINT) AS track,
+           (['Blues', 'Classic Rock', 'Country', 'Jazz', 'Pop',
+             'Rock'])[CAST(doc_id % 6 + 1 AS INT)] AS genre,
+           TRUE AS tags_agree
+    FROM documents
+    """,
+    doc="ID3v1.1 trailer parse + cross-check against the ID3v2 head "
+    "— the dual-tag reality of real MP3 corpora (v1 trailers written "
+    "for 20 years of legacy players; v2 heads for everything since). "
+    "From the PUBLIC ID3v1 layout: the last-128-byte TAG block, "
+    "NUL/space-padded 30-byte fields, and the v1.1 track convention "
+    "(comment byte 28 NUL, byte 29 = track).  tags_agree pins that "
+    "both layers parsed consistently (v1 title/artist == v2 "
+    "TIT2/TPE1).  Scale: Arrow CPU-map, zero shuffle.",
+)
+def mm_mp3_id3v1_tags(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.mp3_id3v1_features(M.synth_mp3_id3v1_payload(docs))

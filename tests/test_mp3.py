@@ -129,3 +129,61 @@ def test_mpeg2_layer2_shares_v2_table_and_1152_samples():
     n, got_kbps, got_sr, nbytes, dur = walk_mpeg_frames(stream)
     assert (n, got_kbps, got_sr) == (2, 64, 24000)
     assert dur == 2 * 1152 * 1000 // sr
+
+
+# -- ID3v1 trailer ------------------------------------------------------
+
+def test_id3v1_roundtrip_and_v11_track():
+    from health_monitor_cc_flink_spark.operators.mp3 import (
+        build_id3v1,
+        parse_id3v1,
+    )
+
+    tag = build_id3v1(title="My Song", artist="An Artist",
+                      album="Album X", year="1999", comment="hi",
+                      track=7, genre=17)
+    assert len(tag) == 128
+    m = parse_id3v1(b"\x00" * 64 + tag)
+    assert m["title"] == "My Song"
+    assert m["artist"] == "An Artist"
+    assert m["album"] == "Album X"
+    assert m["year"] == "1999"
+    assert m["comment"] == "hi"
+    assert m["track"] == 7
+    assert m["genre"] == "Rock"
+
+
+def test_id3v1_v10_no_track():
+    """Plain v1.0: a full 30-byte comment leaves no track convention."""
+    from health_monitor_cc_flink_spark.operators.mp3 import (
+        build_id3v1,
+        parse_id3v1,
+    )
+
+    tag = bytearray(build_id3v1(title="t", artist="a", album="b",
+                                year="2000", comment="c" * 28,
+                                track=5, genre=0))
+    tag[125] = ord("c")  # overwrite the NUL: comment runs 30 bytes
+    m = parse_id3v1(bytes(tag))
+    assert m["track"] is None
+    assert m["comment"].startswith("c" * 28)
+
+
+def test_id3v1_absent_returns_none():
+    from health_monitor_cc_flink_spark.operators.mp3 import parse_id3v1
+
+    assert parse_id3v1(b"\x00" * 200) is None
+    assert parse_id3v1(b"short") is None
+
+
+def test_id3v1_truncation_to_30_bytes():
+    from health_monitor_cc_flink_spark.operators.mp3 import (
+        build_id3v1,
+        parse_id3v1,
+    )
+
+    m = parse_id3v1(build_id3v1(
+        title="x" * 50, artist="a", album="b", year="2000",
+        comment="c", track=1, genre=8))
+    assert m["title"] == "x" * 30
+    assert m["genre"] == "Jazz"
