@@ -5926,3 +5926,119 @@ def mp3_id3v1_features(df: DataFrame, payload_col: str = "mp3",
                 "album string, year string, comment string, track long, "
                 "genre string, tags_agree boolean"),
     )
+
+
+def synth_delta_log_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``log`` column: a ustar tar of a ``_delta_log/``
+    directory with doc_id %% 4 + 2 commits — commit 0 carries
+    protocol+metaData plus the part-0 add; commit j adds
+    part-j.parquet (size 1000+17j, numRecords 100+j, partition lang
+    cycling en/de/fr by j%%3); every even commit j >= 2 removes
+    part-(j-1) — so the live snapshot is closed-form."""
+    from .delta_log import build_delta_log, commit_filename
+    from .tar import build_tar
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    langs = ("en", "de", "fr")
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = d % 4 + 2
+                commits = {}
+                for j in range(k):
+                    actions = []
+                    if j == 0:
+                        actions.append({"protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2}})
+                        actions.append({"metaData": {
+                            "id": f"tbl-{d}",
+                            "format": {"provider": "parquet"},
+                            "partitionColumns": ["lang"]}})
+                    actions.append({"add": {
+                        "path": f"part-{j}.parquet",
+                        "partitionValues": {"lang": langs[j % 3]},
+                        "size": 1000 + 17 * j,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": json_dumps_sorted(
+                            {"numRecords": 100 + j})}})
+                    if j >= 2 and j % 2 == 0:
+                        actions.append({"remove": {
+                            "path": f"part-{j - 1}.parquet",
+                            "deletionTimestamp": 0,
+                            "dataChange": True}})
+                    commits[j] = actions
+                files = build_delta_log(commits)
+                members = [("_delta_log/", b"")] + [
+                    (f"_delta_log/{commit_filename(v)}",
+                     files[commit_filename(v)])
+                    for v in sorted(commits)
+                ]
+                payloads.append(build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "log": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, log binary")
+
+
+def json_dumps_sorted(obj) -> str:
+    import json as _json
+
+    return _json.dumps(obj, sort_keys=True, separators=(",", ":"))
+
+
+def delta_snapshot_extract(df: DataFrame, payload_col: str = "log",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Untar a shipped ``_delta_log/`` and REPLAY it — add/remove
+    last-writer-wins state reconstruction — EXPLODED one row per
+    live file with the final table version and census."""
+    from .delta_log import parse_delta_log_files
+    from .tar import parse_tar
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("version", "path", "size", "num_records", "lang",
+                "n_live", "n_removes")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    members = parse_tar(bytes(p))
+                    files = {m["name"]: m["data"] for m in members
+                             if m["typeflag"] != "5"}
+                    snap = parse_delta_log_files(files)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for path in sorted(snap["live"]):
+                    f = snap["live"][path]
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["version"].append(snap["version"])
+                    out["path"].append(path)
+                    out["size"].append(f["size"])
+                    out["num_records"].append(f["num_records"])
+                    out["lang"].append(
+                        f["partition_values"].get("lang"))
+                    out["n_live"].append(len(snap["live"]))
+                    out["n_removes"].append(snap["n_removes"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, version long, path string, "
+                "size long, num_records long, lang string, n_live long, "
+                "n_removes long"),
+    )

@@ -12954,3 +12954,44 @@ def mm_mp3_id3v1_tags(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.mp3_id3v1_features(M.synth_mp3_id3v1_payload(docs))
+
+
+@query(
+    "lake_delta_log_snapshot",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS BIGINT) AS k
+               FROM documents),
+    f AS (SELECT doc_id, k, j.j
+          FROM p, LATERAL unnest(generate_series(0, k - 1)) AS j(j)
+          WHERE NOT (j.j % 2 = 1 AND j.j <= k - 2))
+    SELECT doc_id, TRUE AS ok,
+           k - 1 AS version,
+           'part-' || j || '.parquet' AS path,
+           CAST(1000 + 17 * j AS BIGINT) AS size,
+           CAST(100 + j AS BIGINT) AS num_records,
+           (['en', 'de', 'fr'])[CAST(j % 3 + 1 AS INT)] AS lang,
+           k - (k - 1) // 2 AS n_live,
+           (k - 1) // 2 AS n_removes
+    FROM f
+    """,
+    doc="Delta Lake transaction-log replay under the hash gate — "
+    "lake TABLE-format support, from the PUBLIC delta-io protocol "
+    "spec: zero-padded <version>.json commits (shipped inside the "
+    "repo's own ustar container, as log directories travel in "
+    "dumps), newline-delimited add/remove/metaData/protocol actions, "
+    "version-gap rejection, last-writer-wins add semantics, and "
+    "tombstone removal — the EXPLODED live-file snapshot with "
+    "partition values and stats-JSON numRecords is exactly what a "
+    "planner lists before scanning a Delta table.  The oracle "
+    "re-derives the surviving file set from the commit arithmetic "
+    "(every even commit >= 2 removes its predecessor's file).  "
+    "Scale: log replay is O(commits + files) metadata work per "
+    "table, embarrassingly parallel across tables; data files are "
+    "never touched.",
+    bench=True,
+)
+def lake_delta_log_snapshot(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.delta_snapshot_extract(M.synth_delta_log_payload(docs))
