@@ -6042,3 +6042,86 @@ def delta_snapshot_extract(df: DataFrame, payload_col: str = "log",
                 "size long, num_records long, lang string, n_live long, "
                 "n_removes long"),
     )
+
+
+def synth_sqlite_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``db`` column: a REAL SQLite database written by the
+    STDLIB sqlite3 (the reference implementation — so the from-
+    scratch reader is cross-validated by construction) at page_size
+    512 to force multi-page b-trees; table docs(id INTEGER PRIMARY
+    KEY, word TEXT, n INT) with n_chars %% 40 + 10 rows — row j:
+    (j+1, words[j %% nw], (31*id + j) %% 97)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col("text"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import sqlite3
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text, nc in zip(pdf["doc_id"], pdf["text"],
+                                   pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                words = str(text).split(" ")
+                k = nc % 40 + 10
+                con = sqlite3.connect(":memory:")
+                con.execute("PRAGMA page_size=512")
+                con.execute("CREATE TABLE docs (id INTEGER PRIMARY "
+                            "KEY, word TEXT, n INT)")
+                con.executemany(
+                    "INSERT INTO docs VALUES (?,?,?)",
+                    [(j + 1, words[j % len(words)], (31 * d + j) % 97)
+                     for j in range(k)])
+                con.commit()
+                payloads.append(bytes(con.serialize()))
+                con.close()
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "db": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, db binary")
+
+
+def sqlite_table_extract(df: DataFrame, payload_col: str = "db",
+                         id_col: str = "doc_id",
+                         table: str = "docs") -> DataFrame:
+    """REAL SQLite file walk over Arrow batches — header, "
+    "sqlite_master resolution, interior+leaf table b-trees, record "
+    "serial types, rowid-alias materialization — EXPLODED one row "
+    "per table row.  Corrupt databases flag one row."""
+    from .sqlite import read_sqlite_table
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("rowid", "word", "n")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rows = read_sqlite_table(bytes(p), table)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for rowid, vals in rows:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["rowid"].append(rowid)  # id column is a rowid
+                    out["word"].append(vals[1])  # alias (stored NULL)
+                    out["n"].append(vals[2])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, rowid long, word string, "
+                "n long"),
+    )

@@ -12995,3 +12995,38 @@ def lake_delta_log_snapshot(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.delta_snapshot_extract(M.synth_delta_log_payload(docs))
+
+
+@query(
+    "mm_sqlite_extract",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+                      CAST(n_chars % 40 + 10 AS BIGINT) AS k
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           CAST(j.j + 1 AS BIGINT) AS rowid,
+           words[CAST(j.j % len(words) AS INT) + 1] AS word,
+           CAST((31 * doc_id + j.j) % 97 AS BIGINT) AS n
+    FROM w, LATERAL unnest(generate_series(0, k - 1)) AS j(j)
+    """,
+    doc="SQLite database-file ingestion under the hash gate — the "
+    "ubiquitous app-export/experiment-tracker foreign file, walked "
+    "from the PUBLIC sqlite.org file format FROM SCRATCH (stdlib "
+    "sqlite3 is used only as the fixture WRITER, so every byte the "
+    "reader decodes was produced by the reference implementation): "
+    "100-byte header with the page-size escape, sqlite_master "
+    "resolution on page 1, interior (0x05) + leaf (0x0D) table "
+    "b-trees at page_size 512 so fixtures are genuinely multi-page, "
+    "varint rowids/payload lengths, overflow-chain reassembly with "
+    "the spec's local-payload formula, record serial types, and "
+    "INTEGER-PRIMARY-KEY rowid aliasing (stored NULL, materialized "
+    "from the cell rowid).  The oracle re-derives the row set from "
+    "word-index arithmetic.  Scale: Arrow CPU-map explode, zero "
+    "shuffle.",
+    bench=True,
+)
+def mm_sqlite_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.sqlite_table_extract(M.synth_sqlite_payload(docs))
