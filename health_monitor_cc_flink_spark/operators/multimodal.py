@@ -6125,3 +6125,100 @@ def sqlite_table_extract(df: DataFrame, payload_col: str = "db",
         schema=("doc_id long, ok boolean, rowid long, word string, "
                 "n long"),
     )
+
+
+def synth_iceberg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``meta`` column: a ustar tar of an Iceberg snapshot —
+    a manifest LIST plus doc_id %% 3 + 1 manifests of doc_id %% 4 + 2
+    entries each (all real Avro OCFs, deflate codec); entry (i, j)
+    is DELETED when (i+j) %% 4 == 3 and j > 0, else ADDED, with
+    closed-form counts/sizes and a lang partition value."""
+    from .iceberg import STATUS_ADDED, STATUS_DELETED, build_snapshot
+    from .tar import build_tar
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    langs = ("en", "de", "fr")
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                manifests = []
+                for i in range(d % 3 + 1):
+                    entries = []
+                    for j in range(d % 4 + 2):
+                        st = (STATUS_DELETED
+                              if (i + j) % 4 == 3 and j > 0
+                              else STATUS_ADDED)
+                        entries.append({
+                            "status": st,
+                            "file_path": f"data/m{i}/f{j}.parquet",
+                            "file_format": "PARQUET",
+                            "record_count": 50 + 10 * i + j,
+                            "file_size_in_bytes": 1000 + 31 * i + 7 * j,
+                            "lang": langs[(i + j) % 3],
+                        })
+                    manifests.append(entries)
+                files = build_snapshot(manifests)
+                members = [("metadata/", b"")] + [
+                    (name, files[name]) for name in sorted(files)
+                ]
+                payloads.append(build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "meta": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, meta binary")
+
+
+def iceberg_snapshot_extract(df: DataFrame, payload_col: str = "meta",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Untar an Iceberg snapshot and WALK it — manifest list ->
+    per-manifest OCF reads with recorded-length verification ->
+    live (non-DELETED) data-file census — EXPLODED one row per live
+    file."""
+    from .iceberg import walk_snapshot
+    from .tar import parse_tar
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("manifest_idx", "file_path", "file_format",
+                "record_count", "file_size", "lang", "n_manifests")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    members = parse_tar(bytes(p))
+                    files = {m["name"]: m["data"] for m in members
+                             if m["typeflag"] != "5"}
+                    snap = walk_snapshot(files)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for f in snap["live"]:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["manifest_idx"].append(f["manifest_idx"])
+                    out["file_path"].append(f["file_path"])
+                    out["file_format"].append(f["file_format"])
+                    out["record_count"].append(f["record_count"])
+                    out["file_size"].append(f["file_size_in_bytes"])
+                    out["lang"].append(f["lang"])
+                    out["n_manifests"].append(snap["n_manifests"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, manifest_idx long, "
+                "file_path string, file_format string, "
+                "record_count long, file_size long, lang string, "
+                "n_manifests long"),
+    )

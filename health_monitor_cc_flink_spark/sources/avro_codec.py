@@ -12,9 +12,11 @@ are exercised end-to-end rather than rotting behind an import gate.
 The codec implements the public Avro 1.x binary encoding spec
 (https://avro.apache.org/docs/current/specification/) for the types
 `sources.kafka.avro_schema_json` emits: record, string, int, long,
-float, double, boolean, and the timestamp-micros logical type (a long).
-No unions, arrays, maps, enums or defaults — the reference schema
-(schema.tf) uses none.  Conformance is pinned by a test that decodes
+float, double, boolean, and the timestamp-micros logical type (a long) —
+extended (for the Avro-OCF / Iceberg-manifest surface) with null,
+bytes, arrays, maps, and unions (encoded as zigzag branch index +
+value, per the same public spec).  Enums and defaults remain out of
+scope — nothing in the exercised schemas uses them.  Conformance is pinned by a test that decodes
 these bytes with the Java Avro library on Spark's classpath
 (tests/test_kafka_wire.py).
 """
@@ -97,8 +99,44 @@ def _encode(sch, value, buf: io.BytesIO) -> None:
         buf.write(struct.pack("<d", float(value)))
     elif sch == "boolean":
         buf.write(b"\x01" if value else b"\x00")
+    elif sch == "null":
+        pass
+    elif sch == "bytes":
+        raw = bytes(value)
+        write_long(buf, len(raw))
+        buf.write(raw)
+    elif isinstance(sch, list):  # union: zigzag branch index + value
+        branch = _union_branch(sch, value)
+        write_long(buf, branch)
+        _encode(sch[branch], value, buf)
+    elif isinstance(sch, dict) and sch.get("type") == "array":
+        if value:
+            write_long(buf, len(value))
+            for item in value:
+                _encode(sch["items"], item, buf)
+        write_long(buf, 0)
+    elif isinstance(sch, dict) and sch.get("type") == "map":
+        if value:
+            write_long(buf, len(value))
+            for k, v in value.items():
+                raw = k.encode("utf-8")
+                write_long(buf, len(raw))
+                buf.write(raw)
+                _encode(sch["values"], v, buf)
+        write_long(buf, 0)
     else:
         raise TypeError(f"unsupported Avro schema node: {sch!r}")
+
+
+def _union_branch(union: list, value) -> int:
+    """Pick the union branch for a Python value (the null/non-null
+    pattern real schemas use; first matching branch otherwise)."""
+    for i, node in enumerate(union):
+        if node == "null" and value is None:
+            return i
+        if node != "null" and value is not None:
+            return i
+    raise TypeError(f"no union branch for {value!r} in {union!r}")
 
 
 def _decode(sch, buf: io.BytesIO):
@@ -117,6 +155,37 @@ def _decode(sch, buf: io.BytesIO):
         return struct.unpack("<d", buf.read(8))[0]
     if sch == "boolean":
         return buf.read(1) == b"\x01"
+    if sch == "null":
+        return None
+    if sch == "bytes":
+        n = read_long(buf)
+        return buf.read(n)
+    if isinstance(sch, list):
+        return _decode(sch[read_long(buf)], buf)
+    if isinstance(sch, dict) and sch.get("type") == "array":
+        out = []
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block form: negative count then byte size
+                n = -n
+                read_long(buf)
+            for _ in range(n):
+                out.append(_decode(sch["items"], buf))
+    if isinstance(sch, dict) and sch.get("type") == "map":
+        out = {}
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                read_long(buf)
+            for _ in range(n):
+                klen = read_long(buf)
+                k = buf.read(klen).decode("utf-8")
+                out[k] = _decode(sch["values"], buf)
     raise TypeError(f"unsupported Avro schema node: {sch!r}")
 
 
