@@ -6222,3 +6222,87 @@ def iceberg_snapshot_extract(df: DataFrame, payload_col: str = "meta",
                 "record_count long, file_size long, lang string, "
                 "n_manifests long"),
     )
+
+
+def synth_tfrecord_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``tfr`` column: the document materialized as a
+    training shard — one tf.train.Example per 8-word chunk with
+    features {text: the chunk, tokens: per-word byte lengths
+    (Int64List), doc_id: [id], weight: [k * 0.25] (FloatList —
+    quarter steps are exact in binary floating point, so the gate
+    stays exact)} framed as TFRecords."""
+    from .tfrecord import encode_example, write_tfrecords
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                words = str(text).split(" ")
+                recs = []
+                for k in range(-(-len(words) // 8)):
+                    chunk = words[8 * k:8 * k + 8]
+                    recs.append(encode_example({
+                        "text": " ".join(chunk),
+                        "tokens": [len(w) for w in chunk],
+                        "doc_id": [d],
+                        "weight": [k * 0.25],
+                    }))
+                payloads.append(write_tfrecords(recs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "tfr": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, tfr binary")
+
+
+def tfrecord_examples_extract(df: DataFrame, payload_col: str = "tfr",
+                              id_col: str = "doc_id") -> DataFrame:
+    """REAL TFRecord walk over Arrow batches — both masked-CRC32C
+    checks per record, then a generic protobuf wire-format decode of
+    each tf.train.Example (packed and unpacked numeric lists) —
+    EXPLODED one row per training example."""
+    from .tfrecord import decode_example, read_tfrecords
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("rec_idx", "text", "n_tokens", "tokens_sum",
+                "example_doc_id", "weight")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    recs = [decode_example(r)
+                            for r in read_tfrecords(bytes(p))]
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for k, ex in enumerate(recs):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["rec_idx"].append(k)
+                    out["text"].append(
+                        bytes(ex["text"]).decode("utf-8"))
+                    out["n_tokens"].append(len(ex["tokens"]))
+                    out["tokens_sum"].append(sum(ex["tokens"]))
+                    out["example_doc_id"].append(ex["doc_id"][0])
+                    out["weight"].append(float(ex["weight"][0]))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, rec_idx long, text string, "
+                "n_tokens long, tokens_sum long, example_doc_id long, "
+                "weight double"),
+    )

@@ -13073,3 +13073,44 @@ def lake_iceberg_snapshot(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.iceberg_snapshot_extract(M.synth_iceberg_payload(docs))
+
+
+@query(
+    "mm_tfrecord_examples",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    c AS (SELECT doc_id, t.k,
+                 words[(8 * t.k + 1):(8 * t.k + 8)] AS chunk
+          FROM w, unnest(generate_series(0,
+                   CAST(ceil(len(words) / 8.0) AS BIGINT) - 1)) AS t(k))
+    SELECT doc_id, TRUE AS ok,
+           CAST(k AS BIGINT) AS rec_idx,
+           array_to_string(chunk, ' ') AS text,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           CAST(length(array_to_string(chunk, ''))
+                AS BIGINT) AS tokens_sum,
+           doc_id AS example_doc_id,
+           CAST(k * 0.25 AS DOUBLE) AS weight
+    FROM c
+    """,
+    doc="TFRecord / tf.train.Example materialization + read-back "
+    "under the hash gate — THE trainer-facing shard format, "
+    "implemented from the PUBLIC TensorFlow record layout and the "
+    "protobuf WIRE FORMAT from scratch (no tensorflow dependency): "
+    "u64-length framing with BOTH masked-CRC32C checks (the same "
+    "Castagnoli mask as the snappy framing, shared code), a generic "
+    "varint/length-delimited protobuf field walk, the Example -> "
+    "Features -> map<string, Feature> -> Bytes/Float/Int64List "
+    "message shape with PACKED and unpacked numeric lists both "
+    "accepted.  One Example per 8-word chunk; weights are exact "
+    "quarter steps so the float column gates exactly.  Scale: Arrow "
+    "CPU-map explode — shard materialization is the final, "
+    "embarrassingly parallel stage of the 100 TB pipeline.",
+    bench=True,
+)
+def mm_tfrecord_examples(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.tfrecord_examples_extract(M.synth_tfrecord_payload(docs))
