@@ -12772,11 +12772,22 @@ def ir_bm25_topk(spark, sf_dir):
         .agg(F.sum(F.col("idf_scaled") * F.col("w_milli"))
              .cast("long").alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (scored.withColumn("rank",
-                              F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 10)
-            .select("doc_id", "score", "rank"))
+    # two-phase global top-10 (same pattern as operators/skew.py
+    # group_top_k): phase 1 ranks within 32 hash buckets so no single
+    # task ever sorts the full matching-doc relation; phase 2 ranks
+    # the <= 320 survivors — identical output to one global window.
+    order = (F.desc("score"), F.asc("doc_id"))
+    w1 = Window.partitionBy("_salt").orderBy(*order)
+    w2 = Window.orderBy(*order)
+    return (
+        scored.withColumn("_salt", F.pmod(F.xxhash64("doc_id"),
+                                          F.lit(32)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= 10)
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "score", "rank")
+    )
 
 
 @query(
