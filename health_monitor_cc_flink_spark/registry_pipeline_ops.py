@@ -13125,3 +13125,93 @@ def mm_tfrecord_examples(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.tfrecord_examples_extract(M.synth_tfrecord_payload(docs))
+
+
+#: memoized ORC fixture per (session id, sf_dir): written once by
+#: Spark's OWN ORC writer, then introspected by the from-scratch tail
+#: walk — rewrite cost is one lineitem pass, so cache it like the LSH
+#: component fixture.
+_ORC_FIXTURE_CACHE: dict = {}
+
+
+def _orc_fixture(spark, sf_dir: str) -> str:
+    import glob as _glob
+    import os as _os
+
+    key = (id(spark), sf_dir)
+    path = _ORC_FIXTURE_CACHE.get(key)
+    if path and _os.path.exists(path):
+        return path
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"/tmp/orc_tail_fixture_{sf_tag}"
+    (_t(spark, sf_dir, "lineitem").coalesce(1)
+     .write.mode("overwrite").option("compression", "snappy").orc(out))
+    (path,) = _glob.glob(out + "/part-*.orc")
+    _ORC_FIXTURE_CACHE[key] = path
+    return path
+
+
+@query(
+    "meta_orc_tail",
+    """
+    WITH cols(col_idx, col_name, col_kind) AS (VALUES
+        (0, 'l_orderkey', 'LONG'), (1, 'l_partkey', 'LONG'),
+        (2, 'l_suppkey', 'LONG'), (3, 'l_linenumber', 'INT'),
+        (4, 'l_quantity', 'DOUBLE'), (5, 'l_extendedprice', 'DOUBLE'),
+        (6, 'l_discount', 'DOUBLE'), (7, 'l_tax', 'DOUBLE'),
+        (8, 'l_returnflag', 'STRING'), (9, 'l_linestatus', 'STRING'),
+        (10, 'l_shipdate', 'LONG'))  -- ts nanos ride as int64
+    SELECT CAST(col_idx AS BIGINT) AS col_idx, col_name, col_kind,
+           'SNAPPY' AS compression,
+           CAST(11 AS BIGINT) AS n_cols,
+           (SELECT count(*) FROM lineitem) AS n_rows
+    FROM cols
+    """,
+    doc="ORC file-tail introspection under the hash gate — the THIRD "
+    "lake file format (Parquet via Thrift compact, Avro OCF, now "
+    "ORC), from the PUBLIC ORC v1 spec: backwards tail read (last "
+    "byte = postscript length), protobuf postscript (decoded by the "
+    "same generic wire-format walker as the TFRecord surface), the "
+    "chunked compressed-footer stream ((len<<1)|isOriginal 3-byte "
+    "headers; raw-deflate ZLIB and the repo's from-scratch SNAPPY), "
+    "StripeInformation and the Type tree with packed repeated "
+    "subtypes.  The FIXTURE IS WRITTEN BY SPARK'S OWN ORC WRITER "
+    "(memoized per session+sf), so the walk is pinned against the "
+    "reference Java implementation; the gate checks the "
+    "deterministic surface (schema kinds/names, codec, row count = "
+    "count(*) FROM lineitem) while stripe-layout invariants (sum of "
+    "stripe rows == footer rows) pin in tests/test_orc_meta.py.  "
+    "Scale: a footer read is O(columns+stripes) without touching "
+    "data — how a planner sizes an ORC scan.",
+)
+def meta_orc_tail(spark, sf_dir):
+    from .operators.orc_meta import parse_orc_tail
+
+    path = _orc_fixture(spark, sf_dir)
+    files = (spark.read.format("binaryFile").load(path)
+             .select("content"))
+
+    def feats(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c: [] for c in ("col_idx", "col_name", "col_kind",
+                                   "compression", "n_cols", "n_rows")}
+            for blob in pdf["content"]:
+                m = parse_orc_tail(bytes(blob))
+                if sum(s["n_rows"] for s in m["stripes"]) != m["n_rows"]:
+                    raise ValueError("stripe rows != footer rows")
+                for i, (kind, name) in enumerate(m["schema"]):
+                    out["col_idx"].append(i)
+                    out["col_name"].append(name)
+                    out["col_kind"].append(kind)
+                    out["compression"].append(m["compression"])
+                    out["n_cols"].append(m["n_cols"])
+                    out["n_rows"].append(m["n_rows"])
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        feats,
+        schema=("col_idx long, col_name string, col_kind string, "
+                "compression string, n_cols long, n_rows long"),
+    )
