@@ -1,0 +1,226 @@
+"""Parquet DATA PAGE decode — reading the lake format's bytes itself.
+
+operators/parquet_meta.py walks the footer; this goes the rest of the
+way: it decodes actual column-chunk VALUES from the page bytes, with
+no pyarrow/Spark in the loop — the strongest possible proof that the
+engine understands its storage format.  From the PUBLIC parquet-format
+spec:
+
+* page headers — Thrift compact (the same generic reader as the
+  footer): PageHeader{type, uncompressed/compressed sizes,
+  DataPageHeader{num_values, encoding, def/rep level encodings},
+  DictionaryPageHeader{num_values, encoding},
+  DataPageHeaderV2{num_values, num_nulls, level byte lengths,
+  is_compressed};
+* page decompression — UNCOMPRESSED, SNAPPY (this repo's
+  from-scratch decoder), GZIP/zlib;
+* the RLE / BIT-PACKED HYBRID encoding (spec §Encodings): varint run
+  headers, LSB 0 ⇒ RLE run of a fixed-width little-endian value,
+  LSB 1 ⇒ (header>>1) groups of 8 bit-packed values LSB-first;
+  4-byte length prefix for v1 definition levels, bare for v2 levels
+  and for dictionary indices (which carry a leading bit-width byte);
+* value encodings — PLAIN for INT32/INT64/DOUBLE/FLOAT (little-
+  endian arrays), PLAIN BYTE_ARRAY (u32 length + bytes),
+  PLAIN_DICTIONARY/RLE_DICTIONARY index resolution against the
+  chunk's dictionary page;
+* definition levels materializing NULLs for optional columns
+  (max_def_level = 1 at top level).
+
+Correctness gate: column aggregates decoded here must equal SQL
+aggregates over the same file computed by DuckDB (the registry
+oracle) and by Spark's vectorized reader (tests).  Hostile input
+raises ``ValueError``; page sizes and counts are capped.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from .parquet_meta import _Reader
+from .snappy import snappy_decompress_block
+
+MAX_PAGE_BYTES = 1 << 26
+MAX_PAGES = 1 << 16
+
+
+def _bit_width(max_level: int) -> int:
+    return max_level.bit_length()
+
+
+def read_rle_hybrid(data: bytes, pos: int, end: int, bit_width: int,
+                    n: int) -> tuple[list[int], int]:
+    """Decode n values of RLE/bit-packed hybrid at bit_width."""
+    out: list[int] = []
+    byte_w = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
+    while len(out) < n:
+        if pos >= end:
+            raise ValueError("rle hybrid underrun")
+        header = 0
+        shift = 0
+        while True:
+            if pos >= end:
+                raise ValueError("rle hybrid varint truncated")
+            b = data[pos]
+            pos += 1
+            header |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if header & 1:  # bit-packed groups
+            groups = header >> 1
+            count = groups * 8
+            nbytes = groups * bit_width
+            if pos + nbytes > end:
+                raise ValueError("bit-packed run truncated")
+            acc = int.from_bytes(data[pos:pos + nbytes], "little")
+            pos += nbytes
+            for i in range(count):
+                out.append((acc >> (i * bit_width)) & mask)
+        else:  # RLE run
+            count = header >> 1
+            if bit_width == 0:
+                v = 0
+            else:
+                if pos + byte_w > end:
+                    raise ValueError("rle run value truncated")
+                v = int.from_bytes(data[pos:pos + byte_w], "little")
+                pos += byte_w
+            out.extend([v] * count)
+        if len(out) > n + 8 * 64:
+            raise ValueError("rle hybrid overrun")
+    return out[:n], pos
+
+
+def _plain_values(data: bytes, pos: int, n: int, ptype: str) -> list:
+    if ptype == "INT64":
+        end = pos + 8 * n
+        return list(struct.unpack_from(f"<{n}q", data, pos)), end
+    if ptype == "INT32":
+        end = pos + 4 * n
+        return list(struct.unpack_from(f"<{n}i", data, pos)), end
+    if ptype == "DOUBLE":
+        end = pos + 8 * n
+        return list(struct.unpack_from(f"<{n}d", data, pos)), end
+    if ptype == "FLOAT":
+        end = pos + 4 * n
+        return list(struct.unpack_from(f"<{n}f", data, pos)), end
+    if ptype == "BYTE_ARRAY":
+        out = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if pos + ln > len(data):
+                raise ValueError("byte_array overrun")
+            out.append(data[pos:pos + ln])
+            pos += ln
+        return out, pos
+    raise ValueError(f"plain decode for {ptype} unsupported")
+
+
+def _decompress(payload: bytes, codec: str, expected: int) -> bytes:
+    if codec == "UNCOMPRESSED":
+        raw = payload
+    elif codec == "SNAPPY":
+        raw = snappy_decompress_block(payload)
+    elif codec == "GZIP":
+        raw = zlib.decompress(payload, 31, MAX_PAGE_BYTES)
+    else:
+        raise ValueError(f"page codec {codec} unsupported here")
+    if len(raw) != expected:
+        raise ValueError("page decompressed size mismatch")
+    return raw
+
+
+def read_column_chunk(data: bytes, *, start_offset: int,
+                      num_values: int, ptype: str, codec: str,
+                      max_def_level: int = 1) -> list:
+    """Decode one column chunk -> values list (None for nulls),
+    walking dictionary + data pages (v1 and v2) from
+    ``start_offset`` until ``num_values`` are produced."""
+    pos = start_offset
+    dictionary: list | None = None
+    out: list = []
+    n_pages = 0
+    while len(out) < num_values:
+        n_pages += 1
+        if n_pages > MAX_PAGES:
+            raise ValueError("page cap exceeded")
+        r = _Reader(data)
+        r.pos = pos
+        hdr = r.struct()
+        pos = r.pos
+        page_type = hdr.get(1)
+        un_size = hdr.get(2)
+        c_size = hdr.get(3)
+        if c_size is None or un_size is None or c_size < 0 \
+                or un_size > MAX_PAGE_BYTES:
+            raise ValueError("bad page sizes")
+        payload = data[pos:pos + c_size]
+        if len(payload) != c_size:
+            raise ValueError("page payload truncated")
+        pos += c_size
+        if page_type == 2:  # dictionary page
+            dhdr = hdr.get(7, {})
+            n_dict = dhdr.get(1)
+            raw = _decompress(payload, codec, un_size)
+            dictionary, _ = _plain_values(raw, 0, n_dict, ptype)
+            continue
+        if page_type == 0:  # data page v1
+            dp = hdr.get(5, {})
+            n_vals = dp.get(1)
+            encoding = dp.get(2)
+            raw = _decompress(payload, codec, un_size)
+            p = 0
+            if max_def_level > 0:
+                (dl_len,) = struct.unpack_from("<I", raw, p)
+                p += 4
+                defs, _ = read_rle_hybrid(
+                    raw, p, p + dl_len, _bit_width(max_def_level),
+                    n_vals)
+                p += dl_len
+            else:
+                defs = [max_def_level] * n_vals
+        elif page_type == 3:  # data page v2
+            dp = hdr.get(8, {})
+            n_vals = dp.get(1)
+            encoding = dp.get(4)
+            dl_bytes = dp.get(5, 0)
+            rl_bytes = dp.get(6, 0)
+            levels = payload[:rl_bytes + dl_bytes]
+            body = payload[rl_bytes + dl_bytes:]
+            if hdr.get(8, {}).get(7, True) is not False:
+                body = _decompress(
+                    body, codec,
+                    un_size - rl_bytes - dl_bytes)
+            if max_def_level > 0 and dl_bytes:
+                defs, _ = read_rle_hybrid(
+                    levels, rl_bytes, rl_bytes + dl_bytes,
+                    _bit_width(max_def_level), n_vals)
+            else:
+                defs = [max_def_level] * n_vals
+            raw, p = body, 0
+        else:
+            raise ValueError(f"unexpected page type {page_type}")
+        n_present = sum(1 for d in defs if d == max_def_level)
+        if encoding == 0:  # PLAIN
+            vals, _ = _plain_values(raw, p, n_present, ptype)
+        elif encoding in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+            if dictionary is None:
+                raise ValueError("dictionary page missing")
+            bw = raw[p]
+            idx, _ = read_rle_hybrid(raw, p + 1, len(raw), bw,
+                                     n_present)
+            try:
+                vals = [dictionary[i] for i in idx]
+            except IndexError as exc:
+                raise ValueError("dictionary index out of range") from exc
+        else:
+            raise ValueError(f"value encoding {encoding} unsupported")
+        it = iter(vals)
+        for d in defs:
+            out.append(next(it) if d == max_def_level else None)
+    if len(out) != num_values:
+        raise ValueError("column chunk value count mismatch")
+    return out

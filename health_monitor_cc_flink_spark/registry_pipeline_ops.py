@@ -13301,3 +13301,95 @@ def corpus_idna_hosts(spark, sf_dir):
         schema=("doc_id long, ok boolean, host string, ace string, "
                 "roundtrip_ok boolean"),
     )
+
+
+@query(
+    "meta_parquet_data_scan",
+    """
+    SELECT 'l_orderkey' AS col_name, count(*) AS n_values,
+           CAST(0 AS BIGINT) AS n_nulls,
+           sum(l_orderkey) AS sum_v, min(l_orderkey) AS min_v,
+           max(l_orderkey) AS max_v, CAST(NULL AS BIGINT) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', count(*), 0, sum(l_partkey), min(l_partkey),
+           max(l_partkey), NULL FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', count(*), 0, sum(l_suppkey), min(l_suppkey),
+           max(l_suppkey), NULL FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', count(*), 0, sum(l_linenumber),
+           min(l_linenumber), max(l_linenumber), NULL FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), 0, NULL, NULL, NULL,
+           count(DISTINCT l_returnflag) FROM lineitem
+    """,
+    doc="Parquet DATA-PAGE decode under the hash gate — the engine "
+    "reading the lake format's ACTUAL BYTES with no pyarrow/Spark in "
+    "the loop: Thrift-compact page headers, dictionary pages, data "
+    "pages v1 AND v2, SNAPPY page decompression through the repo's "
+    "from-scratch decoder, the RLE/BIT-PACKED HYBRID encoding "
+    "(varint run headers, LSB-first packed groups, v1's 4-byte "
+    "def-level prefix, the dictionary-index bit-width byte), PLAIN "
+    "INT32/INT64/BYTE_ARRAY, and definition-level NULL "
+    "materialization.  Five columns of the REAL lineitem testdata "
+    "file are decoded value-by-value and aggregated; the oracle is "
+    "plain SQL over the same table — so one wrong bit anywhere in "
+    "the page walk breaks the hash against an independent C++ "
+    "reader.  Scale: column chunks are independent decode units — "
+    "exactly the parallelism a real scan uses; this is also the "
+    "foundation for reading FOREIGN parquet a crawl delivers, "
+    "without trusting its writer.",
+    bench=True,
+)
+def meta_parquet_data_scan(spark, sf_dir):
+    from .operators.parquet_data import read_column_chunk
+    from .operators.parquet_meta import parse_footer
+
+    files = (spark.read.format("binaryFile")
+             .load(f"{sf_dir}/lineitem.parquet")
+             .select("content"))
+    int_cols = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+    def feats(batches):
+        import pandas as pd
+
+        cols = ("col_name", "n_values", "n_nulls", "sum_v", "min_v",
+                "max_v", "n_distinct")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                m = parse_footer(data)
+                for col in int_cols + ("l_returnflag",):
+                    vals = []
+                    for rg in m["row_groups"]:
+                        cc = next(c for c in rg["columns"]
+                                  if c["path"] == col)
+                        start = (cc["dictionary_page_offset"]
+                                 or cc["data_page_offset"])
+                        vals.extend(read_column_chunk(
+                            data, start_offset=start,
+                            num_values=cc["num_values"],
+                            ptype=cc["type"], codec=cc["codec"]))
+                    nn = [v for v in vals if v is not None]
+                    out["col_name"].append(col)
+                    out["n_values"].append(len(vals))
+                    out["n_nulls"].append(len(vals) - len(nn))
+                    if col in int_cols:
+                        out["sum_v"].append(sum(nn))
+                        out["min_v"].append(min(nn))
+                        out["max_v"].append(max(nn))
+                        out["n_distinct"].append(None)
+                    else:
+                        out["sum_v"].append(None)
+                        out["min_v"].append(None)
+                        out["max_v"].append(None)
+                        out["n_distinct"].append(len(set(nn)))
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        feats,
+        schema=("col_name string, n_values long, n_nulls long, "
+                "sum_v long, min_v long, max_v long, n_distinct long"),
+    )
