@@ -216,6 +216,14 @@ def read_column_chunk(data: bytes, *, start_offset: int,
                 vals = [dictionary[i] for i in idx]
             except IndexError as exc:
                 raise ValueError("dictionary index out of range") from exc
+        elif encoding == 5:  # DELTA_BINARY_PACKED
+            if ptype not in ("INT32", "INT64"):
+                raise ValueError("delta-binary-packed on non-int")
+            vals, _ = read_delta_binary_packed(raw, p, n_present)
+        elif encoding == 6:  # DELTA_LENGTH_BYTE_ARRAY
+            vals, _ = read_delta_length_byte_array(raw, p, n_present)
+        elif encoding == 7:  # DELTA_BYTE_ARRAY
+            vals, _ = read_delta_byte_array(raw, p, n_present)
         else:
             raise ValueError(f"value encoding {encoding} unsupported")
         it = iter(vals)
@@ -224,3 +232,98 @@ def read_column_chunk(data: bytes, *, start_offset: int,
     if len(out) != num_values:
         raise ValueError("column chunk value count mismatch")
     return out
+
+
+def _zigzag_decode(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = value = 0
+    while True:
+        if pos >= len(data) or shift > 70:
+            raise ValueError("varint truncated")
+        b = data[pos]
+        value |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return value, pos
+        shift += 7
+
+
+def read_delta_binary_packed(data: bytes, pos: int,
+                             n: int) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (parquet-format Encodings.md): header =
+    <block size in values> <miniblocks per block> <total count>
+    <first value zigzag>; each block = <min delta zigzag>
+    <bitwidth byte per miniblock> <bit-packed deltas LSB-first>."""
+    block_size, pos = _read_uvarint(data, pos)
+    n_mini, pos = _read_uvarint(data, pos)
+    total, pos = _read_uvarint(data, pos)
+    if n_mini == 0 or block_size % 128 or block_size % n_mini:
+        raise ValueError("bad delta-binary-packed header")
+    vals_per_mini = block_size // n_mini
+    first_raw, pos = _read_uvarint(data, pos)
+    out = [_zigzag_decode(first_raw)]
+    while len(out) < total:
+        min_raw, pos = _read_uvarint(data, pos)
+        min_delta = _zigzag_decode(min_raw)
+        if pos + n_mini > len(data):
+            raise ValueError("delta miniblock widths truncated")
+        widths = data[pos:pos + n_mini]
+        pos += n_mini
+        for w in widths:
+            if len(out) >= total:
+                # trailing miniblocks may still occupy bytes; spec
+                # writers pad — consume and stop
+                nbytes = (vals_per_mini * w + 7) // 8
+                pos += nbytes
+                continue
+            nbytes = (vals_per_mini * w + 7) // 8
+            if pos + nbytes > len(data):
+                raise ValueError("delta miniblock truncated")
+            if w == 0:
+                deltas = [0] * vals_per_mini
+            else:
+                acc = int.from_bytes(data[pos:pos + nbytes], "little")
+                mask = (1 << w) - 1
+                deltas = [(acc >> (i * w)) & mask
+                          for i in range(vals_per_mini)]
+            pos += nbytes
+            for d in deltas:
+                if len(out) >= total:
+                    break
+                out.append(out[-1] + min_delta + d)
+    if n > total:
+        raise ValueError("delta-binary-packed short of requested n")
+    return out[:n], pos
+
+
+def read_delta_length_byte_array(data: bytes, pos: int,
+                                 n: int) -> tuple[list[bytes], int]:
+    """DELTA_LENGTH_BYTE_ARRAY: lengths as DELTA_BINARY_PACKED, then
+    the concatenated bytes."""
+    lengths, pos = read_delta_binary_packed(data, pos, n)
+    out = []
+    for ln in lengths:
+        if ln < 0 or pos + ln > len(data):
+            raise ValueError("delta-length byte array overrun")
+        out.append(data[pos:pos + ln])
+        pos += ln
+    return out, pos
+
+
+def read_delta_byte_array(data: bytes, pos: int,
+                          n: int) -> tuple[list[bytes], int]:
+    """DELTA_BYTE_ARRAY: prefix lengths (delta-packed) + suffixes as
+    DELTA_LENGTH_BYTE_ARRAY; value = prefix of previous + suffix."""
+    prefixes, pos = read_delta_binary_packed(data, pos, n)
+    suffixes, pos = read_delta_length_byte_array(data, pos, n)
+    out: list[bytes] = []
+    prev = b""
+    for pl, suf in zip(prefixes, suffixes):
+        if pl < 0 or pl > len(prev):
+            raise ValueError("delta-byte-array bad prefix length")
+        prev = prev[:pl] + suf
+        out.append(prev)
+    return out, pos

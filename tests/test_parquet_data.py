@@ -97,3 +97,30 @@ def test_plain_fallback_large_dictionary(tmp_path):
         data = f.read()
     xs = _decode_column(data, parse_footer(data), "x")
     assert xs == list(range(200_000))
+
+
+def test_delta_encodings(tmp_path):
+    """DELTA_BINARY_PACKED ints and DELTA_BYTE_ARRAY strings as
+    written by Arrow's v2 pages."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({
+        "x": pa.array([i * i - 7 * i for i in range(10_000)],
+                      type=pa.int64()),
+        "s": pa.array([f"prefix_common_{i // 10}_{i}"
+                       for i in range(10_000)]),
+    })
+    path = tmp_path / "delta.parquet"
+    pq.write_table(
+        table, path, compression="snappy", use_dictionary=False,
+        column_encoding={"x": "DELTA_BINARY_PACKED",
+                         "s": "DELTA_BYTE_ARRAY"},
+        version="2.6", data_page_version="2.0")
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_footer(data)
+    assert _decode_column(data, m, "x") == [
+        i * i - 7 * i for i in range(10_000)]
+    assert _decode_column(data, m, "s") == [
+        f"prefix_common_{i // 10}_{i}".encode() for i in range(10_000)]
