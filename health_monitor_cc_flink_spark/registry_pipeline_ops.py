@@ -13393,3 +13393,111 @@ def meta_parquet_data_scan(spark, sf_dir):
         schema=("col_name string, n_values long, n_nulls long, "
                 "sum_v long, min_v long, max_v long, n_distinct long"),
     )
+
+
+@query(
+    "streaming_tfrecord_shard_sink",
+    """
+    SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_records,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS ids_md5
+    FROM events
+    GROUP BY user_id % 8
+    """,
+    doc="Streaming -> TFRecord trainer-shard sink, then read-back "
+    "verification under the hash gate: the events STREAM drains "
+    "through foreachBatch, each micro-batch repartitioned by "
+    "user_id%%8 and written by executors as REAL TFRecord files "
+    "(one shard file per bucket per batch, records = tf.train."
+    "Example protobufs carrying event_id/bucket) — then the shards "
+    "are read BACK with the from-scratch TFRecord/protobuf reader "
+    "and reduced to per-bucket (count, md5 of the sorted event-id "
+    "list), which the oracle recomputes from the events table.  One "
+    "wrong byte in the sink or reader, one lost or duplicated "
+    "record in any micro-batch, breaks the hash.  Scale: the sink "
+    "is shard-parallel (a partition writes its own file, no driver "
+    "data path); read-back is an Arrow CPU-map explode.",
+)
+def streaming_tfrecord_shard_sink(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from .operators.tfrecord import decode_example
+    from .registry import _warehouse_path
+    from .sources.testdata import events_stream
+
+    out_dir = _warehouse_path(sf_dir, "tfr_shards")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("user_id") % 8).alias("bucket"))
+
+    def write_batch(df, epoch_id):
+        part = df.repartition(8, "bucket")
+
+        def write_partition(batches):
+            import pandas as pd
+
+            from health_monitor_cc_flink_spark.operators.tfrecord import (
+                encode_example,
+                write_tfrecords,
+            )
+
+            recs: dict[int, list] = {}
+            for pdf in batches:
+                for eid, bkt in zip(pdf["event_id"], pdf["bucket"]):
+                    recs.setdefault(int(bkt), []).append(
+                        encode_example({"event_id": [int(eid)],
+                                        "bucket": [int(bkt)]}))
+            n = 0
+            for bkt, rlist in recs.items():
+                name = (f"bucket={bkt}-epoch={epoch_id}-"
+                        f"{uuid.uuid4().hex}.tfr")
+                with open(os.path.join(out_dir, name), "wb") as f:
+                    f.write(write_tfrecords(rlist))
+                n += len(rlist)
+            yield pd.DataFrame({"written": [n]})
+
+        part.mapInPandas(write_partition,
+                         schema="written long").collect()
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "tfr_shards_ckpt")
+                 + uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    if not glob.glob(os.path.join(out_dir, "*.tfr")):
+        raise RuntimeError("tfrecord sink wrote no shards")
+    shards = (spark.read.format("binaryFile")
+              .load(os.path.join(out_dir, "*.tfr"))
+              .select("content"))
+
+    def read_back(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.tfrecord import (
+            read_tfrecords,
+        )
+
+        for pdf in batches:
+            out = {"bucket": [], "event_id": []}
+            for blob in pdf["content"]:
+                for rec in read_tfrecords(bytes(blob)):
+                    ex = decode_example(rec)
+                    out["bucket"].append(ex["bucket"][0])
+                    out["event_id"].append(ex["event_id"][0])
+            yield pd.DataFrame(out)
+
+    decoded = shards.mapInPandas(read_back,
+                                 schema="bucket long, event_id long")
+    return decoded.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.md5(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.col("event_id"))).cast("array<string>")))
+        .alias("ids_md5"),
+    )
