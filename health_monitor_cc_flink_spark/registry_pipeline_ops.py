@@ -12556,8 +12556,12 @@ def corpus_cdxj_index(spark, sf_dir):
 )
 def data_order_epoch_shards(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    e = docs.crossJoin(
-        spark.range(2).select(F.col("id").alias("epoch"))
+    # epoch expansion as a narrow explode — no join in the plan at all
+    # (a crossJoin with range(2) planned a BroadcastNestedLoopJoin)
+    e = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0).cast("long"),
+                          F.lit(1).cast("long"))).alias("epoch"),
     ).withColumn(
         "k",
         F.md5(F.concat(F.col("epoch").cast("string"), F.lit(":"),

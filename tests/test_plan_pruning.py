@@ -179,6 +179,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "events_pareto_concentration",  # scalar totals broadcast
         "text_keyword_extraction_topk", # scalar corpus-count broadcast
         "text_tfidf_components",        # scalar corpus-count broadcast
+        "ir_bm25_topk",                 # scalar (N, S) corpus-stats broadcast
         "class_balance_weights",        # scalar (total, n_classes) broadcast
         "orders_aging_buckets",         # scalar max-date broadcast
         "events_traffic_profile",       # scalar totals broadcast
