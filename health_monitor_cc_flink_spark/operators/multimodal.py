@@ -6306,3 +6306,92 @@ def tfrecord_examples_extract(df: DataFrame, payload_col: str = "tfr",
                 "n_tokens long, tokens_sum long, example_doc_id long, "
                 "weight double"),
     )
+
+
+def synth_bson_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``bson`` column: a mongodump-style stream of doc_id
+    %% 4 + 2 back-to-back BSON documents — each with an ObjectId-
+    shaped _id, an int32 idx, a string title (first two words +
+    ' #j'), an int64 n_words, a double score (exact half steps), a
+    bool, a null, an embedded doc and an array (exercising every
+    supported element type) — all closed-form."""
+    from .bson import encode_bson
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("text")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                words = str(text).split(" ")
+                head2 = " ".join(words[:2])
+                docs = []
+                for j in range(d % 4 + 2):
+                    docs.append(encode_bson({
+                        "_id": f"{d * 1000 + j:024x}",
+                        "idx": j,
+                        "title": f"{head2} #{j}",
+                        "n_words": len(words) + (1 << 40),
+                        "score": j * 0.5,
+                        "active": j % 2 == 0,
+                        "missing": None,
+                        "meta": {"lang": ("en", "de")[j % 2],
+                                 "rank": j},
+                        "tags": [f"t{j}", f"t{j + 1}"],
+                        "blob": bytes([j % 256]) * 3,
+                    }))
+                payloads.append(b"".join(docs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "bson": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, bson binary")
+
+
+def bson_stream_extract(df: DataFrame, payload_col: str = "bson",
+                        id_col: str = "doc_id") -> DataFrame:
+    """REAL BSON walk over Arrow batches — length-prefixed documents,
+    every supported element type, nested doc/array decode — EXPLODED
+    one row per dumped document."""
+    from .bson import decode_bson_stream
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("idx", "title", "n_words", "score", "active",
+                "lang", "n_tags")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    docs = decode_bson_stream(bytes(p))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for doc in docs:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["idx"].append(doc["idx"])
+                    out["title"].append(doc["title"])
+                    out["n_words"].append(doc["n_words"])
+                    out["score"].append(doc["score"])
+                    out["active"].append(doc["active"])
+                    out["lang"].append(doc["meta"]["lang"])
+                    out["n_tags"].append(len(doc["tags"]))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, idx long, title string, "
+                "n_words long, score double, active boolean, "
+                "lang string, n_tags long"),
+    )

@@ -13505,3 +13505,41 @@ def streaming_tfrecord_shard_sink(spark, sf_dir):
             F.collect_list(F.col("event_id"))).cast("array<string>")))
         .alias("ids_md5"),
     )
+
+
+@query(
+    "mm_bson_extract",
+    """
+    WITH w AS (SELECT doc_id,
+                      CAST(doc_id % 4 + 2 AS BIGINT) AS k,
+                      len(string_split(text, ' ')) AS nw,
+                      array_to_string(string_split(text, ' ')[1:2], ' ')
+                          AS head2
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           CAST(j.j AS BIGINT) AS idx,
+           head2 || ' #' || j.j AS title,
+           CAST(nw + (1::BIGINT << 40) AS BIGINT) AS n_words,
+           CAST(j.j * 0.5 AS DOUBLE) AS score,
+           j.j % 2 = 0 AS active,
+           (['en', 'de'])[CAST(j.j % 2 + 1 AS INT)] AS lang,
+           CAST(2 AS BIGINT) AS n_tags
+    FROM w, LATERAL unnest(generate_series(0, k - 1)) AS j(j)
+    """,
+    doc="BSON / mongodump ingestion under the hash gate — database "
+    "dumps are a standard corpus source, implemented from the PUBLIC "
+    "bsonspec.org layout from scratch: int32-length-prefixed "
+    "documents streamed back-to-back, cstring keys, and every "
+    "supported element type exercised per record (double, string, "
+    "embedded document, array, binary, ObjectId, bool, null, int32, "
+    "int64 — the int64 path forced with a +2^40 offset, the double "
+    "path kept exact with half steps).  EXPLODED one row per dumped "
+    "document; the oracle re-derives all fields closed-form.  "
+    "Scale: Arrow CPU-map explode, zero shuffle.",
+    bench=True,
+)
+def mm_bson_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.bson_stream_extract(M.synth_bson_payload(docs))
