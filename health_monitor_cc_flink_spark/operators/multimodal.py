@@ -6395,3 +6395,178 @@ def bson_stream_extract(df: DataFrame, payload_col: str = "bson",
                 "n_words long, score double, active boolean, "
                 "lang string, n_tags long"),
     )
+
+
+def synth_access_log_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``log`` column of Apache combined-format text: doc_id
+    %% 5 + 2 request lines; line j from 10.{d%%256}.{j%%250}.1, method
+    GET/POST by parity, target /doc/{d}/part{j}, status cycling
+    200/404/500, bytes 100+7j (absent '-' when j%%7==6), referer
+    http://ref.example/{d} (absent when j%%5==4), and a user-agent
+    carrying an ESCAPED QUOTE — closed-form for the oracle."""
+    from .logs import format_combined_log
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                lines = []
+                for j in range(d % 5 + 2):
+                    lines.append(format_combined_log({
+                        "host": f"10.{d % 256}.{j % 250}.1",
+                        "timestamp":
+                            f"01/Jan/2026:00:00:{j % 60:02d} +0000",
+                        "method": ("GET", "POST")[j % 2],
+                        "target": f"/doc/{d}/part{j}",
+                        "protocol": "HTTP/1.1",
+                        "status": (200, 404, 500)[j % 3],
+                        "n_bytes": None if j % 7 == 6 else 100 + 7 * j,
+                        "referer": (None if j % 5 == 4
+                                    else f"http://ref.example/{d}"),
+                        "user_agent":
+                            f'Mozilla/5.0 (Doc {d}; "q{j}") G/{j}',
+                    }))
+                payloads.append("\n".join(lines))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "log": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, log string")
+
+
+def access_log_extract(df: DataFrame, payload_col: str = "log",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Hand-tokenized combined-log parse (backslash escapes in quoted
+    fields, '-' nils) — EXPLODED one row per request line."""
+    from .logs import parse_combined_log
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("line_idx", "host", "method", "target", "status",
+                "n_bytes", "referer", "ua")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    parsed = [parse_combined_log(ln)
+                              for ln in str(p).splitlines() if ln]
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for j, f in enumerate(parsed):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["line_idx"].append(j)
+                    out["host"].append(f["host"])
+                    out["method"].append(f["method"])
+                    out["target"].append(f["target"])
+                    out["status"].append(f["status"])
+                    out["n_bytes"].append(f["n_bytes"])
+                    out["referer"].append(f["referer"])
+                    out["ua"].append(f["user_agent"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, line_idx long, host string, "
+                "method string, target string, status long, "
+                "n_bytes long, referer string, ua string"),
+    )
+
+
+def synth_syslog_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``log`` column of RFC 5424 lines: doc_id %% 4 + 2
+    messages; message j has facility (doc_id+j) %% 24, severity
+    j %% 8, a [meta@32473 url=... depth=...] structured-data element
+    whose url value contains an ESCAPED QUOTE, and a closed-form
+    message body."""
+    from .logs import format_syslog_5424
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                lines = []
+                for j in range(d % 4 + 2):
+                    lines.append(format_syslog_5424({
+                        "facility": (d + j) % 24,
+                        "severity": j % 8,
+                        "timestamp": f"2026-01-01T00:00:{j % 60:02d}Z",
+                        "hostname": f"h{d % 100}",
+                        "app": "crawler",
+                        "procid": str(1000 + j),
+                        "msgid": "FETCH",
+                        "sd": {"meta@32473": {
+                            "url": f'http://site{d % 50}.example/"p{j}"',
+                            "depth": str(j % 6)}},
+                        "msg": f"fetched {d} {j}",
+                    }))
+                payloads.append("\n".join(lines))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "log": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, log string")
+
+
+def syslog_extract(df: DataFrame, payload_col: str = "log",
+                   id_col: str = "doc_id") -> DataFrame:
+    """RFC 5424 parse — PRI facility/severity split, nil values,
+    structured-data with escapes — EXPLODED one row per message."""
+    from .logs import parse_syslog_5424
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("line_idx", "facility", "severity", "hostname", "app",
+                "procid", "sd_url", "sd_depth", "msg")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    parsed = [parse_syslog_5424(ln)
+                              for ln in str(p).splitlines() if ln]
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for j, f in enumerate(parsed):
+                    meta = f["sd"].get("meta@32473", {})
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["line_idx"].append(j)
+                    out["facility"].append(f["facility"])
+                    out["severity"].append(f["severity"])
+                    out["hostname"].append(f["hostname"])
+                    out["app"].append(f["app"])
+                    out["procid"].append(f["procid"])
+                    out["sd_url"].append(meta.get("url"))
+                    out["sd_depth"].append(meta.get("depth"))
+                    out["msg"].append(f["msg"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, line_idx long, "
+                "facility long, severity long, hostname string, "
+                "app string, procid string, sd_url string, "
+                "sd_depth string, msg string"),
+    )

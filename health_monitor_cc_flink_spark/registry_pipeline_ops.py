@@ -13543,3 +13543,77 @@ def mm_bson_extract(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.bson_stream_extract(M.synth_bson_payload(docs))
+
+
+@query(
+    "corpus_access_log_parse",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS BIGINT) AS k
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           CAST(j.j AS BIGINT) AS line_idx,
+           '10.' || (doc_id % 256) || '.' || (j.j % 250) || '.1'
+               AS host,
+           (['GET', 'POST'])[CAST(j.j % 2 + 1 AS INT)] AS method,
+           '/doc/' || doc_id || '/part' || j.j AS target,
+           CAST(([200, 404, 500])[CAST(j.j % 3 + 1 AS INT)]
+                AS BIGINT) AS status,
+           CASE WHEN j.j % 7 = 6 THEN NULL
+                ELSE CAST(100 + 7 * j.j AS BIGINT) END AS n_bytes,
+           CASE WHEN j.j % 5 = 4 THEN NULL
+                ELSE 'http://ref.example/' || doc_id END AS referer,
+           'Mozilla/5.0 (Doc ' || doc_id || '; "q' || j.j || '") G/'
+               || j.j AS ua
+    FROM p, LATERAL unnest(generate_series(0, k - 1)) AS j(j)
+    """,
+    doc="Apache combined-log parsing under the hash gate — server "
+    "logs are a classic web-scale corpus and the raw material of "
+    "crawl analytics; parsed with a hand-rolled tokenizer (not a "
+    "regex) from the PUBLIC mod_log_config grammar: bracketed "
+    "timestamps, quoted request/referer/user-agent fields with "
+    "BACKSLASH ESCAPES (the synth plants \\\" inside every UA), "
+    "'-' nils for bytes and referer, and request-line method/target/"
+    "protocol splitting.  EXPLODED one row per request; the oracle "
+    "re-derives every field including the escaped-quote UA string.  "
+    "Scale: Arrow CPU-map explode, zero shuffle.",
+    bench=True,
+)
+def corpus_access_log_parse(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.access_log_extract(M.synth_access_log_payload(docs))
+
+
+@query(
+    "corpus_syslog_parse",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS BIGINT) AS k
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           CAST(j.j AS BIGINT) AS line_idx,
+           CAST((doc_id + j.j) % 24 AS BIGINT) AS facility,
+           CAST(j.j % 8 AS BIGINT) AS severity,
+           'h' || (doc_id % 100) AS hostname,
+           'crawler' AS app,
+           CAST(1000 + j.j AS VARCHAR) AS procid,
+           'http://site' || (doc_id % 50) || '.example/"p' || j.j
+               || '"' AS sd_url,
+           CAST(j.j % 6 AS VARCHAR) AS sd_depth,
+           'fetched ' || doc_id || ' ' || j.j AS msg
+    FROM p, LATERAL unnest(generate_series(0, k - 1)) AS j(j)
+    """,
+    doc="RFC 5424 syslog parsing under the hash gate — the other "
+    "ubiquitous machine-log corpus: PRI decomposition into "
+    "facility*8+severity, version check, nil-value headers, and "
+    "STRUCTURED-DATA elements parsed with explicit escape handling "
+    "(the synth plants \\\" inside every sd url value).  EXPLODED "
+    "one row per message; the oracle re-derives every field "
+    "including the quoted url.  Scale: Arrow CPU-map explode, zero "
+    "shuffle.",
+)
+def corpus_syslog_parse(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.syslog_extract(M.synth_syslog_payload(docs))
