@@ -109,3 +109,52 @@ def test_lz4_truncated_rejected():
     good = lz4_compress_block(b"the quick brown fox " * 50)
     with pytest.raises(ValueError):
         lz4_decompress_block(good[:-3], 1000)
+
+
+# -- LZ4 frame format + xxHash32 ----------------------------------------
+
+def test_xxh32_known_vectors():
+    from health_monitor_cc_flink_spark.operators.lz4 import xxh32
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"Hello World") == 0xB1FD16EE
+    assert xxh32(b"Hello World", seed=1) != xxh32(b"Hello World")
+
+
+@pytest.mark.parametrize("data", CASES, ids=lambda d: f"n{len(d)}")
+def test_lz4_frame_cross_validation(data):
+    from health_monitor_cc_flink_spark.operators.lz4 import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    ref = pa.Codec("lz4")  # Arrow's 'lz4' codec IS the frame format
+    mine = lz4_frame_compress(data, block_checksums=True)
+    assert lz4_frame_decompress(mine) == data
+    assert ref.decompress(mine, len(data), asbytes=True) == data
+    theirs = ref.compress(data, asbytes=True)  # linked-block frames
+    assert lz4_frame_decompress(theirs) == data
+
+
+def test_lz4_frame_header_checksum_tamper():
+    from health_monitor_cc_flink_spark.operators.lz4 import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    framed = bytearray(lz4_frame_compress(b"payload " * 100))
+    framed[4] ^= 0x04  # flip the content-checksum FLG bit
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(bytes(framed))
+
+
+def test_lz4_frame_content_checksum_tamper():
+    from health_monitor_cc_flink_spark.operators.lz4 import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    framed = bytearray(lz4_frame_compress(b"z" * 5000))
+    framed[-1] ^= 0x01
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(bytes(framed))
