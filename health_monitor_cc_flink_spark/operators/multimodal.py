@@ -5299,7 +5299,12 @@ def codec_roundtrip_features(df: DataFrame, text_col: str = "text",
     needs.  Any codec error flags the row."""
     import hashlib
 
-    from .lz4 import lz4_compress_block, lz4_decompress_block
+    from .lz4 import (
+        lz4_compress_block,
+        lz4_decompress_block,
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
     from .snappy import snappy_frame_compress, snappy_frame_decompress
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
@@ -5308,7 +5313,7 @@ def codec_roundtrip_features(df: DataFrame, text_col: str = "text",
         import pandas as pd
 
         cols = ("n_bytes", "snappy_chunks", "snappy_md5", "lz4_md5",
-                "codecs_agree")
+                "lz4f_md5", "codecs_agree")
         for pdf in batches:
             out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
@@ -5319,6 +5324,8 @@ def codec_roundtrip_features(df: DataFrame, text_col: str = "text",
                                               chunk_bytes=chunk_bytes))
                     ldec = lz4_decompress_block(
                         lz4_compress_block(raw), len(raw))
+                    fdec = lz4_frame_decompress(
+                        lz4_frame_compress(raw, block_checksums=True))
                 except Exception:
                     out["doc_id"].append(doc_id)
                     out["ok"].append(False)
@@ -5331,14 +5338,15 @@ def codec_roundtrip_features(df: DataFrame, text_col: str = "text",
                 out["snappy_chunks"].append(nch)
                 out["snappy_md5"].append(hashlib.md5(sdec).hexdigest())
                 out["lz4_md5"].append(hashlib.md5(ldec).hexdigest())
-                out["codecs_agree"].append(sdec == ldec)
+                out["lz4f_md5"].append(hashlib.md5(fdec).hexdigest())
+                out["codecs_agree"].append(sdec == ldec == fdec)
             yield pd.DataFrame(out)
 
     return src.mapInPandas(
         feats,
         schema=("doc_id long, ok boolean, n_bytes long, "
                 "snappy_chunks long, snappy_md5 string, lz4_md5 string, "
-                "codecs_agree boolean"),
+                "lz4f_md5 string, codecs_agree boolean"),
     )
 
 

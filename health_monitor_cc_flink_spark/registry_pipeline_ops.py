@@ -12368,6 +12368,7 @@ def mm_ogg_metadata(spark, sf_dir):
                          AS BIGINT), 1) AS snappy_chunks,
            md5(text) AS snappy_md5,
            md5(text) AS lz4_md5,
+           md5(text) AS lz4f_md5,
            TRUE AS codecs_agree
     FROM documents
     """,
@@ -12379,7 +12380,11 @@ def mm_ogg_metadata(spark, sf_dir):
     "overlapping-copy RLE, the framing format's per-chunk MASKED "
     "CRC-32C (Castagnoli table built in-module; rotr15+0xA282EAD8 "
     "mask), LZ4 token/extension sequences with the last-5-literals "
-    "and 12-byte-margin end rules.  Both codecs are cross-validated "
+    "and 12-byte-margin end rules — plus the LZ4 FRAME format "
+    "(magic + FLG/BD descriptor with the xxh32 header-checksum "
+    "byte, stored/compressed blocks, linked-block history windows, "
+    "block + content xxHash32 checksums, the hash itself from "
+    "scratch against public vectors).  All codecs are cross-validated "
     "two-way against Arrow's native snappy/lz4_raw in tests/"
     "test_codecs.py; the gate pins decode(encode(text)) == text at "
     "4096-byte snappy chunking.  Scale: pure Arrow CPU-map, zero "
