@@ -189,10 +189,10 @@ def parse_tga(data: bytes) -> dict:
         if base == 3:
             return (raw[o],)
         if base == 1:
-            idx = raw[o]
-            if idx >= len(palette):
+            j = raw[o] - cm_first
+            if not 0 <= j < len(palette):
                 raise ValueError("TGA colormap index out of range")
-            return palette[idx - cm_first] if cm_first else palette[idx]
+            return palette[j]
         if bpp == 3:
             return (raw[o + 2], raw[o + 1], raw[o])
         return (raw[o + 2], raw[o + 1], raw[o], raw[o + 3])
