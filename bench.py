@@ -161,7 +161,19 @@ def _write_round_artifacts(payload: dict, round_no: str) -> None:
     prev_path = os.path.join(here, f"BENCH_r{rn - 1:02d}.json")
     if os.path.exists(prev_path):
         with open(prev_path) as f:
-            prev = json.load(f)["queries"]
+            raw = json.load(f)
+        if "queries" in raw:
+            prev = raw["queries"]
+        else:
+            # the DRIVER's artifact wraps the bench's JSON line inside
+            # a captured-output field; recover the embedded line
+            blob = (raw.get("tail") or "") + (raw.get("stdout") or "")
+            start = blob.find('{"metric"')
+            try:
+                prev = json.loads(
+                    blob[start:].splitlines()[0])["queries"]
+            except (ValueError, KeyError):
+                prev = {}
         common = sorted(set(prev) & set(timings))
         if common:
             now_s = sum(timings[q] for q in common)

@@ -1,0 +1,281 @@
+"""ORC stripe DATA decode — the ORC counterpart of parquet_data.py.
+
+Decodes actual column values from ORC stripe bytes using only this
+repo's primitives, from the PUBLIC ORC v1 specification:
+
+* stripe footer (protobuf, compressed like the file footer): Stream
+  {kind, column, length} layout and ColumnEncoding {kind,
+  dictionarySize};
+* Byte-RLE (the "RLEv1 byte" coding of boolean/present streams):
+  control 0..127 ⇒ run of control+3 copies of the next byte,
+  128..255 ⇒ 256-control literal bytes; PRESENT bits MSB-first;
+* integer RLEv2 (DIRECT_V2 encodings), all four sub-formats:
+  SHORT_REPEAT (width+count in the header byte, big-endian value),
+  DIRECT (5-bit closed-form width code, big-endian bit-packed),
+  DELTA (base + zigzag delta literal, then bit-packed delta run),
+  PATCHED_BASE (base width, patch width, gap/patch list applied over
+  the packed values);
+* unsigned vs signed: DATA streams of signed columns zigzag-decode,
+  LENGTH / dictionary index streams stay unsigned;
+* DOUBLE: IEEE-754 little-endian stream;
+* STRING DICTIONARY_V2: DATA = RLEv2 indices, LENGTH = RLEv2 byte
+  lengths, DICTIONARY_DATA = concatenated utf-8;
+* STRING DIRECT_V2: DATA = concatenated bytes, LENGTH = RLEv2.
+
+Every decoded column is validated value-by-value against what
+Spark's own ORC writer wrote (tests/test_orc_data.py).  Hostile
+input raises ``ValueError``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .orc_meta import _decompress_stream, _uint_list, _varint_val
+from .tfrecord import proto_decode
+
+MAX_VALUES = 1 << 24
+
+#: closed-form 5-bit width-code table from the ORC spec: DIRECT /
+#: PATCHED_BASE map code c -> c+1 bits for 0..23 then the wide steps;
+#: DELTA uses the same table except code 0 means width 0 (fixed-delta)
+_WIDTH = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+          18, 19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48, 56, 64]
+#: SHORT_REPEAT and PATCHED_BASE byte widths are direct (1-8)
+
+STREAM_PRESENT = 0
+STREAM_DATA = 1
+STREAM_LENGTH = 2
+STREAM_DICTIONARY = 3
+STREAM_ROW_INDEX = 6
+
+ENC_DIRECT = 0
+ENC_DICTIONARY = 1
+ENC_DIRECT_V2 = 2
+ENC_DICTIONARY_V2 = 3
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = value = 0
+    while True:
+        if pos >= len(data) or shift > 70:
+            raise ValueError("orc varint truncated")
+        b = data[pos]
+        value |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return value, pos
+        shift += 7
+
+
+def _unpack_be(data: bytes, pos: int, width: int,
+               count: int) -> tuple[list[int], int]:
+    """Big-endian bit-packing as RLEv2 DIRECT uses: values
+    concatenated MSB-first."""
+    nbits = width * count
+    nbytes = (nbits + 7) // 8
+    if pos + nbytes > len(data):
+        raise ValueError("orc bit-packed run truncated")
+    acc = int.from_bytes(data[pos:pos + nbytes], "big")
+    acc >>= nbytes * 8 - nbits
+    mask = (1 << width) - 1
+    out = [(acc >> ((count - 1 - i) * width)) & mask
+           for i in range(count)]
+    return out, pos + nbytes
+
+
+def decode_rlev2(data: bytes, *, signed: bool,
+                 n: int | None = None) -> list[int]:
+    """Decode an entire RLEv2 integer stream."""
+    out: list[int] = []
+    pos = 0
+    end = len(data)
+    while pos < end and (n is None or len(out) < n):
+        first = data[pos]
+        kind = first >> 6
+        if kind == 0:  # SHORT_REPEAT
+            width = ((first >> 3) & 0x7) + 1
+            count = (first & 0x7) + 3
+            if pos + 1 + width > end:
+                raise ValueError("short-repeat truncated")
+            v = int.from_bytes(data[pos + 1:pos + 1 + width], "big")
+            pos += 1 + width
+            if signed:
+                v = _zigzag(v)
+            out.extend([v] * count)
+        elif kind == 1:  # DIRECT
+            width = _WIDTH[(first >> 1) & 0x1F]
+            count = (((first & 0x1) << 8) | data[pos + 1]) + 1
+            pos += 2
+            vals, pos = _unpack_be(data, pos, width, count)
+            if signed:
+                vals = [_zigzag(v) for v in vals]
+            out.extend(vals)
+        elif kind == 3:  # DELTA
+            wcode = (first >> 1) & 0x1F
+            width = _WIDTH[wcode] if wcode else 0
+            count = (((first & 0x1) << 8) | data[pos + 1]) + 1
+            pos += 2
+            base_raw, pos = _read_uvarint(data, pos)
+            base = _zigzag(base_raw) if signed else base_raw
+            dr, pos = _read_uvarint(data, pos)
+            delta0 = _zigzag(dr)
+            vals = [base]
+            if count > 1:
+                vals.append(base + delta0)
+            if width and count > 2:
+                deltas, pos = _unpack_be(data, pos, width, count - 2)
+                sign = 1 if delta0 >= 0 else -1
+                for d in deltas:
+                    vals.append(vals[-1] + sign * d)
+            else:
+                for _ in range(count - 2):
+                    vals.append(vals[-1] + delta0)
+            out.extend(vals)
+        else:  # PATCHED_BASE
+            width = _WIDTH[(first >> 1) & 0x1F]
+            count = (((first & 0x1) << 8) | data[pos + 1]) + 1
+            third, fourth = data[pos + 2], data[pos + 3]
+            bw = ((third >> 5) & 0x7) + 1
+            pw = _WIDTH[third & 0x1F]
+            pgw = ((fourth >> 5) & 0x7) + 1
+            pll = fourth & 0x1F
+            pos += 4
+            if pos + bw > end:
+                raise ValueError("patched-base base truncated")
+            base = int.from_bytes(data[pos:pos + bw], "big")
+            msb = 1 << (bw * 8 - 1)
+            if base & msb:  # sign-magnitude base per spec
+                base = -(base & (msb - 1))
+            pos += bw
+            vals, pos = _unpack_be(data, pos, width, count)
+            patch_w = pw + pgw
+            patches, pos = _unpack_be(
+                data, pos, ((patch_w + 7) // 8) * 8, pll)
+            idx = 0
+            for pgv in patches:
+                gap = pgv >> pw
+                patch = pgv & ((1 << pw) - 1)
+                idx += gap
+                if idx >= count:
+                    raise ValueError("patch index out of range")
+                vals[idx] |= patch << width
+            out.extend(v + base for v in vals)
+        if len(out) > MAX_VALUES:
+            raise ValueError("rlev2 output cap exceeded")
+    if n is not None and len(out) < n:
+        raise ValueError("rlev2 stream short")
+    return out if n is None else out[:n]
+
+
+def decode_byte_rle(data: bytes, n: int | None = None) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and (n is None or len(out) < n):
+        ctrl = data[pos]
+        pos += 1
+        if ctrl < 128:  # run
+            if pos >= len(data):
+                raise ValueError("byte-rle run truncated")
+            out += bytes([data[pos]]) * (ctrl + 3)
+            pos += 1
+        else:  # literals
+            cnt = 256 - ctrl
+            if pos + cnt > len(data):
+                raise ValueError("byte-rle literals truncated")
+            out += data[pos:pos + cnt]
+            pos += cnt
+        if len(out) > MAX_VALUES:
+            raise ValueError("byte-rle cap exceeded")
+    return bytes(out if n is None else out[:n])
+
+
+def decode_present(data: bytes, n_rows: int) -> list[bool]:
+    raw = decode_byte_rle(data, (n_rows + 7) // 8)
+    return [bool(raw[i // 8] & (0x80 >> (i % 8)))
+            for i in range(n_rows)]
+
+
+def read_stripe_column(data: bytes, stripe: dict, kind_name: str,
+                       column_id: int, codec: str,
+                       n_rows: int) -> list:
+    """Decode one column of one stripe -> values (None for nulls).
+    ``stripe`` is an operators.orc_meta stripe dict; ``column_id`` is
+    the TYPE index (root struct = 0, first column = 1...)."""
+    foot_off = (stripe["offset"] + stripe["index_length"]
+                + stripe["data_length"])
+    sf_raw = _decompress_stream(
+        data[foot_off:foot_off + stripe["footer_length"]], codec)
+    sf = proto_decode(sf_raw)
+    streams = []
+    for blob in sf.get(1, []):
+        st = proto_decode(bytes(blob))
+        streams.append({
+            "kind": _varint_val(st.get(1, [0])[-1]),
+            "column": _varint_val(st.get(2, [0])[-1]),
+            "length": _varint_val(st.get(3, [0])[-1]),
+        })
+    encodings = []
+    for blob in sf.get(2, []):
+        enc = proto_decode(bytes(blob))
+        encodings.append({
+            "kind": _varint_val(enc.get(1, [0])[-1]),
+            "dict_size": _varint_val(enc.get(2, [0])[-1])
+            if 2 in enc else 0,
+        })
+
+    def stream_bytes(col: int, kind: int) -> bytes | None:
+        off = stripe["offset"]
+        for st in streams:
+            if st["column"] == col and st["kind"] == kind \
+                    and st["kind"] != STREAM_ROW_INDEX:
+                return _decompress_stream(
+                    data[off:off + st["length"]], codec)
+            off += st["length"]
+        return None
+
+    enc = encodings[column_id]["kind"]
+    present_raw = stream_bytes(column_id, STREAM_PRESENT)
+    present = (decode_present(present_raw, n_rows)
+               if present_raw is not None else [True] * n_rows)
+    n_present = sum(present)
+    body = stream_bytes(column_id, STREAM_DATA)
+    if body is None:
+        raise ValueError(f"column {column_id} has no DATA stream")
+    if kind_name in ("LONG", "INT", "SHORT", "BYTE", "DATE"):
+        if enc not in (ENC_DIRECT_V2, ENC_DIRECT):
+            raise ValueError("unexpected int encoding")
+        vals = decode_rlev2(body, signed=True, n=n_present)
+    elif kind_name == "DOUBLE":
+        vals = list(struct.unpack_from(f"<{n_present}d", body, 0))
+    elif kind_name == "FLOAT":
+        vals = list(struct.unpack_from(f"<{n_present}f", body, 0))
+    elif kind_name == "STRING":
+        lengths_raw = stream_bytes(column_id, STREAM_LENGTH)
+        lengths = decode_rlev2(lengths_raw, signed=False)
+        if enc in (ENC_DICTIONARY_V2, ENC_DICTIONARY):
+            dict_raw = stream_bytes(column_id, STREAM_DICTIONARY)
+            words = []
+            p = 0
+            for ln in lengths:
+                words.append(dict_raw[p:p + ln].decode("utf-8"))
+                p += ln
+            idx = decode_rlev2(body, signed=False, n=n_present)
+            try:
+                vals = [words[i] for i in idx]
+            except IndexError as exc:
+                raise ValueError("orc dictionary index range") from exc
+        else:  # DIRECT_V2
+            vals = []
+            p = 0
+            for ln in lengths[:n_present]:
+                vals.append(body[p:p + ln].decode("utf-8"))
+                p += ln
+    else:
+        raise ValueError(f"orc data decode for {kind_name} unsupported")
+    it = iter(vals)
+    return [next(it) if ok else None for ok in present]
