@@ -97,6 +97,8 @@ def decode_rlev2(data: bytes, *, signed: bool,
     while pos < end and (n is None or len(out) < n):
         first = data[pos]
         kind = first >> 6
+        if kind != 0 and pos + 2 > end:
+            raise ValueError("rlev2 header truncated")
         if kind == 0:  # SHORT_REPEAT
             width = ((first >> 3) & 0x7) + 1
             count = (first & 0x7) + 3

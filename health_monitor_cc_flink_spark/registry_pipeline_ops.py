@@ -13635,9 +13635,9 @@ def corpus_syslog_parse(spark, sf_dir):
     SELECT 'l_linenumber', count(*), sum(l_linenumber),
            min(l_linenumber), max(l_linenumber), NULL FROM lineitem
     UNION ALL
-    SELECT 'l_shipdate', count(*), NULL, min(l_shipdate_ns),
-           max(l_shipdate_ns), NULL
-    FROM (SELECT epoch_ns(l_shipdate) AS l_shipdate_ns FROM lineitem)
+    SELECT 'l_shipdate', count(*), NULL, min(l_shipdate_us),
+           max(l_shipdate_us), NULL
+    FROM (SELECT epoch_us(l_shipdate) AS l_shipdate_us FROM lineitem)
     UNION ALL
     SELECT 'l_returnflag', count(*), NULL, NULL, NULL,
            count(DISTINCT l_returnflag) FROM lineitem
@@ -13651,8 +13651,8 @@ def corpus_syslog_parse(spark, sf_dir):
     "present streams, dictionary-v2 strings, chunked ZLIB/SNAPPY "
     "stream decompression via the repo's own codecs.  The fixture "
     "is written by Spark's OWN ORC writer and the oracle is plain "
-    "SQL over lineitem (shipdate compared as epoch nanos — the "
-    "loader carries ns-as-long), so one wrong bit in any RLEv2 "
+    "SQL over lineitem (shipdate compared as epoch micros — the "
+    "loader normalizes ns-as-long to micros), so one wrong bit in any RLEv2 "
     "sub-format breaks the hash.  Scale: stripes x columns are the "
     "independent decode units a distributed ORC scan schedules.",
 )

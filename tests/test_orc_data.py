@@ -85,7 +85,8 @@ def test_spark_written_lineitem_value_exact(spark, tmp_path):
 
     out = str(tmp_path / "li")
     (load_table(spark, "/root/testdata/sf0.001", "lineitem")
-     .coalesce(1).write.mode("overwrite").orc(out))
+     .coalesce(1).write.mode("overwrite")
+     .option("compression", "snappy").orc(out))
     (path,) = glob.glob(out + "/part-*.orc")
     with open(path, "rb") as f:
         data = f.read()
