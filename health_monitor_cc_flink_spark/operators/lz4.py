@@ -278,6 +278,8 @@ def lz4_frame_decompress(data: bytes) -> bytes:
         body = data[pos:pos + ln]
         pos += ln
         if block_checksums:
+            if pos + 4 > len(data):
+                raise ValueError("truncated LZ4 block checksum")
             (bc,) = struct.unpack_from("<I", data, pos)
             pos += 4
             if xxh32(body) != bc:

@@ -139,6 +139,8 @@ def decode_rlev2(data: bytes, *, signed: bool,
                     vals.append(vals[-1] + delta0)
             out.extend(vals)
         else:  # PATCHED_BASE
+            if pos + 4 > end:
+                raise ValueError("patched-base header truncated")
             width = _WIDTH[(first >> 1) & 0x1F]
             count = (((first & 0x1) << 8) | data[pos + 1]) + 1
             third, fourth = data[pos + 2], data[pos + 3]
@@ -155,9 +157,16 @@ def decode_rlev2(data: bytes, *, signed: bool,
                 base = -(base & (msb - 1))
             pos += bw
             vals, pos = _unpack_be(data, pos, width, count)
+            # the (gap,patch) pairs are packed at closestFixedBits(
+            # pw+pgw) — the next width in the spec's closed-form table,
+            # NOT byte-rounded (Java RunLengthIntegerWriterV2 uses
+            # getClosestFixedBits; a 5+8=13-bit pair packs at 13, a
+            # 25-bit pair at 26)
             patch_w = pw + pgw
-            patches, pos = _unpack_be(
-                data, pos, ((patch_w + 7) // 8) * 8, pll)
+            if patch_w > 64:
+                raise ValueError("patched-base patch width > 64")
+            cfb = next(w for w in _WIDTH if w >= patch_w)
+            patches, pos = _unpack_be(data, pos, cfb, pll)
             idx = 0
             for pgv in patches:
                 gap = pgv >> pw

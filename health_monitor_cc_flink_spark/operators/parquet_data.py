@@ -94,6 +94,9 @@ def read_rle_hybrid(data: bytes, pos: int, end: int, bit_width: int,
 
 
 def _plain_values(data: bytes, pos: int, n: int, ptype: str) -> list:
+    widths = {"INT64": 8, "INT32": 4, "DOUBLE": 8, "FLOAT": 4}
+    if ptype in widths and pos + widths[ptype] * n > len(data):
+        raise ValueError("plain values truncated")
     if ptype == "INT64":
         end = pos + 8 * n
         return list(struct.unpack_from(f"<{n}q", data, pos)), end
@@ -109,6 +112,8 @@ def _plain_values(data: bytes, pos: int, n: int, ptype: str) -> list:
     if ptype == "BYTE_ARRAY":
         out = []
         for _ in range(n):
+            if pos + 4 > len(data):
+                raise ValueError("byte_array length truncated")
             (ln,) = struct.unpack_from("<I", data, pos)
             pos += 4
             if pos + ln > len(data):

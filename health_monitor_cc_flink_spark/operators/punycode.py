@@ -136,7 +136,10 @@ def punycode_decode(text: str) -> str:
             k += _BASE
         bias = _adapt(i - oldi, len(output) + 1, oldi == 0)
         n += i // (len(output) + 1)
-        if n > 0x10FFFF:
+        if n > 0x10FFFF or 0xD800 <= n <= 0xDFFF:
+            # lone surrogates are not valid scalar values: they pass
+            # chr() but explode at any later UTF-8 encode (Arrow),
+            # far from the parse site — reject here like strict IDNA
             raise ValueError("punycode code point out of range")
         i %= len(output) + 1
         output.insert(i, chr(n))

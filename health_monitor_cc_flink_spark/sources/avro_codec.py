@@ -161,7 +161,10 @@ def _decode(sch, buf: io.BytesIO):
         n = read_long(buf)
         return buf.read(n)
     if isinstance(sch, list):
-        return _decode(sch[read_long(buf)], buf)
+        branch = read_long(buf)
+        if not 0 <= branch < len(sch):
+            raise ValueError("avro union branch out of range")
+        return _decode(sch[branch], buf)
     if isinstance(sch, dict) and sch.get("type") == "array":
         out = []
         while True:

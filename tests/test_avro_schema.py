@@ -35,3 +35,20 @@ def test_avro_schema_is_deterministic():
         for seg in a.split('"name": "')[1:]
     ]
     assert len(names) == len(set(names))
+
+
+def test_union_branch_out_of_range_rejected():
+    import io
+    import struct
+
+    import pytest
+
+    from health_monitor_cc_flink_spark.sources.avro_codec import _decode
+
+    sch = ["null", "long"]
+    # zigzag(5) = 10 -> branch index 5 on a 2-branch union
+    with pytest.raises(ValueError):
+        _decode(sch, io.BytesIO(bytes([10])))
+    # zigzag(-1) = 1 -> negative branch must not wrap to the end
+    with pytest.raises(ValueError):
+        _decode(sch, io.BytesIO(bytes([1])))

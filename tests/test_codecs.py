@@ -158,3 +158,21 @@ def test_lz4_frame_content_checksum_tamper():
     framed[-1] ^= 0x01
     with pytest.raises(ValueError):
         lz4_frame_decompress(bytes(framed))
+
+
+def test_lz4_frame_truncated_block_checksum():
+    from health_monitor_cc_flink_spark.operators.lz4 import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    framed = lz4_frame_compress(b"payload " * 400, block_checksums=True)
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(framed[: len(framed) - 10])
+    # truncations at every tail offset must raise ValueError, never
+    # struct.error / IndexError
+    for cut in range(1, 24):
+        try:
+            lz4_frame_decompress(framed[: len(framed) - cut])
+        except ValueError:
+            pass

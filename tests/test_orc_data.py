@@ -22,6 +22,13 @@ INT_CASES = {
     "delta_down": list(range(0, -3000, -3)),
     "direct": [(i * 37) % 1000 - 500 for i in range(600)],
     "patched_base": [10] * 300 + [1 << 40] + [11] * 200,
+    # narrow 5-bit base with 2^11 outliers: the (gap,patch) pairs pack
+    # at a NON-byte-aligned closestFixedBits width — the r11 decoder
+    # byte-rounded it and misdecoded exactly this shape
+    "patched_narrow": [
+        2048 + i if i % 47 == 0 else (i * 13) % 32 for i in range(512)
+    ],
+    "patched_narrow_sparse": [5] * 500 + [2048, 4000] + [9] * 10,
     "random_wide": [random.randrange(-10**12, 10**12)
                     for _ in range(5000)],
     "random_narrow": [random.randrange(0, 3) for _ in range(5000)],
@@ -122,3 +129,7 @@ def test_rlev2_hostile():
         decode_rlev2(b"\x40", signed=True, n=10)  # truncated direct
     with pytest.raises(ValueError):
         decode_rlev2(b"", signed=True, n=1)
+    # patched-base stream truncated inside the 4-byte header must be a
+    # ValueError, not IndexError (kind==2 is first>>6 == 2)
+    with pytest.raises(ValueError):
+        decode_rlev2(bytes([0x80, 0x01, 0x22]), signed=True, n=3)

@@ -60,3 +60,19 @@ def test_bad_digit_rejected():
 def test_empty_label_rejected():
     with pytest.raises(ValueError):
         idna_encode_host("a..b")
+
+
+def test_surrogate_code_point_rejected():
+    import pytest
+
+    from health_monitor_cc_flink_spark.operators.punycode import (
+        punycode_decode,
+        punycode_encode,
+    )
+
+    # a label decoding into the surrogate range must raise, not
+    # produce a lone-surrogate string that breaks UTF-8 encode later
+    # (Python strings hold lone surrogates fine; Arrow/UTF-8 does not)
+    label = punycode_encode("a" + chr(0xD801))  # crafted hostile input
+    with pytest.raises(ValueError):
+        punycode_decode(label)
