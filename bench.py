@@ -139,27 +139,74 @@ def main() -> None:
         ),
         "streaming_events_per_sec": round(n_events / stream_sec, 1),
     }
-    print(json.dumps(payload))
-    # structural anti-drift (VERDICT r10 #3): when BENCH_PERF_ROUND=N
-    # is set, the SAME payload is written to BENCH_r{N}.json and its
-    # PERF.md round section is rendered from that dict — prose totals
-    # can no longer narrate a different run than the committed artifact
-    perf_round = os.environ.get("BENCH_PERF_ROUND")
-    if perf_round:
-        _write_round_artifacts(payload, perf_round)
+    # output contract (VERDICT r11 #1): the driver keeps only the LAST
+    # 2000 chars of stdout, so a single giant JSON line gets its head
+    # truncated and parses as nothing.  Emit one line per query first
+    # (greppable, truncation-safe), then a SHORT final summary line
+    # (<500 chars) carrying totals + throughput — the tail always
+    # keeps the end, so the final line always parses.
+    for name in sorted(timings):
+        print(json.dumps({"bench_query": name, "sec": timings[name]}))
+    rn = _round_number()
+    summary = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "health_pipeline_events_per_sec":
+            payload["health_pipeline_events_per_sec"],
+        "streaming_events_per_sec": payload["streaming_events_per_sec"],
+        "queries": {
+            "health_pipeline_e2e": timings["health_pipeline_e2e"],
+            "streaming_tumble_drain": timings["streaming_tumble_drain"],
+        },
+        "full": f"BENCH_LOCAL_r{rn:02d}.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 500:  # the whole point is fitting in the tail
+        raise AssertionError(f"summary line {len(line)} chars > 500")
+    print(line)
+    # full dict + PERF.md section are written UNCONDITIONALLY on every
+    # run (not gated on an env var that three rounds never set) — the
+    # committed BENCH_LOCAL_r{N}.json is the durable full record
+    _write_round_artifacts(payload, rn)
     spark.stop()
 
 
-def _write_round_artifacts(payload: dict, round_no: str) -> None:
+def _round_number() -> int:
+    """Current round = BENCH_PERF_ROUND if set, else 1 + the highest
+    committed driver artifact BENCH_r{N}.json (the driver writes r{N}
+    AFTER round N, so during round 12 the max on disk is r11)."""
+    explicit = os.environ.get("BENCH_PERF_ROUND")
+    if explicit:
+        return int(explicit)
+    import glob
+    import re
+
     here = os.path.dirname(os.path.abspath(__file__))
-    rn = int(round_no)
-    with open(os.path.join(here, f"BENCH_r{rn:02d}.json"), "w") as f:
+    ns = [int(m.group(1))
+          for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+          if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    return max(ns, default=0) + 1
+
+
+def _write_round_artifacts(payload: dict, rn: int) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here,
+                           f"BENCH_LOCAL_r{rn:02d}.json"), "w") as f:
         f.write(json.dumps(payload) + "\n")
     timings = payload["queries"]
-    # common-set ratio vs the previous committed artifact, same-dict
+    # common-set ratio vs the previous round, preferring the committed
+    # full-dict BENCH_LOCAL over the driver's (possibly truncated)
+    # artifact
     prev_line = ""
-    prev_path = os.path.join(here, f"BENCH_r{rn - 1:02d}.json")
-    if os.path.exists(prev_path):
+    prev: dict = {}
+    for cand in (f"BENCH_LOCAL_r{rn - 1:02d}.json",
+                 f"BENCH_r{rn - 1:02d}.json"):
+        prev_path = os.path.join(here, cand)
+        if not os.path.exists(prev_path):
+            continue
         with open(prev_path) as f:
             raw = json.load(f)
         if "queries" in raw:
@@ -174,16 +221,18 @@ def _write_round_artifacts(payload: dict, round_no: str) -> None:
                     blob[start:].splitlines()[0])["queries"]
             except (ValueError, KeyError):
                 prev = {}
-        common = sorted(set(prev) & set(timings))
-        if common:
-            now_s = sum(timings[q] for q in common)
-            then_s = sum(prev[q] for q in common)
-            prev_line = (
-                f"The {len(common)} r{rn - 1}-common queries total "
-                f"{now_s:.2f} s vs {then_s:.2f} s committed in "
-                f"BENCH_r{rn - 1:02d}.json = "
-                f"**{now_s / then_s:.2f}x**.\n"
-            )
+        if prev:
+            break
+    common = sorted(set(prev) & set(timings))
+    if common:
+        now_s = sum(timings[q] for q in common)
+        then_s = sum(prev[q] for q in common)
+        prev_line = (
+            f"The {len(common)} r{rn - 1}-common queries total "
+            f"{now_s:.2f} s vs {then_s:.2f} s recorded for "
+            f"round {rn - 1} = "
+            f"**{now_s / then_s:.2f}x**.\n"
+        )
     try:
         load1 = f"{os.getloadavg()[0]:.2f}"
     except OSError:
@@ -194,9 +243,10 @@ def _write_round_artifacts(payload: dict, round_no: str) -> None:
             timings.items(), key=lambda kv: -kv[1]
         )
     )
+    marker = f"\n## Round-{rn} bench "
     section = (
-        f"\n## Round-{rn} bench (generated by bench.py from "
-        f"BENCH_r{rn:02d}.json — same dict, no prose drift; "
+        f"{marker}(generated by bench.py from "
+        f"BENCH_LOCAL_r{rn:02d}.json — same dict, no prose drift; "
         f"loadavg 1-min {load1} at finish)\n\n"
         f"Total **{payload['value']:.2f} s over {len(timings)} headline "
         f"queries** at sf{payload['sf']}.  Health pipeline "
@@ -206,8 +256,20 @@ def _write_round_artifacts(payload: dict, round_no: str) -> None:
         + prev_line
         + f"\n| query | sec |\n|---|---|\n{rows}\n"
     )
-    with open(os.path.join(here, "PERF.md"), "a") as f:
-        f.write(section)
+    # re-runs within a round REPLACE the round's section (appending
+    # would stack duplicate tables and re-introduce prose drift)
+    perf_path = os.path.join(here, "PERF.md")
+    try:
+        with open(perf_path) as f:
+            body = f.read()
+    except OSError:
+        body = ""
+    if marker in body:
+        head, _, rest = body.partition(marker)
+        nxt = rest.find("\n## ")
+        body = head + ("" if nxt < 0 else rest[nxt:])
+    with open(perf_path, "w") as f:
+        f.write(body.rstrip("\n") + "\n" + section)
 
 
 if __name__ == "__main__":
