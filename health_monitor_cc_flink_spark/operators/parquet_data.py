@@ -93,10 +93,20 @@ def read_rle_hybrid(data: bytes, pos: int, end: int, bit_width: int,
     return out[:n], pos
 
 
-def _plain_values(data: bytes, pos: int, n: int, ptype: str) -> list:
+def _plain_values(data: bytes, pos: int, n: int, ptype: str,
+                  type_length: int | None = None) -> list:
     widths = {"INT64": 8, "INT32": 4, "DOUBLE": 8, "FLOAT": 4}
     if ptype in widths and pos + widths[ptype] * n > len(data):
         raise ValueError("plain values truncated")
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        if not type_length or type_length < 0:
+            raise ValueError("FLBA requires a positive type_length")
+        end = pos + type_length * n
+        if end > len(data):
+            raise ValueError("flba values truncated")
+        return [data[pos + i * type_length:
+                     pos + (i + 1) * type_length]
+                for i in range(n)], end
     if ptype == "INT64":
         end = pos + 8 * n
         return list(struct.unpack_from(f"<{n}q", data, pos)), end
@@ -140,13 +150,28 @@ def _decompress(payload: bytes, codec: str, expected: int) -> bytes:
 
 def read_column_chunk(data: bytes, *, start_offset: int,
                       num_values: int, ptype: str, codec: str,
-                      max_def_level: int = 1) -> list:
+                      max_def_level: int = 1,
+                      max_rep_level: int = 0,
+                      rep_def_level: int = 0,
+                      type_length: int | None = None) -> list:
     """Decode one column chunk -> values list (None for nulls),
     walking dictionary + data pages (v1 and v2) from
-    ``start_offset`` until ``num_values`` are produced."""
+    ``start_offset`` until ``num_values`` are produced.
+
+    With ``max_rep_level`` = 1 (a list leaf; get the level ladder
+    from parquet_meta.schema_leaves), the return value is one entry
+    per ROW: a list of element values, ``[]`` for an empty list,
+    ``None`` for a null list.  ``num_values`` still counts leaf-level
+    SLOTS (ColumnMetaData.num_values), not rows.  Deeper repetition
+    (list-of-list) is out of scope and raises."""
+    if max_rep_level > 1:
+        raise ValueError("nested repetition beyond one list level "
+                         "unsupported")
     pos = start_offset
     dictionary: list | None = None
     out: list = []
+    all_reps: list[int] = []
+    all_defs: list[int] = []
     n_pages = 0
     while len(out) < num_values:
         n_pages += 1
@@ -170,7 +195,8 @@ def read_column_chunk(data: bytes, *, start_offset: int,
             dhdr = hdr.get(7, {})
             n_dict = dhdr.get(1)
             raw = _decompress(payload, codec, un_size)
-            dictionary, _ = _plain_values(raw, 0, n_dict, ptype)
+            dictionary, _ = _plain_values(raw, 0, n_dict, ptype,
+                                          type_length)
             continue
         if page_type == 0:  # data page v1
             dp = hdr.get(5, {})
@@ -178,7 +204,20 @@ def read_column_chunk(data: bytes, *, start_offset: int,
             encoding = dp.get(2)
             raw = _decompress(payload, codec, un_size)
             p = 0
+            if max_rep_level > 0:
+                if p + 4 > len(raw):
+                    raise ValueError("rep level prefix truncated")
+                (rl_len,) = struct.unpack_from("<I", raw, p)
+                p += 4
+                reps, _ = read_rle_hybrid(
+                    raw, p, p + rl_len, _bit_width(max_rep_level),
+                    n_vals)
+                p += rl_len
+            else:
+                reps = [0] * n_vals
             if max_def_level > 0:
+                if p + 4 > len(raw):
+                    raise ValueError("def level prefix truncated")
                 (dl_len,) = struct.unpack_from("<I", raw, p)
                 p += 4
                 defs, _ = read_rle_hybrid(
@@ -199,6 +238,12 @@ def read_column_chunk(data: bytes, *, start_offset: int,
                 body = _decompress(
                     body, codec,
                     un_size - rl_bytes - dl_bytes)
+            if max_rep_level > 0 and rl_bytes:
+                reps, _ = read_rle_hybrid(
+                    levels, 0, rl_bytes,
+                    _bit_width(max_rep_level), n_vals)
+            else:
+                reps = [0] * n_vals
             if max_def_level > 0 and dl_bytes:
                 defs, _ = read_rle_hybrid(
                     levels, rl_bytes, rl_bytes + dl_bytes,
@@ -210,7 +255,8 @@ def read_column_chunk(data: bytes, *, start_offset: int,
             raise ValueError(f"unexpected page type {page_type}")
         n_present = sum(1 for d in defs if d == max_def_level)
         if encoding == 0:  # PLAIN
-            vals, _ = _plain_values(raw, p, n_present, ptype)
+            vals, _ = _plain_values(raw, p, n_present, ptype,
+                                    type_length)
         elif encoding in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
             if dictionary is None:
                 raise ValueError("dictionary page missing")
@@ -229,14 +275,93 @@ def read_column_chunk(data: bytes, *, start_offset: int,
             vals, _ = read_delta_length_byte_array(raw, p, n_present)
         elif encoding == 7:  # DELTA_BYTE_ARRAY
             vals, _ = read_delta_byte_array(raw, p, n_present)
+        elif encoding == 9:  # BYTE_STREAM_SPLIT
+            vals = _byte_stream_split(raw, p, n_present, ptype,
+                                      type_length)
         else:
             raise ValueError(f"value encoding {encoding} unsupported")
         it = iter(vals)
         for d in defs:
             out.append(next(it) if d == max_def_level else None)
+        if max_rep_level:
+            all_reps.extend(reps)
+            all_defs.extend(defs)
     if len(out) != num_values:
         raise ValueError("column chunk value count mismatch")
-    return out
+    if max_rep_level == 0:
+        return out
+    return _assemble_lists(out, all_defs, all_reps,
+                           max_def_level, rep_def_level)
+
+
+def _assemble_lists(slots: list, defs: list[int], reps: list[int],
+                    max_def: int, rep_def: int) -> list:
+    """Slot stream -> rows for a single-level list column.  rep 0
+    starts a new row; def >= rep_def is an element slot (value or
+    null element), def == rep_def-1 an empty list, lower defs a null
+    list (or null ancestor)."""
+    if rep_def < 1:
+        raise ValueError("list assembly requires rep_def_level >= 1")
+    rows: list = []
+    cur: list | None = None
+    started = False
+    for v, d, r in zip(slots, defs, reps):
+        if r == 0:
+            if started:
+                rows.append(cur)
+            started = True
+            if d >= rep_def:
+                cur = [v]
+            elif d == rep_def - 1:
+                cur = []
+            else:
+                cur = None
+        else:
+            if cur is None:
+                raise ValueError("repetition level without open row")
+            cur.append(v)
+    if started:
+        rows.append(cur)
+    return rows
+
+
+def _byte_stream_split(data: bytes, pos: int, n: int, ptype: str,
+                       type_length: int | None) -> list:
+    """BYTE_STREAM_SPLIT (parquet-format Encodings.md): the k-th byte
+    of every value is stored contiguously in stream k — k streams of
+    n bytes each — which compresses floats far better than PLAIN.
+    Reassemble by transposing the (width, n) byte matrix."""
+    widths = {"FLOAT": 4, "DOUBLE": 8, "INT32": 4, "INT64": 8}
+    if ptype in widths:
+        w = widths[ptype]
+    elif ptype == "FIXED_LEN_BYTE_ARRAY" and type_length:
+        w = type_length
+    else:
+        raise ValueError(f"byte-stream-split on {ptype} unsupported")
+    if pos + w * n > len(data):
+        raise ValueError("byte-stream-split truncated")
+    if n == 0:
+        return []
+    import numpy as np
+
+    mat = np.frombuffer(data, dtype=np.uint8, count=w * n,
+                        offset=pos).reshape(w, n)
+    packed = mat.T.tobytes()
+    if ptype == "FLOAT":
+        return list(struct.unpack(f"<{n}f", packed))
+    if ptype == "DOUBLE":
+        return list(struct.unpack(f"<{n}d", packed))
+    if ptype == "INT32":
+        return list(struct.unpack(f"<{n}i", packed))
+    if ptype == "INT64":
+        return list(struct.unpack(f"<{n}q", packed))
+    return [packed[i * w:(i + 1) * w] for i in range(n)]
+
+
+def flba_decimal_unscaled(raw: bytes) -> int:
+    """FIXED_LEN_BYTE_ARRAY decimal -> unscaled int (big-endian
+    two's complement, parquet LogicalTypes.md)."""
+    return int.from_bytes(raw, "big", signed=True)
 
 
 def _zigzag_decode(v: int) -> int:

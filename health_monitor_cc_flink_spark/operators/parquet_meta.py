@@ -161,6 +161,69 @@ class _Reader:
             fields[fid] = self.value(ctype, depth)
 
 
+def schema_leaves(elements: list[dict]) -> list[dict]:
+    """Preorder SchemaElement list -> leaf descriptors with the level
+    ladder nested decode needs: {path, type, type_length,
+    converted_type, scale, precision, max_def_level, max_rep_level,
+    rep_def_level}.  SchemaElement field ids (parquet.thrift): 1 type,
+    2 type_length, 3 repetition_type (0 REQUIRED / 1 OPTIONAL /
+    2 REPEATED), 4 name, 5 num_children, 6 converted_type, 7 scale,
+    8 precision.  ``rep_def_level`` is the definition level AT the
+    deepest repeated ancestor (0 if the leaf is flat): a def level of
+    rep_def_level-1 means present-but-empty list, anything lower means
+    the list (or an ancestor) is null."""
+    if not elements:
+        raise ValueError("empty parquet schema")
+    leaves: list[dict] = []
+    idx = 0
+
+    def walk(path: tuple, max_def: int, max_rep: int,
+             rep_def: int, depth: int) -> None:
+        nonlocal idx
+        if depth > MAX_DEPTH:
+            raise ValueError("parquet schema too deep")
+        if idx >= len(elements):
+            raise ValueError("parquet schema tree truncated")
+        el = elements[idx]
+        idx += 1
+        name = el.get(4, b"")
+        name = (name.decode("utf-8", "replace")
+                if isinstance(name, (bytes, bytearray)) else str(name))
+        rep = el.get(3, 0)
+        if rep == 1:  # OPTIONAL
+            max_def += 1
+        elif rep == 2:  # REPEATED
+            max_def += 1
+            max_rep += 1
+            rep_def = max_def
+        here = path + (name,)
+        n_children = el.get(5) or 0
+        if n_children:
+            for _ in range(n_children):
+                walk(here, max_def, max_rep, rep_def, depth + 1)
+            return
+        leaves.append({
+            "path": ".".join(here),
+            "type": PHYSICAL_TYPE.get(el.get(1), f"T{el.get(1)}"),
+            "type_length": el.get(2),
+            "converted_type": el.get(6),
+            "scale": el.get(7),
+            "precision": el.get(8),
+            "max_def_level": max_def,
+            "max_rep_level": max_rep,
+            "rep_def_level": rep_def,
+        })
+
+    # root element: consume it, then its children with empty path
+    root = elements[0]
+    idx = 1
+    for _ in range(root.get(5) or 0):
+        walk((), 0, 0, 0, 1)
+    if idx != len(elements):
+        raise ValueError("parquet schema element count mismatch")
+    return leaves
+
+
 def parse_footer(data: bytes) -> dict:
     """Full parquet file bytes -> {version, num_rows, created_by,
     n_schema_elements, row_groups: [{num_rows, total_byte_size,
@@ -203,5 +266,6 @@ def parse_footer(data: bytes) -> dict:
         "created_by": (created_by.decode("utf-8", "replace")
                        if isinstance(created_by, bytes) else None),
         "n_schema_elements": len(fm.get(2, [])),
+        "schema_leaves": schema_leaves(fm.get(2, [])),
         "row_groups": row_groups,
     }

@@ -124,3 +124,112 @@ def test_delta_encodings(tmp_path):
         i * i - 7 * i for i in range(10_000)]
     assert _decode_column(data, m, "s") == [
         f"prefix_common_{i // 10}_{i}".encode() for i in range(10_000)]
+
+
+def _decode_leaf(data, m, path):
+    leaf = next(l for l in m["schema_leaves"] if l["path"] == path)
+    vals = []
+    for rg in m["row_groups"]:
+        cc = next(c for c in rg["columns"] if c["path"] == path)
+        start = cc["dictionary_page_offset"] or cc["data_page_offset"]
+        vals.extend(read_column_chunk(
+            data, start_offset=start, num_values=cc["num_values"],
+            ptype=cc["type"], codec=cc["codec"],
+            max_def_level=leaf["max_def_level"],
+            max_rep_level=leaf["max_rep_level"],
+            rep_def_level=leaf["rep_def_level"],
+            type_length=leaf["type_length"]))
+    return vals, leaf
+
+
+def test_schema_leaves_level_ladder():
+    with open("/root/testdata/sf0.001/embeddings.parquet", "rb") as f:
+        data = f.read()
+    leaves = {l["path"]: l for l in parse_footer(data)["schema_leaves"]}
+    assert leaves["vec_id"]["max_def_level"] == 1
+    assert leaves["vec_id"]["max_rep_level"] == 0
+    el = leaves["embedding.list.element"]
+    assert (el["max_def_level"], el["max_rep_level"],
+            el["rep_def_level"]) == (3, 1, 2)
+
+
+def test_list_column_real_embeddings_vs_pyarrow():
+    import pyarrow.parquet as pq
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    with open(path, "rb") as f:
+        data = f.read()
+    rows, _ = _decode_leaf(data, parse_footer(data),
+                           "embedding.list.element")
+    ref = pq.read_table(path)["embedding"].to_pylist()
+    assert len(rows) == len(ref)
+    for a, b in zip(rows, ref):
+        assert len(a) == len(b)
+        assert all(abs(x - y) < 1e-7 for x, y in zip(a, b))
+
+
+@pytest.mark.parametrize("page_version", ["1.0", "2.0"])
+def test_list_null_empty_shapes(tmp_path, page_version):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lv = [[1.0, 2.0], [], None, [3.0], [None, 4.0],
+          [5.0] * 300, [], None, [6.0]]
+    t = pa.table({"e": pa.array(lv, pa.list_(pa.float32()))})
+    path = tmp_path / "lists.parquet"
+    pq.write_table(t, path, compression="snappy",
+                   data_page_version=page_version)
+    with open(path, "rb") as f:
+        data = f.read()
+    rows, _ = _decode_leaf(data, parse_footer(data), "e.list.element")
+    assert rows == t["e"].to_pylist()
+
+
+def test_byte_stream_split(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "f": pa.array([i / 8 for i in range(5000)], pa.float32()),
+        "g": pa.array([i / 3 for i in range(5000)], pa.float64()),
+    })
+    path = tmp_path / "bss.parquet"
+    pq.write_table(t, path, use_byte_stream_split=["f", "g"],
+                   use_dictionary=False, compression="snappy")
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_footer(data)
+    fvals, _ = _decode_leaf(data, m, "f")
+    gvals, _ = _decode_leaf(data, m, "g")
+    assert fvals == t["f"].to_pylist()
+    assert gvals == t["g"].to_pylist()
+
+
+def test_flba_decimal(tmp_path):
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        flba_decimal_unscaled,
+    )
+
+    vals = [decimal.Decimal(i * 7 - 5000) / 100 for i in range(3000)]
+    t = pa.table({"d": pa.array(vals, pa.decimal128(12, 2))})
+    path = tmp_path / "dec.parquet"
+    pq.write_table(t, path, compression="snappy")
+    with open(path, "rb") as f:
+        data = f.read()
+    raw, leaf = _decode_leaf(data, parse_footer(data), "d")
+    assert (leaf["scale"], leaf["precision"]) == (2, 12)
+    got = [decimal.Decimal(flba_decimal_unscaled(b)).scaleb(-2)
+           for b in raw]
+    assert got == vals
+
+
+def test_deep_nesting_rejected():
+    with pytest.raises(ValueError):
+        read_column_chunk(b"", start_offset=0, num_values=1,
+                          ptype="INT64", codec="UNCOMPRESSED",
+                          max_rep_level=2)
