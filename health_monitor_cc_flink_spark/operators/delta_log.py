@@ -32,6 +32,8 @@ MAX_COMMITS = 1 << 16
 MAX_FILES = 1 << 20
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$")
 
 
 def commit_filename(version: int) -> str:
@@ -45,6 +47,27 @@ def parse_commit_filename(name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def checkpoint_filename(version: int, part: int | None = None,
+                        total: int | None = None) -> str:
+    if part is None:
+        return f"{version:020d}.checkpoint.parquet"
+    return (f"{version:020d}.checkpoint."
+            f"{part:010d}.{total:010d}.parquet")
+
+
+def parse_checkpoint_filename(name: str) -> tuple | None:
+    """'<v>.checkpoint.parquet' -> (version, 1, 1);
+    '<v>.checkpoint.<i>.<n>.parquet' (multi-part) -> (version, i, n);
+    else None."""
+    m = _CHECKPOINT_RE.match(name.rsplit("/", 1)[-1])
+    if not m:
+        return None
+    v = int(m.group(1))
+    if m.group(2) is None:
+        return v, 1, 1
+    return v, int(m.group(2)), int(m.group(3))
+
+
 def build_delta_log(commits: dict[int, list[dict]]) -> dict[str, bytes]:
     """{version: [action dicts]} -> {filename: ndjson bytes}."""
     return {
@@ -55,19 +78,118 @@ def build_delta_log(commits: dict[int, list[dict]]) -> dict[str, bytes]:
     }
 
 
-def replay_delta_log(commits: dict[int, list[dict]]) -> dict:
+def read_checkpoint_parquet(parts: list[bytes]) -> dict:
+    """Decode checkpoint parquet part(s) with THIS repo's parquet
+    page reader (no Arrow/Spark in the loop) -> {live, metadata,
+    n_actions}.  A checkpoint row is one action: its ``add`` struct
+    seeds the live set (tombstone ``remove`` rows are expired-file
+    bookkeeping, not live state); ``metaData`` carries the schema.
+    Struct presence is keyed on the required child (add.path /
+    remove.path / metaData.id non-null)."""
+    from .parquet_data import read_column_chunk
+    from .parquet_meta import parse_footer
+
+    live: dict[str, dict] = {}
+    metadata: dict | None = None
+    n_actions = 0
+    for data in parts:
+        m = parse_footer(data)
+        leaves = {l["path"]: l for l in m["schema_leaves"]}
+
+        def col(path, m=m, leaves=leaves, data=data):
+            leaf = leaves.get(path)
+            if leaf is None:
+                return None
+            vals: list = []
+            for rg in m["row_groups"]:
+                cc = next((c for c in rg["columns"]
+                           if c["path"] == path), None)
+                if cc is None:
+                    raise ValueError(
+                        f"checkpoint column {path} missing")
+                start = (cc["dictionary_page_offset"]
+                         or cc["data_page_offset"])
+                vals.extend(read_column_chunk(
+                    data, start_offset=start,
+                    num_values=cc["num_values"],
+                    ptype=cc["type"], codec=cc["codec"],
+                    max_def_level=leaf["max_def_level"],
+                    max_rep_level=leaf["max_rep_level"],
+                    rep_def_level=leaf["rep_def_level"],
+                    type_length=leaf["type_length"]))
+            return vals
+
+        n = m["num_rows"]
+        n_actions += n
+        add_path = col("add.path") or [None] * n
+        add_size = col("add.size") or [None] * n
+        add_stats = col("add.stats") or [None] * n
+        pv_keys = (col("add.partitionValues.key_value.key")
+                   or [None] * n)
+        pv_vals = (col("add.partitionValues.key_value.value")
+                   or [None] * n)
+        meta_id = col("metaData.id") or [None] * n
+        for i in range(n):
+            if add_path[i] is not None:
+                stats = json.loads(
+                    (add_stats[i] or b"{}").decode("utf-8")
+                    if isinstance(add_stats[i], (bytes, bytearray))
+                    else add_stats[i] or "{}")
+                keys = pv_keys[i] or []
+                vals_i = pv_vals[i] or []
+                pv = {
+                    _u(k): _u(v) for k, v in zip(keys, vals_i)
+                }
+                live[_u(add_path[i])] = {
+                    "size": add_size[i],
+                    "partition_values": pv,
+                    "num_records": stats.get("numRecords"),
+                }
+                if len(live) > MAX_FILES:
+                    raise ValueError("delta live-file cap exceeded")
+            elif meta_id[i] is not None:
+                metadata = {"id": _u(meta_id[i])}
+    return {"live": live, "metadata": metadata,
+            "n_actions": n_actions}
+
+
+def _u(v):
+    return (v.decode("utf-8")
+            if isinstance(v, (bytes, bytearray)) else v)
+
+
+def replay_delta_log(commits: dict[int, list[dict]],
+                     base: dict | None = None,
+                     base_version: int | None = None) -> dict:
     """Replay commits in version order -> {version, live: {path:
     {size, partition_values, num_records}}, n_adds, n_removes,
-    metadata}."""
-    if not commits:
+    metadata}.  With ``base``/``base_version`` (a checkpoint
+    snapshot), only commits AFTER base_version apply — they must be
+    contiguous from base_version+1; older commits (not yet vacuumed)
+    are already reflected in the checkpoint and are ignored."""
+    if base is None and not commits:
         raise ValueError("empty delta log")
     if len(commits) > MAX_COMMITS:
         raise ValueError("delta log commit cap exceeded")
-    versions = sorted(commits)
-    if versions[0] != 0 or versions[-1] != len(versions) - 1:
-        raise ValueError("delta log has version gaps")
-    live: dict[str, dict] = {}
-    metadata: dict | None = None
+    if base is not None:
+        if base_version is None:
+            raise ValueError("checkpoint base requires base_version")
+        commits = {v: a for v, a in commits.items()
+                   if v > base_version}
+        versions = sorted(commits)
+        if versions and (
+                versions[0] != base_version + 1
+                or versions[-1] != base_version + len(versions)):
+            raise ValueError("delta log has version gaps after "
+                             "checkpoint")
+        live = dict(base["live"])
+        metadata = base.get("metadata")
+    else:
+        versions = sorted(commits)
+        if versions[0] != 0 or versions[-1] != len(versions) - 1:
+            raise ValueError("delta log has version gaps")
+        live = {}
+        metadata = None
     n_adds = n_removes = 0
     for v in versions:
         for action in commits[v]:
@@ -91,7 +213,7 @@ def replay_delta_log(commits: dict[int, list[dict]]) -> dict:
                 metadata = action["metaData"]
             # protocol / commitInfo / txn: carried, no file effect
     return {
-        "version": versions[-1],
+        "version": versions[-1] if versions else base_version,
         "live": live,
         "n_adds": n_adds,
         "n_removes": n_removes,
@@ -99,9 +221,52 @@ def replay_delta_log(commits: dict[int, list[dict]]) -> dict:
     }
 
 
+def parse_last_checkpoint(blob: bytes) -> dict:
+    """``_last_checkpoint`` JSON -> {version, size, parts}."""
+    d = json.loads(blob.decode("utf-8"))
+    if not isinstance(d, dict) or not isinstance(
+            d.get("version"), int) or d["version"] < 0:
+        raise ValueError("bad _last_checkpoint")
+    return {"version": d["version"], "size": d.get("size"),
+            "parts": d.get("parts")}
+
+
 def parse_delta_log_files(files: dict[str, bytes]) -> dict:
-    """{filename: ndjson bytes} (e.g. an untarred _delta_log/) ->
-    replayed snapshot; non-commit members ignored."""
+    """{filename: bytes} (e.g. an untarred ``_delta_log/``) ->
+    replayed snapshot; non-commit members ignored.
+
+    When ``_last_checkpoint`` is present, the snapshot seeds from the
+    referenced ``<v>.checkpoint[.<i>.<n>].parquet`` part(s) — decoded
+    with this repo's own parquet page reader — and only JSON commits
+    AFTER the checkpoint version replay; commits at or before it may
+    have been VACUUMED (replay-from-zero would be impossible, and is
+    O(all commits) even when possible).  Multi-part checkpoints
+    concatenate row-wise; a missing part raises."""
+    base = base_version = None
+    names = {n.rsplit("/", 1)[-1]: n for n in files}
+    if "_last_checkpoint" in names:
+        lc = parse_last_checkpoint(files[names["_last_checkpoint"]])
+        base_version = lc["version"]
+        parts_found: dict[int, tuple[int, bytes]] = {}
+        for short, full in names.items():
+            cp = parse_checkpoint_filename(short)
+            if cp and cp[0] == base_version:
+                parts_found[cp[1]] = (cp[2], files[full])
+        if not parts_found:
+            # _last_checkpoint is a HINT (delta protocol): with no
+            # matching parquet, fall back to plain JSON replay —
+            # which still raises if the early commits were vacuumed
+            base_version = None
+        else:
+            totals = {t for t, _ in parts_found.values()}
+            if len(totals) != 1 or sorted(parts_found) != list(
+                    range(1, totals.pop() + 1)):
+                raise ValueError("incomplete multi-part checkpoint")
+            base = read_checkpoint_parquet(
+                [parts_found[i][1] for i in sorted(parts_found)])
+            if lc["size"] is not None \
+                    and base["n_actions"] != lc["size"]:
+                raise ValueError("_last_checkpoint size mismatch")
     commits: dict[int, list[dict]] = {}
     for name, blob in files.items():
         v = parse_commit_filename(name)
@@ -112,4 +277,7 @@ def parse_delta_log_files(files: dict[str, bytes]) -> dict:
             if line.strip():
                 actions.append(json.loads(line))
         commits[v] = actions
-    return replay_delta_log(commits)
+    snap = replay_delta_log(commits, base=base,
+                            base_version=base_version)
+    snap["checkpoint_version"] = base_version
+    return snap

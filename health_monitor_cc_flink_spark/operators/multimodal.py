@@ -6001,6 +6001,201 @@ def json_dumps_sorted(obj) -> str:
     return _json.dumps(obj, sort_keys=True, separators=(",", ":"))
 
 
+def synth_delta_checkpoint_payload(df: DataFrame,
+                                   id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``log`` column: a ustar tar of a ``_delta_log/`` whose
+    commits 0..cp have been VACUUMED — replay-from-zero is impossible
+    — leaving ``_last_checkpoint``, the version-cp parquet checkpoint
+    (written by pyarrow, the reference fixture writer; every 3rd doc
+    splits it into a 2-part ``<v>.checkpoint.<i>.<n>.parquet``), and
+    JSON commits cp+1..k-1.  Same add/remove arithmetic as
+    synth_delta_log_payload with k = doc_id %% 4 + 5 versions and
+    cp = k-3: the checkpoint carries protocol+metaData rows, the
+    live-at-cp add rows, and expired-tombstone remove rows (which
+    must NOT re-enter the live set)."""
+    from .delta_log import (
+        build_delta_log,
+        checkpoint_filename,
+        commit_filename,
+    )
+    from .tar import build_tar
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    langs = ("en", "de", "fr")
+
+    def gen(batches: Iterator) -> Iterator:
+        import io
+        import json as _json
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        add_t = pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])
+        rm_t = pa.struct([("path", pa.string()),
+                          ("deletionTimestamp", pa.int64())])
+        md_t = pa.struct([("id", pa.string()),
+                          ("partitionColumns",
+                           pa.list_(pa.string()))])
+        pr_t = pa.struct([("minReaderVersion", pa.int32()),
+                          ("minWriterVersion", pa.int32())])
+
+        def action_rows(d: int, cp: int) -> list[dict]:
+            rows = [
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}},
+                {"metaData": {"id": f"tbl-{d}",
+                              "partitionColumns": ["lang"]}},
+            ]
+            for j in range(cp + 1):
+                if j % 2 == 1 and j <= cp - 1:
+                    rows.append({"remove": {
+                        "path": f"part-{j}.parquet",
+                        "deletionTimestamp": 0}})
+                else:
+                    rows.append({"add": {
+                        "path": f"part-{j}.parquet",
+                        "partitionValues": [("lang", langs[j % 3])],
+                        "size": 1000 + 17 * j,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": json_dumps_sorted(
+                            {"numRecords": 100 + j})}})
+            return rows
+
+        def to_parquet(rows: list[dict]) -> bytes:
+            t = pa.table({
+                "add": pa.array([r.get("add") for r in rows], add_t),
+                "remove": pa.array([r.get("remove") for r in rows],
+                                   rm_t),
+                "metaData": pa.array(
+                    [r.get("metaData") for r in rows], md_t),
+                "protocol": pa.array(
+                    [r.get("protocol") for r in rows], pr_t),
+            })
+            buf = io.BytesIO()
+            pq.write_table(t, buf, compression="snappy")
+            return buf.getvalue()
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = d % 4 + 5
+                cp = k - 3
+                rows = action_rows(d, cp)
+                members = [("_delta_log/", b"")]
+                if d % 3 == 0:  # multi-part checkpoint
+                    half = len(rows) // 2
+                    members += [
+                        (f"_delta_log/"
+                         f"{checkpoint_filename(cp, i + 1, 2)}",
+                         to_parquet(part))
+                        for i, part in enumerate(
+                            (rows[:half], rows[half:]))
+                    ]
+                else:
+                    members.append(
+                        (f"_delta_log/{checkpoint_filename(cp)}",
+                         to_parquet(rows)))
+                members.append((
+                    "_delta_log/_last_checkpoint",
+                    _json.dumps({"version": cp, "size": len(rows)}
+                                ).encode("utf-8")))
+                # post-checkpoint JSON commits (pre-cp ones vacuumed)
+                commits = {}
+                for j in range(cp + 1, k):
+                    actions = [{"add": {
+                        "path": f"part-{j}.parquet",
+                        "partitionValues": {"lang": langs[j % 3]},
+                        "size": 1000 + 17 * j,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": json_dumps_sorted(
+                            {"numRecords": 100 + j})}}]
+                    if j % 2 == 0:
+                        actions.append({"remove": {
+                            "path": f"part-{j - 1}.parquet",
+                            "deletionTimestamp": 0,
+                            "dataChange": True}})
+                    commits[j] = actions
+                files = build_delta_log(commits)
+                members += [
+                    (f"_delta_log/{commit_filename(v)}",
+                     files[commit_filename(v)])
+                    for v in sorted(commits)
+                ]
+                payloads.append(build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "log": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, log binary")
+
+
+def delta_checkpoint_snapshot_extract(
+        df: DataFrame, payload_col: str = "log",
+        id_col: str = "doc_id") -> DataFrame:
+    """Untar a vacuumed ``_delta_log/``, seed from its parquet
+    checkpoint via the repo's own page reader, replay the trailing
+    JSON commits — EXPLODED one row per live file."""
+    from .delta_log import parse_delta_log_files
+    from .tar import parse_tar
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("version", "checkpoint_version", "path", "size",
+                "num_records", "lang", "n_live", "n_removes")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    members = parse_tar(bytes(p))
+                    files = {m["name"]: m["data"] for m in members
+                             if m["typeflag"] != "5"}
+                    snap = parse_delta_log_files(files)
+                    if snap["checkpoint_version"] is None:
+                        raise ValueError("expected a checkpoint")
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for path in sorted(snap["live"]):
+                    f = snap["live"][path]
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["version"].append(snap["version"])
+                    out["checkpoint_version"].append(
+                        snap["checkpoint_version"])
+                    out["path"].append(path)
+                    out["size"].append(f["size"])
+                    out["num_records"].append(f["num_records"])
+                    out["lang"].append(
+                        f["partition_values"].get("lang"))
+                    out["n_live"].append(len(snap["live"]))
+                    out["n_removes"].append(snap["n_removes"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, version long, "
+                "checkpoint_version long, path string, size long, "
+                "num_records long, lang string, n_live long, "
+                "n_removes long"),
+    )
+
+
 def delta_snapshot_extract(df: DataFrame, payload_col: str = "log",
                            id_col: str = "doc_id") -> DataFrame:
     """Untar a shipped ``_delta_log/`` and REPLAY it — add/remove

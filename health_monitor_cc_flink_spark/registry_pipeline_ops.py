@@ -13913,3 +13913,49 @@ def meta_parquet_modern_encodings(spark, sf_dir):
                 "f_min double, dec_sum_unscaled long, "
                 "dec_min_unscaled long"),
     )
+
+
+@query(
+    "lake_delta_checkpoint_replay",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 5 AS BIGINT) AS k
+               FROM documents),
+    f AS (SELECT doc_id, k, j.j
+          FROM p, LATERAL unnest(generate_series(0, k - 1)) AS j(j)
+          WHERE NOT (j.j % 2 = 1 AND j.j <= k - 2))
+    SELECT doc_id, TRUE AS ok,
+           k - 1 AS version,
+           k - 3 AS checkpoint_version,
+           'part-' || j || '.parquet' AS path,
+           CAST(1000 + 17 * j AS BIGINT) AS size,
+           CAST(100 + j AS BIGINT) AS num_records,
+           (['en', 'de', 'fr'])[CAST(j % 3 + 1 AS INT)] AS lang,
+           k - (k - 1) // 2 AS n_live,
+           CAST(1 AS BIGINT) AS n_removes
+    FROM f
+    """,
+    doc="Delta Lake CHECKPOINT replay under the hash gate — the "
+    "real-table path the JSON-only replay couldn't handle: commits "
+    "0..cp are VACUUMED from the fixture (replay-from-zero is "
+    "impossible, exactly like a production table past its log "
+    "retention), so the snapshot must seed from ``_last_checkpoint`` "
+    "+ the version-cp parquet checkpoint — decoded by THIS repo's "
+    "own parquet page reader (nested add/remove/metaData structs, "
+    "partitionValues as a map whose key/value leaves reassemble "
+    "through the new repetition-level path) — then replay only the "
+    "trailing JSON commits.  Every 3rd doc ships a 2-part "
+    "``<v>.checkpoint.<i>.<n>.parquet`` (the 100 TB form); expired "
+    "tombstone rows in the checkpoint must not re-enter the live "
+    "set; ``_last_checkpoint.size`` is verified against decoded "
+    "action rows.  The oracle re-derives the surviving files "
+    "closed-form.  Scale: checkpoint parts and column chunks are "
+    "independent decode units; replay cost drops from O(all "
+    "commits) to O(commits since checkpoint).",
+    bench=True,
+)
+def lake_delta_checkpoint_replay(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.delta_checkpoint_snapshot_extract(
+        M.synth_delta_checkpoint_payload(docs))

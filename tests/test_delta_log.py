@@ -76,3 +76,119 @@ def test_files_roundtrip_ignores_sidecars():
     snap = parse_delta_log_files(files)
     assert sorted(snap["live"]) == ["a", "b"]
     assert snap["version"] == 1
+
+
+def _checkpoint_parquet(rows):
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("stats", pa.string()),
+    ])
+    rm_t = pa.struct([("path", pa.string())])
+    md_t = pa.struct([("id", pa.string())])
+    t = pa.table({
+        "add": pa.array([r.get("add") for r in rows], add_t),
+        "remove": pa.array([r.get("remove") for r in rows], rm_t),
+        "metaData": pa.array([r.get("metaData") for r in rows], md_t),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="snappy")
+    return buf.getvalue()
+
+
+def _vacuumed_log(multipart=False, size=None, drop_checkpoint=False,
+                  skip_commit=False):
+    import json
+
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        checkpoint_filename,
+        commit_filename,
+    )
+
+    rows = [
+        {"metaData": {"id": "tbl"}},
+        {"add": {"path": "a.parquet",
+                 "partitionValues": [("lang", "en")],
+                 "size": 10, "stats": '{"numRecords":5}'}},
+        {"add": {"path": "b.parquet",
+                 "partitionValues": [("lang", "de")],
+                 "size": 20, "stats": '{"numRecords":7}'}},
+        {"remove": {"path": "expired.parquet"}},  # tombstone
+    ]
+    files = {}
+    if not drop_checkpoint:
+        if multipart:
+            files[checkpoint_filename(4, 1, 2)] = (
+                _checkpoint_parquet(rows[:2]))
+            files[checkpoint_filename(4, 2, 2)] = (
+                _checkpoint_parquet(rows[2:]))
+        else:
+            files[checkpoint_filename(4)] = _checkpoint_parquet(rows)
+    files["_last_checkpoint"] = json.dumps(
+        {"version": 4, "size": len(rows) if size is None else size}
+    ).encode()
+    v = 6 if skip_commit else 5
+    files[commit_filename(v)] = (
+        b'{"add":{"path":"c.parquet","partitionValues":{"lang":"fr"},'
+        b'"size":30,"stats":"{\\"numRecords\\":9}"}}\n'
+        b'{"remove":{"path":"a.parquet"}}\n')
+    return files
+
+
+@pytest.mark.parametrize("multipart", [False, True])
+def test_checkpoint_replay_vacuumed_log(multipart):
+    snap = parse_delta_log_files(_vacuumed_log(multipart=multipart))
+    assert snap["version"] == 5
+    assert snap["checkpoint_version"] == 4
+    assert sorted(snap["live"]) == ["b.parquet", "c.parquet"]
+    assert snap["live"]["b.parquet"]["num_records"] == 7
+    assert snap["live"]["b.parquet"]["partition_values"] == {
+        "lang": "de"}
+    assert snap["live"]["c.parquet"]["size"] == 30
+    # the checkpoint's expired tombstone must not resurrect anything
+    assert "expired.parquet" not in snap["live"]
+    assert snap["n_removes"] == 1
+    assert snap["metadata"] == {"id": "tbl"}
+
+
+def test_checkpoint_without_trailing_commits():
+    files = _vacuumed_log()
+    files.pop("00000000000000000005.json")
+    snap = parse_delta_log_files(files)
+    assert snap["version"] == 4
+    assert sorted(snap["live"]) == ["a.parquet", "b.parquet"]
+
+
+def test_checkpoint_hostile_inputs():
+    with pytest.raises(ValueError):
+        parse_delta_log_files(_vacuumed_log(drop_checkpoint=True))
+    with pytest.raises(ValueError):
+        parse_delta_log_files(_vacuumed_log(size=99))
+    with pytest.raises(ValueError):  # gap between cp and first commit
+        parse_delta_log_files(_vacuumed_log(skip_commit=True))
+    import json
+    files = _vacuumed_log(multipart=True)
+    del files["00000000000000000004.checkpoint.0000000002.0000000002.parquet"]
+    with pytest.raises(ValueError):
+        parse_delta_log_files(files)
+
+
+def test_checkpoint_filename_forms():
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        parse_checkpoint_filename,
+    )
+
+    assert parse_checkpoint_filename(
+        "00000000000000000010.checkpoint.parquet") == (10, 1, 1)
+    assert parse_checkpoint_filename(
+        "00000000000000000010.checkpoint.0000000002.0000000003.parquet"
+    ) == (10, 2, 3)
+    assert parse_checkpoint_filename("10.checkpoint.parquet") is None
+    assert parse_checkpoint_filename(
+        "00000000000000000010.json") is None
