@@ -106,6 +106,253 @@ def build_snapshot(manifests: list[list[dict]], *,
     return files
 
 
+#: format-version 2 (merge-on-read): manifests carry ``content``
+#: (0 data / 1 deletes) and data_file carries ``content``
+#: (0 DATA / 1 POSITION_DELETES / 2 EQUALITY_DELETES) — table-spec
+#: "Manifest Lists" / "Manifests" / "Delete Formats"
+MANIFEST_LIST_SCHEMA_V2 = json.dumps({
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "added_files_count", "type": ["null", "int"]},
+        {"name": "existing_files_count", "type": ["null", "int"]},
+        {"name": "deleted_files_count", "type": ["null", "int"]},
+    ]})
+
+MANIFEST_ENTRY_SCHEMA_V2 = json.dumps({
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "partition", "type": {
+                    "type": "record", "name": "r102", "fields": [
+                        {"name": "lang", "type": ["null", "string"]},
+                    ]}},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ]}},
+    ]})
+
+CONTENT_DATA = 0
+CONTENT_POSITION_DELETES = 1
+CONTENT_EQUALITY_DELETES = 2
+
+
+def build_positional_delete_parquet(
+        deletes: list[tuple[str, int]]) -> bytes:
+    """Positional delete file content (table-spec Delete Formats):
+    rows of (file_path: string, pos: long), sorted by file_path then
+    pos — written as REAL parquet via pyarrow (the reference fixture
+    writer), read back by this repo's own page reader."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    deletes = sorted(deletes)
+    t = pa.table({
+        "file_path": pa.array([p for p, _ in deletes], pa.string()),
+        "pos": pa.array([p for _, p in deletes], pa.int64()),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="snappy")
+    return buf.getvalue()
+
+
+def read_positional_delete_parquet(data: bytes) -> list[tuple[str, int]]:
+    from .parquet_data import read_column_chunk
+    from .parquet_meta import parse_footer
+
+    m = parse_footer(data)
+    leaves = {l["path"]: l for l in m["schema_leaves"]}
+    cols = {}
+    for path in ("file_path", "pos"):
+        leaf = leaves.get(path)
+        if leaf is None:
+            raise ValueError("positional delete file missing "
+                             f"column {path}")
+        vals: list = []
+        for rg in m["row_groups"]:
+            cc = next(c for c in rg["columns"]
+                      if c["path"] == path)
+            start = (cc["dictionary_page_offset"]
+                     or cc["data_page_offset"])
+            vals.extend(read_column_chunk(
+                data, start_offset=start,
+                num_values=cc["num_values"], ptype=cc["type"],
+                codec=cc["codec"],
+                max_def_level=leaf["max_def_level"]))
+        cols[path] = vals
+    out = []
+    for p, pos in zip(cols["file_path"], cols["pos"]):
+        if p is None or pos is None or pos < 0:
+            raise ValueError("bad positional delete row")
+        out.append((p.decode("utf-8")
+                    if isinstance(p, (bytes, bytearray)) else p,
+                    pos))
+    return out
+
+
+def build_snapshot_v2(manifests: list[list[dict]],
+                      delete_files: list[list[tuple[str, int]]], *,
+                      snapshot_id: int = 1) -> dict[str, bytes]:
+    """Format-version 2 snapshot: data manifests as in v1 plus one
+    DELETES-content manifest whose entries point at positional
+    delete parquet files (``delete_files`` = list of (file_path,
+    pos) lists, one per delete file)."""
+    files: dict[str, bytes] = {}
+    list_records = []
+
+    def manifest_record(path: str, blob: bytes, content: int,
+                        entries: list[dict]) -> dict:
+        return {
+            "manifest_path": path,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": content,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": sum(
+                1 for e in entries if e["status"] == STATUS_ADDED),
+            "existing_files_count": sum(
+                1 for e in entries if e["status"] == STATUS_EXISTING),
+            "deleted_files_count": sum(
+                1 for e in entries if e["status"] == STATUS_DELETED),
+        }
+
+    for i, entries in enumerate(manifests):
+        recs = [{
+            "status": e["status"],
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": CONTENT_DATA,
+                "file_path": e["file_path"],
+                "file_format": e["file_format"],
+                "partition": {"lang": e.get("lang")},
+                "record_count": e["record_count"],
+                "file_size_in_bytes": e["file_size_in_bytes"],
+            }} for e in entries]
+        path = f"metadata/manifest-{i}.avro"
+        blob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, recs,
+                         codec="deflate", sync_seed=i)
+        files[path] = blob
+        list_records.append(
+            manifest_record(path, blob, CONTENT_DATA, entries))
+    if delete_files:
+        del_entries = []
+        for j, dels in enumerate(delete_files):
+            dpath = f"data/deletes-{j}.parquet"
+            dblob = build_positional_delete_parquet(dels)
+            files[dpath] = dblob
+            del_entries.append({
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": CONTENT_POSITION_DELETES,
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": len(dels),
+                    "file_size_in_bytes": len(dblob),
+                }})
+        dmpath = "metadata/manifest-deletes.avro"
+        dmblob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, del_entries,
+                           codec="deflate", sync_seed=9999)
+        files[dmpath] = dmblob
+        list_records.append(manifest_record(
+            dmpath, dmblob, CONTENT_POSITION_DELETES,
+            [{"status": STATUS_ADDED}] * len(del_entries)))
+    files[f"metadata/snap-{snapshot_id}.avro"] = write_ocf(
+        MANIFEST_LIST_SCHEMA_V2, list_records, codec="deflate",
+        sync_seed=snapshot_id + 1000)
+    return files
+
+
+def walk_snapshot_v2(files: dict[str, bytes],
+                     snapshot_id: int = 1) -> dict:
+    """Resolve a v2 (merge-on-read) snapshot: data manifests give
+    the live file census; DELETES manifests point at positional
+    delete parquet files whose (file_path, pos) rows are subtracted
+    per data file — the ROW-ACCURATE live counts a v1-style walk
+    over-reports.  Positions are validated against record_count and
+    deduped; equality-delete files raise (their application needs
+    the data rows, which a metadata walk never reads)."""
+    list_path = f"metadata/snap-{snapshot_id}.avro"
+    if list_path not in files:
+        raise ValueError(f"missing manifest list {list_path}")
+    mlist = read_ocf(files[list_path])["records"]
+    live = []
+    delete_paths = []
+    data_idx = 0
+    for mf in mlist:
+        path = mf["manifest_path"]
+        if path not in files:
+            raise ValueError(f"missing manifest {path}")
+        blob = files[path]
+        if len(blob) != mf["manifest_length"]:
+            raise ValueError(f"manifest length mismatch for {path}")
+        entries = read_ocf(blob)["records"]
+        if mf.get("content", CONTENT_DATA) == CONTENT_DATA:
+            for e in entries:
+                if e["status"] == STATUS_DELETED:
+                    continue
+                df = e["data_file"]
+                if df.get("content", CONTENT_DATA) != CONTENT_DATA:
+                    raise ValueError("non-data file in data manifest")
+                live.append({
+                    "manifest_idx": data_idx,
+                    "file_path": df["file_path"],
+                    "file_format": df["file_format"],
+                    "record_count": df["record_count"],
+                    "file_size_in_bytes": df["file_size_in_bytes"],
+                    "lang": df["partition"]["lang"],
+                })
+            data_idx += 1
+        else:
+            for e in entries:
+                if e["status"] == STATUS_DELETED:
+                    continue
+                df = e["data_file"]
+                content = df.get("content")
+                if content == CONTENT_EQUALITY_DELETES:
+                    raise ValueError(
+                        "equality deletes need data rows; a "
+                        "metadata walk cannot apply them")
+                if content != CONTENT_POSITION_DELETES:
+                    raise ValueError("unexpected delete content")
+                delete_paths.append((df["file_path"],
+                                     df["record_count"]))
+    deleted_by_file: dict[str, set[int]] = {}
+    n_delete_files = 0
+    for dpath, rc in delete_paths:
+        if dpath not in files:
+            raise ValueError(f"missing delete file {dpath}")
+        rows = read_positional_delete_parquet(files[dpath])
+        if len(rows) != rc:
+            raise ValueError("delete file record_count mismatch")
+        n_delete_files += 1
+        for fp, pos in rows:
+            deleted_by_file.setdefault(fp, set()).add(pos)
+    known = {f["file_path"] for f in live}
+    for fp in deleted_by_file:
+        if fp not in known:
+            raise ValueError(f"delete targets unknown file {fp}")
+    for f in live:
+        dels = deleted_by_file.get(f["file_path"], set())
+        if dels and max(dels) >= f["record_count"]:
+            raise ValueError("delete position beyond record_count")
+        f["n_deleted"] = len(dels)
+        f["live_records"] = f["record_count"] - len(dels)
+    return {"n_manifests": data_idx,
+            "n_delete_files": n_delete_files, "live": live}
+
+
 def walk_snapshot(files: dict[str, bytes],
                   snapshot_id: int = 1) -> dict:
     """Resolve a snapshot: read the manifest list, verify each

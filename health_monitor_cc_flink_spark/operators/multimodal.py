@@ -6427,6 +6427,116 @@ def iceberg_snapshot_extract(df: DataFrame, payload_col: str = "meta",
     )
 
 
+def synth_iceberg_v2_payload(df: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``meta`` column: a FORMAT-VERSION-2 (merge-on-read)
+    Iceberg snapshot — the synth_iceberg_payload data manifests plus
+    a DELETES-content manifest pointing at one positional delete
+    parquet: live file (i, j) has (i+j) %% 3 positions deleted
+    (positions 0, 3, 6...), so the row-accurate live count is
+    record_count - (i+j)%%3 — exactly what a v1-style walk
+    over-reports."""
+    from .iceberg import STATUS_ADDED, STATUS_DELETED, build_snapshot_v2
+    from .tar import build_tar
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    langs = ("en", "de", "fr")
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                manifests = []
+                deletes: list[tuple[str, int]] = []
+                for i in range(d % 3 + 1):
+                    entries = []
+                    for j in range(d % 4 + 2):
+                        st = (STATUS_DELETED
+                              if (i + j) % 4 == 3 and j > 0
+                              else STATUS_ADDED)
+                        path = f"data/m{i}/f{j}.parquet"
+                        entries.append({
+                            "status": st,
+                            "file_path": path,
+                            "file_format": "PARQUET",
+                            "record_count": 50 + 10 * i + j,
+                            "file_size_in_bytes":
+                                1000 + 31 * i + 7 * j,
+                            "lang": langs[(i + j) % 3],
+                        })
+                        if st == STATUS_ADDED:
+                            deletes += [(path, 3 * t)
+                                        for t in range((i + j) % 3)]
+                    manifests.append(entries)
+                files = build_snapshot_v2(manifests, [deletes])
+                members = [("metadata/", b""), ("data/", b"")] + [
+                    (name, files[name]) for name in sorted(files)
+                ]
+                payloads.append(build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "meta": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, meta binary")
+
+
+def iceberg_v2_snapshot_extract(df: DataFrame,
+                                payload_col: str = "meta",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Untar a v2 Iceberg snapshot, walk data + delete manifests,
+    read the positional delete parquet with the repo's own page
+    reader, and emit the ROW-ACCURATE live census."""
+    from .iceberg import walk_snapshot_v2
+    from .tar import parse_tar
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("manifest_idx", "file_path", "record_count",
+                "n_deleted", "live_records", "file_size", "lang",
+                "n_manifests", "n_delete_files")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    members = parse_tar(bytes(p))
+                    files = {m["name"]: m["data"] for m in members
+                             if m["typeflag"] != "5"}
+                    snap = walk_snapshot_v2(files)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for f in snap["live"]:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["manifest_idx"].append(f["manifest_idx"])
+                    out["file_path"].append(f["file_path"])
+                    out["record_count"].append(f["record_count"])
+                    out["n_deleted"].append(f["n_deleted"])
+                    out["live_records"].append(f["live_records"])
+                    out["file_size"].append(f["file_size_in_bytes"])
+                    out["lang"].append(f["lang"])
+                    out["n_manifests"].append(snap["n_manifests"])
+                    out["n_delete_files"].append(
+                        snap["n_delete_files"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, manifest_idx long, "
+                "file_path string, record_count long, n_deleted long, "
+                "live_records long, file_size long, lang string, "
+                "n_manifests long, n_delete_files long"),
+    )
+
+
 def synth_tfrecord_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a ``tfr`` column: the document materialized as a
     training shard — one tf.train.Example per 8-word chunk with

@@ -13959,3 +13959,50 @@ def lake_delta_checkpoint_replay(spark, sf_dir):
     )
     return M.delta_checkpoint_snapshot_extract(
         M.synth_delta_checkpoint_payload(docs))
+
+
+@query(
+    "lake_iceberg_v2_deletes",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS BIGINT) AS m,
+                      CAST(doc_id % 4 + 2 AS BIGINT) AS e
+               FROM documents),
+    f AS (SELECT doc_id, m, i.i, j.j
+          FROM p,
+               LATERAL unnest(generate_series(0, m - 1)) AS i(i),
+               LATERAL unnest(generate_series(0, e - 1)) AS j(j)
+          WHERE NOT ((i.i + j.j) % 4 = 3 AND j.j > 0))
+    SELECT doc_id, TRUE AS ok,
+           CAST(i AS BIGINT) AS manifest_idx,
+           'data/m' || i || '/f' || j || '.parquet' AS file_path,
+           CAST(50 + 10 * i + j AS BIGINT) AS record_count,
+           CAST((i + j) % 3 AS BIGINT) AS n_deleted,
+           CAST(50 + 10 * i + j - (i + j) % 3 AS BIGINT)
+               AS live_records,
+           CAST(1000 + 31 * i + 7 * j AS BIGINT) AS file_size,
+           (['en', 'de', 'fr'])[CAST((i + j) % 3 + 1 AS INT)] AS lang,
+           m AS n_manifests,
+           CAST(1 AS BIGINT) AS n_delete_files
+    FROM f
+    """,
+    doc="Iceberg FORMAT-VERSION-2 merge-on-read walk under the hash "
+    "gate — the modern-table reality the v1 walk over-reports: "
+    "manifests carry content (data vs deletes), delete manifests "
+    "point at POSITIONAL delete files — REAL parquet of (file_path, "
+    "pos) rows written by pyarrow and read back by this repo's own "
+    "page reader — and every live data file's row count is adjusted "
+    "by its deduped, bounds-checked deleted positions.  Equality "
+    "deletes raise explicitly (applying them needs the data rows, "
+    "which a metadata walk never reads).  The oracle re-derives "
+    "record_count - (i+j)%%3 closed-form, so a walk that ignores "
+    "delete files breaks the hash on live_records.  Scale: delete "
+    "files join data files by file_path — at table scale this is "
+    "the bucketed metadata join Iceberg planners run; here each "
+    "table is one task, tables embarrassingly parallel.",
+    bench=True,
+)
+def lake_iceberg_v2_deletes(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.iceberg_v2_snapshot_extract(M.synth_iceberg_v2_payload(docs))

@@ -67,3 +67,101 @@ def test_list_counts():
     assert mf["existing_data_files_count"] == 1
     assert mf["deleted_data_files_count"] == 1
     assert mf["manifest_length"] == len(files["metadata/manifest-0.avro"])
+
+
+def _v2(deletes, entries=None):
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        build_snapshot_v2,
+    )
+
+    manifests = [[_entry("a", records=10), _entry("b", records=5)],
+                 [_entry("c", STATUS_DELETED), _entry("d", records=8)]]
+    if entries is not None:
+        manifests = entries
+    return build_snapshot_v2(manifests, deletes)
+
+
+def test_v2_positional_deletes_applied():
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        walk_snapshot_v2,
+    )
+
+    files = _v2([[("a", 0), ("a", 3), ("d", 1)]])
+    snap = walk_snapshot_v2(files)
+    by = {f["file_path"]: f for f in snap["live"]}
+    assert sorted(by) == ["a", "b", "d"]
+    assert (by["a"]["n_deleted"], by["a"]["live_records"]) == (2, 8)
+    assert (by["b"]["n_deleted"], by["b"]["live_records"]) == (0, 5)
+    assert (by["d"]["n_deleted"], by["d"]["live_records"]) == (1, 7)
+    assert snap["n_manifests"] == 2
+    assert snap["n_delete_files"] == 1
+
+
+def test_v2_duplicate_positions_deduped():
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        walk_snapshot_v2,
+    )
+
+    files = _v2([[("a", 0), ("a", 0)], [("a", 0), ("a", 6)]])
+    snap = walk_snapshot_v2(files)
+    by = {f["file_path"]: f for f in snap["live"]}
+    assert by["a"]["n_deleted"] == 2  # {0, 6}
+    assert snap["n_delete_files"] == 2
+
+
+def test_v2_hostile_deletes():
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        CONTENT_EQUALITY_DELETES,
+        walk_snapshot_v2,
+    )
+
+    # position beyond record_count
+    with pytest.raises(ValueError):
+        walk_snapshot_v2(_v2([[("a", 10)]]))
+    # delete targeting an unknown file
+    with pytest.raises(ValueError):
+        walk_snapshot_v2(_v2([[("zz", 0)]]))
+    # missing delete parquet
+    files = _v2([[("a", 0)]])
+    del files["data/deletes-0.parquet"]
+    with pytest.raises(ValueError):
+        walk_snapshot_v2(files)
+    # equality deletes refused explicitly
+    files = _v2([[("a", 0)]])
+    from health_monitor_cc_flink_spark.sources.avro_ocf import (
+        read_ocf,
+        write_ocf,
+    )
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        MANIFEST_ENTRY_SCHEMA_V2,
+    )
+    ocf = read_ocf(files["metadata/manifest-deletes.avro"])
+    recs = ocf["records"]
+    recs[0]["data_file"]["content"] = CONTENT_EQUALITY_DELETES
+    blob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, recs,
+                     codec="deflate", sync_seed=9999)
+    files["metadata/manifest-deletes.avro"] = blob
+    # fix recorded length in the manifest list
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        MANIFEST_LIST_SCHEMA_V2,
+    )
+    ml = read_ocf(files["metadata/snap-1.avro"])["records"]
+    for r in ml:
+        if r["manifest_path"] == "metadata/manifest-deletes.avro":
+            r["manifest_length"] = len(blob)
+    files["metadata/snap-1.avro"] = write_ocf(
+        MANIFEST_LIST_SCHEMA_V2, ml, codec="deflate", sync_seed=2001)
+    with pytest.raises(ValueError, match="quality deletes"):
+        walk_snapshot_v2(files)
+
+
+def test_v2_delete_parquet_roundtrip():
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        build_positional_delete_parquet,
+        read_positional_delete_parquet,
+    )
+
+    rows = [("data/z.parquet", 5), ("data/a.parquet", 7),
+            ("data/a.parquet", 2)]
+    blob = build_positional_delete_parquet(rows)
+    assert read_positional_delete_parquet(blob) == sorted(rows)
