@@ -95,6 +95,10 @@ def _decompress_stream(data: bytes, kind: str) -> bytes:
                 chunk, MAX_TAIL_BYTES)
         elif kind == "SNAPPY":
             out += snappy_decompress_block(chunk)
+        elif kind == "ZSTD":
+            from .zstd import zstd_decompress
+
+            out += zstd_decompress(chunk)
         else:
             raise ValueError(f"orc codec {kind} not implemented here")
         if len(out) > MAX_TAIL_BYTES:

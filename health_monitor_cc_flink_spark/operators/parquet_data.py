@@ -141,6 +141,10 @@ def _decompress(payload: bytes, codec: str, expected: int) -> bytes:
         raw = snappy_decompress_block(payload)
     elif codec == "GZIP":
         raw = zlib.decompress(payload, 31, MAX_PAGE_BYTES)
+    elif codec == "ZSTD":
+        from .zstd import zstd_decompress
+
+        raw = zstd_decompress(payload)
     else:
         raise ValueError(f"page codec {codec} unsupported here")
     if len(raw) != expected:

@@ -1,0 +1,842 @@
+"""Zstandard decoder from scratch — RFC 8878, no zstd library.
+
+ZSTD is the DEFAULT codec of the modern lake (parquet-mr, Spark, ORC,
+Arrow all default or recommend it); an engine that reads storage
+bytes itself needs it.  Implemented from the PUBLIC RFC 8878 spec,
+cross-validated against Arrow's bundled C++ libzstd (tests/
+test_zstd.py) in both directions:
+
+* frame header — magic 0xFD2FB528, descriptor (frame-content-size /
+  single-segment / checksum / dictionary-id flags), window
+  descriptor, XXH64-low32 content checksum (xxhash64 implemented
+  here from its public spec);
+* blocks — Raw / RLE / Compressed with the 3-byte header;
+* literals — Raw / RLE / Huffman-compressed / Treeless (table
+  reuse), 1-stream and 4-stream (6-byte jump table) forms;
+* Huffman — weights either direct 4-bit or FSE-compressed with two
+  interleaved states and zero-padding termination; last weight
+  deduced from the power-of-two completion rule; canonical
+  single-level decode table (weight-ascending fill);
+* FSE — accuracy-log + truncated-binary probability stream
+  (low-probability -1 cells at table end, 2-bit zero-repeat flags),
+  symbol spread with step (S>>1)+(S>>3)+3, baseline/nbBits per cell;
+* sequences — predefined / RLE / FSE / repeat table modes for
+  literal-length, offset and match-length codes, the shared
+  backward bitstream (padding bit, LL->OF->ML init order,
+  OF->ML->LL read order, LL->ML->OF update order), code baselines
+  and extra bits, and the 3-slot repeat-offset history with the
+  literal-length-zero shift;
+* sequence execution — overlapping match copies byte-for-byte.
+
+``zstd_compress`` emits VALID frames in store mode (Raw blocks +
+XXH64 checksum) — enough for the their-decoder direction of the
+cross-validation; the decoder handles everything a real writer
+emits.  Hostile input raises ``ValueError``; output is capped.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAX_OUTPUT_BYTES = 1 << 28
+MAX_BLOCK = 1 << 17  # spec block maximum (128 KiB)
+
+MAGIC = 0xFD2FB528
+SKIPPABLE_LO = 0x184D2A50
+
+# ---------------------------------------------------------------- xxhash64
+
+_P1 = 11400714785074694791
+_P2 = 14029467366897019727
+_P3 = 1609587929392839161
+_P4 = 9650029242287828579
+_P5 = 2870177450012600261
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round64(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl64(acc, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 from the public xxHash spec (the frame checksum is its
+    low 32 bits)."""
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while pos + 32 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<4Q", data, pos)
+            v1, v2 = _round64(v1, l1), _round64(v2, l2)
+            v3, v4 = _round64(v3, l3), _round64(v4, l4)
+            pos += 32
+        acc = (_rotl64(v1, 1) + _rotl64(v2, 7)
+               + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            acc = ((acc ^ _round64(0, v)) * _P1 + _P4) & _M64
+    else:
+        acc = (seed + _P5) & _M64
+    acc = (acc + n) & _M64
+    while pos + 8 <= n:
+        (lane,) = struct.unpack_from("<Q", data, pos)
+        acc = ((_rotl64(acc ^ _round64(0, lane), 27) * _P1) + _P4) \
+            & _M64
+        pos += 8
+    if pos + 4 <= n:
+        (lane,) = struct.unpack_from("<I", data, pos)
+        acc = ((_rotl64(acc ^ (lane * _P1) & _M64, 23) * _P2)
+               + _P3) & _M64
+        pos += 4
+    while pos < n:
+        acc = ((_rotl64(acc ^ (data[pos] * _P5) & _M64, 11) * _P1)) \
+            & _M64
+        pos += 1
+    acc ^= acc >> 33
+    acc = (acc * _P2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _P3) & _M64
+    acc ^= acc >> 32
+    return acc
+
+
+# ---------------------------------------------------------- bit readers
+
+
+class _BackBits:
+    """Backward bitstream (RFC 8878 §3.1.1.3.2): written forward,
+    read from the end; the last byte's highest set bit is padding.
+    ``read(n)`` consumes the top n remaining bits — the first-read
+    bit is the most significant of the returned value."""
+
+    __slots__ = ("data", "bits")
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ValueError("empty bitstream")
+        last = data[-1]
+        if last == 0:
+            raise ValueError("bitstream padding byte is zero")
+        self.data = data
+        self.bits = (len(data) - 1) * 8 + last.bit_length() - 1
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.bits -= n
+        pos = self.bits
+        if pos < 0:
+            raise ValueError("bitstream underrun")
+        return self._extract(pos, n)
+
+    def read_padded(self, n: int) -> int:
+        """Read n bits, zero-padding past the start (the FSE weight
+        stream termination rule: missing bits are 0)."""
+        if n == 0:
+            return 0
+        self.bits -= n
+        pos = self.bits
+        if pos <= -n:
+            return 0
+        if pos < 0:
+            return self._extract(0, n + pos) << -pos
+        return self._extract(pos, n)
+
+    def _extract(self, pos: int, n: int) -> int:
+        b0 = pos >> 3
+        b1 = (pos + n - 1) >> 3
+        chunk = int.from_bytes(self.data[b0:b1 + 1], "little")
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
+
+
+class _FwdBits:
+    """Forward little-endian bit reader (FSE table descriptions)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("fse description underrun")
+        b0 = self.pos >> 3
+        b1 = (end - 1) >> 3
+        chunk = int.from_bytes(self.data[b0:b1 + 1], "little")
+        v = (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+        self.pos = end
+        return v
+
+    def peek(self, n: int) -> int:
+        save = self.pos
+        # allow peeking past the end with zero fill (the last value's
+        # encoding may not need all peeked bits)
+        avail = len(self.data) * 8 - save
+        if avail <= 0:
+            return 0
+        take = min(n, avail)
+        b0 = save >> 3
+        b1 = (save + take - 1) >> 3
+        chunk = int.from_bytes(self.data[b0:b1 + 1], "little")
+        return (chunk >> (save & 7)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) // 8
+
+
+# ------------------------------------------------------------------- FSE
+
+
+class _FSETable:
+    __slots__ = ("symbol", "nbits", "base", "acc_log")
+
+    def __init__(self, acc_log: int):
+        size = 1 << acc_log
+        self.acc_log = acc_log
+        self.symbol = [0] * size
+        self.nbits = [0] * size
+        self.base = [0] * size
+
+
+def fse_build(probs: list[int], acc_log: int) -> _FSETable:
+    """Normalized probabilities (-1 = low-prob) -> decode table
+    (RFC 8878 §4.1.1: low-prob cells at the table end, spread step
+    (S>>1)+(S>>3)+3, per-cell baseline/nbBits)."""
+    size = 1 << acc_log
+    if acc_log > 20:
+        raise ValueError("fse accuracy log too large")
+    t = _FSETable(acc_log)
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            t.symbol[high] = s
+            high -= 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    for s, p in enumerate(probs):
+        if p <= 0:
+            continue
+        for _ in range(p):
+            t.symbol[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("fse table spread did not close")
+    counts = [0] * len(probs)
+    for i in range(size):
+        s = t.symbol[i]
+        p = probs[s]
+        if p == -1:
+            t.nbits[i] = acc_log
+            t.base[i] = 0
+        else:
+            nxt = p + counts[s]
+            counts[s] += 1
+            nb = acc_log - (nxt.bit_length() - 1)
+            t.nbits[i] = nb
+            t.base[i] = (nxt << nb) - size
+    return t
+
+
+def fse_read_distribution(data: bytes,
+                          max_symbol: int) -> tuple[list[int], int, int]:
+    """FSE table description -> (probs, accuracy_log,
+    bytes_consumed).  Truncated-binary values (value-1 =
+    probability), 2-bit repeat flags after a zero."""
+    bits = _FwdBits(data)
+    acc_log = bits.read(4) + 5
+    # per-use caps (weights 6, offsets 8, LL/ML 9) are enforced by
+    # callers; this is the structural ceiling
+    if acc_log > 15:
+        raise ValueError("fse accuracy log out of range")
+    size = 1 << acc_log
+    remaining = size + 1
+    threshold = size
+    nb = acc_log + 1
+    probs: list[int] = []
+    prev_zero = False
+    while remaining > 1 and len(probs) <= max_symbol:
+        if prev_zero:
+            while bits.peek(2) == 3:
+                bits.skip(2)
+                probs.extend([0, 0, 0])
+                if len(probs) > max_symbol + 1:
+                    raise ValueError("fse zero repeat overrun")
+            probs.extend([0] * bits.read(2))
+            prev_zero = False
+            if len(probs) > max_symbol + 1:
+                raise ValueError("fse zero repeat overrun")
+            continue
+        maxv = (2 * threshold - 1) - remaining
+        count = bits.peek(nb)
+        if (count & (threshold - 1)) < maxv:
+            count &= threshold - 1
+            bits.skip(nb - 1)
+        else:
+            count &= 2 * threshold - 1
+            if count >= threshold:
+                count -= maxv
+            bits.skip(nb)
+        count -= 1  # value - 1 = probability; -1 = low-prob
+        remaining -= -count if count < 0 else count
+        probs.append(count)
+        prev_zero = count == 0
+        while remaining < threshold:
+            nb -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ValueError("fse distribution does not sum to table")
+    return probs, acc_log, bits.bytes_consumed()
+
+
+# --------------------------------------------------------------- Huffman
+
+
+class _HufTable:
+    __slots__ = ("max_bits", "symbol", "nbits")
+
+    def __init__(self, weights: list[int]):
+        if any(w < 0 or w > 12 for w in weights):
+            raise ValueError("huffman weight out of range")
+        total = sum((1 << (w - 1)) for w in weights if w > 0)
+        if total == 0:
+            raise ValueError("huffman: no weights")
+        # the last symbol's weight is implicit: it completes the
+        # weight sum to the NEXT power of two (§4.2.1), which also
+        # fixes Max_Number_of_Bits
+        max_bits = total.bit_length()
+        if max_bits > 11:
+            raise ValueError("huffman max bits > 11")
+        left = (1 << max_bits) - total
+        if left <= 0 or left & (left - 1):
+            raise ValueError("huffman weights do not complete a tree")
+        weights = weights + [left.bit_length()]
+        if max(weights) > max_bits:
+            raise ValueError("huffman weight exceeds max bits")
+        self.max_bits = max_bits
+        size = 1 << max_bits
+        self.symbol = [0] * size
+        self.nbits = [0] * size
+        # canonical fill: weight-ascending regions, natural symbol
+        # order within a weight
+        rank_start = [0] * (max_bits + 2)
+        for w in weights:
+            if w > 0:
+                rank_start[w + 1] += 1 << (w - 1)
+        for w in range(1, max_bits + 2):
+            rank_start[w] += rank_start[w - 1]
+        if rank_start[max_bits + 1] != size:
+            raise ValueError("huffman weights malformed")
+        for s, w in enumerate(weights):
+            if w == 0:
+                continue
+            ln = 1 << (w - 1)
+            start = rank_start[w]
+            nb = max_bits + 1 - w
+            for i in range(start, start + ln):
+                self.symbol[i] = s
+                self.nbits[i] = nb
+            rank_start[w] += ln
+
+    def decode_stream(self, data: bytes, n_out: int) -> bytearray:
+        bits = _BackBits(data)
+        out = bytearray()
+        mb = self.max_bits
+        symbol = self.symbol
+        nbits = self.nbits
+        while len(out) < n_out:
+            idx = bits.read_padded(mb)
+            out.append(symbol[idx])
+            back = mb - nbits[idx]
+            bits.bits += back
+        if bits.bits != 0:
+            raise ValueError("huffman stream not fully consumed")
+        return out
+
+
+def _read_huffman_weights(data: bytes) -> tuple[list[int], int]:
+    """Huffman tree description -> (explicit weights, bytes
+    consumed).  Header < 128: FSE-compressed weights with two
+    interleaved states; >= 128: direct 4-bit weights."""
+    if not data:
+        raise ValueError("huffman description empty")
+    h = data[0]
+    if h >= 128:
+        n = h - 127
+        need = (n + 1) // 2
+        if 1 + need > len(data):
+            raise ValueError("huffman direct weights truncated")
+        weights = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return weights, 1 + need
+    csize = h
+    if 1 + csize > len(data):
+        raise ValueError("huffman fse weights truncated")
+    blob = data[1:1 + csize]
+    probs, acc_log, used = fse_read_distribution(blob, 255)
+    if acc_log > 6:
+        raise ValueError("weight fse accuracy log > 6")
+    table = fse_build(probs, acc_log)
+    stream = blob[used:]
+    bits = _BackBits(stream)
+    s1 = bits.read(acc_log)
+    s2 = bits.read(acc_log)
+    weights: list[int] = []
+    # two interleaved states; a state update past the stream start
+    # zero-pads, then each final state emits once more (§4.2.1.2)
+    while True:
+        weights.append(table.symbol[s1])
+        if bits.bits < table.nbits[s1]:
+            weights.append(table.symbol[s2])
+            break
+        s1 = table.base[s1] + bits.read(table.nbits[s1])
+        weights.append(table.symbol[s2])
+        if bits.bits < table.nbits[s2]:
+            weights.append(table.symbol[s1])
+            break
+        s2 = table.base[s2] + bits.read(table.nbits[s2])
+        if len(weights) > 255:
+            raise ValueError("huffman weight stream overrun")
+    if len(weights) > 255:
+        raise ValueError("too many huffman weights")
+    return weights, 1 + csize
+
+
+# ----------------------------------------------------- sequence tables
+
+# RFC 8878 §3.1.1.3.2.1.1: literal-length code baselines/extra bits
+_LL_BASE = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+            16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512,
+            1024, 2048, 4096, 8192, 16384, 32768, 65536)
+_LL_BITS = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+            1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13,
+            14, 15, 16)
+# match-length codes
+_ML_BASE = (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+            19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+            33, 34, 35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131,
+            259, 515, 1027, 2051, 4099, 8195, 16387, 32771, 65539)
+_ML_BITS = (0,) * 32 + (1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+                        11, 12, 13, 14, 15, 16)
+
+# predefined distributions (§3.1.1.3.2.2.1)
+_LL_DEFAULT = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+               2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+               -1, -1, -1, -1]
+_ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+               -1, -1, -1, -1, -1]
+_OF_DEFAULT = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1]
+_LL_ACC, _ML_ACC, _OF_ACC = 6, 6, 5
+_LL_MAX_SYM, _ML_MAX_SYM, _OF_MAX_SYM = 35, 52, 31
+_MAX_ACC = {"ll": 9, "of": 8, "ml": 9}
+
+
+class _RLETable:
+    """Degenerate one-symbol 'table' for RLE sequence mode."""
+
+    __slots__ = ("sym",)
+
+    def __init__(self, sym: int):
+        self.sym = sym
+
+
+def _read_seq_table(data: bytes, pos: int, mode: int, which: str,
+                    prev) -> tuple[object, int]:
+    if mode == 0:  # predefined
+        dist, acc = {"ll": (_LL_DEFAULT, _LL_ACC),
+                     "of": (_OF_DEFAULT, _OF_ACC),
+                     "ml": (_ML_DEFAULT, _ML_ACC)}[which]
+        return fse_build(dist, acc), pos
+    if mode == 1:  # RLE: one byte symbol
+        if pos >= len(data):
+            raise ValueError("rle sequence table truncated")
+        return _RLETable(data[pos]), pos + 1
+    if mode == 2:  # FSE-compressed description
+        max_sym = {"ll": _LL_MAX_SYM, "of": _OF_MAX_SYM,
+                   "ml": _ML_MAX_SYM}[which]
+        probs, acc, used = fse_read_distribution(data[pos:], max_sym)
+        if acc > _MAX_ACC[which]:
+            raise ValueError(f"{which} accuracy log too large")
+        return fse_build(probs, acc), pos + used
+    if prev is None:  # repeat with no previous table
+        raise ValueError("repeat sequence mode without prior table")
+    return prev, pos
+
+
+def _check_code(code: int, limit: int, what: str) -> int:
+    if code > limit:
+        raise ValueError(f"{what} code out of range")
+    return code
+
+
+# ------------------------------------------------------------ the frame
+
+
+class _FrameCtx:
+    __slots__ = ("huf", "ll", "of", "ml", "rep")
+
+    def __init__(self):
+        self.huf: _HufTable | None = None
+        self.ll = self.of = self.ml = None
+        self.rep = [1, 4, 8]
+
+
+def _decode_literals(block: bytes, pos: int,
+                     ctx: _FrameCtx) -> tuple[bytes, int]:
+    if pos >= len(block):
+        raise ValueError("literals section missing")
+    b0 = block[pos]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if sf in (0, 2):
+            rsize = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            if pos + 2 > len(block):
+                raise ValueError("literals header truncated")
+            rsize = (b0 >> 4) | (block[pos + 1] << 4)
+            pos += 2
+        else:
+            if pos + 3 > len(block):
+                raise ValueError("literals header truncated")
+            rsize = ((b0 >> 4) | (block[pos + 1] << 4)
+                     | (block[pos + 2] << 12))
+            pos += 3
+        if rsize > MAX_BLOCK:
+            raise ValueError("literals size over block cap")
+        if ltype == 0:
+            if pos + rsize > len(block):
+                raise ValueError("raw literals truncated")
+            return block[pos:pos + rsize], pos + rsize
+        if pos >= len(block):
+            raise ValueError("rle literal byte missing")
+        return bytes([block[pos]]) * rsize, pos + 1
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        n_streams = 1
+        if pos + 3 > len(block):
+            raise ValueError("literals header truncated")
+        rsize = (b0 >> 4) | ((block[pos + 1] & 0x3F) << 4)
+        csize = (block[pos + 1] >> 6) | (block[pos + 2] << 2)
+        pos += 3
+    elif sf == 1:
+        n_streams = 4
+        if pos + 3 > len(block):
+            raise ValueError("literals header truncated")
+        rsize = (b0 >> 4) | ((block[pos + 1] & 0x3F) << 4)
+        csize = (block[pos + 1] >> 6) | (block[pos + 2] << 2)
+        pos += 3
+    elif sf == 2:
+        n_streams = 4
+        if pos + 4 > len(block):
+            raise ValueError("literals header truncated")
+        rsize = ((b0 >> 4) | (block[pos + 1] << 4)
+                 | ((block[pos + 2] & 0x3) << 12))
+        csize = ((block[pos + 2] >> 2) | (block[pos + 3] << 6))
+        pos += 4
+    else:
+        n_streams = 4
+        if pos + 5 > len(block):
+            raise ValueError("literals header truncated")
+        rsize = ((b0 >> 4) | (block[pos + 1] << 4)
+                 | ((block[pos + 2] & 0x3F) << 12))
+        csize = ((block[pos + 2] >> 6) | (block[pos + 3] << 2)
+                 | (block[pos + 4] << 10))
+        pos += 5
+    if rsize > MAX_BLOCK or csize > MAX_BLOCK:
+        raise ValueError("literals sizes over block cap")
+    if pos + csize > len(block):
+        raise ValueError("compressed literals truncated")
+    payload = block[pos:pos + csize]
+    pos += csize
+    off = 0
+    if ltype == 2:
+        weights, off = _read_huffman_weights(payload)
+        ctx.huf = _HufTable(weights)
+    if ctx.huf is None:
+        raise ValueError("treeless literals with no previous table")
+    body = payload[off:]
+    if n_streams == 1:
+        lit = ctx.huf.decode_stream(body, rsize)
+    else:
+        if len(body) < 6:
+            raise ValueError("4-stream jump table truncated")
+        s1, s2, s3 = struct.unpack_from("<3H", body, 0)
+        splits = [6, 6 + s1, 6 + s1 + s2, 6 + s1 + s2 + s3,
+                  len(body)]
+        if splits[3] > len(body):
+            raise ValueError("4-stream sizes overrun")
+        part = (rsize + 3) // 4
+        sizes = [part, part, part, rsize - 3 * part]
+        if sizes[3] < 0:
+            raise ValueError("bad 4-stream regenerated size")
+        lit = bytearray()
+        for i in range(4):
+            lit += ctx.huf.decode_stream(
+                body[splits[i]:splits[i + 1]], sizes[i])
+    return bytes(lit), pos
+
+
+def _decode_sequences(block: bytes, pos: int, ctx: _FrameCtx,
+                      literals: bytes, out: bytearray,
+                      frame_start: int = 0) -> None:
+    if pos >= len(block):
+        raise ValueError("sequences section missing")
+    b0 = block[pos]
+    pos += 1
+    if b0 == 0:
+        n_seq = 0
+    elif b0 < 128:
+        n_seq = b0
+    elif b0 < 255:
+        if pos >= len(block):
+            raise ValueError("sequence count truncated")
+        n_seq = ((b0 - 128) << 8) + block[pos]
+        pos += 1
+    else:
+        if pos + 2 > len(block):
+            raise ValueError("sequence count truncated")
+        n_seq = block[pos] + (block[pos + 1] << 8) + 0x7F00
+        pos += 2
+    if n_seq == 0:
+        out += literals
+        return
+    if pos >= len(block):
+        raise ValueError("sequence modes byte missing")
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("reserved sequence mode bits set")
+    ll_t, pos = _read_seq_table(block, pos, (modes >> 6) & 3, "ll",
+                                ctx.ll)
+    of_t, pos = _read_seq_table(block, pos, (modes >> 4) & 3, "of",
+                                ctx.of)
+    ml_t, pos = _read_seq_table(block, pos, (modes >> 2) & 3, "ml",
+                                ctx.ml)
+    ctx.ll, ctx.of, ctx.ml = ll_t, of_t, ml_t
+    bits = _BackBits(block[pos:])
+
+    def init_state(t):
+        return None if isinstance(t, _RLETable) else \
+            bits.read(t.acc_log)
+
+    ll_s = init_state(ll_t)
+    of_s = init_state(of_t)
+    ml_s = init_state(ml_t)
+
+    def sym(t, s):
+        return t.sym if isinstance(t, _RLETable) else t.symbol[s]
+
+    lit_pos = 0
+    rep = ctx.rep
+    for i in range(n_seq):
+        of_code = _check_code(sym(of_t, of_s), _OF_MAX_SYM, "offset")
+        ml_code = _check_code(sym(ml_t, ml_s), _ML_MAX_SYM,
+                              "match length")
+        ll_code = _check_code(sym(ll_t, ll_s), _LL_MAX_SYM,
+                              "literal length")
+        if of_code > 31:
+            raise ValueError("offset code too large")
+        offset_value = (1 << of_code) + bits.read(of_code)
+        ml = _ML_BASE[ml_code] + bits.read(_ML_BITS[ml_code])
+        ll = _LL_BASE[ll_code] + bits.read(_LL_BITS[ll_code])
+        # repeat-offset resolution (§3.1.1.5)
+        if offset_value > 3:
+            offset = offset_value - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = offset_value - 1
+            if ll == 0:
+                idx += 1
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:  # idx == 3: Repeated_Offset1 - 1
+                offset = rep[0] - 1
+                if offset <= 0:
+                    raise ValueError("repeat offset underflow")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        if i < n_seq - 1:
+            def upd(t, s):
+                if isinstance(t, _RLETable):
+                    return s
+                return t.base[s] + bits.read(t.nbits[s])
+            ll_s = upd(ll_t, ll_s)
+            ml_s = upd(ml_t, ml_s)
+            of_s = upd(of_t, of_s)
+        if lit_pos + ll > len(literals):
+            raise ValueError("sequence literals overrun")
+        out += literals[lit_pos:lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out) - frame_start:
+            raise ValueError("match offset beyond frame output")
+        if offset >= ml:
+            start = len(out) - offset
+            out += out[start:start + ml]
+        else:
+            for _ in range(ml):
+                out.append(out[-offset])
+        if len(out) > MAX_OUTPUT_BYTES:
+            raise ValueError("zstd output cap exceeded")
+    if bits.bits != 0:
+        raise ValueError("sequence bitstream not fully consumed")
+    out += literals[lit_pos:]
+
+
+def zstd_decompress(data: bytes) -> bytes:
+    """Decode a zstd frame sequence (skippable frames skipped)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("zstd magic truncated")
+        (magic,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if (magic & 0xFFFFFFF0) == SKIPPABLE_LO:
+            if pos + 4 > n:
+                raise ValueError("skippable size truncated")
+            (sk,) = struct.unpack_from("<I", data, pos)
+            pos += 4 + sk
+            if pos > n:
+                raise ValueError("skippable frame overruns input")
+            continue
+        if magic != MAGIC:
+            raise ValueError("bad zstd magic")
+        if pos >= n:
+            raise ValueError("frame header truncated")
+        fhd = data[pos]
+        pos += 1
+        fcs_flag = fhd >> 6
+        single = (fhd >> 5) & 1
+        checksum = (fhd >> 2) & 1
+        if (fhd >> 3) & 1:
+            raise ValueError("reserved frame header bit set")
+        did_flag = fhd & 3
+        if not single:
+            if pos >= n:
+                raise ValueError("window descriptor truncated")
+            pos += 1  # window checked implicitly via offsets
+        did_size = (0, 1, 2, 4)[did_flag]
+        if did_size:
+            if pos + did_size > n:
+                raise ValueError("dictionary id truncated")
+            did = int.from_bytes(data[pos:pos + did_size], "little")
+            if did:
+                raise ValueError("external dictionary unsupported")
+            pos += did_size
+        fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        fcs = None
+        if fcs_size:
+            if pos + fcs_size > n:
+                raise ValueError("frame content size truncated")
+            fcs = int.from_bytes(data[pos:pos + fcs_size], "little")
+            if fcs_size == 2:
+                fcs += 256
+            pos += fcs_size
+        ctx = _FrameCtx()
+        frame_start = len(out)
+        while True:
+            if pos + 3 > n:
+                raise ValueError("block header truncated")
+            bh = int.from_bytes(data[pos:pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:  # Raw
+                if pos + bsize > n:
+                    raise ValueError("raw block truncated")
+                out += data[pos:pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE
+                if pos >= n:
+                    raise ValueError("rle block truncated")
+                if bsize > MAX_OUTPUT_BYTES:
+                    raise ValueError("rle block size cap")
+                out += bytes([data[pos]]) * bsize
+                pos += 1
+            elif btype == 2:  # Compressed
+                if bsize > MAX_BLOCK:
+                    raise ValueError("compressed block over cap")
+                if pos + bsize > n:
+                    raise ValueError("compressed block truncated")
+                block = data[pos:pos + bsize]
+                pos += bsize
+                literals, lpos = _decode_literals(block, 0, ctx)
+                _decode_sequences(block, lpos, ctx, literals, out,
+                                  frame_start)
+            else:
+                raise ValueError("reserved block type")
+            if len(out) > MAX_OUTPUT_BYTES:
+                raise ValueError("zstd output cap exceeded")
+            if last:
+                break
+        if fcs is not None and len(out) - frame_start != fcs:
+            raise ValueError("frame content size mismatch")
+        if checksum:
+            if pos + 4 > n:
+                raise ValueError("content checksum truncated")
+            (want,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError("zstd content checksum mismatch")
+    return bytes(out)
+
+
+def zstd_compress(data: bytes, *, checksum: bool = True) -> bytes:
+    """Store-mode zstd frames: Raw blocks + frame content size +
+    XXH64-low32 checksum — valid RFC 8878 output any decoder reads
+    (the cross-validation's their-decoder direction); no entropy
+    coding on this side by design."""
+    out = bytearray(struct.pack("<I", MAGIC))
+    fhd = (3 << 6) | (1 << 5) | ((1 if checksum else 0) << 2)
+    out.append(fhd)
+    out += struct.pack("<Q", len(data))
+    if not data:
+        out += (1 << 0 | 0 << 1 | 0 << 3).to_bytes(3, "little")
+    else:
+        step = MAX_BLOCK
+        for i in range(0, len(data), step):
+            chunk = data[i:i + step]
+            last = 1 if i + step >= len(data) else 0
+            out += (last | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

@@ -14006,3 +14006,160 @@ def lake_iceberg_v2_deletes(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.iceberg_v2_snapshot_extract(M.synth_iceberg_v2_payload(docs))
+
+
+_ZSTD_FIXTURE_CACHE: dict = {}
+
+
+def _zstd_fixture(spark, sf_dir: str, fmt: str) -> str:
+    """lineitem re-written by SPARK'S OWN writer with zstd
+    compression (the modern lake default) — the decode side is this
+    repo's from-scratch RFC 8878 implementation."""
+    import glob as _glob
+    import os as _os
+
+    key = (id(spark), sf_dir, fmt)
+    path = _ZSTD_FIXTURE_CACHE.get(key)
+    if path and _os.path.exists(path):
+        return path
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"/tmp/zstd_fixture_{fmt}_{sf_tag}"
+    w = (_t(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_linenumber", "l_returnflag")
+         .coalesce(1).write.mode("overwrite")
+         .option("compression", "zstd"))
+    (w.orc(out) if fmt == "orc" else w.parquet(out))
+    (path,) = _glob.glob(out + f"/part-*.{fmt}")
+    _ZSTD_FIXTURE_CACHE[key] = path
+    return path
+
+
+_ZSTD_SCAN_ORACLE = """
+    SELECT 'l_orderkey' AS col_name, count(*) AS n_values,
+           sum(l_orderkey) AS sum_v, min(l_orderkey) AS min_v,
+           max(l_orderkey) AS max_v, CAST(NULL AS BIGINT) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', count(*), sum(l_linenumber),
+           min(l_linenumber), max(l_linenumber), NULL FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), NULL, NULL, NULL,
+           count(DISTINCT l_returnflag) FROM lineitem
+    """
+
+
+def _zstd_scan_fn(fmt: str):
+    def run(spark, sf_dir):
+        path = _zstd_fixture(spark, sf_dir, fmt)
+        files = (spark.read.format("binaryFile").load(path)
+                 .select("content"))
+
+        def feats(batches):
+            import pandas as pd
+
+            from .operators.orc_data import read_stripe_column
+            from .operators.orc_meta import parse_orc_tail
+            from .operators.parquet_data import read_column_chunk
+            from .operators.parquet_meta import parse_footer
+
+            cols = ("col_name", "n_values", "sum_v", "min_v",
+                    "max_v", "n_distinct")
+            targets = ("l_orderkey", "l_linenumber", "l_returnflag")
+            for pdf in batches:
+                out = {c: [] for c in cols}
+                for blob in pdf["content"]:
+                    data = bytes(blob)
+                    per_col = {}
+                    if fmt == "parquet":
+                        m = parse_footer(data)
+                        for col in targets:
+                            vals = []
+                            for rg in m["row_groups"]:
+                                cc = next(c for c in rg["columns"]
+                                          if c["path"] == col)
+                                if cc["codec"] != "ZSTD":
+                                    raise ValueError(
+                                        "fixture is not zstd")
+                                start = (cc["dictionary_page_offset"]
+                                         or cc["data_page_offset"])
+                                vals.extend(read_column_chunk(
+                                    data, start_offset=start,
+                                    num_values=cc["num_values"],
+                                    ptype=cc["type"],
+                                    codec=cc["codec"]))
+                            per_col[col] = vals
+                    else:
+                        m = parse_orc_tail(data)
+                        if m["compression"] != "ZSTD":
+                            raise ValueError("fixture is not zstd")
+                        kinds = {n: k for k, n in m["schema"]}
+                        ids = {n: i + 1 for i, (_, n)
+                               in enumerate(m["schema"])}
+                        for col in targets:
+                            vals = []
+                            for s in m["stripes"]:
+                                vals.extend(read_stripe_column(
+                                    data, s, kinds[col], ids[col],
+                                    m["compression"], s["n_rows"]))
+                            per_col[col] = vals
+                    for col in targets:
+                        nn = [v for v in per_col[col]
+                              if v is not None]
+                        if col == "l_returnflag":
+                            nn = [v.decode("utf-8")
+                                  if isinstance(v, (bytes, bytearray))
+                                  else v for v in nn]
+                        out["col_name"].append(col)
+                        out["n_values"].append(len(per_col[col]))
+                        if col == "l_returnflag":
+                            out["sum_v"].append(None)
+                            out["min_v"].append(None)
+                            out["max_v"].append(None)
+                            out["n_distinct"].append(len(set(nn)))
+                        else:
+                            out["sum_v"].append(sum(nn))
+                            out["min_v"].append(min(nn))
+                            out["max_v"].append(max(nn))
+                            out["n_distinct"].append(None)
+                yield pd.DataFrame(out)
+
+        return files.mapInPandas(
+            feats,
+            schema=("col_name string, n_values long, sum_v long, "
+                    "min_v long, max_v long, n_distinct long"),
+        )
+
+    return run
+
+
+_ZSTD_DOC = (
+    "{fmt} data decode through the from-scratch RFC 8878 ZSTD "
+    "decoder under the hash gate — zstd is the DEFAULT codec of the "
+    "modern lake, and the r11 snappy/zlib-only reader refused most "
+    "freshly written files.  The fixture is lineitem re-written by "
+    "Spark's own writer with compression=zstd; the decode path runs "
+    "frame headers, Raw/RLE/Compressed blocks, Huffman literals "
+    "(1- and 4-stream, FSE-compressed weights with two interleaved "
+    "states), all four sequence-table modes over the shared backward "
+    "bitstream, repeat-offset history, and the XXH64-low32 content "
+    "checksum (xxhash64 also from scratch) — every byte then flows "
+    "through the existing {fmt} page/stream walk, and the oracle is "
+    "plain SQL over the same lineitem rows via DuckDB's C++ reader.  "
+    "Cross-validated against Arrow's libzstd in both directions at "
+    "levels 1-22 (tests/test_zstd.py).  Scale: chunks remain "
+    "independent decode units; zstd adds per-chunk CPU, no shuffle."
+)
+
+
+query(
+    "meta_parquet_data_scan_zstd",
+    _ZSTD_SCAN_ORACLE,
+    doc=_ZSTD_DOC.format(fmt="parquet"),
+    bench=True,
+)(_zstd_scan_fn("parquet"))
+
+query(
+    "meta_orc_data_scan_zstd",
+    _ZSTD_SCAN_ORACLE,
+    doc=_ZSTD_DOC.format(fmt="orc"),
+)(_zstd_scan_fn("orc"))
