@@ -7647,10 +7647,13 @@ def crawl_frontier_pipeline_e2e(spark, sf_dir):
         .select("host", "path", "allowed")
     )
     scored = parsed.join(F.broadcast(verdicts), ["host", "path"])
-    # skew-safe two-phase politeness quota (operators/skew.py): a
-    # mega-host (90% of the frontier) spreads over 32 salt tasks in
-    # phase 1; phase 2 re-ranks <= 2*32 survivors per host — ranks
-    # identical to a single window
+    # skew-safe adaptive politeness quota (operators/skew.py): the
+    # pre-probe samples host sizes on the CHEAP pre-join parse (the
+    # robots filter only shrinks groups, so it over-estimates —
+    # conservative); balanced frontiers take the single-window plan,
+    # a mega-host (90% of the frontier) spreads over 32 salt tasks
+    # in phase 1 with phase 2 re-ranking <= 2*32 survivors per host
+    # — ranks identical to a single window either way
     from .operators.skew import group_top_k
 
     ranked = group_top_k(
@@ -7662,6 +7665,8 @@ def crawl_frontier_pipeline_e2e(spark, sf_dir):
         ],
         salt_cols=["canon_url", "doc_id", "url_idx"],
         k=2,
+        probe_df=parsed.select("host", "canon_url", "doc_id",
+                               "url_idx"),
         rank_col="_rn",
     ).select("doc_id", "url_idx", "_rn")
     return scored.join(ranked, ["doc_id", "url_idx"], "left").select(

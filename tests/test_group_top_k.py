@@ -31,11 +31,16 @@ def _skewed(spark, n=20_000, hot_frac=0.9):
 
 
 @pytest.mark.parametrize("k,n_salts", [(2, 32), (1, 4), (5, 8)])
-def test_group_top_k_matches_single_window(spark, k, n_salts):
+@pytest.mark.parametrize("min_salt", [None, 100])
+def test_group_top_k_matches_single_window(spark, k, n_salts, min_salt):
+    # min_salt None forces the two-phase plan; 100 makes the probe
+    # pick it (the hot group far exceeds 100 rows) — both must rank
+    # identically to one window
     df = _skewed(spark)
     order = [F.col("score").desc(), F.col("id")]
     got = group_top_k(
-        df, ["grp"], order, ["id"], k, n_salts=n_salts, rank_col="r"
+        df, ["grp"], order, ["id"], k, n_salts=n_salts, rank_col="r",
+        min_salt_group_rows=min_salt,
     )
     w = Window.partitionBy("grp").orderBy(*order)
     want = (
@@ -54,6 +59,39 @@ def test_group_top_k_two_phase_plan_shape(spark):
     """The plan must contain TWO window nodes (salted pre-pass +
     final) — the property that caps the per-task row count."""
     df = _skewed(spark, 1000)
-    got = group_top_k(df, ["grp"], [F.col("id")], ["id"], 2)
+    got = group_top_k(df, ["grp"], [F.col("id")], ["id"], 2,
+                      min_salt_group_rows=None)
     plan = got._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Window") >= 2
+
+
+def test_group_top_k_probe_picks_plan(spark):
+    """Balanced input below the threshold -> single-window plan (the
+    ~2.6x two-phase constant is not paid); a group estimated above
+    it -> salted two-phase plan."""
+    df = _skewed(spark, 20_000, hot_frac=0.9)
+    fast = group_top_k(df, ["grp"], [F.col("id")], ["id"], 2,
+                       min_salt_group_rows=100_000)
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    # "Window [" counts window NODES (WindowGroupLimit also matches
+    # a bare "Window" substring)
+    assert plan.count("Window [") == 1
+    salted = group_top_k(df, ["grp"], [F.col("id")], ["id"], 2,
+                         min_salt_group_rows=1_000)
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window [") >= 2
+
+
+def test_estimate_max_group_rows_detects_hot_group(spark):
+    from health_monitor_cc_flink_spark.operators.skew import (
+        estimate_max_group_rows,
+    )
+
+    df = _skewed(spark, 50_000, hot_frac=0.9)
+    est = estimate_max_group_rows(df, ["grp"], ["id"])
+    # true hot group is 45k rows; the 1/64 sample estimate must land
+    # the right order of magnitude (Poisson sigma ~27 samples)
+    assert 25_000 < est < 70_000
+    empty = spark.range(0).select(
+        F.col("id").cast("string").alias("grp"), "id")
+    assert estimate_max_group_rows(empty, ["grp"], ["id"]) == 0
