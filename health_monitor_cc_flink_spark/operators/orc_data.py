@@ -47,7 +47,11 @@ STREAM_PRESENT = 0
 STREAM_DATA = 1
 STREAM_LENGTH = 2
 STREAM_DICTIONARY = 3
+STREAM_SECONDARY = 5
 STREAM_ROW_INDEX = 6
+
+#: ORC timestamps count seconds from 2015-01-01 00:00:00 UTC
+ORC_TS_BASE_SECONDS = 1420070400
 
 ENC_DIRECT = 0
 ENC_DICTIONARY = 1
@@ -183,6 +187,45 @@ def decode_rlev2(data: bytes, *, signed: bool,
     return out if n is None else out[:n]
 
 
+def decode_nanos(v: int) -> int:
+    """SECONDARY nanosecond trick (ORC spec Timestamp): the low 3
+    bits count removed trailing zeros minus 1 — 1000 ns encodes as
+    (1 << 3) | 2.  The stream rides as unsigned RLEv2, but the C++
+    writer stores SIGNED values (truncated seconds + sign-carrying
+    nanos for pre-1970 fractional instants; the Java writer floors
+    seconds and only ever writes nanos >= 0): reinterpret the u64
+    bit pattern as two's complement and apply the same formula —
+    Python's & and >> give exactly the arithmetic-shift semantics."""
+    if v >= 1 << 63:
+        v -= 1 << 64
+    z = v & 7
+    base = v >> 3
+    nanos = base * (10 ** (z + 1)) if z else base
+    if not -1_000_000_000 < nanos < 1_000_000_000:
+        raise ValueError("orc nanos out of range")
+    return nanos
+
+
+def decode_decimal_varints(data: bytes, n: int) -> list[int]:
+    """DECIMAL DATA stream: n signed (zigzag) unbounded base-128
+    varints of the unscaled value (up to decimal128)."""
+    out = []
+    pos = 0
+    for _ in range(n):
+        shift = value = 0
+        while True:
+            if pos >= len(data) or shift > 133:
+                raise ValueError("orc decimal varint truncated")
+            b = data[pos]
+            value |= (b & 0x7F) << shift
+            pos += 1
+            if not b & 0x80:
+                break
+            shift += 7
+        out.append(_zigzag(value))
+    return out
+
+
 def decode_byte_rle(data: bytes, n: int | None = None) -> bytes:
     out = bytearray()
     pos = 0
@@ -262,9 +305,37 @@ def read_stripe_column(data: bytes, stripe: dict, kind_name: str,
             raise ValueError("unexpected int encoding")
         vals = decode_rlev2(body, signed=True, n=n_present)
     elif kind_name == "DOUBLE":
+        if 8 * n_present > len(body):
+            raise ValueError("orc double stream truncated")
         vals = list(struct.unpack_from(f"<{n_present}d", body, 0))
     elif kind_name == "FLOAT":
+        if 4 * n_present > len(body):
+            raise ValueError("orc float stream truncated")
         vals = list(struct.unpack_from(f"<{n_present}f", body, 0))
+    elif kind_name in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+        # DATA = seconds from the 2015 base (signed RLEv2);
+        # SECONDARY = zero-compressed nanos.  Values return as epoch
+        # NANOS ints — exact, caller picks the unit.
+        secs = decode_rlev2(body, signed=True, n=n_present)
+        sec_raw = stream_bytes(column_id, STREAM_SECONDARY)
+        if sec_raw is None:
+            raise ValueError("timestamp column missing SECONDARY")
+        nraw = decode_rlev2(sec_raw, signed=False, n=n_present)
+        vals = [
+            (s_off + ORC_TS_BASE_SECONDS) * 1_000_000_000
+            + decode_nanos(nv)
+            for s_off, nv in zip(secs, nraw)
+        ]
+    elif kind_name == "DECIMAL":
+        uvals = decode_decimal_varints(body, n_present)
+        sec_raw = stream_bytes(column_id, STREAM_SECONDARY)
+        if sec_raw is None:
+            raise ValueError("decimal column missing SECONDARY scale")
+        scales = decode_rlev2(sec_raw, signed=True, n=n_present)
+        import decimal as _dec
+
+        vals = [_dec.Decimal(u).scaleb(-s)
+                for u, s in zip(uvals, scales)]
     elif kind_name == "STRING":
         lengths_raw = stream_bytes(column_id, STREAM_LENGTH)
         lengths = decode_rlev2(lengths_raw, signed=False)

@@ -13158,7 +13158,16 @@ def _orc_fixture(spark, sf_dir: str) -> str:
         return path
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out = f"/tmp/orc_tail_fixture_{sf_tag}"
-    (_t(spark, sf_dir, "lineitem").coalesce(1)
+    # l_shipdate rides twice: the ntz original (Spark stores ntz as
+    # LONG micros in ORC) and a REAL ORC TIMESTAMP column; the price
+    # also as a REAL ORC DECIMAL — so the data scan exercises the
+    # seconds+nanos and varint+scale stream decoders on
+    # Spark-written bytes
+    (_t(spark, sf_dir, "lineitem")
+     .withColumn("l_shipts", F.col("l_shipdate").cast("timestamp"))
+     .withColumn("l_price_dec",
+                 F.col("l_extendedprice").cast("decimal(12,2)"))
+     .coalesce(1)
      .write.mode("overwrite").option("compression", "snappy").orc(out))
     (path,) = _glob.glob(out + "/part-*.orc")
     _ORC_FIXTURE_CACHE[key] = path
@@ -13174,10 +13183,11 @@ def _orc_fixture(spark, sf_dir: str) -> str:
         (4, 'l_quantity', 'DOUBLE'), (5, 'l_extendedprice', 'DOUBLE'),
         (6, 'l_discount', 'DOUBLE'), (7, 'l_tax', 'DOUBLE'),
         (8, 'l_returnflag', 'STRING'), (9, 'l_linestatus', 'STRING'),
-        (10, 'l_shipdate', 'LONG'))  -- ts nanos ride as int64
+        (10, 'l_shipdate', 'LONG'),  -- Spark stores ntz as LONG
+        (11, 'l_shipts', 'TIMESTAMP'), (12, 'l_price_dec', 'DECIMAL'))
     SELECT CAST(col_idx AS BIGINT) AS col_idx, col_name, col_kind,
            'SNAPPY' AS compression,
-           CAST(11 AS BIGINT) AS n_cols,
+           CAST(13 AS BIGINT) AS n_cols,
            (SELECT count(*) FROM lineitem) AS n_rows
     FROM cols
     """,
@@ -13644,6 +13654,16 @@ def corpus_syslog_parse(spark, sf_dir):
            max(l_shipdate_us), NULL
     FROM (SELECT epoch_us(l_shipdate) AS l_shipdate_us FROM lineitem)
     UNION ALL
+    SELECT 'l_shipts', count(*), NULL, min(l_shipdate_us),
+           max(l_shipdate_us), NULL
+    FROM (SELECT epoch_us(l_shipdate) AS l_shipdate_us FROM lineitem)
+    UNION ALL
+    SELECT 'l_price_dec', count(*),
+           CAST(sum(cents) AS BIGINT), CAST(min(cents) AS BIGINT),
+           CAST(max(cents) AS BIGINT), NULL
+    FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT) AS cents FROM lineitem)
+    UNION ALL
     SELECT 'l_returnflag', count(*), NULL, NULL, NULL,
            count(DISTINCT l_returnflag) FROM lineitem
     """,
@@ -13653,13 +13673,18 @@ def corpus_syslog_parse(spark, sf_dir):
     "maps, integer RLEv2 in ALL FOUR sub-formats (short-repeat, "
     "direct, delta, patched-base — exercised and value-pinned "
     "against pyarrow's writer in tests/test_orc_data.py), byte-RLE "
-    "present streams, dictionary-v2 strings, chunked ZLIB/SNAPPY "
-    "stream decompression via the repo's own codecs.  The fixture "
-    "is written by Spark's OWN ORC writer and the oracle is plain "
-    "SQL over lineitem (shipdate compared as epoch micros — the "
-    "loader normalizes ns-as-long to micros), so one wrong bit in any RLEv2 "
-    "sub-format breaks the hash.  Scale: stripes x columns are the "
-    "independent decode units a distributed ORC scan schedules.",
+    "present streams, dictionary-v2 strings, REAL TIMESTAMP columns "
+    "(seconds-from-2015 DATA + zero-compressed SECONDARY nanos, "
+    "incl. the C++ writer's signed-nanos convention for pre-1970 "
+    "fractional instants), REAL DECIMAL columns (signed unbounded "
+    "varint DATA + RLEv2 scale SECONDARY, exact integer cents), and "
+    "chunked ZLIB/SNAPPY/ZSTD stream decompression via the repo's "
+    "own codecs.  The fixture is written by Spark's OWN ORC writer "
+    "(l_shipdate both as Spark's ntz-as-LONG micros and cast to a "
+    "real ORC TIMESTAMP; price cast to DECIMAL(12,2)) and the "
+    "oracle is plain SQL over lineitem, so one wrong bit in any "
+    "stream decoder breaks the hash.  Scale: stripes x columns are "
+    "the independent decode units a distributed ORC scan schedules.",
 )
 def meta_orc_data_scan(spark, sf_dir):
     from .operators.orc_data import read_stripe_column
@@ -13669,7 +13694,7 @@ def meta_orc_data_scan(spark, sf_dir):
     files = (spark.read.format("binaryFile").load(path)
              .select("content"))
     targets = ("l_orderkey", "l_linenumber", "l_shipdate",
-               "l_returnflag")
+               "l_shipts", "l_price_dec", "l_returnflag")
 
     def feats(batches):
         import pandas as pd
@@ -13690,6 +13715,12 @@ def meta_orc_data_scan(spark, sf_dir):
                         vals.extend(read_stripe_column(
                             data, s, kinds[col], ids[col],
                             m["compression"], s["n_rows"]))
+                    if col == "l_shipts":
+                        # decoded epoch nanos -> micros (exact)
+                        vals = [v // 1000 for v in vals]
+                    elif col == "l_price_dec":
+                        # exact Decimal -> integer cents
+                        vals = [int(v.scaleb(2)) for v in vals]
                     nn = [v for v in vals if v is not None]
                     out["col_name"].append(col)
                     out["n_values"].append(len(vals))
@@ -13698,7 +13729,7 @@ def meta_orc_data_scan(spark, sf_dir):
                         out["min_v"].append(None)
                         out["max_v"].append(None)
                         out["n_distinct"].append(len(set(nn)))
-                    elif col == "l_shipdate":
+                    elif col in ("l_shipdate", "l_shipts"):
                         out["sum_v"].append(None)
                         out["min_v"].append(min(nn))
                         out["max_v"].append(max(nn))

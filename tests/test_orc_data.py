@@ -133,3 +133,80 @@ def test_rlev2_hostile():
     # ValueError, not IndexError (kind==2 is first>>6 == 2)
     with pytest.raises(ValueError):
         decode_rlev2(bytes([0x80, 0x01, 0x22]), signed=True, n=3)
+
+
+def test_timestamp_and_decimal_columns(tmp_path):
+    """Real ORC TIMESTAMP (seconds+nanos streams, incl. the C++
+    writer's signed-nanos pre-1970 convention) and DECIMAL (signed
+    varint + scale) across codecs, value-exact vs the writer."""
+    import calendar
+    import datetime
+    import decimal
+
+    ts = [
+        datetime.datetime(1992, 3, 4, 5, 6, 7),
+        datetime.datetime(2020, 1, 1),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 123456),
+        datetime.datetime(2015, 1, 1),
+        datetime.datetime(1998, 12, 1, 0, 0, 0, 500000),
+        datetime.datetime(2014, 12, 31, 23, 59, 59, 999999),
+        datetime.datetime(1970, 1, 1),
+        datetime.datetime(1960, 6, 15, 12, 0, 0, 250000),
+        datetime.datetime(1970, 1, 1, 0, 0, 0, 123456),
+        datetime.datetime(1969, 12, 31, 23, 59, 58, 500000),
+    ]
+    dec = [decimal.Decimal(s) for s in (
+        "12.34", "-0.01", "99999.99", "0.00", "-12345.67", "1.00",
+        "-99999.99", "50.05", "0.01", "-0.99")]
+    want_ts = [calendar.timegm(x.timetuple()) * 10**9
+               + x.microsecond * 1000 for x in ts]
+    for codec in ("snappy", "zstd", "uncompressed"):
+        path = tmp_path / f"t_{codec}.orc"
+        orc.write_table(
+            pa.table({"ts": pa.array(ts, pa.timestamp("ns")),
+                      "d": pa.array(dec, pa.decimal128(10, 2))}),
+            path, compression=codec)
+        with open(path, "rb") as f:
+            data = f.read()
+        m = parse_orc_tail(data)
+        s = m["stripes"][0]
+        assert read_stripe_column(
+            data, s, "TIMESTAMP", 1, m["compression"],
+            s["n_rows"]) == want_ts
+        assert read_stripe_column(
+            data, s, "DECIMAL", 2, m["compression"],
+            s["n_rows"]) == dec
+
+
+def test_decimal_nulls(tmp_path):
+    import decimal
+
+    dec = [None if i % 3 == 0 else decimal.Decimal(i * 7 - 50) / 100
+           for i in range(200)]
+    path = tmp_path / "dn.orc"
+    orc.write_table(
+        pa.table({"d": pa.array(dec, pa.decimal128(10, 2))}),
+        path, compression="snappy")
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_orc_tail(data)
+    got = []
+    for s in m["stripes"]:
+        got.extend(read_stripe_column(data, s, "DECIMAL", 1,
+                                      m["compression"], s["n_rows"]))
+    assert got == dec
+
+
+def test_nanos_trick_decode():
+    from health_monitor_cc_flink_spark.operators.orc_data import (
+        decode_nanos,
+    )
+
+    assert decode_nanos((1 << 3) | 2) == 1000  # the spec's example
+    assert decode_nanos(0) == 0
+    assert decode_nanos((5 << 3) | 7) == 500_000_000
+    assert decode_nanos(123456000 << 3) == 123456000
+    # C++ writer's signed form: -0.5 s stores -(5e8) zero-compressed
+    assert decode_nanos((-33) % (1 << 64)) == -500_000_000
+    with pytest.raises(ValueError):
+        decode_nanos((999_999_9999 << 3))
