@@ -300,10 +300,20 @@ def read_stripe_column(data: bytes, stripe: dict, kind_name: str,
     body = stream_bytes(column_id, STREAM_DATA)
     if body is None:
         raise ValueError(f"column {column_id} has no DATA stream")
-    if kind_name in ("LONG", "INT", "SHORT", "BYTE", "DATE"):
+    if kind_name in ("LONG", "INT", "SHORT", "DATE"):
         if enc not in (ENC_DIRECT_V2, ENC_DIRECT):
             raise ValueError("unexpected int encoding")
         vals = decode_rlev2(body, signed=True, n=n_present)
+    elif kind_name == "BOOLEAN":
+        # bit-packed MSB-first inside a byte-RLE stream, exactly like
+        # PRESENT
+        raw = decode_byte_rle(body, (n_present + 7) // 8)
+        vals = [bool(raw[i // 8] & (0x80 >> (i % 8)))
+                for i in range(n_present)]
+    elif kind_name == "BYTE":
+        # tinyint rides byte-RLE (NOT RLEv2), signed two's complement
+        raw = decode_byte_rle(body, n_present)
+        vals = [b - 256 if b >= 128 else b for b in raw]
     elif kind_name == "DOUBLE":
         if 8 * n_present > len(body):
             raise ValueError("orc double stream truncated")
@@ -336,7 +346,8 @@ def read_stripe_column(data: bytes, stripe: dict, kind_name: str,
 
         vals = [_dec.Decimal(u).scaleb(-s)
                 for u, s in zip(uvals, scales)]
-    elif kind_name == "STRING":
+    elif kind_name in ("STRING", "CHAR", "VARCHAR", "BINARY"):
+        as_text = kind_name != "BINARY"
         lengths_raw = stream_bytes(column_id, STREAM_LENGTH)
         lengths = decode_rlev2(lengths_raw, signed=False)
         if enc in (ENC_DICTIONARY_V2, ENC_DICTIONARY):
@@ -344,7 +355,8 @@ def read_stripe_column(data: bytes, stripe: dict, kind_name: str,
             words = []
             p = 0
             for ln in lengths:
-                words.append(dict_raw[p:p + ln].decode("utf-8"))
+                w = dict_raw[p:p + ln]
+                words.append(w.decode("utf-8") if as_text else w)
                 p += ln
             idx = decode_rlev2(body, signed=False, n=n_present)
             try:
@@ -355,7 +367,8 @@ def read_stripe_column(data: bytes, stripe: dict, kind_name: str,
             vals = []
             p = 0
             for ln in lengths[:n_present]:
-                vals.append(body[p:p + ln].decode("utf-8"))
+                w = body[p:p + ln]
+                vals.append(w.decode("utf-8") if as_text else w)
                 p += ln
     else:
         raise ValueError(f"orc data decode for {kind_name} unsupported")

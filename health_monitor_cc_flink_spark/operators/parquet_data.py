@@ -119,6 +119,26 @@ def _plain_values(data: bytes, pos: int, n: int, ptype: str,
     if ptype == "FLOAT":
         end = pos + 4 * n
         return list(struct.unpack_from(f"<{n}f", data, pos)), end
+    if ptype == "BOOLEAN":
+        # PLAIN booleans are bit-packed LSB-first
+        nbytes = (n + 7) // 8
+        if pos + nbytes > len(data):
+            raise ValueError("boolean values truncated")
+        return [bool(data[pos + i // 8] & (1 << (i % 8)))
+                for i in range(n)], pos + nbytes
+    if ptype == "INT96":
+        # legacy Spark/Impala timestamps: 8-byte LE nanos-of-day +
+        # 4-byte LE Julian day; returned as epoch NANOS ints
+        end = pos + 12 * n
+        if end > len(data):
+            raise ValueError("int96 values truncated")
+        out = []
+        for i in range(n):
+            o = pos + 12 * i
+            (nanos,) = struct.unpack_from("<q", data, o)
+            (jday,) = struct.unpack_from("<i", data, o + 8)
+            out.append((jday - 2440588) * 86_400_000_000_000 + nanos)
+        return out, end
     if ptype == "BYTE_ARRAY":
         out = []
         for _ in range(n):
@@ -282,6 +302,15 @@ def read_column_chunk(data: bytes, *, start_offset: int,
         elif encoding == 9:  # BYTE_STREAM_SPLIT
             vals = _byte_stream_split(raw, p, n_present, ptype,
                                       type_length)
+        elif encoding == 3 and ptype == "BOOLEAN":
+            # v2 booleans as RLE-hybrid at bit width 1, 4-byte
+            # length prefix
+            if p + 4 > len(raw):
+                raise ValueError("rle boolean prefix truncated")
+            (bl,) = struct.unpack_from("<I", raw, p)
+            bits, _ = read_rle_hybrid(raw, p + 4, p + 4 + bl, 1,
+                                      n_present)
+            vals = [bool(b) for b in bits]
         else:
             raise ValueError(f"value encoding {encoding} unsupported")
         it = iter(vals)

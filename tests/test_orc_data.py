@@ -210,3 +210,33 @@ def test_nanos_trick_decode():
     assert decode_nanos((-33) % (1 << 64)) == -500_000_000
     with pytest.raises(ValueError):
         decode_nanos((999_999_9999 << 3))
+
+
+def test_boolean_tinyint_binary_columns(tmp_path):
+    """BOOLEAN rides bit-packed byte-RLE (like PRESENT); tinyint is
+    byte-RLE signed (NOT RLEv2 — the old router misdecoded it);
+    BINARY is the STRING shape without utf-8."""
+    bools = [None if i % 11 == 5 else (i % 3 == 0)
+             for i in range(3000)]
+    tiny = [(i * 7) % 256 - 128 for i in range(3000)]
+    bins = [bytes([i % 251, (255 - i) % 251]) for i in range(3000)]
+    path = tmp_path / "btb.orc"
+    orc.write_table(
+        pa.table({"b": pa.array(bools),
+                  "i8": pa.array(tiny, pa.int8()),
+                  "bin": pa.array(bins, pa.binary())}),
+        path, compression="snappy")
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_orc_tail(data)
+    gb, gi, gbin = [], [], []
+    for s in m["stripes"]:
+        gb.extend(read_stripe_column(data, s, "BOOLEAN", 1,
+                                     m["compression"], s["n_rows"]))
+        gi.extend(read_stripe_column(data, s, "BYTE", 2,
+                                     m["compression"], s["n_rows"]))
+        gbin.extend(read_stripe_column(data, s, "BINARY", 3,
+                                       m["compression"], s["n_rows"]))
+    assert gb == bools
+    assert gi == tiny
+    assert gbin == bins

@@ -233,3 +233,45 @@ def test_deep_nesting_rejected():
         read_column_chunk(b"", start_offset=0, num_values=1,
                           ptype="INT64", codec="UNCOMPRESSED",
                           max_rep_level=2)
+
+
+@pytest.mark.parametrize("page_version", ["1.0", "2.0"])
+def test_boolean_column(tmp_path, page_version):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bools = [None if i % 11 == 5 else (i % 3 == 0)
+             for i in range(3000)]
+    path = tmp_path / "b.parquet"
+    pq.write_table(pa.table({"b": pa.array(bools)}), path,
+                   compression="snappy",
+                   data_page_version=page_version)
+    with open(path, "rb") as f:
+        data = f.read()
+    got, _ = _decode_leaf(data, parse_footer(data), "b")
+    assert got == bools
+
+
+def test_int96_legacy_timestamps(tmp_path):
+    import calendar
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [datetime.datetime(1992, 3, 4, 5, 6, 7, 123456),
+          datetime.datetime(2020, 1, 1),
+          datetime.datetime(1970, 1, 1),
+          datetime.datetime(1960, 6, 15, 12, 0, 0, 250000)] * 50
+    path = tmp_path / "i96.parquet"
+    pq.write_table(pa.table({"t": pa.array(ts, pa.timestamp("ns"))}),
+                   path, use_deprecated_int96_timestamps=True,
+                   compression="snappy")
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_footer(data)
+    assert m["row_groups"][0]["columns"][0]["type"] == "INT96"
+    got, _ = _decode_leaf(data, m, "t")
+    want = [calendar.timegm(x.timetuple()) * 10**9
+            + x.microsecond * 1000 for x in ts]
+    assert got == want
