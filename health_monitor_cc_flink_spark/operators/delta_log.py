@@ -202,6 +202,7 @@ def replay_delta_log(commits: dict[int, list[dict]],
                     "size": a.get("size"),
                     "partition_values": a.get("partitionValues") or {},
                     "num_records": stats.get("numRecords"),
+                    "deletion_vector": a.get("deletionVector"),
                 }
                 n_adds += 1
                 if len(live) > MAX_FILES:
@@ -219,6 +220,92 @@ def replay_delta_log(commits: dict[int, list[dict]],
         "n_removes": n_removes,
         "metadata": metadata,
     }
+
+
+def build_dv_file(dv_blobs: list[bytes]) -> tuple[bytes, list[int]]:
+    """Serialized bitmap arrays -> an on-disk deletion-vector .bin
+    (PROTOCOL.md DV storage format: 1-byte version, then per DV a
+    4-byte big-endian size, the data, and a big-endian CRC-32 of the
+    data) plus each DV's offset (pointing at its size word)."""
+    import zlib
+
+    out = bytearray(b"\x01")
+    offsets = []
+    for blob in dv_blobs:
+        offsets.append(len(out))
+        out += len(blob).to_bytes(4, "big")
+        out += blob
+        out += (zlib.crc32(blob) & 0xFFFFFFFF).to_bytes(4, "big")
+    return bytes(out), offsets
+
+
+def read_dv_from_file(data: bytes, offset: int,
+                      size_in_bytes: int) -> bytes:
+    import zlib
+
+    if not data or data[0] != 1:
+        raise ValueError("unsupported deletion vector file version")
+    if offset < 1 or offset + 4 > len(data):
+        raise ValueError("deletion vector offset out of range")
+    size = int.from_bytes(data[offset:offset + 4], "big")
+    if size != size_in_bytes:
+        raise ValueError("deletion vector size mismatch")
+    body_end = offset + 4 + size
+    if body_end + 4 > len(data):
+        raise ValueError("deletion vector overruns file")
+    blob = data[offset + 4:body_end]
+    want = int.from_bytes(data[body_end:body_end + 4], "big")
+    if (zlib.crc32(blob) & 0xFFFFFFFF) != want:
+        raise ValueError("deletion vector checksum mismatch")
+    return blob
+
+
+def resolve_deletion_vector(desc: dict,
+                            files: dict[str, bytes]) -> list[int]:
+    """DeletionVectorDescriptor -> sorted deleted row indexes.
+
+    storageType 'i': pathOrInlineDv is the Z85 of the serialized
+    bitmap (zero-padded to a 4-byte multiple; sizeInBytes restores
+    the true length).  'u': the last 20 chars are the Z85 of the
+    16-byte UUID, any preceding chars a directory prefix; the file
+    is <prefix>/deletion_vector_<uuid>.bin.  'p': an explicit
+    relative path.  The decoded cardinality must match the
+    descriptor's."""
+    from .roaring import deserialize_bitmap_array, z85_decode
+
+    st = desc.get("storageType")
+    pod = desc.get("pathOrInlineDv", "")
+    size = desc.get("sizeInBytes")
+    if st == "i":
+        raw = z85_decode(pod)
+        if size is None or not 0 <= size <= len(raw) < size + 4:
+            raise ValueError("inline deletion vector size mismatch")
+        blob = raw[:size]
+    elif st in ("u", "p"):
+        if st == "u":
+            import uuid as _uuid
+
+            if len(pod) < 20:
+                raise ValueError("uuid deletion vector path short")
+            prefix, uu = pod[:-20], pod[-20:]
+            name = (f"deletion_vector_"
+                    f"{_uuid.UUID(bytes=z85_decode(uu))}.bin")
+            path = f"{prefix}/{name}" if prefix else name
+        else:
+            path = pod
+        by_base = {n.rsplit("/", 1)[-1]: n for n in files}
+        full = path if path in files else by_base.get(
+            path.rsplit("/", 1)[-1])
+        if full is None:
+            raise ValueError(f"deletion vector file {path} missing")
+        blob = read_dv_from_file(files[full], desc.get("offset", 1),
+                                 size)
+    else:
+        raise ValueError(f"deletion vector storage {st!r} unknown")
+    rows = deserialize_bitmap_array(blob)
+    if desc.get("cardinality") != len(rows):
+        raise ValueError("deletion vector cardinality mismatch")
+    return rows
 
 
 def parse_last_checkpoint(blob: bytes) -> dict:
@@ -280,4 +367,19 @@ def parse_delta_log_files(files: dict[str, bytes]) -> dict:
     snap = replay_delta_log(commits, base=base,
                             base_version=base_version)
     snap["checkpoint_version"] = base_version
+    # merge-on-read: resolve each live file's deletion vector so the
+    # snapshot reports ROW-ACCURATE live counts
+    for entry in snap["live"].values():
+        desc = entry.get("deletion_vector")
+        if not desc:
+            entry["dv_cardinality"] = 0
+            entry["live_records"] = entry["num_records"]
+            continue
+        rows = resolve_deletion_vector(desc, files)
+        nr = entry["num_records"]
+        if nr is not None and rows and rows[-1] >= nr:
+            raise ValueError("deleted row index beyond numRecords")
+        entry["dv_cardinality"] = len(rows)
+        entry["live_records"] = (None if nr is None
+                                 else nr - len(rows))
     return snap

@@ -6139,6 +6139,193 @@ def synth_delta_checkpoint_payload(df: DataFrame,
     return src.mapInPandas(gen, schema="doc_id long, log binary")
 
 
+def synth_delta_dv_payload(df: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``log`` column: a ustar tar of a ``_delta_log/``
+    whose commit 1 is a DELETE with DELETION VECTORS — each affected
+    file removed and re-added with a DV descriptor (the protocol's
+    merge-on-read shape): file j (of k = doc_id %% 4 + 3) loses
+    j %% 4 rows (indexes 7t), via inline Z85 ('i'), per-file UUID
+    sidecar ('u'), or a SHARED multi-DV .bin with offsets ('p'),
+    cycling by j %% 3."""
+    import uuid as _uuid
+
+    from .delta_log import (
+        build_delta_log,
+        build_dv_file,
+        commit_filename,
+    )
+    from .roaring import serialize_bitmap_array, z85_encode
+    from .tar import build_tar
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = d % 4 + 3
+                adds0 = [{"add": {
+                    "path": f"part-{j}.parquet",
+                    "partitionValues": {},
+                    "size": 1000 + 17 * j,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json_dumps_sorted(
+                        {"numRecords": 100 + j})}}
+                    for j in range(k)]
+                commit0 = [
+                    {"protocol": {"minReaderVersion": 3,
+                                  "minWriterVersion": 7}},
+                    {"metaData": {"id": f"tbl-{d}"}},
+                ] + adds0
+                members = [("_delta_log/", b""), ("dv/", b"")]
+                commit1 = []
+                shared_blobs: list[bytes] = []
+                shared_js: list[int] = []
+                for j in range(k):
+                    c = j % 4
+                    if c == 0:
+                        continue
+                    rows = [7 * t for t in range(c)]
+                    blob = serialize_bitmap_array(rows)
+                    st = ("i", "u", "p")[j % 3]
+                    if st == "i":
+                        pad = (-len(blob)) % 4
+                        desc = {
+                            "storageType": "i",
+                            "pathOrInlineDv": z85_encode(
+                                blob + b"\x00" * pad),
+                            "sizeInBytes": len(blob),
+                            "cardinality": c,
+                        }
+                    elif st == "u":
+                        ub = bytes([(d + 13 * j + t) % 256
+                                    for t in range(16)])
+                        fblob, offs = build_dv_file([blob])
+                        members.append((
+                            f"deletion_vector_"
+                            f"{_uuid.UUID(bytes=ub)}.bin", fblob))
+                        desc = {
+                            "storageType": "u",
+                            "pathOrInlineDv": z85_encode(ub),
+                            "offset": offs[0],
+                            "sizeInBytes": len(blob),
+                            "cardinality": c,
+                        }
+                    else:
+                        shared_blobs.append(blob)
+                        shared_js.append(j)
+                        desc = None  # offset known after build
+                    commit1.append({"remove": {
+                        "path": f"part-{j}.parquet",
+                        "deletionTimestamp": 1,
+                        "dataChange": False}})
+                    commit1.append({"add": {
+                        "path": f"part-{j}.parquet",
+                        "partitionValues": {},
+                        "size": 1000 + 17 * j,
+                        "modificationTime": 1,
+                        "dataChange": False,
+                        "stats": json_dumps_sorted(
+                            {"numRecords": 100 + j}),
+                        "deletionVector": desc}})
+                if shared_blobs:
+                    fblob, offs = build_dv_file(shared_blobs)
+                    members.append(("dv/deletes.bin", fblob))
+                    by_j = dict(zip(shared_js, offs))
+                    for action in commit1:
+                        a = action.get("add")
+                        if a and a.get("deletionVector") is None:
+                            j = int(a["path"].split("-")[1]
+                                    .split(".")[0])
+                            if j in by_j:
+                                a["deletionVector"] = {
+                                    "storageType": "p",
+                                    "pathOrInlineDv":
+                                        "dv/deletes.bin",
+                                    "offset": by_j[j],
+                                    "sizeInBytes": len(
+                                        shared_blobs[
+                                            shared_js.index(j)]),
+                                    "cardinality": j % 4,
+                                }
+                # adds without a DV keep deletionVector absent
+                for action in commit1:
+                    a = action.get("add")
+                    if a and a.get("deletionVector") is None:
+                        a.pop("deletionVector", None)
+                files = build_delta_log({0: commit0, 1: commit1})
+                members += [
+                    (f"_delta_log/{commit_filename(v)}",
+                     files[commit_filename(v)])
+                    for v in (0, 1)
+                ]
+                payloads.append(build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "log": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, log binary")
+
+
+def delta_dv_snapshot_extract(df: DataFrame, payload_col: str = "log",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Untar a DV-bearing ``_delta_log/``, replay it, resolve every
+    deletion vector (inline / uuid sidecar / shared offset file)
+    through the from-scratch roaring decoder — EXPLODED one row per
+    live file with row-accurate live counts."""
+    from .delta_log import parse_delta_log_files
+    from .tar import parse_tar
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("path", "num_records", "dv_cardinality",
+                "live_records", "dv_storage", "n_live", "version")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    members = parse_tar(bytes(p))
+                    files = {m["name"]: m["data"] for m in members
+                             if m["typeflag"] != "5"}
+                    snap = parse_delta_log_files(files)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for path in sorted(snap["live"]):
+                    f = snap["live"][path]
+                    dv = f.get("deletion_vector") or {}
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["path"].append(path)
+                    out["num_records"].append(f["num_records"])
+                    out["dv_cardinality"].append(
+                        f["dv_cardinality"])
+                    out["live_records"].append(f["live_records"])
+                    out["dv_storage"].append(
+                        dv.get("storageType", ""))
+                    out["n_live"].append(len(snap["live"]))
+                    out["version"].append(snap["version"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, path string, "
+                "num_records long, dv_cardinality long, "
+                "live_records long, dv_storage string, n_live long, "
+                "version long"),
+    )
+
+
 def delta_checkpoint_snapshot_extract(
         df: DataFrame, payload_col: str = "log",
         id_col: str = "doc_id") -> DataFrame:

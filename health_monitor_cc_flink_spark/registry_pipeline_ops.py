@@ -14199,3 +14199,48 @@ query(
     _ZSTD_SCAN_ORACLE,
     doc=_ZSTD_DOC.format(fmt="orc"),
 )(_zstd_scan_fn("orc"))
+
+
+@query(
+    "lake_delta_dv_replay",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 3 AS BIGINT) AS k
+               FROM documents),
+    f AS (SELECT doc_id, k, j.j
+          FROM p, LATERAL unnest(generate_series(0, k - 1)) AS j(j))
+    SELECT doc_id, TRUE AS ok,
+           'part-' || j || '.parquet' AS path,
+           CAST(100 + j AS BIGINT) AS num_records,
+           CAST(j % 4 AS BIGINT) AS dv_cardinality,
+           CAST(100 + j - j % 4 AS BIGINT) AS live_records,
+           CASE WHEN j % 4 = 0 THEN ''
+                ELSE (['i', 'u', 'p'])[CAST(j % 3 + 1 AS INT)]
+           END AS dv_storage,
+           k AS n_live,
+           CAST(1 AS BIGINT) AS version
+    FROM f
+    """,
+    doc="Delta Lake DELETION VECTORS under the hash gate — the "
+    "modern merge-on-read path (writer v7 tables mark deleted rows "
+    "in a bitmap instead of rewriting files; a reader that ignores "
+    "them over-reports rows): the commit replays remove+re-add "
+    "actions whose DeletionVectorDescriptors resolve through ALL "
+    "THREE storage forms — inline Z85 ('i', ZeroMQ alphabet, "
+    "sizeInBytes-truncated), per-file UUID sidecar ('u', Z85 uuid "
+    "-> deletion_vector_<uuid>.bin), and a SHARED multi-DV file "
+    "('p') addressed by byte offset — each .bin with the protocol's "
+    "1-byte version, big-endian size word and CRC-32, and the "
+    "bitmap itself a from-scratch 64-bit RoaringBitmapArray over "
+    "portable 32-bit roaring (array/bitmap/run containers; "
+    "operators/roaring.py).  Cardinality and row bounds are "
+    "verified; live_records = numRecords - |DV| is re-derived "
+    "closed-form by the oracle.  Scale: DV resolution is per-file "
+    "metadata work, embarrassingly parallel; the bitmap keeps "
+    "deletes O(set bits), never a file rewrite.",
+    bench=True,
+)
+def lake_delta_dv_replay(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.delta_dv_snapshot_extract(M.synth_delta_dv_payload(docs))
