@@ -137,6 +137,9 @@ MANIFEST_ENTRY_SCHEMA_V2 = json.dumps({
                     ]}},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null",
+                          {"type": "array", "items": "int"}]},
             ]}},
     ]})
 
@@ -200,13 +203,50 @@ def read_positional_delete_parquet(data: bytes) -> list[tuple[str, int]]:
     return out
 
 
+def read_flat_parquet(data: bytes) -> dict[str, list]:
+    """Flat parquet blob -> {column: values} via the repo's own page
+    reader (strings decoded utf-8)."""
+    from .parquet_data import read_column_chunk
+    from .parquet_meta import parse_footer
+
+    m = parse_footer(data)
+    out: dict[str, list] = {}
+    for leaf in m["schema_leaves"]:
+        vals: list = []
+        for rg in m["row_groups"]:
+            cc = next(c for c in rg["columns"]
+                      if c["path"] == leaf["path"])
+            start = (cc["dictionary_page_offset"]
+                     or cc["data_page_offset"])
+            vals.extend(read_column_chunk(
+                data, start_offset=start,
+                num_values=cc["num_values"], ptype=cc["type"],
+                codec=cc["codec"],
+                max_def_level=leaf["max_def_level"],
+                max_rep_level=leaf["max_rep_level"],
+                rep_def_level=leaf["rep_def_level"],
+                type_length=leaf["type_length"]))
+        if leaf["type"] == "BYTE_ARRAY":
+            vals = [v.decode("utf-8")
+                    if isinstance(v, (bytes, bytearray)) else v
+                    for v in vals]
+        out[leaf["path"]] = vals
+    return out
+
+
 def build_snapshot_v2(manifests: list[list[dict]],
                       delete_files: list[list[tuple[str, int]]], *,
+                      equality_deletes: list[tuple] = (),
+                      data_blobs: dict[str, bytes] | None = None,
                       snapshot_id: int = 1) -> dict[str, bytes]:
     """Format-version 2 snapshot: data manifests as in v1 plus one
     DELETES-content manifest whose entries point at positional
     delete parquet files (``delete_files`` = list of (file_path,
-    pos) lists, one per delete file)."""
+    pos) lists, one per delete file).  ``equality_deletes`` entries
+    are (parquet_blob, equality_ids, record_count) — content-2
+    files whose rows delete any data row matching on the id'd
+    columns.  ``data_blobs`` ships the actual data parquet bytes
+    for scan-capable snapshots."""
     files: dict[str, bytes] = {}
     list_records = []
 
@@ -237,6 +277,7 @@ def build_snapshot_v2(manifests: list[list[dict]],
                 "partition": {"lang": e.get("lang")},
                 "record_count": e["record_count"],
                 "file_size_in_bytes": e["file_size_in_bytes"],
+                "equality_ids": None,
             }} for e in entries]
         path = f"metadata/manifest-{i}.avro"
         blob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, recs,
@@ -244,7 +285,9 @@ def build_snapshot_v2(manifests: list[list[dict]],
         files[path] = blob
         list_records.append(
             manifest_record(path, blob, CONTENT_DATA, entries))
-    if delete_files:
+    if data_blobs:
+        files.update(data_blobs)
+    if delete_files or equality_deletes:
         del_entries = []
         for j, dels in enumerate(delete_files):
             dpath = f"data/deletes-{j}.parquet"
@@ -260,6 +303,22 @@ def build_snapshot_v2(manifests: list[list[dict]],
                     "partition": {"lang": None},
                     "record_count": len(dels),
                     "file_size_in_bytes": len(dblob),
+                    "equality_ids": None,
+                }})
+        for j, (eblob, eq_ids, rc) in enumerate(equality_deletes):
+            epath = f"data/eq-deletes-{j}.parquet"
+            files[epath] = eblob
+            del_entries.append({
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": CONTENT_EQUALITY_DELETES,
+                    "file_path": epath,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": rc,
+                    "file_size_in_bytes": len(eblob),
+                    "equality_ids": list(eq_ids),
                 }})
         dmpath = "metadata/manifest-deletes.avro"
         dmblob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, del_entries,
@@ -351,6 +410,108 @@ def walk_snapshot_v2(files: dict[str, bytes],
         f["live_records"] = f["record_count"] - len(dels)
     return {"n_manifests": data_idx,
             "n_delete_files": n_delete_files, "live": live}
+
+
+def scan_snapshot_v2(files: dict[str, bytes],
+                     snapshot_id: int = 1) -> dict:
+    """FULL merge-on-read SCAN of a v2 snapshot — every byte decoded
+    by this repo (no Arrow/Spark): data manifests -> data parquet
+    files read row-by-row with the own page reader; positional
+    delete files drop (file_path, pos); EQUALITY delete files (their
+    ``equality_ids`` naming 1-based field ids of the table schema)
+    drop every data row matching the delete row on those columns.
+    Returns {n_data_files, columns, rows: [{file_path, _pos,
+    <table columns>}]} of SURVIVING rows."""
+    list_path = f"metadata/snap-{snapshot_id}.avro"
+    if list_path not in files:
+        raise ValueError(f"missing manifest list {list_path}")
+    mlist = read_ocf(files[list_path])["records"]
+    data_files: list[dict] = []
+    pos_deletes: list[tuple[str, int]] = []
+    eq_deletes: list[tuple[list[int], dict[str, list]]] = []
+    for mf in mlist:
+        path = mf["manifest_path"]
+        if path not in files:
+            raise ValueError(f"missing manifest {path}")
+        blob = files[path]
+        if len(blob) != mf["manifest_length"]:
+            raise ValueError(f"manifest length mismatch for {path}")
+        for e in read_ocf(blob)["records"]:
+            if e["status"] == STATUS_DELETED:
+                continue
+            df = e["data_file"]
+            content = df.get("content", CONTENT_DATA)
+            if content == CONTENT_DATA:
+                data_files.append(df)
+            elif content == CONTENT_POSITION_DELETES:
+                if df["file_path"] not in files:
+                    raise ValueError("missing positional delete file")
+                rows = read_positional_delete_parquet(
+                    files[df["file_path"]])
+                if len(rows) != df["record_count"]:
+                    raise ValueError(
+                        "delete file record_count mismatch")
+                pos_deletes.extend(rows)
+            else:
+                eq_ids = df.get("equality_ids")
+                if not eq_ids:
+                    raise ValueError(
+                        "equality delete without equality_ids")
+                if df["file_path"] not in files:
+                    raise ValueError("missing equality delete file")
+                cols = read_flat_parquet(files[df["file_path"]])
+                n = len(next(iter(cols.values()), []))
+                if n != df["record_count"]:
+                    raise ValueError(
+                        "equality delete record_count mismatch")
+                eq_deletes.append((list(eq_ids), cols))
+    dropped = set(pos_deletes)
+    out_rows: list[dict] = []
+    columns: list[str] = []
+    for df in data_files:
+        fp = df["file_path"]
+        if fp not in files:
+            raise ValueError(f"missing data file {fp}")
+        cols = read_flat_parquet(files[fp])
+        names = list(cols)
+        columns = columns or names
+        n = len(cols[names[0]]) if names else 0
+        if n != df["record_count"]:
+            raise ValueError("data file record_count mismatch")
+        # equality keys: 1-based field id -> column position in the
+        # table schema (the Iceberg field-id convention for a flat
+        # top-level schema)
+        eq_keysets = []
+        for eq_ids, ecols in eq_deletes:
+            enames = list(ecols)
+            keycols = []
+            for fid in eq_ids:
+                if not 1 <= fid <= len(names):
+                    raise ValueError("equality field id out of range")
+                keycols.append(names[fid - 1])
+            if sorted(enames) != sorted(keycols):
+                raise ValueError(
+                    "equality delete columns do not match ids")
+            en = len(ecols[enames[0]])
+            keys = {tuple(ecols[c][i] for c in keycols)
+                    for i in range(en)}
+            eq_keysets.append((keycols, keys))
+        for pos in range(n):
+            if (fp, pos) in dropped:
+                continue
+            row = {c: cols[c][pos] for c in names}
+            dead = False
+            for keycols, keys in eq_keysets:
+                if tuple(row[c] for c in keycols) in keys:
+                    dead = True
+                    break
+            if dead:
+                continue
+            row["file_path"] = fp
+            row["_pos"] = pos
+            out_rows.append(row)
+    return {"n_data_files": len(data_files), "columns": columns,
+            "rows": out_rows}
 
 
 def walk_snapshot(files: dict[str, bytes],

@@ -6724,6 +6724,138 @@ def iceberg_v2_snapshot_extract(df: DataFrame,
     )
 
 
+def synth_iceberg_mor_payload(df: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``meta`` column: a v2 Iceberg snapshot with REAL
+    parquet data files (pyarrow-written; 2 files x (20 + doc_id%%10)
+    rows of (id, lang, val)), positional deletes on file-0 rows
+    {0, 5}, an EQUALITY delete on lang='de' (equality_ids=[2]) and
+    another on id=106 (equality_ids=[1]) — the full merge-on-read
+    scan shape."""
+    from .iceberg import (
+        STATUS_ADDED,
+        build_positional_delete_parquet,
+        build_snapshot_v2,
+    )
+    from .tar import build_tar
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    langs = ("en", "de", "fr")
+
+    def gen(batches: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def parquet_of(cols: dict) -> bytes:
+            buf = io.BytesIO()
+            pq.write_table(pa.table(cols), buf, compression="snappy")
+            return buf.getvalue()
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 20 + d % 10
+                entries = []
+                data_blobs = {}
+                for i in range(2):
+                    path = f"data/f{i}.parquet"
+                    blob = parquet_of({
+                        "id": pa.array(
+                            [100 * i + r for r in range(n)],
+                            pa.int64()),
+                        "lang": pa.array(
+                            [langs[r % 3] for r in range(n)]),
+                        "val": pa.array(
+                            [3 * r + i for r in range(n)],
+                            pa.int64()),
+                    })
+                    data_blobs[path] = blob
+                    entries.append({
+                        "status": STATUS_ADDED,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "record_count": n,
+                        "file_size_in_bytes": len(blob),
+                        "lang": None,
+                    })
+                eq1 = parquet_of({"lang": pa.array(["de"])})
+                eq2 = parquet_of({"id": pa.array([106], pa.int64())})
+                files = build_snapshot_v2(
+                    [entries],
+                    [[("data/f0.parquet", 0),
+                      ("data/f0.parquet", 5)]],
+                    equality_deletes=[(eq1, [2], 1), (eq2, [1], 1)],
+                    data_blobs=data_blobs)
+                members = [("metadata/", b""), ("data/", b"")] + [
+                    (name, files[name]) for name in sorted(files)
+                ]
+                payloads.append(build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "meta": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, meta binary")
+
+
+def iceberg_mor_scan_extract(df: DataFrame,
+                             payload_col: str = "meta",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Untar a v2 snapshot and run the FULL merge-on-read scan (own
+    parquet reader for data, positional AND equality delete files),
+    aggregating surviving rows per (file, lang)."""
+    from .iceberg import scan_snapshot_v2
+    from .tar import parse_tar
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("file_idx", "lang", "n_rows", "sum_val", "sum_id")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    members = parse_tar(bytes(p))
+                    files = {m["name"]: m["data"] for m in members
+                             if m["typeflag"] != "5"}
+                    scan = scan_snapshot_v2(files)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                agg: dict[tuple, list] = {}
+                for row in scan["rows"]:
+                    i = int(row["file_path"].split("f")[-1]
+                            .split(".")[0])
+                    key = (i, row["lang"])
+                    a = agg.setdefault(key, [0, 0, 0])
+                    a[0] += 1
+                    a[1] += row["val"]
+                    a[2] += row["id"]
+                for (i, lang), (c, sv, si) in sorted(agg.items()):
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["file_idx"].append(i)
+                    out["lang"].append(lang)
+                    out["n_rows"].append(c)
+                    out["sum_val"].append(sv)
+                    out["sum_id"].append(si)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, file_idx long, "
+                "lang string, n_rows long, sum_val long, "
+                "sum_id long"),
+    )
+
+
 def synth_tfrecord_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a ``tfr`` column: the document materialized as a
     training shard — one tf.train.Example per 8-word chunk with

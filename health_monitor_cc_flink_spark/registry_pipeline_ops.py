@@ -14244,3 +14244,46 @@ def lake_delta_dv_replay(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.delta_dv_snapshot_extract(M.synth_delta_dv_payload(docs))
+
+
+@query(
+    "lake_iceberg_mor_scan",
+    """
+    WITH p AS (SELECT doc_id, CAST(20 + doc_id % 10 AS BIGINT) AS n
+               FROM documents),
+    r AS (SELECT doc_id, n, i.i, j.j AS r
+          FROM p,
+               LATERAL unnest([0, 1]) AS i(i),
+               LATERAL unnest(generate_series(0, n - 1)) AS j(j)),
+    s AS (SELECT doc_id, i, r FROM r
+          WHERE NOT (i = 0 AND r IN (0, 5))
+            AND r % 3 != 1
+            AND NOT (i = 1 AND r = 6))
+    SELECT doc_id, TRUE AS ok, CAST(i AS BIGINT) AS file_idx,
+           (['en', 'de', 'fr'])[CAST(r % 3 + 1 AS INT)] AS lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(3 * r + i) AS BIGINT) AS sum_val,
+           CAST(sum(100 * i + r) AS BIGINT) AS sum_id
+    FROM s GROUP BY doc_id, i, r % 3
+    """,
+    doc="Iceberg v2 merge-on-read TABLE SCAN under the hash gate — "
+    "not a metadata walk but the full read path with zero "
+    "Arrow/Spark in the decode loop: data manifests resolve to REAL "
+    "parquet data files read row-by-row by the repo's own page "
+    "reader, positional delete files drop (file_path, pos) pairs, "
+    "and EQUALITY delete files (equality_ids naming table field "
+    "ids; themselves parquet read by the same stack) drop every "
+    "data row matching on the id'd columns — lang='de' and a "
+    "specific id here, composed.  Counts are validated against "
+    "manifest record_count at every layer; the oracle re-derives "
+    "the surviving rowset closed-form, so one wrong row anywhere in "
+    "manifest walk, page decode, or delete application breaks the "
+    "hash.  Scale: files scan independently; equality keys are the "
+    "small broadcast side of the anti-join a cluster engine runs.",
+    bench=True,
+)
+def lake_iceberg_mor_scan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.iceberg_mor_scan_extract(M.synth_iceberg_mor_payload(docs))
