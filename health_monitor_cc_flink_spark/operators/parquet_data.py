@@ -177,7 +177,9 @@ def read_column_chunk(data: bytes, *, start_offset: int,
                       max_def_level: int = 1,
                       max_rep_level: int = 0,
                       rep_def_level: int = 0,
-                      type_length: int | None = None) -> list:
+                      type_length: int | None = None,
+                      dictionary_page_offset: int | None = None
+                      ) -> list:
     """Decode one column chunk -> values list (None for nulls),
     walking dictionary + data pages (v1 and v2) from
     ``start_offset`` until ``num_values`` are produced.
@@ -187,12 +189,33 @@ def read_column_chunk(data: bytes, *, start_offset: int,
     per ROW: a list of element values, ``[]`` for an empty list,
     ``None`` for a null list.  ``num_values`` still counts leaf-level
     SLOTS (ColumnMetaData.num_values), not rows.  Deeper repetition
-    (list-of-list) is out of scope and raises."""
+    (list-of-list) is out of scope and raises.
+
+    ``dictionary_page_offset`` supports SELECTIVE page decode (page
+    skipping via the OffsetIndex): point ``start_offset`` at any
+    data page with ``num_values`` = that page's slot count, passing
+    the chunk's dictionary offset separately so dictionary-encoded
+    pages still resolve."""
     if max_rep_level > 1:
         raise ValueError("nested repetition beyond one list level "
                          "unsupported")
     pos = start_offset
     dictionary: list | None = None
+    if dictionary_page_offset is not None \
+            and dictionary_page_offset != start_offset:
+        r = _Reader(data)
+        r.pos = dictionary_page_offset
+        hdr = r.struct()
+        if hdr.get(1) != 2:
+            raise ValueError("dictionary_page_offset is not a "
+                             "dictionary page")
+        c_size, un_size = hdr.get(3), hdr.get(2)
+        payload = data[r.pos:r.pos + c_size]
+        if len(payload) != c_size:
+            raise ValueError("dictionary page truncated")
+        raw = _decompress(payload, codec, un_size)
+        dictionary, _ = _plain_values(
+            raw, 0, hdr.get(7, {}).get(1), ptype, type_length)
     out: list = []
     all_reps: list[int] = []
     all_defs: list[int] = []

@@ -122,7 +122,8 @@ class _Reader:
                 size = self.varint()
             if size > MAX_COLLECTION:
                 raise ValueError("thrift: list too large")
-            return [self.value(etype, depth + 1) for _ in range(size)]
+            return [self._elem(etype, depth + 1)
+                    for _ in range(size)]
         if ctype == _CT_MAP:
             size = self.varint()
             if size == 0:
@@ -132,13 +133,21 @@ class _Reader:
             kv = self._byte()
             ktype, vtype = kv >> 4, kv & 0x0F
             return {
-                self._bin_key(self.value(ktype, depth + 1)):
-                    self.value(vtype, depth + 1)
+                self._bin_key(self._elem(ktype, depth + 1)):
+                    self._elem(vtype, depth + 1)
                 for _ in range(size)
             }
         if ctype == _CT_STRUCT:
             return self.struct(depth + 1)
         raise ValueError(f"thrift: unknown compact type {ctype}")
+
+    def _elem(self, ctype: int, depth: int):
+        """Container element: unlike field headers (where the bool
+        VALUE rides in the type nibble), list/set/map bools are one
+        byte each (1 true / 2 false per the compact spec)."""
+        if ctype in (_CT_TRUE, _CT_FALSE):
+            return self._byte() == 1
+        return self.value(ctype, depth)
 
     @staticmethod
     def _bin_key(k):
@@ -253,6 +262,19 @@ def parse_footer(data: bytes) -> dict:
                 "data_page_offset": md.get(9),
                 "dictionary_page_offset": md.get(11),
                 "file_offset": cc.get(2),
+                "offset_index_offset": cc.get(4),
+                "offset_index_length": cc.get(5),
+                "column_index_offset": cc.get(6),
+                "column_index_length": cc.get(7),
+                # Statistics (field 12): min_value/max_value are the
+                # well-ordered v2 fields (5/6); null_count field 3
+                "statistics": {
+                    "min_value": (bytes(md[12][6])
+                                  if 6 in md.get(12, {}) else None),
+                    "max_value": (bytes(md[12][5])
+                                  if 5 in md.get(12, {}) else None),
+                    "null_count": md.get(12, {}).get(3),
+                } if 12 in md else None,
             })
         row_groups.append({
             "columns": cols,
@@ -268,4 +290,35 @@ def parse_footer(data: bytes) -> dict:
         "n_schema_elements": len(fm.get(2, [])),
         "schema_leaves": schema_leaves(fm.get(2, [])),
         "row_groups": row_groups,
+    }
+
+
+def read_page_index(data: bytes, column: dict) -> dict | None:
+    """ColumnIndex + OffsetIndex for one column chunk (parquet.thrift
+    ColumnChunk fields 4-7) -> {null_pages, min_values, max_values,
+    null_counts, page_locations: [(offset, compressed_size,
+    first_row_index)]}; None when the writer emitted no page index.
+    These are the page-skipping structures a scan uses to decode
+    only pages whose [min, max] can match a predicate."""
+    ci_off, ci_len = column.get("column_index_offset"), \
+        column.get("column_index_length")
+    oi_off, oi_len = column.get("offset_index_offset"), \
+        column.get("offset_index_length")
+    if ci_off is None or oi_off is None:
+        return None
+    if ci_off + (ci_len or 0) > len(data) \
+            or oi_off + (oi_len or 0) > len(data):
+        raise ValueError("page index overruns file")
+    ci = _Reader(data[ci_off:ci_off + ci_len]).struct()
+    oi = _Reader(data[oi_off:oi_off + oi_len]).struct()
+    locs = []
+    for pl in oi.get(1, []):
+        locs.append((pl.get(1), pl.get(2), pl.get(3)))
+    return {
+        "null_pages": [bool(b) for b in ci.get(1, [])],
+        "min_values": [bytes(v) for v in ci.get(2, [])],
+        "max_values": [bytes(v) for v in ci.get(3, [])],
+        "boundary_order": ci.get(4),
+        "null_counts": ci.get(5),
+        "page_locations": locs,
     }

@@ -204,11 +204,8 @@ def test_v2_mor_scan_with_equality_deletes():
     assert sorted(r["id"] for r in scan["rows"]) == [2, 3, 5, 8]
     assert all(r["lang"] != "de" for r in scan["rows"])
     assert scan["n_data_files"] == 1
-    # record_count mismatch must fail the scan
+    # a referenced data file missing from the bundle fails the scan
     bad = dict(files)
-    import re as _re
-    # tamper: claim the data file has one fewer row via the manifest
-    # is awkward; instead drop the data file entirely
     del bad["data/a.parquet"]
     with pytest.raises(ValueError):
         scan_snapshot_v2(bad)

@@ -98,3 +98,80 @@ def test_truncated_footer_rejected():
         data = f.read()
     with pytest.raises(ValueError):
         parse_footer(data[:100] + data[-8:])
+
+
+def test_page_index_and_statistics(tmp_path):
+    """ColumnIndex/OffsetIndex decode (incl. container-bool bytes)
+    and chunk Statistics vs pyarrow's writer."""
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        read_page_index,
+    )
+
+    n = 50_000
+    path = tmp_path / "pi.parquet"
+    pq.write_table(
+        pa.table({"x": pa.array(range(n), pa.int64())}), path,
+        compression="snappy", write_page_index=True,
+        data_page_size=8192)
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_footer(data)
+    cc = m["row_groups"][0]["columns"][0]
+    st = cc["statistics"]
+    assert struct.unpack("<q", st["min_value"])[0] == 0
+    assert struct.unpack("<q", st["max_value"])[0] == n - 1
+    assert st["null_count"] == 0
+    pi = read_page_index(data, cc)
+    locs = pi["page_locations"]
+    assert len(locs) > 3
+    assert locs[0][2] == 0
+    assert pi["null_pages"] == [False] * len(locs)
+    # per-page min/max tile the range in row order
+    prev_max = -1
+    for i in range(len(locs)):
+        mn = struct.unpack("<q", pi["min_values"][i])[0]
+        mx = struct.unpack("<q", pi["max_values"][i])[0]
+        assert mn == prev_max + 1 and mx >= mn
+        prev_max = mx
+    assert prev_max == n - 1
+
+
+def test_selective_page_decode(tmp_path):
+    """Decoding a single page via the OffsetIndex + out-of-line
+    dictionary page equals the corresponding full-chunk slice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        read_page_index,
+    )
+
+    n = 50_000
+    vals = [f"k{i // 100:05d}" for i in range(n)]
+    path = tmp_path / "sel.parquet"
+    pq.write_table(pa.table({"s": pa.array(vals)}), path,
+                   compression="snappy", write_page_index=True,
+                   data_page_size=8192)
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_footer(data)
+    rg = m["row_groups"][0]
+    cc = rg["columns"][0]
+    pi = read_page_index(data, cc)
+    locs = pi["page_locations"]
+    i = len(locs) // 2
+    a = locs[i][2]
+    b = locs[i + 1][2] if i + 1 < len(locs) else rg["num_rows"]
+    got = read_column_chunk(
+        data, start_offset=locs[i][0], num_values=b - a,
+        ptype=cc["type"], codec=cc["codec"],
+        dictionary_page_offset=cc["dictionary_page_offset"])
+    assert [v.decode() for v in got] == vals[a:b]
