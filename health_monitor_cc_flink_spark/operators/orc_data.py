@@ -256,10 +256,17 @@ def decode_present(data: bytes, n_rows: int) -> list[bool]:
 
 def read_stripe_column(data: bytes, stripe: dict, kind_name: str,
                        column_id: int, codec: str,
-                       n_rows: int) -> list:
+                       n_rows: int, types: list | None = None) -> list:
     """Decode one column of one stripe -> values (None for nulls).
     ``stripe`` is an operators.orc_meta stripe dict; ``column_id`` is
-    the TYPE index (root struct = 0, first column = 1...)."""
+    the TYPE index (root struct = 0, first column = 1...).
+
+    Nested columns (LIST / MAP / STRUCT) need ``types`` — the
+    parse_orc_tail ``types`` tree — and decode recursively: the
+    parent's LENGTH stream partitions the child column's slots
+    (child slot count = sum of present-parent lengths), exactly the
+    spec's parent-drives-child stream model.  Lists return Python
+    lists, maps dicts, structs dicts of field values."""
     foot_off = (stripe["offset"] + stripe["index_length"]
                 + stripe["data_length"])
     sf_raw = _decompress_stream(
@@ -292,85 +299,145 @@ def read_stripe_column(data: bytes, stripe: dict, kind_name: str,
             off += st["length"]
         return None
 
-    enc = encodings[column_id]["kind"]
-    present_raw = stream_bytes(column_id, STREAM_PRESENT)
-    present = (decode_present(present_raw, n_rows)
-               if present_raw is not None else [True] * n_rows)
-    n_present = sum(present)
-    body = stream_bytes(column_id, STREAM_DATA)
-    if body is None:
-        raise ValueError(f"column {column_id} has no DATA stream")
-    if kind_name in ("LONG", "INT", "SHORT", "DATE"):
-        if enc not in (ENC_DIRECT_V2, ENC_DIRECT):
-            raise ValueError("unexpected int encoding")
-        vals = decode_rlev2(body, signed=True, n=n_present)
-    elif kind_name == "BOOLEAN":
-        # bit-packed MSB-first inside a byte-RLE stream, exactly like
-        # PRESENT
-        raw = decode_byte_rle(body, (n_present + 7) // 8)
-        vals = [bool(raw[i // 8] & (0x80 >> (i % 8)))
-                for i in range(n_present)]
-    elif kind_name == "BYTE":
-        # tinyint rides byte-RLE (NOT RLEv2), signed two's complement
-        raw = decode_byte_rle(body, n_present)
-        vals = [b - 256 if b >= 128 else b for b in raw]
-    elif kind_name == "DOUBLE":
-        if 8 * n_present > len(body):
-            raise ValueError("orc double stream truncated")
-        vals = list(struct.unpack_from(f"<{n_present}d", body, 0))
-    elif kind_name == "FLOAT":
-        if 4 * n_present > len(body):
-            raise ValueError("orc float stream truncated")
-        vals = list(struct.unpack_from(f"<{n_present}f", body, 0))
-    elif kind_name in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
-        # DATA = seconds from the 2015 base (signed RLEv2);
-        # SECONDARY = zero-compressed nanos.  Values return as epoch
-        # NANOS ints — exact, caller picks the unit.
-        secs = decode_rlev2(body, signed=True, n=n_present)
-        sec_raw = stream_bytes(column_id, STREAM_SECONDARY)
-        if sec_raw is None:
-            raise ValueError("timestamp column missing SECONDARY")
-        nraw = decode_rlev2(sec_raw, signed=False, n=n_present)
-        vals = [
-            (s_off + ORC_TS_BASE_SECONDS) * 1_000_000_000
-            + decode_nanos(nv)
-            for s_off, nv in zip(secs, nraw)
-        ]
-    elif kind_name == "DECIMAL":
-        uvals = decode_decimal_varints(body, n_present)
-        sec_raw = stream_bytes(column_id, STREAM_SECONDARY)
-        if sec_raw is None:
-            raise ValueError("decimal column missing SECONDARY scale")
-        scales = decode_rlev2(sec_raw, signed=True, n=n_present)
-        import decimal as _dec
+    def _decode(col_id: int, kind: str, n_slots: int) -> list:
+        enc = encodings[col_id]["kind"]
+        present_raw = stream_bytes(col_id, STREAM_PRESENT)
+        present = (decode_present(present_raw, n_slots)
+                   if present_raw is not None else [True] * n_slots)
+        n_present = sum(present)
 
-        vals = [_dec.Decimal(u).scaleb(-s)
-                for u, s in zip(uvals, scales)]
-    elif kind_name in ("STRING", "CHAR", "VARCHAR", "BINARY"):
-        as_text = kind_name != "BINARY"
-        lengths_raw = stream_bytes(column_id, STREAM_LENGTH)
-        lengths = decode_rlev2(lengths_raw, signed=False)
-        if enc in (ENC_DICTIONARY_V2, ENC_DICTIONARY):
-            dict_raw = stream_bytes(column_id, STREAM_DICTIONARY)
-            words = []
-            p = 0
-            for ln in lengths:
-                w = dict_raw[p:p + ln]
-                words.append(w.decode("utf-8") if as_text else w)
-                p += ln
-            idx = decode_rlev2(body, signed=False, n=n_present)
-            try:
-                vals = [words[i] for i in idx]
-            except IndexError as exc:
-                raise ValueError("orc dictionary index range") from exc
-        else:  # DIRECT_V2
-            vals = []
-            p = 0
-            for ln in lengths[:n_present]:
-                w = body[p:p + ln]
-                vals.append(w.decode("utf-8") if as_text else w)
-                p += ln
-    else:
-        raise ValueError(f"orc data decode for {kind_name} unsupported")
-    it = iter(vals)
-    return [next(it) if ok else None for ok in present]
+        def body_or_raise() -> bytes:
+            b = stream_bytes(col_id, STREAM_DATA)
+            if b is None:
+                raise ValueError(f"column {col_id} has no DATA stream")
+            return b
+
+        if kind in ("LONG", "INT", "SHORT", "DATE"):
+            if enc not in (ENC_DIRECT_V2, ENC_DIRECT):
+                raise ValueError("unexpected int encoding")
+            vals = decode_rlev2(body_or_raise(), signed=True,
+                                n=n_present)
+        elif kind == "BOOLEAN":
+            # bit-packed MSB-first inside a byte-RLE stream, exactly
+            # like PRESENT
+            raw = decode_byte_rle(body_or_raise(),
+                                  (n_present + 7) // 8)
+            vals = [bool(raw[i // 8] & (0x80 >> (i % 8)))
+                    for i in range(n_present)]
+        elif kind == "BYTE":
+            # tinyint rides byte-RLE (NOT RLEv2), signed
+            raw = decode_byte_rle(body_or_raise(), n_present)
+            vals = [b - 256 if b >= 128 else b for b in raw]
+        elif kind == "DOUBLE":
+            body = body_or_raise()
+            if 8 * n_present > len(body):
+                raise ValueError("orc double stream truncated")
+            vals = list(struct.unpack_from(f"<{n_present}d", body, 0))
+        elif kind == "FLOAT":
+            body = body_or_raise()
+            if 4 * n_present > len(body):
+                raise ValueError("orc float stream truncated")
+            vals = list(struct.unpack_from(f"<{n_present}f", body, 0))
+        elif kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+            # DATA = seconds from the 2015 base (signed RLEv2);
+            # SECONDARY = zero-compressed nanos -> epoch NANOS ints
+            secs = decode_rlev2(body_or_raise(), signed=True,
+                                n=n_present)
+            sec_raw = stream_bytes(col_id, STREAM_SECONDARY)
+            if sec_raw is None:
+                raise ValueError("timestamp column missing SECONDARY")
+            nraw = decode_rlev2(sec_raw, signed=False, n=n_present)
+            vals = [
+                (s_off + ORC_TS_BASE_SECONDS) * 1_000_000_000
+                + decode_nanos(nv)
+                for s_off, nv in zip(secs, nraw)
+            ]
+        elif kind == "DECIMAL":
+            uvals = decode_decimal_varints(body_or_raise(), n_present)
+            sec_raw = stream_bytes(col_id, STREAM_SECONDARY)
+            if sec_raw is None:
+                raise ValueError(
+                    "decimal column missing SECONDARY scale")
+            scales = decode_rlev2(sec_raw, signed=True, n=n_present)
+            import decimal as _dec
+
+            vals = [_dec.Decimal(u).scaleb(-s)
+                    for u, s in zip(uvals, scales)]
+        elif kind in ("STRING", "CHAR", "VARCHAR", "BINARY"):
+            as_text = kind != "BINARY"
+            body = body_or_raise()
+            lengths_raw = stream_bytes(col_id, STREAM_LENGTH)
+            lengths = decode_rlev2(lengths_raw, signed=False)
+            if enc in (ENC_DICTIONARY_V2, ENC_DICTIONARY):
+                dict_raw = stream_bytes(col_id, STREAM_DICTIONARY)
+                words = []
+                p = 0
+                for ln in lengths:
+                    w = dict_raw[p:p + ln]
+                    words.append(w.decode("utf-8") if as_text else w)
+                    p += ln
+                idx = decode_rlev2(body, signed=False, n=n_present)
+                try:
+                    vals = [words[i] for i in idx]
+                except IndexError as exc:
+                    raise ValueError(
+                        "orc dictionary index range") from exc
+            else:  # DIRECT_V2
+                vals = []
+                p = 0
+                for ln in lengths[:n_present]:
+                    w = body[p:p + ln]
+                    vals.append(w.decode("utf-8") if as_text else w)
+                    p += ln
+        elif kind in ("LIST", "MAP", "STRUCT"):
+            if types is None:
+                raise ValueError(
+                    f"{kind} decode needs the parse_orc_tail types "
+                    "tree")
+            node = types[col_id]
+            if kind == "STRUCT":
+                fields = [
+                    _decode(cid, types[cid]["kind"], n_present)
+                    for cid in node["subtypes"]
+                ]
+                names = (node.get("field_names")
+                         or [f"f{j}" for j in range(len(fields))])
+                vals = [
+                    {names[j]: fields[j][i]
+                     for j in range(len(fields))}
+                    for i in range(n_present)
+                ]
+            else:
+                lengths_raw = stream_bytes(col_id, STREAM_LENGTH)
+                if lengths_raw is None:
+                    raise ValueError(
+                        f"{kind} column missing LENGTH stream")
+                lengths = decode_rlev2(lengths_raw, signed=False,
+                                       n=n_present)
+                total = sum(lengths)
+                if total > MAX_VALUES:
+                    raise ValueError("orc nested cap exceeded")
+                if kind == "LIST":
+                    (cid,) = node["subtypes"]
+                    child = _decode(cid, types[cid]["kind"], total)
+                    vals = []
+                    p = 0
+                    for ln in lengths:
+                        vals.append(child[p:p + ln])
+                        p += ln
+                else:  # MAP
+                    kid, vid = node["subtypes"]
+                    keys = _decode(kid, types[kid]["kind"], total)
+                    mvals = _decode(vid, types[vid]["kind"], total)
+                    vals = []
+                    p = 0
+                    for ln in lengths:
+                        vals.append(dict(zip(keys[p:p + ln],
+                                             mvals[p:p + ln])))
+                        p += ln
+        else:
+            raise ValueError(f"orc data decode for {kind} unsupported")
+        it = iter(vals)
+        return [next(it) if ok else None for ok in present]
+
+    return _decode(column_id, kind_name, n_rows)

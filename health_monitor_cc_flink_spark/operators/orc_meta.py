@@ -156,6 +156,19 @@ def parse_orc_tail(data: bytes) -> dict:
             raise ValueError("ORC subtype index out of range")
         kind_id = _varint_val(types[st].get(1, [0])[-1])
         schema.append((TYPE_KIND.get(kind_id, f"K{kind_id}"), name))
+    # the FULL type tree (nested decode walks child type ids)
+    type_tree = []
+    for t in types:
+        kid = _varint_val(t.get(1, [0])[-1])
+        sub = _uint_list(t.get(2, []))
+        if any(s >= len(types) for s in sub):
+            raise ValueError("ORC subtype index out of range")
+        type_tree.append({
+            "kind": TYPE_KIND.get(kid, f"K{kid}"),
+            "subtypes": sub,
+            "field_names": [bytes(x).decode("utf-8")
+                            for x in t.get(3, [])],
+        })
     return {
         "compression": kind,
         "compression_block_size": block,
@@ -163,6 +176,7 @@ def parse_orc_tail(data: bytes) -> dict:
         "n_rows": _varint_val(footer.get(6, [0])[-1]),
         "n_cols": len(names),
         "schema": schema,
+        "types": type_tree,
         "stripes": stripes,
         "content_length": _varint_val(footer.get(2, [0])[-1]),
     }

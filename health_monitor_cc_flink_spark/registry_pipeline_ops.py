@@ -14456,3 +14456,105 @@ def meta_parquet_page_prune(spark, sf_dir):
         schema=("lo long, hi long, n_match long, sum_partkey long, "
                 "pruned boolean"),
     )
+
+
+_ORC_NESTED_FIXTURE_CACHE: dict = {}
+
+
+def _orc_nested_fixture(spark, sf_dir: str) -> str:
+    """embeddings re-written by Spark's OWN ORC writer — vec_id +
+    array<float> becomes LONG + LIST(FLOAT)."""
+    import glob as _glob
+    import os as _os
+
+    key = (id(spark), sf_dir)
+    path = _ORC_NESTED_FIXTURE_CACHE.get(key)
+    if path and _os.path.exists(path):
+        return path
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"/tmp/orc_nested_fixture_{sf_tag}"
+    (_t(spark, sf_dir, "embeddings")
+     .select("vec_id", "embedding").coalesce(1)
+     .write.mode("overwrite").option("compression", "snappy").orc(out))
+    (path,) = _glob.glob(out + "/part-*.orc")
+    _ORC_NESTED_FIXTURE_CACHE[key] = path
+    return path
+
+
+@query(
+    "meta_orc_nested_scan",
+    """
+    WITH u AS (
+        SELECT vec_id, len(embedding) AS n_elems, uu.e AS e
+        FROM embeddings, LATERAL unnest(embedding) AS uu(e)
+    )
+    SELECT vec_id, CAST(any_value(n_elems) AS BIGINT) AS n_elems,
+           CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS floor_sum,
+           CAST(min(CAST(e AS DOUBLE)) AS DOUBLE) AS min_v,
+           CAST(max(CAST(e AS DOUBLE)) AS DOUBLE) AS max_v
+    FROM u GROUP BY vec_id
+    """,
+    doc="ORC NESTED-column decode under the hash gate — the ORC "
+    "twin of meta_parquet_nested_scan: the embeddings table "
+    "re-written by Spark's own ORC writer as LONG + LIST(FLOAT), "
+    "then read back recursively (the full footer type TREE walked; "
+    "the LIST column's LENGTH stream partitions the child FLOAT "
+    "column's slot space — the spec's parent-drives-child stream "
+    "model; MAP and STRUCT ride the same recursion, pinned in "
+    "tests/test_orc_data.py).  Same exploded-list oracle as the "
+    "parquet twin: exact IEEE min/max plus the order-insensitive "
+    "floor(e*1e6) certificate against DuckDB reading the original "
+    "parquet.  Scale: stripes x top-level columns stay the "
+    "independent decode units; child decode is a linear pass.",
+    bench=True,
+)
+def meta_orc_nested_scan(spark, sf_dir):
+    from .operators.orc_data import read_stripe_column
+    from .operators.orc_meta import parse_orc_tail
+
+    path = _orc_nested_fixture(spark, sf_dir)
+    files = (spark.read.format("binaryFile").load(path)
+             .select("content"))
+
+    def feats(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"vec_id": [], "n_elems": [], "floor_sum": [],
+                   "min_v": [], "max_v": []}
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                m = parse_orc_tail(data)
+                ids = dict(zip([n for _, n in m["schema"]],
+                               m["types"][0]["subtypes"]))
+                vec_ids, embs = [], []
+                for s in m["stripes"]:
+                    for name, sink in (("vec_id", vec_ids),
+                                       ("embedding", embs)):
+                        cid = ids[name]
+                        sink.extend(read_stripe_column(
+                            data, s, m["types"][cid]["kind"], cid,
+                            m["compression"], s["n_rows"],
+                            types=m["types"]))
+                if len(vec_ids) != len(embs):
+                    raise ValueError("column row counts diverge")
+                for vid, emb in zip(vec_ids, embs):
+                    if not emb:
+                        continue
+                    vals = [v for v in emb if v is not None]
+                    out["vec_id"].append(vid)
+                    out["n_elems"].append(len(emb))
+                    out["floor_sum"].append(
+                        sum(math.floor(v * 1000000) for v in vals))
+                    out["min_v"].append(min(vals))
+                    out["max_v"].append(max(vals))
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        feats,
+        schema=("vec_id long, n_elems long, floor_sum long, "
+                "min_v double, max_v double"),
+    )

@@ -240,3 +240,54 @@ def test_boolean_tinyint_binary_columns(tmp_path):
     assert gb == bools
     assert gi == tiny
     assert gbin == bins
+
+
+def test_nested_list_map_struct_columns(tmp_path):
+    """LIST / MAP / STRUCT / list<struct> decode recursively: the
+    parent LENGTH stream partitions the child column's slots."""
+    n = 2000
+    lists = [None if i % 9 == 7 else [j * 2 + i for j in range(i % 5)]
+             for i in range(n)]
+    maps = [[(f"k{j}", j + i) for j in range(i % 4)] for i in range(n)]
+    structs = [None if i % 13 == 11 else {"a": i * 3, "b": f"s{i % 7}"}
+               for i in range(n)]
+    nested = [[{"x": i + j} for j in range(i % 3)] for i in range(n)]
+    t = pa.table({
+        "l": pa.array(lists, pa.list_(pa.int64())),
+        "m": pa.array(maps, pa.map_(pa.string(), pa.int64())),
+        "st": pa.array(structs, pa.struct([("a", pa.int64()),
+                                           ("b", pa.string())])),
+        "ls": pa.array(nested,
+                       pa.list_(pa.struct([("x", pa.int64())]))),
+    })
+    path = tmp_path / "lm.orc"
+    orc.write_table(t, path, compression="snappy")
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_orc_tail(data)
+    ids = dict(zip([nm for _, nm in m["schema"]],
+                   m["types"][0]["subtypes"]))
+    s = m["stripes"][0]
+
+    def col(name):
+        cid = ids[name]
+        return read_stripe_column(
+            data, s, m["types"][cid]["kind"], cid, m["compression"],
+            s["n_rows"], types=m["types"])
+
+    assert col("l") == lists
+    assert col("m") == [dict(r) for r in maps]
+    assert col("st") == structs
+    assert col("ls") == nested
+
+
+def test_nested_without_types_raises(tmp_path):
+    t = pa.table({"l": pa.array([[1]], pa.list_(pa.int64()))})
+    path = tmp_path / "l.orc"
+    orc.write_table(t, path, compression="snappy")
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_orc_tail(data)
+    with pytest.raises(ValueError, match="types"):
+        read_stripe_column(data, m["stripes"][0], "LIST", 1,
+                           m["compression"], m["stripes"][0]["n_rows"])
