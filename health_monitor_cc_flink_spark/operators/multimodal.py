@@ -6856,6 +6856,122 @@ def iceberg_mor_scan_extract(df: DataFrame,
     )
 
 
+def synth_hudi_payload(df: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``meta`` column: a ustar tar of a Hudi ``.hoodie/``
+    timeline — k = doc_id %% 3 + 2 completed commits (commit j
+    upserts file groups {j%%3, (j+1)%%3}: latest version per group
+    wins), one INFLIGHT commit that readers must ignore, one clean
+    instant, and for every 5th doc a REPLACECOMMIT that clusters
+    group g0 away into g9."""
+    from .hudi import base_file_name, build_commit
+    from .tar import build_tar
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    base_t = 20240101000000
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = d % 3 + 2
+                members = [(".hoodie/", b"")]
+                part = "2024/01"
+                for j in range(k):
+                    t = str(base_t + j)
+                    stats = []
+                    for g in (j % 3, (j + 1) % 3):
+                        stats.append({
+                            "fileId": f"g{g}",
+                            "path": f"{part}/"
+                                    + base_file_name(f"g{g}", t),
+                            "numWrites": 100 + 10 * j + g,
+                            "totalWriteBytes": 4096 + j,
+                        })
+                    members.append(
+                        (f".hoodie/{t}.commit",
+                         build_commit({part: stats})))
+                # pending instants must be invisible to readers
+                members.append(
+                    (f".hoodie/{base_t + k}.commit.inflight", b""))
+                members.append(
+                    (f".hoodie/{base_t + k + 1}.clean",
+                     b"{\"policy\":\"KEEP_LATEST_COMMITS\"}"))
+                if d % 5 == 0:
+                    t = str(base_t + k + 2)
+                    members.append((
+                        f".hoodie/{t}.replacecommit",
+                        build_commit(
+                            {part: [{
+                                "fileId": "g9",
+                                "path": f"{part}/"
+                                        + base_file_name("g9", t),
+                                "numWrites": 500 + k,
+                                "totalWriteBytes": 8192,
+                            }]},
+                            replaced={part: ["g0"]})))
+                payloads.append(build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "meta": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, meta binary")
+
+
+def hudi_timeline_extract(df: DataFrame, payload_col: str = "meta",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Untar a ``.hoodie/`` timeline and reconstruct copy-on-write
+    state — EXPLODED one row per live file group."""
+    from .hudi import reconstruct_table
+    from .tar import parse_tar
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+    base_t = 20240101000000
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("file_id", "instant_j", "num_writes", "n_live",
+                "n_completed", "n_pending", "latest_j")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    members = parse_tar(bytes(p))
+                    files = {m["name"]: m["data"] for m in members
+                             if m["typeflag"] != "5"}
+                    state = reconstruct_table(files)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for (part, fid) in sorted(state["live"]):
+                    f = state["live"][(part, fid)]
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["file_id"].append(fid)
+                    out["instant_j"].append(
+                        int(f["instant"]) - base_t)
+                    out["num_writes"].append(f["num_writes"])
+                    out["n_live"].append(len(state["live"]))
+                    out["n_completed"].append(state["n_completed"])
+                    out["n_pending"].append(state["n_pending"])
+                    out["latest_j"].append(
+                        int(state["latest_instant"]) - base_t)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, file_id string, "
+                "instant_j long, num_writes long, n_live long, "
+                "n_completed long, n_pending long, latest_j long"),
+    )
+
+
 def synth_tfrecord_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a ``tfr`` column: the document materialized as a
     training shard — one tf.train.Example per 8-word chunk with

@@ -14558,3 +14558,56 @@ def meta_orc_nested_scan(spark, sf_dir):
         schema=("vec_id long, n_elems long, floor_sum long, "
                 "min_v double, max_v double"),
     )
+
+
+@query(
+    "lake_hudi_timeline",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 3 + 2 AS BIGINT) AS k
+               FROM documents),
+    w AS (SELECT doc_id, k, j.j
+          FROM p, LATERAL unnest(generate_series(0, k - 1)) AS j(j)),
+    e AS (SELECT doc_id, k, j % 3 AS g, j FROM w
+          UNION ALL
+          SELECT doc_id, k, (j + 1) % 3 AS g, j FROM w),
+    lv AS (SELECT doc_id, k, g, max(j) AS latest
+           FROM e GROUP BY doc_id, k, g),
+    base AS (SELECT doc_id, k, g, latest FROM lv
+             WHERE NOT (doc_id % 5 = 0 AND g = 0)),
+    rep AS (SELECT doc_id, k, 9 AS g, k + 2 AS latest
+            FROM p WHERE doc_id % 5 = 0),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM rep)
+    SELECT doc_id, TRUE AS ok, 'g' || g AS file_id,
+           CAST(latest AS BIGINT) AS instant_j,
+           CAST(CASE WHEN g = 9 THEN 500 + k
+                ELSE 100 + 10 * latest + g END AS BIGINT)
+               AS num_writes,
+           CAST(3 AS BIGINT) AS n_live,
+           CAST(k + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_completed,
+           CAST(1 AS BIGINT) AS n_pending,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN k + 2 ELSE k - 1 END
+                AS BIGINT) AS latest_j
+    FROM allr
+    """,
+    doc="Apache Hudi timeline walk under the hash gate — the THIRD "
+    "lake table format (Delta and Iceberg covered), from the PUBLIC "
+    "hudi.apache.org storage spec: ``.hoodie/`` instant files "
+    "``<time>.<action>[.<state>]`` where requested/inflight "
+    "instants are INVISIBLE to readers (the fixture plants one), "
+    "clean/rollback instants carry no table state, completed "
+    "commits' partitionToWriteStats upsert file groups with "
+    "latest-instant-wins slice resolution, and REPLACECOMMITs "
+    "(clustering) retire whole file groups via "
+    "partitionToReplaceFileIds before adding their replacements.  "
+    "The oracle re-derives the surviving file slices closed-form.  "
+    "Scale: timeline reconstruction is O(instants + files) metadata "
+    "work per table, embarrassingly parallel across tables — data "
+    "files are never touched.",
+    bench=True,
+)
+def lake_hudi_timeline(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.hudi_timeline_extract(M.synth_hudi_payload(docs))
