@@ -14611,3 +14611,92 @@ def lake_hudi_timeline(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return M.hudi_timeline_extract(M.synth_hudi_payload(docs))
+
+
+@query(
+    "streaming_delta_log_tail",
+    """
+    WITH c AS (SELECT CAST(doc_id % 50 AS BIGINT) AS table_id,
+                      CAST(max(doc_id // 50) AS BIGINT) AS v
+               FROM documents GROUP BY doc_id % 50),
+    l AS (SELECT table_id, v, j.j
+          FROM c, LATERAL unnest(generate_series(0, v)) AS j(j)
+          WHERE NOT (j.j % 2 = 1 AND j.j <= v - 1))
+    SELECT table_id, CAST(any_value(v) AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(any_value(v) // 2 AS BIGINT) AS n_removes,
+           CAST(sum(1000 + 17 * j) AS BIGINT) AS sum_size
+    FROM l GROUP BY table_id
+    """,
+    doc="STREAMING Delta-log tailing under the hash gate — how a "
+    "lake ingestion service actually consumes tables: commits "
+    "stream in as (table, version, ndjson bytes), an "
+    "applyInPandasWithState transform keyed by table keeps "
+    "{applied version, live-file set, pending buffer} as state and "
+    "applies commits STRICTLY IN VERSION ORDER (out-of-order "
+    "arrivals — micro-batch boundaries guarantee nothing — wait in "
+    "the buffer), reusing the BATCH replay_delta_log per commit so "
+    "batch and stream share one replay code path.  The drained "
+    "stream's final row per table (max emitted version) must equal "
+    "the closed-form full-log snapshot — incremental-equals-replay, "
+    "the invariant checkpoint tailing rests on.  Scale: state is "
+    "the per-table live census + out-of-order window only; tables "
+    "partition the state store.",
+)
+def streaming_delta_log_tail(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.delta_log import build_delta_log, commit_filename
+    from .registry import _drain_to_memory
+    from .sources.testdata import documents_stream
+    from .streaming.lake_tail import streaming_delta_tail
+
+    docs = documents_stream(spark, sf_dir).select(
+        (F.col("doc_id") % 50).cast("long").alias("table_id"),
+        (F.col("doc_id") / 50).cast("long").alias("version"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            commits = []
+            for t, v in zip(pdf["table_id"], pdf["version"]):
+                v = int(v)
+                actions = []
+                if v == 0:
+                    actions.append({"protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2}})
+                    actions.append({"metaData": {"id": f"tbl-{t}"}})
+                actions.append({"add": {
+                    "path": f"part-{v}.parquet",
+                    "partitionValues": {},
+                    "size": 1000 + 17 * v,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": M.json_dumps_sorted(
+                        {"numRecords": 100 + v})}})
+                if v >= 2 and v % 2 == 0:
+                    actions.append({"remove": {
+                        "path": f"part-{v - 1}.parquet",
+                        "deletionTimestamp": 0,
+                        "dataChange": True}})
+                blob = build_delta_log({v: actions})[
+                    commit_filename(v)]
+                commits.append(blob)
+            yield pd.DataFrame({
+                "table_id": pdf["table_id"],
+                "version": pdf["version"],
+                "commit": commits,
+            })
+
+    stream = docs.mapInPandas(
+        synth, schema="table_id long, version long, commit binary")
+    tailed = streaming_delta_tail(stream)
+    drained = _drain_to_memory(spark, tailed, "stream_deltatail_")
+    w = Window.partitionBy("table_id").orderBy(F.desc("version"))
+    return (drained.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("table_id", "version", "n_live", "n_removes",
+                    "sum_size"))
