@@ -318,6 +318,31 @@ def parse_last_checkpoint(blob: bytes) -> dict:
             "parts": d.get("parts")}
 
 
+def delta_history(commits: dict[int, list[dict]]) -> list[dict]:
+    """Time travel: the snapshot census AT EVERY version — one
+    incremental replay pass, O(total actions), not O(V) full
+    replays.  Returns [{version, n_live, n_adds, n_removes}]."""
+    if not commits:
+        raise ValueError("empty delta log")
+    versions = sorted(commits)
+    if versions[0] != 0 or versions[-1] != len(versions) - 1:
+        raise ValueError("delta log has version gaps")
+    live: dict = {}
+    n_adds = n_removes = 0
+    out = []
+    for v in versions:
+        snap = replay_delta_log(
+            {v: commits[v]},
+            base={"live": live, "metadata": None},
+            base_version=v - 1)
+        live = snap["live"]
+        n_adds += snap["n_adds"]
+        n_removes += snap["n_removes"]
+        out.append({"version": v, "n_live": len(live),
+                    "n_adds": n_adds, "n_removes": n_removes})
+    return out
+
+
 def parse_delta_log_files(files: dict[str, bytes]) -> dict:
     """{filename: bytes} (e.g. an untarred ``_delta_log/``) ->
     replayed snapshot; non-commit members ignored.

@@ -66,7 +66,8 @@ MANIFEST_ENTRY_SCHEMA = json.dumps({
 
 
 def build_snapshot(manifests: list[list[dict]], *,
-                   snapshot_id: int = 1) -> dict[str, bytes]:
+                   snapshot_id: int = 1,
+                   manifest_prefix: str = "manifest") -> dict[str, bytes]:
     """[[entry, ...] per manifest] -> {filename: OCF bytes} with the
     manifest list at metadata/snap-<id>.avro.  Each entry dict:
     {status, file_path, file_format, record_count,
@@ -84,7 +85,7 @@ def build_snapshot(manifests: list[list[dict]], *,
                 "record_count": e["record_count"],
                 "file_size_in_bytes": e["file_size_in_bytes"],
             }} for e in entries]
-        path = f"metadata/manifest-{i}.avro"
+        path = f"metadata/{manifest_prefix}-{i}.avro"
         blob = write_ocf(MANIFEST_ENTRY_SCHEMA, recs,
                          codec="deflate", sync_seed=i)
         files[path] = blob
@@ -514,13 +515,85 @@ def scan_snapshot_v2(files: dict[str, bytes],
             "rows": out_rows}
 
 
+_METADATA_RE = __import__("re").compile(r"^v(\d+)\.metadata\.json$")
+
+
+def build_table_metadata(snapshots: dict[int, str],
+                         current_snapshot_id: int, *,
+                         version: int = 1,
+                         table_uuid: str = "t") -> bytes:
+    """{snapshot_id: manifest-list path} -> vN.metadata.json bytes
+    (the table-spec TableMetadata subset a reader resolves)."""
+    doc = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "current-snapshot-id": current_snapshot_id,
+        "snapshots": [
+            {"snapshot-id": sid, "manifest-list": path,
+             "sequence-number": i + 1,
+             "timestamp-ms": 1700000000000 + i}
+            for i, (sid, path) in enumerate(sorted(
+                snapshots.items()))
+        ],
+    }
+    return json.dumps(doc, sort_keys=True,
+                      separators=(",", ":")).encode("utf-8")
+
+
+def resolve_table_metadata(files: dict[str, bytes]) -> dict:
+    """Find the HIGHEST vN.metadata.json (the table's current
+    metadata; older versions stay for time travel of the metadata
+    log itself) -> {version, current_snapshot_id,
+    snapshots: {id: manifest_list_path}}."""
+    best = None
+    for name in files:
+        m = _METADATA_RE.match(name.rsplit("/", 1)[-1])
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), name)
+    if best is None:
+        raise ValueError("no vN.metadata.json in table")
+    try:
+        doc = json.loads(files[best[1]].decode("utf-8"))
+    except ValueError as exc:
+        raise ValueError("table metadata json malformed") from exc
+    snaps = {}
+    for s in doc.get("snapshots", []):
+        sid, path = s.get("snapshot-id"), s.get("manifest-list")
+        if not isinstance(sid, int) or not path:
+            raise ValueError("malformed snapshot entry")
+        snaps[sid] = path
+    cur = doc.get("current-snapshot-id")
+    if cur not in snaps:
+        raise ValueError("current snapshot missing from snapshots")
+    return {"version": best[0], "current_snapshot_id": cur,
+            "snapshots": snaps}
+
+
+def walk_snapshot_at(files: dict[str, bytes],
+                     snapshot_id: int | None = None) -> dict:
+    """Full resolution path: vN.metadata.json -> (requested or
+    current) snapshot -> manifest list -> live census.  Passing a
+    non-current snapshot_id IS time travel."""
+    meta = resolve_table_metadata(files)
+    sid = meta["current_snapshot_id"] if snapshot_id is None \
+        else snapshot_id
+    if sid not in meta["snapshots"]:
+        raise ValueError(f"unknown snapshot id {sid}")
+    out = walk_snapshot(files, sid,
+                        list_path=meta["snapshots"][sid])
+    out["snapshot_id"] = sid
+    return out
+
+
 def walk_snapshot(files: dict[str, bytes],
-                  snapshot_id: int = 1) -> dict:
+                  snapshot_id: int = 1,
+                  list_path: str | None = None) -> dict:
     """Resolve a snapshot: read the manifest list, verify each
     manifest's recorded length, read its entries, and return the
     LIVE file census {n_manifests, live: [{manifest_idx, file_path,
     file_format, record_count, file_size_in_bytes, lang}]}."""
-    list_path = f"metadata/snap-{snapshot_id}.avro"
+    if list_path is None:
+        list_path = f"metadata/snap-{snapshot_id}.avro"
     if list_path not in files:
         raise ValueError(f"missing manifest list {list_path}")
     mlist = read_ocf(files[list_path])["records"]

@@ -6972,6 +6972,129 @@ def hudi_timeline_extract(df: DataFrame, payload_col: str = "meta",
     )
 
 
+def synth_iceberg_metadata_payload(df: DataFrame,
+                                   id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``meta`` column: an Iceberg table with TWO snapshots
+    and a ``v3.metadata.json`` — snapshot 1 has every file ADDED,
+    snapshot 2 (current) marks the (i+j)%%4==3 entries DELETED;
+    resolution must start at the highest vN.metadata.json (a stale
+    v1 with a WRONG current pointer is planted)."""
+    from .iceberg import (
+        STATUS_ADDED,
+        STATUS_DELETED,
+        build_snapshot,
+        build_table_metadata,
+    )
+    from .tar import build_tar
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    langs = ("en", "de", "fr")
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                files: dict[str, bytes] = {}
+                for sid in (1, 2):
+                    manifests = []
+                    for i in range(d % 3 + 1):
+                        entries = []
+                        for j in range(d % 4 + 2):
+                            st = (STATUS_DELETED
+                                  if sid == 2 and (i + j) % 4 == 3
+                                  and j > 0 else STATUS_ADDED)
+                            entries.append({
+                                "status": st,
+                                "file_path":
+                                    f"data/m{i}/f{j}.parquet",
+                                "file_format": "PARQUET",
+                                "record_count": 50 + 10 * i + j,
+                                "file_size_in_bytes":
+                                    1000 + 31 * i + 7 * j,
+                                "lang": langs[(i + j) % 3],
+                            })
+                        manifests.append(entries)
+                    files.update(build_snapshot(
+                        manifests, snapshot_id=sid,
+                        manifest_prefix=f"manifest-s{sid}"))
+                files["metadata/v1.metadata.json"] = \
+                    build_table_metadata(
+                        {1: "metadata/snap-1.avro"}, 1, version=1,
+                        table_uuid=f"tbl-{d}")
+                files["metadata/v3.metadata.json"] = \
+                    build_table_metadata(
+                        {1: "metadata/snap-1.avro",
+                         2: "metadata/snap-2.avro"}, 2, version=3,
+                        table_uuid=f"tbl-{d}")
+                members = [("metadata/", b"")] + [
+                    (name, files[name]) for name in sorted(files)
+                ]
+                payloads.append(build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "meta": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, meta binary")
+
+
+def iceberg_time_travel_extract(df: DataFrame,
+                                payload_col: str = "meta",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Resolve vN.metadata.json, walk BOTH snapshots (current and
+    time-travel), emit the per-snapshot census."""
+    from .iceberg import resolve_table_metadata, walk_snapshot_at
+    from .tar import parse_tar
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("snapshot_id", "is_current", "n_manifests", "n_live",
+                "sum_records", "sum_bytes")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    members = parse_tar(bytes(p))
+                    files = {m["name"]: m["data"] for m in members
+                             if m["typeflag"] != "5"}
+                    meta = resolve_table_metadata(files)
+                    snaps = []
+                    for sid in sorted(meta["snapshots"]):
+                        snaps.append(
+                            (sid, walk_snapshot_at(files, sid)))
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for sid, snap in snaps:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["snapshot_id"].append(sid)
+                    out["is_current"].append(
+                        sid == meta["current_snapshot_id"])
+                    out["n_manifests"].append(snap["n_manifests"])
+                    out["n_live"].append(len(snap["live"]))
+                    out["sum_records"].append(
+                        sum(f["record_count"] for f in snap["live"]))
+                    out["sum_bytes"].append(
+                        sum(f["file_size_in_bytes"]
+                            for f in snap["live"]))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, snapshot_id long, "
+                "is_current boolean, n_manifests long, n_live long, "
+                "sum_records long, sum_bytes long"),
+    )
+
+
 def synth_tfrecord_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a ``tfr`` column: the document materialized as a
     training shard — one tf.train.Example per 8-word chunk with

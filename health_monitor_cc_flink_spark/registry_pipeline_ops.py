@@ -14700,3 +14700,127 @@ def streaming_delta_log_tail(spark, sf_dir):
             .filter(F.col("_rn") == 1)
             .select("table_id", "version", "n_live", "n_removes",
                     "sum_size"))
+
+
+@query(
+    "lake_delta_history",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS BIGINT) AS k
+               FROM documents),
+    v AS (SELECT doc_id, k, j.j AS version
+          FROM p, LATERAL unnest(generate_series(0, k - 1)) AS j(j))
+    SELECT doc_id, TRUE AS ok, CAST(version AS BIGINT) AS version,
+           CAST((version + 2 + version % 2) // 2 AS BIGINT) AS n_live,
+           CAST(version + 1 AS BIGINT) AS n_adds,
+           CAST(version // 2 AS BIGINT) AS n_removes
+    FROM v
+    """,
+    doc="Delta Lake TIME TRAVEL under the hash gate — the snapshot "
+    "census at EVERY version (the VERSION AS OF / DESCRIBE HISTORY "
+    "surface): one incremental replay pass over the log produces "
+    "all V snapshots in O(total actions), not O(V) full replays — "
+    "each step reuses replay_delta_log with the previous census as "
+    "base, the same code path batch replay, checkpoint seeding, and "
+    "the streaming tail use.  The oracle re-derives every version's "
+    "live/add/remove counts closed-form.  Scale: history is a "
+    "metadata fold per table, parallel across tables.",
+)
+def lake_delta_history(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    payloads = M.synth_delta_log_payload(docs)
+
+    def feats(batches):
+        import pandas as pd
+
+        from .operators.delta_log import delta_history, parse_commit_filename
+        from .operators.tar import parse_tar
+
+        cols = ("version", "n_live", "n_adds", "n_removes")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf["log"]):
+                try:
+                    import json as _json
+
+                    members = parse_tar(bytes(p))
+                    commits = {}
+                    for m in members:
+                        if m["typeflag"] == "5":
+                            continue
+                        v = parse_commit_filename(m["name"])
+                        if v is None:
+                            continue
+                        commits[v] = [
+                            _json.loads(line) for line in
+                            m["data"].decode("utf-8").splitlines()
+                            if line.strip()]
+                    hist = delta_history(commits)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for h in hist:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    for c in cols:
+                        out[c].append(h[c])
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, version long, n_live long, "
+                "n_adds long, n_removes long"),
+    )
+
+
+@query(
+    "lake_iceberg_time_travel",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS BIGINT) AS m,
+                      CAST(doc_id % 4 + 2 AS BIGINT) AS e
+               FROM documents),
+    f AS (SELECT doc_id, m, i.i, j.j
+          FROM p,
+               LATERAL unnest(generate_series(0, m - 1)) AS i(i),
+               LATERAL unnest(generate_series(0, e - 1)) AS j(j)),
+    s1 AS (SELECT doc_id, CAST(1 AS BIGINT) AS snapshot_id,
+                  FALSE AS is_current,
+                  CAST(any_value(m) AS BIGINT) AS n_manifests,
+                  CAST(count(*) AS BIGINT) AS n_live,
+                  CAST(sum(50 + 10 * i + j) AS BIGINT) AS sum_records,
+                  CAST(sum(1000 + 31 * i + 7 * j) AS BIGINT)
+                      AS sum_bytes
+           FROM f GROUP BY doc_id),
+    s2 AS (SELECT doc_id, CAST(2 AS BIGINT), TRUE,
+                  CAST(any_value(m) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(50 + 10 * i + j) AS BIGINT),
+                  CAST(sum(1000 + 31 * i + 7 * j) AS BIGINT)
+           FROM f WHERE NOT ((i + j) % 4 = 3 AND j > 0)
+           GROUP BY doc_id)
+    SELECT doc_id, TRUE AS ok, * EXCLUDE (doc_id)
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    """,
+    doc="Iceberg TABLE METADATA + TIME TRAVEL under the hash gate — "
+    "the real resolution path a reader runs: find the HIGHEST "
+    "vN.metadata.json (a stale v1 with a wrong current pointer is "
+    "planted and must lose), parse the snapshot log, and walk BOTH "
+    "snapshots — the current one and the historical one (time "
+    "travel = resolving a non-current snapshot id to its manifest "
+    "list).  The fixture's snapshot 1 predates the deletes that "
+    "snapshot 2 carries, so the two censuses differ exactly by the "
+    "closed-form deleted set.  Scale: metadata resolution is O(1) "
+    "file reads before the manifest walk; snapshots share manifest "
+    "files on disk exactly as real tables do.",
+    bench=True,
+)
+def lake_iceberg_time_travel(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.iceberg_time_travel_extract(
+        M.synth_iceberg_metadata_payload(docs))

@@ -209,3 +209,39 @@ def test_v2_mor_scan_with_equality_deletes():
     del bad["data/a.parquet"]
     with pytest.raises(ValueError):
         scan_snapshot_v2(bad)
+
+
+def test_metadata_resolution_and_time_travel():
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        build_snapshot,
+        build_table_metadata,
+        resolve_table_metadata,
+        walk_snapshot_at,
+    )
+
+    files = {}
+    files.update(build_snapshot(
+        [[_entry("a"), _entry("b")]], snapshot_id=1,
+        manifest_prefix="manifest-s1"))
+    files.update(build_snapshot(
+        [[_entry("a"), _entry("b", STATUS_DELETED)]], snapshot_id=2,
+        manifest_prefix="manifest-s2"))
+    # stale v1 points at snapshot 1; the reader must pick v3
+    files["metadata/v1.metadata.json"] = build_table_metadata(
+        {1: "metadata/snap-1.avro"}, 1, version=1)
+    files["metadata/v3.metadata.json"] = build_table_metadata(
+        {1: "metadata/snap-1.avro", 2: "metadata/snap-2.avro"}, 2,
+        version=3)
+    meta = resolve_table_metadata(files)
+    assert meta["version"] == 3
+    assert meta["current_snapshot_id"] == 2
+    cur = walk_snapshot_at(files)
+    assert [f["file_path"] for f in cur["live"]] == ["a"]
+    old = walk_snapshot_at(files, 1)
+    assert [f["file_path"] for f in old["live"]] == ["a", "b"]
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        walk_snapshot_at(files, 99)
+    del files["metadata/v3.metadata.json"]
+    del files["metadata/v1.metadata.json"]
+    with pytest.raises(ValueError, match="metadata.json"):
+        walk_snapshot_at(files)
