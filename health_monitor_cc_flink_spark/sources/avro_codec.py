@@ -77,10 +77,47 @@ def _is_ts_micros(sch) -> bool:
     )
 
 
+def _is_decimal(sch) -> bool:
+    return (
+        isinstance(sch, dict)
+        and sch.get("type") in ("bytes", "fixed")
+        and sch.get("logicalType") == "decimal"
+    )
+
+
+def _is_date(sch) -> bool:
+    return (
+        isinstance(sch, dict)
+        and sch.get("type") == "int"
+        and sch.get("logicalType") == "date"
+    )
+
+
 def _encode(sch, value, buf: io.BytesIO) -> None:
     if isinstance(sch, dict) and sch.get("type") == "record":
         for f in sch["fields"]:
             _encode(f["type"], value[f["name"]], buf)
+    elif _is_decimal(sch):
+        import decimal as _dec
+
+        scale = int(sch.get("scale", 0))
+        unscaled = int(_dec.Decimal(value).scaleb(scale))
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        if sch["type"] == "fixed":
+            n = int(sch["size"])
+        raw = unscaled.to_bytes(n, "big", signed=True)
+        if sch["type"] == "bytes":
+            write_long(buf, len(raw))
+        buf.write(raw)
+    elif _is_date(sch):
+        days = (value - _dt.date(1970, 1, 1)).days \
+            if isinstance(value, _dt.date) else int(value)
+        write_long(buf, days)
+    elif isinstance(sch, dict) and sch.get("type") == "fixed":
+        raw = bytes(value)
+        if len(raw) != int(sch["size"]):
+            raise ValueError("avro fixed size mismatch")
+        buf.write(raw)
     elif _is_ts_micros(sch):
         if isinstance(value, _dt.datetime):
             if value.tzinfo is None:
@@ -144,6 +181,29 @@ def _decode(sch, buf: io.BytesIO):
         return {f["name"]: _decode(f["type"], buf) for f in sch["fields"]}
     if _is_ts_micros(sch):
         return read_long(buf)  # µs since epoch; caller casts
+    if _is_decimal(sch):
+        # Avro spec logical decimal: big-endian two's-complement
+        # unscaled int over bytes or fixed
+        import decimal as _dec
+
+        if sch["type"] == "fixed":
+            raw = buf.read(int(sch["size"]))
+        else:
+            raw = buf.read(read_long(buf))
+        if not raw:
+            raise ValueError("empty avro decimal")
+        return _dec.Decimal(
+            int.from_bytes(raw, "big", signed=True)
+        ).scaleb(-int(sch.get("scale", 0)))
+    if _is_date(sch):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(
+            days=read_long(buf))
+    if isinstance(sch, dict) and sch.get("type") == "fixed":
+        n = int(sch["size"])
+        raw = buf.read(n)
+        if len(raw) != n:
+            raise ValueError("avro fixed truncated")
+        return raw
     if sch == "string":
         n = read_long(buf)
         return buf.read(n).decode("utf-8")

@@ -78,3 +78,37 @@ def test_missing_schema_rejected():
 def test_empty_file_no_blocks():
     m = read_ocf(write_ocf(SCHEMA, []))
     assert m["records"] == [] and m["n_blocks"] == 0
+
+
+def test_logical_types_roundtrip_through_ocf():
+    """Avro-spec logical types: decimal over bytes AND fixed
+    (big-endian two's-complement unscaled), date (days since
+    epoch), and bare fixed — full OCF round-trip."""
+    import datetime
+    import decimal
+    import json
+
+    sch = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "bytes",
+                               "logicalType": "decimal",
+                               "precision": 10, "scale": 2}},
+        {"name": "df", "type": {"type": "fixed", "name": "dec6",
+                                "size": 6, "logicalType": "decimal",
+                                "precision": 12, "scale": 3}},
+        {"name": "day", "type": {"type": "int",
+                                 "logicalType": "date"}},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4",
+                                "size": 4}},
+    ]})
+    recs = [
+        {"d": decimal.Decimal("-123.45"),
+         "df": decimal.Decimal("9.125"),
+         "day": datetime.date(1992, 3, 4),
+         "fx": b"\x01\x02\x03\x04"},
+        {"d": decimal.Decimal("0.01"),
+         "df": decimal.Decimal("-0.002"),
+         "day": datetime.date(1969, 12, 31),
+         "fx": b"\xff\x00\xff\x00"},
+    ]
+    blob = write_ocf(sch, recs, codec="deflate", sync_seed=7)
+    assert read_ocf(blob)["records"] == recs
