@@ -14824,3 +14824,95 @@ def lake_iceberg_time_travel(spark, sf_dir):
     )
     return M.iceberg_time_travel_extract(
         M.synth_iceberg_metadata_payload(docs))
+
+
+@query(
+    "meta_parquet_write_roundtrip",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 40 + 10 AS BIGINT) AS n
+               FROM documents),
+    r AS (SELECT doc_id, n, j.r
+          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r))
+    SELECT doc_id, TRUE AS ok,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN r % 11 = 5 THEN 0
+                    ELSE 31 * doc_id + 7 * r - 100 END) AS BIGINT)
+               AS x_sum,
+           CAST(sum(CASE WHEN r % 11 = 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS x_nulls,
+           CAST(count(DISTINCT CASE WHEN r % 7 = 2 THEN NULL
+                      ELSE 'w' || ((doc_id + r) % 20) END)
+                AS BIGINT) AS s_distinct,
+           CAST(sum(CASE WHEN r % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_true,
+           CAST(sum(CAST(r AS DOUBLE) / 8) AS DOUBLE) AS d_sum
+    FROM r GROUP BY doc_id
+    """,
+    doc="Parquet WRITER from scratch under the hash gate — the "
+    "inverse of the data-page reader: rows are encoded into a real "
+    "parquet file with NO Arrow/Spark in the write loop (Thrift "
+    "COMPACT footer writer mirroring the reader, v1 PLAIN pages for "
+    "INT64/DOUBLE/STRING/BOOLEAN, genuine RLE definition-level runs "
+    "for nulls, SNAPPY pages through the repo's own compressor) and "
+    "read BACK by pyarrow — the reference C++ reader sits in the "
+    "loop, so one wrong byte anywhere in the thrift writer, page "
+    "layout, level runs, or snappy framing breaks the hash; DuckDB "
+    "reads the same files value-exact in tests/test_parquet_write.py "
+    "and the repo's own reader closes the triangle.  Scale: shard "
+    "writing is the trainer-export path — per-task file emission, "
+    "zero shuffle.",
+    bench=True,
+)
+def meta_parquet_write_roundtrip(spark, sf_dir):
+    from .operators.parquet_write import write_parquet
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        cols = ("n_rows", "x_sum", "x_nulls", "s_distinct", "b_true",
+                "d_sum")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 40 + 10
+                blob = write_parquet([
+                    ("x", "INT64",
+                     [None if r % 11 == 5 else 31 * d + 7 * r - 100
+                      for r in range(n)]),
+                    ("dv", "DOUBLE", [r / 8 for r in range(n)]),
+                    ("s", "STRING",
+                     [None if r % 7 == 2 else f"w{(d + r) % 20}"
+                      for r in range(n)]),
+                    ("b", "BOOLEAN", [r % 3 == 0 for r in range(n)]),
+                ])
+                t = pq.read_table(io.BytesIO(blob))
+                xs = t["x"].to_pylist()
+                ss = t["s"].to_pylist()
+                bs = t["b"].to_pylist()
+                ds = t["dv"].to_pylist()
+                out["doc_id"].append(d)
+                out["ok"].append(t.num_rows == n)
+                out["n_rows"].append(t.num_rows)
+                out["x_sum"].append(
+                    sum(v for v in xs if v is not None))
+                out["x_nulls"].append(sum(v is None for v in xs))
+                out["s_distinct"].append(
+                    len({v for v in ss if v is not None}))
+                out["b_true"].append(sum(1 for v in bs if v))
+                out["d_sum"].append(float(sum(ds)))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_rows long, x_sum long, "
+                "x_nulls long, s_distinct long, b_true long, "
+                "d_sum double"),
+    )

@@ -1,0 +1,81 @@
+"""From-scratch parquet writer vs the reference readers."""
+
+import io
+
+import duckdb
+import pytest
+
+from health_monitor_cc_flink_spark.operators.parquet_write import (
+    write_parquet,
+)
+
+COLS = [
+    ("x", "INT64", [i * 7 - 500 for i in range(5000)]),
+    ("d", "DOUBLE",
+     [None if i % 11 == 3 else i / 8 for i in range(5000)]),
+    ("s", "STRING",
+     [None if i % 7 == 2 else f"v{i % 50}" for i in range(5000)]),
+    ("b", "BOOLEAN",
+     [None if i % 13 == 5 else (i % 3 == 0) for i in range(5000)]),
+]
+
+
+@pytest.mark.parametrize("codec", ["SNAPPY", "UNCOMPRESSED"])
+def test_reference_readers_read_back_exact(codec, tmp_path):
+    import pyarrow.parquet as pq
+
+    blob = write_parquet(COLS, codec=codec)
+    t = pq.read_table(io.BytesIO(blob))
+    for name, _, vals in COLS:
+        assert t[name].to_pylist() == vals, name
+    path = tmp_path / "w.parquet"
+    path.write_bytes(blob)
+    rows = duckdb.sql(
+        f"SELECT * FROM read_parquet('{path}')").fetchall()
+    assert [tuple(r) for r in rows] == list(
+        zip(*(v for _, _, v in COLS)))
+
+
+def test_own_reader_closes_the_triangle():
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+    )
+
+    blob = write_parquet(COLS)
+    m = parse_footer(blob)
+    assert m["num_rows"] == 5000
+    for name, _, vals in COLS:
+        cc = next(c for c in m["row_groups"][0]["columns"]
+                  if c["path"] == name)
+        got = read_column_chunk(
+            blob, start_offset=cc["data_page_offset"],
+            num_values=cc["num_values"], ptype=cc["type"],
+            codec=cc["codec"])
+        if name == "s":
+            got = [v.decode() if v is not None else None
+                   for v in got]
+        assert got == vals, name
+
+
+def test_empty_and_all_null_columns(tmp_path):
+    import pyarrow.parquet as pq
+
+    blob = write_parquet([("x", "INT64", [None, None, None]),
+                          ("s", "STRING", ["a", None, "b"])])
+    t = pq.read_table(io.BytesIO(blob))
+    assert t["x"].to_pylist() == [None, None, None]
+    assert t["s"].to_pylist() == ["a", None, "b"]
+
+
+def test_hostile_inputs():
+    with pytest.raises(ValueError):
+        write_parquet([])
+    with pytest.raises(ValueError):
+        write_parquet([("x", "INT64", [1]), ("y", "INT64", [1, 2])])
+    with pytest.raises(ValueError):
+        write_parquet([("x", "INT96", [1])])
+    with pytest.raises(ValueError):
+        write_parquet([("x", "INT64", [1])], codec="ZSTD")
