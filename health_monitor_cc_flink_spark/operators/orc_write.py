@@ -1,0 +1,239 @@
+"""ORC WRITER from scratch — the second columnar format the engine
+can emit (parquet_write.py is the first).
+
+Valid ORC v1 files with no Arrow/Spark in the write loop, verified by
+the REFERENCE readers — Arrow's C++ ORC and Spark's Java ORC both
+read these files back value-exact (tests/test_orc_write.py), and the
+repo's own stripe reader closes the triangle.  From the PUBLIC ORC
+spec + orc_proto.proto:
+
+* protobuf writer (varint / length-delimited fields, packed repeated
+  uint32 for Type.subtypes) mirroring the tfrecord walker;
+* byte-RLE encoder (runs of 3..130 / literal groups) for PRESENT and
+  BOOLEAN bit streams;
+* integer RLEv2 writer emitting the DIRECT sub-format (closed-form
+  width table, big-endian bit packing, 512-value blocks) — a valid
+  subset every reader accepts; signed streams zigzag;
+* per-column streams — LONG (DATA), DOUBLE (IEEE LE), STRING
+  (DIRECT_V2: DATA concat + LENGTH), BOOLEAN (byte-RLE bits), with
+  PRESENT streams for nullable data;
+* SNAPPY chunk framing ((len<<1)|isOriginal 3-byte headers) through
+  this repo's own compressor, for streams, stripe footer and footer;
+* file layout — "ORC" magic, one stripe, stripe footer, footer,
+  postscript, trailing postscript length + "ORC" magic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .snappy import snappy_compress_block
+
+MAX_CELLS = 1 << 26
+
+_KINDS = {"BOOLEAN": 0, "LONG": 4, "DOUBLE": 6, "STRING": 7}
+_WIDTH = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+          18, 19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48, 56, 64]
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def pb_varint(fid: int, v: int) -> bytes:
+    return _uvarint(fid << 3) + _uvarint(v)
+
+
+def pb_bytes(fid: int, raw: bytes) -> bytes:
+    return _uvarint((fid << 3) | 2) + _uvarint(len(raw)) + raw
+
+
+def _zigzag_enc(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def byte_rle_encode(data: bytes) -> bytes:
+    """The PRESENT/BOOLEAN byte coding: runs of 3..130 same bytes,
+    literal groups of 1..128 otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        j = i
+        while j < n and j - i < 130 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out.append(j - i - 3)
+            out.append(data[i])
+            i = j
+            continue
+        # literal group: scan until a >=3 run starts or 128 bytes
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out.append(256 - (k - i))
+        out += data[i:k]
+        i = k
+    return bytes(out)
+
+
+def rlev2_encode(values: list[int], *, signed: bool) -> bytes:
+    """RLEv2 DIRECT sub-format only — valid output every reader
+    accepts: 512-value blocks, closed-form width, big-endian
+    packing."""
+    out = bytearray()
+    vals = [_zigzag_enc(v) for v in values] if signed else values
+    if any(v < 0 for v in vals):
+        raise ValueError("unsigned rlev2 write got negative value")
+    for i in range(0, len(vals), 512):
+        block = vals[i:i + 512]
+        need = max((v.bit_length() for v in block), default=1) or 1
+        width = next(w for w in _WIDTH if w >= need)
+        code = _WIDTH.index(width)
+        n = len(block)
+        out.append(0x40 | (code << 1) | ((n - 1) >> 8))
+        out.append((n - 1) & 0xFF)
+        acc = 0
+        for v in block:
+            acc = (acc << width) | v
+        nbits = width * n
+        nbytes = (nbits + 7) // 8
+        acc <<= nbytes * 8 - nbits
+        out += acc.to_bytes(nbytes, "big")
+    return bytes(out)
+
+
+def _bits_msb(flags: list[bool]) -> bytes:
+    out = bytearray((len(flags) + 7) // 8)
+    for i, f in enumerate(flags):
+        if f:
+            out[i // 8] |= 0x80 >> (i % 8)
+    return bytes(out)
+
+
+def _compress_stream(raw: bytes, codec: str) -> bytes:
+    if codec == "NONE":
+        return raw
+    out = bytearray()
+    # one chunk per stream is valid; emit stored when snappy loses
+    comp = snappy_compress_block(raw)
+    if len(comp) < len(raw):
+        out += (len(comp) << 1).to_bytes(3, "little")
+        out += comp
+    else:
+        out += ((len(raw) << 1) | 1).to_bytes(3, "little")
+        out += raw
+    return bytes(out)
+
+
+def write_orc(columns: list[tuple[str, str, list]], *,
+              codec: str = "SNAPPY") -> bytes:
+    """[(name, kind, values)] (None = null; kind LONG / DOUBLE /
+    STRING / BOOLEAN) -> ORC file bytes, one stripe."""
+    if not columns:
+        raise ValueError("no columns")
+    n_rows = len(columns[0][2])
+    if any(len(v) != n_rows for _, _, v in columns):
+        raise ValueError("ragged columns")
+    if n_rows * len(columns) > MAX_CELLS:
+        raise ValueError("cell cap exceeded")
+    if codec not in ("SNAPPY", "NONE"):
+        raise ValueError(f"writer codec {codec} unsupported")
+    out = bytearray(b"ORC")
+    stripe_offset = len(out)
+
+    streams: list[tuple[int, int, bytes]] = []  # (column, kind, raw)
+    encodings: list[int] = [0]  # root struct: DIRECT
+    # root PRESENT absent; children are columns 1..N
+    for ci, (name, kind, vals) in enumerate(columns, start=1):
+        if kind not in _KINDS:
+            raise ValueError(f"unsupported kind {kind}")
+        flags = [v is not None for v in vals]
+        present = [v for v in vals if v is not None]
+        if not all(flags):
+            streams.append(
+                (ci, 0, byte_rle_encode(_bits_msb(flags))))
+        if kind == "LONG":
+            streams.append(
+                (ci, 1, rlev2_encode(present, signed=True)))
+            encodings.append(2)  # DIRECT_V2
+        elif kind == "DOUBLE":
+            streams.append(
+                (ci, 1, struct.pack(f"<{len(present)}d", *present)))
+            encodings.append(0)  # DIRECT
+        elif kind == "BOOLEAN":
+            streams.append(
+                (ci, 1, byte_rle_encode(
+                    _bits_msb([bool(v) for v in present]))))
+            encodings.append(0)
+        else:  # STRING DIRECT_V2
+            raws = [v.encode("utf-8") for v in present]
+            streams.append((ci, 1, b"".join(raws)))
+            streams.append(
+                (ci, 2, rlev2_encode([len(r) for r in raws],
+                                     signed=False)))
+            encodings.append(2)
+
+    data_start = len(out)
+    stream_meta = []
+    for col, skind, raw in streams:
+        blob = _compress_stream(raw, codec)
+        out += blob
+        stream_meta.append((col, skind, len(blob)))
+    data_length = len(out) - data_start
+
+    sf = bytearray()
+    for col, skind, ln in stream_meta:
+        sf += pb_bytes(1, pb_varint(1, skind) + pb_varint(2, col)
+                       + pb_varint(3, ln))
+    for enc in encodings:
+        sf += pb_bytes(2, pb_varint(1, enc))
+    sf_blob = _compress_stream(bytes(sf), codec)
+    out += sf_blob
+
+    footer = bytearray()
+    stripe_info = (pb_varint(1, stripe_offset)
+                   + pb_varint(2, 0)            # indexLength
+                   + pb_varint(3, data_length)
+                   + pb_varint(4, len(sf_blob))
+                   + pb_varint(5, n_rows))
+    content_length = len(out)
+    footer += pb_varint(2, content_length)
+    footer += pb_bytes(3, stripe_info)
+    # types: root struct + children
+    root = pb_varint(1, 12)
+    packed = b"".join(_uvarint(i) for i in range(1, len(columns) + 1))
+    root += pb_bytes(2, packed)
+    for name, _, _ in columns:
+        root += pb_bytes(3, name.encode("utf-8"))
+    footer += pb_bytes(4, root)
+    for _, kind, _ in columns:
+        footer += pb_bytes(4, pb_varint(1, _KINDS[kind]))
+    footer += pb_varint(6, n_rows)
+    footer_blob = _compress_stream(bytes(footer), codec)
+    out += footer_blob
+
+    ps = bytearray()
+    ps += pb_varint(1, len(footer_blob))
+    ps += pb_varint(2, 2 if codec == "SNAPPY" else 0)
+    if codec == "SNAPPY":
+        ps += pb_varint(3, 1 << 18)  # compressionBlockSize
+    ps += pb_varint(4, 0)
+    ps += pb_varint(4, 12)  # version 0.12
+    ps += pb_varint(5, 0)   # metadataLength
+    ps += pb_bytes(8000, b"ORC")
+    if len(ps) > 255:
+        raise ValueError("postscript too long")
+    out += ps
+    out.append(len(ps))
+    return bytes(out)
