@@ -14313,7 +14313,7 @@ def _page_index_fixture(sf_dir: str) -> str:
     # cluster fact tables on their hottest filter key
     t = t.sort_by("l_orderkey")
     _pq.write_table(t, out, compression="snappy",
-                    write_page_index=True, data_page_size=16384)
+                    write_page_index=True, data_page_size=4096)
     _PAGE_INDEX_FIXTURE_CACHE[sf_dir] = out
     return out
 
@@ -14441,8 +14441,10 @@ def meta_parquet_page_prune(spark, sf_dir):
                             if a + j in match_rows:
                                 sum_pk += v
                 # structural certificate: the whole point is that
-                # the scan did NOT decode every page
-                if not all(decoded[c] < total[c] for c in decoded):
+                # the scan did NOT decode every page (single-page
+                # chunks are exempt — nothing to skip)
+                if not all(decoded[c] < total[c] for c in decoded
+                           if total[c] > 1):
                     raise ValueError("page pruning skipped nothing")
                 out["lo"].append(lo)
                 out["hi"].append(hi)
