@@ -58,11 +58,18 @@ def main() -> None:
         lambda pdf: pdf.head(1), schema="k long, v double"
     ).write.mode("overwrite").format("noop").save()
 
+    # best-of-2 per query: single-shot timings on this host swing
+    # 2-5x run-to-run from invisible co-tenant contention (same code,
+    # loadavg ~1); the min is the steady-state cost of the plan — the
+    # same rule the e2e/streaming sections already use
     timings: dict[str, float] = {}
     for spec in specs:
-        t0 = time.perf_counter()
-        force(spec.fn(spark, sf_dir))
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(spec.fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 3)
 
     # the reference workload itself: 4-stage health pipeline incl. both
     # ML operators on a 20-minute simulated stream (2400 ticks at 0.5 s
