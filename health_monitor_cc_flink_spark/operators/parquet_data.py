@@ -178,7 +178,8 @@ def read_column_chunk(data: bytes, *, start_offset: int,
                       max_rep_level: int = 0,
                       rep_def_level: int = 0,
                       type_length: int | None = None,
-                      dictionary_page_offset: int | None = None
+                      dictionary_page_offset: int | None = None,
+                      rep_def_levels: list[int] | None = None
                       ) -> list:
     """Decode one column chunk -> values list (None for nulls),
     walking dictionary + data pages (v1 and v2) from
@@ -188,17 +189,24 @@ def read_column_chunk(data: bytes, *, start_offset: int,
     from parquet_meta.schema_leaves), the return value is one entry
     per ROW: a list of element values, ``[]`` for an empty list,
     ``None`` for a null list.  ``num_values`` still counts leaf-level
-    SLOTS (ColumnMetaData.num_values), not rows.  Deeper repetition
-    (list-of-list) is out of scope and raises.
+    SLOTS (ColumnMetaData.num_values), not rows.  Deeper nesting
+    (list<list<...>>, any repetition depth) assembles through
+    ``rep_def_levels`` — the schema walk's definition level AT each
+    repeated ancestor (parquet_meta.schema_leaves emits it); with
+    only ``rep_def_level`` given, single-level behavior is
+    preserved.
 
     ``dictionary_page_offset`` supports SELECTIVE page decode (page
     skipping via the OffsetIndex): point ``start_offset`` at any
     data page with ``num_values`` = that page's slot count, passing
     the chunk's dictionary offset separately so dictionary-encoded
     pages still resolve."""
-    if max_rep_level > 1:
-        raise ValueError("nested repetition beyond one list level "
-                         "unsupported")
+    if max_rep_level > 0:
+        if rep_def_levels is None:
+            rep_def_levels = [rep_def_level]
+        if len(rep_def_levels) != max_rep_level:
+            raise ValueError("rep_def_levels must give the def "
+                             "level of every repeated ancestor")
     pos = start_offset
     dictionary: list | None = None
     if dictionary_page_offset is not None \
@@ -346,39 +354,65 @@ def read_column_chunk(data: bytes, *, start_offset: int,
         raise ValueError("column chunk value count mismatch")
     if max_rep_level == 0:
         return out
-    return _assemble_lists(out, all_defs, all_reps,
-                           max_def_level, rep_def_level)
+    return _assemble_nested(out, all_defs, all_reps,
+                            max_def_level, rep_def_levels)
 
 
-def _assemble_lists(slots: list, defs: list[int], reps: list[int],
-                    max_def: int, rep_def: int) -> list:
-    """Slot stream -> rows for a single-level list column.  rep 0
-    starts a new row; def >= rep_def is an element slot (value or
-    null element), def == rep_def-1 an empty list, lower defs a null
-    list (or null ancestor)."""
-    if rep_def < 1:
-        raise ValueError("list assembly requires rep_def_level >= 1")
-    rows: list = []
-    cur: list | None = None
+def _assemble_nested(slots: list, defs: list[int], reps: list[int],
+                     max_def: int, rep_defs: list[int]) -> list:
+    """Dremel record assembly for any repetition depth: rep r keeps
+    the lists at depths 1..r open; descending from there, a slot
+    with def >= rep_defs[t] opens a new list at depth t+1, def ==
+    rep_defs[t]-1 places an EMPTY list, anything lower a NULL; a
+    slot that reaches leaf depth contributes the value (or a null
+    element when def < max_def)."""
+    k = len(rep_defs)
+    if k < 1 or any(d < 1 for d in rep_defs) \
+            or sorted(rep_defs) != rep_defs:
+        raise ValueError("bad repetition def ladder")
+    records: list = []
+    stack: list = []
+    rec = None
     started = False
     for v, d, r in zip(slots, defs, reps):
+        if r > k:
+            raise ValueError("repetition level exceeds ladder depth")
         if r == 0:
             if started:
-                rows.append(cur)
+                records.append(rec)
             started = True
-            if d >= rep_def:
-                cur = [v]
-            elif d == rep_def - 1:
-                cur = []
+            stack = []
+            if d >= rep_defs[0]:
+                rec = []
+                stack.append(rec)
+            elif d == rep_defs[0] - 1:
+                rec = []
+                continue
             else:
-                cur = None
+                rec = None
+                continue
         else:
-            if cur is None:
-                raise ValueError("repetition level without open row")
-            cur.append(v)
+            if r > len(stack):
+                raise ValueError("repetition level without open list")
+            del stack[r:]
+        t = len(stack)
+        while t < k:
+            if d >= rep_defs[t]:
+                new: list = []
+                stack[t - 1].append(new)
+                stack.append(new)
+                t += 1
+            elif d == rep_defs[t] - 1:
+                stack[t - 1].append([])
+                break
+            else:
+                stack[t - 1].append(None)
+                break
+        else:
+            stack[k - 1].append(v if d == max_def else None)
     if started:
-        rows.append(cur)
-    return rows
+        records.append(rec)
+    return records
 
 
 def _byte_stream_split(data: bytes, pos: int, n: int, ptype: str,

@@ -187,7 +187,7 @@ def schema_leaves(elements: list[dict]) -> list[dict]:
     idx = 0
 
     def walk(path: tuple, max_def: int, max_rep: int,
-             rep_def: int, depth: int) -> None:
+             rep_defs: tuple, depth: int) -> None:
         nonlocal idx
         if depth > MAX_DEPTH:
             raise ValueError("parquet schema too deep")
@@ -204,12 +204,12 @@ def schema_leaves(elements: list[dict]) -> list[dict]:
         elif rep == 2:  # REPEATED
             max_def += 1
             max_rep += 1
-            rep_def = max_def
+            rep_defs = rep_defs + (max_def,)
         here = path + (name,)
         n_children = el.get(5) or 0
         if n_children:
             for _ in range(n_children):
-                walk(here, max_def, max_rep, rep_def, depth + 1)
+                walk(here, max_def, max_rep, rep_defs, depth + 1)
             return
         leaves.append({
             "path": ".".join(here),
@@ -220,14 +220,15 @@ def schema_leaves(elements: list[dict]) -> list[dict]:
             "precision": el.get(8),
             "max_def_level": max_def,
             "max_rep_level": max_rep,
-            "rep_def_level": rep_def,
+            "rep_def_level": rep_defs[-1] if rep_defs else 0,
+            "rep_def_levels": list(rep_defs),
         })
 
     # root element: consume it, then its children with empty path
     root = elements[0]
     idx = 1
     for _ in range(root.get(5) or 0):
-        walk((), 0, 0, 0, 1)
+        walk((), 0, 0, (), 1)
     if idx != len(elements):
         raise ValueError("parquet schema element count mismatch")
     return leaves

@@ -275,3 +275,69 @@ def test_int96_legacy_timestamps(tmp_path):
     want = [calendar.timegm(x.timetuple()) * 10**9
             + x.microsecond * 1000 for x in ts]
     assert got == want
+
+
+@pytest.mark.parametrize("page_version", ["1.0", "2.0"])
+def test_list_of_list_assembly(tmp_path, page_version):
+    """Dremel assembly at repetition depth 2: every null/empty shape
+    (None, [], [None], [[]], [[None]]) plus fuzzed rows."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    random.seed(5)
+    ll = [None, [], [None], [[]], [[None]], [[1, 2], [3]],
+          [[], [4, None, 5], None], [[6]] * 3]
+    for _ in range(300):
+        ll.append([
+            None if random.random() < .1 else
+            [None if random.random() < .1 else random.randrange(100)
+             for _ in range(random.randrange(4))]
+            for _ in range(random.randrange(4))])
+    t = pa.table({"x": pa.array(ll, pa.list_(pa.list_(pa.int64())))})
+    path = tmp_path / "ll.parquet"
+    pq.write_table(t, path, compression="snappy",
+                   data_page_version=page_version)
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_footer(data)
+    leaf = m["schema_leaves"][0]
+    assert leaf["rep_def_levels"] == [2, 4]
+    cc = m["row_groups"][0]["columns"][0]
+    got = read_column_chunk(
+        data,
+        start_offset=(cc["dictionary_page_offset"]
+                      or cc["data_page_offset"]),
+        num_values=cc["num_values"], ptype=cc["type"],
+        codec=cc["codec"], max_def_level=leaf["max_def_level"],
+        max_rep_level=leaf["max_rep_level"],
+        rep_def_levels=leaf["rep_def_levels"])
+    assert got == t["x"].to_pylist()
+
+
+def test_triple_nested_lists(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    l3 = ([[[[float(i)]]] for i in range(50)]
+          + [None, [], [[]], [[[]]], [[None], [[1.5, None]]]])
+    t = pa.table({"y": pa.array(
+        l3, pa.list_(pa.list_(pa.list_(pa.float64()))))})
+    path = tmp_path / "l3.parquet"
+    pq.write_table(t, path, compression="snappy")
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_footer(data)
+    leaf = m["schema_leaves"][0]
+    assert leaf["rep_def_levels"] == [2, 4, 6]
+    cc = m["row_groups"][0]["columns"][0]
+    got = read_column_chunk(
+        data,
+        start_offset=(cc["dictionary_page_offset"]
+                      or cc["data_page_offset"]),
+        num_values=cc["num_values"], ptype=cc["type"],
+        codec=cc["codec"], max_def_level=leaf["max_def_level"],
+        max_rep_level=leaf["max_rep_level"],
+        rep_def_levels=leaf["rep_def_levels"])
+    assert got == t["y"].to_pylist()
