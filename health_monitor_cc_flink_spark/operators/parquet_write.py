@@ -179,25 +179,32 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         raise ValueError(f"writer codec {codec} unsupported")
     out = bytearray(b"PAR1")
     chunks = []
+    page_rows = 20_000  # bounded pages, the shape real writers emit
     for name, ptype, vals in columns:
         if ptype not in _TYPES:
             raise ValueError(f"unsupported type {ptype}")
-        flags = [v is not None for v in vals]
-        present = [v for v in vals if v is not None]
-        levels = _rle_def_levels(flags)
-        body = (struct.pack("<I", len(levels)) + levels
-                + _plain(present, ptype))
-        payload = (snappy_compress_block(body)
-                   if codec == "SNAPPY" else body)
-        header = _page_header(n_rows, len(body), len(payload))
         offset = len(out)
-        out += header
-        out += payload
+        un_total = c_total = 0
+        for start in range(0, n_rows, page_rows) or [0]:
+            page = vals[start:start + page_rows]
+            flags = [v is not None for v in page]
+            present = [v for v in page if v is not None]
+            levels = _rle_def_levels(flags)
+            body = (struct.pack("<I", len(levels)) + levels
+                    + _plain(present, ptype))
+            payload = (snappy_compress_block(body)
+                       if codec == "SNAPPY" else body)
+            header = _page_header(len(page), len(body),
+                                  len(payload))
+            out += header
+            out += payload
+            un_total += len(header) + len(body)
+            c_total += len(header) + len(payload)
         chunks.append({
             "name": name, "ptype": ptype, "offset": offset,
             "n_vals": n_rows,
-            "un_size": len(header) + len(body),
-            "c_size": len(header) + len(payload),
+            "un_size": un_total,
+            "c_size": c_total,
         })
     total_bytes = sum(c["c_size"] for c in chunks)
 

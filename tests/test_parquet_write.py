@@ -79,3 +79,23 @@ def test_hostile_inputs():
         write_parquet([("x", "INT96", [1])])
     with pytest.raises(ValueError):
         write_parquet([("x", "INT64", [1])], codec="ZSTD")
+
+
+def test_multi_page_chunks():
+    import pyarrow.parquet as pq
+
+    cols = [("x", "INT64", list(range(50_000))),
+            ("s", "STRING",
+             [None if i % 7 == 2 else f"v{i % 50}"
+              for i in range(50_000)])]
+    blob = write_parquet(cols)
+    t = pq.read_table(io.BytesIO(blob))
+    for name, _, vals in cols:
+        assert t[name].to_pylist() == vals
+
+
+def test_zero_rows():
+    import pyarrow.parquet as pq
+
+    blob = write_parquet([("x", "INT64", [])])
+    assert pq.read_table(io.BytesIO(blob)).num_rows == 0
