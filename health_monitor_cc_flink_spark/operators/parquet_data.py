@@ -95,6 +95,10 @@ def read_rle_hybrid(data: bytes, pos: int, end: int, bit_width: int,
 
 def _plain_values(data: bytes, pos: int, n: int, ptype: str,
                   type_length: int | None = None) -> list:
+    # bool IS an int subclass — a corrupted thrift field decoded as
+    # True would render f"<Trueq" struct formats; require a real int
+    if not isinstance(n, int) or isinstance(n, bool) or n < 0:
+        raise ValueError("bad plain value count")
     widths = {"INT64": 8, "INT32": 4, "DOUBLE": 8, "FLOAT": 4}
     if ptype in widths and pos + widths[ptype] * n > len(data):
         raise ValueError("plain values truncated")
@@ -201,6 +205,13 @@ def read_column_chunk(data: bytes, *, start_offset: int,
     data page with ``num_values`` = that page's slot count, passing
     the chunk's dictionary offset separately so dictionary-encoded
     pages still resolve."""
+    if not isinstance(start_offset, int) or start_offset < 0 \
+            or not isinstance(num_values, int) or num_values < 0 \
+            or (dictionary_page_offset is not None
+                and not isinstance(dictionary_page_offset, int)):
+        # corrupted footers can hand back lists/None for offsets —
+        # the hostile-input contract is ValueError, not TypeError
+        raise ValueError("bad column chunk offsets")
     if max_rep_level > 0:
         if rep_def_levels is None:
             rep_def_levels = [rep_def_level]
@@ -218,6 +229,13 @@ def read_column_chunk(data: bytes, *, start_offset: int,
             raise ValueError("dictionary_page_offset is not a "
                              "dictionary page")
         c_size, un_size = hdr.get(3), hdr.get(2)
+        dh = hdr.get(7, {})
+        if not isinstance(c_size, int) or not isinstance(
+                un_size, int) or not isinstance(dh, dict) \
+                or not isinstance(dh.get(1), int) \
+                or dh.get(1) < 0 or c_size < 0 \
+                or un_size > MAX_PAGE_BYTES:
+            raise ValueError("bad dictionary page header")
         payload = data[r.pos:r.pos + c_size]
         if len(payload) != c_size:
             raise ValueError("dictionary page truncated")
@@ -239,7 +257,8 @@ def read_column_chunk(data: bytes, *, start_offset: int,
         page_type = hdr.get(1)
         un_size = hdr.get(2)
         c_size = hdr.get(3)
-        if c_size is None or un_size is None or c_size < 0 \
+        if not isinstance(c_size, int) or not isinstance(
+                un_size, int) or c_size < 0 \
                 or un_size > MAX_PAGE_BYTES:
             raise ValueError("bad page sizes")
         payload = data[pos:pos + c_size]
@@ -248,15 +267,21 @@ def read_column_chunk(data: bytes, *, start_offset: int,
         pos += c_size
         if page_type == 2:  # dictionary page
             dhdr = hdr.get(7, {})
-            n_dict = dhdr.get(1)
+            n_dict = dhdr.get(1) if isinstance(dhdr, dict) else None
+            if not isinstance(n_dict, int) or n_dict < 0:
+                raise ValueError("bad dictionary page header")
             raw = _decompress(payload, codec, un_size)
             dictionary, _ = _plain_values(raw, 0, n_dict, ptype,
                                           type_length)
             continue
         if page_type == 0:  # data page v1
             dp = hdr.get(5, {})
+            if not isinstance(dp, dict):
+                raise ValueError("bad data page header")
             n_vals = dp.get(1)
             encoding = dp.get(2)
+            if not isinstance(n_vals, int) or n_vals < 0:
+                raise ValueError("bad page value count")
             raw = _decompress(payload, codec, un_size)
             p = 0
             if max_rep_level > 0:
@@ -283,10 +308,15 @@ def read_column_chunk(data: bytes, *, start_offset: int,
                 defs = [max_def_level] * n_vals
         elif page_type == 3:  # data page v2
             dp = hdr.get(8, {})
+            if not isinstance(dp, dict):
+                raise ValueError("bad data page header")
             n_vals = dp.get(1)
             encoding = dp.get(4)
             dl_bytes = dp.get(5, 0)
             rl_bytes = dp.get(6, 0)
+            if not all(isinstance(v, int) and v >= 0 for v in
+                       (n_vals, dl_bytes, rl_bytes)):
+                raise ValueError("bad page value count")
             levels = payload[:rl_bytes + dl_bytes]
             body = payload[rl_bytes + dl_bytes:]
             if hdr.get(8, {}).get(7, True) is not False:
@@ -315,6 +345,8 @@ def read_column_chunk(data: bytes, *, start_offset: int,
         elif encoding in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
             if dictionary is None:
                 raise ValueError("dictionary page missing")
+            if p >= len(raw):
+                raise ValueError("dictionary index width missing")
             bw = raw[p]
             idx, _ = read_rle_hybrid(raw, p + 1, len(raw), bw,
                                      n_present)

@@ -181,8 +181,9 @@ def schema_leaves(elements: list[dict]) -> list[dict]:
     deepest repeated ancestor (0 if the leaf is flat): a def level of
     rep_def_level-1 means present-but-empty list, anything lower means
     the list (or an ancestor) is null."""
-    if not elements:
-        raise ValueError("empty parquet schema")
+    if not isinstance(elements, list) or not elements \
+            or not all(isinstance(e, dict) for e in elements):
+        raise ValueError("malformed parquet schema element list")
     leaves: list[dict] = []
     idx = 0
 
@@ -207,10 +208,16 @@ def schema_leaves(elements: list[dict]) -> list[dict]:
             rep_defs = rep_defs + (max_def,)
         here = path + (name,)
         n_children = el.get(5) or 0
+        if not isinstance(n_children, int) or n_children < 0:
+            raise ValueError("parquet schema: bad child count")
         if n_children:
             for _ in range(n_children):
                 walk(here, max_def, max_rep, rep_defs, depth + 1)
             return
+        for fid in (1, 2, 6, 7, 8):
+            if el.get(fid) is not None \
+                    and not isinstance(el.get(fid), int):
+                raise ValueError("parquet schema: bad leaf field")
         leaves.append({
             "path": ".".join(here),
             "type": PHYSICAL_TYPE.get(el.get(1), f"T{el.get(1)}"),
@@ -227,11 +234,32 @@ def schema_leaves(elements: list[dict]) -> list[dict]:
     # root element: consume it, then its children with empty path
     root = elements[0]
     idx = 1
-    for _ in range(root.get(5) or 0):
+    n_root = root.get(5) or 0
+    if not isinstance(n_root, int) or isinstance(n_root, bool) \
+            or n_root < 0:
+        raise ValueError("parquet schema: bad root child count")
+    for _ in range(n_root):
         walk((), 0, 0, (), 1)
     if idx != len(elements):
         raise ValueError("parquet schema element count mismatch")
     return leaves
+
+
+def _list(v):
+    """Hostile-footer guard: the thrift walk is generic, so corrupted
+    files can put ints where lists/structs belong — interpretation
+    must type-check and raise ValueError, never TypeError."""
+    if v is None:
+        return []
+    if not isinstance(v, list):
+        raise ValueError("parquet footer: expected a list field")
+    return v
+
+
+def _struct(v):
+    if not isinstance(v, dict):
+        raise ValueError("parquet footer: expected a struct field")
+    return v
 
 
 def parse_footer(data: bytes) -> dict:
@@ -248,15 +276,27 @@ def parse_footer(data: bytes) -> dict:
     footer = data[len(data) - 8 - flen:len(data) - 8]
     fm = _Reader(footer).struct()
     row_groups = []
-    for rg in fm.get(4, []):
+    for rg in _list(fm.get(4)):
+        rg = _struct(rg)
         cols = []
-        for cc in rg.get(1, []):
-            md = cc.get(3, {})
+        for cc in _list(rg.get(1)):
+            cc = _struct(cc)
+            md = _struct(cc.get(3, {}))
+            path_parts = _list(md.get(3))
+            if not all(isinstance(p, (bytes, bytearray))
+                       for p in path_parts):
+                raise ValueError("parquet footer: bad path element")
+            ptype_id, codec_id = md.get(1), md.get(4)
+            if not (ptype_id is None or isinstance(ptype_id, int)) \
+                    or not (codec_id is None
+                            or isinstance(codec_id, int)):
+                raise ValueError("parquet footer: bad type/codec id")
             cols.append({
                 "path": ".".join(
-                    p.decode("utf-8") for p in md.get(3, [])),
-                "type": PHYSICAL_TYPE.get(md.get(1), f"T{md.get(1)}"),
-                "codec": CODEC.get(md.get(4), f"C{md.get(4)}"),
+                    p.decode("utf-8", "replace")
+                    for p in path_parts),
+                "type": PHYSICAL_TYPE.get(ptype_id, f"T{ptype_id}"),
+                "codec": CODEC.get(codec_id, f"C{codec_id}"),
                 "num_values": md.get(5),
                 "total_uncompressed_size": md.get(6),
                 "total_compressed_size": md.get(7),
@@ -270,12 +310,14 @@ def parse_footer(data: bytes) -> dict:
                 # Statistics (field 12): min_value/max_value are the
                 # well-ordered v2 fields (5/6); null_count field 3
                 "statistics": {
-                    "min_value": (bytes(md[12][6])
-                                  if 6 in md.get(12, {}) else None),
-                    "max_value": (bytes(md[12][5])
-                                  if 5 in md.get(12, {}) else None),
-                    "null_count": md.get(12, {}).get(3),
-                } if 12 in md else None,
+                    "min_value": (bytes(md[12][6]) if isinstance(
+                        md[12].get(6), (bytes, bytearray))
+                        else None),
+                    "max_value": (bytes(md[12][5]) if isinstance(
+                        md[12].get(5), (bytes, bytearray))
+                        else None),
+                    "null_count": md[12].get(3),
+                } if isinstance(md.get(12), dict) else None,
             })
         row_groups.append({
             "columns": cols,
@@ -288,8 +330,8 @@ def parse_footer(data: bytes) -> dict:
         "num_rows": fm.get(3),
         "created_by": (created_by.decode("utf-8", "replace")
                        if isinstance(created_by, bytes) else None),
-        "n_schema_elements": len(fm.get(2, [])),
-        "schema_leaves": schema_leaves(fm.get(2, [])),
+        "n_schema_elements": len(_list(fm.get(2))),
+        "schema_leaves": schema_leaves(_list(fm.get(2))),
         "row_groups": row_groups,
     }
 
@@ -313,12 +355,16 @@ def read_page_index(data: bytes, column: dict) -> dict | None:
     ci = _Reader(data[ci_off:ci_off + ci_len]).struct()
     oi = _Reader(data[oi_off:oi_off + oi_len]).struct()
     locs = []
-    for pl in oi.get(1, []):
+    for pl in _list(oi.get(1)):
+        pl = _struct(pl)
         locs.append((pl.get(1), pl.get(2), pl.get(3)))
+    if not all(isinstance(v, (bytes, bytearray))
+               for v in _list(ci.get(2)) + _list(ci.get(3))):
+        raise ValueError("page index: bad min/max value")
     return {
-        "null_pages": [bool(b) for b in ci.get(1, [])],
-        "min_values": [bytes(v) for v in ci.get(2, [])],
-        "max_values": [bytes(v) for v in ci.get(3, [])],
+        "null_pages": [bool(b) for b in _list(ci.get(1))],
+        "min_values": [bytes(v) for v in _list(ci.get(2))],
+        "max_values": [bytes(v) for v in _list(ci.get(3))],
         "boundary_order": ci.get(4),
         "null_counts": ci.get(5),
         "page_locations": locs,

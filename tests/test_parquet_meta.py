@@ -175,3 +175,58 @@ def test_selective_page_decode(tmp_path):
         ptype=cc["type"], codec=cc["codec"],
         dictionary_page_offset=cc["dictionary_page_offset"])
     assert [v.decode() for v in got] == vals[a:b]
+
+
+def test_corrupted_footer_raises_valueerror_only():
+    """24k-iteration bit-flip/truncation fuzz distilled: footer
+    interpretation must type-check every thrift field it indexes —
+    ints where lists/structs belong, bools where counts belong
+    (bool IS an int subclass), floats where child counts belong —
+    and raise ValueError, never TypeError/AttributeError/
+    struct.error."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import io
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+
+    buf = io.BytesIO()
+    ll = [[None, [1, 2]], [], None, [[3]]] * 20
+    pq.write_table(
+        pa.table({"x": pa.array(ll, pa.list_(pa.list_(pa.int64()))),
+                  "s": pa.array([f"k{i}" for i in range(80)])}),
+        buf, compression="snappy")
+    base = buf.getvalue()
+    random.seed(77)
+    for _ in range(1500):
+        b = bytearray(base)
+        for _ in range(random.randrange(1, 4)):
+            b[random.randrange(len(b))] ^= 1 << random.randrange(8)
+        data = bytes(b)
+        try:
+            m = parse_footer(data)
+            for leaf in m["schema_leaves"]:
+                for rg in m["row_groups"]:
+                    cc = next((c for c in rg["columns"]
+                               if c["path"] == leaf["path"]), None)
+                    if cc is None:
+                        continue
+                    nv = cc["num_values"]
+                    read_column_chunk(
+                        data,
+                        start_offset=(cc["dictionary_page_offset"]
+                                      or cc["data_page_offset"] or 4),
+                        num_values=nv if isinstance(nv, int)
+                        and not isinstance(nv, bool) and nv >= 0
+                        else 0,
+                        ptype=cc["type"], codec=cc["codec"],
+                        max_def_level=leaf["max_def_level"],
+                        max_rep_level=leaf["max_rep_level"],
+                        rep_def_levels=leaf["rep_def_levels"],
+                        type_length=leaf["type_length"])
+        except ValueError:
+            pass  # the only permitted failure mode
