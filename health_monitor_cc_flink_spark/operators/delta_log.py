@@ -308,6 +308,65 @@ def resolve_deletion_vector(desc: dict,
     return rows
 
 
+def write_checkpoint_parquet(snapshot: dict) -> tuple[bytes, int]:
+    """Snapshot census -> checkpoint parquet bytes via THIS repo's
+    own parquet writer (nested protocol/metaData/add structs; one
+    row per action) + the action count for ``_last_checkpoint``.
+    Partitioned tables and deletion-vector entries are refused —
+    this compactor covers the unpartitioned copy-on-write shape."""
+    from .parquet_write import GROUP_NULL, write_parquet
+
+    live = snapshot["live"]
+    for entry in live.values():
+        if entry.get("partition_values"):
+            raise ValueError("checkpoint writer: partitioned table "
+                             "unsupported")
+        if entry.get("deletion_vector"):
+            raise ValueError("checkpoint writer: deletion vectors "
+                             "unsupported")
+    paths = sorted(live)
+    n = 2 + len(paths)  # protocol + metaData + adds
+    G = GROUP_NULL
+    meta_id = (snapshot.get("metadata") or {}).get("id") or "table"
+    cols = [
+        ("protocol.minReaderVersion", "INT64",
+         [1] + [G] * (n - 1)),
+        ("protocol.minWriterVersion", "INT64",
+         [2] + [G] * (n - 1)),
+        ("metaData.id", "STRING",
+         [G, meta_id] + [G] * len(paths)),
+        ("add.path", "STRING", [G, G] + paths),
+        ("add.size", "INT64",
+         [G, G] + [live[p].get("size") for p in paths]),
+        ("add.stats", "STRING",
+         [G, G] + [
+             None if live[p].get("num_records") is None
+             else json.dumps({"numRecords": live[p]["num_records"]},
+                             separators=(",", ":"))
+             for p in paths]),
+    ]
+    return write_parquet(cols), n
+
+
+def compact_delta_log(files: dict[str, bytes]) -> dict[str, bytes]:
+    """LOG COMPACTION: replay a ``_delta_log/`` (JSON commits and/or
+    an existing checkpoint), write a fresh single-part checkpoint at
+    the latest version with the OWN parquet writer, and return the
+    compacted log — checkpoint + ``_last_checkpoint`` only, early
+    commits vacuumed.  Replaying the compacted log must equal
+    replaying the original (the round-trip the registry query
+    gates)."""
+    snap = parse_delta_log_files(files)
+    blob, n_actions = write_checkpoint_parquet(snap)
+    v = snap["version"]
+    return {
+        checkpoint_filename(v): blob,
+        "_last_checkpoint": json.dumps(
+            {"version": v, "size": n_actions},
+            separators=(",", ":")).encode("utf-8"),
+    }
+
+
 def parse_last_checkpoint(blob: bytes) -> dict:
     """``_last_checkpoint`` JSON -> {version, size, parts}."""
     d = json.loads(blob.decode("utf-8"))

@@ -101,14 +101,20 @@ class _W:
         self._last.pop()
 
 
-def _rle_def_levels(flags: list[bool]) -> bytes:
-    """Definition levels (bit width 1) as genuine RLE runs."""
+#: marker value: the enclosing optional GROUP is null on this row
+#: (definition level 0), vs plain None = group present, leaf null
+GROUP_NULL = object()
+
+
+def _rle_def_levels(levels: list[int]) -> bytes:
+    """Definition levels as genuine RLE runs (any level <= 255 fits
+    the 1-byte run value a bit width <= 8 uses)."""
     out = bytearray()
     i = 0
-    n = len(flags)
+    n = len(levels)
     while i < n:
         j = i
-        while j < n and flags[j] == flags[i]:
+        while j < n and levels[j] == levels[i]:
             j += 1
         run = j - i
         # RLE run: varint(count << 1) + 1-byte value
@@ -121,7 +127,7 @@ def _rle_def_levels(flags: list[bool]) -> bytes:
             else:
                 out.append(b)
                 break
-        out.append(1 if flags[i] else 0)
+        out.append(levels[i])
         i = j
     return bytes(out)
 
@@ -183,14 +189,20 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
     for name, ptype, vals in columns:
         if ptype not in _TYPES:
             raise ValueError(f"unsupported type {ptype}")
+        max_def = 2 if "." in name else 1
         offset = len(out)
         un_total = c_total = 0
         for start in range(0, n_rows, page_rows) or [0]:
             page = vals[start:start + page_rows]
-            flags = [v is not None for v in page]
-            present = [v for v in page if v is not None]
-            levels = _rle_def_levels(flags)
-            body = (struct.pack("<I", len(levels)) + levels
+            levels = [
+                0 if v is GROUP_NULL
+                else (max_def - 1 if v is None else max_def)
+                for v in page
+            ]
+            present = [v for v in page
+                       if v is not None and v is not GROUP_NULL]
+            lv_blob = _rle_def_levels(levels)
+            body = (struct.pack("<I", len(lv_blob)) + lv_blob
                     + _plain(present, ptype))
             payload = (snappy_compress_block(body)
                        if codec == "SNAPPY" else body)
@@ -208,17 +220,38 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         })
     total_bytes = sum(c["c_size"] for c in chunks)
 
+    # schema tree from dotted names: ONE optional-group level
+    # ("add.path") — the Delta-checkpoint shape; groups keep first-
+    # appearance order
+    tops: list[tuple[str, list]] = []
+    for name, ptype, _ in columns:
+        if "." in name:
+            grp, leaf = name.split(".", 1)
+            if "." in leaf:
+                raise ValueError("only one group level supported")
+            if not tops or tops[-1][0] != grp or tops[-1][1] is None:
+                if any(t[0] == grp for t in tops):
+                    raise ValueError("group columns must be "
+                                     "contiguous")
+                tops.append((grp, []))
+            tops[-1][1].append((leaf, ptype))
+        else:
+            tops.append((name, None))
+
     w = _W()
     w.begin_struct()
     w.i32(1, 1)          # version
-    # schema: root + one element per leaf
+    n_elements = 1 + len(tops) + sum(
+        len(ls) for _, ls in tops if ls is not None)
     w.field(2, _CT_LIST)
-    w.list_header(1 + len(columns), _CT_STRUCT)
+    w.list_header(n_elements, _CT_STRUCT)
     w.begin_struct()     # root
     w.binary(4, b"schema")
-    w.i32(5, len(columns))
+    w.i32(5, len(tops))
     w.end_struct()
-    for name, ptype, _ in columns:
+    leaf_types = {n: t for n, t, _ in columns}
+
+    def leaf_element(name: str, ptype: str) -> None:
         w.begin_struct()
         w.i32(1, _TYPES[ptype])
         w.i32(3, 1)      # OPTIONAL
@@ -226,6 +259,18 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         if ptype == "STRING":
             w.i32(6, 0)  # converted_type UTF8
         w.end_struct()
+
+    for top, leaves in tops:
+        if leaves is None:
+            leaf_element(top, leaf_types[top])
+        else:
+            w.begin_struct()
+            w.i32(3, 1)  # OPTIONAL group
+            w.binary(4, top.encode("utf-8"))
+            w.i32(5, len(leaves))
+            w.end_struct()
+            for leaf, ptype in leaves:
+                leaf_element(leaf, ptype)
     w.i64(3, n_rows)
     # row groups
     w.field(4, _CT_LIST)
@@ -243,10 +288,12 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         w.zigzag(0)               # PLAIN
         w.zigzag(3)               # RLE (levels)
         w.field(3, _CT_LIST)      # path_in_schema
-        w.list_header(1, _CT_BINARY)
-        raw = c["name"].encode("utf-8")
-        w.varint(len(raw))
-        w.out += raw
+        parts = c["name"].split(".")
+        w.list_header(len(parts), _CT_BINARY)
+        for part in parts:
+            raw = part.encode("utf-8")
+            w.varint(len(raw))
+            w.out += raw
         w.i32(4, 1 if codec == "SNAPPY" else 0)
         w.i64(5, c["n_vals"])
         w.i64(6, c["un_size"])

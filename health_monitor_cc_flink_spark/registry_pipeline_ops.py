@@ -15101,3 +15101,104 @@ def data_export_parquet_shards(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+@query(
+    "lake_delta_compact_roundtrip",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS BIGINT) AS k
+               FROM documents),
+    f AS (SELECT doc_id, k, j.j
+          FROM p, LATERAL unnest(generate_series(0, k - 1)) AS j(j)
+          WHERE NOT (j.j % 2 = 1 AND j.j <= k - 2))
+    SELECT doc_id, TRUE AS ok,
+           k - 1 AS version,
+           'part-' || j || '.parquet' AS path,
+           CAST(1000 + 17 * j AS BIGINT) AS size,
+           CAST(100 + j AS BIGINT) AS num_records,
+           k - (k - 1) // 2 AS n_live,
+           CAST(2 + k - (k - 1) // 2 AS BIGINT) AS n_actions
+    FROM f
+    """,
+    doc="Delta Lake LOG COMPACTION under the hash gate — the engine "
+    "doesn't just READ checkpoints, it WRITES them: the JSON log "
+    "replays, the snapshot serializes into a checkpoint parquet "
+    "through the repo's OWN writer (nested protocol/metaData/add "
+    "structs via optional-group definition levels), early commits "
+    "vacuum away, and the COMPACTED log replays through the "
+    "EXISTING checkpoint reader — write and read sides of both the "
+    "parquet layer and the Delta layer meet in one round trip, with "
+    "pyarrow verifying the checkpoint bytes in "
+    "tests/test_delta_log.py.  The oracle re-derives the surviving "
+    "census plus the checkpoint action count closed-form.  Scale: "
+    "compaction is the operation that keeps 100 TB table logs "
+    "readable — O(live files) metadata work per table.",
+    bench=True,
+)
+def lake_delta_compact_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from .operators.delta_log import (
+            build_delta_log,
+            compact_delta_log,
+            parse_delta_log_files,
+        )
+
+        cols = ("version", "path", "size", "num_records", "n_live",
+                "n_actions")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = d % 4 + 2
+                commits = {}
+                for j in range(k):
+                    actions = []
+                    if j == 0:
+                        actions.append({"protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2}})
+                        actions.append(
+                            {"metaData": {"id": f"tbl-{d}"}})
+                    actions.append({"add": {
+                        "path": f"part-{j}.parquet",
+                        "partitionValues": {},
+                        "size": 1000 + 17 * j,
+                        "stats": _json.dumps(
+                            {"numRecords": 100 + j})}})
+                    if j >= 2 and j % 2 == 0:
+                        actions.append({"remove": {
+                            "path": f"part-{j - 1}.parquet"}})
+                    commits[j] = actions
+                files = build_delta_log(commits)
+                compacted = compact_delta_log(files)
+                snap = parse_delta_log_files(compacted)
+                lc = _json.loads(
+                    compacted["_last_checkpoint"].decode())
+                ok = (snap["checkpoint_version"] == k - 1
+                      and snap["metadata"] == {"id": f"tbl-{d}"})
+                for path in sorted(snap["live"]):
+                    f = snap["live"][path]
+                    out["doc_id"].append(d)
+                    out["ok"].append(bool(ok))
+                    out["version"].append(snap["version"])
+                    out["path"].append(path)
+                    out["size"].append(f["size"])
+                    out["num_records"].append(f["num_records"])
+                    out["n_live"].append(len(snap["live"]))
+                    out["n_actions"].append(lc["size"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, version long, path string, "
+                "size long, num_records long, n_live long, "
+                "n_actions long"),
+    )

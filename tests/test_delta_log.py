@@ -192,3 +192,54 @@ def test_checkpoint_filename_forms():
     assert parse_checkpoint_filename("10.checkpoint.parquet") is None
     assert parse_checkpoint_filename(
         "00000000000000000010.json") is None
+
+
+def test_compaction_roundtrip_and_reference_reader():
+    import io
+    import json
+
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        compact_delta_log,
+        write_checkpoint_parquet,
+    )
+
+    def commit(v):
+        a = [{"add": {"path": f"part-{v}.parquet",
+                      "partitionValues": {},
+                      "size": 1000 + 17 * v,
+                      "stats": json.dumps({"numRecords": 100 + v})}}]
+        if v == 0:
+            a = [{"protocol": {"minReaderVersion": 1,
+                               "minWriterVersion": 2}},
+                 {"metaData": {"id": "tbl-x"}}] + a
+        if v >= 2 and v % 2 == 0:
+            a.append({"remove": {"path": f"part-{v - 1}.parquet"}})
+        return a
+
+    files = build_delta_log({v: commit(v) for v in range(7)})
+    orig = parse_delta_log_files(files)
+    compacted = compact_delta_log(files)
+    assert sorted(compacted) == [
+        "00000000000000000006.checkpoint.parquet",
+        "_last_checkpoint"]
+    snap = parse_delta_log_files(compacted)
+    assert snap["version"] == orig["version"]
+    assert snap["metadata"] == {"id": "tbl-x"}
+    keep = ("size", "num_records", "partition_values")
+    assert ({p: {k: e[k] for k in keep}
+             for p, e in snap["live"].items()}
+            == {p: {k: e[k] for k in keep}
+                for p, e in orig["live"].items()})
+    # the reference C++ reader accepts the own-writer checkpoint
+    blob = compacted["00000000000000000006.checkpoint.parquet"]
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.schema.names == ["protocol", "metaData", "add"]
+    adds = [a for a in t["add"].to_pylist() if a is not None]
+    assert sorted(a["path"] for a in adds) == sorted(orig["live"])
+    # partitioned tables / DV tables are explicitly refused
+    with pytest.raises(ValueError, match="partitioned"):
+        write_checkpoint_parquet({"live": {"a": {
+            "partition_values": {"lang": "en"}, "size": 1,
+            "num_records": 1}}, "metadata": None})
