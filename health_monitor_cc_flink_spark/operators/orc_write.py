@@ -31,7 +31,9 @@ from .snappy import snappy_compress_block
 
 MAX_CELLS = 1 << 26
 
-_KINDS = {"BOOLEAN": 0, "LONG": 4, "DOUBLE": 6, "STRING": 7}
+_KINDS = {"BOOLEAN": 0, "LONG": 4, "DOUBLE": 6, "STRING": 7,
+          "TIMESTAMP": 9, "DECIMAL": 14}
+_TS_BASE = 1420070400  # 2015-01-01 UTC, the ORC timestamp epoch
 _WIDTH = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
           18, 19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48, 56, 64]
 
@@ -113,6 +115,23 @@ def rlev2_encode(values: list[int], *, signed: bool) -> bytes:
     return bytes(out)
 
 
+def format_nanos(nanos: int) -> int:
+    """The SECONDARY zero-compression trick, inverse of
+    orc_data.decode_nanos: with z >= 2 trailing decimal zeros
+    stripped, the low 3 bits store z-1 (the spec's 1000 -> (1<<3)|2
+    example: three zeros, stored 2)."""
+    if nanos == 0:
+        return 0
+    if nanos % 100:
+        return nanos << 3
+    nanos //= 100
+    zeros = 2
+    while nanos % 10 == 0 and zeros < 8:
+        nanos //= 10
+        zeros += 1
+    return (nanos << 3) | (zeros - 1)
+
+
 def _bits_msb(flags: list[bool]) -> bytes:
     out = bytearray((len(flags) + 7) // 8)
     for i, f in enumerate(flags):
@@ -154,6 +173,7 @@ def write_orc(columns: list[tuple[str, str, list]], *,
 
     streams: list[tuple[int, int, bytes]] = []  # (column, kind, raw)
     encodings: list[int] = [0]  # root struct: DIRECT
+    decimal_meta: dict[int, tuple[int, int]] = {}  # ci -> (prec, scale)
     # root PRESENT absent; children are columns 1..N
     for ci, (name, kind, vals) in enumerate(columns, start=1):
         if kind not in _KINDS:
@@ -176,6 +196,57 @@ def write_orc(columns: list[tuple[str, str, list]], *,
                 (ci, 1, byte_rle_encode(
                     _bits_msb([bool(v) for v in present]))))
             encodings.append(0)
+        elif kind == "TIMESTAMP":
+            # values are epoch NANOS ints.  The C++ writer convention
+            # (seconds truncated toward zero, SIGNED zero-compressed
+            # nanos carried two's-complement in the unsigned stream)
+            # is the one that round-trips pre-1970 fractional
+            # instants through both the Arrow C++ reader and this
+            # repo's reader; the Java floor+positive-nanos form is
+            # historically inconsistent there (ORC-101 lineage)
+            secs = []
+            nanos = []
+            for v in present:
+                s_t = (v // 1_000_000_000 if v >= 0
+                       else -((-v) // 1_000_000_000))
+                nv = v - s_t * 1_000_000_000
+                f = format_nanos(abs(nv))
+                if nv < 0:
+                    f = ((-(f >> 3)) << 3) | (f & 7)
+                secs.append(s_t - _TS_BASE)
+                nanos.append(f % (1 << 64))
+            streams.append((ci, 1, rlev2_encode(secs, signed=True)))
+            streams.append(
+                (ci, 5, rlev2_encode(nanos, signed=False)))
+            encodings.append(2)
+        elif kind == "DECIMAL":
+            # decimal.Decimal values; DATA = signed unbounded
+            # varints of the unscaled int, SECONDARY = scale RLEv2;
+            # every value is rescaled to the column's (max) scale so
+            # the footer type's declared scale is authoritative
+            scale = max((-v.as_tuple().exponent for v in present),
+                        default=0)
+            if scale < 0:
+                raise ValueError("positive-exponent decimal "
+                                 "unsupported")
+            decimal_meta[ci] = (18, scale)
+            body = bytearray()
+            for v in present:
+                unscaled = int(v.scaleb(scale))
+                z = _zigzag_enc(unscaled)
+                while True:
+                    b = z & 0x7F
+                    z >>= 7
+                    if z:
+                        body.append(b | 0x80)
+                    else:
+                        body.append(b)
+                        break
+            streams.append((ci, 1, bytes(body)))
+            streams.append(
+                (ci, 5, rlev2_encode([scale] * len(present),
+                                     signed=True)))
+            encodings.append(2)
         else:  # STRING DIRECT_V2
             raws = [v.encode("utf-8") for v in present]
             streams.append((ci, 1, b"".join(raws)))
@@ -217,8 +288,12 @@ def write_orc(columns: list[tuple[str, str, list]], *,
     for name, _, _ in columns:
         root += pb_bytes(3, name.encode("utf-8"))
     footer += pb_bytes(4, root)
-    for _, kind, _ in columns:
-        footer += pb_bytes(4, pb_varint(1, _KINDS[kind]))
+    for ci, (_, kind, _) in enumerate(columns, start=1):
+        t = pb_varint(1, _KINDS[kind])
+        if kind == "DECIMAL":
+            prec, scale = decimal_meta.get(ci, (18, 0))
+            t += pb_varint(5, prec) + pb_varint(6, scale)
+        footer += pb_bytes(4, t)
     footer += pb_varint(6, n_rows)
     footer_blob = _compress_stream(bytes(footer), codec)
     out += footer_blob

@@ -102,3 +102,80 @@ def test_hostile_inputs():
         write_orc([("x", "LONG", [1]), ("y", "LONG", [1, 2])])
     with pytest.raises(ValueError):
         write_orc([("x", "TIMESTAMP", [1])])
+
+
+def test_timestamp_and_decimal_write_roundtrip(tmp_path):
+    """TIMESTAMP (trunc seconds + signed zero-compressed nanos, the
+    C++ convention that round-trips pre-1970 fractional instants)
+    and DECIMAL (varints + scale) through the Arrow reference
+    reader and the own reader."""
+    import calendar
+    import datetime
+    import decimal
+    import random
+
+    from health_monitor_cc_flink_spark.operators.orc_data import (
+        read_stripe_column,
+    )
+    from health_monitor_cc_flink_spark.operators.orc_meta import (
+        parse_orc_tail,
+    )
+
+    random.seed(3)
+    cases = [
+        datetime.datetime(1992, 3, 4, 5, 6, 7),
+        datetime.datetime(2020, 1, 1, 0, 0, 0, 123456),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),
+        None,
+        datetime.datetime(2015, 1, 1),
+        datetime.datetime(1960, 6, 15, 12, 0, 0, 250000),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 123456),
+    ]
+    for _ in range(300):
+        cases.append(datetime.datetime(1900, 1, 1)
+                     + datetime.timedelta(
+                         seconds=random.randrange(2**29),
+                         microseconds=random.randrange(10**6)))
+    want = [None if x is None else
+            calendar.timegm(x.timetuple()) * 10**9
+            + x.microsecond * 1000 for x in cases]
+    dec = [decimal.Decimal(random.randrange(-10**6, 10**6))
+           .scaleb(-2) for _ in cases]
+    blob = write_orc([("ts", "TIMESTAMP", want),
+                      ("d", "DECIMAL", dec)])
+    m = parse_orc_tail(blob)
+    s = m["stripes"][0]
+    assert read_stripe_column(blob, s, "TIMESTAMP", 1,
+                              m["compression"], s["n_rows"]) == want
+    own_dec = read_stripe_column(blob, s, "DECIMAL", 2,
+                                 m["compression"], s["n_rows"])
+    assert own_dec == dec
+    path = tmp_path / "tsdec.orc"
+    path.write_bytes(blob)
+    t = orc.read_table(path)
+    got = [None if v is None else
+           calendar.timegm(v.timetuple()) * 10**9
+           + v.microsecond * 1000 for v in t["ts"].to_pylist()]
+    assert got == want
+    q = decimal.Decimal("0.01")
+    assert [decimal.Decimal(str(v)).quantize(q)
+            for v in t["d"].to_pylist()] == [v.quantize(q)
+                                             for v in dec]
+
+
+def test_nanos_format_decode_inverse():
+    import random
+
+    from health_monitor_cc_flink_spark.operators.orc_data import (
+        decode_nanos,
+    )
+    from health_monitor_cc_flink_spark.operators.orc_write import (
+        format_nanos,
+    )
+
+    assert format_nanos(1000) == (1 << 3) | 2  # the spec's example
+    random.seed(1)
+    for n in ([0, 100, 120, 500, 1000, 123456000, 500000000,
+               999999999, 10**8]
+              + [random.randrange(10**9) for _ in range(3000)]):
+        assert decode_nanos(format_nanos(n)) == n
