@@ -101,7 +101,7 @@ def test_hostile_inputs():
     with pytest.raises(ValueError):
         write_orc([("x", "LONG", [1]), ("y", "LONG", [1, 2])])
     with pytest.raises(ValueError):
-        write_orc([("x", "TIMESTAMP", [1])])
+        write_orc([("x", "MAP", [{}])])
 
 
 def test_timestamp_and_decimal_write_roundtrip(tmp_path):
