@@ -15,8 +15,11 @@ spec + orc_proto.proto:
   width table, big-endian bit packing, 512-value blocks) — a valid
   subset every reader accepts; signed streams zigzag;
 * per-column streams — LONG (DATA), DOUBLE (IEEE LE), STRING
-  (DIRECT_V2: DATA concat + LENGTH), BOOLEAN (byte-RLE bits), with
-  PRESENT streams for nullable data;
+  (DIRECT_V2: DATA concat + LENGTH), BOOLEAN (byte-RLE bits),
+  TIMESTAMP (trunc seconds + signed zero-compressed nanos — the
+  C++ convention that round-trips pre-1970 fractional instants),
+  DECIMAL (signed varints + scale stream, precision/scale in the
+  footer type), with PRESENT streams for nullable data;
 * SNAPPY chunk framing ((len<<1)|isOriginal 3-byte headers) through
   this repo's own compressor, for streams, stripe footer and footer;
 * file layout — "ORC" magic, one stripe, stripe footer, footer,
@@ -158,7 +161,8 @@ def _compress_stream(raw: bytes, codec: str) -> bytes:
 def write_orc(columns: list[tuple[str, str, list]], *,
               codec: str = "SNAPPY") -> bytes:
     """[(name, kind, values)] (None = null; kind LONG / DOUBLE /
-    STRING / BOOLEAN) -> ORC file bytes, one stripe."""
+    STRING / BOOLEAN / TIMESTAMP (epoch-nanos ints) / DECIMAL
+    (decimal.Decimal)) -> ORC file bytes, one stripe."""
     if not columns:
         raise ValueError("no columns")
     n_rows = len(columns[0][2])
