@@ -39,7 +39,11 @@ _CT_STRUCT = 12
 #: physical type ids (parquet.thrift Type); STRING = BYTE_ARRAY +
 #: the UTF8 converted-type annotation readers use to give back text
 _TYPES = {"BOOLEAN": 0, "INT64": 2, "DOUBLE": 5, "BYTE_ARRAY": 6,
-          "STRING": 6}
+          "STRING": 6, "FLOAT": 4}
+#: list columns: "LIST_<leaf>" writes the standard 3-level shape
+#: optional group (LIST) { repeated group list { optional element } }
+_LIST_TYPES = {"LIST_FLOAT": "FLOAT", "LIST_INT64": "INT64",
+               "LIST_DOUBLE": "DOUBLE", "LIST_STRING": "STRING"}
 
 
 class _W:
@@ -143,6 +147,8 @@ def _plain(values: list, ptype: str) -> bytes:
             if v:
                 out[i // 8] |= 1 << (i % 8)
         return bytes(out)
+    if ptype == "FLOAT":
+        return struct.pack(f"<{len(values)}f", *values)
     if ptype in ("BYTE_ARRAY", "STRING"):
         out = bytearray()
         for v in values:
@@ -187,26 +193,57 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
     chunks = []
     page_rows = 20_000  # bounded pages, the shape real writers emit
     for name, ptype, vals in columns:
-        if ptype not in _TYPES:
+        if ptype not in _TYPES and ptype not in _LIST_TYPES:
             raise ValueError(f"unsupported type {ptype}")
-        max_def = 2 if "." in name else 1
+        is_list = ptype in _LIST_TYPES
+        leaf_type = _LIST_TYPES.get(ptype, ptype)
+        max_def = 3 if is_list else (2 if "." in name else 1)
         offset = len(out)
         un_total = c_total = 0
+        total_slots = 0
         for start in range(0, n_rows, page_rows) or [0]:
             page = vals[start:start + page_rows]
-            levels = [
-                0 if v is GROUP_NULL
-                else (max_def - 1 if v is None else max_def)
-                for v in page
-            ]
-            present = [v for v in page
-                       if v is not None and v is not GROUP_NULL]
-            lv_blob = _rle_def_levels(levels)
-            body = (struct.pack("<I", len(lv_blob)) + lv_blob
-                    + _plain(present, ptype))
+            if is_list:
+                levels: list[int] = []
+                reps: list[int] = []
+                present = []
+                for row in page:
+                    if row is None:
+                        levels.append(0)
+                        reps.append(0)
+                    elif len(row) == 0:
+                        levels.append(1)
+                        reps.append(0)
+                    else:
+                        for k, el in enumerate(row):
+                            reps.append(0 if k == 0 else 1)
+                            if el is None:
+                                levels.append(2)
+                            else:
+                                levels.append(3)
+                                present.append(el)
+                rep_blob = _rle_def_levels(reps)
+                lv_blob = _rle_def_levels(levels)
+                body = (struct.pack("<I", len(rep_blob)) + rep_blob
+                        + struct.pack("<I", len(lv_blob)) + lv_blob
+                        + _plain(present, leaf_type))
+                n_slots = len(levels)
+            else:
+                levels = [
+                    0 if v is GROUP_NULL
+                    else (max_def - 1 if v is None else max_def)
+                    for v in page
+                ]
+                present = [v for v in page
+                           if v is not None and v is not GROUP_NULL]
+                lv_blob = _rle_def_levels(levels)
+                body = (struct.pack("<I", len(lv_blob)) + lv_blob
+                        + _plain(present, leaf_type))
+                n_slots = len(page)
+            total_slots += n_slots
             payload = (snappy_compress_block(body)
                        if codec == "SNAPPY" else body)
-            header = _page_header(len(page), len(body),
+            header = _page_header(n_slots, len(body),
                                   len(payload))
             out += header
             out += payload
@@ -214,7 +251,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             c_total += len(header) + len(payload)
         chunks.append({
             "name": name, "ptype": ptype, "offset": offset,
-            "n_vals": n_rows,
+            "n_vals": total_slots if is_list else n_rows,
             "un_size": un_total,
             "c_size": c_total,
         })
@@ -223,13 +260,16 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
     # schema tree from dotted names: ONE optional-group level
     # ("add.path") — the Delta-checkpoint shape; groups keep first-
     # appearance order
-    tops: list[tuple[str, list]] = []
+    tops: list[tuple[str, object]] = []
     for name, ptype, _ in columns:
-        if "." in name:
+        if ptype in _LIST_TYPES:
+            tops.append((name, ("LIST", _LIST_TYPES[ptype])))
+        elif "." in name:
             grp, leaf = name.split(".", 1)
             if "." in leaf:
                 raise ValueError("only one group level supported")
-            if not tops or tops[-1][0] != grp or tops[-1][1] is None:
+            if not tops or tops[-1][0] != grp \
+                    or not isinstance(tops[-1][1], list):
                 if any(t[0] == grp for t in tops):
                     raise ValueError("group columns must be "
                                      "contiguous")
@@ -241,8 +281,12 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
     w = _W()
     w.begin_struct()
     w.i32(1, 1)          # version
-    n_elements = 1 + len(tops) + sum(
-        len(ls) for _, ls in tops if ls is not None)
+    n_elements = 1 + len(tops)
+    for _, spec in tops:
+        if isinstance(spec, list):
+            n_elements += len(spec)
+        elif isinstance(spec, tuple):
+            n_elements += 2  # repeated "list" group + element leaf
     w.field(2, _CT_LIST)
     w.list_header(n_elements, _CT_STRUCT)
     w.begin_struct()     # root
@@ -251,25 +295,39 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
     w.end_struct()
     leaf_types = {n: t for n, t, _ in columns}
 
-    def leaf_element(name: str, ptype: str) -> None:
+    def leaf_element(name: str, ptype: str,
+                     repetition: int = 1) -> None:
         w.begin_struct()
         w.i32(1, _TYPES[ptype])
-        w.i32(3, 1)      # OPTIONAL
+        w.i32(3, repetition)
         w.binary(4, name.encode("utf-8"))
         if ptype == "STRING":
             w.i32(6, 0)  # converted_type UTF8
         w.end_struct()
 
-    for top, leaves in tops:
-        if leaves is None:
+    for top, spec in tops:
+        if spec is None:
             leaf_element(top, leaf_types[top])
+        elif isinstance(spec, tuple):  # LIST column
+            w.begin_struct()
+            w.i32(3, 1)      # OPTIONAL group
+            w.binary(4, top.encode("utf-8"))
+            w.i32(5, 1)
+            w.i32(6, 3)      # converted_type LIST
+            w.end_struct()
+            w.begin_struct()
+            w.i32(3, 2)      # REPEATED group "list"
+            w.binary(4, b"list")
+            w.i32(5, 1)
+            w.end_struct()
+            leaf_element("element", spec[1])
         else:
             w.begin_struct()
             w.i32(3, 1)  # OPTIONAL group
             w.binary(4, top.encode("utf-8"))
-            w.i32(5, len(leaves))
+            w.i32(5, len(spec))
             w.end_struct()
-            for leaf, ptype in leaves:
+            for leaf, ptype in spec:
                 leaf_element(leaf, ptype)
     w.i64(3, n_rows)
     # row groups
@@ -282,13 +340,15 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         w.begin_struct()          # ColumnChunk
         w.i64(2, c["offset"])
         w.begin_struct(3)         # ColumnMetaData
-        w.i32(1, _TYPES[c["ptype"]])
+        w.i32(1, _TYPES[_LIST_TYPES.get(c["ptype"], c["ptype"])])
         w.field(2, _CT_LIST)      # encodings
         w.list_header(2, _CT_I32)
         w.zigzag(0)               # PLAIN
         w.zigzag(3)               # RLE (levels)
         w.field(3, _CT_LIST)      # path_in_schema
-        parts = c["name"].split(".")
+        parts = (c["name"].split(".")
+                 if c["ptype"] not in _LIST_TYPES
+                 else [c["name"], "list", "element"])
         w.list_header(len(parts), _CT_BINARY)
         for part in parts:
             raw = part.encode("utf-8")

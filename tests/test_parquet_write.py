@@ -99,3 +99,62 @@ def test_zero_rows():
 
     blob = write_parquet([("x", "INT64", [])])
     assert pq.read_table(io.BytesIO(blob)).num_rows == 0
+
+
+def test_list_float_column_roundtrip(tmp_path):
+    """Writing list<float> via the standard 3-level shape: pyarrow,
+    DuckDB, Spark, and the own reader all read the lists back."""
+    import random
+
+    import duckdb as _ddb
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+    )
+
+    random.seed(2)
+    lists = [None, [], [None], [1.5, 2.5], [3.0]]
+    for _ in range(300):
+        lists.append(
+            None if random.random() < .05 else
+            [None if random.random() < .1
+             else random.randrange(1000) / 4
+             for _ in range(random.randrange(5))])
+    blob = write_parquet([("vid", "INT64", list(range(len(lists)))),
+                          ("emb", "LIST_FLOAT", lists)])
+    t = pq.read_table(io.BytesIO(blob))
+    assert t["emb"].to_pylist() == lists  # /4 grid is float32-exact
+    path = tmp_path / "lw.parquet"
+    path.write_bytes(blob)
+    (n, total) = _ddb.sql(
+        f"SELECT count(*), sum(len(emb)) "
+        f"FROM read_parquet('{path}')").fetchall()[0]
+    assert n == len(lists)
+    assert total == sum(len(x) for x in lists if x is not None)
+    m = parse_footer(blob)
+    leaf = next(l for l in m["schema_leaves"]
+                if l["path"] == "emb.list.element")
+    cc = next(c for c in m["row_groups"][0]["columns"]
+              if c["path"] == "emb.list.element")
+    rows = read_column_chunk(
+        blob, start_offset=cc["data_page_offset"],
+        num_values=cc["num_values"], ptype=cc["type"],
+        codec=cc["codec"], max_def_level=leaf["max_def_level"],
+        max_rep_level=1, rep_def_levels=leaf["rep_def_levels"])
+    assert rows == lists
+
+
+def test_list_column_spark_reader(spark, tmp_path):
+    blob = write_parquet([
+        ("vid", "INT64", [0, 1, 2]),
+        ("emb", "LIST_FLOAT", [[1.5, 2.5], None, []]),
+    ])
+    d = tmp_path / "pqdir"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(blob)
+    rows = spark.read.parquet(str(d)).orderBy("vid").collect()
+    assert [r["emb"] for r in rows] == [[1.5, 2.5], None, []]
