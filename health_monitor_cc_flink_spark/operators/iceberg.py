@@ -117,6 +117,7 @@ MANIFEST_LIST_SCHEMA_V2 = json.dumps({
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
         {"name": "added_files_count", "type": ["null", "int"]},
         {"name": "existing_files_count", "type": ["null", "int"]},
@@ -127,6 +128,7 @@ MANIFEST_ENTRY_SCHEMA_V2 = json.dumps({
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "data_file", "type": {
             "type": "record", "name": "data_file", "fields": [
                 {"name": "content", "type": "int"},
@@ -239,25 +241,45 @@ def build_snapshot_v2(manifests: list[list[dict]],
                       delete_files: list[list[tuple[str, int]]], *,
                       equality_deletes: list[tuple] = (),
                       data_blobs: dict[str, bytes] | None = None,
-                      snapshot_id: int = 1) -> dict[str, bytes]:
+                      snapshot_id: int = 1,
+                      data_sequence_number: int | None = None,
+                      delete_sequence_number: int | None = None,
+                      ) -> dict[str, bytes]:
     """Format-version 2 snapshot: data manifests as in v1 plus one
     DELETES-content manifest whose entries point at positional
     delete parquet files (``delete_files`` = list of (file_path,
     pos) lists, one per delete file).  ``equality_deletes`` entries
     are (parquet_blob, equality_ids, record_count) — content-2
     files whose rows delete any data row matching on the id'd
-    columns.  ``data_blobs`` ships the actual data parquet bytes
-    for scan-capable snapshots."""
+    columns — or 4-tuples with a trailing per-file data sequence
+    number.  ``data_blobs`` ships the actual data parquet bytes for
+    scan-capable snapshots.
+
+    Sequence numbers (table-spec "Sequence Numbers"): every manifest
+    carries its data sequence number in the manifest list, inherited
+    by entries whose own ``sequence_number`` is null.  The defaults
+    model the canonical MOR history — data committed at
+    ``snapshot_id``, delete files one commit later — so positional
+    deletes (applied where data_seq <= delete_seq) AND equality
+    deletes (strictly data_seq < delete_seq) both hit the shipped
+    data files.  Per-entry overrides: a ``sequence_number`` key in a
+    ``manifests`` entry dict, or the 4-tuple equality form."""
     files: dict[str, bytes] = {}
     list_records = []
+    data_seq = (snapshot_id if data_sequence_number is None
+                else data_sequence_number)
+    del_seq = (data_seq + 1 if delete_sequence_number is None
+               else delete_sequence_number)
 
     def manifest_record(path: str, blob: bytes, content: int,
-                        entries: list[dict]) -> dict:
+                        entries: list[dict],
+                        sequence_number: int = 0) -> dict:
         return {
             "manifest_path": path,
             "manifest_length": len(blob),
             "partition_spec_id": 0,
             "content": content,
+            "sequence_number": sequence_number,
             "added_snapshot_id": snapshot_id,
             "added_files_count": sum(
                 1 for e in entries if e["status"] == STATUS_ADDED),
@@ -271,6 +293,7 @@ def build_snapshot_v2(manifests: list[list[dict]],
         recs = [{
             "status": e["status"],
             "snapshot_id": snapshot_id,
+            "sequence_number": e.get("sequence_number"),
             "data_file": {
                 "content": CONTENT_DATA,
                 "file_path": e["file_path"],
@@ -285,7 +308,8 @@ def build_snapshot_v2(manifests: list[list[dict]],
                          codec="deflate", sync_seed=i)
         files[path] = blob
         list_records.append(
-            manifest_record(path, blob, CONTENT_DATA, entries))
+            manifest_record(path, blob, CONTENT_DATA, entries,
+                            sequence_number=data_seq))
     if data_blobs:
         files.update(data_blobs)
     if delete_files or equality_deletes:
@@ -297,6 +321,7 @@ def build_snapshot_v2(manifests: list[list[dict]],
             del_entries.append({
                 "status": STATUS_ADDED,
                 "snapshot_id": snapshot_id,
+                "sequence_number": None,
                 "data_file": {
                     "content": CONTENT_POSITION_DELETES,
                     "file_path": dpath,
@@ -306,12 +331,15 @@ def build_snapshot_v2(manifests: list[list[dict]],
                     "file_size_in_bytes": len(dblob),
                     "equality_ids": None,
                 }})
-        for j, (eblob, eq_ids, rc) in enumerate(equality_deletes):
+        for j, espec in enumerate(equality_deletes):
+            eblob, eq_ids, rc = espec[:3]
+            eseq = espec[3] if len(espec) > 3 else None
             epath = f"data/eq-deletes-{j}.parquet"
             files[epath] = eblob
             del_entries.append({
                 "status": STATUS_ADDED,
                 "snapshot_id": snapshot_id,
+                "sequence_number": eseq,
                 "data_file": {
                     "content": CONTENT_EQUALITY_DELETES,
                     "file_path": epath,
@@ -327,7 +355,8 @@ def build_snapshot_v2(manifests: list[list[dict]],
         files[dmpath] = dmblob
         list_records.append(manifest_record(
             dmpath, dmblob, CONTENT_POSITION_DELETES,
-            [{"status": STATUS_ADDED}] * len(del_entries)))
+            [{"status": STATUS_ADDED}] * len(del_entries),
+            sequence_number=del_seq))
     files[f"metadata/snap-{snapshot_id}.avro"] = write_ocf(
         MANIFEST_LIST_SCHEMA_V2, list_records, codec="deflate",
         sync_seed=snapshot_id + 1000)
@@ -342,12 +371,20 @@ def walk_snapshot_v2(files: dict[str, bytes],
     per data file — the ROW-ACCURATE live counts a v1-style walk
     over-reports.  Positions are validated against record_count and
     deduped; equality-delete files raise (their application needs
-    the data rows, which a metadata walk never reads)."""
+    the data rows, which a metadata walk never reads).
+
+    Sequence-number scoping (table-spec "Scan Planning"): a
+    positional delete applies only to data files whose data sequence
+    number is <= the delete file's — entries inherit the manifest's
+    ``sequence_number`` from the manifest list when their own is
+    null, so rows added AFTER a delete commit are never dropped by
+    it."""
     list_path = f"metadata/snap-{snapshot_id}.avro"
     if list_path not in files:
         raise ValueError(f"missing manifest list {list_path}")
     mlist = read_ocf(files[list_path])["records"]
     live = []
+    live_seqs: list[int] = []
     delete_paths = []
     data_idx = 0
     for mf in mlist:
@@ -357,6 +394,10 @@ def walk_snapshot_v2(files: dict[str, bytes],
         blob = files[path]
         if len(blob) != mf["manifest_length"]:
             raise ValueError(f"manifest length mismatch for {path}")
+        mseq = mf.get("sequence_number")
+        if not isinstance(mseq, int):
+            raise ValueError(f"manifest {path} missing "
+                             "sequence_number in manifest list")
         entries = read_ocf(blob)["records"]
         if mf.get("content", CONTENT_DATA) == CONTENT_DATA:
             for e in entries:
@@ -365,6 +406,7 @@ def walk_snapshot_v2(files: dict[str, bytes],
                 df = e["data_file"]
                 if df.get("content", CONTENT_DATA) != CONTENT_DATA:
                     raise ValueError("non-data file in data manifest")
+                eseq = e.get("sequence_number")
                 live.append({
                     "manifest_idx": data_idx,
                     "file_path": df["file_path"],
@@ -373,6 +415,7 @@ def walk_snapshot_v2(files: dict[str, bytes],
                     "file_size_in_bytes": df["file_size_in_bytes"],
                     "lang": df["partition"]["lang"],
                 })
+                live_seqs.append(eseq if eseq is not None else mseq)
             data_idx += 1
         else:
             for e in entries:
@@ -386,11 +429,14 @@ def walk_snapshot_v2(files: dict[str, bytes],
                         "metadata walk cannot apply them")
                 if content != CONTENT_POSITION_DELETES:
                     raise ValueError("unexpected delete content")
-                delete_paths.append((df["file_path"],
-                                     df["record_count"]))
-    deleted_by_file: dict[str, set[int]] = {}
+                eseq = e.get("sequence_number")
+                delete_paths.append(
+                    (df["file_path"], df["record_count"],
+                     eseq if eseq is not None else mseq))
+    # (file_path, pos) -> newest delete-file sequence number
+    deleted_by_file: dict[str, dict[int, int]] = {}
     n_delete_files = 0
-    for dpath, rc in delete_paths:
+    for dpath, rc, dseq in delete_paths:
         if dpath not in files:
             raise ValueError(f"missing delete file {dpath}")
         rows = read_positional_delete_parquet(files[dpath])
@@ -398,17 +444,19 @@ def walk_snapshot_v2(files: dict[str, bytes],
             raise ValueError("delete file record_count mismatch")
         n_delete_files += 1
         for fp, pos in rows:
-            deleted_by_file.setdefault(fp, set()).add(pos)
+            seen = deleted_by_file.setdefault(fp, {})
+            seen[pos] = max(seen.get(pos, dseq), dseq)
     known = {f["file_path"] for f in live}
     for fp in deleted_by_file:
         if fp not in known:
             raise ValueError(f"delete targets unknown file {fp}")
-    for f in live:
-        dels = deleted_by_file.get(f["file_path"], set())
+    for f, fseq in zip(live, live_seqs):
+        dels = deleted_by_file.get(f["file_path"], {})
         if dels and max(dels) >= f["record_count"]:
             raise ValueError("delete position beyond record_count")
-        f["n_deleted"] = len(dels)
-        f["live_records"] = f["record_count"] - len(dels)
+        n_del = sum(1 for dseq in dels.values() if fseq <= dseq)
+        f["n_deleted"] = n_del
+        f["live_records"] = f["record_count"] - n_del
     return {"n_manifests": data_idx,
             "n_delete_files": n_delete_files, "live": live}
 
@@ -422,14 +470,19 @@ def scan_snapshot_v2(files: dict[str, bytes],
     ``equality_ids`` naming 1-based field ids of the table schema)
     drop every data row matching the delete row on those columns.
     Returns {n_data_files, columns, rows: [{file_path, _pos,
-    <table columns>}]} of SURVIVING rows."""
+    <table columns>}]} of SURVIVING rows.
+
+    Sequence-number scoping (table-spec "Scan Planning"): positional
+    deletes apply to data files with data_seq <= delete_seq;
+    equality deletes apply STRICTLY data_seq < delete_seq — a row
+    (re-)inserted after the delete commit survives."""
     list_path = f"metadata/snap-{snapshot_id}.avro"
     if list_path not in files:
         raise ValueError(f"missing manifest list {list_path}")
     mlist = read_ocf(files[list_path])["records"]
-    data_files: list[dict] = []
-    pos_deletes: list[tuple[str, int]] = []
-    eq_deletes: list[tuple[list[int], dict[str, list]]] = []
+    data_files: list[tuple[dict, int]] = []
+    pos_deletes: list[tuple[str, int, int]] = []
+    eq_deletes: list[tuple[list[int], dict[str, list], int]] = []
     for mf in mlist:
         path = mf["manifest_path"]
         if path not in files:
@@ -437,13 +490,19 @@ def scan_snapshot_v2(files: dict[str, bytes],
         blob = files[path]
         if len(blob) != mf["manifest_length"]:
             raise ValueError(f"manifest length mismatch for {path}")
+        mseq = mf.get("sequence_number")
+        if not isinstance(mseq, int):
+            raise ValueError(f"manifest {path} missing "
+                             "sequence_number in manifest list")
         for e in read_ocf(blob)["records"]:
             if e["status"] == STATUS_DELETED:
                 continue
             df = e["data_file"]
+            eseq = e.get("sequence_number")
+            seq = eseq if eseq is not None else mseq
             content = df.get("content", CONTENT_DATA)
             if content == CONTENT_DATA:
-                data_files.append(df)
+                data_files.append((df, seq))
             elif content == CONTENT_POSITION_DELETES:
                 if df["file_path"] not in files:
                     raise ValueError("missing positional delete file")
@@ -452,7 +511,8 @@ def scan_snapshot_v2(files: dict[str, bytes],
                 if len(rows) != df["record_count"]:
                     raise ValueError(
                         "delete file record_count mismatch")
-                pos_deletes.extend(rows)
+                pos_deletes.extend((fp, pos, seq)
+                                   for fp, pos in rows)
             else:
                 eq_ids = df.get("equality_ids")
                 if not eq_ids:
@@ -465,11 +525,15 @@ def scan_snapshot_v2(files: dict[str, bytes],
                 if n != df["record_count"]:
                     raise ValueError(
                         "equality delete record_count mismatch")
-                eq_deletes.append((list(eq_ids), cols))
-    dropped = set(pos_deletes)
+                eq_deletes.append((list(eq_ids), cols, seq))
+    # (file_path, pos) -> newest delete sequence number
+    dropped: dict[tuple[str, int], int] = {}
+    for fp, pos, seq in pos_deletes:
+        key = (fp, pos)
+        dropped[key] = max(dropped.get(key, seq), seq)
     out_rows: list[dict] = []
     columns: list[str] = []
-    for df in data_files:
+    for df, fseq in data_files:
         fp = df["file_path"]
         if fp not in files:
             raise ValueError(f"missing data file {fp}")
@@ -481,9 +545,11 @@ def scan_snapshot_v2(files: dict[str, bytes],
             raise ValueError("data file record_count mismatch")
         # equality keys: 1-based field id -> column position in the
         # table schema (the Iceberg field-id convention for a flat
-        # top-level schema)
+        # top-level schema); strictly-newer deletes only
         eq_keysets = []
-        for eq_ids, ecols in eq_deletes:
+        for eq_ids, ecols, eseq in eq_deletes:
+            if not fseq < eseq:
+                continue
             enames = list(ecols)
             keycols = []
             for fid in eq_ids:
@@ -498,7 +564,7 @@ def scan_snapshot_v2(files: dict[str, bytes],
                     for i in range(en)}
             eq_keysets.append((keycols, keys))
         for pos in range(n):
-            if (fp, pos) in dropped:
+            if dropped.get((fp, pos), fseq - 1) >= fseq:
                 continue
             row = {c: cols[c][pos] for c in names}
             dead = False

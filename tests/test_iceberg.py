@@ -245,3 +245,90 @@ def test_metadata_resolution_and_time_travel():
     del files["metadata/v1.metadata.json"]
     with pytest.raises(ValueError, match="metadata.json"):
         walk_snapshot_at(files)
+
+
+def test_v2_sequence_number_scoping_walk():
+    """Table-spec scan planning: a positional delete applies only to
+    data files with data_seq <= delete_seq — a file added AFTER the
+    delete commit keeps all its rows."""
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        build_snapshot_v2,
+        walk_snapshot_v2,
+    )
+
+    old = _entry("old", records=10)          # inherits data seq 1
+    new = dict(_entry("new", records=10), sequence_number=3)
+    files = build_snapshot_v2(
+        [[old, new]], [[("old", 0), ("old", 1), ("new", 0)]],
+        delete_sequence_number=2)
+    by = {f["file_path"]: f for f in
+          walk_snapshot_v2(files)["live"]}
+    assert (by["old"]["n_deleted"], by["old"]["live_records"]) == (2, 8)
+    assert (by["new"]["n_deleted"], by["new"]["live_records"]) == (0, 10)
+
+
+def test_v2_sequence_number_scoping_scan():
+    """MOR scan: pos deletes need data_seq <= del_seq, equality
+    deletes strictly data_seq < del_seq — a row re-inserted at the
+    delete's own sequence number survives the equality delete."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        build_snapshot_v2,
+        scan_snapshot_v2,
+    )
+
+    def parquet_of(cols):
+        buf = io.BytesIO()
+        pq.write_table(pa.table(cols), buf, compression="snappy")
+        return buf.getvalue()
+
+    def datafile(path, blob, n, seq):
+        return {"status": STATUS_ADDED, "file_path": path,
+                "file_format": "PARQUET", "record_count": n,
+                "file_size_in_bytes": len(blob), "lang": None,
+                "sequence_number": seq}
+
+    old = parquet_of({"id": pa.array([1, 2, 3], pa.int64())})
+    new = parquet_of({"id": pa.array([2, 4], pa.int64())})
+    eq = parquet_of({"id": pa.array([2], pa.int64())})
+    files = build_snapshot_v2(
+        [[datafile("data/old.parquet", old, 3, 1),
+          datafile("data/new.parquet", new, 2, 2)]],
+        [[("data/old.parquet", 2), ("data/new.parquet", 1)]],
+        equality_deletes=[(eq, [1], 1, 2)],
+        delete_sequence_number=2,
+        data_blobs={"data/old.parquet": old, "data/new.parquet": new})
+    scan = scan_snapshot_v2(files)
+    # old (seq 1): pos delete drops id=3 (pos 2), eq delete at seq 2
+    #   drops id=2 (1 < 2)        -> survives {1}
+    # new (seq 2): pos delete drops id=4 (pos 1, 2 <= 2), eq delete
+    #   does NOT apply (2 < 2 is false) -> survives {2}
+    assert sorted((r["file_path"], r["id"]) for r in scan["rows"]) == [
+        ("data/new.parquet", 2), ("data/old.parquet", 1)]
+
+
+def test_v2_missing_sequence_number_rejected():
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        MANIFEST_LIST_SCHEMA_V2,
+        walk_snapshot_v2,
+    )
+    from health_monitor_cc_flink_spark.sources.avro_ocf import (
+        read_ocf,
+        write_ocf,
+    )
+
+    files = _v2([[("a", 0)]])
+    ml = read_ocf(files["metadata/snap-1.avro"])["records"]
+    for r in ml:
+        r["sequence_number"] = None
+    schema = MANIFEST_LIST_SCHEMA_V2.replace(
+        '{"name": "sequence_number", "type": "long"}',
+        '{"name": "sequence_number", "type": ["null", "long"]}')
+    files["metadata/snap-1.avro"] = write_ocf(
+        schema, ml, codec="deflate", sync_seed=2001)
+    with pytest.raises(ValueError, match="sequence_number"):
+        walk_snapshot_v2(files)
