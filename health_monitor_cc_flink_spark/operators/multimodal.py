@@ -13,10 +13,11 @@ grayscale single-scan subset; `synth_jpeg_payload` /
 `jpeg_decode_features` below), and MJPEG VIDEO in a RIFF/AVI
 container (`encode_avi_mjpeg` / `decode_avi_mjpeg_frames` /
 `avi_mjpeg_frame_sample` — container parse + per-frame JPEG decode);
-WAV/PNG header parsing is pure codegen column math.  WebP and
-compressed video codecs (H.264 etc.) stay STUBBED behind
-`decode_image` (need PIL/opencv/ffmpeg, absent from this
-environment); `fake_feature_extract` is the deterministic stand-in
+WAV/PNG header parsing is pure codegen column math.  WebP lossless
+(VP8L) is a REAL from-scratch decoder (`operators/webp.py`); only
+lossy/table-gated codecs (VP8 lossy, H.264, JPEG arithmetic) stay
+STUBBED behind `decode_image` (their spec tables aren't reproducible
+from memory); `fake_feature_extract` is the deterministic stand-in
 that keeps that Arrow batch path tested with the same signature and
 batch flow.
 

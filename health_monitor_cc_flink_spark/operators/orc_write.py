@@ -237,6 +237,12 @@ def write_orc(columns: list[tuple[str, str, list]], *,
             body = bytearray()
             for v in present:
                 unscaled = int(v.scaleb(scale))
+                if abs(unscaled) >= 10 ** 18:
+                    # the footer declares precision 18; a wider value
+                    # would make that declaration lie and overflow
+                    # readers' decimal64 fast path
+                    raise ValueError(
+                        "decimal exceeds declared precision 18")
                 z = _zigzag_enc(unscaled)
                 while True:
                     b = z & 0x7F

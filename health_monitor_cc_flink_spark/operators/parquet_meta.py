@@ -349,8 +349,12 @@ def read_page_index(data: bytes, column: dict) -> dict | None:
         column.get("offset_index_length")
     if ci_off is None or oi_off is None:
         return None
-    if ci_off + (ci_len or 0) > len(data) \
-            or oi_off + (oi_len or 0) > len(data):
+    # offset without length is hostile input, not "no index" — the
+    # ValueError contract, never a TypeError from a None slice bound
+    if not all(isinstance(v, int) for v in
+               (ci_off, ci_len, oi_off, oi_len)):
+        raise ValueError("page index: offset/length must be ints")
+    if ci_off + ci_len > len(data) or oi_off + oi_len > len(data):
         raise ValueError("page index overruns file")
     ci = _Reader(data[ci_off:ci_off + ci_len]).struct()
     oi = _Reader(data[oi_off:oi_off + oi_len]).struct()

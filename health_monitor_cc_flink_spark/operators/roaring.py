@@ -190,6 +190,10 @@ def serialize_bitmap_array(values: list[int]) -> bytes:
     for v in values:
         groups.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
     n_maps = (max(groups) + 1) if groups else 0
+    if n_maps > 1 << 20:
+        # same cap as deserialize_bitmap_array — a lone huge high
+        # word would otherwise loop emitting 2^31 empty bitmaps
+        raise ValueError("bitmap count out of range")
     out = bytearray(struct.pack("<Iq", MAGIC, n_maps))
     for i in range(n_maps):
         out += _serialize32(groups.get(i, []))

@@ -64,6 +64,28 @@ def apply_pending(applied: int, live: dict, n_removes: int,
     return applied, live, n_removes, progressed
 
 
+def ingest_commit(applied: int, pending: dict, v: int,
+                  blob: bytes) -> None:
+    """Buffer one observed commit into ``pending`` (mutated).
+    At-least-once redelivery is normal source behavior after a
+    retry/restart, so an already-applied or already-pending version
+    with the SAME payload is an idempotent no-op; the hard error is
+    reserved for a CONFLICTING payload at a pending version."""
+    if v <= applied:
+        return
+    actions = [json.loads(line) for line in
+               bytes(blob).decode("utf-8").splitlines()
+               if line.strip()]
+    if v in pending:
+        if pending[v] != actions:
+            raise ValueError(
+                f"conflicting commit payload at version {v}")
+        return
+    pending[v] = actions
+    if len(pending) > MAX_PENDING:
+        raise ValueError("pending commit cap exceeded")
+
+
 def streaming_delta_tail(commits: DataFrame) -> DataFrame:
     """(table_id long, version long, commit binary) stream ->
     per-batch advanced snapshot rows."""
@@ -81,16 +103,7 @@ def streaming_delta_tail(commits: DataFrame) -> DataFrame:
             applied, live, n_removes, pending = -1, {}, 0, {}
         for pdf in pdfs:
             for v, blob in zip(pdf["version"], pdf["commit"]):
-                v = int(v)
-                if v <= applied or v in pending:
-                    raise ValueError(
-                        f"duplicate commit version {v}")
-                actions = [json.loads(line) for line in
-                           bytes(blob).decode("utf-8").splitlines()
-                           if line.strip()]
-                pending[v] = actions
-                if len(pending) > MAX_PENDING:
-                    raise ValueError("pending commit cap exceeded")
+                ingest_commit(applied, pending, int(v), blob)
         applied, live, n_removes, progressed = apply_pending(
             applied, live, n_removes, pending)
         state.update((applied, json.dumps(live), n_removes,

@@ -66,3 +66,36 @@ def test_incremental_equals_full_replay():
     assert applied == full["version"]
     assert live == full["live"]
     assert n_rm == full["n_removes"]
+
+
+def _blob(actions):
+    return "\n".join(json.dumps(a) for a in actions).encode("utf-8")
+
+
+def test_redelivery_is_idempotent():
+    """At-least-once redelivery (same version, same bytes) is a
+    no-op — never a query-killing error — whether the version is
+    still pending or already applied."""
+    from health_monitor_cc_flink_spark.streaming.lake_tail import (
+        ingest_commit,
+    )
+
+    pending = {}
+    ingest_commit(-1, pending, 1, _blob(_commit(1)))
+    # redelivered while still pending: no-op
+    ingest_commit(-1, pending, 1, _blob(_commit(1)))
+    assert list(pending) == [1]
+    # already applied (v <= applied): no-op
+    ingest_commit(1, pending := {}, 0, _blob(_commit(0)))
+    assert pending == {}
+
+
+def test_conflicting_payload_at_same_version_rejected():
+    from health_monitor_cc_flink_spark.streaming.lake_tail import (
+        ingest_commit,
+    )
+
+    pending = {}
+    ingest_commit(-1, pending, 1, _blob(_commit(1)))
+    with pytest.raises(ValueError, match="conflicting"):
+        ingest_commit(-1, pending, 1, _blob(_commit(2)))

@@ -179,3 +179,21 @@ def test_nanos_format_decode_inverse():
                999999999, 10**8]
               + [random.randrange(10**9) for _ in range(3000)]):
         assert decode_nanos(format_nanos(n)) == n
+
+
+def test_decimal_beyond_precision_18_rejected():
+    """The footer declares DECIMAL(18, s); writing a wider unscaled
+    value would make that declaration lie (readers' decimal64 fast
+    path overflows), so the writer refuses it up front."""
+    import decimal
+
+    with pytest.raises(ValueError, match="precision 18"):
+        write_orc([("d", "DECIMAL",
+                    [decimal.Decimal(10 ** 18)])])
+    with pytest.raises(ValueError, match="precision 18"):
+        write_orc([("d", "DECIMAL",
+                    [decimal.Decimal("-1234567890.123456789")])])
+    # the 18-digit boundary value itself still writes
+    blob = write_orc([("d", "DECIMAL",
+                       [decimal.Decimal(10 ** 18 - 1)])])
+    assert blob[:3] == b"ORC"

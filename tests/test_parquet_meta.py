@@ -230,3 +230,24 @@ def test_corrupted_footer_raises_valueerror_only():
                         type_length=leaf["type_length"])
         except ValueError:
             pass  # the only permitted failure mode
+
+
+def test_page_index_offset_without_length_rejected():
+    """Hostile footer: column_index_offset set but length absent must
+    raise the module's ValueError contract, not TypeError from a
+    None slice bound."""
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        read_page_index,
+    )
+
+    base = {"column_index_offset": 4, "column_index_length": 10,
+            "offset_index_offset": 14, "offset_index_length": 10}
+    for missing in ("column_index_length", "offset_index_length"):
+        cc = dict(base, **{missing: None})
+        with pytest.raises(ValueError, match="page index"):
+            read_page_index(b"\x00" * 64, cc)
+    # offsets absent is the legitimate "no index" signal
+    assert read_page_index(b"", {"column_index_offset": None,
+                                 "column_index_length": None,
+                                 "offset_index_offset": None,
+                                 "offset_index_length": None}) is None

@@ -114,3 +114,17 @@ def test_dv_replay_row_bounds():
              (json.dumps(add) + "\n").encode()}
     with pytest.raises(ValueError, match="beyond numRecords"):
         parse_delta_log_files(files)
+
+
+def test_serialize_high_word_cap():
+    """A single huge-high-word index must raise, not loop writing
+    ~2^31 empty bitmaps the deserializer would reject anyway."""
+    from health_monitor_cc_flink_spark.operators.roaring import (
+        serialize_bitmap_array,
+    )
+
+    with pytest.raises(ValueError, match="bitmap count"):
+        serialize_bitmap_array([(1 << 21) << 32])
+    # just under the deserializer's 1<<20 cap still serializes
+    blob = serialize_bitmap_array([((1 << 20) - 1) << 32])
+    assert len(blob) >= 12
