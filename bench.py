@@ -25,9 +25,40 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+#: quiet-host convention: timings above this 1-min loadavg are
+#: contaminated by co-tenants (observed 2-5x swings at loadavg ~19)
+LOADAVG_QUIET = 2.0
+
+
+def _loadavg1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # loadavg guard (VERDICT r12 #2): a loaded host produces numbers
+    # that are provably noise (two same-code r12 runs disagreed 3x on
+    # q1).  Refuse to record them unless explicitly overridden; the
+    # start/finish loadavg is stored in the payload either way so a
+    # round artifact can never silently be a loaded run.
+    load_start = _loadavg1()
+    allow_loaded = os.environ.get("BENCH_ALLOW_LOADED", "").lower() \
+        in ("1", "true", "yes")
+    if load_start is not None and load_start > LOADAVG_QUIET \
+            and not allow_loaded:
+        print(json.dumps({
+            "error": "host not quiet",
+            "loadavg_1min": load_start,
+            "quiet_threshold": LOADAVG_QUIET,
+            "hint": "re-run when loadavg < 2, or set "
+                    "BENCH_ALLOW_LOADED=1 to record annotated "
+                    "numbers anyway",
+        }))
+        sys.exit(3)
     spark = build_session(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -145,6 +176,10 @@ def main() -> None:
             n_ticks * n_patients / timings["health_pipeline_e2e"], 1
         ),
         "streaming_events_per_sec": round(n_events / stream_sec, 1),
+        "loadavg_start": load_start,
+        "loadavg_finish": _loadavg1(),
+        "loadavg_quiet_threshold": LOADAVG_QUIET,
+        "loaded_run_override": allow_loaded,
     }
     # output contract (VERDICT r11 #1): the driver keeps only the LAST
     # 2000 chars of stdout, so a single giant JSON line gets its head
@@ -240,10 +275,12 @@ def _write_round_artifacts(payload: dict, rn: int) -> None:
             f"round {rn - 1} = "
             f"**{now_s / then_s:.2f}x**.\n"
         )
-    try:
-        load1 = f"{os.getloadavg()[0]:.2f}"
-    except OSError:
-        load1 = "n/a"
+    ls = payload.get("loadavg_start")
+    lf = payload.get("loadavg_finish")
+    load1 = (f"start {ls if ls is not None else 'n/a'} / "
+             f"finish {lf if lf is not None else 'n/a'}"
+             + (" — LOADED-RUN OVERRIDE, numbers suspect"
+                if payload.get("loaded_run_override") else ""))
     rows = "\n".join(
         f"| {name} | {sec:.2f} |"
         for name, sec in sorted(
@@ -254,7 +291,7 @@ def _write_round_artifacts(payload: dict, rn: int) -> None:
     section = (
         f"{marker}(generated by bench.py from "
         f"BENCH_LOCAL_r{rn:02d}.json — same dict, no prose drift; "
-        f"loadavg 1-min {load1} at finish)\n\n"
+        f"loadavg 1-min {load1})\n\n"
         f"Total **{payload['value']:.2f} s over {len(timings)} headline "
         f"queries** at sf{payload['sf']}.  Health pipeline "
         f"{payload['health_pipeline_events_per_sec']:,.0f} events/s; "
