@@ -16,6 +16,15 @@ parquet-format spec:
   strings) / BOOLEAN (bit-packed LSB-first), definition levels as
   real RLE runs (bit width 1) behind the 4-byte length prefix,
   optional columns with nulls;
+* DICTIONARY encoding on request — PLAIN dictionary page +
+  RLE_DICTIONARY data pages whose index runs come from the own
+  RLE/bit-packed hybrid encoder (mid-stream groups never padded;
+  > 2^16 distinct falls back to PLAIN);
+* PAGE INDEX on request — ColumnIndex (per-page min/max/null
+  counts/boundary order) + OffsetIndex between the data section and
+  the footer, plus chunk-level Statistics, so the own
+  read_page_index/selective read_column_chunk (and any reference
+  reader) can prune pages of files this writer emits;
 * SNAPPY page compression through this repo's own compressor.
 
 Scope: flat schemas, one row group, v1 pages — the shape a shard
@@ -136,6 +145,78 @@ def _rle_def_levels(levels: list[int]) -> bytes:
     return bytes(out)
 
 
+def _rle_hybrid(values: list[int], bit_width: int) -> bytes:
+    """RLE/bit-packed hybrid (spec Encodings, no length prefix):
+    runs of >= 8 identical values become RLE runs (varint(count<<1)
+    + fixed-width LE value); everything else accumulates into
+    bit-packed groups of 8 (varint((groups<<1)|1) + packed bits,
+    LSB-first) — the same two run forms read_rle_hybrid decodes."""
+    out = bytearray()
+    byte_w = max(1, (bit_width + 7) // 8)
+
+    def varint(v: int) -> None:
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+
+    pend: list[int] = []
+
+    def flush_packed() -> None:
+        if not pend:
+            return
+        while len(pend) % 8:
+            pend.append(0)
+        groups = len(pend) // 8
+        varint((groups << 1) | 1)
+        acc = 0
+        for i, v in enumerate(pend):
+            acc |= v << (i * bit_width)
+        out.extend(acc.to_bytes(groups * bit_width, "little"))
+        pend.clear()
+
+    i, n = 0, len(values)
+    while i < n:
+        j = i
+        while j < n and values[j] == values[i]:
+            j += 1
+        run = j - i
+        # zero-padding a bit-packed group is only legal at stream
+        # end (the decoder reads groups*8 REAL values mid-stream),
+        # so absorb enough of a run to close the open group first
+        fill = -len(pend) % 8
+        if pend and run > fill + 7:
+            pend.extend([values[i]] * fill)
+            flush_packed()
+            run -= fill
+        if not pend and run >= 8:
+            varint(run << 1)
+            out.extend(values[i].to_bytes(byte_w, "little"))
+        else:
+            pend.extend([values[i]] * run)
+        i = j
+    flush_packed()
+    return bytes(out)
+
+
+def _stat_bytes(v, ptype: str) -> bytes:
+    """One value -> the ColumnIndex/Statistics binary encoding of
+    its physical type (plain little-endian; strings raw utf-8)."""
+    if ptype == "INT64":
+        return struct.pack("<q", v)
+    if ptype == "DOUBLE":
+        return struct.pack("<d", v)
+    if ptype == "FLOAT":
+        return struct.pack("<f", v)
+    if ptype == "BOOLEAN":
+        return b"\x01" if v else b"\x00"
+    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+
 def _plain(values: list, ptype: str) -> bytes:
     if ptype == "INT64":
         return struct.pack(f"<{len(values)}q", *values)
@@ -159,7 +240,8 @@ def _plain(values: list, ptype: str) -> bytes:
     raise ValueError(f"plain encode for {ptype} unsupported")
 
 
-def _page_header(n_vals: int, un_size: int, c_size: int) -> bytes:
+def _page_header(n_vals: int, un_size: int, c_size: int,
+                 encoding: int = 0) -> bytes:
     w = _W()
     w.begin_struct()
     w.i32(1, 0)          # type: DATA_PAGE
@@ -167,7 +249,7 @@ def _page_header(n_vals: int, un_size: int, c_size: int) -> bytes:
     w.i32(3, c_size)
     w.begin_struct(5)    # DataPageHeader
     w.i32(1, n_vals)
-    w.i32(2, 0)          # PLAIN
+    w.i32(2, encoding)   # PLAIN or RLE_DICTIONARY
     w.i32(3, 3)          # def level encoding: RLE
     w.i32(4, 3)          # rep level encoding: RLE
     w.end_struct()
@@ -175,13 +257,101 @@ def _page_header(n_vals: int, un_size: int, c_size: int) -> bytes:
     return bytes(w.out)
 
 
+def _dict_page_header(n_dict: int, un_size: int,
+                      c_size: int) -> bytes:
+    w = _W()
+    w.begin_struct()
+    w.i32(1, 2)          # type: DICTIONARY_PAGE
+    w.i32(2, un_size)
+    w.i32(3, c_size)
+    w.begin_struct(7)    # DictionaryPageHeader
+    w.i32(1, n_dict)
+    w.i32(2, 0)          # values PLAIN-encoded
+    w.end_struct()
+    w.end_struct()
+    return bytes(w.out)
+
+
+def _column_index(pages: list[dict], ptype: str) -> bytes:
+    """Per-page stats -> ColumnIndex thrift (parquet.thrift: 1
+    null_pages, 2 min_values, 3 max_values, 4 boundary_order,
+    5 null_counts).  Null pages carry empty min/max per spec."""
+    w = _W()
+    w.begin_struct()
+    w.field(1, _CT_LIST)
+    w.list_header(len(pages), 1)  # bool elems: 1 true / 2 false
+    for p in pages:
+        w.out.append(1 if p["null_page"] else 2)
+    mins = [b"" if p["null_page"] else _stat_bytes(p["min"], ptype)
+            for p in pages]
+    maxs = [b"" if p["null_page"] else _stat_bytes(p["max"], ptype)
+            for p in pages]
+    for fid, vals in ((2, mins), (3, maxs)):
+        w.field(fid, _CT_LIST)
+        w.list_header(len(vals), _CT_BINARY)
+        for raw in vals:
+            w.varint(len(raw))
+            w.out += raw
+    # boundary order compares TYPED values (LE int bytes don't
+    # byte-compare in value order)
+    live = [(p["min"], p["max"]) for p in pages
+            if not p["null_page"]]
+    if all(a[0] <= b[0] and a[1] <= b[1]
+           for a, b in zip(live, live[1:])):
+        order = 1  # ASCENDING
+    elif all(a[0] >= b[0] and a[1] >= b[1]
+             for a, b in zip(live, live[1:])):
+        order = 2  # DESCENDING
+    else:
+        order = 0  # UNORDERED
+    w.i32(4, order)
+    w.field(5, _CT_LIST)
+    w.list_header(len(pages), _CT_I64)
+    for p in pages:
+        w.zigzag(p["null_count"])
+    w.end_struct()
+    return bytes(w.out)
+
+
+def _offset_index(pages: list[dict]) -> bytes:
+    """Per-page locations -> OffsetIndex thrift (1 page_locations of
+    PageLocation{1 offset, 2 compressed_page_size,
+    3 first_row_index})."""
+    w = _W()
+    w.begin_struct()
+    w.field(1, _CT_LIST)
+    w.list_header(len(pages), _CT_STRUCT)
+    for p in pages:
+        w.begin_struct()
+        w.i64(1, p["offset"])
+        w.i32(2, p["compressed_size"])
+        w.i64(3, p["first_row"])
+        w.end_struct()
+    w.end_struct()
+    return bytes(w.out)
+
+
 def write_parquet(columns: list[tuple[str, str, list]], *,
-                  codec: str = "SNAPPY") -> bytes:
+                  codec: str = "SNAPPY",
+                  dictionary: bool = False,
+                  page_index: bool = False,
+                  page_rows: int = 20_000) -> bytes:
     """[(name, ptype, values)] (None = null) -> parquet file bytes.
     ptype in INT64 / DOUBLE / BYTE_ARRAY / BOOLEAN; one row group,
-    v1 PLAIN pages, optional columns."""
+    v1 pages, optional columns.
+
+    ``dictionary`` — eligible flat columns (non-BOOLEAN, <= 2^16
+    distinct present values) get a PLAIN dictionary page plus
+    RLE_DICTIONARY data pages (the own _rle_hybrid index runs);
+    others keep PLAIN.  ``page_index`` — flat columns additionally
+    emit ColumnIndex/OffsetIndex after the data section plus chunk
+    Statistics, making the file prunable by read_page_index /
+    selective read_column_chunk (and any reference reader).
+    ``page_rows`` bounds page size in rows."""
     if not columns:
         raise ValueError("no columns")
+    if page_rows < 1:
+        raise ValueError("page_rows must be positive")
     n_rows = len(columns[0][2])
     if any(len(vals) != n_rows for _, _, vals in columns):
         raise ValueError("ragged columns")
@@ -191,7 +361,6 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         raise ValueError(f"writer codec {codec} unsupported")
     out = bytearray(b"PAR1")
     chunks = []
-    page_rows = 20_000  # bounded pages, the shape real writers emit
     for name, ptype, vals in columns:
         if ptype not in _TYPES and ptype not in _LIST_TYPES:
             raise ValueError(f"unsupported type {ptype}")
@@ -201,6 +370,31 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         offset = len(out)
         un_total = c_total = 0
         total_slots = 0
+        # dictionary eligibility: flat, non-boolean, index fits 16
+        # bits (a real writer's fallback-to-plain threshold)
+        dict_vals: list | None = None
+        if dictionary and not is_list and leaf_type != "BOOLEAN":
+            uniq: dict = {}
+            for v in vals:
+                if v is not None and v is not GROUP_NULL \
+                        and v not in uniq:
+                    uniq[v] = len(uniq)
+            if 0 < len(uniq) <= 1 << 16:
+                dict_vals = list(uniq)
+        dict_offset = None
+        if dict_vals is not None:
+            body = _plain(dict_vals, leaf_type)
+            payload = (snappy_compress_block(body)
+                       if codec == "SNAPPY" else body)
+            header = _dict_page_header(len(dict_vals), len(body),
+                                       len(payload))
+            dict_offset = offset
+            out += header
+            out += payload
+            un_total += len(header) + len(body)
+            c_total += len(header) + len(payload)
+        data_page_offset = len(out)
+        pages: list[dict] = []
         for start in range(0, n_rows, page_rows) or [0]:
             page = vals[start:start + page_rows]
             if is_list:
@@ -228,6 +422,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                         + struct.pack("<I", len(lv_blob)) + lv_blob
                         + _plain(present, leaf_type))
                 n_slots = len(levels)
+                encoding = 0
             else:
                 levels = [
                     0 if v is GROUP_NULL
@@ -237,14 +432,32 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                 present = [v for v in page
                            if v is not None and v is not GROUP_NULL]
                 lv_blob = _rle_def_levels(levels)
+                if dict_vals is not None:
+                    idx = {v: i for i, v in enumerate(dict_vals)}
+                    bw = max(1, (len(dict_vals) - 1).bit_length())
+                    values_blob = bytes([bw]) + _rle_hybrid(
+                        [idx[v] for v in present], bw)
+                    encoding = 8  # RLE_DICTIONARY
+                else:
+                    values_blob = _plain(present, leaf_type)
+                    encoding = 0
                 body = (struct.pack("<I", len(lv_blob)) + lv_blob
-                        + _plain(present, leaf_type))
+                        + values_blob)
                 n_slots = len(page)
             total_slots += n_slots
             payload = (snappy_compress_block(body)
                        if codec == "SNAPPY" else body)
-            header = _page_header(n_slots, len(body),
-                                  len(payload))
+            header = _page_header(n_slots, len(body), len(payload),
+                                  encoding=encoding)
+            pages.append({
+                "offset": len(out),
+                "compressed_size": len(header) + len(payload),
+                "first_row": start,
+                "null_page": not present,
+                "min": min(present) if present else None,
+                "max": max(present) if present else None,
+                "null_count": n_slots - len(present),
+            })
             out += header
             out += payload
             un_total += len(header) + len(body)
@@ -254,8 +467,28 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             "n_vals": total_slots if is_list else n_rows,
             "un_size": un_total,
             "c_size": c_total,
+            "data_page_offset": data_page_offset,
+            "dict_offset": dict_offset,
+            "pages": pages if page_index and not is_list else None,
         })
     total_bytes = sum(c["c_size"] for c in chunks)
+
+    # page indexes live between the data section and the footer
+    # (parquet-format PageIndex layout: all ColumnIndex structs,
+    # then all OffsetIndex structs)
+    for c in chunks:
+        if c["pages"] is None:
+            continue
+        blob = _column_index(
+            c["pages"], _LIST_TYPES.get(c["ptype"], c["ptype"]))
+        c["ci_off"], c["ci_len"] = len(out), len(blob)
+        out += blob
+    for c in chunks:
+        if c["pages"] is None:
+            continue
+        blob = _offset_index(c["pages"])
+        c["oi_off"], c["oi_len"] = len(out), len(blob)
+        out += blob
 
     # schema tree from dotted names: ONE optional-group level
     # ("add.path") — the Delta-checkpoint shape; groups keep first-
@@ -342,9 +575,11 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         w.begin_struct(3)         # ColumnMetaData
         w.i32(1, _TYPES[_LIST_TYPES.get(c["ptype"], c["ptype"])])
         w.field(2, _CT_LIST)      # encodings
-        w.list_header(2, _CT_I32)
-        w.zigzag(0)               # PLAIN
-        w.zigzag(3)               # RLE (levels)
+        encs = ([0, 3, 8] if c["dict_offset"] is not None
+                else [0, 3])
+        w.list_header(len(encs), _CT_I32)
+        for e in encs:
+            w.zigzag(e)           # PLAIN / RLE / RLE_DICTIONARY
         w.field(3, _CT_LIST)      # path_in_schema
         parts = (c["name"].split(".")
                  if c["ptype"] not in _LIST_TYPES
@@ -358,9 +593,27 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         w.i64(5, c["n_vals"])
         w.i64(6, c["un_size"])
         w.i64(7, c["c_size"])
-        w.i64(9, c["offset"])
-        w.end_struct()
-        w.end_struct()
+        w.i64(9, c["data_page_offset"])
+        if c["dict_offset"] is not None:
+            w.i64(11, c["dict_offset"])
+        if c["pages"] is not None:
+            live = [p for p in c["pages"] if not p["null_page"]]
+            ltype = _LIST_TYPES.get(c["ptype"], c["ptype"])
+            w.begin_struct(12)    # Statistics
+            w.i64(3, sum(p["null_count"] for p in c["pages"]))
+            if live:
+                w.binary(5, _stat_bytes(
+                    max(p["max"] for p in live), ltype))
+                w.binary(6, _stat_bytes(
+                    min(p["min"] for p in live), ltype))
+            w.end_struct()
+        w.end_struct()            # ColumnMetaData
+        if c["pages"] is not None:
+            w.i64(4, c["oi_off"])
+            w.i32(5, c["oi_len"])
+            w.i64(6, c["ci_off"])
+            w.i32(7, c["ci_len"])
+        w.end_struct()            # ColumnChunk
     w.i64(2, total_bytes)
     w.i64(3, n_rows)
     w.end_struct()

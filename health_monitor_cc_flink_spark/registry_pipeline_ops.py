@@ -15202,3 +15202,165 @@ def lake_delta_compact_roundtrip(spark, sf_dir):
                 "size long, num_records long, n_live long, "
                 "n_actions long"),
     )
+
+
+@query(
+    "meta_parquet_write_dict_prune",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 60 + 40 AS BIGINT) AS n
+               FROM documents),
+    r AS (SELECT doc_id, n, j.r
+          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r))
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(any_value(13 * doc_id + 3 * (n // 3)) AS BIGINT)
+               AS lo,
+           CAST(any_value(13 * doc_id + 3 * ((2 * n) // 3))
+                AS BIGINT) AS hi,
+           CAST(sum(CASE WHEN r BETWEEN n // 3 AND (2 * n) // 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(sum(CASE WHEN r BETWEEN n // 3 AND (2 * n) // 3
+                    THEN (13 * doc_id + 3 * r) * 7 % 101
+                    ELSE 0 END) AS BIGINT) AS y_sum,
+           CAST(count(DISTINCT
+                    CASE WHEN r BETWEEN n // 3 AND (2 * n) // 3
+                    THEN (13 * doc_id + 3 * r) % 23 END)
+                AS BIGINT) AS s_distinct,
+           TRUE AS pruned
+    FROM r GROUP BY doc_id
+    """,
+    doc="WRITE-side page-index + dictionary parity under the hash "
+    "gate: the own writer emits dictionary-encoded pages "
+    "(PLAIN dictionary page + RLE_DICTIONARY index runs from the "
+    "own RLE/bit-packed hybrid encoder) AND ColumnIndex/OffsetIndex "
+    "+ chunk Statistics; the own reader then page-prunes its own "
+    "file — predicate bounds select pages by [min,max], only those "
+    "pages decode (selective read_column_chunk with the out-of-line "
+    "dictionary), and payload columns decode only pages whose row "
+    "ranges intersect the matches.  Structural certificates raise "
+    "unless every column was dictionary-encoded, the sorted column's "
+    "boundary_order is ASCENDING, pruning actually skipped pages, "
+    "and pyarrow (the reference C++ reader) reads the same blob "
+    "back with the exact row count.  Scale: files the engine writes "
+    "are prunable by the engine (and any reader) — the O(matching "
+    "pages) selective-scan contract preserved through its own "
+    "export path.",
+    bench=True,
+)
+def meta_parquet_write_dict_prune(spark, sf_dir):
+    from .operators.parquet_data import read_column_chunk
+    from .operators.parquet_meta import parse_footer, read_page_index
+    from .operators.parquet_write import write_parquet
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import io as _io
+        import struct as _s
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        cols = ("n_rows", "lo", "hi", "n_match", "y_sum",
+                "s_distinct", "pruned")
+
+        def page_rows_of(locs, i, n):
+            a = locs[i][2]
+            b = locs[i + 1][2] if i + 1 < len(locs) else n
+            return a, b
+
+        for pdf in batches:
+            out = {"doc_id": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 60 + 40
+                xs = [13 * d + 3 * r for r in range(n)]
+                ys = [(13 * d + 3 * r) * 7 % 101 for r in range(n)]
+                ss = [f"k{(13 * d + 3 * r) % 23}" for r in range(n)]
+                blob = write_parquet(
+                    [("x", "INT64", xs), ("y", "INT64", ys),
+                     ("s", "STRING", ss)],
+                    dictionary=True, page_index=True, page_rows=16)
+                # reference reader certificate: pyarrow reads the
+                # same bytes back with the exact row count
+                if pq.read_table(_io.BytesIO(blob)).num_rows != n:
+                    raise ValueError("pyarrow row count mismatch")
+                m = parse_footer(blob)
+                ccs = {c["path"]: c
+                       for c in m["row_groups"][0]["columns"]}
+                if any(ccs[c]["dictionary_page_offset"] is None
+                       for c in ("x", "y", "s")):
+                    raise ValueError("column not dict-encoded")
+                lo = 13 * d + 3 * (n // 3)
+                hi = 13 * d + 3 * (2 * n // 3)
+                pix = read_page_index(blob, ccs["x"])
+                if pix["boundary_order"] != 1:
+                    raise ValueError("sorted column not ASCENDING")
+                locs = pix["page_locations"]
+                decoded = {"x": 0, "y": 0, "s": 0}
+                total = {"x": len(locs)}
+                match_rows: set[int] = set()
+                for i in range(len(locs)):
+                    pmn = _s.unpack("<q", pix["min_values"][i])[0]
+                    pmx = _s.unpack("<q", pix["max_values"][i])[0]
+                    if pmx < lo or pmn > hi:
+                        continue
+                    decoded["x"] += 1
+                    a, b = page_rows_of(locs, i, n)
+                    vals = read_column_chunk(
+                        blob, start_offset=locs[i][0],
+                        num_values=b - a, ptype=ccs["x"]["type"],
+                        codec=ccs["x"]["codec"],
+                        dictionary_page_offset=ccs["x"][
+                            "dictionary_page_offset"])
+                    match_rows.update(
+                        a + j for j, v in enumerate(vals)
+                        if lo <= v <= hi)
+                y_sum = 0
+                s_seen: set = set()
+                for col, sink in (("y", "y"), ("s", "s")):
+                    pic = read_page_index(blob, ccs[col])
+                    plocs = pic["page_locations"]
+                    total[col] = len(plocs)
+                    for i in range(len(plocs)):
+                        a, b = page_rows_of(plocs, i, n)
+                        if not any(a <= r < b for r in match_rows):
+                            continue
+                        decoded[col] += 1
+                        vals = read_column_chunk(
+                            blob, start_offset=plocs[i][0],
+                            num_values=b - a,
+                            ptype=ccs[col]["type"],
+                            codec=ccs[col]["codec"],
+                            dictionary_page_offset=ccs[col][
+                                "dictionary_page_offset"])
+                        for j, v in enumerate(vals):
+                            if a + j not in match_rows:
+                                continue
+                            if sink == "y":
+                                y_sum += v
+                            else:
+                                s_seen.add(v)
+                # structural certificate: pruning skipped pages on
+                # every multi-page column
+                if not all(decoded[c] < total[c] for c in decoded
+                           if total[c] > 1):
+                    raise ValueError("page pruning skipped nothing")
+                out["doc_id"].append(d)
+                out["n_rows"].append(n)
+                out["lo"].append(lo)
+                out["hi"].append(hi)
+                out["n_match"].append(len(match_rows))
+                out["y_sum"].append(y_sum)
+                out["s_distinct"].append(len(s_seen))
+                out["pruned"].append(True)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, n_rows long, lo long, hi long, "
+                "n_match long, y_sum long, s_distinct long, "
+                "pruned boolean"),
+    )

@@ -158,3 +158,128 @@ def test_list_column_spark_reader(spark, tmp_path):
     (d / "part-0.parquet").write_bytes(blob)
     rows = spark.read.parquet(str(d)).orderBy("vid").collect()
     assert [r["emb"] for r in rows] == [[1.5, 2.5], None, []]
+
+
+@pytest.mark.parametrize("codec", ["SNAPPY", "UNCOMPRESSED"])
+def test_dictionary_and_page_index_reference_readers(codec, tmp_path):
+    """Dictionary-encoded pages + ColumnIndex/OffsetIndex + chunk
+    Statistics read back value-exact by BOTH reference readers."""
+    import pyarrow.parquet as pq
+
+    blob = write_parquet(COLS, codec=codec, dictionary=True,
+                         page_index=True, page_rows=512)
+    t = pq.read_table(io.BytesIO(blob))
+    for name, _, vals in COLS:
+        assert t[name].to_pylist() == vals, name
+    p = tmp_path / "dp.parquet"
+    p.write_bytes(blob)
+    (n, sx, ds) = duckdb.sql(
+        f"SELECT count(*), sum(x), count(DISTINCT s) "
+        f"FROM read_parquet('{p}')").fetchall()[0]
+    assert (n, sx, ds) == (5000, sum(v for _, _, vals in COLS[:1]
+                                     for v in vals), 50)
+
+
+def test_own_reader_page_prunes_own_file():
+    """The own page-index reader + selective chunk decode work on
+    the own writer's output: ascending boundary order, correct page
+    stats, exact values from a single pruned page resolved against
+    the out-of-line dictionary."""
+    import struct as _s
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+        read_page_index,
+    )
+
+    n = 4000
+    xs = list(range(n))
+    blob = write_parquet([("x", "INT64", xs)], dictionary=True,
+                         page_index=True, page_rows=256)
+    m = parse_footer(blob)
+    cc = m["row_groups"][0]["columns"][0]
+    assert cc["dictionary_page_offset"] is not None
+    st = cc["statistics"]
+    assert _s.unpack("<q", st["min_value"])[0] == 0
+    assert _s.unpack("<q", st["max_value"])[0] == n - 1
+    assert st["null_count"] == 0
+    pi = read_page_index(blob, cc)
+    assert pi["boundary_order"] == 1  # ASCENDING
+    locs = pi["page_locations"]
+    assert len(locs) == (n + 255) // 256
+    assert [l[2] for l in locs] == list(range(0, n, 256))
+    for i in range(len(locs)):
+        assert _s.unpack("<q", pi["min_values"][i])[0] == 256 * i
+    i = 7
+    vals = read_column_chunk(
+        blob, start_offset=locs[i][0], num_values=256,
+        ptype=cc["type"], codec=cc["codec"],
+        dictionary_page_offset=cc["dictionary_page_offset"])
+    assert vals == xs[256 * i:256 * (i + 1)]
+
+
+def test_page_index_null_page_and_orders():
+    """A page of pure nulls marks null_pages with empty min/max;
+    descending and unordered data get the right boundary_order."""
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+        read_page_index,
+    )
+
+    def index_of(vals, ptype="INT64"):
+        blob = write_parquet([("c", ptype, vals)],
+                             page_index=True, page_rows=4)
+        m = parse_footer(blob)
+        return read_page_index(blob, m["row_groups"][0]["columns"][0])
+
+    pi = index_of([1, 2, 3, 4, None, None, None, None, 5, 6, 7, 8])
+    assert pi["null_pages"] == [False, True, False]
+    assert pi["min_values"][1] == b"" and pi["max_values"][1] == b""
+    assert pi["null_counts"] == [0, 4, 0]
+    assert pi["boundary_order"] == 1
+    assert index_of(list(range(12, 0, -1)))["boundary_order"] == 2
+    assert index_of([1, 9, 2, 8, 3, 7, 4, 6, 5, 5, 5, 5]
+                    )["boundary_order"] == 0
+
+
+def test_rle_hybrid_roundtrip_against_reader():
+    import random
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_rle_hybrid,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_write import (
+        _rle_hybrid,
+    )
+
+    rng = random.Random(7)
+    for bw in (1, 2, 3, 5, 8, 11, 16):
+        vals = []
+        while len(vals) < 997:
+            if rng.random() < 0.4:  # run
+                vals += [rng.randrange(1 << bw)] * rng.randrange(1, 40)
+            else:
+                vals.append(rng.randrange(1 << bw))
+        vals = vals[:997]
+        blob = _rle_hybrid(vals, bw)
+        got, _ = read_rle_hybrid(blob, 0, len(blob), bw, len(vals))
+        assert got == vals, bw
+
+
+def test_dictionary_falls_back_to_plain_when_wide():
+    """> 2^16 distinct values keeps PLAIN (no dictionary page)."""
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+    )
+
+    vals = list(range(70_000))
+    blob = write_parquet([("x", "INT64", vals)], dictionary=True)
+    m = parse_footer(blob)
+    assert m["row_groups"][0]["columns"][0][
+        "dictionary_page_offset"] is None
+    assert pq.read_table(io.BytesIO(blob))["x"].to_pylist() == vals
