@@ -147,8 +147,13 @@ def _compress_stream(raw: bytes, codec: str) -> bytes:
     if codec == "NONE":
         return raw
     out = bytearray()
-    # one chunk per stream is valid; emit stored when snappy loses
-    comp = snappy_compress_block(raw)
+    # one chunk per stream is valid; emit stored when the codec loses
+    if codec == "ZSTD":
+        from .zstd import zstd_compress
+
+        comp = zstd_compress(raw, checksum=False)
+    else:
+        comp = snappy_compress_block(raw)
     if len(comp) < len(raw):
         out += (len(comp) << 1).to_bytes(3, "little")
         out += comp
@@ -170,7 +175,7 @@ def write_orc(columns: list[tuple[str, str, list]], *,
         raise ValueError("ragged columns")
     if n_rows * len(columns) > MAX_CELLS:
         raise ValueError("cell cap exceeded")
-    if codec not in ("SNAPPY", "NONE"):
+    if codec not in ("SNAPPY", "ZSTD", "NONE"):
         raise ValueError(f"writer codec {codec} unsupported")
     out = bytearray(b"ORC")
     stripe_offset = len(out)
@@ -310,8 +315,8 @@ def write_orc(columns: list[tuple[str, str, list]], *,
 
     ps = bytearray()
     ps += pb_varint(1, len(footer_blob))
-    ps += pb_varint(2, 2 if codec == "SNAPPY" else 0)
-    if codec == "SNAPPY":
+    ps += pb_varint(2, {"SNAPPY": 2, "ZSTD": 5}.get(codec, 0))
+    if codec != "NONE":
         ps += pb_varint(3, 1 << 18)  # compressionBlockSize
     ps += pb_varint(4, 0)
     ps += pb_varint(4, 12)  # version 0.12

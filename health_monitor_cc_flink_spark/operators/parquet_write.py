@@ -240,6 +240,16 @@ def _plain(values: list, ptype: str) -> bytes:
     raise ValueError(f"plain encode for {ptype} unsupported")
 
 
+def _compress_page(body: bytes, codec: str) -> bytes:
+    if codec == "SNAPPY":
+        return snappy_compress_block(body)
+    if codec == "ZSTD":
+        from .zstd import zstd_compress
+
+        return zstd_compress(body, checksum=False)
+    return body
+
+
 def _page_header(n_vals: int, un_size: int, c_size: int,
                  encoding: int = 0) -> bytes:
     w = _W()
@@ -357,7 +367,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         raise ValueError("ragged columns")
     if n_rows * len(columns) > MAX_CELLS:
         raise ValueError("cell cap exceeded")
-    if codec not in ("SNAPPY", "UNCOMPRESSED"):
+    if codec not in ("SNAPPY", "ZSTD", "UNCOMPRESSED"):
         raise ValueError(f"writer codec {codec} unsupported")
     out = bytearray(b"PAR1")
     chunks = []
@@ -384,8 +394,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         dict_offset = None
         if dict_vals is not None:
             body = _plain(dict_vals, leaf_type)
-            payload = (snappy_compress_block(body)
-                       if codec == "SNAPPY" else body)
+            payload = _compress_page(body, codec)
             header = _dict_page_header(len(dict_vals), len(body),
                                        len(payload))
             dict_offset = offset
@@ -445,8 +454,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                         + values_blob)
                 n_slots = len(page)
             total_slots += n_slots
-            payload = (snappy_compress_block(body)
-                       if codec == "SNAPPY" else body)
+            payload = _compress_page(body, codec)
             header = _page_header(n_slots, len(body), len(payload),
                                   encoding=encoding)
             pages.append({
@@ -589,7 +597,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             raw = part.encode("utf-8")
             w.varint(len(raw))
             w.out += raw
-        w.i32(4, 1 if codec == "SNAPPY" else 0)
+        w.i32(4, {"SNAPPY": 1, "ZSTD": 6}.get(codec, 0))
         w.i64(5, c["n_vals"])
         w.i64(6, c["un_size"])
         w.i64(7, c["c_size"])

@@ -819,11 +819,219 @@ def zstd_decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def zstd_compress(data: bytes, *, checksum: bool = True) -> bytes:
-    """Store-mode zstd frames: Raw blocks + frame content size +
-    XXH64-low32 checksum — valid RFC 8878 output any decoder reads
-    (the cross-validation's their-decoder direction); no entropy
-    coding on this side by design."""
+# --------------------------------------------------------- compression
+
+
+class _FSEEncTable:
+    """Encoder view of an FSE decode table: per symbol, the cells in
+    counter order with their (base, nbits) transition ranges — the
+    ranges of one symbol partition the whole state space, so for any
+    next-state there is exactly one valid current cell."""
+
+    __slots__ = ("acc_log", "by_symbol", "first_cell")
+
+    def __init__(self, probs: list[int], acc_log: int):
+        t = fse_build(probs, acc_log)
+        self.acc_log = acc_log
+        self.by_symbol: dict[int, list[tuple[int, int, int]]] = {}
+        self.first_cell: dict[int, int] = {}
+        for i in range(1 << acc_log):
+            s = t.symbol[i]
+            self.by_symbol.setdefault(s, []).append(
+                (t.base[i], t.nbits[i], i))
+            self.first_cell.setdefault(s, i)
+        for cells in self.by_symbol.values():
+            cells.sort()
+
+    def cell_for(self, sym: int, next_state: int) -> tuple[int, int, int]:
+        """-> (cell, emitted_bits, nbits) such that the decoder at
+        ``cell`` decodes ``sym`` and transitions to ``next_state``."""
+        cells = self.by_symbol.get(sym)
+        if not cells:
+            raise ValueError(f"symbol {sym} not in fse table")
+        lo, hi = 0, len(cells) - 1
+        while lo < hi:  # last cell with base <= next_state
+            mid = (lo + hi + 1) // 2
+            if cells[mid][0] <= next_state:
+                lo = mid
+            else:
+                hi = mid - 1
+        base, nbits, cell = cells[lo]
+        if not base <= next_state < base + (1 << nbits):
+            raise ValueError("fse encode range miss")
+        return cell, next_state - base, nbits
+
+
+class _BitWriter:
+    """LSB-first bit accumulator closing with the backward-stream
+    sentinel bit _BackBits expects."""
+
+    __slots__ = ("acc", "n")
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+
+    def close(self) -> bytes:
+        self.acc |= 1 << self.n  # sentinel: highest set bit
+        self.n += 1
+        return self.acc.to_bytes((self.n + 7) // 8, "little")
+
+
+_SEQ_ENC: dict[str, _FSEEncTable] = {}
+
+
+def _seq_enc_tables() -> dict[str, _FSEEncTable]:
+    if not _SEQ_ENC:
+        _SEQ_ENC["ll"] = _FSEEncTable(_LL_DEFAULT, _LL_ACC)
+        _SEQ_ENC["of"] = _FSEEncTable(_OF_DEFAULT, _OF_ACC)
+        _SEQ_ENC["ml"] = _FSEEncTable(_ML_DEFAULT, _ML_ACC)
+    return _SEQ_ENC
+
+
+def _code_of(value: int, bases: tuple) -> int:
+    """value -> code for the LL/ML ladders: the largest code whose
+    baseline <= value (covers the direct ranges exactly too)."""
+    import bisect
+
+    return bisect.bisect_right(bases, value) - 1
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+    """[(ll, ml, offset)] -> sequences section (count + modes byte +
+    backward FSE bitstream) in PREDEFINED mode for all three ladders
+    (§3.1.1.3.2.1.1) — the exact inverse of _decode_sequences."""
+    n = len(seqs)
+    out = bytearray()
+    if n < 128:
+        out.append(n)
+    elif n < 0x7F00:
+        out.append(128 + (n >> 8))
+        out.append(n & 0xFF)
+    else:
+        out.append(255)
+        out += struct.pack("<H", n - 0x7F00)
+    out.append(0)  # modes: predefined / predefined / predefined
+    enc = _seq_enc_tables()
+    codes = []
+    for ll, ml, offset in seqs:
+        if offset <= 0:
+            raise ValueError("sequence offset must be positive")
+        offset_value = offset + 3  # never a repeat-offset code
+        of_code = offset_value.bit_length() - 1
+        if of_code > _OF_MAX_SYM:
+            raise ValueError("offset too large to encode")
+        if ml < 3:
+            raise ValueError("match length below minimum (3)")
+        ll_code = _code_of(ll, _LL_BASE)
+        ml_code = _code_of(ml, _ML_BASE)
+        codes.append((
+            (ll_code, ll - _LL_BASE[ll_code], _LL_BITS[ll_code]),
+            (of_code, offset_value - (1 << of_code), of_code),
+            (ml_code, ml - _ML_BASE[ml_code], _ML_BITS[ml_code]),
+        ))
+    # choose states backward: s[i] must decode symbol i and carry a
+    # transition range containing s[i+1]
+    states = {"ll": [0] * n, "of": [0] * n, "ml": [0] * n}
+    trans = {"ll": [None] * (n - 1), "of": [None] * (n - 1),
+             "ml": [None] * (n - 1)}
+    for which, ci in (("ll", 0), ("of", 1), ("ml", 2)):
+        t = enc[which]
+        states[which][n - 1] = t.first_cell[codes[n - 1][ci][0]]
+        for i in range(n - 2, -1, -1):
+            cell, bits, nbits = t.cell_for(
+                codes[i][ci][0], states[which][i + 1])
+            states[which][i] = cell
+            trans[which][i] = (bits, nbits)
+    # fields in DECODER-read order, then written reversed (the
+    # stream is read backward from its end)
+    fields: list[tuple[int, int]] = [
+        (states["ll"][0], enc["ll"].acc_log),
+        (states["of"][0], enc["of"].acc_log),
+        (states["ml"][0], enc["ml"].acc_log),
+    ]
+    for i in range(n):
+        (_, ll_x, ll_b), (_, of_x, of_b), (_, ml_x, ml_b) = codes[i]
+        fields.append((of_x, of_b))
+        fields.append((ml_x, ml_b))
+        fields.append((ll_x, ll_b))
+        if i < n - 1:
+            fields.append(trans["ll"][i])
+            fields.append(trans["ml"][i])
+            fields.append(trans["of"][i])
+    w = _BitWriter()
+    for value, nbits in reversed(fields):
+        w.put(value, nbits)
+    out += w.close()
+    return bytes(out)
+
+
+def _raw_literals_section(lit: bytes) -> bytes:
+    n = len(lit)
+    if n < 32:
+        return bytes([n << 3]) + lit
+    if n < 1 << 12:
+        return bytes([(1 << 2) | ((n & 15) << 4), n >> 4]) + lit
+    return bytes([(3 << 2) | ((n & 15) << 4), (n >> 4) & 0xFF,
+                  n >> 12]) + lit
+
+
+_MIN_MATCH = 4
+_MAX_ML = 131074  # _ML_BASE[52] + 16 extra bits
+
+
+def _lz_sequences(data: bytes, start: int, end: int,
+                  table: dict) -> tuple[list[tuple[int, int, int]],
+                                        bytes]:
+    """Greedy hash-4 LZ77 parse of data[start:end] (candidates may
+    reach back before ``start`` — frame-wide window under
+    Single_Segment_Mode) -> (sequences, literals)."""
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    anchor = i = start
+    limit = end - _MIN_MATCH
+    while i <= limit:
+        key = data[i:i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None:
+            i += 1
+            continue
+        ml = _MIN_MATCH
+        max_ml = min(end - i, _MAX_ML)
+        while ml < max_ml and data[cand + ml] == data[i + ml]:
+            ml += 1
+        lits += data[anchor:i]
+        seqs.append((i - anchor, ml, i - cand))
+        for k in range(i + 1, min(i + ml, limit), 11):
+            table[data[k:k + 4]] = k
+        i += ml
+        anchor = i
+    lits += data[anchor:end]
+    return seqs, bytes(lits)
+
+
+def zstd_compress(data: bytes, *, checksum: bool = True,
+                  mode: str = "lz") -> bytes:
+    """RFC 8878 zstd frames, both directions of the codec now real:
+
+    * ``mode="lz"`` (default) — Compressed_Blocks with a greedy
+      hash-4 LZ77 parse, Raw literals, and sequences FSE-coded in
+      PREDEFINED mode (the own tANS encoder inverse of fse_build);
+      incompressible chunks fall back per-block to Raw, one-byte
+      runs to RLE blocks — whichever is smallest;
+    * ``mode="store"`` — Raw blocks only (the pre-r13 behavior).
+
+    Frames carry the content size (Single_Segment_Mode, so match
+    offsets may reach the whole frame) and the XXH64-low32 content
+    checksum; output is cross-validated against libzstd both ways in
+    tests/test_zstd.py."""
+    if mode not in ("lz", "store"):
+        raise ValueError(f"unknown zstd_compress mode {mode}")
     out = bytearray(struct.pack("<I", MAGIC))
     fhd = (3 << 6) | (1 << 5) | ((1 if checksum else 0) << 2)
     out.append(fhd)
@@ -832,11 +1040,33 @@ def zstd_compress(data: bytes, *, checksum: bool = True) -> bytes:
         out += (1 << 0 | 0 << 1 | 0 << 3).to_bytes(3, "little")
     else:
         step = MAX_BLOCK
+        table: dict = {}
         for i in range(0, len(data), step):
             chunk = data[i:i + step]
             last = 1 if i + step >= len(data) else 0
-            out += (last | (len(chunk) << 3)).to_bytes(3, "little")
-            out += chunk
+            block = None
+            if mode == "lz" and len(chunk) == chunk.count(
+                    chunk[:1]) and len(chunk) > 1:
+                out += (last | (1 << 1)
+                        | (len(chunk) << 3)).to_bytes(3, "little")
+                out.append(chunk[0])
+                continue
+            if mode == "lz":
+                seqs, lits = _lz_sequences(
+                    data, i, i + len(chunk), table)
+                if seqs:
+                    body = _raw_literals_section(lits) \
+                        + _encode_sequences(seqs)
+                    if len(body) < len(chunk):
+                        block = body
+            if block is None:  # Raw fallback
+                out += (last | (len(chunk) << 3)).to_bytes(
+                    3, "little")
+                out += chunk
+            else:
+                out += (last | (2 << 1)
+                        | (len(block) << 3)).to_bytes(3, "little")
+                out += block
     if checksum:
         out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
     return bytes(out)

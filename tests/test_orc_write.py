@@ -22,7 +22,7 @@ COLS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["SNAPPY", "NONE"])
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "NONE"])
 def test_arrow_orc_reads_back_exact(codec, tmp_path):
     blob = write_orc(COLS, codec=codec)
     p = tmp_path / "w.orc"

@@ -20,7 +20,7 @@ COLS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["SNAPPY", "UNCOMPRESSED"])
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "UNCOMPRESSED"])
 def test_reference_readers_read_back_exact(codec, tmp_path):
     import pyarrow.parquet as pq
 
@@ -78,7 +78,9 @@ def test_hostile_inputs():
     with pytest.raises(ValueError):
         write_parquet([("x", "INT96", [1])])
     with pytest.raises(ValueError):
-        write_parquet([("x", "INT64", [1])], codec="ZSTD")
+        write_parquet([("x", "INT64", [1])], codec="BROTLI")
+    with pytest.raises(ValueError):
+        write_parquet([("x", "INT64", [1])], page_rows=0)
 
 
 def test_multi_page_chunks():
@@ -160,7 +162,7 @@ def test_list_column_spark_reader(spark, tmp_path):
     assert [r["emb"] for r in rows] == [[1.5, 2.5], None, []]
 
 
-@pytest.mark.parametrize("codec", ["SNAPPY", "UNCOMPRESSED"])
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "UNCOMPRESSED"])
 def test_dictionary_and_page_index_reference_readers(codec, tmp_path):
     """Dictionary-encoded pages + ColumnIndex/OffsetIndex + chunk
     Statistics read back value-exact by BOTH reference readers."""

@@ -146,3 +146,121 @@ def test_zstd_parquet_and_orc_files_decode(tmp_path):
                                      m["compression"], s["n_rows"]))
     assert xs == vals
     assert ss == svals
+
+
+def _block_types(framed: bytes) -> list[int]:
+    """Walk frame blocks -> block type ids (0 raw / 1 rle / 2 fse)."""
+    import struct as _s
+
+    pos = 4
+    fhd = framed[pos]
+    pos += 1
+    fcs_code = fhd >> 6
+    single = (fhd >> 5) & 1
+    assert single and fcs_code == 3
+    (fcs,) = _s.unpack_from("<Q", framed, pos)
+    pos += 8
+    types = []
+    while True:
+        bh = int.from_bytes(framed[pos:pos + 3], "little")
+        pos += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        types.append(btype)
+        pos += 1 if btype == 1 else bsize
+        if last:
+            return types
+
+
+def test_lz_mode_emits_compressed_blocks():
+    """The default mode produces genuine Compressed_Blocks (FSE-coded
+    sequences), not Raw fallbacks, on compressible input — and
+    libzstd accepts them."""
+    codec = pa.Codec("zstd")
+    data = b"the quick brown fox. " * 2000
+    framed = zstd_compress(data)
+    assert 2 in _block_types(framed)
+    assert len(framed) < len(data) // 50
+    assert codec.decompress(framed, len(data), asbytes=True) == data
+    # multi-block input keeps compressing across block boundaries
+    big = bytes(range(256)) * 1024  # 256 KiB, period 256
+    framed = zstd_compress(big)
+    assert _block_types(framed).count(2) >= 2
+    assert codec.decompress(framed, len(big), asbytes=True) == big
+    assert zstd_decompress(framed) == big
+
+
+def test_store_mode_still_raw():
+    data = b"the quick brown fox. " * 200
+    framed = zstd_compress(data, mode="store")
+    assert _block_types(framed) == [0]
+    assert zstd_decompress(framed) == data
+    with pytest.raises(ValueError):
+        zstd_compress(b"x", mode="nope")
+
+
+def test_rle_block_for_constant_runs():
+    codec = pa.Codec("zstd")
+    data = b"Q" * 100_000
+    framed = zstd_compress(data)
+    assert set(_block_types(framed)) == {1}
+    assert codec.decompress(framed, len(data), asbytes=True) == data
+
+
+def test_sequence_encoder_code_boundaries():
+    """ll/ml/offset values straddling every code-ladder boundary
+    (direct->extra-bit transitions) roundtrip through both
+    decoders."""
+    codec = pa.Codec("zstd")
+    rng = __import__("random").Random(3)
+    # craft data whose matches hit assorted lengths and offsets
+    for trial in range(6):
+        parts = []
+        seed = bytes(rng.randrange(256) for _ in range(64))
+        parts.append(seed)
+        for _ in range(60):
+            off = rng.randrange(1, len(b"".join(parts)))
+            ln = rng.choice([3, 4, 15, 16, 17, 31, 34, 35, 36, 37,
+                             64, 127, 1029])
+            blob = b"".join(parts)
+            start = rng.randrange(0, max(1, len(blob) - ln))
+            parts.append(blob[start:start + ln])
+            parts.append(bytes(rng.randrange(256)
+                               for _ in range(rng.choice(
+                                   [0, 1, 15, 16, 17, 65]))))
+        data = b"".join(parts)
+        framed = zstd_compress(data)
+        assert zstd_decompress(framed) == data, trial
+        assert codec.decompress(
+            framed, len(data), asbytes=True) == data, trial
+
+
+def test_many_sequences_two_byte_count():
+    """> 127 sequences exercises the 2-byte Number_of_Sequences
+    form."""
+    codec = pa.Codec("zstd")
+    data = b"".join(b"block%04d" % (i % 7) for i in range(3000))
+    framed = zstd_compress(data)
+    assert 2 in _block_types(framed)
+    assert zstd_decompress(framed) == data
+    assert codec.decompress(framed, len(data), asbytes=True) == data
+
+
+def test_random_compress_roundtrip_property():
+    import random as _r
+
+    codec = pa.Codec("zstd")
+    rng = _r.Random(11)
+    for _ in range(25):
+        n = rng.randrange(0, 5000)
+        style = rng.random()
+        if style < 0.3:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        elif style < 0.6:
+            word = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 30)))
+            data = (word * (n // max(1, len(word)) + 1))[:n]
+        else:
+            data = bytes(rng.choice(b"abcd") for _ in range(n))
+        framed = zstd_compress(data)
+        assert zstd_decompress(framed) == data
+        assert codec.decompress(framed, n, asbytes=True) == data
