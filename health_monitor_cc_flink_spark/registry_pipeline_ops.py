@@ -15364,3 +15364,90 @@ def meta_parquet_write_dict_prune(spark, sf_dir):
                 "n_match long, y_sum long, s_distinct long, "
                 "pruned boolean"),
     )
+
+
+@query(
+    "meta_parquet_write_zstd_roundtrip",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 50 + 30 AS BIGINT) AS n
+               FROM documents),
+    r AS (SELECT doc_id, n, j.r
+          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r))
+    SELECT doc_id, TRUE AS ok,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN r % 9 = 4 THEN 0
+                    ELSE (7 * doc_id + 11 * r) % 1000 END)
+                AS BIGINT) AS x_sum,
+           CAST(sum(CASE WHEN r % 9 = 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS x_nulls,
+           CAST(count(DISTINCT (doc_id * 3 + r) % 15) AS BIGINT)
+               AS s_distinct,
+           CAST(sum(CAST(r AS DOUBLE) / 8) AS DOUBLE) AS d_sum
+    FROM r GROUP BY doc_id
+    """,
+    doc="ZSTD write path closed bidirectionally under the hash "
+    "gate: rows are written as a real parquet file whose pages are "
+    "compressed by the OWN entropy-coded zstd encoder (greedy LZ77 "
+    "parse + predefined-mode FSE sequences — RFC 8878 "
+    "Compressed_Blocks, not store mode), then read back two ways: "
+    "pyarrow's C++ (libzstd in the loop — one wrong bit in the "
+    "backward FSE stream and the reference reader rejects the "
+    "frame) for the row-count certificate, and the repo's own "
+    "parquet reader whose _decompress routes through the own zstd "
+    "DECODER — encoder and decoder of the same from-scratch codec "
+    "meeting inside the same file.  Aggregates come from the "
+    "own-reader values.  Scale: zstd is the modern lake default; "
+    "shard export with real compression is per-task CPU, zero "
+    "shuffle.",
+    bench=True,
+)
+def meta_parquet_write_zstd_roundtrip(spark, sf_dir):
+    from .operators.iceberg import read_flat_parquet
+    from .operators.parquet_write import write_parquet
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import io as _io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        cols = ("n_rows", "x_sum", "x_nulls", "s_distinct", "d_sum")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 50 + 30
+                blob = write_parquet([
+                    ("x", "INT64",
+                     [None if r % 9 == 4
+                      else (7 * d + 11 * r) % 1000
+                      for r in range(n)]),
+                    ("s", "STRING",
+                     [f"t{(d * 3 + r) % 15}" for r in range(n)]),
+                    ("dv", "DOUBLE", [r / 8 for r in range(n)]),
+                ], codec="ZSTD", dictionary=True)
+                # reference reader (libzstd) certificate
+                if pq.read_table(_io.BytesIO(blob)).num_rows != n:
+                    raise ValueError("pyarrow row count mismatch")
+                # own reader: own zstd decoder inside own page reader
+                got = read_flat_parquet(blob)
+                xs, ss, ds = got["x"], got["s"], got["dv"]
+                out["doc_id"].append(d)
+                out["ok"].append(len(xs) == n)
+                out["n_rows"].append(len(xs))
+                out["x_sum"].append(
+                    sum(v for v in xs if v is not None))
+                out["x_nulls"].append(sum(v is None for v in xs))
+                out["s_distinct"].append(len(set(ss)))
+                out["d_sum"].append(float(sum(ds)))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_rows long, x_sum long, "
+                "x_nulls long, s_distinct long, d_sum double"),
+    )
