@@ -15451,3 +15451,167 @@ def meta_parquet_write_zstd_roundtrip(spark, sf_dir):
         schema=("doc_id long, ok boolean, n_rows long, x_sum long, "
                 "x_nulls long, s_distinct long, d_sum double"),
     )
+
+
+@query(
+    "streaming_delta_sink_roundtrip",
+    """
+    SELECT CAST(event_id % 6 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS ids_md5
+    FROM events
+    GROUP BY event_id % 6
+    """,
+    doc="Streaming DELTA SINK end-to-end under the hash gate — the "
+    "write side of the lake loop the engine already tails: the "
+    "events stream drains through foreachBatch; per epoch each "
+    "ingest slice becomes ONE Delta commit — executors write the "
+    "slice's rows as real parquet data files with the OWN writer "
+    "(only the file census returns to the driver, never rows), the "
+    "driver appends the <v>.json commit (add actions with "
+    "numRecords stats) via the idempotent atomic-publish sink "
+    "(redelivered epochs no-op on identical bytes, conflict "
+    "raises — tests/test_delta_sink.py), and every third commit a "
+    "CHECKPOINT parquet + _last_checkpoint is written with the own "
+    "writer.  Read-back replays the log with the own walker "
+    "(seeding from the checkpoint, replaying only later commits), "
+    "reads every live data file with the own page reader, and "
+    "reduces to per-bucket (count, sum, md5 of the sorted id list) "
+    "— one lost/duplicated row in any commit, one wrong byte in "
+    "the checkpoint, breaks the hash.  Scale: data files are "
+    "shard-parallel writes; the driver handles only O(files) "
+    "commit metadata — exactly a real Delta writer's division of "
+    "labor.",
+    bench=True,
+)
+def streaming_delta_sink_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+    import uuid
+
+    from .registry import _warehouse_path
+    from .sources.testdata import events_stream
+    from .streaming.sinks import (
+        delta_append_commit,
+        delta_read_snapshot,
+        delta_write_checkpoint,
+    )
+
+    table_dir = _warehouse_path(sf_dir, "delta_sink")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(table_dir, exist_ok=True)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 6).alias("bucket"))
+    state = {"version": 0}
+
+    def write_batch(df, epoch_id):
+        cached = df.cache()
+        try:
+            for g in range(6):
+                sub = cached.filter(F.col("bucket") == g)
+
+                def write_part(batches, g=g):
+                    import pandas as pd
+
+                    from health_monitor_cc_flink_spark.operators \
+                        .parquet_write import write_parquet
+
+                    ids = []
+                    for pdf in batches:
+                        ids.extend(int(v) for v in pdf["event_id"])
+                    if not ids:
+                        yield pd.DataFrame(
+                            {"path": [], "n": [], "size": []})
+                        return
+                    blob = write_parquet([
+                        ("event_id", "INT64", ids),
+                        ("bucket", "INT64", [g] * len(ids)),
+                    ])
+                    name = f"part-{uuid.uuid4().hex}.parquet"
+                    with open(os.path.join(table_dir, name),
+                              "wb") as f:
+                        f.write(blob)
+                    yield pd.DataFrame({"path": [name],
+                                        "n": [len(ids)],
+                                        "size": [len(blob)]})
+
+                census = sub.repartition(8).mapInPandas(
+                    write_part,
+                    schema="path string, n long, size long"
+                ).collect()
+                v = state["version"]
+                actions = []
+                if v == 0:
+                    actions.append({"protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2}})
+                    actions.append({"metaData": {"id": "delta-sink"}})
+                import json as _json
+
+                for row in census:
+                    actions.append({"add": {
+                        "path": row["path"],
+                        "partitionValues": {},
+                        "size": int(row["size"]),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": _json.dumps(
+                            {"numRecords": int(row["n"])},
+                            separators=(",", ":"))}})
+                delta_append_commit(log_dir, v, actions)
+                state["version"] = v + 1
+                if state["version"] % 3 == 0:
+                    delta_write_checkpoint(log_dir)
+        finally:
+            cached.unpersist()
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "delta_sink_ckpt")
+                 + uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    snap = delta_read_snapshot(log_dir)
+    # structural certificates: a checkpoint was written and seeds
+    # the replay; the census is complete and the files exist
+    if not os.path.exists(os.path.join(log_dir, "_last_checkpoint")):
+        raise RuntimeError("delta sink wrote no checkpoint")
+    if snap["version"] != state["version"] - 1 or not snap["live"]:
+        raise RuntimeError("delta sink snapshot incomplete")
+    for path in snap["live"]:
+        if not os.path.exists(os.path.join(table_dir, path)):
+            raise RuntimeError(f"live data file missing: {path}")
+
+    files = spark.createDataFrame(
+        [(p,) for p in sorted(snap["live"])], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def read_back(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+
+        for pdf in batches:
+            out = {"bucket": [], "event_id": []}
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                out["bucket"].extend(cols["bucket"])
+                out["event_id"].extend(cols["event_id"])
+            yield pd.DataFrame(out)
+
+    decoded = files.mapInPandas(read_back,
+                                schema="bucket long, event_id long")
+    return decoded.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.md5(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.col("event_id"))).cast("array<string>")))
+        .alias("ids_md5"),
+    )

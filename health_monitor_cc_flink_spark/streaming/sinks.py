@@ -127,3 +127,82 @@ def cdc_merge_batch(state_dir: str):
         publish_dir_atomically(tmp, state_dir)
 
     return merge
+
+
+def delta_append_commit(log_dir: str, version: int,
+                        actions: list[dict]) -> bool:
+    """Idempotently append ``<version>.json`` to a ``_delta_log/``
+    directory.  foreachBatch delivers epochs at-least-once, so a
+    replayed commit with IDENTICAL bytes is a no-op (returns False);
+    a different payload at an existing version raises — the same
+    conflict contract streaming_delta_tail applies on the read side.
+    Returns True when the commit was newly written.  Driver-side,
+    file-census-sized: only add/remove action metadata flows here,
+    never data rows."""
+    from ..operators.delta_log import build_delta_log, commit_filename
+
+    os.makedirs(log_dir, exist_ok=True)
+    blob = build_delta_log({version: actions})[
+        commit_filename(version)]
+    path = os.path.join(log_dir, commit_filename(version))
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            if f.read() == blob:
+                return False
+        raise ValueError(
+            f"conflicting commit payload at version {version}")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.rename(tmp, path)  # atomic publish of the commit
+    return True
+
+
+def delta_write_checkpoint(log_dir: str) -> int:
+    """Replay the ``_delta_log/`` directory with the own log walker
+    and write a checkpoint parquet (own parquet writer) plus
+    ``_last_checkpoint`` at the current version; returns that
+    version.  Earlier commits stay on disk (vacuum is a separate
+    concern) — a reader seeds from the checkpoint and replays only
+    later commits."""
+    import json
+
+    from ..operators.delta_log import (
+        checkpoint_filename,
+        parse_delta_log_files,
+        write_checkpoint_parquet,
+    )
+
+    files = {}
+    for name in os.listdir(log_dir):
+        with open(os.path.join(log_dir, name), "rb") as f:
+            files[name] = f.read()
+    snap = parse_delta_log_files(files)
+    blob, n_actions = write_checkpoint_parquet(snap)
+    v = snap["version"]
+    ck = os.path.join(log_dir, checkpoint_filename(v))
+    tmp = ck + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.rename(tmp, ck)
+    lc = json.dumps({"version": v, "size": n_actions},
+                    separators=(",", ":")).encode("utf-8")
+    tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
+    with open(tmp, "wb") as f:
+        f.write(lc)
+    os.rename(tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return v
+
+
+def delta_read_snapshot(log_dir: str) -> dict:
+    """Replay a ``_delta_log/`` directory -> snapshot dict (seeds
+    from ``_last_checkpoint`` when present, replays later commits)."""
+    from ..operators.delta_log import parse_delta_log_files
+
+    files = {}
+    for name in os.listdir(log_dir):
+        if name.endswith(".tmp"):
+            continue
+        with open(os.path.join(log_dir, name), "rb") as f:
+            files[name] = f.read()
+    return parse_delta_log_files(files)
