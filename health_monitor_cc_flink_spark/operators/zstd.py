@@ -970,6 +970,176 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
     return bytes(out)
 
 
+def _package_merge_lengths(freqs: dict[int, int],
+                           max_len: int) -> dict[int, int]:
+    """Optimal length-limited Huffman code lengths (package-merge):
+    build L levels of paired packages over the leaves, select the
+    2n-2 cheapest items of the final level, and each symbol's code
+    length is the number of selected items containing it."""
+    syms = sorted(freqs)
+    n = len(syms)
+    if n == 1:
+        return {syms[0]: 1}
+    if n > 1 << max_len:
+        raise ValueError("alphabet too large for length limit")
+    leaves = sorted((freqs[s], (s,)) for s in syms)
+    # level max_len holds just the leaves; each level above merges
+    # the leaves with pairwise packages of the level below; lengths
+    # come from how often a symbol appears in the cheapest 2n-2
+    # items of the TOP level
+    prev: list = []
+    for _ in range(max_len - 1):
+        cur = sorted(leaves + prev, key=lambda x: x[0])
+        prev = [(cur[i][0] + cur[i + 1][0],
+                 cur[i][1] + cur[i + 1][1])
+                for i in range(0, len(cur) - 1, 2)]
+    final = sorted(leaves + prev, key=lambda x: x[0])
+    lengths = dict.fromkeys(syms, 0)
+    for _, pack in final[:2 * n - 2]:
+        for s in pack:
+            lengths[s] += 1
+    if any(not 1 <= l <= max_len for l in lengths.values()):
+        raise ValueError("package-merge produced bad lengths")
+    return lengths
+
+
+def _huffman_code(lit: bytes) -> tuple[dict, int, bytes] | None:
+    """Literals -> (codes {byte: (value, nbits)}, max_bits, weights
+    header+payload) or None when Huffman can't apply (single symbol,
+    or the direct-weights form can't describe the alphabet)."""
+    freqs: dict[int, int] = {}
+    for b in lit:
+        freqs[b] = freqs.get(b, 0) + 1
+    if len(freqs) < 2:
+        return None
+    last = max(freqs)
+    if last > 128:
+        # the direct 4-bit weights form describes symbols 0..127 at
+        # most (header byte 128+n, n <= 128); FSE-compressed weights
+        # are a read-side feature — fall back to raw literals
+        return None
+    lengths = _package_merge_lengths(freqs, 11)
+    max_bits = max(lengths.values())
+    # weight = max_bits + 1 - nbits; the LAST present symbol's
+    # weight is implied by completing the 2^max_bits tree
+    weights = [0] * last  # explicit weights for symbols 0..last-1
+    for s, l in lengths.items():
+        if s < last:
+            weights[s] = max_bits + 1 - l
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    left = (1 << max_bits) - total
+    if left <= 0 or left & (left - 1) \
+            or left.bit_length() != max_bits + 1 - lengths[last]:
+        raise ValueError("huffman weights do not complete the tree")
+    header = bytes([127 + last]) + bytes(
+        (weights[i] << 4)
+        | (weights[i + 1] if i + 1 < last else 0)
+        for i in range(0, last, 2))
+    # canonical code values mirror _HufTable's fill: weight-
+    # ascending regions, natural symbol order within a weight; the
+    # nb-bit code is the region start's top nb bits
+    all_w = weights + [left.bit_length()]
+    rank_start = [0] * (max_bits + 2)
+    for w in all_w:
+        if w > 0:
+            rank_start[w + 1] += 1 << (w - 1)
+    for w in range(1, max_bits + 2):
+        rank_start[w] += rank_start[w - 1]
+    codes: dict[int, tuple[int, int]] = {}
+    for s, w in enumerate(all_w):
+        if w == 0:
+            continue
+        nb = max_bits + 1 - w
+        codes[s] = (rank_start[w] >> (max_bits - nb), nb)
+        rank_start[w] += 1 << (w - 1)
+    return codes, max_bits, header
+
+
+def _huffman_stream(lit: bytes, codes: dict) -> bytes:
+    """One backward Huffman bitstream: first-decoded literal written
+    last, sentinel on top (the _BackBits convention)."""
+    w = _BitWriter()
+    for b in reversed(lit):
+        value, nb = codes[b]
+        w.put(value, nb)
+    return w.close()
+
+
+def _huffman_literals_section(lit: bytes) -> bytes | None:
+    """Compressed_Literals_Block (ltype 2): Huffman tree description
+    + 1-stream (<= 1023 regenerated bytes) or 4-stream body with the
+    6-byte jump table.  None when Huffman doesn't apply or loses to
+    raw."""
+    built = _huffman_code(lit)
+    if built is None:
+        return None
+    codes, _, tree = built
+    rsize = len(lit)
+    if rsize <= 1023:
+        body = tree + _huffman_stream(lit, codes)
+        csize = len(body)
+        if csize > 1023:
+            return None
+        b0 = 2 | (0 << 2) | ((rsize & 15) << 4)
+        hdr = bytes([b0, (rsize >> 4) | ((csize & 3) << 6),
+                     csize >> 2])
+        return hdr + body
+    part = (rsize + 3) // 4
+    streams = [
+        _huffman_stream(lit[0:part], codes),
+        _huffman_stream(lit[part:2 * part], codes),
+        _huffman_stream(lit[2 * part:3 * part], codes),
+        _huffman_stream(lit[3 * part:], codes),
+    ]
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        return None
+    body = (tree + struct.pack("<3H", *(len(s) for s in streams[:3]))
+            + b"".join(streams))
+    csize = len(body)
+    if rsize < 1 << 14 and csize < 1 << 14:
+        hdr = bytes([
+            2 | (2 << 2) | ((rsize & 15) << 4),
+            (rsize >> 4) & 0xFF,
+            (rsize >> 12) | ((csize & 0x3F) << 2),
+            csize >> 6,
+        ])
+    elif rsize < 1 << 18 and csize < 1 << 18:
+        hdr = bytes([
+            2 | (3 << 2) | ((rsize & 15) << 4),
+            (rsize >> 4) & 0xFF,
+            ((rsize >> 12) & 0x3F) | ((csize & 3) << 6),
+            (csize >> 2) & 0xFF,
+            csize >> 10,
+        ])
+    else:
+        return None
+    return hdr + body
+
+
+def _rle_literals_section(lit: bytes) -> bytes | None:
+    """RLE_Literals_Block (ltype 1) when every literal is one byte."""
+    if len(lit) < 2 or lit.count(lit[0]) != len(lit):
+        return None
+    n = len(lit)
+    if n < 32:
+        return bytes([1 | (n << 3), lit[0]])
+    if n < 1 << 12:
+        return bytes([1 | (1 << 2) | ((n & 15) << 4), n >> 4,
+                      lit[0]])
+    return bytes([1 | (3 << 2) | ((n & 15) << 4), (n >> 4) & 0xFF,
+                  n >> 12, lit[0]])
+
+
+def _literals_section(lit: bytes) -> bytes:
+    """Smallest of Huffman-compressed / RLE / raw literals."""
+    best = _raw_literals_section(lit)
+    for cand in (_huffman_literals_section(lit),
+                 _rle_literals_section(lit)):
+        if cand is not None and len(cand) < len(best):
+            best = cand
+    return best
+
+
 def _raw_literals_section(lit: bytes) -> bytes:
     n = len(lit)
     if n < 32:
@@ -1054,11 +1224,10 @@ def zstd_compress(data: bytes, *, checksum: bool = True,
             if mode == "lz":
                 seqs, lits = _lz_sequences(
                     data, i, i + len(chunk), table)
-                if seqs:
-                    body = _raw_literals_section(lits) \
-                        + _encode_sequences(seqs)
-                    if len(body) < len(chunk):
-                        block = body
+                body = _literals_section(lits) + (
+                    _encode_sequences(seqs) if seqs else b"\x00")
+                if len(body) < len(chunk):
+                    block = body
             if block is None:  # Raw fallback
                 out += (last | (len(chunk) << 3)).to_bytes(
                     3, "little")

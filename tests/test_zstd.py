@@ -264,3 +264,77 @@ def test_random_compress_roundtrip_property():
         framed = zstd_compress(data)
         assert zstd_decompress(framed) == data
         assert codec.decompress(framed, n, asbytes=True) == data
+
+
+def test_huffman_literals_one_and_four_stream():
+    """Compressible literals with no LZ matches exercise the Huffman
+    literals path: <=1023 regenerated -> 1-stream, larger ->
+    4-stream with the jump table; libzstd accepts both."""
+    import random as _r
+
+    from health_monitor_cc_flink_spark.operators.zstd import (
+        _huffman_literals_section,
+    )
+
+    codec = pa.Codec("zstd")
+    rng = _r.Random(5)
+    small = bytes(rng.choice(b"abcdefgh ") for _ in range(900))
+    big = bytes(rng.choice(b"abcdefgh ") for _ in range(9000))
+    for data in (small, big):
+        sec = _huffman_literals_section(data)
+        assert sec is not None and len(sec) < len(data)
+        framed = zstd_compress(data)
+        assert len(framed) < len(data)
+        assert zstd_decompress(framed) == data
+        assert bytes(codec.decompress(framed, len(data))) == data
+    # 1-stream vs 4-stream header forms
+    assert (small and (_huffman_literals_section(small)[0] >> 2) & 3
+            == 0)
+    assert (_huffman_literals_section(big)[0] >> 2) & 3 in (2, 3)
+
+
+def test_huffman_length_limit_eleven():
+    """Fibonacci-ish frequencies force unbounded Huffman depth far
+    past 11; package-merge must cap at 11 with a complete tree the
+    decoder accepts."""
+    from health_monitor_cc_flink_spark.operators.zstd import (
+        _package_merge_lengths,
+    )
+
+    a, b = 1, 2
+    freqs = {}
+    for s in range(20):
+        freqs[s] = a
+        a, b = b, a + b
+    lengths = _package_merge_lengths(freqs, 11)
+    assert max(lengths.values()) <= 11
+    assert sum(2 ** (11 - l) for l in lengths.values()) == 1 << 11
+    # end-to-end: data drawn from that distribution roundtrips
+    data = b"".join(bytes([s]) * f for s, f in freqs.items())
+    framed = zstd_compress(data)
+    assert zstd_decompress(framed) == data
+    assert bytes(pa.Codec("zstd").decompress(
+        framed, len(data))) == data
+
+
+def test_huffman_high_symbol_falls_back():
+    """A literal byte > 128 can't ride the direct 4-bit weights
+    form; the encoder falls back rather than emit a bad tree."""
+    from health_monitor_cc_flink_spark.operators.zstd import (
+        _huffman_literals_section,
+    )
+
+    assert _huffman_literals_section(b"ab\xff" * 100) is None
+    data = b"ab\xff" * 100  # still roundtrips via other forms
+    framed = zstd_compress(data)
+    assert zstd_decompress(framed) == data
+
+
+def test_rle_literals_inside_compressed_block():
+    """A block whose literals are one repeated byte (but which has
+    matches) uses the RLE literals form."""
+    codec = pa.Codec("zstd")
+    data = b"a" * 500 + b"XYZQ" + b"a" * 500 + b"XYZQ"
+    framed = zstd_compress(data)
+    assert zstd_decompress(framed) == data
+    assert bytes(codec.decompress(framed, len(data))) == data
