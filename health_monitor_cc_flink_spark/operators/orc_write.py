@@ -143,31 +143,44 @@ def _bits_msb(flags: list[bool]) -> bytes:
     return bytes(out)
 
 
+_COMPRESSION_BLOCK = 1 << 18  # postscript compressionBlockSize
+
+
 def _compress_stream(raw: bytes, codec: str) -> bytes:
     if codec == "NONE":
         return raw
     out = bytearray()
-    # one chunk per stream is valid; emit stored when the codec loses
-    if codec == "ZSTD":
-        from .zstd import zstd_compress
+    # chunk at compressionBlockSize: readers size their buffers from
+    # the postscript and reject chunks whose ORIGINAL length exceeds
+    # it; stored (isOriginal) when the codec loses
+    for i in range(0, len(raw) or 1, _COMPRESSION_BLOCK):
+        chunk = raw[i:i + _COMPRESSION_BLOCK]
+        if codec == "ZSTD":
+            from .zstd import zstd_compress
 
-        comp = zstd_compress(raw, checksum=False)
-    else:
-        comp = snappy_compress_block(raw)
-    if len(comp) < len(raw):
-        out += (len(comp) << 1).to_bytes(3, "little")
-        out += comp
-    else:
-        out += ((len(raw) << 1) | 1).to_bytes(3, "little")
-        out += raw
+            comp = zstd_compress(chunk, checksum=False)
+        else:
+            comp = snappy_compress_block(chunk)
+        if len(comp) < len(chunk):
+            out += (len(comp) << 1).to_bytes(3, "little")
+            out += comp
+        else:
+            out += ((len(chunk) << 1) | 1).to_bytes(3, "little")
+            out += chunk
     return bytes(out)
 
 
 def write_orc(columns: list[tuple[str, str, list]], *,
-              codec: str = "SNAPPY") -> bytes:
+              codec: str = "SNAPPY",
+              dictionary: bool = False) -> bytes:
     """[(name, kind, values)] (None = null; kind LONG / DOUBLE /
     STRING / BOOLEAN / TIMESTAMP (epoch-nanos ints) / DECIMAL
-    (decimal.Decimal)) -> ORC file bytes, one stripe."""
+    (decimal.Decimal)) -> ORC file bytes, one stripe.
+
+    ``dictionary`` — STRING columns with <= 2^16 distinct values are
+    written DICTIONARY_V2 (sorted dictionary per the spec: RLEv2
+    index DATA, sorted-entry LENGTHs, concatenated
+    DICTIONARY_DATA)."""
     if not columns:
         raise ValueError("no columns")
     n_rows = len(columns[0][2])
@@ -262,6 +275,22 @@ def write_orc(columns: list[tuple[str, str, list]], *,
                 (ci, 5, rlev2_encode([scale] * len(present),
                                      signed=True)))
             encodings.append(2)
+        elif kind == "STRING" and dictionary \
+                and 0 < len(set(present)) <= len(present) \
+                and len(set(present)) <= 1 << 16:
+            # DICTIONARY_V2 (spec: sorted dictionary): DATA = RLEv2
+            # indices, LENGTH = sorted-entry byte lengths,
+            # DICTIONARY_DATA = concatenated sorted utf-8
+            words = sorted(set(present))
+            pos = {w: i for i, w in enumerate(words)}
+            raws = [w.encode("utf-8") for w in words]
+            streams.append((ci, 1, rlev2_encode(
+                [pos[v] for v in present], signed=False)))
+            streams.append(
+                (ci, 2, rlev2_encode([len(r) for r in raws],
+                                     signed=False)))
+            streams.append((ci, 3, b"".join(raws)))
+            encodings.append((3, len(words)))
         else:  # STRING DIRECT_V2
             raws = [v.encode("utf-8") for v in present]
             streams.append((ci, 1, b"".join(raws)))
@@ -283,7 +312,11 @@ def write_orc(columns: list[tuple[str, str, list]], *,
         sf += pb_bytes(1, pb_varint(1, skind) + pb_varint(2, col)
                        + pb_varint(3, ln))
     for enc in encodings:
-        sf += pb_bytes(2, pb_varint(1, enc))
+        if isinstance(enc, tuple):  # (kind, dictionarySize)
+            sf += pb_bytes(2, pb_varint(1, enc[0])
+                           + pb_varint(2, enc[1]))
+        else:
+            sf += pb_bytes(2, pb_varint(1, enc))
     sf_blob = _compress_stream(bytes(sf), codec)
     out += sf_blob
 
