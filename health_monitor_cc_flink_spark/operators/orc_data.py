@@ -254,6 +254,31 @@ def decode_present(data: bytes, n_rows: int) -> list[bool]:
             for i in range(n_rows)]
 
 
+def stripe_stream_census(data: bytes, stripe: dict,
+                         codec: str) -> dict:
+    """Decode one stripe's FOOTER only -> {"streams": [(column,
+    kind, length)], "encodings": [(kind, dict_size)]} — the
+    planner/inspector view (which encodings a writer chose, which
+    streams exist) without touching data bytes."""
+    foot_off = (stripe["offset"] + stripe["index_length"]
+                + stripe["data_length"])
+    sf_raw = _decompress_stream(
+        data[foot_off:foot_off + stripe["footer_length"]], codec)
+    sf = proto_decode(sf_raw)
+    streams = []
+    for blob in sf.get(1, []):
+        st = proto_decode(bytes(blob))
+        streams.append((_varint_val(st.get(2, [0])[-1]),
+                        _varint_val(st.get(1, [0])[-1]),
+                        _varint_val(st.get(3, [0])[-1])))
+    encodings = []
+    for blob in sf.get(2, []):
+        enc = proto_decode(bytes(blob))
+        encodings.append((_varint_val(enc.get(1, [0])[-1]),
+                          _varint_val(enc.get(2, [0])[-1])))
+    return {"streams": streams, "encodings": encodings}
+
+
 def read_stripe_column(data: bytes, stripe: dict, kind_name: str,
                        column_id: int, codec: str,
                        n_rows: int, types: list | None = None) -> list:
