@@ -970,6 +970,166 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
     return bytes(out)
 
 
+class _FwdBitWriter:
+    """Forward little-endian bit writer (FSE table descriptions) —
+    the inverse of _FwdBits; zero-pads the final byte."""
+
+    __slots__ = ("acc", "n")
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+
+    def bytes(self) -> bytes:
+        return self.acc.to_bytes((self.n + 7) // 8 or 1, "little")
+
+
+def fse_normalize(counts: dict[int, int], acc_log: int) -> list[int]:
+    """Symbol counts -> normalized probabilities summing to
+    1 << acc_log, every present symbol >= 1 (no low-prob cells) —
+    the shape fse_write_distribution serializes."""
+    size = 1 << acc_log
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("fse normalize: empty counts")
+    last = max(counts)
+    if len(counts) > size:
+        raise ValueError("fse normalize: alphabet exceeds table")
+    probs = [0] * (last + 1)
+    floors: list[tuple[float, int]] = []
+    assigned = 0
+    for s, c in counts.items():
+        p = max(1, c * size // total)
+        probs[s] = p
+        assigned += p
+        floors.append((c * size / total - p, s))
+    # largest-remainder fixup toward exactly `size`
+    floors.sort(reverse=True)
+    i = 0
+    while assigned < size:
+        s = floors[i % len(floors)][1]
+        probs[s] += 1
+        assigned += 1
+        i += 1
+    while assigned > size:
+        # take from the largest prob that stays >= 1
+        s = max((p, s) for s, p in enumerate(probs) if p > 1)[1]
+        probs[s] -= 1
+        assigned -= 1
+    return probs
+
+
+def fse_write_distribution(probs: list[int], acc_log: int) -> bytes:
+    """Normalized probabilities -> FSE table description bytes — the
+    exact inverse of fse_read_distribution (truncated-binary values,
+    2-bit zero-repeat fields)."""
+    size = 1 << acc_log
+    w = _FwdBitWriter()
+    w.put(acc_log - 5, 4)
+    remaining = size + 1
+    threshold = size
+    nb = acc_log + 1
+    i = 0
+    n = len(probs)
+    while remaining > 1 and i < n:
+        p = probs[i]
+        v = p + 1  # field value; -1 (low-prob) -> 0
+        maxv = (2 * threshold - 1) - remaining
+        if v < maxv:
+            w.put(v, nb - 1)
+        elif v < threshold:
+            w.put(v, nb)
+        else:
+            w.put(v + maxv, nb)
+        remaining -= -p if p < 0 else p
+        i += 1
+        if p == 0:
+            # zero-repeat fields cover the FOLLOWING zeros
+            z = 0
+            while i + z < n and probs[i + z] == 0:
+                z += 1
+            i += z
+            while z >= 3:
+                w.put(3, 2)
+                z -= 3
+            w.put(z, 2)
+        while remaining < threshold:
+            nb -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ValueError("fse distribution does not sum to table")
+    return w.bytes()
+
+
+def _fse_two_state_weights(weights: list[int]) -> bytes | None:
+    """Huffman tree description, FSE form (header byte < 128): the
+    weight sequence coded by TWO interleaved FSE states over a
+    custom normalized distribution (§4.2.1.2) — the inverse of
+    _read_huffman_weights' FSE branch.  None when the shape can't
+    terminate (single-symbol distribution) or wouldn't fit."""
+    n = len(weights)
+    if n < 2 or n > 255:
+        return None
+    counts: dict[int, int] = {}
+    for v in weights:
+        counts[v] = counts.get(v, 0) + 1
+    if len(counts) < 2:
+        return None  # nbits-0 cells everywhere: undecodable end
+    acc_log = 6
+    probs = fse_normalize(counts, acc_log)
+    desc = fse_write_distribution(probs, acc_log)
+    enc = _FSEEncTable(probs, acc_log)
+
+    def last_cell(sym: int) -> int | None:
+        for base, nbits, cell in enc.by_symbol.get(sym, ()):
+            if nbits >= 1:
+                return cell
+        return None
+
+    evens = weights[0::2]  # carried by state 1
+    odds = weights[1::2]   # carried by state 2
+
+    def chain(seq: list[int]) -> tuple[list[int], list] | None:
+        """states s_0..s_{m-1} + transitions t_k: s_k -> s_{k+1}."""
+        m = len(seq)
+        states = [0] * m
+        cell = last_cell(seq[-1])
+        if cell is None:
+            return None
+        states[m - 1] = cell
+        trans = [None] * (m - 1)
+        for k in range(m - 2, -1, -1):
+            cell, bits, nbits = enc.cell_for(seq[k], states[k + 1])
+            states[k] = cell
+            trans[k] = (bits, nbits)
+        return states, trans
+
+    c1 = chain(evens)
+    c2 = chain(odds)
+    if c1 is None or c2 is None:
+        return None
+    s1, t1 = c1
+    s2, t2 = c2
+    fields: list[tuple[int, int]] = [(s1[0], acc_log),
+                                     (s2[0], acc_log)]
+    for k in range(max(len(t1), len(t2))):
+        if k < len(t1):
+            fields.append(t1[k])
+        if k < len(t2):
+            fields.append(t2[k])
+    bw = _BitWriter()
+    for value, nbits in reversed(fields):
+        bw.put(value, nbits)
+    payload = desc + bw.close()
+    if len(payload) >= 128:
+        return None  # header byte is the compressed size, < 128
+    return bytes([len(payload)]) + payload
+
+
 def _package_merge_lengths(freqs: dict[int, int],
                            max_len: int) -> dict[int, int]:
     """Optimal length-limited Huffman code lengths (package-merge):
@@ -1013,11 +1173,6 @@ def _huffman_code(lit: bytes) -> tuple[dict, int, bytes] | None:
     if len(freqs) < 2:
         return None
     last = max(freqs)
-    if last > 128:
-        # the direct 4-bit weights form describes symbols 0..127 at
-        # most (header byte 128+n, n <= 128); FSE-compressed weights
-        # are a read-side feature — fall back to raw literals
-        return None
     lengths = _package_merge_lengths(freqs, 11)
     max_bits = max(lengths.values())
     # weight = max_bits + 1 - nbits; the LAST present symbol's
@@ -1031,10 +1186,22 @@ def _huffman_code(lit: bytes) -> tuple[dict, int, bytes] | None:
     if left <= 0 or left & (left - 1) \
             or left.bit_length() != max_bits + 1 - lengths[last]:
         raise ValueError("huffman weights do not complete the tree")
-    header = bytes([127 + last]) + bytes(
-        (weights[i] << 4)
-        | (weights[i + 1] if i + 1 < last else 0)
-        for i in range(0, last, 2))
+    # tree description: direct 4-bit form (symbols 0..127 only) vs
+    # FSE-compressed weights — whichever is smaller / possible
+    direct = None
+    if last <= 128:
+        direct = bytes([127 + last]) + bytes(
+            (weights[i] << 4)
+            | (weights[i + 1] if i + 1 < last else 0)
+            for i in range(0, last, 2))
+    fse_form = _fse_two_state_weights(weights)
+    if direct is None and fse_form is None:
+        return None
+    if direct is None or (fse_form is not None
+                          and len(fse_form) < len(direct)):
+        header = fse_form
+    else:
+        header = direct
     # canonical code values mirror _HufTable's fill: weight-
     # ascending regions, natural symbol order within a weight; the
     # nb-bit code is the region start's top nb bits

@@ -317,17 +317,66 @@ def test_huffman_length_limit_eleven():
         framed, len(data))) == data
 
 
-def test_huffman_high_symbol_falls_back():
-    """A literal byte > 128 can't ride the direct 4-bit weights
-    form; the encoder falls back rather than emit a bad tree."""
+def test_huffman_high_symbol_uses_fse_weights():
+    """A literal byte > 128 can't ride the direct 4-bit weights form
+    (header 128+n caps at symbol 128): the tree description switches
+    to the FSE-compressed two-state form (header < 128), which
+    libzstd must accept."""
     from health_monitor_cc_flink_spark.operators.zstd import (
         _huffman_literals_section,
     )
 
-    assert _huffman_literals_section(b"ab\xff" * 100) is None
-    data = b"ab\xff" * 100  # still roundtrips via other forms
+    codec = pa.Codec("zstd")
+    data = bytes([10, 200, 220, 240, 250, 255][i % 6]
+                 for i in range(3000))
+    sec = _huffman_literals_section(data)
+    assert sec is not None
+    assert sec[3] < 128  # tree header byte: FSE form
+    framed = zstd_compress(data)
+    assert len(framed) < len(data)
+    assert zstd_decompress(framed) == data
+    assert bytes(codec.decompress(framed, len(data))) == data
+
+
+def test_fse_distribution_writer_roundtrip():
+    """fse_write_distribution is the exact inverse of
+    fse_read_distribution across random normalized shapes."""
+    import random as _r
+
+    from health_monitor_cc_flink_spark.operators.zstd import (
+        fse_normalize,
+        fse_read_distribution,
+        fse_write_distribution,
+    )
+
+    rng = _r.Random(7)
+    for _ in range(150):
+        nsym = rng.randrange(2, 14)
+        counts = {s: rng.randrange(1, 1000)
+                  for s in rng.sample(range(13), nsym)}
+        probs = fse_normalize(counts, 6)
+        assert sum(probs) == 1 << 6
+        blob = fse_write_distribution(probs, 6)
+        got, acc, _ = fse_read_distribution(blob, 255)
+        assert acc == 6
+        assert got == probs[:len(got)]
+        assert all(p == 0 for p in probs[len(got):])
+
+
+def test_fse_weights_form_chosen_when_smaller():
+    """Wide low-cardinality weight vectors compress below the direct
+    4-bit form and the encoder picks the FSE form."""
+    import random as _r
+
+    codec = pa.Codec("zstd")
+    rng = _r.Random(3)
+    # 120 distinct symbols -> 60-byte direct form; weights are
+    # near-uniform so the FSE form undercuts it
+    alpha = bytes(range(120))
+    data = bytes(rng.choice(alpha) for _ in range(20000))
     framed = zstd_compress(data)
     assert zstd_decompress(framed) == data
+    assert bytes(codec.decompress(framed, len(data))) == data
 
 
 def test_rle_literals_inside_compressed_block():
