@@ -15889,3 +15889,237 @@ def meta_orc_write_dict_roundtrip(spark, sf_dir):
                 "s_distinct long, s_nulls long, s_min string, "
                 "x_sum long"),
     )
+
+
+@query(
+    "streaming_delta_sink_optimize",
+    """
+    SELECT CAST(event_id % 6 AS BIGINT) AS bucket,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS ids_md5
+    FROM events
+    GROUP BY event_id % 6
+    """,
+    doc="Delta OPTIMIZE (small-file compaction) on top of the "
+    "streaming sink, under the hash gate: after the foreachBatch "
+    "sink lands its per-epoch-per-slice small files, a compaction "
+    "pass reads each bucket's live files with the OWN page reader "
+    "(executor-side), rewrites them as ONE file per bucket with the "
+    "OWN writer (dictionary + page index — compaction is where "
+    "clustering pays), and commits a single OPTIMIZE version whose "
+    "add+remove action set atomically swaps the census; a "
+    "checkpoint follows and the replay (own walker) must show "
+    "EXACTLY one live file per bucket while the data content is "
+    "bit-for-bit invariant (count/sum/md5 vs the pre-compaction "
+    "table = the oracle on raw events).  dataChange=false marks the "
+    "rewrite as reorganization, as real OPTIMIZE commits do.  "
+    "Scale: compaction is the steady-state health job of every "
+    "streaming lake — per-bucket rewrites are embarrassingly "
+    "parallel, the driver commits only the file census swap.",
+    bench=True,
+)
+def streaming_delta_sink_optimize(spark, sf_dir):
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    from .registry import _warehouse_path
+    from .sources.testdata import events_stream
+    from .streaming.sinks import (
+        delta_append_commit,
+        delta_read_snapshot,
+        delta_write_checkpoint,
+    )
+
+    table_dir = _warehouse_path(sf_dir, "delta_opt")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(table_dir, exist_ok=True)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 6).alias("bucket"))
+    state = {"version": 0}
+
+    def write_batch(df, epoch_id):
+        cached = df.cache()
+        try:
+            for g in range(6):
+                sub = cached.filter(F.col("bucket") == g)
+
+                def write_part(batches, g=g):
+                    import pandas as pd
+
+                    from health_monitor_cc_flink_spark.operators \
+                        .parquet_write import write_parquet
+
+                    ids = []
+                    for pdf in batches:
+                        ids.extend(int(v) for v in pdf["event_id"])
+                    if not ids:
+                        yield pd.DataFrame(
+                            {"path": [], "n": [], "size": []})
+                        return
+                    blob = write_parquet([
+                        ("event_id", "INT64", ids),
+                        ("bucket", "INT64", [g] * len(ids)),
+                    ])
+                    name = f"part-{uuid.uuid4().hex}.parquet"
+                    with open(os.path.join(table_dir, name),
+                              "wb") as f:
+                        f.write(blob)
+                    yield pd.DataFrame({"path": [name],
+                                        "n": [len(ids)],
+                                        "size": [len(blob)]})
+
+                census = sub.repartition(4).mapInPandas(
+                    write_part,
+                    schema="path string, n long, size long"
+                ).collect()
+                v = state["version"]
+                actions = []
+                if v == 0:
+                    actions.append({"protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2}})
+                    actions.append({"metaData": {"id": "delta-opt"}})
+                for row in census:
+                    actions.append({"add": {
+                        "path": row["path"],
+                        "partitionValues": {},
+                        "size": int(row["size"]),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": _json.dumps(
+                            {"numRecords": int(row["n"])},
+                            separators=(",", ":"))}})
+                delta_append_commit(log_dir, v, actions)
+                state["version"] = v + 1
+        finally:
+            cached.unpersist()
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "delta_opt_ckpt")
+                 + uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    pre = delta_read_snapshot(log_dir)
+    if not pre["live"]:
+        raise RuntimeError("sink wrote no files")
+
+    # OPTIMIZE: one rewrite task per bucket reads that bucket's live
+    # files with the own reader and writes ONE clustered file
+    files = spark.createDataFrame(
+        [(p,) for p in sorted(pre["live"])], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def tag(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+
+        for pdf in batches:
+            out = {"path": [], "bucket": []}
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                out["path"].append(p)
+                out["bucket"].append(
+                    int(cols["bucket"][0]) if cols["bucket"]
+                    else -1)
+            yield pd.DataFrame(out)
+
+    tagged = files.mapInPandas(tag, schema="path string, bucket long")
+
+    def compact(key, pdf):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        (g,) = key
+        ids: list[int] = []
+        for p in pdf["path"]:
+            cols = read_flat_parquet(
+                open(os.path.join(table_dir, p), "rb").read())
+            ids.extend(cols["event_id"])
+        ids.sort()  # clustering: compaction is where ordering pays
+        blob = write_parquet(
+            [("event_id", "INT64", ids),
+             ("bucket", "INT64", [int(g)] * len(ids))],
+            dictionary=True, page_index=True)
+        name = f"compact-{int(g)}-{uuid.uuid4().hex}.parquet"
+        with open(os.path.join(table_dir, name), "wb") as f:
+            f.write(blob)
+        return pd.DataFrame(
+            {"bucket": [int(g)], "path": [name], "n": [len(ids)],
+             "size": [len(blob)],
+             "old_paths": [",".join(sorted(pdf["path"]))]})
+
+    plan = tagged.groupBy("bucket").applyInPandas(
+        compact,
+        schema=("bucket long, path string, n long, size long, "
+                "old_paths string")).collect()
+
+    v = state["version"]
+    actions = []
+    for row in sorted(plan, key=lambda r: r["bucket"]):
+        for old in row["old_paths"].split(","):
+            actions.append({"remove": {
+                "path": old, "deletionTimestamp": 0,
+                "dataChange": False}})
+        actions.append({"add": {
+            "path": row["path"], "partitionValues": {},
+            "size": int(row["size"]), "modificationTime": 0,
+            "dataChange": False,
+            "stats": _json.dumps({"numRecords": int(row["n"])},
+                                 separators=(",", ":"))}})
+    delta_append_commit(log_dir, v, actions)
+    delta_write_checkpoint(log_dir)
+
+    snap = delta_read_snapshot(log_dir)
+    if len(snap["live"]) != 6:
+        raise RuntimeError("OPTIMIZE did not leave one file per "
+                           f"bucket: {len(snap['live'])}")
+    if set(snap["live"]) & set(pre["live"]):
+        raise RuntimeError("OPTIMIZE left a pre-compaction file live")
+
+    live = spark.createDataFrame(
+        [(p,) for p in sorted(snap["live"])], "path string"
+    ).repartition(6)
+
+    def read_back(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+
+        for pdf in batches:
+            out = {"bucket": [], "event_id": []}
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                out["bucket"].extend(cols["bucket"])
+                out["event_id"].extend(cols["event_id"])
+            yield pd.DataFrame(out)
+
+    decoded = live.mapInPandas(read_back,
+                               schema="bucket long, event_id long")
+    return decoded.groupBy("bucket").agg(
+        F.lit(1).cast("long").alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.md5(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.col("event_id"))).cast("array<string>")))
+        .alias("ids_md5"),
+    ).select("bucket", "n_files", "n_records", "sum_id", "ids_md5")

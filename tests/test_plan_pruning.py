@@ -186,6 +186,7 @@ def test_no_cartesian_sweep(spark, sf_smoke_dir):
         "ann_multiprobe_recall_certificate",  # 1-row recall/candidate-count agg join
         "ann_multitable_recall_certificate",  # 1-row recall/candidate-count agg join
         "ann_clustered_recall_curve",  # 4x (1-row recall x 1-row count) agg joins
+        "ann_ivfpq_clustered_recall_certificate",  # 2x 1-row agg joins
     }
     checked = 0
     for spec in all_queries():
