@@ -901,22 +901,7 @@ def _code_of(value: int, bases: tuple) -> int:
     return bisect.bisect_right(bases, value) - 1
 
 
-def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
-    """[(ll, ml, offset)] -> sequences section (count + modes byte +
-    backward FSE bitstream) in PREDEFINED mode for all three ladders
-    (§3.1.1.3.2.1.1) — the exact inverse of _decode_sequences."""
-    n = len(seqs)
-    out = bytearray()
-    if n < 128:
-        out.append(n)
-    elif n < 0x7F00:
-        out.append(128 + (n >> 8))
-        out.append(n & 0xFF)
-    else:
-        out.append(255)
-        out += struct.pack("<H", n - 0x7F00)
-    out.append(0)  # modes: predefined / predefined / predefined
-    enc = _seq_enc_tables()
+def _seq_codes(seqs: list[tuple[int, int, int]]) -> list[tuple]:
     codes = []
     for ll, ml, offset in seqs:
         if offset <= 0:
@@ -934,40 +919,109 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
             (of_code, offset_value - (1 << of_code), of_code),
             (ml_code, ml - _ML_BASE[ml_code], _ML_BITS[ml_code]),
         ))
-    # choose states backward: s[i] must decode symbol i and carry a
-    # transition range containing s[i+1]
-    states = {"ll": [0] * n, "of": [0] * n, "ml": [0] * n}
-    trans = {"ll": [None] * (n - 1), "of": [None] * (n - 1),
-             "ml": [None] * (n - 1)}
+    return codes
+
+
+def _custom_seq_table(codes: list[tuple], ci: int,
+                      which: str) -> tuple | None:
+    """Per-ladder alternative to predefined mode: RLE when the code
+    is constant (mode 1), else a custom normalized FSE distribution
+    (mode 2).  -> (mode, desc_bytes, enc_table_or_None) or None when
+    custom can't improve/apply."""
+    counts: dict[int, int] = {}
+    for c in codes:
+        sym = c[ci][0]
+        counts[sym] = counts.get(sym, 0) + 1
+    if len(counts) == 1:
+        return 1, bytes([next(iter(counts))]), None
+    cap = _MAX_ACC[which]
+    acc = min(cap, max(5, len(codes).bit_length()))
+    if len(counts) > 1 << acc:
+        return None
+    probs = fse_normalize(counts, acc)
+    desc = fse_write_distribution(probs, acc)
+    return 2, desc, _FSEEncTable(probs, acc)
+
+
+def _seq_section(codes: list[tuple], tables: dict) -> bytes:
+    """Assemble one sequences section given per-ladder (mode, desc,
+    enc_table) choices; RLE ladders contribute no init state and no
+    transition bits — the exact inverse of _decode_sequences."""
+    n = len(codes)
+    out = bytearray()
+    if n < 128:
+        out.append(n)
+    elif n < 0x7F00:
+        out.append(128 + (n >> 8))
+        out.append(n & 0xFF)
+    else:
+        out.append(255)
+        out += struct.pack("<H", n - 0x7F00)
+    modes = ((tables["ll"][0] << 6) | (tables["of"][0] << 4)
+             | (tables["ml"][0] << 2))
+    out.append(modes)
+    out += tables["ll"][1]
+    out += tables["of"][1]
+    out += tables["ml"][1]
+    states = {}
+    trans = {}
     for which, ci in (("ll", 0), ("of", 1), ("ml", 2)):
-        t = enc[which]
-        states[which][n - 1] = t.first_cell[codes[n - 1][ci][0]]
+        mode, _, t = tables[which]
+        if t is None:  # RLE ladder: stateless
+            continue
+        st = [0] * n
+        tr = [None] * (n - 1)
+        st[n - 1] = t.first_cell[codes[n - 1][ci][0]]
         for i in range(n - 2, -1, -1):
             cell, bits, nbits = t.cell_for(
-                codes[i][ci][0], states[which][i + 1])
-            states[which][i] = cell
-            trans[which][i] = (bits, nbits)
+                codes[i][ci][0], st[i + 1])
+            st[i] = cell
+            tr[i] = (bits, nbits)
+        states[which] = st
+        trans[which] = tr
     # fields in DECODER-read order, then written reversed (the
     # stream is read backward from its end)
-    fields: list[tuple[int, int]] = [
-        (states["ll"][0], enc["ll"].acc_log),
-        (states["of"][0], enc["of"].acc_log),
-        (states["ml"][0], enc["ml"].acc_log),
-    ]
+    fields: list[tuple[int, int]] = []
+    for which in ("ll", "of", "ml"):
+        if which in states:
+            fields.append((states[which][0],
+                           tables[which][2].acc_log))
     for i in range(n):
         (_, ll_x, ll_b), (_, of_x, of_b), (_, ml_x, ml_b) = codes[i]
         fields.append((of_x, of_b))
         fields.append((ml_x, ml_b))
         fields.append((ll_x, ll_b))
         if i < n - 1:
-            fields.append(trans["ll"][i])
-            fields.append(trans["ml"][i])
-            fields.append(trans["of"][i])
+            for which in ("ll", "ml", "of"):
+                if which in trans:
+                    fields.append(trans[which][i])
     w = _BitWriter()
     for value, nbits in reversed(fields):
         w.put(value, nbits)
     out += w.close()
     return bytes(out)
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+    """[(ll, ml, offset)] -> sequences section, per-ladder choosing
+    the smallest of PREDEFINED / RLE / custom-FSE table modes
+    (§3.1.1.3.2.1.1) — the exact inverse of _decode_sequences."""
+    codes = _seq_codes(seqs)
+    enc = _seq_enc_tables()
+    predefined = {w: (0, b"", enc[w]) for w in ("ll", "of", "ml")}
+    best = _seq_section(codes, predefined)
+    alt = dict(predefined)
+    changed = False
+    for which, ci in (("ll", 0), ("of", 1), ("ml", 2)):
+        cand = _custom_seq_table(codes, ci, which)
+        if cand is not None:
+            alt[which] = cand
+            changed = True
+    if changed:
+        alt_section = _seq_section(codes, alt)
+        if len(alt_section) < len(best):
+            best = alt_section
+    return best
 
 
 class _FwdBitWriter:

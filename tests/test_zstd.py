@@ -387,3 +387,31 @@ def test_rle_literals_inside_compressed_block():
     framed = zstd_compress(data)
     assert zstd_decompress(framed) == data
     assert bytes(codec.decompress(framed, len(data))) == data
+
+
+def test_custom_and_rle_sequence_table_modes():
+    """Skewed sequence statistics flip the encoder to custom FSE
+    table descriptions (mode 2) or RLE (mode 1) per ladder when
+    smaller than predefined — libzstd and the own decoder both
+    accept the result, and the section really uses a non-predefined
+    mode."""
+    import random as _r
+
+    from health_monitor_cc_flink_spark.operators.zstd import (
+        _encode_sequences,
+        _lz_sequences,
+    )
+
+    codec = pa.Codec("zstd")
+    rng = _r.Random(17)
+    # constant-shape repetitions: ll/ml/offset codes heavily skewed
+    data = b"".join(b"A" * 17 + bytes([rng.randrange(128)])
+                    for _ in range(3000))
+    seqs, _ = _lz_sequences(data, 0, len(data), {})
+    section = _encode_sequences(seqs)
+    n = len(seqs)
+    modes_off = 1 if n < 128 else (2 if n < 0x7F00 else 3)
+    assert section[modes_off] != 0  # some ladder left predefined 0
+    framed = zstd_compress(data)
+    assert zstd_decompress(framed) == data
+    assert bytes(codec.decompress(framed, len(data))) == data
