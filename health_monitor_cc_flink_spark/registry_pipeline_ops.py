@@ -16285,3 +16285,322 @@ def lake_zorder_cluster_prune(spark, sf_dir):
         schema=("doc_id long, n_rows long, n_match long, "
                 "sum_xy long, zorder_wins boolean"),
     )
+
+
+@query(
+    "streaming_iceberg_sink_upsert",
+    """
+    WITH surv AS (
+        SELECT event_id FROM events
+        WHERE event_id % 97 <> 0
+           OR (event_id % 97 = 0 AND event_id % 6 = 0)
+    )
+    SELECT CAST(event_id % 6 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS ids_md5
+    FROM surv GROUP BY event_id % 6
+    """,
+    doc="Iceberg v2 WRITE side end-to-end under the hash gate — the "
+    "engine commits a real merge-on-read table: the events stream "
+    "drains through foreachBatch, each slice committing a data "
+    "manifest (own-Avro OCF manifest entries, manifest list "
+    "carrying per-manifest SEQUENCE NUMBERS, data parquet files "
+    "from the own writer); a DELETE commit then writes positional "
+    "delete parquet files (own writer: file_path/pos rows) dropping "
+    "every event_id %% 97 == 0 row at a higher sequence number; a "
+    "final commit RE-ADDS the bucket-0 deleted ids at a yet-higher "
+    "sequence number.  The read-back walks the final snapshot with "
+    "walk_snapshot_v2 — whose sequence-number scoping must keep "
+    "the re-added rows alive (delete_seq < their data_seq) while "
+    "dropping the original positions — cross-checks the metadata "
+    "census (sum of live_records) against the decoded row count, "
+    "and aggregates surviving rows per bucket against the "
+    "closed-form oracle.  One mis-scoped delete, one wrong manifest "
+    "byte, breaks the hash.  Scale: manifests/deletes are O(files) "
+    "driver metadata; data and delete files are executor-parallel.",
+    bench=True,
+)
+def streaming_iceberg_sink_upsert(spark, sf_dir):
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    from .operators.iceberg import (
+        CONTENT_DATA,
+        CONTENT_POSITION_DELETES,
+        MANIFEST_ENTRY_SCHEMA_V2,
+        MANIFEST_LIST_SCHEMA_V2,
+        STATUS_ADDED,
+        build_table_metadata,
+        walk_snapshot_v2,
+    )
+    from .registry import _warehouse_path
+    from .sources.avro_ocf import write_ocf
+    from .sources.testdata import events_stream
+
+    table_dir = _warehouse_path(sf_dir, "iceberg_sink")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+
+    # driver-side commit log: [(manifest_path, blob_len, content,
+    # seq)], extended per commit; every snapshot lists ALL manifests
+    # so far (Iceberg fast-append)
+    manifests: list[tuple[str, int, int, int]] = []
+    state = {"snap": 0}
+
+    def commit(entries: list[dict], content: int) -> int:
+        """One Iceberg commit: write a manifest of ``entries``,
+        append it to the manifest list, write snap + metadata json.
+        Returns the commit's sequence number."""
+        state["snap"] += 1
+        sid = state["snap"]
+        seq = sid
+        mpath = f"metadata/manifest-{sid:05d}.avro"
+        blob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, entries,
+                         codec="deflate", sync_seed=sid)
+        with open(os.path.join(table_dir, mpath), "wb") as f:
+            f.write(blob)
+        manifests.append((mpath, len(blob), content, seq))
+        records = [{
+            "manifest_path": p, "manifest_length": ln,
+            "partition_spec_id": 0, "content": c,
+            "sequence_number": s, "added_snapshot_id": sid,
+            "added_files_count": None, "existing_files_count": None,
+            "deleted_files_count": None,
+        } for p, ln, c, s in manifests]
+        lblob = write_ocf(MANIFEST_LIST_SCHEMA_V2, records,
+                          codec="deflate", sync_seed=1000 + sid)
+        with open(os.path.join(
+                table_dir, f"metadata/snap-{sid}.avro"), "wb") as f:
+            f.write(lblob)
+        meta = build_table_metadata(
+            {s: f"metadata/snap-{s}.avro"
+             for s in range(1, sid + 1)}, sid)
+        with open(os.path.join(
+                table_dir, f"metadata/v{sid}.metadata.json"),
+                "wb") as f:
+            f.write(meta)
+        return seq
+
+    def data_entry(path, n, size):
+        return {"status": STATUS_ADDED, "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": CONTENT_DATA, "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": n, "file_size_in_bytes": size,
+                    "equality_ids": None}}
+
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 6).alias("bucket"))
+
+    def write_batch(df, epoch_id):
+        cached = df.cache()
+        try:
+            for g in range(6):
+                sub = cached.filter(F.col("bucket") == g)
+
+                def write_part(batches, g=g):
+                    import pandas as pd
+
+                    from health_monitor_cc_flink_spark.operators \
+                        .parquet_write import write_parquet
+
+                    ids = []
+                    for pdf in batches:
+                        ids.extend(int(v) for v in pdf["event_id"])
+                    if not ids:
+                        yield pd.DataFrame(
+                            {"path": [], "n": [], "size": []})
+                        return
+                    blob = write_parquet([
+                        ("event_id", "INT64", ids),
+                        ("bucket", "INT64", [g] * len(ids)),
+                    ])
+                    name = f"data/part-{uuid.uuid4().hex}.parquet"
+                    with open(os.path.join(table_dir, name),
+                              "wb") as f:
+                        f.write(blob)
+                    yield pd.DataFrame({"path": [name],
+                                        "n": [len(ids)],
+                                        "size": [len(blob)]})
+
+                census = sub.repartition(4).mapInPandas(
+                    write_part,
+                    schema="path string, n long, size long"
+                ).collect()
+                if census:
+                    commit([data_entry(r["path"], int(r["n"]),
+                                       int(r["size"]))
+                            for r in census], CONTENT_DATA)
+        finally:
+            cached.unpersist()
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "iceberg_sink_ckpt")
+                 + uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if not manifests:
+        raise RuntimeError("iceberg sink committed nothing")
+
+    data_files = sorted(
+        f"data/{n}" for n in os.listdir(
+            os.path.join(table_dir, "data")))
+
+    # DELETE commit: executors scan their data files with the own
+    # reader and write positional delete parquet files (own writer)
+    files_df = spark.createDataFrame(
+        [(p,) for p in data_files], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def write_deletes(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        for pdf in batches:
+            rows = []  # (file_path, pos) across this task's files
+            re_add: list[int] = []
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                for pos, eid in enumerate(cols["event_id"]):
+                    if eid % 97 == 0:
+                        rows.append((p, pos))
+                        if eid % 6 == 0:
+                            re_add.append(eid)
+            if not rows:
+                yield pd.DataFrame({"path": [], "n": [],
+                                    "size": [],
+                                    "re_add_ids": []})
+                continue
+            rows.sort()
+            blob = write_parquet([
+                ("file_path", "STRING", [r[0] for r in rows]),
+                ("pos", "INT64", [r[1] for r in rows]),
+            ])
+            name = f"data/del-{uuid.uuid4().hex}.parquet"
+            with open(os.path.join(table_dir, name), "wb") as f:
+                f.write(blob)
+            yield pd.DataFrame({
+                "path": [name], "n": [len(rows)],
+                "size": [len(blob)],
+                "re_add_ids": [",".join(map(str, sorted(re_add)))],
+            })
+
+    dcensus = files_df.mapInPandas(
+        write_deletes,
+        schema="path string, n long, size long, re_add_ids string"
+    ).collect()
+    del_entries = [{
+        "status": STATUS_ADDED, "snapshot_id": None,
+        "sequence_number": None,
+        "data_file": {
+            "content": CONTENT_POSITION_DELETES,
+            "file_path": r["path"], "file_format": "PARQUET",
+            "partition": {"lang": None},
+            "record_count": int(r["n"]),
+            "file_size_in_bytes": int(r["size"]),
+            "equality_ids": None}} for r in dcensus]
+    if not del_entries:
+        raise RuntimeError("no deletes produced")
+    del_seq = commit(del_entries, CONTENT_POSITION_DELETES)
+
+    # RE-ADD commit at a higher sequence number: the bucket-0
+    # deleted ids come back; sequence scoping must keep them alive
+    re_ids = sorted({int(v) for r in dcensus
+                     for v in (r["re_add_ids"] or "").split(",")
+                     if v})
+    if not re_ids:
+        raise RuntimeError("no re-add ids found")
+    from .operators.parquet_write import write_parquet as _wp
+
+    rblob = _wp([("event_id", "INT64", re_ids),
+                 ("bucket", "INT64", [0] * len(re_ids))])
+    rname = f"data/readd-{uuid.uuid4().hex}.parquet"
+    with open(os.path.join(table_dir, rname), "wb") as f:
+        f.write(rblob)
+    re_seq = commit([data_entry(rname, len(re_ids), len(rblob))],
+                    CONTENT_DATA)
+    if not del_seq < re_seq:
+        raise RuntimeError("sequence numbers not increasing")
+
+    # read back: metadata walk (sequence-scoped) on the final
+    # snapshot; data decode stays executor-side
+    files: dict[str, bytes] = {}
+    for sub in ("metadata",):
+        for n in os.listdir(os.path.join(table_dir, sub)):
+            with open(os.path.join(table_dir, sub, n), "rb") as f:
+                files[f"{sub}/{n}"] = f.read()
+    for r in dcensus:  # the walk reads delete parquets
+        with open(os.path.join(table_dir, r["path"]), "rb") as f:
+            files[r["path"]] = f.read()
+    snap = walk_snapshot_v2(files, snapshot_id=state["snap"])
+    live = {f["file_path"]: f for f in snap["live"]}
+    if rname not in live or live[rname]["n_deleted"] != 0:
+        raise RuntimeError("re-added file wrongly deleted against")
+    census_total = sum(f["live_records"] for f in snap["live"])
+
+    # scoped delete positions for the distributed decode
+    from .operators.iceberg import read_positional_delete_parquet
+
+    dropped: dict[str, set] = {}
+    for r in dcensus:
+        for fp, pos in read_positional_delete_parquet(
+                files[r["path"]]):
+            dropped.setdefault(fp, set()).add(pos)
+    # every data file predates the delete commit except the re-add,
+    # which carries a higher sequence number -> exempt
+    dropped.pop(rname, None)
+
+    live_df = spark.createDataFrame(
+        [(p,) for p in sorted(live)], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def read_back(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+
+        for pdf in batches:
+            out = {"bucket": [], "event_id": []}
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                dead = dropped.get(p, ())
+                for pos, (eid, b) in enumerate(
+                        zip(cols["event_id"], cols["bucket"])):
+                    if pos in dead:
+                        continue
+                    out["bucket"].append(b)
+                    out["event_id"].append(eid)
+            yield pd.DataFrame(out)
+
+    decoded = live_df.mapInPandas(
+        read_back, schema="bucket long, event_id long")
+    agg = decoded.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.md5(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.col("event_id"))).cast("array<string>")))
+        .alias("ids_md5"),
+    )
+    # census certificate: metadata live_records == decoded rows
+    total = agg.agg(F.sum("n_records")).first()[0]
+    if total != census_total:
+        raise RuntimeError(
+            f"census {census_total} != decoded {total}")
+    return agg
