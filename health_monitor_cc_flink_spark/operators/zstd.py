@@ -901,17 +901,46 @@ def _code_of(value: int, bases: tuple) -> int:
     return bisect.bisect_right(bases, value) - 1
 
 
-def _seq_codes(seqs: list[tuple[int, int, int]]) -> list[tuple]:
+def _seq_codes(seqs: list[tuple[int, int, int]],
+               rep: list[int]) -> list[tuple]:
+    """(ll, ml, offset) triples -> per-ladder (code, extra, nbits),
+    using REPEAT-OFFSET codes (offset_value 1-3, §3.1.1.5) whenever
+    the offset matches the running 3-slot repeat state — the mirror
+    of the decoder's resolution rules, including the ll==0 index
+    shift and the Repeated_Offset1 - 1 form.  ``rep`` is the frame's
+    repeat state (MUTATED: the decoder carries it across blocks, so
+    the encoder must too)."""
     codes = []
     for ll, ml, offset in seqs:
         if offset <= 0:
             raise ValueError("sequence offset must be positive")
-        offset_value = offset + 3  # never a repeat-offset code
+        if ml < 3:
+            raise ValueError("match length below minimum (3)")
+        # candidates the decoder maps offset_value 1..3 to
+        if ll != 0:
+            cands = {1: rep[0], 2: rep[1], 3: rep[2]}
+        else:
+            cands = {1: rep[1], 2: rep[2], 3: rep[0] - 1}
+        offset_value = None
+        for v in (1, 2, 3):
+            if cands[v] == offset and cands[v] > 0:
+                offset_value = v
+                break
+        if offset_value is None:
+            offset_value = offset + 3
+            rep[:] = [offset, rep[0], rep[1]]
+        else:
+            idx = offset_value - 1 + (1 if ll == 0 else 0)
+            if idx == 1:
+                rep[:] = [rep[1], rep[0], rep[2]]
+            elif idx == 2:
+                rep[:] = [rep[2], rep[0], rep[1]]
+            elif idx == 3:
+                rep[:] = [rep[0] - 1, rep[0], rep[1]]
+            # idx == 0: unchanged
         of_code = offset_value.bit_length() - 1
         if of_code > _OF_MAX_SYM:
             raise ValueError("offset too large to encode")
-        if ml < 3:
-            raise ValueError("match length below minimum (3)")
         ll_code = _code_of(ll, _LL_BASE)
         ml_code = _code_of(ml, _ML_BASE)
         codes.append((
@@ -1002,11 +1031,13 @@ def _seq_section(codes: list[tuple], tables: dict) -> bytes:
     return bytes(out)
 
 
-def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+def _encode_sequences(seqs: list[tuple[int, int, int]],
+                      rep: list[int] | None = None) -> bytes:
     """[(ll, ml, offset)] -> sequences section, per-ladder choosing
     the smallest of PREDEFINED / RLE / custom-FSE table modes
-    (§3.1.1.3.2.1.1) — the exact inverse of _decode_sequences."""
-    codes = _seq_codes(seqs)
+    (§3.1.1.3.2.1.1) — the exact inverse of _decode_sequences.
+    ``rep`` is the frame's running repeat-offset state."""
+    codes = _seq_codes(seqs, rep if rep is not None else [1, 4, 8])
     enc = _seq_enc_tables()
     predefined = {w: (0, b"", enc[w]) for w in ("ll", "of", "ml")}
     best = _seq_section(codes, predefined)
@@ -1432,6 +1463,7 @@ def zstd_compress(data: bytes, *, checksum: bool = True,
     else:
         step = MAX_BLOCK
         table: dict = {}
+        rep = [1, 4, 8]  # frame-scoped repeat-offset state
         for i in range(0, len(data), step):
             chunk = data[i:i + step]
             last = 1 if i + step >= len(data) else 0
@@ -1445,10 +1477,16 @@ def zstd_compress(data: bytes, *, checksum: bool = True,
             if mode == "lz":
                 seqs, lits = _lz_sequences(
                     data, i, i + len(chunk), table)
+                # rep advances only if this block is actually
+                # emitted compressed — a Raw fallback leaves the
+                # decoder's repeat state untouched
+                rep_next = list(rep)
                 body = _literals_section(lits) + (
-                    _encode_sequences(seqs) if seqs else b"\x00")
+                    _encode_sequences(seqs, rep_next) if seqs
+                    else b"\x00")
                 if len(body) < len(chunk):
                     block = body
+                    rep[:] = rep_next
             if block is None:  # Raw fallback
                 out += (last | (len(chunk) << 3)).to_bytes(
                     3, "little")

@@ -415,3 +415,30 @@ def test_custom_and_rle_sequence_table_modes():
     framed = zstd_compress(data)
     assert zstd_decompress(framed) == data
     assert bytes(codec.decompress(framed, len(data))) == data
+
+
+def test_repeat_offsets_across_blocks():
+    """Repeat-offset codes (offset_value 1-3) mirror the decoder's
+    3-slot history incl. the ll==0 shift; the state is frame-scoped
+    and must NOT advance over Raw-fallback blocks — exercised by a
+    compressible/incompressible/compressible multi-block frame."""
+    import random as _r
+
+    codec = pa.Codec("zstd")
+    rng = _r.Random(23)
+    blk = 1 << 17  # block-aligned so the middle block is pure noise
+    text = (b"the same stride repeats " * 6000)[:blk]
+    noise = bytes(rng.randrange(256) for _ in range(blk))
+    data = text + noise + text
+    framed = zstd_compress(data)
+    types = _block_types(framed)
+    assert 0 in types and 2 in types  # both forms present
+    assert zstd_decompress(framed) == data
+    assert bytes(codec.decompress(framed, len(data))) == data
+    # dense single-offset repetition compresses near-perfectly
+    stride = b"".join(b"ABCDEFGH" + bytes([i & 0xFF])
+                      for i in range(20000))
+    framed = zstd_compress(stride)
+    assert len(framed) < len(stride) // 400
+    assert zstd_decompress(framed) == stride
+    assert bytes(codec.decompress(framed, len(stride))) == stride
