@@ -303,6 +303,8 @@ def parse_footer(data: bytes) -> dict:
                 "data_page_offset": md.get(9),
                 "dictionary_page_offset": md.get(11),
                 "file_offset": cc.get(2),
+                "bloom_filter_offset": md.get(14),
+                "bloom_filter_length": md.get(15),
                 "offset_index_offset": cc.get(4),
                 "offset_index_length": cc.get(5),
                 "column_index_offset": cc.get(6),

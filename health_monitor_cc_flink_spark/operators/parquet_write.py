@@ -345,6 +345,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                   codec: str = "SNAPPY",
                   dictionary: bool = False,
                   page_index: bool = False,
+                  bloom_filter: bool = False,
                   page_rows: int = 20_000) -> bytes:
     """[(name, ptype, values)] (None = null) -> parquet file bytes.
     ptype in INT64 / DOUBLE / BYTE_ARRAY / BOOLEAN; one row group,
@@ -357,7 +358,11 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
     emit ColumnIndex/OffsetIndex after the data section plus chunk
     Statistics, making the file prunable by read_page_index /
     selective read_column_chunk (and any reference reader).
-    ``page_rows`` bounds page size in rows."""
+    ``bloom_filter`` — flat non-BOOLEAN columns get a
+    split-block Bloom filter (operators/parquet_bloom) after the
+    data section, referenced from ColumnMetaData fields 14/15 for
+    point-lookup row-group skipping.  ``page_rows`` bounds page size
+    in rows."""
     if not columns:
         raise ValueError("no columns")
     if page_rows < 1:
@@ -478,8 +483,30 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             "data_page_offset": data_page_offset,
             "dict_offset": dict_offset,
             "pages": pages if page_index and not is_list else None,
+            "bloom": (leaf_type if bloom_filter and not is_list
+                      and leaf_type != "BOOLEAN" else None),
+            "values": vals,
         })
     total_bytes = sum(c["c_size"] for c in chunks)
+
+    # split-block Bloom filters between the data section and the
+    # page indexes (explicit offsets; placement is writer's choice)
+    for c in chunks:
+        if c["bloom"] is None:
+            continue
+        from .parquet_bloom import SplitBlockBloom, write_bloom_blob
+
+        present = {v for v in c["values"]
+                   if v is not None and v is not GROUP_NULL}
+        if not present:
+            c["bloom"] = None
+            continue
+        bf = SplitBlockBloom.sized_for(len(present))
+        for v in present:
+            bf.insert(v, c["bloom"])
+        blob = write_bloom_blob(bf)
+        c["bf_off"], c["bf_len"] = len(out), len(blob)
+        out += blob
 
     # page indexes live between the data section and the footer
     # (parquet-format PageIndex layout: all ColumnIndex structs,
@@ -615,6 +642,9 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                 w.binary(6, _stat_bytes(
                     min(p["min"] for p in live), ltype))
             w.end_struct()
+        if c.get("bf_off") is not None and c["bloom"] is not None:
+            w.i64(14, c["bf_off"])
+            w.i32(15, c["bf_len"])
         w.end_struct()            # ColumnMetaData
         if c["pages"] is not None:
             w.i64(4, c["oi_off"])

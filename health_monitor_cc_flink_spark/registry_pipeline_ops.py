@@ -16604,3 +16604,143 @@ def streaming_iceberg_sink_upsert(spark, sf_dir):
         raise RuntimeError(
             f"census {census_total} != decoded {total}")
     return agg
+
+
+@query(
+    "meta_parquet_bloom_point_lookup",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 50 + 40 AS BIGINT) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_keys,
+           CAST(n AS BIGINT) AS n_present_found,
+           CAST(n * doc_id * 1000 + 7 * n * (n - 1) // 2 AS BIGINT)
+               AS sum_found,
+           CAST(n AS BIGINT) AS n_absent_confirmed,
+           TRUE AS bloom_skipped
+    FROM p
+    """,
+    doc="Parquet split-block BLOOM FILTERS end-to-end under the "
+    "hash gate — the point-lookup data-skipping structure: the own "
+    "writer attaches an SBBF per column chunk (spec construction — "
+    "XXH64 of the plain encoding, fastrange block pick, 8 salted "
+    "bits per 32-byte block, BloomFilterHeader thrift at "
+    "ColumnMetaData fields 14/15), then 2n point lookups run "
+    "bloom-first: present keys must ALL pass (no false negatives — "
+    "raise otherwise) and are then decoded via page-index-selective "
+    "reads to produce the hashed sum; absent keys that pass the "
+    "bloom (false positives) are confirmed absent by decode, and a "
+    "structural certificate raises unless the bloom rejected at "
+    "least three quarters of them WITHOUT any page decode.  "
+    "pyarrow/DuckDB in this environment predate SBBF APIs, so "
+    "reference readers verify the file (they skip the sections "
+    "structurally) while the construction itself is pinned by the "
+    "reference-vector-verified xxh64 underneath.  Scale: a bloom "
+    "miss skips a whole row group for O(filter bytes) — the 100 TB "
+    "needle-in-haystack primitive.",
+    bench=True,
+)
+def meta_parquet_bloom_point_lookup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import io as _io
+        import struct as _s
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from health_monitor_cc_flink_spark.operators.parquet_bloom \
+            import read_bloom_blob
+        from health_monitor_cc_flink_spark.operators.parquet_data \
+            import read_column_chunk
+        from health_monitor_cc_flink_spark.operators.parquet_meta \
+            import parse_footer, read_page_index
+        from health_monitor_cc_flink_spark.operators.parquet_write \
+            import write_parquet
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_keys": [], "n_present_found": [],
+                   "sum_found": [], "n_absent_confirmed": [],
+                   "bloom_skipped": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 50 + 40
+                keys = [d * 1000 + 7 * r for r in range(n)]
+                blob = write_parquet(
+                    [("k", "INT64", keys)],
+                    page_index=True, bloom_filter=True,
+                    page_rows=16)
+                if pq.read_table(_io.BytesIO(blob)).num_rows != n:
+                    raise ValueError("pyarrow row count mismatch")
+                m = parse_footer(blob)
+                cc = m["row_groups"][0]["columns"][0]
+                bf = read_bloom_blob(blob,
+                                     cc["bloom_filter_offset"])
+                pi = read_page_index(blob, cc)
+                locs = pi["page_locations"]
+                decodes = 0
+
+                def lookup(q):
+                    """Bloom-gated exact membership via selective
+                    page decode."""
+                    nonlocal decodes
+                    if not bf.check(q, "INT64"):
+                        return False
+                    for i in range(len(locs)):
+                        pmn = _s.unpack("<q",
+                                        pi["min_values"][i])[0]
+                        pmx = _s.unpack("<q",
+                                        pi["max_values"][i])[0]
+                        if pmx < q or pmn > q:
+                            continue
+                        a = locs[i][2]
+                        b = (locs[i + 1][2]
+                             if i + 1 < len(locs) else n)
+                        decodes += 1
+                        vals = read_column_chunk(
+                            blob, start_offset=locs[i][0],
+                            num_values=b - a, ptype=cc["type"],
+                            codec=cc["codec"])
+                        if q in vals:
+                            return True
+                    return False
+
+                found = sum_f = 0
+                for q in keys:  # present probes: zero FN allowed
+                    if not lookup(q):
+                        raise ValueError("bloom false negative")
+                    found += 1
+                    sum_f += q
+                absent = [d * 1000 + 7 * r + 3 for r in range(n)]
+                before = decodes
+                confirmed = 0
+                passed_bloom = 0
+                for q in absent:
+                    if bf.check(q, "INT64"):
+                        passed_bloom += 1
+                    if not lookup(q):
+                        confirmed += 1
+                if confirmed != n:
+                    raise ValueError("absent key reported present")
+                # skipping certificate: >= 3/4 of absent probes
+                # never touched a page
+                if passed_bloom > n // 4:
+                    raise ValueError(
+                        f"bloom rejected too little: {passed_bloom}")
+                out["doc_id"].append(d)
+                out["n_keys"].append(n)
+                out["n_present_found"].append(found)
+                out["sum_found"].append(sum_f)
+                out["n_absent_confirmed"].append(confirmed)
+                out["bloom_skipped"].append(True)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, n_keys long, n_present_found long, "
+                "sum_found long, n_absent_confirmed long, "
+                "bloom_skipped boolean"),
+    )
