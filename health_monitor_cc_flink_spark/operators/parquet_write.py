@@ -84,6 +84,9 @@ class _W:
             self.zigzag(fid)
         self._last[-1] = fid
 
+    def boolean(self, fid: int, v: bool) -> None:
+        self.field(fid, 1 if v else 2)  # value rides the type nibble
+
     def i32(self, fid: int, v: int) -> None:
         self.field(fid, _CT_I32)
         self.zigzag(v)
@@ -267,6 +270,30 @@ def _page_header(n_vals: int, un_size: int, c_size: int,
     return bytes(w.out)
 
 
+def _page_header_v2(n_slots: int, n_nulls: int, n_rows: int,
+                    un_size: int, c_size: int, encoding: int,
+                    dl_len: int, rl_len: int,
+                    is_compressed: bool) -> bytes:
+    """DataPageHeaderV2 (parquet.thrift field 8): levels ride
+    OUTSIDE the compressed region with explicit byte lengths."""
+    w = _W()
+    w.begin_struct()
+    w.i32(1, 3)          # type: DATA_PAGE_V2
+    w.i32(2, un_size)
+    w.i32(3, c_size)
+    w.begin_struct(8)
+    w.i32(1, n_slots)
+    w.i32(2, n_nulls)
+    w.i32(3, n_rows)
+    w.i32(4, encoding)
+    w.i32(5, dl_len)
+    w.i32(6, rl_len)
+    w.boolean(7, is_compressed)
+    w.end_struct()
+    w.end_struct()
+    return bytes(w.out)
+
+
 def _dict_page_header(n_dict: int, un_size: int,
                       c_size: int) -> bytes:
     w = _W()
@@ -346,6 +373,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                   dictionary: bool = False,
                   page_index: bool = False,
                   bloom_filter: bool = False,
+                  data_page_version: int = 1,
                   page_rows: int = 20_000) -> bytes:
     """[(name, ptype, values)] (None = null) -> parquet file bytes.
     ptype in INT64 / DOUBLE / BYTE_ARRAY / BOOLEAN; one row group,
@@ -374,6 +402,8 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         raise ValueError("cell cap exceeded")
     if codec not in ("SNAPPY", "ZSTD", "UNCOMPRESSED"):
         raise ValueError(f"writer codec {codec} unsupported")
+    if data_page_version not in (1, 2):
+        raise ValueError("data_page_version must be 1 or 2")
     out = bytearray(b"PAR1")
     chunks = []
     for name, ptype, vals in columns:
@@ -432,10 +462,16 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                                 present.append(el)
                 rep_blob = _rle_def_levels(reps)
                 lv_blob = _rle_def_levels(levels)
-                body = (struct.pack("<I", len(rep_blob)) + rep_blob
-                        + struct.pack("<I", len(lv_blob)) + lv_blob
-                        + _plain(present, leaf_type))
+                values_blob = _plain(present, leaf_type)
+                if data_page_version == 2:
+                    body = (rep_blob, lv_blob, values_blob)
+                else:
+                    body = (struct.pack("<I", len(rep_blob))
+                            + rep_blob
+                            + struct.pack("<I", len(lv_blob))
+                            + lv_blob + values_blob)
                 n_slots = len(levels)
+                n_rows_page = len(page)
                 encoding = 0
             else:
                 levels = [
@@ -455,13 +491,32 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                 else:
                     values_blob = _plain(present, leaf_type)
                     encoding = 0
-                body = (struct.pack("<I", len(lv_blob)) + lv_blob
-                        + values_blob)
+                if data_page_version == 2:
+                    body = (b"", lv_blob, values_blob)
+                else:
+                    body = (struct.pack("<I", len(lv_blob))
+                            + lv_blob + values_blob)
                 n_slots = len(page)
+                n_rows_page = len(page)
             total_slots += n_slots
-            payload = _compress_page(body, codec)
-            header = _page_header(n_slots, len(body), len(payload),
-                                  encoding=encoding)
+            if data_page_version == 2:
+                rep_blob, lv_blob, values_blob = body
+                cvals = _compress_page(values_blob, codec)
+                payload = rep_blob + lv_blob + cvals
+                un_len = (len(rep_blob) + len(lv_blob)
+                          + len(values_blob))
+                header = _page_header_v2(
+                    n_slots, n_slots - len(present), n_rows_page,
+                    un_len, len(payload), encoding,
+                    len(lv_blob), len(rep_blob),
+                    codec != "UNCOMPRESSED")
+                body_len = un_len
+            else:
+                payload = _compress_page(body, codec)
+                header = _page_header(n_slots, len(body),
+                                      len(payload),
+                                      encoding=encoding)
+                body_len = len(body)
             pages.append({
                 "offset": len(out),
                 "compressed_size": len(header) + len(payload),
@@ -473,7 +528,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             })
             out += header
             out += payload
-            un_total += len(header) + len(body)
+            un_total += len(header) + body_len
             c_total += len(header) + len(payload)
         chunks.append({
             "name": name, "ptype": ptype, "offset": offset,

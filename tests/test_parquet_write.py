@@ -285,3 +285,44 @@ def test_dictionary_falls_back_to_plain_when_wide():
     assert m["row_groups"][0]["columns"][0][
         "dictionary_page_offset"] is None
     assert pq.read_table(io.BytesIO(blob))["x"].to_pylist() == vals
+
+
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "UNCOMPRESSED"])
+@pytest.mark.parametrize("dic", [False, True])
+def test_data_page_v2(codec, dic, tmp_path):
+    """DATA_PAGE_V2 emission (levels outside the compressed region,
+    explicit byte lengths, is_compressed flag) read back exactly by
+    pyarrow, DuckDB, and the own reader — incl. nulls, lists, and
+    dictionary pages."""
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        read_flat_parquet,
+    )
+
+    n = 3000
+    cols = [
+        ("x", "INT64",
+         [None if i % 11 == 3 else i * 7 - 500 for i in range(n)]),
+        ("s", "STRING",
+         [None if i % 7 == 2 else f"v{i % 50}" for i in range(n)]),
+        ("lst", "LIST_INT64",
+         [None if i % 13 == 5 else
+          ([] if i % 9 == 1 else [i, None, i + 1])
+          for i in range(n)]),
+    ]
+    blob = write_parquet(cols, codec=codec, dictionary=dic,
+                         data_page_version=2, page_rows=512,
+                         page_index=True)
+    t = pq.read_table(io.BytesIO(blob))
+    for name, _, vals in cols:
+        assert t[name].to_pylist() == vals, name
+    p = tmp_path / "v2.parquet"
+    p.write_bytes(blob)
+    assert duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{p}')"
+    ).fetchall() == [(n,)]
+    got = read_flat_parquet(blob)
+    assert got["x"] == cols[0][2]
+    with pytest.raises(ValueError):
+        write_parquet(cols, data_page_version=3)
