@@ -48,17 +48,28 @@ def main() -> None:
     load_start = _loadavg1()
     allow_loaded = os.environ.get("BENCH_ALLOW_LOADED", "").lower() \
         in ("1", "true", "yes")
+    loaded_fallback = False
     if load_start is not None and load_start > LOADAVG_QUIET \
             and not allow_loaded:
-        print(json.dumps({
-            "error": "host not quiet",
-            "loadavg_1min": load_start,
-            "quiet_threshold": LOADAVG_QUIET,
-            "hint": "re-run when loadavg < 2, or set "
-                    "BENCH_ALLOW_LOADED=1 to record annotated "
-                    "numbers anyway",
-        }))
-        sys.exit(3)
+        # bounded retry-until-quiet (VERDICT r13 #3): the r13 driver
+        # window closed with an rc=3 refusal and NO artifact at all —
+        # worse than annotated numbers.  Wait for the host to quiet
+        # down (up to ~5 min), then fall back to an annotated loaded
+        # run rather than refusing.
+        retries = int(os.environ.get("BENCH_QUIET_RETRIES", "10"))
+        wait_s = float(os.environ.get("BENCH_QUIET_WAIT_S", "30"))
+        for attempt in range(retries):
+            print(json.dumps({
+                "waiting_for_quiet_host": attempt + 1,
+                "loadavg_1min": load_start,
+                "quiet_threshold": LOADAVG_QUIET,
+            }))
+            time.sleep(wait_s)
+            load_start = _loadavg1()
+            if load_start is None or load_start <= LOADAVG_QUIET:
+                break
+        else:
+            loaded_fallback = True  # annotated numbers beat none
     spark = build_session(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -94,6 +105,7 @@ def main() -> None:
     # loadavg ~1); the min is the steady-state cost of the plan — the
     # same rule the e2e/streaming sections already use
     timings: dict[str, float] = {}
+    query_load: dict[str, float] = {}
     for spec in specs:
         best = float("inf")
         for _ in range(2):
@@ -101,6 +113,43 @@ def main() -> None:
             force(spec.fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[spec.name] = round(best, 3)
+        # per-query loadavg stamp (VERDICT r13 #2): the r13 artifact
+        # shipped a false 37x outlier because only start/finish load
+        # was recorded — a mid-run co-tenant spike was invisible.
+        la = _loadavg1()
+        if la is not None:
+            query_load[spec.name] = la
+
+    # outlier adjudication (VERDICT r13 #2): any query > 2x its
+    # trailing-3-round median is re-measured (fresh best-of-2) before
+    # the artifact is committed; surviving outliers are listed in the
+    # payload with their load stamps instead of sitting unremarked.
+    medians = _trailing_medians(_round_number())
+    adjudications: list[dict] = []
+    for spec in specs:
+        med = medians.get(spec.name)
+        if med is None or med < 0.15:
+            continue  # tiny queries: 2x of noise is noise
+        first = timings[spec.name]
+        if first <= 2.0 * med:
+            continue
+        best = first
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(spec.fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 3)
+        la = _loadavg1()
+        if la is not None:
+            query_load[spec.name] = la
+        adjudications.append({
+            "query": spec.name,
+            "first_sec": first,
+            "rerun_sec": round(best, 3),
+            "trailing_median_sec": med,
+            "loadavg_at_rerun": la,
+            "still_outlier": best > 2.0 * med,
+        })
 
     # the reference workload itself: 4-stage health pipeline incl. both
     # ML operators on a 20-minute simulated stream (2400 ticks at 0.5 s
@@ -180,6 +229,9 @@ def main() -> None:
         "loadavg_finish": _loadavg1(),
         "loadavg_quiet_threshold": LOADAVG_QUIET,
         "loaded_run_override": allow_loaded,
+        "loaded_run_fallback": loaded_fallback,
+        "loadavg_per_query": query_load,
+        "outliers_adjudicated": adjudications,
     }
     # output contract (VERDICT r11 #1): the driver keeps only the LAST
     # 2000 chars of stdout, so a single giant JSON line gets its head
@@ -214,6 +266,30 @@ def main() -> None:
     # committed BENCH_LOCAL_r{N}.json is the durable full record
     _write_round_artifacts(payload, rn)
     spark.stop()
+
+
+def _trailing_medians(rn: int, window: int = 3) -> dict[str, float]:
+    """Per-query median over the last `window` committed BENCH_LOCAL
+    artifacts — the adjudication baseline.  Queries absent from every
+    trailing artifact (new this round) get no median and are exempt."""
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    samples: dict[str, list[float]] = {}
+    for r in range(max(1, rn - window), rn):
+        path = os.path.join(here, f"BENCH_LOCAL_r{r:02d}.json")
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path) as f:
+                qs = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            continue
+        for name, sec in qs.items():
+            if isinstance(sec, (int, float)):
+                samples.setdefault(name, []).append(float(sec))
+    return {name: round(statistics.median(v), 3)
+            for name, v in samples.items()}
 
 
 def _round_number() -> int:
@@ -280,7 +356,30 @@ def _write_round_artifacts(payload: dict, rn: int) -> None:
     load1 = (f"start {ls if ls is not None else 'n/a'} / "
              f"finish {lf if lf is not None else 'n/a'}"
              + (" — LOADED-RUN OVERRIDE, numbers suspect"
-                if payload.get("loaded_run_override") else ""))
+                if payload.get("loaded_run_override") else "")
+             + (" — LOADED-RUN FALLBACK after quiet-wait timeout, "
+                "numbers suspect"
+                if payload.get("loaded_run_fallback") else ""))
+    adj = payload.get("outliers_adjudicated") or []
+    if adj:
+        lines = []
+        for a in adj:
+            verdict = ("STILL >2x trailing median — treat as real or "
+                       "contaminated, do not ignore"
+                       if a["still_outlier"] else
+                       "resolved by re-run (first sample was "
+                       "contamination)")
+            lines.append(
+                f"- `{a['query']}`: first {a['first_sec']:.2f} s vs "
+                f"trailing median {a['trailing_median_sec']:.2f} s; "
+                f"re-run {a['rerun_sec']:.2f} s "
+                f"(loadavg {a['loadavg_at_rerun']}) — {verdict}")
+        adj_block = ("\nOutlier adjudication (>2x trailing-3-round "
+                     "median triggers an in-run re-measure):\n"
+                     + "\n".join(lines) + "\n")
+    else:
+        adj_block = ("\nOutlier adjudication: no query exceeded 2x its "
+                     "trailing-3-round median.\n")
     rows = "\n".join(
         f"| {name} | {sec:.2f} |"
         for name, sec in sorted(
@@ -298,6 +397,7 @@ def _write_round_artifacts(payload: dict, rn: int) -> None:
         f"streaming drain "
         f"{payload['streaming_events_per_sec']:,.0f} events/s.\n"
         + prev_line
+        + adj_block
         + f"\n| query | sec |\n|---|---|\n{rows}\n"
     )
     # re-runs within a round REPLACE the round's section (appending

@@ -52,8 +52,20 @@ def _plain_bytes(value, ptype: str) -> bytes:
     if ptype == "INT64":
         return struct.pack("<q", value)
     if ptype == "DOUBLE":
+        # canonicalize signed zero: 0.0 == -0.0 in every predicate,
+        # but their plain encodings differ — the writer dedups values
+        # via a Python set (which collapses the pair arbitrarily), so
+        # without this a file containing -0.0 could answer
+        # check(-0.0) == False, a false negative that makes a
+        # bloom-gated point lookup skip a matching row group
+        # (ADVICE r13).  parquet-mr writes +0.0 for both for the
+        # same reason.
+        if value == 0.0:
+            value = 0.0
         return struct.pack("<d", value)
     if ptype == "FLOAT":
+        if value == 0.0:
+            value = 0.0
         return struct.pack("<f", value)
     if ptype in ("BYTE_ARRAY", "STRING"):
         return value.encode("utf-8") if isinstance(value, str) \

@@ -1406,6 +1406,11 @@ _MIN_MATCH = 4
 _MAX_ML = 131074  # _ML_BASE[52] + 16 extra bits
 
 
+#: largest encodable match distance in PREDEFINED offset mode:
+#: offset_value = dist + 3 must keep of_code = bit_length - 1 <= 28
+_MAX_MATCH_DIST = (1 << 29) - 4
+
+
 def _lz_sequences(data: bytes, start: int, end: int,
                   table: dict) -> tuple[list[tuple[int, int, int]],
                                         bytes]:
@@ -1420,7 +1425,14 @@ def _lz_sequences(data: bytes, start: int, end: int,
         key = data[i:i + 4]
         cand = table.get(key)
         table[key] = i
-        if cand is None:
+        # the hash table is frame-global under Single_Segment_Mode, so
+        # on inputs > ~512 MiB a hit can reach further back than the
+        # predefined offset table encodes: offset_value = dist + 3 needs
+        # of_code = bit_length-1 <= 28 (_OF_DEFAULT has symbols 0..28),
+        # so cap candidate distance at 2^29 - 4 and treat older hits as
+        # stale rather than crashing in _FSEEncTable.cell_for
+        # (ADVICE r13).
+        if cand is None or i - cand > _MAX_MATCH_DIST:
             i += 1
             continue
         ml = _MIN_MATCH

@@ -97,3 +97,33 @@ def test_hash_is_spec_xxh64_of_plain_encoding():
         "héllo".encode("utf-8"))
     with pytest.raises(ValueError):
         bloom_hash(True, "BOOLEAN")
+
+
+def test_signed_zero_no_false_negative(tmp_path):
+    """0.0 and -0.0 are == but plain-encode differently; the writer
+    dedups inserts through a Python set (which keeps an arbitrary one
+    of the pair), so the encodings must be canonicalized or a file
+    containing -0.0 answers check(-0.0) False — a false negative that
+    makes a bloom-gated point lookup skip a matching row group
+    (ADVICE r13)."""
+    import pyarrow.parquet as pq
+
+    for ptype in ("DOUBLE", "FLOAT"):
+        assert bloom_hash(0.0, ptype) == bloom_hash(-0.0, ptype)
+        bf = SplitBlockBloom(4)
+        bf.insert(-0.0, ptype)
+        assert bf.check(0.0, ptype) and bf.check(-0.0, ptype)
+
+    # end-to-end through the writer's set-dedup path: a DOUBLE column
+    # whose only zero is negative must still bloom-hit both spellings
+    vals = [-0.0, 1.5, 2.5, 3.5]
+    blob = write_parquet([("v", "DOUBLE", vals)], bloom_filter=True)
+    t = pq.read_table(io.BytesIO(blob))
+    got = t["v"].to_pylist()
+    assert got[1:] == vals[1:] and got[0] == 0.0
+    m = parse_footer(blob)
+    cc = m["row_groups"][0]["columns"][0]
+    bf = read_bloom_blob(blob, cc["bloom_filter_offset"])
+    assert bf.check(-0.0, "DOUBLE"), "value present in file missed"
+    assert bf.check(0.0, "DOUBLE")
+    assert not bf.check(9.25, "DOUBLE")

@@ -442,3 +442,27 @@ def test_repeat_offsets_across_blocks():
     assert len(framed) < len(stride) // 400
     assert zstd_decompress(framed) == stride
     assert bytes(codec.decompress(framed, len(stride))) == stride
+
+
+def test_far_match_candidates_skipped_not_crashed(monkeypatch):
+    """A hash-table hit further back than PREDEFINED offset mode can
+    encode (of_code > 28) must be treated as stale — emit literals —
+    instead of crashing in the FSE encoder (ADVICE r13).  The real cap
+    is 2^29-4 (only reachable on >512 MiB single-segment frames); we
+    shrink it to exercise the skip path at test size."""
+    from health_monitor_cc_flink_spark.operators import zstd as z
+
+    monkeypatch.setattr(z, "_MAX_MATCH_DIST", 64)
+    rng = random.Random(9)
+    filler = bytes(rng.randrange(256) for _ in range(300))
+    data = b"needleneedleneedle" + filler + b"needleneedleneedle"
+    frame = z.zstd_compress(data)  # crashed before the cap
+    assert z.zstd_decompress(frame) == data
+    import pyarrow as _pa
+    assert _pa.decompress(
+        frame, decompressed_size=len(data), codec="zstd") == data
+    # sequences that ARE within the cap still match (same data, no cap)
+    monkeypatch.setattr(z, "_MAX_MATCH_DIST", (1 << 29) - 4)
+    frame2 = z.zstd_compress(data)
+    assert z.zstd_decompress(frame2) == data
+    assert len(frame2) <= len(frame)
