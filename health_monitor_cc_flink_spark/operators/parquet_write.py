@@ -27,8 +27,13 @@ parquet-format spec:
   reader) can prune pages of files this writer emits;
 * SNAPPY page compression through this repo's own compressor.
 
-Scope: flat schemas, one row group, v1 pages — the shape a shard
-writer emits; the reader side handles everything else.
+Scope: one row group per file — the shape a shard writer emits.
+Schemas: flat columns, nested OPTIONAL struct groups at arbitrary
+depth via dotted names ("vitals.blood_pressure.systolic", with
+GroupNull(k) marking a null at intermediate depth k), 3-level LIST
+columns, and LISTSTRUCT list-of-struct columns (sibling fields
+sharing one repetition structure); the reader side handles
+everything else.
 """
 
 from __future__ import annotations
@@ -53,6 +58,20 @@ _TYPES = {"BOOLEAN": 0, "INT64": 2, "DOUBLE": 5, "BYTE_ARRAY": 6,
 #: optional group (LIST) { repeated group list { optional element } }
 _LIST_TYPES = {"LIST_FLOAT": "FLOAT", "LIST_INT64": "INT64",
                "LIST_DOUBLE": "DOUBLE", "LIST_STRING": "STRING"}
+#: list-of-struct leaves: "LISTSTRUCT_<leaf>" with name "top.field"
+#: writes optional group top (LIST) { repeated group list {
+#: required group element { optional field ... } } } — sibling
+#: fields of the same top share one repetition structure and must
+#: be passed as contiguous columns with aligned row shapes
+_LISTSTRUCT_TYPES = {"LISTSTRUCT_FLOAT": "FLOAT",
+                     "LISTSTRUCT_INT64": "INT64",
+                     "LISTSTRUCT_DOUBLE": "DOUBLE",
+                     "LISTSTRUCT_STRING": "STRING"}
+
+
+def _leaf_of(ptype: str) -> str:
+    return _LIST_TYPES.get(ptype) or _LISTSTRUCT_TYPES.get(ptype) \
+        or ptype
 
 
 class _W:
@@ -120,6 +139,36 @@ class _W:
 #: marker value: the enclosing optional GROUP is null on this row
 #: (definition level 0), vs plain None = group present, leaf null
 GROUP_NULL = object()
+
+
+class GroupNull:
+    """Null at an INTERMEDIATE enclosing group of a nested struct
+    path: for a leaf ``a.b.c`` (max def 3), ``GroupNull(1)`` means
+    ``a`` present but ``a.b`` null (definition level 1); the module
+    singleton GROUP_NULL stays the level-0 shorthand."""
+
+    __slots__ = ("level",)
+
+    def __init__(self, level: int):
+        if not isinstance(level, int) or level < 0:
+            raise ValueError("GroupNull level must be >= 0")
+        self.level = level
+
+
+def _def_of(v, max_def: int) -> int:
+    if v is GROUP_NULL:
+        return 0
+    if isinstance(v, GroupNull):
+        if v.level > max_def - 2:
+            raise ValueError(
+                f"GroupNull({v.level}) exceeds group depth "
+                f"{max_def - 1}")
+        return v.level
+    return max_def - 1 if v is None else max_def
+
+
+def _is_null_marker(v) -> bool:
+    return v is None or v is GROUP_NULL or isinstance(v, GroupNull)
 
 
 def _rle_def_levels(levels: list[int]) -> bytes:
@@ -368,6 +417,72 @@ def _offset_index(pages: list[dict]) -> bytes:
     return bytes(w.out)
 
 
+def _schema_trie(columns: list[tuple[str, str, list]]) -> dict:
+    """Dotted names -> nested schema trie.  Enforces the positional
+    contract: a group's columns must be contiguous in the input so
+    the trie's DFS order equals the row-group chunk order."""
+    root: dict = {"kind": "root", "children": {}}
+    prev_path: tuple = ()
+    for name, ptype, _ in columns:
+        if ptype in _LIST_TYPES:
+            if name in root["children"]:
+                raise ValueError(f"duplicate column {name}")
+            root["children"][name] = {
+                "kind": "list", "ptype": _LIST_TYPES[ptype]}
+            prev_path = ()
+            continue
+        if ptype in _LISTSTRUCT_TYPES:
+            top, field = name.split(".", 1)
+            node = root["children"].get(top)
+            if node is None:
+                node = {"kind": "liststruct", "children": {}}
+                root["children"][top] = node
+            elif node["kind"] != "liststruct" \
+                    or prev_path != (top,):
+                raise ValueError("group columns must be contiguous")
+            if field in node["children"]:
+                raise ValueError(f"duplicate column {name}")
+            node["children"][field] = {
+                "kind": "leaf", "ptype": _LISTSTRUCT_TYPES[ptype]}
+            prev_path = (top,)
+            continue
+        parts = name.split(".")
+        cur = root
+        for depth, part in enumerate(parts[:-1]):
+            nxt = cur["children"].get(part)
+            if nxt is None:
+                nxt = {"kind": "struct", "children": {}}
+                cur["children"][part] = nxt
+            elif nxt["kind"] != "struct" \
+                    or prev_path[:depth + 1] != tuple(
+                        parts[:depth + 1]):
+                raise ValueError("group columns must be contiguous")
+            cur = nxt
+        leaf = parts[-1]
+        if leaf in cur["children"]:
+            raise ValueError(f"duplicate column {name}")
+        cur["children"][leaf] = {"kind": "leaf", "ptype": ptype}
+        prev_path = tuple(parts[:-1])
+    return root
+
+
+def _check_liststruct_alignment(
+        columns: list[tuple[str, str, list]]) -> None:
+    """Sibling LISTSTRUCT fields share ONE repetition structure:
+    per-row null-ness and entry counts must agree across fields."""
+    shapes: dict[str, list] = {}
+    for name, ptype, vals in columns:
+        if ptype not in _LISTSTRUCT_TYPES:
+            continue
+        top = name.split(".", 1)[0]
+        shape = [None if row is None else len(row) for row in vals]
+        if top in shapes and shapes[top] != shape:
+            raise ValueError(
+                f"LISTSTRUCT fields of '{top}' have misaligned row "
+                "shapes")
+        shapes.setdefault(top, shape)
+
+
 def write_parquet(columns: list[tuple[str, str, list]], *,
                   codec: str = "SNAPPY",
                   dictionary: bool = False,
@@ -404,14 +519,22 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         raise ValueError(f"writer codec {codec} unsupported")
     if data_page_version not in (1, 2):
         raise ValueError("data_page_version must be 1 or 2")
+    _check_liststruct_alignment(columns)
     out = bytearray(b"PAR1")
     chunks = []
     for name, ptype, vals in columns:
-        if ptype not in _TYPES and ptype not in _LIST_TYPES:
+        if ptype not in _TYPES and ptype not in _LIST_TYPES \
+                and ptype not in _LISTSTRUCT_TYPES:
             raise ValueError(f"unsupported type {ptype}")
-        is_list = ptype in _LIST_TYPES
-        leaf_type = _LIST_TYPES.get(ptype, ptype)
-        max_def = 3 if is_list else (2 if "." in name else 1)
+        if ptype in _LISTSTRUCT_TYPES and name.count(".") != 1:
+            raise ValueError("LISTSTRUCT columns need a 'top.field' "
+                             "name")
+        is_list = ptype in _LIST_TYPES or ptype in _LISTSTRUCT_TYPES
+        leaf_type = _leaf_of(ptype)
+        # nested struct paths at arbitrary depth: every dotted
+        # segment is an optional group (+1 def level each), the leaf
+        # is optional too; lists keep the fixed 3-level ladder
+        max_def = 3 if is_list else name.count(".") + 1
         offset = len(out)
         un_total = c_total = 0
         total_slots = 0
@@ -421,8 +544,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         if dictionary and not is_list and leaf_type != "BOOLEAN":
             uniq: dict = {}
             for v in vals:
-                if v is not None and v is not GROUP_NULL \
-                        and v not in uniq:
+                if not _is_null_marker(v) and v not in uniq:
                     uniq[v] = len(uniq)
             if 0 < len(uniq) <= 1 << 16:
                 dict_vals = list(uniq)
@@ -474,13 +596,8 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                 n_rows_page = len(page)
                 encoding = 0
             else:
-                levels = [
-                    0 if v is GROUP_NULL
-                    else (max_def - 1 if v is None else max_def)
-                    for v in page
-                ]
-                present = [v for v in page
-                           if v is not None and v is not GROUP_NULL]
+                levels = [_def_of(v, max_def) for v in page]
+                present = [v for v in page if not _is_null_marker(v)]
                 lv_blob = _rle_def_levels(levels)
                 if dict_vals is not None:
                     idx = {v: i for i, v in enumerate(dict_vals)}
@@ -551,8 +668,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             continue
         from .parquet_bloom import SplitBlockBloom, write_bloom_blob
 
-        present = {v for v in c["values"]
-                   if v is not None and v is not GROUP_NULL}
+        present = {v for v in c["values"] if not _is_null_marker(v)}
         if not present:
             c["bloom"] = None
             continue
@@ -569,8 +685,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
     for c in chunks:
         if c["pages"] is None:
             continue
-        blob = _column_index(
-            c["pages"], _LIST_TYPES.get(c["ptype"], c["ptype"]))
+        blob = _column_index(c["pages"], _leaf_of(c["ptype"]))
         c["ci_off"], c["ci_len"] = len(out), len(blob)
         out += blob
     for c in chunks:
@@ -580,43 +695,37 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         c["oi_off"], c["oi_len"] = len(out), len(blob)
         out += blob
 
-    # schema tree from dotted names: ONE optional-group level
-    # ("add.path") — the Delta-checkpoint shape; groups keep first-
-    # appearance order
-    tops: list[tuple[str, object]] = []
-    for name, ptype, _ in columns:
-        if ptype in _LIST_TYPES:
-            tops.append((name, ("LIST", _LIST_TYPES[ptype])))
-        elif "." in name:
-            grp, leaf = name.split(".", 1)
-            if "." in leaf:
-                raise ValueError("only one group level supported")
-            if not tops or tops[-1][0] != grp \
-                    or not isinstance(tops[-1][1], list):
-                if any(t[0] == grp for t in tops):
-                    raise ValueError("group columns must be "
-                                     "contiguous")
-                tops.append((grp, []))
-            tops[-1][1].append((leaf, ptype))
-        else:
-            tops.append((name, None))
+    # schema tree from dotted names at ARBITRARY depth (every
+    # dotted segment is an optional group; r13 scope was one level)
+    # plus the two repeated shapes: LIST_<t> (3-level standard) and
+    # LISTSTRUCT_<t> (repeated list of required element group with
+    # optional fields).  Column order must equal the trie's DFS
+    # order — readers map row-group chunks to schema leaves
+    # positionally — so a group's columns must be contiguous.
+    tree = _schema_trie(columns)
+
+    def _count(node: dict) -> int:
+        if node["kind"] == "leaf":
+            return 1
+        if node["kind"] == "struct":
+            return 1 + sum(_count(ch)
+                           for ch in node["children"].values())
+        if node["kind"] == "list":
+            return 3  # group + repeated list + element leaf
+        # liststruct: group + repeated list + element group + fields
+        return 3 + len(node["children"])
 
     w = _W()
     w.begin_struct()
     w.i32(1, 1)          # version
-    n_elements = 1 + len(tops)
-    for _, spec in tops:
-        if isinstance(spec, list):
-            n_elements += len(spec)
-        elif isinstance(spec, tuple):
-            n_elements += 2  # repeated "list" group + element leaf
+    n_elements = 1 + sum(_count(ch)
+                         for ch in tree["children"].values())
     w.field(2, _CT_LIST)
     w.list_header(n_elements, _CT_STRUCT)
     w.begin_struct()     # root
     w.binary(4, b"schema")
-    w.i32(5, len(tops))
+    w.i32(5, len(tree["children"]))
     w.end_struct()
-    leaf_types = {n: t for n, t, _ in columns}
 
     def leaf_element(name: str, ptype: str,
                      repetition: int = 1) -> None:
@@ -628,30 +737,38 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             w.i32(6, 0)  # converted_type UTF8
         w.end_struct()
 
-    for top, spec in tops:
-        if spec is None:
-            leaf_element(top, leaf_types[top])
-        elif isinstance(spec, tuple):  # LIST column
-            w.begin_struct()
-            w.i32(3, 1)      # OPTIONAL group
-            w.binary(4, top.encode("utf-8"))
-            w.i32(5, 1)
-            w.i32(6, 3)      # converted_type LIST
-            w.end_struct()
-            w.begin_struct()
-            w.i32(3, 2)      # REPEATED group "list"
-            w.binary(4, b"list")
-            w.i32(5, 1)
-            w.end_struct()
-            leaf_element("element", spec[1])
-        else:
-            w.begin_struct()
-            w.i32(3, 1)  # OPTIONAL group
-            w.binary(4, top.encode("utf-8"))
-            w.i32(5, len(spec))
-            w.end_struct()
-            for leaf, ptype in spec:
-                leaf_element(leaf, ptype)
+    def group_element(name: str, n_children: int,
+                      repetition: int = 1,
+                      converted: int | None = None) -> None:
+        w.begin_struct()
+        w.i32(3, repetition)
+        w.binary(4, name.encode("utf-8"))
+        w.i32(5, n_children)
+        if converted is not None:
+            w.i32(6, converted)
+        w.end_struct()
+
+    def emit(name: str, node: dict) -> None:
+        if node["kind"] == "leaf":
+            leaf_element(name, node["ptype"])
+        elif node["kind"] == "struct":
+            group_element(name, len(node["children"]))
+            for child, sub in node["children"].items():
+                emit(child, sub)
+        elif node["kind"] == "list":
+            group_element(name, 1, converted=3)       # LIST
+            group_element("list", 1, repetition=2)    # REPEATED
+            leaf_element("element", node["ptype"])
+        else:  # liststruct
+            group_element(name, 1, converted=3)
+            group_element("list", 1, repetition=2)
+            group_element("element", len(node["children"]),
+                          repetition=0)               # REQUIRED
+            for field, sub in node["children"].items():
+                leaf_element(field, sub["ptype"])
+
+    for top, node in tree["children"].items():
+        emit(top, node)
     w.i64(3, n_rows)
     # row groups
     w.field(4, _CT_LIST)
@@ -663,7 +780,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         w.begin_struct()          # ColumnChunk
         w.i64(2, c["offset"])
         w.begin_struct(3)         # ColumnMetaData
-        w.i32(1, _TYPES[_LIST_TYPES.get(c["ptype"], c["ptype"])])
+        w.i32(1, _TYPES[_leaf_of(c["ptype"])])
         w.field(2, _CT_LIST)      # encodings
         encs = ([0, 3, 8] if c["dict_offset"] is not None
                 else [0, 3])
@@ -671,9 +788,13 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         for e in encs:
             w.zigzag(e)           # PLAIN / RLE / RLE_DICTIONARY
         w.field(3, _CT_LIST)      # path_in_schema
-        parts = (c["name"].split(".")
-                 if c["ptype"] not in _LIST_TYPES
-                 else [c["name"], "list", "element"])
+        if c["ptype"] in _LIST_TYPES:
+            parts = [c["name"], "list", "element"]
+        elif c["ptype"] in _LISTSTRUCT_TYPES:
+            top, field = c["name"].split(".", 1)
+            parts = [top, "list", "element", field]
+        else:
+            parts = c["name"].split(".")
         w.list_header(len(parts), _CT_BINARY)
         for part in parts:
             raw = part.encode("utf-8")
@@ -688,7 +809,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             w.i64(11, c["dict_offset"])
         if c["pages"] is not None:
             live = [p for p in c["pages"] if not p["null_page"]]
-            ltype = _LIST_TYPES.get(c["ptype"], c["ptype"])
+            ltype = _leaf_of(c["ptype"])
             w.begin_struct(12)    # Statistics
             w.i64(3, sum(p["null_count"] for p in c["pages"]))
             if live:

@@ -326,3 +326,125 @@ def test_data_page_v2(codec, dic, tmp_path):
     assert got["x"] == cols[0][2]
     with pytest.raises(ValueError):
         write_parquet(cols, data_page_version=3)
+
+
+def test_nested_struct_arbitrary_depth(tmp_path):
+    """2-deep struct paths (the reference's own
+    vitals.blood_pressure.systolic event shape, schema.tf:67-129):
+    pyarrow, DuckDB, and the own reader all agree, including nulls
+    at every definition level (leaf null, intermediate-group null
+    via GroupNull(1), outer-group null via GROUP_NULL)."""
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_write import (
+        GROUP_NULL,
+        GroupNull,
+    )
+
+    sys_v = [120, None, GroupNull(1), GROUP_NULL, 140]
+    dia_v = [80, 75, GroupNull(1), GROUP_NULL, None]
+    pulse = [70.0, 71.5, 72.0, GROUP_NULL, 74.0]
+    blob = write_parquet([
+        ("vitals.blood_pressure.systolic", "INT64", sys_v),
+        ("vitals.blood_pressure.diastolic", "INT64", dia_v),
+        ("vitals.pulse", "DOUBLE", pulse),
+        ("patient_id", "INT64", [1, 2, 3, 4, 5]),
+    ], dictionary=True, page_index=True, bloom_filter=True)
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("vitals").to_pylist() == [
+        {"blood_pressure": {"systolic": 120, "diastolic": 80},
+         "pulse": 70.0},
+        {"blood_pressure": {"systolic": None, "diastolic": 75},
+         "pulse": 71.5},
+        {"blood_pressure": None, "pulse": 72.0},
+        None,
+        {"blood_pressure": {"systolic": 140, "diastolic": None},
+         "pulse": 74.0},
+    ]
+    p = tmp_path / "nested.parquet"
+    p.write_bytes(blob)
+    assert duckdb.sql(
+        "SELECT vitals.blood_pressure.systolic, vitals.pulse, "
+        f"patient_id FROM read_parquet('{p}')").fetchall() == [
+        (120, 70.0, 1), (None, 71.5, 2), (None, 72.0, 3),
+        (None, None, 4), (140, 74.0, 5)]
+    m = parse_footer(blob)
+    expected = {
+        "vitals.blood_pressure.systolic":
+            (3, [120, None, None, None, 140]),
+        "vitals.blood_pressure.diastolic":
+            (3, [80, 75, None, None, None]),
+        "vitals.pulse": (2, [70.0, 71.5, 72.0, None, 74.0]),
+        "patient_id": (1, [1, 2, 3, 4, 5]),
+    }
+    for lf, cc in zip(m["schema_leaves"],
+                      m["row_groups"][0]["columns"]):
+        want_def, want = expected[lf["path"]]
+        assert lf["max_def_level"] == want_def
+        got = read_column_chunk(
+            blob, start_offset=cc["data_page_offset"],
+            num_values=cc["num_values"], ptype=lf["type"],
+            codec="SNAPPY", max_def_level=lf["max_def_level"],
+            dictionary_page_offset=cc.get("dictionary_page_offset"))
+        assert got == want, lf["path"]
+
+
+def test_liststruct_roundtrip(tmp_path):
+    """List-of-struct: sibling fields share one repetition
+    structure (required element group, optional fields)."""
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+    )
+
+    ks = [["a", "b"], None, [], ["c", None]]
+    vs = [[1, 2], None, [], [3, 4]]
+    blob = write_parquet([
+        ("tags.k", "LISTSTRUCT_STRING", ks),
+        ("tags.v", "LISTSTRUCT_INT64", vs),
+        ("rid", "INT64", [10, 11, 12, 13]),
+    ])
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("tags").to_pylist() == [
+        [{"k": "a", "v": 1}, {"k": "b", "v": 2}],
+        None, [],
+        [{"k": "c", "v": 3}, {"k": None, "v": 4}]]
+    p = tmp_path / "ls.parquet"
+    p.write_bytes(blob)
+    assert duckdb.sql(
+        f"SELECT tags, rid FROM read_parquet('{p}')"
+    ).fetchall()[3] == ([{"k": "c", "v": 3}, {"k": None, "v": 4}],
+                        13)
+    m = parse_footer(blob)
+    lf, cc = m["schema_leaves"][1], m["row_groups"][0]["columns"][1]
+    assert lf["path"] == "tags.list.element.v"
+    got = read_column_chunk(
+        blob, start_offset=cc["data_page_offset"],
+        num_values=cc["num_values"], ptype=lf["type"],
+        codec="SNAPPY", max_def_level=lf["max_def_level"],
+        max_rep_level=lf["max_rep_level"],
+        rep_def_levels=[lf["rep_def_level"]])
+    assert got == vs
+    # misaligned sibling shapes are rejected
+    with pytest.raises(ValueError, match="misaligned"):
+        write_parquet([
+            ("tags.k", "LISTSTRUCT_STRING", [["a"], ["b"]]),
+            ("tags.v", "LISTSTRUCT_INT64", [[1, 2], [3]]),
+        ])
+    # non-contiguous group columns are rejected
+    with pytest.raises(ValueError, match="contiguous"):
+        write_parquet([
+            ("g.a", "INT64", [1]),
+            ("flat", "INT64", [2]),
+            ("g.b", "INT64", [3]),
+        ])
