@@ -61,6 +61,14 @@ def pb_bytes(fid: int, raw: bytes) -> bytes:
     return _uvarint((fid << 3) | 2) + _uvarint(len(raw)) + raw
 
 
+def pb_fixed64(fid: int, v: float) -> bytes:
+    return _uvarint((fid << 3) | 1) + struct.pack("<d", v)
+
+
+def pb_sint64(fid: int, v: int) -> bytes:
+    return pb_varint(fid, _zigzag_enc(v))
+
+
 def _zigzag_enc(v: int) -> int:
     return (v << 1) ^ (v >> 63) if v < 0 else v << 1
 
@@ -170,9 +178,41 @@ def _compress_stream(raw: bytes, codec: str) -> bytes:
     return bytes(out)
 
 
+def _column_stats(kind: str, present: list, n_slots: int) -> bytes:
+    """RowIndexEntry ColumnStatistics: numberOfValues (field 1),
+    hasNull (field 10), plus the typed sub-message for the kinds
+    that have a natural one."""
+    out = pb_varint(1, len(present))
+    if kind == "LONG" and present:
+        sub = (pb_sint64(1, min(present)) + pb_sint64(2, max(present))
+               + pb_sint64(3, sum(present)))
+        out += pb_bytes(2, sub)  # IntegerStatistics
+    elif kind == "DOUBLE" and present:
+        sub = (pb_fixed64(1, min(present)) + pb_fixed64(2, max(present))
+               + pb_fixed64(3, sum(present)))
+        out += pb_bytes(3, sub)  # DoubleStatistics
+    elif kind == "STRING" and present:
+        raws = sorted(present)
+        sub = (pb_bytes(1, raws[0].encode("utf-8"))
+               + pb_bytes(2, raws[-1].encode("utf-8"))
+               + pb_sint64(3, sum(len(v.encode("utf-8"))
+                                  for v in present)))
+        out += pb_bytes(4, sub)  # StringStatistics
+    elif kind == "BOOLEAN":
+        out += pb_bytes(5, pb_varint(1, sum(bool(v)
+                                            for v in present)))
+    out += pb_varint(10, 1 if len(present) < n_slots else 0)
+    return out
+
+
+_BLOOM_KINDS = ("LONG", "DOUBLE", "STRING")
+
+
 def write_orc(columns: list[tuple[str, str, list]], *,
               codec: str = "SNAPPY",
-              dictionary: bool = False) -> bytes:
+              dictionary: bool = False,
+              bloom_filter: bool = False,
+              bloom_fpp: float = 0.05) -> bytes:
     """[(name, kind, values)] (None = null; kind LONG / DOUBLE /
     STRING / BOOLEAN / TIMESTAMP (epoch-nanos ints) / DECIMAL
     (decimal.Decimal)) -> ORC file bytes, one stripe.
@@ -180,7 +220,20 @@ def write_orc(columns: list[tuple[str, str, list]], *,
     ``dictionary`` — STRING columns with <= 2^16 distinct values are
     written DICTIONARY_V2 (sorted dictionary per the spec: RLEv2
     index DATA, sorted-entry LENGTHs, concatenated
-    DICTIONARY_DATA)."""
+    DICTIONARY_DATA).
+
+    ``bloom_filter`` — writes an INDEX section ahead of the data
+    streams: a ROW_INDEX stream per column (one RowIndexEntry with
+    real ColumnStatistics — the stripe is one row group) and a
+    BLOOM_FILTER_UTF8 stream for LONG / DOUBLE / STRING columns,
+    Java-hash-compatible (operators/orc_bloom: signed-shift Wang
+    for longs/doubles, Murmur3-64 seed 104729 for strings).  The
+    footer deliberately leaves rowIndexStride unset: one row group
+    per stripe makes seek positions degenerate, reference readers
+    then ignore the index section entirely (they read these files
+    value-exact), while the own reader finds the blooms through the
+    stripe-footer stream list — the same consumer split as the
+    parquet SBBF path, where pyarrow/DuckDB predate the API."""
     if not columns:
         raise ValueError("no columns")
     n_rows = len(columns[0][2])
@@ -196,12 +249,14 @@ def write_orc(columns: list[tuple[str, str, list]], *,
     streams: list[tuple[int, int, bytes]] = []  # (column, kind, raw)
     encodings: list[int] = [0]  # root struct: DIRECT
     decimal_meta: dict[int, tuple[int, int]] = {}  # ci -> (prec, scale)
+    col_info: list[tuple[str, list]] = []  # (kind, present) per column
     # root PRESENT absent; children are columns 1..N
     for ci, (name, kind, vals) in enumerate(columns, start=1):
         if kind not in _KINDS:
             raise ValueError(f"unsupported kind {kind}")
         flags = [v is not None for v in vals]
         present = [v for v in vals if v is not None]
+        col_info.append((kind, present))
         if not all(flags):
             streams.append(
                 (ci, 0, byte_rle_encode(_bits_msb(flags))))
@@ -299,8 +354,48 @@ def write_orc(columns: list[tuple[str, str, list]], *,
                                      signed=False)))
             encodings.append(2)
 
-    data_start = len(out)
     stream_meta = []
+    index_length = 0
+    if bloom_filter:
+        from .orc_bloom import (
+            STREAM_BLOOM_FILTER_UTF8,
+            OrcBloomFilter,
+            write_bloom_index,
+        )
+
+        index_streams: list[tuple[int, int, bytes]] = []
+        # ROW_INDEX per column (root struct included), one
+        # RowIndexEntry — the stripe is one row group; positions are
+        # degenerate (stream starts) and omitted
+        root_entry = pb_bytes(2, pb_varint(1, n_rows)
+                              + pb_varint(10, 0))
+        index_streams.append((0, 6, pb_bytes(1, root_entry)))
+        for ci, (kind, present) in enumerate(col_info, start=1):
+            entry = pb_bytes(2, _column_stats(kind, present, n_rows))
+            index_streams.append((ci, 6, pb_bytes(1, entry)))
+        for ci, (kind, present) in enumerate(col_info, start=1):
+            if kind not in _BLOOM_KINDS or not present:
+                continue
+            bf = OrcBloomFilter.sized_for(len(set(present)),
+                                          bloom_fpp)
+            for v in present:
+                if kind == "LONG":
+                    bf.add_long(v)
+                elif kind == "DOUBLE":
+                    bf.add_double(v)
+                else:
+                    bf.add_string(v)
+            index_streams.append(
+                (ci, STREAM_BLOOM_FILTER_UTF8,
+                 write_bloom_index([bf])))
+        index_start = len(out)
+        for col, skind, raw in index_streams:
+            blob = _compress_stream(raw, codec)
+            out += blob
+            stream_meta.append((col, skind, len(blob)))
+        index_length = len(out) - index_start
+
+    data_start = len(out)
     for col, skind, raw in streams:
         blob = _compress_stream(raw, codec)
         out += blob
@@ -322,7 +417,7 @@ def write_orc(columns: list[tuple[str, str, list]], *,
 
     footer = bytearray()
     stripe_info = (pb_varint(1, stripe_offset)
-                   + pb_varint(2, 0)            # indexLength
+                   + pb_varint(2, index_length)
                    + pb_varint(3, data_length)
                    + pb_varint(4, len(sf_blob))
                    + pb_varint(5, n_rows))

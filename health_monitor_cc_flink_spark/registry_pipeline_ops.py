@@ -16927,3 +16927,130 @@ def meta_parquet_write_nested_roundtrip(spark, sf_dir):
                 "tag_entries long, tag_v_sum long, "
                 "tag_k_distinct long"),
     )
+
+
+@query(
+    "meta_orc_bloom_point_lookup",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 50 + 40 AS BIGINT) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_keys,
+           CAST(n AS BIGINT) AS n_present_found,
+           CAST(n * doc_id * 1000 + 7 * n * (n - 1) // 2 AS BIGINT)
+               AS sum_found,
+           CAST(n AS BIGINT) AS n_absent_confirmed,
+           TRUE AS bloom_skipped
+    FROM p
+    """,
+    doc="ORC Bloom filters end-to-end under the hash gate — write "
+    "+ read parity with the r13 parquet SBBF path (VERDICT r13 "
+    "#5): the own writer emits an index section (ROW_INDEX with "
+    "real ColumnStatistics + BLOOM_FILTER_UTF8 streams, "
+    "operators/orc_bloom) whose hashes are JAVA-compatible — the "
+    "signed-shift Wang mix for longs (pinned by reflection against "
+    "the JVM's own getLongHash in tests/test_orc_bloom.py, which "
+    "also proves blooms the Java writer emits pass the own check "
+    "bit-for-bit), Murmur3-64 seed 104729 for strings.  2n point "
+    "lookups run bloom-first: present keys must ALL pass (no false "
+    "negatives — raise otherwise) and are confirmed by stripe "
+    "decode for the hashed sum; a structural certificate raises "
+    "unless the bloom rejected at least three quarters of the "
+    "absent keys WITHOUT touching a data stream.  pyarrow reads "
+    "every bloom-bearing file back in-loop (reference-reader "
+    "validity).  Scale: a bloom miss skips a stripe for O(index "
+    "bytes) — same needle-in-haystack primitive as the parquet "
+    "variant, second lake format.",
+    bench=True,
+)
+def meta_orc_bloom_point_lookup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import io as _io
+
+        import pandas as pd
+        from pyarrow import orc as _porc
+
+        from health_monitor_cc_flink_spark.operators.orc_bloom \
+            import read_column_blooms
+        from health_monitor_cc_flink_spark.operators.orc_data \
+            import read_stripe_column
+        from health_monitor_cc_flink_spark.operators.orc_meta \
+            import parse_orc_tail
+        from health_monitor_cc_flink_spark.operators.orc_write \
+            import write_orc
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_keys": [], "n_present_found": [],
+                   "sum_found": [], "n_absent_confirmed": [],
+                   "bloom_skipped": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 50 + 40
+                keys = [d * 1000 + 7 * r for r in range(n)]
+                blob = write_orc([("k", "LONG", keys)],
+                                 bloom_filter=True)
+                t = _porc.ORCFile(_io.BytesIO(blob)).read()
+                if t.num_rows != n:
+                    raise ValueError("pyarrow row count mismatch")
+                m = parse_orc_tail(blob)
+                st = m["stripes"][0]
+                bf = read_column_blooms(
+                    blob, st, m["compression"], 1)[0]
+                decoded: set | None = None
+                decodes = 0
+
+                def lookup(q):
+                    nonlocal decoded, decodes
+                    if not bf.test_long(q):
+                        return None  # definitive absent, no decode
+                    if decoded is None:
+                        decodes += 1
+                        decoded = set(read_stripe_column(
+                            blob, st, "LONG", 1,
+                            m["compression"], n))
+                    return q if q in decoded else None
+
+                found = 0
+                sum_f = 0
+                for q in keys:
+                    if not bf.test_long(q):
+                        raise ValueError(
+                            "false negative on present key")
+                    got = lookup(q)
+                    if got is None:
+                        raise ValueError("present key not decoded")
+                    found += 1
+                    sum_f += got
+                absent = [d * 1000 + 7 * r + 3 for r in range(n)]
+                confirmed = 0
+                passed_bloom = 0
+                for q in absent:
+                    if bf.test_long(q):
+                        passed_bloom += 1
+                    if lookup(q) is None:
+                        confirmed += 1
+                if confirmed != n:
+                    raise ValueError("absent key reported present")
+                # skipping certificate: >= 3/4 of absent probes
+                # never touched a data stream
+                if passed_bloom > n // 4:
+                    raise ValueError(
+                        f"bloom rejected too little: {passed_bloom}")
+                out["doc_id"].append(d)
+                out["n_keys"].append(n)
+                out["n_present_found"].append(found)
+                out["sum_found"].append(sum_f)
+                out["n_absent_confirmed"].append(confirmed)
+                out["bloom_skipped"].append(True)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, n_keys long, n_present_found long, "
+                "sum_found long, n_absent_confirmed long, "
+                "bloom_skipped boolean"),
+    )
