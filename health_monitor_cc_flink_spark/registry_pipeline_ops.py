@@ -17054,3 +17054,309 @@ def meta_orc_bloom_point_lookup(spark, sf_dir):
                 "sum_found long, n_absent_confirmed long, "
                 "bloom_skipped boolean"),
     )
+
+
+@query(
+    "streaming_iceberg_sink_equality_delete",
+    """
+    WITH surv AS (
+        SELECT event_id FROM events
+        WHERE event_id % 89 <> 0
+           OR (event_id % 89 = 0 AND event_id % 5 = 2)
+    )
+    SELECT CAST(event_id % 5 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS ids_md5
+    FROM surv GROUP BY event_id % 5
+    """,
+    doc="Iceberg v2 EQUALITY-DELETE write path under the hash gate "
+    "(VERDICT r13 #6) — the r13 sink committed positional deletes; "
+    "this one commits content-2 EQUALITY delete files: the events "
+    "stream drains through foreachBatch into per-bucket data "
+    "commits (own-writer parquet, own-Avro manifests, sequence "
+    "numbers in the manifest list), then executors scan their data "
+    "files and write equality-delete parquet files carrying JUST "
+    "the event_id column (equality_ids=[1] in the manifest entry) "
+    "for every event_id %% 89 == 0 row; a final commit RE-ADDS the "
+    "bucket-2 deleted ids at a higher sequence number.  The "
+    "read-back applies the spec's STRICT-< scoping for equality "
+    "deletes (data_seq < delete_seq; positional uses <=) — the "
+    "re-added rows must survive because their data sequence number "
+    "exceeds the delete commit's, while every original copy dies "
+    "regardless of position.  The same scoping is pinned against "
+    "scan_snapshot_v2 (the full own-byte merge-on-read scan) in "
+    "tests/test_iceberg.py.  One mis-scoped sequence comparison "
+    "breaks the hash.  Scale: equality files are O(deleted keys) "
+    "not O(positions); application is a broadcast-set filter "
+    "riding with the data files, executor-parallel.",
+    bench=True,
+)
+def streaming_iceberg_sink_equality_delete(spark, sf_dir):
+    import os
+    import shutil
+    import uuid
+
+    from .operators.iceberg import (
+        CONTENT_DATA,
+        CONTENT_EQUALITY_DELETES,
+        MANIFEST_ENTRY_SCHEMA_V2,
+        MANIFEST_LIST_SCHEMA_V2,
+        STATUS_ADDED,
+        build_table_metadata,
+    )
+    from .registry import _warehouse_path
+    from .sources.avro_ocf import read_ocf, write_ocf
+    from .sources.testdata import events_stream
+
+    table_dir = _warehouse_path(sf_dir, "iceberg_sink_eq")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+
+    manifests: list[tuple[str, int, int, int]] = []
+    state = {"snap": 0}
+
+    def commit(entries: list[dict], content: int) -> int:
+        state["snap"] += 1
+        sid = state["snap"]
+        seq = sid
+        mpath = f"metadata/manifest-{sid:05d}.avro"
+        blob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, entries,
+                         codec="deflate", sync_seed=sid)
+        with open(os.path.join(table_dir, mpath), "wb") as f:
+            f.write(blob)
+        manifests.append((mpath, len(blob), content, seq))
+        records = [{
+            "manifest_path": p, "manifest_length": ln,
+            "partition_spec_id": 0, "content": c,
+            "sequence_number": s, "added_snapshot_id": sid,
+            "added_files_count": None, "existing_files_count": None,
+            "deleted_files_count": None,
+        } for p, ln, c, s in manifests]
+        lblob = write_ocf(MANIFEST_LIST_SCHEMA_V2, records,
+                          codec="deflate", sync_seed=2000 + sid)
+        with open(os.path.join(
+                table_dir, f"metadata/snap-{sid}.avro"), "wb") as f:
+            f.write(lblob)
+        meta = build_table_metadata(
+            {s: f"metadata/snap-{s}.avro"
+             for s in range(1, sid + 1)}, sid)
+        with open(os.path.join(
+                table_dir, f"metadata/v{sid}.metadata.json"),
+                "wb") as f:
+            f.write(meta)
+        return seq
+
+    def entry_of(path, n, size, content, eq_ids=None):
+        return {"status": STATUS_ADDED, "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": content, "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": n, "file_size_in_bytes": size,
+                    "equality_ids": eq_ids}}
+
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 5).alias("bucket"))
+
+    def write_batch(df, epoch_id):
+        cached = df.cache()
+        try:
+            for g in range(5):
+                sub = cached.filter(F.col("bucket") == g)
+
+                def write_part(batches, g=g):
+                    import pandas as pd
+
+                    from health_monitor_cc_flink_spark.operators \
+                        .parquet_write import write_parquet
+
+                    ids = []
+                    for pdf in batches:
+                        ids.extend(int(v) for v in pdf["event_id"])
+                    if not ids:
+                        yield pd.DataFrame(
+                            {"path": [], "n": [], "size": []})
+                        return
+                    blob = write_parquet([
+                        ("event_id", "INT64", ids),
+                        ("bucket", "INT64", [g] * len(ids)),
+                    ])
+                    name = f"data/part-{uuid.uuid4().hex}.parquet"
+                    with open(os.path.join(table_dir, name),
+                              "wb") as f:
+                        f.write(blob)
+                    yield pd.DataFrame({"path": [name],
+                                        "n": [len(ids)],
+                                        "size": [len(blob)]})
+
+                census = sub.repartition(4).mapInPandas(
+                    write_part,
+                    schema="path string, n long, size long"
+                ).collect()
+                if census:
+                    commit([entry_of(r["path"], int(r["n"]),
+                                     int(r["size"]), CONTENT_DATA)
+                            for r in census], CONTENT_DATA)
+        finally:
+            cached.unpersist()
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "iceberg_sink_eq_ckpt")
+                 + uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if not manifests:
+        raise RuntimeError("iceberg sink committed nothing")
+    data_seqs = {}  # data file path -> its commit sequence number
+    for mpath, _, content, seq in manifests:
+        if content != CONTENT_DATA:
+            continue
+        for e in read_ocf(
+                open(os.path.join(table_dir, mpath), "rb").read()
+        )["records"]:
+            data_seqs[e["data_file"]["file_path"]] = seq
+
+    # EQUALITY-DELETE commit: executors scan their data files and
+    # write content-2 files carrying only the delete KEY column
+    files_df = spark.createDataFrame(
+        [(p,) for p in sorted(data_seqs)], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def write_eq_deletes(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        for pdf in batches:
+            ids: set = set()
+            re_add: list[int] = []
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                for eid in cols["event_id"]:
+                    if eid % 89 == 0:
+                        ids.add(eid)
+                        if eid % 5 == 2:
+                            re_add.append(eid)
+            if not ids:
+                yield pd.DataFrame({"path": [], "n": [],
+                                    "size": [],
+                                    "re_add_ids": []})
+                continue
+            vals = sorted(ids)
+            blob = write_parquet([("event_id", "INT64", vals)])
+            name = f"data/eqdel-{uuid.uuid4().hex}.parquet"
+            with open(os.path.join(table_dir, name), "wb") as f:
+                f.write(blob)
+            yield pd.DataFrame({
+                "path": [name], "n": [len(vals)],
+                "size": [len(blob)],
+                "re_add_ids": [",".join(map(str, sorted(re_add)))],
+            })
+
+    dcensus = files_df.mapInPandas(
+        write_eq_deletes,
+        schema="path string, n long, size long, re_add_ids string"
+    ).collect()
+    eq_entries = [entry_of(r["path"], int(r["n"]), int(r["size"]),
+                           CONTENT_EQUALITY_DELETES, eq_ids=[1])
+                  for r in dcensus]
+    if not eq_entries:
+        raise RuntimeError("no equality deletes produced")
+    del_seq = commit(eq_entries, CONTENT_EQUALITY_DELETES)
+
+    # RE-ADD commit above the delete: bucket-2 deleted ids return
+    re_ids = sorted({int(v) for r in dcensus
+                     for v in (r["re_add_ids"] or "").split(",")
+                     if v})
+    if not re_ids:
+        raise RuntimeError("no re-add ids found")
+    from .operators.parquet_write import write_parquet as _wp
+
+    rblob = _wp([("event_id", "INT64", re_ids),
+                 ("bucket", "INT64", [2] * len(re_ids))])
+    rname = f"data/readd-{uuid.uuid4().hex}.parquet"
+    with open(os.path.join(table_dir, rname), "wb") as f:
+        f.write(rblob)
+    re_seq = commit([entry_of(rname, len(re_ids), len(rblob),
+                              CONTENT_DATA)], CONTENT_DATA)
+    if not del_seq < re_seq:
+        raise RuntimeError("sequence numbers not increasing")
+    data_seqs[rname] = re_seq
+
+    # the deleted KEY SET, reassembled from the equality files (the
+    # committed bytes, not the in-memory census)
+    from .operators.iceberg import read_flat_parquet as _rfp
+
+    del_ids: set = set()
+    for r in dcensus:
+        blob = open(os.path.join(table_dir, r["path"]), "rb").read()
+        cols = _rfp(blob)
+        if len(cols["event_id"]) != int(r["n"]):
+            raise RuntimeError("equality file record_count mismatch")
+        del_ids.update(cols["event_id"])
+    bc = spark.sparkContext.broadcast(sorted(del_ids))
+
+    # distributed read-back with the spec's STRICT-< scoping:
+    # equality deletes apply only to data files whose sequence
+    # number is strictly below the delete commit's
+    live_df = spark.createDataFrame(
+        [(p, data_seqs[p]) for p in sorted(data_seqs)],
+        "path string, seq long"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def read_back(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+
+        dead = set(bc.value)
+        for pdf in batches:
+            out = {"bucket": [], "event_id": []}
+            for p, seq in zip(pdf["path"], pdf["seq"]):
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                scoped = int(seq) < del_seq  # strict <
+                for eid, b in zip(cols["event_id"],
+                                  cols["bucket"]):
+                    if scoped and eid in dead:
+                        continue
+                    out["bucket"].append(b)
+                    out["event_id"].append(eid)
+            yield pd.DataFrame(out)
+
+    decoded = live_df.mapInPandas(
+        read_back, schema="bucket long, event_id long")
+    agg = decoded.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.md5(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.col("event_id"))).cast("array<string>")))
+        .alias("ids_md5"),
+    )
+    # census certificate: total record_count minus scoped equality
+    # hits must equal the decoded survivor count
+    total = agg.agg(F.sum("n_records")).first()[0]
+    n_all = sum(
+        int(e["data_file"]["record_count"])
+        for mpath, _, content, _ in manifests
+        if content == CONTENT_DATA
+        for e in read_ocf(
+            open(os.path.join(table_dir, mpath), "rb").read()
+        )["records"])
+    n_dead = len(del_ids)  # every original copy predates the delete
+    if total != n_all - n_dead:
+        raise RuntimeError(
+            f"census {n_all - n_dead} != decoded {total}")
+    return agg

@@ -332,3 +332,97 @@ def test_v2_missing_sequence_number_rejected():
         schema, ml, codec="deflate", sync_seed=2001)
     with pytest.raises(ValueError, match="sequence_number"):
         walk_snapshot_v2(files)
+
+
+def test_sink_format_equality_delete_scans_end_to_end():
+    """The streaming sink's OWN commit layout (own-writer parquet
+    data/delete files, own-Avro manifests, per-manifest sequence
+    numbers) must scan through scan_snapshot_v2 with the spec's
+    strict-< equality scoping: the re-add commit above the delete
+    survives, every original copy dies (VERDICT r13 #6 write side
+    x read side cross-check)."""
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        CONTENT_DATA,
+        CONTENT_EQUALITY_DELETES,
+        MANIFEST_ENTRY_SCHEMA_V2,
+        MANIFEST_LIST_SCHEMA_V2,
+        build_table_metadata,
+        scan_snapshot_v2,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_write import (
+        write_parquet,
+    )
+    from health_monitor_cc_flink_spark.sources.avro_ocf import (
+        write_ocf,
+    )
+
+    files: dict[str, bytes] = {}
+    manifests: list[tuple[str, int, int, int]] = []
+    snap = [0]
+
+    def commit(entries, content):
+        snap[0] += 1
+        sid = snap[0]
+        mpath = f"metadata/manifest-{sid:05d}.avro"
+        blob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, entries,
+                         codec="deflate", sync_seed=sid)
+        files[mpath] = blob
+        manifests.append((mpath, len(blob), content, sid))
+        records = [{
+            "manifest_path": p, "manifest_length": ln,
+            "partition_spec_id": 0, "content": c,
+            "sequence_number": s, "added_snapshot_id": sid,
+            "added_files_count": None,
+            "existing_files_count": None,
+            "deleted_files_count": None,
+        } for p, ln, c, s in manifests]
+        files[f"metadata/snap-{sid}.avro"] = write_ocf(
+            MANIFEST_LIST_SCHEMA_V2, records, codec="deflate",
+            sync_seed=2000 + sid)
+        files[f"metadata/v{sid}.metadata.json"] = \
+            build_table_metadata(
+                {s: f"metadata/snap-{s}.avro"
+                 for s in range(1, sid + 1)}, sid)
+        return sid
+
+    def entry_of(path, n, size, content, eq_ids=None):
+        return {"status": STATUS_ADDED, "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": content, "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": n,
+                    "file_size_in_bytes": size,
+                    "equality_ids": eq_ids}}
+
+    ids = [3, 89, 178, 267, 12, 445, 9]
+    blob = write_parquet([("event_id", "INT64", ids),
+                          ("bucket", "INT64",
+                           [v % 5 for v in ids])])
+    files["data/part-0.parquet"] = blob
+    commit([entry_of("data/part-0.parquet", len(ids), len(blob),
+                     CONTENT_DATA)], CONTENT_DATA)
+
+    dead = [v for v in ids if v % 89 == 0]  # 89, 178, 267, 445
+    eq = write_parquet([("event_id", "INT64", sorted(dead))])
+    files["data/eqdel-0.parquet"] = eq
+    commit([entry_of("data/eqdel-0.parquet", len(dead), len(eq),
+                     CONTENT_EQUALITY_DELETES, eq_ids=[1])],
+           CONTENT_EQUALITY_DELETES)
+
+    re_ids = [v for v in dead if v % 5 == 2]  # 267
+    rblob = write_parquet([("event_id", "INT64", re_ids),
+                           ("bucket", "INT64",
+                            [2] * len(re_ids))])
+    files["data/readd-0.parquet"] = rblob
+    commit([entry_of("data/readd-0.parquet", len(re_ids),
+                     len(rblob), CONTENT_DATA)], CONTENT_DATA)
+
+    scan = scan_snapshot_v2(files, snapshot_id=snap[0])
+    got = sorted(r["event_id"] for r in scan["rows"])
+    assert got == sorted([3, 12, 9] + re_ids)
+    # the re-added row came from the post-delete file
+    readd_rows = [r for r in scan["rows"]
+                  if r["file_path"] == "data/readd-0.parquet"]
+    assert [r["event_id"] for r in readd_rows] == re_ids
