@@ -17360,3 +17360,289 @@ def streaming_iceberg_sink_equality_delete(spark, sf_dir):
         raise RuntimeError(
             f"census {n_all - n_dead} != decoded {total}")
     return agg
+
+
+@query(
+    "streaming_hudi_sink_roundtrip",
+    """
+    SELECT CAST(event_id % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN event_id % 4 = 0 THEN 5 * event_id
+                    ELSE 3 * event_id END) AS BIGINT) AS sum_val,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS ids_md5
+    FROM events GROUP BY event_id % 4
+    """,
+    doc="Hudi WRITE side end-to-end under the hash gate (VERDICT "
+    "r13 #7) — the engine previously only READ Hudi timelines "
+    "(lake_hudi_timeline); this commits one: the events stream "
+    "drains through foreachBatch into per-bucket base parquet "
+    "files (own writer, data executor-side), the driver writing "
+    "the .hoodie TIMELINE for each commit — requested -> inflight "
+    "-> completed instant triplets with partitionToWriteStats "
+    "JSON.  An UPSERT commit then REWRITES bucket-0's file groups "
+    "(same fileId, later instant, val recomputed x5) — "
+    "copy-on-write file-group versioning must surface only the "
+    "newest base file; a REPLACECOMMIT clusters bucket-1's groups "
+    "into one (partitionToReplaceFileIds drops the old groups); a "
+    "trailing INFLIGHT instant is left dangling and must be "
+    "ignored.  Replay = reconstruct_table (the own timeline "
+    "walker) -> live file census -> executor-parallel decode with "
+    "the own parquet reader -> per-bucket aggregate against the "
+    "closed-form oracle.  A stale file group surfacing, a replaced "
+    "group surviving, or the inflight instant leaking all break "
+    "the hash.  Scale: the timeline is O(commits) driver metadata; "
+    "base files ride executor-side, one file group per task.",
+    bench=True,
+)
+def streaming_hudi_sink_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+    import uuid
+
+    from .operators.hudi import (
+        base_file_name,
+        build_commit,
+        reconstruct_table,
+    )
+    from .registry import _warehouse_path
+    from .sources.testdata import events_stream
+
+    table_dir = _warehouse_path(sf_dir, "hudi_sink")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(os.path.join(table_dir, ".hoodie"), exist_ok=True)
+    with open(os.path.join(table_dir, ".hoodie",
+                           "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=hudi_sink\n"
+                "hoodie.table.type=COPY_ON_WRITE\n"
+                "hoodie.table.version=6\n")
+
+    # deterministic monotonically increasing instant times
+    # (yyyyMMddHHmmssSSS shape, counter-driven — no wall clock)
+    state = {"n": 0}
+
+    def next_instant() -> str:
+        state["n"] += 1
+        return str(20260101000000000 + state["n"])
+
+    def commit_instant(action: str, doc: bytes) -> str:
+        t = next_instant()
+        hd = os.path.join(table_dir, ".hoodie")
+        # the full lifecycle the spec's writers leave behind
+        open(os.path.join(hd, f"{t}.{action}.requested"),
+             "wb").close()
+        open(os.path.join(hd, f"{t}.{action}.inflight"),
+             "wb").close()
+        with open(os.path.join(hd, f"{t}.{action}"), "wb") as f:
+            f.write(doc)
+        return t
+
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 4).alias("bucket"))
+
+    def write_batch(df, epoch_id):
+        cached = df.cache()
+        try:
+            for g in range(4):
+                sub = cached.filter(F.col("bucket") == g)
+                instant = str(20260101000000000 + state["n"] + 1)
+
+                def write_part(batches, g=g, instant=instant):
+                    import pandas as pd
+
+                    from health_monitor_cc_flink_spark.operators \
+                        .parquet_write import write_parquet
+
+                    ids = []
+                    for pdf in batches:
+                        ids.extend(int(v) for v in pdf["event_id"])
+                    if not ids:
+                        yield pd.DataFrame(
+                            {"file_id": [], "path": [], "n": [],
+                             "size": []})
+                        return
+                    fid = f"fg-{uuid.uuid4().hex[:12]}"
+                    name = base_file_name(fid, instant)
+                    rel = f"bucket={g}/{name}"
+                    os.makedirs(os.path.join(
+                        table_dir, f"bucket={g}"), exist_ok=True)
+                    blob = write_parquet([
+                        ("event_id", "INT64", ids),
+                        ("val", "INT64", [3 * v for v in ids]),
+                    ])
+                    with open(os.path.join(table_dir, rel),
+                              "wb") as f:
+                        f.write(blob)
+                    yield pd.DataFrame(
+                        {"file_id": [fid], "path": [rel],
+                         "n": [len(ids)], "size": [len(blob)]})
+
+                census = sub.repartition(4).mapInPandas(
+                    write_part,
+                    schema=("file_id string, path string, n long, "
+                            "size long")).collect()
+                if census:
+                    commit_instant("commit", build_commit({
+                        f"bucket={g}": [{
+                            "fileId": r["file_id"],
+                            "path": r["path"],
+                            "numWrites": int(r["n"]),
+                            "totalWriteBytes": int(r["size"]),
+                        } for r in census]}))
+        finally:
+            cached.unpersist()
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "hudi_sink_ckpt")
+                 + uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if state["n"] == 0:
+        raise RuntimeError("hudi sink committed nothing")
+
+    def timeline_files() -> dict[str, bytes]:
+        hd = os.path.join(table_dir, ".hoodie")
+        return {n: open(os.path.join(hd, n), "rb").read()
+                for n in os.listdir(hd)}
+
+    table = reconstruct_table(timeline_files())
+
+    # UPSERT: rewrite bucket-0 file groups (same fileId, later
+    # instant, val recomputed x5) — executor-side rewrite
+    b0 = [(fid, st["path"]) for (part, fid), st in
+          table["live"].items() if part == "bucket=0"]
+    if not b0:
+        raise RuntimeError("no bucket-0 file groups")
+    up_instant = str(20260101000000000 + state["n"] + 1)
+    up_df = spark.createDataFrame(
+        b0, "file_id string, path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def rewrite(batches, instant=up_instant):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        from health_monitor_cc_flink_spark.operators.hudi import (
+            base_file_name as _bfn,
+        )
+
+        for pdf in batches:
+            out = {"file_id": [], "path": [], "n": [], "size": []}
+            for fid, p in zip(pdf["file_id"], pdf["path"]):
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                ids = cols["event_id"]
+                rel = f"bucket=0/{_bfn(fid, instant)}"
+                blob = write_parquet([
+                    ("event_id", "INT64", ids),
+                    ("val", "INT64", [5 * v for v in ids]),
+                ])
+                with open(os.path.join(table_dir, rel), "wb") as f:
+                    f.write(blob)
+                out["file_id"].append(fid)
+                out["path"].append(rel)
+                out["n"].append(len(ids))
+                out["size"].append(len(blob))
+            yield pd.DataFrame(out)
+
+    up_census = up_df.mapInPandas(
+        rewrite, schema=("file_id string, path string, n long, "
+                         "size long")).collect()
+    got_instant = commit_instant("commit", build_commit({
+        "bucket=0": [{"fileId": r["file_id"], "path": r["path"],
+                      "numWrites": int(r["n"]),
+                      "totalWriteBytes": int(r["size"])}
+                     for r in up_census]}))
+    if got_instant != up_instant:
+        raise RuntimeError("instant drift between plan and commit")
+
+    # REPLACECOMMIT: cluster bucket-1's groups into ONE new group
+    table = reconstruct_table(timeline_files())
+    b1 = sorted((fid, st["path"]) for (part, fid), st in
+                table["live"].items() if part == "bucket=1")
+    if not b1:
+        raise RuntimeError("no bucket-1 file groups")
+    from .operators.iceberg import read_flat_parquet as _rfp
+    from .operators.parquet_write import write_parquet as _wp
+
+    merged_ids: list[int] = []
+    merged_vals: list[int] = []
+    for _, p in b1:
+        cols = _rfp(open(os.path.join(table_dir, p), "rb").read())
+        merged_ids.extend(cols["event_id"])
+        merged_vals.extend(cols["val"])
+    order = sorted(range(len(merged_ids)),
+                   key=lambda i: merged_ids[i])
+    merged_ids = [merged_ids[i] for i in order]
+    merged_vals = [merged_vals[i] for i in order]
+    cl_instant = str(20260101000000000 + state["n"] + 1)
+    cfid = f"fg-{uuid.uuid4().hex[:12]}"
+    crel = f"bucket=1/{base_file_name(cfid, cl_instant)}"
+    cblob = _wp([("event_id", "INT64", merged_ids),
+                 ("val", "INT64", merged_vals)])
+    with open(os.path.join(table_dir, crel), "wb") as f:
+        f.write(cblob)
+    commit_instant("replacecommit", build_commit(
+        {"bucket=1": [{"fileId": cfid, "path": crel,
+                       "numWrites": len(merged_ids),
+                       "totalWriteBytes": len(cblob)}]},
+        replaced={"bucket=1": [fid for fid, _ in b1]}))
+
+    # dangling inflight instant: readers must ignore it
+    t = next_instant()
+    hd = os.path.join(table_dir, ".hoodie")
+    open(os.path.join(hd, f"{t}.commit.requested"), "wb").close()
+    open(os.path.join(hd, f"{t}.commit.inflight"), "wb").close()
+
+    table = reconstruct_table(timeline_files())
+    if table["n_pending"] < 1:
+        raise RuntimeError("dangling inflight not counted pending")
+    live = sorted(st["path"] for st in table["live"].values())
+    # certificates: replaced groups gone, exactly one bucket-1
+    # group, bucket-0 paths all at the upsert instant
+    if any(p == q_ for _, q_ in b1 for p in live):
+        raise RuntimeError("replaced file group still live")
+    if sum(1 for p in live if p.startswith("bucket=1/")) != 1:
+        raise RuntimeError("clustering left extra bucket-1 groups")
+    if any(p.startswith("bucket=0/") and up_instant not in p
+           for p in live):
+        raise RuntimeError("stale bucket-0 base file surfaced")
+
+    live_df = spark.createDataFrame(
+        [(p,) for p in live], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def read_back(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+
+        for pdf in batches:
+            out = {"bucket": [], "event_id": [], "val": []}
+            for p in pdf["path"]:
+                g = int(p.split("=", 1)[1].split("/", 1)[0])
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                for eid, v in zip(cols["event_id"], cols["val"]):
+                    out["bucket"].append(g)
+                    out["event_id"].append(eid)
+                    out["val"].append(v)
+            yield pd.DataFrame(out)
+
+    decoded = live_df.mapInPandas(
+        read_back, schema="bucket long, event_id long, val long")
+    return decoded.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.md5(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.col("event_id"))).cast("array<string>")))
+        .alias("ids_md5"),
+    )
