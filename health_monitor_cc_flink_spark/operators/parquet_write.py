@@ -489,10 +489,15 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                   page_index: bool = False,
                   bloom_filter: bool = False,
                   data_page_version: int = 1,
-                  page_rows: int = 20_000) -> bytes:
+                  page_rows: int = 20_000,
+                  row_group_rows: int | None = None) -> bytes:
     """[(name, ptype, values)] (None = null) -> parquet file bytes.
-    ptype in INT64 / DOUBLE / BYTE_ARRAY / BOOLEAN; one row group,
-    v1 pages, optional columns.
+    ptype in INT64 / DOUBLE / BYTE_ARRAY / BOOLEAN; optional
+    columns; ``row_group_rows`` splits the file into MULTIPLE row
+    groups (default one) — each with its own column chunks,
+    Statistics, dictionary, Bloom filter and page index, so
+    chunk-level min/max pruning and bloom-gated row-group skipping
+    work inside a single file, not just across files.
 
     ``dictionary`` — eligible flat columns (non-BOOLEAN, <= 2^16
     distinct present values) get a PLAIN dictionary page plus
@@ -519,16 +524,27 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         raise ValueError(f"writer codec {codec} unsupported")
     if data_page_version not in (1, 2):
         raise ValueError("data_page_version must be 1 or 2")
+    if row_group_rows is not None and row_group_rows < 1:
+        raise ValueError("row_group_rows must be positive")
     _check_liststruct_alignment(columns)
-    out = bytearray(b"PAR1")
-    chunks = []
-    for name, ptype, vals in columns:
+    for name, ptype, _ in columns:
         if ptype not in _TYPES and ptype not in _LIST_TYPES \
                 and ptype not in _LISTSTRUCT_TYPES:
             raise ValueError(f"unsupported type {ptype}")
         if ptype in _LISTSTRUCT_TYPES and name.count(".") != 1:
             raise ValueError("LISTSTRUCT columns need a 'top.field' "
                              "name")
+    rg = row_group_rows or max(n_rows, 1)
+    bounds = [(s, min(s + rg, n_rows))
+              for s in range(0, n_rows, rg)] or [(0, 0)]
+    out = bytearray(b"PAR1")
+    groups: list[list[dict]] = []
+    for ga, gb in bounds:
+      chunks: list[dict] = []
+      groups.append(chunks)
+      for name, ptype, allvals in columns:
+        vals = allvals[ga:gb]
+        gn = gb - ga
         is_list = ptype in _LIST_TYPES or ptype in _LISTSTRUCT_TYPES
         leaf_type = _leaf_of(ptype)
         # nested struct paths at arbitrary depth: every dotted
@@ -561,7 +577,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             c_total += len(header) + len(payload)
         data_page_offset = len(out)
         pages: list[dict] = []
-        for start in range(0, n_rows, page_rows) or [0]:
+        for start in range(0, gn, page_rows) or [0]:
             page = vals[start:start + page_rows]
             if is_list:
                 levels: list[int] = []
@@ -649,7 +665,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             c_total += len(header) + len(payload)
         chunks.append({
             "name": name, "ptype": ptype, "offset": offset,
-            "n_vals": total_slots if is_list else n_rows,
+            "n_vals": total_slots if is_list else gn,
             "un_size": un_total,
             "c_size": c_total,
             "data_page_offset": data_page_offset,
@@ -659,11 +675,12 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                       and leaf_type != "BOOLEAN" else None),
             "values": vals,
         })
-    total_bytes = sum(c["c_size"] for c in chunks)
+    all_chunks = [c for g in groups for c in g]
 
     # split-block Bloom filters between the data section and the
-    # page indexes (explicit offsets; placement is writer's choice)
-    for c in chunks:
+    # page indexes (explicit offsets; placement is writer's choice);
+    # one filter PER ROW-GROUP CHUNK — the row-group-skip granule
+    for c in all_chunks:
         if c["bloom"] is None:
             continue
         from .parquet_bloom import SplitBlockBloom, write_bloom_blob
@@ -681,14 +698,14 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
 
     # page indexes live between the data section and the footer
     # (parquet-format PageIndex layout: all ColumnIndex structs,
-    # then all OffsetIndex structs)
-    for c in chunks:
+    # then all OffsetIndex structs, row-group major)
+    for c in all_chunks:
         if c["pages"] is None:
             continue
         blob = _column_index(c["pages"], _leaf_of(c["ptype"]))
         c["ci_off"], c["ci_len"] = len(out), len(blob)
         out += blob
-    for c in chunks:
+    for c in all_chunks:
         if c["pages"] is None:
             continue
         blob = _offset_index(c["pages"])
@@ -772,11 +789,12 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
     w.i64(3, n_rows)
     # row groups
     w.field(4, _CT_LIST)
-    w.list_header(1, _CT_STRUCT)
-    w.begin_struct()
-    w.field(1, _CT_LIST)
-    w.list_header(len(chunks), _CT_STRUCT)
-    for c in chunks:
+    w.list_header(len(groups), _CT_STRUCT)
+    for (ga, gb), chunks in zip(bounds, groups):
+      w.begin_struct()
+      w.field(1, _CT_LIST)
+      w.list_header(len(chunks), _CT_STRUCT)
+      for c in chunks:
         w.begin_struct()          # ColumnChunk
         w.i64(2, c["offset"])
         w.begin_struct(3)         # ColumnMetaData
@@ -828,9 +846,9 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             w.i64(6, c["ci_off"])
             w.i32(7, c["ci_len"])
         w.end_struct()            # ColumnChunk
-    w.i64(2, total_bytes)
-    w.i64(3, n_rows)
-    w.end_struct()
+      w.i64(2, sum(c["c_size"] for c in chunks))
+      w.i64(3, gb - ga)
+      w.end_struct()              # RowGroup
     w.binary(6, b"health-monitor-cc-flink-spark parquet writer")
     w.end_struct()
     footer = bytes(w.out)

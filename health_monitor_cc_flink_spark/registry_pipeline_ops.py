@@ -17646,3 +17646,160 @@ def streaming_hudi_sink_roundtrip(spark, sf_dir):
             F.collect_list(F.col("event_id"))).cast("array<string>")))
         .alias("ids_md5"),
     )
+
+
+@query(
+    "meta_parquet_rowgroup_prune",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 60 + 80 AS BIGINT) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_keys,
+           CAST((n + 31) // 32 AS BIGINT) AS n_rgs,
+           CAST(n AS BIGINT) AS n_present_found,
+           CAST(n * doc_id * 1000 + 7 * n * (n - 1) // 2 AS BIGINT)
+               AS sum_found,
+           CAST(n AS BIGINT) AS n_absent_confirmed,
+           TRUE AS rg_pruned
+    FROM p
+    """,
+    doc="MULTI-ROW-GROUP parquet files under the hash gate — the "
+    "own writer now splits a file into real row groups "
+    "(row_group_rows), each with its own chunk Statistics, "
+    "dictionary, Bloom filter and page index; this query runs the "
+    "full scan-skipping stack INSIDE one file: point lookups prune "
+    "candidate row groups by chunk min/max first (sorted keys -> "
+    "disjoint ranges -> exactly ONE candidate, certified), the "
+    "per-group SBBF then rejects absent keys that fall inside a "
+    "group's range (min/max alone cannot — certified at >= 3/4 "
+    "rejected with ZERO decode), and only the single surviving "
+    "group is decoded via its dictionary-page offset.  pyarrow "
+    "reads every multi-group file back in-loop and the per-group "
+    "census must agree.  Scale: THE parquet scan primitive at "
+    "100 TB — a 1 GB file with 8 row groups serves a point lookup "
+    "for one group's bytes + O(footer), and the same footer walk "
+    "is what Spark's scan planner does before tasks launch.",
+    bench=True,
+)
+def meta_parquet_rowgroup_prune(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import io as _io
+        import struct as _s
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from health_monitor_cc_flink_spark.operators.parquet_bloom \
+            import read_bloom_blob
+        from health_monitor_cc_flink_spark.operators.parquet_data \
+            import read_column_chunk
+        from health_monitor_cc_flink_spark.operators.parquet_meta \
+            import parse_footer
+        from health_monitor_cc_flink_spark.operators.parquet_write \
+            import write_parquet
+
+        RG = 32
+        for pdf in batches:
+            out = {"doc_id": [], "n_keys": [], "n_rgs": [],
+                   "n_present_found": [], "sum_found": [],
+                   "n_absent_confirmed": [], "rg_pruned": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 60 + 80
+                keys = [d * 1000 + 7 * r for r in range(n)]
+                blob = write_parquet(
+                    [("k", "INT64", keys)], dictionary=True,
+                    page_index=True, bloom_filter=True,
+                    row_group_rows=RG, page_rows=16)
+                pf = pq.ParquetFile(_io.BytesIO(blob))
+                n_rgs = (n + RG - 1) // RG
+                if pf.num_row_groups != n_rgs:
+                    raise ValueError("pyarrow row group mismatch")
+                m = parse_footer(blob)
+                rgs = []
+                for rgm in m["row_groups"]:
+                    cc = rgm["columns"][0]
+                    st = cc["statistics"]
+                    rgs.append({
+                        "min": _s.unpack("<q", st["min_value"])[0],
+                        "max": _s.unpack("<q", st["max_value"])[0],
+                        "bloom": read_bloom_blob(
+                            blob, cc["bloom_filter_offset"]),
+                        "cc": cc,
+                        "rows": None,
+                    })
+                decodes = 0
+
+                def lookup(q):
+                    nonlocal decodes
+                    cands = [g for g in rgs
+                             if g["min"] <= q <= g["max"]]
+                    if len(cands) > 1:
+                        raise ValueError(
+                            "sorted ranges must give one candidate")
+                    if not cands:
+                        return None  # stats-pruned, no bloom even
+                    g = cands[0]
+                    if not g["bloom"].check(q, "INT64"):
+                        return None  # bloom-pruned, no decode
+                    if g["rows"] is None:
+                        decodes += 1
+                        cc = g["cc"]
+                        g["rows"] = set(read_column_chunk(
+                            blob,
+                            start_offset=cc[
+                                "dictionary_page_offset"]
+                            or cc["data_page_offset"],
+                            num_values=cc["num_values"],
+                            ptype="INT64", codec="SNAPPY",
+                            dictionary_page_offset=cc[
+                                "dictionary_page_offset"]))
+                    return q if q in g["rows"] else None
+
+                found = 0
+                sum_f = 0
+                for q in keys:
+                    got = lookup(q)
+                    if got is None:
+                        raise ValueError("present key missed")
+                    found += 1
+                    sum_f += got
+                if decodes > n_rgs:
+                    raise ValueError("decoded a group twice")
+                # absent probes INSIDE the ranges: min/max cannot
+                # reject them, the per-group bloom must
+                absent = [d * 1000 + 7 * r + 3 for r in range(n)]
+                passed = 0
+                confirmed = 0
+                for q in absent:
+                    cands = [g for g in rgs
+                             if g["min"] <= q <= g["max"]]
+                    if cands and cands[0]["bloom"].check(
+                            q, "INT64"):
+                        passed += 1
+                    if lookup(q) is None:
+                        confirmed += 1
+                if confirmed != n:
+                    raise ValueError("absent key reported present")
+                if passed > n // 4:
+                    raise ValueError(
+                        f"bloom rejected too little: {passed}")
+                out["doc_id"].append(d)
+                out["n_keys"].append(n)
+                out["n_rgs"].append(n_rgs)
+                out["n_present_found"].append(found)
+                out["sum_found"].append(sum_f)
+                out["n_absent_confirmed"].append(confirmed)
+                out["rg_pruned"].append(True)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, n_keys long, n_rgs long, "
+                "n_present_found long, sum_found long, "
+                "n_absent_confirmed long, rg_pruned boolean"),
+    )

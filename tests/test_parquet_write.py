@@ -448,3 +448,68 @@ def test_liststruct_roundtrip(tmp_path):
             ("flat", "INT64", [2]),
             ("g.b", "INT64", [3]),
         ])
+
+
+def test_multiple_row_groups_roundtrip(tmp_path):
+    """row_group_rows splits the file into real row groups, each
+    with its own chunk Statistics, dictionary, bloom and page
+    index — pyarrow, DuckDB and the own reader agree; stats are
+    per-group tight and blooms hit only the owning group."""
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_bloom import (
+        read_bloom_blob,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+    )
+
+    n = 1000
+    ks = [i * 7 for i in range(n)]
+    ss = [None if i % 5 == 3 else f"v{i % 40}" for i in range(n)]
+    blob = write_parquet(
+        [("k", "INT64", ks), ("s", "STRING", ss)],
+        dictionary=True, page_index=True, bloom_filter=True,
+        row_group_rows=128, page_rows=32)
+    pf = pq.ParquetFile(io.BytesIO(blob))
+    assert pf.num_row_groups == 8
+    t = pf.read()
+    assert t["k"].to_pylist() == ks and t["s"].to_pylist() == ss
+    p = tmp_path / "rg.parquet"
+    p.write_bytes(blob)
+    assert duckdb.sql(
+        f"SELECT count(*), sum(k) FROM read_parquet('{p}')"
+    ).fetchall() == [(n, sum(ks))]
+    m = parse_footer(blob)
+    assert len(m["row_groups"]) == 8
+    needle = 7 * 500  # lives only in row group 3
+    hits = []
+    for i, rgm in enumerate(m["row_groups"]):
+        cc = next(c for c in rgm["columns"] if c["path"] == "k")
+        st = cc["statistics"]
+        mn = struct.unpack("<q", st["min_value"])[0]
+        mx = struct.unpack("<q", st["max_value"])[0]
+        assert mn == ks[i * 128] and mx == ks[min(n, (i + 1) * 128)
+                                              - 1]
+        bf = read_bloom_blob(blob, cc["bloom_filter_offset"])
+        if bf.check(needle, "INT64"):
+            hits.append(i)
+        assert all(bf.check(v, "INT64")
+                   for v in ks[i * 128:(i + 1) * 128])
+    assert hits == [3]
+    # selective decode of ONE row group through the own reader
+    rgm = m["row_groups"][3]
+    cc = next(c for c in rgm["columns"] if c["path"] == "k")
+    got = read_column_chunk(
+        blob,
+        start_offset=cc["dictionary_page_offset"]
+        or cc["data_page_offset"],
+        num_values=cc["num_values"], ptype="INT64", codec="SNAPPY",
+        dictionary_page_offset=cc["dictionary_page_offset"])
+    assert got == ks[384:512]
+    assert needle in got
