@@ -281,3 +281,75 @@ def read_column_blooms(data: bytes, stripe: dict, codec: str,
         off += ln
     raise ValueError(
         f"column {column_id} has no BLOOM_FILTER_UTF8 stream")
+
+
+def _zz_dec(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def read_column_row_index(data: bytes, stripe: dict, codec: str,
+                          column_id: int) -> list[dict]:
+    """Parse ``column_id``'s ROW_INDEX stream from one stripe's
+    index section -> per-row-group entries
+    {n_values, has_null, min, max} (typed min/max for
+    integer / double / string stats; None otherwise).  O(index
+    bytes) — the stats-pruning sibling of read_column_blooms."""
+    import struct as _s
+
+    from .orc_data import _decompress_stream
+
+    foot_off = (stripe["offset"] + stripe["index_length"]
+                + stripe["data_length"])
+    sf_raw = _decompress_stream(
+        data[foot_off:foot_off + stripe["footer_length"]], codec)
+    sf = proto_decode(sf_raw)
+    off = stripe["offset"]
+    raw = None
+    for blob in sf.get(1, []):
+        st = proto_decode(bytes(blob))
+        kind = st.get(1, [0])[-1]
+        col = st.get(2, [0])[-1]
+        ln = st.get(3, [0])[-1]
+        kind = kind if isinstance(kind, int) else 0
+        col = col if isinstance(col, int) else 0
+        ln = ln if isinstance(ln, int) else 0
+        if kind == STREAM_ROW_INDEX and col == column_id:
+            raw = _decompress_stream(data[off:off + ln], codec)
+            break
+        off += ln
+    if raw is None:
+        raise ValueError(
+            f"column {column_id} has no ROW_INDEX stream")
+    entries = []
+    for eb in proto_decode(raw).get(1, []):
+        entry = proto_decode(bytes(eb))
+        stats_raw = entry.get(2)
+        if not stats_raw:
+            entries.append({"n_values": None, "has_null": None,
+                            "min": None, "max": None})
+            continue
+        cs = proto_decode(bytes(stats_raw[-1]))
+        n_values = cs.get(1, [None])[-1]
+        has_null = bool(cs.get(10, [0])[-1])
+        mn = mx = None
+        if 2 in cs:  # IntegerStatistics, sint64 zigzag
+            ist = proto_decode(bytes(cs[2][-1]))
+            if 1 in ist:
+                mn = _zz_dec(ist[1][-1])
+            if 2 in ist:
+                mx = _zz_dec(ist[2][-1])
+        elif 3 in cs:  # DoubleStatistics, fixed64 doubles
+            dst = proto_decode(bytes(cs[3][-1]))
+            if 1 in dst:
+                mn = _s.unpack("<d", bytes(dst[1][-1]))[0]
+            if 2 in dst:
+                mx = _s.unpack("<d", bytes(dst[2][-1]))[0]
+        elif 4 in cs:  # StringStatistics, utf-8 bytes
+            sst = proto_decode(bytes(cs[4][-1]))
+            if 1 in sst:
+                mn = bytes(sst[1][-1]).decode("utf-8")
+            if 2 in sst:
+                mx = bytes(sst[2][-1]).decode("utf-8")
+        entries.append({"n_values": n_values, "has_null": has_null,
+                        "min": mn, "max": mx})
+    return entries

@@ -208,52 +208,19 @@ def _column_stats(kind: str, present: list, n_slots: int) -> bytes:
 _BLOOM_KINDS = ("LONG", "DOUBLE", "STRING")
 
 
-def write_orc(columns: list[tuple[str, str, list]], *,
-              codec: str = "SNAPPY",
-              dictionary: bool = False,
-              bloom_filter: bool = False,
-              bloom_fpp: float = 0.05) -> bytes:
-    """[(name, kind, values)] (None = null; kind LONG / DOUBLE /
-    STRING / BOOLEAN / TIMESTAMP (epoch-nanos ints) / DECIMAL
-    (decimal.Decimal)) -> ORC file bytes, one stripe.
-
-    ``dictionary`` — STRING columns with <= 2^16 distinct values are
-    written DICTIONARY_V2 (sorted dictionary per the spec: RLEv2
-    index DATA, sorted-entry LENGTHs, concatenated
-    DICTIONARY_DATA).
-
-    ``bloom_filter`` — writes an INDEX section ahead of the data
-    streams: a ROW_INDEX stream per column (one RowIndexEntry with
-    real ColumnStatistics — the stripe is one row group) and a
-    BLOOM_FILTER_UTF8 stream for LONG / DOUBLE / STRING columns,
-    Java-hash-compatible (operators/orc_bloom: signed-shift Wang
-    for longs/doubles, Murmur3-64 seed 104729 for strings).  The
-    footer deliberately leaves rowIndexStride unset: one row group
-    per stripe makes seek positions degenerate, reference readers
-    then ignore the index section entirely (they read these files
-    value-exact), while the own reader finds the blooms through the
-    stripe-footer stream list — the same consumer split as the
-    parquet SBBF path, where pyarrow/DuckDB predate the API."""
-    if not columns:
-        raise ValueError("no columns")
-    n_rows = len(columns[0][2])
-    if any(len(v) != n_rows for _, _, v in columns):
-        raise ValueError("ragged columns")
-    if n_rows * len(columns) > MAX_CELLS:
-        raise ValueError("cell cap exceeded")
-    if codec not in ("SNAPPY", "ZSTD", "NONE"):
-        raise ValueError(f"writer codec {codec} unsupported")
-    out = bytearray(b"ORC")
-    stripe_offset = len(out)
-
+def _encode_columns(columns: list[tuple[str, str, list]],
+                    lo: int, hi: int, *, dictionary: bool,
+                    decimal_scales: dict[int, int]
+                    ) -> tuple[list, list, list]:
+    """Encode rows [lo, hi) of every column -> (streams, encodings,
+    col_info) for one stripe.  DECIMAL values rescale to the
+    COLUMN-GLOBAL scale in ``decimal_scales`` so the footer type's
+    declared scale holds across stripes."""
     streams: list[tuple[int, int, bytes]] = []  # (column, kind, raw)
-    encodings: list[int] = [0]  # root struct: DIRECT
-    decimal_meta: dict[int, tuple[int, int]] = {}  # ci -> (prec, scale)
-    col_info: list[tuple[str, list]] = []  # (kind, present) per column
-    # root PRESENT absent; children are columns 1..N
-    for ci, (name, kind, vals) in enumerate(columns, start=1):
-        if kind not in _KINDS:
-            raise ValueError(f"unsupported kind {kind}")
+    encodings: list = [0]  # root struct: DIRECT
+    col_info: list[tuple[str, list]] = []  # (kind, present)
+    for ci, (name, kind, allvals) in enumerate(columns, start=1):
+        vals = allvals[lo:hi]
         flags = [v is not None for v in vals]
         present = [v for v in vals if v is not None]
         col_info.append((kind, present))
@@ -297,16 +264,10 @@ def write_orc(columns: list[tuple[str, str, list]], *,
                 (ci, 5, rlev2_encode(nanos, signed=False)))
             encodings.append(2)
         elif kind == "DECIMAL":
-            # decimal.Decimal values; DATA = signed unbounded
-            # varints of the unscaled int, SECONDARY = scale RLEv2;
-            # every value is rescaled to the column's (max) scale so
-            # the footer type's declared scale is authoritative
-            scale = max((-v.as_tuple().exponent for v in present),
-                        default=0)
-            if scale < 0:
-                raise ValueError("positive-exponent decimal "
-                                 "unsupported")
-            decimal_meta[ci] = (18, scale)
+            # DATA = signed unbounded varints of the unscaled int,
+            # SECONDARY = scale RLEv2; every value rescaled to the
+            # column-global scale so the footer type is authoritative
+            scale = decimal_scales[ci]
             body = bytearray()
             for v in present:
                 unscaled = int(v.scaleb(scale))
@@ -353,77 +314,152 @@ def write_orc(columns: list[tuple[str, str, list]], *,
                 (ci, 2, rlev2_encode([len(r) for r in raws],
                                      signed=False)))
             encodings.append(2)
+    return streams, encodings, col_info
 
-    stream_meta = []
-    index_length = 0
-    if bloom_filter:
-        from .orc_bloom import (
-            STREAM_BLOOM_FILTER_UTF8,
-            OrcBloomFilter,
-            write_bloom_index,
-        )
 
-        index_streams: list[tuple[int, int, bytes]] = []
-        # ROW_INDEX per column (root struct included), one
-        # RowIndexEntry — the stripe is one row group; positions are
-        # degenerate (stream starts) and omitted
-        root_entry = pb_bytes(2, pb_varint(1, n_rows)
-                              + pb_varint(10, 0))
-        index_streams.append((0, 6, pb_bytes(1, root_entry)))
-        for ci, (kind, present) in enumerate(col_info, start=1):
-            entry = pb_bytes(2, _column_stats(kind, present, n_rows))
-            index_streams.append((ci, 6, pb_bytes(1, entry)))
-        for ci, (kind, present) in enumerate(col_info, start=1):
-            if kind not in _BLOOM_KINDS or not present:
-                continue
-            bf = OrcBloomFilter.sized_for(len(set(present)),
-                                          bloom_fpp)
-            for v in present:
-                if kind == "LONG":
-                    bf.add_long(v)
-                elif kind == "DOUBLE":
-                    bf.add_double(v)
-                else:
-                    bf.add_string(v)
-            index_streams.append(
-                (ci, STREAM_BLOOM_FILTER_UTF8,
-                 write_bloom_index([bf])))
-        index_start = len(out)
-        for col, skind, raw in index_streams:
+def write_orc(columns: list[tuple[str, str, list]], *,
+              codec: str = "SNAPPY",
+              dictionary: bool = False,
+              bloom_filter: bool = False,
+              bloom_fpp: float = 0.05,
+              stripe_rows: int | None = None) -> bytes:
+    """[(name, kind, values)] (None = null; kind LONG / DOUBLE /
+    STRING / BOOLEAN / TIMESTAMP (epoch-nanos ints) / DECIMAL
+    (decimal.Decimal)) -> ORC file bytes.
+
+    ``stripe_rows`` splits the file into MULTIPLE stripes (default
+    one) — each with its own streams, encodings, index section and
+    Bloom filters, so stripe-level skipping works inside a single
+    file; DECIMAL columns rescale to a column-global scale so the
+    footer type holds across stripes.
+
+    ``dictionary`` — STRING columns with <= 2^16 distinct values
+    (per stripe) are written DICTIONARY_V2 (sorted dictionary per
+    the spec: RLEv2 index DATA, sorted-entry LENGTHs, concatenated
+    DICTIONARY_DATA).
+
+    ``bloom_filter`` — writes an INDEX section ahead of each
+    stripe's data streams: a ROW_INDEX stream per column (one
+    RowIndexEntry with real ColumnStatistics — each stripe is one
+    row group) and a BLOOM_FILTER_UTF8 stream for LONG / DOUBLE /
+    STRING columns, Java-hash-compatible (operators/orc_bloom:
+    signed-shift Wang for longs/doubles, Murmur3-64 seed 104729 for
+    strings).  The footer deliberately leaves rowIndexStride unset:
+    one row group per stripe makes seek positions degenerate,
+    reference readers then ignore the index section entirely (they
+    read these files value-exact), while the own reader finds the
+    blooms through the stripe-footer stream list — the same
+    consumer split as the parquet SBBF path."""
+    if not columns:
+        raise ValueError("no columns")
+    n_rows = len(columns[0][2])
+    if any(len(v) != n_rows for _, _, v in columns):
+        raise ValueError("ragged columns")
+    if n_rows * len(columns) > MAX_CELLS:
+        raise ValueError("cell cap exceeded")
+    if codec not in ("SNAPPY", "ZSTD", "NONE"):
+        raise ValueError(f"writer codec {codec} unsupported")
+    if stripe_rows is not None and stripe_rows < 1:
+        raise ValueError("stripe_rows must be positive")
+    for _, kind, _ in columns:
+        if kind not in _KINDS:
+            raise ValueError(f"unsupported kind {kind}")
+    # column-global decimal scales (footer declares ONE scale)
+    decimal_scales: dict[int, int] = {}
+    decimal_meta: dict[int, tuple[int, int]] = {}
+    for ci, (_, kind, vals) in enumerate(columns, start=1):
+        if kind != "DECIMAL":
+            continue
+        scale = max((-v.as_tuple().exponent
+                     for v in vals if v is not None), default=0)
+        if scale < 0:
+            raise ValueError("positive-exponent decimal unsupported")
+        decimal_scales[ci] = scale
+        decimal_meta[ci] = (18, scale)
+
+    sr = stripe_rows or max(n_rows, 1)
+    bounds = [(s, min(s + sr, n_rows))
+              for s in range(0, n_rows, sr)] or [(0, 0)]
+    out = bytearray(b"ORC")
+    stripe_infos: list[bytes] = []
+    for lo, hi in bounds:
+        stripe_offset = len(out)
+        streams, encodings, col_info = _encode_columns(
+            columns, lo, hi, dictionary=dictionary,
+            decimal_scales=decimal_scales)
+        stripe_n = hi - lo
+        stream_meta = []
+        index_length = 0
+        if bloom_filter:
+            from .orc_bloom import (
+                STREAM_BLOOM_FILTER_UTF8,
+                OrcBloomFilter,
+                write_bloom_index,
+            )
+
+            index_streams: list[tuple[int, int, bytes]] = []
+            # ROW_INDEX per column (root struct included), one
+            # RowIndexEntry — the stripe is one row group;
+            # positions are degenerate (stream starts) and omitted
+            root_entry = pb_bytes(2, pb_varint(1, stripe_n)
+                                  + pb_varint(10, 0))
+            index_streams.append((0, 6, pb_bytes(1, root_entry)))
+            for ci, (kind, present) in enumerate(col_info, start=1):
+                entry = pb_bytes(
+                    2, _column_stats(kind, present, stripe_n))
+                index_streams.append((ci, 6, pb_bytes(1, entry)))
+            for ci, (kind, present) in enumerate(col_info, start=1):
+                if kind not in _BLOOM_KINDS or not present:
+                    continue
+                bf = OrcBloomFilter.sized_for(len(set(present)),
+                                              bloom_fpp)
+                for v in present:
+                    if kind == "LONG":
+                        bf.add_long(v)
+                    elif kind == "DOUBLE":
+                        bf.add_double(v)
+                    else:
+                        bf.add_string(v)
+                index_streams.append(
+                    (ci, STREAM_BLOOM_FILTER_UTF8,
+                     write_bloom_index([bf])))
+            index_start = len(out)
+            for col, skind, raw in index_streams:
+                blob = _compress_stream(raw, codec)
+                out += blob
+                stream_meta.append((col, skind, len(blob)))
+            index_length = len(out) - index_start
+
+        data_start = len(out)
+        for col, skind, raw in streams:
             blob = _compress_stream(raw, codec)
             out += blob
             stream_meta.append((col, skind, len(blob)))
-        index_length = len(out) - index_start
+        data_length = len(out) - data_start
 
-    data_start = len(out)
-    for col, skind, raw in streams:
-        blob = _compress_stream(raw, codec)
-        out += blob
-        stream_meta.append((col, skind, len(blob)))
-    data_length = len(out) - data_start
-
-    sf = bytearray()
-    for col, skind, ln in stream_meta:
-        sf += pb_bytes(1, pb_varint(1, skind) + pb_varint(2, col)
-                       + pb_varint(3, ln))
-    for enc in encodings:
-        if isinstance(enc, tuple):  # (kind, dictionarySize)
-            sf += pb_bytes(2, pb_varint(1, enc[0])
-                           + pb_varint(2, enc[1]))
-        else:
-            sf += pb_bytes(2, pb_varint(1, enc))
-    sf_blob = _compress_stream(bytes(sf), codec)
-    out += sf_blob
+        sf = bytearray()
+        for col, skind, ln in stream_meta:
+            sf += pb_bytes(1, pb_varint(1, skind) + pb_varint(2, col)
+                           + pb_varint(3, ln))
+        for enc in encodings:
+            if isinstance(enc, tuple):  # (kind, dictionarySize)
+                sf += pb_bytes(2, pb_varint(1, enc[0])
+                               + pb_varint(2, enc[1]))
+            else:
+                sf += pb_bytes(2, pb_varint(1, enc))
+        sf_blob = _compress_stream(bytes(sf), codec)
+        out += sf_blob
+        stripe_infos.append(pb_varint(1, stripe_offset)
+                            + pb_varint(2, index_length)
+                            + pb_varint(3, data_length)
+                            + pb_varint(4, len(sf_blob))
+                            + pb_varint(5, stripe_n))
 
     footer = bytearray()
-    stripe_info = (pb_varint(1, stripe_offset)
-                   + pb_varint(2, index_length)
-                   + pb_varint(3, data_length)
-                   + pb_varint(4, len(sf_blob))
-                   + pb_varint(5, n_rows))
-    content_length = len(out)
+    content_length = len(out)  # footer start offset, as before
     footer += pb_varint(2, content_length)
-    footer += pb_bytes(3, stripe_info)
+    for si in stripe_infos:
+        footer += pb_bytes(3, si)
     # types: root struct + children
     root = pb_varint(1, 12)
     packed = b"".join(_uvarint(i) for i in range(1, len(columns) + 1))

@@ -17803,3 +17803,145 @@ def meta_parquet_rowgroup_prune(spark, sf_dir):
                 "n_present_found long, sum_found long, "
                 "n_absent_confirmed long, rg_pruned boolean"),
     )
+
+
+@query(
+    "meta_orc_stripe_prune",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 60 + 80 AS BIGINT) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_keys,
+           CAST((n + 31) // 32 AS BIGINT) AS n_stripes,
+           CAST(n AS BIGINT) AS n_present_found,
+           CAST(n * doc_id * 1000 + 7 * n * (n - 1) // 2 AS BIGINT)
+               AS sum_found,
+           CAST(n AS BIGINT) AS n_absent_confirmed,
+           TRUE AS stripe_pruned
+    FROM p
+    """,
+    doc="MULTI-STRIPE ORC files under the hash gate — the own "
+    "writer now splits a file into real stripes (stripe_rows), "
+    "each with its own streams, encodings, ROW_INDEX statistics "
+    "and Java-compatible Bloom filters; this query runs the full "
+    "in-file scan-skipping stack, ORC edition: point lookups prune "
+    "candidate stripes by the ROW_INDEX IntegerStatistics min/max "
+    "(sorted keys -> exactly ONE candidate, certified), the "
+    "per-stripe bloom rejects absent keys inside a stripe's range "
+    "(min/max alone cannot — certified at >= 3/4 rejected with "
+    "ZERO data-stream decode), and only the surviving stripe is "
+    "decoded.  pyarrow reads every multi-stripe file back in-loop "
+    "(nstripes checked).  Scale: THE ORC scan primitive at "
+    "100 TB — stripes are the spec's parallelism and skipping "
+    "granule, and this is the same footer/index walk a reference "
+    "reader's SearchArgument evaluation does before row groups "
+    "load.",
+    bench=True,
+)
+def meta_orc_stripe_prune(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import io as _io
+
+        import pandas as pd
+        from pyarrow import orc as _porc
+
+        from health_monitor_cc_flink_spark.operators.orc_bloom \
+            import read_column_blooms, read_column_row_index
+        from health_monitor_cc_flink_spark.operators.orc_data \
+            import read_stripe_column
+        from health_monitor_cc_flink_spark.operators.orc_meta \
+            import parse_orc_tail
+        from health_monitor_cc_flink_spark.operators.orc_write \
+            import write_orc
+
+        SR = 32
+        for pdf in batches:
+            out = {"doc_id": [], "n_keys": [], "n_stripes": [],
+                   "n_present_found": [], "sum_found": [],
+                   "n_absent_confirmed": [], "stripe_pruned": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 60 + 80
+                keys = [d * 1000 + 7 * r for r in range(n)]
+                blob = write_orc([("k", "LONG", keys)],
+                                 bloom_filter=True, stripe_rows=SR)
+                n_stripes = (n + SR - 1) // SR
+                if _porc.ORCFile(
+                        _io.BytesIO(blob)).nstripes != n_stripes:
+                    raise ValueError("pyarrow stripe count mismatch")
+                m = parse_orc_tail(blob)
+                stripes = []
+                for st in m["stripes"]:
+                    e = read_column_row_index(
+                        blob, st, m["compression"], 1)[0]
+                    stripes.append({
+                        "min": e["min"], "max": e["max"],
+                        "bloom": read_column_blooms(
+                            blob, st, m["compression"], 1)[0],
+                        "st": st, "rows": None,
+                    })
+                decodes = 0
+
+                def lookup(q):
+                    nonlocal decodes
+                    cands = [g for g in stripes
+                             if g["min"] <= q <= g["max"]]
+                    if len(cands) > 1:
+                        raise ValueError(
+                            "sorted ranges must give one candidate")
+                    if not cands:
+                        return None  # stats-pruned
+                    g = cands[0]
+                    if not g["bloom"].test_long(q):
+                        return None  # bloom-pruned, no decode
+                    if g["rows"] is None:
+                        decodes += 1
+                        g["rows"] = set(read_stripe_column(
+                            blob, g["st"], "LONG", 1,
+                            m["compression"], g["st"]["n_rows"]))
+                    return q if q in g["rows"] else None
+
+                found = 0
+                sum_f = 0
+                for q in keys:
+                    got = lookup(q)
+                    if got is None:
+                        raise ValueError("present key missed")
+                    found += 1
+                    sum_f += got
+                if decodes > n_stripes:
+                    raise ValueError("decoded a stripe twice")
+                absent = [d * 1000 + 7 * r + 3 for r in range(n)]
+                passed = 0
+                confirmed = 0
+                for q in absent:
+                    cands = [g for g in stripes
+                             if g["min"] <= q <= g["max"]]
+                    if cands and cands[0]["bloom"].test_long(q):
+                        passed += 1
+                    if lookup(q) is None:
+                        confirmed += 1
+                if confirmed != n:
+                    raise ValueError("absent key reported present")
+                if passed > n // 4:
+                    raise ValueError(
+                        f"bloom rejected too little: {passed}")
+                out["doc_id"].append(d)
+                out["n_keys"].append(n)
+                out["n_stripes"].append(n_stripes)
+                out["n_present_found"].append(found)
+                out["sum_found"].append(sum_f)
+                out["n_absent_confirmed"].append(confirmed)
+                out["stripe_pruned"].append(True)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, n_keys long, n_stripes long, "
+                "n_present_found long, sum_found long, "
+                "n_absent_confirmed long, stripe_pruned boolean"),
+    )

@@ -245,3 +245,66 @@ def test_dictionary_skips_wide_alphabets():
     vals = [f"u{i}" for i in range(70_000)]
     blob = write_orc([("s", "STRING", vals)], dictionary=True)
     assert orc.read_table(io.BytesIO(blob))["s"].to_pylist() == vals
+
+
+def test_multiple_stripes_roundtrip(spark, tmp_path):
+    """stripe_rows splits the file into real stripes — pyarrow,
+    Spark's Java reader and the own stripe reader agree; per-stripe
+    ROW_INDEX stats are tight and blooms hit only the owning
+    stripe; DECIMAL columns keep ONE footer scale across stripes."""
+    import decimal
+    import io
+
+    from pyarrow import orc as porc
+
+    from health_monitor_cc_flink_spark.operators.orc_bloom import (
+        read_column_blooms,
+        read_column_row_index,
+    )
+    from health_monitor_cc_flink_spark.operators.orc_data import (
+        read_stripe_column,
+    )
+    from health_monitor_cc_flink_spark.operators.orc_meta import (
+        parse_orc_tail,
+    )
+
+    n = 1000
+    ks = [i * 7 for i in range(n)]
+    ss = [None if i % 5 == 3 else f"v{i % 40}" for i in range(n)]
+    # scale varies BY STRIPE (first half 2 digits, second 4): the
+    # footer must declare the global max and every stripe rescale
+    ds = [decimal.Decimal(i) / (100 if i < 500 else 10000)
+          for i in range(n)]
+    blob = write_orc(
+        [("k", "LONG", ks), ("s", "STRING", ss),
+         ("dec", "DECIMAL", ds)],
+        dictionary=True, bloom_filter=True, stripe_rows=128)
+    f = porc.ORCFile(io.BytesIO(blob))
+    assert f.nstripes == 8
+    t = f.read()
+    assert t["k"].to_pylist() == ks
+    assert t["s"].to_pylist() == ss
+    assert t["dec"].to_pylist() == ds
+    assert f.read_stripe(3)["k"].to_pylist() == ks[384:512]
+    p = tmp_path / "ms.orc"
+    p.write_bytes(blob)
+    got = spark.read.orc(str(p)).orderBy("k").collect()
+    assert [r.k for r in got] == ks
+    m = parse_orc_tail(blob)
+    assert len(m["stripes"]) == 8
+    needle = 7 * 500
+    hits = []
+    allk = []
+    for i, st in enumerate(m["stripes"]):
+        allk.extend(read_stripe_column(
+            blob, st, "LONG", 1, m["compression"], st["n_rows"]))
+        e = read_column_row_index(blob, st, m["compression"], 1)[0]
+        assert e["min"] == ks[i * 128]
+        assert e["max"] == ks[min(n, (i + 1) * 128) - 1]
+        bf = read_column_blooms(blob, st, m["compression"], 1)[0]
+        if bf.test_long(needle):
+            hits.append(i)
+        assert all(bf.test_long(v)
+                   for v in ks[i * 128:(i + 1) * 128])
+    assert allk == ks
+    assert hits == [3]
