@@ -292,6 +292,86 @@ def _plain(values: list, ptype: str) -> bytes:
     raise ValueError(f"plain encode for {ptype} unsupported")
 
 
+def _byte_stream_split_enc(values: list, ptype: str) -> bytes:
+    """BYTE_STREAM_SPLIT (Encodings.md): the k-th byte of every
+    value's little-endian representation forms the k-th stream —
+    the write-side inverse of parquet_data._byte_stream_split."""
+    width = 4 if ptype == "FLOAT" else 8
+    raw = _plain(values, ptype)
+    return b"".join(raw[k::width] for k in range(width))
+
+
+def _delta_binary_packed_enc(values: list[int]) -> bytes:
+    """DELTA_BINARY_PACKED (Encodings.md): block 128, 4 miniblocks
+    of 32; header = block size / miniblock count / total count /
+    zigzag first value; per block a zigzag min-delta, 4 bit widths,
+    and LSB-first packed (delta - min_delta) miniblocks; trailing
+    slots of a partial block pad with zeros at the declared width."""
+    out = bytearray()
+
+    def uv(v: int) -> None:
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+
+    def zz(v: int) -> None:
+        uv((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+    uv(128)
+    uv(4)
+    uv(len(values))
+    if not values:
+        zz(0)
+        return bytes(out)
+    zz(values[0])
+    deltas = [b - a for a, b in zip(values, values[1:])]
+    for bs in range(0, len(deltas), 128):
+        block = deltas[bs:bs + 128]
+        mind = min(block)
+        zz(mind)
+        offs = [d - mind for d in block]
+        offs += [0] * (128 - len(offs))
+        widths = []
+        for mb in range(4):
+            chunk = offs[mb * 32:(mb + 1) * 32]
+            widths.append(max((v.bit_length() for v in chunk),
+                              default=0))
+        out.extend(widths)
+        for mb in range(4):
+            w = widths[mb]
+            if w == 0:
+                continue
+            chunk = offs[mb * 32:(mb + 1) * 32]
+            acc = 0
+            for i, v in enumerate(chunk):
+                acc |= v << (i * w)
+            out += acc.to_bytes(32 * w // 8, "little")
+    return bytes(out)
+
+
+def _delta_length_byte_array_enc(values: list) -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY: DELTA_BINARY_PACKED lengths, then
+    the concatenated bytes."""
+    raws = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            for v in values]
+    return (_delta_binary_packed_enc([len(r) for r in raws])
+            + b"".join(raws))
+
+
+#: writable alternative encodings: name -> (encoding id, allowed
+#: physical types)
+_ALT_ENCODINGS = {
+    "BYTE_STREAM_SPLIT": (9, ("FLOAT", "DOUBLE")),
+    "DELTA_BINARY_PACKED": (5, ("INT64",)),
+    "DELTA_LENGTH_BYTE_ARRAY": (6, ("BYTE_ARRAY", "STRING")),
+}
+
+
 def _compress_page(body: bytes, codec: str) -> bytes:
     if codec == "SNAPPY":
         return snappy_compress_block(body)
@@ -490,7 +570,9 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                   bloom_filter: bool = False,
                   data_page_version: int = 1,
                   page_rows: int = 20_000,
-                  row_group_rows: int | None = None) -> bytes:
+                  row_group_rows: int | None = None,
+                  column_encodings: dict[str, str] | None = None
+                  ) -> bytes:
     """[(name, ptype, values)] (None = null) -> parquet file bytes.
     ptype in INT64 / DOUBLE / BYTE_ARRAY / BOOLEAN; optional
     columns; ``row_group_rows`` splits the file into MULTIPLE row
@@ -526,6 +608,23 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         raise ValueError("data_page_version must be 1 or 2")
     if row_group_rows is not None and row_group_rows < 1:
         raise ValueError("row_group_rows must be positive")
+    # alternative value encodings (Encodings.md), per column name:
+    # BYTE_STREAM_SPLIT (FLOAT/DOUBLE), DELTA_BINARY_PACKED
+    # (INT64), DELTA_LENGTH_BYTE_ARRAY (strings/binary) — the
+    # write-side inverses of the own readers, verified by pyarrow
+    column_encodings = column_encodings or {}
+    ptypes = {n: t for n, t, _ in columns}
+    for cname, ename in column_encodings.items():
+        if cname not in ptypes:
+            raise ValueError(f"unknown encoded column {cname}")
+        if ename not in _ALT_ENCODINGS:
+            raise ValueError(f"unsupported encoding {ename}")
+        if ptypes[cname] in _LIST_TYPES \
+                or ptypes[cname] in _LISTSTRUCT_TYPES:
+            raise ValueError("alt encodings are for flat columns")
+        if ptypes[cname] not in _ALT_ENCODINGS[ename][1]:
+            raise ValueError(
+                f"{ename} does not apply to {ptypes[cname]}")
     _check_liststruct_alignment(columns)
     for name, ptype, _ in columns:
         if ptype not in _TYPES and ptype not in _LIST_TYPES \
@@ -556,8 +655,10 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         total_slots = 0
         # dictionary eligibility: flat, non-boolean, index fits 16
         # bits (a real writer's fallback-to-plain threshold)
+        alt = column_encodings.get(name)
         dict_vals: list | None = None
-        if dictionary and not is_list and leaf_type != "BOOLEAN":
+        if dictionary and not is_list and leaf_type != "BOOLEAN" \
+                and alt is None:
             uniq: dict = {}
             for v in vals:
                 if not _is_null_marker(v) and v not in uniq:
@@ -621,6 +722,17 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                     values_blob = bytes([bw]) + _rle_hybrid(
                         [idx[v] for v in present], bw)
                     encoding = 8  # RLE_DICTIONARY
+                elif alt == "BYTE_STREAM_SPLIT":
+                    values_blob = _byte_stream_split_enc(
+                        present, leaf_type)
+                    encoding = 9
+                elif alt == "DELTA_BINARY_PACKED":
+                    values_blob = _delta_binary_packed_enc(present)
+                    encoding = 5
+                elif alt == "DELTA_LENGTH_BYTE_ARRAY":
+                    values_blob = _delta_length_byte_array_enc(
+                        present)
+                    encoding = 6
                 else:
                     values_blob = _plain(present, leaf_type)
                     encoding = 0
@@ -674,6 +786,8 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             "bloom": (leaf_type if bloom_filter and not is_list
                       and leaf_type != "BOOLEAN" else None),
             "values": vals,
+            "alt_enc": (_ALT_ENCODINGS[alt][0]
+                        if alt is not None else None),
         })
     all_chunks = [c for g in groups for c in g]
 
@@ -800,8 +914,12 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         w.begin_struct(3)         # ColumnMetaData
         w.i32(1, _TYPES[_leaf_of(c["ptype"])])
         w.field(2, _CT_LIST)      # encodings
-        encs = ([0, 3, 8] if c["dict_offset"] is not None
-                else [0, 3])
+        if c["dict_offset"] is not None:
+            encs = [0, 3, 8]
+        elif c.get("alt_enc") is not None:
+            encs = [c["alt_enc"], 3]
+        else:
+            encs = [0, 3]
         w.list_header(len(encs), _CT_I32)
         for e in encs:
             w.zigzag(e)           # PLAIN / RLE / RLE_DICTIONARY

@@ -17945,3 +17945,106 @@ def meta_orc_stripe_prune(spark, sf_dir):
                 "n_present_found long, sum_found long, "
                 "n_absent_confirmed long, stripe_pruned boolean"),
     )
+
+
+@query(
+    "meta_parquet_write_encodings_roundtrip",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 40 + 30 AS BIGINT) AS n
+               FROM documents),
+    r AS (SELECT doc_id, n, j.r
+          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r))
+    SELECT doc_id, TRUE AS delta_smaller,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id * 100 + 13 * r) AS BIGINT) AS k_sum,
+           CAST(sum(CASE WHEN r % 11 = 4 THEN 0
+                    ELSE CAST(r AS DOUBLE) / 8 - 5 END) AS DOUBLE)
+               AS d_sum,
+           CAST(sum(CASE WHEN r % 9 = 2 THEN 0
+                    ELSE length('str-' || ((doc_id + r) % 61)
+                                || '-' || r) END) AS BIGINT)
+               AS s_len_sum
+    FROM r GROUP BY doc_id
+    """,
+    doc="Parquet ALTERNATIVE VALUE ENCODINGS on the write side "
+    "under the hash gate — the inverses of the own readers, which "
+    "have decoded these since r9: DELTA_BINARY_PACKED (block 128 / "
+    "4 miniblocks, zigzag header + min-delta, LSB-first packed "
+    "offsets) on a sorted INT64 column, BYTE_STREAM_SPLIT (k-th "
+    "byte of every LE value -> k-th stream) on DOUBLE, "
+    "DELTA_LENGTH_BYTE_ARRAY (packed lengths + concatenated bytes) "
+    "on strings.  pyarrow's C++ reader decodes every file in-loop "
+    "and the aggregates come from what it READ; a structural "
+    "certificate raises unless the delta-encoded int column is "
+    "actually SMALLER than PLAIN on the same data (the reason the "
+    "encoding exists).  Scale: encoding choice is a per-column "
+    "byte-layout decision that rides with the shard writer — "
+    "sorted-key shards (the lake's natural layout after "
+    "cluster-by) store deltas, float features split bytes for "
+    "codec gain, zero plan impact.",
+    bench=True,
+)
+def meta_parquet_write_encodings_roundtrip(spark, sf_dir):
+    from .operators.parquet_write import write_parquet
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import io as _io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet as _wp
+
+        for pdf in batches:
+            out = {"doc_id": [], "delta_smaller": [], "n_rows": [],
+                   "k_sum": [], "d_sum": [], "s_len_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 40 + 30
+                ks = [d * 100 + 13 * r for r in range(n)]
+                ds = [None if r % 11 == 4 else r / 8 - 5
+                      for r in range(n)]
+                ss = [None if r % 9 == 2
+                      else f"str-{(d + r) % 61}-{r}"
+                      for r in range(n)]
+                blob = _wp(
+                    [("k", "INT64", ks), ("dv", "DOUBLE", ds),
+                     ("s", "STRING", ss)],
+                    column_encodings={
+                        "k": "DELTA_BINARY_PACKED",
+                        "dv": "BYTE_STREAM_SPLIT",
+                        "s": "DELTA_LENGTH_BYTE_ARRAY"})
+                t = pq.read_table(_io.BytesIO(blob))
+                kv = t["k"].to_pylist()
+                dv = t["dv"].to_pylist()
+                sv = t["s"].to_pylist()
+                if len(kv) != n:
+                    raise ValueError("row count mismatch")
+                plain = _wp([("k", "INT64", ks)],
+                            codec="UNCOMPRESSED")
+                delta = _wp([("k", "INT64", ks)],
+                            codec="UNCOMPRESSED",
+                            column_encodings={
+                                "k": "DELTA_BINARY_PACKED"})
+                if not len(delta) < len(plain):
+                    raise ValueError("delta encoding did not win")
+                out["doc_id"].append(d)
+                out["delta_smaller"].append(True)
+                out["n_rows"].append(len(kv))
+                out["k_sum"].append(sum(kv))
+                out["d_sum"].append(float(sum(
+                    v for v in dv if v is not None)))
+                out["s_len_sum"].append(sum(
+                    len(v) for v in sv if v is not None))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, delta_smaller boolean, n_rows long, "
+                "k_sum long, d_sum double, s_len_sum long"),
+    )

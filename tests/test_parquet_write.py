@@ -513,3 +513,73 @@ def test_multiple_row_groups_roundtrip(tmp_path):
         dictionary_page_offset=cc["dictionary_page_offset"])
     assert got == ks[384:512]
     assert needle in got
+
+
+def test_alternative_encodings_roundtrip(tmp_path):
+    """BYTE_STREAM_SPLIT / DELTA_BINARY_PACKED /
+    DELTA_LENGTH_BYTE_ARRAY write paths — the inverses of the own
+    readers; pyarrow, DuckDB and the own reader verify, and the
+    delta encoding actually wins on sorted ints."""
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+    )
+
+    n = 2000
+    ks = [i * 13 + (i % 7) for i in range(n)]
+    ds = [None if i % 11 == 4 else (i - 900) / 8 for i in range(n)]
+    ss = [None if i % 9 == 2 else f"str-{i % 61}-{i}"
+          for i in range(n)]
+    enc = {"k": "DELTA_BINARY_PACKED", "d": "BYTE_STREAM_SPLIT",
+           "s": "DELTA_LENGTH_BYTE_ARRAY"}
+    blob = write_parquet(
+        [("k", "INT64", ks), ("d", "DOUBLE", ds),
+         ("s", "STRING", ss)],
+        column_encodings=enc, page_rows=300)
+    t = pq.read_table(io.BytesIO(blob))
+    assert t["k"].to_pylist() == ks
+    assert t["d"].to_pylist() == ds
+    assert t["s"].to_pylist() == ss
+    p = tmp_path / "enc.parquet"
+    p.write_bytes(blob)
+    assert duckdb.sql(
+        f"SELECT count(*), sum(k) FROM read_parquet('{p}')"
+    ).fetchall() == [(n, sum(ks))]
+    m = parse_footer(blob)
+    for lf, cc in zip(m["schema_leaves"],
+                      m["row_groups"][0]["columns"]):
+        got = read_column_chunk(
+            blob, start_offset=cc["data_page_offset"],
+            num_values=cc["num_values"], ptype=lf["type"],
+            codec="SNAPPY", max_def_level=lf["max_def_level"])
+        want = {"k": ks, "d": ds, "s": ss}[lf["path"]]
+        if lf["path"] == "s":
+            got = [None if v is None else v.decode() for v in got]
+        assert got == want, lf["path"]
+    # the size claim: delta beats plain on sorted ints
+    plain = write_parquet([("k", "INT64", ks)],
+                          codec="UNCOMPRESSED")
+    delta = write_parquet([("k", "INT64", ks)],
+                          codec="UNCOMPRESSED",
+                          column_encodings={
+                              "k": "DELTA_BINARY_PACKED"})
+    assert len(delta) < len(plain) / 3
+    # edge cases: single value, empty, negative deltas
+    for vals in ([5], [], [10, 3, -4, -4, 100, 7],
+                 list(range(0, -500, -1))):
+        b = write_parquet([("k", "INT64", vals)],
+                          column_encodings={
+                              "k": "DELTA_BINARY_PACKED"})
+        assert pq.read_table(
+            io.BytesIO(b))["k"].to_pylist() == vals
+    # misuse rejected
+    with pytest.raises(ValueError, match="does not apply"):
+        write_parquet([("k", "INT64", [1])],
+                      column_encodings={"k": "BYTE_STREAM_SPLIT"})
+    with pytest.raises(ValueError, match="unknown encoded"):
+        write_parquet([("k", "INT64", [1])],
+                      column_encodings={"z": "BYTE_STREAM_SPLIT"})
