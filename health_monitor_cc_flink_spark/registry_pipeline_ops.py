@@ -18048,3 +18048,318 @@ def meta_parquet_write_encodings_roundtrip(spark, sf_dir):
         schema=("doc_id long, delta_smaller boolean, n_rows long, "
                 "k_sum long, d_sum double, s_len_sum long"),
     )
+
+
+@query(
+    "streaming_delta_sink_deletion_vectors",
+    """
+    WITH surv AS (
+        SELECT event_id FROM events
+        WHERE event_id % 83 <> 0
+          AND NOT (event_id % 4 = 0 AND event_id % 7 = 3)
+    )
+    SELECT CAST(event_id % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS ids_md5
+    FROM surv GROUP BY event_id % 4
+    """,
+    doc="Delta DELETION VECTORS on the WRITE side under the hash "
+    "gate — merge-on-read parity with the Iceberg delete sinks: "
+    "the events stream drains into per-bucket data commits, then a "
+    "DV commit soft-deletes every event_id %% 83 == 0 row — "
+    "executors serialize per-file 64-bit RoaringBitmapArray "
+    "position bitmaps (own roaring writer: portable 32-bit maps "
+    "per high word, magic 1681511377), pack them into SHARED "
+    ".bin DV files (1-byte version, per-DV big-endian size + "
+    "CRC-32), and the driver commits remove + re-add actions whose "
+    "deletionVector descriptors use storageType 'u' (Z85-encoded "
+    "UUID -> deletion_vector_<uuid>.bin name).  A SECOND round "
+    "deepens bucket-0 deletes (event_id %% 7 == 3): Delta DVs "
+    "REPLACE, so the new vector must carry the UNION of positions "
+    "(monotone-cardinality certified) and ships INLINE "
+    "(storageType 'i', Z85 of the bitmap itself) when small.  "
+    "Read-back resolves every descriptor through "
+    "resolve_deletion_vector (CRC, size, cardinality all "
+    "checked), drops positions executor-side, aggregates "
+    "survivors.  Scale: a DV is O(deleted rows) bits riding next "
+    "to the file — deletes without rewriting data files, the "
+    "100 TB GDPR/refresh primitive.",
+    bench=True,
+)
+def streaming_delta_sink_deletion_vectors(spark, sf_dir):
+    import json as _json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from .operators.delta_log import resolve_deletion_vector
+    from .registry import _warehouse_path
+    from .sources.testdata import events_stream
+    from .streaming.sinks import (
+        delta_append_commit,
+        delta_read_snapshot,
+    )
+
+    table_dir = _warehouse_path(sf_dir, "delta_sink_dv")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(table_dir, exist_ok=True)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 4).alias("bucket"))
+    state = {"version": 0}
+
+    def write_batch(df, epoch_id):
+        cached = df.cache()
+        try:
+            for g in range(4):
+                sub = cached.filter(F.col("bucket") == g)
+
+                def write_part(batches, g=g):
+                    import pandas as pd
+
+                    from health_monitor_cc_flink_spark.operators \
+                        .parquet_write import write_parquet
+
+                    ids = []
+                    for pdf in batches:
+                        ids.extend(int(v) for v in pdf["event_id"])
+                    if not ids:
+                        yield pd.DataFrame(
+                            {"path": [], "n": [], "size": []})
+                        return
+                    blob = write_parquet([
+                        ("event_id", "INT64", ids),
+                        ("bucket", "INT64", [g] * len(ids)),
+                    ])
+                    name = f"part-{_uuid.uuid4().hex}.parquet"
+                    with open(os.path.join(table_dir, name),
+                              "wb") as f:
+                        f.write(blob)
+                    yield pd.DataFrame({"path": [name],
+                                        "n": [len(ids)],
+                                        "size": [len(blob)]})
+
+                census = sub.repartition(4).mapInPandas(
+                    write_part,
+                    schema="path string, n long, size long"
+                ).collect()
+                v = state["version"]
+                actions = []
+                if v == 0:
+                    actions.append({"protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7}})
+                    actions.append(
+                        {"metaData": {"id": "delta-sink-dv"}})
+                for row in census:
+                    actions.append({"add": {
+                        "path": row["path"],
+                        "partitionValues": {},
+                        "size": int(row["size"]),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": _json.dumps(
+                            {"numRecords": int(row["n"])},
+                            separators=(",", ":"))}})
+                if actions:
+                    delta_append_commit(log_dir, v, actions)
+                    state["version"] = v + 1
+        finally:
+            cached.unpersist()
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "delta_sink_dv_ckpt")
+                 + _uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    snap = delta_read_snapshot(log_dir)
+    if not snap["live"]:
+        raise RuntimeError("dv sink committed nothing")
+    sizes = {p: e["size"] for p, e in snap["live"].items()}
+    stats = {p: e["num_records"] for p, e in snap["live"].items()}
+
+    # ROUND 1: executors compute per-file deleted positions
+    # (event_id % 83 == 0), serialize roaring arrays, pack shared
+    # DV files named deletion_vector_<uuid>.bin (storageType 'u')
+    files_df = spark.createDataFrame(
+        [(p,) for p in sorted(snap["live"])], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def write_dvs(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.delta_log \
+            import build_dv_file
+        from health_monitor_cc_flink_spark.operators.iceberg \
+            import read_flat_parquet
+        from health_monitor_cc_flink_spark.operators.roaring \
+            import serialize_bitmap_array, z85_encode
+
+        for pdf in batches:
+            out = {"path": [], "dv_path": [], "pod": [],
+                   "offset": [], "size": [], "card": []}
+            specs = []  # (data path, blob)
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                pos = [i for i, eid in enumerate(cols["event_id"])
+                       if eid % 83 == 0]
+                if not pos:
+                    continue
+                specs.append((p, serialize_bitmap_array(pos),
+                              len(pos)))
+            if not specs:
+                yield pd.DataFrame(out)
+                continue
+            blob, offsets = build_dv_file([b for _, b, _ in specs])
+            uu = _uuid.uuid4()
+            name = f"deletion_vector_{uu}.bin"
+            with open(os.path.join(table_dir, name), "wb") as f:
+                f.write(blob)
+            pod = z85_encode(uu.bytes)  # 'u': Z85 uuid, no prefix
+            for (p, b, card), off in zip(specs, offsets):
+                out["path"].append(p)
+                out["dv_path"].append(name)
+                out["pod"].append(pod)
+                out["offset"].append(off)
+                out["size"].append(len(b))
+                out["card"].append(card)
+            yield pd.DataFrame(out)
+
+    dv1 = files_df.mapInPandas(
+        write_dvs,
+        schema=("path string, dv_path string, pod string, "
+                "offset long, size long, card long")).collect()
+    if not dv1:
+        raise RuntimeError("no deletion vectors produced")
+
+    def dv_actions(rows, descs):
+        actions = []
+        for r in rows:
+            p = r["path"]
+            actions.append({"remove": {"path": p,
+                                       "dataChange": False}})
+            actions.append({"add": {
+                "path": p, "partitionValues": {},
+                "size": int(sizes[p]), "modificationTime": 0,
+                "dataChange": False,
+                "stats": _json.dumps(
+                    {"numRecords": int(stats[p])},
+                    separators=(",", ":")),
+                "deletionVector": descs[p]}})
+        return actions
+
+    descs1 = {r["path"]: {
+        "storageType": "u", "pathOrInlineDv": r["pod"],
+        "offset": int(r["offset"]), "sizeInBytes": int(r["size"]),
+        "cardinality": int(r["card"])} for r in dv1}
+    delta_append_commit(log_dir, state["version"],
+                        dv_actions(dv1, descs1))
+    state["version"] += 1
+
+    # ROUND 2: deepen bucket-0 deletes (event_id % 7 == 3); DVs
+    # REPLACE, so the new vector carries the UNION — small ones
+    # ship INLINE (storageType 'i')
+    snap = delta_read_snapshot(log_dir)
+    all_files = {n: open(os.path.join(table_dir, n), "rb").read()
+                 for n in os.listdir(table_dir)
+                 if n.endswith(".bin")}
+    from .operators.iceberg import read_flat_parquet as _rfp
+    from .operators.roaring import (
+        serialize_bitmap_array as _sba,
+        z85_encode as _z85,
+    )
+
+    actions2 = []
+    n_deepened = 0
+    for p, e in sorted(snap["live"].items()):
+        cols = _rfp(open(os.path.join(table_dir, p), "rb").read())
+        if not cols["bucket"] or cols["bucket"][0] != 0:
+            continue
+        old = set()
+        if e.get("deletion_vector"):
+            old = set(resolve_deletion_vector(
+                e["deletion_vector"], all_files))
+        new = old | {i for i, eid in enumerate(cols["event_id"])
+                     if eid % 7 == 3}
+        if new == old:
+            continue
+        if len(new) < len(old):
+            raise RuntimeError("DV union lost positions")
+        blob = _sba(sorted(new))
+        pad = (-len(blob)) % 4
+        desc = {"storageType": "i",
+                "pathOrInlineDv": _z85(blob + b"\x00" * pad),
+                "sizeInBytes": len(blob),
+                "cardinality": len(new)}
+        actions2.append({"remove": {"path": p,
+                                    "dataChange": False}})
+        actions2.append({"add": {
+            "path": p, "partitionValues": {},
+            "size": int(sizes[p]), "modificationTime": 0,
+            "dataChange": False,
+            "stats": _json.dumps({"numRecords": int(stats[p])},
+                                 separators=(",", ":")),
+            "deletionVector": desc}})
+        n_deepened += 1
+    if not n_deepened:
+        raise RuntimeError("round-2 deepening touched nothing")
+    delta_append_commit(log_dir, state["version"], actions2)
+    state["version"] += 1
+
+    # read back: resolve every descriptor (CRC/size/cardinality
+    # checked inside), broadcast dropped positions, decode
+    snap = delta_read_snapshot(log_dir)
+    dropped: dict[str, list[int]] = {}
+    total_dropped = 0
+    for p, e in snap["live"].items():
+        if e.get("deletion_vector"):
+            rows = resolve_deletion_vector(
+                e["deletion_vector"], all_files)
+            dropped[p] = rows
+            total_dropped += len(rows)
+    bc = spark.sparkContext.broadcast(dropped)
+
+    live_df = spark.createDataFrame(
+        [(p,) for p in sorted(snap["live"])], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def read_back(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg \
+            import read_flat_parquet
+
+        dv = bc.value
+        for pdf in batches:
+            out = {"bucket": [], "event_id": []}
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                dead = set(dv.get(p, ()))
+                for i, (eid, b) in enumerate(
+                        zip(cols["event_id"], cols["bucket"])):
+                    if i in dead:
+                        continue
+                    out["bucket"].append(b)
+                    out["event_id"].append(eid)
+            yield pd.DataFrame(out)
+
+    decoded = live_df.mapInPandas(
+        read_back, schema="bucket long, event_id long")
+    agg = decoded.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.md5(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.col("event_id"))).cast("array<string>")))
+        .alias("ids_md5"),
+    )
+    total = agg.agg(F.sum("n_records")).first()[0]
+    n_all = sum(stats.values())
+    if total != n_all - total_dropped:
+        raise RuntimeError(
+            f"census {n_all - total_dropped} != decoded {total}")
+    return agg

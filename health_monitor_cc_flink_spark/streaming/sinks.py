@@ -196,7 +196,10 @@ def delta_write_checkpoint(log_dir: str) -> int:
 
 def delta_read_snapshot(log_dir: str) -> dict:
     """Replay a ``_delta_log/`` directory -> snapshot dict (seeds
-    from ``_last_checkpoint`` when present, replays later commits)."""
+    from ``_last_checkpoint`` when present, replays later commits).
+    Sibling ``.bin`` deletion-vector files from the table directory
+    ride along so merge-on-read snapshots resolve their vectors
+    (the replay validates CRC/size/cardinality per descriptor)."""
     from ..operators.delta_log import parse_delta_log_files
 
     files = {}
@@ -205,4 +208,10 @@ def delta_read_snapshot(log_dir: str) -> dict:
             continue
         with open(os.path.join(log_dir, name), "rb") as f:
             files[name] = f.read()
+    table_dir = os.path.dirname(log_dir.rstrip("/"))
+    if table_dir and os.path.isdir(table_dir):
+        for name in os.listdir(table_dir):
+            if name.endswith(".bin"):
+                with open(os.path.join(table_dir, name), "rb") as f:
+                    files[name] = f.read()
     return parse_delta_log_files(files)
