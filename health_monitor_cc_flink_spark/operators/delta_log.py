@@ -128,6 +128,15 @@ def read_checkpoint_parquet(parts: list[bytes]) -> dict:
                    or [None] * n)
         pv_vals = (col("add.partitionValues.key_value.value")
                    or [None] * n)
+        dv_st = (col("add.deletionVector.storageType")
+                 or [None] * n)
+        dv_pod = (col("add.deletionVector.pathOrInlineDv")
+                  or [None] * n)
+        dv_off = col("add.deletionVector.offset") or [None] * n
+        dv_sz = (col("add.deletionVector.sizeInBytes")
+                 or [None] * n)
+        dv_card = (col("add.deletionVector.cardinality")
+                   or [None] * n)
         meta_id = col("metaData.id") or [None] * n
         for i in range(n):
             if add_path[i] is not None:
@@ -140,10 +149,19 @@ def read_checkpoint_parquet(parts: list[bytes]) -> dict:
                 pv = {
                     _u(k): _u(v) for k, v in zip(keys, vals_i)
                 }
+                dv = None
+                if dv_st[i] is not None:
+                    dv = {"storageType": _u(dv_st[i]),
+                          "pathOrInlineDv": _u(dv_pod[i]),
+                          "sizeInBytes": dv_sz[i],
+                          "cardinality": dv_card[i]}
+                    if dv_off[i] is not None:
+                        dv["offset"] = dv_off[i]
                 live[_u(add_path[i])] = {
                     "size": add_size[i],
                     "partition_values": pv,
                     "num_records": stats.get("numRecords"),
+                    "deletion_vector": dv,
                 }
                 if len(live) > MAX_FILES:
                     raise ValueError("delta live-file cap exceeded")
@@ -312,22 +330,35 @@ def write_checkpoint_parquet(snapshot: dict) -> tuple[bytes, int]:
     """Snapshot census -> checkpoint parquet bytes via THIS repo's
     own parquet writer (nested protocol/metaData/add structs; one
     row per action) + the action count for ``_last_checkpoint``.
-    Partitioned tables and deletion-vector entries are refused —
-    this compactor covers the unpartitioned copy-on-write shape."""
-    from .parquet_write import GROUP_NULL, write_parquet
+    Partitioned tables are refused — this compactor covers the
+    unpartitioned shape; deletion-vector entries serialize as the
+    2-deep ``add.deletionVector.*`` struct (r14: the nested writer
+    made the shape expressible — a DV-less add row carries a
+    GroupNull(1) at the deletionVector group, an inline descriptor
+    a null ``offset`` leaf)."""
+    from .parquet_write import GROUP_NULL, GroupNull, write_parquet
 
     live = snapshot["live"]
     for entry in live.values():
         if entry.get("partition_values"):
             raise ValueError("checkpoint writer: partitioned table "
                              "unsupported")
-        if entry.get("deletion_vector"):
-            raise ValueError("checkpoint writer: deletion vectors "
-                             "unsupported")
     paths = sorted(live)
     n = 2 + len(paths)  # protocol + metaData + adds
     G = GROUP_NULL
     meta_id = (snapshot.get("metadata") or {}).get("id") or "table"
+
+    def dv_col(field):
+        out = []
+        for p in paths:
+            desc = live[p].get("deletion_vector")
+            if not desc:
+                out.append(GroupNull(1))  # add present, DV group null
+            else:
+                out.append(desc.get(field))
+        return out
+
+    has_dv = any(live[p].get("deletion_vector") for p in paths)
     cols = [
         ("protocol.minReaderVersion", "INT64",
          [1] + [G] * (n - 1)),
@@ -345,6 +376,19 @@ def write_checkpoint_parquet(snapshot: dict) -> tuple[bytes, int]:
                              separators=(",", ":"))
              for p in paths]),
     ]
+    if has_dv:
+        cols += [
+            ("add.deletionVector.storageType", "STRING",
+             [G, G] + dv_col("storageType")),
+            ("add.deletionVector.pathOrInlineDv", "STRING",
+             [G, G] + dv_col("pathOrInlineDv")),
+            ("add.deletionVector.offset", "INT64",
+             [G, G] + dv_col("offset")),
+            ("add.deletionVector.sizeInBytes", "INT64",
+             [G, G] + dv_col("sizeInBytes")),
+            ("add.deletionVector.cardinality", "INT64",
+             [G, G] + dv_col("cardinality")),
+        ]
     return write_parquet(cols), n
 
 

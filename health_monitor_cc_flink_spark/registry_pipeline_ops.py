@@ -18310,9 +18310,20 @@ def streaming_delta_sink_deletion_vectors(spark, sf_dir):
     delta_append_commit(log_dir, state["version"], actions2)
     state["version"] += 1
 
-    # read back: resolve every descriptor (CRC/size/cardinality
-    # checked inside), broadcast dropped positions, decode
+    # checkpoint the DV table (add.deletionVector structs ride the
+    # own nested parquet writer) and read back CHECKPOINT-SEEDED:
+    # the replay must resolve the same vectors through the parquet
+    # roundtrip
+    from .streaming.sinks import delta_write_checkpoint
+    import os as _os
+
+    delta_write_checkpoint(log_dir)
+    if not _os.path.exists(
+            _os.path.join(log_dir, "_last_checkpoint")):
+        raise RuntimeError("dv checkpoint missing")
     snap = delta_read_snapshot(log_dir)
+    if snap.get("checkpoint_version") is None:
+        raise RuntimeError("replay did not seed from checkpoint")
     dropped: dict[str, list[int]] = {}
     total_dropped = 0
     for p, e in snap["live"].items():

@@ -177,6 +177,14 @@ def delta_write_checkpoint(log_dir: str) -> int:
     for name in os.listdir(log_dir):
         with open(os.path.join(log_dir, name), "rb") as f:
             files[name] = f.read()
+    # sibling .bin DV files: merge-on-read replays resolve their
+    # deletion vectors before the checkpoint is written
+    table_dir = os.path.dirname(log_dir.rstrip("/"))
+    if table_dir and os.path.isdir(table_dir):
+        for name in os.listdir(table_dir):
+            if name.endswith(".bin"):
+                with open(os.path.join(table_dir, name), "rb") as f:
+                    files[name] = f.read()
     snap = parse_delta_log_files(files)
     blob, n_actions = write_checkpoint_parquet(snap)
     v = snap["version"]
