@@ -237,6 +237,58 @@ def read_flat_parquet(data: bytes) -> dict[str, list]:
     return out
 
 
+def read_flat_orc(data: bytes) -> dict[str, list]:
+    """Flat ORC blob -> {column: values} via the repo's own stripe
+    reader (all stripes concatenated)."""
+    from .orc_data import read_stripe_column
+    from .orc_meta import parse_orc_tail
+
+    m = parse_orc_tail(data)
+    out: dict[str, list] = {}
+    for ci, (kind, name) in enumerate(m["schema"], start=1):
+        vals: list = []
+        for st in m["stripes"]:
+            vals.extend(read_stripe_column(
+                data, st, kind, ci, m["compression"],
+                st["n_rows"], types=m["types"]))
+        out[name] = vals
+    return out
+
+
+def read_flat_avro(data: bytes) -> dict[str, list]:
+    """Flat Avro OCF blob -> {column: values} via the repo's own
+    OCF reader (column order from the writer schema)."""
+    import json as _json
+
+    from ..sources.avro_ocf import read_ocf
+
+    ocf = read_ocf(data)
+    schema = ocf.get("schema")
+    fields = []
+    if schema:
+        doc = (_json.loads(schema)
+               if isinstance(schema, str) else schema)
+        fields = [f["name"] for f in doc.get("fields", [])]
+    records = ocf["records"]
+    if not fields:
+        fields = list(records[0]) if records else []
+    return {name: [r.get(name) for r in records]
+            for name in fields}
+
+
+def read_data_file(data: bytes, file_format: str) -> dict[str, list]:
+    """Iceberg data-file decode dispatch: the spec's three data
+    formats, each through THIS repo's own reader."""
+    fmt = (file_format or "").upper()
+    if fmt == "PARQUET":
+        return read_flat_parquet(data)
+    if fmt == "ORC":
+        return read_flat_orc(data)
+    if fmt == "AVRO":
+        return read_flat_avro(data)
+    raise ValueError(f"unsupported iceberg data format {file_format}")
+
+
 def build_snapshot_v2(manifests: list[list[dict]],
                       delete_files: list[list[tuple[str, int]]], *,
                       equality_deletes: list[tuple] = (),
@@ -537,7 +589,7 @@ def scan_snapshot_v2(files: dict[str, bytes],
         fp = df["file_path"]
         if fp not in files:
             raise ValueError(f"missing data file {fp}")
-        cols = read_flat_parquet(files[fp])
+        cols = read_data_file(files[fp], df.get("file_format"))
         names = list(cols)
         columns = columns or names
         n = len(cols[names[0]]) if names else 0

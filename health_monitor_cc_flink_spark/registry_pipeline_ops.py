@@ -18374,3 +18374,139 @@ def streaming_delta_sink_deletion_vectors(spark, sf_dir):
         raise RuntimeError(
             f"census {n_all - total_dropped} != decoded {total}")
     return agg
+
+
+@query(
+    "lake_iceberg_multiformat_scan",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 30 + 30 AS BIGINT) AS n
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           CAST(n - 2 AS BIGINT) AS n_live,
+           CAST(n * (n - 1) // 2 - 5 AS BIGINT) AS rid_sum,
+           CAST(doc_id * 10 * (n - 2)
+                + 3 * (n * (n - 1) // 2 - 5) AS BIGINT) AS val_sum
+    FROM p
+    """,
+    doc="Iceberg MULTI-FORMAT merge-on-read scan under the hash "
+    "gate — the spec's three data-file formats IN ONE TABLE, every "
+    "byte decoded by this repo: per doc a v2 snapshot is built "
+    "whose data manifest points at a PARQUET file (own writer), an "
+    "ORC file (own writer) and an Avro OCF file (own writer), "
+    "file_format dispatching per entry; a positional delete drops "
+    "the parquet file's first row, an equality delete (rid keys) "
+    "kills one ORC row and one Avro row, and a higher-sequence "
+    "parquet commit re-adds one of them — scan_snapshot_v2 applies "
+    "<= / strict-< scoping across ALL formats uniformly and the "
+    "survivors aggregate against the closed form.  Scale: format "
+    "heterogeneity is metadata-only (a per-file enum dispatched at "
+    "decode time); the scan itself stays file-parallel — the shape "
+    "real lakes have after an engine migration leaves mixed "
+    "formats behind.",
+    bench=True,
+)
+def lake_iceberg_multiformat_scan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            STATUS_ADDED,
+            build_snapshot_v2,
+            scan_snapshot_v2,
+        )
+        from health_monitor_cc_flink_spark.operators.orc_write \
+            import write_orc
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+        from health_monitor_cc_flink_spark.sources.avro_ocf \
+            import write_ocf
+
+        AVRO_SCHEMA = _json.dumps({
+            "type": "record", "name": "row", "fields": [
+                {"name": "rid", "type": "long"},
+                {"name": "val", "type": "long"}]})
+
+        def entry(path, fmt, rc, size, seq=None):
+            e = {"status": STATUS_ADDED, "file_path": path,
+                 "file_format": fmt, "record_count": rc,
+                 "file_size_in_bytes": size, "lang": None}
+            if seq is not None:
+                e["sequence_number"] = seq
+            return e
+
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "n_live": [],
+                   "rid_sum": [], "val_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 30 + 30
+                rows = [(r, d * 10 + 3 * r) for r in range(n)]
+                parts = {0: [], 1: [], 2: []}
+                for r, v in rows:
+                    parts[r % 3].append((r, v))
+                pq_blob = write_parquet([
+                    ("rid", "INT64", [r for r, _ in parts[0]]),
+                    ("val", "INT64", [v for _, v in parts[0]])])
+                orc_blob = write_orc([
+                    ("rid", "LONG", [r for r, _ in parts[1]]),
+                    ("val", "LONG", [v for _, v in parts[1]])])
+                av_blob = write_ocf(AVRO_SCHEMA, [
+                    {"rid": r, "val": v} for r, v in parts[2]],
+                    codec="deflate", sync_seed=d)
+                # re-add rid 4 (an ORC-file victim) above the delete
+                re_blob = write_parquet([
+                    ("rid", "INT64", [4]),
+                    ("val", "INT64", [d * 10 + 12])])
+                eq_blob = write_parquet([
+                    ("rid", "INT64", [4, 5])])
+                files = build_snapshot_v2(
+                    [[entry("data/p.parquet", "PARQUET",
+                            len(parts[0]), len(pq_blob)),
+                      entry("data/o.orc", "ORC",
+                            len(parts[1]), len(orc_blob)),
+                      entry("data/a.avro", "AVRO",
+                            len(parts[2]), len(av_blob))],
+                     [entry("data/readd.parquet", "PARQUET",
+                            1, len(re_blob), seq=3)]],
+                    [[("data/p.parquet", 0)]],
+                    equality_deletes=[(eq_blob, [1], 2)],
+                    data_blobs={
+                        "data/p.parquet": pq_blob,
+                        "data/o.orc": orc_blob,
+                        "data/a.avro": av_blob,
+                        "data/readd.parquet": re_blob,
+                    })
+                scan = scan_snapshot_v2(files)
+                rids = sorted(r["rid"] for r in scan["rows"])
+                want = sorted(set(range(1, n)) - {5})
+                if rids != want:
+                    raise ValueError(
+                        f"survivors wrong: {rids[:8]}...")
+                by_file = {}
+                for r in scan["rows"]:
+                    by_file.setdefault(r["file_path"], 0)
+                    by_file[r["file_path"]] += 1
+                if by_file.get("data/readd.parquet") != 1:
+                    raise ValueError("re-added row did not survive")
+                if "data/o.orc" not in by_file \
+                        or "data/a.avro" not in by_file:
+                    raise ValueError("a format contributed no rows")
+                out["doc_id"].append(d)
+                out["ok"].append(True)
+                out["n_live"].append(len(scan["rows"]))
+                out["rid_sum"].append(sum(rids))
+                out["val_sum"].append(
+                    sum(r["val"] for r in scan["rows"]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_live long, "
+                "rid_sum long, val_sum long"),
+    )

@@ -426,3 +426,58 @@ def test_sink_format_equality_delete_scans_end_to_end():
     readd_rows = [r for r in scan["rows"]
                   if r["file_path"] == "data/readd-0.parquet"]
     assert [r["event_id"] for r in readd_rows] == re_ids
+
+
+def test_multiformat_data_files_scan():
+    """scan_snapshot_v2 dispatches data-file decode on file_format:
+    PARQUET / ORC / AVRO all through own readers, MOR deletes
+    applied uniformly across formats."""
+    import json
+
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        build_snapshot_v2,
+        read_data_file,
+        scan_snapshot_v2,
+    )
+    from health_monitor_cc_flink_spark.operators.orc_write import (
+        write_orc,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_write import (
+        write_parquet,
+    )
+    from health_monitor_cc_flink_spark.sources.avro_ocf import (
+        write_ocf,
+    )
+
+    schema = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "rid", "type": "long"},
+        {"name": "val", "type": "long"}]})
+    pq_b = write_parquet([("rid", "INT64", [0, 3]),
+                          ("val", "INT64", [10, 13])])
+    orc_b = write_orc([("rid", "LONG", [1, 4]),
+                       ("val", "LONG", [11, 14])])
+    av_b = write_ocf(schema, [{"rid": 2, "val": 12},
+                              {"rid": 5, "val": 15}])
+    assert read_data_file(orc_b, "ORC")["rid"] == [1, 4]
+    assert read_data_file(av_b, "AVRO")["val"] == [12, 15]
+    with pytest.raises(ValueError):
+        read_data_file(pq_b, "CSV")
+
+    def entry(path, fmt, rc, size):
+        return {"status": STATUS_ADDED, "file_path": path,
+                "file_format": fmt, "record_count": rc,
+                "file_size_in_bytes": size, "lang": None}
+
+    files = build_snapshot_v2(
+        [[entry("data/p.parquet", "PARQUET", 2, len(pq_b)),
+          entry("data/o.orc", "ORC", 2, len(orc_b)),
+          entry("data/a.avro", "AVRO", 2, len(av_b))]],
+        [[("data/o.orc", 0)]],  # positional: drops rid 1
+        equality_deletes=[
+            (write_parquet([("rid", "INT64", [5])]), [1], 1)],
+        data_blobs={"data/p.parquet": pq_b, "data/o.orc": orc_b,
+                    "data/a.avro": av_b})
+    scan = scan_snapshot_v2(files)
+    assert sorted(r["rid"] for r in scan["rows"]) == [0, 2, 3, 4]
+    fmts = {r["file_path"] for r in scan["rows"]}
+    assert fmts == {"data/p.parquet", "data/o.orc", "data/a.avro"}
