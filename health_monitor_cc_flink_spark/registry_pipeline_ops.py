@@ -18510,3 +18510,332 @@ def lake_iceberg_multiformat_scan(spark, sf_dir):
         schema=("doc_id long, ok boolean, n_live long, "
                 "rid_sum long, val_sum long"),
     )
+
+
+@query(
+    "streaming_iceberg_sink_rewrite_compact",
+    """
+    WITH surv AS (
+        SELECT event_id FROM events WHERE event_id % 101 <> 0
+    )
+    SELECT CAST(event_id % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS ids_md5
+    FROM surv GROUP BY event_id % 4
+    """,
+    doc="Iceberg REWRITE/COMPACTION under the hash gate — the "
+    "OPTIMIZE parity piece for the second lake format (the Delta "
+    "sink gained it in r13): the events stream drains into "
+    "per-bucket data commits, a positional-delete commit drops "
+    "every event_id %% 101 == 0 row merge-on-read, then a REWRITE "
+    "snapshot compacts each bucket's files into ONE — executors "
+    "apply the sequence-scoped deletes while rewriting, and the "
+    "new snapshot's manifest list carries ONLY the fresh data "
+    "manifest (no delete manifests left; a clean copy-on-write "
+    "census).  Certificates: the post-rewrite walk must show zero "
+    "delete files and exactly one file per bucket, its live "
+    "census must equal the PRE-rewrite sequence-scoped live count "
+    "(content invariance under compaction), and the per-bucket "
+    "aggregates hash against the closed form.  Scale: rewrite is "
+    "the lake's background maintenance primitive — file-parallel "
+    "rewrites, O(files) driver metadata, read amplification drops "
+    "from (data + deletes) to data alone.",
+    bench=True,
+)
+def streaming_iceberg_sink_rewrite_compact(spark, sf_dir):
+    import os
+    import shutil
+    import uuid
+
+    from .operators.iceberg import (
+        CONTENT_DATA,
+        CONTENT_POSITION_DELETES,
+        MANIFEST_ENTRY_SCHEMA_V2,
+        MANIFEST_LIST_SCHEMA_V2,
+        STATUS_ADDED,
+        build_table_metadata,
+        walk_snapshot_v2,
+    )
+    from .registry import _warehouse_path
+    from .sources.avro_ocf import write_ocf
+    from .sources.testdata import events_stream
+
+    table_dir = _warehouse_path(sf_dir, "iceberg_sink_rw")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+
+    manifests: list[tuple[str, int, int, int]] = []
+    state = {"snap": 0}
+
+    def commit(entries, content, *, replace_all=False):
+        """Append (or, for a rewrite, REPLACE) the manifest set and
+        write the snapshot's manifest list + metadata json."""
+        state["snap"] += 1
+        sid = state["snap"]
+        mpath = f"metadata/manifest-{sid:05d}.avro"
+        blob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, entries,
+                         codec="deflate", sync_seed=sid)
+        with open(os.path.join(table_dir, mpath), "wb") as f:
+            f.write(blob)
+        if replace_all:
+            manifests.clear()
+        manifests.append((mpath, len(blob), content, sid))
+        records = [{
+            "manifest_path": p, "manifest_length": ln,
+            "partition_spec_id": 0, "content": c,
+            "sequence_number": s, "added_snapshot_id": sid,
+            "added_files_count": None, "existing_files_count": None,
+            "deleted_files_count": None,
+        } for p, ln, c, s in manifests]
+        lblob = write_ocf(MANIFEST_LIST_SCHEMA_V2, records,
+                          codec="deflate", sync_seed=3000 + sid)
+        with open(os.path.join(
+                table_dir, f"metadata/snap-{sid}.avro"), "wb") as f:
+            f.write(lblob)
+        meta = build_table_metadata(
+            {s: f"metadata/snap-{s}.avro"
+             for s in range(1, sid + 1)}, sid)
+        with open(os.path.join(
+                table_dir, f"metadata/v{sid}.metadata.json"),
+                "wb") as f:
+            f.write(meta)
+        return sid
+
+    def entry_of(path, n, size, content):
+        return {"status": STATUS_ADDED, "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": content, "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": n, "file_size_in_bytes": size,
+                    "equality_ids": None}}
+
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 4).alias("bucket"))
+
+    def write_batch(df, epoch_id):
+        cached = df.cache()
+        try:
+            for g in range(4):
+                sub = cached.filter(F.col("bucket") == g)
+
+                def write_part(batches, g=g):
+                    import pandas as pd
+
+                    from health_monitor_cc_flink_spark.operators \
+                        .parquet_write import write_parquet
+
+                    ids = []
+                    for pdf in batches:
+                        ids.extend(int(v) for v in pdf["event_id"])
+                    if not ids:
+                        yield pd.DataFrame(
+                            {"path": [], "n": [], "size": []})
+                        return
+                    blob = write_parquet([
+                        ("event_id", "INT64", ids),
+                        ("bucket", "INT64", [g] * len(ids)),
+                    ])
+                    name = f"data/part-{uuid.uuid4().hex}.parquet"
+                    with open(os.path.join(table_dir, name),
+                              "wb") as f:
+                        f.write(blob)
+                    yield pd.DataFrame({"path": [name],
+                                        "n": [len(ids)],
+                                        "size": [len(blob)]})
+
+                census = sub.repartition(4).mapInPandas(
+                    write_part,
+                    schema="path string, n long, size long"
+                ).collect()
+                if census:
+                    commit([entry_of(r["path"], int(r["n"]),
+                                     int(r["size"]), CONTENT_DATA)
+                            for r in census], CONTENT_DATA)
+        finally:
+            cached.unpersist()
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "iceberg_sink_rw_ckpt")
+                 + uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if not manifests:
+        raise RuntimeError("iceberg sink committed nothing")
+
+    data_files = sorted(
+        f"data/{n}" for n in os.listdir(
+            os.path.join(table_dir, "data")))
+    files_df = spark.createDataFrame(
+        [(p,) for p in data_files], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def write_deletes(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                for pos, eid in enumerate(cols["event_id"]):
+                    if eid % 101 == 0:
+                        rows.append((p, pos))
+            if not rows:
+                yield pd.DataFrame({"path": [], "n": [],
+                                    "size": []})
+                continue
+            rows.sort()
+            blob = write_parquet([
+                ("file_path", "STRING", [r[0] for r in rows]),
+                ("pos", "INT64", [r[1] for r in rows]),
+            ])
+            name = f"data/del-{uuid.uuid4().hex}.parquet"
+            with open(os.path.join(table_dir, name), "wb") as f:
+                f.write(blob)
+            yield pd.DataFrame({"path": [name], "n": [len(rows)],
+                                "size": [len(blob)]})
+
+    dcensus = files_df.mapInPandas(
+        write_deletes, schema="path string, n long, size long"
+    ).collect()
+    if not dcensus:
+        raise RuntimeError("no deletes produced")
+    commit([entry_of(r["path"], int(r["n"]), int(r["size"]),
+                     CONTENT_POSITION_DELETES)
+            for r in dcensus], CONTENT_POSITION_DELETES)
+
+    # PRE-rewrite walk: the sequence-scoped live census the rewrite
+    # must preserve
+    def table_files():
+        fs = {}
+        for n in os.listdir(os.path.join(table_dir, "metadata")):
+            fs[f"metadata/{n}"] = open(
+                os.path.join(table_dir, "metadata", n), "rb").read()
+        for r in dcensus:
+            fs[r["path"]] = open(
+                os.path.join(table_dir, r["path"]), "rb").read()
+        return fs
+
+    pre = walk_snapshot_v2(table_files(), snapshot_id=state["snap"])
+    pre_live = sum(f["live_records"] for f in pre["live"])
+    dropped: dict[str, set] = {}
+    from .operators.iceberg import read_positional_delete_parquet
+
+    for r in dcensus:
+        blob = open(os.path.join(table_dir, r["path"]), "rb").read()
+        for fp, pos in read_positional_delete_parquet(blob):
+            dropped.setdefault(fp, set()).add(pos)
+    bc = spark.sparkContext.broadcast(
+        {p: sorted(s) for p, s in dropped.items()})
+
+    # REWRITE: one compacted file per bucket, deletes applied
+    groups = spark.createDataFrame(
+        [(g, ",".join(p for p in data_files
+                      if not p.startswith("data/del-")))
+         for g in range(4)], "bucket long, paths string"
+    ).repartition(4)
+
+    def rewrite(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        dead = bc.value
+        for pdf in batches:
+            out = {"bucket": [], "path": [], "n": [], "size": []}
+            for g, paths in zip(pdf["bucket"], pdf["paths"]):
+                g = int(g)
+                ids = []
+                for p in paths.split(","):
+                    cols = read_flat_parquet(open(
+                        os.path.join(table_dir, p), "rb").read())
+                    if not cols["bucket"] \
+                            or cols["bucket"][0] != g:
+                        continue
+                    dset = set(dead.get(p, ()))
+                    ids.extend(
+                        eid for pos, eid in
+                        enumerate(cols["event_id"])
+                        if pos not in dset)
+                if not ids:
+                    continue
+                ids.sort()
+                name = (f"data/compact-{g}-"
+                        f"{uuid.uuid4().hex}.parquet")
+                blob = write_parquet([
+                    ("event_id", "INT64", ids),
+                    ("bucket", "INT64", [g] * len(ids))])
+                with open(os.path.join(table_dir, name),
+                          "wb") as f:
+                    f.write(blob)
+                out["bucket"].append(g)
+                out["path"].append(name)
+                out["n"].append(len(ids))
+                out["size"].append(len(blob))
+            yield pd.DataFrame(out)
+
+    rcensus = groups.mapInPandas(
+        rewrite, schema="bucket long, path string, n long, "
+                        "size long").collect()
+    if len(rcensus) != 4:
+        raise RuntimeError("rewrite did not produce 4 files")
+    commit([entry_of(r["path"], int(r["n"]), int(r["size"]),
+                     CONTENT_DATA) for r in rcensus],
+           CONTENT_DATA, replace_all=True)
+
+    post = walk_snapshot_v2(table_files(),
+                            snapshot_id=state["snap"])
+    if post["n_delete_files"] != 0:
+        raise RuntimeError("rewrite left delete files behind")
+    if len(post["live"]) != 4:
+        raise RuntimeError("rewrite left extra files")
+    post_live = sum(f["live_records"] for f in post["live"])
+    if post_live != pre_live:
+        raise RuntimeError(
+            f"content changed: {pre_live} -> {post_live}")
+
+    live_df = spark.createDataFrame(
+        [(f["file_path"],) for f in post["live"]], "path string"
+    ).repartition(4)
+
+    def read_back(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+
+        for pdf in batches:
+            out = {"bucket": [], "event_id": []}
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                out["bucket"].extend(cols["bucket"])
+                out["event_id"].extend(cols["event_id"])
+            yield pd.DataFrame(out)
+
+    decoded = live_df.mapInPandas(
+        read_back, schema="bucket long, event_id long")
+    return decoded.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.md5(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.col("event_id"))).cast("array<string>")))
+        .alias("ids_md5"),
+    )
