@@ -69,7 +69,31 @@ _LISTSTRUCT_TYPES = {"LISTSTRUCT_FLOAT": "FLOAT",
                      "LISTSTRUCT_STRING": "STRING"}
 
 
+import re as _re
+
+#: INT64-backed LOGICAL types: TIMESTAMP_MICROS (epoch-micros ints,
+#: adjusted to UTC) and DECIMAL(p,s) with p <= 18 (unscaled ints) —
+#: annotated with both ConvertedType and the modern LogicalType
+#: struct so old and new readers agree
+_DECIMAL_RE = _re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
+
+
+def _logical_of(ptype: str) -> dict | None:
+    if ptype == "TIMESTAMP_MICROS":
+        return {"kind": "timestamp", "converted": 10}
+    m = _DECIMAL_RE.match(ptype)
+    if m:
+        p, s = int(m.group(1)), int(m.group(2))
+        if not 1 <= p <= 18 or not 0 <= s <= p:
+            raise ValueError(f"unsupported decimal {ptype}")
+        return {"kind": "decimal", "converted": 5,
+                "precision": p, "scale": s}
+    return None
+
+
 def _leaf_of(ptype: str) -> str:
+    if _logical_of(ptype) is not None:
+        return "INT64"
     return _LIST_TYPES.get(ptype) or _LISTSTRUCT_TYPES.get(ptype) \
         or ptype
 
@@ -622,13 +646,14 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         if ptypes[cname] in _LIST_TYPES \
                 or ptypes[cname] in _LISTSTRUCT_TYPES:
             raise ValueError("alt encodings are for flat columns")
-        if ptypes[cname] not in _ALT_ENCODINGS[ename][1]:
+        if _leaf_of(ptypes[cname]) not in _ALT_ENCODINGS[ename][1]:
             raise ValueError(
                 f"{ename} does not apply to {ptypes[cname]}")
     _check_liststruct_alignment(columns)
     for name, ptype, _ in columns:
         if ptype not in _TYPES and ptype not in _LIST_TYPES \
-                and ptype not in _LISTSTRUCT_TYPES:
+                and ptype not in _LISTSTRUCT_TYPES \
+                and _logical_of(ptype) is None:
             raise ValueError(f"unsupported type {ptype}")
         if ptype in _LISTSTRUCT_TYPES and name.count(".") != 1:
             raise ValueError("LISTSTRUCT columns need a 'top.field' "
@@ -860,12 +885,34 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
 
     def leaf_element(name: str, ptype: str,
                      repetition: int = 1) -> None:
+        logical = _logical_of(ptype)
         w.begin_struct()
-        w.i32(1, _TYPES[ptype])
+        w.i32(1, _TYPES[_leaf_of(ptype)])
         w.i32(3, repetition)
         w.binary(4, name.encode("utf-8"))
         if ptype == "STRING":
             w.i32(6, 0)  # converted_type UTF8
+        elif logical is not None:
+            w.i32(6, logical["converted"])
+            if logical["kind"] == "decimal":
+                w.i32(7, logical["scale"])
+                w.i32(8, logical["precision"])
+                w.begin_struct(10)   # LogicalType
+                w.begin_struct(5)    # DECIMAL DecimalType
+                w.i32(1, logical["scale"])
+                w.i32(2, logical["precision"])
+                w.end_struct()
+                w.end_struct()
+            else:  # timestamp, micros, adjusted to UTC
+                w.begin_struct(10)   # LogicalType
+                w.begin_struct(8)    # TIMESTAMP TimestampType
+                w.boolean(1, True)   # isAdjustedToUTC
+                w.begin_struct(2)    # unit: TimeUnit
+                w.begin_struct(2)    # MICROS (empty struct)
+                w.end_struct()
+                w.end_struct()
+                w.end_struct()
+                w.end_struct()
         w.end_struct()
 
     def group_element(name: str, n_children: int,

@@ -18839,3 +18839,87 @@ def streaming_iceberg_sink_rewrite_compact(spark, sf_dir):
             F.collect_list(F.col("event_id"))).cast("array<string>")))
         .alias("ids_md5"),
     )
+
+
+@query(
+    "meta_parquet_write_logical_types",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 40 + 25 AS BIGINT) AS n
+               FROM documents),
+    r AS (SELECT doc_id, n, j.r
+          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r))
+    SELECT doc_id, TRUE AS typed_ok,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(sum(1700000000000000 + doc_id * 1000000
+                    + r * 60000000) AS BIGINT) AS ts_sum_us,
+           CAST(sum(doc_id * 7 + 25 * r - 500) AS BIGINT)
+               AS amt_sum_unscaled
+    FROM r GROUP BY doc_id
+    """,
+    doc="Parquet LOGICAL TYPES on the write side under the hash "
+    "gate — TIMESTAMP(MICROS, adjusted-to-UTC) and DECIMAL(18,2) "
+    "on INT64, annotated with BOTH the legacy ConvertedType and "
+    "the modern LogicalType thrift struct so old and new readers "
+    "agree; the timestamp column rides DELTA_BINARY_PACKED (the "
+    "classic encoding for monotone instants).  pyarrow's C++ "
+    "reader types the columns in-loop (timestamp[us, tz=UTC] / "
+    "decimal128(18,2) asserted) and the aggregates come from what "
+    "it READ back as typed values, re-scaled to integers; Spark's "
+    "vectorized reader and DuckDB verify the same bytes in "
+    "tests/test_parquet_write.py.  Scale: typed shard emission is "
+    "what makes own-writer output directly queryable by any "
+    "engine — no schema sidecar, no cast layer.",
+    bench=True,
+)
+def meta_parquet_write_logical_types(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import io as _io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet as _wp
+
+        for pdf in batches:
+            out = {"doc_id": [], "typed_ok": [], "n_rows": [],
+                   "ts_sum_us": [], "amt_sum_unscaled": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 40 + 25
+                ts = [1_700_000_000_000000 + d * 1_000_000
+                      + r * 60_000_000 for r in range(n)]
+                dec = [d * 7 + 25 * r - 500 for r in range(n)]
+                blob = _wp(
+                    [("ts", "TIMESTAMP_MICROS", ts),
+                     ("amt", "DECIMAL(18,2)", dec)],
+                    column_encodings={
+                        "ts": "DELTA_BINARY_PACKED"})
+                t = pq.read_table(_io.BytesIO(blob))
+                if str(t.schema.field("ts").type) \
+                        != "timestamp[us, tz=UTC]" \
+                        or str(t.schema.field("amt").type) \
+                        != "decimal128(18, 2)":
+                    raise ValueError("logical types not applied")
+                ts_back = [int(v.timestamp() * 1_000_000)
+                           for v in t["ts"].to_pylist()]
+                amt_back = [int(v.scaleb(2))
+                            for v in t["amt"].to_pylist()]
+                if len(ts_back) != n:
+                    raise ValueError("row count mismatch")
+                out["doc_id"].append(d)
+                out["typed_ok"].append(True)
+                out["n_rows"].append(n)
+                out["ts_sum_us"].append(sum(ts_back))
+                out["amt_sum_unscaled"].append(sum(amt_back))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, typed_ok boolean, n_rows long, "
+                "ts_sum_us long, amt_sum_unscaled long"),
+    )

@@ -583,3 +583,41 @@ def test_alternative_encodings_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="unknown encoded"):
         write_parquet([("k", "INT64", [1])],
                       column_encodings={"z": "BYTE_STREAM_SPLIT"})
+
+
+def test_logical_types_timestamp_decimal(spark, tmp_path):
+    """INT64-backed logical types: TIMESTAMP(MICROS, UTC) and
+    DECIMAL(18,s) — pyarrow, DuckDB and Spark's vectorized reader
+    all type the columns, values exact; composes with
+    DELTA_BINARY_PACKED (the classic timestamp encoding)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    n = 400
+    ts = [1_700_000_000_000000 + i * 60_000_000 for i in range(n)]
+    dec = [i * 125 - 3000 for i in range(n)]  # unscaled, scale 2
+    blob = write_parquet(
+        [("ts", "TIMESTAMP_MICROS", ts),
+         ("amt", "DECIMAL(18,2)", dec)],
+        column_encodings={"ts": "DELTA_BINARY_PACKED"})
+    t = pq.read_table(io.BytesIO(blob))
+    assert str(t.schema.field("ts").type) == "timestamp[us, tz=UTC]"
+    assert str(t.schema.field("amt").type) == "decimal128(18, 2)"
+    assert t["ts"][0].as_py() == datetime.datetime(
+        2023, 11, 14, 22, 13, 20, tzinfo=datetime.timezone.utc)
+    assert [int(v.scaleb(2)) for v in t["amt"].to_pylist()] == dec
+    p = tmp_path / "lt.parquet"
+    p.write_bytes(blob)
+    assert duckdb.sql(
+        f"SELECT sum(amt) FROM read_parquet('{p}')"
+    ).fetchall()[0][0] * 100 == sum(dec)
+    rows = (spark.read.parquet(str(p))
+            .selectExpr("count(*) AS n",
+                        "sum(cast(amt AS DOUBLE)) AS s",
+                        "min(ts) AS mn").collect())
+    assert rows[0].n == n
+    assert rows[0].s == sum(dec) / 100
+    assert rows[0].mn == datetime.datetime(2023, 11, 14, 22, 13, 20)
+    with pytest.raises(ValueError, match="unsupported decimal"):
+        write_parquet([("a", "DECIMAL(22,2)", [1])])
