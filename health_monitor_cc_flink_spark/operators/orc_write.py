@@ -100,29 +100,153 @@ def byte_rle_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def rlev2_encode(values: list[int], *, signed: bool) -> bytes:
-    """RLEv2 DIRECT sub-format only — valid output every reader
-    accepts: 512-value blocks, closed-form width, big-endian
-    packing."""
+def _direct_block(out: bytearray, block_zz: list[int]) -> None:
+    need = max((v.bit_length() for v in block_zz), default=1) or 1
+    width = next(w for w in _WIDTH if w >= need)
+    code = _WIDTH.index(width)
+    n = len(block_zz)
+    out.append(0x40 | (code << 1) | ((n - 1) >> 8))
+    out.append((n - 1) & 0xFF)
+    acc = 0
+    for v in block_zz:
+        acc = (acc << width) | v
+    nbits = width * n
+    nbytes = (nbits + 7) // 8
+    acc <<= nbytes * 8 - nbits
+    out += acc.to_bytes(nbytes, "big")
+
+
+def _append_uvarint(out: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def rlev2_encode(values: list[int], *, signed: bool,
+                 mode: str = "auto") -> bytes:
+    """RLEv2 integer stream.  ``mode="direct"`` emits DIRECT blocks
+    only (the r13 behavior, kept for size-comparison certificates);
+    the default picks per-run sub-encodings the own reader and
+    the reference readers all decode:
+
+    * SHORT_REPEAT for 3..10 equal values (1-byte header + value);
+    * DELTA for >= 4 monotone values (fixed-sign deltas; width
+      code 0 when the delta is constant — covers long equal runs
+      too, since delta 0 is a fixed delta);
+    * DIRECT for everything else, 512-value blocks.
+    """
     out = bytearray()
-    vals = [_zigzag_enc(v) for v in values] if signed else values
-    if any(v < 0 for v in vals):
+
+    def zz(v: int) -> int:
+        return _zigzag_enc(v) if signed else v
+
+    if mode == "direct":
+        vals = [zz(v) for v in values]
+        if any(v < 0 for v in vals):
+            raise ValueError(
+                "unsigned rlev2 write got negative value")
+        for i in range(0, len(vals), 512):
+            _direct_block(out, vals[i:i + 512])
+        return bytes(out)
+    if mode != "auto":
+        raise ValueError(f"unknown rlev2 mode {mode}")
+    if not signed and any(v < 0 for v in values):
         raise ValueError("unsigned rlev2 write got negative value")
-    for i in range(0, len(vals), 512):
-        block = vals[i:i + 512]
-        need = max((v.bit_length() for v in block), default=1) or 1
-        width = next(w for w in _WIDTH if w >= need)
-        code = _WIDTH.index(width)
-        n = len(block)
-        out.append(0x40 | (code << 1) | ((n - 1) >> 8))
-        out.append((n - 1) & 0xFF)
-        acc = 0
-        for v in block:
-            acc = (acc << width) | v
-        nbits = width * n
-        nbytes = (nbits + 7) // 8
-        acc <<= nbytes * 8 - nbits
-        out += acc.to_bytes(nbytes, "big")
+
+    n = len(values)
+    i = 0
+    lit_start = 0  # pending DIRECT literals [lit_start, i)
+
+    def flush_literals(end: int) -> None:
+        for s in range(lit_start, end, 512):
+            _direct_block(out, [zz(v)
+                                for v in values[s:min(s + 512,
+                                                      end)]])
+
+    while i < n:
+        # equal run?
+        j = i + 1
+        while j < n and values[j] == values[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            flush_literals(i)
+            v = values[i]
+            if 3 <= run <= 10 and zz(v).bit_length() <= 64:
+                vz = zz(v)
+                width = max(1, (vz.bit_length() + 7) // 8)
+                out.append(((width - 1) << 3) | (run - 3))
+                out += vz.to_bytes(width, "big")
+            else:
+                # DELTA with constant delta 0 (width code 0)
+                k = i
+                while k < j:
+                    cnt = min(j - k, 512)
+                    out.append(0xC0 | ((cnt - 1) >> 8))
+                    out.append((cnt - 1) & 0xFF)
+                    _append_uvarint(out, _zigzag_enc(v)
+                                    if signed else v)
+                    _append_uvarint(out, _zigzag_enc(0))
+                    k += cnt
+            i = j
+            lit_start = i
+            continue
+        # monotone run?  deltas all >= 0 (sign from delta0 >= 0)
+        # or all <= 0, first delta nonzero so the sign is explicit
+        j = i + 1
+        if j < n:
+            d0 = values[j] - values[i]
+            if d0 != 0:
+                sign = 1 if d0 > 0 else -1
+                while j + 1 < n and j + 1 - i < 512:
+                    d = values[j + 1] - values[j]
+                    if d * sign < 0:
+                        break
+                    j += 1
+                mono = j + 1 - i
+                if mono >= 4:
+                    flush_literals(i)
+                    cnt = mono
+                    deltas = [abs(values[k + 1] - values[k])
+                              for k in range(i, i + cnt - 1)]
+                    rest = deltas[1:]
+                    if all(d == deltas[0] for d in rest):
+                        wcode = 0
+                    else:
+                        need = max(max(rest).bit_length(), 1)
+                        width = next(w for w in _WIDTH
+                                     if w >= need)
+                        wcode = _WIDTH.index(width)
+                        if wcode == 0:
+                            # width code 0 means FIXED delta; a
+                            # 1-bit packed stream needs code >= 1
+                            wcode = 1
+                            width = _WIDTH[1]
+                    out.append(0xC0 | (wcode << 1)
+                               | ((cnt - 1) >> 8))
+                    out.append((cnt - 1) & 0xFF)
+                    _append_uvarint(out, zz(values[i]))
+                    _append_uvarint(out, _zigzag_enc(
+                        sign * deltas[0]))
+                    if wcode:
+                        width = _WIDTH[wcode]
+                        acc = 0
+                        for d in rest:
+                            acc = (acc << width) | d
+                        nbits = width * len(rest)
+                        nbytes = (nbits + 7) // 8
+                        acc <<= nbytes * 8 - nbits
+                        out += acc.to_bytes(nbytes, "big")
+                    i += cnt
+                    lit_start = i
+                    continue
+        i += 1
+    flush_literals(n)
     return bytes(out)
 
 
