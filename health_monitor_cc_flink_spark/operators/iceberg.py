@@ -143,8 +143,91 @@ MANIFEST_ENTRY_SCHEMA_V2 = json.dumps({
                 {"name": "equality_ids",
                  "type": ["null",
                           {"type": "array", "items": "int"}]},
+                # per-column value bounds (table-spec "Manifests":
+                # map<field id, serialized bound>) — carried as the
+                # spec's array-of-key/value-record map encoding so
+                # scan PLANNING can prune files without opening them
+                {"name": "lower_bounds",
+                 "type": ["null", {
+                     "type": "array", "items": {
+                         "type": "record", "name": "k_v_lower",
+                         "fields": [
+                             {"name": "key", "type": "int"},
+                             {"name": "value", "type": "bytes"},
+                         ]}}]},
+                {"name": "upper_bounds",
+                 "type": ["null", {
+                     "type": "array", "items": {
+                         "type": "record", "name": "k_v_upper",
+                         "fields": [
+                             {"name": "key", "type": "int"},
+                             {"name": "value", "type": "bytes"},
+                         ]}}]},
             ]}},
     ]})
+
+
+def bound_long(v: int) -> bytes:
+    """Iceberg single-value serialization of a long bound: 8-byte
+    little-endian (table-spec Appendix D)."""
+    import struct as _s
+
+    return _s.pack("<q", v)
+
+
+def unbound_long(raw: bytes) -> int:
+    import struct as _s
+
+    return _s.unpack("<q", bytes(raw))[0]
+
+
+def scan_plan_v2(files: dict[str, bytes], *, snapshot_id: int = 1,
+                 ranges: dict[int, tuple[int, int]] | None = None
+                 ) -> dict:
+    """SCAN PLANNING over manifest metadata only — the step a real
+    Iceberg planner runs before any data file opens: walk the
+    snapshot's data manifests and keep files whose
+    lower/upper_bounds intersect every requested per-field range
+    (long-typed bounds).  Files without bounds for a requested
+    field are kept (bounds are optional — absence may not prune).
+    Returns {candidates: [data_file dicts], n_total, n_skipped};
+    O(manifest bytes), data files untouched."""
+    ranges = ranges or {}
+    list_path = f"metadata/snap-{snapshot_id}.avro"
+    if list_path not in files:
+        raise ValueError(f"missing manifest list {list_path}")
+    mlist = read_ocf(files[list_path])["records"]
+    candidates = []
+    n_total = 0
+    for mf in mlist:
+        if mf.get("content", CONTENT_DATA) != CONTENT_DATA:
+            continue
+        path = mf["manifest_path"]
+        if path not in files:
+            raise ValueError(f"missing manifest {path}")
+        for e in read_ocf(files[path])["records"]:
+            if e["status"] == STATUS_DELETED:
+                continue
+            df = e["data_file"]
+            if df.get("content", CONTENT_DATA) != CONTENT_DATA:
+                continue
+            n_total += 1
+            lows = {kv["key"]: kv["value"]
+                    for kv in (df.get("lower_bounds") or [])}
+            highs = {kv["key"]: kv["value"]
+                     for kv in (df.get("upper_bounds") or [])}
+            keep = True
+            for fid, (lo, hi) in ranges.items():
+                if fid in lows and unbound_long(lows[fid]) > hi:
+                    keep = False
+                    break
+                if fid in highs and unbound_long(highs[fid]) < lo:
+                    keep = False
+                    break
+            if keep:
+                candidates.append(df)
+    return {"candidates": candidates, "n_total": n_total,
+            "n_skipped": n_total - len(candidates)}
 
 CONTENT_DATA = 0
 CONTENT_POSITION_DELETES = 1

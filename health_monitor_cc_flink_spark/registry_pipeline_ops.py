@@ -19005,3 +19005,174 @@ def meta_orc_write_rlev2_subencodings(spark, sf_dir):
         schema=("doc_id long, delta_smaller boolean, n_rows long, "
                 "mono_sum long, runs_sum long"),
     )
+
+
+@query(
+    "lake_iceberg_bounds_prune",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 40 + 24 AS BIGINT) AS n,
+                      (doc_id % 40 + 24 + 7) // 8 AS per
+               FROM documents)
+    SELECT doc_id, TRUE AS pruned,
+           CAST((n + per - 1) // per AS BIGINT) AS n_files,
+           CAST(n AS BIGINT) AS n_point_hits,
+           CAST(n * doc_id * 1000 + 7 * n * (n - 1) // 2 AS BIGINT)
+               AS point_sum,
+           CAST((n + 1) // 2 AS BIGINT) AS n_range_rows,
+           CAST(doc_id * 1000 * ((n + 1) // 2)
+                + 7 * (((n + 1) // 2 - 1) * ((n + 1) // 2)) // 2
+                AS BIGINT) AS range_sum
+    FROM p
+    """,
+    doc="Iceberg SCAN PLANNING with manifest column bounds under "
+    "the hash gate — the manifest entry schema now carries the "
+    "table-spec's lower_bounds/upper_bounds (map<field id, "
+    "serialized bound> in the array-of-key/value-record Avro "
+    "encoding; longs 8-byte little-endian per Appendix D), and "
+    "scan_plan_v2 prunes data files from MANIFEST METADATA ALONE "
+    "— the exact step a real planner runs before any data file "
+    "opens.  Per doc: 8 sorted-disjoint files; every point probe "
+    "must plan to EXACTLY ONE candidate (certified), a half-range "
+    "query to the minimal file set, an out-of-range probe to ZERO "
+    "(certified); only planned candidates are decoded and the "
+    "aggregates hash against the closed form.  Scale: at 100 TB "
+    "the planner walks O(manifest KB) to skip O(TB) of data files "
+    "— this IS Iceberg's reason to exist over a bare directory.",
+    bench=True,
+)
+def lake_iceberg_bounds_prune(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            MANIFEST_ENTRY_SCHEMA_V2,
+            MANIFEST_LIST_SCHEMA_V2,
+            STATUS_ADDED,
+            bound_long,
+            read_flat_parquet,
+            scan_plan_v2,
+        )
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+        from health_monitor_cc_flink_spark.sources.avro_ocf \
+            import write_ocf
+
+        NF = 8
+        for pdf in batches:
+            out = {"doc_id": [], "pruned": [], "n_files": [],
+                   "n_point_hits": [], "point_sum": [],
+                   "n_range_rows": [], "range_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 40 + 24
+                keys = [d * 1000 + 7 * r for r in range(n)]
+                per = (n + NF - 1) // NF
+                files: dict[str, bytes] = {}
+                entries = []
+                for i in range(NF):
+                    part = keys[i * per:(i + 1) * per]
+                    if not part:
+                        part = []
+                    path = f"data/f{i}.parquet"
+                    blob = write_parquet(
+                        [("k", "INT64", part)]) if part else None
+                    if blob is None:
+                        continue
+                    files[path] = blob
+                    entries.append({
+                        "status": STATUS_ADDED,
+                        "snapshot_id": None,
+                        "sequence_number": None,
+                        "data_file": {
+                            "content": 0, "file_path": path,
+                            "file_format": "PARQUET",
+                            "partition": {"lang": None},
+                            "record_count": len(part),
+                            "file_size_in_bytes": len(blob),
+                            "equality_ids": None,
+                            "lower_bounds": [
+                                {"key": 1,
+                                 "value": bound_long(part[0])}],
+                            "upper_bounds": [
+                                {"key": 1,
+                                 "value": bound_long(part[-1])}],
+                        }})
+                mblob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2,
+                                  entries, codec="deflate",
+                                  sync_seed=d)
+                files["metadata/manifest-1.avro"] = mblob
+                files["metadata/snap-1.avro"] = write_ocf(
+                    MANIFEST_LIST_SCHEMA_V2, [{
+                        "manifest_path": "metadata/manifest-1.avro",
+                        "manifest_length": len(mblob),
+                        "partition_spec_id": 0, "content": 0,
+                        "sequence_number": 1,
+                        "added_snapshot_id": 1,
+                        "added_files_count": None,
+                        "existing_files_count": None,
+                        "deleted_files_count": None,
+                    }], codec="deflate", sync_seed=1000 + d)
+                n_files = len(entries)
+
+                decoded: dict[str, list] = {}
+
+                def rows_of(df):
+                    p = df["file_path"]
+                    if p not in decoded:
+                        decoded[p] = read_flat_parquet(
+                            files[p])["k"]
+                    return decoded[p]
+
+                # point probes: every key plans to EXACTLY 1 file
+                hits = 0
+                psum = 0
+                for qv in keys:
+                    plan = scan_plan_v2(
+                        files, ranges={1: (qv, qv)})
+                    if plan["n_total"] != n_files \
+                            or len(plan["candidates"]) != 1:
+                        raise ValueError(
+                            f"point probe planned "
+                            f"{len(plan['candidates'])} files")
+                    got = [v for v in rows_of(plan["candidates"][0])
+                           if v == qv]
+                    if len(got) != 1:
+                        raise ValueError("planned file missed key")
+                    hits += 1
+                    psum += got[0]
+                # out-of-range probe: ZERO candidates
+                if scan_plan_v2(
+                        files,
+                        ranges={1: (keys[-1] + 1, keys[-1] + 10)}
+                )["candidates"]:
+                    raise ValueError("out-of-range probe not pruned")
+                # half-range: decode only planned candidates
+                half = (n + 1) // 2
+                lo, hi = keys[0], keys[half - 1]
+                plan = scan_plan_v2(files, ranges={1: (lo, hi)})
+                want_files = (half + per - 1) // per
+                if len(plan["candidates"]) != want_files:
+                    raise ValueError(
+                        f"range planned {len(plan['candidates'])} "
+                        f"files, want {want_files}")
+                rvals = [v for df in plan["candidates"]
+                         for v in rows_of(df) if lo <= v <= hi]
+                out["doc_id"].append(d)
+                out["pruned"].append(True)
+                out["n_files"].append(n_files)
+                out["n_point_hits"].append(hits)
+                out["point_sum"].append(psum)
+                out["n_range_rows"].append(len(rvals))
+                out["range_sum"].append(sum(rvals))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, pruned boolean, n_files long, "
+                "n_point_hits long, point_sum long, "
+                "n_range_rows long, range_sum long"),
+    )

@@ -96,6 +96,13 @@ def _is_date(sch) -> bool:
 def _encode(sch, value, buf: io.BytesIO) -> None:
     if isinstance(sch, dict) and sch.get("type") == "record":
         for f in sch["fields"]:
+            if f["name"] not in value and isinstance(
+                    f["type"], list) and "null" in f["type"]:
+                # Avro default-null semantics: a writer dict may
+                # omit a nullable field (lets shared record schemas
+                # grow without touching every call site)
+                _encode(f["type"], None, buf)
+                continue
             _encode(f["type"], value[f["name"]], buf)
     elif _is_decimal(sch):
         import decimal as _dec

@@ -481,3 +481,62 @@ def test_multiformat_data_files_scan():
     assert sorted(r["rid"] for r in scan["rows"]) == [0, 2, 3, 4]
     fmts = {r["file_path"] for r in scan["rows"]}
     assert fmts == {"data/p.parquet", "data/o.orc", "data/a.avro"}
+
+
+def test_scan_plan_v2_bounds_pruning():
+    """Manifest bounds prune files from metadata alone: point plans
+    one file, disjoint range plans none, missing bounds never
+    prune (absence may not skip)."""
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        MANIFEST_ENTRY_SCHEMA_V2,
+        MANIFEST_LIST_SCHEMA_V2,
+        bound_long,
+        scan_plan_v2,
+        unbound_long,
+    )
+    from health_monitor_cc_flink_spark.sources.avro_ocf import (
+        write_ocf,
+    )
+
+    assert unbound_long(bound_long(-123456789)) == -123456789
+
+    def entry(path, lo, hi, with_bounds=True):
+        df = {"content": 0, "file_path": path,
+              "file_format": "PARQUET",
+              "partition": {"lang": None}, "record_count": 1,
+              "file_size_in_bytes": 1, "equality_ids": None}
+        if with_bounds:
+            df["lower_bounds"] = [{"key": 1,
+                                   "value": bound_long(lo)}]
+            df["upper_bounds"] = [{"key": 1,
+                                   "value": bound_long(hi)}]
+        return {"status": STATUS_ADDED, "snapshot_id": None,
+                "sequence_number": None, "data_file": df}
+
+    m = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, [
+        entry("data/a.parquet", 0, 99),
+        entry("data/b.parquet", 100, 199),
+        entry("data/c.parquet", 0, 0, with_bounds=False),
+    ], codec="deflate")
+    files = {
+        "metadata/manifest-1.avro": m,
+        "metadata/snap-1.avro": write_ocf(
+            MANIFEST_LIST_SCHEMA_V2, [{
+                "manifest_path": "metadata/manifest-1.avro",
+                "manifest_length": len(m),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": 1, "added_snapshot_id": 1,
+                "added_files_count": None,
+                "existing_files_count": None,
+                "deleted_files_count": None}]),
+    }
+    plan = scan_plan_v2(files, ranges={1: (150, 150)})
+    got = sorted(d["file_path"] for d in plan["candidates"])
+    # b matches; c kept (no bounds -> may not prune); a skipped
+    assert got == ["data/b.parquet", "data/c.parquet"]
+    assert plan["n_total"] == 3 and plan["n_skipped"] == 1
+    plan2 = scan_plan_v2(files, ranges={1: (500, 600)})
+    assert [d["file_path"] for d in plan2["candidates"]] == [
+        "data/c.parquet"]
+    # no ranges: everything is a candidate
+    assert len(scan_plan_v2(files)["candidates"]) == 3
