@@ -161,6 +161,7 @@ def read_checkpoint_parquet(parts: list[bytes]) -> dict:
                     "size": add_size[i],
                     "partition_values": pv,
                     "num_records": stats.get("numRecords"),
+                    "stats": stats or None,
                     "deletion_vector": dv,
                 }
                 if len(live) > MAX_FILES:
@@ -220,6 +221,7 @@ def replay_delta_log(commits: dict[int, list[dict]],
                     "size": a.get("size"),
                     "partition_values": a.get("partitionValues") or {},
                     "num_records": stats.get("numRecords"),
+                    "stats": stats or None,
                     "deletion_vector": a.get("deletionVector"),
                 }
                 n_adds += 1
@@ -326,6 +328,28 @@ def resolve_deletion_vector(desc: dict,
     return rows
 
 
+def prune_live_by_stats(live: dict[str, dict], column: str,
+                        lo, hi) -> dict:
+    """Delta DATA SKIPPING from add.stats alone — the planner step
+    that runs before any data file opens: keep files whose
+    minValues/maxValues for ``column`` intersect [lo, hi]; files
+    without stats for the column are kept (absence may not prune).
+    Returns {candidates: [paths], n_total, n_skipped};
+    O(live census), data untouched."""
+    candidates = []
+    for path in sorted(live):
+        st = live[path].get("stats") or {}
+        mn = (st.get("minValues") or {}).get(column)
+        mx = (st.get("maxValues") or {}).get(column)
+        if mn is not None and mn > hi:
+            continue
+        if mx is not None and mx < lo:
+            continue
+        candidates.append(path)
+    return {"candidates": candidates, "n_total": len(live),
+            "n_skipped": len(live) - len(candidates)}
+
+
 def write_checkpoint_parquet(snapshot: dict) -> tuple[bytes, int]:
     """Snapshot census -> checkpoint parquet bytes via THIS repo's
     own parquet writer (nested protocol/metaData/add structs; one
@@ -371,9 +395,13 @@ def write_checkpoint_parquet(snapshot: dict) -> tuple[bytes, int]:
          [G, G] + [live[p].get("size") for p in paths]),
         ("add.stats", "STRING",
          [G, G] + [
-             None if live[p].get("num_records") is None
-             else json.dumps({"numRecords": live[p]["num_records"]},
-                             separators=(",", ":"))
+             json.dumps(live[p]["stats"], sort_keys=True,
+                        separators=(",", ":"))
+             if live[p].get("stats")
+             else (None if live[p].get("num_records") is None
+                   else json.dumps(
+                       {"numRecords": live[p]["num_records"]},
+                       separators=(",", ":")))
              for p in paths]),
     ]
     if has_dv:

@@ -19176,3 +19176,154 @@ def lake_iceberg_bounds_prune(spark, sf_dir):
                 "n_point_hits long, point_sum long, "
                 "n_range_rows long, range_sum long"),
     )
+
+
+@query(
+    "lake_delta_stats_prune",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 40 + 24 AS BIGINT) AS n,
+                      (doc_id % 40 + 24 + 7) // 8 AS per
+               FROM documents)
+    SELECT doc_id, TRUE AS pruned,
+           CAST((n + per - 1) // per AS BIGINT) AS n_files,
+           CAST(n AS BIGINT) AS n_point_hits,
+           CAST(n * doc_id * 1000 + 7 * n * (n - 1) // 2 AS BIGINT)
+               AS point_sum,
+           CAST((n + 1) // 2 AS BIGINT) AS n_range_rows,
+           CAST(doc_id * 1000 * ((n + 1) // 2)
+                + 7 * (((n + 1) // 2 - 1) * ((n + 1) // 2)) // 2
+                AS BIGINT) AS range_sum
+    FROM p
+    """,
+    doc="Delta DATA SKIPPING via add.stats under the hash gate — "
+    "the Iceberg bounds-prune sibling for the first lake format: "
+    "commits carry full stats JSON (numRecords + minValues / "
+    "maxValues / nullCount per column, the PROTOCOL.md data-"
+    "skipping shape), the replay preserves the parsed stats in the "
+    "live census (checkpoints re-serialize them through the own "
+    "parquet writer, so a checkpoint-seeded replay prunes "
+    "identically — exercised in-loop), and prune_live_by_stats "
+    "plans from the census ALONE.  Per doc: 8 sorted-disjoint "
+    "files; every point probe must plan to EXACTLY ONE file "
+    "(certified), an out-of-range probe to ZERO, a half-range to "
+    "the minimal file set; only planned files decode.  Scale: "
+    "O(log KB) census walk skips O(TB) of data files — the reason "
+    "Delta stats exist.",
+    bench=True,
+)
+def lake_delta_stats_prune(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.delta_log \
+            import (
+                prune_live_by_stats,
+                read_checkpoint_parquet,
+                replay_delta_log,
+                write_checkpoint_parquet,
+            )
+        from health_monitor_cc_flink_spark.operators.iceberg \
+            import read_flat_parquet
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        NF = 8
+        for pdf in batches:
+            out = {"doc_id": [], "pruned": [], "n_files": [],
+                   "n_point_hits": [], "point_sum": [],
+                   "n_range_rows": [], "range_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 40 + 24
+                keys = [d * 1000 + 7 * r for r in range(n)]
+                per = (n + NF - 1) // NF
+                blobs: dict[str, bytes] = {}
+                actions = [
+                    {"protocol": {"minReaderVersion": 1,
+                                  "minWriterVersion": 2}},
+                    {"metaData": {"id": f"stats-{d}"}},
+                ]
+                for i in range(NF):
+                    part = keys[i * per:(i + 1) * per]
+                    if not part:
+                        continue
+                    path = f"f{i}.parquet"
+                    blob = write_parquet([("k", "INT64", part)])
+                    blobs[path] = blob
+                    actions.append({"add": {
+                        "path": path, "partitionValues": {},
+                        "size": len(blob), "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": _json.dumps({
+                            "numRecords": len(part),
+                            "minValues": {"k": part[0]},
+                            "maxValues": {"k": part[-1]},
+                            "nullCount": {"k": 0},
+                        }, sort_keys=True,
+                            separators=(",", ":"))}})
+                snap = replay_delta_log({0: actions})
+                # checkpoint roundtrip must preserve the stats the
+                # pruner consumes (own writer -> own reader)
+                ck, _ = write_checkpoint_parquet(snap)
+                seeded = read_checkpoint_parquet([ck])
+                live = seeded["live"]
+                if len(live) != len(snap["live"]):
+                    raise ValueError("checkpoint census mismatch")
+
+                decoded: dict[str, list] = {}
+
+                def rows_of(p):
+                    if p not in decoded:
+                        decoded[p] = read_flat_parquet(
+                            blobs[p])["k"]
+                    return decoded[p]
+
+                hits = 0
+                psum = 0
+                for qv in keys:
+                    plan = prune_live_by_stats(live, "k", qv, qv)
+                    if len(plan["candidates"]) != 1:
+                        raise ValueError(
+                            f"point planned "
+                            f"{len(plan['candidates'])} files")
+                    got = [v for v in rows_of(plan["candidates"][0])
+                           if v == qv]
+                    if len(got) != 1:
+                        raise ValueError("planned file missed key")
+                    hits += 1
+                    psum += got[0]
+                if prune_live_by_stats(
+                        live, "k", keys[-1] + 1,
+                        keys[-1] + 10)["candidates"]:
+                    raise ValueError("out-of-range not pruned")
+                half = (n + 1) // 2
+                lo, hi = keys[0], keys[half - 1]
+                plan = prune_live_by_stats(live, "k", lo, hi)
+                want_files = (half + per - 1) // per
+                if len(plan["candidates"]) != want_files:
+                    raise ValueError(
+                        f"range planned {len(plan['candidates'])}, "
+                        f"want {want_files}")
+                rvals = [v for p in plan["candidates"]
+                         for v in rows_of(p) if lo <= v <= hi]
+                out["doc_id"].append(d)
+                out["pruned"].append(True)
+                out["n_files"].append(len(live))
+                out["n_point_hits"].append(hits)
+                out["point_sum"].append(psum)
+                out["n_range_rows"].append(len(rvals))
+                out["range_sum"].append(sum(rvals))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, pruned boolean, n_files long, "
+                "n_point_hits long, point_sum long, "
+                "n_range_rows long, range_sum long"),
+    )
