@@ -19327,3 +19327,161 @@ def lake_delta_stats_prune(spark, sf_dir):
                 "n_point_hits long, point_sum long, "
                 "n_range_rows long, range_sum long"),
     )
+
+
+@query(
+    "lake_delta_compact_dv_roundtrip",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 40 + 30 AS BIGINT) AS n
+               FROM documents)
+    SELECT doc_id, TRUE AS compacted,
+           CAST(n - (n + 8) // 9 AS BIGINT) AS n_live,
+           CAST(n * (n - 1) // 2
+                - 9 * (((n - 1) // 9) * ((n - 1) // 9 + 1)) // 2
+                AS BIGINT) AS rid_sum
+    FROM p
+    """,
+    doc="Delta LOG COMPACTION over a DELETION-VECTOR table under "
+    "the hash gate — the r14 DV-checkpoint path through the vacuum "
+    "cycle: per doc a multi-commit log accrues data files plus "
+    "remove/re-add commits whose deletionVector descriptors ship "
+    "INLINE (storageType 'i', Z85 of the own RoaringBitmapArray "
+    "bytes), compact_delta_log replays it and writes a single "
+    "checkpoint (add.deletionVector structs through the own nested "
+    "parquet writer), early commits are vacuumed, and the "
+    "checkpoint-seeded replay must resolve the SAME vectors — "
+    "survivors decoded from the compacted log only, hashed against "
+    "the closed form (every rid %% 9 == 0 soft-deleted).  Scale: "
+    "compaction bounds replay cost at O(live files), the log's "
+    "metadata-maintenance primitive; inline DVs keep small vectors "
+    "zero-I/O.",
+    bench=True,
+)
+def lake_delta_compact_dv_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.delta_log \
+            import (
+                commit_filename,
+                compact_delta_log,
+                parse_delta_log_files,
+                resolve_deletion_vector,
+            )
+        from health_monitor_cc_flink_spark.operators.iceberg \
+            import read_flat_parquet
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+        from health_monitor_cc_flink_spark.operators.roaring \
+            import serialize_bitmap_array, z85_encode
+
+        NF = 3
+        for pdf in batches:
+            out = {"doc_id": [], "compacted": [], "n_live": [],
+                   "rid_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 40 + 30
+                rids = list(range(n))
+                per = (n + NF - 1) // NF
+                blobs: dict[str, bytes] = {}
+                log: dict[str, bytes] = {}
+
+                def commit(v, actions):
+                    log[commit_filename(v)] = "\n".join(
+                        _json.dumps(a, sort_keys=True,
+                                    separators=(",", ":"))
+                        for a in actions).encode("utf-8")
+
+                def add_action(path, stats_n, dv=None):
+                    a = {"path": path, "partitionValues": {},
+                         "size": len(blobs[path]),
+                         "modificationTime": 0,
+                         "dataChange": dv is None,
+                         "stats": _json.dumps(
+                             {"numRecords": stats_n},
+                             separators=(",", ":"))}
+                    if dv is not None:
+                        a["deletionVector"] = dv
+                    return {"add": a}
+
+                v = 0
+                first = [{"protocol": {"minReaderVersion": 3,
+                                       "minWriterVersion": 7}},
+                         {"metaData": {"id": f"dvc-{d}"}}]
+                parts = {}
+                for i in range(NF):
+                    part = rids[i * per:(i + 1) * per]
+                    if not part:
+                        continue
+                    path = f"f{i}.parquet"
+                    blobs[path] = write_parquet(
+                        [("rid", "INT64", part)])
+                    parts[path] = part
+                    first.append(add_action(path, len(part)))
+                commit(0, first)
+                v = 1
+                # one DV commit per file, inline descriptors
+                for path, part in sorted(parts.items()):
+                    pos = [i for i, r in enumerate(part)
+                           if r % 9 == 0]
+                    if not pos:
+                        continue
+                    blob = serialize_bitmap_array(pos)
+                    pad = (-len(blob)) % 4
+                    dv = {"storageType": "i",
+                          "pathOrInlineDv": z85_encode(
+                              blob + b"\x00" * pad),
+                          "sizeInBytes": len(blob),
+                          "cardinality": len(pos)}
+                    commit(v, [
+                        {"remove": {"path": path,
+                                    "dataChange": False}},
+                        add_action(path, len(part), dv=dv)])
+                    v += 1
+
+                compacted = compact_delta_log(log)
+                if any(name.endswith(".json")
+                       for name in compacted):
+                    raise ValueError("compaction kept commits")
+                orig = parse_delta_log_files(log)
+                back = parse_delta_log_files(compacted)
+                if back["version"] != orig["version"]:
+                    raise ValueError("version drift")
+                n_live = 0
+                rid_sum = 0
+                for path, e in sorted(back["live"].items()):
+                    vals = read_flat_parquet(blobs[path])["rid"]
+                    dead: set = set()
+                    if e.get("deletion_vector"):
+                        dead = set(resolve_deletion_vector(
+                            e["deletion_vector"], compacted))
+                        o = orig["live"][path]
+                        if e["deletion_vector"]["cardinality"] \
+                                != o["deletion_vector"][
+                                    "cardinality"]:
+                            raise ValueError(
+                                "DV cardinality drift through "
+                                "compaction")
+                    for i, r in enumerate(vals):
+                        if i in dead:
+                            continue
+                        n_live += 1
+                        rid_sum += r
+                out["doc_id"].append(d)
+                out["compacted"].append(True)
+                out["n_live"].append(n_live)
+                out["rid_sum"].append(rid_sum)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, compacted boolean, n_live long, "
+                "rid_sum long"),
+    )
