@@ -294,8 +294,6 @@ def read_column_row_index(data: bytes, stripe: dict, codec: str,
     {n_values, has_null, min, max} (typed min/max for
     integer / double / string stats; None otherwise).  O(index
     bytes) — the stats-pruning sibling of read_column_blooms."""
-    import struct as _s
-
     from .orc_data import _decompress_stream
 
     foot_off = (stripe["offset"] + stripe["index_length"]
@@ -320,6 +318,8 @@ def read_column_row_index(data: bytes, stripe: dict, codec: str,
     if raw is None:
         raise ValueError(
             f"column {column_id} has no ROW_INDEX stream")
+    from .orc_meta import decode_column_statistics
+
     entries = []
     for eb in proto_decode(raw).get(1, []):
         entry = proto_decode(bytes(eb))
@@ -328,28 +328,6 @@ def read_column_row_index(data: bytes, stripe: dict, codec: str,
             entries.append({"n_values": None, "has_null": None,
                             "min": None, "max": None})
             continue
-        cs = proto_decode(bytes(stats_raw[-1]))
-        n_values = cs.get(1, [None])[-1]
-        has_null = bool(cs.get(10, [0])[-1])
-        mn = mx = None
-        if 2 in cs:  # IntegerStatistics, sint64 zigzag
-            ist = proto_decode(bytes(cs[2][-1]))
-            if 1 in ist:
-                mn = _zz_dec(ist[1][-1])
-            if 2 in ist:
-                mx = _zz_dec(ist[2][-1])
-        elif 3 in cs:  # DoubleStatistics, fixed64 doubles
-            dst = proto_decode(bytes(cs[3][-1]))
-            if 1 in dst:
-                mn = _s.unpack("<d", bytes(dst[1][-1]))[0]
-            if 2 in dst:
-                mx = _s.unpack("<d", bytes(dst[2][-1]))[0]
-        elif 4 in cs:  # StringStatistics, utf-8 bytes
-            sst = proto_decode(bytes(cs[4][-1]))
-            if 1 in sst:
-                mn = bytes(sst[1][-1]).decode("utf-8")
-            if 2 in sst:
-                mx = bytes(sst[2][-1]).decode("utf-8")
-        entries.append({"n_values": n_values, "has_null": has_null,
-                        "min": mn, "max": mx})
+        entries.append(
+            decode_column_statistics(bytes(stats_raw[-1])))
     return entries

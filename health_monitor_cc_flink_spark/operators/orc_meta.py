@@ -106,6 +106,63 @@ def _decompress_stream(data: bytes, kind: str) -> bytes:
     return bytes(out)
 
 
+def decode_column_statistics(raw: bytes) -> dict:
+    """ColumnStatistics protobuf -> {n_values, has_null, min, max}
+    (typed min/max for integer / double / string stats; None
+    otherwise).  Shared by the Metadata-section and ROW_INDEX
+    readers."""
+    import struct as _s
+
+    cs = proto_decode(raw)
+    n_values = cs.get(1, [None])[-1]
+    has_null = bool(cs.get(10, [0])[-1])
+    mn = mx = None
+    if 2 in cs:  # IntegerStatistics, sint64 zigzag
+        ist = proto_decode(bytes(cs[2][-1]))
+        if 1 in ist:
+            mn = (ist[1][-1] >> 1) ^ -(ist[1][-1] & 1)
+        if 2 in ist:
+            mx = (ist[2][-1] >> 1) ^ -(ist[2][-1] & 1)
+    elif 3 in cs:  # DoubleStatistics, fixed64 doubles
+        dst = proto_decode(bytes(cs[3][-1]))
+        if 1 in dst:
+            mn = _s.unpack("<d", bytes(dst[1][-1]))[0]
+        if 2 in dst:
+            mx = _s.unpack("<d", bytes(dst[2][-1]))[0]
+    elif 4 in cs:  # StringStatistics, utf-8 bytes
+        sst = proto_decode(bytes(cs[4][-1]))
+        if 1 in sst:
+            mn = bytes(sst[1][-1]).decode("utf-8")
+        if 2 in sst:
+            mx = bytes(sst[2][-1]).decode("utf-8")
+    return {"n_values": n_values, "has_null": has_null,
+            "min": mn, "max": mx}
+
+
+def parse_orc_metadata(data: bytes) -> list[list[dict]]:
+    """The file-tail METADATA section (orc_proto Metadata: repeated
+    StripeStatistics, each repeated ColumnStatistics — column 0 is
+    the root struct) -> per-stripe lists of decoded stats.  The
+    tail-only stripe-pruning input: one read, no index sections,
+    no data bytes."""
+    tail = parse_orc_tail(data)
+    mlen = tail.get("metadata_length") or 0
+    if not mlen:
+        return []
+    # metadata sits immediately before the footer
+    ps_len = data[-1]
+    footer_len = tail["_footer_length"]
+    end = len(data) - 1 - ps_len - footer_len
+    raw = _decompress_stream(data[end - mlen:end],
+                             tail["compression"])
+    out: list[list[dict]] = []
+    for ss in proto_decode(raw).get(1, []):
+        cols = [decode_column_statistics(bytes(b))
+                for b in proto_decode(bytes(ss)).get(1, [])]
+        out.append(cols)
+    return out
+
+
 def parse_orc_tail(data: bytes) -> dict:
     """Full ORC file bytes -> {compression, compression_block_size,
     format_version, n_rows, n_cols, schema: [(kind, name)...] of the
@@ -179,4 +236,7 @@ def parse_orc_tail(data: bytes) -> dict:
         "types": type_tree,
         "stripes": stripes,
         "content_length": _varint_val(footer.get(2, [0])[-1]),
+        "metadata_length": (_varint_val(ps.get(5, [0])[-1])
+                            if 5 in ps else 0),
+        "_footer_length": footer_len,
     }

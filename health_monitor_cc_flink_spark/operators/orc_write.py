@@ -506,12 +506,21 @@ def write_orc(columns: list[tuple[str, str, list]], *,
               for s in range(0, n_rows, sr)] or [(0, 0)]
     out = bytearray(b"ORC")
     stripe_infos: list[bytes] = []
+    stripe_stats: list[bytes] = []  # Metadata StripeStatistics
     for lo, hi in bounds:
         stripe_offset = len(out)
         streams, encodings, col_info = _encode_columns(
             columns, lo, hi, dictionary=dictionary,
             decimal_scales=decimal_scales)
         stripe_n = hi - lo
+        # Metadata section StripeStatistics: root struct stats +
+        # one ColumnStatistics per column (same shapes the row
+        # index carries), so a TAIL-ONLY read can prune stripes
+        ss = pb_bytes(1, pb_varint(1, stripe_n) + pb_varint(10, 0))
+        for kind, present in col_info:
+            ss += pb_bytes(1, _column_stats(kind, present,
+                                            stripe_n))
+        stripe_stats.append(ss)
         stream_meta = []
         index_length = 0
         if bloom_filter:
@@ -579,8 +588,16 @@ def write_orc(columns: list[tuple[str, str, list]], *,
                             + pb_varint(4, len(sf_blob))
                             + pb_varint(5, stripe_n))
 
+    # Metadata section (orc_proto Metadata: repeated
+    # StripeStatistics = 1) between the stripes and the footer
+    metadata = bytearray()
+    for ss in stripe_stats:
+        metadata += pb_bytes(1, ss)
+    metadata_blob = _compress_stream(bytes(metadata), codec)
+    out += metadata_blob
+
     footer = bytearray()
-    content_length = len(out)  # footer start offset, as before
+    content_length = len(out) - len(metadata_blob)
     footer += pb_varint(2, content_length)
     for si in stripe_infos:
         footer += pb_bytes(3, si)
@@ -608,7 +625,7 @@ def write_orc(columns: list[tuple[str, str, list]], *,
         ps += pb_varint(3, 1 << 18)  # compressionBlockSize
     ps += pb_varint(4, 0)
     ps += pb_varint(4, 12)  # version 0.12
-    ps += pb_varint(5, 0)   # metadataLength
+    ps += pb_varint(5, len(metadata_blob))
     ps += pb_bytes(8000, b"ORC")
     if len(ps) > 255:
         raise ValueError("postscript too long")

@@ -19485,3 +19485,119 @@ def lake_delta_compact_dv_roundtrip(spark, sf_dir):
         schema=("doc_id long, compacted boolean, n_live long, "
                 "rid_sum long"),
     )
+
+
+@query(
+    "meta_orc_tail_stripe_prune",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 50 + 40 AS BIGINT) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST((n + 31) // 32 AS BIGINT) AS n_stripes,
+           CAST(n AS BIGINT) AS n_rows_scanned,
+           CAST(n * doc_id * 1000 + 7 * n * (n - 1) // 2 AS BIGINT)
+               AS key_sum,
+           TRUE AS tail_only
+    FROM p
+    """,
+    doc="ORC TAIL-ONLY stripe pruning under the hash gate — the "
+    "writer now emits the file-tail METADATA section "
+    "(StripeStatistics per stripe, typed ColumnStatistics), so a "
+    "planner prunes stripes from ONE tail read: no index "
+    "sections, no data bytes.  Per doc, four quartile range scans "
+    "plan their stripe candidate sets from parse_orc_metadata "
+    "(certified minimal: exactly the stripes whose ranges "
+    "intersect), an out-of-range probe plans ZERO stripes, and "
+    "only planned stripes decode — together the quartiles cover "
+    "the table exactly once, hashed against the closed form.  "
+    "This differs from meta_orc_stripe_prune (per-stripe "
+    "ROW_INDEX + bloom point lookups): here the PLANNING input is "
+    "the single footer-adjacent Metadata blob — what a reference "
+    "reader's SearchArgument evaluates FIRST at 100 TB, before "
+    "any stripe is touched.  Scale: O(tail KB) to skip O(file) "
+    "stripes.",
+    bench=True,
+)
+def meta_orc_tail_stripe_prune(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.orc_data \
+            import read_stripe_column
+        from health_monitor_cc_flink_spark.operators.orc_meta \
+            import parse_orc_metadata, parse_orc_tail
+        from health_monitor_cc_flink_spark.operators.orc_write \
+            import write_orc
+
+        SR = 32
+        for pdf in batches:
+            out = {"doc_id": [], "n_stripes": [],
+                   "n_rows_scanned": [], "key_sum": [],
+                   "tail_only": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 50 + 40
+                keys = [d * 1000 + 7 * r for r in range(n)]
+                blob = write_orc([("k", "LONG", keys)],
+                                 stripe_rows=SR)
+                n_stripes = (n + SR - 1) // SR
+                stats = parse_orc_metadata(blob)
+                if len(stats) != n_stripes:
+                    raise ValueError("metadata stripe count wrong")
+                m = parse_orc_tail(blob)
+                ranges = [(s[1]["min"], s[1]["max"])
+                          for s in stats]
+                decoded: dict[int, list] = {}
+
+                def stripe_rows(i):
+                    if i not in decoded:
+                        st = m["stripes"][i]
+                        decoded[i] = read_stripe_column(
+                            blob, st, "LONG", 1,
+                            m["compression"], st["n_rows"])
+                    return decoded[i]
+
+                total = 0
+                ksum = 0
+                for q in range(4):
+                    lo_i = q * n // 4
+                    hi_i = (q + 1) * n // 4 - 1
+                    if hi_i < lo_i:
+                        continue
+                    lo, hi = keys[lo_i], keys[hi_i]
+                    cands = [i for i, (mn, mx) in
+                             enumerate(ranges)
+                             if mn <= hi and mx >= lo]
+                    want = (hi_i // SR) - (lo_i // SR) + 1
+                    if len(cands) != want:
+                        raise ValueError(
+                            f"quartile planned {len(cands)} "
+                            f"stripes, want {want}")
+                    for i in cands:
+                        for v in stripe_rows(i):
+                            if lo <= v <= hi:
+                                total += 1
+                                ksum += v
+                if [i for i, (mn, mx) in enumerate(ranges)
+                        if mn <= keys[-1] + 10
+                        and mx >= keys[-1] + 1]:
+                    raise ValueError("out-of-range not pruned")
+                if total != n:
+                    raise ValueError("quartiles did not cover "
+                                     "the table exactly once")
+                out["doc_id"].append(d)
+                out["n_stripes"].append(n_stripes)
+                out["n_rows_scanned"].append(total)
+                out["key_sum"].append(ksum)
+                out["tail_only"].append(True)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, n_stripes long, n_rows_scanned long, "
+                "key_sum long, tail_only boolean"),
+    )

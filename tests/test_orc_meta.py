@@ -65,3 +65,44 @@ def test_truncated_rejected(orc_paths):
         data = f.read()
     with pytest.raises(ValueError):
         parse_orc_tail(data[:40] + data[-1:])
+
+
+def test_metadata_section_stripe_statistics():
+    """The writer now emits the file-tail Metadata section
+    (StripeStatistics per stripe); parse_orc_metadata reads it with
+    ONE tail read — per-stripe typed min/max agree with the data,
+    and reference readers still read the files (covered for Spark
+    in test_orc_write)."""
+    import io
+
+    from pyarrow import orc as porc
+
+    from health_monitor_cc_flink_spark.operators.orc_meta import (
+        parse_orc_metadata,
+        parse_orc_tail,
+    )
+    from health_monitor_cc_flink_spark.operators.orc_write import (
+        write_orc,
+    )
+
+    n = 1000
+    ks = [i * 7 for i in range(n)]
+    ss = [None if i % 5 == 3 else f"v{i % 40}" for i in range(n)]
+    ds = [(i - 500) / 8 for i in range(n)]
+    blob = write_orc([("k", "LONG", ks), ("s", "STRING", ss),
+                      ("d", "DOUBLE", ds)], stripe_rows=128)
+    assert porc.ORCFile(io.BytesIO(blob)).read()["k"].to_pylist() \
+        == ks
+    m = parse_orc_tail(blob)
+    assert m["metadata_length"] > 0
+    stats = parse_orc_metadata(blob)
+    assert len(stats) == 8
+    for i, cols in enumerate(stats):
+        lo, hi = i * 128, min(n, (i + 1) * 128) - 1
+        assert cols[1]["min"] == ks[lo] and cols[1]["max"] == ks[hi]
+        assert cols[3]["min"] == ds[lo] and cols[3]["max"] == ds[hi]
+        assert cols[2]["has_null"] is True
+        assert cols[0]["n_values"] == hi - lo + 1
+    # NONE codec path too
+    b2 = write_orc([("k", "LONG", ks)], codec="NONE")
+    assert parse_orc_metadata(b2)[0][1]["max"] == ks[-1]
