@@ -51,6 +51,8 @@ MAX_BLOOM_BYTES = 1 << 24
 def _plain_bytes(value, ptype: str) -> bytes:
     if ptype == "INT64":
         return struct.pack("<q", value)
+    if ptype == "INT32":
+        return struct.pack("<i", value)
     if ptype == "DOUBLE":
         # canonicalize signed zero: 0.0 == -0.0 in every predicate,
         # but their plain encodings differ — the writer dedups values

@@ -52,8 +52,8 @@ _CT_STRUCT = 12
 
 #: physical type ids (parquet.thrift Type); STRING = BYTE_ARRAY +
 #: the UTF8 converted-type annotation readers use to give back text
-_TYPES = {"BOOLEAN": 0, "INT64": 2, "DOUBLE": 5, "BYTE_ARRAY": 6,
-          "STRING": 6, "FLOAT": 4}
+_TYPES = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "DOUBLE": 5,
+          "BYTE_ARRAY": 6, "STRING": 6, "FLOAT": 4}
 #: list columns: "LIST_<leaf>" writes the standard 3-level shape
 #: optional group (LIST) { repeated group list { optional element } }
 _LIST_TYPES = {"LIST_FLOAT": "FLOAT", "LIST_INT64": "INT64",
@@ -81,6 +81,9 @@ _DECIMAL_RE = _re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
 def _logical_of(ptype: str) -> dict | None:
     if ptype == "TIMESTAMP_MICROS":
         return {"kind": "timestamp", "converted": 10}
+    if ptype == "DATE":
+        # INT32 days since epoch; ConvertedType DATE + LogicalType
+        return {"kind": "date", "converted": 6}
     m = _DECIMAL_RE.match(ptype)
     if m:
         p, s = int(m.group(1)), int(m.group(2))
@@ -92,8 +95,9 @@ def _logical_of(ptype: str) -> dict | None:
 
 
 def _leaf_of(ptype: str) -> str:
-    if _logical_of(ptype) is not None:
-        return "INT64"
+    logical = _logical_of(ptype)
+    if logical is not None:
+        return "INT32" if logical["kind"] == "date" else "INT64"
     return _LIST_TYPES.get(ptype) or _LISTSTRUCT_TYPES.get(ptype) \
         or ptype
 
@@ -284,6 +288,8 @@ def _stat_bytes(v, ptype: str) -> bytes:
     its physical type (plain little-endian; strings raw utf-8)."""
     if ptype == "INT64":
         return struct.pack("<q", v)
+    if ptype == "INT32":
+        return struct.pack("<i", v)
     if ptype == "DOUBLE":
         return struct.pack("<d", v)
     if ptype == "FLOAT":
@@ -296,6 +302,8 @@ def _stat_bytes(v, ptype: str) -> bytes:
 def _plain(values: list, ptype: str) -> bytes:
     if ptype == "INT64":
         return struct.pack(f"<{len(values)}q", *values)
+    if ptype == "INT32":
+        return struct.pack(f"<{len(values)}i", *values)
     if ptype == "DOUBLE":
         return struct.pack(f"<{len(values)}d", *values)
     if ptype == "BOOLEAN":
@@ -901,6 +909,11 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                 w.begin_struct(5)    # DECIMAL DecimalType
                 w.i32(1, logical["scale"])
                 w.i32(2, logical["precision"])
+                w.end_struct()
+                w.end_struct()
+            elif logical["kind"] == "date":
+                w.begin_struct(10)   # LogicalType
+                w.begin_struct(6)    # DATE (empty struct)
                 w.end_struct()
                 w.end_struct()
             else:  # timestamp, micros, adjusted to UTC

@@ -19601,3 +19601,88 @@ def meta_orc_tail_stripe_prune(spark, sf_dir):
         schema=("doc_id long, n_stripes long, n_rows_scanned long, "
                 "key_sum long, tail_only boolean"),
     )
+
+
+@query(
+    "meta_parquet_write_date_int32",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 40 + 20 AS BIGINT) AS n
+               FROM documents),
+    r AS (SELECT doc_id, n, j.r
+          FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r))
+    SELECT doc_id, TRUE AS typed_ok,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(sum(19000 + doc_id % 365 + r) AS BIGINT)
+               AS day_sum,
+           CAST(sum(CASE WHEN r % 7 = 3 THEN 0
+                    ELSE doc_id * 3 + 11 * r - 400 END) AS BIGINT)
+               AS x_sum,
+           CAST(sum(CASE WHEN r % 7 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS x_nulls
+    FROM r GROUP BY doc_id
+    """,
+    doc="Parquet INT32 physical + DATE logical types on the write "
+    "side under the hash gate — the writer's integer surface now "
+    "covers both widths, and DATE (INT32 days since epoch, "
+    "ConvertedType + LogicalType) types as date32 in pyarrow, "
+    "DATE in DuckDB and DateType in Spark "
+    "(tests/test_parquet_write.py covers all three).  pyarrow "
+    "reads every file in-loop; the day aggregate is computed from "
+    "the TYPED dates it returned (proleptic ordinal back to epoch "
+    "days), so a wrong annotation or a 64/32 width slip breaks "
+    "the hash.  Scale: typed narrow columns halve integer scan "
+    "bytes — the default date/dimension-key width real schemas "
+    "use.",
+    bench=True,
+)
+def meta_parquet_write_date_int32(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import datetime as _dt
+        import io as _io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet as _wp
+
+        epoch = _dt.date(1970, 1, 1).toordinal()
+        for pdf in batches:
+            out = {"doc_id": [], "typed_ok": [], "n_rows": [],
+                   "day_sum": [], "x_sum": [], "x_nulls": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 40 + 20
+                days = [19000 + d % 365 + r for r in range(n)]
+                i32 = [None if r % 7 == 3
+                       else d * 3 + 11 * r - 400
+                       for r in range(n)]
+                blob = _wp([("dt", "DATE", days),
+                            ("x", "INT32", i32)])
+                t = pq.read_table(_io.BytesIO(blob))
+                if str(t.schema.field("dt").type) != "date32[day]" \
+                        or str(t.schema.field("x").type) != "int32":
+                    raise ValueError("types not applied")
+                dv = t["dt"].to_pylist()
+                xv = t["x"].to_pylist()
+                if len(dv) != n:
+                    raise ValueError("row count mismatch")
+                out["doc_id"].append(d)
+                out["typed_ok"].append(True)
+                out["n_rows"].append(n)
+                out["day_sum"].append(
+                    sum(v.toordinal() - epoch for v in dv))
+                out["x_sum"].append(
+                    sum(v for v in xv if v is not None))
+                out["x_nulls"].append(sum(v is None for v in xv))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, typed_ok boolean, n_rows long, "
+                "day_sum long, x_sum long, x_nulls long"),
+    )

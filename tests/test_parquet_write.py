@@ -621,3 +621,34 @@ def test_logical_types_timestamp_decimal(spark, tmp_path):
     assert rows[0].mn == datetime.datetime(2023, 11, 14, 22, 13, 20)
     with pytest.raises(ValueError, match="unsupported decimal"):
         write_parquet([("a", "DECIMAL(22,2)", [1])])
+
+
+def test_int32_and_date_columns(spark, tmp_path):
+    """INT32 physical + DATE logical (INT32 days since epoch):
+    pyarrow types date32, DuckDB reads dates, Spark's vectorized
+    reader agrees; dictionary/page-index/bloom all compose."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    n = 600
+    days = [19000 + i for i in range(n)]
+    i32 = [None if i % 7 == 3 else i * 3 - 900 for i in range(n)]
+    blob = write_parquet(
+        [("d", "DATE", days), ("x", "INT32", i32)],
+        dictionary=True, page_index=True, bloom_filter=True)
+    t = pq.read_table(io.BytesIO(blob))
+    assert str(t.schema.field("d").type) == "date32[day]"
+    assert str(t.schema.field("x").type) == "int32"
+    assert t["d"][0].as_py() == datetime.date(2022, 1, 8)
+    assert t["x"].to_pylist() == i32
+    p = tmp_path / "d32.parquet"
+    p.write_bytes(blob)
+    assert duckdb.sql(
+        f"SELECT min(d), sum(x) FROM read_parquet('{p}')"
+    ).fetchall() == [(datetime.date(2022, 1, 8),
+                      sum(v for v in i32 if v is not None))]
+    rows = spark.read.parquet(str(p)).selectExpr(
+        "min(d) AS mn", "count(x) AS c").collect()
+    assert rows[0].mn == datetime.date(2022, 1, 8)
+    assert rows[0].c == sum(v is not None for v in i32)
