@@ -268,26 +268,63 @@ def main() -> None:
     spark.stop()
 
 
+def _round_queries(here: str, r: int) -> dict[str, float]:
+    """Per-query timings recorded for round r, best source first:
+    BENCH_LOCAL_r{r}.json (full dict; adjudicated outliers already
+    store rerun_sec, not the contaminated first sample), else the
+    driver's BENCH_r{r}.json — its parsed.queries block plus any
+    {"bench_query": ..., "sec": ...} lines recoverable from the
+    2000-char stdout tail (these exist back to r01)."""
+    local = os.path.join(here, f"BENCH_LOCAL_r{r:02d}.json")
+    if os.path.exists(local):
+        try:
+            with open(local) as f:
+                qs = json.load(f).get("queries", {})
+            return {k: float(v) for k, v in qs.items()
+                    if isinstance(v, (int, float))}
+        except (OSError, ValueError):
+            pass
+    driver = os.path.join(here, f"BENCH_r{r:02d}.json")
+    if not os.path.exists(driver):
+        return {}
+    try:
+        with open(driver) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    out: dict[str, float] = {}
+    parsed = raw.get("parsed")
+    if isinstance(parsed, dict):
+        for k, v in (parsed.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                out[k] = float(v)
+    import re
+    for m in re.finditer(
+            r'\{"bench_query":\s*"([^"]+)",\s*"sec":\s*([0-9.eE+-]+)\}',
+            raw.get("tail", "")):
+        try:
+            out[m.group(1)] = float(m.group(2))
+        except ValueError:
+            continue
+    return out
+
+
 def _trailing_medians(rn: int, window: int = 3) -> dict[str, float]:
-    """Per-query median over the last `window` committed BENCH_LOCAL
-    artifacts — the adjudication baseline.  Queries absent from every
-    trailing artifact (new this round) get no median and are exempt."""
+    """Per-query median of each query's `window` most recent samples,
+    walking backward through ALL committed bench artifacts (BENCH_LOCAL
+    preferred per round, driver BENCH_r tails as backfill — VERDICT r14
+    #2: a 2-artifact-deep baseline let a 2.4x drift ship unadjudicated).
+    Queries absent from every prior artifact (new this round) get no
+    median and are exempt."""
     import statistics
 
     here = os.path.dirname(os.path.abspath(__file__))
     samples: dict[str, list[float]] = {}
-    for r in range(max(1, rn - window), rn):
-        path = os.path.join(here, f"BENCH_LOCAL_r{r:02d}.json")
-        if not os.path.exists(path):
-            continue
-        try:
-            with open(path) as f:
-                qs = json.load(f).get("queries", {})
-        except (OSError, ValueError):
-            continue
-        for name, sec in qs.items():
-            if isinstance(sec, (int, float)):
-                samples.setdefault(name, []).append(float(sec))
+    for r in range(rn - 1, 0, -1):
+        for name, sec in _round_queries(here, r).items():
+            bucket = samples.setdefault(name, [])
+            if len(bucket) < window:
+                bucket.append(sec)
     return {name: round(statistics.median(v), 3)
             for name, v in samples.items()}
 
