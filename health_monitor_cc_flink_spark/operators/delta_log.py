@@ -341,10 +341,18 @@ def prune_live_by_stats(live: dict[str, dict], column: str,
         st = live[path].get("stats") or {}
         mn = (st.get("minValues") or {}).get(column)
         mx = (st.get("maxValues") or {}).get(column)
-        if mn is not None and mn > hi:
-            continue
-        if mx is not None and mx < lo:
-            continue
+        try:
+            if mn is not None and mn > hi:
+                continue
+            if mx is not None and mx < lo:
+                continue
+        except TypeError:
+            # stats value and query bound of incomparable types
+            # (string-typed stats vs numeric bounds, or stats
+            # serialized as strings): the documented conservatism —
+            # absence (or unusability) of stats may never prune —
+            # keeps the file (ADVICE r14)
+            pass
         candidates.append(path)
     return {"candidates": candidates, "n_total": len(live),
             "n_skipped": len(live) - len(candidates)}

@@ -147,7 +147,7 @@ MANIFEST_ENTRY_SCHEMA_V2 = json.dumps({
                 # map<field id, serialized bound>) — carried as the
                 # spec's array-of-key/value-record map encoding so
                 # scan PLANNING can prune files without opening them
-                {"name": "lower_bounds",
+                {"name": "lower_bounds", "default": None,
                  "type": ["null", {
                      "type": "array", "items": {
                          "type": "record", "name": "k_v_lower",
@@ -155,7 +155,7 @@ MANIFEST_ENTRY_SCHEMA_V2 = json.dumps({
                              {"name": "key", "type": "int"},
                              {"name": "value", "type": "bytes"},
                          ]}}]},
-                {"name": "upper_bounds",
+                {"name": "upper_bounds", "default": None,
                  "type": ["null", {
                      "type": "array", "items": {
                          "type": "record", "name": "k_v_upper",

@@ -185,7 +185,18 @@ class OrcBloomFilter:
 
     def test_double(self, v: float) -> bool:
         if v == 0.0:
-            v = 0.0
+            # Java's writer hashes doubleToLongBits UNcanonicalized,
+            # so a Java-written file that inserted -0.0 carries only
+            # the sign-bit pattern; this writer canonicalizes on add
+            # (ADVICE r13) and carries only +0.0.  0.0 == -0.0 in
+            # predicates, so the read side must probe BOTH bit
+            # patterns or one writer's files wrongly skip (ADVICE
+            # r14) — a false negative, the one bloom error class
+            # that loses data.
+            return (self.test_long(
+                struct.unpack("<q", struct.pack("<d", 0.0))[0])
+                or self.test_long(
+                    struct.unpack("<q", struct.pack("<d", -0.0))[0]))
         return self.test_long(
             struct.unpack("<q", struct.pack("<d", v))[0])
 

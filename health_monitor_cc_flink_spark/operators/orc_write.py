@@ -205,10 +205,25 @@ def rlev2_encode(values: list[int], *, signed: bool,
                 sign = 1 if d0 > 0 else -1
                 while j + 1 < n and j + 1 - i < 512:
                     d = values[j + 1] - values[j]
-                    if d * sign < 0:
+                    if d * sign < 0 or not (
+                            -(1 << 63) <= d < (1 << 63)):
+                        # sign flip, or a pair whose difference
+                        # overflows signed 64-bit (Java
+                        # isSafeSubtract): end the run here
                         break
                     j += 1
                 mono = j + 1 - i
+                # the header's first delta is a SIGNED zigzag varint
+                # that Java/C++ readers decode into a 64-bit long:
+                # when |delta0| exceeds 2^63-1 (values spanning most
+                # of the int64 range) the varint overflows and
+                # pyarrow silently decodes WRONG values (ADVICE r14)
+                # — bail to DIRECT literals, matching the Java
+                # writer's isSafeSubtract overflow check
+                if mono >= 4 and not (
+                        -(1 << 63) <= values[i + 1] - values[i]
+                        < (1 << 63)):
+                    mono = 0
                 if mono >= 4:
                     flush_literals(i)
                     cnt = mono

@@ -545,7 +545,12 @@ def read_delta_binary_packed(data: bytes, pos: int,
             for d in deltas:
                 if len(out) >= total:
                     break
-                out.append(out[-1] + min_delta + d)
+                # wrapping int64 reconstruction (Encodings.md): the
+                # writer computes deltas and min-delta offsets with
+                # two's-complement wrap-around, so values spanning
+                # more than 2^63 rebuild correctly only modulo 2^64
+                v = (out[-1] + min_delta + d) & ((1 << 64) - 1)
+                out.append(v - (1 << 64) if v >= (1 << 63) else v)
     if n > total:
         raise ValueError("delta-binary-packed short of requested n")
     return out[:n], pos

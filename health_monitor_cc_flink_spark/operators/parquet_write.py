@@ -354,6 +354,15 @@ def _delta_binary_packed_enc(values: list[int]) -> bytes:
     def zz(v: int) -> None:
         uv((v << 1) ^ (v >> 63) if v < 0 else v << 1)
 
+    def wrap64(v: int) -> int:
+        # two's-complement 64-bit wrap-around (Encodings.md: "the
+        # deltas are computed with wrapping arithmetic"; parquet-mr
+        # and arrow both subtract in native int64) — without it,
+        # values spanning more than 2^63 produce miniblock widths
+        # > 64, which pyarrow and DuckDB reject outright (ADVICE r14)
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
     uv(128)
     uv(4)
     uv(len(values))
@@ -361,12 +370,15 @@ def _delta_binary_packed_enc(values: list[int]) -> bytes:
         zz(0)
         return bytes(out)
     zz(values[0])
-    deltas = [b - a for a, b in zip(values, values[1:])]
+    deltas = [wrap64(b - a) for a, b in zip(values, values[1:])]
     for bs in range(0, len(deltas), 128):
         block = deltas[bs:bs + 128]
         mind = min(block)
         zz(mind)
-        offs = [d - mind for d in block]
+        # offsets are the UNSIGNED 64-bit wrap of (delta - min_delta);
+        # decoders rebuild each value as prev + min_delta + offset in
+        # wrapping int64 arithmetic
+        offs = [(d - mind) & ((1 << 64) - 1) for d in block]
         offs += [0] * (128 - len(offs))
         widths = []
         for mb in range(4):

@@ -97,10 +97,15 @@ def _encode(sch, value, buf: io.BytesIO) -> None:
     if isinstance(sch, dict) and sch.get("type") == "record":
         for f in sch["fields"]:
             if f["name"] not in value and isinstance(
-                    f["type"], list) and "null" in f["type"]:
+                    f["type"], list) and "null" in f["type"] \
+                    and "default" in f and f["default"] is None:
                 # Avro default-null semantics: a writer dict may
-                # omit a nullable field (lets shared record schemas
-                # grow without touching every call site)
+                # omit a nullable field ONLY when the schema
+                # declares "default": null (lets shared record
+                # schemas grow without touching every call site).
+                # Gating on the declared default keeps a typo'd
+                # field name a loud KeyError instead of a silent
+                # null (ADVICE r14).
                 _encode(f["type"], None, buf)
                 continue
             _encode(f["type"], value[f["name"]], buf)

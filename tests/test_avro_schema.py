@@ -52,3 +52,34 @@ def test_union_branch_out_of_range_rejected():
     # zigzag(-1) = 1 -> negative branch must not wrap to the end
     with pytest.raises(ValueError):
         _decode(sch, io.BytesIO(bytes([1])))
+
+
+def test_missing_nullable_field_requires_declared_default():
+    """ADVICE r14: omitting a nullable field silently encoded null
+    for ANY absent key — masking typo'd field names.  The fallback
+    is now gated on the schema declaring "default": null."""
+    import io
+    import json
+
+    import pytest
+
+    from health_monitor_cc_flink_spark.sources.avro_codec import (
+        decode_record,
+        encode_record,
+    )
+
+    sch = json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "with_default", "type": ["null", "long"],
+             "default": None},
+            {"name": "no_default", "type": ["null", "long"]},
+        ]})
+    # declared default: omission encodes null
+    blob = encode_record(sch, {"a": 1, "no_default": 7})
+    assert decode_record(sch, blob) == {
+        "a": 1, "with_default": None, "no_default": 7}
+    # no declared default: omission (e.g. a typo) must raise
+    with pytest.raises(KeyError):
+        encode_record(sch, {"a": 1, "with_default": 2,
+                            "no_defalt": 7})

@@ -301,3 +301,26 @@ def test_checkpoint_roundtrips_deletion_vectors():
     t = pq.read_table(io.BytesIO(blob))
     dv_rows = t.column("add").to_pylist()
     assert dv_rows[2]["deletionVector"]["storageType"] == "u"
+
+
+def test_prune_by_stats_keeps_incomparable_types():
+    """ADVICE r14: string-typed stats compared against numeric
+    bounds raised TypeError mid-plan; incomparable types must KEEP
+    the file (the documented 'absence may not prune' conservatism),
+    not crash the planner."""
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        prune_live_by_stats,
+    )
+
+    live = {
+        "a.parquet": {"stats": {"minValues": {"c": "alpha"},
+                                "maxValues": {"c": "zulu"}}},
+        "b.parquet": {"stats": {"minValues": {"c": 50},
+                                "maxValues": {"c": 60}}},
+        "c.parquet": {"stats": {"minValues": {"c": 500},
+                                "maxValues": {"c": 900}}},
+    }
+    got = prune_live_by_stats(live, "c", 0, 100)
+    # numeric stats still prune (c.parquet out); string stats keep
+    assert got["candidates"] == ["a.parquet", "b.parquet"]
+    assert got["n_skipped"] == 1

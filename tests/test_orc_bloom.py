@@ -162,3 +162,34 @@ def test_double_bits_match_java_double_to_long_bits():
         bf = OrcBloomFilter(640, 4)
         bf.add_double(v)
         assert bf.test_long(bits)
+
+
+def test_java_written_negative_zero_not_skipped():
+    """ADVICE r14: Java's writer hashes doubleToLongBits(-0.0)
+    UNcanonicalized; this writer canonicalizes on add.  The read
+    side must probe both bit patterns for zero so neither writer's
+    files produce a false negative (a wrongly-skipped stripe)."""
+    import struct
+
+    from health_monitor_cc_flink_spark.operators.orc_bloom import (
+        OrcBloomFilter,
+    )
+
+    # simulate a Java-written bloom: -0.0 inserted by raw bit
+    # pattern, bypassing the write-side canonicalization
+    java = OrcBloomFilter.sized_for(4, 0.05)
+    java.add_long(struct.unpack("<q", struct.pack("<d", -0.0))[0])
+    assert java.test_double(0.0)
+    assert java.test_double(-0.0)
+
+    # own-written bloom (canonicalized +0.0) keeps matching both
+    own = OrcBloomFilter.sized_for(4, 0.05)
+    own.add_double(-0.0)
+    assert own.test_double(0.0)
+    assert own.test_double(-0.0)
+
+    # a bloom with NEITHER pattern still rejects zero (no blanket
+    # keep — the probe is two hashes, not a bypass)
+    empty = OrcBloomFilter.sized_for(4, 0.05)
+    empty.add_double(1.5)
+    assert not empty.test_double(0.0)

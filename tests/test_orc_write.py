@@ -366,3 +366,36 @@ def test_rlev2_sub_encodings(spark, tmp_path):
     st = m["stripes"][0]
     assert read_stripe_column(
         blob, st, "LONG", 1, m["compression"], 2000) == mono
+
+
+def test_rlev2_delta_first_delta_overflow_bails_to_direct(tmp_path):
+    """ADVICE r14: a DELTA run whose FIRST delta exceeds the signed
+    64-bit range (values spanning [-2^63, 2^63-1]) overflows the
+    header's zigzag varint in Java/C++ readers — pyarrow silently
+    decoded WRONG values.  The writer must detect the unsafe
+    subtraction (Java isSafeSubtract) and fall back to DIRECT."""
+    from health_monitor_cc_flink_spark.operators.orc_data import (
+        decode_rlev2,
+    )
+
+    cases = [
+        # first delta ~2^64: the ADVICE reproducer shape
+        [-(2 ** 63), 2 ** 63 - 3, 2 ** 63 - 2, 2 ** 63 - 1],
+        # overflow mid-run: safe first delta, unsafe later pair
+        [-(2 ** 63), -(2 ** 63) + 5, 2 ** 63 - 2, 2 ** 63 - 1],
+        # descending twin
+        [2 ** 63 - 1, -(2 ** 63) + 2, -(2 ** 63) + 1, -(2 ** 63)],
+        # interleaved extremes (no mono run at all — sanity)
+        [-(2 ** 63), 2 ** 63 - 1, -(2 ** 63) + 1, 2 ** 63 - 2,
+         0, -1, 1],
+    ]
+    for vals in cases:
+        blob = rlev2_encode(vals, signed=True)
+        assert decode_rlev2(blob, signed=True, n=len(vals)) == vals
+        # the cross-engine certificate: pyarrow's C++ ORC reader
+        # must read the SAME values (it previously decoded
+        # [-2^63, -3, -2, -1] from the first case)
+        fblob = write_orc([("x", "LONG", vals)], codec="NONE")
+        p = tmp_path / "of.orc"
+        p.write_bytes(fblob)
+        assert orc.read_table(p)["x"].to_pylist() == vals

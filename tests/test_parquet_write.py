@@ -652,3 +652,41 @@ def test_int32_and_date_columns(spark, tmp_path):
         "min(d) AS mn", "count(x) AS c").collect()
     assert rows[0].mn == datetime.date(2022, 1, 8)
     assert rows[0].c == sum(v is not None for v in i32)
+
+
+def test_delta_binary_packed_wraps_int64_extremes(tmp_path):
+    """ADVICE r14: deltas computed with unbounded Python ints made
+    miniblock widths exceed 64 bits for values spanning more than
+    2^63 — pyarrow ('delta bit width larger than integer bit width')
+    and DuckDB ('width (65) exceeds the supported max') both
+    rejected the file.  The spec requires two's-complement WRAPPING
+    64-bit delta arithmetic; verify the full triangle."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+    )
+
+    vals = [-(2 ** 63), 2 ** 63 - 1, 0, -(2 ** 63) + 5,
+            2 ** 63 - 3, -7, 2 ** 62, -(2 ** 62) - 1]
+    blob = write_parquet(
+        [("k", "INT64", vals)],
+        codec="UNCOMPRESSED",
+        column_encodings={"k": "DELTA_BINARY_PACKED"})
+    p = tmp_path / "wrap.parquet"
+    p.write_bytes(blob)
+    assert pq.read_table(p)["k"].to_pylist() == vals
+    got = duckdb.sql(
+        f"SELECT k FROM read_parquet('{p}')").fetchall()
+    assert [r[0] for r in got] == vals
+    ft = parse_footer(blob)
+    cc = ft["row_groups"][0]["columns"][0]
+    own = read_column_chunk(
+        blob, start_offset=cc["data_page_offset"],
+        num_values=cc["num_values"], ptype="INT64",
+        codec="UNCOMPRESSED")
+    assert own == vals
