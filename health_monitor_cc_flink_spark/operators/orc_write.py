@@ -36,6 +36,13 @@ MAX_CELLS = 1 << 26
 
 _KINDS = {"BOOLEAN": 0, "LONG": 4, "DOUBLE": 6, "STRING": 7,
           "TIMESTAMP": 9, "DECIMAL": 14}
+#: compound type ids (orc_proto Type.Kind); a column's kind spec may
+#: be a scalar name above or a nested tuple —
+#:   ("STRUCT", [(field_name, kind_spec), ...])   rows are dicts
+#:   ("LIST", elem_kind_spec)                     rows are lists
+#:   ("MAP", key_kind_spec, value_kind_spec)      rows are dicts /
+#:                                                [(k, v), ...] pairs
+_COMPOUND = {"LIST": 10, "MAP": 11, "STRUCT": 12}
 _TS_BASE = 1420070400  # 2015-01-01 UTC, the ORC timestamp epoch
 _WIDTH = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
           18, 19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48, 56, 64]
@@ -347,6 +354,108 @@ def _column_stats(kind: str, present: list, n_slots: int) -> bytes:
 _BLOOM_KINDS = ("LONG", "DOUBLE", "STRING")
 
 
+def _kind_of(spec) -> str:
+    return spec if isinstance(spec, str) else spec[0]
+
+
+def _validate_kind(spec) -> None:
+    """Recursive kind-spec validation (hostile input -> ValueError)."""
+    if isinstance(spec, str):
+        if spec not in _KINDS:
+            raise ValueError(f"unsupported kind {spec}")
+        return
+    if not isinstance(spec, tuple) or not spec \
+            or spec[0] not in _COMPOUND:
+        raise ValueError(f"unsupported kind spec {spec!r}")
+    if spec[0] == "STRUCT":
+        if len(spec) != 2 or not spec[1]:
+            raise ValueError("STRUCT spec needs a non-empty field "
+                             "list")
+        for field in spec[1]:
+            if not isinstance(field, tuple) or len(field) != 2:
+                raise ValueError("STRUCT field must be (name, kind)")
+            _validate_kind(field[1])
+    elif spec[0] == "LIST":
+        if len(spec) != 2:
+            raise ValueError("LIST spec needs one element kind")
+        _validate_kind(spec[1])
+    else:  # MAP
+        if len(spec) != 3:
+            raise ValueError("MAP spec needs key and value kinds")
+        _validate_kind(spec[1])
+        _validate_kind(spec[2])
+
+
+def _struct_children(present: list, fname: str) -> list:
+    try:
+        return [row[fname] for row in present]
+    except (KeyError, TypeError, IndexError) as exc:
+        raise ValueError(
+            f"STRUCT row missing field {fname!r} (pass an explicit "
+            "None for nulls)") from exc
+
+
+def _map_pairs(present: list) -> list:
+    pairs = []
+    for row in present:
+        items = row.items() if isinstance(row, dict) else row
+        try:
+            pairs.append([(k, v) for k, v in items])
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                "MAP row must be a dict or (key, value) pairs"
+            ) from exc
+    return pairs
+
+
+def _walk_kinds(spec, vals, fn) -> None:
+    """Pre-order walk over a column's type tree with each node's
+    PRESENT values; ``fn(kind_spec, present)`` fires per node —
+    column-global passes (decimal scales) use this so their node
+    order matches the per-stripe encoder's id assignment."""
+    kind = _kind_of(spec)
+    present = [v for v in vals if v is not None]
+    fn(spec, present)
+    if kind == "STRUCT":
+        for fname, fspec in spec[1]:
+            _walk_kinds(fspec, _struct_children(present, fname), fn)
+    elif kind == "LIST":
+        _walk_kinds(spec[1], [e for v in present for e in v], fn)
+    elif kind == "MAP":
+        pairs = _map_pairs(present)
+        _walk_kinds(spec[1], [k for p in pairs for k, _ in p], fn)
+        _walk_kinds(spec[2], [v for p in pairs for _, v in p], fn)
+
+
+def _flatten_type_tree(columns: list) -> list[dict]:
+    """Pre-order type nodes for the footer: index = column id (root
+    struct = 0), each {kind, subtypes, names} — the same walk order
+    as the stripe encoder, so stream column ids line up."""
+    types: list[dict] = [
+        {"kind": "STRUCT", "subtypes": [], "names": []}]
+
+    def add(spec, parent: int) -> None:
+        nid = len(types)
+        kind = _kind_of(spec)
+        node = {"kind": kind, "subtypes": [], "names": []}
+        types.append(node)
+        types[parent]["subtypes"].append(nid)
+        if kind == "STRUCT":
+            for fname, fspec in spec[1]:
+                node["names"].append(fname)
+                add(fspec, nid)
+        elif kind == "LIST":
+            add(spec[1], nid)
+        elif kind == "MAP":
+            add(spec[1], nid)
+            add(spec[2], nid)
+
+    for name, spec, _ in columns:
+        types[0]["names"].append(name)
+        add(spec, 0)
+    return types
+
+
 def _encode_columns(columns: list[tuple[str, str, list]],
                     lo: int, hi: int, *, dictionary: bool,
                     decimal_scales: dict[int, int]
@@ -354,18 +463,49 @@ def _encode_columns(columns: list[tuple[str, str, list]],
     """Encode rows [lo, hi) of every column -> (streams, encodings,
     col_info) for one stripe.  DECIMAL values rescale to the
     COLUMN-GLOBAL scale in ``decimal_scales`` so the footer type's
-    declared scale holds across stripes."""
+    declared scale holds across stripes.  Compound kinds recurse:
+    STRUCT children take the parent's present rows' field values,
+    LIST/MAP write a LENGTH stream (RLEv2 unsigned) and children take
+    the concatenated elements — the spec's parent-drives-child stream
+    model, the exact inverse of orc_data.read_stripe_column."""
     streams: list[tuple[int, int, bytes]] = []  # (column, kind, raw)
     encodings: list = [0]  # root struct: DIRECT
-    col_info: list[tuple[str, list]] = []  # (kind, present)
-    for ci, (name, kind, allvals) in enumerate(columns, start=1):
-        vals = allvals[lo:hi]
+    col_info: list[tuple[str, list, int]] = []  # (kind, present, n)
+    ci_ref = [1]
+    budget = [MAX_CELLS]
+
+    def encode_node(spec, vals: list) -> None:
+        ci = ci_ref[0]
+        ci_ref[0] += 1
+        budget[0] -= len(vals)
+        if budget[0] < 0:
+            raise ValueError("nested cell cap exceeded")
+        kind = _kind_of(spec)
         flags = [v is not None for v in vals]
         present = [v for v in vals if v is not None]
-        col_info.append((kind, present))
+        col_info.append((kind, present, len(vals)))
         if not all(flags):
             streams.append(
                 (ci, 0, byte_rle_encode(_bits_msb(flags))))
+        if kind == "STRUCT":
+            encodings.append(0)
+            for fname, fspec in spec[1]:
+                encode_node(fspec, _struct_children(present, fname))
+            return
+        if kind == "LIST":
+            streams.append((ci, 2, rlev2_encode(
+                [len(v) for v in present], signed=False)))
+            encodings.append(2)
+            encode_node(spec[1], [e for v in present for e in v])
+            return
+        if kind == "MAP":
+            pairs = _map_pairs(present)
+            streams.append((ci, 2, rlev2_encode(
+                [len(p) for p in pairs], signed=False)))
+            encodings.append(2)
+            encode_node(spec[1], [k for p in pairs for k, _ in p])
+            encode_node(spec[2], [v for p in pairs for _, v in p])
+            return
         if kind == "LONG":
             streams.append(
                 (ci, 1, rlev2_encode(present, signed=True)))
@@ -453,6 +593,9 @@ def _encode_columns(columns: list[tuple[str, str, list]],
                 (ci, 2, rlev2_encode([len(r) for r in raws],
                                      signed=False)))
             encodings.append(2)
+
+    for _, spec, allvals in columns:
+        encode_node(spec, allvals[lo:hi])
     return streams, encodings, col_info
 
 
@@ -465,6 +608,19 @@ def write_orc(columns: list[tuple[str, str, list]], *,
     """[(name, kind, values)] (None = null; kind LONG / DOUBLE /
     STRING / BOOLEAN / TIMESTAMP (epoch-nanos ints) / DECIMAL
     (decimal.Decimal)) -> ORC file bytes.
+
+    COMPOUND kinds nest to any depth (r15; previously flat-scalar
+    only while the own reader walked compound types):
+    ``("STRUCT", [(field, kind), ...])`` over dict rows,
+    ``("LIST", elem_kind)`` over list rows, and
+    ``("MAP", key_kind, value_kind)`` over dict / pair-list rows.
+    Each compound column writes the spec's parent-drives-child
+    stream family — PRESENT at every level, LENGTH (RLEv2) for
+    LIST/MAP — with children as their own pre-order column ids, the
+    exact inverse of orc_data.read_stripe_column's recursive
+    assembly; the reference's 2-deep ``vitals.blood_pressure``
+    event shape round-trips through pyarrow and the own reader
+    (health_simulator.py:61-96 via SURVEY §3).
 
     ``stripe_rows`` splits the file into MULTIPLE stripes (default
     one) — each with its own streams, encodings, index section and
@@ -500,21 +656,29 @@ def write_orc(columns: list[tuple[str, str, list]], *,
         raise ValueError(f"writer codec {codec} unsupported")
     if stripe_rows is not None and stripe_rows < 1:
         raise ValueError("stripe_rows must be positive")
-    for _, kind, _ in columns:
-        if kind not in _KINDS:
-            raise ValueError(f"unsupported kind {kind}")
-    # column-global decimal scales (footer declares ONE scale)
+    for _, spec, _ in columns:
+        _validate_kind(spec)
+    # column-global decimal scales (footer declares ONE scale),
+    # keyed by pre-order column id — the same walk order as the
+    # stripe encoder, so nested decimals resolve too
     decimal_scales: dict[int, int] = {}
     decimal_meta: dict[int, tuple[int, int]] = {}
-    for ci, (_, kind, vals) in enumerate(columns, start=1):
-        if kind != "DECIMAL":
-            continue
-        scale = max((-v.as_tuple().exponent
-                     for v in vals if v is not None), default=0)
+    ci_ref = [1]
+
+    def collect_decimal(spec, present: list) -> None:
+        ci = ci_ref[0]
+        ci_ref[0] += 1
+        if _kind_of(spec) != "DECIMAL":
+            return
+        scale = max((-v.as_tuple().exponent for v in present),
+                    default=0)
         if scale < 0:
             raise ValueError("positive-exponent decimal unsupported")
         decimal_scales[ci] = scale
         decimal_meta[ci] = (18, scale)
+
+    for _, spec, vals in columns:
+        _walk_kinds(spec, vals, collect_decimal)
 
     sr = stripe_rows or max(n_rows, 1)
     bounds = [(s, min(s + sr, n_rows))
@@ -532,9 +696,9 @@ def write_orc(columns: list[tuple[str, str, list]], *,
         # one ColumnStatistics per column (same shapes the row
         # index carries), so a TAIL-ONLY read can prune stripes
         ss = pb_bytes(1, pb_varint(1, stripe_n) + pb_varint(10, 0))
-        for kind, present in col_info:
+        for kind, present, n_slots in col_info:
             ss += pb_bytes(1, _column_stats(kind, present,
-                                            stripe_n))
+                                            n_slots))
         stripe_stats.append(ss)
         stream_meta = []
         index_length = 0
@@ -552,11 +716,13 @@ def write_orc(columns: list[tuple[str, str, list]], *,
             root_entry = pb_bytes(2, pb_varint(1, stripe_n)
                                   + pb_varint(10, 0))
             index_streams.append((0, 6, pb_bytes(1, root_entry)))
-            for ci, (kind, present) in enumerate(col_info, start=1):
+            for ci, (kind, present, n_slots) in enumerate(
+                    col_info, start=1):
                 entry = pb_bytes(
-                    2, _column_stats(kind, present, stripe_n))
+                    2, _column_stats(kind, present, n_slots))
                 index_streams.append((ci, 6, pb_bytes(1, entry)))
-            for ci, (kind, present) in enumerate(col_info, start=1):
+            for ci, (kind, present, _ns) in enumerate(
+                    col_info, start=1):
                 if kind not in _BLOOM_KINDS or not present:
                     continue
                 bf = OrcBloomFilter.sized_for(len(set(present)),
@@ -616,15 +782,16 @@ def write_orc(columns: list[tuple[str, str, list]], *,
     footer += pb_varint(2, content_length)
     for si in stripe_infos:
         footer += pb_bytes(3, si)
-    # types: root struct + children
-    root = pb_varint(1, 12)
-    packed = b"".join(_uvarint(i) for i in range(1, len(columns) + 1))
-    root += pb_bytes(2, packed)
-    for name, _, _ in columns:
-        root += pb_bytes(3, name.encode("utf-8"))
-    footer += pb_bytes(4, root)
-    for ci, (_, kind, _) in enumerate(columns, start=1):
-        t = pb_varint(1, _KINDS[kind])
+    # types: the pre-order tree (root struct = id 0; STRUCT children
+    # get subtypes + fieldNames, LIST one subtype, MAP two)
+    for ci, node in enumerate(_flatten_type_tree(columns)):
+        kind = node["kind"]
+        t = pb_varint(1, _COMPOUND.get(kind, _KINDS.get(kind, 12)))
+        if node["subtypes"]:
+            t += pb_bytes(2, b"".join(_uvarint(i)
+                                      for i in node["subtypes"]))
+        for fname in node["names"]:
+            t += pb_bytes(3, fname.encode("utf-8"))
         if kind == "DECIMAL":
             prec, scale = decimal_meta.get(ci, (18, 0))
             t += pb_varint(5, prec) + pb_varint(6, scale)

@@ -19686,3 +19686,175 @@ def meta_parquet_write_date_int32(spark, sf_dir):
         schema=("doc_id long, typed_ok boolean, n_rows long, "
                 "day_sum long, x_sum long, x_nulls long"),
     )
+
+
+@query(
+    "meta_orc_write_nested_roundtrip",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 30 + 8 AS BIGINT) AS n
+               FROM documents),
+    rws AS (SELECT doc_id, n, j.r
+            FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r)),
+    base AS (
+        SELECT doc_id,
+               CAST(any_value(n) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN r % 13 = 7 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS vit_nulls,
+               CAST(sum(CASE WHEN r % 13 <> 7 AND r % 11 <> 3
+                        THEN 55 + (doc_id + r) % 45 ELSE 0 END)
+                    AS BIGINT) AS hr_sum,
+               CAST(sum(CASE WHEN r % 13 <> 7 AND r % 17 <> 5
+                        THEN 100 + (doc_id + 2 * r) % 40 ELSE 0 END)
+                    AS BIGINT) AS sys_sum,
+               CAST(sum(CASE WHEN r % 13 <> 7 AND r % 17 <> 5
+                        THEN 280 + r % 25 ELSE 0 END)
+                    AS BIGINT) AS dia_sum4
+        FROM rws GROUP BY doc_id),
+    tg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS tag_count,
+               CAST(count(DISTINCT 't' || ((doc_id + k.j) % 12))
+                    AS BIGINT) AS tag_distinct
+        FROM rws, LATERAL unnest(generate_series(0, (r % 4) - 1))
+                  AS k(j)
+        WHERE r % 9 <> 4 GROUP BY doc_id),
+    mp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS map_entries,
+               CAST(sum(doc_id * k.j + r) AS BIGINT) AS map_val_sum
+        FROM rws, LATERAL unnest(generate_series(0, (r % 3) - 1))
+                  AS k(j)
+        WHERE r % 8 <> 6 GROUP BY doc_id)
+    SELECT b.doc_id, TRUE AS ok, b.n_rows, b.vit_nulls, b.hr_sum,
+           b.sys_sum, b.dia_sum4,
+           CAST(coalesce(t.tag_count, 0) AS BIGINT) AS tag_count,
+           CAST(coalesce(t.tag_distinct, 0) AS BIGINT)
+               AS tag_distinct,
+           CAST(coalesce(m.map_entries, 0) AS BIGINT) AS map_entries,
+           CAST(coalesce(m.map_val_sum, 0) AS BIGINT) AS map_val_sum
+    FROM base b
+    LEFT JOIN tg t USING (doc_id)
+    LEFT JOIN mp m USING (doc_id)
+    """,
+    doc="ORC writer COMPOUND types under the hash gate (VERDICT r14 "
+    "#3 — the writer was flat-scalar-only while the own reader "
+    "walked compound types): per document the reference's 2-deep "
+    "vitals.blood_pressure event shape (STRUCT with nullable inner "
+    "STRUCT, health_simulator.py:61-96 via SURVEY §3), a LIST "
+    "column, and a MAP column are written by operators/orc_write — "
+    "STRUCT/LIST/MAP type-tree kinds, PRESENT streams at every "
+    "nesting level, LENGTH streams for list/map — then read back "
+    "by pyarrow's C++ ORC reader AND the own recursive stripe "
+    "assembler; the gated aggregates are computed from the "
+    "READ-BACK values and `ok` certifies the two readers agree "
+    "slot-for-slot.  A stale PRESENT bit, a misaligned LENGTH "
+    "stream, or a child-id drift in the pre-order type tree all "
+    "break the hash.  Scale: per-task file emission, zero shuffle.",
+    bench=True,
+)
+def meta_orc_write_nested_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import os
+        import tempfile
+
+        import pandas as pd
+        from pyarrow import orc as _orc
+
+        from health_monitor_cc_flink_spark.operators.orc_data import (
+            read_stripe_column,
+        )
+        from health_monitor_cc_flink_spark.operators.orc_meta import (
+            parse_orc_tail,
+        )
+        from health_monitor_cc_flink_spark.operators.orc_write import (
+            write_orc,
+        )
+
+        cols = ("n_rows", "vit_nulls", "hr_sum", "sys_sum",
+                "dia_sum4", "tag_count", "tag_distinct",
+                "map_entries", "map_val_sum")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 30 + 8
+                vitals = [
+                    None if r % 13 == 7 else {
+                        "heart_rate": (None if r % 11 == 3
+                                       else 55 + (d + r) % 45),
+                        "blood_pressure": None if r % 17 == 5 else {
+                            "systolic": 100 + (d + 2 * r) % 40,
+                            "diastolic": (280 + r % 25) / 4,
+                        },
+                    } for r in range(n)]
+                tags = [None if r % 9 == 4 else
+                        [f"t{(d + j) % 12}" for j in range(r % 4)]
+                        for r in range(n)]
+                attrs = [None if r % 8 == 6 else
+                         {f"k{j}": d * j + r for j in range(r % 3)}
+                         for r in range(n)]
+                blob = write_orc([
+                    ("vitals", ("STRUCT", [
+                        ("heart_rate", "LONG"),
+                        ("blood_pressure", ("STRUCT", [
+                            ("systolic", "LONG"),
+                            ("diastolic", "DOUBLE")])),
+                    ]), vitals),
+                    ("tags", ("LIST", "STRING"), tags),
+                    ("attrs", ("MAP", "STRING", "LONG"), attrs),
+                ])
+                fd, path = tempfile.mkstemp(suffix=".orc")
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(blob)
+                    t = _orc.read_table(path)
+                finally:
+                    os.unlink(path)
+                vit = t["vitals"].to_pylist()
+                tgs = t["tags"].to_pylist()
+                mps = [None if m is None else dict(m)
+                       for m in t["attrs"].to_pylist()]
+                # own recursive assembler must agree slot-for-slot
+                tail = parse_orc_tail(blob)
+                stripe = tail["stripes"][0]
+                ids = tail["types"][0]["subtypes"]
+                own = [read_stripe_column(
+                    blob, stripe, tail["types"][i]["kind"], i,
+                    tail["compression"], stripe["n_rows"],
+                    tail["types"]) for i in ids]
+                ok = (t.num_rows == n and own[0] == vit
+                      and own[1] == tgs and own[2] == mps)
+                hr = [v["heart_rate"] for v in vit if v is not None]
+                bp = [v["blood_pressure"] for v in vit
+                      if v is not None]
+                all_tags = [x for v in tgs if v is not None
+                            for x in v]
+                all_vals = [x for m in mps if m is not None
+                            for x in m.values()]
+                out["doc_id"].append(d)
+                out["ok"].append(bool(ok))
+                out["n_rows"].append(t.num_rows)
+                out["vit_nulls"].append(
+                    sum(v is None for v in vit))
+                out["hr_sum"].append(
+                    sum(v for v in hr if v is not None))
+                out["sys_sum"].append(
+                    sum(b["systolic"] for b in bp if b is not None))
+                out["dia_sum4"].append(
+                    round(sum(b["diastolic"] * 4 for b in bp
+                              if b is not None)))
+                out["tag_count"].append(len(all_tags))
+                out["tag_distinct"].append(len(set(all_tags)))
+                out["map_entries"].append(len(all_vals))
+                out["map_val_sum"].append(sum(all_vals))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_rows long, "
+                "vit_nulls long, hr_sum long, sys_sum long, "
+                "dia_sum4 long, tag_count long, tag_distinct long, "
+                "map_entries long, map_val_sum long"),
+    )
