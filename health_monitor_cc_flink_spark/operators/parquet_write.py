@@ -67,6 +67,18 @@ _LISTSTRUCT_TYPES = {"LISTSTRUCT_FLOAT": "FLOAT",
                      "LISTSTRUCT_INT64": "INT64",
                      "LISTSTRUCT_DOUBLE": "DOUBLE",
                      "LISTSTRUCT_STRING": "STRING"}
+#: map columns: "MAP_<K>_<V>" writes the standard 3-level shape
+#: optional group (MAP) { repeated group key_value {
+#: required key; optional value } } — rows are dicts or (k, v) pair
+#: lists (None = null map, {} = empty map); keys must be non-null.
+#: Internally the column expands into two leaf chunks sharing one
+#: repetition structure ("MAPKEY_<K>" / "MAPVALUE_<V>").
+_MAP_KEY_KINDS = ("STRING", "INT64")
+_MAP_VALUE_KINDS = ("INT64", "DOUBLE", "STRING", "FLOAT")
+_MAP_TYPES = {f"MAP_{k}_{v}": (k, v)
+              for k in _MAP_KEY_KINDS for v in _MAP_VALUE_KINDS}
+_MAPKEY_TYPES = {f"MAPKEY_{k}": k for k in _MAP_KEY_KINDS}
+_MAPVALUE_TYPES = {f"MAPVALUE_{v}": v for v in _MAP_VALUE_KINDS}
 
 
 import re as _re
@@ -99,6 +111,7 @@ def _leaf_of(ptype: str) -> str:
     if logical is not None:
         return "INT32" if logical["kind"] == "date" else "INT64"
     return _LIST_TYPES.get(ptype) or _LISTSTRUCT_TYPES.get(ptype) \
+        or _MAPKEY_TYPES.get(ptype) or _MAPVALUE_TYPES.get(ptype) \
         or ptype
 
 
@@ -555,6 +568,25 @@ def _schema_trie(columns: list[tuple[str, str, list]]) -> dict:
                 "kind": "list", "ptype": _LIST_TYPES[ptype]}
             prev_path = ()
             continue
+        if ptype in _MAPKEY_TYPES or ptype in _MAPVALUE_TYPES:
+            top = name.split(".", 1)[0]
+            node = root["children"].get(top)
+            if ptype in _MAPKEY_TYPES:
+                if node is not None:
+                    raise ValueError(f"duplicate column {top}")
+                root["children"][top] = {
+                    "kind": "map", "ktype": _MAPKEY_TYPES[ptype],
+                    "vtype": None}
+                prev_path = (top, "#map")
+            else:
+                if node is None or node.get("kind") != "map" \
+                        or node.get("vtype") is not None \
+                        or prev_path != (top, "#map"):
+                    raise ValueError(
+                        "MAP key/value chunks must be contiguous")
+                node["vtype"] = _MAPVALUE_TYPES[ptype]
+                prev_path = ()
+            continue
         if ptype in _LISTSTRUCT_TYPES:
             top, field = name.split(".", 1)
             node = root["children"].get(top)
@@ -641,6 +673,37 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         raise ValueError("no columns")
     if page_rows < 1:
         raise ValueError("page_rows must be positive")
+    # MAP columns expand into two leaf chunks sharing one repetition
+    # structure (required key, optional value) before anything else
+    # sees them — dict rows iterate in insertion order, so the file
+    # is deterministic for a fixed input
+    if any(t in _MAP_TYPES for _, t, _ in columns):
+        expanded = []
+        for name, ptype, vals in columns:
+            if ptype not in _MAP_TYPES:
+                expanded.append((name, ptype, vals))
+                continue
+            kt, vt = _MAP_TYPES[ptype]
+            keys: list = []
+            vlists: list = []
+            for row in vals:
+                if row is None:
+                    keys.append(None)
+                    vlists.append(None)
+                    continue
+                pairs = (list(row.items()) if isinstance(row, dict)
+                         else list(row))
+                try:
+                    keys.append([k for k, _ in pairs])
+                    vlists.append([v for _, v in pairs])
+                except (TypeError, ValueError) as exc:
+                    raise ValueError(
+                        "MAP row must be a dict or (key, value) "
+                        "pairs") from exc
+            expanded.append((name + ".key", "MAPKEY_" + kt, keys))
+            expanded.append((name + ".value", "MAPVALUE_" + vt,
+                             vlists))
+        columns = expanded
     n_rows = len(columns[0][2])
     if any(len(vals) != n_rows for _, _, vals in columns):
         raise ValueError("ragged columns")
@@ -673,6 +736,8 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
     for name, ptype, _ in columns:
         if ptype not in _TYPES and ptype not in _LIST_TYPES \
                 and ptype not in _LISTSTRUCT_TYPES \
+                and ptype not in _MAPKEY_TYPES \
+                and ptype not in _MAPVALUE_TYPES \
                 and _logical_of(ptype) is None:
             raise ValueError(f"unsupported type {ptype}")
         if ptype in _LISTSTRUCT_TYPES and name.count(".") != 1:
@@ -689,12 +754,21 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
       for name, ptype, allvals in columns:
         vals = allvals[ga:gb]
         gn = gb - ga
-        is_list = ptype in _LIST_TYPES or ptype in _LISTSTRUCT_TYPES
+        is_map_key = ptype in _MAPKEY_TYPES
+        is_map_value = ptype in _MAPVALUE_TYPES
+        is_list = ptype in _LIST_TYPES or ptype in _LISTSTRUCT_TYPES \
+            or is_map_key or is_map_value
         leaf_type = _leaf_of(ptype)
         # nested struct paths at arbitrary depth: every dotted
         # segment is an optional group (+1 def level each), the leaf
-        # is optional too; lists keep the fixed 3-level ladder
-        max_def = 3 if is_list else name.count(".") + 1
+        # is optional too; lists keep the fixed 3-level ladder; map
+        # keys are REQUIRED inside the repeated group (max def 2)
+        if is_map_key:
+            max_def = 2
+        elif is_list:
+            max_def = 3
+        else:
+            max_def = name.count(".") + 1
         offset = len(out)
         un_total = c_total = 0
         total_slots = 0
@@ -740,9 +814,13 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                         for k, el in enumerate(row):
                             reps.append(0 if k == 0 else 1)
                             if el is None:
+                                if is_map_key:
+                                    raise ValueError(
+                                        "map keys are required; "
+                                        "got a null key")
                                 levels.append(2)
                             else:
-                                levels.append(3)
+                                levels.append(max_def)
                                 present.append(el)
                 rep_blob = _rle_def_levels(reps)
                 lv_blob = _rle_def_levels(levels)
@@ -888,6 +966,8 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                            for ch in node["children"].values())
         if node["kind"] == "list":
             return 3  # group + repeated list + element leaf
+        if node["kind"] == "map":
+            return 4  # group + repeated key_value + key + value
         # liststruct: group + repeated list + element group + fields
         return 3 + len(node["children"])
 
@@ -942,13 +1022,21 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
 
     def group_element(name: str, n_children: int,
                       repetition: int = 1,
-                      converted: int | None = None) -> None:
+                      converted: int | None = None,
+                      logical: int | None = None) -> None:
         w.begin_struct()
         w.i32(3, repetition)
         w.binary(4, name.encode("utf-8"))
         w.i32(5, n_children)
         if converted is not None:
             w.i32(6, converted)
+        if logical is not None:
+            # LogicalType union: MAP = field 2, LIST = field 3
+            # (empty structs)
+            w.begin_struct(10)
+            w.begin_struct(logical)
+            w.end_struct()
+            w.end_struct()
         w.end_struct()
 
     def emit(name: str, node: dict) -> None:
@@ -962,6 +1050,16 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             group_element(name, 1, converted=3)       # LIST
             group_element("list", 1, repetition=2)    # REPEATED
             leaf_element("element", node["ptype"])
+        elif node["kind"] == "map":
+            if node["vtype"] is None:
+                raise ValueError("MAP column missing value chunk")
+            # ConvertedType MAP = 1 (NOT 2 = MAP_KEY_VALUE, which
+            # readers require to carry two children) + the modern
+            # LogicalType MapType
+            group_element(name, 1, converted=1, logical=2)
+            group_element("key_value", 2, repetition=2)
+            leaf_element("key", node["ktype"], repetition=0)
+            leaf_element("value", node["vtype"])
         else:  # liststruct
             group_element(name, 1, converted=3)
             group_element("list", 1, repetition=2)
@@ -998,6 +1096,11 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         w.field(3, _CT_LIST)      # path_in_schema
         if c["ptype"] in _LIST_TYPES:
             parts = [c["name"], "list", "element"]
+        elif c["ptype"] in _MAPKEY_TYPES:
+            parts = [c["name"].split(".", 1)[0], "key_value", "key"]
+        elif c["ptype"] in _MAPVALUE_TYPES:
+            parts = [c["name"].split(".", 1)[0], "key_value",
+                     "value"]
         elif c["ptype"] in _LISTSTRUCT_TYPES:
             top, field = c["name"].split(".", 1)
             parts = [top, "list", "element", field]

@@ -19858,3 +19858,152 @@ def meta_orc_write_nested_roundtrip(spark, sf_dir):
                 "dia_sum4 long, tag_count long, tag_distinct long, "
                 "map_entries long, map_val_sum long"),
     )
+
+
+@query(
+    "meta_parquet_write_map_roundtrip",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 24 + 6 AS BIGINT) AS n
+               FROM documents),
+    rws AS (SELECT doc_id, n, j.r
+            FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r)),
+    ent AS (
+        SELECT doc_id, r, k.j,
+               CASE WHEN k.j % 3 = 1 AND r % 5 = 0 THEN NULL
+                    ELSE doc_id * 7 + r * 3 + k.j END AS v
+        FROM rws, LATERAL unnest(generate_series(0, (r % 4) - 1))
+                  AS k(j)
+        WHERE r % 8 <> 6),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_entries,
+               CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_values,
+               CAST(coalesce(sum(v), 0) AS BIGINT) AS val_sum,
+               CAST(count(DISTINCT 'k' || j) AS BIGINT)
+                   AS key_distinct
+        FROM ent GROUP BY doc_id),
+    nulls AS (
+        SELECT doc_id,
+               CAST(any_value(n) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN r % 8 = 6 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_maps
+        FROM rws GROUP BY doc_id)
+    SELECT nl.doc_id, TRUE AS ok, nl.n_rows, nl.null_maps,
+           CAST(coalesce(a.n_entries, 0) AS BIGINT) AS n_entries,
+           CAST(coalesce(a.null_values, 0) AS BIGINT) AS null_values,
+           CAST(coalesce(a.val_sum, 0) AS BIGINT) AS val_sum,
+           CAST(coalesce(a.key_distinct, 0) AS BIGINT)
+               AS key_distinct
+    FROM nulls nl LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Parquet MAP logical type under the hash gate (VERDICT r14 "
+    "#5 — the one remaining logical shape the own reader's Dremel "
+    "assembler could take but the writer could not emit): per "
+    "document a string->long map column with null maps, empty maps "
+    "and null values is written by operators/parquet_write as the "
+    "spec's 3-level shape — optional group (MAP, ConvertedType 1 + "
+    "LogicalType MapType) { repeated key_value { required key; "
+    "optional value } }, two leaf chunks sharing one repetition "
+    "structure — then read back by pyarrow AND DuckDB AND the own "
+    "read_column_chunk Dremel assembly; gated aggregates come from "
+    "the READ-BACK values and `ok` certifies all three readers "
+    "agree entry-for-entry.  Scale: per-task file emission, zero "
+    "shuffle.",
+    bench=True,
+)
+def meta_parquet_write_map_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import os
+        import tempfile
+
+        import duckdb as _dd
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from health_monitor_cc_flink_spark.operators.parquet_data \
+            import read_column_chunk
+        from health_monitor_cc_flink_spark.operators.parquet_meta \
+            import parse_footer
+        from health_monitor_cc_flink_spark.operators.parquet_write \
+            import write_parquet
+
+        cols = ("n_rows", "null_maps", "n_entries", "null_values",
+                "val_sum", "key_distinct")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 24 + 6
+                maps = [
+                    None if r % 8 == 6 else {
+                        f"k{j}": (None if j % 3 == 1 and r % 5 == 0
+                                  else d * 7 + r * 3 + j)
+                        for j in range(r % 4)}
+                    for r in range(n)]
+                blob = write_parquet(
+                    [("rid", "INT64", list(range(n))),
+                     ("attrs", "MAP_STRING_INT64", maps)])
+                fd, path = tempfile.mkstemp(suffix=".parquet")
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(blob)
+                    t = _pq.read_table(path)
+                    dd_rows = _dd.sql(
+                        f"SELECT attrs FROM read_parquet('{path}') "
+                        "ORDER BY rid").fetchall()
+                finally:
+                    os.unlink(path)
+                pa_maps = [None if m is None else dict(m)
+                           for m in t["attrs"].to_pylist()]
+                dd_maps = [
+                    None if a is None else
+                    (dict(zip(a["key"], a["value"]))
+                     if isinstance(a, dict) else dict(a))
+                    for (a,) in dd_rows]
+                ft = parse_footer(blob)
+                got = {}
+                for lv, cc in zip(ft["schema_leaves"],
+                                  ft["row_groups"][0]["columns"]):
+                    if lv["path"] == "rid":
+                        continue
+                    got[lv["path"]] = read_column_chunk(
+                        blob, start_offset=cc["data_page_offset"],
+                        num_values=cc["num_values"],
+                        ptype=lv["type"], codec="SNAPPY",
+                        max_def_level=lv["max_def_level"],
+                        max_rep_level=lv["max_rep_level"],
+                        rep_def_levels=lv["rep_def_levels"])
+                own = [None if k is None else
+                       dict(zip([x.decode() for x in k], v))
+                       for k, v in zip(
+                           got["attrs.key_value.key"],
+                           got["attrs.key_value.value"])]
+                ok = (pa_maps == maps and dd_maps == maps
+                      and own == maps)
+                live = [m for m in pa_maps if m is not None]
+                ents = [(k, v) for m in live for k, v in m.items()]
+                out["doc_id"].append(d)
+                out["ok"].append(bool(ok))
+                out["n_rows"].append(t.num_rows)
+                out["null_maps"].append(
+                    sum(m is None for m in pa_maps))
+                out["n_entries"].append(len(ents))
+                out["null_values"].append(
+                    sum(v is None for _, v in ents))
+                out["val_sum"].append(
+                    sum(v for _, v in ents if v is not None))
+                out["key_distinct"].append(
+                    len({k for k, _ in ents}))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_rows long, "
+                "null_maps long, n_entries long, null_values long, "
+                "val_sum long, key_distinct long"),
+    )

@@ -690,3 +690,79 @@ def test_delta_binary_packed_wraps_int64_extremes(tmp_path):
         num_values=cc["num_values"], ptype="INT64",
         codec="UNCOMPRESSED")
     assert own == vals
+
+
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "UNCOMPRESSED"])
+def test_map_logical_type_roundtrip(codec, tmp_path):
+    """VERDICT r14 #5: MAP logical type — optional group (MAP) {
+    repeated key_value { required key; optional value } } — the one
+    remaining logical shape the own Dremel assembler could take but
+    the writer could not emit.  pyarrow + DuckDB + own reader
+    triangle, null maps / empty maps / null values, both key kinds."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_column_chunk,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        parse_footer,
+    )
+
+    n = 300
+    maps = [None if i % 8 == 6 else
+            {f"k{j}": (None if j == 1 and i % 5 == 0 else i * 10 + j)
+             for j in range(i % 4)} for i in range(n)]
+    imaps = [None if i % 7 == 3 else
+             [(i + j, f"s{j}") for j in range(i % 3)]
+             for i in range(n)]
+    blob = write_parquet([
+        ("id", "INT64", list(range(n))),
+        ("attrs", "MAP_STRING_INT64", maps),
+        ("names", "MAP_INT64_STRING", imaps),
+    ], page_rows=77, codec=codec)
+    p = tmp_path / "m.parquet"
+    p.write_bytes(blob)
+    t = pq.read_table(p)
+    assert [None if m is None else dict(m)
+            for m in t["attrs"].to_pylist()] == maps
+    assert [None if m is None else list(m)
+            for m in t["names"].to_pylist()] == imaps
+    for i, (a, nm) in enumerate(duckdb.sql(
+            f"SELECT attrs, names FROM read_parquet('{p}') "
+            "ORDER BY id").fetchall()):
+        da = (None if a is None else
+              dict(zip(a["key"], a["value"])) if isinstance(a, dict)
+              else dict(a))
+        assert da == maps[i]
+        dn = (None if nm is None else
+              list(zip(nm["key"], nm["value"]))
+              if isinstance(nm, dict) else list(nm))
+        assert dn == imaps[i]
+    # own reader closes the triangle
+    ft = parse_footer(blob)
+    got = {}
+    for lv, cc in zip(ft["schema_leaves"],
+                      ft["row_groups"][0]["columns"]):
+        if lv["path"] == "id":
+            continue
+        got[lv["path"]] = read_column_chunk(
+            blob, start_offset=cc["data_page_offset"],
+            num_values=cc["num_values"], ptype=lv["type"],
+            codec=codec, max_def_level=lv["max_def_level"],
+            max_rep_level=lv["max_rep_level"],
+            rep_def_levels=lv["rep_def_levels"])
+    own = [None if k is None else
+           dict(zip([x.decode() for x in k], v))
+           for k, v in zip(got["attrs.key_value.key"],
+                           got["attrs.key_value.value"])]
+    assert own == maps
+
+
+def test_map_hostile_inputs():
+    with pytest.raises(ValueError):  # null key
+        write_parquet([("m", "MAP_STRING_INT64", [{None: 1}])])
+    with pytest.raises(ValueError):  # non-pair rows
+        write_parquet([("m", "MAP_STRING_INT64", [[1, 2, 3]])])
+    with pytest.raises(ValueError):  # unknown map type combo
+        write_parquet([("m", "MAP_DOUBLE_INT64", [{}])])
