@@ -118,3 +118,100 @@ def reconstruct_table(files: dict[str, bytes]) -> dict:
         "n_pending": n_pending,
         "live": live,
     }
+
+
+def reconstruct_mor_table(files: dict[str, bytes]) -> dict:
+    """MERGE-ON-READ state reconstruction: like
+    ``reconstruct_table`` but each file group resolves to its BASE
+    file plus the ORDERED chain of log files appended by
+    deltacommits after the base instant.
+
+    Walking completed instants ascending: a ``commit`` /
+    ``replacecommit`` write stat whose path is a base file
+    (``.parquet``) replaces the group's base AND folds away log
+    files at or before that instant — exactly what a compaction
+    commit does; a ``deltacommit`` stat whose path is a log file
+    (``<fileId>_<base>.log.<v>_<token>``) appends to the group's
+    chain; ``partitionToReplaceFileIds`` still drops whole groups;
+    pending instants stay invisible.  Returns {latest_instant,
+    n_completed, n_pending, live: {(partition, file_id): {base_path,
+    base_instant, log_paths: [...], n_log_files}}}."""
+    instants = []
+    for name, blob in files.items():
+        info = parse_instant_filename(name)
+        if info is None:
+            continue
+        info["blob"] = blob
+        instants.append(info)
+    if len(instants) > MAX_INSTANTS:
+        raise ValueError("hudi instant cap exceeded")
+    completed = sorted(
+        (i for i in instants if i["state"] == COMPLETED
+         and i["action"] in ("commit", "deltacommit",
+                             "replacecommit")),
+        key=lambda i: i["time"])
+    if not completed:
+        raise ValueError("hudi timeline has no completed commits")
+    times = [i["time"] for i in completed]
+    if len(set(times)) != len(times):
+        raise ValueError("duplicate hudi instant times")
+    n_pending = sum(1 for i in instants if i["state"] != COMPLETED)
+    live: dict[tuple, dict] = {}
+    for inst in completed:
+        try:
+            doc = json.loads(inst["blob"].decode("utf-8"))
+        except ValueError as exc:
+            raise ValueError("hudi commit json malformed") from exc
+        if not isinstance(doc, dict):
+            raise ValueError("hudi commit json malformed")
+        for part, fids in (doc.get("partitionToReplaceFileIds")
+                           or {}).items():
+            for fid in fids:
+                live.pop((part, fid), None)
+        for part, stats in (doc.get("partitionToWriteStats")
+                            or {}).items():
+            for st in stats:
+                fid = st.get("fileId")
+                path = st.get("path") or ""
+                if not fid:
+                    raise ValueError("write stat missing fileId")
+                g = live.setdefault((part, fid), {
+                    "base_path": None, "base_instant": None,
+                    "log_paths": []})
+                if path.endswith(".parquet"):
+                    if inst["action"] == "deltacommit":
+                        raise ValueError(
+                            "deltacommit may not write base files")
+                    g["base_path"] = path
+                    g["base_instant"] = inst["time"]
+                    # compaction folds the chain up to this instant
+                    g["log_paths"] = [
+                        (t, p) for t, p in g["log_paths"]
+                        if t > inst["time"]]
+                else:
+                    from .hudi_log import parse_log_file_name
+
+                    if parse_log_file_name(path) is None:
+                        raise ValueError(
+                            f"write stat path {path!r} is neither "
+                            "base nor log file")
+                    if inst["action"] != "deltacommit":
+                        raise ValueError(
+                            "log appends must ride deltacommits")
+                    g["log_paths"].append((inst["time"], path))
+    out_live = {}
+    for key, g in live.items():
+        if g["base_path"] is None and not g["log_paths"]:
+            continue
+        out_live[key] = {
+            "base_path": g["base_path"],
+            "base_instant": g["base_instant"],
+            "log_paths": [p for _, p in sorted(g["log_paths"])],
+            "n_log_files": len(g["log_paths"]),
+        }
+    return {
+        "latest_instant": completed[-1]["time"],
+        "n_completed": len(completed),
+        "n_pending": n_pending,
+        "live": out_live,
+    }

@@ -7442,3 +7442,188 @@ def syslog_extract(df: DataFrame, payload_col: str = "log",
                 "app string, procid string, sd_url string, "
                 "sd_depth string, msg string"),
     )
+
+
+#: Avro schema for Hudi MOR log records (hudi_log data blocks)
+_HUDI_MOR_SCHEMA = (
+    '{"type": "record", "name": "rec", "fields": ['
+    '{"name": "key", "type": "long"}, '
+    '{"name": "val", "type": "long"}, '
+    '{"name": "ts", "type": "long"}, '
+    '{"name": "_hoodie_is_deleted", "type": "boolean"}]}')
+
+
+def synth_hudi_mor_payload(df: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``meta`` column: a ustar tar of a FULL Hudi
+    merge-on-read table — ``.hoodie/`` timeline plus the file groups'
+    bytes.  Two file groups g0/g1 in one partition, n = doc_id %% 8 +
+    4 keys each: a base-commit parquet (own writer; key k -> val
+    10k+g, ts 0), a first deltacommit log (HoodieLogFormat blocks:
+    updates k%%3==0 -> 1000+k+g ts 1, inserts n..n+2 -> 7k+g ts 1), a
+    second deltacommit log (updates k%%4==1 -> 2000+k+g ts 2, deletes
+    k%%5==2 via _hoodie_is_deleted ts 3), one dangling INFLIGHT
+    deltacommit and a clean instant readers must ignore."""
+    from .hudi import base_file_name, build_commit
+    from .hudi_log import log_file_name, write_avro_data_block
+    from .parquet_write import write_parquet
+    from .tar import build_tar
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    base_t = 20260101000000000
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        part = "2026/01"
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 8 + 4
+                t = [str(base_t + i) for i in range(1, 6)]
+                members = [(".hoodie/", b"")]
+                base_stats = []
+                dc1_stats = []
+                dc2_stats = []
+                for g in (0, 1):
+                    fid = f"g{g}"
+                    bname = f"{part}/{base_file_name(fid, t[0])}"
+                    blob = write_parquet([
+                        ("key", "INT64", list(range(n))),
+                        ("val", "INT64",
+                         [10 * k + g for k in range(n)]),
+                        ("ts", "INT64", [0] * n),
+                    ])
+                    members.append((bname, blob))
+                    base_stats.append({
+                        "fileId": fid, "path": bname,
+                        "numWrites": n,
+                        "totalWriteBytes": len(blob)})
+                    l1 = f"{part}/{log_file_name(fid, t[0], 1)}"
+                    recs1 = [{"key": k, "val": 1000 + k + g,
+                              "ts": 1, "_hoodie_is_deleted": False}
+                             for k in range(n) if k % 3 == 0]
+                    recs1 += [{"key": k, "val": 7 * k + g, "ts": 1,
+                               "_hoodie_is_deleted": False}
+                              for k in range(n, n + 3)]
+                    lb1 = write_avro_data_block(
+                        _HUDI_MOR_SCHEMA, recs1, t[1])
+                    members.append((l1, lb1))
+                    dc1_stats.append({
+                        "fileId": fid, "path": l1,
+                        "numWrites": len(recs1),
+                        "totalWriteBytes": len(lb1)})
+                    l2 = f"{part}/{log_file_name(fid, t[0], 2)}"
+                    recs2 = [{"key": k, "val": 2000 + k + g,
+                              "ts": 2, "_hoodie_is_deleted": False}
+                             for k in range(n) if k % 4 == 1]
+                    recs2 += [{"key": k, "val": 0, "ts": 3,
+                               "_hoodie_is_deleted": True}
+                              for k in range(n) if k % 5 == 2]
+                    lb2 = write_avro_data_block(
+                        _HUDI_MOR_SCHEMA, recs2, t[2])
+                    members.append((l2, lb2))
+                    dc2_stats.append({
+                        "fileId": fid, "path": l2,
+                        "numWrites": len(recs2),
+                        "totalWriteBytes": len(lb2)})
+                members.append(
+                    (f".hoodie/{t[0]}.commit",
+                     build_commit({part: base_stats})))
+                members.append(
+                    (f".hoodie/{t[1]}.deltacommit",
+                     build_commit({part: dc1_stats})))
+                members.append(
+                    (f".hoodie/{t[2]}.deltacommit",
+                     build_commit({part: dc2_stats})))
+                members.append(
+                    (f".hoodie/{t[3]}.deltacommit.inflight", b""))
+                members.append(
+                    (f".hoodie/{t[4]}.clean",
+                     b'{"policy":"KEEP_LATEST_COMMITS"}'))
+                payloads.append(build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "meta": payloads})
+
+    return src.mapInPandas(gen, schema="doc_id long, meta binary")
+
+
+def hudi_mor_scan_extract(df: DataFrame, payload_col: str = "meta",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Untar a MOR table and run the FULL snapshot read: MOR
+    timeline reconstruction (base + ordered log chain per file
+    group), base parquet through the own page reader, HoodieLogFormat
+    block parse, and the precombine log-merge — aggregated per file
+    group.  ``ok`` additionally certifies the timeline saw the
+    expected chain (1 base + 2 logs, 1 pending instant)."""
+    from .hudi import reconstruct_mor_table
+    from .hudi_log import merge_log_records, read_log_file
+    from .iceberg import read_flat_parquet
+    from .tar import parse_tar
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("grp", "n_live", "sum_val", "sum_key", "n_deleted",
+                "n_log_files")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    members = parse_tar(bytes(p))
+                    files = {m["name"]: m["data"] for m in members
+                             if m["typeflag"] != "5"}
+                    state = reconstruct_mor_table(files)
+                except Exception:
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                for (part, fid) in sorted(state["live"]):
+                    g = state["live"][(part, fid)]
+                    try:
+                        base_cols = read_flat_parquet(
+                            files[g["base_path"]])
+                        base_rows = [
+                            {"key": k, "val": v, "ts": ts}
+                            for k, v, ts in zip(base_cols["key"],
+                                                base_cols["val"],
+                                                base_cols["ts"])]
+                        blocks = []
+                        for lp in g["log_paths"]:
+                            blocks.extend(read_log_file(files[lp]))
+                        merged = merge_log_records(
+                            base_rows, blocks, "key", "ts")
+                        seen = set(base_cols["key"]) | {
+                            r["key"] for b in blocks
+                            for r in b.get("records") or []}
+                        ok = (g["n_log_files"] == 2
+                              and state["n_pending"] == 1)
+                    except Exception:
+                        out["doc_id"].append(doc_id)
+                        out["ok"].append(False)
+                        for c in cols:
+                            out[c].append(None)
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(bool(ok))
+                    out["grp"].append(int(fid[1:]))
+                    out["n_live"].append(len(merged))
+                    out["sum_val"].append(
+                        sum(r["val"] for r in merged))
+                    out["sum_key"].append(
+                        sum(r["key"] for r in merged))
+                    out["n_deleted"].append(len(seen) - len(merged))
+                    out["n_log_files"].append(g["n_log_files"])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, grp long, n_live long, "
+                "sum_val long, sum_key long, n_deleted long, "
+                "n_log_files long"),
+    )
