@@ -212,23 +212,42 @@ def test_embedding_pca_matches_numpy(spark, specs):
 
     from health_monitor_cc_flink_spark.sources.testdata import load_table
 
+    from pyspark.sql import functions as F
+
+    from health_monitor_cc_flink_spark.operators.decomposition import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    vals, comp, mean, n, total_var = pca_fit(emb, "embedding", 64, 4)
+    proj = pca_project(emb, "embedding", "vec_id", comp, mean)
+    stats = proj.agg(
+        *[F.avg(F.col(f"pc{i+1}") * F.col(f"pc{i+1}")).alias(f"var{i+1}")
+          for i in range(4)]
+    ).collect()[0]
+    m = np.stack(
+        [np.array(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    cov = np.cov(m, rowvar=False, bias=True)
+    ref = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    ref_total = float(np.trace(cov))
+    assert n == m.shape[0]
+    for i, expected in enumerate(ref):
+        assert abs(float(vals[i]) - expected) < 1e-9
+        assert abs(float(stats[f"var{i+1}"]) - float(vals[i])) < 1e-9
+        assert abs(float(vals[i]) / total_var
+                   - expected / ref_total) < 1e-9
+    # the promoted certificate gate (r15) must be all-green too
     rows = sorted(
         specs["embedding_pca_topk_variance"].fn(spark, SF).collect(),
         key=lambda r: r.component,
     )
-    m = np.stack(
-        [np.array(r.embedding, dtype=np.float64) for r in load_table(spark, SF, "embeddings").collect()]
-    )
-    cov = np.cov(m, rowvar=False, bias=True)
-    ref = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
-    assert len(rows) == 4
-    total_var = float(np.trace(cov))
-    for r, expected in zip(rows, ref):
-        assert abs(r.eigenvalue - expected) < 1e-9
-        assert abs(r.projected_variance - r.eigenvalue) < 1e-9
-        # the documented ratio: eigenvalue over trace(cov), NOT the top-4 sum
-        assert abs(r.explained_variance_ratio - expected / total_var) < 1e-9
+    assert [r.component for r in rows] == [1, 2, 3, 4]
+    for r in rows:
         assert r.n == m.shape[0]
+        assert r.var_matches_eigenvalue and r.eigs_descending
+        assert r.evr_in_unit and r.variance_sum_conserved
 
 
 def test_text_compression_ratio_semantics(spark, specs):
@@ -240,13 +259,27 @@ def test_text_compression_ratio_semantics(spark, specs):
     from health_monitor_cc_flink_spark.operators.text import compression_ratio
     from health_monitor_cc_flink_spark.sources.testdata import load_table
 
-    got = {r.doc_id: r for r in specs["text_compression_ratio"].fn(spark, SF).collect()}
+    got = {
+        r.doc_id: r
+        for r in compression_ratio(
+            load_table(spark, SF, "documents"), "doc_id", "text"
+        ).collect()
+    }
     docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
     assert set(got) == set(docs)
     for doc_id, text in docs.items():
         raw = text.encode("utf-8")
         assert got[doc_id].raw_bytes == len(raw)
         assert got[doc_id].compressed_bytes == len(zlib.compress(raw, 6))
+    # the promoted certificate gate (r15) must be all-green too
+    cert = {r.doc_id: r for r in
+            specs["text_compression_ratio"].fn(spark, SF).collect()}
+    assert set(cert) == set(docs)
+    for doc_id, text in docs.items():
+        c = cert[doc_id]
+        assert c.raw_bytes == len(text.encode("utf-8"))
+        assert c.ratio_positive and c.overhead_bounded
+        assert c.redundancy_improves
 
     # partition invariance
     re8 = {
