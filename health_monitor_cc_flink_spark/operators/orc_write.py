@@ -34,8 +34,15 @@ from .snappy import snappy_compress_block
 
 MAX_CELLS = 1 << 26
 
-_KINDS = {"BOOLEAN": 0, "LONG": 4, "DOUBLE": 6, "STRING": 7,
-          "TIMESTAMP": 9, "DECIMAL": 14}
+_KINDS = {"BOOLEAN": 0, "BYTE": 1, "SHORT": 2, "INT": 3,
+          "LONG": 4, "FLOAT": 5, "DOUBLE": 6, "STRING": 7,
+          "BINARY": 8, "TIMESTAMP": 9, "DECIMAL": 14, "DATE": 15}
+#: declared-width bounds for the sized integer kinds (a value outside
+#: makes the footer type a lie and overflows readers' narrow vectors)
+_INT_BOUNDS = {"BYTE": (-(1 << 7), (1 << 7) - 1),
+               "SHORT": (-(1 << 15), (1 << 15) - 1),
+               "INT": (-(1 << 31), (1 << 31) - 1),
+               "DATE": (-(1 << 31), (1 << 31) - 1)}
 #: compound type ids (orc_proto Type.Kind); a column's kind spec may
 #: be a scalar name above or a nested tuple —
 #:   ("STRUCT", [(field_name, kind_spec), ...])   rows are dicts
@@ -329,11 +336,11 @@ def _column_stats(kind: str, present: list, n_slots: int) -> bytes:
     hasNull (field 10), plus the typed sub-message for the kinds
     that have a natural one."""
     out = pb_varint(1, len(present))
-    if kind == "LONG" and present:
+    if kind in ("LONG", "INT", "SHORT", "BYTE") and present:
         sub = (pb_sint64(1, min(present)) + pb_sint64(2, max(present))
                + pb_sint64(3, sum(present)))
         out += pb_bytes(2, sub)  # IntegerStatistics
-    elif kind == "DOUBLE" and present:
+    elif kind in ("DOUBLE", "FLOAT") and present:
         sub = (pb_fixed64(1, min(present)) + pb_fixed64(2, max(present))
                + pb_fixed64(3, sum(present)))
         out += pb_bytes(3, sub)  # DoubleStatistics
@@ -506,10 +513,35 @@ def _encode_columns(columns: list[tuple[str, str, list]],
             encode_node(spec[1], [k for p in pairs for k, _ in p])
             encode_node(spec[2], [v for p in pairs for _, v in p])
             return
-        if kind == "LONG":
+        if kind in ("LONG", "INT", "SHORT", "DATE"):
+            if kind in _INT_BOUNDS:
+                lo_b, hi_b = _INT_BOUNDS[kind]
+                if any(not lo_b <= v <= hi_b for v in present):
+                    raise ValueError(
+                        f"{kind} value outside declared width")
             streams.append(
                 (ci, 1, rlev2_encode(present, signed=True)))
             encodings.append(2)  # DIRECT_V2
+        elif kind == "BYTE":
+            lo_b, hi_b = _INT_BOUNDS["BYTE"]
+            if any(not lo_b <= v <= hi_b for v in present):
+                raise ValueError("BYTE value outside declared width")
+            # tinyint rides byte-RLE (NOT RLEv2), two's complement
+            streams.append(
+                (ci, 1, byte_rle_encode(
+                    bytes((v + 256) % 256 for v in present))))
+            encodings.append(0)
+        elif kind == "FLOAT":
+            streams.append(
+                (ci, 1, struct.pack(f"<{len(present)}f", *present)))
+            encodings.append(0)  # DIRECT
+        elif kind == "BINARY":
+            raws = [bytes(v) for v in present]
+            streams.append((ci, 1, b"".join(raws)))
+            streams.append(
+                (ci, 2, rlev2_encode([len(r) for r in raws],
+                                     signed=False)))
+            encodings.append(2)
         elif kind == "DOUBLE":
             streams.append(
                 (ci, 1, struct.pack(f"<{len(present)}d", *present)))

@@ -20499,3 +20499,146 @@ def streaming_hudi_sink_mor_roundtrip(spark, sf_dir):
         F.col("bucket").isin(0, 1).alias("compacted"),
     ).select("bucket", "ok", "n_live", "sum_val", "n_deleted",
              "compacted"))
+
+
+@query(
+    "meta_orc_write_typed_roundtrip",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 25 + 10 AS BIGINT) AS n
+               FROM documents),
+    rws AS (SELECT doc_id, n, j.r
+            FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r))
+    SELECT doc_id, TRUE AS ok,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN r % 9 <> 4
+                    THEN 19000 + (doc_id + 3 * r) % 400
+                    ELSE 0 END) AS BIGINT) AS day_sum,
+           CAST(sum(CASE WHEN r % 7 <> 2 THEN r % 64 ELSE 0 END)
+                AS BIGINT) AS fl_sum8,
+           CAST(sum(CASE WHEN r % 11 <> 3 THEN r % 5 ELSE 0 END)
+                AS BIGINT) AS bin_bytes,
+           CAST(sum(CASE WHEN r % 11 <> 3
+                    THEN ((doc_id + r) % 256) * (r % 5)
+                    ELSE 0 END) AS BIGINT) AS bin_sum,
+           CAST(sum((doc_id + 13 * r) % 1000 - 500) AS BIGINT)
+               AS iv_sum,
+           CAST(sum((3 * r) % 200 - 100) AS BIGINT) AS sv_sum,
+           CAST(sum(CASE WHEN r % 13 <> 6 THEN (r % 256) - 128
+                    ELSE 0 END) AS BIGINT) AS bv_sum
+    FROM rws GROUP BY doc_id
+    """,
+    doc="ORC writer TYPED SCALAR kinds under the hash gate — DATE "
+    "(days RLEv2 + type 15), FLOAT (4-byte IEEE), BINARY "
+    "(DATA+LENGTH, no utf-8), INT/SHORT (RLEv2 with declared-width "
+    "validation) and BYTE (byte-RLE two's complement, NOT RLEv2 — "
+    "the spec's tinyint odd-one-out) — closing the scalar parity "
+    "gap with the own reader, which decoded all six already.  Per "
+    "document a six-column file with nulls is written, read back by "
+    "pyarrow's C++ ORC reader AND the own stripe reader "
+    "(slot-for-slot compare in `ok`), and the gated aggregates are "
+    "computed from the READ-BACK values; FLOAT values sit on the "
+    "1/8 grid so sums are IEEE-exact in both engines.  Scale: "
+    "per-task file emission, zero shuffle.",
+    bench=True,
+)
+def meta_orc_write_typed_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import datetime
+        import os
+        import tempfile
+
+        import pandas as pd
+        from pyarrow import orc as _orc
+
+        from health_monitor_cc_flink_spark.operators.orc_data import (
+            read_stripe_column,
+        )
+        from health_monitor_cc_flink_spark.operators.orc_meta import (
+            parse_orc_tail,
+        )
+        from health_monitor_cc_flink_spark.operators.orc_write import (
+            write_orc,
+        )
+
+        epoch = datetime.date(1970, 1, 1).toordinal()
+        cols = ("n_rows", "day_sum", "fl_sum8", "bin_bytes",
+                "bin_sum", "iv_sum", "sv_sum", "bv_sum")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 25 + 10
+                spec = [
+                    ("dt", "DATE",
+                     [None if r % 9 == 4
+                      else 19000 + (d + 3 * r) % 400
+                      for r in range(n)]),
+                    ("fl", "FLOAT",
+                     [None if r % 7 == 2 else (r % 64) / 8
+                      for r in range(n)]),
+                    ("bn", "BINARY",
+                     [None if r % 11 == 3
+                      else bytes([(d + r) % 256] * (r % 5))
+                      for r in range(n)]),
+                    ("iv", "INT",
+                     [(d + 13 * r) % 1000 - 500 for r in range(n)]),
+                    ("sv", "SHORT",
+                     [(3 * r) % 200 - 100 for r in range(n)]),
+                    ("bv", "BYTE",
+                     [None if r % 13 == 6 else (r % 256) - 128
+                      for r in range(n)]),
+                ]
+                blob = write_orc(spec)
+                fd, path = tempfile.mkstemp(suffix=".orc")
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(blob)
+                    t = _orc.read_table(path)
+                finally:
+                    os.unlink(path)
+                dts = [None if v is None else v.toordinal() - epoch
+                       for v in t["dt"].to_pylist()]
+                fls = t["fl"].to_pylist()
+                bns = t["bn"].to_pylist()
+                ivs = t["iv"].to_pylist()
+                svs = t["sv"].to_pylist()
+                bvs = t["bv"].to_pylist()
+                tail = parse_orc_tail(blob)
+                stripe = tail["stripes"][0]
+                ids = tail["types"][0]["subtypes"]
+                own = [read_stripe_column(
+                    blob, stripe, k, cid, tail["compression"],
+                    stripe["n_rows"], tail["types"])
+                    for cid, (_, k, _) in zip(ids, spec)]
+                ok = (t.num_rows == n and own[0] == dts
+                      and own[1] == fls and own[2] == bns
+                      and own[3] == ivs and own[4] == svs
+                      and own[5] == bvs)
+                out["doc_id"].append(d)
+                out["ok"].append(bool(ok))
+                out["n_rows"].append(t.num_rows)
+                out["day_sum"].append(
+                    sum(v for v in dts if v is not None))
+                out["fl_sum8"].append(
+                    round(sum(v * 8 for v in fls if v is not None)))
+                out["bin_bytes"].append(
+                    sum(len(v) for v in bns if v is not None))
+                out["bin_sum"].append(
+                    sum(sum(v) for v in bns if v is not None))
+                out["iv_sum"].append(sum(ivs))
+                out["sv_sum"].append(sum(svs))
+                out["bv_sum"].append(
+                    sum(v for v in bvs if v is not None))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_rows long, "
+                "day_sum long, fl_sum8 long, bin_bytes long, "
+                "bin_sum long, iv_sum long, sv_sum long, "
+                "bv_sum long"),
+    )

@@ -510,3 +510,100 @@ def test_nested_hostile_inputs():
         write_orc([("x", ("STRUCT", [("a", "LONG")]), [{"b": 1}])])
     with pytest.raises(ValueError):  # unknown nested scalar
         write_orc([("x", ("LIST", "INT128"), [[1]])])
+
+
+TYPED_N = 500
+TYPED_COLS = [
+    ("dt", "DATE",
+     [None if i % 9 == 4 else 19000 + (3 * i) % 400
+      for i in range(TYPED_N)]),
+    ("fl", "FLOAT",
+     [None if i % 7 == 2 else (i % 64) / 8 for i in range(TYPED_N)]),
+    ("bn", "BINARY",
+     [None if i % 11 == 3 else bytes([i % 256] * (i % 5))
+      for i in range(TYPED_N)]),
+    ("iv", "INT", [(i * 13) % 1000 - 500 for i in range(TYPED_N)]),
+    ("sv", "SHORT", [(3 * i) % 200 - 100 for i in range(TYPED_N)]),
+    ("bv", "BYTE",
+     [None if i % 13 == 6 else (i % 256) - 128
+      for i in range(TYPED_N)]),
+]
+
+
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "NONE"])
+def test_typed_scalar_kinds_arrow_roundtrip(codec, tmp_path):
+    """DATE / FLOAT / BINARY / INT / SHORT / BYTE write paths — the
+    remaining scalar kinds the own reader already decoded; pyarrow
+    reads every slot back exact (BYTE rides byte-RLE per the spec,
+    the sized ints RLEv2, FLOAT 4-byte IEEE)."""
+    import datetime
+
+    blob = write_orc(TYPED_COLS, codec=codec)
+    p = tmp_path / "t.orc"
+    p.write_bytes(blob)
+    t = orc.read_table(p)
+    epoch = datetime.date(1970, 1, 1).toordinal()
+    got_dt = [None if v is None else v.toordinal() - epoch
+              for v in t["dt"].to_pylist()]
+    assert got_dt == TYPED_COLS[0][2]
+    for name, _, vals in TYPED_COLS[1:]:
+        assert t[name].to_pylist() == vals, name
+
+
+def test_typed_scalar_kinds_spark_java_reader(spark, tmp_path):
+    blob = write_orc(TYPED_COLS)
+    d = tmp_path / "orcdir"
+    d.mkdir()
+    (d / "part-0.orc").write_bytes(blob)
+    import datetime
+
+    rows = (spark.read.orc(str(d))
+            .select("dt", "fl", "bn", "iv", "sv", "bv").collect())
+    assert len(rows) == TYPED_N
+    epoch = datetime.date(1970, 1, 1).toordinal()
+    for i, r in enumerate(rows):
+        assert (None if r[0] is None
+                else r[0].toordinal() - epoch) == TYPED_COLS[0][2][i]
+        assert r[1] == TYPED_COLS[1][2][i]
+        got_b = None if r[2] is None else bytes(r[2])
+        assert got_b == TYPED_COLS[2][2][i]
+        assert (r[3], r[4], r[5]) == (TYPED_COLS[3][2][i],
+                                      TYPED_COLS[4][2][i],
+                                      TYPED_COLS[5][2][i])
+
+
+def test_typed_scalar_kinds_own_reader():
+    from health_monitor_cc_flink_spark.operators.orc_data import (
+        read_stripe_column,
+    )
+    from health_monitor_cc_flink_spark.operators.orc_meta import (
+        parse_orc_tail,
+    )
+
+    blob = write_orc(TYPED_COLS, stripe_rows=200)
+    tail = parse_orc_tail(blob)
+    ids = tail["types"][0]["subtypes"]
+    lo = 0
+    for stripe in tail["stripes"]:
+        sn = stripe["n_rows"]
+        for cid, (name, kind, vals) in zip(ids, TYPED_COLS):
+            got = read_stripe_column(
+                blob, stripe, kind, cid, tail["compression"], sn,
+                tail["types"])
+            if kind == "FLOAT":
+                import struct as _s
+
+                want = [None if v is None else _s.unpack(
+                    "<f", _s.pack("<f", v))[0]
+                    for v in vals[lo:lo + sn]]
+                assert got == want, name
+            else:
+                assert got == vals[lo:lo + sn], (name, lo)
+        lo += sn
+
+
+def test_typed_width_bounds_rejected():
+    for kind, bad in (("BYTE", 128), ("SHORT", 1 << 15),
+                      ("INT", 1 << 31), ("DATE", 1 << 31)):
+        with pytest.raises(ValueError):
+            write_orc([("x", kind, [0, bad])])
