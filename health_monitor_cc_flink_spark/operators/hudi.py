@@ -64,6 +64,33 @@ def build_commit(partition_stats: dict[str, list[dict]],
                       separators=(",", ":")).encode("utf-8")
 
 
+
+
+def _rolled_back_targets(instants: list[dict]) -> set[str]:
+    """Completed ``rollback`` instants name the commits they undid
+    (HoodieRollbackMetadata's ``commitsRollback`` list; the
+    instantsRollback [{action, commitTime}] form is accepted too).
+    Readers must skip the targeted instants even when their files
+    still exist on the timeline."""
+    targets: set[str] = set()
+    for inst in instants:
+        if inst["action"] != "rollback" \
+                or inst["state"] != COMPLETED:
+            continue
+        try:
+            doc = json.loads(inst["blob"].decode("utf-8"))
+        except ValueError as exc:
+            raise ValueError("hudi rollback json malformed") from exc
+        if not isinstance(doc, dict):
+            raise ValueError("hudi rollback json malformed")
+        for t in doc.get("commitsRollback") or []:
+            targets.add(str(t))
+        for e in doc.get("instantsRollback") or []:
+            if isinstance(e, dict) and e.get("commitTime"):
+                targets.add(str(e["commitTime"]))
+    return targets
+
+
 def reconstruct_table(files: dict[str, bytes]) -> dict:
     """{member name: bytes} of a ``.hoodie/`` dir -> copy-on-write
     state at the latest completed instant: {latest_instant,
@@ -78,10 +105,12 @@ def reconstruct_table(files: dict[str, bytes]) -> dict:
         instants.append(info)
     if len(instants) > MAX_INSTANTS:
         raise ValueError("hudi instant cap exceeded")
+    rolled_back = _rolled_back_targets(instants)
     completed = sorted(
         (i for i in instants if i["state"] == COMPLETED
          and i["action"] in ("commit", "deltacommit",
-                             "replacecommit")),
+                             "replacecommit")
+         and i["time"] not in rolled_back),
         key=lambda i: i["time"])
     if not completed:
         raise ValueError("hudi timeline has no completed commits")
@@ -145,10 +174,12 @@ def reconstruct_mor_table(files: dict[str, bytes]) -> dict:
         instants.append(info)
     if len(instants) > MAX_INSTANTS:
         raise ValueError("hudi instant cap exceeded")
+    rolled_back = _rolled_back_targets(instants)
     completed = sorted(
         (i for i in instants if i["state"] == COMPLETED
          and i["action"] in ("commit", "deltacommit",
-                             "replacecommit")),
+                             "replacecommit")
+         and i["time"] not in rolled_back),
         key=lambda i: i["time"])
     if not completed:
         raise ValueError("hudi timeline has no completed commits")

@@ -7454,7 +7454,8 @@ _HUDI_MOR_SCHEMA = (
 
 
 def synth_hudi_mor_payload(df: DataFrame,
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           with_rollback: bool = False) -> DataFrame:
     """Attach a ``meta`` column: a ustar tar of a FULL Hudi
     merge-on-read table — ``.hoodie/`` timeline plus the file groups'
     bytes.  Two file groups g0/g1 in one partition, n = doc_id %% 8 +
@@ -7463,7 +7464,14 @@ def synth_hudi_mor_payload(df: DataFrame,
     updates k%%3==0 -> 1000+k+g ts 1, inserts n..n+2 -> 7k+g ts 1), a
     second deltacommit log (updates k%%4==1 -> 2000+k+g ts 2, deletes
     k%%5==2 via _hoodie_is_deleted ts 3), one dangling INFLIGHT
-    deltacommit and a clean instant readers must ignore."""
+    deltacommit and a clean instant readers must ignore.
+
+    ``with_rollback`` additionally plants a POISON third deltacommit
+    (val 999999 at ts 9 for every key) followed by a completed
+    rollback instant targeting it — the poison log file STAYS in the
+    tar, so any reader that ignores rollbacks (or attaches log files
+    by directory listing instead of the timeline) surfaces 999999
+    and breaks the hash."""
     from .hudi import base_file_name, build_commit
     from .hudi_log import log_file_name, write_avro_data_block
     from .parquet_write import write_parquet
@@ -7537,11 +7545,37 @@ def synth_hudi_mor_payload(df: DataFrame,
                 members.append(
                     (f".hoodie/{t[2]}.deltacommit",
                      build_commit({part: dc2_stats})))
-                members.append(
-                    (f".hoodie/{t[3]}.deltacommit.inflight", b""))
-                members.append(
-                    (f".hoodie/{t[4]}.clean",
-                     b'{"policy":"KEEP_LATEST_COMMITS"}'))
+                if with_rollback:
+                    import json as _json
+
+                    poison_stats = []
+                    for g in (0, 1):
+                        fid = f"g{g}"
+                        lp = f"{part}/{log_file_name(fid, t[0], 3)}"
+                        precs = [{"key": k, "val": 999999, "ts": 9,
+                                  "_hoodie_is_deleted": False}
+                                 for k in range(n + 3)]
+                        pb = write_avro_data_block(
+                            _HUDI_MOR_SCHEMA, precs, t[3])
+                        members.append((lp, pb))
+                        poison_stats.append({
+                            "fileId": fid, "path": lp,
+                            "numWrites": len(precs),
+                            "totalWriteBytes": len(pb)})
+                    members.append(
+                        (f".hoodie/{t[3]}.deltacommit",
+                         build_commit({part: poison_stats})))
+                    members.append(
+                        (f".hoodie/{t[4]}.rollback",
+                         _json.dumps({"commitsRollback": [t[3]]})
+                         .encode()))
+                else:
+                    members.append(
+                        (f".hoodie/{t[3]}.deltacommit.inflight",
+                         b""))
+                    members.append(
+                        (f".hoodie/{t[4]}.clean",
+                         b'{"policy":"KEEP_LATEST_COMMITS"}'))
                 payloads.append(build_tar(members))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "meta": payloads})
@@ -7550,7 +7584,8 @@ def synth_hudi_mor_payload(df: DataFrame,
 
 
 def hudi_mor_scan_extract(df: DataFrame, payload_col: str = "meta",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          expect_pending: int = 1) -> DataFrame:
     """Untar a MOR table and run the FULL snapshot read: MOR
     timeline reconstruction (base + ordered log chain per file
     group), base parquet through the own page reader, HoodieLogFormat
@@ -7602,7 +7637,8 @@ def hudi_mor_scan_extract(df: DataFrame, payload_col: str = "meta",
                             r["key"] for b in blocks
                             for r in b.get("records") or []}
                         ok = (g["n_log_files"] == 2
-                              and state["n_pending"] == 1)
+                              and state["n_pending"]
+                              == expect_pending)
                     except Exception:
                         out["doc_id"].append(doc_id)
                         out["ok"].append(False)

@@ -20642,3 +20642,53 @@ def meta_orc_write_typed_roundtrip(spark, sf_dir):
                 "bin_sum long, iv_sum long, sv_sum long, "
                 "bv_sum long"),
     )
+
+
+@query(
+    "lake_hudi_mor_rollback_scan",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS n
+               FROM documents),
+    ks AS (SELECT doc_id, n, g.g, k.k
+           FROM p, LATERAL unnest([0, 1]) AS g(g),
+                LATERAL unnest(generate_series(0, n + 2)) AS k(k)),
+    st AS (SELECT doc_id, n, g, k,
+                  CASE WHEN k >= n THEN 7 * k + g
+                       WHEN k % 4 = 1 THEN 2000 + k + g
+                       WHEN k % 3 = 0 THEN 1000 + k + g
+                       ELSE 10 * k + g END AS val,
+                  (k < n AND k % 5 = 2) AS dead
+           FROM ks)
+    SELECT doc_id, TRUE AS ok, CAST(g AS BIGINT) AS grp,
+           CAST(count(*) FILTER (WHERE NOT dead) AS BIGINT)
+               AS n_live,
+           CAST(sum(val) FILTER (WHERE NOT dead) AS BIGINT)
+               AS sum_val,
+           CAST(sum(k) FILTER (WHERE NOT dead) AS BIGINT)
+               AS sum_key,
+           CAST(count(*) FILTER (WHERE dead) AS BIGINT)
+               AS n_deleted,
+           CAST(2 AS BIGINT) AS n_log_files
+    FROM st GROUP BY doc_id, g
+    """,
+    doc="Hudi ROLLBACK semantics under the hash gate: the MOR table "
+    "of lake_hudi_mor_scan plus a POISON third deltacommit (val "
+    "999999 at precombine ts 9 for EVERY key — it would win every "
+    "merge) and a completed rollback instant targeting it "
+    "(HoodieRollbackMetadata commitsRollback).  The poison log file "
+    "STAYS in the payload, so a reader that ignores rollback "
+    "instants — or attaches log files by directory listing instead "
+    "of walking the timeline — surfaces 999999 everywhere and "
+    "breaks the hash; the oracle is the UNPOISONED closed form.  "
+    "This is the crash-recovery shape rollbacks exist for: a failed "
+    "writer's partial deltacommit undone without rewriting data.  "
+    "Scale: rollback is O(timeline) driver metadata; the skipped "
+    "log is simply never fetched.",
+)
+def lake_hudi_mor_rollback_scan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.hudi_mor_scan_extract(
+        M.synth_hudi_mor_payload(docs, with_rollback=True),
+        expect_pending=0)

@@ -142,3 +142,56 @@ def test_reconstruct_mor_hostile():
                                    "fileId": "g",
                                    "path": "p/"
                                    + log_file_name("g", "1" * 17)}]})})
+
+
+def test_rollback_excludes_target_instant():
+    """A completed rollback instant must make readers skip the
+    targeted commit even when its files still sit on the timeline
+    (the crash-recovery shape rollbacks exist for)."""
+    from health_monitor_cc_flink_spark.operators.hudi import (
+        reconstruct_table,
+    )
+
+    part = "2026/01"
+    t = [str(20260101000000000 + i) for i in range(1, 6)]
+    files = {
+        f"{t[0]}.commit": build_commit({part: [{
+            "fileId": "g0", "path": f"{part}/"
+            + base_file_name("g0", t[0]), "numWrites": 4}]}),
+        # a bad deltacommit that later gets rolled back
+        f"{t[1]}.deltacommit": build_commit({part: [{
+            "fileId": "g0",
+            "path": f"{part}/{log_file_name('g0', t[0], 1)}",
+            "numWrites": 2}]}),
+        f"{t[2]}.rollback": json.dumps(
+            {"commitsRollback": [t[1]]}).encode(),
+        # life goes on after the rollback
+        f"{t[3]}.deltacommit": build_commit({part: [{
+            "fileId": "g0",
+            "path": f"{part}/{log_file_name('g0', t[0], 2)}",
+            "numWrites": 1}]}),
+    }
+    g = reconstruct_mor_table(files)["live"][(part, "g0")]
+    assert g["log_paths"] == [f"{part}/{log_file_name('g0', t[0], 2)}"]
+    assert g["n_log_files"] == 1
+    # COW walker skips it too: rolled-back base rewrite must not win
+    files2 = {
+        f"{t[0]}.commit": build_commit({part: [{
+            "fileId": "g0", "path": f"{part}/"
+            + base_file_name("g0", t[0]), "numWrites": 4}]}),
+        f"{t[1]}.commit": build_commit({part: [{
+            "fileId": "g0", "path": f"{part}/"
+            + base_file_name("g0", t[1]), "numWrites": 9}]}),
+        f"{t[2]}.rollback": json.dumps(
+            {"instantsRollback": [
+                {"action": "commit", "commitTime": t[1]}]}).encode(),
+    }
+    st = reconstruct_table(files2)["live"][(part, "g0")]
+    assert st["instant"] == t[0]
+    # malformed rollback json is loud
+    with pytest.raises(ValueError):
+        reconstruct_table({
+            f"{t[0]}.commit": build_commit({part: [{
+                "fileId": "g0", "path": "x.parquet"}]}),
+            f"{t[1]}.rollback": b"not json",
+        })
