@@ -91,11 +91,17 @@ def _rolled_back_targets(instants: list[dict]) -> set[str]:
     return targets
 
 
-def reconstruct_table(files: dict[str, bytes]) -> dict:
+def reconstruct_table(files: dict[str, bytes],
+                      as_of: str | None = None) -> dict:
     """{member name: bytes} of a ``.hoodie/`` dir -> copy-on-write
     state at the latest completed instant: {latest_instant,
     n_completed, n_pending, live: {(partition, file_id): {path,
-    num_writes, instant}}}."""
+    num_writes, instant}}}.  ``as_of`` gives TIME TRAVEL: only
+    completed instants with time <= as_of participate (the
+    as-of-instant query every lake engine exposes); rollbacks are
+    honored regardless of their own time, matching Hudi — a
+    rollback ERASES its target from history rather than appending
+    to it."""
     instants = []
     for name, blob in files.items():
         info = parse_instant_filename(name)
@@ -110,7 +116,8 @@ def reconstruct_table(files: dict[str, bytes]) -> dict:
         (i for i in instants if i["state"] == COMPLETED
          and i["action"] in ("commit", "deltacommit",
                              "replacecommit")
-         and i["time"] not in rolled_back),
+         and i["time"] not in rolled_back
+         and (as_of is None or i["time"] <= as_of)),
         key=lambda i: i["time"])
     if not completed:
         raise ValueError("hudi timeline has no completed commits")
@@ -149,7 +156,8 @@ def reconstruct_table(files: dict[str, bytes]) -> dict:
     }
 
 
-def reconstruct_mor_table(files: dict[str, bytes]) -> dict:
+def reconstruct_mor_table(files: dict[str, bytes],
+                          as_of: str | None = None) -> dict:
     """MERGE-ON-READ state reconstruction: like
     ``reconstruct_table`` but each file group resolves to its BASE
     file plus the ORDERED chain of log files appended by
@@ -179,7 +187,8 @@ def reconstruct_mor_table(files: dict[str, bytes]) -> dict:
         (i for i in instants if i["state"] == COMPLETED
          and i["action"] in ("commit", "deltacommit",
                              "replacecommit")
-         and i["time"] not in rolled_back),
+         and i["time"] not in rolled_back
+         and (as_of is None or i["time"] <= as_of)),
         key=lambda i: i["time"])
     if not completed:
         raise ValueError("hudi timeline has no completed commits")

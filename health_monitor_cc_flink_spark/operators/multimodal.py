@@ -7585,7 +7585,9 @@ def synth_hudi_mor_payload(df: DataFrame,
 
 def hudi_mor_scan_extract(df: DataFrame, payload_col: str = "meta",
                           id_col: str = "doc_id",
-                          expect_pending: int = 1) -> DataFrame:
+                          expect_pending: int = 1,
+                          as_of: str | None = None,
+                          expect_logs: int = 2) -> DataFrame:
     """Untar a MOR table and run the FULL snapshot read: MOR
     timeline reconstruction (base + ordered log chain per file
     group), base parquet through the own page reader, HoodieLogFormat
@@ -7611,7 +7613,8 @@ def hudi_mor_scan_extract(df: DataFrame, payload_col: str = "meta",
                     members = parse_tar(bytes(p))
                     files = {m["name"]: m["data"] for m in members
                              if m["typeflag"] != "5"}
-                    state = reconstruct_mor_table(files)
+                    state = reconstruct_mor_table(files,
+                                                  as_of=as_of)
                 except Exception:
                     out["doc_id"].append(doc_id)
                     out["ok"].append(False)
@@ -7636,7 +7639,7 @@ def hudi_mor_scan_extract(df: DataFrame, payload_col: str = "meta",
                         seen = set(base_cols["key"]) | {
                             r["key"] for b in blocks
                             for r in b.get("records") or []}
-                        ok = (g["n_log_files"] == 2
+                        ok = (g["n_log_files"] == expect_logs
                               and state["n_pending"]
                               == expect_pending)
                     except Exception:

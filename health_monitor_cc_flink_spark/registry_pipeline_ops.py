@@ -20692,3 +20692,48 @@ def lake_hudi_mor_rollback_scan(spark, sf_dir):
     return M.hudi_mor_scan_extract(
         M.synth_hudi_mor_payload(docs, with_rollback=True),
         expect_pending=0)
+
+
+@query(
+    "lake_hudi_time_travel",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS n
+               FROM documents),
+    ks AS (SELECT doc_id, n, g.g, k.k
+           FROM p, LATERAL unnest([0, 1]) AS g(g),
+                LATERAL unnest(generate_series(0, n + 2)) AS k(k)),
+    st AS (SELECT doc_id, n, g, k,
+                  CASE WHEN k >= n THEN 7 * k + g
+                       WHEN k % 3 = 0 THEN 1000 + k + g
+                       ELSE 10 * k + g END AS val
+           FROM ks)
+    SELECT doc_id, TRUE AS ok, CAST(g AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(sum(val) AS BIGINT) AS sum_val,
+           CAST(sum(k) AS BIGINT) AS sum_key,
+           CAST(0 AS BIGINT) AS n_deleted,
+           CAST(1 AS BIGINT) AS n_log_files
+    FROM st GROUP BY doc_id, g
+    """,
+    doc="Hudi AS-OF-INSTANT time travel under the hash gate: the "
+    "MOR table of lake_hudi_mor_scan read at the instant AFTER the "
+    "first deltacommit but BEFORE the second — the reconstruction "
+    "must attach exactly ONE log file (the t2 updates + inserts) "
+    "and must NOT see the t3 updates or tombstones, so every "
+    "t3-era value or a missing t2 insert breaks the hash against "
+    "the as-of closed form (all n+3 keys alive, no deletes).  "
+    "Mirrors lake_iceberg_time_travel; the same timeline serves "
+    "both the latest and the historical view, which is the whole "
+    "point of instant-addressed metadata.  Scale: time travel "
+    "costs one timeline filter — no data movement.",
+)
+def lake_hudi_time_travel(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # instants are 20260101000000001..5; t2 (the first deltacommit)
+    # is ...002 — travel there
+    return M.hudi_mor_scan_extract(
+        M.synth_hudi_mor_payload(docs),
+        expect_pending=1, as_of="20260101000000002",
+        expect_logs=1)

@@ -195,3 +195,38 @@ def test_rollback_excludes_target_instant():
                 "fileId": "g0", "path": "x.parquet"}]}),
             f"{t[1]}.rollback": b"not json",
         })
+
+
+def test_mor_time_travel_as_of():
+    """as_of reconstruction: only instants <= the travel point
+    participate; a later compaction must not rewrite history."""
+    from health_monitor_cc_flink_spark.operators.hudi import (
+        reconstruct_mor_table,
+        reconstruct_table,
+    )
+
+    part = "2026/01"
+    t = [str(20260101000000000 + i) for i in range(1, 5)]
+    files = {
+        f"{t[0]}.commit": build_commit({part: [{
+            "fileId": "g0", "path": f"{part}/"
+            + base_file_name("g0", t[0]), "numWrites": 4}]}),
+        f"{t[1]}.deltacommit": build_commit({part: [{
+            "fileId": "g0",
+            "path": f"{part}/{log_file_name('g0', t[0], 1)}",
+            "numWrites": 2}]}),
+        f"{t[2]}.commit": build_commit({part: [{
+            "fileId": "g0", "path": f"{part}/"
+            + base_file_name("g0", t[2]), "numWrites": 5}]}),
+    }
+    # at t[1]: base t[0] + one log; latest: compacted base t[2]
+    g_then = reconstruct_mor_table(files, as_of=t[1])["live"][
+        (part, "g0")]
+    assert g_then["base_instant"] == t[0]
+    assert g_then["n_log_files"] == 1
+    g_now = reconstruct_mor_table(files)["live"][(part, "g0")]
+    assert g_now["base_instant"] == t[2]
+    assert g_now["n_log_files"] == 0
+    # COW as_of
+    st = reconstruct_table(files, as_of=t[0])["live"][(part, "g0")]
+    assert st["instant"] == t[0]
