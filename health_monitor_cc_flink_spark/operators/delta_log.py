@@ -547,3 +547,53 @@ def parse_delta_log_files(files: dict[str, bytes]) -> dict:
         entry["live_records"] = (None if nr is None
                                  else nr - len(rows))
     return snap
+
+
+def column_mapping(metadata: dict | None) -> dict | None:
+    """COLUMN MAPPING resolution (Delta protocol "Column Mapping"):
+    when the metaData action's configuration sets
+    ``delta.columnMapping.mode`` to ``name`` or ``id``, parquet data
+    files carry PHYSICAL column names (``col-<uuid>`` style) and the
+    logical->physical map lives in the schemaString field metadata
+    (``delta.columnMapping.physicalName`` / ``.id``) — renames and
+    drops become metadata-only operations.  Returns {mode,
+    physical: {logical dotted path: physical name}, ids: {logical:
+    field id}} or None when mapping is off.  A mapped mode with a
+    field missing its physicalName is corrupt -> ValueError."""
+    if not metadata:
+        return None
+    conf = metadata.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode")
+    if mode in (None, "none"):
+        return None
+    if mode not in ("name", "id"):
+        raise ValueError(f"unknown column mapping mode {mode!r}")
+    try:
+        schema = json.loads(metadata["schemaString"])
+    except (KeyError, ValueError) as exc:
+        raise ValueError("column mapping without a readable "
+                         "schemaString") from exc
+    physical: dict[str, str] = {}
+    ids: dict[str, int] = {}
+
+    def walk(fields, prefix: str) -> None:
+        if not isinstance(fields, list):
+            raise ValueError("schemaString fields malformed")
+        for f in fields:
+            md = f.get("metadata") or {}
+            logical = prefix + f["name"]
+            phys = md.get("delta.columnMapping.physicalName")
+            if phys is None:
+                raise ValueError(
+                    f"mode {mode!r} but field {logical!r} lacks "
+                    "delta.columnMapping.physicalName")
+            physical[logical] = phys
+            fid = md.get("delta.columnMapping.id")
+            if fid is not None:
+                ids[logical] = int(fid)
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields"), logical + ".")
+
+    walk(schema.get("fields") or [], "")
+    return {"mode": mode, "physical": physical, "ids": ids}

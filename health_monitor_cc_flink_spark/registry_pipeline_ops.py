@@ -20737,3 +20737,130 @@ def lake_hudi_time_travel(spark, sf_dir):
         M.synth_hudi_mor_payload(docs),
         expect_pending=1, as_of="20260101000000002",
         expect_logs=1)
+
+
+@query(
+    "lake_delta_column_mapping_scan",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 20 + 8 AS BIGINT) AS n
+               FROM documents),
+    rws AS (SELECT doc_id, n, j.r
+            FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r))
+    SELECT doc_id, TRUE AS ok, CAST(2 AS BIGINT) AS n_files,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id * 100 + r) AS BIGINT) AS id_sum,
+           CAST(sum(3 * r + doc_id % 7) AS BIGINT) AS score_sum
+    FROM rws GROUP BY doc_id
+    """,
+    doc="Delta COLUMN MAPPING scan under the hash gate (protocol "
+    "'Column Mapping', mode=name): data files carry PHYSICAL "
+    "column names (col-<uuid> style) and the logical schema lives "
+    "only in schemaString field metadata, so RENAMES are "
+    "metadata-only — per document a log with the mapping metaData, "
+    "two own-writer parquet files under physical names, and a "
+    "THIRD commit renaming logical `val` to `score` (physical name "
+    "unchanged, zero data rewritten).  The scan replays the log, "
+    "resolves logical->physical through column_mapping, reads the "
+    "files by PHYSICAL name with the own page reader, and exposes "
+    "the post-rename logical view; `ok` additionally certifies the "
+    "files contain no logical names (reading by logical name must "
+    "fail) and that the rename preserved the physical column.  "
+    "Scale: renames/drops on a 100 TB table cost one metaData "
+    "action — this mapping layer is why.",
+)
+def lake_delta_column_mapping_scan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.delta_log \
+            import column_mapping, replay_delta_log
+        from health_monitor_cc_flink_spark.operators.iceberg \
+            import read_flat_parquet
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        def meta(logical_val):
+            return {"metaData": {
+                "id": "t1", "format": {"provider": "parquet"},
+                "schemaString": _json.dumps({
+                    "type": "struct", "fields": [
+                        {"name": "id", "type": "long",
+                         "nullable": True, "metadata": {
+                             "delta.columnMapping.id": 1,
+                             "delta.columnMapping.physicalName":
+                                 "col-3f2a"}},
+                        {"name": logical_val, "type": "long",
+                         "nullable": True, "metadata": {
+                             "delta.columnMapping.id": 2,
+                             "delta.columnMapping.physicalName":
+                                 "col-9c4d"}},
+                    ]}),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "2"},
+            }}
+
+        cols = ("n_files", "n_rows", "id_sum", "score_sum")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 20 + 8
+                half = n // 2
+                files = {}
+                adds = []
+                for fi, (lo, hi) in enumerate(
+                        ((0, half), (half, n))):
+                    ids = [d * 100 + r for r in range(lo, hi)]
+                    vals = [3 * r + d % 7 for r in range(lo, hi)]
+                    blob = write_parquet([
+                        ("col-3f2a", "INT64", ids),
+                        ("col-9c4d", "INT64", vals)])
+                    path = f"part-{fi}.parquet"
+                    files[path] = blob
+                    adds.append({"add": {
+                        "path": path, "size": len(blob),
+                        "partitionValues": {}, "dataChange": True,
+                        "stats": _json.dumps(
+                            {"numRecords": hi - lo})}})
+                commits = {0: [meta("val")], 1: adds,
+                           2: [meta("score")]}
+                snap = replay_delta_log(commits)
+                cm = column_mapping(snap["metadata"])
+                ok = (cm is not None and cm["mode"] == "name"
+                      and set(cm["physical"]) == {"id", "score"}
+                      and snap["n_adds"] == 2)
+                id_sum = score_sum = n_rows = 0
+                for path in sorted(snap["live"]):
+                    data = read_flat_parquet(files[path])
+                    # files know only physical names: the logical
+                    # view must come from the mapping, and logical
+                    # names must NOT be in the file
+                    if "score" in data or "val" in data \
+                            or "id" in data:
+                        ok = False
+                    ids_col = data[cm["physical"]["id"]]
+                    sc_col = data[cm["physical"]["score"]]
+                    n_rows += len(ids_col)
+                    id_sum += sum(ids_col)
+                    score_sum += sum(sc_col)
+                out["doc_id"].append(d)
+                out["ok"].append(bool(ok))
+                out["n_files"].append(len(snap["live"]))
+                out["n_rows"].append(n_rows)
+                out["id_sum"].append(id_sum)
+                out["score_sum"].append(score_sum)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_files long, "
+                "n_rows long, id_sum long, score_sum long"),
+    )

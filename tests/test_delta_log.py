@@ -324,3 +324,62 @@ def test_prune_by_stats_keeps_incomparable_types():
     # numeric stats still prune (c.parquet out); string stats keep
     assert got["candidates"] == ["a.parquet", "b.parquet"]
     assert got["n_skipped"] == 1
+
+
+def test_column_mapping_resolution_and_rename():
+    """Column mapping: physical names resolve from schemaString
+    field metadata; a metadata-only RENAME changes the logical key
+    while the physical name (and the data files) stay put."""
+    import json as _json
+
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        column_mapping,
+        replay_delta_log,
+    )
+
+    def meta(logical_val):
+        return {"metaData": {
+            "id": "t1", "format": {"provider": "parquet"},
+            "schemaString": _json.dumps({
+                "type": "struct", "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {
+                         "delta.columnMapping.id": 1,
+                         "delta.columnMapping.physicalName":
+                             "col-aaa"}},
+                    {"name": logical_val, "type": "long",
+                     "nullable": True,
+                     "metadata": {
+                         "delta.columnMapping.id": 2,
+                         "delta.columnMapping.physicalName":
+                             "col-bbb"}},
+                ]}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+        }}
+
+    commits = {
+        0: [meta("val"), {"add": {"path": "f0.parquet", "size": 1,
+                                  "partitionValues": {},
+                                  "dataChange": True}}],
+        1: [meta("score")],  # rename val -> score, data untouched
+    }
+    snap = replay_delta_log(commits)
+    cm = column_mapping(snap["metadata"])
+    assert cm["mode"] == "name"
+    assert cm["physical"] == {"id": "col-aaa", "score": "col-bbb"}
+    assert cm["ids"] == {"id": 1, "score": 2}
+    # at version 0 the same physical column was logically "val"
+    cm0 = column_mapping(replay_delta_log(
+        {0: commits[0]})["metadata"])
+    assert cm0["physical"] == {"id": "col-aaa", "val": "col-bbb"}
+    # mapping off -> None; corrupt mapped schema -> loud
+    assert column_mapping({"schemaString": "{}",
+                           "configuration": {}}) is None
+    bad = meta("val")["metaData"]
+    bad_schema = _json.loads(bad["schemaString"])
+    del bad_schema["fields"][1]["metadata"]
+    bad["schemaString"] = _json.dumps(bad_schema)
+    with pytest.raises(ValueError):
+        column_mapping(bad)
