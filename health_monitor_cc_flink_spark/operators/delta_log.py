@@ -597,3 +597,55 @@ def column_mapping(metadata: dict | None) -> dict | None:
 
     walk(schema.get("fields") or [], "")
     return {"mode": mode, "physical": physical, "ids": ids}
+
+
+def read_cdf(commits: dict[int, list[dict]], lo: int, hi: int,
+             read_file) -> list[dict]:
+    """CHANGE DATA FEED read over a version range (protocol "Change
+    Data Feed"): per commit, if any ``cdc`` action is present its
+    ``_change_data/`` files carry the authoritative change rows
+    (with their ``_change_type`` column — update_preimage /
+    update_postimage / delete / insert); commits WITHOUT cdc
+    actions derive changes from the data actions — every row of a
+    ``dataChange`` add is an insert, every row of a ``dataChange``
+    remove a delete (the insert-only / delete-only shortcut real
+    writers use to avoid doubling bytes).  ``read_file(path) ->
+    {column: values}`` supplies file contents (the own parquet
+    reader at the call site).  Returns [{version, change_type,
+    columns}] in version order; a cdc file without a _change_type
+    column is corrupt -> ValueError."""
+    out: list[dict] = []
+    for v in sorted(commits):
+        if not lo <= v <= hi:
+            continue
+        actions = commits[v]
+        cdcs = [a["cdc"] for a in actions
+                if isinstance(a, dict) and "cdc" in a]
+        if cdcs:
+            for c in cdcs:
+                cols = read_file(c["path"])
+                types = cols.get("_change_type")
+                if types is None:
+                    raise ValueError(
+                        "cdc file lacks _change_type column")
+                data = {k: vals for k, vals in cols.items()
+                        if k != "_change_type"}
+                for t in sorted(set(types)):
+                    idx = [i for i, x in enumerate(types) if x == t]
+                    out.append({
+                        "version": v,
+                        "change_type": t.decode("utf-8")
+                        if isinstance(t, (bytes, bytearray)) else t,
+                        "columns": {k: [vals[i] for i in idx]
+                                    for k, vals in data.items()},
+                    })
+            continue
+        for a in actions:
+            if "add" in a and a["add"].get("dataChange"):
+                out.append({"version": v, "change_type": "insert",
+                            "columns": read_file(a["add"]["path"])})
+            elif "remove" in a and a["remove"].get("dataChange"):
+                out.append({
+                    "version": v, "change_type": "delete",
+                    "columns": read_file(a["remove"]["path"])})
+    return out

@@ -20864,3 +20864,259 @@ def lake_delta_column_mapping_scan(spark, sf_dir):
         schema=("doc_id long, ok boolean, n_files long, "
                 "n_rows long, id_sum long, score_sum long"),
     )
+
+
+@query(
+    "lake_delta_time_travel",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 15 + 5 AS BIGINT) AS n
+               FROM documents),
+    rws AS (SELECT doc_id, n, j.r
+            FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r)),
+    f AS (SELECT doc_id, r,
+                 doc_id * 10 + r AS v0,
+                 doc_id * 20 + 2 * r AS v1,
+                 doc_id * 30 + 3 * r AS v2
+          FROM rws)
+    SELECT doc_id, TRUE AS ok,
+           CAST(count(*) AS BIGINT) AS asof_rows,
+           CAST(sum(v1) AS BIGINT) AS asof_sum,
+           CAST(2 * count(*) AS BIGINT) AS latest_rows,
+           CAST(sum(v1) + sum(v2) AS BIGINT) AS latest_sum
+    FROM f GROUP BY doc_id
+    """,
+    doc="Delta VERSION-AS-OF time travel under the hash gate, "
+    "completing the time-travel triple across all three lake "
+    "formats (lake_iceberg_time_travel green r12, "
+    "lake_hudi_time_travel r15): per document a three-version log "
+    "— v0 adds f0, v1 adds f1 AND removes f0 (an overwrite), v2 "
+    "adds f2 — is replayed twice, once truncated at version 1 and "
+    "once in full; the as-of view must contain ONLY f1 (seeing f0 "
+    "means the remove was missed, seeing f2 means the truncation "
+    "leaked) and the latest view f1+f2, with aggregates from the "
+    "own parquet reader over the live sets hashing against both "
+    "closed forms in one frame.  Scale: time travel is a replay "
+    "cutoff — O(log) metadata, no data movement.",
+)
+def lake_delta_time_travel(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.delta_log \
+            import replay_delta_log
+        from health_monitor_cc_flink_spark.operators.iceberg \
+            import read_flat_parquet
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "asof_rows": [],
+                   "asof_sum": [], "latest_rows": [],
+                   "latest_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 15 + 5
+                files = {}
+                adds = {}
+                for fi, mult in ((0, 10), (1, 20), (2, 30)):
+                    vals = [d * mult + (fi or 1) * 0
+                            + mult // 10 * r for r in range(n)]
+                    blob = write_parquet([("v", "INT64", vals)])
+                    path = f"part-{fi}.parquet"
+                    files[path] = blob
+                    adds[fi] = {"add": {
+                        "path": path, "size": len(blob),
+                        "partitionValues": {}, "dataChange": True,
+                        "stats": _json.dumps({"numRecords": n})}}
+                commits = {
+                    0: [adds[0]],
+                    1: [adds[1],
+                        {"remove": {"path": "part-0.parquet",
+                                    "dataChange": True}}],
+                    2: [adds[2]],
+                }
+
+                def view(cut):
+                    snap = replay_delta_log(
+                        {v: a for v, a in commits.items()
+                         if v <= cut})
+                    rows = []
+                    for path in sorted(snap["live"]):
+                        rows.extend(
+                            read_flat_parquet(files[path])["v"])
+                    return snap, rows
+
+                s1, asof = view(1)
+                s2, latest = view(2)
+                ok = (s1["version"] == 1 and s2["version"] == 2
+                      and set(s1["live"]) == {"part-1.parquet"}
+                      and set(s2["live"]) == {"part-1.parquet",
+                                              "part-2.parquet"})
+                out["doc_id"].append(d)
+                out["ok"].append(bool(ok))
+                out["asof_rows"].append(len(asof))
+                out["asof_sum"].append(sum(asof))
+                out["latest_rows"].append(len(latest))
+                out["latest_sum"].append(sum(latest))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, asof_rows long, "
+                "asof_sum long, latest_rows long, latest_sum long"),
+    )
+
+
+@query(
+    "lake_delta_cdf_scan",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 12 + 6 AS BIGINT) AS n
+               FROM documents),
+    rws AS (SELECT doc_id, n, j.r
+            FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r)),
+    c AS (SELECT doc_id, r, 5 * doc_id + r AS v0,
+                 (r % 3 = 0) AS upd, (r % 4 = 1) AS del
+          FROM rws)
+    SELECT doc_id, TRUE AS ok,
+           CAST(count(*) AS BIGINT) AS n_insert,
+           CAST(sum(v0) AS BIGINT) AS insert_sum,
+           CAST(count(*) FILTER (WHERE upd) AS BIGINT) AS n_update,
+           CAST(coalesce(sum(v0) FILTER (WHERE upd), 0) AS BIGINT)
+               AS pre_sum,
+           CAST(coalesce(sum(v0 + 1000) FILTER (WHERE upd), 0)
+                AS BIGINT) AS post_sum,
+           CAST(count(*) FILTER (WHERE del) AS BIGINT) AS n_delete,
+           CAST(coalesce(sum(CASE WHEN upd THEN v0 + 1000
+                             ELSE v0 END) FILTER (WHERE del), 0)
+                AS BIGINT) AS delete_sum
+    FROM c GROUP BY doc_id
+    """,
+    doc="Delta CHANGE DATA FEED scan under the hash gate (protocol "
+    "'Change Data Feed'): per document a three-version table — v0 "
+    "inserts n rows (no cdc action: inserts DERIVE from the "
+    "dataChange add), v1 updates every r%3==0 row via an explicit "
+    "_change_data cdc file carrying update_preimage/"
+    "update_postimage rows (the commit's remove+add must NOT "
+    "double-derive — cdc is authoritative when present), v2 "
+    "deletes every r%4==1 row via a cdc delete file.  The CDF read "
+    "over versions 0..2 is aggregated per change type: counts and "
+    "value sums for insert/preimage/postimage/delete all hash "
+    "against the closed form, so a missed derivation rule, a "
+    "double-counted update, or a preimage carrying post values "
+    "breaks the gate.  This is the incremental-consumer path — "
+    "downstream syncs read O(changes), never O(table).  Scale: "
+    "change files ride with their commits; the range read touches "
+    "only the requested versions.",
+)
+def lake_delta_cdf_scan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.delta_log \
+            import read_cdf
+        from health_monitor_cc_flink_spark.operators.iceberg \
+            import read_flat_parquet
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        cols = ("n_insert", "insert_sum", "n_update", "pre_sum",
+                "post_sum", "n_delete", "delete_sum")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 12 + 6
+                v0 = {r: 5 * d + r for r in range(n)}
+                upd = {r for r in range(n) if r % 3 == 0}
+                v1 = {r: v + (1000 if r in upd else 0)
+                      for r, v in v0.items()}
+                dele = {r for r in range(n) if r % 4 == 1}
+                v2 = {r: v for r, v in v1.items() if r not in dele}
+                files = {}
+
+                def pq(name, vals, extra=None):
+                    spec = [("v", "INT64", [x for x, _ in vals])]
+                    if extra:
+                        spec.append(
+                            ("_change_type", "STRING",
+                             [t for _, t in vals]))
+                    files[name] = write_parquet(spec)
+
+                pq("part-0.parquet",
+                   [(v0[r], None) for r in sorted(v0)])
+                pq("part-1.parquet",
+                   [(v1[r], None) for r in sorted(v1)])
+                pq("part-2.parquet",
+                   [(v2[r], None) for r in sorted(v2)])
+                pq("_change_data/c1.parquet",
+                   [(v0[r], "update_preimage") for r in sorted(upd)]
+                   + [(v1[r], "update_postimage")
+                      for r in sorted(upd)], extra=True)
+                pq("_change_data/c2.parquet",
+                   [(v1[r], "delete") for r in sorted(dele)],
+                   extra=True)
+                add = {fi: {"add": {
+                    "path": f"part-{fi}.parquet",
+                    "size": len(files[f"part-{fi}.parquet"]),
+                    "partitionValues": {}, "dataChange": True,
+                    "stats": _json.dumps({"numRecords": 0})}}
+                    for fi in (0, 1, 2)}
+                commits = {
+                    0: [add[0]],
+                    1: [{"cdc": {"path": "_change_data/c1.parquet",
+                                 "partitionValues": {}, "size": 1,
+                                 "dataChange": False}},
+                        {"remove": {"path": "part-0.parquet",
+                                    "dataChange": True}}, add[1]],
+                    2: [{"cdc": {"path": "_change_data/c2.parquet",
+                                 "partitionValues": {}, "size": 1,
+                                 "dataChange": False}},
+                        {"remove": {"path": "part-1.parquet",
+                                    "dataChange": True}}, add[2]],
+                }
+                changes = read_cdf(
+                    commits, 0, 2,
+                    lambda p: read_flat_parquet(files[p]))
+                agg = {}
+                for ch in changes:
+                    t = ch["change_type"]
+                    vs = ch["columns"]["v"]
+                    a = agg.setdefault(t, [0, 0])
+                    a[0] += len(vs)
+                    a[1] += sum(vs)
+                ins = agg.get("insert", [0, 0])
+                pre = agg.get("update_preimage", [0, 0])
+                post = agg.get("update_postimage", [0, 0])
+                dl = agg.get("delete", [0, 0])
+                ok = (set(agg) <= {"insert", "update_preimage",
+                                   "update_postimage", "delete"}
+                      and pre[0] == post[0])
+                out["doc_id"].append(d)
+                out["ok"].append(bool(ok))
+                out["n_insert"].append(ins[0])
+                out["insert_sum"].append(ins[1])
+                out["n_update"].append(pre[0])
+                out["pre_sum"].append(pre[1])
+                out["post_sum"].append(post[1])
+                out["n_delete"].append(dl[0])
+                out["delete_sum"].append(dl[1])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_insert long, "
+                "insert_sum long, n_update long, pre_sum long, "
+                "post_sum long, n_delete long, delete_sum long"),
+    )

@@ -383,3 +383,43 @@ def test_column_mapping_resolution_and_rename():
     bad["schemaString"] = _json.dumps(bad_schema)
     with pytest.raises(ValueError):
         column_mapping(bad)
+
+
+def test_read_cdf_explicit_and_derived():
+    """CDF: commits with cdc actions use ONLY the change files;
+    commits without derive insert/delete from dataChange actions."""
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        read_cdf,
+    )
+
+    store = {
+        "f0": {"v": [1, 2, 3]},
+        "f1": {"v": [1, 1002, 3]},
+        "c1": {"v": [2, 1002],
+               "_change_type": ["update_preimage",
+                                "update_postimage"]},
+    }
+    commits = {
+        0: [{"add": {"path": "f0", "dataChange": True}}],
+        1: [{"cdc": {"path": "c1", "partitionValues": {},
+                     "size": 1, "dataChange": False}},
+            {"remove": {"path": "f0", "dataChange": True}},
+            {"add": {"path": "f1", "dataChange": True}}],
+        2: [{"remove": {"path": "f1", "dataChange": True}}],
+    }
+    got = read_cdf(commits, 0, 2, lambda p: store[p])
+    key = [(g["version"], g["change_type"], tuple(g["columns"]["v"]))
+           for g in got]
+    assert key == [
+        (0, "insert", (1, 2, 3)),
+        # v1 has a cdc action: the remove/add there must NOT derive
+        (1, "update_postimage", (1002,)),
+        (1, "update_preimage", (2,)),
+        (2, "delete", (1, 1002, 3)),
+    ]
+    # range clamp + corrupt cdc file
+    assert [g["version"] for g in read_cdf(
+        commits, 1, 1, lambda p: store[p])] == [1, 1]
+    with pytest.raises(ValueError):
+        read_cdf({0: [{"cdc": {"path": "f0"}}]}, 0, 0,
+                 lambda p: store[p])
