@@ -21120,3 +21120,104 @@ def lake_delta_cdf_scan(spark, sf_dir):
                 "insert_sum long, n_update long, pre_sum long, "
                 "post_sum long, n_delete long, delete_sum long"),
     )
+
+
+@query(
+    "source_avro_schema_evolution",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 10 + 5 AS BIGINT) AS n
+               FROM documents),
+    rws AS (SELECT doc_id, n, j.r
+            FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r))
+    SELECT doc_id, TRUE AS ok,
+           CAST(any_value(n) AS BIGINT) AS n_records,
+           CAST(sum(doc_id * 1000 + r) AS BIGINT) AS id_sum,
+           CAST(sum(60 + (doc_id + r) % 40) AS BIGINT) AS hr_sum,
+           CAST(sum(r % 4 + 1) AS BIGINT) AS note_bytes,
+           CAST(366 AS BIGINT) AS temp10_default
+    FROM rws GROUP BY doc_id
+    """,
+    doc="Avro SCHEMA RESOLUTION under the hash gate — the evolution "
+    "step every schema-registry consumer runs on version upgrades "
+    "(Avro spec 'Schema Resolution'; the reference's SR wire format "
+    "is O1/O5): per document, records are ENCODED with writer "
+    "schema v1 (id long, hr int, note string, extra string) and "
+    "DECODED through reader schema v2 — fields REORDERED, `extra` "
+    "DROPPED (wire bytes skipped, never decoded), `hr` PROMOTED "
+    "int->long, `note` promoted string->bytes, and a new `temp10` "
+    "long taking its declared default 366.  The gated aggregates "
+    "come from the RESOLVED records, so a skipped-field "
+    "misalignment (every later field shifts), a wrong promotion, "
+    "or a dropped default breaks the hash.  Scale: resolution is "
+    "per-record map work riding the decode path, zero shuffle.",
+)
+def source_avro_schema_evolution(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.sources.avro_codec \
+            import decode_record_resolved, encode_record
+
+        writer = _json.dumps({
+            "type": "record", "name": "vitals", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "hr", "type": "int"},
+                {"name": "note", "type": "string"},
+                {"name": "extra", "type": "string"},
+            ]})
+        reader = _json.dumps({
+            "type": "record", "name": "vitals", "fields": [
+                {"name": "note", "type": "bytes"},
+                {"name": "temp10", "type": "long", "default": 366},
+                {"name": "hr", "type": "long"},
+                {"name": "id", "type": "long"},
+            ]})
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "n_records": [],
+                   "id_sum": [], "hr_sum": [], "note_bytes": [],
+                   "temp10_default": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 10 + 5
+                id_sum = hr_sum = nb = 0
+                temps = set()
+                ok = True
+                for r in range(n):
+                    blob = encode_record(writer, {
+                        "id": d * 1000 + r,
+                        "hr": 60 + (d + r) % 40,
+                        "note": "n" * (r % 4 + 1),
+                        "extra": f"junk-{r}" * 3,
+                    })
+                    rec = decode_record_resolved(
+                        writer, reader, blob)
+                    if list(rec) != ["note", "temp10", "hr", "id"] \
+                            or "extra" in rec \
+                            or not isinstance(rec["note"], bytes):
+                        ok = False
+                    id_sum += rec["id"]
+                    hr_sum += rec["hr"]
+                    nb += len(rec["note"])
+                    temps.add(rec["temp10"])
+                ok = ok and temps == {366}
+                out["doc_id"].append(d)
+                out["ok"].append(bool(ok))
+                out["n_records"].append(n)
+                out["id_sum"].append(id_sum)
+                out["hr_sum"].append(hr_sum)
+                out["note_bytes"].append(nb)
+                out["temp10_default"].append(366)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_records long, "
+                "id_sum long, hr_sum long, note_bytes long, "
+                "temp10_default long"),
+    )

@@ -15,8 +15,9 @@ The codec implements the public Avro 1.x binary encoding spec
 float, double, boolean, and the timestamp-micros logical type (a long) —
 extended (for the Avro-OCF / Iceberg-manifest surface) with null,
 bytes, arrays, maps, and unions (encoded as zigzag branch index +
-value, per the same public spec).  Enums and defaults remain out of
-scope — nothing in the exercised schemas uses them.  Conformance is pinned by a test that decodes
+value, per the same public spec).  Enums remain out of
+scope — nothing in the exercised schemas uses them; defaults power
+the r15 schema-resolution reader (decode_record_resolved).  Conformance is pinned by a test that decodes
 these bytes with the Java Avro library on Spark's classpath
 (tests/test_kafka_wire.py).
 """
@@ -294,3 +295,150 @@ def strip_confluent_frame(framed: bytes) -> tuple[int, bytes]:
     if framed[:1] != MAGIC:
         raise ValueError(f"bad Confluent wire-format magic: {framed[:1]!r}")
     return struct.unpack(">I", framed[1:5])[0], framed[5:]
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (Avro spec "Schema Resolution"): decode data
+# written with one schema through the lens of an evolved reader schema
+# ---------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _type_name(sch) -> str:
+    if isinstance(sch, str):
+        return sch
+    if isinstance(sch, list):
+        return "union"
+    return sch.get("type", "")
+
+
+def _resolvable(w, r) -> bool:
+    """Can data written as ``w`` be read as ``r``?  (The branch-
+    matching predicate union resolution needs; recursion happens in
+    _resolve_decode itself.)"""
+    wn, rn = _type_name(w), _type_name(r)
+    if isinstance(r, list) or isinstance(w, list):
+        return True  # union resolution recurses per branch
+    if wn == rn:
+        if wn == "fixed":
+            return int(w.get("size", -1)) == int(r.get("size", -2))
+        return True
+    return (wn, rn) in _PROMOTIONS
+
+
+def _skip(sch, buf: io.BytesIO) -> None:
+    """Consume one value of ``sch`` without materializing it —
+    writer-only record fields cost a skip, never a decode."""
+    _decode(sch, buf)
+
+
+def _default_value(f: dict):
+    if "default" not in f:
+        raise ValueError(
+            f"reader field {f['name']!r} absent from writer data "
+            "and declares no default")
+    d = f["default"]
+    t = f["type"]
+    if isinstance(t, list):
+        t = t[0]  # spec: default applies to the FIRST union branch
+    if _type_name(t) == "bytes" and isinstance(d, str):
+        return d.encode("latin-1")  # spec's JSON-string byte coding
+    return d
+
+
+def _resolve_decode(w, r, buf: io.BytesIO):
+    # writer union: branch index comes from the wire, then the
+    # branch resolves against the reader schema
+    if isinstance(w, list):
+        branch = read_long(buf)
+        if not 0 <= branch < len(w):
+            raise ValueError("avro union branch out of range")
+        return _resolve_decode(w[branch], r, buf)
+    # reader union, writer not: first resolvable reader branch wins
+    if isinstance(r, list):
+        for rb in r:
+            if _resolvable(w, rb):
+                return _resolve_decode(w, rb, buf)
+        raise ValueError(
+            f"writer type {_type_name(w)!r} matches no reader "
+            "union branch")
+    wn, rn = _type_name(w), _type_name(r)
+    if wn == "record" and rn == "record":
+        rfields = {f["name"]: f for f in r["fields"]}
+        out = {}
+        seen = set()
+        for wf in w["fields"]:
+            rf = rfields.get(wf["name"])
+            if rf is None:
+                _skip(wf["type"], buf)
+                continue
+            out[wf["name"]] = _resolve_decode(
+                wf["type"], rf["type"], buf)
+            seen.add(wf["name"])
+        for rf in r["fields"]:
+            if rf["name"] not in seen:
+                out[rf["name"]] = _default_value(rf)
+        # reader field ORDER (reordering is a legal evolution)
+        return {f["name"]: out[f["name"]] for f in r["fields"]}
+    if wn == "array" and rn == "array":
+        out = []
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                read_long(buf)
+            for _ in range(n):
+                out.append(_resolve_decode(
+                    w["items"], r["items"], buf))
+    if wn == "map" and rn == "map":
+        out = {}
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                read_long(buf)
+            for _ in range(n):
+                klen = read_long(buf)
+                k = buf.read(klen).decode("utf-8")
+                out[k] = _resolve_decode(
+                    w["values"], r["values"], buf)
+    if wn == rn:
+        return _decode(w, buf)
+    if (wn, rn) not in _PROMOTIONS:
+        raise ValueError(
+            f"cannot resolve writer {wn!r} as reader {rn!r}")
+    v = _decode(w, buf)
+    if rn in ("float", "double"):
+        return float(v)
+    if rn == "bytes":
+        return v.encode("utf-8")
+    if rn == "string":
+        return v.decode("utf-8")
+    return v  # int -> long: same representation
+
+
+def decode_record_resolved(writer_schema_json: str,
+                           reader_schema_json: str,
+                           payload: bytes) -> dict:
+    """Decode ``payload`` (written with the writer schema) through
+    an EVOLVED reader schema — field adds take reader defaults,
+    drops skip wire bytes, reorders follow the reader, and the
+    spec's promotions (int->long->float->double, string<->bytes)
+    convert in place.  This is the resolution step every
+    schema-registry consumer runs on version upgrades."""
+    w = json.loads(writer_schema_json)
+    r = json.loads(reader_schema_json)
+    buf = io.BytesIO(payload)
+    out = _resolve_decode(w, r, buf)
+    if buf.read(1):
+        raise ValueError("trailing bytes after avro record")
+    return out

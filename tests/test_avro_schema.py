@@ -83,3 +83,74 @@ def test_missing_nullable_field_requires_declared_default():
     with pytest.raises(KeyError):
         encode_record(sch, {"a": 1, "with_default": 2,
                             "no_defalt": 7})
+
+
+def test_schema_resolution_evolution_matrix():
+    """Avro spec 'Schema Resolution': adds take reader defaults,
+    drops skip wire bytes, reorders follow the reader, promotions
+    convert (int->long, float->double, string<->bytes), and unions
+    resolve per branch."""
+    import json
+
+    import pytest
+
+    from health_monitor_cc_flink_spark.sources.avro_codec import (
+        decode_record_resolved,
+        encode_record,
+    )
+
+    w = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "dropme", "type": "string"},
+        {"name": "b", "type": ["null", "float"]},
+        {"name": "s", "type": "string"},
+        {"name": "nested", "type": {
+            "type": "record", "name": "nr", "fields": [
+                {"name": "x", "type": "int"},
+                {"name": "gone", "type": "long"},
+            ]}},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+    ]})
+    r = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "b", "type": ["null", "double"]},
+        {"name": "a", "type": "long"},
+        {"name": "s", "type": "bytes"},
+        {"name": "added", "type": ["null", "long"],
+         "default": None},
+        {"name": "tag", "type": "string", "default": "x"},
+        {"name": "nested", "type": {
+            "type": "record", "name": "nr", "fields": [
+                {"name": "x", "type": "double"},
+                {"name": "y", "type": "int", "default": 9},
+            ]}},
+        {"name": "arr",
+         "type": {"type": "array", "items": "long"}},
+    ]})
+    blob = encode_record(w, {
+        "a": 7, "dropme": "gone", "b": 2.5, "s": "hi",
+        "nested": {"x": 3, "gone": 99}, "arr": [1, 2, 3]})
+    got = decode_record_resolved(w, r, blob)
+    assert got == {"b": 2.5, "a": 7, "s": b"hi", "added": None,
+                   "tag": "x",
+                   "nested": {"x": 3.0, "y": 9},
+                   "arr": [1, 2, 3]}
+    assert list(got) == ["b", "a", "s", "added", "tag", "nested",
+                         "arr"]  # reader field order
+    # missing default is loud
+    r_bad = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "nodefault", "type": "string"},
+    ]})
+    w_small = json.dumps({"type": "record", "name": "r",
+                          "fields": [{"name": "a", "type": "int"}]})
+    blob2 = encode_record(w_small, {"a": 1})
+    with pytest.raises(ValueError):
+        decode_record_resolved(w_small, r_bad, blob2)
+    # illegal promotion (double -> int) is loud
+    w_d = json.dumps({"type": "record", "name": "r",
+                      "fields": [{"name": "a", "type": "double"}]})
+    r_i = json.dumps({"type": "record", "name": "r",
+                      "fields": [{"name": "a", "type": "int"}]})
+    blob3 = encode_record(w_d, {"a": 1.5})
+    with pytest.raises(ValueError):
+        decode_record_resolved(w_d, r_i, blob3)
