@@ -722,9 +722,15 @@ _METADATA_RE = __import__("re").compile(r"^v(\d+)\.metadata\.json$")
 def build_table_metadata(snapshots: dict[int, str],
                          current_snapshot_id: int, *,
                          version: int = 1,
-                         table_uuid: str = "t") -> bytes:
+                         table_uuid: str = "t",
+                         partition_specs: list[dict] | None = None,
+                         default_spec_id: int = 0) -> bytes:
     """{snapshot_id: manifest-list path} -> vN.metadata.json bytes
-    (the table-spec TableMetadata subset a reader resolves)."""
+    (the table-spec TableMetadata subset a reader resolves).
+    ``partition_specs`` carries the table's FULL spec history
+    ([{spec-id, fields: [{name, transform, source-id, field-id}]}])
+    — partition evolution keeps every old spec because existing
+    manifests still reference them."""
     doc = {
         "format-version": 2,
         "table-uuid": table_uuid,
@@ -737,6 +743,9 @@ def build_table_metadata(snapshots: dict[int, str],
                 snapshots.items()))
         ],
     }
+    if partition_specs is not None:
+        doc["partition-specs"] = partition_specs
+        doc["default-spec-id"] = default_spec_id
     return json.dumps(doc, sort_keys=True,
                       separators=(",", ":")).encode("utf-8")
 
@@ -766,8 +775,17 @@ def resolve_table_metadata(files: dict[str, bytes]) -> dict:
     cur = doc.get("current-snapshot-id")
     if cur not in snaps:
         raise ValueError("current snapshot missing from snapshots")
+    specs: dict[int, set] = {}
+    for sp in doc.get("partition-specs") or []:
+        sid2 = sp.get("spec-id")
+        if not isinstance(sid2, int):
+            raise ValueError("partition spec missing spec-id")
+        specs[sid2] = {
+            f["name"] for f in sp.get("fields") or []
+            if f.get("transform") == "identity"}
     return {"version": best[0], "current_snapshot_id": cur,
-            "snapshots": snaps}
+            "snapshots": snaps, "partition_specs": specs,
+            "default_spec_id": doc.get("default-spec-id", 0)}
 
 
 def walk_snapshot_at(files: dict[str, bytes],
@@ -819,3 +837,70 @@ def walk_snapshot(files: dict[str, bytes],
                 "lang": df["partition"]["lang"],
             })
     return {"n_manifests": len(mlist), "live": live}
+
+
+def scan_plan_with_specs(files: dict[str, bytes], *,
+                         snapshot_id: int = 1,
+                         partition_eq: dict[str, object],
+                         partition_specs: dict[int, set[str]]
+                         ) -> dict:
+    """PARTITION pruning under PARTITION-SPEC EVOLUTION (table-spec
+    "Partition Evolution"): every manifest carries the
+    ``partition_spec_id`` it was written under, and an equality
+    predicate on a partition column may prune an entry ONLY when
+    that manifest's spec identity-transforms the column — files
+    written under an older spec (where the column wasn't a
+    partition field) must be KEPT and filtered row-wise, because
+    their partition tuple says nothing about the column.  A spec-
+    covered entry with a null partition value is likewise kept
+    (absence may not prune).  ``partition_specs`` maps spec-id ->
+    identity partition field names (resolve_table_metadata supplies
+    it).  Returns {candidates, n_total, n_skipped,
+    n_unprunable_old_spec}."""
+    list_path = f"metadata/snap-{snapshot_id}.avro"
+    if list_path not in files:
+        raise ValueError(f"missing manifest list {list_path}")
+    from ..sources.avro_ocf import read_ocf
+
+    candidates = []
+    n_total = 0
+    n_old = 0
+    for mf in read_ocf(files[list_path])["records"]:
+        if mf.get("content", CONTENT_DATA) != CONTENT_DATA:
+            continue
+        spec_id = mf.get("partition_spec_id")
+        if spec_id is None or spec_id not in partition_specs:
+            raise ValueError(
+                f"manifest {mf.get('manifest_path')!r} carries "
+                f"unknown partition spec {spec_id!r}")
+        spec_fields = partition_specs[spec_id]
+        path = mf["manifest_path"]
+        if path not in files:
+            raise ValueError(f"missing manifest {path}")
+        for e in read_ocf(files[path])["records"]:
+            if e["status"] == STATUS_DELETED:
+                continue
+            df = e["data_file"]
+            if df.get("content", CONTENT_DATA) != CONTENT_DATA:
+                continue
+            n_total += 1
+            part = df.get("partition") or {}
+            keep = True
+            covered = True
+            for col, want in partition_eq.items():
+                if col not in spec_fields:
+                    covered = False
+                    continue  # old spec: the tuple can't speak
+                got = part.get(col)
+                if got is None:
+                    continue  # null partition value: may not prune
+                if got != want:
+                    keep = False
+                    break
+            if keep:
+                if not covered:
+                    n_old += 1
+                candidates.append(df)
+    return {"candidates": candidates, "n_total": n_total,
+            "n_skipped": n_total - len(candidates),
+            "n_unprunable_old_spec": n_old}

@@ -21221,3 +21221,173 @@ def source_avro_schema_evolution(spark, sf_dir):
                 "id_sum long, hr_sum long, note_bytes long, "
                 "temp10_default long"),
     )
+
+
+@query(
+    "lake_iceberg_partition_evolution",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 6 + 4 AS BIGINT) AS n,
+                      CAST((doc_id % 6 + 4 + 2) // 3 AS BIGINT) AS c
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           CAST(5 AS BIGINT) AS n_total,
+           CAST(3 AS BIGINT) AS n_candidates,
+           CAST(2 AS BIGINT) AS n_old_spec,
+           CAST(2 * c + n AS BIGINT) AS n_rows_en,
+           CAST(300 * doc_id * c + 3 * c * (c - 1)
+                + 300 * doc_id * n + n * (n - 1) // 2 AS BIGINT)
+               AS val_sum
+    FROM p
+    """,
+    doc="Iceberg PARTITION-SPEC EVOLUTION under the hash gate "
+    "(table-spec 'Partition Evolution'): the table's metadata "
+    "carries its FULL spec history (spec 0 unpartitioned, spec 1 "
+    "identity(lang)) and every manifest names the spec it was "
+    "written under; a lang='en' scan must prune ONLY entries in "
+    "spec-1 manifests (the 'de' file goes, a null partition value "
+    "stays) while spec-0 files are structurally unprunable — their "
+    "partition tuple says nothing about lang — and get filtered "
+    "ROW-WISE after decode.  Certified counts (5 total, 3 "
+    "candidates, 2 old-spec passthroughs) plus row aggregates from "
+    "the own parquet reader over exactly the planned candidates "
+    "hash against the closed form; pruning an old-spec file (the "
+    "classic evolution bug — data silently vanishes from queries) "
+    "breaks n_rows_en.  Scale: spec resolution is O(metadata); old "
+    "files never rewrite when the partitioning changes — that is "
+    "the feature.",
+)
+def lake_iceberg_partition_evolution(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            MANIFEST_ENTRY_SCHEMA_V2,
+            MANIFEST_LIST_SCHEMA_V2,
+            STATUS_ADDED,
+            build_table_metadata,
+            read_flat_parquet,
+            resolve_table_metadata,
+            scan_plan_with_specs,
+        )
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+        from health_monitor_cc_flink_spark.sources.avro_ocf \
+            import write_ocf
+
+        langs = ("en", "de", "fr")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "n_total": [],
+                   "n_candidates": [], "n_old_spec": [],
+                   "n_rows_en": [], "val_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 6 + 4
+                files: dict[str, bytes] = {}
+
+                def entry(path, lang, vals, row_langs):
+                    blob = write_parquet([
+                        ("val", "INT64", vals),
+                        ("lang", "STRING", row_langs)])
+                    files[path] = blob
+                    return {
+                        "status": STATUS_ADDED,
+                        "snapshot_id": None,
+                        "sequence_number": None,
+                        "data_file": {
+                            "content": 0, "file_path": path,
+                            "file_format": "PARQUET",
+                            "partition": {"lang": lang},
+                            "record_count": len(vals),
+                            "file_size_in_bytes": len(blob),
+                            "equality_ids": None}}
+
+                # spec-0 (unpartitioned) files: lang only in rows
+                old_entries = [
+                    entry(f"old-{fi}.parquet", None,
+                          [(fi + 1) * 100 * d + r
+                           for r in range(n)],
+                          [langs[r % 3] for r in range(n)])
+                    for fi in (0, 1)]
+                # spec-1 files: one per lang, partition carries it
+                new_entries = [
+                    entry(f"new-{lg}.parquet", lg,
+                          [(3 + i) * 100 * d + r
+                           for r in range(n)],
+                          [lg] * n)
+                    for i, lg in enumerate(langs)]
+                m0 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2,
+                               old_entries, sync_seed=d)
+                m1 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2,
+                               new_entries, sync_seed=d + 1)
+                files["metadata/m0.avro"] = m0
+                files["metadata/m1.avro"] = m1
+                files["metadata/snap-1.avro"] = write_ocf(
+                    MANIFEST_LIST_SCHEMA_V2, [
+                        {"manifest_path": "metadata/m0.avro",
+                         "manifest_length": len(m0),
+                         "partition_spec_id": 0, "content": 0,
+                         "sequence_number": 1,
+                         "added_snapshot_id": 1,
+                         "added_files_count": None,
+                         "existing_files_count": None,
+                         "deleted_files_count": None},
+                        {"manifest_path": "metadata/m1.avro",
+                         "manifest_length": len(m1),
+                         "partition_spec_id": 1, "content": 0,
+                         "sequence_number": 2,
+                         "added_snapshot_id": 1,
+                         "added_files_count": None,
+                         "existing_files_count": None,
+                         "deleted_files_count": None},
+                    ], sync_seed=d + 2)
+                files["metadata/v1.metadata.json"] = \
+                    build_table_metadata(
+                        {1: "metadata/snap-1.avro"}, 1,
+                        partition_specs=[
+                            {"spec-id": 0, "fields": []},
+                            {"spec-id": 1, "fields": [
+                                {"name": "lang",
+                                 "transform": "identity",
+                                 "source-id": 2,
+                                 "field-id": 1000}]},
+                        ], default_spec_id=1)
+                meta = resolve_table_metadata(files)
+                plan = scan_plan_with_specs(
+                    files,
+                    snapshot_id=meta["current_snapshot_id"],
+                    partition_eq={"lang": "en"},
+                    partition_specs=meta["partition_specs"])
+                n_rows_en = 0
+                val_sum = 0
+                for df in plan["candidates"]:
+                    data = read_flat_parquet(
+                        files[df["file_path"]])
+                    for v, lg in zip(data["val"], data["lang"]):
+                        if lg == "en":
+                            n_rows_en += 1
+                            val_sum += v
+                ok = (plan["n_total"] == 5
+                      and len(plan["candidates"]) == 3
+                      and plan["n_unprunable_old_spec"] == 2
+                      and meta["default_spec_id"] == 1)
+                out["doc_id"].append(d)
+                out["ok"].append(bool(ok))
+                out["n_total"].append(plan["n_total"])
+                out["n_candidates"].append(
+                    len(plan["candidates"]))
+                out["n_old_spec"].append(
+                    plan["n_unprunable_old_spec"])
+                out["n_rows_en"].append(n_rows_en)
+                out["val_sum"].append(val_sum)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_total long, "
+                "n_candidates long, n_old_spec long, "
+                "n_rows_en long, val_sum long"),
+    )

@@ -540,3 +540,80 @@ def test_scan_plan_v2_bounds_pruning():
         "data/c.parquet"]
     # no ranges: everything is a candidate
     assert len(scan_plan_v2(files)["candidates"]) == 3
+
+
+def test_partition_spec_evolution_pruning():
+    """Spec-aware pruning: an equality predicate on a partition
+    column prunes only entries in manifests whose spec identity-
+    includes it; old-spec files are kept (their tuple can't speak)
+    and null partition values may not prune."""
+    from health_monitor_cc_flink_spark.sources.avro_ocf import (
+        write_ocf,
+    )
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        MANIFEST_ENTRY_SCHEMA_V2,
+        MANIFEST_LIST_SCHEMA_V2,
+        STATUS_ADDED,
+        build_table_metadata,
+        resolve_table_metadata,
+        scan_plan_with_specs,
+    )
+
+    def entry(path, lang):
+        return {"status": STATUS_ADDED, "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0, "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": lang},
+                    "record_count": 1, "file_size_in_bytes": 1,
+                    "equality_ids": None}}
+
+    files: dict[str, bytes] = {}
+    m0 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2,
+                   [entry("old-0.parquet", None),
+                    entry("old-1.parquet", None)], sync_seed=1)
+    m1 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2,
+                   [entry("new-en.parquet", "en"),
+                    entry("new-de.parquet", "de"),
+                    entry("new-null.parquet", None)], sync_seed=2)
+    files["metadata/m0.avro"] = m0
+    files["metadata/m1.avro"] = m1
+    files["metadata/snap-1.avro"] = write_ocf(
+        MANIFEST_LIST_SCHEMA_V2, [
+            {"manifest_path": "metadata/m0.avro",
+             "manifest_length": len(m0), "partition_spec_id": 0,
+             "content": 0, "sequence_number": 1,
+             "added_snapshot_id": 1, "added_files_count": None,
+             "existing_files_count": None,
+             "deleted_files_count": None},
+            {"manifest_path": "metadata/m1.avro",
+             "manifest_length": len(m1), "partition_spec_id": 1,
+             "content": 0, "sequence_number": 2,
+             "added_snapshot_id": 1, "added_files_count": None,
+             "existing_files_count": None,
+             "deleted_files_count": None},
+        ], sync_seed=3)
+    files["metadata/v1.metadata.json"] = build_table_metadata(
+        {1: "metadata/snap-1.avro"}, 1,
+        partition_specs=[
+            {"spec-id": 0, "fields": []},
+            {"spec-id": 1, "fields": [
+                {"name": "lang", "transform": "identity",
+                 "source-id": 3, "field-id": 1000}]},
+        ], default_spec_id=1)
+    meta = resolve_table_metadata(files)
+    assert meta["partition_specs"] == {0: set(), 1: {"lang"}}
+    plan = scan_plan_with_specs(
+        files, partition_eq={"lang": "en"},
+        partition_specs=meta["partition_specs"])
+    got = sorted(d["file_path"] for d in plan["candidates"])
+    # old-spec files kept, new de pruned, new null kept
+    assert got == ["new-en.parquet", "new-null.parquet",
+                   "old-0.parquet", "old-1.parquet"]
+    assert plan["n_skipped"] == 1
+    assert plan["n_unprunable_old_spec"] == 2
+    import pytest as _pt
+    with _pt.raises(ValueError):  # unknown spec id is loud
+        scan_plan_with_specs(files, partition_eq={"lang": "en"},
+                             partition_specs={0: set()})
