@@ -21391,3 +21391,327 @@ def lake_iceberg_partition_evolution(spark, sf_dir):
                 "n_candidates long, n_old_spec long, "
                 "n_rows_en long, val_sum long"),
     )
+
+
+@query(
+    "streaming_delta_sink_cdf_roundtrip",
+    """
+    WITH s AS (SELECT event_id, event_id % 4 AS bucket,
+                      (event_id % 3 = 0) AS upd,
+                      (event_id % 11 = 5) AS del,
+                      CASE WHEN event_id % 3 = 0
+                           THEN 15 * event_id
+                           ELSE 3 * event_id END AS val
+               FROM events)
+    SELECT CAST(bucket AS BIGINT) AS bucket, TRUE AS ok,
+           CAST(count(*) FILTER (WHERE NOT del) AS BIGINT)
+               AS n_live,
+           CAST(sum(val) FILTER (WHERE NOT del) AS BIGINT)
+               AS sum_val,
+           CAST(count(*) AS BIGINT) AS n_insert,
+           CAST(count(*) FILTER (WHERE upd) AS BIGINT) AS n_update,
+           CAST(count(*) FILTER (WHERE del) AS BIGINT) AS n_delete
+    FROM s GROUP BY bucket
+    """,
+    doc="Streaming Delta sink with CHANGE DATA FEED, write AND "
+    "consume, under the hash gate: the events stream drains through "
+    "foreachBatch into bucket-partitioned base files (own writer, "
+    "executor-side; insert-era commits carry no cdc actions so CDF "
+    "DERIVES their inserts), then an UPDATE commit rewrites every "
+    "file (val x5 for event_id%3==0) writing explicit _change_data "
+    "pre/postimage files alongside the remove+add, and a DELETE "
+    "commit drops event_id%11==5 rows with cdc delete files.  The "
+    "replay runs BOTH consumers per bucket executor-side: the "
+    "direct scan of the final live files, and an INCREMENTAL MIRROR "
+    "built purely from read_cdf over all versions (insert -> put, "
+    "postimage -> overwrite, delete -> drop); `ok` certifies "
+    "mirror == direct row-for-row — the downstream-sync equivalence "
+    "CDF exists to provide — and the gated aggregates come from the "
+    "MIRROR, so a double-derived update (cdc present but add also "
+    "counted), a missed preimage, or a stale mirror row breaks the "
+    "hash.  Scale: change files ride with their commits; the mirror "
+    "consumer reads O(changes), never O(table) — one bucket per "
+    "task.",
+    bench=True,
+)
+def streaming_delta_sink_cdf_roundtrip(spark, sf_dir):
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    from .registry import _warehouse_path
+    from .sources.testdata import events_stream
+    from .streaming.sinks import delta_append_commit
+
+    table_dir = _warehouse_path(sf_dir, "delta_cdf_sink")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    state = {"version": -1}
+
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 4).alias("bucket"))
+
+    def write_batch(df, epoch_id):
+        def write_part(batches):
+            import pandas as pd
+
+            from health_monitor_cc_flink_spark.operators \
+                .parquet_write import write_parquet
+
+            by_bucket: dict[int, list[int]] = {}
+            for pdf in batches:
+                for e, g in zip(pdf["event_id"], pdf["bucket"]):
+                    by_bucket.setdefault(int(g), []).append(int(e))
+            out = {"bucket": [], "path": [], "n": [], "size": []}
+            for g, ids in by_bucket.items():
+                ids.sort()
+                name = f"bucket={g}/part-{uuid.uuid4().hex[:12]}.parquet"
+                os.makedirs(os.path.join(table_dir, f"bucket={g}"),
+                            exist_ok=True)
+                blob = write_parquet([
+                    ("event_id", "INT64", ids),
+                    ("val", "INT64", [3 * e for e in ids])])
+                with open(os.path.join(table_dir, name), "wb") as f:
+                    f.write(blob)
+                out["bucket"].append(g)
+                out["path"].append(name)
+                out["n"].append(len(ids))
+                out["size"].append(len(blob))
+            yield pd.DataFrame(out)
+
+        import pandas as pd  # noqa: F401  (executor import above)
+
+        census = df.repartition(8, "bucket").mapInPandas(
+            write_part,
+            schema="bucket long, path string, n long, size long"
+        ).collect()
+        if not census:
+            return
+        actions = [{"add": {
+            "path": r["path"], "size": int(r["size"]),
+            "partitionValues": {"bucket": str(int(r["bucket"]))},
+            "dataChange": True,
+            "stats": _json.dumps({"numRecords": int(r["n"])}),
+        }} for r in census]
+        state["version"] += 1
+        delta_append_commit(log_dir, state["version"], actions)
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "delta_cdf_ckpt")
+                 + uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if state["version"] < 0:
+        raise RuntimeError("cdf sink committed nothing")
+
+    def log_files() -> dict[int, list[dict]]:
+        from .operators.delta_log import parse_commit_filename
+
+        out: dict[int, list[dict]] = {}
+        for name in os.listdir(log_dir):
+            v = parse_commit_filename(name)
+            if v is None:
+                continue
+            with open(os.path.join(log_dir, name), "rb") as f:
+                out[v] = [_json.loads(line) for line in
+                          f.read().decode().splitlines() if line]
+        return out
+
+    from .operators.delta_log import replay_delta_log
+
+    # UPDATE commit: rewrite every live file (x5 for e%3==0) with
+    # explicit cdc pre/postimage files, executor-side
+    def mutate(kind: str):
+        snap = replay_delta_log(log_files())
+        rows = [(p, st["partition_values"]["bucket"])
+                for p, st in sorted(snap["live"].items())]
+        gdf = spark.createDataFrame(
+            rows, "path string, bucket string"
+        ).repartition(spark.sparkContext.defaultParallelism)
+
+        def work(batches, kind=kind):
+            import pandas as pd
+
+            from health_monitor_cc_flink_spark.operators.iceberg \
+                import read_flat_parquet
+            from health_monitor_cc_flink_spark.operators \
+                .parquet_write import write_parquet
+
+            for pdf in batches:
+                out = {"bucket": [], "old": [], "new": [],
+                       "cdc": [], "n": [], "size": [],
+                       "cdc_size": []}
+                for path, g in zip(pdf["path"], pdf["bucket"]):
+                    data = read_flat_parquet(
+                        open(os.path.join(table_dir, path),
+                             "rb").read())
+                    ids, vals = data["event_id"], data["val"]
+                    if kind == "update":
+                        touched = [(e, v, 5 * v) for e, v in
+                                   zip(ids, vals) if e % 3 == 0]
+                        new_rows = [(e, 5 * v if e % 3 == 0 else v)
+                                    for e, v in zip(ids, vals)]
+                        cdc_rows = (
+                            [(e, old, "update_preimage")
+                             for e, old, _ in touched]
+                            + [(e, new, "update_postimage")
+                               for e, _, new in touched])
+                    else:  # delete
+                        touched = [(e, v) for e, v in
+                                   zip(ids, vals) if e % 11 == 5]
+                        new_rows = [(e, v) for e, v in
+                                    zip(ids, vals) if e % 11 != 5]
+                        cdc_rows = [(e, v, "delete")
+                                    for e, v in touched]
+                    if not touched:
+                        continue
+                    tag = uuid.uuid4().hex[:12]
+                    new_name = f"bucket={g}/part-{tag}.parquet"
+                    blob = write_parquet([
+                        ("event_id", "INT64",
+                         [e for e, _ in new_rows]),
+                        ("val", "INT64",
+                         [v for _, v in new_rows])])
+                    with open(os.path.join(table_dir, new_name),
+                              "wb") as f:
+                        f.write(blob)
+                    cdc_name = (f"_change_data/bucket={g}/"
+                                f"cdc-{tag}.parquet")
+                    os.makedirs(os.path.join(
+                        table_dir, f"_change_data/bucket={g}"),
+                        exist_ok=True)
+                    cblob = write_parquet([
+                        ("event_id", "INT64",
+                         [e for e, _, _ in cdc_rows]),
+                        ("val", "INT64",
+                         [v for _, v, _ in cdc_rows]),
+                        ("_change_type", "STRING",
+                         [t for _, _, t in cdc_rows])])
+                    with open(os.path.join(table_dir, cdc_name),
+                              "wb") as f:
+                        f.write(cblob)
+                    out["bucket"].append(g)
+                    out["old"].append(path)
+                    out["new"].append(new_name)
+                    out["cdc"].append(cdc_name)
+                    out["n"].append(len(new_rows))
+                    out["size"].append(len(blob))
+                    out["cdc_size"].append(len(cblob))
+                yield pd.DataFrame(out)
+
+        census = gdf.mapInPandas(
+            work, schema=("bucket string, old string, new string, "
+                          "cdc string, n long, size long, "
+                          "cdc_size long")).collect()
+        actions = []
+        for r in census:
+            pv = {"bucket": r["bucket"]}
+            actions.append({"cdc": {
+                "path": r["cdc"], "partitionValues": pv,
+                "size": int(r["cdc_size"]), "dataChange": False}})
+            actions.append({"remove": {
+                "path": r["old"], "partitionValues": pv,
+                "dataChange": True}})
+            actions.append({"add": {
+                "path": r["new"], "size": int(r["size"]),
+                "partitionValues": pv, "dataChange": True,
+                "stats": _json.dumps({"numRecords": int(r["n"])}),
+            }})
+        state["version"] += 1
+        delta_append_commit(log_dir, state["version"], actions)
+
+    mutate("update")
+    mutate("delete")
+
+    # replay BOTH consumers per bucket, executor-side
+    final_version = state["version"]
+    buckets_df = spark.createDataFrame(
+        [(g,) for g in range(4)], "bucket long"
+    ).repartition(4)
+
+    def replay(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.delta_log \
+            import (parse_commit_filename, read_cdf,
+                    replay_delta_log)
+        from health_monitor_cc_flink_spark.operators.iceberg \
+            import read_flat_parquet
+
+        commits_all: dict[int, list[dict]] = {}
+        for name in os.listdir(log_dir):
+            v = parse_commit_filename(name)
+            if v is None:
+                continue
+            with open(os.path.join(log_dir, name), "rb") as f:
+                commits_all[v] = [
+                    _json.loads(line) for line in
+                    f.read().decode().splitlines() if line]
+
+        def rf(path):
+            return read_flat_parquet(
+                open(os.path.join(table_dir, path), "rb").read())
+
+        for pdf in batches:
+            out = {"bucket": [], "ok": [], "n_live": [],
+                   "sum_val": [], "n_insert": [], "n_update": [],
+                   "n_delete": []}
+            for g in pdf["bucket"]:
+                g = str(int(g))
+
+                def mine(action):
+                    for k in ("add", "remove", "cdc"):
+                        if k in action:
+                            return (action[k].get("partitionValues")
+                                    or {}).get("bucket") == g
+                    return False
+
+                commits = {v: [a for a in acts if mine(a)]
+                           for v, acts in commits_all.items()}
+                # incremental mirror from the change feed alone
+                mirror: dict[int, int] = {}
+                counts = {"insert": 0, "update_postimage": 0,
+                          "delete": 0}
+                for ch in read_cdf(commits, 0, final_version, rf):
+                    t = ch["change_type"]
+                    ids = ch["columns"]["event_id"]
+                    vals = ch["columns"]["val"]
+                    if t == "insert":
+                        for e, v in zip(ids, vals):
+                            mirror[e] = v
+                        counts["insert"] += len(ids)
+                    elif t == "update_postimage":
+                        for e, v in zip(ids, vals):
+                            mirror[e] = v
+                        counts["update_postimage"] += len(ids)
+                    elif t == "delete":
+                        for e in ids:
+                            mirror.pop(e, None)
+                        counts["delete"] += len(ids)
+                # direct scan of the final live files
+                direct: dict[int, int] = {}
+                snap = replay_delta_log(commits_all)
+                for p, st in snap["live"].items():
+                    if st["partition_values"]["bucket"] != g:
+                        continue
+                    data = rf(p)
+                    for e, v in zip(data["event_id"], data["val"]):
+                        direct[e] = v
+                out["bucket"].append(int(g))
+                out["ok"].append(mirror == direct)
+                out["n_live"].append(len(mirror))
+                out["sum_val"].append(sum(mirror.values()))
+                out["n_insert"].append(counts["insert"])
+                out["n_update"].append(counts["update_postimage"])
+                out["n_delete"].append(counts["delete"])
+            yield pd.DataFrame(out)
+
+    return buckets_df.mapInPandas(
+        replay,
+        schema=("bucket long, ok boolean, n_live long, "
+                "sum_val long, n_insert long, n_update long, "
+                "n_delete long"),
+    )
