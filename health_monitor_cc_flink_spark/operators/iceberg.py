@@ -904,3 +904,58 @@ def scan_plan_with_specs(files: dict[str, bytes], *,
     return {"candidates": candidates, "n_total": n_total,
             "n_skipped": n_total - len(candidates),
             "n_unprunable_old_spec": n_old}
+
+
+def expire_snapshots(files: dict[str, bytes],
+                     keep_ids: set[int]) -> dict:
+    """SNAPSHOT EXPIRY (table-spec maintenance; the metadata half of
+    what engines run as ``expireSnapshots``): write a new
+    vN+1.metadata.json containing only ``keep_ids`` and compute the
+    now-unreachable members — expired snapshots' manifest lists,
+    manifests referenced by no kept snapshot, and data files
+    referenced (under ANY status, including DELETED tombstone
+    entries — conservatism over reclaim) by no surviving manifest.
+    The current snapshot must be kept.  Returns {files: updated
+    dict (metadata added, orphans removed), deleted: sorted orphan
+    names, kept_snapshots, n_expired}."""
+    from ..sources.avro_ocf import read_ocf
+
+    meta = resolve_table_metadata(files)
+    if meta["current_snapshot_id"] not in keep_ids:
+        raise ValueError("cannot expire the current snapshot")
+    unknown = keep_ids - set(meta["snapshots"])
+    if unknown:
+        raise ValueError(f"unknown snapshot ids {sorted(unknown)}")
+
+    def reachable_of(snapshot_ids) -> set[str]:
+        out: set[str] = set()
+        for sid in snapshot_ids:
+            list_path = meta["snapshots"][sid]
+            out.add(list_path)
+            for mf in read_ocf(files[list_path])["records"]:
+                mpath = mf["manifest_path"]
+                out.add(mpath)
+                for e in read_ocf(files[mpath])["records"]:
+                    out.add(e["data_file"]["file_path"])
+        return out
+
+    kept_reach = reachable_of(sorted(keep_ids))
+    expired_ids = sorted(set(meta["snapshots"]) - keep_ids)
+    expired_reach = reachable_of(expired_ids)
+    orphans = sorted(p for p in expired_reach - kept_reach
+                     if p in files)
+    doc = json.loads(
+        files[f"metadata/v{meta['version']}.metadata.json"]
+        if f"metadata/v{meta['version']}.metadata.json" in files
+        else next(files[n] for n in files
+                  if n.endswith(f"v{meta['version']}.metadata.json"))
+    )
+    doc["snapshots"] = [s for s in doc.get("snapshots", [])
+                        if s.get("snapshot-id") in keep_ids]
+    new_files = {n: b for n, b in files.items() if n not in orphans}
+    new_version = meta["version"] + 1
+    new_files[f"metadata/v{new_version}.metadata.json"] = json.dumps(
+        doc, sort_keys=True, separators=(",", ":")).encode("utf-8")
+    return {"files": new_files, "deleted": orphans,
+            "kept_snapshots": sorted(keep_ids),
+            "n_expired": len(expired_ids)}

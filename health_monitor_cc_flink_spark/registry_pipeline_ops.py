@@ -21715,3 +21715,164 @@ def streaming_delta_sink_cdf_roundtrip(spark, sf_dir):
                 "sum_val long, n_insert long, n_update long, "
                 "n_delete long"),
     )
+
+
+@query(
+    "lake_iceberg_expire_snapshots",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 10 + 5 AS BIGINT) AS n
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           CAST(1 AS BIGINT) AS n_expired,
+           CAST(2 AS BIGINT) AS n_orphans,
+           TRUE AS tombstoned_file_survives,
+           CAST(2 AS BIGINT) AS reachable_snapshots,
+           CAST(3 * n AS BIGINT) AS live_rows,
+           CAST(800 * doc_id * n + 3 * n * (n - 1) / 2 AS BIGINT)
+               AS live_sum
+    FROM p
+    """,
+    doc="Iceberg SNAPSHOT EXPIRY under the hash gate (table-spec "
+    "maintenance — the metadata half of expireSnapshots): per "
+    "document a three-snapshot table is expired down to the latest "
+    "two; the new vN+1.metadata.json must drop exactly s1, the "
+    "orphan census must reclaim exactly s1's manifest list + its "
+    "manifest (2 members) while the file DELETED in s2 SURVIVES — "
+    "a surviving manifest's tombstone entry still references its "
+    "bytes, and over-eager reclaim there is the expiry bug that "
+    "corrupts time travel.  The post-expiry table re-resolves "
+    "(version bumped, 2 reachable snapshots) and the CURRENT "
+    "snapshot's full scan — planned and decoded from the expired "
+    "table's bytes — hashes against the closed form, certifying "
+    "expiry touched zero live data.  Scale: expiry is O(metadata) "
+    "reachability walking, no data movement — how 100 TB tables "
+    "keep their logs bounded.",
+)
+def lake_iceberg_expire_snapshots(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            MANIFEST_ENTRY_SCHEMA_V2,
+            MANIFEST_LIST_SCHEMA_V2,
+            STATUS_ADDED,
+            STATUS_DELETED,
+            STATUS_EXISTING,
+            build_table_metadata,
+            expire_snapshots,
+            read_flat_parquet,
+            resolve_table_metadata,
+            scan_plan_v2,
+        )
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+        from health_monitor_cc_flink_spark.sources.avro_ocf \
+            import write_ocf
+
+        def entry(path, status, nrec):
+            return {"status": status, "snapshot_id": None,
+                    "sequence_number": None,
+                    "data_file": {
+                        "content": 0, "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": {"lang": None},
+                        "record_count": nrec,
+                        "file_size_in_bytes": 1,
+                        "equality_ids": None}}
+
+        def mlist_entry(path, blob, seq):
+            return {"manifest_path": path,
+                    "manifest_length": len(blob),
+                    "partition_spec_id": 0, "content": 0,
+                    "sequence_number": seq,
+                    "added_snapshot_id": seq,
+                    "added_files_count": None,
+                    "existing_files_count": None,
+                    "deleted_files_count": None}
+
+        cols = ("n_expired", "n_orphans",
+                "tombstoned_file_survives", "reachable_snapshots",
+                "live_rows", "live_sum")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 10 + 5
+                files: dict[str, bytes] = {}
+                for i in range(4):
+                    files[f"data/f{i}.parquet"] = write_parquet(
+                        [("v", "INT64",
+                          [(i + 1) * 100 * d + r
+                           for r in range(n)])])
+                m1 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, [
+                    entry("data/f0.parquet", STATUS_ADDED, n),
+                    entry("data/f1.parquet", STATUS_ADDED, n),
+                ], sync_seed=d)
+                m2 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, [
+                    entry("data/f0.parquet", STATUS_EXISTING, n),
+                    entry("data/f1.parquet", STATUS_DELETED, n),
+                    entry("data/f2.parquet", STATUS_ADDED, n),
+                ], sync_seed=d + 1)
+                m3 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, [
+                    entry("data/f0.parquet", STATUS_EXISTING, n),
+                    entry("data/f2.parquet", STATUS_EXISTING, n),
+                    entry("data/f3.parquet", STATUS_ADDED, n),
+                ], sync_seed=d + 2)
+                files["metadata/m1.avro"] = m1
+                files["metadata/m2.avro"] = m2
+                files["metadata/m3.avro"] = m3
+                files["metadata/snap-1.avro"] = write_ocf(
+                    MANIFEST_LIST_SCHEMA_V2,
+                    [mlist_entry("metadata/m1.avro", m1, 1)],
+                    sync_seed=d + 3)
+                files["metadata/snap-2.avro"] = write_ocf(
+                    MANIFEST_LIST_SCHEMA_V2,
+                    [mlist_entry("metadata/m2.avro", m2, 2)],
+                    sync_seed=d + 4)
+                files["metadata/snap-3.avro"] = write_ocf(
+                    MANIFEST_LIST_SCHEMA_V2,
+                    [mlist_entry("metadata/m3.avro", m3, 3)],
+                    sync_seed=d + 5)
+                files["metadata/v1.metadata.json"] = \
+                    build_table_metadata(
+                        {1: "metadata/snap-1.avro",
+                         2: "metadata/snap-2.avro",
+                         3: "metadata/snap-3.avro"}, 3)
+                got = expire_snapshots(files, keep_ids={2, 3})
+                meta = resolve_table_metadata(got["files"])
+                plan = scan_plan_v2(got["files"], snapshot_id=3)
+                live_rows = 0
+                live_sum = 0
+                for df_ in plan["candidates"]:
+                    vals = read_flat_parquet(
+                        got["files"][df_["file_path"]])["v"]
+                    live_rows += len(vals)
+                    live_sum += sum(vals)
+                ok = (got["deleted"] == ["metadata/m1.avro",
+                                         "metadata/snap-1.avro"]
+                      and meta["version"] == 2
+                      and set(meta["snapshots"]) == {2, 3}
+                      and "data/f1.parquet" in got["files"])
+                out["doc_id"].append(d)
+                out["ok"].append(bool(ok))
+                out["n_expired"].append(got["n_expired"])
+                out["n_orphans"].append(len(got["deleted"]))
+                out["tombstoned_file_survives"].append(
+                    "data/f1.parquet" in got["files"])
+                out["reachable_snapshots"].append(
+                    len(meta["snapshots"]))
+                out["live_rows"].append(live_rows)
+                out["live_sum"].append(live_sum)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_expired long, "
+                "n_orphans long, tombstoned_file_survives boolean, "
+                "reachable_snapshots long, live_rows long, "
+                "live_sum long"),
+    )

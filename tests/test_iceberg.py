@@ -617,3 +617,78 @@ def test_partition_spec_evolution_pruning():
     with _pt.raises(ValueError):  # unknown spec id is loud
         scan_plan_with_specs(files, partition_eq={"lang": "en"},
                              partition_specs={0: set()})
+
+
+def test_expire_snapshots_metadata_and_orphans():
+    """Expiry keeps the current snapshot reachable and reclaims only
+    members no kept snapshot references — a data file still named by
+    a surviving manifest (even as a DELETED tombstone) survives."""
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        MANIFEST_ENTRY_SCHEMA_V2,
+        MANIFEST_LIST_SCHEMA_V2,
+        STATUS_ADDED,
+        STATUS_DELETED,
+        build_table_metadata,
+        expire_snapshots,
+        resolve_table_metadata,
+    )
+    from health_monitor_cc_flink_spark.sources.avro_ocf import (
+        write_ocf,
+    )
+
+    def entry(path, status):
+        return {"status": status, "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0, "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": 1, "file_size_in_bytes": 1,
+                    "equality_ids": None}}
+
+    def mlist_entry(path, blob, seq):
+        return {"manifest_path": path, "manifest_length": len(blob),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "added_snapshot_id": seq,
+                "added_files_count": None,
+                "existing_files_count": None,
+                "deleted_files_count": None}
+
+    files: dict[str, bytes] = {
+        "data/f0.parquet": b"A", "data/f1.parquet": b"B",
+        "data/f2.parquet": b"C"}
+    m1 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2,
+                   [entry("data/f0.parquet", STATUS_ADDED),
+                    entry("data/f1.parquet", STATUS_ADDED)],
+                   sync_seed=1)
+    m2 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2,
+                   [entry("data/f0.parquet", STATUS_ADDED),
+                    entry("data/f1.parquet", STATUS_DELETED),
+                    entry("data/f2.parquet", STATUS_ADDED)],
+                   sync_seed=2)
+    files["metadata/m1.avro"] = m1
+    files["metadata/m2.avro"] = m2
+    files["metadata/snap-1.avro"] = write_ocf(
+        MANIFEST_LIST_SCHEMA_V2,
+        [mlist_entry("metadata/m1.avro", m1, 1)], sync_seed=3)
+    files["metadata/snap-2.avro"] = write_ocf(
+        MANIFEST_LIST_SCHEMA_V2,
+        [mlist_entry("metadata/m2.avro", m2, 2)], sync_seed=4)
+    files["metadata/v1.metadata.json"] = build_table_metadata(
+        {1: "metadata/snap-1.avro", 2: "metadata/snap-2.avro"}, 2)
+
+    got = expire_snapshots(files, keep_ids={2})
+    assert got["n_expired"] == 1
+    # snap-1 + m1 reclaimed; f1 SURVIVES (m2's tombstone names it)
+    assert got["deleted"] == ["metadata/m1.avro",
+                              "metadata/snap-1.avro"]
+    assert "data/f1.parquet" in got["files"]
+    meta = resolve_table_metadata(got["files"])
+    assert meta["version"] == 2
+    assert set(meta["snapshots"]) == {2}
+    # guardrails: current snapshot unexpirable, unknown ids loud
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        expire_snapshots(files, keep_ids={1})
+    with _pt.raises(ValueError):
+        expire_snapshots(files, keep_ids={2, 9})
