@@ -203,12 +203,14 @@ def replay_delta_log(commits: dict[int, list[dict]],
                              "checkpoint")
         live = dict(base["live"])
         metadata = base.get("metadata")
+        protocol = base.get("protocol")
     else:
         versions = sorted(commits)
         if versions[0] != 0 or versions[-1] != len(versions) - 1:
             raise ValueError("delta log has version gaps")
         live = {}
         metadata = None
+        protocol = None
     n_adds = n_removes = 0
     for v in versions:
         for action in commits[v]:
@@ -232,13 +234,16 @@ def replay_delta_log(commits: dict[int, list[dict]],
                 n_removes += 1
             elif "metaData" in action:
                 metadata = action["metaData"]
-            # protocol / commitInfo / txn: carried, no file effect
+            elif "protocol" in action:
+                protocol = action["protocol"]
+            # commitInfo / txn: carried, no file effect
     return {
         "version": versions[-1] if versions else base_version,
         "live": live,
         "n_adds": n_adds,
         "n_removes": n_removes,
         "metadata": metadata,
+        "protocol": protocol,
     }
 
 
@@ -649,3 +654,36 @@ def read_cdf(commits: dict[int, list[dict]], lo: int, hi: int,
                     "version": v, "change_type": "delete",
                     "columns": read_file(a["remove"]["path"])})
     return out
+
+
+#: reader features THIS engine actually implements (DV replay since
+#: r13, column mapping since r15); anything else must refuse
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "columnMapping"})
+
+
+def check_read_protocol(protocol: dict | None) -> None:
+    """The protocol action's FORWARD-COMPATIBILITY contract
+    (PROTOCOL.md "Protocol Evolution"): a reader seeing
+    minReaderVersion 3 must understand EVERY listed readerFeature,
+    and must refuse any higher version outright — silently reading
+    a table whose features it doesn't implement returns wrong data
+    (unapplied deletion vectors, unmapped columns), which is
+    strictly worse than failing.  No protocol action means legacy
+    version 1."""
+    if protocol is None:
+        return
+    v = protocol.get("minReaderVersion", 1)
+    if v in (1, 2):
+        return
+    if v == 3:
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = sorted(feats - SUPPORTED_READER_FEATURES)
+        if unsupported:
+            raise ValueError(
+                f"unsupported Delta reader features {unsupported}; "
+                "refusing to read (unapplied features corrupt "
+                "results silently)")
+        return
+    raise ValueError(
+        f"unsupported Delta minReaderVersion {v}; refusing to read")

@@ -21876,3 +21876,122 @@ def lake_iceberg_expire_snapshots(spark, sf_dir):
                 "reachable_snapshots long, live_rows long, "
                 "live_sum long"),
     )
+
+
+@query(
+    "lake_delta_protocol_gate",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 15 + 5 AS BIGINT) AS n
+               FROM documents)
+    SELECT doc_id, TRUE AS ok,
+           TRUE AS supported_reads,
+           TRUE AS future_feature_refused,
+           TRUE AS future_version_refused,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(doc_id * 10 * n + n * (n - 1) / 2 AS BIGINT)
+               AS val_sum
+    FROM p
+    """,
+    doc="Delta PROTOCOL feature gating under the hash gate "
+    "(PROTOCOL.md 'Protocol Evolution' — correctness of REFUSAL): "
+    "per document three tables replay — one whose protocol lists "
+    "exactly the reader features this engine implements "
+    "(deletionVectors + columnMapping at minReaderVersion 3; it "
+    "must read normally and its aggregates gate), one listing an "
+    "unknown FUTURE readerFeature, and one at minReaderVersion 4 — "
+    "the latter two must refuse LOUDLY with zero rows surfaced, "
+    "because silently reading a table whose features you don't "
+    "implement returns wrong data (unapplied deletion vectors, "
+    "unmapped columns), strictly worse than failing.  The gate "
+    "certifies both refusals happened AND that the refusing tables "
+    "leaked nothing into the aggregates.  Scale: the check is one "
+    "protocol action per table — free insurance at any size.",
+)
+def lake_delta_protocol_gate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.delta_log \
+            import check_read_protocol, replay_delta_log
+        from health_monitor_cc_flink_spark.operators.iceberg \
+            import read_flat_parquet
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "supported_reads": [],
+                   "future_feature_refused": [],
+                   "future_version_refused": [], "n_rows": [],
+                   "val_sum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 15 + 5
+                blob = write_parquet([
+                    ("v", "INT64", [10 * d + r for r in range(n)])])
+
+                def commits(protocol):
+                    return {0: [
+                        {"protocol": protocol},
+                        {"add": {"path": "f0.parquet", "size": 1,
+                                 "partitionValues": {},
+                                 "dataChange": True,
+                                 "stats": _json.dumps(
+                                     {"numRecords": n})}},
+                    ]}
+
+                n_rows = val_sum = 0
+                supported = False
+                snap = replay_delta_log(commits(
+                    {"minReaderVersion": 3,
+                     "readerFeatures": ["deletionVectors",
+                                        "columnMapping"]}))
+                check_read_protocol(snap["protocol"])
+                for _p in snap["live"]:
+                    vals = read_flat_parquet(blob)["v"]
+                    n_rows += len(vals)
+                    val_sum += sum(vals)
+                supported = True
+
+                feature_refused = False
+                snap2 = replay_delta_log(commits(
+                    {"minReaderVersion": 3,
+                     "readerFeatures": ["futureCatFeature"]}))
+                try:
+                    check_read_protocol(snap2["protocol"])
+                except ValueError:
+                    feature_refused = True
+
+                version_refused = False
+                snap3 = replay_delta_log(commits(
+                    {"minReaderVersion": 4}))
+                try:
+                    check_read_protocol(snap3["protocol"])
+                except ValueError:
+                    version_refused = True
+
+                out["doc_id"].append(d)
+                out["ok"].append(bool(
+                    supported and feature_refused
+                    and version_refused))
+                out["supported_reads"].append(supported)
+                out["future_feature_refused"].append(
+                    feature_refused)
+                out["future_version_refused"].append(
+                    version_refused)
+                out["n_rows"].append(n_rows)
+                out["val_sum"].append(val_sum)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, supported_reads boolean, "
+                "future_feature_refused boolean, "
+                "future_version_refused boolean, n_rows long, "
+                "val_sum long"),
+    )

@@ -423,3 +423,31 @@ def test_read_cdf_explicit_and_derived():
     with pytest.raises(ValueError):
         read_cdf({0: [{"cdc": {"path": "f0"}}]}, 0, 0,
                  lambda p: store[p])
+
+
+def test_protocol_feature_gating():
+    """Forward-compat: supported feature sets pass, an unknown
+    readerFeature or a future minReaderVersion refuses LOUDLY."""
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        check_read_protocol,
+        replay_delta_log,
+    )
+
+    check_read_protocol(None)
+    check_read_protocol({"minReaderVersion": 1})
+    check_read_protocol({"minReaderVersion": 3,
+                         "readerFeatures": ["deletionVectors",
+                                            "columnMapping"]})
+    with pytest.raises(ValueError):
+        check_read_protocol({"minReaderVersion": 3,
+                             "readerFeatures": ["v2Checkpoint"]})
+    with pytest.raises(ValueError):
+        check_read_protocol({"minReaderVersion": 4})
+    # replay now CARRIES the protocol action
+    snap = replay_delta_log({0: [
+        {"protocol": {"minReaderVersion": 3,
+                      "readerFeatures": ["deletionVectors"]}},
+        {"add": {"path": "f0", "size": 1, "partitionValues": {},
+                 "dataChange": True}},
+    ]})
+    assert snap["protocol"]["minReaderVersion"] == 3
