@@ -34,6 +34,12 @@ MAX_FILES = 1 << 20
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$")
+#: V2 ("UUID-named") checkpoints, PROTOCOL.md "V2 Spec Checkpoints":
+#: <v>.checkpoint.<uuid>.{parquet,json} — a MANIFEST holding
+#: checkpointMetadata/protocol/metaData plus sidecar actions whose
+#: files (under _sidecars/) carry the add rows
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)$")
 
 
 def commit_filename(version: int) -> str:
@@ -91,6 +97,9 @@ def read_checkpoint_parquet(parts: list[bytes]) -> dict:
 
     live: dict[str, dict] = {}
     metadata: dict | None = None
+    protocol: dict | None = None
+    sidecars: list[dict] = []
+    checkpoint_metadata: dict | None = None
     n_actions = 0
     for data in parts:
         m = parse_footer(data)
@@ -138,7 +147,38 @@ def read_checkpoint_parquet(parts: list[bytes]) -> dict:
         dv_card = (col("add.deletionVector.cardinality")
                    or [None] * n)
         meta_id = col("metaData.id") or [None] * n
+        # protocol action: a checkpoint row whose protocol struct is
+        # non-null.  Dropping it (pre-r16) meant a checkpoint-seeded
+        # snapshot reported protocol None and check_read_protocol
+        # waved a features table through as "legacy v1" (ADVICE r15).
+        proto_v = col("protocol.minReaderVersion") or [None] * n
+        proto_w = col("protocol.minWriterVersion") or [None] * n
+        proto_rf = (col("protocol.readerFeatures.list.element")
+                    or [None] * n)
+        proto_wf = (col("protocol.writerFeatures.list.element")
+                    or [None] * n)
+        # V2 checkpoints (PROTOCOL.md "V2 Spec Checkpoints"): the
+        # manifest carries sidecar actions whose file bytes hold the
+        # add rows
+        sc_path = col("sidecar.path") or [None] * n
+        sc_size = col("sidecar.sizeInBytes") or [None] * n
+        ckm_v = col("checkpointMetadata.version") or [None] * n
         for i in range(n):
+            if ckm_v[i] is not None:
+                checkpoint_metadata = {"version": ckm_v[i]}
+            if proto_v[i] is not None:
+                protocol = {"minReaderVersion": proto_v[i]}
+                if proto_w[i] is not None:
+                    protocol["minWriterVersion"] = proto_w[i]
+                if proto_rf[i] is not None:
+                    protocol["readerFeatures"] = [
+                        _u(f) for f in proto_rf[i]]
+                if proto_wf[i] is not None:
+                    protocol["writerFeatures"] = [
+                        _u(f) for f in proto_wf[i]]
+            if sc_path[i] is not None:
+                sidecars.append({"path": _u(sc_path[i]),
+                                 "sizeInBytes": sc_size[i]})
             if add_path[i] is not None:
                 stats = json.loads(
                     (add_stats[i] or b"{}").decode("utf-8")
@@ -169,6 +209,8 @@ def read_checkpoint_parquet(parts: list[bytes]) -> dict:
             elif meta_id[i] is not None:
                 metadata = {"id": _u(meta_id[i])}
     return {"live": live, "metadata": metadata,
+            "protocol": protocol, "sidecars": sidecars,
+            "checkpoint_metadata": checkpoint_metadata,
             "n_actions": n_actions}
 
 
@@ -384,6 +426,49 @@ def write_checkpoint_parquet(snapshot: dict) -> tuple[bytes, int]:
     n = 2 + len(paths)  # protocol + metaData + adds
     G = GROUP_NULL
     meta_id = (snapshot.get("metadata") or {}).get("id") or "table"
+    cols = _protocol_cols(snapshot, n)
+    cols += [
+        ("metaData.id", "STRING",
+         [G, meta_id] + [G] * len(paths)),
+    ]
+    cols += _add_action_cols(paths, live, lead=2)
+    return write_parquet(cols), n
+
+
+def _protocol_cols(snapshot: dict, n: int) -> list[tuple]:
+    """protocol.* manifest columns for n total rows (row 0 is the
+    protocol action).  The snapshot's ACTUAL protocol rides along —
+    pre-r16 this hardcoded 1/2, silently downgrading a features
+    table on compaction; a checkpoint-seeded reader then carries it
+    through replay into check_read_protocol."""
+    from .parquet_write import GROUP_NULL as G
+
+    proto = snapshot.get("protocol") or {}
+    cols = [
+        ("protocol.minReaderVersion", "INT64",
+         [proto.get("minReaderVersion", 1)] + [G] * (n - 1)),
+        ("protocol.minWriterVersion", "INT64",
+         [proto.get("minWriterVersion", 2)] + [G] * (n - 1)),
+    ]
+    if proto.get("readerFeatures") is not None:
+        cols.append(("protocol.readerFeatures", "LIST_STRING",
+                     [sorted(proto["readerFeatures"])]
+                     + [G] * (n - 1)))
+    if proto.get("writerFeatures") is not None:
+        cols.append(("protocol.writerFeatures", "LIST_STRING",
+                     [sorted(proto["writerFeatures"])]
+                     + [G] * (n - 1)))
+    return cols
+
+
+def _add_action_cols(paths: list[str], live: dict,
+                     lead: int = 0) -> list[tuple]:
+    """add.* checkpoint columns for ``paths`` preceded by ``lead``
+    non-add rows (GroupNull at the add struct)."""
+    from .parquet_write import GROUP_NULL, GroupNull
+
+    G = GROUP_NULL
+    pre = [G] * lead
 
     def dv_col(field):
         out = []
@@ -397,17 +482,11 @@ def write_checkpoint_parquet(snapshot: dict) -> tuple[bytes, int]:
 
     has_dv = any(live[p].get("deletion_vector") for p in paths)
     cols = [
-        ("protocol.minReaderVersion", "INT64",
-         [1] + [G] * (n - 1)),
-        ("protocol.minWriterVersion", "INT64",
-         [2] + [G] * (n - 1)),
-        ("metaData.id", "STRING",
-         [G, meta_id] + [G] * len(paths)),
-        ("add.path", "STRING", [G, G] + paths),
+        ("add.path", "STRING", pre + paths),
         ("add.size", "INT64",
-         [G, G] + [live[p].get("size") for p in paths]),
+         pre + [live[p].get("size") for p in paths]),
         ("add.stats", "STRING",
-         [G, G] + [
+         pre + [
              json.dumps(live[p]["stats"], sort_keys=True,
                         separators=(",", ":"))
              if live[p].get("stats")
@@ -420,17 +499,75 @@ def write_checkpoint_parquet(snapshot: dict) -> tuple[bytes, int]:
     if has_dv:
         cols += [
             ("add.deletionVector.storageType", "STRING",
-             [G, G] + dv_col("storageType")),
+             pre + dv_col("storageType")),
             ("add.deletionVector.pathOrInlineDv", "STRING",
-             [G, G] + dv_col("pathOrInlineDv")),
+             pre + dv_col("pathOrInlineDv")),
             ("add.deletionVector.offset", "INT64",
-             [G, G] + dv_col("offset")),
+             pre + dv_col("offset")),
             ("add.deletionVector.sizeInBytes", "INT64",
-             [G, G] + dv_col("sizeInBytes")),
+             pre + dv_col("sizeInBytes")),
             ("add.deletionVector.cardinality", "INT64",
-             [G, G] + dv_col("cardinality")),
+             pre + dv_col("cardinality")),
         ]
-    return write_parquet(cols), n
+    return cols
+
+
+def write_checkpoint_v2(snapshot: dict, uuid: str,
+                        n_sidecars: int = 2) -> dict[str, bytes]:
+    """V2 ("UUID-named") checkpoint writer, PROTOCOL.md "V2 Spec
+    Checkpoints": the checkpoint splits into a MANIFEST
+    (``<v>.checkpoint.<uuid>.parquet`` — checkpointMetadata,
+    protocol, metaData and one ``sidecar`` action per sidecar file)
+    plus sidecar parquets under ``_delta_log/_sidecars/`` carrying
+    the add rows round-robin.  At 100 TB the sidecar split is what
+    lets a cluster read the file census in PARALLEL — one task per
+    sidecar — instead of single-streaming one giant checkpoint.
+    Returns {relative filename: bytes} including
+    ``_last_checkpoint``."""
+    from .parquet_write import GROUP_NULL, write_parquet
+
+    live = snapshot["live"]
+    for entry in live.values():
+        if entry.get("partition_values"):
+            raise ValueError("checkpoint writer: partitioned table "
+                             "unsupported")
+    v = snapshot["version"]
+    G = GROUP_NULL
+    meta_id = (snapshot.get("metadata") or {}).get("id") or "table"
+    paths = sorted(live)
+    n_sidecars = max(1, min(n_sidecars, max(1, len(paths))))
+    shards = [paths[i::n_sidecars] for i in range(n_sidecars)]
+    out: dict[str, bytes] = {}
+    sidecar_names = []
+    n_actions = 0
+    for i, shard in enumerate(shards):
+        blob = write_parquet(_add_action_cols(shard, live))
+        name = f"{uuid}-{i:03d}.parquet"
+        out[f"_sidecars/{name}"] = blob
+        sidecar_names.append(name)
+        n_actions += len(shard)
+    # manifest rows: checkpointMetadata, protocol, metaData, sidecars
+    n = 3 + len(sidecar_names)
+    cols = [("checkpointMetadata.version", "INT64",
+             [v] + [G] * (n - 1))]
+    proto_cols = _protocol_cols(snapshot, n - 1)
+    cols += [(name, t, [G] + vals)
+             for name, t, vals in proto_cols]
+    cols += [
+        ("metaData.id", "STRING",
+         [G, G, meta_id] + [G] * len(sidecar_names)),
+        ("sidecar.path", "STRING",
+         [G, G, G] + sidecar_names),
+        ("sidecar.sizeInBytes", "INT64",
+         [G, G, G] + [len(out[f"_sidecars/{s}"])
+                      for s in sidecar_names]),
+    ]
+    out[f"{v:020d}.checkpoint.{uuid}.parquet"] = write_parquet(cols)
+    n_actions += n
+    out["_last_checkpoint"] = json.dumps(
+        {"version": v, "size": n_actions},
+        separators=(",", ":")).encode("utf-8")
+    return out
 
 
 def compact_delta_log(files: dict[str, bytes]) -> dict[str, bytes]:
@@ -487,6 +624,60 @@ def delta_history(commits: dict[int, list[dict]]) -> list[dict]:
     return out
 
 
+def read_checkpoint_json(blob: bytes) -> dict:
+    """A V2 checkpoint MANIFEST in its JSON form (the spec allows
+    either encoding): ndjson action lines, same result shape as
+    ``read_checkpoint_parquet``."""
+    live: dict[str, dict] = {}
+    metadata = protocol = checkpoint_metadata = None
+    sidecars: list[dict] = []
+    n_actions = 0
+    for line in blob.decode("utf-8").splitlines():
+        if not line.strip():
+            continue
+        action = json.loads(line)
+        if not isinstance(action, dict):
+            raise ValueError("checkpoint action is not an object")
+        n_actions += 1
+        if "add" in action:
+            a = action["add"]
+            stats = json.loads(a.get("stats") or "{}")
+            live[a["path"]] = {
+                "size": a.get("size"),
+                "partition_values": a.get("partitionValues") or {},
+                "num_records": stats.get("numRecords"),
+                "stats": stats or None,
+                "deletion_vector": a.get("deletionVector"),
+            }
+            if len(live) > MAX_FILES:
+                raise ValueError("delta live-file cap exceeded")
+        elif "metaData" in action:
+            metadata = action["metaData"]
+        elif "protocol" in action:
+            protocol = action["protocol"]
+        elif "sidecar" in action:
+            s = action["sidecar"]
+            sidecars.append({"path": s["path"],
+                             "sizeInBytes": s.get("sizeInBytes")})
+        elif "checkpointMetadata" in action:
+            checkpoint_metadata = action["checkpointMetadata"]
+        # remove: expired-file tombstone, not live state
+    return {"live": live, "metadata": metadata,
+            "protocol": protocol, "sidecars": sidecars,
+            "checkpoint_metadata": checkpoint_metadata,
+            "n_actions": n_actions}
+
+
+def _resolve_sidecar(files: dict[str, bytes], path: str) -> bytes:
+    """Sidecar paths are relative to ``_delta_log/_sidecars/``
+    (PROTOCOL.md); accept that member under any log-root prefix."""
+    suffix = "_sidecars/" + path
+    for full, blob in files.items():
+        if full == suffix or full.endswith("/" + suffix):
+            return blob
+    raise ValueError(f"missing sidecar file {path}")
+
+
 def parse_delta_log_files(files: dict[str, bytes]) -> dict:
     """{filename: bytes} (e.g. an untarred ``_delta_log/``) ->
     replayed snapshot; non-commit members ignored.
@@ -497,18 +688,62 @@ def parse_delta_log_files(files: dict[str, bytes]) -> dict:
     AFTER the checkpoint version replay; commits at or before it may
     have been VACUUMED (replay-from-zero would be impossible, and is
     O(all commits) even when possible).  Multi-part checkpoints
-    concatenate row-wise; a missing part raises."""
+    concatenate row-wise; a missing part raises.
+
+    V2 ("UUID-named") checkpoints (PROTOCOL.md "V2 Spec
+    Checkpoints", r16): a ``<v>.checkpoint.<uuid>.{parquet,json}``
+    MANIFEST at the referenced version is preferred over classic
+    parts; its checkpointMetadata.version must equal the filename
+    version, and its ``sidecar`` actions pull add rows from
+    ``_sidecars/<name>`` members.  After replay the snapshot's
+    protocol gates the read (check_read_protocol) BEFORE deletion
+    vectors resolve — pre-r16 only the dedicated protocol-gate query
+    enforced it (ADVICE r15)."""
     base = base_version = None
     names = {n.rsplit("/", 1)[-1]: n for n in files}
     if "_last_checkpoint" in names:
         lc = parse_last_checkpoint(files[names["_last_checkpoint"]])
         base_version = lc["version"]
+        v2_manifest = None
+        for short, full in names.items():
+            m = _CHECKPOINT_V2_RE.match(short)
+            if m and int(m.group(1)) == base_version:
+                v2_manifest = (files[full], m.group(3))
+                break
         parts_found: dict[int, tuple[int, bytes]] = {}
         for short, full in names.items():
             cp = parse_checkpoint_filename(short)
             if cp and cp[0] == base_version:
                 parts_found[cp[1]] = (cp[2], files[full])
-        if not parts_found:
+        if v2_manifest is not None:
+            blob, kind = v2_manifest
+            base = (read_checkpoint_parquet([blob])
+                    if kind == "parquet"
+                    else read_checkpoint_json(blob))
+            ckm = base.get("checkpoint_metadata")
+            if ckm is None or ckm.get("version") != base_version:
+                raise ValueError(
+                    "v2 checkpoint manifest lacks a matching "
+                    "checkpointMetadata.version")
+            for sc in base.get("sidecars") or []:
+                sc_blob = _resolve_sidecar(files, sc["path"])
+                if sc["sizeInBytes"] is not None \
+                        and len(sc_blob) != sc["sizeInBytes"]:
+                    raise ValueError(
+                        f"sidecar {sc['path']} size mismatch")
+                part = read_checkpoint_parquet([sc_blob])
+                dup = set(part["live"]) & set(base["live"])
+                if dup:
+                    raise ValueError(
+                        f"path in multiple sidecars: {sorted(dup)[0]}")
+                base["live"].update(part["live"])
+                base["n_actions"] += part["n_actions"]
+                if len(base["live"]) > MAX_FILES:
+                    raise ValueError("delta live-file cap exceeded")
+            if lc["size"] is not None \
+                    and base["n_actions"] != lc["size"]:
+                raise ValueError("_last_checkpoint size mismatch")
+        elif not parts_found:
             # _last_checkpoint is a HINT (delta protocol): with no
             # matching parquet, fall back to plain JSON replay —
             # which still raises if the early commits were vacuumed
@@ -536,6 +771,11 @@ def parse_delta_log_files(files: dict[str, bytes]) -> dict:
     snap = replay_delta_log(commits, base=base,
                             base_version=base_version)
     snap["checkpoint_version"] = base_version
+    # forward-compatibility gate ON THE READ PATH (ADVICE r15): a
+    # table advertising reader features this engine lacks must
+    # refuse here, not only in the dedicated protocol-gate query —
+    # silently unapplied features corrupt results
+    check_read_protocol(snap.get("protocol"))
     # merge-on-read: resolve each live file's deletion vector so the
     # snapshot reports ROW-ACCURATE live counts
     for entry in snap["live"].values():
@@ -659,7 +899,7 @@ def read_cdf(commits: dict[int, list[dict]], lo: int, hi: int,
 #: reader features THIS engine actually implements (DV replay since
 #: r13, column mapping since r15); anything else must refuse
 SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionVectors", "columnMapping"})
+    {"deletionVectors", "columnMapping", "v2Checkpoint"})
 
 
 def check_read_protocol(protocol: dict | None) -> None:

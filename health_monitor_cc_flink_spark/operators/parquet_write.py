@@ -562,11 +562,29 @@ def _schema_trie(columns: list[tuple[str, str, list]]) -> dict:
     prev_path: tuple = ()
     for name, ptype, _ in columns:
         if ptype in _LIST_TYPES:
-            if name in root["children"]:
+            # dotted names nest the LIST under optional struct
+            # groups, same positional contract as scalar leaves
+            # (the shape protocol.readerFeatures in Delta
+            # checkpoints needs)
+            parts = name.split(".")
+            cur = root
+            for depth, part in enumerate(parts[:-1]):
+                nxt = cur["children"].get(part)
+                if nxt is None:
+                    nxt = {"kind": "struct", "children": {}}
+                    cur["children"][part] = nxt
+                elif nxt["kind"] != "struct" \
+                        or prev_path[:depth + 1] != tuple(
+                            parts[:depth + 1]):
+                    raise ValueError(
+                        "group columns must be contiguous")
+                cur = nxt
+            leaf = parts[-1]
+            if leaf in cur["children"]:
                 raise ValueError(f"duplicate column {name}")
-            root["children"][name] = {
+            cur["children"][leaf] = {
                 "kind": "list", "ptype": _LIST_TYPES[ptype]}
-            prev_path = ()
+            prev_path = tuple(parts[:-1])
             continue
         if ptype in _MAPKEY_TYPES or ptype in _MAPVALUE_TYPES:
             top = name.split(".", 1)[0]
@@ -765,6 +783,11 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         # keys are REQUIRED inside the repeated group (max def 2)
         if is_map_key:
             max_def = 2
+        elif ptype in _LIST_TYPES:
+            # each ancestor struct adds one def level on top of the
+            # 3-level ladder (optional LIST group / repeated list /
+            # optional element)
+            max_def = name.count(".") + 3
         elif is_list:
             max_def = 3
         else:
@@ -800,15 +823,31 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         for start in range(0, gn, page_rows) or [0]:
             page = vals[start:start + page_rows]
             if is_list:
+                # base = number of ancestor struct groups; the
+                # ladder sits on top: null list -> base, empty ->
+                # base+1, null element -> max_def-1, present ->
+                # max_def.  GroupNull(k) marks a null ancestor.
+                base = max_def - 3 if ptype in _LIST_TYPES else 0
                 levels: list[int] = []
                 reps: list[int] = []
                 present = []
                 for row in page:
-                    if row is None:
+                    if row is GROUP_NULL and base > 0:
                         levels.append(0)
                         reps.append(0)
+                    elif isinstance(row, GroupNull) \
+                            and row is not GROUP_NULL:
+                        if row.level >= base:
+                            raise ValueError(
+                                f"GroupNull({row.level}) exceeds "
+                                f"list ancestor depth {base}")
+                        levels.append(row.level)
+                        reps.append(0)
+                    elif row is None or row is GROUP_NULL:
+                        levels.append(base)
+                        reps.append(0)
                     elif len(row) == 0:
-                        levels.append(1)
+                        levels.append(base + 1)
                         reps.append(0)
                     else:
                         for k, el in enumerate(row):
@@ -818,7 +857,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
                                     raise ValueError(
                                         "map keys are required; "
                                         "got a null key")
-                                levels.append(2)
+                                levels.append(max_def - 1)
                             else:
                                 levels.append(max_def)
                                 present.append(el)
@@ -1095,7 +1134,7 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             w.zigzag(e)           # PLAIN / RLE / RLE_DICTIONARY
         w.field(3, _CT_LIST)      # path_in_schema
         if c["ptype"] in _LIST_TYPES:
-            parts = [c["name"], "list", "element"]
+            parts = c["name"].split(".") + ["list", "element"]
         elif c["ptype"] in _MAPKEY_TYPES:
             parts = [c["name"].split(".", 1)[0], "key_value", "key"]
         elif c["ptype"] in _MAPVALUE_TYPES:

@@ -438,9 +438,12 @@ def test_protocol_feature_gating():
     check_read_protocol({"minReaderVersion": 3,
                          "readerFeatures": ["deletionVectors",
                                             "columnMapping"]})
+    # r16: v2Checkpoint flipped from refuse to read
+    check_read_protocol({"minReaderVersion": 3,
+                         "readerFeatures": ["v2Checkpoint"]})
     with pytest.raises(ValueError):
         check_read_protocol({"minReaderVersion": 3,
-                             "readerFeatures": ["v2Checkpoint"]})
+                             "readerFeatures": ["typeWidening"]})
     with pytest.raises(ValueError):
         check_read_protocol({"minReaderVersion": 4})
     # replay now CARRIES the protocol action
@@ -451,3 +454,123 @@ def test_protocol_feature_gating():
                  "dataChange": True}},
     ]})
     assert snap["protocol"]["minReaderVersion"] == 3
+
+
+def test_protocol_gate_wired_into_read_path():
+    """ADVICE r15 (medium): the gate must fire from
+    parse_delta_log_files itself — every consumer, not only the
+    dedicated gate query — and a checkpoint-seeded (vacuumed) log
+    must CARRY the protocol through the checkpoint parquet instead
+    of passing as 'legacy v1'."""
+    import json as _json
+
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        build_delta_log,
+        compact_delta_log,
+        parse_delta_log_files,
+    )
+
+    def table(features):
+        return build_delta_log({0: [
+            {"protocol": {"minReaderVersion": 3,
+                          "minWriterVersion": 7,
+                          "readerFeatures": features,
+                          "writerFeatures": features}},
+            {"metaData": {"id": "t"}},
+            {"add": {"path": "a.parquet", "size": 9,
+                     "stats": _json.dumps({"numRecords": 4})}},
+        ]})
+
+    # supported feature set reads fine
+    snap = parse_delta_log_files(table(["columnMapping"]))
+    assert snap["protocol"]["readerFeatures"] == ["columnMapping"]
+    # unsupported feature refuses FROM THE READ ENTRY POINT
+    with pytest.raises(ValueError, match="unsupported Delta reader"):
+        parse_delta_log_files(table(["typeWidening"]))
+    # checkpoint-seeded: compaction preserves the protocol (pre-r16
+    # it hardcoded 1/2) and the vacuumed table still refuses
+    compacted_ok = compact_delta_log(table(["columnMapping"]))
+    snap2 = parse_delta_log_files(compacted_ok)
+    assert snap2["protocol"]["minReaderVersion"] == 3
+    assert snap2["protocol"]["readerFeatures"] == ["columnMapping"]
+    assert snap2["protocol"]["writerFeatures"] == ["columnMapping"]
+    # build the bad compacted form by compacting a table whose
+    # feature WAS readable is impossible — so forge it: compact a
+    # good table, then recompact after swapping the protocol via the
+    # JSON commit route is equally impossible post-gate.  Instead
+    # verify the checkpoint itself carries arbitrary features by
+    # writing one directly from a snapshot dict.
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        checkpoint_filename,
+        write_checkpoint_parquet,
+    )
+    bad_snap = {
+        "version": 0,
+        "live": {"a.parquet": {"size": 9, "partition_values": {},
+                               "num_records": 4, "stats": None,
+                               "deletion_vector": None}},
+        "metadata": {"id": "t"},
+        "protocol": {"minReaderVersion": 3,
+                     "readerFeatures": ["typeWidening"]},
+    }
+    blob, n = write_checkpoint_parquet(bad_snap)
+    vacuumed = {
+        checkpoint_filename(0): blob,
+        "_last_checkpoint": _json.dumps(
+            {"version": 0, "size": n}).encode(),
+    }
+    with pytest.raises(ValueError, match="unsupported Delta reader"):
+        parse_delta_log_files(vacuumed)
+
+
+def test_v2_checkpoint_roundtrip():
+    """V2 (UUID-named, sidecar) checkpoints: write -> read parity
+    with the direct JSON replay, manifest version check, sidecar
+    size check, missing-sidecar refusal."""
+    import json as _json
+
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        build_delta_log,
+        parse_delta_log_files,
+        write_checkpoint_v2,
+    )
+
+    commits = {
+        0: [{"protocol": {"minReaderVersion": 3,
+                          "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
+            {"metaData": {"id": "tbl"}}] + [
+            {"add": {"path": f"part-{i}.parquet", "size": 10 + i,
+                     "stats": _json.dumps({"numRecords": i + 1})}}
+            for i in range(7)],
+        1: [{"remove": {"path": "part-0.parquet"}}],
+    }
+    direct = parse_delta_log_files(build_delta_log(commits))
+    uuid = "0f7d4a1e-9c2b-4d3e-8a5f-6b7c8d9e0f1a"
+    v2 = write_checkpoint_v2(direct, uuid, n_sidecars=3)
+    assert sum(1 for k in v2 if k.startswith("_sidecars/")) == 3
+    seeded = parse_delta_log_files(v2)
+    assert seeded["version"] == direct["version"]
+    assert seeded["protocol"] == direct["protocol"]
+    assert {p: e["num_records"] for p, e in seeded["live"].items()} \
+        == {p: e["num_records"] for p, e in direct["live"].items()}
+    # commits after the checkpoint still replay on top
+    extra = dict(v2)
+    extra.update(build_delta_log(
+        {2: [{"add": {"path": "part-9.parquet", "size": 99,
+                      "stats": _json.dumps({"numRecords": 5})}}]}))
+    snap3 = parse_delta_log_files(extra)
+    assert "part-9.parquet" in snap3["live"]
+    assert snap3["version"] == 2
+    # a missing sidecar refuses
+    broken = {k: v for k, v in v2.items()
+              if not k.endswith("-001.parquet")}
+    with pytest.raises(ValueError, match="missing sidecar"):
+        parse_delta_log_files(broken)
+    # a corrupted sidecar size refuses
+    tampered = dict(v2)
+    key = next(k for k in v2 if k.startswith("_sidecars/"))
+    tampered[key] = v2[key] + b"x"
+    with pytest.raises(ValueError, match="size mismatch"):
+        parse_delta_log_files(tampered)
