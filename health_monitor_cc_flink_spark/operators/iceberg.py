@@ -927,21 +927,38 @@ def expire_snapshots(files: dict[str, bytes],
     if unknown:
         raise ValueError(f"unknown snapshot ids {sorted(unknown)}")
 
-    def reachable_of(snapshot_ids) -> set[str]:
+    def reachable_of(snapshot_ids, required: bool) -> set[str]:
+        # ADVICE r15: a KEPT snapshot with a missing manifest
+        # list/manifest is corrupt -> the module's ValueError
+        # contract, not a bare KeyError; an EXPIRED snapshot's
+        # missing member (partially-expired log, hostile input) is
+        # already-reclaimed -> skip it, the expiry must not abort
         out: set[str] = set()
         for sid in snapshot_ids:
             list_path = meta["snapshots"][sid]
             out.add(list_path)
+            if list_path not in files:
+                if required:
+                    raise ValueError(
+                        f"kept snapshot {sid} is missing its "
+                        f"manifest list {list_path!r}")
+                continue
             for mf in read_ocf(files[list_path])["records"]:
                 mpath = mf["manifest_path"]
                 out.add(mpath)
+                if mpath not in files:
+                    if required:
+                        raise ValueError(
+                            f"kept snapshot {sid} is missing "
+                            f"manifest {mpath!r}")
+                    continue
                 for e in read_ocf(files[mpath])["records"]:
                     out.add(e["data_file"]["file_path"])
         return out
 
-    kept_reach = reachable_of(sorted(keep_ids))
+    kept_reach = reachable_of(sorted(keep_ids), required=True)
     expired_ids = sorted(set(meta["snapshots"]) - keep_ids)
-    expired_reach = reachable_of(expired_ids)
+    expired_reach = reachable_of(expired_ids, required=False)
     orphans = sorted(p for p in expired_reach - kept_reach
                      if p in files)
     doc = json.loads(

@@ -341,6 +341,15 @@ def _column_stats(kind: str, present: list, n_slots: int) -> bytes:
                + pb_sint64(3, sum(present)))
         out += pb_bytes(2, sub)  # IntegerStatistics
     elif kind in ("DOUBLE", "FLOAT") and present:
+        if kind == "FLOAT":
+            # the DATA stream stores float32-rounded values; stats
+            # computed on the original float64s can exclude the
+            # stored value (0.1 rounds UP in float32) and make a
+            # min/max-pruning reader skip matching rows (ADVICE r15)
+            import struct as _struct
+
+            present = [_struct.unpack("<f", _struct.pack("<f", v))[0]
+                       for v in present]
         sub = (pb_fixed64(1, min(present)) + pb_fixed64(2, max(present))
                + pb_fixed64(3, sum(present)))
         out += pb_bytes(3, sub)  # DoubleStatistics

@@ -14,10 +14,11 @@ The codec implements the public Avro 1.x binary encoding spec
 `sources.kafka.avro_schema_json` emits: record, string, int, long,
 float, double, boolean, and the timestamp-micros logical type (a long) —
 extended (for the Avro-OCF / Iceberg-manifest surface) with null,
-bytes, arrays, maps, and unions (encoded as zigzag branch index +
-value, per the same public spec).  Enums remain out of
-scope — nothing in the exercised schemas uses them; defaults power
-the r15 schema-resolution reader (decode_record_resolved).  Conformance is pinned by a test that decodes
+bytes, arrays, maps, unions (encoded as zigzag branch index +
+value, per the same public spec), and (r16) enums plus recursive
+named-type references; defaults, aliases and named-type union
+matching power the schema-resolution reader
+(decode_record_resolved).  Conformance is pinned by a test that decodes
 these bytes with the Java Avro library on Spark's classpath
 (tests/test_kafka_wire.py).
 """
@@ -94,7 +95,9 @@ def _is_date(sch) -> bool:
     )
 
 
-def _encode(sch, value, buf: io.BytesIO) -> None:
+def _encode(sch, value, buf: io.BytesIO,
+            env: dict | None = None) -> None:
+    sch = _deref(sch, env)
     if isinstance(sch, dict) and sch.get("type") == "record":
         for f in sch["fields"]:
             if f["name"] not in value and isinstance(
@@ -107,9 +110,9 @@ def _encode(sch, value, buf: io.BytesIO) -> None:
                 # Gating on the declared default keeps a typo'd
                 # field name a loud KeyError instead of a silent
                 # null (ADVICE r14).
-                _encode(f["type"], None, buf)
+                _encode(f["type"], None, buf, env)
                 continue
-            _encode(f["type"], value[f["name"]], buf)
+            _encode(f["type"], value[f["name"]], buf, env)
     elif _is_decimal(sch):
         import decimal as _dec
 
@@ -155,15 +158,23 @@ def _encode(sch, value, buf: io.BytesIO) -> None:
         raw = bytes(value)
         write_long(buf, len(raw))
         buf.write(raw)
+    elif isinstance(sch, dict) and sch.get("type") == "enum":
+        symbols = sch.get("symbols") or []
+        try:
+            write_long(buf, symbols.index(value))
+        except ValueError:
+            raise ValueError(
+                f"{value!r} is not a symbol of enum "
+                f"{sch.get('name')!r}") from None
     elif isinstance(sch, list):  # union: zigzag branch index + value
         branch = _union_branch(sch, value)
         write_long(buf, branch)
-        _encode(sch[branch], value, buf)
+        _encode(sch[branch], value, buf, env)
     elif isinstance(sch, dict) and sch.get("type") == "array":
         if value:
             write_long(buf, len(value))
             for item in value:
-                _encode(sch["items"], item, buf)
+                _encode(sch["items"], item, buf, env)
         write_long(buf, 0)
     elif isinstance(sch, dict) and sch.get("type") == "map":
         if value:
@@ -172,7 +183,7 @@ def _encode(sch, value, buf: io.BytesIO) -> None:
                 raw = k.encode("utf-8")
                 write_long(buf, len(raw))
                 buf.write(raw)
-                _encode(sch["values"], v, buf)
+                _encode(sch["values"], v, buf, env)
         write_long(buf, 0)
     else:
         raise TypeError(f"unsupported Avro schema node: {sch!r}")
@@ -189,9 +200,17 @@ def _union_branch(union: list, value) -> int:
     raise TypeError(f"no union branch for {value!r} in {union!r}")
 
 
-def _decode(sch, buf: io.BytesIO):
+def _decode(sch, buf: io.BytesIO, env: dict | None = None):
+    sch = _deref(sch, env)
     if isinstance(sch, dict) and sch.get("type") == "record":
-        return {f["name"]: _decode(f["type"], buf) for f in sch["fields"]}
+        return {f["name"]: _decode(f["type"], buf, env)
+                for f in sch["fields"]}
+    if isinstance(sch, dict) and sch.get("type") == "enum":
+        idx = read_long(buf)
+        symbols = sch.get("symbols") or []
+        if not 0 <= idx < len(symbols):
+            raise ValueError("avro enum index out of range")
+        return symbols[idx]
     if _is_ts_micros(sch):
         return read_long(buf)  # µs since epoch; caller casts
     if _is_decimal(sch):
@@ -237,7 +256,7 @@ def _decode(sch, buf: io.BytesIO):
         branch = read_long(buf)
         if not 0 <= branch < len(sch):
             raise ValueError("avro union branch out of range")
-        return _decode(sch[branch], buf)
+        return _decode(sch[branch], buf, env)
     if isinstance(sch, dict) and sch.get("type") == "array":
         out = []
         while True:
@@ -248,7 +267,7 @@ def _decode(sch, buf: io.BytesIO):
                 n = -n
                 read_long(buf)
             for _ in range(n):
-                out.append(_decode(sch["items"], buf))
+                out.append(_decode(sch["items"], buf, env))
     if isinstance(sch, dict) and sch.get("type") == "map":
         out = {}
         while True:
@@ -261,20 +280,26 @@ def _decode(sch, buf: io.BytesIO):
             for _ in range(n):
                 klen = read_long(buf)
                 k = buf.read(klen).decode("utf-8")
-                out[k] = _decode(sch["values"], buf)
+                out[k] = _decode(sch["values"], buf, env)
     raise TypeError(f"unsupported Avro schema node: {sch!r}")
 
 
 def encode_record(schema_json: str, record: dict) -> bytes:
     """Encode one record as Avro binary (no framing)."""
+    sch = json.loads(schema_json)
+    env: dict = {}
+    _register_names(sch, env)
     buf = io.BytesIO()
-    _encode(json.loads(schema_json), record, buf)
+    _encode(sch, record, buf, env)
     return buf.getvalue()
 
 
 def decode_record(schema_json: str, payload: bytes) -> dict:
     """Decode one Avro-binary record (no framing)."""
-    return _decode(json.loads(schema_json), io.BytesIO(payload))
+    sch = json.loads(schema_json)
+    env: dict = {}
+    _register_names(sch, env)
+    return _decode(sch, io.BytesIO(payload), env)
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +333,12 @@ _PROMOTIONS = {
     ("string", "bytes"), ("bytes", "string"),
 }
 
+_PRIMITIVES = frozenset(
+    {"null", "boolean", "int", "long", "float", "double",
+     "bytes", "string"})
+
+_NAMED_KINDS = ("record", "enum", "fixed")
+
 
 def _type_name(sch) -> str:
     if isinstance(sch, str):
@@ -317,24 +348,91 @@ def _type_name(sch) -> str:
     return sch.get("type", "")
 
 
-def _resolvable(w, r) -> bool:
+def _fullname(sch: dict, ns: str | None = None) -> str:
+    """Spec "Names": a dotted name is already full; otherwise the
+    schema's own namespace, else the ENCLOSING namespace, applies."""
+    name = sch["name"]
+    if "." in name:
+        return name
+    space = sch.get("namespace", ns)
+    return f"{space}.{name}" if space else name
+
+
+def _register_names(sch, env: dict, ns: str | None = None) -> None:
+    """Walk a schema and register every named type (record / enum /
+    fixed) under its fullname AND unqualified name, so later
+    REFERENCES by name ("type": "Node" — the recursive-schema form)
+    dereference.  First definition wins (the spec forbids
+    redefinition; tolerate identical re-walks)."""
+    if isinstance(sch, list):
+        for b in sch:
+            _register_names(b, env, ns)
+        return
+    if not isinstance(sch, dict):
+        return
+    t = sch.get("type")
+    if t in _NAMED_KINDS:
+        fn = _fullname(sch, ns)
+        env.setdefault(fn, sch)
+        env.setdefault(sch["name"], sch)
+        ns = fn.rsplit(".", 1)[0] if "." in fn else ns
+    if t == "record":
+        for f in sch.get("fields", []):
+            _register_names(f.get("type"), env, ns)
+    elif t == "array":
+        _register_names(sch.get("items"), env, ns)
+    elif t == "map":
+        _register_names(sch.get("values"), env, ns)
+
+
+def _deref(sch, env: dict | None):
+    """Resolve a by-name reference to its definition."""
+    if env and isinstance(sch, str) and sch not in _PRIMITIVES:
+        if sch not in env:
+            raise ValueError(f"undefined avro type reference {sch!r}")
+        return env[sch]
+    return sch
+
+
+def _names_match(w: dict, r: dict) -> bool:
+    """Spec "Schema Resolution": named types match when the
+    unqualified names are equal, OR the writer's name is among the
+    reader's aliases (the rename-compatibility hook)."""
+    wf, rf = _fullname(w), _fullname(r)
+    if wf == rf or wf.rsplit(".", 1)[-1] == rf.rsplit(".", 1)[-1]:
+        return True
+    aliases = r.get("aliases") or []
+    return wf in aliases or wf.rsplit(".", 1)[-1] in [
+        a.rsplit(".", 1)[-1] for a in aliases]
+
+
+def _resolvable(w, r, wenv: dict | None = None,
+                renv: dict | None = None) -> bool:
     """Can data written as ``w`` be read as ``r``?  (The branch-
     matching predicate union resolution needs; recursion happens in
     _resolve_decode itself.)"""
+    w = _deref(w, wenv)
+    r = _deref(r, renv)
     wn, rn = _type_name(w), _type_name(r)
     if isinstance(r, list) or isinstance(w, list):
         return True  # union resolution recurses per branch
     if wn == rn:
+        if wn in _NAMED_KINDS:
+            # ADVICE r15: kind equality alone mismatches a union
+            # with several record branches — the spec matches named
+            # types by name (or reader alias)
+            if not _names_match(w, r):
+                return False
         if wn == "fixed":
             return int(w.get("size", -1)) == int(r.get("size", -2))
         return True
     return (wn, rn) in _PROMOTIONS
 
 
-def _skip(sch, buf: io.BytesIO) -> None:
+def _skip(sch, buf: io.BytesIO, env: dict | None = None) -> None:
     """Consume one value of ``sch`` without materializing it —
     writer-only record fields cost a skip, never a decode."""
-    _decode(sch, buf)
+    _decode(sch, buf, env)
 
 
 def _default_value(f: dict):
@@ -351,40 +449,73 @@ def _default_value(f: dict):
     return d
 
 
-def _resolve_decode(w, r, buf: io.BytesIO):
+def _resolve_decode(w, r, buf: io.BytesIO,
+                    wenv: dict | None = None,
+                    renv: dict | None = None):
+    w = _deref(w, wenv)
+    r = _deref(r, renv)
     # writer union: branch index comes from the wire, then the
     # branch resolves against the reader schema
     if isinstance(w, list):
         branch = read_long(buf)
         if not 0 <= branch < len(w):
             raise ValueError("avro union branch out of range")
-        return _resolve_decode(w[branch], r, buf)
+        return _resolve_decode(w[branch], r, buf, wenv, renv)
     # reader union, writer not: first resolvable reader branch wins
     if isinstance(r, list):
         for rb in r:
-            if _resolvable(w, rb):
-                return _resolve_decode(w, rb, buf)
+            if _resolvable(w, rb, wenv, renv):
+                return _resolve_decode(w, rb, buf, wenv, renv)
         raise ValueError(
             f"writer type {_type_name(w)!r} matches no reader "
             "union branch")
     wn, rn = _type_name(w), _type_name(r)
     if wn == "record" and rn == "record":
+        if not _names_match(w, r):
+            raise ValueError(
+                f"writer record {_fullname(w)!r} does not match "
+                f"reader record {_fullname(r)!r} (no alias)")
         rfields = {f["name"]: f for f in r["fields"]}
+        # reader-side aliases let a field RENAME resolve: a writer
+        # field whose name appears in a reader field's aliases list
+        # decodes into the reader name (spec "Aliases")
+        for f in r["fields"]:
+            for a in f.get("aliases") or []:
+                rfields.setdefault(a, f)
         out = {}
         seen = set()
         for wf in w["fields"]:
             rf = rfields.get(wf["name"])
-            if rf is None:
-                _skip(wf["type"], buf)
+            if rf is None or rf["name"] in seen:
+                _skip(wf["type"], buf, wenv)
                 continue
-            out[wf["name"]] = _resolve_decode(
-                wf["type"], rf["type"], buf)
-            seen.add(wf["name"])
+            out[rf["name"]] = _resolve_decode(
+                wf["type"], rf["type"], buf, wenv, renv)
+            seen.add(rf["name"])
         for rf in r["fields"]:
             if rf["name"] not in seen:
                 out[rf["name"]] = _default_value(rf)
         # reader field ORDER (reordering is a legal evolution)
         return {f["name"]: out[f["name"]] for f in r["fields"]}
+    if wn == "enum" and rn == "enum":
+        if not _names_match(w, r):
+            raise ValueError(
+                f"writer enum {_fullname(w)!r} does not match "
+                f"reader enum {_fullname(r)!r} (no alias)")
+        idx = read_long(buf)
+        symbols = w.get("symbols") or []
+        if not 0 <= idx < len(symbols):
+            raise ValueError("avro enum index out of range")
+        sym = symbols[idx]
+        if sym in (r.get("symbols") or []):
+            return sym
+        # spec: unknown writer symbol takes the reader's enum
+        # default, else the resolution errors
+        if "default" in r:
+            return r["default"]
+        raise ValueError(
+            f"writer enum symbol {sym!r} absent from reader "
+            "and reader declares no default")
     if wn == "array" and rn == "array":
         out = []
         while True:
@@ -396,7 +527,7 @@ def _resolve_decode(w, r, buf: io.BytesIO):
                 read_long(buf)
             for _ in range(n):
                 out.append(_resolve_decode(
-                    w["items"], r["items"], buf))
+                    w["items"], r["items"], buf, wenv, renv))
     if wn == "map" and rn == "map":
         out = {}
         while True:
@@ -410,13 +541,13 @@ def _resolve_decode(w, r, buf: io.BytesIO):
                 klen = read_long(buf)
                 k = buf.read(klen).decode("utf-8")
                 out[k] = _resolve_decode(
-                    w["values"], r["values"], buf)
+                    w["values"], r["values"], buf, wenv, renv)
     if wn == rn:
-        return _decode(w, buf)
+        return _decode(w, buf, wenv)
     if (wn, rn) not in _PROMOTIONS:
         raise ValueError(
             f"cannot resolve writer {wn!r} as reader {rn!r}")
-    v = _decode(w, buf)
+    v = _decode(w, buf, wenv)
     if rn in ("float", "double"):
         return float(v)
     if rn == "bytes":
@@ -431,14 +562,21 @@ def decode_record_resolved(writer_schema_json: str,
                            payload: bytes) -> dict:
     """Decode ``payload`` (written with the writer schema) through
     an EVOLVED reader schema — field adds take reader defaults,
-    drops skip wire bytes, reorders follow the reader, and the
+    drops skip wire bytes, reorders follow the reader, renames
+    resolve through reader aliases (type- and field-level), and the
     spec's promotions (int->long->float->double, string<->bytes)
-    convert in place.  This is the resolution step every
-    schema-registry consumer runs on version upgrades."""
+    convert in place.  Recursive named-type references ("type":
+    "Node") dereference through per-side name environments.  This is
+    the resolution step every schema-registry consumer runs on
+    version upgrades."""
     w = json.loads(writer_schema_json)
     r = json.loads(reader_schema_json)
+    wenv: dict = {}
+    renv: dict = {}
+    _register_names(w, wenv)
+    _register_names(r, renv)
     buf = io.BytesIO(payload)
-    out = _resolve_decode(w, r, buf)
+    out = _resolve_decode(w, r, buf, wenv, renv)
     if buf.read(1):
         raise ValueError("trailing bytes after avro record")
     return out

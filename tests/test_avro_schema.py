@@ -4,6 +4,8 @@ path needs a broker + spark-avro, gated at runtime)."""
 
 import json
 
+import pytest
+
 from health_monitor_cc_flink_spark.schemas import HEALTH_EVENT_SCHEMA
 from health_monitor_cc_flink_spark.sources.kafka import avro_schema_json
 
@@ -154,3 +156,111 @@ def test_schema_resolution_evolution_matrix():
     blob3 = encode_record(w_d, {"a": 1.5})
     with pytest.raises(ValueError):
         decode_record_resolved(w_d, r_i, blob3)
+
+
+def test_union_named_branch_matching_and_aliases():
+    """ADVICE r15: a reader union with several record branches must
+    match by NAME (or reader alias), not first-record-wins; spec
+    'Schema Resolution' + 'Aliases'."""
+    from health_monitor_cc_flink_spark.sources.avro_codec import (
+        decode_record_resolved,
+        encode_record,
+    )
+
+    w = json.dumps({"type": "record", "name": "Env", "fields": [
+        {"name": "p", "type": {
+            "type": "record", "name": "B",
+            "fields": [{"name": "x", "type": "long"}]}}]})
+    r = json.dumps({"type": "record", "name": "Env", "fields": [
+        {"name": "p", "type": [
+            {"type": "record", "name": "A", "fields": [
+                {"name": "y", "type": "string", "default": "d"}]},
+            {"type": "record", "name": "B", "fields": [
+                {"name": "x", "type": "long"}]}]}]})
+    blob = encode_record(w, {"p": {"x": 42}})
+    # pre-fix this decoded against branch A (kind-only matching)
+    assert decode_record_resolved(w, r, blob) == {"p": {"x": 42}}
+
+    # type-level alias: renamed record still resolves
+    w2 = json.dumps({"type": "record", "name": "OldName",
+                     "fields": [{"name": "x", "type": "long"}]})
+    r2 = json.dumps({"type": "record", "name": "NewName",
+                     "aliases": ["OldName"],
+                     "fields": [{"name": "x", "type": "long"}]})
+    assert decode_record_resolved(
+        w2, r2, encode_record(w2, {"x": 5})) == {"x": 5}
+    # without the alias the mismatch is loud
+    r3 = json.dumps({"type": "record", "name": "NewName",
+                     "fields": [{"name": "x", "type": "long"}]})
+    with pytest.raises(ValueError):
+        decode_record_resolved(w2, r3, encode_record(w2, {"x": 5}))
+
+    # field-level alias: renamed field resolves into the reader name
+    w4 = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "old_field", "type": "long"},
+        {"name": "keep", "type": "string"}]})
+    r4 = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "new_field", "aliases": ["old_field"],
+         "type": "long"},
+        {"name": "keep", "type": "string"}]})
+    got = decode_record_resolved(
+        w4, r4, encode_record(w4, {"old_field": 7, "keep": "k"}))
+    assert got == {"new_field": 7, "keep": "k"}
+
+
+def test_recursive_named_types_and_enums():
+    """Recursive by-name references ('type': 'Node') and enum
+    encode/decode/resolution, incl. the reader enum default for an
+    unknown writer symbol (Avro spec resolution rules)."""
+    from health_monitor_cc_flink_spark.sources.avro_codec import (
+        decode_record,
+        decode_record_resolved,
+        encode_record,
+    )
+
+    node = json.dumps({"type": "record", "name": "Node", "fields": [
+        {"name": "v", "type": "long"},
+        {"name": "next", "type": ["null", "Node"],
+         "default": None}]})
+    rec = {"v": 1, "next": {"v": 2, "next": {"v": 3, "next": None}}}
+    assert decode_record(node, encode_record(node, rec)) == rec
+
+    # resolution walks the recursion: reader adds a defaulted field
+    # at every level
+    r_node = json.dumps({"type": "record", "name": "Node",
+                         "fields": [
+        {"name": "v", "type": "long"},
+        {"name": "tag", "type": "string", "default": "t"},
+        {"name": "next", "type": ["null", "Node"],
+         "default": None}]})
+    got = decode_record_resolved(node, r_node,
+                                 encode_record(node, rec))
+    assert got == {"v": 1, "tag": "t",
+                   "next": {"v": 2, "tag": "t",
+                            "next": {"v": 3, "tag": "t",
+                                     "next": None}}}
+
+    # enums: roundtrip + unknown-symbol -> reader default
+    esch = json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "Color",
+                               "symbols": ["RED", "GREEN"]}}]})
+    assert decode_record(
+        esch, encode_record(esch, {"c": "GREEN"})) == {"c": "GREEN"}
+    with pytest.raises(ValueError):
+        encode_record(esch, {"c": "MAUVE"})
+    w_e = json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "Color",
+                               "symbols": ["RED", "GREEN", "NEW"]}}]})
+    r_def = json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "Color",
+                               "symbols": ["RED", "GREEN", "OTHER"],
+                               "default": "OTHER"}}]})
+    assert decode_record_resolved(
+        w_e, r_def, encode_record(w_e, {"c": "NEW"})) == {
+            "c": "OTHER"}
+    r_nodef = json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "Color",
+                               "symbols": ["RED", "GREEN"]}}]})
+    with pytest.raises(ValueError):
+        decode_record_resolved(w_e, r_nodef,
+                               encode_record(w_e, {"c": "NEW"}))

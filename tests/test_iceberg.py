@@ -692,3 +692,78 @@ def test_expire_snapshots_metadata_and_orphans():
         expire_snapshots(files, keep_ids={1})
     with _pt.raises(ValueError):
         expire_snapshots(files, keep_ids={2, 9})
+
+
+def test_expire_snapshots_partially_expired_members():
+    """ADVICE r15: an EXPIRED snapshot whose manifest list/manifest
+    is already gone is treated as already-reclaimed (expiry
+    proceeds); a KEPT snapshot missing a member raises the module's
+    ValueError contract, never a bare KeyError."""
+    import pytest as _pt
+
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        MANIFEST_ENTRY_SCHEMA_V2,
+        MANIFEST_LIST_SCHEMA_V2,
+        STATUS_ADDED,
+        build_table_metadata,
+        expire_snapshots,
+    )
+    from health_monitor_cc_flink_spark.sources.avro_ocf import (
+        write_ocf,
+    )
+
+    def entry(path):
+        return {"status": STATUS_ADDED, "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0, "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": 1, "file_size_in_bytes": 1,
+                    "equality_ids": None}}
+
+    def mlist_entry(path, blob, seq):
+        return {"manifest_path": path, "manifest_length": len(blob),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "added_snapshot_id": seq,
+                "added_files_count": None,
+                "existing_files_count": None,
+                "deleted_files_count": None}
+
+    def build(drop=()):
+        files = {"data/f0.parquet": b"A", "data/f1.parquet": b"B"}
+        m1 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2,
+                       [entry("data/f0.parquet")], sync_seed=1)
+        m2 = write_ocf(MANIFEST_ENTRY_SCHEMA_V2,
+                       [entry("data/f1.parquet")], sync_seed=2)
+        files["metadata/m1.avro"] = m1
+        files["metadata/m2.avro"] = m2
+        files["metadata/snap-1.avro"] = write_ocf(
+            MANIFEST_LIST_SCHEMA_V2,
+            [mlist_entry("metadata/m1.avro", m1, 1)], sync_seed=3)
+        files["metadata/snap-2.avro"] = write_ocf(
+            MANIFEST_LIST_SCHEMA_V2,
+            [mlist_entry("metadata/m2.avro", m2, 2)], sync_seed=4)
+        files["metadata/v1.metadata.json"] = build_table_metadata(
+            {1: "metadata/snap-1.avro", 2: "metadata/snap-2.avro"},
+            2)
+        for d in drop:
+            del files[d]
+        return files
+
+    # expired snapshot's manifest list already gone -> proceeds
+    got = expire_snapshots(build(drop=("metadata/snap-1.avro",)),
+                           keep_ids={2})
+    assert got["n_expired"] == 1
+    assert got["deleted"] == []  # nothing reachable left to reclaim
+    # expired snapshot's manifest already gone -> list reclaimed
+    got2 = expire_snapshots(build(drop=("metadata/m1.avro",)),
+                            keep_ids={2})
+    assert got2["deleted"] == ["metadata/snap-1.avro"]
+    # a KEPT snapshot's missing member is corrupt -> ValueError
+    with _pt.raises(ValueError, match="missing its manifest list"):
+        expire_snapshots(build(drop=("metadata/snap-2.avro",)),
+                         keep_ids={2})
+    with _pt.raises(ValueError, match="missing manifest"):
+        expire_snapshots(build(drop=("metadata/m2.avro",)),
+                         keep_ids={2})

@@ -607,3 +607,32 @@ def test_typed_width_bounds_rejected():
                       ("INT", 1 << 31), ("DATE", 1 << 31)):
         with pytest.raises(ValueError):
             write_orc([("x", kind, [0, bad])])
+
+
+def test_float_stats_cover_stored_float32_values(tmp_path):
+    """ADVICE r15: FLOAT DoubleStatistics must be computed from the
+    float32-ROUNDED values the DATA stream stores — 0.1 rounds UP in
+    float32, so float64-based stats would record max < stored value
+    and a pruning reader could skip a matching row."""
+    import struct as _s
+
+    vals = [0.1, 0.2, 0.3, 1e-8, 3.3333333, None, 2.5]
+    stored = [None if v is None
+              else _s.unpack("<f", _s.pack("<f", v))[0] for v in vals]
+    blob = write_orc([("f", "FLOAT", vals)])
+    p = tmp_path / "f.orc"
+    p.write_bytes(blob)
+    from health_monitor_cc_flink_spark.operators.orc_meta import (
+        parse_orc_metadata,
+    )
+
+    st = parse_orc_metadata(p.read_bytes())[0][1]  # stripe 0, col f
+    present = [v for v in stored if v is not None]
+    assert st["min"] <= min(present)
+    assert st["max"] >= max(present)
+    # the float64-computed max would sit BELOW float32(0.1*k) cases;
+    # assert the exact equality with the stored domain
+    assert st["min"] == min(present)
+    assert st["max"] == max(present)
+    # pyarrow still reads every value exactly as stored
+    assert orc.read_table(p)["f"].to_pylist() == stored
