@@ -21995,3 +21995,140 @@ def lake_delta_protocol_gate(spark, sf_dir):
                 "future_version_refused boolean, n_rows long, "
                 "val_sum long"),
     )
+
+
+@query(
+    "lake_delta_v2_checkpoint_replay",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS BIGINT) AS k
+               FROM documents),
+    f AS (SELECT doc_id, k, j.j
+          FROM p, LATERAL unnest(generate_series(0, k)) AS j(j)
+          WHERE j.j = k OR NOT (j.j % 2 = 1 AND j.j <= k - 2))
+    SELECT doc_id, TRUE AS ok,
+           k AS version,
+           k - 1 AS checkpoint_version,
+           'part-' || j || '.parquet' AS path,
+           CAST(1000 + 17 * j AS BIGINT) AS size,
+           CAST(100 + j AS BIGINT) AS num_records,
+           CAST(k - (k - 1) // 2 + 1 AS BIGINT) AS n_live,
+           CAST(2 AS BIGINT) AS n_sidecars
+    FROM f
+    """,
+    doc="Delta V2 (UUID-named, sidecar) CHECKPOINTS under the hash "
+    "gate (PROTOCOL.md 'V2 Spec Checkpoints' — the format modern "
+    "Delta writers produce, which the r15 protocol gate could only "
+    "REFUSE): per document a features table (minReaderVersion 3, "
+    "readerFeatures [v2Checkpoint]) replays from JSON, serializes "
+    "through write_checkpoint_v2 into a manifest parquet "
+    "(checkpointMetadata / protocol incl. the readerFeatures LIST "
+    "nested under the protocol struct — the r16 writer extension — "
+    "/ metaData / sidecar actions) plus two _sidecars/ parquets "
+    "carrying the add rows round-robin, early commits vacuum away, "
+    "one fresh commit lands on top, and the seeded replay must "
+    "reproduce the direct replay's live census AND carry the "
+    "protocol through the checkpoint (the ADVICE-r15 gap: a "
+    "checkpoint-seeded table must not pass as legacy v1).  "
+    "Structural certificates: checkpointMetadata.version matches, "
+    "sidecar sizes verify, the protocol gate runs on the read path. "
+    " Scale: sidecars are what let a 1000-executor cluster read a "
+    "100 TB table's file census in PARALLEL — one task per sidecar "
+    "— instead of single-streaming one giant checkpoint; the "
+    "per-doc work here is the same O(live files) metadata path.",
+    bench=True,
+)
+def lake_delta_v2_checkpoint_replay(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import hashlib as _hl
+        import json as _json
+
+        import pandas as pd
+
+        from .operators.delta_log import (
+            build_delta_log,
+            parse_delta_log_files,
+            write_checkpoint_v2,
+        )
+
+        cols = ("version", "checkpoint_version", "path", "size",
+                "num_records", "n_live", "n_sidecars")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = d % 4 + 2
+                commits = {}
+                for j in range(k):
+                    actions = []
+                    if j == 0:
+                        actions.append({"protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["v2Checkpoint"],
+                            "writerFeatures": ["v2Checkpoint"]}})
+                        actions.append(
+                            {"metaData": {"id": f"tbl-{d}"}})
+                    actions.append({"add": {
+                        "path": f"part-{j}.parquet",
+                        "partitionValues": {},
+                        "size": 1000 + 17 * j,
+                        "stats": _json.dumps(
+                            {"numRecords": 100 + j})}})
+                    if j >= 2 and j % 2 == 0:
+                        actions.append({"remove": {
+                            "path": f"part-{j - 1}.parquet"}})
+                    commits[j] = actions
+                direct = parse_delta_log_files(
+                    build_delta_log(commits))
+                h = _hl.md5(f"v2ckpt-{d}".encode()).hexdigest()
+                uuid = (f"{h[:8]}-{h[8:12]}-{h[12:16]}-"
+                        f"{h[16:20]}-{h[20:32]}")
+                files = write_checkpoint_v2(direct, uuid,
+                                            n_sidecars=2)
+                # one fresh commit on top of the vacuumed log
+                files.update(build_delta_log({k: [{"add": {
+                    "path": f"part-{k}.parquet",
+                    "partitionValues": {},
+                    "size": 1000 + 17 * k,
+                    "stats": _json.dumps(
+                        {"numRecords": 100 + k})}}]}))
+                snap = parse_delta_log_files(files)
+                proto = snap["protocol"] or {}
+                seeded_census = {
+                    p: e["num_records"]
+                    for p, e in snap["live"].items()
+                    if p != f"part-{k}.parquet"}
+                direct_census = {p: e["num_records"]
+                                 for p, e in direct["live"].items()}
+                ok = (snap["checkpoint_version"] == k - 1
+                      and seeded_census == direct_census
+                      and proto.get("minReaderVersion") == 3
+                      and proto.get("readerFeatures")
+                      == ["v2Checkpoint"]
+                      and snap["metadata"] == {"id": f"tbl-{d}"})
+                n_sc = sum(1 for f in files
+                           if f.startswith("_sidecars/"))
+                for path in sorted(snap["live"]):
+                    f = snap["live"][path]
+                    out["doc_id"].append(d)
+                    out["ok"].append(bool(ok))
+                    out["version"].append(snap["version"])
+                    out["checkpoint_version"].append(
+                        snap["checkpoint_version"])
+                    out["path"].append(path)
+                    out["size"].append(f["size"])
+                    out["num_records"].append(f["num_records"])
+                    out["n_live"].append(len(snap["live"]))
+                    out["n_sidecars"].append(n_sc)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, version long, "
+                "checkpoint_version long, path string, size long, "
+                "num_records long, n_live long, n_sidecars long"),
+    )
