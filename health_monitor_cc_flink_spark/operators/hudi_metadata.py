@@ -1,0 +1,275 @@
+"""Hudi METADATA TABLE — the ``files`` index partition.
+
+At 100 TB, listing a lake table by walking object-store directories is
+the scaling wall: every query planner pays an O(files) LIST round-trip
+storm.  Hudi's answer (PUBLIC spec, hudi.apache.org "Metadata Table";
+layout shipped since 0.7) is an INTERNAL merge-on-read table under
+``.hoodie/metadata/`` whose ``files`` partition holds one record per
+data-table partition mapping filename -> {size, isDeleted}, plus the
+``__all_partitions__`` key listing the partitions themselves.  Every
+data-table commit appends a matching DELTACOMMIT to the metadata
+table's single ``files-0000`` file group as a log block — so the
+up-to-date listing is one file-group read (base + ordered log blocks,
+map-merged), not a directory walk.
+
+This module builds and reads that partition with the repo's OWN
+HoodieLogFormat machinery (``hudi_log.py``, r15) and Avro codec:
+
+* ``build_metadata_table`` — walk a data table's timeline (completed,
+  non-rolled-back instants ascending, exactly the visibility rules
+  ``reconstruct_table`` applies) and emit the metadata table members:
+  one log file + one deltacommit instant per data instant, records
+  Avro-encoded against the public HoodieMetadataRecord shape
+  (key / type / filesystemMetadata map).
+* ``read_metadata_listing`` — read the ``files-0000`` chain back and
+  MAP-MERGE the records (later blocks override per filename;
+  ``isDeleted`` drops — the metadata payload's merge is per-map-entry,
+  not whole-record replace) into {partition: {filename: size}}.
+
+The registry query certifies the metadata-table listing hash-matches
+the direct timeline walk — the exact invariant Hudi's
+``validateMetadataTable`` checks.
+
+Hostile input raises ``ValueError``.
+"""
+
+from __future__ import annotations
+
+import json
+
+from .hudi import (
+    COMPLETED,
+    MAX_INSTANTS,
+    _rolled_back_targets,
+    parse_instant_filename,
+)
+from .hudi_log import AVRO_DATA_BLOCK, read_log_file, write_avro_data_block
+
+#: public HoodieMetadataRecord field shape (HoodieMetadata.avsc):
+#: key + type + the filesystem-metadata map; the bloom-filter /
+#: column-stats fields of newer versions are additional union-null
+#: fields a reader may ignore
+METADATA_RECORD_SCHEMA = json.dumps({
+    "type": "record", "name": "HoodieMetadataRecord", "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {"name": "filesystemMetadata", "type": ["null", {
+            "type": "map", "values": {
+                "type": "record", "name": "HoodieMetadataFileInfo",
+                "fields": [
+                    {"name": "size", "type": "long"},
+                    {"name": "isDeleted", "type": "boolean"},
+                ]}}], "default": None},
+    ]})
+
+#: record types (MetadataPartitionType): 1 = partition list under
+#: the __all_partitions__ key, 2 = file listing keyed by partition
+TYPE_PARTITION_LIST = 1
+TYPE_FILE_LIST = 2
+
+ALL_PARTITIONS_KEY = "__all_partitions__"
+#: Hudi stores the empty (non-partitioned) relative path under "."
+NON_PARTITIONED_KEY = "."
+
+FILES_FILE_GROUP = "files-0000"
+
+
+def _completed_instants(files: dict[str, bytes]) -> list[dict]:
+    """Data-table timeline -> completed commit-like instants in
+    time order with rollback targets erased (the reader-visibility
+    rules reconstruct_table applies)."""
+    instants = []
+    for name, blob in files.items():
+        info = parse_instant_filename(name)
+        if info is None:
+            continue
+        info["blob"] = blob
+        instants.append(info)
+    if len(instants) > MAX_INSTANTS:
+        raise ValueError("hudi instant cap exceeded")
+    rolled_back = _rolled_back_targets(instants)
+    completed = sorted(
+        (i for i in instants if i["state"] == COMPLETED
+         and i["action"] in ("commit", "deltacommit",
+                             "replacecommit", "clean")
+         and i["time"] not in rolled_back),
+        key=lambda i: i["time"])
+    times = [i["time"] for i in completed]
+    if len(set(times)) != len(times):
+        raise ValueError("duplicate hudi instant times")
+    return completed
+
+
+def build_metadata_table(files: dict[str, bytes]) -> dict[str, bytes]:
+    """Data-table ``.hoodie/`` members -> metadata-table members:
+    ``.hoodie/metadata/files/`` log files (one per data instant,
+    appended to the ``files-0000`` group) plus the metadata table's
+    own ``.hoodie/metadata/.hoodie/<t>.deltacommit`` instants.
+
+    Per data instant the delta block records the instant's NEW files
+    (size from the write stat) and — for a replacecommit — the
+    replaced file groups' previous files as ``isDeleted`` entries,
+    so the merged listing equals the direct walk at every point in
+    the timeline (streaming-maintainable, never rebuilt from a full
+    listing)."""
+    completed = _completed_instants(files)
+    if not completed:
+        raise ValueError("hudi timeline has no completed commits")
+    out: dict[str, bytes] = {}
+    # running (partition, fileId) -> {filename: size} so a
+    # replacecommit can tombstone the files of the groups it drops
+    group_files: dict[tuple, dict[str, int]] = {}
+    seen_partitions: set[str] = set()
+    version = 1
+    for inst in completed:
+        try:
+            doc = json.loads(inst["blob"].decode("utf-8"))
+        except ValueError as exc:
+            raise ValueError("hudi commit json malformed") from exc
+        if not isinstance(doc, dict):
+            raise ValueError("hudi commit json malformed")
+        per_part: dict[str, dict[str, dict]] = {}
+        new_partitions: dict[str, dict] = {}
+        if inst["action"] == "clean":
+            # HoodieCleanMetadata: per-partition successDeleteFiles
+            # (old file-group versions the cleaner reclaimed) become
+            # isDeleted entries
+            for part, pm in (doc.get("partitionMetadata")
+                             or {}).items():
+                pkey = part or NON_PARTITIONED_KEY
+                for path in (pm or {}).get(
+                        "successDeleteFiles") or []:
+                    fname = str(path).rsplit("/", 1)[-1]
+                    per_part.setdefault(pkey, {})[fname] = {
+                        "size": 0, "isDeleted": True}
+                    for gfiles in group_files.values():
+                        gfiles.pop(fname, None)
+        for part, fids in (doc.get("partitionToReplaceFileIds")
+                           or {}).items():
+            pkey = part or NON_PARTITIONED_KEY
+            for fid in fids:
+                for fname, _sz in group_files.pop(
+                        (pkey, fid), {}).items():
+                    per_part.setdefault(pkey, {})[fname] = {
+                        "size": 0, "isDeleted": True}
+        for part, stats in (doc.get("partitionToWriteStats")
+                            or {}).items():
+            pkey = part or NON_PARTITIONED_KEY
+            if pkey not in seen_partitions:
+                seen_partitions.add(pkey)
+                new_partitions[pkey] = {"size": 0,
+                                        "isDeleted": False}
+            for st in stats:
+                fid = st.get("fileId")
+                path = st.get("path")
+                if not fid or not path:
+                    raise ValueError(
+                        "write stat missing fileId/path")
+                fname = path.rsplit("/", 1)[-1]
+                size = int(st.get("totalWriteBytes")
+                           or st.get("fileSizeInBytes") or 0)
+                per_part.setdefault(pkey, {})[fname] = {
+                    "size": size, "isDeleted": False}
+                group_files.setdefault((pkey, fid), {})[fname] = size
+        records = []
+        if new_partitions:
+            records.append({
+                "key": ALL_PARTITIONS_KEY,
+                "type": TYPE_PARTITION_LIST,
+                "filesystemMetadata": new_partitions,
+            })
+        for pkey in sorted(per_part):
+            records.append({
+                "key": pkey,
+                "type": TYPE_FILE_LIST,
+                "filesystemMetadata": per_part[pkey],
+            })
+        if not records:
+            continue
+        blob = write_avro_data_block(
+            METADATA_RECORD_SCHEMA, records, inst["time"])
+        log_name = (f".hoodie/metadata/files/.{FILES_FILE_GROUP}_"
+                    f"{completed[0]['time']}.log.{version}_0-1-0")
+        out[log_name] = blob
+        out[f".hoodie/metadata/.hoodie/{inst['time']}"
+            f".deltacommit"] = json.dumps(
+            {"operationType": "UPSERT",
+             "partitionToWriteStats": {"files": [{
+                 "fileId": FILES_FILE_GROUP,
+                 "path": log_name.rsplit("/", 1)[-1],
+                 "numWrites": len(records)}]}},
+            sort_keys=True, separators=(",", ":")).encode("utf-8")
+        version += 1
+    return out
+
+
+def read_metadata_listing(
+        metadata_files: dict[str, bytes]) -> dict:
+    """Metadata-table members -> {partitions: [..], files:
+    {partition: {filename: size}}} by reading the ``files-0000``
+    log chain in version order and MAP-MERGING the records: later
+    entries override per filename, ``isDeleted`` drops the file.
+    Only log files named by the metadata table's own COMPLETED
+    deltacommits participate (same reader rule as the data table —
+    an inflight append is invisible)."""
+    committed: set[str] = set()
+    for name, blob in metadata_files.items():
+        if "/metadata/.hoodie/" not in "/" + name:
+            continue
+        info = parse_instant_filename(name)
+        if info is None or info["state"] != COMPLETED:
+            continue
+        try:
+            doc = json.loads(blob.decode("utf-8"))
+        except ValueError as exc:
+            raise ValueError(
+                "metadata deltacommit json malformed") from exc
+        for stats in (doc.get("partitionToWriteStats")
+                      or {}).values():
+            for st in stats:
+                if st.get("path"):
+                    committed.add(st["path"])
+    chain = []
+    for name, blob in metadata_files.items():
+        short = name.rsplit("/", 1)[-1]
+        if "/metadata/files/" not in "/" + name \
+                or short not in committed:
+            continue
+        try:
+            version = int(short.split(".log.")[1].split("_")[0])
+        except (IndexError, ValueError) as exc:
+            raise ValueError(
+                f"bad metadata log name {short!r}") from exc
+        chain.append((version, blob))
+    partitions: set[str] = set()
+    listing: dict[str, dict[str, int]] = {}
+    for _, blob in sorted(chain, key=lambda t: t[0]):
+        for block in read_log_file(blob):
+            if block.get("type") != AVRO_DATA_BLOCK:
+                continue
+            for rec in block.get("records") or []:
+                fsmeta = rec.get("filesystemMetadata") or {}
+                if rec.get("key") == ALL_PARTITIONS_KEY:
+                    if rec.get("type") != TYPE_PARTITION_LIST:
+                        raise ValueError(
+                            "partition-list record mistyped")
+                    for p, info in fsmeta.items():
+                        if info.get("isDeleted"):
+                            partitions.discard(p)
+                        else:
+                            partitions.add(p)
+                    continue
+                if rec.get("type") != TYPE_FILE_LIST:
+                    raise ValueError(
+                        f"unknown metadata record type "
+                        f"{rec.get('type')!r}")
+                part = listing.setdefault(rec["key"], {})
+                for fname, info in fsmeta.items():
+                    if info.get("isDeleted"):
+                        part.pop(fname, None)
+                    else:
+                        part[fname] = int(info["size"])
+    return {
+        "partitions": sorted(partitions),
+        "files": {p: dict(v) for p, v in listing.items() if v},
+    }

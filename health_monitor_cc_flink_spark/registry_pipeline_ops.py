@@ -22132,3 +22132,117 @@ def lake_delta_v2_checkpoint_replay(spark, sf_dir):
                 "checkpoint_version long, path string, size long, "
                 "num_records long, n_live long, n_sidecars long"),
     )
+
+
+@query(
+    "lake_hudi_metadata_table_listing",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 3 + 2 AS BIGINT) AS k
+               FROM documents),
+    f AS (SELECT doc_id, k, j.j
+          FROM p, LATERAL unnest(generate_series(1, k)) AS j(j)
+          WHERE NOT (k >= 3 AND j.j = 1))
+    SELECT doc_id, TRUE AS ok,
+           'p=' || (j % 2) AS partition,
+           'f' || j || '_0-1-0_202608160000'
+               || lpad(CAST(j AS VARCHAR), 2, '0')
+               || '.parquet' AS filename,
+           CAST(100 * doc_id + 10 * j AS BIGINT) AS size,
+           CAST(k - CASE WHEN k >= 3 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_files,
+           CAST(2 AS BIGINT) AS n_partitions,
+           CAST(k AS BIGINT) AS n_instants
+    FROM f
+    """,
+    doc="Hudi METADATA TABLE (files index) under the hash gate "
+    "(public spec 'Metadata Table'; VERDICT r15 #5): per document a "
+    "data-table timeline (plain commits + a replacecommit dropping "
+    "a file group) BUILDS its .hoodie/metadata/files/ partition — "
+    "an internal MOR table whose files-0000 file group accrues one "
+    "HoodieLogFormat AVRO_DATA block per data instant (the r15 "
+    "hudi_log machinery re-used verbatim), records Avro-encoded in "
+    "the public HoodieMetadataRecord shape (key / type / "
+    "filesystemMetadata map) — and the LISTING READ BACK from the "
+    "log-chain map-merge must hash-match the direct timeline walk "
+    "(the oracle's closed form), with isDeleted tombstones erasing "
+    "replaced groups and uncommitted appends invisible.  The ok "
+    "certificate additionally demands every COW-live base file "
+    "appear in the listing (validateMetadataTable's containment "
+    "half).  Scale: THIS is the listing-scale path at 100 TB — the "
+    "planner reads ONE file group (base + ordered log blocks) "
+    "instead of paying an O(files) object-store LIST storm per "
+    "query; the listing is maintained incrementally per commit, "
+    "never rebuilt from a full walk.",
+    bench=True,
+)
+def lake_hudi_metadata_table_listing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import pandas as pd
+
+        from .operators.hudi import (
+            base_file_name,
+            build_commit,
+            reconstruct_table,
+        )
+        from .operators.hudi_metadata import (
+            build_metadata_table,
+            read_metadata_listing,
+        )
+
+        cols = ("partition", "filename", "size", "n_files",
+                "n_partitions", "n_instants")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = d % 3 + 2
+                tl: dict[str, bytes] = {}
+                for j in range(1, k + 1):
+                    t = f"202608160000{j:02d}"
+                    part = f"p={j % 2}"
+                    stats = {part: [{
+                        "fileId": f"f{j}",
+                        "path": f"{part}/"
+                        + base_file_name(f"f{j}", t),
+                        "numWrites": 10 + j,
+                        "totalWriteBytes": 100 * d + 10 * j}]}
+                    if j == k and k >= 3:
+                        tl[f".hoodie/{t}.replacecommit"] = \
+                            build_commit(stats,
+                                         replaced={"p=1": ["f1"]})
+                    else:
+                        tl[f".hoodie/{t}.commit"] = \
+                            build_commit(stats)
+                md = build_metadata_table(tl)
+                listing = read_metadata_listing(md)
+                flat = {(p, fn): sz
+                        for p, fs in listing["files"].items()
+                        for fn, sz in fs.items()}
+                snap = reconstruct_table(tl)
+                contained = all(
+                    (part, g["path"].rsplit("/", 1)[-1]) in flat
+                    for (part, _fid), g in snap["live"].items())
+                ok = (contained
+                      and listing["partitions"] == ["p=0", "p=1"])
+                for (part, fn) in sorted(flat):
+                    out["doc_id"].append(d)
+                    out["ok"].append(bool(ok))
+                    out["partition"].append(part)
+                    out["filename"].append(fn)
+                    out["size"].append(flat[(part, fn)])
+                    out["n_files"].append(len(flat))
+                    out["n_partitions"].append(
+                        len(listing["partitions"]))
+                    out["n_instants"].append(k)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, partition string, "
+                "filename string, size long, n_files long, "
+                "n_partitions long, n_instants long"),
+    )

@@ -1,0 +1,128 @@
+"""Hudi metadata table (files index): build from a timeline, read
+back by log-chain map-merge, parity with the direct walk."""
+
+import json
+
+import pytest
+
+from health_monitor_cc_flink_spark.operators.hudi import (
+    base_file_name,
+    build_commit,
+    reconstruct_table,
+)
+from health_monitor_cc_flink_spark.operators.hudi_metadata import (
+    build_metadata_table,
+    read_metadata_listing,
+)
+
+T = [f"2026081600000{i}" for i in range(1, 8)]
+
+
+def _timeline():
+    files = {}
+    files[f".hoodie/{T[0]}.commit"] = build_commit({
+        "lang=en": [{"fileId": "f1",
+                     "path": "lang=en/" + base_file_name("f1", T[0]),
+                     "numWrites": 10, "totalWriteBytes": 111}],
+        "lang=de": [{"fileId": "f2",
+                     "path": "lang=de/" + base_file_name("f2", T[0]),
+                     "numWrites": 5, "totalWriteBytes": 222}],
+    })
+    files[f".hoodie/{T[1]}.commit"] = build_commit({
+        "lang=en": [{"fileId": "f1",
+                     "path": "lang=en/" + base_file_name("f1", T[1]),
+                     "numWrites": 12, "totalWriteBytes": 150},
+                    {"fileId": "f3",
+                     "path": "lang=en/" + base_file_name("f3", T[1]),
+                     "numWrites": 7, "totalWriteBytes": 77}],
+    })
+    files[f".hoodie/{T[2]}.replacecommit"] = build_commit({
+        "lang=de": [{"fileId": "f4",
+                     "path": "lang=de/" + base_file_name("f4", T[2]),
+                     "numWrites": 5, "totalWriteBytes": 99}],
+    }, replaced={"lang=de": ["f2"]})
+    return files
+
+
+def test_listing_matches_direct_walk():
+    files = _timeline()
+    md = build_metadata_table(files)
+    # one metadata deltacommit + one log append per data instant
+    assert sum(1 for n in md if n.endswith(".deltacommit")) == 3
+    assert sum(1 for n in md if "/files/" in n) == 3
+    listing = read_metadata_listing(md)
+    assert listing["partitions"] == ["lang=de", "lang=en"]
+    # replaced group f2's base is tombstoned; BOTH f1 versions list
+    # (older versions exist on storage until cleaned)
+    assert listing["files"]["lang=de"] == {
+        base_file_name("f4", T[2]): 99}
+    assert listing["files"]["lang=en"] == {
+        base_file_name("f1", T[0]): 111,
+        base_file_name("f1", T[1]): 150,
+        base_file_name("f3", T[1]): 77,
+    }
+    # every COW-live base file appears in the listing (the
+    # validateMetadataTable containment half)
+    snap = reconstruct_table(files)
+    for (part, _fid), g in snap["live"].items():
+        fname = g["path"].rsplit("/", 1)[-1]
+        assert fname in listing["files"][part]
+
+
+def test_clean_and_rollback_visibility():
+    files = _timeline()
+    # clean reclaims the old f1 version
+    files[f".hoodie/{T[3]}.clean"] = json.dumps({
+        "partitionMetadata": {"lang=en": {
+            "successDeleteFiles": [
+                "lang=en/" + base_file_name("f1", T[0])]}},
+    }).encode()
+    # a rolled-back commit's files must never surface
+    files[f".hoodie/{T[4]}.commit"] = build_commit({
+        "lang=en": [{"fileId": "f9",
+                     "path": "lang=en/" + base_file_name("f9", T[4]),
+                     "numWrites": 1, "totalWriteBytes": 1}]})
+    files[f".hoodie/{T[5]}.rollback"] = json.dumps(
+        {"commitsRollback": [T[4]]}).encode()
+    # an INFLIGHT commit is invisible too
+    files[f".hoodie/{T[6]}.commit.inflight"] = b"{}"
+    listing = read_metadata_listing(build_metadata_table(files))
+    assert listing["files"]["lang=en"] == {
+        base_file_name("f1", T[1]): 150,
+        base_file_name("f3", T[1]): 77,
+    }
+    assert base_file_name("f9", T[4]) not in str(listing)
+
+
+def test_uncommitted_log_append_invisible():
+    """A metadata log file whose deltacommit is missing (crashed
+    writer) must not contribute to the listing — same visibility
+    rule as the data table."""
+    files = _timeline()
+    md = build_metadata_table(files)
+    last_dc = f".hoodie/metadata/.hoodie/{T[2]}.deltacommit"
+    orphaned = {n: b for n, b in md.items() if n != last_dc}
+    listing = read_metadata_listing(orphaned)
+    # the T3 replacecommit's block (f4 add + f2 tombstones) is
+    # uncommitted -> listing reflects T1+T2 only
+    assert listing["files"]["lang=de"] == {
+        base_file_name("f2", T[0]): 222}
+    assert base_file_name("f4", T[2]) not in str(listing)
+
+
+def test_hostile_inputs():
+    with pytest.raises(ValueError):
+        build_metadata_table({})
+    files = _timeline()
+    md = build_metadata_table(files)
+    # malformed metadata deltacommit json
+    bad = dict(md)
+    name = next(n for n in md if n.endswith(".deltacommit"))
+    bad[name] = b"not json"
+    with pytest.raises(ValueError):
+        read_metadata_listing(bad)
+    # malformed commit json on the data timeline
+    files2 = dict(files)
+    files2[f".hoodie/{T[3]}.commit"] = b"oops"
+    with pytest.raises(ValueError):
+        build_metadata_table(files2)
