@@ -163,6 +163,16 @@ MANIFEST_ENTRY_SCHEMA_V2 = json.dumps({
                              {"name": "key", "type": "int"},
                              {"name": "value", "type": "bytes"},
                          ]}}]},
+                # v3 DELETION VECTORS (table-spec v3 "Position
+                # Delete Files" + Puffin spec): a DV delete entry
+                # names the single data file it covers and the
+                # blob's [offset, size) inside its Puffin file
+                {"name": "referenced_data_file", "default": None,
+                 "type": ["null", "string"]},
+                {"name": "content_offset", "default": None,
+                 "type": ["null", "long"]},
+                {"name": "content_size_in_bytes", "default": None,
+                 "type": ["null", "long"]},
             ]}},
     ]})
 
@@ -375,6 +385,7 @@ def read_data_file(data: bytes, file_format: str) -> dict[str, list]:
 def build_snapshot_v2(manifests: list[list[dict]],
                       delete_files: list[list[tuple[str, int]]], *,
                       equality_deletes: list[tuple] = (),
+                      deletion_vectors: list[tuple] = (),
                       data_blobs: dict[str, bytes] | None = None,
                       snapshot_id: int = 1,
                       data_sequence_number: int | None = None,
@@ -447,7 +458,7 @@ def build_snapshot_v2(manifests: list[list[dict]],
                             sequence_number=data_seq))
     if data_blobs:
         files.update(data_blobs)
-    if delete_files or equality_deletes:
+    if delete_files or equality_deletes or deletion_vectors:
         del_entries = []
         for j, dels in enumerate(delete_files):
             dpath = f"data/deletes-{j}.parquet"
@@ -484,6 +495,53 @@ def build_snapshot_v2(manifests: list[list[dict]],
                     "file_size_in_bytes": len(eblob),
                     "equality_ids": list(eq_ids),
                 }})
+        if deletion_vectors:
+            # v3 DELETION VECTORS: all DVs of a commit ride ONE
+            # Puffin file (the layout the spec recommends so a
+            # commit adds one object, not one per data file);
+            # ``deletion_vectors`` = [(referenced_data_file,
+            # positions[, sequence_number])]
+            from .puffin import (
+                DELETION_VECTOR_V1,
+                serialize_dv_blob,
+                write_puffin,
+            )
+
+            blobs = []
+            for spec in deletion_vectors:
+                ref, positions = spec[:2]
+                blobs.append({
+                    "data": serialize_dv_blob(list(positions)),
+                    "type": DELETION_VECTOR_V1,
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": del_seq,
+                    "properties": {
+                        "referenced-data-file": ref,
+                        "cardinality":
+                            str(len(set(positions)))},
+                })
+            ppath = "data/deletes-dv.puffin"
+            pblob = write_puffin(blobs)
+            files[ppath] = pblob
+            for spec, b in zip(deletion_vectors, blobs):
+                ref, positions = spec[:2]
+                dv_seq = spec[2] if len(spec) > 2 else None
+                del_entries.append({
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": dv_seq,
+                    "data_file": {
+                        "content": CONTENT_POSITION_DELETES,
+                        "file_path": ppath,
+                        "file_format": "PUFFIN",
+                        "partition": {"lang": None},
+                        "record_count": len(set(positions)),
+                        "file_size_in_bytes": len(pblob),
+                        "equality_ids": None,
+                        "referenced_data_file": ref,
+                        "content_offset": b["offset"],
+                        "content_size_in_bytes": b["length"],
+                    }})
         dmpath = "metadata/manifest-deletes.avro"
         dmblob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, del_entries,
                            codec="deflate", sync_seed=9999)
@@ -513,7 +571,16 @@ def walk_snapshot_v2(files: dict[str, bytes],
     number is <= the delete file's — entries inherit the manifest's
     ``sequence_number`` from the manifest list when their own is
     null, so rows added AFTER a delete commit are never dropped by
-    it."""
+    it.
+
+    v3 DELETION VECTORS (r16; table-spec v3 + Puffin spec): a
+    delete entry with ``file_format`` PUFFIN /
+    ``referenced_data_file`` set names ONE data file and a
+    deletion-vector-v1 blob at [content_offset,
+    +content_size_in_bytes) in its Puffin file; the blob's roaring
+    positions subtract under the same sequence rule.  At most one
+    DV per data file, and mixing a DV with parquet position-delete
+    rows on the same file refuses (both per spec)."""
     list_path = f"metadata/snap-{snapshot_id}.avro"
     if list_path not in files:
         raise ValueError(f"missing manifest list {list_path}")
@@ -521,6 +588,7 @@ def walk_snapshot_v2(files: dict[str, bytes],
     live = []
     live_seqs: list[int] = []
     delete_paths = []
+    dv_entries: list[tuple] = []
     data_idx = 0
     for mf in mlist:
         path = mf["manifest_path"]
@@ -565,9 +633,29 @@ def walk_snapshot_v2(files: dict[str, bytes],
                 if content != CONTENT_POSITION_DELETES:
                     raise ValueError("unexpected delete content")
                 eseq = e.get("sequence_number")
+                dseq = eseq if eseq is not None else mseq
+                if df.get("referenced_data_file") is not None \
+                        or df.get("file_format") == "PUFFIN":
+                    # v3 DELETION VECTOR entry (table-spec v3 +
+                    # Puffin spec): one blob in a Puffin file,
+                    # covering exactly one data file
+                    if df.get("referenced_data_file") is None \
+                            or df.get("content_offset") is None \
+                            or df.get("content_size_in_bytes") \
+                            is None:
+                        raise ValueError(
+                            "deletion-vector entry missing "
+                            "referenced_data_file/content_offset/"
+                            "content_size_in_bytes")
+                    dv_entries.append(
+                        (df["referenced_data_file"],
+                         df["file_path"],
+                         df["content_offset"],
+                         df["content_size_in_bytes"],
+                         df["record_count"], dseq))
+                    continue
                 delete_paths.append(
-                    (df["file_path"], df["record_count"],
-                     eseq if eseq is not None else mseq))
+                    (df["file_path"], df["record_count"], dseq))
     # (file_path, pos) -> newest delete-file sequence number
     deleted_by_file: dict[str, dict[int, int]] = {}
     n_delete_files = 0
@@ -581,8 +669,30 @@ def walk_snapshot_v2(files: dict[str, bytes],
         for fp, pos in rows:
             seen = deleted_by_file.setdefault(fp, {})
             seen[pos] = max(seen.get(pos, dseq), dseq)
+    # v3 deletion vectors: at most ONE per data file, and a DV'd
+    # data file must not also carry parquet position deletes (v3
+    # forbids mixing the two forms)
+    dv_by_file: dict[str, tuple[list[int], int]] = {}
+    for ref, ppath, off, size, card, dseq in dv_entries:
+        from .puffin import read_dv_at
+
+        if ref in dv_by_file:
+            raise ValueError(
+                f"multiple deletion vectors for {ref}")
+        if ref in deleted_by_file:
+            raise ValueError(
+                f"data file {ref} has both a deletion vector and "
+                "position delete rows (v3 forbids mixing)")
+        if ppath not in files:
+            raise ValueError(f"missing puffin file {ppath}")
+        positions = read_dv_at(files[ppath], off, size)
+        if len(positions) != card:
+            raise ValueError(
+                "deletion vector cardinality mismatch")
+        n_delete_files += 1
+        dv_by_file[ref] = (positions, dseq)
     known = {f["file_path"] for f in live}
-    for fp in deleted_by_file:
+    for fp in set(deleted_by_file) | set(dv_by_file):
         if fp not in known:
             raise ValueError(f"delete targets unknown file {fp}")
     for f, fseq in zip(live, live_seqs):
@@ -590,6 +700,14 @@ def walk_snapshot_v2(files: dict[str, bytes],
         if dels and max(dels) >= f["record_count"]:
             raise ValueError("delete position beyond record_count")
         n_del = sum(1 for dseq in dels.values() if fseq <= dseq)
+        dv = dv_by_file.get(f["file_path"])
+        if dv is not None:
+            positions, dseq = dv
+            if positions and positions[-1] >= f["record_count"]:
+                raise ValueError(
+                    "delete position beyond record_count")
+            if fseq <= dseq:
+                n_del += len(positions)
         f["n_deleted"] = n_del
         f["live_records"] = f["record_count"] - n_del
     return {"n_manifests": data_idx,

@@ -22246,3 +22246,113 @@ def lake_hudi_metadata_table_listing(spark, sf_dir):
                 "filename string, size long, n_files long, "
                 "n_partitions long, n_instants long"),
     )
+
+
+@query(
+    "lake_iceberg_v3_dv_scan",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 3 AS BIGINT) AS k
+               FROM documents),
+    f AS (SELECT doc_id, k, j.j
+          FROM p, LATERAL unnest(generate_series(0, k - 1)) AS j(j))
+    SELECT doc_id, TRUE AS ok,
+           'data/part-' || j || '.parquet' AS path,
+           CAST(100 + j AS BIGINT) AS record_count,
+           CAST(j % 5 AS BIGINT) AS dv_cardinality,
+           CAST(100 + j - j % 5 AS BIGINT) AS live_records,
+           CAST(k AS BIGINT) AS n_files,
+           CAST(k - 1 - CASE WHEN k >= 6 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_dvs
+    FROM f
+    """,
+    doc="Iceberg v3 DELETION VECTORS under the hash gate "
+    "(table-spec v3 'Position Delete Files' + the Puffin spec; "
+    "VERDICT r15 #6 — mirrors lake_delta_dv_replay): per document a "
+    "v2-layout snapshot whose delete manifest carries DV entries — "
+    "file_format PUFFIN, referenced_data_file, content_offset / "
+    "content_size_in_bytes — pointing into ONE Puffin file "
+    "(PFA1-framed, JSON footer, all of a commit's DVs as "
+    "deletion-vector-v1 blobs: 4-byte BE length, the D1 33 39 64 "
+    "magic shared byte-for-byte with Delta's RoaringBitmapArray, "
+    "portable roaring vector, BE CRC-32).  The metadata walk reads "
+    "each blob DIRECTLY at its manifest offset (no footer "
+    "round-trip — the spec's hot-path contract), subtracts "
+    "positions under sequence-number scoping, and the oracle "
+    "re-derives live_records = record_count - |DV| closed-form.  "
+    "Certificates: footer-declared blob ranges and cardinality "
+    "properties must agree with the manifest pointers, at most one "
+    "DV per data file, DV+parquet-delete mixing refuses.  Scale: "
+    "one Puffin object per commit instead of one delete file per "
+    "data file — at 100 TB the DV read is per-data-file metadata "
+    "work, embarrassingly parallel, O(set bits) per file.",
+    bench=True,
+)
+def lake_iceberg_v3_dv_scan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import pandas as pd
+
+        from .operators.iceberg import (
+            STATUS_ADDED,
+            build_snapshot_v2,
+            walk_snapshot_v2,
+        )
+        from .operators.puffin import read_puffin
+
+        cols = ("path", "record_count", "dv_cardinality",
+                "live_records", "n_files", "n_dvs")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = d % 4 + 3
+                entries = []
+                dvs = []
+                for j in range(k):
+                    path = f"data/part-{j}.parquet"
+                    entries.append({
+                        "status": STATUS_ADDED,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "record_count": 100 + j,
+                        "file_size_in_bytes": 1000 + j,
+                        "lang": ("en", "de", "fr")[j % 3]})
+                    card = j % 5
+                    if card:
+                        dvs.append((path, [7 * i + (j % 7)
+                                           for i in range(card)]))
+                files = build_snapshot_v2(
+                    [entries], [], deletion_vectors=dvs)
+                snap = walk_snapshot_v2(files)
+                # footer/manifest agreement certificate
+                footer = read_puffin(files["data/deletes-dv.puffin"])
+                by_ref = {
+                    b["properties"]["referenced-data-file"]: b
+                    for b in footer["blobs"]}
+                dv_cards = {p: len(pos) for p, pos in dvs}
+                ok = (snap["n_delete_files"] == len(dvs)
+                      and len(footer["blobs"]) == len(dvs)
+                      and all(
+                          int(by_ref[p]["properties"]["cardinality"])
+                          == c for p, c in dv_cards.items()))
+                for f in sorted(snap["live"],
+                                key=lambda f: f["file_path"]):
+                    out["doc_id"].append(d)
+                    out["ok"].append(bool(ok))
+                    out["path"].append(f["file_path"])
+                    out["record_count"].append(f["record_count"])
+                    out["dv_cardinality"].append(f["n_deleted"])
+                    out["live_records"].append(f["live_records"])
+                    out["n_files"].append(len(snap["live"]))
+                    out["n_dvs"].append(len(dvs))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, path string, "
+                "record_count long, dv_cardinality long, "
+                "live_records long, n_files long, n_dvs long"),
+    )
