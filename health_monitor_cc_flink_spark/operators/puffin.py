@@ -16,8 +16,8 @@ The v3 DV blob layout is deliberately BYTE-COMPATIBLE with Delta
 Lake's deletion vectors (the two specs converged on one format):
 
 * 4-byte big-endian length of (magic + vector),
-* the 4-byte magic (0x643933D1 little-endian — the spec's
-  ``D1 33 39 64`` byte sequence, the same value Delta's
+* the 4-byte magic (0x6439D3D1 little-endian — the spec's
+  ``D1 D3 39 64`` byte sequence, the same value Delta's
   RoaringBitmapArray uses),
 * the vector: 8-byte LE count of 32-bit roaring bitmaps, then each
   bitmap in the portable RoaringFormatSpec serialization, index i

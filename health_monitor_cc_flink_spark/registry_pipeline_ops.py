@@ -22272,7 +22272,7 @@ def lake_hudi_metadata_table_listing(spark, sf_dir):
     "file_format PUFFIN, referenced_data_file, content_offset / "
     "content_size_in_bytes — pointing into ONE Puffin file "
     "(PFA1-framed, JSON footer, all of a commit's DVs as "
-    "deletion-vector-v1 blobs: 4-byte BE length, the D1 33 39 64 "
+    "deletion-vector-v1 blobs: 4-byte BE length, the D1 D3 39 64 "
     "magic shared byte-for-byte with Delta's RoaringBitmapArray, "
     "portable roaring vector, BE CRC-32).  The metadata walk reads "
     "each blob DIRECTLY at its manifest offset (no footer "

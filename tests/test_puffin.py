@@ -23,11 +23,13 @@ def test_dv_blob_roundtrip_and_framing():
     positions = [0, 5, 7, 4096, 70000, 1 << 33]
     blob = serialize_dv_blob(positions)
     assert read_dv_blob(blob) == sorted(positions)
-    # frame: BE length of magic+vector, then Delta's bitmap-array
-    # magic little-endian (D1 33 39 64), then BE CRC at the end
+    # frame: BE length of magic+vector, then the magic byte
+    # sequence D1 D3 39 64 the Puffin spec names (the same
+    # 0x6439D3D1 value Delta's RoaringBitmapArray uses,
+    # little-endian), then BE CRC at the end
     (length,) = struct.unpack_from(">I", blob, 0)
     assert 4 + length + 4 == len(blob)
-    assert blob[4:8] == bytes([0xD1, 0x33, 0x39, 0x64])
+    assert blob[4:8] == bytes([0xD1, 0xD3, 0x39, 0x64])
     # CRC tamper is loud
     bad = blob[:-1] + bytes([blob[-1] ^ 1])
     with pytest.raises(ValueError, match="CRC"):
