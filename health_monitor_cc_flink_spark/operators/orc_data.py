@@ -460,6 +460,28 @@ def read_stripe_column(data: bytes, stripe: dict, kind_name: str,
                         vals.append(dict(zip(keys[p:p + ln],
                                              mvals[p:p + ln])))
                         p += ln
+        elif kind == "UNION":
+            if types is None:
+                raise ValueError(
+                    "UNION decode needs the parse_orc_tail types "
+                    "tree")
+            node = types[col_id]
+            tag_raw = stream_bytes(col_id, STREAM_DATA)
+            if tag_raw is None:
+                raise ValueError("UNION column missing tag stream")
+            tags = decode_byte_rle(tag_raw, n_present)
+            n_children = len(node["subtypes"])
+            counts = [0] * n_children
+            for t in tags:
+                if t >= n_children:
+                    raise ValueError(
+                        f"UNION tag {t} outside declared children")
+                counts[t] += 1
+            children = [
+                _decode(cid, types[cid]["kind"], counts[t])
+                for t, cid in enumerate(node["subtypes"])]
+            its = [iter(ch) for ch in children]
+            vals = [(t, next(its[t])) for t in tags]
         else:
             raise ValueError(f"orc data decode for {kind} unsupported")
         it = iter(vals)

@@ -36,7 +36,8 @@ MAX_CELLS = 1 << 26
 
 _KINDS = {"BOOLEAN": 0, "BYTE": 1, "SHORT": 2, "INT": 3,
           "LONG": 4, "FLOAT": 5, "DOUBLE": 6, "STRING": 7,
-          "BINARY": 8, "TIMESTAMP": 9, "DECIMAL": 14, "DATE": 15}
+          "BINARY": 8, "TIMESTAMP": 9, "DECIMAL": 14, "DATE": 15,
+          "VARCHAR": 16, "CHAR": 17}
 #: declared-width bounds for the sized integer kinds (a value outside
 #: makes the footer type a lie and overflows readers' narrow vectors)
 _INT_BOUNDS = {"BYTE": (-(1 << 7), (1 << 7) - 1),
@@ -49,7 +50,9 @@ _INT_BOUNDS = {"BYTE": (-(1 << 7), (1 << 7) - 1),
 #:   ("LIST", elem_kind_spec)                     rows are lists
 #:   ("MAP", key_kind_spec, value_kind_spec)      rows are dicts /
 #:                                                [(k, v), ...] pairs
-_COMPOUND = {"LIST": 10, "MAP": 11, "STRUCT": 12}
+#:   ("UNION", [kind_spec, ...])                  rows are (tag, v)
+#:   ("CHAR", max_len) / ("VARCHAR", max_len)     rows are strings
+_COMPOUND = {"LIST": 10, "MAP": 11, "STRUCT": 12, "UNION": 13}
 _TS_BASE = 1420070400  # 2015-01-01 UTC, the ORC timestamp epoch
 _WIDTH = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
           18, 19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48, 56, 64]
@@ -353,7 +356,7 @@ def _column_stats(kind: str, present: list, n_slots: int) -> bytes:
         sub = (pb_fixed64(1, min(present)) + pb_fixed64(2, max(present))
                + pb_fixed64(3, sum(present)))
         out += pb_bytes(3, sub)  # DoubleStatistics
-    elif kind == "STRING" and present:
+    elif kind in ("STRING", "CHAR", "VARCHAR") and present:
         raws = sorted(present)
         sub = (pb_bytes(1, raws[0].encode("utf-8"))
                + pb_bytes(2, raws[-1].encode("utf-8"))
@@ -380,6 +383,13 @@ def _validate_kind(spec) -> None:
         if spec not in _KINDS:
             raise ValueError(f"unsupported kind {spec}")
         return
+    if isinstance(spec, tuple) and spec \
+            and spec[0] in ("CHAR", "VARCHAR"):
+        if len(spec) != 2 or not isinstance(spec[1], int) \
+                or spec[1] < 1:
+            raise ValueError(f"{spec[0]} spec needs a positive "
+                             "maximumLength")
+        return
     if not isinstance(spec, tuple) or not spec \
             or spec[0] not in _COMPOUND:
         raise ValueError(f"unsupported kind spec {spec!r}")
@@ -395,11 +405,20 @@ def _validate_kind(spec) -> None:
         if len(spec) != 2:
             raise ValueError("LIST spec needs one element kind")
         _validate_kind(spec[1])
-    else:  # MAP
+    elif spec[0] == "MAP":
         if len(spec) != 3:
             raise ValueError("MAP spec needs key and value kinds")
         _validate_kind(spec[1])
         _validate_kind(spec[2])
+    else:  # UNION
+        if len(spec) != 2 or not spec[1]:
+            raise ValueError("UNION spec needs a non-empty child "
+                             "kind list")
+        if len(spec[1]) > 256:
+            # tags ride a byte stream; the spec caps children
+            raise ValueError("UNION supports at most 256 children")
+        for child in spec[1]:
+            _validate_kind(child)
 
 
 def _struct_children(present: list, fname: str) -> list:
@@ -424,6 +443,24 @@ def _map_pairs(present: list) -> list:
     return pairs
 
 
+def _union_tags(spec, present: list) -> list[int]:
+    """UNION rows are (tag, value) pairs; validate tags against the
+    declared child list."""
+    n_children = len(spec[1])
+    tags = []
+    for row in present:
+        try:
+            tag = int(row[0])
+        except (TypeError, ValueError, IndexError) as exc:
+            raise ValueError(
+                "UNION row must be a (tag, value) pair") from exc
+        if not 0 <= tag < n_children:
+            raise ValueError(
+                f"UNION tag {tag} outside declared children")
+        tags.append(tag)
+    return tags
+
+
 def _walk_kinds(spec, vals, fn) -> None:
     """Pre-order walk over a column's type tree with each node's
     PRESENT values; ``fn(kind_spec, present)`` fires per node —
@@ -441,6 +478,11 @@ def _walk_kinds(spec, vals, fn) -> None:
         pairs = _map_pairs(present)
         _walk_kinds(spec[1], [k for p in pairs for k, _ in p], fn)
         _walk_kinds(spec[2], [v for p in pairs for _, v in p], fn)
+    elif kind == "UNION":
+        tags = _union_tags(spec, present)
+        for t, child in enumerate(spec[1]):
+            _walk_kinds(child, [v for tg, (_, v) in
+                                zip(tags, present) if tg == t], fn)
 
 
 def _flatten_type_tree(columns: list) -> list[dict]:
@@ -465,6 +507,11 @@ def _flatten_type_tree(columns: list) -> list[dict]:
         elif kind == "MAP":
             add(spec[1], nid)
             add(spec[2], nid)
+        elif kind == "UNION":
+            for child in spec[1]:
+                add(child, nid)
+        elif kind in ("CHAR", "VARCHAR"):
+            node["max_len"] = spec[1]
 
     for name, spec, _ in columns:
         types[0]["names"].append(name)
@@ -521,6 +568,17 @@ def _encode_columns(columns: list[tuple[str, str, list]],
             encodings.append(2)
             encode_node(spec[1], [k for p in pairs for k, _ in p])
             encode_node(spec[2], [v for p in pairs for _, v in p])
+            return
+        if kind == "UNION":
+            # DATA = byte-RLE tag stream; child i holds only the
+            # values whose tag selects it (spec "Union Column
+            # Serialization")
+            tags = _union_tags(spec, present)
+            streams.append((ci, 1, byte_rle_encode(bytes(tags))))
+            encodings.append(0)  # DIRECT
+            for t, child in enumerate(spec[1]):
+                encode_node(child, [v for tg, (_, v) in
+                                    zip(tags, present) if tg == t])
             return
         if kind in ("LONG", "INT", "SHORT", "DATE"):
             if kind in _INT_BOUNDS:
@@ -610,6 +668,20 @@ def _encode_columns(columns: list[tuple[str, str, list]],
             streams.append(
                 (ci, 5, rlev2_encode([scale] * len(present),
                                      signed=True)))
+            encodings.append(2)
+        elif kind in ("CHAR", "VARCHAR"):
+            max_len = spec[1]
+            if any(len(v) > max_len for v in present):
+                raise ValueError(
+                    f"{kind} value exceeds declared "
+                    f"maximumLength {max_len}")
+            # CHAR/VARCHAR serialize exactly like STRING (DIRECT_V2;
+            # the footer type's maximumLength carries the width)
+            raws = [v.encode("utf-8") for v in present]
+            streams.append((ci, 1, b"".join(raws)))
+            streams.append(
+                (ci, 2, rlev2_encode([len(r) for r in raws],
+                                     signed=False)))
             encodings.append(2)
         elif kind == "STRING" and dictionary \
                 and 0 < len(set(present)) <= len(present) \
@@ -836,6 +908,8 @@ def write_orc(columns: list[tuple[str, str, list]], *,
         if kind == "DECIMAL":
             prec, scale = decimal_meta.get(ci, (18, 0))
             t += pb_varint(5, prec) + pb_varint(6, scale)
+        if kind in ("CHAR", "VARCHAR"):
+            t += pb_varint(4, node["max_len"])
         footer += pb_bytes(4, t)
     footer += pb_varint(6, n_rows)
     footer_blob = _compress_stream(bytes(footer), codec)

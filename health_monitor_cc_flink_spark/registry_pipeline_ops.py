@@ -22356,3 +22356,145 @@ def lake_iceberg_v3_dv_scan(spark, sf_dir):
                 "record_count long, dv_cardinality long, "
                 "live_records long, n_files long, n_dvs long"),
     )
+
+
+@query(
+    "meta_orc_write_union_roundtrip",
+    """
+    WITH p AS (SELECT doc_id, CAST(doc_id % 20 + 8 AS BIGINT) AS n
+               FROM documents),
+    rws AS (SELECT doc_id, n, j.r
+            FROM p, LATERAL unnest(generate_series(0, n - 1)) AS j(r))
+    SELECT doc_id, TRUE AS ok,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN r % 11 <> 5 THEN (doc_id + r) % 97
+                    ELSE 0 END) AS BIGINT) AS char_sum,
+           CAST(sum(CASE WHEN r % 13 <> 6
+                    THEN length('val' || (r % 53))
+                    ELSE 0 END) AS BIGINT) AS vchar_len_sum,
+           CAST(sum(CASE WHEN r % 7 <> 3 AND r % 3 = 0
+                    THEN 17 * r - 500 + doc_id % 10
+                    ELSE 0 END) AS BIGINT) AS u_long_sum,
+           CAST(sum(CASE WHEN r % 7 <> 3 AND r % 3 = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS u_str_count,
+           CAST(sum(CASE WHEN r % 7 <> 3 AND r % 3 = 2
+                    THEN r % 16 ELSE 0 END) AS BIGINT) AS u_dbl_sum8
+    FROM rws GROUP BY doc_id
+    """,
+    doc="ORC writer CHAR / VARCHAR / UNION kinds under the hash "
+    "gate (VERDICT r15 #7 — the last reader/writer asymmetry): per "
+    "document a three-column file writes sized strings (footer "
+    "Type maximumLength, declared-width validation) and a "
+    "three-child UNION (byte-RLE tag stream + per-child value "
+    "streams, the spec's union serialization), with nulls.  pyarrow "
+    "(the reference C++ ORC reader, which surfaces the union as a "
+    "sparse_union) reads it back AND the own stripe reader decodes "
+    "tags + children slot-exact — the `ok` certificate compares "
+    "them value-for-value; gated aggregates come from the READ-BACK "
+    "values (doubles on the 1/8 grid so sums are IEEE-exact).  "
+    "Scale: per-task file emission, zero shuffle.",
+    bench=True,
+)
+def meta_orc_write_union_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def feats(batches):
+        import os
+        import tempfile
+
+        import pandas as pd
+        from pyarrow import orc as _orc
+
+        from health_monitor_cc_flink_spark.operators.orc_data import (
+            read_stripe_column,
+        )
+        from health_monitor_cc_flink_spark.operators.orc_meta import (
+            parse_orc_tail,
+        )
+        from health_monitor_cc_flink_spark.operators.orc_write import (
+            write_orc,
+        )
+
+        cols = ("n_rows", "char_sum", "vchar_len_sum", "u_long_sum",
+                "u_str_count", "u_dbl_sum8")
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], **{c: [] for c in cols}}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 20 + 8
+
+                def urow(r, d=d):
+                    if r % 7 == 3:
+                        return None
+                    t = r % 3
+                    if t == 0:
+                        return (0, 17 * r - 500 + d % 10)
+                    if t == 1:
+                        return (1, f"s{r % 31}")
+                    return (2, (r % 16) / 8)
+
+                spec = [
+                    ("ch", ("CHAR", 4),
+                     [None if r % 11 == 5
+                      else f"c{(d + r) % 97:02d}"
+                      for r in range(n)]),
+                    ("vc", ("VARCHAR", 8),
+                     [None if r % 13 == 6 else f"val{r % 53}"
+                      for r in range(n)]),
+                    ("un", ("UNION", ["LONG", "STRING", "DOUBLE"]),
+                     [urow(r) for r in range(n)]),
+                ]
+                blob = write_orc(spec)
+                fd, path = tempfile.mkstemp(suffix=".orc")
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(blob)
+                    t = _orc.read_table(path)
+                finally:
+                    os.unlink(path)
+                chs = t["ch"].to_pylist()
+                vcs = t["vc"].to_pylist()
+                uns = t["un"].to_pylist()  # selected values
+                tail = parse_orc_tail(blob)
+                stripe = tail["stripes"][0]
+                ids = tail["types"][0]["subtypes"]
+                own = [read_stripe_column(
+                    blob, stripe, tail["types"][cid]["kind"], cid,
+                    tail["compression"], stripe["n_rows"],
+                    tail["types"])
+                    for cid in ids]
+                ok = (t.num_rows == n and own[0] == chs
+                      and own[1] == vcs
+                      and [None if v is None else v[1]
+                           for v in own[2]] == uns
+                      and own[2] == spec[2][2])
+                tagged = own[2]
+                out["doc_id"].append(d)
+                out["ok"].append(bool(ok))
+                out["n_rows"].append(t.num_rows)
+                out["char_sum"].append(
+                    sum(int(v[1:]) for v in chs if v is not None))
+                out["vchar_len_sum"].append(
+                    sum(len(v) for v in vcs if v is not None))
+                out["u_long_sum"].append(
+                    sum(v for tg, v in
+                        (x for x in tagged if x is not None)
+                        if tg == 0))
+                out["u_str_count"].append(
+                    sum(1 for x in tagged
+                        if x is not None and x[0] == 1))
+                out["u_dbl_sum8"].append(round(sum(
+                    v * 8 for tg, v in
+                    (x for x in tagged if x is not None)
+                    if tg == 2)))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        feats,
+        schema=("doc_id long, ok boolean, n_rows long, "
+                "char_sum long, vchar_len_sum long, "
+                "u_long_sum long, u_str_count long, "
+                "u_dbl_sum8 long"),
+    )
