@@ -22498,3 +22498,250 @@ def meta_orc_write_union_roundtrip(spark, sf_dir):
                 "u_long_sum long, u_str_count long, "
                 "u_dbl_sum8 long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer — the second tokenizer
+# family next to BPE (VERDICT r15 #8).  Same train-once/encode-
+# everywhere artifact policy; the EM loop runs over the distributed
+# (word, freq) vocabulary table, never the corpus.
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_MAX_PIECE_LEN = 4
+
+
+def unigram_viterbi(word: str, logp: dict, max_len: int) -> list:
+    """Best segmentation of ``word`` under piece log-probs: maximize
+    the summed logp (Kudo 2018's decoding step, hard-EM variant).
+    Deterministic tie rule — candidate last-piece lengths are tried
+    SHORT to LONG and only a STRICTLY greater score replaces the
+    incumbent — shared verbatim by the Spark E-step and the pure-
+    Python reference trainer in tests/test_unigram.py, so parity is
+    exact-float.  Single characters are never pruned from the model,
+    so every word segments."""
+    n = len(word)
+    neg_inf = float("-inf")
+    best = [neg_inf] * (n + 1)
+    best[0] = 0.0
+    back: list = [None] * (n + 1)
+    for i in range(1, n + 1):
+        for ln in range(1, min(max_len, i) + 1):
+            piece = word[i - ln:i]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            cand = best[i - ln] + lp
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = ln
+    if best[n] == neg_inf:
+        raise ValueError(
+            f"word {word!r} has a character outside the model")
+    pieces: list = []
+    i = n
+    while i > 0:
+        ln = back[i]
+        pieces.append(word[i - ln:i])
+        i -= ln
+    pieces.reverse()
+    return pieces
+
+
+_UNIGRAM_CACHE: "weakref.WeakKeyDictionary" = \
+    weakref.WeakKeyDictionary()
+
+
+def _unigram_train(spark, sf_dir, vocab_size: int = 64,
+                   n_em: int = 3):
+    """Train a unigram-LM piece table over the corpus vocabulary;
+    returns (pieces, stats) where pieces = [(piece, logp, em_count)]
+    sorted by (count desc, piece asc).
+
+    Distributed shape (the 100 TB plan): the corpus folds ONCE into
+    the (word, freq) table; SEEDING is one substring explode + sum
+    agg over it; every EM round is a Viterbi segmentation of the
+    DISTINCT words (mapInPandas with the broadcast bounded piece
+    table) + a piece-count agg — all vocabulary-bound.  Only the
+    model artifact (<= vocab_size rows) is ever collected.  M-step
+    probabilities are computed driver-side in pure Python floats so
+    the reference trainer reproduces them bit-exact.
+    """
+    import math
+
+    key = (sf_dir, vocab_size, n_em)
+    cached = _UNIGRAM_CACHE.setdefault(spark, {}).get(key)
+    if cached is not None:
+        return cached
+    L = _UNIGRAM_MAX_PIECE_LEN
+    wc = _bpe_word_counts(spark, sf_dir).cache()
+    try:
+        seed_rows = (
+            wc.select("freq", F.explode(F.expr(
+                # guard: sequence(1, 0) DESCENDS in Spark, so a
+                # word shorter than `len` must yield array() or the
+                # seed table fills with duplicate garbage substrings
+                f"flatten(transform(sequence(1, {L}), len ->"
+                " CASE WHEN length(word) >= len THEN"
+                " transform(sequence(1, length(word) - len + 1),"
+                " i -> substring(word, i, len))"
+                " ELSE array() END))"
+            )).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(4 * vocab_size)
+            .collect()
+        )
+        singles = {r.piece: int(r.cnt) for r in seed_rows
+                   if len(r.piece) == 1}
+        multi = [(r.piece, int(r.cnt)) for r in seed_rows
+                 if len(r.piece) > 1]
+        n_multi = max(0, vocab_size - len(singles))
+        counts = dict(singles)
+        counts.update(dict(multi[:n_multi]))
+
+        def m_step(cnts: dict) -> dict:
+            total = sum(cnts.values())
+            return {p: math.log(c) - math.log(total)
+                    for p, c in cnts.items() if c > 0}
+
+        logp = m_step(counts)
+        em_counts = dict(counts)
+        for _round in range(n_em):
+            bc = spark.sparkContext.broadcast(logp)
+
+            def e_step(batches, bc=bc, L=L):
+                import pandas as pd
+
+                for pdf in batches:
+                    pieces = []
+                    freqs = []
+                    for w, fq in zip(pdf["word"], pdf["freq"]):
+                        for p in unigram_viterbi(
+                                str(w), bc.value, L):
+                            pieces.append(p)
+                            freqs.append(int(fq))
+                    yield pd.DataFrame(
+                        {"piece": pieces, "freq": freqs})
+
+            rows = (
+                wc.mapInPandas(e_step,
+                               schema="piece string, freq long")
+                .groupBy("piece")
+                .agg(F.sum("freq").alias("cnt"))
+                .collect()
+            )
+            em_counts = {r.piece: int(r.cnt) for r in rows}
+            # prune: a multi-char piece Viterbi never used carries
+            # no mass; single chars stay (coverage guarantee)
+            for p in list(logp):
+                if len(p) == 1 and p not in em_counts:
+                    em_counts[p] = 0
+            kept = {p: c for p, c in em_counts.items()
+                    if c > 0 or len(p) == 1}
+            logp = m_step({p: max(c, 1) if len(p) == 1 else c
+                           for p, c in kept.items()})
+            em_counts = kept
+        pieces = sorted(
+            ((p, logp[p], em_counts.get(p, 0)) for p in logp),
+            key=lambda t: (-t[2], t[0]))
+        result = pieces
+        _UNIGRAM_CACHE[spark][key] = result
+        return result
+    finally:
+        wc.unpersist()
+
+
+@query(
+    "unigram_train_pieces",
+    None,
+    doc="Unigram-LM (SentencePiece-style) tokenizer TRAINING — the "
+    "second tokenizer family next to BPE, per Kudo 2018's unigram "
+    "language model: seed pieces are every <=4-char substring of "
+    "the corpus vocabulary scored by occurrence mass (one "
+    "distributed explode+sum over the (word, freq) table), then "
+    "hard-EM rounds alternate a DISTRIBUTED Viterbi E-step "
+    "(mapInPandas over distinct words with the broadcast bounded "
+    "piece table; deterministic strictly-greater/short-to-long tie "
+    "rule) with a driver M-step (piece logp = log count - log "
+    "total over the collected <=vocab_size piece counts) and "
+    "zero-mass pruning (single characters immune — the coverage "
+    "guarantee).  Corpus is touched exactly once; every EM round "
+    "is vocabulary-bound; only the bounded model artifact is "
+    "collected — the same train-once/encode-everywhere policy as "
+    "bpe_train_merges.  Rows-only by design (iterative EM is not "
+    "one SQL statement); the whole trainer is parity-pinned "
+    "bit-exact against an independent pure-Python reference in "
+    "tests/test_unigram.py.  Output: (rank, piece, em_count, "
+    "logp_micro = round(logp * 1e6)).",
+)
+def unigram_train_pieces(spark, sf_dir, vocab_size: int = 64,
+                         n_em: int = 3):
+    pieces = _unigram_train(spark, sf_dir, vocab_size, n_em)
+    return spark.createDataFrame(
+        [(i, p, int(c), int(round(lp * 1_000_000)))
+         for i, (p, lp, c) in enumerate(pieces)],
+        "rank int, piece string, em_count bigint, logp_micro bigint",
+    )
+
+
+@query(
+    "unigram_encode_docs",
+    None,
+    doc="Unigram-LM tokenizer APPLICATION at corpus scale: encode "
+    "every document with the trained piece table (memoized per "
+    "session).  Same vocabulary-bound shape as bpe_encode_docs: "
+    "distinct words Viterbi-segment once under the broadcast model "
+    "(mapInPandas), per-word token counts join back to the "
+    "doc-x-word occurrences, and per-document sums are integer "
+    "exact.  Rows-only by design (depends on the EM-trained "
+    "artifact); encoding pinned against the pure-Python reference "
+    "in tests/test_unigram.py.",
+    bench=True,
+)
+def unigram_encode_docs(spark, sf_dir, vocab_size: int = 64,
+                        n_em: int = 3):
+    pieces = _unigram_train(spark, sf_dir, vocab_size, n_em)
+    logp = {p: lp for p, lp, _ in pieces}
+    bc = spark.sparkContext.broadcast(logp)
+    L = _UNIGRAM_MAX_PIECE_LEN
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+
+    def encode(batches, bc=bc, L=L):
+        import pandas as pd
+
+        for pdf in batches:
+            words = []
+            n_pieces = []
+            n_chars = []
+            for w in pdf["word"]:
+                w = str(w)
+                words.append(w)
+                n_pieces.append(
+                    len(unigram_viterbi(w, bc.value, L)))
+                n_chars.append(len(w))
+            yield pd.DataFrame(
+                {"word": words, "n_unigram": n_pieces,
+                 "n_chars": n_chars})
+
+    per_word = occ.select("word").distinct().mapInPandas(
+        encode,
+        schema="word string, n_unigram long, n_chars long")
+    return (
+        occ.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_char_tokens"),
+            F.sum("n_unigram").alias("n_unigram_tokens"),
+        )
+        .select(
+            "doc_id", "n_words", "n_char_tokens",
+            "n_unigram_tokens",
+            (F.col("n_char_tokens")
+             - F.col("n_unigram_tokens")).alias("tokens_saved"),
+        )
+    )
