@@ -710,3 +710,40 @@ def test_char_varchar_union_hostile_inputs():
         write_orc([("u", ("UNION", []), [None])])
     with pytest.raises(ValueError):  # bad maximumLength
         write_orc([("c", ("CHAR", 0), ["x"])])
+
+
+def test_union_nested_in_compound(tmp_path):
+    """UNION composes with the compound kinds through the same
+    recursion: a LIST of unions and a STRUCT holding a union both
+    roundtrip through the own reader and pyarrow."""
+    from health_monitor_cc_flink_spark.operators.orc_data import (
+        read_stripe_column,
+    )
+    from health_monitor_cc_flink_spark.operators.orc_meta import (
+        parse_orc_tail,
+    )
+
+    cols = [
+        ("lu", ("LIST", ("UNION", ["LONG", "STRING"])),
+         [[(0, 1), (1, "a")], [], None, [(1, "b"), (0, -2), None]]),
+        ("su", ("STRUCT", [("tag", "LONG"),
+                           ("u", ("UNION", ["DOUBLE", "STRING"]))]),
+         [{"tag": 1, "u": (0, 0.5)}, {"tag": 2, "u": (1, "x")},
+          None, {"tag": 3, "u": None}]),
+    ]
+    blob = write_orc(cols, codec="NONE")
+    tail = parse_orc_tail(blob)
+    ids = tail["types"][0]["subtypes"]
+    for cid, (name, kind, vals) in zip(ids, cols):
+        got = read_stripe_column(
+            blob, tail["stripes"][0], tail["types"][cid]["kind"],
+            cid, tail["compression"], tail["n_rows"], tail["types"])
+        assert got == vals, name
+    p = tmp_path / "nu.orc"
+    p.write_bytes(blob)
+    t = orc.read_table(p)
+    assert t["lu"].to_pylist() == [
+        [1, "a"], [], None, ["b", -2, None]]
+    assert t["su"].to_pylist() == [
+        {"tag": 1, "u": 0.5}, {"tag": 2, "u": "x"},
+        None, {"tag": 3, "u": None}]
