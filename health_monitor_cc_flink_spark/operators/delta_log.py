@@ -570,17 +570,32 @@ def write_checkpoint_v2(snapshot: dict, uuid: str,
     return out
 
 
-def compact_delta_log(files: dict[str, bytes]) -> dict[str, bytes]:
+def compact_delta_log(files: dict[str, bytes], *,
+                      v2: bool = False,
+                      n_sidecars: int = 2) -> dict[str, bytes]:
     """LOG COMPACTION: replay a ``_delta_log/`` (JSON commits and/or
     an existing checkpoint), write a fresh single-part checkpoint at
     the latest version with the OWN parquet writer, and return the
     compacted log — checkpoint + ``_last_checkpoint`` only, early
     commits vacuumed.  Replaying the compacted log must equal
     replaying the original (the round-trip the registry query
-    gates)."""
+    gates).
+
+    ``v2=True`` emits the V2 (UUID-named, sidecar) form instead —
+    the manifest's UUID derives deterministically from the snapshot
+    census so compaction stays reproducible byte-for-byte."""
     snap = parse_delta_log_files(files)
-    blob, n_actions = write_checkpoint_parquet(snap)
     v = snap["version"]
+    if v2:
+        import hashlib
+
+        h = hashlib.md5(
+            ("|".join(sorted(snap["live"]))
+             + f"@{v}").encode("utf-8")).hexdigest()
+        uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        return write_checkpoint_v2(snap, uuid,
+                                   n_sidecars=n_sidecars)
+    blob, n_actions = write_checkpoint_parquet(snap)
     return {
         checkpoint_filename(v): blob,
         "_last_checkpoint": json.dumps(

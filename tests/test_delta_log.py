@@ -574,3 +574,45 @@ def test_v2_checkpoint_roundtrip():
     tampered[key] = v2[key] + b"x"
     with pytest.raises(ValueError, match="size mismatch"):
         parse_delta_log_files(tampered)
+
+
+def test_compaction_v2_roundtrip():
+    """compact_delta_log(v2=True) emits the UUID-manifest + sidecar
+    form; replay equality with the classic compaction and the
+    original, deterministic bytes for a fixed input."""
+    import json as _json
+
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        build_delta_log,
+        compact_delta_log,
+        parse_delta_log_files,
+    )
+
+    commits = {
+        0: [{"protocol": {"minReaderVersion": 3,
+                          "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
+            {"metaData": {"id": "t"}}] + [
+            {"add": {"path": f"p{i}.parquet", "size": i + 1,
+                     "stats": _json.dumps({"numRecords": i + 2})}}
+            for i in range(5)],
+        1: [{"remove": {"path": "p0.parquet"}}],
+    }
+    files = build_delta_log(commits)
+    direct = parse_delta_log_files(files)
+    c2 = compact_delta_log(files, v2=True)
+    assert any(".checkpoint." in n and n.endswith(".parquet")
+               and len(n.rsplit(".", 2)[-2]) == 36 for n in c2)
+    assert sum(1 for n in c2 if n.startswith("_sidecars/")) == 2
+    snap = parse_delta_log_files(c2)
+    assert snap["version"] == direct["version"]
+    assert snap["protocol"] == direct["protocol"]
+    assert {p: e["num_records"] for p, e in snap["live"].items()} \
+        == {p: e["num_records"] for p, e in direct["live"].items()}
+    # deterministic: same input -> same bytes
+    assert compact_delta_log(files, v2=True) == c2
+    # classic form unchanged
+    c1 = compact_delta_log(files)
+    snap1 = parse_delta_log_files(c1)
+    assert snap1["live"].keys() == snap["live"].keys()
