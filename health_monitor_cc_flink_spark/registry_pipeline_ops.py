@@ -22745,3 +22745,327 @@ def unigram_encode_docs(spark, sf_dir, vocab_size: int = 64,
              - F.col("n_unigram_tokens")).alias("tokens_saved"),
         )
     )
+
+
+@query(
+    "streaming_iceberg_sink_dv_roundtrip",
+    """
+    WITH surv AS (
+        SELECT event_id FROM events
+        WHERE event_id % 97 <> 0
+           OR (event_id % 97 = 0 AND event_id % 6 = 0)
+    )
+    SELECT CAST(event_id % 6 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS ids_md5
+    FROM surv GROUP BY event_id % 6
+    """,
+    doc="Iceberg v3 DELETION-VECTOR write side end-to-end under the "
+    "hash gate — the sink of streaming_iceberg_sink_upsert with the "
+    "delete phase speaking v3: executors scan their data files and "
+    "serialize ONE deletion-vector-v1 blob per covered file "
+    "(roaring positions, Delta-compatible framing) into a Puffin "
+    "file per task, the delete commit's manifest entries carry "
+    "referenced_data_file + content_offset/content_size_in_bytes, "
+    "and a RE-ADD commit at a higher sequence number must survive "
+    "the DVs via scan-planning sequence scoping.  The read-back "
+    "walk pulls each DV straight from its manifest offset (no "
+    "Puffin footer round-trip — the spec's hot path), enforces "
+    "one-DV-per-file, cross-checks the metadata census against the "
+    "decoded rows, and the per-bucket aggregates gate against the "
+    "same closed form as the parquet-delete sink — the two delete "
+    "encodings must be REPRESENTATIONALLY interchangeable.  Scale: "
+    "one Puffin object per delete task instead of one row-level "
+    "parquet; DV application is per-data-file O(set bits).",
+    bench=True,
+)
+def streaming_iceberg_sink_dv_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+    import uuid
+
+    from .operators.iceberg import (
+        CONTENT_DATA,
+        CONTENT_POSITION_DELETES,
+        MANIFEST_ENTRY_SCHEMA_V2,
+        MANIFEST_LIST_SCHEMA_V2,
+        STATUS_ADDED,
+        build_table_metadata,
+        walk_snapshot_v2,
+    )
+    from .registry import _warehouse_path
+    from .sources.avro_ocf import write_ocf
+    from .sources.testdata import events_stream
+
+    table_dir = _warehouse_path(sf_dir, "iceberg_dv_sink")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+
+    manifests: list[tuple[str, int, int, int]] = []
+    state = {"snap": 0}
+
+    def commit(entries: list[dict], content: int) -> int:
+        state["snap"] += 1
+        sid = state["snap"]
+        seq = sid
+        mpath = f"metadata/manifest-{sid:05d}.avro"
+        blob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, entries,
+                         codec="deflate", sync_seed=sid)
+        with open(os.path.join(table_dir, mpath), "wb") as f:
+            f.write(blob)
+        manifests.append((mpath, len(blob), content, seq))
+        records = [{
+            "manifest_path": p, "manifest_length": ln,
+            "partition_spec_id": 0, "content": c,
+            "sequence_number": s, "added_snapshot_id": sid,
+            "added_files_count": None, "existing_files_count": None,
+            "deleted_files_count": None,
+        } for p, ln, c, s in manifests]
+        lblob = write_ocf(MANIFEST_LIST_SCHEMA_V2, records,
+                          codec="deflate", sync_seed=1000 + sid)
+        with open(os.path.join(
+                table_dir, f"metadata/snap-{sid}.avro"), "wb") as f:
+            f.write(lblob)
+        meta = build_table_metadata(
+            {s: f"metadata/snap-{s}.avro"
+             for s in range(1, sid + 1)}, sid)
+        with open(os.path.join(
+                table_dir, f"metadata/v{sid}.metadata.json"),
+                "wb") as f:
+            f.write(meta)
+        return seq
+
+    def data_entry(path, n, size):
+        return {"status": STATUS_ADDED, "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": CONTENT_DATA, "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": n, "file_size_in_bytes": size,
+                    "equality_ids": None}}
+
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 6).alias("bucket"))
+
+    def write_batch(df, epoch_id):
+        cached = df.cache()
+        try:
+            for g in range(6):
+                sub = cached.filter(F.col("bucket") == g)
+
+                def write_part(batches, g=g):
+                    import pandas as pd
+
+                    from health_monitor_cc_flink_spark.operators \
+                        .parquet_write import write_parquet
+
+                    ids = []
+                    for pdf in batches:
+                        ids.extend(int(v) for v in pdf["event_id"])
+                    if not ids:
+                        yield pd.DataFrame(
+                            {"path": [], "n": [], "size": []})
+                        return
+                    blob = write_parquet([
+                        ("event_id", "INT64", ids),
+                        ("bucket", "INT64", [g] * len(ids)),
+                    ])
+                    name = f"data/part-{uuid.uuid4().hex}.parquet"
+                    with open(os.path.join(table_dir, name),
+                              "wb") as f:
+                        f.write(blob)
+                    yield pd.DataFrame({"path": [name],
+                                        "n": [len(ids)],
+                                        "size": [len(blob)]})
+
+                census = sub.repartition(4).mapInPandas(
+                    write_part,
+                    schema="path string, n long, size long"
+                ).collect()
+                if census:
+                    commit([data_entry(r["path"], int(r["n"]),
+                                       int(r["size"]))
+                            for r in census], CONTENT_DATA)
+        finally:
+            cached.unpersist()
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "iceberg_dv_sink_ckpt")
+                 + uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if not manifests:
+        raise RuntimeError("iceberg DV sink committed nothing")
+
+    data_files = sorted(
+        f"data/{n}" for n in os.listdir(
+            os.path.join(table_dir, "data")))
+
+    # DV commit: each task scans its data files, builds ONE
+    # deletion-vector-v1 blob per covered file, and writes one
+    # Puffin file holding the task's DVs
+    files_df = spark.createDataFrame(
+        [(p,) for p in data_files], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def write_dvs(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+        from health_monitor_cc_flink_spark.operators.puffin import (
+            DELETION_VECTOR_V1,
+            serialize_dv_blob,
+            write_puffin,
+        )
+
+        for pdf in batches:
+            per_file: dict[str, list[int]] = {}
+            re_add: list[int] = []
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                for pos, eid in enumerate(cols["event_id"]):
+                    if eid % 97 == 0:
+                        per_file.setdefault(p, []).append(pos)
+                        if eid % 6 == 0:
+                            re_add.append(eid)
+            if not per_file:
+                yield pd.DataFrame(
+                    {"ref": [], "puffin": [], "offset": [],
+                     "size": [], "card": [], "re_add_ids": []})
+                continue
+            blobs = [{
+                "data": serialize_dv_blob(pos),
+                "type": DELETION_VECTOR_V1,
+                "properties": {"referenced-data-file": ref,
+                               "cardinality": str(len(pos))},
+            } for ref, pos in sorted(per_file.items())]
+            pblob = write_puffin(blobs)
+            name = f"data/dv-{uuid.uuid4().hex}.puffin"
+            with open(os.path.join(table_dir, name), "wb") as f:
+                f.write(pblob)
+            refs = sorted(per_file)
+            yield pd.DataFrame({
+                "ref": refs,
+                "puffin": [name] * len(refs),
+                "offset": [b["offset"] for b in blobs],
+                "size": [b["length"] for b in blobs],
+                "card": [len(per_file[r]) for r in refs],
+                "re_add_ids": [",".join(map(str, sorted(re_add)))]
+                + [""] * (len(refs) - 1),
+            })
+
+    dcensus = files_df.mapInPandas(
+        write_dvs,
+        schema=("ref string, puffin string, offset long, "
+                "size long, card long, re_add_ids string")
+    ).collect()
+    if not dcensus:
+        raise RuntimeError("no deletion vectors produced")
+    puffin_sizes = {
+        r["puffin"]: os.path.getsize(
+            os.path.join(table_dir, r["puffin"]))
+        for r in dcensus}
+    dv_entries = [{
+        "status": STATUS_ADDED, "snapshot_id": None,
+        "sequence_number": None,
+        "data_file": {
+            "content": CONTENT_POSITION_DELETES,
+            "file_path": r["puffin"], "file_format": "PUFFIN",
+            "partition": {"lang": None},
+            "record_count": int(r["card"]),
+            "file_size_in_bytes": puffin_sizes[r["puffin"]],
+            "equality_ids": None,
+            "referenced_data_file": r["ref"],
+            "content_offset": int(r["offset"]),
+            "content_size_in_bytes": int(r["size"]),
+        }} for r in dcensus]
+    del_seq = commit(dv_entries, CONTENT_POSITION_DELETES)
+
+    # RE-ADD at a higher sequence number: DV scoping must exempt it
+    re_ids = sorted({int(v) for r in dcensus
+                     for v in (r["re_add_ids"] or "").split(",")
+                     if v})
+    if not re_ids:
+        raise RuntimeError("no re-add ids found")
+    from .operators.parquet_write import write_parquet as _wp
+
+    rblob = _wp([("event_id", "INT64", re_ids),
+                 ("bucket", "INT64", [0] * len(re_ids))])
+    rname = f"data/readd-{uuid.uuid4().hex}.parquet"
+    with open(os.path.join(table_dir, rname), "wb") as f:
+        f.write(rblob)
+    re_seq = commit([data_entry(rname, len(re_ids), len(rblob))],
+                    CONTENT_DATA)
+    if not del_seq < re_seq:
+        raise RuntimeError("sequence numbers not increasing")
+
+    # read back: walk applies DVs at manifest offsets
+    files: dict[str, bytes] = {}
+    for n in os.listdir(os.path.join(table_dir, "metadata")):
+        with open(os.path.join(table_dir, "metadata", n),
+                  "rb") as f:
+            files[f"metadata/{n}"] = f.read()
+    for p in set(puffin_sizes):
+        with open(os.path.join(table_dir, p), "rb") as f:
+            files[p] = f.read()
+    snap = walk_snapshot_v2(files, snapshot_id=state["snap"])
+    live = {f["file_path"]: f for f in snap["live"]}
+    if rname not in live or live[rname]["n_deleted"] != 0:
+        raise RuntimeError("re-added file wrongly deleted against")
+    census_total = sum(f["live_records"] for f in snap["live"])
+
+    from .operators.puffin import read_dv_at
+
+    dropped: dict[str, set] = {}
+    for r in dcensus:
+        dropped[r["ref"]] = set(read_dv_at(
+            files[r["puffin"]], int(r["offset"]), int(r["size"])))
+    dropped.pop(rname, None)
+
+    live_df = spark.createDataFrame(
+        [(p,) for p in sorted(live)], "path string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def read_back(batches):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg import (
+            read_flat_parquet,
+        )
+
+        for pdf in batches:
+            out = {"bucket": [], "event_id": []}
+            for p in pdf["path"]:
+                cols = read_flat_parquet(
+                    open(os.path.join(table_dir, p), "rb").read())
+                dead = dropped.get(p, ())
+                for pos, (eid, b) in enumerate(
+                        zip(cols["event_id"], cols["bucket"])):
+                    if pos in dead:
+                        continue
+                    out["bucket"].append(b)
+                    out["event_id"].append(eid)
+            yield pd.DataFrame(out)
+
+    decoded = live_df.mapInPandas(
+        read_back, schema="bucket long, event_id long")
+    agg = decoded.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.md5(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.col("event_id"))).cast("array<string>")))
+        .alias("ids_md5"),
+    )
+    total = agg.agg(F.sum("n_records")).first()[0]
+    if total != census_total:
+        raise RuntimeError(
+            f"census {census_total} != decoded {total}")
+    return agg
