@@ -100,40 +100,39 @@ def _completed_instants(files: dict[str, bytes]) -> list[dict]:
     return completed
 
 
-def build_metadata_table(files: dict[str, bytes]) -> dict[str, bytes]:
-    """Data-table ``.hoodie/`` members -> metadata-table members:
-    ``.hoodie/metadata/files/`` log files (one per data instant,
-    appended to the ``files-0000`` group) plus the metadata table's
-    own ``.hoodie/metadata/.hoodie/<t>.deltacommit`` instants.
+class MetadataTableBuilder:
+    """INCREMENTAL metadata-table maintenance: call ``apply`` once
+    per completed data-table instant (in timeline order) and merge
+    the returned members into the table directory — the exact shape
+    a streaming writer runs, one metadata deltacommit per data
+    commit, never a rebuild from a full listing.
+    ``build_metadata_table`` is this builder driven over a whole
+    timeline, so incremental-vs-rebuild byte equality is a testable
+    determinism certificate."""
 
-    Per data instant the delta block records the instant's NEW files
-    (size from the write stat) and — for a replacecommit — the
-    replaced file groups' previous files as ``isDeleted`` entries,
-    so the merged listing equals the direct walk at every point in
-    the timeline (streaming-maintainable, never rebuilt from a full
-    listing)."""
-    completed = _completed_instants(files)
-    if not completed:
-        raise ValueError("hudi timeline has no completed commits")
-    out: dict[str, bytes] = {}
-    # running (partition, fileId) -> {filename: size} so a
-    # replacecommit can tombstone the files of the groups it drops
-    group_files: dict[tuple, dict[str, int]] = {}
-    seen_partitions: set[str] = set()
-    version = 1
-    for inst in completed:
-        try:
-            doc = json.loads(inst["blob"].decode("utf-8"))
-        except ValueError as exc:
-            raise ValueError("hudi commit json malformed") from exc
+    def __init__(self) -> None:
+        # running (partition, fileId) -> {filename: size} so a
+        # replacecommit can tombstone the files of the groups it
+        # drops
+        self._group_files: dict[tuple, dict[str, int]] = {}
+        self._seen_partitions: set[str] = set()
+        self._version = 1
+        self._base_instant: str | None = None
+
+    def apply(self, instant_time: str, action: str,
+              doc: dict) -> dict[str, bytes]:
+        """One completed data instant -> the metadata members it
+        appends ({} when the instant carries no file effects)."""
         if not isinstance(doc, dict):
             raise ValueError("hudi commit json malformed")
+        if self._base_instant is None:
+            self._base_instant = instant_time
         per_part: dict[str, dict[str, dict]] = {}
         new_partitions: dict[str, dict] = {}
-        if inst["action"] == "clean":
+        if action == "clean":
             # HoodieCleanMetadata: per-partition successDeleteFiles
-            # (old file-group versions the cleaner reclaimed) become
-            # isDeleted entries
+            # (old file-group versions the cleaner reclaimed)
+            # become isDeleted entries
             for part, pm in (doc.get("partitionMetadata")
                              or {}).items():
                 pkey = part or NON_PARTITIONED_KEY
@@ -142,21 +141,21 @@ def build_metadata_table(files: dict[str, bytes]) -> dict[str, bytes]:
                     fname = str(path).rsplit("/", 1)[-1]
                     per_part.setdefault(pkey, {})[fname] = {
                         "size": 0, "isDeleted": True}
-                    for gfiles in group_files.values():
+                    for gfiles in self._group_files.values():
                         gfiles.pop(fname, None)
         for part, fids in (doc.get("partitionToReplaceFileIds")
                            or {}).items():
             pkey = part or NON_PARTITIONED_KEY
             for fid in fids:
-                for fname, _sz in group_files.pop(
+                for fname, _sz in self._group_files.pop(
                         (pkey, fid), {}).items():
                     per_part.setdefault(pkey, {})[fname] = {
                         "size": 0, "isDeleted": True}
         for part, stats in (doc.get("partitionToWriteStats")
                             or {}).items():
             pkey = part or NON_PARTITIONED_KEY
-            if pkey not in seen_partitions:
-                seen_partitions.add(pkey)
+            if pkey not in self._seen_partitions:
+                self._seen_partitions.add(pkey)
                 new_partitions[pkey] = {"size": 0,
                                         "isDeleted": False}
             for st in stats:
@@ -170,7 +169,8 @@ def build_metadata_table(files: dict[str, bytes]) -> dict[str, bytes]:
                            or st.get("fileSizeInBytes") or 0)
                 per_part.setdefault(pkey, {})[fname] = {
                     "size": size, "isDeleted": False}
-                group_files.setdefault((pkey, fid), {})[fname] = size
+                self._group_files.setdefault(
+                    (pkey, fid), {})[fname] = size
         records = []
         if new_partitions:
             records.append({
@@ -185,21 +185,50 @@ def build_metadata_table(files: dict[str, bytes]) -> dict[str, bytes]:
                 "filesystemMetadata": per_part[pkey],
             })
         if not records:
-            continue
+            return {}
         blob = write_avro_data_block(
-            METADATA_RECORD_SCHEMA, records, inst["time"])
+            METADATA_RECORD_SCHEMA, records, instant_time)
         log_name = (f".hoodie/metadata/files/.{FILES_FILE_GROUP}_"
-                    f"{completed[0]['time']}.log.{version}_0-1-0")
-        out[log_name] = blob
-        out[f".hoodie/metadata/.hoodie/{inst['time']}"
-            f".deltacommit"] = json.dumps(
-            {"operationType": "UPSERT",
-             "partitionToWriteStats": {"files": [{
-                 "fileId": FILES_FILE_GROUP,
-                 "path": log_name.rsplit("/", 1)[-1],
-                 "numWrites": len(records)}]}},
-            sort_keys=True, separators=(",", ":")).encode("utf-8")
-        version += 1
+                    f"{self._base_instant}.log."
+                    f"{self._version}_0-1-0")
+        self._version += 1
+        return {
+            log_name: blob,
+            f".hoodie/metadata/.hoodie/{instant_time}"
+            ".deltacommit": json.dumps(
+                {"operationType": "UPSERT",
+                 "partitionToWriteStats": {"files": [{
+                     "fileId": FILES_FILE_GROUP,
+                     "path": log_name.rsplit("/", 1)[-1],
+                     "numWrites": len(records)}]}},
+                sort_keys=True,
+                separators=(",", ":")).encode("utf-8"),
+        }
+
+
+def build_metadata_table(files: dict[str, bytes]) -> dict[str, bytes]:
+    """Data-table ``.hoodie/`` members -> metadata-table members:
+    ``.hoodie/metadata/files/`` log files (one per data instant,
+    appended to the ``files-0000`` group) plus the metadata table's
+    own ``.hoodie/metadata/.hoodie/<t>.deltacommit`` instants.
+
+    Per data instant the delta block records the instant's NEW files
+    (size from the write stat) and — for a replacecommit — the
+    replaced file groups' previous files as ``isDeleted`` entries,
+    so the merged listing equals the direct walk at every point in
+    the timeline (streaming-maintainable via MetadataTableBuilder,
+    never rebuilt from a full listing)."""
+    completed = _completed_instants(files)
+    if not completed:
+        raise ValueError("hudi timeline has no completed commits")
+    out: dict[str, bytes] = {}
+    builder = MetadataTableBuilder()
+    for inst in completed:
+        try:
+            doc = json.loads(inst["blob"].decode("utf-8"))
+        except ValueError as exc:
+            raise ValueError("hudi commit json malformed") from exc
+        out.update(builder.apply(inst["time"], inst["action"], doc))
     return out
 
 

@@ -23069,3 +23069,224 @@ def streaming_iceberg_sink_dv_roundtrip(spark, sf_dir):
         raise RuntimeError(
             f"census {census_total} != decoded {total}")
     return agg
+
+
+@query(
+    "streaming_hudi_sink_metadata_table",
+    """
+    SELECT CAST(event_id % 4 AS BIGINT) AS bucket, TRUE AS ok,
+           TRUE AS incremental_matches_rebuild,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(4 AS BIGINT) AS n_partitions
+    FROM events GROUP BY event_id % 4
+    """,
+    doc="Hudi metadata table MAINTAINED INCREMENTALLY by a "
+    "streaming writer (the claim behind "
+    "lake_hudi_metadata_table_listing, live): the events stream "
+    "drains through foreachBatch into per-bucket base file groups "
+    "with the driver committing the timeline, and after EVERY "
+    "commit a MetadataTableBuilder.apply appends that instant's "
+    "delta block to the .hoodie/metadata files-0000 group — one "
+    "metadata deltacommit per data commit, never a rebuild; a "
+    "final replacecommit CLUSTERS bucket 0 (executor-side read + "
+    "rewrite into one file) and its tombstones flow through the "
+    "same incremental path.  Certificates inside `ok`: the "
+    "incrementally-accumulated metadata members are BYTE-IDENTICAL "
+    "to a from-scratch rebuild over the final timeline "
+    "(determinism), every COW-live base file appears in the "
+    "listing, and replaced files are absent.  The hash gate rides "
+    "per-bucket event totals summed from the LISTING (each listed "
+    "file's committed numWrites) — a leaked tombstone or lost "
+    "append breaks the count.  Scale: the metadata append is "
+    "O(files touched) per commit; at 100 TB the planner reads one "
+    "file group instead of an object-store LIST storm, and the "
+    "maintenance cost is already paid by the writer.",
+    bench=True,
+)
+def streaming_hudi_sink_metadata_table(spark, sf_dir):
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    from .operators.hudi import (
+        base_file_name,
+        build_commit,
+        reconstruct_table,
+    )
+    from .operators.hudi_metadata import (
+        MetadataTableBuilder,
+        build_metadata_table,
+        read_metadata_listing,
+    )
+    from .registry import _warehouse_path
+    from .sources.testdata import events_stream
+
+    table_dir = _warehouse_path(sf_dir, "hudi_md_sink")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(os.path.join(table_dir, ".hoodie"), exist_ok=True)
+
+    state = {"n": 0}
+    builder = MetadataTableBuilder()
+    md_members: dict[str, bytes] = {}
+    #: filename -> (bucket, numWrites) for the listing-driven count
+    file_stats: dict[str, tuple[int, int]] = {}
+
+    def commit_instant(action: str, doc: bytes) -> str:
+        state["n"] += 1
+        t = str(20260301000000000 + state["n"])
+        with open(os.path.join(table_dir, ".hoodie",
+                               f"{t}.{action}"), "wb") as f:
+            f.write(doc)
+        md_members.update(builder.apply(
+            t, action, _json.loads(doc.decode("utf-8"))))
+        return t
+
+    src = events_stream(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 4).alias("bucket"))
+
+    def write_batch(df, epoch_id):
+        cached = df.cache()
+        try:
+            for g in range(4):
+                sub = cached.filter(F.col("bucket") == g)
+                instant = str(20260301000000000 + state["n"] + 1)
+
+                def write_part(batches, g=g, instant=instant):
+                    import pandas as pd
+
+                    from health_monitor_cc_flink_spark.operators \
+                        .parquet_write import write_parquet
+
+                    ids = []
+                    for pdf in batches:
+                        ids.extend(int(v) for v in pdf["event_id"])
+                    if not ids:
+                        yield pd.DataFrame(
+                            {"file_id": [], "path": [], "n": [],
+                             "size": []})
+                        return
+                    fid = f"fg-{uuid.uuid4().hex[:12]}"
+                    rel = (f"bucket={g}/"
+                           f"{base_file_name(fid, instant)}")
+                    os.makedirs(os.path.join(
+                        table_dir, f"bucket={g}"), exist_ok=True)
+                    blob = write_parquet(
+                        [("event_id", "INT64", sorted(ids))])
+                    with open(os.path.join(table_dir, rel),
+                              "wb") as f:
+                        f.write(blob)
+                    yield pd.DataFrame(
+                        {"file_id": [fid], "path": [rel],
+                         "n": [len(ids)], "size": [len(blob)]})
+
+                census = sub.repartition(4).mapInPandas(
+                    write_part,
+                    schema=("file_id string, path string, n long, "
+                            "size long")).collect()
+                if census:
+                    for r in census:
+                        file_stats[r["path"].rsplit("/", 1)[-1]] = (
+                            g, int(r["n"]))
+                    commit_instant("commit", build_commit({
+                        f"bucket={g}": [{
+                            "fileId": r["file_id"],
+                            "path": r["path"],
+                            "numWrites": int(r["n"]),
+                            "totalWriteBytes": int(r["size"]),
+                        } for r in census]}))
+        finally:
+            cached.unpersist()
+
+    q = (src.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 _warehouse_path(sf_dir, "hudi_md_sink_ckpt")
+                 + uuid.uuid4().hex)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if state["n"] == 0:
+        raise RuntimeError("hudi metadata sink committed nothing")
+
+    def timeline_files() -> dict[str, bytes]:
+        hd = os.path.join(table_dir, ".hoodie")
+        return {n: open(os.path.join(hd, n), "rb").read()
+                for n in os.listdir(hd)
+                if os.path.isfile(os.path.join(hd, n))}
+
+    # CLUSTERING replacecommit: rewrite bucket 0's live groups into
+    # ONE file, executor-side read + rewrite
+    pre = reconstruct_table(timeline_files())
+    b0 = [(part, fid, g["path"])
+          for (part, fid), g in sorted(pre["live"].items())
+          if part == "bucket=0"]
+    if not b0:
+        raise RuntimeError("no bucket-0 groups to cluster")
+    cluster_instant = str(20260301000000000 + state["n"] + 1)
+    paths_df = spark.createDataFrame(
+        [(p,) for _, _, p in b0], "path string").coalesce(1)
+
+    def rewrite(batches, instant=cluster_instant):
+        import pandas as pd
+
+        from health_monitor_cc_flink_spark.operators.iceberg \
+            import read_flat_parquet
+        from health_monitor_cc_flink_spark.operators \
+            .parquet_write import write_parquet
+
+        ids: list = []
+        for pdf in batches:
+            for p in pdf["path"]:
+                ids.extend(read_flat_parquet(
+                    open(os.path.join(table_dir, p),
+                         "rb").read())["event_id"])
+        ids.sort()
+        fid = "fg-clustered-0"
+        rel = f"bucket=0/{base_file_name(fid, instant)}"
+        blob = write_parquet([("event_id", "INT64", ids)])
+        with open(os.path.join(table_dir, rel), "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame({"file_id": [fid], "path": [rel],
+                            "n": [len(ids)],
+                            "size": [len(blob)]})
+
+    rc = paths_df.mapInPandas(
+        rewrite,
+        schema="file_id string, path string, n long, size long"
+    ).collect()[0]
+    file_stats[rc["path"].rsplit("/", 1)[-1]] = (0, int(rc["n"]))
+    commit_instant("replacecommit", build_commit(
+        {"bucket=0": [{"fileId": rc["file_id"], "path": rc["path"],
+                       "numWrites": int(rc["n"]),
+                       "totalWriteBytes": int(rc["size"])}]},
+        replaced={"bucket=0": [fid for _, fid, _ in b0]}))
+
+    # certificates: incremental == rebuild, listing covers the walk
+    rebuilt = build_metadata_table(timeline_files())
+    incremental_ok = rebuilt == md_members
+    listing = read_metadata_listing(md_members)
+    snap = reconstruct_table(timeline_files())
+    listed = {(p, fn) for p, fs in listing["files"].items()
+              for fn in fs}
+    contained = all(
+        (part, g["path"].rsplit("/", 1)[-1]) in listed
+        for (part, _fid), g in snap["live"].items())
+    replaced_gone = all(
+        ("bucket=0", p.rsplit("/", 1)[-1]) not in listed
+        for _, _, p in b0)
+    ok = (incremental_ok and contained and replaced_gone
+          and listing["partitions"] == [f"bucket={g}"
+                                        for g in range(4)])
+
+    rows = []
+    per_bucket: dict[int, int] = {}
+    for _part, fs in listing["files"].items():
+        for fn in fs:
+            g, n = file_stats[fn]
+            per_bucket[g] = per_bucket.get(g, 0) + n
+    for g in sorted(per_bucket):
+        rows.append((g, bool(ok), bool(incremental_ok),
+                     per_bucket[g], len(listing["partitions"])))
+    return spark.createDataFrame(
+        rows, "bucket long, ok boolean, "
+              "incremental_matches_rebuild boolean, "
+              "n_events long, n_partitions long")
