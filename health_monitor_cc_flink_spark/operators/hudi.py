@@ -255,3 +255,87 @@ def reconstruct_mor_table(files: dict[str, bytes],
         "n_pending": n_pending,
         "live": out_live,
     }
+
+
+def plan_clean(files: dict[str, bytes],
+               retain_versions: int = 1) -> dict:
+    """CLEANER planning (Hudi 'clean' table service, KEEP_LATEST_
+    FILE_VERSIONS policy): per file group, base-file versions beyond
+    the newest ``retain_versions`` are reclaimable — upserts write a
+    NEW base file version per commit and the old versions exist only
+    to serve time-travel/incremental readers until cleaned.  Walks
+    the same visible timeline as ``reconstruct_table`` (completed,
+    non-rolled-back; pending invisible) and returns {candidates:
+    {partition: [paths oldest-first]}, n_retained, clean_metadata}
+    where clean_metadata is the HoodieCleanMetadata dict
+    (partitionMetadata.successDeleteFiles) ready to commit as a
+    ``<t>.clean`` instant — the exact doc the metadata-table builder
+    consumes to tombstone the reclaimed files.
+
+    Replaced file groups are NOT candidates: the replacecommit
+    already logically deleted them; cleaning their bytes is the
+    expire path, not version retention."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    instants = []
+    for name, blob in files.items():
+        info = parse_instant_filename(name)
+        if info is None:
+            continue
+        info["blob"] = blob
+        instants.append(info)
+    if len(instants) > MAX_INSTANTS:
+        raise ValueError("hudi instant cap exceeded")
+    rolled_back = _rolled_back_targets(instants)
+    completed = sorted(
+        (i for i in instants if i["state"] == COMPLETED
+         and i["action"] in ("commit", "deltacommit",
+                             "replacecommit")
+         and i["time"] not in rolled_back),
+        key=lambda i: i["time"])
+    if not completed:
+        raise ValueError("hudi timeline has no completed commits")
+    # (partition, fileId) -> [(instant, path)] in time order;
+    # replaced groups drop out entirely
+    versions: dict[tuple, list] = {}
+    for inst in completed:
+        try:
+            doc = json.loads(inst["blob"].decode("utf-8"))
+        except ValueError as exc:
+            raise ValueError("hudi commit json malformed") from exc
+        if not isinstance(doc, dict):
+            raise ValueError("hudi commit json malformed")
+        for part, fids in (doc.get("partitionToReplaceFileIds")
+                           or {}).items():
+            for fid in fids:
+                versions.pop((part, fid), None)
+        for part, stats in (doc.get("partitionToWriteStats")
+                            or {}).items():
+            for st in stats:
+                fid = st.get("fileId")
+                path = st.get("path") or ""
+                if not fid:
+                    raise ValueError("write stat missing fileId")
+                if not path.endswith(".parquet"):
+                    continue  # log appends are compaction's problem
+                versions.setdefault((part, fid), []).append(
+                    (inst["time"], path))
+    candidates: dict[str, list] = {}
+    n_retained = 0
+    for (part, _fid), vs in sorted(versions.items()):
+        vs.sort()
+        old = vs[:-retain_versions]
+        n_retained += min(len(vs), retain_versions)
+        for _t, path in old:
+            candidates.setdefault(part, []).append(path)
+    clean_metadata = {
+        "startCleanTime": completed[-1]["time"],
+        "policy": "KEEP_LATEST_FILE_VERSIONS",
+        "partitionMetadata": {
+            part: {"partitionPath": part,
+                   "successDeleteFiles": paths,
+                   "failedDeleteFiles": []}
+            for part, paths in sorted(candidates.items())},
+    }
+    return {"candidates": candidates, "n_retained": n_retained,
+            "clean_metadata": clean_metadata}

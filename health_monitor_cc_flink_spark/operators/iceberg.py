@@ -1094,3 +1094,92 @@ def expire_snapshots(files: dict[str, bytes],
     return {"files": new_files, "deleted": orphans,
             "kept_snapshots": sorted(keep_ids),
             "n_expired": len(expired_ids)}
+
+
+def rewrite_manifests(files: dict[str, bytes],
+                      snapshot_id: int = 1) -> dict:
+    """MANIFEST COMPACTION (the spec's rewrite-manifests table
+    service): many small data manifests — the natural product of
+    streaming fast-appends — are merged into ONE, carrying every
+    live entry forward as STATUS_EXISTING with its resolved data
+    sequence number made EXPLICIT (entries inherited the old
+    manifest's sequence number from the manifest list; the rewrite
+    must pin it per-entry or delete scoping breaks).  Delete
+    manifests pass through untouched.  Writes a new manifest list
+    and vN+1 metadata; returns {files: updated dict, n_before,
+    n_after, new_snapshot_id}.
+
+    At 100 TB this is what keeps scan PLANNING O(live files), not
+    O(commits): a thousand 10-entry manifests cost a thousand
+    object reads per plan; one 10k-entry manifest costs one."""
+    from ..sources.avro_ocf import read_ocf, write_ocf
+
+    list_path = f"metadata/snap-{snapshot_id}.avro"
+    if list_path not in files:
+        raise ValueError(f"missing manifest list {list_path}")
+    mlist = read_ocf(files[list_path])["records"]
+    merged_entries = []
+    delete_records = []
+    n_before = 0
+    for mf in mlist:
+        path = mf["manifest_path"]
+        if path not in files:
+            raise ValueError(f"missing manifest {path}")
+        if mf.get("content", CONTENT_DATA) != CONTENT_DATA:
+            delete_records.append(mf)
+            continue
+        n_before += 1
+        mseq = mf.get("sequence_number")
+        if not isinstance(mseq, int):
+            raise ValueError(f"manifest {path} missing "
+                             "sequence_number in manifest list")
+        for e in read_ocf(files[path])["records"]:
+            if e["status"] == STATUS_DELETED:
+                continue  # tombstones do not survive a rewrite
+            eseq = e.get("sequence_number")
+            merged_entries.append({
+                "status": STATUS_EXISTING,
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": (eseq if eseq is not None
+                                    else mseq),
+                "data_file": e["data_file"],
+            })
+    if n_before == 0:
+        raise ValueError("no data manifests to rewrite")
+    merged_entries.sort(
+        key=lambda e: e["data_file"]["file_path"])
+    new_sid = snapshot_id + 1
+    mpath = f"metadata/manifest-rewrite-{new_sid}.avro"
+    blob = write_ocf(MANIFEST_ENTRY_SCHEMA_V2, merged_entries,
+                     codec="deflate", sync_seed=new_sid)
+    # the merged manifest's list-level sequence number is 0; every
+    # entry carries its own explicit number, so inheritance never
+    # fires for them
+    records = [{
+        "manifest_path": mpath, "manifest_length": len(blob),
+        "partition_spec_id": 0, "content": CONTENT_DATA,
+        "sequence_number": 0, "added_snapshot_id": new_sid,
+        "added_files_count": 0,
+        "existing_files_count": len(merged_entries),
+        "deleted_files_count": 0,
+    }] + delete_records
+    new_files = dict(files)
+    new_files[mpath] = blob
+    new_files[f"metadata/snap-{new_sid}.avro"] = write_ocf(
+        MANIFEST_LIST_SCHEMA_V2, records, codec="deflate",
+        sync_seed=1000 + new_sid)
+    # metadata json is optional on the way in (build_snapshot_v2
+    # payloads address snapshots by filename); the rewrite always
+    # writes one out so the new snapshot is the table's current
+    try:
+        meta = resolve_table_metadata(files)
+        snaps = dict(meta["snapshots"])
+        new_version = meta["version"] + 1
+    except ValueError:
+        snaps = {snapshot_id: list_path}
+        new_version = 1
+    snaps[new_sid] = f"metadata/snap-{new_sid}.avro"
+    new_files[f"metadata/v{new_version}.metadata.json"] = \
+        build_table_metadata(snaps, new_sid)
+    return {"files": new_files, "n_before": n_before,
+            "n_after": 1, "new_snapshot_id": new_sid}

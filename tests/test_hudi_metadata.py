@@ -126,3 +126,62 @@ def test_hostile_inputs():
     files2[f".hoodie/{T[3]}.commit"] = b"oops"
     with pytest.raises(ValueError):
         build_metadata_table(files2)
+
+
+def test_plan_clean_version_retention():
+    """KEEP_LATEST_FILE_VERSIONS cleaning: old base-file versions
+    reclaim, the newest retain; replaced groups are never
+    candidates; the clean metadata flows through the metadata-table
+    builder to tombstone exactly the reclaimed files."""
+    from health_monitor_cc_flink_spark.operators.hudi import (
+        plan_clean,
+    )
+
+    files = {}
+    # group f1 written at T1, T2, T3 (3 versions); f2 at T1 only;
+    # f3 written at T2 then replaced at T4
+    files[f".hoodie/{T[0]}.commit"] = build_commit({
+        "p": [{"fileId": "f1",
+               "path": "p/" + base_file_name("f1", T[0]),
+               "numWrites": 1, "totalWriteBytes": 10},
+              {"fileId": "f2",
+               "path": "p/" + base_file_name("f2", T[0]),
+               "numWrites": 1, "totalWriteBytes": 10}]})
+    files[f".hoodie/{T[1]}.commit"] = build_commit({
+        "p": [{"fileId": "f1",
+               "path": "p/" + base_file_name("f1", T[1]),
+               "numWrites": 1, "totalWriteBytes": 10},
+              {"fileId": "f3",
+               "path": "p/" + base_file_name("f3", T[1]),
+               "numWrites": 1, "totalWriteBytes": 10}]})
+    files[f".hoodie/{T[2]}.commit"] = build_commit({
+        "p": [{"fileId": "f1",
+               "path": "p/" + base_file_name("f1", T[2]),
+               "numWrites": 1, "totalWriteBytes": 10}]})
+    files[f".hoodie/{T[3]}.replacecommit"] = build_commit({
+        "p": [{"fileId": "f4",
+               "path": "p/" + base_file_name("f4", T[3]),
+               "numWrites": 1, "totalWriteBytes": 10}]},
+        replaced={"p": ["f3"]})
+    plan = plan_clean(files, retain_versions=1)
+    assert plan["candidates"] == {"p": [
+        "p/" + base_file_name("f1", T[0]),
+        "p/" + base_file_name("f1", T[1]),
+    ]}
+    assert plan["n_retained"] == 3  # f1@T3, f2@T1, f4@T4
+    # retain 2: only the oldest f1 goes
+    plan2 = plan_clean(files, retain_versions=2)
+    assert plan2["candidates"] == {"p": [
+        "p/" + base_file_name("f1", T[0])]}
+    with pytest.raises(ValueError):
+        plan_clean(files, retain_versions=0)
+    # commit the clean; the metadata listing drops exactly the
+    # reclaimed versions
+    files[f".hoodie/{T[4]}.clean"] = json.dumps(
+        plan["clean_metadata"]).encode()
+    listing = read_metadata_listing(build_metadata_table(files))
+    assert set(listing["files"]["p"]) == {
+        base_file_name("f1", T[2]),
+        base_file_name("f2", T[0]),
+        base_file_name("f4", T[3]),
+    }
