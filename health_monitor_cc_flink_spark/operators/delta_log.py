@@ -418,10 +418,6 @@ def write_checkpoint_parquet(snapshot: dict) -> tuple[bytes, int]:
     from .parquet_write import GROUP_NULL, GroupNull, write_parquet
 
     live = snapshot["live"]
-    for entry in live.values():
-        if entry.get("partition_values"):
-            raise ValueError("checkpoint writer: partitioned table "
-                             "unsupported")
     paths = sorted(live)
     n = 2 + len(paths)  # protocol + metaData + adds
     G = GROUP_NULL
@@ -496,6 +492,14 @@ def _add_action_cols(paths: list[str], live: dict,
                        separators=(",", ":")))
              for p in paths]),
     ]
+    if any(live[p].get("partition_values") for p in paths):
+        # partitioned tables (r16: the nested-MAP writer made the
+        # spec's add.partitionValues map expressible; the reader
+        # already decoded it)
+        cols.append((
+            "add.partitionValues", "MAP_STRING_STRING",
+            pre + [dict(live[p].get("partition_values") or {})
+                   for p in paths]))
     if has_dv:
         cols += [
             ("add.deletionVector.storageType", "STRING",
@@ -527,10 +531,6 @@ def write_checkpoint_v2(snapshot: dict, uuid: str,
     from .parquet_write import GROUP_NULL, write_parquet
 
     live = snapshot["live"]
-    for entry in live.values():
-        if entry.get("partition_values"):
-            raise ValueError("checkpoint writer: partitioned table "
-                             "unsupported")
     v = snapshot["version"]
     G = GROUP_NULL
     meta_id = (snapshot.get("metadata") or {}).get("id") or "table"

@@ -587,23 +587,44 @@ def _schema_trie(columns: list[tuple[str, str, list]]) -> dict:
             prev_path = tuple(parts[:-1])
             continue
         if ptype in _MAPKEY_TYPES or ptype in _MAPVALUE_TYPES:
-            top = name.split(".", 1)[0]
-            node = root["children"].get(top)
+            # the expanded chunk names end ".key"/".value"; the MAP
+            # group is everything before that, and (like LIST since
+            # r16) may itself sit under optional struct groups
+            mapname = name.rsplit(".", 1)[0]
+            parts = mapname.split(".")
+            cur = root
+            for depth, part in enumerate(parts[:-1]):
+                nxt = cur["children"].get(part)
+                if nxt is None:
+                    if ptype in _MAPVALUE_TYPES:
+                        raise ValueError(
+                            "MAP key/value chunks must be "
+                            "contiguous")
+                    nxt = {"kind": "struct", "children": {}}
+                    cur["children"][part] = nxt
+                elif nxt["kind"] != "struct" \
+                        or prev_path[:depth + 1] != tuple(
+                            parts[:depth + 1]):
+                    raise ValueError(
+                        "group columns must be contiguous")
+                cur = nxt
+            top = parts[-1]
+            node = cur["children"].get(top)
             if ptype in _MAPKEY_TYPES:
                 if node is not None:
-                    raise ValueError(f"duplicate column {top}")
-                root["children"][top] = {
+                    raise ValueError(f"duplicate column {mapname}")
+                cur["children"][top] = {
                     "kind": "map", "ktype": _MAPKEY_TYPES[ptype],
                     "vtype": None}
-                prev_path = (top, "#map")
+                prev_path = tuple(parts) + ("#map",)
             else:
                 if node is None or node.get("kind") != "map" \
                         or node.get("vtype") is not None \
-                        or prev_path != (top, "#map"):
+                        or prev_path != tuple(parts) + ("#map",):
                     raise ValueError(
                         "MAP key/value chunks must be contiguous")
                 node["vtype"] = _MAPVALUE_TYPES[ptype]
-                prev_path = ()
+                prev_path = tuple(parts[:-1])
             continue
         if ptype in _LISTSTRUCT_TYPES:
             top, field = name.split(".", 1)
@@ -705,9 +726,12 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             keys: list = []
             vlists: list = []
             for row in vals:
-                if row is None:
-                    keys.append(None)
-                    vlists.append(None)
+                if _is_null_marker(row):
+                    # None / GROUP_NULL / GroupNull(k) pass through
+                    # to both leaf chunks (null map or null
+                    # ancestor struct)
+                    keys.append(row)
+                    vlists.append(row)
                     continue
                 pairs = (list(row.items()) if isinstance(row, dict)
                          else list(row))
@@ -782,7 +806,12 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         # is optional too; lists keep the fixed 3-level ladder; map
         # keys are REQUIRED inside the repeated group (max def 2)
         if is_map_key:
-            max_def = 2
+            # ancestors of the MAP group (name ends ".key") + the
+            # optional map group + the repeated key_value; keys are
+            # REQUIRED so they add no level
+            max_def = (name.count(".") - 1) + 2
+        elif is_map_value:
+            max_def = (name.count(".") - 1) + 3
         elif ptype in _LIST_TYPES:
             # each ancestor struct adds one def level on top of the
             # 3-level ladder (optional LIST group / repeated list /
@@ -824,10 +853,20 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
             page = vals[start:start + page_rows]
             if is_list:
                 # base = number of ancestor struct groups; the
-                # ladder sits on top: null list -> base, empty ->
-                # base+1, null element -> max_def-1, present ->
+                # ladder sits on top: null list/map -> base, empty
+                # -> base+1, null element -> max_def-1, present ->
                 # max_def.  GroupNull(k) marks a null ancestor.
-                base = max_def - 3 if ptype in _LIST_TYPES else 0
+                # Map KEYS are required: their ladder tops out one
+                # level lower (present -> max_def, no null-element
+                # rung), so base = max_def - 2.
+                if ptype in _LIST_TYPES:
+                    base = max_def - 3
+                elif is_map_key:
+                    base = max_def - 2
+                elif is_map_value:
+                    base = max_def - 3
+                else:
+                    base = 0
                 levels: list[int] = []
                 reps: list[int] = []
                 present = []
@@ -1136,10 +1175,11 @@ def write_parquet(columns: list[tuple[str, str, list]], *,
         if c["ptype"] in _LIST_TYPES:
             parts = c["name"].split(".") + ["list", "element"]
         elif c["ptype"] in _MAPKEY_TYPES:
-            parts = [c["name"].split(".", 1)[0], "key_value", "key"]
+            parts = (c["name"].rsplit(".", 1)[0].split(".")
+                     + ["key_value", "key"])
         elif c["ptype"] in _MAPVALUE_TYPES:
-            parts = [c["name"].split(".", 1)[0], "key_value",
-                     "value"]
+            parts = (c["name"].rsplit(".", 1)[0].split(".")
+                     + ["key_value", "value"])
         elif c["ptype"] in _LISTSTRUCT_TYPES:
             top, field = c["name"].split(".", 1)
             parts = [top, "list", "element", field]

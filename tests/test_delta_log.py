@@ -238,11 +238,22 @@ def test_compaction_roundtrip_and_reference_reader():
     assert t.schema.names == ["protocol", "metaData", "add"]
     adds = [a for a in t["add"].to_pylist() if a is not None]
     assert sorted(a["path"] for a in adds) == sorted(orig["live"])
-    # partitioned tables / DV tables are explicitly refused
-    with pytest.raises(ValueError, match="partitioned"):
-        write_checkpoint_parquet({"live": {"a": {
+    # partitioned tables serialize their partitionValues map (r16:
+    # the refusal lifted once the nested-MAP writer landed)
+    blob_p, n_p = write_checkpoint_parquet({"live": {
+        "lang=en/a.parquet": {
             "partition_values": {"lang": "en"}, "size": 1,
-            "num_records": 1}}, "metadata": None})
+            "num_records": 1},
+        "b.parquet": {
+            "partition_values": {}, "size": 2, "num_records": 2},
+    }, "metadata": None})
+    assert n_p == 4
+    tp = pq.read_table(io.BytesIO(blob_p))
+    adds_p = {a["path"]: a for a in tp["add"].to_pylist()
+              if a is not None}
+    assert dict(adds_p["lang=en/a.parquet"]["partitionValues"]) \
+        == {"lang": "en"}
+    assert dict(adds_p["b.parquet"]["partitionValues"] or {}) == {}
 
 
 def test_checkpoint_roundtrips_deletion_vectors():
@@ -616,3 +627,44 @@ def test_compaction_v2_roundtrip():
     c1 = compact_delta_log(files)
     snap1 = parse_delta_log_files(c1)
     assert snap1["live"].keys() == snap["live"].keys()
+
+
+def test_partitioned_checkpoint_roundtrip():
+    """Partitioned table compaction (classic and v2): the
+    add.partitionValues map survives the checkpoint parquet in both
+    directions, including empty maps and multi-key tuples."""
+    import json as _json
+
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        build_delta_log,
+        compact_delta_log,
+        parse_delta_log_files,
+    )
+
+    commits = {0: [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "pt",
+                      "partitionColumns": ["lang", "day"]}},
+        {"add": {"path": "lang=en/p0.parquet", "size": 5,
+                 "partitionValues": {"lang": "en"},
+                 "stats": _json.dumps({"numRecords": 3})}},
+        {"add": {"path": "lang=de/day=7/p1.parquet", "size": 6,
+                 "partitionValues": {"lang": "de", "day": "7"},
+                 "stats": _json.dumps({"numRecords": 4})}},
+        {"add": {"path": "p2.parquet", "size": 7,
+                 "partitionValues": {},
+                 "stats": _json.dumps({"numRecords": 5})}},
+    ]}
+    files = build_delta_log(commits)
+    direct = parse_delta_log_files(files)
+    want = {p: e["partition_values"]
+            for p, e in direct["live"].items()}
+    for v2 in (False, True):
+        snap = parse_delta_log_files(
+            compact_delta_log(files, v2=v2))
+        assert {p: e["partition_values"]
+                for p, e in snap["live"].items()} == want, v2
+        assert {p: e["num_records"]
+                for p, e in snap["live"].items()} \
+            == {p: e["num_records"]
+                for p, e in direct["live"].items()}
