@@ -942,3 +942,87 @@ def check_read_protocol(protocol: dict | None) -> None:
         return
     raise ValueError(
         f"unsupported Delta minReaderVersion {v}; refusing to read")
+
+
+def write_version_checksum(snapshot: dict) -> bytes:
+    """VERSION CHECKSUM (``<v>.crc``) — the per-commit state summary
+    delta-spark writes next to every commit so a reader can VERIFY
+    its reconstructed snapshot without re-listing data files:
+    tableSizeBytes / numFiles over the live set, numDeletedRecords
+    and numDeletionVectors over the DV state, plus the metadata and
+    protocol actions in force.  Field names follow the public
+    VersionChecksum shape."""
+    live = snapshot["live"]
+    doc = {
+        "tableSizeBytes": sum(
+            int(e.get("size") or 0) for e in live.values()),
+        "numFiles": len(live),
+        "numDeletedRecordsOpt": sum(
+            int(e.get("dv_cardinality")
+                or (e.get("deletion_vector") or {})
+                .get("cardinality") or 0)
+            for e in live.values()),
+        "numDeletionVectorsOpt": sum(
+            1 for e in live.values()
+            if e.get("deletion_vector")),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": snapshot.get("metadata"),
+        "protocol": snapshot.get("protocol")
+        or {"minReaderVersion": 1, "minWriterVersion": 2},
+    }
+    return json.dumps(doc, sort_keys=True,
+                      separators=(",", ":")).encode("utf-8")
+
+
+def checksum_filename(version: int) -> str:
+    return f"{version:020d}.crc"
+
+
+def verify_version_checksum(files: dict[str, bytes]) -> dict:
+    """Verify every ``<v>.crc`` in a log directory against the
+    REPLAYED snapshot at that version: recompute the summary and
+    diff field-by-field.  Returns {versions_checked, valid,
+    mismatches: [{version, field, expected, actual}]} — the cheap
+    state-integrity pass engines run on snapshot load; a stale or
+    tampered checksum is reported, never silently accepted."""
+    crc_re = re.compile(r"^(\d{20})\.crc$")
+    commits: dict[int, list[dict]] = {}
+    for name, blob in files.items():
+        v = parse_commit_filename(name)
+        if v is None:
+            continue
+        commits[v] = [json.loads(line)
+                      for line in blob.decode("utf-8").splitlines()
+                      if line.strip()]
+    checked = 0
+    mismatches = []
+    for name, blob in sorted(files.items()):
+        m = crc_re.match(name.rsplit("/", 1)[-1])
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v not in commits:
+            raise ValueError(
+                f"checksum {name} has no commit at version {v}")
+        try:
+            stated = json.loads(blob.decode("utf-8"))
+        except ValueError as exc:
+            raise ValueError(
+                f"checksum {name} json malformed") from exc
+        snap = replay_delta_log(
+            {k: a for k, a in commits.items() if k <= v})
+        want = json.loads(
+            write_version_checksum(snap).decode("utf-8"))
+        checked += 1
+        for field in ("tableSizeBytes", "numFiles",
+                      "numDeletedRecordsOpt",
+                      "numDeletionVectorsOpt", "protocol"):
+            if stated.get(field) != want.get(field):
+                mismatches.append({
+                    "version": v, "field": field,
+                    "expected": want.get(field),
+                    "actual": stated.get(field)})
+    return {"versions_checked": checked,
+            "valid": not mismatches,
+            "mismatches": mismatches}

@@ -668,3 +668,58 @@ def test_partitioned_checkpoint_roundtrip():
                 for p, e in snap["live"].items()} \
             == {p: e["num_records"]
                 for p, e in direct["live"].items()}
+
+
+def test_version_checksum_verify():
+    """<v>.crc summaries verify against replay; tampering and
+    orphan checksums are loud."""
+    import json as _json
+
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        build_delta_log,
+        checksum_filename,
+        replay_delta_log,
+        verify_version_checksum,
+        write_version_checksum,
+    )
+
+    commits = {
+        0: [{"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": 2}},
+            {"metaData": {"id": "t"}},
+            {"add": {"path": "a.parquet", "size": 10,
+                     "stats": _json.dumps({"numRecords": 5})}}],
+        1: [{"add": {"path": "b.parquet", "size": 20,
+                     "stats": _json.dumps({"numRecords": 7})}}],
+        2: [{"remove": {"path": "a.parquet"}}],
+    }
+    files = build_delta_log(commits)
+    for v in commits:
+        snap = replay_delta_log(
+            {k: a for k, a in commits.items() if k <= v})
+        files[checksum_filename(v)] = write_version_checksum(snap)
+    res = verify_version_checksum(files)
+    assert res == {"versions_checked": 3, "valid": True,
+                   "mismatches": []}
+    # DV tallies ride along
+    doc = _json.loads(files[checksum_filename(2)].decode())
+    assert doc["tableSizeBytes"] == 20 and doc["numFiles"] == 1
+    # field tamper -> named mismatch
+    bad = dict(files)
+    bad[checksum_filename(1)] = bad[checksum_filename(1)].replace(
+        b'"tableSizeBytes":30', b'"tableSizeBytes":31')
+    r2 = verify_version_checksum(bad)
+    assert not r2["valid"]
+    assert r2["mismatches"] == [{
+        "version": 1, "field": "tableSizeBytes",
+        "expected": 30, "actual": 31}]
+    # checksum for a nonexistent version is hostile input
+    orphan = dict(files)
+    orphan[checksum_filename(9)] = files[checksum_filename(0)]
+    with pytest.raises(ValueError, match="no commit"):
+        verify_version_checksum(orphan)
+    # malformed json is loud
+    broken = dict(files)
+    broken[checksum_filename(0)] = b"not json"
+    with pytest.raises(ValueError, match="malformed"):
+        verify_version_checksum(broken)
