@@ -757,6 +757,33 @@ def scan_snapshot_v2(files: dict[str, bytes],
             if content == CONTENT_DATA:
                 data_files.append((df, seq))
             elif content == CONTENT_POSITION_DELETES:
+                if df.get("referenced_data_file") is not None \
+                        or df.get("file_format") == "PUFFIN":
+                    # v3 DELETION VECTOR: roaring positions for ONE
+                    # data file, read at the manifest offset (r16;
+                    # same scoping rule as parquet position rows)
+                    from .puffin import read_dv_at
+
+                    ref = df.get("referenced_data_file")
+                    off = df.get("content_offset")
+                    size = df.get("content_size_in_bytes")
+                    if ref is None or off is None or size is None:
+                        raise ValueError(
+                            "deletion-vector entry missing "
+                            "referenced_data_file/content_offset/"
+                            "content_size_in_bytes")
+                    if df["file_path"] not in files:
+                        raise ValueError(
+                            f"missing puffin file "
+                            f"{df['file_path']}")
+                    positions = read_dv_at(
+                        files[df["file_path"]], off, size)
+                    if len(positions) != df["record_count"]:
+                        raise ValueError(
+                            "deletion vector cardinality mismatch")
+                    pos_deletes.extend(
+                        (ref, pos, seq) for pos in positions)
+                    continue
                 if df["file_path"] not in files:
                     raise ValueError("missing positional delete file")
                 rows = read_positional_delete_parquet(

@@ -131,3 +131,48 @@ def test_v3_dv_sequence_scoping():
     snap = walk_snapshot_v2(files)
     by = {f["file_path"]: f for f in snap["live"]}
     assert by["data/a.parquet"]["live_records"] == 100
+
+
+def test_v3_dv_row_level_scan():
+    """scan_snapshot_v2 (the full row-decode path) applies DVs:
+    surviving rows exclude exactly the DV positions, under the same
+    sequence scoping as parquet position deletes."""
+    from health_monitor_cc_flink_spark.operators.iceberg import (
+        scan_snapshot_v2,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_write \
+        import write_parquet
+
+    blob_a = write_parquet(
+        [("event_id", "INT64", list(range(100, 110)))])
+    blob_b = write_parquet(
+        [("event_id", "INT64", list(range(200, 205)))])
+    manifests = [[
+        {"status": STATUS_ADDED, "file_path": "data/a.parquet",
+         "file_format": "PARQUET", "record_count": 10,
+         "file_size_in_bytes": len(blob_a), "lang": "en"},
+        {"status": STATUS_ADDED, "file_path": "data/b.parquet",
+         "file_format": "PARQUET", "record_count": 5,
+         "file_size_in_bytes": len(blob_b), "lang": "de"},
+    ]]
+    files = build_snapshot_v2(
+        manifests, [],
+        deletion_vectors=[("data/a.parquet", [0, 3, 7])],
+        data_blobs={"data/a.parquet": blob_a,
+                    "data/b.parquet": blob_b})
+    scan = scan_snapshot_v2(files)
+    got = sorted(r["event_id"] for r in scan["rows"])
+    want = sorted(set(range(100, 110)) - {100, 103, 107}
+                  | set(range(200, 205)))
+    assert got == want
+    # metadata walk and row scan agree
+    walk = walk_snapshot_v2(files)
+    assert sum(f["live_records"] for f in walk["live"]) == len(got)
+    # out-of-scope DV (older than the data) drops nothing
+    files2 = build_snapshot_v2(
+        manifests, [],
+        deletion_vectors=[("data/a.parquet", [0], 0)],
+        data_blobs={"data/a.parquet": blob_a,
+                    "data/b.parquet": blob_b})
+    scan2 = scan_snapshot_v2(files2)
+    assert len(scan2["rows"]) == 15
