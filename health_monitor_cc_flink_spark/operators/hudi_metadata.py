@@ -302,3 +302,192 @@ def read_metadata_listing(
         "partitions": sorted(partitions),
         "files": {p: dict(v) for p, v in listing.items() if v},
     }
+
+
+# ---------------------------------------------------------------------------
+# column_stats partition (r16): per-(file, column) min/max/null/value
+# counts as metadata records — the stats-pruning half of the metadata
+# table.  Real Hudi keys these records with hash-encoded
+# ColumnIndexID/FileIndexID strings and types min/max as wrapper
+# unions; this subset keys them readably ("<partition>|<file>|<col>")
+# and carries long-typed bounds — the planning semantics (prune by
+# [min, max] without opening files) are identical.
+# ---------------------------------------------------------------------------
+
+TYPE_COLUMN_STATS = 3
+
+COLUMN_STATS_SCHEMA = json.dumps({
+    "type": "record", "name": "HoodieMetadataColumnStats",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {"name": "fileName", "type": "string"},
+        {"name": "columnName", "type": "string"},
+        {"name": "minValue", "type": ["null", "long"],
+         "default": None},
+        {"name": "maxValue", "type": ["null", "long"],
+         "default": None},
+        {"name": "nullCount", "type": "long"},
+        {"name": "valueCount", "type": "long"},
+        {"name": "isDeleted", "type": "boolean"},
+    ]})
+
+COLSTATS_FILE_GROUP = "col-stats-0000"
+
+
+def append_column_stats(instant_time: str, version: int,
+                        base_instant: str,
+                        stats: list[dict],
+                        deleted_files: list[tuple] = ()) -> dict:
+    """One data instant's column stats -> the column_stats
+    partition members it appends: a log block of records (one per
+    (file, column)) plus tombstone records for reclaimed files.
+    Real Hudi commits ALL metadata partitions under ONE
+    deltacommit; list the returned log file in that instant's
+    commit via ``amend_deltacommit`` so the visibility rule covers
+    it.  ``stats`` rows: {partition, fileName, columnName, min,
+    max, nullCount, valueCount}."""
+    records = []
+    for st in stats:
+        records.append({
+            "key": (f"{st['partition']}|{st['fileName']}|"
+                    f"{st['columnName']}"),
+            "type": TYPE_COLUMN_STATS,
+            "fileName": st["fileName"],
+            "columnName": st["columnName"],
+            "minValue": st.get("min"),
+            "maxValue": st.get("max"),
+            "nullCount": int(st.get("nullCount", 0)),
+            "valueCount": int(st["valueCount"]),
+            "isDeleted": False,
+        })
+    for part, fname, col in deleted_files:
+        records.append({
+            "key": f"{part}|{fname}|{col}",
+            "type": TYPE_COLUMN_STATS,
+            "fileName": fname, "columnName": col,
+            "minValue": None, "maxValue": None,
+            "nullCount": 0, "valueCount": 0,
+            "isDeleted": True,
+        })
+    if not records:
+        return {}
+    blob = write_avro_data_block(
+        COLUMN_STATS_SCHEMA, records, instant_time)
+    log_name = (f".hoodie/metadata/column_stats/"
+                f".{COLSTATS_FILE_GROUP}_{base_instant}"
+                f".log.{version}_0-1-0")
+    return {log_name: blob}
+
+
+def amend_deltacommit(members: dict[str, bytes],
+                      instant_time: str,
+                      colstats_members: dict[str, bytes]) -> None:
+    """List the column_stats log file(s) of ``instant_time`` inside
+    the instant's existing metadata deltacommit (in place) — one
+    deltacommit covers every metadata partition, the spec's commit
+    shape."""
+    dc_name = (f".hoodie/metadata/.hoodie/{instant_time}"
+               f".deltacommit")
+    if dc_name not in members:
+        raise ValueError(
+            f"no metadata deltacommit at {instant_time}")
+    doc = json.loads(members[dc_name].decode("utf-8"))
+    stats = doc.setdefault("partitionToWriteStats", {})
+    bucket = stats.setdefault("column_stats", [])
+    for name in sorted(colstats_members):
+        bucket.append({
+            "fileId": COLSTATS_FILE_GROUP,
+            "path": name.rsplit("/", 1)[-1],
+            "numWrites": 0,
+        })
+    members[dc_name] = json.dumps(
+        doc, sort_keys=True,
+        separators=(",", ":")).encode("utf-8")
+    members.update(colstats_members)
+
+
+def read_column_stats(metadata_files: dict[str, bytes]) -> dict:
+    """column_stats members -> {(file, column): {min, max,
+    nullCount, valueCount}} by log-chain merge (later wins,
+    isDeleted drops) — same visibility rule as the files partition:
+    only chains named by completed metadata deltacommits count."""
+    committed: set[str] = set()
+    for name, blob in metadata_files.items():
+        if "/metadata/.hoodie/" not in "/" + name:
+            continue
+        info = parse_instant_filename(name)
+        if info is None or info["state"] != COMPLETED:
+            continue
+        try:
+            doc = json.loads(blob.decode("utf-8"))
+        except ValueError as exc:
+            raise ValueError(
+                "metadata deltacommit json malformed") from exc
+        for stats in (doc.get("partitionToWriteStats")
+                      or {}).values():
+            for st in stats:
+                if st.get("path"):
+                    committed.add(st["path"])
+    chain = []
+    for name, blob in metadata_files.items():
+        short = name.rsplit("/", 1)[-1]
+        if "/metadata/column_stats/" not in "/" + name \
+                or short not in committed:
+            continue
+        try:
+            version = int(short.split(".log.")[1].split("_")[0])
+        except (IndexError, ValueError) as exc:
+            raise ValueError(
+                f"bad metadata log name {short!r}") from exc
+        chain.append((version, blob))
+    out: dict[tuple, dict] = {}
+    for _, blob in sorted(chain, key=lambda t: t[0]):
+        for block in read_log_file(blob):
+            if block.get("type") != AVRO_DATA_BLOCK:
+                continue
+            for rec in block.get("records") or []:
+                if rec.get("type") != TYPE_COLUMN_STATS:
+                    raise ValueError(
+                        "column_stats record mistyped")
+                key = (rec["fileName"], rec["columnName"])
+                if rec.get("isDeleted"):
+                    out.pop(key, None)
+                    continue
+                out[key] = {
+                    "min": rec.get("minValue"),
+                    "max": rec.get("maxValue"),
+                    "nullCount": rec["nullCount"],
+                    "valueCount": rec["valueCount"],
+                }
+    return out
+
+
+def prune_by_column_stats(col_stats: dict, column: str,
+                          lo: int, hi: int) -> dict:
+    """Planning: which files can contain a value of ``column`` in
+    [lo, hi]?  Files whose stats row is MISSING for the column
+    cannot prune (conservative keep — the same rule every stats
+    pruner follows); all-null files prune.  Returns {candidates:
+    [file], pruned: [file], n_unstated}."""
+    candidates = []
+    pruned = []
+    seen_files: dict[str, bool] = {}
+    for (fname, col), st in col_stats.items():
+        if col != column:
+            seen_files.setdefault(fname, False)
+            continue
+        seen_files[fname] = True
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None and mx is None:
+            # all-null column in this file: cannot match a range
+            pruned.append(fname)
+        elif mn is not None and mx is not None \
+                and not (mx < lo or mn > hi):
+            candidates.append(fname)
+        else:
+            pruned.append(fname)
+    unstated = [f for f, has in seen_files.items() if not has]
+    return {"candidates": sorted(set(candidates) | set(unstated)),
+            "pruned": sorted(pruned),
+            "n_unstated": len(unstated)}

@@ -185,3 +185,73 @@ def test_plan_clean_version_retention():
         base_file_name("f2", T[0]),
         base_file_name("f4", T[3]),
     }
+
+
+def test_column_stats_partition_and_pruning():
+    """column_stats chain: append per-(file, column) bounds with a
+    data commit, tombstone on reclaim, prune ranges without opening
+    files; uncommitted appends invisible."""
+    from health_monitor_cc_flink_spark.operators.hudi_metadata \
+        import (
+            MetadataTableBuilder,
+            amend_deltacommit,
+            append_column_stats,
+            prune_by_column_stats,
+            read_column_stats,
+        )
+
+    members: dict[str, bytes] = {}
+    b = MetadataTableBuilder()
+    doc1 = json.loads(build_commit({
+        "p": [{"fileId": "f1",
+               "path": "p/" + base_file_name("f1", T[0]),
+               "numWrites": 4, "totalWriteBytes": 10}]}).decode())
+    members.update(b.apply(T[0], "commit", doc1))
+    f1 = base_file_name("f1", T[0])
+    cs1 = append_column_stats(T[0], 1, T[0], [
+        {"partition": "p", "fileName": f1, "columnName": "v",
+         "min": 10, "max": 20, "nullCount": 1, "valueCount": 4},
+        {"partition": "p", "fileName": f1, "columnName": "w",
+         "min": None, "max": None, "nullCount": 4,
+         "valueCount": 4},
+    ])
+    amend_deltacommit(members, T[0], cs1)
+    doc2 = json.loads(build_commit({
+        "p": [{"fileId": "f2",
+               "path": "p/" + base_file_name("f2", T[1]),
+               "numWrites": 3, "totalWriteBytes": 10}]}).decode())
+    members.update(b.apply(T[1], "commit", doc2))
+    f2 = base_file_name("f2", T[1])
+    cs2 = append_column_stats(T[1], 2, T[0], [
+        {"partition": "p", "fileName": f2, "columnName": "v",
+         "min": 100, "max": 200, "nullCount": 0,
+         "valueCount": 3}])
+    amend_deltacommit(members, T[1], cs2)
+
+    stats = read_column_stats(members)
+    assert stats[(f1, "v")] == {"min": 10, "max": 20,
+                                "nullCount": 1, "valueCount": 4}
+    assert stats[(f2, "v")]["min"] == 100
+    # range pruning: [15, 30] hits f1 only; all-null w prunes both
+    got = prune_by_column_stats(stats, "v", 15, 30)
+    assert got["candidates"] == [f1] and got["pruned"] == [f2]
+    got2 = prune_by_column_stats(stats, "w", 0, 10 ** 9)
+    assert f1 in got2["pruned"]
+    # a file with NO stats row for the column cannot prune
+    assert f2 in got2["candidates"] and got2["n_unstated"] == 1
+    # tombstone on reclaim drops the rows
+    doc3 = {"partitionMetadata": {"p": {
+        "successDeleteFiles": ["p/" + f1]}}}
+    members.update(b.apply(T[2], "clean", doc3))
+    cs3 = append_column_stats(T[2], 3, T[0], [], deleted_files=[
+        ("p", f1, "v"), ("p", f1, "w")])
+    amend_deltacommit(members, T[2], cs3)
+    stats3 = read_column_stats(members)
+    assert (f1, "v") not in stats3 and (f1, "w") not in stats3
+    assert (f2, "v") in stats3
+    # uncommitted col-stats log invisible
+    orphan = dict(members)
+    dc = f".hoodie/metadata/.hoodie/{T[1]}.deltacommit"
+    del orphan[dc]
+    stats4 = read_column_stats(orphan)
+    assert (f2, "v") not in stats4
