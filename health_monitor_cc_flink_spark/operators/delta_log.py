@@ -1026,3 +1026,60 @@ def verify_version_checksum(files: dict[str, bytes]) -> dict:
     return {"versions_checked": checked,
             "valid": not mismatches,
             "mismatches": mismatches}
+
+
+def vacuum_delta(files: dict[str, bytes], *,
+                 retention_ms: int,
+                 now_ms: int) -> dict:
+    """VACUUM (the delta-spark maintenance command): physically
+    remove data files tombstoned longer than the retention window.
+    Eligibility = named by a ``remove`` action whose
+    ``deletionTimestamp`` predates ``now_ms - retention_ms``, AND
+    not currently live (a later re-add RESCUES the path — vacuuming
+    it would corrupt the current snapshot), AND actually present in
+    the payload.  Tombstones younger than the window stay so
+    concurrent readers of recent snapshots don't lose files from
+    under them — the same reason delta-spark refuses retention
+    below its safety default.  A remove without a
+    deletionTimestamp never qualifies (unknown age -> conservative
+    keep).  Returns {files: updated dict, deleted: sorted names,
+    n_kept_tombstones}.  Time travel to versions BEFORE the horizon
+    is broken by design — that is what vacuum is."""
+    if retention_ms < 0:
+        raise ValueError("retention_ms must be >= 0")
+    commits: dict[int, list[dict]] = {}
+    for name, blob in files.items():
+        v = parse_commit_filename(name)
+        if v is None:
+            continue
+        commits[v] = [json.loads(line)
+                      for line in blob.decode("utf-8").splitlines()
+                      if line.strip()]
+    if not commits:
+        raise ValueError("empty delta log")
+    snap = replay_delta_log(commits)
+    horizon = now_ms - retention_ms
+    eligible: set[str] = set()
+    kept = 0
+    for v in sorted(commits):
+        for action in commits[v]:
+            if "remove" not in action:
+                continue
+            r = action["remove"]
+            path = r.get("path")
+            ts = r.get("deletionTimestamp")
+            if path is None:
+                raise ValueError("remove action missing path")
+            if path in snap["live"]:
+                continue  # re-added: rescued
+            if ts is None or ts >= horizon:
+                kept += 1
+                continue
+            eligible.add(path)
+    deleted = sorted(p for p in eligible if p in files)
+    return {
+        "files": {n: b for n, b in files.items()
+                  if n not in deleted},
+        "deleted": deleted,
+        "n_kept_tombstones": kept,
+    }

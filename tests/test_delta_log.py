@@ -723,3 +723,50 @@ def test_version_checksum_verify():
     broken[checksum_filename(0)] = b"not json"
     with pytest.raises(ValueError, match="malformed"):
         verify_version_checksum(broken)
+
+
+def test_vacuum_retention_semantics():
+    """VACUUM: expired tombstones reclaim, young ones and re-added
+    paths survive, unknown-age removes are conservatively kept."""
+    import json as _json
+
+    from health_monitor_cc_flink_spark.operators.delta_log import (
+        build_delta_log,
+        parse_delta_log_files,
+        vacuum_delta,
+    )
+
+    NOW = 1_700_000_000_000
+    DAY = 86_400_000
+    commits = {
+        0: [{"metaData": {"id": "t"}}]
+        + [{"add": {"path": f"f{i}.parquet", "size": 1,
+                    "stats": _json.dumps({"numRecords": 1})}}
+           for i in range(5)],
+        1: [{"remove": {"path": "f0.parquet",
+                        "deletionTimestamp": NOW - 10 * DAY}},
+            {"remove": {"path": "f1.parquet",
+                        "deletionTimestamp": NOW - 1 * DAY}},
+            {"remove": {"path": "f2.parquet"}},  # unknown age
+            {"remove": {"path": "f3.parquet",
+                        "deletionTimestamp": NOW - 10 * DAY}}],
+        2: [{"add": {"path": "f3.parquet", "size": 2,
+                     "stats": _json.dumps({"numRecords": 2})}}],
+    }
+    files = build_delta_log(commits)
+    for i in range(5):
+        files[f"f{i}.parquet"] = b"DATA"
+    got = vacuum_delta(files, retention_ms=7 * DAY, now_ms=NOW)
+    # f0 expired -> gone; f1 young, f2 unknown -> kept; f3 re-added
+    # -> rescued; f4 live
+    assert got["deleted"] == ["f0.parquet"]
+    assert got["n_kept_tombstones"] == 2
+    for name in ("f1.parquet", "f2.parquet", "f3.parquet",
+                 "f4.parquet"):
+        assert name in got["files"]
+    # current snapshot still replays intact after the vacuum
+    snap = parse_delta_log_files(got["files"])
+    assert sorted(snap["live"]) == [
+        "f3.parquet", "f4.parquet"]
+    with pytest.raises(ValueError):
+        vacuum_delta(files, retention_ms=-1, now_ms=NOW)
