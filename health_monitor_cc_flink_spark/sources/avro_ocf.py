@@ -166,7 +166,12 @@ def read_ocf(data: bytes) -> dict:
 
 def _decode_stream(schema_json: str, buf: io.BytesIO) -> dict:
     """Decode one record from an open stream (decode_record takes
-    standalone payload bytes; blocks concatenate records)."""
-    from .avro_codec import _decode  # same-module private reuse
+    standalone payload bytes; blocks concatenate records).  A name
+    environment is threaded so recursive named-type references
+    ("type": "Node") dereference (r16)."""
+    from .avro_codec import _decode, _register_names
 
-    return _decode(json.loads(schema_json), buf)
+    sch = json.loads(schema_json)
+    env: dict = {}
+    _register_names(sch, env)
+    return _decode(sch, buf, env)

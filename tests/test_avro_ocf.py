@@ -112,3 +112,19 @@ def test_logical_types_roundtrip_through_ocf():
     ]
     blob = write_ocf(sch, recs, codec="deflate", sync_seed=7)
     assert read_ocf(blob)["records"] == recs
+
+
+def test_ocf_enum_and_recursive_schema():
+    """OCF blocks decode enum and recursive named-type schemas
+    (r16: the stream decoder threads the name environment)."""
+    import json as _json
+
+    sch = _json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "Color",
+                               "symbols": ["RED", "GREEN"]}},
+        {"name": "next", "type": ["null", "R"], "default": None}]})
+    recs = [{"c": "RED", "next": {"c": "GREEN", "next": None}},
+            {"c": "GREEN", "next": None}]
+    for codec in ("null", "deflate", "snappy"):
+        assert read_ocf(write_ocf(sch, recs,
+                                  codec=codec))["records"] == recs
