@@ -191,24 +191,19 @@ def unbound_long(raw: bytes) -> int:
     return _s.unpack("<q", bytes(raw))[0]
 
 
-def scan_plan_v2(files: dict[str, bytes], *, snapshot_id: int = 1,
-                 ranges: dict[int, tuple[int, int]] | None = None
-                 ) -> dict:
-    """SCAN PLANNING over manifest metadata only — the step a real
-    Iceberg planner runs before any data file opens: walk the
-    snapshot's data manifests and keep files whose
-    lower/upper_bounds intersect every requested per-field range
-    (long-typed bounds).  Files without bounds for a requested
-    field are kept (bounds are optional — absence may not prune).
-    Returns {candidates: [data_file dicts], n_total, n_skipped};
-    O(manifest bytes), data files untouched."""
-    ranges = ranges or {}
+def load_scan_entries_v2(files: dict[str, bytes], *,
+                         snapshot_id: int = 1) -> list[tuple]:
+    """Parse the snapshot's data manifests ONCE into a list of
+    (data_file dict, lower_bounds-by-field-id, upper_bounds-by-
+    field-id) live entries.  Split out of scan_plan_v2 so repeated
+    probes over the same snapshot (point-lookup planning loops)
+    decode the Avro manifests a single time instead of per probe —
+    the planning itself is O(entries) dict lookups."""
     list_path = f"metadata/snap-{snapshot_id}.avro"
     if list_path not in files:
         raise ValueError(f"missing manifest list {list_path}")
     mlist = read_ocf(files[list_path])["records"]
-    candidates = []
-    n_total = 0
+    entries: list[tuple] = []
     for mf in mlist:
         if mf.get("content", CONTENT_DATA) != CONTENT_DATA:
             continue
@@ -221,23 +216,52 @@ def scan_plan_v2(files: dict[str, bytes], *, snapshot_id: int = 1,
             df = e["data_file"]
             if df.get("content", CONTENT_DATA) != CONTENT_DATA:
                 continue
-            n_total += 1
             lows = {kv["key"]: kv["value"]
                     for kv in (df.get("lower_bounds") or [])}
             highs = {kv["key"]: kv["value"]
                      for kv in (df.get("upper_bounds") or [])}
-            keep = True
-            for fid, (lo, hi) in ranges.items():
-                if fid in lows and unbound_long(lows[fid]) > hi:
-                    keep = False
-                    break
-                if fid in highs and unbound_long(highs[fid]) < lo:
-                    keep = False
-                    break
-            if keep:
-                candidates.append(df)
-    return {"candidates": candidates, "n_total": n_total,
-            "n_skipped": n_total - len(candidates)}
+            entries.append((df, lows, highs))
+    return entries
+
+
+def plan_from_entries(entries: list[tuple],
+                      ranges: dict[int, tuple[int, int]] | None = None
+                      ) -> dict:
+    """Plan one scan over pre-parsed manifest entries (from
+    load_scan_entries_v2): keep files whose lower/upper_bounds
+    intersect every requested per-field range (long-typed bounds).
+    Files without bounds for a requested field are kept (bounds are
+    optional — absence may not prune)."""
+    ranges = ranges or {}
+    candidates = []
+    for df, lows, highs in entries:
+        keep = True
+        for fid, (lo, hi) in ranges.items():
+            if fid in lows and unbound_long(lows[fid]) > hi:
+                keep = False
+                break
+            if fid in highs and unbound_long(highs[fid]) < lo:
+                keep = False
+                break
+        if keep:
+            candidates.append(df)
+    return {"candidates": candidates, "n_total": len(entries),
+            "n_skipped": len(entries) - len(candidates)}
+
+
+def scan_plan_v2(files: dict[str, bytes], *, snapshot_id: int = 1,
+                 ranges: dict[int, tuple[int, int]] | None = None
+                 ) -> dict:
+    """SCAN PLANNING over manifest metadata only — the step a real
+    Iceberg planner runs before any data file opens: walk the
+    snapshot's data manifests and keep files whose
+    lower/upper_bounds intersect every requested per-field range
+    (long-typed bounds).  Files without bounds for a requested
+    field are kept (bounds are optional — absence may not prune).
+    Returns {candidates: [data_file dicts], n_total, n_skipped};
+    O(manifest bytes), data files untouched."""
+    return plan_from_entries(
+        load_scan_entries_v2(files, snapshot_id=snapshot_id), ranges)
 
 CONTENT_DATA = 0
 CONTENT_POSITION_DELETES = 1

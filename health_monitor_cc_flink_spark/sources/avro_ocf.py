@@ -123,6 +123,15 @@ def read_ocf(data: bytes) -> dict:
     sync = buf.read(16)
     if len(sync) != 16:
         raise ValueError("truncated OCF header sync marker")
+    # parse the schema and register named types ONCE for the whole
+    # file: doing it per record (the old _decode_stream) made schema
+    # JSON parsing dominate manifest-heavy readers (Iceberg/Hudi scan
+    # planning walks thousands of small OCFs)
+    from .avro_codec import _decode, _register_names
+
+    sch = json.loads(schema_json)
+    env: dict = {}
+    _register_names(sch, env)
     records: list[dict] = []
     n_blocks = 0
     while True:
@@ -152,7 +161,7 @@ def read_ocf(data: bytes) -> dict:
             raw = payload
         rbuf = io.BytesIO(raw)
         for _ in range(n_rec):
-            records.append(_decode_stream(schema_json, rbuf))
+            records.append(_decode(sch, rbuf, env))
         if rbuf.read(1):
             raise ValueError("OCF block has trailing bytes")
         if buf.read(16) != sync:
@@ -162,16 +171,3 @@ def read_ocf(data: bytes) -> dict:
             raise ValueError("OCF record cap exceeded")
     return {"schema": schema_json, "codec": codec,
             "records": records, "n_blocks": n_blocks}
-
-
-def _decode_stream(schema_json: str, buf: io.BytesIO) -> dict:
-    """Decode one record from an open stream (decode_record takes
-    standalone payload bytes; blocks concatenate records).  A name
-    environment is threaded so recursive named-type references
-    ("type": "Node") dereference (r16)."""
-    from .avro_codec import _decode, _register_names
-
-    sch = json.loads(schema_json)
-    env: dict = {}
-    _register_names(sch, env)
-    return _decode(sch, buf, env)
