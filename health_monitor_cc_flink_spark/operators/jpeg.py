@@ -770,6 +770,12 @@ def _run_scan(
         # in EOB-run blocks) carries one correction bit
         nonlocal eobrun
         row = c["zz"][b]
+        if eobrun > 0 and not row[ss:se + 1].any():
+            # EOB-run block with an all-zero band: no correction bits
+            # to read, nothing to update — skip the per-coefficient
+            # walk (every block of a flat image lands here)
+            eobrun -= 1
+            return
         band = row[ss : se + 1].tolist()
         ac_dec = huff[(1, c["ac_sel"])]
         k = ss
@@ -1352,9 +1358,20 @@ class _ProgScanWriter:
 
 
 def _enc_ac_first(st: _ProgScanWriter, row, ss: int, se: int, al: int) -> None:
+    band = row[ss:se + 1]
+    if not (np.abs(band) >> al).any():
+        # whole band truncates to zero: the loop below would emit
+        # nothing and extend the EOB run — take that path without the
+        # 63-iteration Python walk (flat-block images hit this on
+        # every block of every AC scan)
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+        return
+    vals = band.tolist()
     r = 0
     for k in range(ss, se + 1):
-        v = int(row[k])
+        v = int(vals[k - ss])
         t = v >> al if v >= 0 else -((-v) >> al)  # truncate toward zero
         if t == 0:
             r += 1
@@ -1380,7 +1397,15 @@ def _enc_ac_refine(st: _ProgScanWriter, row, ss: int, se: int, al: int) -> None:
     # correction bit is never buffered while more than 15 zero-history
     # coefficients are pending (ZRLs flush first), so every buffered
     # bit lies before the 16 zeros the next ZRL spans
-    ts = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+    tarr = np.abs(row[ss:se + 1]) >> al
+    if not tarr.any():
+        # all-zero band: no ZRLs, no correction bits — just an EOB-run
+        # extension (the fast path every block of a flat image takes)
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+        return
+    ts = tarr.tolist()
     eobk = ss - 1
     for k in range(ss, se + 1):
         if ts[k - ss] == 1:
