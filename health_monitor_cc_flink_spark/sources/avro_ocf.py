@@ -31,7 +31,7 @@ from ..operators.snappy import (
     snappy_compress_block,
     snappy_decompress_block,
 )
-from .avro_codec import decode_record, encode_record, read_long, write_long
+from .avro_codec import read_long, write_long
 
 MAGIC = b"Obj\x01"
 MAX_BLOCK_BYTES = 1 << 26
@@ -77,9 +77,22 @@ def write_ocf(schema_json: str, records: list[dict], *,
         _write_bytes(buf, meta[k])
     write_long(buf, 0)  # end of map
     buf.write(sync)
+    # parse the schema + name environment once for the whole file
+    # (encode_record would re-parse per record)
+    from .avro_codec import _encode, _register_names
+
+    sch = json.loads(schema_json)
+    env: dict = {}
+    _register_names(sch, env)
+
+    def enc(r: dict) -> bytes:
+        rb = io.BytesIO()
+        _encode(sch, r, rb, env)
+        return rb.getvalue()
+
     for b0 in range(0, len(records), records_per_block):
         chunk = records[b0:b0 + records_per_block]
-        raw = b"".join(encode_record(schema_json, r) for r in chunk)
+        raw = b"".join(enc(r) for r in chunk)
         if codec == "deflate":
             comp = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = comp.compress(raw) + comp.flush()
@@ -123,15 +136,16 @@ def read_ocf(data: bytes) -> dict:
     sync = buf.read(16)
     if len(sync) != 16:
         raise ValueError("truncated OCF header sync marker")
-    # parse the schema and register named types ONCE for the whole
-    # file: doing it per record (the old _decode_stream) made schema
-    # JSON parsing dominate manifest-heavy readers (Iceberg/Hudi scan
-    # planning walks thousands of small OCFs)
-    from .avro_codec import _decode, _register_names
+    # compile the schema to a closure decoder ONCE for the whole
+    # file: doing schema JSON parsing + interpretive dispatch per
+    # record (the old _decode_stream) made it dominate manifest-heavy
+    # readers (Iceberg/Hudi scan planning walks thousands of OCFs)
+    from .avro_codec import _register_names, compile_decoder
 
     sch = json.loads(schema_json)
     env: dict = {}
     _register_names(sch, env)
+    decode = compile_decoder(sch, env)
     records: list[dict] = []
     n_blocks = 0
     while True:
@@ -159,10 +173,14 @@ def read_ocf(data: bytes) -> dict:
                 raise ValueError("snappy OCF block CRC mismatch")
         else:
             raw = payload
-        rbuf = io.BytesIO(raw)
-        for _ in range(n_rec):
-            records.append(_decode(sch, rbuf, env))
-        if rbuf.read(1):
+        rpos = 0
+        try:
+            for _ in range(n_rec):
+                val, rpos = decode(raw, rpos)
+                records.append(val)
+        except IndexError:
+            raise ValueError("truncated avro record") from None
+        if rpos != len(raw):
             raise ValueError("OCF block has trailing bytes")
         if buf.read(16) != sync:
             raise ValueError("OCF sync marker mismatch")
