@@ -508,10 +508,17 @@ def paragraph_dedup(
         .filter(F.trim("para") != "")
         .withColumn("fp", paragraph_fingerprint(F.col("para")))
     )
-    keepers = paras.groupBy("fp").agg(
-        F.min(F.struct("doc_id", "idx")).alias("keeper")
-    )
-    marked = paras.join(keepers, "fp").withColumn(
+    # keeper = min (doc_id, idx) per fingerprint, attached via a
+    # whole-partition window min rather than groupBy + join-back: one
+    # fp-keyed exchange instead of two, and the paragraph explode +
+    # fingerprint subtree evaluates once instead of once per join
+    # side (identical output — the window min is the same aggregate).
+    from pyspark.sql import Window as _W
+
+    marked = paras.withColumn(
+        "keeper",
+        F.min(F.struct("doc_id", "idx")).over(_W.partitionBy("fp")),
+    ).withColumn(
         "is_kept",
         (F.col("doc_id") == F.col("keeper.doc_id"))
         & (F.col("idx") == F.col("keeper.idx")),

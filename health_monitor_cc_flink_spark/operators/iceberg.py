@@ -323,15 +323,27 @@ def read_positional_delete_parquet(data: bytes) -> list[tuple[str, int]]:
     return out
 
 
-def read_flat_parquet(data: bytes) -> dict[str, list]:
+def read_flat_parquet(data: bytes,
+                      columns: list[str] | None = None
+                      ) -> dict[str, list]:
     """Flat parquet blob -> {column: values} via the repo's own page
-    reader (strings decoded utf-8)."""
+    reader (strings decoded utf-8).  ``columns`` prunes the read to
+    the named leaves (decode cost is per column chunk, so a
+    1-of-N-column read skips the other chunks entirely)."""
     from .parquet_data import read_column_chunk
     from .parquet_meta import parse_footer
 
     m = parse_footer(data)
     out: dict[str, list] = {}
-    for leaf in m["schema_leaves"]:
+    leaves = m["schema_leaves"]
+    if columns is not None:
+        want = set(columns)
+        leaves = [l for l in leaves if l["path"] in want]
+        missing = want - {l["path"] for l in leaves}
+        if missing:
+            raise ValueError(
+                f"columns absent from parquet schema: {sorted(missing)}")
+    for leaf in leaves:
         vals: list = []
         for rg in m["row_groups"]:
             cc = next(c for c in rg["columns"]

@@ -66,6 +66,27 @@ def events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
+#: schema-inference cache for the streaming sources, keyed by the
+#: file's identity (path, mtime, size) — the catalog-metadata cache
+#: every real engine keeps (cf. Spark's own filesource file-index
+#: cache).  Streaming reads require an explicit schema, and without
+#: the cache every streaming query paid a full spark.read.parquet()
+#: schema-inference job per invocation for a file that never changes.
+_STREAM_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _cached_schema(spark: SparkSession, key_path: str, infer) -> T.StructType:
+    import os
+
+    st = os.stat(key_path)
+    key = (key_path, st.st_mtime_ns, st.st_size)
+    got = _STREAM_SCHEMA_CACHE.get(key)
+    if got is None:
+        got = infer()
+        _STREAM_SCHEMA_CACHE[key] = got
+    return got
+
+
 def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """readStream over one testdata table, handling both physical
     layouts: a single ``<name>.parquet`` FILE beside sibling tables
@@ -78,11 +99,13 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
-        schema = spark.read.parquet(path).schema
+        schema = _cached_schema(
+            spark, path, lambda: spark.read.parquet(path).schema)
         return spark.readStream.schema(schema).parquet(path)
-    schema = (
-        spark.read.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir).schema
-    )
+    schema = _cached_schema(
+        spark, path,
+        lambda: spark.read.option(
+            "pathGlobFilter", f"{name}.parquet").parquet(sf_dir).schema)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", f"{name}.parquet")

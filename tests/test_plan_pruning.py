@@ -247,3 +247,7 @@ def test_paragraph_dedup_minimal_shuffle_shape(spark, sf_smoke_dir):
     assert plan.count("hashpartitioning(fp#") == 1, plan
     assert plan.count("hashpartitioning(doc_id#") == 1, plan
     assert "CartesianProduct" not in plan
+    # r16: the keeper census is a whole-partition window min, not a
+    # groupBy + join-back — the paragraph explode (and its md5
+    # fingerprinting) must appear exactly once in the plan
+    assert plan.count("posexplode") == 1, plan
