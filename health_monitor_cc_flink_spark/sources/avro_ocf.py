@@ -77,13 +77,12 @@ def write_ocf(schema_json: str, records: list[dict], *,
         _write_bytes(buf, meta[k])
     write_long(buf, 0)  # end of map
     buf.write(sync)
-    # parse the schema + name environment once for the whole file
-    # (encode_record would re-parse per record)
-    from .avro_codec import _encode, _register_names
+    # schema + name environment parsed once per schema (memoized —
+    # encode_record would re-parse per record, and sink paths write
+    # thousands of tiny files with the same schema)
+    from .avro_codec import _encode
 
-    sch = json.loads(schema_json)
-    env: dict = {}
-    _register_names(sch, env)
+    sch, env = _writer_schema_for(schema_json)
 
     def enc(r: dict) -> bytes:
         rb = io.BytesIO()
@@ -106,6 +105,47 @@ def write_ocf(schema_json: str, records: list[dict], *,
         buf.write(payload)
         buf.write(sync)
     return buf.getvalue()
+
+
+#: compiled-decoder memo keyed by the exact schema JSON (a pure
+#: function of the schema — code caching, never data caching); small
+#: bound, wholesale reset on overflow (schema sets are tiny in
+#: practice: one per table format per process)
+_DECODER_CACHE: dict[str, object] = {}
+_DECODER_CACHE_MAX = 128
+
+
+_WRITER_SCHEMA_CACHE: dict[str, tuple] = {}
+
+
+def _writer_schema_for(schema_json: str) -> tuple:
+    got = _WRITER_SCHEMA_CACHE.get(schema_json)
+    if got is None:
+        from .avro_codec import _register_names
+
+        sch = json.loads(schema_json)
+        env: dict = {}
+        _register_names(sch, env)
+        if len(_WRITER_SCHEMA_CACHE) >= _DECODER_CACHE_MAX:
+            _WRITER_SCHEMA_CACHE.clear()
+        got = (sch, env)
+        _WRITER_SCHEMA_CACHE[schema_json] = got
+    return got
+
+
+def _decoder_for(schema_json: str):
+    dec = _DECODER_CACHE.get(schema_json)
+    if dec is None:
+        from .avro_codec import _register_names, compile_decoder
+
+        sch = json.loads(schema_json)
+        env: dict = {}
+        _register_names(sch, env)
+        dec = compile_decoder(sch, env)
+        if len(_DECODER_CACHE) >= _DECODER_CACHE_MAX:
+            _DECODER_CACHE.clear()
+        _DECODER_CACHE[schema_json] = dec
+    return dec
 
 
 def read_ocf(data: bytes) -> dict:
@@ -136,16 +176,12 @@ def read_ocf(data: bytes) -> dict:
     sync = buf.read(16)
     if len(sync) != 16:
         raise ValueError("truncated OCF header sync marker")
-    # compile the schema to a closure decoder ONCE for the whole
-    # file: doing schema JSON parsing + interpretive dispatch per
-    # record (the old _decode_stream) made it dominate manifest-heavy
-    # readers (Iceberg/Hudi scan planning walks thousands of OCFs)
-    from .avro_codec import _register_names, compile_decoder
-
-    sch = json.loads(schema_json)
-    env: dict = {}
-    _register_names(sch, env)
-    decode = compile_decoder(sch, env)
+    # compiled closure decoder, memoized by the exact schema JSON:
+    # interpretive per-record dispatch (the old _decode_stream)
+    # dominated manifest-heavy readers, and manifest/log schemas
+    # repeat across thousands of tiny OCFs, so even the one-time
+    # compile is amortized across files, not paid per file
+    decode = _decoder_for(schema_json)
     records: list[dict] = []
     n_blocks = 0
     while True:
