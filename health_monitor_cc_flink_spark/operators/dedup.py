@@ -392,22 +392,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        # carry the previous label through the propagation select so
+        # the convergence probe is a filter over the already-
+        # materialized checkpoint instead of a join of two rounds'
+        # frames (one fewer driver round-trip per iteration)
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                F.col("lbl").alias("_prev"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("lbl") != F.col("_prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.select("node", "lbl")
         if changed == 0:
             break
     else:
