@@ -120,36 +120,75 @@ def main() -> None:
         if la is not None:
             query_load[spec.name] = la
 
-    # outlier adjudication (VERDICT r13 #2): any query > 2x its
-    # trailing-3-round median is re-measured (fresh best-of-2) before
-    # the artifact is committed; surviving outliers are listed in the
-    # payload with their load stamps instead of sitting unremarked.
+    # outlier adjudication (VERDICT r13 #2, hardened per VERDICT r16
+    # #4): re-measured (fresh best-of-2) before the artifact is
+    # committed are (a) any query > 2x its trailing-3-round median,
+    # and (b) any query whose per-query loadavg stamp exceeded the
+    # quiet threshold — rule (a) alone left queries with no history
+    # (new this round) blind, and the r17 driver artifact shipped
+    # contaminated first-window numbers because of exactly that.
+    # Surviving outliers are listed in the payload with their load
+    # stamps instead of sitting unremarked.
     medians = _trailing_medians(_round_number())
-    adjudications: list[dict] = []
+    flagged: dict[str, str] = {}
     for spec in specs:
         med = medians.get(spec.name)
-        if med is None or med < 0.15:
-            continue  # tiny queries: 2x of noise is noise
         first = timings[spec.name]
-        if first <= 2.0 * med:
-            continue
-        best = first
-        for _ in range(2):
-            t0 = time.perf_counter()
-            force(spec.fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[spec.name] = round(best, 3)
-        la = _loadavg1()
-        if la is not None:
-            query_load[spec.name] = la
-        adjudications.append({
-            "query": spec.name,
-            "first_sec": first,
-            "rerun_sec": round(best, 3),
-            "trailing_median_sec": med,
-            "loadavg_at_rerun": la,
-            "still_outlier": best > 2.0 * med,
-        })
+        if med is not None and med >= 0.15 and first > 2.0 * med:
+            # tiny-median queries exempt: 2x of noise is noise
+            flagged[spec.name] = "gt2x_trailing_median"
+    for spec in specs:
+        la = query_load.get(spec.name)
+        if la is not None and la > LOADAVG_QUIET \
+                and spec.name not in flagged \
+                and timings[spec.name] >= 0.15:
+            flagged[spec.name] = "loaded_window"
+    adjudications: list[dict] = []
+    adjudication_capped = False
+    if flagged:
+        # a rerun under the same load proves nothing (the r17 driver
+        # artifact's reruns at loadavg ~6 were still contaminated):
+        # wait for the host to quiet down, bounded like the start gate
+        for _ in range(int(os.environ.get("BENCH_QUIET_RETRIES", "10"))):
+            la = _loadavg1()
+            if la is None or la <= LOADAVG_QUIET:
+                break
+            time.sleep(float(os.environ.get("BENCH_QUIET_WAIT_S", "30")))
+        # bound total adjudication work: a fully-loaded run flags
+        # everything, and rerunning the whole bench doubles the run —
+        # that case is already annotated via loaded_run_* flags
+        order = sorted(
+            flagged,
+            key=lambda n: (flagged[n] != "gt2x_trailing_median",
+                           -timings[n]))
+        if len(order) > 45:
+            order = order[:45]
+            adjudication_capped = True
+        by_name = {s.name: s for s in specs}
+        for name in order:
+            spec = by_name[name]
+            med = medians.get(name)
+            first = timings[name]
+            best = first
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(spec.fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            la = _loadavg1()
+            if la is not None:
+                query_load[name] = la
+            still = (best > 2.0 * med) if med is not None else \
+                (la is not None and la > LOADAVG_QUIET)
+            adjudications.append({
+                "query": name,
+                "reason": flagged[name],
+                "first_sec": first,
+                "rerun_sec": round(best, 3),
+                "trailing_median_sec": med,
+                "loadavg_at_rerun": la,
+                "still_outlier": still,
+            })
 
     # the reference workload itself: 4-stage health pipeline incl. both
     # ML operators on a 20-minute simulated stream (2400 ticks at 0.5 s
@@ -181,6 +220,9 @@ def main() -> None:
         force(stages["heartbeat_alerts"])
         e2e_samples.append(time.perf_counter() - t0)
     timings["health_pipeline_e2e"] = round(min(e2e_samples), 3)
+    la = _loadavg1()
+    if la is not None:
+        query_load["health_pipeline_e2e"] = la
     events.unpersist()
 
     # streaming throughput: drain the sf events table through the
@@ -210,6 +252,9 @@ def main() -> None:
     drain()  # warmup: micro-batch machinery, state-store + sink codepaths
     stream_sec = round(min(drain(), drain()), 3)  # best-of-2, as for e2e
     timings["streaming_tumble_drain"] = stream_sec
+    la = _loadavg1()
+    if la is not None:
+        query_load["streaming_tumble_drain"] = la
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -232,6 +277,7 @@ def main() -> None:
         "loaded_run_fallback": loaded_fallback,
         "loadavg_per_query": query_load,
         "outliers_adjudicated": adjudications,
+        "adjudication_capped": adjudication_capped,
     }
     # output contract (VERDICT r11 #1): the driver keeps only the LAST
     # 2000 chars of stdout, so a single giant JSON line gets its head
@@ -401,18 +447,23 @@ def _write_round_artifacts(payload: dict, rn: int) -> None:
     if adj:
         lines = []
         for a in adj:
-            verdict = ("STILL >2x trailing median — treat as real or "
-                       "contaminated, do not ignore"
+            verdict = ("STILL flagged after quiet re-run — treat as "
+                       "real or contaminated, do not ignore"
                        if a["still_outlier"] else
                        "resolved by re-run (first sample was "
                        "contamination)")
+            med = a.get("trailing_median_sec")
+            med_s = (f"trailing median {med:.2f} s"
+                     if med is not None else "no trailing median")
             lines.append(
-                f"- `{a['query']}`: first {a['first_sec']:.2f} s vs "
-                f"trailing median {a['trailing_median_sec']:.2f} s; "
+                f"- `{a['query']}` [{a.get('reason', '?')}]: first "
+                f"{a['first_sec']:.2f} s vs {med_s}; "
                 f"re-run {a['rerun_sec']:.2f} s "
                 f"(loadavg {a['loadavg_at_rerun']}) — {verdict}")
         adj_block = ("\nOutlier adjudication (>2x trailing-3-round "
-                     "median triggers an in-run re-measure):\n"
+                     "median, or a loaded per-query window, triggers "
+                     "an in-run re-measure after a bounded "
+                     "quiet-wait):\n"
                      + "\n".join(lines) + "\n")
     else:
         adj_block = ("\nOutlier adjudication: no query exceeded 2x its "

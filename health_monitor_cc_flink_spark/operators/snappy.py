@@ -134,48 +134,52 @@ def snappy_compress_block(data: bytes) -> bytes:
     return bytes(out)
 
 
+#: per-tag-byte decode plan, precomputed once (r17, guide §4.2): the
+#: decode loop runs once per element (~1M elements per MB of dense
+#: pages), so fold the kind/length bit-twiddling of all 256 tag bytes
+#: into one table lookup.  mode 0 = short literal (ln = final length),
+#: mode 1 = extended literal (ln = number of length bytes), mode
+#: 2/3/4 = copy-1/2/4 (ln = final copy length).
+def _build_tag_table() -> tuple:
+    table = []
+    for tag in range(256):
+        kind = tag & 0x03
+        if kind == 0:
+            ln = tag >> 2
+            table.append((1, ln - 59) if ln >= 60 else (0, ln + 1))
+        elif kind == 1:
+            table.append((2, 4 + ((tag >> 2) & 0x07)))
+        elif kind == 2:
+            table.append((3, (tag >> 2) + 1))
+        else:
+            table.append((4, (tag >> 2) + 1))
+    return tuple(table)
+
+
+_TAG_TABLE = _build_tag_table()
+
+
 def snappy_decompress_block(data: bytes) -> bytes:
     expected, pos = _read_uvarint(data, 0)
     if expected > MAX_OUTPUT_BYTES:
         raise ValueError("snappy output exceeds cap")
     out = bytearray()
     n = len(data)
+    tag_table = _TAG_TABLE
     while pos < n:
-        tag = data[pos]
+        mode, ln = tag_table[data[pos]]
         pos += 1
-        kind = tag & 0x03
-        if kind == 0:  # literal
-            ln = tag >> 2
-            if ln >= 60:
-                ext = ln - 59
-                if pos + ext > n:
-                    raise ValueError("truncated literal length")
-                ln = int.from_bytes(data[pos:pos + ext], "little")
-                pos += ext
-            ln += 1
-            if pos + ln > n:
+        if mode == 0:  # short literal, length from the tag byte
+            end = pos + ln
+            if end > n:
                 raise ValueError("literal overruns input")
-            out += data[pos:pos + ln]
-            pos += ln
-        else:
-            if kind == 1:
-                ln = 4 + ((tag >> 2) & 0x07)
-                if pos + 1 > n:
-                    raise ValueError("truncated copy-1")
-                offset = ((tag >> 5) << 8) | data[pos]
-                pos += 1
-            elif kind == 2:
-                ln = (tag >> 2) + 1
-                if pos + 2 > n:
-                    raise ValueError("truncated copy-2")
-                offset = struct.unpack_from("<H", data, pos)[0]
-                pos += 2
-            else:
-                ln = (tag >> 2) + 1
-                if pos + 4 > n:
-                    raise ValueError("truncated copy-4")
-                offset = struct.unpack_from("<I", data, pos)[0]
-                pos += 4
+            out += data[pos:end]
+            pos = end
+        elif mode == 3:  # copy-2 (most common copy on real pages)
+            if pos + 2 > n:
+                raise ValueError("truncated copy-2")
+            offset = data[pos] | (data[pos + 1] << 8)
+            pos += 2
             if offset == 0 or offset > len(out):
                 raise ValueError("snappy copy offset out of range")
             if len(out) + ln > expected:
@@ -184,6 +188,46 @@ def snappy_decompress_block(data: bytes) -> bytes:
             if offset >= ln:
                 out += out[start:start + ln]
             else:  # overlapping copy: byte-at-a-time per spec
+                for k in range(ln):
+                    out.append(out[start + k])
+        elif mode == 2:  # copy-1
+            if pos + 1 > n:
+                raise ValueError("truncated copy-1")
+            offset = ((data[pos - 1] >> 5) << 8) | data[pos]
+            pos += 1
+            if offset == 0 or offset > len(out):
+                raise ValueError("snappy copy offset out of range")
+            if len(out) + ln > expected:
+                raise ValueError("snappy copy overruns output")
+            start = len(out) - offset
+            if offset >= ln:
+                out += out[start:start + ln]
+            else:
+                for k in range(ln):
+                    out.append(out[start + k])
+        elif mode == 1:  # extended literal, ln = number of length bytes
+            if pos + ln > n:
+                raise ValueError("truncated literal length")
+            ext = int.from_bytes(data[pos:pos + ln], "little") + 1
+            pos += ln
+            end = pos + ext
+            if end > n:
+                raise ValueError("literal overruns input")
+            out += data[pos:end]
+            pos = end
+        else:  # copy-4
+            if pos + 4 > n:
+                raise ValueError("truncated copy-4")
+            offset = struct.unpack_from("<I", data, pos)[0]
+            pos += 4
+            if offset == 0 or offset > len(out):
+                raise ValueError("snappy copy offset out of range")
+            if len(out) + ln > expected:
+                raise ValueError("snappy copy overruns output")
+            start = len(out) - offset
+            if offset >= ln:
+                out += out[start:start + ln]
+            else:
                 for k in range(ln):
                     out.append(out[start + k])
         if len(out) > expected:

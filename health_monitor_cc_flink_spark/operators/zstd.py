@@ -828,7 +828,7 @@ class _FSEEncTable:
     ranges of one symbol partition the whole state space, so for any
     next-state there is exactly one valid current cell."""
 
-    __slots__ = ("acc_log", "by_symbol", "first_cell")
+    __slots__ = ("acc_log", "by_symbol", "first_cell", "_bases")
 
     def __init__(self, probs: list[int], acc_log: int):
         t = fse_build(probs, acc_log)
@@ -842,21 +842,24 @@ class _FSEEncTable:
             self.first_cell.setdefault(s, i)
         for cells in self.by_symbol.values():
             cells.sort()
+        # per-symbol parallel base arrays: the encode walk does one
+        # range lookup per coded symbol, so give it C-level bisect
+        # over a flat base list instead of a Python binary search
+        self._bases: dict[int, list[int]] = {
+            s: [c[0] for c in cells]
+            for s, cells in self.by_symbol.items()}
 
     def cell_for(self, sym: int, next_state: int) -> tuple[int, int, int]:
         """-> (cell, emitted_bits, nbits) such that the decoder at
         ``cell`` decodes ``sym`` and transitions to ``next_state``."""
-        cells = self.by_symbol.get(sym)
-        if not cells:
+        from bisect import bisect_right
+
+        bases = self._bases.get(sym)
+        if not bases:
             raise ValueError(f"symbol {sym} not in fse table")
-        lo, hi = 0, len(cells) - 1
-        while lo < hi:  # last cell with base <= next_state
-            mid = (lo + hi + 1) // 2
-            if cells[mid][0] <= next_state:
-                lo = mid
-            else:
-                hi = mid - 1
-        base, nbits, cell = cells[lo]
+        # last cell with base <= next_state
+        base, nbits, cell = self.by_symbol[sym][
+            bisect_right(bases, next_state) - 1]
         if not base <= next_state < base + (1 << nbits):
             raise ValueError("fse encode range miss")
         return cell, next_state - base, nbits
@@ -951,6 +954,15 @@ def _seq_codes(seqs: list[tuple[int, int, int]],
     return codes
 
 
+#: custom-sequence-table memo keyed by (symbol-count distribution,
+#: acc_log, ladder) — a pure function of those inputs (code caching,
+#: never data caching; the avro_ocf._DECODER_CACHE pattern): tiny
+#: pages across a task re-derive the same few hundred normalized
+#: distributions thousands of times.  Bounded, wholesale reset.
+_SEQ_TABLE_CACHE: dict[tuple, tuple | None] = {}
+_ENC_CACHE_MAX = 4096
+
+
 def _custom_seq_table(codes: list[tuple], ci: int,
                       which: str) -> tuple | None:
     """Per-ladder alternative to predefined mode: RLE when the code
@@ -967,9 +979,16 @@ def _custom_seq_table(codes: list[tuple], ci: int,
     acc = min(cap, max(5, len(codes).bit_length()))
     if len(counts) > 1 << acc:
         return None
+    key = (tuple(sorted(counts.items())), acc, which)
+    if key in _SEQ_TABLE_CACHE:
+        return _SEQ_TABLE_CACHE[key]
     probs = fse_normalize(counts, acc)
     desc = fse_write_distribution(probs, acc)
-    return 2, desc, _FSEEncTable(probs, acc)
+    got = (2, desc, _FSEEncTable(probs, acc))
+    if len(_SEQ_TABLE_CACHE) >= _ENC_CACHE_MAX:
+        _SEQ_TABLE_CACHE.clear()
+    _SEQ_TABLE_CACHE[key] = got
+    return got
 
 
 def _seq_section(codes: list[tuple], tables: dict) -> bytes:
@@ -994,6 +1013,8 @@ def _seq_section(codes: list[tuple], tables: dict) -> bytes:
     out += tables["ml"][1]
     states = {}
     trans = {}
+    from bisect import bisect_right as _br
+
     for which, ci in (("ll", 0), ("of", 1), ("ml", 2)):
         mode, _, t = tables[which]
         if t is None:  # RLE ladder: stateless
@@ -1001,11 +1022,22 @@ def _seq_section(codes: list[tuple], tables: dict) -> bytes:
         st = [0] * n
         tr = [None] * (n - 1)
         st[n - 1] = t.first_cell[codes[n - 1][ci][0]]
+        # inlined cell_for: this walk is one range lookup per coded
+        # symbol and dominates the encoder's warm profile
+        bases_of = t._bases
+        cells_of = t.by_symbol
+        nxt = st[n - 1]
         for i in range(n - 2, -1, -1):
-            cell, bits, nbits = t.cell_for(
-                codes[i][ci][0], st[i + 1])
+            sym = codes[i][ci][0]
+            bases = bases_of.get(sym)
+            if not bases:
+                raise ValueError(f"symbol {sym} not in fse table")
+            base, nbits, cell = cells_of[sym][_br(bases, nxt) - 1]
+            if not base <= nxt < base + (1 << nbits):
+                raise ValueError("fse encode range miss")
             st[i] = cell
-            tr[i] = (bits, nbits)
+            tr[i] = (nxt - base, nbits)
+            nxt = cell
         states[which] = st
         trans[which] = tr
     # fields in DECODER-read order, then written reversed (the
@@ -1248,6 +1280,16 @@ def _package_merge_lengths(freqs: dict[int, int],
     return lengths
 
 
+#: Huffman-code memo keyed by the literal FREQUENCY DISTRIBUTION —
+#: codes/max_bits/header are pure functions of it, so this caches the
+#: whole package-merge + two-state-FSE-weights pipeline (the profile's
+#: top cost on tiny-page workloads: ~3 distinct distributions per 10
+#: pages).  Code caching, never data caching; bounded, reset on
+#: overflow (avro_ocf._DECODER_CACHE pattern).  Cached values are
+#: treated as read-only by every caller.
+_HUF_CODE_CACHE: dict[tuple, tuple | None] = {}
+
+
 def _huffman_code(lit: bytes) -> tuple[dict, int, bytes] | None:
     """Literals -> (codes {byte: (value, nbits)}, max_bits, weights
     header+payload) or None when Huffman can't apply (single symbol,
@@ -1257,6 +1299,18 @@ def _huffman_code(lit: bytes) -> tuple[dict, int, bytes] | None:
         freqs[b] = freqs.get(b, 0) + 1
     if len(freqs) < 2:
         return None
+    key = tuple(sorted(freqs.items()))
+    if key in _HUF_CODE_CACHE:
+        return _HUF_CODE_CACHE[key]
+    got = _huffman_code_build(freqs)
+    if len(_HUF_CODE_CACHE) >= _ENC_CACHE_MAX:
+        _HUF_CODE_CACHE.clear()
+    _HUF_CODE_CACHE[key] = got
+    return got
+
+
+def _huffman_code_build(freqs: dict[int, int]) \
+        -> tuple[dict, int, bytes] | None:
     last = max(freqs)
     lengths = _package_merge_lengths(freqs, 11)
     max_bits = max(lengths.values())

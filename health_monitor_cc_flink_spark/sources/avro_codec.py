@@ -388,6 +388,8 @@ def compile_decoder(sch, env: dict | None = None,
         if sch == "string":
             def d_string(data, pos):
                 n, pos = rl(data, pos)
+                if n < 0 or pos + n > len(data):
+                    raise ValueError("avro string length out of range")
                 return data[pos:pos + n].decode("utf-8"), pos + n
             return d_string
         if sch in ("int", "long"):
@@ -415,6 +417,8 @@ def compile_decoder(sch, env: dict | None = None,
         if sch == "bytes":
             def d_bytes(data, pos):
                 n, pos = rl(data, pos)
+                if n < 0 or pos + n > len(data):
+                    raise ValueError("avro bytes length out of range")
                 return data[pos:pos + n], pos + n
             return d_bytes
         if isinstance(sch, list):
@@ -456,6 +460,9 @@ def compile_decoder(sch, env: dict | None = None,
                         _, pos = rl(data, pos)
                     for _ in range(n):
                         klen, pos = rl(data, pos)
+                        if klen < 0 or pos + klen > len(data):
+                            raise ValueError(
+                                "avro map key length out of range")
                         k = data[pos:pos + klen].decode("utf-8")
                         pos += klen
                         out[k], pos = _v(data, pos)

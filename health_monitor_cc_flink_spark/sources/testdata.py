@@ -79,7 +79,17 @@ def _cached_schema(spark: SparkSession, key_path: str, infer) -> T.StructType:
     import os
 
     st = os.stat(key_path)
-    key = (key_path, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(key_path):
+        # a file rewritten in place inside the directory does not bump
+        # the directory's own mtime — key on the part-file listing
+        # (name, mtime, size) so any change invalidates (ADVICE r16)
+        with os.scandir(key_path) as it:
+            sig = tuple(sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in it if e.is_file()))
+        key = (key_path, sig)
+    else:
+        key = (key_path, st.st_mtime_ns, st.st_size)
     got = _STREAM_SCHEMA_CACHE.get(key)
     if got is None:
         got = infer()

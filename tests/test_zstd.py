@@ -466,3 +466,34 @@ def test_far_match_candidates_skipped_not_crashed(monkeypatch):
     frame2 = z.zstd_compress(data)
     assert z.zstd_decompress(frame2) == data
     assert len(frame2) <= len(frame)
+
+
+def test_encoder_memo_caches_are_code_caches_only():
+    """r17: the entropy-table memos (_HUF_CODE_CACHE /
+    _SEQ_TABLE_CACHE) key on frequency DISTRIBUTIONS, never on input
+    bytes — warm-cache output must be byte-identical to cold-cache
+    output for every input, and the bound must reset wholesale."""
+    from health_monitor_cc_flink_spark.operators import zstd as z
+
+    rng = random.Random(17)
+    cases = [bytes(rng.choice(b"abcdefgh") for _ in range(n))
+             for n in (0, 1, 37, 400, 5000)]
+    cases.append(bytes(rng.randrange(256) for _ in range(3000)))
+    cases.append(b"runrunrun" * 500)
+    cold = []
+    for d in cases:
+        z._HUF_CODE_CACHE.clear()
+        z._SEQ_TABLE_CACHE.clear()
+        cold.append(z.zstd_compress(d))
+    warm = [z.zstd_compress(d) for d in cases]  # caches now populated
+    assert warm == cold
+    for d, frame in zip(cases, warm):
+        assert z.zstd_decompress(frame) == d
+    # distinct distributions produce distinct cache keys, bounded
+    assert len(z._HUF_CODE_CACHE) <= z._ENC_CACHE_MAX
+    # overflow resets wholesale instead of growing unbounded
+    z._HUF_CODE_CACHE.clear()
+    for i in range(z._ENC_CACHE_MAX):
+        z._HUF_CODE_CACHE[("sentinel", i)] = None
+    z.zstd_compress(cases[3])  # 8-symbol literals: Huffman applies
+    assert len(z._HUF_CODE_CACHE) < z._ENC_CACHE_MAX
