@@ -176,6 +176,41 @@ def _decompress(payload: bytes, codec: str, expected: int) -> bytes:
     return raw
 
 
+def read_dictionary_page(data: bytes, dictionary_page_offset: int,
+                         ptype: str, codec: str,
+                         type_length: int | None = None) -> list:
+    """Decode ONE dictionary page -> values list.  Selective page
+    readers (page-index pruning) should call this once per column
+    chunk and pass the result to every read_column_chunk call via
+    ``dictionary=`` — re-decoding the (large) dictionary per selected
+    page was the dominant cost of the page-prune scan (r17, guide
+    §4.5: heavyweight init once)."""
+    if not isinstance(dictionary_page_offset, int) \
+            or dictionary_page_offset < 0:
+        raise ValueError("bad dictionary page offset")
+    r = _Reader(data)
+    r.pos = dictionary_page_offset
+    hdr = r.struct()
+    if hdr.get(1) != 2:
+        raise ValueError("dictionary_page_offset is not a "
+                         "dictionary page")
+    c_size, un_size = hdr.get(3), hdr.get(2)
+    dh = hdr.get(7, {})
+    if not isinstance(c_size, int) or not isinstance(
+            un_size, int) or not isinstance(dh, dict) \
+            or not isinstance(dh.get(1), int) \
+            or dh.get(1) < 0 or c_size < 0 \
+            or un_size > MAX_PAGE_BYTES:
+        raise ValueError("bad dictionary page header")
+    payload = data[r.pos:r.pos + c_size]
+    if len(payload) != c_size:
+        raise ValueError("dictionary page truncated")
+    raw = _decompress(payload, codec, un_size)
+    dictionary, _ = _plain_values(
+        raw, 0, dh.get(1), ptype, type_length)
+    return dictionary
+
+
 def read_column_chunk(data: bytes, *, start_offset: int,
                       num_values: int, ptype: str, codec: str,
                       max_def_level: int = 1,
@@ -183,7 +218,8 @@ def read_column_chunk(data: bytes, *, start_offset: int,
                       rep_def_level: int = 0,
                       type_length: int | None = None,
                       dictionary_page_offset: int | None = None,
-                      rep_def_levels: list[int] | None = None
+                      rep_def_levels: list[int] | None = None,
+                      dictionary: list | None = None
                       ) -> list:
     """Decode one column chunk -> values list (None for nulls),
     walking dictionary + data pages (v1 and v2) from
@@ -219,29 +255,10 @@ def read_column_chunk(data: bytes, *, start_offset: int,
             raise ValueError("rep_def_levels must give the def "
                              "level of every repeated ancestor")
     pos = start_offset
-    dictionary: list | None = None
-    if dictionary_page_offset is not None \
+    if dictionary is None and dictionary_page_offset is not None \
             and dictionary_page_offset != start_offset:
-        r = _Reader(data)
-        r.pos = dictionary_page_offset
-        hdr = r.struct()
-        if hdr.get(1) != 2:
-            raise ValueError("dictionary_page_offset is not a "
-                             "dictionary page")
-        c_size, un_size = hdr.get(3), hdr.get(2)
-        dh = hdr.get(7, {})
-        if not isinstance(c_size, int) or not isinstance(
-                un_size, int) or not isinstance(dh, dict) \
-                or not isinstance(dh.get(1), int) \
-                or dh.get(1) < 0 or c_size < 0 \
-                or un_size > MAX_PAGE_BYTES:
-            raise ValueError("bad dictionary page header")
-        payload = data[r.pos:r.pos + c_size]
-        if len(payload) != c_size:
-            raise ValueError("dictionary page truncated")
-        raw = _decompress(payload, codec, un_size)
-        dictionary, _ = _plain_values(
-            raw, 0, hdr.get(7, {}).get(1), ptype, type_length)
+        dictionary = read_dictionary_page(
+            data, dictionary_page_offset, ptype, codec, type_length)
     out: list = []
     all_reps: list[int] = []
     all_defs: list[int] = []

@@ -341,3 +341,55 @@ def test_triple_nested_lists(tmp_path):
         max_rep_level=leaf["max_rep_level"],
         rep_def_levels=leaf["rep_def_levels"])
     assert got == t["y"].to_pylist()
+
+
+def test_selective_read_shared_dictionary(tmp_path):
+    """r17: read_dictionary_page decodes a chunk's dictionary once and
+    read_column_chunk(dictionary=...) must produce exactly what the
+    per-page out-of-line decode produced — the page-prune scan's
+    heavyweight-init-once contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from health_monitor_cc_flink_spark.operators.parquet_data import (
+        read_dictionary_page,
+    )
+    from health_monitor_cc_flink_spark.operators.parquet_meta import (
+        read_page_index,
+    )
+
+    vals = [i // 3 for i in range(4000)]  # dict-friendly, sorted
+    t = pa.table({"k": pa.array(vals, pa.int64())})
+    path = tmp_path / "dict.parquet"
+    pq.write_table(t, path, compression="snappy",
+                   write_page_index=True, data_page_size=1024)
+    with open(path, "rb") as f:
+        data = f.read()
+    m = parse_footer(data)
+    cc = m["row_groups"][0]["columns"][0]
+    assert cc["dictionary_page_offset"] is not None
+    shared = read_dictionary_page(
+        data, cc["dictionary_page_offset"], cc["type"], cc["codec"])
+    pi = read_page_index(data, cc)
+    locs = pi["page_locations"]
+    assert len(locs) > 2
+    n = m["row_groups"][0]["num_rows"]
+    out_shared, out_perpage = [], []
+    for i in range(len(locs)):
+        a = locs[i][2]
+        b = locs[i + 1][2] if i + 1 < len(locs) else n
+        out_perpage.extend(read_column_chunk(
+            data, start_offset=locs[i][0], num_values=b - a,
+            ptype=cc["type"], codec=cc["codec"],
+            dictionary_page_offset=cc["dictionary_page_offset"]))
+        out_shared.extend(read_column_chunk(
+            data, start_offset=locs[i][0], num_values=b - a,
+            ptype=cc["type"], codec=cc["codec"],
+            dictionary_page_offset=cc["dictionary_page_offset"],
+            dictionary=shared))
+    assert out_shared == out_perpage == vals
+    # hostile offsets still fail fast
+    import pytest
+    with pytest.raises(ValueError):
+        read_dictionary_page(data, cc["data_page_offset"],
+                             cc["type"], cc["codec"])
